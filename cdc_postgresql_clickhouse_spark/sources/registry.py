@@ -1,0 +1,47 @@
+"""Table registry over the parquet fixture directories.
+
+The analogue of the reference's source-side scan configuration
+(``connectors/debezium_configuration.json:22`` table include-list;
+``README.md:156-168`` federated initial load): a single place that maps
+logical table names to physical storage so every operator goes through one
+scan path and Catalyst sees a plain parquet relation it can push filters and
+column pruning into.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at every target scale; fact
+# tables shuffle. Used by operators to hint joins explicitly where AQE's
+# size estimate could be unavailable (e.g. after complex subplans).
+BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table. Plain parquet scan: vectorized reader,
+    predicate pushdown and column pruning apply downstream."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
+    """Register the fixture tables as temp views for spark.sql queries."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
