@@ -1,0 +1,44 @@
+"""Query registry: every implemented operator exposed as a (Spark callable,
+DuckDB oracle SQL) pair for the driver's correctness gate.
+
+Each submodule defines ``QUERIES: dict[str, callable]`` and
+``ORACLE: dict[str, str]``; this package aggregates them. Column names and
+value types are aligned pair-wise (the driver hashes values after sorting
+columns by name), so every computed column is aliased identically on both
+sides, monetary aggregates are summed as DECIMAL then cast to DOUBLE, and
+ratios are rounded identically.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from cdc_postgresql_clickhouse_spark.queries import (
+    cdc,
+    dedup,
+    events,
+    similarity,
+    text,
+    tpch,
+)
+
+_MODULES = (cdc, tpch, events, text, dedup, similarity)
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for m in _MODULES:
+        overlap = set(out) & set(m.QUERIES)
+        if overlap:
+            raise ValueError(f"duplicate query names: {overlap}")
+        out.update(m.QUERIES)
+    return out
+
+
+def all_oracles() -> dict[str, str]:
+    out: dict[str, str] = {}
+    for m in _MODULES:
+        out.update(m.ORACLE)
+    return out

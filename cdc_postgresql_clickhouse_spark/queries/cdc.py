@@ -1,0 +1,167 @@
+"""CDC operator queries over the ``events`` fixture, with DuckDB oracles.
+
+The reference's CDC semantics (survey §2) exercised on driver data by
+treating ``events`` as a change stream: key = ``user_id``, monotone version =
+(``ts``, ``event_id``) — the LSN analogue — and ``event_type='error'`` as the
+tombstone op. Each query maps to reference operators:
+
+- cdc_current_state      → R1/ST5: version arg-max "FINAL" view
+  (ReplacingMergeTree(version), clickhouse_schemas.sql:11-13)
+- cdc_soft_delete_state  → ST4: tombstone filtering (clickhouse_schemas.sql:52)
+- cdc_envelope_transform → P3-P5: before/after switch via lag-derived
+  envelopes (clickhouse_schemas.sql:50-56)
+- cdc_epoch_micros_roundtrip → P6: fromUnixTimestamp64Micro equivalence
+  (clickhouse_schemas.sql:54-55)
+- cdc_count_final        → A1: count() FINAL verification (README.md:321-329)
+- cdc_idempotent_replay  → S10: at-least-once duplicate delivery is a no-op
+  (clickhouse_sink_configuration.json:13)
+
+Scale notes: every query is one hash-shuffle on the key (window or groupBy);
+no Python, no collects; Catalyst prunes unused event columns into the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cdc_postgresql_clickhouse_spark.sources.registry import load_table
+
+
+def _latest(ev: DataFrame) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return ev.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+def cdc_current_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return _latest(ev).select(
+        F.col("user_id"),
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
+_LATEST_SQL = """
+SELECT user_id, event_id, event_type, value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) WHERE rn = 1
+"""
+
+
+def cdc_soft_delete_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        _latest(ev)
+        .filter(F.col("event_type") != "error")
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_event_type"),
+            F.col("value").alias("last_value"),
+        )
+    )
+
+
+def cdc_envelope_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    before_value = F.lag("value").over(w)
+    op = (
+        F.when(before_value.isNull(), F.lit("c"))
+        .when(F.col("event_type") == "error", F.lit("d"))
+        .otherwise(F.lit("u"))
+    )
+    df = ev.select(
+        "user_id",
+        F.col("event_id").alias("version"),
+        op.alias("op"),
+        before_value.alias("__before"),
+        F.col("value").alias("__after"),
+    )
+    return df.select(
+        "user_id",
+        "version",
+        "op",
+        F.when(F.col("op") == "d", F.col("__before")).otherwise(F.col("__after")).alias("img_value"),
+        F.when(F.col("op") == "d", F.lit(1)).otherwise(F.lit(0)).alias("is_deleted"),
+    )
+
+
+def cdc_epoch_micros_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    micros = F.unix_micros("ts")
+    return ev.select(
+        "event_id",
+        micros.alias("ts_us"),
+        F.date_format(F.timestamp_micros(micros), "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+    )
+
+
+def cdc_count_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    live = _latest(ev).filter(F.col("event_type") != "error")
+    return live.agg(F.count(F.lit(1)).alias("n_live"))
+
+
+def cdc_idempotent_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    doubled = ev.unionByName(ev).distinct()  # at-least-once delivery + exact dedup
+    return _latest(doubled).select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+    )
+
+
+QUERIES = {
+    "cdc_current_state": cdc_current_state,
+    "cdc_soft_delete_state": cdc_soft_delete_state,
+    "cdc_envelope_transform": cdc_envelope_transform,
+    "cdc_epoch_micros_roundtrip": cdc_epoch_micros_roundtrip,
+    "cdc_count_final": cdc_count_final,
+    "cdc_idempotent_replay": cdc_idempotent_replay,
+}
+
+ORACLE = {
+    "cdc_current_state": f"""
+SELECT user_id, event_id AS last_event_id, event_type AS last_event_type, value AS last_value
+FROM ({_LATEST_SQL})
+""",
+    "cdc_soft_delete_state": f"""
+SELECT user_id, event_type AS last_event_type, value AS last_value
+FROM ({_LATEST_SQL}) WHERE event_type <> 'error'
+""",
+    "cdc_envelope_transform": """
+WITH env AS (
+  SELECT user_id, event_id AS version,
+         CASE WHEN lag(value) OVER w IS NULL THEN 'c'
+              WHEN event_type = 'error' THEN 'd'
+              ELSE 'u' END AS op,
+         lag(value) OVER w AS before_value,
+         value AS after_value
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+)
+SELECT user_id, version, op,
+       CASE WHEN op = 'd' THEN before_value ELSE after_value END AS img_value,
+       CASE WHEN op = 'd' THEN 1 ELSE 0 END AS is_deleted
+FROM env
+""",
+    "cdc_epoch_micros_roundtrip": """
+SELECT event_id, epoch_us(ts) AS ts_us,
+       strftime(make_timestamp(epoch_us(ts)), '%Y-%m-%d %H:%M:%S') AS ts_str
+FROM events
+""",
+    "cdc_count_final": f"""
+SELECT count(*) AS n_live FROM ({_LATEST_SQL}) WHERE event_type <> 'error'
+""",
+    "cdc_idempotent_replay": """
+WITH doubled AS (SELECT * FROM events UNION ALL SELECT * FROM events),
+deduped AS (SELECT DISTINCT * FROM doubled)
+SELECT user_id, event_id AS last_event_id, event_type AS last_event_type
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM deduped) WHERE rn = 1
+""",
+}

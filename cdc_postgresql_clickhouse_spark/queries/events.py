@@ -1,0 +1,123 @@
+"""Event-stream analytics with DuckDB oracles: time bucketing, sessionization,
+semi-structured JSON — the batch twins of the Structured Streaming surface
+(survey §2.10 ST6; the streaming forms live in ``streaming/``).
+
+Portability: time buckets are computed on floor-epoch seconds (bigint) so
+both engines bucket identically; Spark uses its native ``F.window`` and
+converts the window start back to epoch, the oracle computes the aligned
+bucket arithmetically — same result by construction (tumbling windows are
+epoch-aligned).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cdc_postgresql_clickhouse_spark.sources.registry import load_table
+
+DEC = "decimal(18,2)"
+
+
+def events_tumbling_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 5-minute windows via native F.window (same operator the
+    streaming path uses with a watermark); map-side partial agg, one shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("bucket_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min): lag → new-session flag → running
+    sum as session index → per-session aggregates. Two windows + one groupBy,
+    all shuffled once on user_id (same partitioning reused across stages)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.floor(F.unix_timestamp("ts")).cast("long").alias("es")
+    )
+    w_order = Window.partitionBy("user_id").orderBy("es", "event_id")
+    flagged = ev.withColumn(
+        "new_sess",
+        F.when(
+            F.lag("es").over(w_order).isNull() | ((F.col("es") - F.lag("es").over(w_order)) > 1800),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    run = Window.partitionBy("user_id").orderBy("es", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = flagged.withColumn("session_idx", F.sum("new_sess").over(run))
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("es").alias("session_start_epoch"),
+        (F.max("es") - F.min("es")).alias("duration_s"),
+    )
+
+
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access (the reference's schemaless-JSON hop, S11):
+    JSON path extraction stays JVM-side via get_json_object."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select((k % 10).alias("k_mod"), F.col("value"))
+        .groupBy("k_mod")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.floor(F.sum(F.col("value").cast(DEC)).cast("double") / F.count(F.lit(1)) * 1e6)
+                .cast("double") / F.lit(1000000.0)
+            ).alias("avg_value"),
+        )
+    )
+
+
+QUERIES = {
+    "events_tumbling_5min": events_tumbling_5min,
+    "events_sessionize": events_sessionize,
+    "events_json_extract": events_json_extract,
+}
+
+ORACLE = {
+    "events_tumbling_5min": """
+SELECT CAST(FLOOR(CAST(FLOOR(epoch(ts)) AS BIGINT) / 300) * 300 AS BIGINT) AS bucket_start,
+       event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+    "events_sessionize": """
+WITH base AS (
+  SELECT user_id, event_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS es FROM events
+), flagged AS (
+  SELECT *, CASE WHEN lag(es) OVER w IS NULL OR es - lag(es) OVER w > 1800
+                 THEN 1 ELSE 0 END AS new_sess
+  FROM base WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)
+), sess AS (
+  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY es, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM flagged
+)
+SELECT user_id, session_idx, COUNT(*) AS n_events,
+       MIN(es) AS session_start_epoch, MAX(es) - MIN(es) AS duration_s
+FROM sess GROUP BY user_id, session_idx
+""",
+    "events_json_extract": """
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+       COUNT(*) AS n,
+       CAST(FLOOR((CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)) * 1000000.0) AS DOUBLE) / 1000000.0 AS avg_value
+FROM events
+GROUP BY 1
+""",
+}

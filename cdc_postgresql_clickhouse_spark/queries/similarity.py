@@ -1,0 +1,215 @@
+"""Similarity search over the ``embeddings`` table (64-dim float vectors),
+with DuckDB oracles: brute-force cosine top-k (the exactness baseline) and
+random-hyperplane LSH bucketing (the scale path), plus embedding-cosine
+near-duplicate detection for the dedup suite.
+
+Cross-engine float determinism: embeddings are cast float→double (exact),
+dot products are left-to-right addition chains built identically on both
+sides, and every similarity is ROUND(x, 6) before compare/threshold/rank —
+double noise is ~1e-15, six decimals is far coarser.
+
+LSH hyperplanes: ±1 weights derived from md5 in *Python at module load* and
+baked as literals into both the Spark expression tree and the generated
+oracle SQL — no joins, no per-row hashing, and the plans stay pure projection.
+
+Scale notes: brute-force is O(queries × corpus) — the query set is a fixed
+predicate (vec_id % 100 == 0) so cost grows linearly, not quadratically, with
+the corpus; the LSH variant buckets first so pair generation is bounded by
+bucket occupancy. Both are shuffle-light: one broadcast of the query side,
+one groupBy per ranking.
+"""
+
+from __future__ import annotations
+
+import functools
+import hashlib
+import operator
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cdc_postgresql_clickhouse_spark.sources.registry import load_table
+
+DIM = 64
+N_PLANES = 8
+NEARDUP_IDS = 200
+DERIVED_OFFSET = 1_000_000
+
+
+def _plane_weights() -> list[list[int]]:
+    """Deterministic ±1 hyperplane weights from md5 (public knowledge:
+    random-hyperplane LSH, Charikar 2002)."""
+    ws = []
+    for p in range(N_PLANES):
+        row = []
+        for d in range(DIM):
+            nib = int(hashlib.md5(f"p_{p}_{d}".encode()).hexdigest()[0], 16)
+            row.append(1 if nib >= 8 else -1)
+        ws.append(row)
+    return ws
+
+
+PLANES = _plane_weights()
+
+
+def _emb_d(col: str = "embedding") -> Column:
+    return F.col(col).cast("array<double>")
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential fold — same order as the SQL '+' chain."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _cos(a: Column, b: Column) -> Column:
+    # FLOOR-truncate at 6 decimals: bit-identical across engines on identical
+    # doubles, unlike ROUND (engines disagree on exact boundary digits).
+    raw = _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+    return F.floor(raw * F.lit(1000000.0)).cast("double") / F.lit(1000000.0)
+
+
+# --- SQL twins -------------------------------------------------------------
+
+_SQL_EMB = "CAST(embedding AS DOUBLE[])"
+
+
+def _sql_dot(a: str, b: str) -> str:
+    return "(" + " + ".join(f"{a}[{i}] * {b}[{i}]" for i in range(1, DIM + 1)) + ")"
+
+
+def _sql_cos(a: str, b: str) -> str:
+    raw = f"{_sql_dot(a, b)} / (sqrt({_sql_dot(a, a)}) * sqrt({_sql_dot(b, b)}))"
+    return f"(CAST(FLOOR(({raw}) * 1000000.0) AS DOUBLE) / 1000000.0)"
+
+
+def _sql_proj(p: int, vec: str) -> str:
+    return "(" + " + ".join(f"({w}.0 * {vec}[{i + 1}])" for i, w in enumerate(PLANES[p])) + ")"
+
+
+def _sql_bucket(vec: str) -> str:
+    return (
+        "("
+        + " + ".join(f"(CASE WHEN {_sql_proj(p, vec)} > 0 THEN {1 << p} ELSE 0 END)" for p in range(N_PLANES))
+        + ")"
+    )
+
+
+def _spark_proj(p: int, vec: Column) -> Column:
+    terms = [F.lit(float(w)) * F.element_at(vec, i + 1) for i, w in enumerate(PLANES[p])]
+    return functools.reduce(operator.add, terms)
+
+
+def _spark_bucket(vec: Column) -> Column:
+    bits = [
+        F.when(_spark_proj(p, vec) > 0, F.lit(1 << p)).otherwise(F.lit(0)) for p in range(N_PLANES)
+    ]
+    return functools.reduce(operator.add, bits).cast("long")
+
+
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for every 100th vector: broadcast the query side,
+    scan the corpus once, per-query heap via ranked window."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", _emb_d().alias("e"))
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("e").alias("qe")
+    )
+    pairs = F.broadcast(q).join(emb, F.col("q_id") != F.col("vec_id"))
+    scored = pairs.select(
+        "q_id", F.col("vec_id").alias("neighbor_id"), _cos(F.col("qe"), F.col("e")).alias("cos_sim")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("q_id", "neighbor_id", "cos_sim", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH: 8-bit bucket per vector, then exact cosine only
+    within buckets — the O(n²)-avoiding scale path."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", _emb_d().alias("e"))
+    from pyspark import StorageLevel
+
+    bucketed = emb.select("vec_id", "e", _spark_bucket(F.col("e")).alias("bucket")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )  # self-joined: compute the 512-term projection once per vector
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.bucket").alias("bucket"),
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            _cos(F.col("a.e"), F.col("b.e")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.2)
+    )
+
+
+def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup detection: base vectors (vec_id < 200) plus derived
+    affine-perturbed copies; pairs with cosine ≥ 0.8. All-pairs on the
+    bounded sub-corpus (the verify stage; LSH is the candidate stage)."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", _emb_d().alias("e"))
+    base = emb.filter(F.col("vec_id") < NEARDUP_IDS)
+    derived = base.select(
+        (F.col("vec_id") + DERIVED_OFFSET).alias("vec_id"),
+        F.transform(F.col("e"), lambda x: x * 0.9 + 0.01).alias("e"),
+    )
+    from pyspark import StorageLevel
+
+    corpus = base.unionByName(derived).persist(StorageLevel.MEMORY_AND_DISK)
+    a, b = corpus.alias("a"), corpus.alias("b")
+    return (
+        a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            _cos(F.col("a.e"), F.col("b.e")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.8)
+    )
+
+
+QUERIES = {
+    "ann_bruteforce_topk": ann_bruteforce_topk,
+    "ann_lsh_buckets": ann_lsh_buckets,
+    "embedding_cosine_neardup": embedding_cosine_neardup,
+}
+
+ORACLE = {
+    "ann_bruteforce_topk": f"""
+WITH emb AS (SELECT vec_id, {_SQL_EMB} AS e FROM embeddings),
+q AS (SELECT vec_id AS q_id, e AS qe FROM emb WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT q_id, vec_id AS neighbor_id, {_sql_cos('qe', 'e')} AS cos_sim
+  FROM q JOIN emb ON q_id <> vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT q_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
+""",
+    "ann_lsh_buckets": f"""
+WITH emb AS (SELECT vec_id, {_SQL_EMB} AS e FROM embeddings),
+bucketed AS (SELECT vec_id, e, CAST({_sql_bucket('e')} AS BIGINT) AS bucket FROM emb)
+SELECT a.bucket AS bucket, a.vec_id AS vec_a, b.vec_id AS vec_b,
+       {_sql_cos('a.e', 'b.e')} AS cos_sim
+FROM bucketed a
+JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {_sql_cos('a.e', 'b.e')} >= 0.2
+""",
+    "embedding_cosine_neardup": f"""
+WITH base AS (SELECT vec_id, {_SQL_EMB} AS e FROM embeddings WHERE vec_id < {NEARDUP_IDS}),
+derived AS (SELECT vec_id + {DERIVED_OFFSET} AS vec_id,
+                   list_transform(e, x -> x * 0.9 + 0.01) AS e FROM base),
+corpus AS (SELECT * FROM base UNION ALL SELECT * FROM derived)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_sql_cos('a.e', 'b.e')} AS cos_sim
+FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+WHERE {_sql_cos('a.e', 'b.e')} >= 0.8
+""",
+}

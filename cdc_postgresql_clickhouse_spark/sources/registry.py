@@ -35,10 +35,22 @@ BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table. Plain parquet scan: vectorized reader,
-    predicate pushdown and column pruning apply downstream."""
+    predicate pushdown and column pruning apply downstream.
+
+    ``events.ts`` is physically TIMESTAMP(NANOS), which Spark's parquet
+    reader rejects; read it as raw nanos (legacy conf) and rebuild a
+    microsecond timestamp (lossless here — fixtures carry no sub-µs
+    component, and DuckDB's epoch_us truncates identically)."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(path)
 
 
 def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
