@@ -46,6 +46,14 @@ def get_spark(
     builder = SparkSession.builder.appName(app_name)
     if master:
         builder = builder.master(master)
+    # executor Python workers must resolve this package even when the driver
+    # process was launched from elsewhere (Pandas-UDF closures are otherwise
+    # self-contained, but keep the path for user-defined extensions)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    builder = builder.config(
+        "spark.executorEnv.PYTHONPATH", f"{repo_root}:{existing}" if existing else repo_root
+    )
     confs = dict(DEFAULT_CONFS)
     cores = os.cpu_count() or 8
     confs["spark.sql.shuffle.partitions"] = str(shuffle_partitions or max(cores, 8))

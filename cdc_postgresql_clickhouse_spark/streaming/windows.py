@@ -1,0 +1,104 @@
+"""Streaming window operators (survey §2.10 ST6 — available beyond the
+reference's surface) and a custom stateful CDC operator on the state-store
+API.
+
+The reference needs **no** watermarks (version-based last-writer-wins is
+strictly stronger, ST2); these operators exist for the extension surface
+where event-time semantics *are* wanted:
+
+- tumbling window counts with watermark (late data dropped after the bound);
+- native session windows (gap-based, the streaming twin of
+  ``queries.events.events_sessionize``);
+- ``applyInPandasWithState`` keyed max-version dedup — the state-store
+  alternative to the table-merge design in ``streaming.pipeline`` (kept as a
+  demonstration; the table-merge is the recommended 100 TB posture because
+  state lives in storage, not executor memory — ST3).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+
+def tumbling_counts(events: DataFrame, window: str = "5 minutes", watermark: str = "10 minutes") -> DataFrame:
+    """Watermarked tumbling-window counts; append-mode capable."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes", watermark: str = "60 minutes") -> DataFrame:
+    """Native gap-based session windows (F.session_window)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+STATE_SCHEMA = StructType([StructField("max_version", LongType())])
+DEDUP_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("version", LongType()),
+        StructField("event_type", StringType()),
+    ]
+)
+
+
+def stateful_max_version_dedup(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-key last-writer-wins on the state store.
+
+    Emits only events that advance the key's max version — the streaming
+    form of the ReplacingMergeTree contest (reference
+    ``clickhouse_schemas.sql:11-13``). Unbounded key cardinality would grow
+    executor state; prefer the table-merge pipeline at scale (ST3).
+    """
+
+    out_cols = [f.name for f in DEDUP_OUT_SCHEMA.fields]
+
+    # self-contained closure: executor workers may not have this repo on
+    # sys.path (cloudpickle would otherwise reference this module by name)
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        max_v = state.get[0] if state.exists else -1
+        out_rows: list[dict[str, Any]] = []
+        for pdf in pdfs:
+            for _, row in pdf.sort_values("event_id").iterrows():
+                if row["event_id"] > max_v:
+                    max_v = int(row["event_id"])
+                    out_rows.append(
+                        {
+                            "user_id": int(row["user_id"]),
+                            "version": max_v,
+                            "event_type": row["event_type"],
+                        }
+                    )
+        state.update((max_v,))
+        yield pd.DataFrame(out_rows, columns=out_cols)
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=DEDUP_OUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,61 @@
+"""Physical-plan assertions: the scale contract. A correct-but-badly-planned
+operator fails here even if its rows match the oracle."""
+
+from __future__ import annotations
+
+from cdc_postgresql_clickhouse_spark.plans.inspect import (
+    broadcast_join_count,
+    formatted_plan,
+    pushed_filters,
+    read_schemas,
+    shuffle_count,
+)
+from cdc_postgresql_clickhouse_spark.queries import all_queries
+
+Q = all_queries()
+
+
+def test_q1_filter_pushdown_and_pruning(spark, sf_dir):
+    df = Q["q1_pricing_summary"](spark, sf_dir)
+    pf = pushed_filters(df)
+    assert any("l_shipdate" in f for f in pf), f"shipdate filter not pushed: {pf}"
+    rs = read_schemas(df)
+    # only the 7 needed columns, not all 11
+    assert rs and all("l_orderkey" not in s and "l_partkey" not in s for s in rs), rs
+
+
+def test_q5_broadcasts_dimensions(spark, sf_dir):
+    df = Q["q5_region_revenue"](spark, sf_dir)
+    assert broadcast_join_count(df) >= 4  # cust, supp, nation, region
+
+
+def test_q3_pushes_dim_filters(spark, sf_dir):
+    df = Q["q3_shipping_priority"](spark, sf_dir)
+    pf = " | ".join(pushed_filters(df))
+    assert "c_mktsegment" in pf and "o_orderdate" in pf and "l_shipdate" in pf
+
+
+def test_current_state_single_shuffle(spark, sf_dir):
+    """R1 dedup view: exactly one hash shuffle (by key) before the window."""
+    df = Q["cdc_current_state"](spark, sf_dir)
+    assert shuffle_count(df) == 1, formatted_plan(df)
+
+
+def test_topk_no_global_sort(spark, sf_dir):
+    """Top-k must be TakeOrderedAndProject, not a full sort + limit."""
+    plan = formatted_plan(Q["topk_orders"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_text_queries_prune_payload(spark, sf_dir):
+    """Metadata-only text query must not read the text column at all."""
+    df = Q["text_stats_by_source"](spark, sf_dir)
+    rs = read_schemas(df)
+    assert rs and all("text" not in s for s in rs), rs
+
+
+def test_sessionize_reuses_partitioning(spark, sf_dir):
+    """lag + running-sum + groupBy all share the user_id partitioning:
+    one shuffle total."""
+    df = Q["events_sessionize"](spark, sf_dir)
+    assert shuffle_count(df) <= 2, formatted_plan(df)
