@@ -27,7 +27,7 @@ Scale design (the part that matters at 100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cdc_postgresql_clickhouse_spark.functions.text import tokens, word_shingles
@@ -65,17 +65,6 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.unionByName(derived)
 
 
-def _doc_shingles(corpus: DataFrame) -> DataFrame:
-    """Distinct word-3-gram shingles per document (set semantics for Jaccard).
-
-    The token array is materialized as its own projection first: referencing
-    ``tokens(text)`` directly inside the shingle lambda makes Catalyst
-    re-evaluate the regex-split subtree per element_at (no CSE across
-    lambdas) — measured 25s → <2s on sf0.1 for this one change."""
-    toks = corpus.select("doc_id", tokens(F.col("text")).alias("toks"))
-    return toks.select("doc_id", F.explode(word_shingles(F.col("toks"), 3)).alias("shingle")).distinct()
-
-
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: hash-groupBy on content md5 — one shuffle on the hash,
     the canonical survivor is min(doc_id)."""
@@ -86,41 +75,65 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full MinHash → banded LSH → Jaccard-verify pipeline.
+    """Full MinHash → banded LSH → Jaccard-verify pipeline, shuffle-free up
+    to the candidate join.
 
     Signature h_i(doc) = min over shingles of md5(i || '|' || shingle) —
     lexicographic min of md5 hex is a valid min-wise permutation and is
     engine-portable with zero integer decoding. Bands of 3 rows hash to
     md5(concatenated minima); candidate pairs share any (band, band_hash);
     candidates are then verified with exact shingle-set Jaccard ≥ 0.5.
-    """
-    # The shingle set feeds four plan branches (signatures, counts, and both
-    # sides of the intersection join); persist it so the tokenize+explode
-    # subtree runs once. MEMORY_AND_DISK: at cluster scale this spills
-    # instead of recomputing a 100 TB scan per branch.
+
+    Scale shape: signatures are ``array_min(transform(shingle_array, md5))``
+    — pure per-row projection inside codegen, NO explode and NO
+    (doc × seed)-row shuffle (the earlier explode-based formulation shuffled
+    |shingles|×12 rows: 14.5s → ~2s at sf0.1 for this change). The only
+    shuffles left are the (band, band_hash) bucket self-join, whose fan-out
+    is bounded by bucket occupancy, and the verify join on doc_id, whose
+    input is only candidate pairs. Jaccard is ``array_intersect`` on the
+    per-doc shingle sets — candidates are few, so the array payload joined
+    is small; at 100 TB the same plan holds because every stage is keyed.
+
+    Two Catalyst traps shape this code:
+    - the empty-shingle filter must sit ABOVE the persist boundary:
+      PushPredicateThroughNonJoin substitutes aliases, so a pre-persist
+      ``filter(size(shs) > 0)`` is rewritten into the scan as a Filter that
+      re-runs the whole tokenize+shingle tree per input row, serially on the
+      raw file splits (196s vs 2s at sf0.1).
+    - the explicit repartition spreads the md5/shingle work across all cores
+      regardless of input file split count (documents.parquet is 1-2 splits
+      locally); at real scale the source already has enough splits and the
+      repartition can be dropped."""
     from pyspark import StorageLevel
 
-    sh = _doc_shingles(_corpus(spark, sf_dir)).persist(StorageLevel.MEMORY_AND_DISK)
-    sig = (
-        sh.withColumn("seed", F.explode(F.sequence(F.lit(0), F.lit(N_HASHES - 1))))
-        .groupBy("doc_id", "seed")
-        .agg(F.min(F.md5(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("shingle")))).alias("mh"))
-    )
+    corpus = _corpus(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
+    toks = corpus.select("doc_id", tokens(F.col("text")).alias("toks"))
+    shs_all = toks.select(
+        "doc_id", F.array_distinct(word_shingles(F.col("toks"), 3)).alias("shs")
+    ).persist(StorageLevel.MEMORY_AND_DISK)  # feeds signatures + both verify sides
+    # docs with <3 tokens have no shingles: excluded (cannot be candidates).
+    # Evaluated against the cached relation — never pushed into the scan.
+    shs = shs_all.filter(F.size("shs") > 0)
+
+    def _minhash(seed: int) -> Column:
+        # NB: the transform lambda must take exactly one parameter — a second
+        # one would be bound to the array index by PySpark, shadowing `seed`.
+        return F.array_min(
+            F.transform(F.col("shs"), lambda s: F.md5(F.concat(F.lit(f"{seed}|"), s)))
+        ).alias(f"mh{seed}")
+
+    sig = shs.select("doc_id", *[_minhash(i) for i in range(N_HASHES)])
+    band_cols = [
+        F.md5(
+            F.concat_ws(",", *[F.col(f"mh{b * BAND_ROWS + r}") for r in range(BAND_ROWS)])
+        ).alias(f"bh{b}")
+        for b in range(N_HASHES // BAND_ROWS)
+    ]
     bands = (
-        sig.withColumn("band", F.floor(F.col("seed") / BAND_ROWS))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("seed", "mh"))), lambda x: x["mh"]
-                    ),
-                    ",",
-                )
-            ).alias("bh")
-        )
+        sig.select("doc_id", F.array(*band_cols).alias("bhs"))
+        .select("doc_id", F.posexplode("bhs").alias("band", "bh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)  # tiny (4 rows/doc); self-joined below
     )
-    bands = bands.persist(StorageLevel.MEMORY_AND_DISK)  # self-joined below
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")))
@@ -128,26 +141,25 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    inter = (
-        cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(
-            sh.alias("sb"),
-            (F.col("doc_b") == F.col("sb.doc_id")) & (F.col("sa.shingle") == F.col("sb.shingle")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    out = (
-        inter.join(counts.alias("ca"), F.col("doc_a") == F.col("ca.doc_id"))
-        .join(counts.alias("cb"), F.col("doc_b") == F.col("cb.doc_id"))
+    pairs = (
+        cand.join(shs.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a")), "doc_a")
+        .join(shs.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b")), "doc_b")
         .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("shs_a", "shs_b")).alias("n_inter"),
+            F.size("shs_a").alias("n_a"),
+            F.size("shs_b").alias("n_b"),
+        )
+    )
+    return (
+        pairs.select(
             "doc_a",
             "doc_b",
             (
                 F.floor(
                     F.col("n_inter").cast("double")
-                    / (F.col("ca.n_sh") + F.col("cb.n_sh") - F.col("n_inter"))
+                    / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
                     * 1e6
                 ).cast("double")
                 / F.lit(1000000.0)
@@ -155,7 +167,6 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= 0.5)
     )
-    return out
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
