@@ -30,8 +30,21 @@ from cdc_postgresql_clickhouse_spark.sources.registry import load_table
 
 
 def _latest(ev: DataFrame) -> DataFrame:
-    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
-    return ev.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+    """Per-key latest row as a hash aggregation (SURVEY §2.4 A2): max_by on
+    the (ts, event_id) version struct. Unlike the row_number window (full-row
+    shuffle + per-partition sort), this combines map-side, so shuffle volume
+    is one row per (key × map partition) — the shape that survives 1000
+    executors × 100 TB. (ts, event_id) is unique per key, so the arg-max is
+    deterministic and matches the ORDER BY ts DESC, event_id DESC oracle."""
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("event_id", "event_type", "value"), F.struct("ts", "event_id")
+            ).alias("__r")
+        )
+        .select("user_id", "__r.*")
+    )
 
 
 def cdc_current_state(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -116,10 +116,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     shs = shs_all.filter(F.size("shs") > 0)
 
     def _minhash(seed: int) -> Column:
-        # NB: the transform lambda must take exactly one parameter — a second
-        # one would be bound to the array index by PySpark, shadowing `seed`.
-        return F.array_min(
-            F.transform(F.col("shs"), lambda s: F.md5(F.concat(F.lit(f"{seed}|"), s)))
+        # One F.expr per signature: building the same tree from nested Python
+        # Column calls costs a Py4J round-trip per node (~3s of driver-side
+        # plan construction for the 12 signatures); a SQL string is one call.
+        return F.expr(
+            f"array_min(transform(shs, s -> md5(concat('{seed}|', s))))"
         ).alias(f"mh{seed}")
 
     sig = shs.select("doc_id", *[_minhash(i) for i in range(N_HASHES)])
@@ -218,14 +219,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-4-gram Jaccard ≥ 0.5 on a bounded sub-corpus (doc_id < 300
     plus derived near-dups): the exact-verify stage; at full scale candidates
     come from LSH, keeping this an equi-join, not a cross product."""
+    from pyspark import StorageLevel
+
     corpus = _corpus(spark, sf_dir).filter(
         (F.col("doc_id") < 300) | (F.col("doc_id") >= DERIVED_OFFSET)
     )
-    # materialize the normalized string before the n-gram lambda (see
-    # _doc_shingles: avoids per-gram re-evaluation of the regex subtree)
+    # The normalized string must be MATERIALIZED (persist barrier) before the
+    # n-gram generator: the explode's transform references `s` per element, and
+    # with `s` still an alias the regex-normalize subtree is re-evaluated for
+    # every one of the ~2.5k n-grams of every doc (2.3s → 0.2s at sf0.1).
     normed = corpus.select(
         "doc_id", F.trim(F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " ")).alias("s")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     grams = normed.select(
         "doc_id",
         F.explode(

@@ -21,9 +21,7 @@ one groupBy per ranking.
 
 from __future__ import annotations
 
-import functools
 import hashlib
-import operator
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -69,6 +67,20 @@ def _cos(a: Column, b: Column) -> Column:
     return F.floor(raw * F.lit(1000000.0)).cast("double") / F.lit(1000000.0)
 
 
+def _cos_prenorm(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """Cosine from precomputed L2 norms. Per-PAIR work drops from three
+    64-dim dot products to one — the norms are map-side, once per vector,
+    before the pair join multiplies rows. na*nb is the same float product as
+    sqrt(dot(a,a))*sqrt(dot(b,b)), so results are bit-identical to _cos and
+    the oracle SQL (which still spells out all three dots) stays valid."""
+    raw = _dot(a, b) / (na * nb)
+    return F.floor(raw * F.lit(1000000.0)).cast("double") / F.lit(1000000.0)
+
+
+def _norm(e: Column) -> Column:
+    return F.sqrt(_dot(e, e))
+
+
 # --- SQL twins -------------------------------------------------------------
 
 _SQL_EMB = "CAST(embedding AS DOUBLE[])"
@@ -95,28 +107,36 @@ def _sql_bucket(vec: str) -> str:
     )
 
 
-def _spark_proj(p: int, vec: Column) -> Column:
-    terms = [F.lit(float(w)) * F.element_at(vec, i + 1) for i, w in enumerate(PLANES[p])]
-    return functools.reduce(operator.add, terms)
+def _spark_proj_sql(p: int, vec: str) -> str:
+    # flat sum, same association order as the DuckDB twin in _sql_proj
+    return "(" + " + ".join(f"({w}.0D * element_at({vec}, {i + 1}))" for i, w in enumerate(PLANES[p])) + ")"
 
 
-def _spark_bucket(vec: Column) -> Column:
-    bits = [
-        F.when(_spark_proj(p, vec) > 0, F.lit(1 << p)).otherwise(F.lit(0)) for p in range(N_PLANES)
-    ]
-    return functools.reduce(operator.add, bits).cast("long")
+def _spark_bucket(vec_name: str) -> Column:
+    """8-plane sign bucket as ONE parsed SQL expression. The equivalent
+    nested-Column construction is ~4k Py4J calls (512 terms × 8 planes) and
+    dominated wall-clock for this query's driver-side plan build."""
+    bits = " + ".join(
+        f"(CASE WHEN {_spark_proj_sql(p, vec_name)} > 0.0D THEN {1 << p} ELSE 0 END)"
+        for p in range(N_PLANES)
+    )
+    return F.expr(f"CAST(({bits}) AS BIGINT)")
 
 
 def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 for every 100th vector: broadcast the query side,
     scan the corpus once, per-query heap via ranked window."""
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", _emb_d().alias("e"))
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _emb_d().alias("e"), _norm(_emb_d()).alias("nrm")
+    )
     q = emb.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("q_id"), F.col("e").alias("qe")
+        F.col("vec_id").alias("q_id"), F.col("e").alias("qe"), F.col("nrm").alias("qn")
     )
     pairs = F.broadcast(q).join(emb, F.col("q_id") != F.col("vec_id"))
     scored = pairs.select(
-        "q_id", F.col("vec_id").alias("neighbor_id"), _cos(F.col("qe"), F.col("e")).alias("cos_sim")
+        "q_id",
+        F.col("vec_id").alias("neighbor_id"),
+        _cos_prenorm(F.col("qe"), F.col("e"), F.col("qn"), F.col("nrm")).alias("cos_sim"),
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.col("neighbor_id"))
     return (
@@ -132,9 +152,11 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", _emb_d().alias("e"))
     from pyspark import StorageLevel
 
-    bucketed = emb.select("vec_id", "e", _spark_bucket(F.col("e")).alias("bucket")).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )  # self-joined: compute the 512-term projection once per vector
+    bucketed = emb.select(
+        "vec_id", "e", _spark_bucket("e").alias("bucket"), _norm(F.col("e")).alias("nrm")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # persisted: the 512-term bucket projection and the norm are computed once
+    # per vector, not once per self-join side / per pair
     a, b = bucketed.alias("a"), bucketed.alias("b")
     return (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")))
@@ -142,7 +164,7 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.bucket").alias("bucket"),
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            _cos(F.col("a.e"), F.col("b.e")).alias("cos_sim"),
+            _cos_prenorm(F.col("a.e"), F.col("b.e"), F.col("a.nrm"), F.col("b.nrm")).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= 0.2)
     )
@@ -160,14 +182,18 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark import StorageLevel
 
-    corpus = base.unionByName(derived).persist(StorageLevel.MEMORY_AND_DISK)
+    corpus = (
+        base.unionByName(derived)
+        .withColumn("nrm", _norm(F.col("e")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     a, b = corpus.alias("a"), corpus.alias("b")
     return (
         a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            _cos(F.col("a.e"), F.col("b.e")).alias("cos_sim"),
+            _cos_prenorm(F.col("a.e"), F.col("b.e"), F.col("a.nrm"), F.col("b.nrm")).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= 0.8)
     )

@@ -57,6 +57,11 @@ def get_spark(
     confs = dict(DEFAULT_CONFS)
     cores = os.cpu_count() or 8
     confs["spark.sql.shuffle.partitions"] = str(shuffle_partitions or max(cores, 8))
+    if master and master.startswith("local"):
+        # local mode = driver does all the work; the 1g default heap makes
+        # persisted relations evict and shuffles GC-thrash. On a real cluster
+        # executor memory comes from the submit config instead.
+        confs.setdefault("spark.driver.memory", "24g")
     if extra_confs:
         confs.update(extra_confs)
     for k, v in confs.items():
