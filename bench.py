@@ -28,6 +28,11 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
+    "q6_forecast_revenue",
+    "q10_returned_revenue",
+    "q13_order_count_distribution",
+    "q18_large_orders",
+    "percentile_prices_by_status",
     "topk_orders",
     "window_running_total",
     "events_sessionize",

@@ -22,9 +22,10 @@ from cdc_postgresql_clickhouse_spark.queries import (
     similarity,
     text,
     tpch,
+    tpch_ext,
 )
 
-_MODULES = (cdc, tpch, events, text, dedup, similarity)
+_MODULES = (cdc, tpch, tpch_ext, events, text, dedup, similarity)
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

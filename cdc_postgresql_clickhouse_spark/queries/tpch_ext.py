@@ -1,0 +1,518 @@
+"""Extended analytical operator coverage with DuckDB oracles: the remaining
+TPC-H query *shapes* (semi/anti joins, correlated aggregates, HAVING,
+disjunctive multi-table predicates, conditional aggregation, argmax-over-agg,
+distribution-of-counts) plus operator families the base set doesn't touch
+(CUBE, PIVOT, exact interpolated percentiles, calendar rollup, FULL OUTER).
+
+Fixture schemas are reduced TPC-H (no partsupp/commitdate/shipmode/phone), so
+each query keeps the canonical plan shape with predicates adapted to the
+columns that exist; docstrings name the TPC-H number they mirror.
+
+Cross-engine determinism follows queries/tpch.py: money and quantities as
+exact integer cents (``round(x*100)::bigint``), correlated comparisons as
+pure integer inequalities, averages/ratios floor-truncated at 6 decimals,
+percentiles computed over integer cents so the (n-1)*p linear interpolation
+(quarter fractions of int64) is exact in both engines.
+
+Scale posture: dimension sides broadcast explicitly where genuinely small
+(part/supplier/customer filters), fact-fact joins shuffle on their keys with
+AQE skew handling, every aggregation is partial map-side, and no query
+collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_postgresql_clickhouse_spark.queries.tpch import _cents, _dsum, _rev_micros, _trunc6
+from cdc_postgresql_clickhouse_spark.sources.registry import load_table
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure scan-filter-aggregate, zero joins — the predicate
+    pushdown benchmark. Discount compared in integer percent so the double
+    boundary (0.05/0.07) can't flip across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_pct = F.round(F.col("l_discount") * 100).cast("long")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & disc_pct.between(5, 7)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            (F.sum(_cents(F.col("l_extendedprice")) * disc_pct).cast("double") / F.lit(10000.0)).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS → left-semi join. The orders date filter prunes
+    the probe side before the shuffle; returned-flag stands in for the
+    missing commitdate predicate."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    returned = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        orders.join(returned, orders.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: customers ranked by revenue lost to returns.
+    customer/nation broadcast; the lineitem-orders join shuffles on orderkey;
+    exact-integer revenue ranks deterministically with a custkey tie-break."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    agg = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(_rev_micros()).alias("__rev"))
+    )
+    return (
+        agg.orderBy(F.desc("__rev"), F.col("c_custkey"))
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            (F.col("__rev").cast("double") / F.lit(10000.0)).alias("revenue"),
+            "c_acctbal",
+            "n_name",
+        )
+    )
+
+
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: distribution of orders-per-customer including zero — the
+    LEFT OUTER + double-aggregation shape. First groupBy is on the join key
+    (no extra shuffle after the join), second input is one row per customer."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: conditional aggregation over a broadcast join — promo share
+    of one month's revenue. Integer-unit numerator/denominator; the final
+    ratio is the only float op, floor-truncated."""
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    rev = _rev_micros()
+    joined = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    return joined.agg(
+        _trunc6(
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0))).cast(
+                "double"
+            )
+            / F.sum(rev).cast("double")
+        ).alias("promo_share_pct")
+    )
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: argmax over an aggregate — supplier(s) with max quarterly
+    revenue. The revenue aggregate is computed once and self-compared against
+    its broadcast global max (exact integers, so 'equals max' is exact)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev = li.groupBy("l_suppkey").agg(F.sum(_rev_micros()).alias("__rev"))
+    top = rev.join(F.broadcast(rev.agg(F.max("__rev").alias("__max"))), F.col("__rev") == F.col("__max"))
+    return top.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey")).select(
+        "s_suppkey",
+        "s_name",
+        (F.col("__rev").cast("double") / F.lit(10000.0)).alias("total_revenue"),
+    )
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated per-part average — lineitems below 20% of
+    their part's mean quantity. The correlated subquery becomes one grouped
+    aggregate joined back on the key; the 0.2×avg comparison is the integer
+    inequality 5·qty·n < Σqty (no float division anywhere)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        _cents(F.col("l_quantity")).alias("qc"),
+        _cents(F.col("l_extendedprice")).alias("pc"),
+    )
+    stats = li.groupBy("l_partkey").agg(
+        F.sum("qc").alias("sum_qc"), F.count(F.lit(1)).alias("n_li")
+    )
+    parts = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 10))
+        .select("p_partkey")
+    )
+    small = (
+        li.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(stats, "l_partkey")
+        .filter(F.col("qc") * 5 * F.col("n_li") < F.col("sum_qc"))
+    )
+    return small.agg(
+        _trunc6(F.sum("pc").cast("double") / F.lit(700.0)).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_small"),
+    )
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: HAVING over a fact aggregate, then joins back to
+    orders/customer. The heavy groupBy runs FIRST so only qualifying
+    orderkeys (few) reach the joins — the aggregate-then-join ordering that
+    matters at scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_cents(F.col("l_quantity"))).alias("sum_qc"))
+        .filter(F.col("sum_qc") > 200 * 100)
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    j = big.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).join(
+        F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+    )
+    return (
+        j.orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
+        .limit(100)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_totalprice",
+            (F.col("sum_qc").cast("double") / F.lit(100.0)).alias("total_qty"),
+        )
+    )
+
+
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: three OR'd brand/size/quantity bands over the part join —
+    the disjunctive-predicate shape Catalyst must keep join-pushable (the
+    shared ``l_partkey = p_partkey`` stays an equi-join; the OR residual is a
+    post-join filter)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30) & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50) & q.between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(
+            (F.sum(_rev_micros()).cast("double") / F.lit(10000.0)).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no RECENT
+    orders (none since 2000-01-01), summarized per nation. Global threshold
+    via an exact integer cross-check (bal·n > Σbal over positive balances),
+    lapsed-customer detection via left-anti against the date-pruned orders."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    bal_c = _cents(F.col("c_acctbal"))
+    thresh = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(F.sum(bal_c).alias("sum_c"), F.count(F.lit(1)).alias("n_pos"))
+    )
+    rich = cust.join(F.broadcast(thresh), bal_c * F.col("n_pos") > F.col("sum_c"))
+    idle = rich.join(orders, rich.c_custkey == orders.o_custkey, "left_anti")
+    return idle.groupBy(F.col("c_nationkey").cast("long").alias("c_nationkey")).agg(
+        F.count(F.lit(1)).alias("numcust"),
+        _dsum(F.col("c_acctbal")).alias("totacctbal"),
+    )
+
+
+def cube_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation: all 4 grouping combinations of (returnflag,
+    linestatus) in one pass — partial aggregation handles the fan-out
+    map-side, one shuffle total."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_items"), _dsum(F.col("l_quantity")).alias("sum_qty"))
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            "n_items",
+            "sum_qty",
+        )
+    )
+
+
+def pivot_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts per priority, one column per order status. The
+    value list is explicit ('O','F','P') so the plan is a single groupBy —
+    no distinct-scan to discover pivot values (which would be a second pass
+    at 100 TB)."""
+    orders = load_table(spark, sf_dir, "orders")
+    pv = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return pv.select(
+        "o_orderpriority",
+        F.coalesce(F.col("O"), F.lit(0)).alias("n_open"),
+        F.coalesce(F.col("F"), F.lit(0)).alias("n_filled"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("n_pending"),
+    )
+
+
+def percentile_prices_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (p25/p50/p75) of order value per
+    status. Computed over integer CENTS so the (n-1)·p quarter-fraction
+    interpolation is exact int64 arithmetic in both engines — bit-identical
+    without truncation."""
+    orders = load_table(spark, sf_dir, "orders")
+    pc = _cents(F.col("o_totalprice"))
+    g = orders.select("o_orderstatus", pc.alias("pc")).groupBy("o_orderstatus")
+    agg = g.agg(F.expr("percentile(pc, array(0.25D, 0.5D, 0.75D))").alias("ps"))
+    return agg.select(
+        "o_orderstatus",
+        (F.element_at("ps", 1) / F.lit(100.0)).alias("p25"),
+        (F.element_at("ps", 2) / F.lit(100.0)).alias("p50"),
+        (F.element_at("ps", 3) / F.lit(100.0)).alias("p75"),
+    )
+
+
+def monthly_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar rollup: revenue and order count by (year, month) — the
+    date-dimension groupBy every warehouse runs; year/month extraction is
+    codegen'd scan-side."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            F.month("o_orderdate").cast("long").alias("o_month"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dsum(F.col("o_totalprice")).alias("revenue"),
+        )
+    )
+
+
+def full_outer_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two aggregated keyspaces (event users vs ordering
+    customers): both sides pre-aggregate to one row per key before the join,
+    so the full-outer shuffle moves counters, not raw rows."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    oc = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    j = ev.join(oc, ev.user_id == oc.o_custkey, "full_outer")
+    return j.select(
+        F.coalesce(F.col("user_id"), F.col("o_custkey")).alias("key_id"),
+        F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+        F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+    )
+
+
+QUERIES = {
+    "q4_order_priority": q4_order_priority,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q10_returned_revenue": q10_returned_revenue,
+    "q13_order_count_distribution": q13_order_count_distribution,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q15_top_supplier": q15_top_supplier,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q18_large_orders": q18_large_orders,
+    "q19_disjunctive_predicates": q19_disjunctive_predicates,
+    "q22_idle_customers": q22_idle_customers,
+    "cube_returnflag_status": cube_returnflag_status,
+    "pivot_priority_by_status": pivot_priority_by_status,
+    "percentile_prices_by_status": percentile_prices_by_status,
+    "monthly_revenue_rollup": monthly_revenue_rollup,
+    "full_outer_activity": full_outer_activity,
+}
+
+_REV_U = "CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))"
+
+ORACLE = {
+    "q4_order_priority": """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01' AND o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+""",
+    "q6_forecast_revenue": """
+SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * CAST(ROUND(l_discount * 100) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND CAST(ROUND(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+  AND l_quantity < 24
+""",
+    "q10_returned_revenue": f"""
+WITH agg AS (
+  SELECT c_custkey, c_name, c_acctbal, n_name, SUM({_REV_U}) AS rev
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1996-10-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+  GROUP BY c_custkey, c_name, c_acctbal, n_name
+)
+SELECT c_custkey, c_name, CAST(rev AS DOUBLE) / 10000.0 AS revenue, c_acctbal, n_name
+FROM agg ORDER BY rev DESC, c_custkey LIMIT 20
+""",
+    "q13_order_count_distribution": """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+""",
+    "q14_promo_revenue": f"""
+SELECT CAST(FLOOR(
+  100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN {_REV_U} ELSE 0 END) AS DOUBLE)
+        / CAST(SUM({_REV_U}) AS DOUBLE) * 1000000.0) AS DOUBLE) / 1000000.0 AS promo_share_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01'
+""",
+    "q15_top_supplier": f"""
+WITH rev AS (
+  SELECT l_suppkey, SUM({_REV_U}) AS rev_u
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(rev_u AS DOUBLE) / 10000.0 AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE rev_u = (SELECT MAX(rev_u) FROM rev)
+""",
+    "q17_small_quantity_revenue": """
+WITH li AS (
+  SELECT l_partkey,
+         CAST(ROUND(l_quantity * 100) AS BIGINT) AS qc,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS pc
+  FROM lineitem
+),
+stats AS (SELECT l_partkey AS sp, SUM(qc) AS sum_qc, COUNT(*) AS n_li FROM li GROUP BY 1)
+SELECT CAST(FLOOR(CAST(SUM(pc) AS DOUBLE) / 700.0 * 1000000.0) AS DOUBLE) / 1000000.0 AS avg_yearly,
+       COUNT(*) AS n_small
+FROM li
+JOIN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#1' AND p_size <= 10) p ON l_partkey = p_partkey
+JOIN stats ON l_partkey = sp
+WHERE qc * 5 * n_li < sum_qc
+""",
+    "q18_large_orders": """
+WITH big AS (
+  SELECT l_orderkey, SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS sum_qc
+  FROM lineitem GROUP BY 1 HAVING SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) > 20000
+)
+SELECT c_name, c_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_totalprice, CAST(sum_qc AS DOUBLE) / 100.0 AS total_qty
+FROM big
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+""",
+    "q19_disjunctive_predicates": f"""
+SELECT CAST(SUM({_REV_U}) AS DOUBLE) / 10000.0 AS revenue, COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 30)
+""",
+    "q22_idle_customers": """
+WITH thresh AS (
+  SELECT SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS sum_c, COUNT(*) AS n_pos
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer, thresh
+WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT) * n_pos > sum_c
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_nationkey
+""",
+    "cube_returnflag_status": """
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)
+""",
+    "pivot_priority_by_status": """
+SELECT o_orderpriority,
+       COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_open,
+       COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_filled,
+       COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_pending
+FROM orders
+GROUP BY o_orderpriority
+""",
+    "percentile_prices_by_status": """
+SELECT o_orderstatus,
+       quantile_cont(CAST(ROUND(o_totalprice * 100) AS BIGINT), 0.25) / 100.0 AS p25,
+       quantile_cont(CAST(ROUND(o_totalprice * 100) AS BIGINT), 0.5)  / 100.0 AS p50,
+       quantile_cont(CAST(ROUND(o_totalprice * 100) AS BIGINT), 0.75) / 100.0 AS p75
+FROM orders
+GROUP BY o_orderstatus
+""",
+    "monthly_revenue_rollup": """
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+       CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS o_month,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY 1, 2
+""",
+    "full_outer_activity": """
+WITH ev AS (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY 1),
+oc AS (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY 1)
+SELECT COALESCE(user_id, o_custkey) AS key_id,
+       COALESCE(n_events, 0) AS n_events,
+       COALESCE(n_orders, 0) AS n_orders
+FROM ev FULL OUTER JOIN oc ON user_id = o_custkey
+""",
+}
