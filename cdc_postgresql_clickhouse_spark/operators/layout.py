@@ -1,0 +1,105 @@
+"""Physical-layout operators for 100 TB-scale joins and aggregations:
+bucketed (co-located) tables and salted skew handling.
+
+These are the knobs the CDC engine (and any fact-fact workload on it) uses
+when AQE alone is not enough:
+
+- **Bucketing** mirrors the reference state table's clustering
+  (``PRIMARY KEY booking_id ORDER BY booking_id``,
+  /root/reference/schemas/clickhouse_schemas.sql:12-13, SURVEY §2.6 O1): a
+  table pre-hash-partitioned AND pre-sorted by its key. Two tables bucketed
+  the same way join with ZERO shuffle — the recurring MERGE/dedup of a CDC
+  state table against each new change batch becomes a map-side merge, which
+  is exactly what makes per-batch upserts affordable when the state table is
+  tens of TB.
+- **Salting** splits a hot key across ``n_salts`` sub-keys. AQE's skew-join
+  handles most skew at runtime; explicit salting remains for aggregations
+  and for joins where one key dominates so hard that a single post-split
+  partition is still too large.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str | list[str],
+    num_buckets: int,
+    path: str | None = None,
+    sort: bool = True,
+) -> None:
+    """Write ``df`` as a bucketed (and bucket-sorted) parquet table.
+
+    Bucket count is a layout contract: both sides of a co-located join must
+    use the same ``num_buckets``. Size it so one bucket of the LARGER table
+    fits an executor core's working memory at full scale (e.g. 100 TB state
+    / 32k buckets ≈ 3 GB per bucket file-set).
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(num_buckets, *keys)
+    if sort:
+        writer = writer.sortBy(*keys)
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+
+
+def colocated_join(
+    spark: SparkSession,
+    left_table: str,
+    right_table: str,
+    on: str | list[str],
+    how: str = "inner",
+) -> DataFrame:
+    """Join two same-bucketed tables. With matching bucket specs the
+    physical plan has no Exchange on either side (asserted in
+    tests/test_layout.py) — the join cost is a per-bucket streamed merge."""
+    return spark.table(left_table).join(spark.table(right_table), on, how)
+
+
+def _row_salt(df: DataFrame, n_salts: int) -> Column:
+    """Deterministic per-row salt: hash of the whole row modulo n_salts.
+    Deterministic (replay/retry-safe, unlike rand()), and spreads a hot
+    key's rows as long as they differ in any column."""
+    return F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: the big side gets a per-row salt, the small side
+    is replicated ``n_salts``× (explode, NOT a cartesian), and the join key
+    becomes (key, salt) — a hot key's rows now land on ``n_salts`` reducers.
+
+    Use when one side is small enough to replicate but too big to broadcast,
+    and the key histogram is too spiked for AQE's split-based skew join.
+    Result is row-identical to ``big.join(small, on, how)``."""
+    salted_big = big.withColumn("__salt", _row_salt(big, n_salts))
+    replicated = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    out = salted_big.join(replicated, [on, "__salt"], how)
+    return out.drop("__salt")
+
+
+def skew_safe_count_distinct(
+    df: DataFrame, key: str, col: str, n_salts: int = 16
+) -> DataFrame:
+    """Two-phase distinct count per key: phase 1 groups by (key,
+    hash(col) % n_salts) so one hot key's distinct-set is built on
+    ``n_salts`` reducers; phase 2 sums the disjoint partial counts.
+    Output: (key, n_distinct). Exact — hash-mod partitions the value space
+    disjointly, so partial distinct counts add."""
+    phase1 = (
+        df.groupBy(key, F.pmod(F.hash(F.col(col)), F.lit(n_salts)).alias("__salt"))
+        .agg(F.count_distinct(F.col(col)).alias("__part"))
+    )
+    return phase1.groupBy(key).agg(F.sum("__part").alias("n_distinct"))

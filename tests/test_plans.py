@@ -59,3 +59,58 @@ def test_sessionize_reuses_partitioning(spark, sf_dir):
     one shuffle total."""
     df = Q["events_sessionize"](spark, sf_dir)
     assert shuffle_count(df) <= 2, formatted_plan(df)
+
+
+def test_q6_pushdown_and_pruning(spark, sf_dir):
+    """Scan-only aggregate: every predicate reaches the parquet scan and the
+    scan reads only the 4 needed columns."""
+    df = Q["q6_forecast_revenue"](spark, sf_dir)
+    pf = " | ".join(pushed_filters(df))
+    assert "l_shipdate" in pf and "l_quantity" in pf, pf
+    rs = read_schemas(df)
+    assert rs and all("l_orderkey" not in s and "l_returnflag" not in s for s in rs), rs
+
+
+def test_q10_broadcasts_dims(spark, sf_dir):
+    df = Q["q10_returned_revenue"](spark, sf_dir)
+    assert broadcast_join_count(df) >= 2  # customer, nation
+    pf = " | ".join(pushed_filters(df))
+    assert "l_returnflag" in pf and "o_orderdate" in pf, pf
+
+
+def test_q17_broadcasts_filtered_part(spark, sf_dir):
+    df = Q["q17_small_quantity_revenue"](spark, sf_dir)
+    assert broadcast_join_count(df) >= 1
+    pf = " | ".join(pushed_filters(df))
+    assert "p_brand" in pf and "p_size" in pf, pf
+
+
+def test_q18_single_fact_shuffle(spark, sf_dir):
+    """HAVING runs on the lineitem aggregate BEFORE the joins: the only real
+    shuffle is the orderkey groupBy; orders/customer attach as broadcasts and
+    the top-k is TakeOrderedAndProject."""
+    df = Q["q18_large_orders"](spark, sf_dir)
+    assert shuffle_count(df) == 1, formatted_plan(df)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan and plan.count("BroadcastHashJoin") >= 2
+
+
+def test_pivot_no_discovery_scan(spark, sf_dir):
+    """Explicit pivot values: no distinct-discovery pass over the data (one
+    scan only); at most the two-phase pivot shuffles, the second on the
+    already-aggregated (priority, status) set."""
+    df = Q["pivot_priority_by_status"](spark, sf_dir)
+    assert len(read_schemas(df)) == 1, formatted_plan(df)  # exactly one scan
+    assert shuffle_count(df) <= 2, formatted_plan(df)
+
+
+def test_percentile_single_shuffle(spark, sf_dir):
+    df = Q["percentile_prices_by_status"](spark, sf_dir)
+    assert shuffle_count(df) == 1, formatted_plan(df)
+
+
+def test_full_outer_preaggregates(spark, sf_dir):
+    """Both keyspaces aggregate before the full-outer join and the join
+    reuses the groupBy partitioning: at most 2 shuffles."""
+    df = Q["full_outer_activity"](spark, sf_dir)
+    assert shuffle_count(df) <= 2, formatted_plan(df)
