@@ -83,8 +83,29 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_sliding_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (10 min length, 5 min slide) via native F.window —
+    each event lands in exactly length/slide = 2 windows. The oracle derives
+    the same two epoch-aligned starts arithmetically; map-side the window
+    explode is a bounded ×2 fan-out, then one shuffle on the window start."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("bucket_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 QUERIES = {
     "events_tumbling_5min": events_tumbling_5min,
+    "events_sliding_10min": events_sliding_10min,
     "events_sessionize": events_sessionize,
     "events_json_extract": events_json_extract,
 }
@@ -109,9 +130,20 @@ WITH base AS (
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
   FROM flagged
 )
-SELECT user_id, session_idx, COUNT(*) AS n_events,
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, COUNT(*) AS n_events,
        MIN(es) AS session_start_epoch, MAX(es) - MIN(es) AS duration_s
 FROM sess GROUP BY user_id, session_idx
+""",
+    "events_sliding_10min": """
+WITH b AS (SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) AS es, value FROM events),
+expanded AS (
+  SELECT (es // 300) * 300 AS s, value FROM b
+  UNION ALL
+  SELECT (es // 300) * 300 - 300 AS s, value FROM b
+)
+SELECT CAST(s AS BIGINT) AS bucket_start, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM expanded GROUP BY 1
 """,
     "events_json_extract": """
 SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,

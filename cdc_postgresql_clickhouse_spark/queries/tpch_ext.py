@@ -350,8 +350,50 @@ def full_outer_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rolling_30day_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: per-customer spend over the trailing 30 calendar
+    days — the frame is value-based (day number), not row-based, so same-day
+    orders are peers and the result is order-independent. One shuffle on the
+    customer key."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.floor(F.unix_timestamp("o_orderdate") / 86400).cast("long").alias("day_num"),
+        _cents(F.col("o_totalprice")).alias("pc"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("day_num").rangeBetween(-29, 0)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "day_num",
+        (F.sum("pc").over(w).cast("double") / F.lit(100.0)).alias("spend_30d"),
+    )
+
+
+def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile ranking: customers split into 10 spend deciles. Total spend in
+    exact cents and a custkey tie-break make the ntile assignment fully
+    deterministic in both engines."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    totals = orders.groupBy("o_custkey").agg(
+        F.sum(_cents(F.col("o_totalprice"))).alias("total_c")
+    )
+    w = Window.orderBy(F.col("total_c"), F.col("o_custkey"))
+    return totals.select(
+        "o_custkey",
+        (F.col("total_c").cast("double") / F.lit(100.0)).alias("total_spend"),
+        F.ntile(10).over(w).cast("long").alias("decile"),
+    )
+
+
 QUERIES = {
     "q4_order_priority": q4_order_priority,
+    "rolling_30day_spend": rolling_30day_spend,
+    "customer_spend_deciles": customer_spend_deciles,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q10_returned_revenue": q10_returned_revenue,
     "q13_order_count_distribution": q13_order_count_distribution,
@@ -371,6 +413,27 @@ QUERIES = {
 _REV_U = "CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))"
 
 ORACLE = {
+    "rolling_30day_spend": """
+WITH o AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(FLOOR(epoch(o_orderdate) / 86400) AS BIGINT) AS day_num,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS pc
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, day_num,
+       CAST(SUM(pc) OVER (PARTITION BY o_custkey ORDER BY day_num
+            RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0 AS spend_30d
+FROM o
+""",
+    "customer_spend_deciles": """
+WITH totals AS (
+  SELECT o_custkey, SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS total_c
+  FROM orders GROUP BY 1
+)
+SELECT o_custkey, CAST(total_c AS DOUBLE) / 100.0 AS total_spend,
+       CAST(ntile(10) OVER (ORDER BY total_c, o_custkey) AS BIGINT) AS decile
+FROM totals
+""",
     "q4_order_priority": """
 SELECT o_orderpriority, COUNT(*) AS order_count
 FROM orders
