@@ -27,7 +27,13 @@ is replay-invariant.
 
 Tie-break for equal versions (ClickHouse keeps the last-inserted row, which
 is nondeterministic): deterministic order (version, ts_ms, is_deleted) so a
-delete wins over a non-delete at the same version instant.
+delete wins over a non-delete at the same version instant — then ALL
+remaining columns (sorted by name, descending) as a final disambiguator, so
+the winner is a pure function of the change multiset. Full determinism
+matters on Spark specifically: task retries and speculative execution
+re-evaluate partitions, and an arrival-order-dependent winner would make
+state non-reproducible across retries (hypothesis found exactly this:
+tests/test_properties.py::test_arrival_order_invariance).
 """
 
 from __future__ import annotations
@@ -38,6 +44,16 @@ from pyspark.sql.window import Window
 
 DEFAULT_KEY = ("booking_id",)
 DEFAULT_VERSION_ORDER = ("version", "ts_ms", "is_deleted")
+
+
+def _total_order(
+    df: DataFrame, key_cols: tuple[str, ...], version_cols: tuple[str, ...]
+) -> list:
+    """Version order extended to a TOTAL order: remaining columns (sorted by
+    name) break any residual tie, making the per-key winner a deterministic
+    function of the change multiset — retry/replay/speculation-safe."""
+    rest = sorted(set(df.columns) - set(key_cols) - set(version_cols))
+    return [F.col(c).desc() for c in (*version_cols, *rest)]
 
 
 def current_state(
@@ -53,7 +69,7 @@ def current_state(
     shuffle by key; Catalyst pushes the subsequent filter and any caller
     projections into the scan.
     """
-    w = Window.partitionBy(*key_cols).orderBy(*[F.col(c).desc() for c in version_cols])
+    w = Window.partitionBy(*key_cols).orderBy(*_total_order(updates, key_cols, version_cols))
     out = (
         updates.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
@@ -100,7 +116,7 @@ def apply_changes(
     exactly ClickHouse's part-merge behavior before ``FINAL``.
     """
     merged = updates if state is None else state.unionByName(updates, allowMissingColumns=True)
-    w = Window.partitionBy(*key_cols).orderBy(*[F.col(c).desc() for c in version_cols])
+    w = Window.partitionBy(*key_cols).orderBy(*_total_order(merged, key_cols, version_cols))
     return merged.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
 
 
