@@ -20,12 +20,13 @@ from cdc_postgresql_clickhouse_spark.queries import (
     dedup,
     events,
     similarity,
+    skew,
     text,
     tpch,
     tpch_ext,
 )
 
-_MODULES = (cdc, tpch, tpch_ext, events, text, dedup, similarity)
+_MODULES = (cdc, tpch, tpch_ext, events, text, dedup, similarity, skew)
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
