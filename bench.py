@@ -45,6 +45,7 @@ HEADLINE = [
     "text_fingerprint",
     "ann_bruteforce_topk",
     "ann_lsh_buckets",
+    "ann_ivf_topk",
     "embedding_cosine_neardup",
 ]
 

@@ -137,6 +137,29 @@ def write_state(state: DataFrame, path: str, key_buckets: int | None = None) -> 
     out.write.mode("overwrite").parquet(path)
 
 
+def compact_state(
+    spark: SparkSession, path: str, key_buckets: int = 8
+) -> None:
+    """The OPTIMIZE / background-merge analogue (ClickHouse merges parts
+    continuously; ``OPTIMIZE TABLE ... DEDUPLICATE`` forces it,
+    /root/reference/README.md:310). Micro-batch upserts leave one file-set
+    per batch; compaction rewrites the state into ``key_buckets`` key-hashed
+    files, restoring scan locality and making subsequent merges touch fewer
+    files. Run out-of-band (the streaming query keeps working either way) —
+    on Delta this maps to OPTIMIZE + ZORDER and needs no read-block."""
+    state = read_state(spark, path)
+    if state is None:
+        return
+    tmp = f"{path}.compact-tmp"
+    write_state(state, tmp, key_buckets=key_buckets)
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    import os
+
+    os.rename(tmp, path)
+
+
 def consistency_check(source: DataFrame, replica: DataFrame) -> bool:
     """The reference's verification methodology (``README.md:309-329``):
     identical entries + identical counts, expressed as two-sided exceptAll."""

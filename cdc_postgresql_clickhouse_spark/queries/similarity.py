@@ -199,9 +199,65 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_CENTROIDS = 16
+N_PROBE = 2
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: coarse quantizer → inverted lists → probe.
+
+    The coarse quantizer is the first N_CENTROIDS vectors (deterministic
+    seed centroids; production would k-means these — the *index structure*
+    is identical). Every vector is assigned to its nearest centroid by
+    cosine (argmax with centroid-id tie-break) = the inverted lists; a query
+    probes its N_PROBE nearest centroids and ranks only those lists'
+    vectors — the corpus scan per query drops from O(n) to
+    O(n·nprobe/n_centroids).
+
+    Scale shape: assignment is a broadcast (16 centroids) cross-score — one
+    map-side pass; the probe join is keyed on centroid id, so at 100 TB the
+    inverted lists are just a table bucketed by cid. No O(n²) anywhere."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _emb_d().alias("e"), _norm(_emb_d()).alias("nrm")
+    )
+    cents = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce"), F.col("nrm").alias("cn")
+    )
+    scored = F.broadcast(cents).join(emb, how="cross").select(
+        "vec_id",
+        "cid",
+        _cos_prenorm(F.col("e"), F.col("ce"), F.col("nrm"), F.col("cn")).alias("cs"),
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.col("cid"))
+    ranked = scored.withColumn("rn", F.row_number().over(w_assign))
+    assign = ranked.filter(F.col("rn") == 1).select("vec_id", "cid")
+    probes = (
+        ranked.filter((F.col("vec_id") % 100 == 0) & (F.col("rn") <= N_PROBE))
+        .select(F.col("vec_id").alias("q_id"), "cid")
+    )
+    cand = F.broadcast(probes).join(assign, "cid").filter(F.col("q_id") != F.col("vec_id"))
+    q_side = emb.select(F.col("vec_id").alias("q_id"), F.col("e").alias("qe"), F.col("nrm").alias("qn"))
+    pair = (
+        cand.join(F.broadcast(q_side), "q_id")
+        .join(emb, "vec_id")
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _cos_prenorm(F.col("qe"), F.col("e"), F.col("qn"), F.col("nrm")).alias("cos_sim"),
+        )
+    )
+    w_rank = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.col("neighbor_id"))
+    return (
+        pair.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= 5)
+        .select("q_id", "neighbor_id", "cos_sim", F.col("rank").cast("long").alias("rank"))
+    )
+
+
 QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_lsh_buckets": ann_lsh_buckets,
+    "ann_ivf_topk": ann_ivf_topk,
     "embedding_cosine_neardup": embedding_cosine_neardup,
 }
 
@@ -228,6 +284,32 @@ SELECT a.bucket AS bucket, a.vec_id AS vec_a, b.vec_id AS vec_b,
 FROM bucketed a
 JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE {_sql_cos('a.e', 'b.e')} >= 0.2
+""",
+    "ann_ivf_topk": f"""
+WITH emb AS (SELECT vec_id, {_SQL_EMB} AS e FROM embeddings),
+cents AS (SELECT vec_id AS cid, e AS ce FROM emb WHERE vec_id < {N_CENTROIDS}),
+assign_scored AS (
+  SELECT vec_id, cid, {_sql_cos('e', 'ce')} AS cs,
+         row_number() OVER (PARTITION BY vec_id ORDER BY {_sql_cos('e', 'ce')} DESC, cid) AS rn
+  FROM emb CROSS JOIN cents
+),
+assign AS (SELECT vec_id, cid FROM assign_scored WHERE rn = 1),
+probes AS (SELECT vec_id AS q_id, cid FROM assign_scored
+           WHERE vec_id % 100 = 0 AND rn <= {N_PROBE}),
+cand AS (
+  SELECT p.q_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.q_id
+),
+pair AS (
+  SELECT c.q_id, c.neighbor_id, {_sql_cos('q.e', 'n.e')} AS cos_sim
+  FROM cand c
+  JOIN emb q ON q.vec_id = c.q_id
+  JOIN emb n ON n.vec_id = c.neighbor_id
+)
+SELECT q_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+       ORDER BY cos_sim DESC, neighbor_id) AS rank FROM pair)
+WHERE rank <= 5
 """,
     "embedding_cosine_neardup": f"""
 WITH base AS (SELECT vec_id, {_SQL_EMB} AS e FROM embeddings WHERE vec_id < {NEARDUP_IDS}),

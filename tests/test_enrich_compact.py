@@ -1,0 +1,81 @@
+"""Streaming enrichment joins and state compaction."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from cdc_postgresql_clickhouse_spark.operators.state import (
+    compact_state,
+    read_state,
+    snapshot_load,
+    write_state,
+)
+from cdc_postgresql_clickhouse_spark.sources.envelope import (
+    ENVELOPE_SCHEMA,
+    golden_workload_df,
+    golden_workload_envelopes,
+)
+from cdc_postgresql_clickhouse_spark.streaming.enrich import enrich_with_dim
+
+
+def _op_dim(spark):
+    return spark.createDataFrame(
+        [("c", "insert"), ("u", "update"), ("d", "delete"), ("r", "snapshot")],
+        "op string, op_label string",
+    )
+
+
+def test_enrich_batch_broadcast(spark):
+    env = golden_workload_df(spark)
+    out = enrich_with_dim(env, _op_dim(spark), on="op")
+    assert out.count() == env.count()  # left join drops nothing
+    assert out.filter(F.col("op_label").isNull()).count() == 0
+    from cdc_postgresql_clickhouse_spark.plans.inspect import broadcast_join_count
+
+    assert broadcast_join_count(out) >= 1
+
+
+def test_enrich_streaming(spark, tmp_path):
+    envdir = tmp_path / "env"
+    envdir.mkdir()
+    with open(envdir / "batch.json", "w") as f:
+        for e in golden_workload_envelopes():
+            f.write(json.dumps(e) + "\n")
+    stream = spark.readStream.schema(ENVELOPE_SCHEMA).json(str(envdir))
+    enriched = enrich_with_dim(stream, _op_dim(spark), on="op")
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enriched_sink")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT op, op_label FROM enriched_sink")
+    assert got.count() == len(golden_workload_envelopes())
+    assert got.filter(F.col("op_label").isNull()).count() == 0
+
+
+def test_compact_state_preserves_rows(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "state")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").withColumnRenamed(
+        "c_custkey", "booking_id"
+    )
+    state = snapshot_load(cust)
+    # simulate many micro-batch file-sets: high partition count write
+    state.repartition(16).write.mode("overwrite").parquet(path)
+    before_files = len(glob.glob(os.path.join(path, "part-*")))
+    before = read_state(spark, path).count()
+    compact_state(spark, path, key_buckets=4)
+    after_files = len(glob.glob(os.path.join(path, "part-*")))
+    after_df = read_state(spark, path)
+    assert after_df.count() == before
+    assert after_files < before_files
+    assert after_files <= 4
+
+
+def test_compact_missing_state_is_noop(spark, tmp_path):
+    compact_state(spark, str(tmp_path / "nope"), key_buckets=4)  # must not raise
