@@ -152,6 +152,47 @@ def decode_blobs(blobs: DataFrame, batch_hint: int = 256) -> DataFrame:
     return blobs.mapInPandas(decode, schema=DECODED_SCHEMA)
 
 
+def resize_blobs(blobs: DataFrame, target_w: int = 64, target_h: int = 64) -> DataFrame:
+    """Resize stub with real dataflow: byte-stride downsampling stands in for
+    pixel resampling (the real implementation swaps the two marked lines for
+    Pillow's ``Image.resize``). Output schema carries the resized payload and
+    its new dimensions — downstream operators (decode, feature-extract,
+    dedup-by-md5) compose unchanged on the resized column."""
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("resized_md5", StringType()),
+            StructField("resized_bytes", LongType()),
+        ]
+    )
+    out_cols = [f.name for f in out_schema.fields]
+    target_pixels = max(target_w * target_h // 64, 1)  # fake bytes-per-image budget
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hl  # self-contained closure (see decode_blobs)
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                stride = max(len(data) // target_pixels, 1)
+                resized = data[::stride][:target_pixels]  # <- real: Image.resize
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "width": target_w,
+                        "height": target_h,
+                        "resized_md5": _hl.md5(resized).hexdigest(),  # <- real: re-encode
+                        "resized_bytes": len(resized),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=out_cols)
+
+    return blobs.select("doc_id", "payload").mapInPandas(resize, schema=out_schema)
+
+
 def sample_frames(blobs: DataFrame, every_n_bytes: int = 64, max_frames: int = 8) -> DataFrame:
     """Frame sampling for 'video' payloads: deterministic byte-window slices
     stand in for frame extraction; the real implementation swaps the slicer

@@ -108,14 +108,26 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprints: md5 of the normalized text (exact near-dup after
-    whitespace/punct normalization) and md5 of the sorted distinct token set
-    (bag-of-words identity)."""
+    whitespace/punct normalization), md5 of the sorted distinct token set
+    (bag-of-words identity), and a Rabin-Karp-style polynomial rolling hash
+    (h = h·131 + byte mod 1e9+7) over the normalized text — the incremental
+    fingerprint shape used for chunk-level dedup. Pure int64 arithmetic
+    (max intermediate ≈ 1.3e11), identical in both engines."""
     docs = load_table(spark, sf_dir, "documents")
-    base = docs.select("doc_id", "text", tokens(F.col("text")).alias("toks"))
+    base = docs.select(
+        "doc_id",
+        tokens(F.col("text")).alias("toks"),
+        normalized_text(F.col("text")).alias("ns"),
+    )
+    rolling = F.expr(
+        "aggregate(filter(split(ns, ''), c -> c <> ''), 0L,"
+        " (acc, c) -> pmod(acc * 131 + ascii(c), 1000000007L))"
+    )
     return base.select(
         "doc_id",
-        F.md5(normalized_text(F.col("text"))).alias("norm_fp"),
+        F.md5(F.col("ns")).alias("norm_fp"),
         F.md5(F.array_join(F.array_sort(F.array_distinct(F.col("toks"))), " ")).alias("tokenset_fp"),
+        rolling.alias("rolling_fp"),
     )
 
 
@@ -211,10 +223,20 @@ SELECT doc_id, lang, s_en, s_de, s_fr, s_es,
 FROM scored
 """,
     "text_fingerprint": f"""
+WITH base AS (
+  SELECT doc_id, {SQL_TOKENS} AS toks,
+         trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS ns
+  FROM documents
+)
 SELECT doc_id,
-  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS norm_fp,
-  md5(array_to_string(list_sort(list_distinct({SQL_TOKENS})), ' ')) AS tokenset_fp
-FROM documents
+  md5(ns) AS norm_fp,
+  md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS tokenset_fp,
+  list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform(list_filter(str_split(ns, ''), c -> c <> ''),
+                     c -> CAST(ord(c) AS BIGINT))),
+    (acc, c) -> (acc * 131 + c) % 1000000007) AS rolling_fp
+FROM base
 """,
     "text_stats_by_source": """
 SELECT source, COUNT(*) AS n_docs,

@@ -128,3 +128,21 @@ def test_route_and_fanout(spark, tmp_path):
     )
     back = spark.read.parquet(base)
     assert back.filter(F.col("sink_table") == "bookings_changes").count() == 1
+
+
+def test_resize_blobs(spark, sf_dir):
+    from cdc_postgresql_clickhouse_spark.operators.multimodal import blob_table, resize_blobs
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    blobs = blob_table(docs)
+    resized = resize_blobs(blobs, target_w=64, target_h=64)
+    rows = resized.collect()
+    assert len(rows) == 50
+    budget = 64 * 64 // 64
+    for r in rows:
+        assert r["width"] == 64 and r["height"] == 64
+        assert 1 <= r["resized_bytes"] <= budget
+        assert len(r["resized_md5"]) == 32
+    # determinism: same input -> same fingerprints
+    again = {r["doc_id"]: r["resized_md5"] for r in resize_blobs(blobs, 64, 64).collect()}
+    assert {r["doc_id"]: r["resized_md5"] for r in rows} == again
