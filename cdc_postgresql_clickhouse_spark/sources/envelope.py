@@ -73,6 +73,32 @@ def decode_json_envelopes(raw: DataFrame, value_col: str = "value") -> DataFrame
     )
 
 
+def decode_json_envelopes_with_dlq(
+    raw: DataFrame, value_col: str = "value"
+) -> tuple[DataFrame, DataFrame]:
+    """Decode with a dead-letter split: returns (valid, dead_letters).
+
+    The reference's connector stack either drops or stalls on malformed
+    records (Kafka Connect error tolerance); a Spark-native pipeline should
+    quarantine them instead — a poisoned message must never stall 100 TB/day
+    of flow, and must stay replayable. A record is dead if it is not
+    parseable JSON of the envelope shape or carries no op code; the raw
+    bytes are preserved for replay-after-fix. Both outputs derive from one
+    decode of the same input (shared subtree, no double parse at the source).
+    """
+    decoded = raw.filter(F.col(value_col).isNotNull()).select(
+        F.col(value_col).cast("string").alias("__raw"),
+        F.from_json(F.col(value_col).cast("string"), ENVELOPE_SCHEMA).alias("e"),
+    )
+    is_dead = F.col("e").isNull() | F.col("e.op").isNull()
+    valid = decoded.filter(~is_dead).select("e.*")
+    dead = decoded.filter(is_dead).select(
+        F.col("__raw").alias("raw_value"),
+        F.lit("unparseable envelope or missing op").alias("dlq_reason"),
+    )
+    return valid, dead
+
+
 def flatten_envelope(df: DataFrame, delimiter: str = ".") -> DataFrame:
     """The `Flatten$Value` SMT equivalent (``debezium_configuration.json:48-49``):
     project nested structs to dotted top-level columns matching the 18-column
