@@ -48,18 +48,40 @@ def run_cdc_pipeline(
     checkpoint_dir: str,
     trigger_processing_time: str | None = None,
     available_now: bool = True,
+    dlq_path: str | None = None,
 ) -> None:
     """Run the end-to-end CDC pipeline over a directory of envelope JSON files.
 
     ``available_now=True`` drains everything and stops (test/backfill mode);
     otherwise a continuous 500 ms-triggered query is started and the caller
     owns its lifecycle.
+
+    ``dlq_path``: when set, records that parse to no op code (malformed or
+    non-envelope JSON) are appended there with the whole-record JSON
+    preserved for replay-after-fix, instead of being silently dropped — a
+    poisoned message must never stall or silently thin the stream.
     """
-    stream = (
-        spark.readStream.schema(ENVELOPE_SCHEMA)
-        .json(envelope_dir)
-        .filter(F.col("op").isNotNull())  # T3 tombstone suppression, defensive
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    # copy — StructType.add would mutate the shared ENVELOPE_SCHEMA in place
+    schema_with_corrupt = StructType(
+        [*ENVELOPE_SCHEMA.fields, StructField("_corrupt_record", StringType())]
     )
+    raw = spark.readStream.schema(schema_with_corrupt).json(envelope_dir)
+    stream = raw.filter(F.col("op").isNotNull()).drop("_corrupt_record")
+    if dlq_path:
+        dead = raw.filter(F.col("op").isNull()).select(
+            F.coalesce(F.col("_corrupt_record"), F.to_json(F.struct("*"))).alias("raw_value"),
+            F.lit("unparseable envelope or missing op").alias("dlq_reason"),
+        )
+        (
+            dead.writeStream.format("json")
+            .option("path", dlq_path)
+            .option("checkpointLocation", f"{checkpoint_dir}-dlq")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
     updates_stream = changes_to_state_updates(stream)
 
     def upsert_batch(batch_df, batch_id: int) -> None:

@@ -79,3 +79,45 @@ def test_compact_state_preserves_rows(spark, sf_dir, tmp_path):
 
 def test_compact_missing_state_is_noop(spark, tmp_path):
     compact_state(spark, str(tmp_path / "nope"), key_buckets=4)  # must not raise
+
+
+def test_pipeline_dlq(spark, tmp_path):
+    """Malformed lines land in the DLQ with raw bytes; good lines flow to
+    state; the stream is never stalled or silently thinned."""
+    from cdc_postgresql_clickhouse_spark.operators.state import current_state
+    from cdc_postgresql_clickhouse_spark.streaming.pipeline import run_cdc_pipeline
+
+    envdir = tmp_path / "env"
+    envdir.mkdir()
+    with open(envdir / "batch.json", "w") as f:
+        for e in golden_workload_envelopes():
+            f.write(json.dumps(e) + "\n")
+        f.write('{"broken json\n')
+        f.write('{"valid": "json, but not an envelope"}\n')
+    state, ckpt, dlq = str(tmp_path / "state"), str(tmp_path / "ckpt"), str(tmp_path / "dlq")
+    run_cdc_pipeline(spark, str(envdir), state, ckpt, dlq_path=dlq)
+    assert current_state(spark.read.parquet(state)).count() == 6  # golden final
+    dead = spark.read.json(dlq)
+    assert dead.count() == 2
+    assert dead.filter(F.col("raw_value").isNull()).count() == 0
+
+
+def test_schema_evolution_in_apply_changes(spark):
+    """T4-adjacent: a new column arriving in an update batch widens the
+    state (old rows null) without rewriting history — unionByName with
+    allowMissingColumns is the mergeSchema analogue."""
+    from cdc_postgresql_clickhouse_spark.operators.state import apply_changes, current_state
+
+    v1 = spark.createDataFrame(
+        [("b1", 1, 0, 0, "Open")],
+        "booking_id string, version long, ts_ms long, is_deleted int, status string",
+    )
+    v2 = spark.createDataFrame(
+        [("b2", 2, 0, 0, "Open", "new-field")],
+        "booking_id string, version long, ts_ms long, is_deleted int, status string, extra string",
+    )
+    merged = apply_changes(apply_changes(None, v1), v2)
+    assert set(merged.columns) >= {"booking_id", "status", "extra"}
+    rows = {r["booking_id"]: r for r in current_state(merged).collect()}
+    assert rows["b1"]["extra"] is None
+    assert rows["b2"]["extra"] == "new-field"
