@@ -390,10 +390,24 @@ def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def collect_priority_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list surface with deterministic output: the collected array is
+    unordered by contract, so it is array_sort-normalized before hashing —
+    the pattern for making any collect-based aggregate engine-portable."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_custkey").agg(
+        F.md5(F.array_join(F.array_sort(F.collect_list("o_orderpriority")), ",")).alias(
+            "priority_fp"
+        ),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
 QUERIES = {
     "q4_order_priority": q4_order_priority,
     "rolling_30day_spend": rolling_30day_spend,
     "customer_spend_deciles": customer_spend_deciles,
+    "collect_priority_fingerprint": collect_priority_fingerprint,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q10_returned_revenue": q10_returned_revenue,
     "q13_order_count_distribution": q13_order_count_distribution,
@@ -413,6 +427,12 @@ QUERIES = {
 _REV_U = "CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))"
 
 ORACLE = {
+    "collect_priority_fingerprint": """
+SELECT o_custkey,
+       md5(array_to_string(list_sort(list(o_orderpriority)), ',')) AS priority_fp,
+       COUNT(*) AS n_orders
+FROM orders GROUP BY o_custkey
+""",
     "rolling_30day_spend": """
 WITH o AS (
   SELECT o_custkey, o_orderkey,
