@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from cdc_postgresql_clickhouse_spark.queries import (
     cdc,
+    debezium_types,
     dedup,
     events,
     similarity,
@@ -26,7 +27,7 @@ from cdc_postgresql_clickhouse_spark.queries import (
     tpch_ext,
 )
 
-_MODULES = (cdc, tpch, tpch_ext, events, text, dedup, similarity, skew)
+_MODULES = (cdc, tpch, tpch_ext, events, text, dedup, similarity, skew, debezium_types)
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
