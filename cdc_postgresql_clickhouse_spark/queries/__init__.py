@@ -25,9 +25,10 @@ from cdc_postgresql_clickhouse_spark.queries import (
     text,
     tpch,
     tpch_ext,
+    tpch_more,
 )
 
-_MODULES = (cdc, tpch, tpch_ext, events, text, dedup, similarity, skew, debezium_types)
+_MODULES = (cdc, tpch, tpch_ext, tpch_more, events, text, dedup, similarity, skew, debezium_types)
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

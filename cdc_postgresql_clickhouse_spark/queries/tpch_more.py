@@ -1,0 +1,322 @@
+"""Remaining TPC-H query shapes, adapted to the reduced fixture schema (no
+partsupp/commitdate/shipmode): Q2 (argmin-per-group join), Q7 (two-sided
+nation-pair volume), Q8 (market share via agg + window), Q9 (profit with a
+retail-price cost proxy), Q16 (distinct-count with an anti-joined supplier
+blacklist), Q21 (the multi-pass fact self-correlation).
+
+Determinism rules follow queries/tpch.py: money in exact integer cents /
+cent·percent "micros" units, ratios floor-truncated at 6 decimals, explicit
+integer tie-breaks on every argmin/ranking.
+
+Scale posture: every dimension side (nation, region, supplier, filtered
+part/customer) broadcasts; lineitem is shuffled at most once per query on its
+join key; Q21 deliberately uses the two-pass aggregate formulation instead of
+the canonical EXISTS/NOT-EXISTS double self-join — at 100 TB, two extra
+shuffles of the full fact table lose to one groupBy on the same key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cdc_postgresql_clickhouse_spark.queries.tpch import _cents, _rev_micros, _trunc6
+from cdc_postgresql_clickhouse_spark.sources.registry import load_table
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: per-group argmin join — for each small ECONOMY part,
+    the supplier it was bought from cheapest (min summed spend, suppkey
+    tie-break). The correlated MIN subquery becomes a ranking window over the
+    grouped fact; only qualifying parts reach the window (broadcast prune)."""
+    parts = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_size") <= 5) & (F.col("p_type") == "ECONOMY"))
+        .select("p_partkey", "p_brand")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    per_supp = (
+        li.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_partkey", "p_brand", "l_suppkey")
+        .agg(F.sum(_cents(F.col("l_extendedprice"))).alias("spend_c"))
+    )
+    w = Window.partitionBy("p_partkey").orderBy(F.col("spend_c"), F.col("l_suppkey"))
+    best = per_supp.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return best.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey")).select(
+        "p_partkey",
+        "p_brand",
+        "s_suppkey",
+        "s_name",
+        (F.col("spend_c").cast("double") / F.lit(100.0)).alias("min_spend"),
+    )
+
+
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: shipping volume between a nation pair, both directions, by
+    ship year. Supplier and customer sides are pre-filtered to the two
+    nations and broadcast, so the pair predicate prunes lineitem *before* the
+    orders shuffle instead of after the full join."""
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    j = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        j.groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg((F.sum(_rev_micros()).cast("double") / F.lit(10000.0)).alias("revenue"))
+    )
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: each supplier nation's share of ASIA-customer PROMO
+    revenue per order year. Share = nation revenue / year total, both exact
+    integer micros; the per-year total is a window over the (year, nation)
+    aggregate — rows after the groupBy number |years|×|nations|, so the
+    window's extra shuffle moves a trivially small set."""
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    asia_nations = nation.join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(asia_nations), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey")
+    )
+    supp_nation = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    parts = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    j = (
+        li.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    per = j.groupBy(
+        F.year("o_orderdate").cast("long").alias("o_year"), "supp_nation"
+    ).agg(F.sum(_rev_micros()).alias("rev_u"))
+    total = Window.partitionBy("o_year")
+    return per.select(
+        "o_year",
+        "supp_nation",
+        _trunc6(F.col("rev_u").cast("double") / F.sum("rev_u").over(total).cast("double")).alias(
+            "mkt_share"
+        ),
+    )
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit on widget parts by supplier nation and order
+    year. The missing ps_supplycost is proxied by p_retailprice; both revenue
+    (cents·pct) and cost (retail_cents·qty_cents) land in the same exact
+    1e-4-dollar unit, so profit stays pure int64 until the final cast."""
+    parts = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey", _cents(F.col("p_retailprice")).alias("retail_c"))
+    )
+    supp_nation = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    profit_u = _rev_micros() - F.col("retail_c") * _cents(F.col("l_quantity"))
+    return (
+        li.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("supp_nation", F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg((F.sum(profit_u).cast("double") / F.lit(10000.0)).alias("profit"))
+    )
+
+
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers ship each qualifying
+    (brand, type, size) combination, excluding a supplier blacklist (every
+    10th suppkey stands in for the complaints filter). Blacklist is a
+    broadcast anti-join before the distinct-count shuffle."""
+    parts = (
+        load_table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#1")
+            & (F.col("p_type") != "PROMO")
+            & (F.col("p_size") <= 8)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad_supp = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") % 10 == 0)
+        .select("s_suppkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(bad_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"))
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the sole at-fault supplier per multi-supplier order —
+    returned-flag lines stand in for late receipts. The canonical
+    EXISTS + NOT-EXISTS double self-join is re-expressed as ONE groupBy over
+    lineitem (distinct suppliers, distinct returning suppliers per order)
+    joined to the distinct returning pairs: the fact table is shuffled once
+    on l_orderkey instead of three times."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_returnflag")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_r_supp"),
+    )
+    r_pairs = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey").distinct()
+    at_fault = r_pairs.join(
+        per_order.filter((F.col("n_supp") > 1) & (F.col("n_r_supp") == 1)), "l_orderkey"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        at_fault.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+QUERIES = {
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q7_nation_volume": q7_nation_volume,
+    "q8_market_share": q8_market_share,
+    "q9_product_profit": q9_product_profit,
+    "q16_supplier_part_counts": q16_supplier_part_counts,
+    "q21_waiting_supplier": q21_waiting_supplier,
+}
+
+_REV_U = "CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))"
+
+ORACLE = {
+    "q2_min_cost_supplier": """
+WITH per_supp AS (
+  SELECT p_partkey, p_brand, l_suppkey,
+         SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS spend_c
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_size <= 5 AND p_type = 'ECONOMY'
+  GROUP BY 1, 2, 3
+), best AS (
+  SELECT *, row_number() OVER (PARTITION BY p_partkey ORDER BY spend_c, l_suppkey) AS rn
+  FROM per_supp
+)
+SELECT p_partkey, p_brand, s_suppkey, s_name,
+       CAST(spend_c AS DOUBLE) / 100.0 AS min_spend
+FROM best JOIN supplier ON l_suppkey = s_suppkey
+WHERE rn = 1
+""",
+    "q7_nation_volume": f"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+       CAST(SUM({_REV_U}) AS DOUBLE) / 10000.0 AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+  AND cn.n_name IN ('NATION_1', 'NATION_2')
+  AND sn.n_name <> cn.n_name
+GROUP BY 1, 2, 3
+""",
+    "q8_market_share": f"""
+WITH per AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+         n2.n_name AS supp_nation, SUM({_REV_U}) AS rev_u
+  FROM lineitem
+  JOIN part     ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region   ON n1.n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+  GROUP BY 1, 2
+)
+SELECT o_year, supp_nation,
+       CAST(FLOOR(CAST(rev_u AS DOUBLE) / CAST(SUM(rev_u) OVER (PARTITION BY o_year) AS DOUBLE)
+            * 1000000.0) AS DOUBLE) / 1000000.0 AS mkt_share
+FROM per
+""",
+    "q9_product_profit": """
+SELECT n_name AS supp_nation,
+       CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+              - CAST(ROUND(p_retailprice * 100) AS BIGINT) * CAST(ROUND(l_quantity * 100) AS BIGINT))
+            AS DOUBLE) / 10000.0 AS profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%widget%'
+GROUP BY 1, 2
+""",
+    "q16_supplier_part_counts": """
+SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO' AND p_size <= 8
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_suppkey % 10 = 0)
+GROUP BY 1, 2, 3
+""",
+    "q21_waiting_supplier": """
+WITH per_order AS (
+  SELECT l_orderkey,
+         COUNT(DISTINCT l_suppkey) AS n_supp,
+         COUNT(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS n_r_supp
+  FROM lineitem GROUP BY 1
+), r_pairs AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM r_pairs
+JOIN per_order USING (l_orderkey)
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE n_supp > 1 AND n_r_supp = 1
+GROUP BY s_name
+""",
+}
