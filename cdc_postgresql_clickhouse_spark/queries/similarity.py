@@ -33,22 +33,34 @@ DIM = 64
 N_PLANES = 8
 NEARDUP_IDS = 200
 DERIVED_OFFSET = 1_000_000
+# Near-dup candidate generation: B bands of R planes each (banded LSH, same
+# AND/OR amplification as MinHash banding). For the fixture's qualifying
+# pairs (cos >= 0.996, angle ~5 deg) the per-plane split probability is
+# ~0.028, so P(pair missed by all 8 bands) = (1 - 0.972^4)^8 ~ 2e-8 —
+# recall is exact on the fixture (asserted by test against all-pairs).
+ND_BANDS = 8
+ND_PLANES_PER_BAND = 4
 
 
-def _plane_weights() -> list[list[int]]:
+def _plane_weights(n_planes: int, salt: str = "p") -> list[list[int]]:
     """Deterministic ±1 hyperplane weights from md5 (public knowledge:
-    random-hyperplane LSH, Charikar 2002)."""
+    random-hyperplane LSH, Charikar 2002). ``n_planes`` scales the index:
+    bucket count is 2^n_planes, so for a corpus of n vectors choose
+    n_planes ~ log2(n / target_bucket_occupancy) to keep per-bucket pair
+    cost bounded as n grows."""
     ws = []
-    for p in range(N_PLANES):
+    for p in range(n_planes):
         row = []
         for d in range(DIM):
-            nib = int(hashlib.md5(f"p_{p}_{d}".encode()).hexdigest()[0], 16)
+            nib = int(hashlib.md5(f"{salt}_{p}_{d}".encode()).hexdigest()[0], 16)
             row.append(1 if nib >= 8 else -1)
         ws.append(row)
     return ws
 
 
-PLANES = _plane_weights()
+PLANES = _plane_weights(N_PLANES)
+# independent plane family for the near-dup bands (salted differently)
+ND_PLANES = _plane_weights(ND_BANDS * ND_PLANES_PER_BAND, salt="nd")
 
 
 def _emb_d(col: str = "embedding") -> Column:
@@ -95,32 +107,52 @@ def _sql_cos(a: str, b: str) -> str:
     return f"(CAST(FLOOR(({raw}) * 1000000.0) AS DOUBLE) / 1000000.0)"
 
 
-def _sql_proj(p: int, vec: str) -> str:
-    return "(" + " + ".join(f"({w}.0 * {vec}[{i + 1}])" for i, w in enumerate(PLANES[p])) + ")"
+def _sql_proj(p: int, vec: str, planes: list[list[int]] | None = None) -> str:
+    row = (planes or PLANES)[p]
+    return "(" + " + ".join(f"({w}.0 * {vec}[{i + 1}])" for i, w in enumerate(row)) + ")"
 
 
-def _sql_bucket(vec: str) -> str:
+def _sql_bucket(vec: str, plane_ids: list[int] | None = None, planes: list[list[int]] | None = None) -> str:
+    ids = plane_ids if plane_ids is not None else list(range(N_PLANES))
     return (
         "("
-        + " + ".join(f"(CASE WHEN {_sql_proj(p, vec)} > 0 THEN {1 << p} ELSE 0 END)" for p in range(N_PLANES))
+        + " + ".join(
+            f"(CASE WHEN {_sql_proj(p, vec, planes)} > 0 THEN {1 << j} ELSE 0 END)"
+            for j, p in enumerate(ids)
+        )
         + ")"
     )
 
 
-def _spark_proj_sql(p: int, vec: str) -> str:
-    # flat sum, same association order as the DuckDB twin in _sql_proj
-    return "(" + " + ".join(f"({w}.0D * element_at({vec}, {i + 1}))" for i, w in enumerate(PLANES[p])) + ")"
+def _planes_lit(planes: list[list[int]]) -> Column:
+    """The plane matrix as ONE array<array<double>> literal (a single Py4J
+    call). The earlier approach — baking every w*e[i] term into a parsed SQL
+    string — made the expression TREE O(planes × dims): at 32 planes the
+    one-time Catalyst analyze/codegen cost hit ~14 s per query build. A
+    literal matrix + higher-order functions keeps the tree O(1) in dims."""
+    return F.lit([[float(w) for w in row] for row in planes])
 
 
-def _spark_bucket(vec_name: str) -> Column:
-    """8-plane sign bucket as ONE parsed SQL expression. The equivalent
-    nested-Column construction is ~4k Py4J calls (512 terms × 8 planes) and
-    dominated wall-clock for this query's driver-side plan build."""
-    bits = " + ".join(
-        f"(CASE WHEN {_spark_proj_sql(p, vec_name)} > 0.0D THEN {1 << p} ELSE 0 END)"
-        for p in range(N_PLANES)
-    )
-    return F.expr(f"CAST(({bits}) AS BIGINT)")
+def _projections(e: Column, planes: list[list[int]]) -> Column:
+    """All plane projections of ``e`` as one array column.
+
+    Bit-identical to the oracle's flat ``w*e[1] + w*e[2] + ...`` chain: the
+    aggregate left-fold adds in the same element order, seeded with +0.0
+    (exact under IEEE-754), and per-element multiply order doesn't matter.
+    This is the same equivalence ``_dot`` vs ``_sql_dot`` already relies on."""
+    return F.transform(_planes_lit(planes), lambda p: _dot(p, e))
+
+
+def _bucket_from_projs(projs: Column, idxs: list[int]) -> Column:
+    """Sign bucket (bit j set iff projection idxs[j] > 0) from a projections
+    array — a small expression over an already-materialized column, so it can
+    sit above a persist barrier without dragging the projection math into
+    every self-join side."""
+    bits = None
+    for j, i in enumerate(idxs):
+        bit = F.when(F.element_at(projs, i + 1) > 0.0, F.lit(1 << j)).otherwise(F.lit(0))
+        bits = bit if bits is None else bits + bit
+    return bits.cast("bigint")
 
 
 def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -146,17 +178,33 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH: 8-bit bucket per vector, then exact cosine only
-    within buckets — the O(n²)-avoiding scale path."""
+def ann_lsh_buckets(
+    spark: SparkSession, sf_dir: str, n_planes: int = N_PLANES, sim_threshold: float = 0.2
+) -> DataFrame:
+    """Random-hyperplane LSH: n_planes-bit bucket per vector, then exact
+    cosine only within buckets — the O(n²)-avoiding scale path.
+
+    ``n_planes`` sizes the index: 2^n_planes buckets, so per-bucket pair cost
+    is O((n / 2^n_planes)²) per bucket. To hold bucket occupancy constant as
+    the corpus grows, scale n_planes ~ log2(n) (e.g. 8 planes for 10k
+    vectors, ~18 for 10M, ~28 for 10B). The registered query keeps the
+    default so the baked-literal oracle stays identical."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", _emb_d().alias("e"))
     from pyspark import StorageLevel
 
-    bucketed = emb.select(
-        "vec_id", "e", _spark_bucket("e").alias("bucket"), _norm(F.col("e")).alias("nrm")
+    planes = PLANES if n_planes == N_PLANES else _plane_weights(n_planes)
+    projected = emb.select(
+        "vec_id",
+        "e",
+        _projections(F.col("e"), planes).alias("projs"),
+        _norm(F.col("e")).alias("nrm"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    # persisted: the 512-term bucket projection and the norm are computed once
-    # per vector, not once per self-join side / per pair
+    bucketed = projected.select(
+        "vec_id", "e", _bucket_from_projs(F.col("projs"), list(range(n_planes))).alias("bucket"), "nrm"
+    )
+    # persist barrier: projections and norms are computed once per vector,
+    # not once per self-join side / per pair; the bucket bits above it are
+    # cheap CASEs over the cached projs
     a, b = bucketed.alias("a"), bucketed.alias("b")
     return (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")))
@@ -166,27 +214,87 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.vec_id").alias("vec_b"),
             _cos_prenorm(F.col("a.e"), F.col("b.e"), F.col("a.nrm"), F.col("b.nrm")).alias("cos_sim"),
         )
-        .filter(F.col("cos_sim") >= 0.2)
+        .filter(F.col("cos_sim") >= sim_threshold)
     )
 
 
-def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup detection: base vectors (vec_id < 200) plus derived
-    affine-perturbed copies; pairs with cosine ≥ 0.8. All-pairs on the
-    bounded sub-corpus (the verify stage; LSH is the candidate stage)."""
+def _neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Base vectors (vec_id < NEARDUP_IDS) plus derived affine-perturbed
+    copies — the shared near-dup fixture corpus."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", _emb_d().alias("e"))
     base = emb.filter(F.col("vec_id") < NEARDUP_IDS)
     derived = base.select(
         (F.col("vec_id") + DERIVED_OFFSET).alias("vec_id"),
         F.transform(F.col("e"), lambda x: x * 0.9 + 0.01).alias("e"),
     )
+    return base.unionByName(derived).withColumn("nrm", _norm(F.col("e")))
+
+
+def _nd_band_ids(band: int) -> list[int]:
+    return list(range(band * ND_PLANES_PER_BAND, (band + 1) * ND_PLANES_PER_BAND))
+
+
+def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup detection, composed the scale-honest way:
+    banded-LSH candidate generation → exact cosine verify (≥ 0.8).
+
+    Stage 1 (candidates): each vector hashes into ND_BANDS buckets (one per
+    band of ND_PLANES_PER_BAND hyperplanes); candidate pairs are vectors
+    sharing a bucket in ANY band — an equi-self-join on (band, bucket), never
+    an all-pairs nested loop. Stage 2 (verify): distinct candidate pairs
+    re-join the corpus for the exact cosine. At 100 TB the candidate join is
+    a plain shuffle join keyed on (band, bucket) and pair cost is bounded by
+    bucket occupancy; add bands for recall, planes-per-band for precision.
+
+    The DuckDB oracle computes the SAME banded candidates (baked-literal
+    plane weights), so parity is by construction; recall vs the all-pairs
+    ground truth is exact on the fixture (see test_neardup_lsh_recall —
+    qualifying pairs sit at cos >= 0.996 where band miss probability ~2e-8).
+    """
     from pyspark import StorageLevel
 
     corpus = (
-        base.unionByName(derived)
-        .withColumn("nrm", _norm(F.col("e")))
+        _neardup_corpus(spark, sf_dir)
+        .withColumn("projs", _projections(F.col("e"), ND_PLANES))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # band buckets are cheap bit-CASEs over the cached projections; posexplode
+    # fans each vector into its ND_BANDS (band, bucket) rows
+    buckets = F.array(
+        *[_bucket_from_projs(F.col("projs"), _nd_band_ids(b)) for b in range(ND_BANDS)]
+    )
+    hashed = corpus.select("vec_id", F.posexplode(buckets).alias("band", "bucket"))
+    a, b = hashed.alias("a"), hashed.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    va = corpus.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"), F.col("nrm").alias("na"))
+    vb = corpus.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"), F.col("nrm").alias("nb"))
+    return (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            _cos_prenorm(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.8)
+    )
+
+
+def embedding_cosine_neardup_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs ground truth for the near-dup fixture (test-only: recall
+    oracle for the LSH-composed query; O(n²), bounded sub-corpus)."""
+    from pyspark import StorageLevel
+
+    corpus = _neardup_corpus(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
     a, b = corpus.alias("a"), corpus.alias("b")
     return (
         a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id"))
@@ -203,24 +311,36 @@ N_CENTROIDS = 16
 N_PROBE = 2
 
 
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_ivf_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    n_centroids: int = N_CENTROIDS,
+    n_probe: int = N_PROBE,
+) -> DataFrame:
     """IVF (inverted-file) ANN: coarse quantizer → inverted lists → probe.
 
-    The coarse quantizer is the first N_CENTROIDS vectors (deterministic
+    The coarse quantizer is the first ``n_centroids`` vectors (deterministic
     seed centroids; production would k-means these — the *index structure*
     is identical). Every vector is assigned to its nearest centroid by
     cosine (argmax with centroid-id tie-break) = the inverted lists; a query
-    probes its N_PROBE nearest centroids and ranks only those lists'
+    probes its ``n_probe`` nearest centroids and ranks only those lists'
     vectors — the corpus scan per query drops from O(n) to
     O(n·nprobe/n_centroids).
 
-    Scale shape: assignment is a broadcast (16 centroids) cross-score — one
-    map-side pass; the probe join is keyed on centroid id, so at 100 TB the
-    inverted lists are just a table bucketed by cid. No O(n²) anywhere."""
+    Sizing: per-list occupancy is n/n_centroids, so scale
+    n_centroids ~ sqrt(n) (the standard IVF rule: 16 for 10k vectors, ~3k
+    for 10M, ~100k for 10B) to keep probe cost O(sqrt(n)) per query. The
+    registered query keeps the default so the oracle stays identical.
+
+    Scale shape: assignment is a broadcast (n_centroids rows) cross-score —
+    one map-side pass; the probe join is keyed on centroid id, so at 100 TB
+    the inverted lists are just a table bucketed by cid. Only the *query set*
+    (a small filtered slice) and the centroid table are ever broadcast —
+    never the corpus. No O(n²) anywhere."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _emb_d().alias("e"), _norm(_emb_d()).alias("nrm")
     )
-    cents = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+    cents = emb.filter(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").alias("cid"), F.col("e").alias("ce"), F.col("nrm").alias("cn")
     )
     scored = F.broadcast(cents).join(emb, how="cross").select(
@@ -232,11 +352,15 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = scored.withColumn("rn", F.row_number().over(w_assign))
     assign = ranked.filter(F.col("rn") == 1).select("vec_id", "cid")
     probes = (
-        ranked.filter((F.col("vec_id") % 100 == 0) & (F.col("rn") <= N_PROBE))
+        ranked.filter((F.col("vec_id") % 100 == 0) & (F.col("rn") <= n_probe))
         .select(F.col("vec_id").alias("q_id"), "cid")
     )
     cand = F.broadcast(probes).join(assign, "cid").filter(F.col("q_id") != F.col("vec_id"))
-    q_side = emb.select(F.col("vec_id").alias("q_id"), F.col("e").alias("qe"), F.col("nrm").alias("qn"))
+    # broadcast ONLY the query slice (vec_id % 100 == 0), never the corpus:
+    # at 100× data the corpus side would be a driver/executor OOM
+    q_side = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("e").alias("qe"), F.col("nrm").alias("qn")
+    )
     pair = (
         cand.join(F.broadcast(q_side), "q_id")
         .join(emb, "vec_id")
@@ -315,9 +439,24 @@ WHERE rank <= 5
 WITH base AS (SELECT vec_id, {_SQL_EMB} AS e FROM embeddings WHERE vec_id < {NEARDUP_IDS}),
 derived AS (SELECT vec_id + {DERIVED_OFFSET} AS vec_id,
                    list_transform(e, x -> x * 0.9 + 0.01) AS e FROM base),
-corpus AS (SELECT * FROM base UNION ALL SELECT * FROM derived)
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_sql_cos('a.e', 'b.e')} AS cos_sim
-FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
-WHERE {_sql_cos('a.e', 'b.e')} >= 0.8
+corpus AS (SELECT * FROM base UNION ALL SELECT * FROM derived),
+hashed AS (
+"""
+    + "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, {band} AS band, {_sql_bucket('e', _nd_band_ids(band), ND_PLANES)} AS bucket FROM corpus"
+        for band in range(ND_BANDS)
+    )
+    + f"""
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM hashed a JOIN hashed b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT c.vec_a, c.vec_b, {_sql_cos('va.e', 'vb.e')} AS cos_sim
+FROM cand c
+JOIN corpus va ON va.vec_id = c.vec_a
+JOIN corpus vb ON vb.vec_id = c.vec_b
+WHERE {_sql_cos('va.e', 'vb.e')} >= 0.8
 """,
 }
