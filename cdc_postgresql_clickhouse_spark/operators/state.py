@@ -120,21 +120,95 @@ def apply_changes(
     return merged.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
 
 
-def read_state(spark: SparkSession, path: str) -> DataFrame | None:
+BUCKET_COL = "__bucket"
+
+
+def _bucket_expr(key_cols: tuple[str, ...], n_buckets: int):
+    return F.pmod(F.xxhash64(*key_cols), F.lit(n_buckets))
+
+
+def read_state(
+    spark: SparkSession, path: str, buckets: list[int] | None = None
+) -> DataFrame | None:
+    """Read the state table. ``buckets`` prunes a bucketed layout to the given
+    key-hash buckets (partition pruning: only those directories are scanned —
+    the read is O(touched buckets), not O(state))."""
     try:
-        return spark.read.parquet(path)
+        df = spark.read.parquet(path)
     except Exception:
         return None  # first batch: no state yet
+    if BUCKET_COL in df.columns:
+        if buckets is not None:
+            df = df.filter(F.col(BUCKET_COL).isin(buckets))
+        df = df.drop(BUCKET_COL)
+    return df
 
 
-def write_state(state: DataFrame, path: str, key_buckets: int | None = None) -> None:
-    """Materialize merged state. Overwrite-by-rewrite on parquet; on Delta
-    this becomes MERGE + OPTIMIZE. ``key_buckets`` repartitions by key hash
-    so a cluster rewrite only touches dirty buckets."""
-    out = state
+def write_state(
+    state: DataFrame,
+    path: str,
+    key_buckets: int | None = None,
+    key_cols: tuple[str, ...] = DEFAULT_KEY,
+    dynamic_overwrite: bool = False,
+) -> None:
+    """Materialize merged state. ``key_buckets`` lays the table out as
+    ``__bucket=K`` partition directories keyed on ``pmod(xxhash64(key), N)``
+    — the unit of incremental rewrite. With ``dynamic_overwrite`` only the
+    partitions PRESENT in ``state`` are replaced (Spark dynamic partition
+    overwrite); untouched bucket directories are left byte-identical. On
+    Delta this whole function becomes MERGE + OPTIMIZE."""
     if key_buckets:
-        out = state.repartition(key_buckets, *DEFAULT_KEY)
-    out.write.mode("overwrite").parquet(path)
+        out = state.withColumn(BUCKET_COL, _bucket_expr(key_cols, key_buckets))
+        # keyed repartition → each bucket lands in one task → one file/bucket
+        out = out.repartition(F.col(BUCKET_COL))
+        (
+            out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic" if dynamic_overwrite else "static")
+            .partitionBy(BUCKET_COL)
+            .parquet(path)
+        )
+    else:
+        state.write.mode("overwrite").parquet(path)
+
+
+def upsert_changes_bucketed(
+    spark: SparkSession,
+    updates: DataFrame,
+    path: str,
+    key_buckets: int,
+    key_cols: tuple[str, ...] = DEFAULT_KEY,
+    version_cols: tuple[str, ...] = DEFAULT_VERSION_ORDER,
+) -> list[int]:
+    """Dirty-bucket incremental upsert: merge ``updates`` into a bucketed
+    state table rewriting ONLY the buckets containing updated keys.
+
+    Per-batch work is O(touched buckets + batch), not O(state) — the 100 TB
+    posture for a 500 ms micro-batch cadence. This is the Spark-parquet form
+    of the reference's background part-merge (``clickhouse_schemas.sql:11``,
+    ``README.md:59-62``); on Delta it is ``MERGE INTO`` and the bucket
+    machinery disappears.
+
+    Steps: (1) bucket the batch keys and collect the distinct bucket ids —
+    driver-side but bounded by ``key_buckets``, never by data; (2) read ONLY
+    those bucket partitions (partition-pruned scan); (3) localCheckpoint the
+    pruned state so the subsequent overwrite does not read from the path it
+    writes (and to cut the plan lineage); (4) arg-max merge; (5) dynamic
+    partition overwrite of exactly the touched buckets.
+
+    Returns the touched bucket ids (for tests/observability).
+    """
+    upd = updates.withColumn(BUCKET_COL, _bucket_expr(key_cols, key_buckets))
+    touched = sorted(
+        r[0] for r in upd.select(BUCKET_COL).distinct().collect()
+    )
+    if not touched:
+        return []
+    state = read_state(spark, path, buckets=touched)
+    if state is not None:
+        state = state.localCheckpoint(eager=True)
+    merged = apply_changes(state, upd.drop(BUCKET_COL), key_cols, version_cols)
+    write_state(merged, path, key_buckets=key_buckets, key_cols=key_cols, dynamic_overwrite=True)
+    return touched
 
 
 def compact_state(
@@ -142,22 +216,33 @@ def compact_state(
 ) -> None:
     """The OPTIMIZE / background-merge analogue (ClickHouse merges parts
     continuously; ``OPTIMIZE TABLE ... DEDUPLICATE`` forces it,
-    /root/reference/README.md:310). Micro-batch upserts leave one file-set
-    per batch; compaction rewrites the state into ``key_buckets`` key-hashed
-    files, restoring scan locality and making subsequent merges touch fewer
-    files. Run out-of-band (the streaming query keeps working either way) —
-    on Delta this maps to OPTIMIZE + ZORDER and needs no read-block."""
+    /root/reference/README.md:310). Rewrites the state into ``key_buckets``
+    key-hashed partition directories (one file per bucket), restoring scan
+    locality and making subsequent dirty-bucket merges touch fewer files.
+
+    Concurrency contract: NOT safe to run concurrently with a live upsert on
+    the same path — both are read-modify-rewrite, so a batch committing
+    between this read and the final swap would be lost (and ClickHouse's
+    OPTIMIZE takes a part-level lock for the same reason). Stop the streaming
+    query, or serialize via an external lock. Crash safety: the compacted
+    copy is fully written to a temp directory first, then the old state is
+    moved aside (not deleted) before the temp is renamed in — no step ever
+    deletes the only complete copy, so a crash at any point leaves either the
+    old or the new state recoverable on disk. On Delta this maps to
+    OPTIMIZE + ZORDER, is ACID, and needs no coordination."""
+    import os
+    import shutil
+
     state = read_state(spark, path)
     if state is None:
         return
     tmp = f"{path}.compact-tmp"
-    write_state(state, tmp, key_buckets=key_buckets)
-    import shutil
-
-    shutil.rmtree(path, ignore_errors=True)
-    import os
-
-    os.rename(tmp, path)
+    old = f"{path}.compact-old"
+    write_state(state.localCheckpoint(eager=True), tmp, key_buckets=key_buckets)
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(tmp, path)  # crash before this: complete copies at both tmp+old
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def consistency_check(source: DataFrame, replica: DataFrame) -> bool:

@@ -216,8 +216,102 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: group-agg + HAVING against a global scalar subquery —
+    parts whose NATION_1-supplied spend exceeds 0.1% of the total. The scalar
+    total is an aggregate of the SAME per-part aggregate (computed once and
+    reused), attached as a broadcast cross join; the threshold compare stays
+    pure int64 (value_c * 1000 > total_c) — no float fraction ambiguity."""
+    supp_n1 = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice")
+    per_part = (
+        li.join(F.broadcast(supp_n1), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(_cents(F.col("l_extendedprice"))).alias("value_c"))
+    )
+    from pyspark import StorageLevel
+
+    per_part = per_part.persist(StorageLevel.MEMORY_AND_DISK)  # reused by the scalar total
+    total = per_part.agg(F.sum("value_c").alias("total_c"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("value_c") * 1000 > F.col("total_c"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            (F.col("value_c").cast("double") / F.lit(100.0)).alias("part_value"),
+        )
+    )
+
+
+def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: fact-fact join + two-bucket conditional counts —
+    late lines (shipped > 60 days after order date) per line status, split by
+    order priority (URGENT/HIGH vs the rest). l_linestatus stands in for the
+    missing l_shipmode. One shuffle (the orderkey join); the aggregate is
+    all conditional int sums, map-side partial."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_linestatus", "l_shipdate")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+def q20_bolt_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: the nested semi-join — NATION_1 suppliers that shipped
+    more than 50 units of some bolt part during 1997. The correlated
+    quantity subquery becomes a per-(supplier, part) aggregate over the
+    pre-filtered fact; suppliers attach via LEFT SEMI join (no row
+    multiplication), then the nation filter broadcasts. lineitem is shuffled
+    once, on the pair key."""
+    bolts = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%bolt%"))
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    qual_supp = (
+        li.join(F.broadcast(bolts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(_cents(F.col("l_quantity"))).alias("qty_c"))
+        .filter(F.col("qty_c") > 50 * 100)
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation1 = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    return (
+        supp.join(qual_supp, supp.s_suppkey == qual_supp.l_suppkey, "left_semi")
+        .join(F.broadcast(nation1), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+    )
+
+
 QUERIES = {
     "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q11_important_parts": q11_important_parts,
+    "q12_priority_shipping": q12_priority_shipping,
+    "q20_bolt_suppliers": q20_bolt_suppliers,
     "q7_nation_volume": q7_nation_volume,
     "q8_market_share": q8_market_share,
     "q9_product_profit": q9_product_profit,
@@ -228,6 +322,44 @@ QUERIES = {
 _REV_U = "CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))"
 
 ORACLE = {
+    "q11_important_parts": """
+WITH per AS (
+  SELECT l_partkey, SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS value_c
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_1'
+  GROUP BY 1
+)
+SELECT l_partkey AS p_partkey, CAST(value_c AS DOUBLE) / 100.0 AS part_value
+FROM per
+WHERE value_c * 1000 > (SELECT SUM(value_c) FROM per)
+""",
+    "q12_priority_shipping": """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY 1
+""",
+    "q20_bolt_suppliers": """
+SELECT s_suppkey, s_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_1'
+  AND s_suppkey IN (
+    SELECT l_suppkey
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_name LIKE '%bolt%'
+      AND l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY l_suppkey, l_partkey
+    HAVING SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) > 5000
+  )
+""",
     "q2_min_cost_supplier": """
 WITH per_supp AS (
   SELECT p_partkey, p_brand, l_suppkey,

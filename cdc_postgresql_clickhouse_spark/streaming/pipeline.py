@@ -20,11 +20,12 @@ plan (survey §3.1):
   aggregation, so Spark keeps **no** streaming state; per-key state lives in
   the state table itself (ST3), the 100 TB posture.
 
-Read-after-write caveat: the parquet state path is rewritten per batch
-(temp + swap), so a *lazy* DataFrame previously read from it becomes invalid
-once a new batch lands — re-read the path after updates. On Delta the swap
-is replaced by ACID ``MERGE INTO`` and snapshot isolation removes the caveat;
-this mirrors ClickHouse where un-FINAL reads race background merges.
+Read-after-write caveat: dirty bucket partitions of the state path are
+rewritten per batch (dynamic partition overwrite), so a *lazy* DataFrame
+previously read from it becomes invalid once a new batch touches the same
+buckets — re-read the path after updates. On Delta the overwrite is replaced
+by ACID ``MERGE INTO`` and snapshot isolation removes the caveat; this
+mirrors ClickHouse where un-FINAL reads race background merges.
 """
 
 from __future__ import annotations
@@ -33,12 +34,10 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from cdc_postgresql_clickhouse_spark.operators.cdc_transform import changes_to_state_updates
-from cdc_postgresql_clickhouse_spark.operators.state import (
-    apply_changes,
-    read_state,
-    write_state,
-)
+from cdc_postgresql_clickhouse_spark.operators.state import upsert_changes_bucketed
 from cdc_postgresql_clickhouse_spark.sources.envelope import ENVELOPE_SCHEMA
+
+DEFAULT_KEY_BUCKETS = 16
 
 
 def run_cdc_pipeline(
@@ -49,6 +48,7 @@ def run_cdc_pipeline(
     trigger_processing_time: str | None = None,
     available_now: bool = True,
     dlq_path: str | None = None,
+    key_buckets: int = DEFAULT_KEY_BUCKETS,
 ) -> None:
     """Run the end-to-end CDC pipeline over a directory of envelope JSON files.
 
@@ -59,7 +59,17 @@ def run_cdc_pipeline(
     ``dlq_path``: when set, records that parse to no op code (malformed or
     non-envelope JSON) are appended there with the whole-record JSON
     preserved for replay-after-fix, instead of being silently dropped — a
-    poisoned message must never stall or silently thin the stream.
+    poisoned message must never stall or silently thin the stream. The split
+    happens inside the SAME micro-batch as the upsert (one source scan, two
+    sinks, every trigger — continuous mode included); DLQ appends are
+    at-least-once under batch retry, which is safe for a quarantine log.
+
+    ``key_buckets``: the state table is laid out as key-hash bucket
+    partitions and each micro-batch rewrites ONLY the buckets containing
+    that batch's keys — per-batch work is O(touched buckets + batch), not
+    O(state). Size it so a bucket ~ an executor-comfortable rewrite unit
+    (at 100 TB state: thousands of buckets). On Delta the bucket machinery
+    is replaced by ``MERGE INTO`` (ACID, no swap needed).
     """
     from pyspark.sql.types import StringType, StructField, StructType
 
@@ -68,38 +78,24 @@ def run_cdc_pipeline(
         [*ENVELOPE_SCHEMA.fields, StructField("_corrupt_record", StringType())]
     )
     raw = spark.readStream.schema(schema_with_corrupt).json(envelope_dir)
-    stream = raw.filter(F.col("op").isNotNull()).drop("_corrupt_record")
-    if dlq_path:
-        dead = raw.filter(F.col("op").isNull()).select(
-            F.coalesce(F.col("_corrupt_record"), F.to_json(F.struct("*"))).alias("raw_value"),
-            F.lit("unparseable envelope or missing op").alias("dlq_reason"),
-        )
-        (
-            dead.writeStream.format("json")
-            .option("path", dlq_path)
-            .option("checkpointLocation", f"{checkpoint_dir}-dlq")
-            .trigger(availableNow=True)
-            .start()
-            .awaitTermination()
-        )
-    updates_stream = changes_to_state_updates(stream)
 
     def upsert_batch(batch_df, batch_id: int) -> None:
-        # Write-to-temp + swap: never overwrite the path being read, and no
-        # driver-side collect — the merge stays fully distributed. On Delta
-        # this whole function is `MERGE INTO state USING batch_df ON key
-        # WHEN MATCHED AND s.version > t.version ...` (ACID, no swap needed).
-        import os
-        import shutil
+        # One scan of the batch, split to two sinks: dead letters append to
+        # the DLQ, valid envelopes merge into the bucketed state table.
+        is_dead = F.col("op").isNull()
+        if dlq_path:
+            dead = batch_df.filter(is_dead).select(
+                F.coalesce(F.col("_corrupt_record"), F.to_json(F.struct("*"))).alias(
+                    "raw_value"
+                ),
+                F.lit("unparseable envelope or missing op").alias("dlq_reason"),
+            )
+            dead.write.mode("append").json(dlq_path)
+        valid = batch_df.filter(~is_dead).drop("_corrupt_record")
+        updates = changes_to_state_updates(valid)
+        upsert_changes_bucketed(spark, updates, state_path, key_buckets=key_buckets)
 
-        state = read_state(spark, state_path)
-        merged = apply_changes(state, batch_df)
-        tmp = f"{state_path}.tmp-{batch_id}"
-        write_state(merged, tmp)
-        shutil.rmtree(state_path, ignore_errors=True)
-        os.rename(tmp, state_path)
-
-    writer = updates_stream.writeStream.foreachBatch(upsert_batch).option(
+    writer = raw.writeStream.foreachBatch(upsert_batch).option(
         "checkpointLocation", checkpoint_dir
     )
     if available_now:

@@ -67,10 +67,10 @@ def test_compact_state_preserves_rows(spark, sf_dir, tmp_path):
     state = snapshot_load(cust)
     # simulate many micro-batch file-sets: high partition count write
     state.repartition(16).write.mode("overwrite").parquet(path)
-    before_files = len(glob.glob(os.path.join(path, "part-*")))
+    before_files = len(glob.glob(os.path.join(path, "**", "part-*"), recursive=True))
     before = read_state(spark, path).count()
     compact_state(spark, path, key_buckets=4)
-    after_files = len(glob.glob(os.path.join(path, "part-*")))
+    after_files = len(glob.glob(os.path.join(path, "**", "part-*"), recursive=True))
     after_df = read_state(spark, path)
     assert after_df.count() == before
     assert after_files < before_files
