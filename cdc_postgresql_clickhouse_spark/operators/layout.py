@@ -81,7 +81,18 @@ def salted_join(
 
     Use when one side is small enough to replicate but too big to broadcast,
     and the key histogram is too spiked for AQE's split-based skew join.
-    Result is row-identical to ``big.join(small, on, how)``."""
+
+    Result is row-identical to ``big.join(small, on, how)`` for the
+    big-side-preserving joins only: an unmatched small-side key would emit
+    one row per salt replica under ``right``/``full``/``right_semi``, so
+    those are rejected rather than silently multiplied."""
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "semi",
+               "left_anti", "leftanti", "anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} would duplicate unmatched small-side rows "
+            f"(one per salt replica); use one of {sorted(allowed)}"
+        )
     salted_big = big.withColumn("__salt", _row_salt(big, n_salts))
     replicated = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

@@ -45,11 +45,15 @@ def hstore_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregated per event_type (map parse and lookups stay JVM-side)."""
     ev = load_table(spark, sf_dir, "events")
     m = hstore_json_to_map("props")
+    # NULL guard: size() under legacy sizeOfNull returns -1 (not NULL) for a
+    # NULL map, while the oracle's len(json_keys(...)) is NULL and drops out
+    # of SUM — make a NULL/malformed props row contribute NULL on both engines
+    n_keys = F.when(m.isNotNull(), F.size(F.map_keys(m)))
     return (
         ev.select(
             "event_type",
             F.element_at(m, F.lit("k")).cast("long").alias("k"),
-            F.size(F.map_keys(m)).alias("n_keys"),
+            n_keys.alias("n_keys"),
         )
         .groupBy("event_type")
         .agg(

@@ -18,7 +18,6 @@ where event-time semantics *are* wanted:
 from __future__ import annotations
 
 from collections.abc import Iterator
-from typing import Any
 
 import pandas as pd
 
@@ -79,21 +78,32 @@ def stateful_max_version_dedup(events: DataFrame) -> DataFrame:
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        # vectorized per Arrow batch: after an ascending sort, a row advances
+        # the max iff it exceeds the carried-in max AND differs from its
+        # predecessor (strictly-increasing filter) — no per-row Python loop
         max_v = state.get[0] if state.exists else -1
-        out_rows: list[dict[str, Any]] = []
+        frames: list[pd.DataFrame] = []
         for pdf in pdfs:
-            for _, row in pdf.sort_values("event_id").iterrows():
-                if row["event_id"] > max_v:
-                    max_v = int(row["event_id"])
-                    out_rows.append(
+            pdf = pdf.sort_values("event_id")
+            ids = pdf["event_id"]
+            newer = ids.gt(max_v) & (ids.diff().fillna(float("inf")).gt(0))
+            sel = pdf.loc[newer]
+            if len(sel):
+                max_v = int(sel["event_id"].iloc[-1])
+                frames.append(
+                    pd.DataFrame(
                         {
-                            "user_id": int(row["user_id"]),
-                            "version": max_v,
-                            "event_type": row["event_type"],
+                            "user_id": sel["user_id"].astype("int64"),
+                            "version": sel["event_id"].astype("int64"),
+                            "event_type": sel["event_type"],
                         }
                     )
+                )
         state.update((max_v,))
-        yield pd.DataFrame(out_rows, columns=out_cols)
+        if frames:
+            yield pd.concat(frames, ignore_index=True)[out_cols]
+        else:
+            yield pd.DataFrame(columns=out_cols)
 
     return events.groupBy("user_id").applyInPandasWithState(
         update,

@@ -1,6 +1,7 @@
 """Unit tests for the Debezium wire-type decoders (functions/debezium.py):
 minimal- and fixed-length two's-complement decimal payloads, sign handling,
-the 8-byte guard, and hstore-as-JSON map decode."""
+wide (9-16 byte) high-precision payloads, the 16-byte guard + overflow
+detector, and hstore-as-JSON map decode."""
 
 from __future__ import annotations
 
@@ -10,6 +11,7 @@ from decimal import Decimal
 from pyspark.sql import functions as F
 
 from cdc_postgresql_clickhouse_spark.functions.debezium import (
+    debezium_decimal_overflow,
     decode_debezium_decimal,
     encode_debezium_unscaled,
     hstore_json_to_map,
@@ -45,11 +47,44 @@ def test_roundtrip_fixed_8_byte_encoding(spark):
         assert r.d == Decimal(r.unscaled).scaleb(-4), (r.unscaled, r.d)
 
 
-def test_payload_longer_than_8_bytes_is_null_not_garbage(spark):
-    too_big = base64.b64encode((2**70).to_bytes(9, "big", signed=True)).decode()
-    df = spark.createDataFrame([(too_big,)], "payload string")
-    row = df.select(decode_debezium_decimal("payload", scale=0).alias("d")).first()
-    assert row.d is None
+def test_wide_payloads_decode_exactly(spark):
+    """PostgreSQL NUMERIC beyond 64 bits (precision 19-38) must decode, not
+    silently null — the ADVICE-flagged silent-data-loss mode."""
+    cases = [
+        2**70,
+        -(2**70),
+        10**30 + 7,
+        -(10**30 + 7),
+        10**37,
+        -(10**37),
+        2**127 - 10**38 + 1,  # still > decimal(38) → expect None
+    ]
+    rows = [(str(i), _b64_minimal(v), str(v)) for i, v in enumerate(cases)]
+    df = spark.createDataFrame(rows, "id string, payload string, expected string")
+    out = df.select(
+        "expected", decode_debezium_decimal("payload", scale=0).alias("d")
+    ).collect()
+    for r in out:
+        exp = int(r.expected)
+        if abs(exp) < 10**38:
+            assert r.d == Decimal(exp), (exp, r.d)
+        else:
+            assert r.d is None
+
+
+def test_overflow_detector_flags_unrepresentable(spark):
+    ok = _b64_minimal(10**30)
+    too_wide = base64.b64encode((2**200).to_bytes(26, "big", signed=True)).decode()
+    beyond_38 = _b64_minimal(2**127 - 1)  # 16 bytes but > decimal(38)
+    df = spark.createDataFrame(
+        [("ok", ok), ("wide", too_wide), ("big", beyond_38), ("nul", None)],
+        "tag string, payload string",
+    )
+    got = {
+        r.tag: r.o
+        for r in df.select("tag", debezium_decimal_overflow("payload").alias("o")).collect()
+    }
+    assert got == {"ok": False, "wide": True, "big": True, "nul": False}
 
 
 def test_hstore_json_to_map(spark):
