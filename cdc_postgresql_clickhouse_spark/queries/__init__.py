@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from cdc_postgresql_clickhouse_spark.queries import (
     cdc,
+    corpus,
     debezium_types,
     dedup,
     events,
@@ -28,7 +29,10 @@ from cdc_postgresql_clickhouse_spark.queries import (
     tpch_more,
 )
 
-_MODULES = (cdc, tpch, tpch_ext, tpch_more, events, text, dedup, similarity, skew, debezium_types)
+_MODULES = (
+    cdc, tpch, tpch_ext, tpch_more, events, text, dedup, similarity, skew,
+    debezium_types, corpus,
+)
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,132 @@
+"""Corpus-level training-data analytics: cross-modal retrieval joins and
+training-mix reports over the documents + embeddings tables.
+
+These are the queries a data-curation pipeline runs between dedup and
+training: "what's in the corpus, per source/language", "how much of each
+source is duplicated", and "retrieve nearest documents WITH their metadata"
+(ANN join back to the catalog — the retrieval-augmentation shape).
+
+Scale posture: metadata joins broadcast the document catalog projection
+(id + two small strings); the ANN stage is the existing bruteforce/IVF
+machinery; aggregates are map-side partial with one shuffle on the group
+key. Everything is builtin-only (codegen) with DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_postgresql_clickhouse_spark.functions.text import tokens
+from cdc_postgresql_clickhouse_spark.queries.dedup import _SQL_TOKENS
+from cdc_postgresql_clickhouse_spark.queries.similarity import (
+    ORACLE as _SIM_ORACLE,
+    ann_bruteforce_topk,
+)
+from cdc_postgresql_clickhouse_spark.queries.text import _trunc6
+from cdc_postgresql_clickhouse_spark.sources.registry import load_table
+
+
+def crossmodal_doc_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval join: top-3 cosine neighbors per query vector, enriched with
+    both sides' document metadata (language, source) — ANN output joined back
+    to the catalog, the lookup a RAG/curation pipeline does after retrieval.
+    The catalog projection (doc_id, lang, source) broadcasts; the ANN stage
+    is ``ann_bruteforce_topk`` (the exactness baseline — swap in the IVF
+    variant at scale, same join shape)."""
+    ann = ann_bruteforce_topk(spark, sf_dir).filter(F.col("rank") <= 3)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    dq = docs.select(F.col("doc_id").alias("q_id"), F.col("lang").alias("q_lang"))
+    dn = docs.select(
+        F.col("doc_id").alias("neighbor_id"),
+        F.col("lang").alias("n_lang"),
+        F.col("source").alias("n_source"),
+    )
+    return (
+        ann.join(F.broadcast(dq), "q_id")
+        .join(F.broadcast(dn), "neighbor_id")
+        .select("q_id", "neighbor_id", "cos_sim", "rank", "q_lang", "n_lang", "n_source")
+    )
+
+
+def corpus_mix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix report: per (source, lang) document count, whitespace
+    token volume, character volume, truncated mean doc length, longest doc.
+    One scan, one shuffle on the 2-column group key."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "source",
+        "lang",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tok"),
+        F.length("text").cast("long").alias("n_char"),
+    )
+    return d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.sum("n_char").alias("total_chars"),
+        _trunc6(F.sum("n_char").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        F.max("n_tok").alias("max_tokens"),
+    )
+
+
+def corpus_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate rate per source: distinct content hashes vs raw docs —
+    the per-source health metric an ingestion pipeline alerts on. Content
+    hash is md5 of the raw text (identical hex in both engines); the
+    distinct count shuffles once on (source, hash) then folds."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_unique"),
+    )
+    return per.select(
+        "source",
+        "n_docs",
+        "n_unique",
+        _trunc6(
+            F.lit(1.0) - F.col("n_unique").cast("double") / F.col("n_docs").cast("double")
+        ).alias("dup_rate"),
+    )
+
+
+QUERIES = {
+    "crossmodal_doc_neighbors": crossmodal_doc_neighbors,
+    "corpus_mix_stats": corpus_mix_stats,
+    "corpus_dup_rate_by_source": corpus_dup_rate_by_source,
+}
+
+ORACLE = {
+    "crossmodal_doc_neighbors": f"""
+WITH ann AS ({_SIM_ORACLE["ann_bruteforce_topk"]})
+SELECT a.q_id, a.neighbor_id, a.cos_sim, a.rank,
+       dq.lang AS q_lang, dn.lang AS n_lang, dn.source AS n_source
+FROM ann a
+JOIN documents dq ON dq.doc_id = a.q_id
+JOIN documents dn ON dn.doc_id = a.neighbor_id
+WHERE a.rank <= 3
+""",
+    "corpus_mix_stats": f"""
+WITH d AS (
+  SELECT source, lang,
+         CAST(len({_SQL_TOKENS}) AS BIGINT) AS n_tok,
+         CAST(length(text) AS BIGINT) AS n_char
+  FROM documents
+)
+SELECT source, lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_char) AS BIGINT) AS total_chars,
+       CAST(FLOOR(CAST(SUM(n_char) AS DOUBLE) / COUNT(*) * 1000000.0) AS DOUBLE) / 1000000.0 AS avg_chars,
+       MAX(n_tok) AS max_tokens
+FROM d GROUP BY 1, 2
+""",
+    "corpus_dup_rate_by_source": """
+WITH per AS (
+  SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_unique
+  FROM documents GROUP BY 1
+)
+SELECT source, n_docs, n_unique,
+       CAST(FLOOR((1.0 - CAST(n_unique AS DOUBLE) / CAST(n_docs AS DOUBLE)) * 1000000.0) AS DOUBLE) / 1000000.0 AS dup_rate
+FROM per
+""",
+}

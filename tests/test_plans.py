@@ -114,3 +114,30 @@ def test_full_outer_preaggregates(spark, sf_dir):
     reuses the groupBy partitioning: at most 2 shuffles."""
     df = Q["full_outer_activity"](spark, sf_dir)
     assert shuffle_count(df) <= 2, formatted_plan(df)
+
+
+def test_q20_semi_join_no_row_multiplication(spark, sf_dir):
+    """The nested quantity subquery must attach as LEFT SEMI (existence),
+    never an inner join that could duplicate suppliers."""
+    plan = formatted_plan(Q["q20_bolt_suppliers"](spark, sf_dir))
+    assert "LeftSemi" in plan, plan
+    pf = " | ".join(pushed_filters(df := Q["q20_bolt_suppliers"](spark, sf_dir)) or [])
+    assert "l_shipdate" in pf and "p_name" in pf, pf
+
+
+def test_q11_scalar_total_broadcast(spark, sf_dir):
+    """The global total attaches as a broadcast of a 1-row aggregate; the
+    per-part aggregate is computed once (single lineitem scan pair at most)."""
+    df = Q["q11_important_parts"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    rs = read_schemas(df)
+    # lineitem scan reads only the 3 needed columns
+    assert rs and all("l_shipdate" not in s and "l_quantity" not in s for s in rs), rs
+
+
+def test_q12_single_shuffle_conditional_agg(spark, sf_dir):
+    """Fact-fact join on orderkey + a 2-group conditional aggregate: the only
+    exchanges are the join and the tiny final groupBy."""
+    df = Q["q12_priority_shipping"](spark, sf_dir)
+    assert shuffle_count(df) <= 3, formatted_plan(df)
