@@ -103,6 +103,26 @@ def events_sliding_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream interval join
+    (``streaming.joins.purchase_attribution_join``): per user, how many
+    (purchase, view-within-10-minutes-before) pairs and how many distinct
+    attributed purchases. The join shuffles both sides on user_id; the
+    interval predicate is evaluated post-join (in streaming it additionally
+    bounds state eviction)."""
+    from cdc_postgresql_clickhouse_spark.streaming.joins import purchase_attribution_join
+
+    ev = load_table(spark, sf_dir, "events")
+    pairs = purchase_attribution_join(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )
+    return pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("purchase_id").alias("n_attributed"),
+    )
+
+
 QUERIES = {
     "events_tumbling_5min": events_tumbling_5min,
     "events_sliding_10min": events_sliding_10min,
@@ -110,7 +130,19 @@ QUERIES = {
     "events_json_extract": events_json_extract,
 }
 
+QUERIES["events_purchase_attribution"] = events_purchase_attribution
+
 ORACLE = {
+    "events_purchase_attribution": """
+WITH v AS (SELECT user_id, ts AS view_ts, event_id AS view_id FROM events WHERE event_type = 'view'),
+p AS (SELECT user_id, ts AS purchase_ts, event_id AS purchase_id FROM events WHERE event_type = 'purchase')
+SELECT p.user_id, COUNT(*) AS n_pairs,
+       COUNT(DISTINCT p.purchase_id) AS n_attributed
+FROM p JOIN v ON v.user_id = p.user_id
+  AND v.view_ts >= p.purchase_ts - INTERVAL 10 MINUTE
+  AND v.view_ts <= p.purchase_ts
+GROUP BY 1
+""",
     "events_tumbling_5min": """
 SELECT CAST(FLOOR(CAST(FLOOR(epoch(ts)) AS BIGINT) / 300) * 300 AS BIGINT) AS bucket_start,
        event_type, COUNT(*) AS n_events,

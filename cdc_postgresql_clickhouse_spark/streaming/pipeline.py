@@ -49,6 +49,7 @@ def run_cdc_pipeline(
     available_now: bool = True,
     dlq_path: str | None = None,
     key_buckets: int = DEFAULT_KEY_BUCKETS,
+    max_files_per_trigger: int | None = None,
 ) -> None:
     """Run the end-to-end CDC pipeline over a directory of envelope JSON files.
 
@@ -77,7 +78,12 @@ def run_cdc_pipeline(
     schema_with_corrupt = StructType(
         [*ENVELOPE_SCHEMA.fields, StructField("_corrupt_record", StringType())]
     )
-    raw = spark.readStream.schema(schema_with_corrupt).json(envelope_dir)
+    reader = spark.readStream.schema(schema_with_corrupt)
+    if max_files_per_trigger:
+        # bounds per-batch work (and lets tests drive one file per batch);
+        # availableNow still drains the whole backlog, batch by batch
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.json(envelope_dir)
 
     def upsert_batch(batch_df, batch_id: int) -> None:
         # One scan of the batch, split to two sinks: dead letters append to

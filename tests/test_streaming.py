@@ -96,3 +96,39 @@ def test_pipeline_single_source_scan(spark, tmp_path):
     assert not os.path.exists(f"{ckpt}-dlq")  # old design: second stream + ckpt
     assert spark.read.json(dlq).count() == 1
     assert current_state(spark.read.parquet(state_path)).count() == 6
+
+
+def test_multi_batch_pipeline_incremental_buckets(spark, tmp_path):
+    """Through the REAL streaming path (one file per trigger): batch 2 only
+    rewrites the buckets its keys hash to; the final state still matches the
+    one-shot golden result."""
+    import glob
+
+    env_dir = str(tmp_path / "envelopes")
+    os.makedirs(env_dir)
+    events = golden_workload_envelopes()
+    with open(os.path.join(env_dir, "batch0.json"), "w") as f:
+        for e in events[:-1]:
+            f.write(json.dumps(e) + "\n")
+    state_path = str(tmp_path / "state")
+    run_cdc_pipeline(spark, env_dir, state_path, str(tmp_path / "ckpt"),
+                     max_files_per_trigger=1)
+
+    def snap():
+        return {
+            f: open(f, "rb").read()
+            for f in glob.glob(os.path.join(state_path, "__bucket=*", "part-*"))
+        }
+
+    before = snap()
+    # second file: ONE event (the last delete) — same checkpoint continues
+    with open(os.path.join(env_dir, "batch1.json"), "w") as f:
+        f.write(json.dumps(events[-1]) + "\n")
+    run_cdc_pipeline(spark, env_dir, state_path, str(tmp_path / "ckpt"),
+                     max_files_per_trigger=1)
+    after = snap()
+    changed = [f for f in before if f not in after or after[f] != before[f]]
+    # the single-key batch must touch at most one bucket's files
+    touched_dirs = {os.path.dirname(f) for f in changed}
+    assert len(touched_dirs) <= 1, touched_dirs
+    assert current_state(spark.read.parquet(state_path)).count() == 6
