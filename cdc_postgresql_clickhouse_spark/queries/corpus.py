@@ -31,8 +31,12 @@ def crossmodal_doc_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retrieval join: top-3 cosine neighbors per query vector, enriched with
     both sides' document metadata (language, source) — ANN output joined back
     to the catalog, the lookup a RAG/curation pipeline does after retrieval.
-    The catalog projection (doc_id, lang, source) broadcasts; the ANN stage
-    is ``ann_bruteforce_topk`` (the exactness baseline — swap in the IVF
+
+    Join direction matters at 100 TB: the ANN RESULT (queries × k rows) is
+    the small side and is what broadcasts; the document catalog — billions
+    of rows at scale — is only ever the probe side of a broadcast hash join
+    (one map-side pass, no catalog shuffle). The ANN stage is
+    ``ann_bruteforce_topk`` (the exactness baseline — swap in the IVF
     variant at scale, same join shape)."""
     ann = ann_bruteforce_topk(spark, sf_dir).filter(F.col("rank") <= 3)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
@@ -42,10 +46,9 @@ def crossmodal_doc_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang").alias("n_lang"),
         F.col("source").alias("n_source"),
     )
-    return (
-        ann.join(F.broadcast(dq), "q_id")
-        .join(F.broadcast(dn), "neighbor_id")
-        .select("q_id", "neighbor_id", "cos_sim", "rank", "q_lang", "n_lang", "n_source")
+    with_q = dq.join(F.broadcast(ann), "q_id")  # rows = |ann result|
+    return dn.join(F.broadcast(with_q), "neighbor_id").select(
+        "q_id", "neighbor_id", "cos_sim", "rank", "q_lang", "n_lang", "n_source"
     )
 
 

@@ -122,3 +122,30 @@ def test_arrival_order_invariance(spark, rows):
     fwd = apply_changes(None, _df(spark, rows))
     rev = apply_changes(None, _df(spark, list(reversed(rows))))
     assert _collect_state(fwd) == _collect_state(rev)
+
+
+@given(events_strategy, st.integers(min_value=1, max_value=3))
+@PROP_SETTINGS
+def test_bucketed_upsert_equals_one_shot(spark, tmp_path_factory, rows, n_batches):
+    """Dirty-bucket incremental upserts over ANY batch split produce the same
+    FINAL state as a single apply_changes over the whole multiset — the
+    storage-layout optimization must be invisible to the state algebra."""
+    from cdc_postgresql_clickhouse_spark.operators.state import (
+        read_state,
+        upsert_changes_bucketed,
+    )
+
+    path = str(tmp_path_factory.mktemp("bucketed") / "state")
+    # arbitrary contiguous split into n_batches
+    size = max(1, len(rows) // n_batches) if rows else 1
+    batches = [rows[i : i + size] for i in range(0, len(rows), size)] or [[]]
+    for batch in batches:
+        if batch:
+            upsert_changes_bucketed(spark, _df(spark, batch), path, key_buckets=4)
+    incremental = read_state(spark, path)
+    if not rows:
+        assert incremental is None
+        return
+    one_shot = apply_changes(None, _df(spark, rows))
+    assert consistency_check(one_shot, incremental)
+    assert incremental.count() == one_shot.count()
