@@ -53,6 +53,8 @@ HEADLINE = [
     "ann_lsh_buckets",
     "ann_ivf_topk",
     "embedding_cosine_neardup",
+    "corpus_decontaminate",
+    "embedding_quantize_int8",
 ]
 
 

@@ -27,11 +27,12 @@ from cdc_postgresql_clickhouse_spark.queries import (
     tpch,
     tpch_ext,
     tpch_more,
+    training,
 )
 
 _MODULES = (
     cdc, tpch, tpch_ext, tpch_more, events, text, dedup, similarity, skew,
-    debezium_types, corpus,
+    debezium_types, corpus, training,
 )
 
 

@@ -141,3 +141,25 @@ def test_q12_single_shuffle_conditional_agg(spark, sf_dir):
     exchanges are the join and the tiny final groupBy."""
     df = Q["q12_priority_shipping"](spark, sf_dir)
     assert shuffle_count(df) <= 3, formatted_plan(df)
+
+
+def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
+    """The benchmark gram set must attach as a broadcast hash join — never a
+    shuffle of the (huge at scale) train gram stream against it, and never a
+    nested loop."""
+    df = Q["corpus_decontaminate"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_quantize_int8_is_pure_map(spark, sf_dir):
+    """Per-vector quantization must be a zero-shuffle map job."""
+    df = Q["embedding_quantize_int8"](spark, sf_dir)
+    assert shuffle_count(df) == 0, formatted_plan(df)
+
+
+def test_shard_packing_reuses_source_partitioning(spark, sf_dir):
+    """The per-source cumsum window's exchange also satisfies the
+    (source, shard_id) groupBy: exactly one shuffle end-to-end."""
+    df = Q["corpus_shard_packing"](spark, sf_dir)
+    assert shuffle_count(df) == 1, formatted_plan(df)
