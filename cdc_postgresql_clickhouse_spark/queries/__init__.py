@@ -21,6 +21,7 @@ from cdc_postgresql_clickhouse_spark.queries import (
     debezium_types,
     dedup,
     events,
+    funnel,
     similarity,
     skew,
     text,
@@ -31,8 +32,8 @@ from cdc_postgresql_clickhouse_spark.queries import (
 )
 
 _MODULES = (
-    cdc, tpch, tpch_ext, tpch_more, events, text, dedup, similarity, skew,
-    debezium_types, corpus, training,
+    cdc, tpch, tpch_ext, tpch_more, events, funnel, text, dedup, similarity,
+    skew, debezium_types, corpus, training,
 )
 
 

@@ -163,3 +163,19 @@ def test_shard_packing_reuses_source_partitioning(spark, sf_dir):
     (source, shard_id) groupBy: exactly one shuffle end-to-end."""
     df = Q["corpus_shard_packing"](spark, sf_dir)
     assert shuffle_count(df) == 1, formatted_plan(df)
+
+
+def test_funnel_single_exchange(spark, sf_dir):
+    """The three chained conditional-MIN window passes and the final per-user
+    groupBy all share the user_id hash partitioning: one shuffle total."""
+    df = Q["funnel_windowed"](spark, sf_dir)
+    assert shuffle_count(df) == 1, formatted_plan(df)
+
+
+def test_grouped_topk_ranks_aggregated_rows_only(spark, sf_dir):
+    """The rank window must run over the aggregated (event_type, k) counts —
+    partial agg first — never a sort of the raw event stream."""
+    df = Q["grouped_topk_event_values"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "partial_count" in plan.lower() or "HashAggregate" in plan, plan
+    assert shuffle_count(df) <= 2, plan
