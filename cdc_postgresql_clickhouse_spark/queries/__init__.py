@@ -22,6 +22,7 @@ from cdc_postgresql_clickhouse_spark.queries import (
     dedup,
     events,
     funnel,
+    quality,
     similarity,
     skew,
     text,
@@ -32,8 +33,8 @@ from cdc_postgresql_clickhouse_spark.queries import (
 )
 
 _MODULES = (
-    cdc, tpch, tpch_ext, tpch_more, events, funnel, text, dedup, similarity,
-    skew, debezium_types, corpus, training,
+    cdc, tpch, tpch_ext, tpch_more, events, funnel, text, quality, dedup,
+    similarity, skew, debezium_types, corpus, training,
 )
 
 

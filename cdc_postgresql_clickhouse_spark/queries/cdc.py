@@ -128,6 +128,31 @@ def cdc_idempotent_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension view of the change stream: every
+    change becomes a versioned row with a [valid_from, valid_to) epoch
+    interval; the open interval (valid_to NULL) is the current row — the
+    history table a warehouse derives from the reference's change log
+    (clickhouse_schemas.sql:50-56 keeps every version for exactly this).
+
+    Plan: one shuffle on user_id; the lead() window and nothing else.
+    At scale the sort is per-key within hash partitions — no global sort."""
+    ev = load_table(spark, sf_dir, "events")
+    es = F.floor(F.unix_timestamp("ts")).cast("long")
+    w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    d = ev.select("user_id", "event_id", "event_type", "value", es.alias("es"))
+    out = d.withColumn("valid_to_es", F.lead("es").over(w))
+    return out.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        F.col("es").alias("valid_from_es"),
+        "valid_to_es",
+        F.when(F.col("valid_to_es").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_current"),
+    )
+
+
 QUERIES = {
     "cdc_current_state": cdc_current_state,
     "cdc_soft_delete_state": cdc_soft_delete_state,
@@ -135,6 +160,7 @@ QUERIES = {
     "cdc_epoch_micros_roundtrip": cdc_epoch_micros_roundtrip,
     "cdc_count_final": cdc_count_final,
     "cdc_idempotent_replay": cdc_idempotent_replay,
+    "cdc_scd2_history": cdc_scd2_history,
 }
 
 ORACLE = {
@@ -176,5 +202,18 @@ deduped AS (SELECT DISTINCT * FROM doubled)
 SELECT user_id, event_id AS last_event_id, event_type AS last_event_type
 FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
       FROM deduped) WHERE rn = 1
+""",
+    "cdc_scd2_history": """
+WITH d AS (
+  SELECT user_id, event_id, event_type, value,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS es
+  FROM events
+)
+SELECT user_id, event_id, event_type, value,
+       es AS valid_from_es,
+       lead(es) OVER (PARTITION BY user_id ORDER BY es, event_id) AS valid_to_es,
+       CASE WHEN lead(es) OVER (PARTITION BY user_id ORDER BY es, event_id) IS NULL
+            THEN 1 ELSE 0 END AS is_current
+FROM d
 """,
 }

@@ -1,0 +1,147 @@
+"""Document-quality filtering for training-data curation: Gopher-style
+per-document statistics with a pass/fail gate, and a regex policy scan —
+the filters an LLM data pipeline runs between ingestion and dedup
+(Rae et al. 2021 "Scaling Language Models" §A1.1 quality heuristics;
+Raffel et al. 2020 C4 filtering).
+
+Both queries are exact and oracle-checked. Tokenization is the shared
+``functions.text.tokens`` / ``_SQL_TOKENS`` pair (one definition per
+engine), so quality metrics, dedup shingles, and token counts all agree on
+what a "word" is.
+
+Scale posture:
+- ``quality_gopher_rules`` is explode -> count(doc, token) -> fold(doc):
+  two shuffles, both keyed and combiner-friendly (the (doc_id, token)
+  partial counts collapse map-side; the per-doc fold's state is five
+  longs). The explode fan-out is the token stream itself — the same volume
+  a tokenizer pass reads — never materialized to the driver.
+- ``text_regex_policy_scan`` is a pure map + one tiny fold on ``source``:
+  regexp_count runs inside codegen at scan speed; the scan reads only
+  (text, source).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_postgresql_clickhouse_spark.functions.text import STOPWORDS, tokens
+from cdc_postgresql_clickhouse_spark.queries.dedup import _SQL_TOKENS
+from cdc_postgresql_clickhouse_spark.queries.text import _trunc6
+from cdc_postgresql_clickhouse_spark.sources.registry import load_table
+
+# Gopher-style gate, pinned to named constants so the Spark and SQL sides
+# can't drift. Bounds chosen to actually partition the synthetic corpus
+# (word counts 10..99, distinct ratios .28..1.0, top-word fracs .05...30).
+MIN_WORDS = 30
+MAX_WORDS = 100_000
+MIN_DISTINCT_RATIO = 0.35
+MAX_TOP_WORD_FRAC = 0.15
+MIN_STOPWORDS = 1
+
+# Policy/contamination term scan (C4-style blocklist shape): word-bounded
+# alternation, identical RE2/Java-regex semantics, non-overlapping count.
+POLICY_PATTERN = r"\b(scan|merge|join)\b"
+
+
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality statistics + boolean gate: word count bounds,
+    distinct-word ratio (repetition proxy), top-word frequency fraction
+    (degenerate-repetition proxy), stopword presence (natural-language
+    proxy). All ratios FLOOR-truncated to 6 dp for cross-engine parity."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    tc = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("n"))
+    per = tc.groupBy("doc_id").agg(
+        F.sum("n").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("n").alias("top_count"),
+        F.sum(F.when(F.col("tok").isin(*STOPWORDS), F.col("n")).otherwise(F.lit(0))).alias(
+            "n_stop"
+        ),
+    )
+    nw = F.col("n_words").cast("double")
+    distinct_ratio = _trunc6(F.col("n_distinct").cast("double") / nw)
+    top_word_frac = _trunc6(F.col("top_count").cast("double") / nw)
+    return per.select(
+        "doc_id",
+        "n_words",
+        "n_distinct",
+        "n_stop",
+        distinct_ratio.alias("distinct_ratio"),
+        top_word_frac.alias("top_word_frac"),
+        F.when(
+            F.col("n_words").between(MIN_WORDS, MAX_WORDS)
+            & (distinct_ratio >= MIN_DISTINCT_RATIO)
+            & (top_word_frac <= MAX_TOP_WORD_FRAC)
+            & (F.col("n_stop") >= MIN_STOPWORDS),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("pass_quality"),
+    )
+
+
+def text_regex_policy_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source blocklist scan: documents matched and total occurrences of
+    the policy pattern, plus truncated hits-per-doc. The C4-style "drop or
+    flag documents containing listed terms" shape, kept fully in codegen."""
+    docs = load_table(spark, sf_dir, "documents")
+    hits = F.regexp_count(F.col("text"), F.lit(POLICY_PATTERN))
+    d = docs.select("source", hits.cast("long").alias("hits"))
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("hits") > 0, F.lit(1)).otherwise(F.lit(0))).alias("docs_matched"),
+        F.sum("hits").alias("total_hits"),
+        _trunc6(F.sum("hits").cast("double") / F.count(F.lit(1))).alias("hits_per_doc"),
+    )
+
+
+QUERIES = {
+    "quality_gopher_rules": quality_gopher_rules,
+    "text_regex_policy_scan": text_regex_policy_scan,
+}
+
+_STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
+_T6 = "CAST(FLOOR(({expr}) * 1000000.0) AS DOUBLE) / 1000000.0"
+
+ORACLE = {
+    "quality_gopher_rules": f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SQL_TOKENS}) AS tok FROM documents
+), tc AS (
+  SELECT doc_id, tok, COUNT(*) AS n FROM toks GROUP BY 1, 2
+), per AS (
+  SELECT doc_id,
+         CAST(SUM(n) AS BIGINT) AS n_words,
+         COUNT(*) AS n_distinct,
+         CAST(MAX(n) AS BIGINT) AS top_count,
+         CAST(SUM(CASE WHEN tok IN ({_STOP_SQL}) THEN n ELSE 0 END) AS BIGINT) AS n_stop
+  FROM tc GROUP BY 1
+), m AS (
+  SELECT doc_id, n_words, n_distinct, n_stop,
+         {_T6.format(expr="CAST(n_distinct AS DOUBLE) / n_words")} AS distinct_ratio,
+         {_T6.format(expr="CAST(top_count AS DOUBLE) / n_words")} AS top_word_frac
+  FROM per
+)
+SELECT doc_id, n_words, n_distinct, n_stop, distinct_ratio, top_word_frac,
+       CASE WHEN n_words BETWEEN {MIN_WORDS} AND {MAX_WORDS}
+             AND distinct_ratio >= {MIN_DISTINCT_RATIO}
+             AND top_word_frac <= {MAX_TOP_WORD_FRAC}
+             AND n_stop >= {MIN_STOPWORDS}
+            THEN 1 ELSE 0 END AS pass_quality
+FROM m
+""",
+    "text_regex_policy_scan": f"""
+WITH d AS (
+  SELECT source,
+         CAST(len(regexp_extract_all(text, '\\b(scan|merge|join)\\b')) AS BIGINT) AS hits
+  FROM documents
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_matched,
+       CAST(SUM(hits) AS BIGINT) AS total_hits,
+       {_T6.format(expr="CAST(SUM(hits) AS DOUBLE) / COUNT(*)")} AS hits_per_doc
+FROM d GROUP BY 1
+""",
+}

@@ -179,3 +179,16 @@ def test_grouped_topk_ranks_aggregated_rows_only(spark, sf_dir):
     plan = formatted_plan(df)
     assert "partial_count" in plan.lower() or "HashAggregate" in plan, plan
     assert shuffle_count(df) <= 2, plan
+
+
+def test_scd2_single_shuffle(spark, sf_dir):
+    """SCD2 history is one lead() window: exactly one exchange on user_id."""
+    df = Q["cdc_scd2_history"](spark, sf_dir)
+    assert shuffle_count(df) == 1, formatted_plan(df)
+
+
+def test_regex_policy_scan_prunes_to_two_columns(spark, sf_dir):
+    """The policy scan must read only (text, source) — no doc metadata."""
+    df = Q["text_regex_policy_scan"](spark, sf_dir)
+    rs = read_schemas(df)
+    assert rs and all("doc_id" not in s and "n_chars" not in s for s in rs), rs
