@@ -43,6 +43,10 @@ HEADLINE = [
     "window_running_total",
     "events_sessionize",
     "events_tumbling_5min",
+    "funnel_windowed",
+    "retention_weekly",
+    "cdc_scd2_history",
+    "quality_gopher_rules",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
