@@ -316,12 +316,16 @@ def ann_ivf_topk(
     sf_dir: str,
     n_centroids: int = N_CENTROIDS,
     n_probe: int = N_PROBE,
+    kmeans_iters: int = 0,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: coarse quantizer → inverted lists → probe.
 
     The coarse quantizer is the first ``n_centroids`` vectors (deterministic
-    seed centroids; production would k-means these — the *index structure*
-    is identical). Every vector is assigned to its nearest centroid by
+    seed centroids); ``kmeans_iters > 0`` Lloyd-refines them with
+    ``operators.kmeans.lloyd_refine`` — the production quantizer — while the
+    registered query keeps 0 so the oracle stays seed-identical (the index
+    structure is the same either way). Every vector is assigned to its
+    nearest centroid by
     cosine (argmax with centroid-id tie-break) = the inverted lists; a query
     probes its ``n_probe`` nearest centroids and ranks only those lists'
     vectors — the corpus scan per query drops from O(n) to
@@ -340,9 +344,21 @@ def ann_ivf_topk(
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _emb_d().alias("e"), _norm(_emb_d()).alias("nrm")
     )
-    cents = emb.filter(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("cid"), F.col("e").alias("ce"), F.col("nrm").alias("cn")
-    )
+    if kmeans_iters > 0:
+        from cdc_postgresql_clickhouse_spark.operators.kmeans import _norms, lloyd_refine
+
+        model = lloyd_refine(
+            emb.select("vec_id", "e"), k=n_centroids, iters=kmeans_iters
+        )
+        norms = _norms(model)
+        cents = spark.createDataFrame(
+            [(i, model[i], norms[i]) for i in range(n_centroids)],
+            "cid long, ce array<double>, cn double",
+        )
+    else:
+        cents = emb.filter(F.col("vec_id") < n_centroids).select(
+            F.col("vec_id").alias("cid"), F.col("e").alias("ce"), F.col("nrm").alias("cn")
+        )
     scored = F.broadcast(cents).join(emb, how="cross").select(
         "vec_id",
         "cid",
