@@ -49,6 +49,8 @@ HEADLINE = [
     "quality_gopher_rules",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_cluster_canonical",
+    "corpus_stratified_sample",
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "text_quality_score",

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from cdc_postgresql_clickhouse_spark.queries import (
     cdc,
+    cluster,
     corpus,
     debezium_types,
     dedup,
@@ -34,7 +35,7 @@ from cdc_postgresql_clickhouse_spark.queries import (
 
 _MODULES = (
     cdc, tpch, tpch_ext, tpch_more, events, funnel, text, quality, dedup,
-    similarity, skew, debezium_types, corpus, training,
+    similarity, skew, debezium_types, corpus, training, cluster,
 )
 
 

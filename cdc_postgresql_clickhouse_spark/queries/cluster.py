@@ -1,0 +1,206 @@
+"""Duplicate-cluster resolution and stratified sampling — the two steps a
+training-data pipeline runs AFTER pair-wise dedup: collapse near-dup PAIRS
+into connected components (so "A~B, B~C" keeps one doc, not two), and draw a
+deterministic per-stratum sample to rebalance the corpus mix.
+
+Reference parity: the reference has no graph step (its dedup is
+ReplacingMergeTree key-collapse, ``schemas/clickhouse_schemas.sql:11``);
+these extend the LLM-pipeline layer the same way dedup/similarity do.
+
+Connected components (``dedup_cluster_canonical``): iterative min-label
+propagation over the MinHash-LSH near-dup edges. Each iteration is ONE
+shuffle join keyed on doc_id + one map-side-combining min-agg — no
+pair-wise work, no driver-side row data. Labels only ever decrease, so
+``sum(label)`` is a monotone convergence scalar: one cheap agg per
+iteration instead of a change-count self-join. Iteration count is bounded
+by component diameter; near-dup graphs are star-/chain-shaped with tiny
+diameter, and at 10^10+ nodes the same loop upgrades to the
+large-star/small-star alternation (Kiveris et al., "Connected Components
+in MapReduce", SOCC'14) which bounds rounds at O(log n) — the loop body
+(join + min-agg + localCheckpoint) is identical, only the edge rewrite
+rule changes. Model state between iterations lives in a localCheckpoint
+(lineage cut), never on the driver.
+
+Stratified sampling (``corpus_stratified_sample``): keep a document iff the
+first 16 bits of md5('strat|' || doc_id) fall under the stratum's rate
+threshold — a pure map-side filter, deterministic across engines, runs,
+and partitionings (the sampling decision is a function of the ROW, not of
+partition order — ``df.sample`` is seed+partition dependent and would not
+survive a repartition, let alone an engine swap). Rates are per-language
+here (downsample the over-represented 'en' stratum); at 100 TB the same
+expression samples per (source, lang, quality-bucket) with rates from a
+broadcast config.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cdc_postgresql_clickhouse_spark.queries.dedup import (
+    _SQL_MINHASH_CTES,
+    _SQL_MINHASH_SELECT,
+    dedup_minhash_lsh,
+)
+from cdc_postgresql_clickhouse_spark.sources.registry import load_table
+
+MAX_CC_ITERS = 20
+
+
+def connected_components(
+    edges: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iters: int = MAX_CC_ITERS,
+) -> DataFrame:
+    """Connected components over an undirected edge list via min-label
+    propagation: every node's label converges to the smallest node id
+    reachable from it. Returns (doc_id, label); only nodes that appear in
+    an edge are returned (isolated docs are their own trivial cluster and
+    are left to the caller — the dedup use-case only acts on linked docs).
+
+    Per-iteration plan: bidirectional edges join labels on the neighbor id
+    (one hash shuffle), min-agg per node (map-side combine), then
+    ``least(own, neighbor-min)``. The iterate relation is localCheckpointed
+    each round — constant-depth lineage, and the convergence agg reuses the
+    checkpointed blocks instead of recomputing the join chain.
+    """
+    e = edges.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    bidir = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)  # edge list is re-joined every iteration
+    )
+    lbl = (
+        bidir.select(F.col("a").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = lbl.agg(F.sum("label")).first()[0]
+    for _ in range(max_iters):
+        nbr_min = (
+            bidir.join(lbl.withColumnRenamed("doc_id", "nbr"), F.col("b") == F.col("nbr"))
+            .groupBy("a")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new = (
+            lbl.join(nbr_min, lbl["doc_id"] == nbr_min["a"], "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        s = new.agg(F.sum("label")).first()[0]
+        lbl = new
+        if s == prev_sum:  # labels are monotone non-increasing: fixpoint
+            return lbl
+        prev_sum = s
+    raise RuntimeError(
+        f"connected_components: no fixpoint in {max_iters} iterations "
+        "(component diameter exceeds the bound; raise max_iters or switch "
+        "to large-star/small-star)"
+    )
+
+
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters from the MinHash-LSH pair set: connected components,
+    canonical survivor = min doc_id per component. One row per clustered
+    doc: (doc_id, canonical_id, cluster_size, is_canonical) — the "drop
+    every row where NOT is_canonical" step of a dedup pipeline.
+    """
+    edges = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    comp = connected_components(edges)
+    w = Window.partitionBy("canonical_id")
+    return (
+        comp.select("doc_id", F.col("label").alias("canonical_id"))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w))
+        .withColumn("is_canonical", F.col("doc_id") == F.col("canonical_id"))
+    )
+
+
+# Per-language keep-thresholds out of 65536 (the first 16 bits of md5):
+# downsample the over-represented 'en' stratum to 50%, mid-weight zh/es to
+# 75%, keep de/fr whole. Unknown languages default to 25% (conservative).
+STRAT_RATES = {"en": 32768, "zh": 49152, "es": 49152, "de": 65536, "fr": 65536}
+STRAT_DEFAULT = 16384
+
+# Engine-portable first-16-bits-of-md5 as an integer: nibble arithmetic via
+# instr on the hex alphabet — bit-identical in Spark and DuckDB (both md5
+# to the same lowercase hex; conv()/from_hex differ between engines).
+_SAMPLE_KEY = (
+    "("
+    + " + ".join(
+        f"(instr('0123456789abcdef', substring(md5('strat|' || CAST(doc_id AS STRING)), {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
+        for i in range(4)
+    )
+    + ")"
+)
+_SQL_SAMPLE_KEY = _SAMPLE_KEY.replace("AS STRING", "AS VARCHAR")
+
+_RATE_CASE = (
+    "CASE lang "
+    + " ".join(f"WHEN '{k}' THEN {v}" for k, v in STRAT_RATES.items())
+    + f" ELSE {STRAT_DEFAULT} END"
+)
+
+
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-threshold stratified sample of ``documents``:
+    keep a doc iff its 16-bit md5 sample key is under the language's rate
+    threshold. Pure map-side filter — pushes into the scan, no shuffle, no
+    RNG state; the kept set is a function of (doc_id, lang) only, so it is
+    stable under repartition, retry, and engine swap, and two pipelines
+    sampling the same corpus get the same rows (the property that makes
+    train/val contamination checks possible downstream).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.expr(_SAMPLE_KEY)
+    rate = F.expr(_RATE_CASE)
+    return (
+        docs.withColumn("sample_key", key.cast("long"))
+        .filter(F.col("sample_key") < rate)
+        .select("doc_id", "lang", "source", "sample_key")
+    )
+
+
+QUERIES = {
+    "dedup_cluster_canonical": dedup_cluster_canonical,
+    "corpus_stratified_sample": corpus_stratified_sample,
+}
+
+ORACLE = {
+    # The recursive CTE enumerates every (node, reachable-node) pair, then
+    # min-reduces — exponential-free because components are tiny, and
+    # engine-exact because the edge set is the SAME minhash SQL the
+    # dedup_minhash_lsh row already proves.
+    "dedup_cluster_canonical": f"""
+WITH RECURSIVE {_SQL_MINHASH_CTES},
+edges AS ({_SQL_MINHASH_SELECT}),
+bidir AS (
+  SELECT doc_a AS a, doc_b AS b FROM edges
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM edges
+),
+nodes AS (SELECT DISTINCT a AS doc_id FROM bidir),
+reach(doc_id, r) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT re.doc_id, bd.b FROM reach re JOIN bidir bd ON bd.a = re.r
+),
+comp AS (SELECT doc_id, MIN(r) AS canonical_id FROM reach GROUP BY doc_id)
+SELECT doc_id, canonical_id,
+       COUNT(*) OVER (PARTITION BY canonical_id) AS cluster_size,
+       doc_id = canonical_id AS is_canonical
+FROM comp
+""",
+    "corpus_stratified_sample": f"""
+SELECT doc_id, lang, source, CAST({_SQL_SAMPLE_KEY} AS BIGINT) AS sample_key
+FROM documents
+WHERE {_SQL_SAMPLE_KEY} < ({_RATE_CASE})
+""",
+}

@@ -301,14 +301,10 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
 }
 
-ORACLE = {
-    "dedup_exact": f"""
-WITH corpus AS ({_SQL_CORPUS})
-SELECT md5(text) AS content_hash, COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc
-FROM corpus GROUP BY 1
-""",
-    "dedup_minhash_lsh": f"""
-WITH corpus AS ({_SQL_CORPUS}),
+# MinHash pair pipeline as a reusable CTE list + final SELECT so downstream
+# oracles (dedup_cluster_canonical's recursive connected components) can
+# splice the same edge definition into their own WITH clause.
+_SQL_MINHASH_CTES = f"""corpus AS ({_SQL_CORPUS}),
 sh AS ({_SQL_SHINGLES}),
 sig AS (
   SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS mh
@@ -331,13 +327,24 @@ inter AS (
   JOIN sh sa ON sa.doc_id = doc_a
   JOIN sh sb ON sb.doc_id = doc_b AND sb.shingle = sa.shingle
   GROUP BY doc_a, doc_b
-)
-SELECT doc_a, doc_b,
+)"""
+
+_SQL_MINHASH_SELECT = """SELECT doc_a, doc_b,
        CAST(FLOOR((CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter)) * 1000000.0) AS DOUBLE) / 1000000.0 AS jaccard
 FROM inter
 JOIN counts ca ON ca.doc_id = doc_a
 JOIN counts cb ON cb.doc_id = doc_b
-WHERE CAST(FLOOR((CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter)) * 1000000.0) AS DOUBLE) / 1000000.0 >= 0.5
+WHERE CAST(FLOOR((CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter)) * 1000000.0) AS DOUBLE) / 1000000.0 >= 0.5"""
+
+ORACLE = {
+    "dedup_exact": f"""
+WITH corpus AS ({_SQL_CORPUS})
+SELECT md5(text) AS content_hash, COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc
+FROM corpus GROUP BY 1
+""",
+    "dedup_minhash_lsh": f"""
+WITH {_SQL_MINHASH_CTES}
+{_SQL_MINHASH_SELECT}
 """,
     "dedup_simhash": f"""
 WITH corpus AS (
