@@ -55,6 +55,7 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "text_quality_score",
     "text_fingerprint",
+    "multimodal_frame_sample",
     "ann_bruteforce_topk",
     "ann_lsh_buckets",
     "ann_ivf_topk",

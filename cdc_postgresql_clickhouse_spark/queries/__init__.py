@@ -23,6 +23,7 @@ from cdc_postgresql_clickhouse_spark.queries import (
     dedup,
     events,
     funnel,
+    multimodal,
     quality,
     similarity,
     skew,
@@ -35,7 +36,7 @@ from cdc_postgresql_clickhouse_spark.queries import (
 
 _MODULES = (
     cdc, tpch, tpch_ext, tpch_more, events, funnel, text, quality, dedup,
-    similarity, skew, debezium_types, corpus, training, cluster,
+    similarity, skew, debezium_types, corpus, training, cluster, multimodal,
 )
 
 

@@ -1,0 +1,147 @@
+"""Multimodal dataflow queries with DuckDB oracles: the Arrow/`mapInPandas`
+decode / resize / frame-sample stages of ``operators/multimodal.py``, each
+verified end-to-end against a pure-SQL twin.
+
+Why an oracle is possible at all: the codec bodies are deterministic
+byte-level fakes (the real Pillow/ffmpeg hooks are stubbed — not in this
+container), and the fixture payloads are the documents' UTF-8 bytes, which
+are pure ASCII at every SF (asserted in tests) — so byte arithmetic equals
+character arithmetic and DuckDB can replay the exact same math in SQL.
+That makes these rows the *strong* form of the multimodal claim: the
+driver's value-hash compare certifies that bytes moved through Arrow into
+Python, were transformed, and came back bit-identical to the declared
+semantics — not merely that a schema existed. Swapping a real codec in
+changes one function per modality and drops only the oracle, not the test
+harness.
+
+Scale shape: every stage is a single `mapInPandas` pass — Arrow batches,
+no shuffle, partitioning preserved; metadata-only predicates prune before
+bytes are ever read (see `multimodal_binary_meta` in queries/text.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_postgresql_clickhouse_spark.operators.multimodal import (
+    blob_table,
+    decode_blobs,
+    resize_blobs,
+    sample_frames,
+)
+from cdc_postgresql_clickhouse_spark.sources.registry import load_table
+
+
+def _blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return blob_table(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling through the real mapInPandas dataflow: up to 8 frames
+    of 64 payload bytes each, one md5 per frame."""
+    return sample_frames(_blobs(spark, sf_dir), every_n_bytes=64, max_frames=8)
+
+
+def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode through mapInPandas, then reduce the float feature vector to
+    engine-exact integers: (width, height, channels) from the fake decoder
+    and the argmax bin of the byte-histogram feature (ties -> smallest bin;
+    distinct histogram counts differ by >= 1/len >> float32 eps, so the
+    rounded-float argmax equals the integer-count argmax)."""
+    dec = decode_blobs(_blobs(spark, sf_dir))
+    return dec.select(
+        "doc_id",
+        "format",
+        "width",
+        "height",
+        "channels",
+        (F.array_position(F.col("feature"), F.array_max("feature")) - 1)
+        .cast("int")
+        .alias("feature_argmax"),
+    )
+
+
+def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-stride resize through mapInPandas: the stand-in for pixel
+    resampling keeps every stride-th byte up to the 64-byte budget; output
+    is the resized payload's md5 + size (the dedup-after-resize shape)."""
+    return resize_blobs(_blobs(spark, sf_dir), target_w=64, target_h=64)
+
+
+QUERIES = {
+    "multimodal_frame_sample": multimodal_frame_sample,
+    "multimodal_decode_stats": multimodal_decode_stats,
+    "multimodal_resize_stats": multimodal_resize_stats,
+}
+
+# hex-nibble value of md5 char i (1-based) — engine-portable digest-byte math
+def _nib(h: str, i: int) -> str:
+    return f"(instr('0123456789abcdef', substring({h}, {i}, 1)) - 1)"
+
+
+def _digest_byte(h: str, byte_idx: int) -> str:
+    # md5 digest byte b = int(hex[2b:2b+2], 16)
+    return f"({_nib(h, 2 * byte_idx + 1)} * 16 + {_nib(h, 2 * byte_idx + 2)})"
+
+
+ORACLE = {
+    "multimodal_frame_sample": """
+WITH d AS (
+  SELECT doc_id, text,
+         least(8, greatest(1, length(text) // 64)) AS nf
+  FROM documents
+),
+fr AS (SELECT doc_id, text, unnest(range(nf)) AS i FROM d)
+SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+       md5(substring(text, CAST(i * 64 + 1 AS INT), 64)) AS frame_md5
+FROM fr
+""",
+    "multimodal_decode_stats": f"""
+WITH d AS (SELECT doc_id, text, length(text) AS nb, md5(text) AS h FROM documents),
+meta AS (
+  SELECT doc_id,
+         CASE nb % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END AS format,
+         CAST(64 + {_digest_byte('h', 0)} % 192 AS INTEGER) AS width,
+         CAST(64 + {_digest_byte('h', 1)} % 192 AS INTEGER) AS height,
+         CAST(3 AS INTEGER) AS channels
+  FROM d
+),
+chars AS (SELECT doc_id, text, unnest(range(nb)) AS i FROM d),
+hist AS (
+  SELECT doc_id, ascii(substring(text, CAST(i + 1 AS INT), 1)) % 16 AS k, COUNT(*) AS c
+  FROM chars GROUP BY 1, 2
+),
+am AS (
+  SELECT doc_id, CAST(MIN(k) AS INTEGER) AS feature_argmax
+  FROM (SELECT doc_id, k, c, MAX(c) OVER (PARTITION BY doc_id) AS mc FROM hist)
+  WHERE c = mc GROUP BY doc_id
+)
+SELECT m.doc_id, m.format, m.width, m.height, m.channels, a.feature_argmax
+FROM meta m JOIN am a ON a.doc_id = m.doc_id
+""",
+    # data[::stride][:64] for stride = max(len // 64, 1): characters at
+    # positions 0, stride, 2*stride, ... — md5 of their in-order concatenation
+    "multimodal_resize_stats": """
+WITH d AS (
+  SELECT doc_id, text, length(text) AS nb,
+         greatest(length(text) // 64, 1) AS stride
+  FROM documents
+),
+n AS (
+  SELECT doc_id, text, stride,
+         least((nb + stride - 1) // stride, 64) AS n_out
+  FROM d
+),
+picks AS (SELECT doc_id, text, stride, n_out, unnest(range(n_out)) AS i FROM n),
+agg AS (
+  SELECT doc_id,
+         md5(string_agg(substring(text, CAST(i * stride + 1 AS INT), 1), '' ORDER BY i)) AS resized_md5,
+         CAST(MAX(n_out) AS BIGINT) AS resized_bytes
+  FROM picks GROUP BY doc_id
+)
+SELECT doc_id, CAST(64 AS INTEGER) AS width, CAST(64 AS INTEGER) AS height,
+       resized_md5, resized_bytes
+FROM agg
+""",
+}
