@@ -43,6 +43,7 @@ HEADLINE = [
     "window_running_total",
     "events_sessionize",
     "events_tumbling_5min",
+    "events_error_blast_radius",
     "funnel_windowed",
     "retention_weekly",
     "cdc_scd2_history",

@@ -123,16 +123,84 @@ def events_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_error_blast_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-less range join, bucketized: for every error event, count/sum ALL
+    events (any user) within ±60 s — "what was happening around each error".
+
+    The naive plan for a pure time-band predicate is a
+    BroadcastNestedLoopJoin: O(errors × events), the classic range-join
+    scale-killer. Bucketize-then-refine makes it an EQUI-join: each event
+    lands in one 60 s bucket; each error probes buckets {b-1, b, b+1}
+    (3-row explode on the small side only); the exact ±60 s predicate
+    refines post-join. Any event within the band provably falls in one of
+    the three probed buckets, and each event has exactly ONE bucket, so no
+    pair is ever produced twice (no distinct needed). At 100 TB both sides
+    shuffle-partition on the bucket key — pair cost is bounded by bucket
+    occupancy, never |A|×|B| (same principle as Spark's range-join-hint
+    bucketing and KDB band joins).
+    """
+    w = 60
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.floor(F.unix_timestamp("ts")).cast("long").alias("es"), "event_type", "value"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"), F.col("es").alias("err_es")
+    )
+    probes = errors.withColumn(
+        "bucket",
+        F.explode(
+            F.array(
+                (F.floor(F.col("err_es") / w) - 1),
+                F.floor(F.col("err_es") / w),
+                (F.floor(F.col("err_es") / w) + 1),
+            )
+        ),
+    )
+    others = ev.select(
+        F.col("event_id").alias("o_id"), F.col("es").alias("o_es"), "value"
+    ).withColumn("bucket", F.floor(F.col("o_es") / w))
+    pairs = probes.join(others, "bucket").filter(
+        (F.abs(F.col("o_es") - F.col("err_es")) <= w) & (F.col("o_id") != F.col("err_id"))
+    )
+    per_err = pairs.groupBy("err_id").agg(
+        F.count(F.lit(1)).alias("n_nearby"),
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+    )
+    # left join back so zero-neighbor errors still report (n_nearby = 0)
+    return errors.select("err_id").join(per_err, "err_id", "left").select(
+        "err_id",
+        F.coalesce(F.col("n_nearby"), F.lit(0)).alias("n_nearby"),
+        "sum_value",
+    )
+
+
 QUERIES = {
     "events_tumbling_5min": events_tumbling_5min,
     "events_sliding_10min": events_sliding_10min,
     "events_sessionize": events_sessionize,
     "events_json_extract": events_json_extract,
+    "events_error_blast_radius": events_error_blast_radius,
 }
 
 QUERIES["events_purchase_attribution"] = events_purchase_attribution
 
 ORACLE = {
+    # the oracle states the RANGE-JOIN SEMANTICS directly (theta join);
+    # the Spark side must reproduce it through the bucketized plan
+    "events_error_blast_radius": """
+WITH ev AS (
+  SELECT event_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS es, event_type, value FROM events
+),
+err AS (SELECT event_id AS err_id, es AS err_es FROM ev WHERE event_type = 'error'),
+agg AS (
+  SELECT e.err_id, COUNT(o.event_id) AS n_nearby,
+         CAST(SUM(CAST(o.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+  FROM err e
+  LEFT JOIN ev o ON abs(o.es - e.err_es) <= 60 AND o.event_id <> e.err_id
+  GROUP BY e.err_id
+)
+SELECT err_id, n_nearby, sum_value FROM agg
+""",
     "events_purchase_attribution": """
 WITH v AS (SELECT user_id, ts AS view_ts, event_id AS view_id FROM events WHERE event_type = 'view'),
 p AS (SELECT user_id, ts AS purchase_ts, event_id AS purchase_id FROM events WHERE event_type = 'purchase')

@@ -192,3 +192,12 @@ def test_regex_policy_scan_prunes_to_two_columns(spark, sf_dir):
     df = Q["text_regex_policy_scan"](spark, sf_dir)
     rs = read_schemas(df)
     assert rs and all("doc_id" not in s and "n_chars" not in s for s in rs), rs
+
+
+def test_blast_radius_range_join_is_equi_not_nested_loop(spark, sf_dir):
+    # the ±60s band predicate must run as a bucketized equi-join; a
+    # BroadcastNestedLoopJoin here is the O(|A|×|B|) scale-killer
+    from cdc_postgresql_clickhouse_spark.queries.events import events_error_blast_radius
+
+    plan = formatted_plan(events_error_blast_radius(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
