@@ -174,12 +174,35 @@ def events_error_blast_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count sketch via hash-threshold sampling (distinct sampling,
+    Gibbons VLDB'01 — the relational cousin of ClickHouse ``uniq``/HLL):
+    count only users whose md5 lands in the first 1/16 of hash space, scale
+    by 16. Unlike HLL registers, this sketch is pure relational algebra —
+    the threshold filter is a map-side predicate (at 100 TB it drops ~94 %
+    of rows BEFORE the distinct shuffle), the estimate is deterministic
+    (a function of the user-id set, not of partitioning or merge order),
+    and the DuckDB twin is exact — so the driver hash-verifies an
+    *approximate* operator, which HLL's engine-specific registers never
+    allow. Built-in ``approx_count_distinct`` remains the constant-memory
+    alternative when cross-engine determinism isn't required."""
+    ev = load_table(spark, sf_dir, "events")
+    sampled_user = F.when(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) == "0", F.col("user_id")
+    )
+    return ev.groupBy("event_type").agg(
+        (F.countDistinct(sampled_user) * 16).alias("est_distinct_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 QUERIES = {
     "events_tumbling_5min": events_tumbling_5min,
     "events_sliding_10min": events_sliding_10min,
     "events_sessionize": events_sessionize,
     "events_json_extract": events_json_extract,
     "events_error_blast_radius": events_error_blast_radius,
+    "sketch_distinct_users": sketch_distinct_users,
 }
 
 QUERIES["events_purchase_attribution"] = events_purchase_attribution
@@ -200,6 +223,13 @@ agg AS (
   GROUP BY e.err_id
 )
 SELECT err_id, n_nearby, sum_value FROM agg
+""",
+    "sketch_distinct_users": """
+SELECT event_type,
+       COUNT(DISTINCT CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1) = '0'
+                           THEN user_id END) * 16 AS est_distinct_users,
+       COUNT(*) AS n_events
+FROM events GROUP BY event_type
 """,
     "events_purchase_attribution": """
 WITH v AS (SELECT user_id, ts AS view_ts, event_id AS view_id FROM events WHERE event_type = 'view'),

@@ -50,6 +50,8 @@ def run_cdc_pipeline(
     dlq_path: str | None = None,
     key_buckets: int = DEFAULT_KEY_BUCKETS,
     max_files_per_trigger: int | None = None,
+    envelope_schema=None,
+    extra_image_columns: tuple[str, ...] = (),
 ) -> None:
     """Run the end-to-end CDC pipeline over a directory of envelope JSON files.
 
@@ -71,12 +73,22 @@ def run_cdc_pipeline(
     O(state). Size it so a bucket ~ an executor-comfortable rewrite unit
     (at 100 TB state: thousands of buckets). On Delta the bucket machinery
     is replaced by ``MERGE INTO`` (ACID, no swap needed).
+
+    ``envelope_schema`` / ``extra_image_columns``: T4 schema evolution. A
+    streaming source's schema is fixed at query start (as is Debezium's
+    consumer view until it reads the DDL event), so a widening is applied
+    by RESTARTING the pipeline with the schema re-derived from the
+    schema-change history (``sources.schema_changes.envelope_schema_for``)
+    and the new columns listed in ``extra_image_columns``; the bucketed
+    state widens on merge (mergeSchema + allowMissingColumns), pre-ALTER
+    rows reading NULL — ClickHouse ``ADD COLUMN`` semantics.
     """
     from pyspark.sql.types import StringType, StructField, StructType
 
-    # copy — StructType.add would mutate the shared ENVELOPE_SCHEMA in place
+    base_schema = envelope_schema or ENVELOPE_SCHEMA
+    # copy — StructType.add would mutate the shared schema object in place
     schema_with_corrupt = StructType(
-        [*ENVELOPE_SCHEMA.fields, StructField("_corrupt_record", StringType())]
+        [*base_schema.fields, StructField("_corrupt_record", StringType())]
     )
     reader = spark.readStream.schema(schema_with_corrupt)
     if max_files_per_trigger:
@@ -98,7 +110,7 @@ def run_cdc_pipeline(
             )
             dead.write.mode("append").json(dlq_path)
         valid = batch_df.filter(~is_dead).drop("_corrupt_record")
-        updates = changes_to_state_updates(valid)
+        updates = changes_to_state_updates(valid, extra_image_columns=extra_image_columns)
         upsert_changes_bucketed(spark, updates, state_path, key_buckets=key_buckets)
 
     writer = raw.writeStream.foreachBatch(upsert_batch).option(

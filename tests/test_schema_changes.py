@@ -150,3 +150,60 @@ def test_widening_through_bucketed_state(spark, tmp_path):
     assert "note" in final.columns
     rows = {r["booking_id"]: r for r in final.collect()}
     assert rows["b1"]["note"] is None and rows["b2"]["note"] == "vip"
+
+
+def test_widening_through_streaming_pipeline_restart(spark, tmp_path):
+    """T4 end-to-end through run_cdc_pipeline: pre-ALTER batch runs with the
+    base schema; the DDL event re-derives the envelope schema; the RESTARTED
+    pipeline (same checkpoint — only new files replay) decodes the widened
+    envelopes and the bucketed state widens in place."""
+    import os
+
+    from cdc_postgresql_clickhouse_spark.operators.state import read_state
+    from cdc_postgresql_clickhouse_spark.streaming.pipeline import run_cdc_pipeline
+
+    def env(op, bid, lsn, note=None):
+        row = {
+            "id": lsn, "booking_id": bid, "status": "Open", "is_deleted": False,
+            "is_canceled": False, "created_at": 1, "modified_at": 1,
+        }
+        if note is not None:
+            row["note"] = note
+        return {"before": None, "after": row, "op": op, "ts_ms": lsn,
+                "source": {"sequence": "[]", "lsn": lsn}}
+
+    env_dir = str(tmp_path / "envelopes")
+    os.makedirs(env_dir)
+    state_path = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    with open(os.path.join(env_dir, "pre_alter.json"), "w") as f:
+        f.write(json.dumps(env("c", "b1", 1)) + "\n")
+    run_cdc_pipeline(spark, env_dir, state_path, ckpt)
+    assert "note" not in read_state(spark, state_path).columns
+
+    # the ALTER lands: consumer re-derives the envelope schema from history
+    widened_cols = _BASE_COLUMNS + [
+        {"name": "note", "typeName": "text", "position": 8, "optional": True}
+    ]
+    hist = schema_history(
+        decode_schema_change_events(
+            _wire(spark, [
+                _ddl_event(1000, "CREATE TABLE ...", _BASE_COLUMNS, "CREATE"),
+                _ddl_event(2000, "ALTER ... ADD COLUMN note text", widened_cols, "ALTER"),
+            ])
+        )
+    )
+    new_schema = envelope_schema_for(latest_table_schema(hist, TABLE_ID))
+
+    with open(os.path.join(env_dir, "post_alter.json"), "w") as f:
+        f.write(json.dumps(env("c", "b2", 2, note="vip")) + "\n")
+    run_cdc_pipeline(
+        spark, env_dir, state_path, ckpt,
+        envelope_schema=new_schema, extra_image_columns=("note",),
+    )
+
+    final = current_state(read_state(spark, state_path))
+    rows = {r["booking_id"]: r for r in final.collect()}
+    assert set(rows) == {"b1", "b2"}
+    assert rows["b1"]["note"] is None and rows["b2"]["note"] == "vip"
