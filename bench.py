@@ -44,6 +44,7 @@ HEADLINE = [
     "events_sessionize",
     "events_tumbling_5min",
     "events_error_blast_radius",
+    "sketch_distinct_users",
     "funnel_windowed",
     "retention_weekly",
     "cdc_scd2_history",
