@@ -107,6 +107,103 @@ def connected_components(
     )
 
 
+def connected_components_twostar(
+    edges: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_rounds: int = 24,
+) -> DataFrame:
+    """Connected components in O(log n) rounds via the large-star/small-star
+    alternation (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SOCC'14) — the variant whose round count is bounded by log of
+    the component size, not its diameter, which is what a 10^10-node graph
+    with long chains needs.
+
+    Per round, with Γ(u) the current neighbor set and m(u) = min(Γ(u)∪{u}):
+
+    - **large-star**: for every u, re-point each neighbor v > u at m(u)
+      (strictly decreases big labels, provably never disconnects);
+    - **small-star**: orient each edge from its larger endpoint, then for
+      every u re-point each smaller-or-equal neighbor at m(u).
+
+    Both are one groupBy-min + one join — the same shuffle shape as a round
+    of label propagation, so the 100 TB cost model is identical per round;
+    there are just exponentially fewer rounds on high-diameter graphs. The
+    fixpoint is a forest of stars: every node points directly at its
+    component's minimum, which is the label.
+
+    Returns (doc_id, label) for every node that appears in an edge, exactly
+    like ``connected_components`` (equivalence is pinned by tests across
+    chains, cycles, cliques, and random graphs).
+    """
+    e = (
+        edges.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    all_nodes = (
+        e.select(F.col("u").alias("doc_id"))
+        .unionByName(e.select(F.col("v").alias("doc_id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _sym(df: DataFrame) -> DataFrame:
+        return df.unionByName(df.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+    def _canon(df: DataFrame) -> DataFrame:
+        # undirected canonical form (small, large) for the fixpoint compare
+        return df.select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        ).distinct()
+
+    def _large_star(df: DataFrame) -> DataFrame:
+        nbr = _sym(df)
+        m = nbr.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        return (
+            nbr.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _small_star(df: DataFrame) -> DataFrame:
+        # orient from larger endpoint: u >= v
+        oriented = df.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        m = oriented.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        with_m = oriented.join(m, "u")
+        # re-point every small neighbor AND u itself at m
+        repoint = with_m.select(F.col("v").alias("u"), F.col("m").alias("v")).unionByName(
+            with_m.select("u", F.col("m").alias("v"))
+        )
+        return repoint.filter(F.col("u") != F.col("v")).distinct()
+
+    cur = e
+    prev_sig = None
+    for _ in range(max_rounds):
+        cur = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        canon = _canon(cur)
+        sig = canon.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        if (sig["n"], sig["h"]) == prev_sig:
+            break
+        prev_sig = (sig["n"], sig["h"])
+    else:
+        raise RuntimeError(f"two-star CC: no fixpoint in {max_rounds} rounds")
+    # fixpoint: star edges (member -> root). Roots have no outgoing edge.
+    member_label = _canon(cur).select(F.col("v").alias("doc_id"), F.col("u").alias("label"))
+    roots = all_nodes.join(
+        member_label.select("doc_id"), "doc_id", "left_anti"
+    ).withColumn("label", F.col("doc_id"))
+    return member_label.unionByName(roots)
+
+
 def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters from the MinHash-LSH pair set: connected components,
     canonical survivor = min doc_id per component. One row per clustered

@@ -67,3 +67,65 @@ def test_stratified_sample_respects_rates(spark, sf_dir):
     n_en_all = full.filter(F.col("lang") == "en").count()
     n_en_kept = en.count()
     assert 0 < n_en_kept < n_en_all
+
+
+def _labels(df):
+    return {(r.doc_id, r.label) for r in df.collect()}
+
+
+def _uf_labels(edges):
+    # reference union-find, pure Python
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {(n, find(n)) for n in parent}
+
+
+def test_twostar_matches_label_prop_on_topologies(spark):
+    from cdc_postgresql_clickhouse_spark.queries.cluster import (
+        connected_components_twostar,
+    )
+
+    cases = [
+        [(0, 1), (1, 2), (2, 3), (3, 4), (10, 11)],          # chain + pair
+        [(0, 1), (1, 2), (2, 0)],                             # cycle
+        [(5, 1), (5, 2), (5, 3), (5, 4)],                     # star, center not min
+        [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)],     # K4
+        [(7, 3), (3, 7), (7, 3)],                             # dup + reversed dups
+        [(2, 9), (9, 4), (4, 11), (11, 6), (6, 13)],          # long zigzag chain
+    ]
+    for edges in cases:
+        df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        got = _labels(connected_components_twostar(df))
+        assert got == _uf_labels(edges), edges
+
+
+def test_twostar_matches_union_find_on_random_graphs(spark):
+    import random
+
+    from cdc_postgresql_clickhouse_spark.queries.cluster import (
+        connected_components,
+        connected_components_twostar,
+    )
+
+    for seed in range(4):
+        rng = random.Random(seed)
+        n = 24
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(18)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        want = _uf_labels(edges)
+        assert _labels(connected_components_twostar(df)) == want, (seed, edges)
+        assert _labels(connected_components(df)) == want, (seed, edges)
