@@ -37,19 +37,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table. Plain parquet scan: vectorized reader,
     predicate pushdown and column pruning apply downstream.
 
-    ``events.ts`` is physically TIMESTAMP(NANOS), which Spark's parquet
-    reader rejects; read it as raw nanos (legacy conf) and rebuild a
-    microsecond timestamp (lossless here — fixtures carry no sub-µs
-    component, and DuckDB's epoch_us truncates identically)."""
+    ``events.ts`` has shipped in two physical layouts across fixture
+    generations: TIMESTAMP(MICROS) (read natively) and TIMESTAMP(NANOS),
+    which Spark's parquet reader rejects; for the latter, read raw nanos
+    (legacy conf) and rebuild a microsecond timestamp (lossless — fixtures
+    carry no sub-µs component, and DuckDB's epoch_us truncates identically)."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
     return spark.read.parquet(path)
 
 

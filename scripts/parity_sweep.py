@@ -1,0 +1,60 @@
+"""Local emulation of the driver's full correctness gate: every registered
+query vs its DuckDB oracle at a given sf dir. Usage:
+
+    python scripts/parity_sweep.py [sf_dir] [query ...]
+
+Prints one line per query (OK/FAIL/ERR) and a final summary; exit code 1 on
+any failure.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry  # noqa: E402
+from tests.oracle_harness import compare, duckdb_con  # noqa: E402
+from cdc_postgresql_clickhouse_spark.session import get_spark  # noqa: E402
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark()
+    con = duckdb_con(sf_dir)
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            df = fn(spark, sf_dir)
+            sql = oracles.get(name)
+            if sql is None:
+                n = df.count()
+                print(f"OK   {name}: rows={n} (no oracle) [{time.time()-t0:.1f}s]")
+                continue
+            issues = [i for i in compare(df, con, sql, name) if "[WARN]" not in i]
+            if issues:
+                failures.append(name)
+                print(f"FAIL {name} [{time.time()-t0:.1f}s]")
+                for i in issues:
+                    print(f"     {i}")
+            else:
+                print(f"OK   {name} [{time.time()-t0:.1f}s]")
+        except Exception:
+            failures.append(name)
+            print(f"ERR  {name} [{time.time()-t0:.1f}s]")
+            traceback.print_exc(limit=3)
+    print(f"\n{len(qs) - len(failures)}/{len(qs)} pass; failures: {failures}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
