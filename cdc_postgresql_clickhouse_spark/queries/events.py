@@ -196,16 +196,19 @@ def sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Registration order is load-bearing: the driver's correctness gate checks
+# the first 50 registered queries, so the entries that have never had a
+# driver row (error_blast_radius, sketch, purchase_attribution) register
+# ahead of the twice-proven window queries.
 QUERIES = {
+    "events_error_blast_radius": events_error_blast_radius,
+    "sketch_distinct_users": sketch_distinct_users,
+    "events_purchase_attribution": events_purchase_attribution,
     "events_tumbling_5min": events_tumbling_5min,
     "events_sliding_10min": events_sliding_10min,
     "events_sessionize": events_sessionize,
     "events_json_extract": events_json_extract,
-    "events_error_blast_radius": events_error_blast_radius,
-    "sketch_distinct_users": sketch_distinct_users,
 }
-
-QUERIES["events_purchase_attribution"] = events_purchase_attribution
 
 ORACLE = {
     # the oracle states the RANGE-JOIN SEMANTICS directly (theta join);

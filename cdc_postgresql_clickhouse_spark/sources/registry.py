@@ -37,22 +37,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table. Plain parquet scan: vectorized reader,
     predicate pushdown and column pruning apply downstream.
 
-    ``events.ts`` has shipped in two physical layouts across fixture
-    generations: TIMESTAMP(MICROS) (read natively) and TIMESTAMP(NANOS),
-    which Spark's parquet reader rejects; for the latter, read raw nanos
-    (legacy conf) and rebuild a microsecond timestamp (lossless — fixtures
-    carry no sub-µs component, and DuckDB's epoch_us truncates identically)."""
+    ``events.ts`` has shipped in three physical layouts across fixture
+    generations: TIMESTAMP(MICROS) with isAdjustedToUTC=true (read natively
+    as TIMESTAMP), the same without the UTC flag (read as TIMESTAMP_NTZ),
+    and TIMESTAMP(NANOS), which Spark's parquet reader rejects. Normalize
+    all three to session-timezone TIMESTAMP: the session is pinned to UTC
+    (reference P8, ``postgresql_schemas.sql:7-8``), so the NTZ→TZ cast is
+    value-identical, and for nanos read raw longs (legacy conf) and rebuild
+    a microsecond timestamp (lossless — fixtures carry no sub-µs component,
+    and DuckDB's epoch_us truncates identically)."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType
+        from pyspark.sql.types import LongType, TimestampNTZType
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        if isinstance(df.schema["ts"].dataType, LongType):
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
 

@@ -24,13 +24,25 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import LongType, StringType, StructField, StructType
+from pyspark.sql.types import LongType, StringType, StructField, StructType, TimestampNTZType
+
+
+def _tz_aware_ts(events: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to tz-aware TIMESTAMP.
+
+    ``withWatermark`` rejects TIMESTAMP_NTZ; sources that read parquet
+    without the isAdjustedToUTC flag surface NTZ. The session is pinned to
+    UTC, so the cast is value-identical — guard here instead of depending on
+    the registry's normalization."""
+    if isinstance(events.schema[col].dataType, TimestampNTZType):
+        return events.withColumn(col, F.col(col).cast("timestamp"))
+    return events
 
 
 def tumbling_counts(events: DataFrame, window: str = "5 minutes", watermark: str = "10 minutes") -> DataFrame:
     """Watermarked tumbling-window counts; append-mode capable."""
     return (
-        events.withWatermark("ts", watermark)
+        _tz_aware_ts(events).withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
@@ -40,7 +52,7 @@ def tumbling_counts(events: DataFrame, window: str = "5 minutes", watermark: str
 def session_counts(events: DataFrame, gap: str = "30 minutes", watermark: str = "60 minutes") -> DataFrame:
     """Native gap-based session windows (F.session_window)."""
     return (
-        events.withWatermark("ts", watermark)
+        _tz_aware_ts(events).withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(
