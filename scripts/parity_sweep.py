@@ -28,10 +28,16 @@ def main() -> int:
     con = duckdb_con(sf_dir)
     qs = entry.queries()
     oracles = entry.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        print(f"unknown query name(s): {sorted(unknown)}; known: {sorted(qs)}")
+        return 2
     failures = []
+    ran = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        ran += 1
         t0 = time.time()
         try:
             df = fn(spark, sf_dir)
@@ -52,7 +58,7 @@ def main() -> int:
             failures.append(name)
             print(f"ERR  {name} [{time.time()-t0:.1f}s]")
             traceback.print_exc(limit=3)
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} pass; failures: {failures}")
+    print(f"\n{ran - len(failures)}/{ran} pass; failures: {failures}")
     return 1 if failures else 0
 
 
