@@ -6,9 +6,9 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is executed to completion (count() forces the full plan without
 driver-side result transfer) and timed wall-clock after a warm-up of the
 session. Per-query time is the BEST of $SPARK_GRAFT_REPEATS runs (default
-3): this host shows heavy CPU steal, so single-run wall-clock is noise —
-best-of-N with the cache cleared between runs approximates uncontended
-throughput. The headline set covers every operator family: CDC state
+5): this host shows heavy CPU steal (observed 5x run-to-run swings on the
+same query at idle), so single-run wall-clock is noise — best-of-N with the
+cache cleared between runs approximates uncontended throughput. The headline set covers every operator family: CDC state
 maintenance, scan-agg, star joins, semi-joins, windows, sessionization,
 dedup (minhash/simhash/ngram), similarity (brute-force + LSH + IVF), and
 text analysis.
@@ -93,7 +93,7 @@ def main() -> None:
     else:
         spark.range(1000).count()
 
-    repeats = max(1, int(os.environ.get("SPARK_GRAFT_REPEATS", "3")))
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_REPEATS", "5")))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry[name]
