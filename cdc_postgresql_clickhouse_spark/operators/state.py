@@ -38,12 +38,57 @@ tests/test_properties.py::test_arrival_order_invariance).
 
 from __future__ import annotations
 
+import contextlib
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 DEFAULT_KEY = ("booking_id",)
 DEFAULT_VERSION_ORDER = ("version", "ts_ms", "is_deleted")
+
+
+class StateLockError(RuntimeError):
+    """Another mutator holds the state table's lock. Both the dirty-bucket
+    upsert and compaction are read-modify-rewrite on plain parquet, so
+    running them concurrently on one path can lose a committed batch; the
+    lock turns that race into an error (the ClickHouse analogue is
+    OPTIMIZE's part-level lock; on Delta the problem disappears — ACID)."""
+
+
+@contextlib.contextmanager
+def _state_lock(path: str):
+    """Single-writer fence: an O_EXCL sibling lock file. Host-local by
+    design — this guards the local[]-mode parquet state machinery; a
+    multi-driver deployment gets its exclusion from the storage layer
+    (Delta/ACID), not from this file. A crash can leave a stale lock;
+    ``break_state_lock`` removes it after operator inspection."""
+    lock = f"{os.path.abspath(path)}.lock"
+    try:
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise StateLockError(
+            f"state table {path!r} is locked by another upsert/compact "
+            f"(lock file {lock!r}; if its owner crashed, call break_state_lock)"
+        ) from None
+    try:
+        os.write(fd, str(os.getpid()).encode())
+        os.close(fd)
+        yield
+    finally:
+        with contextlib.suppress(FileNotFoundError):
+            os.remove(lock)
+
+
+def break_state_lock(path: str) -> bool:
+    """Remove a stale lock left by a crashed mutator. Returns True if a lock
+    file existed."""
+    lock = f"{os.path.abspath(path)}.lock"
+    with contextlib.suppress(FileNotFoundError):
+        os.remove(lock)
+        return True
+    return False
 
 
 def _total_order(
@@ -200,6 +245,9 @@ def upsert_changes_bucketed(
     partition overwrite of exactly the touched buckets.
 
     Returns the touched bucket ids (for tests/observability).
+
+    Raises ``StateLockError`` if another upsert/compact holds the path's
+    lock (see ``_state_lock``).
     """
     upd = updates.withColumn(BUCKET_COL, _bucket_expr(key_cols, key_buckets))
     touched = sorted(
@@ -207,11 +255,12 @@ def upsert_changes_bucketed(
     )
     if not touched:
         return []
-    state = read_state(spark, path, buckets=touched)
-    if state is not None:
-        state = state.localCheckpoint(eager=True)
-    merged = apply_changes(state, upd.drop(BUCKET_COL), key_cols, version_cols)
-    write_state(merged, path, key_buckets=key_buckets, key_cols=key_cols, dynamic_overwrite=True)
+    with _state_lock(path):
+        state = read_state(spark, path, buckets=touched)
+        if state is not None:
+            state = state.localCheckpoint(eager=True)
+        merged = apply_changes(state, upd.drop(BUCKET_COL), key_cols, version_cols)
+        write_state(merged, path, key_buckets=key_buckets, key_cols=key_cols, dynamic_overwrite=True)
     return touched
 
 
@@ -224,29 +273,97 @@ def compact_state(
     key-hashed partition directories (one file per bucket), restoring scan
     locality and making subsequent dirty-bucket merges touch fewer files.
 
-    Concurrency contract: NOT safe to run concurrently with a live upsert on
-    the same path — both are read-modify-rewrite, so a batch committing
-    between this read and the final swap would be lost (and ClickHouse's
-    OPTIMIZE takes a part-level lock for the same reason). Stop the streaming
-    query, or serialize via an external lock. Crash safety: the compacted
-    copy is fully written to a temp directory first, then the old state is
-    moved aside (not deleted) before the temp is renamed in — no step ever
-    deletes the only complete copy, so a crash at any point leaves either the
-    old or the new state recoverable on disk. On Delta this maps to
-    OPTIMIZE + ZORDER, is ACID, and needs no coordination."""
-    import os
+    Concurrency contract, ENFORCED: not safe concurrently with a live upsert
+    on the same path — both are read-modify-rewrite, so a batch committing
+    between this read and the final swap would be lost (ClickHouse's OPTIMIZE
+    takes a part-level lock for the same reason). Both mutators acquire the
+    path's ``_state_lock``; a concurrent call raises ``StateLockError``
+    instead of silently racing. Crash safety: the compacted copy is fully
+    written to a temp directory first, then the old state is moved aside (not
+    deleted) before the temp is renamed in — no step ever deletes the only
+    complete copy, so a crash at any point leaves either the old or the new
+    state recoverable on disk. On Delta this maps to OPTIMIZE + ZORDER, is
+    ACID, and needs no coordination."""
     import shutil
 
-    state = read_state(spark, path)
-    if state is None:
+    with _state_lock(path):
+        state = read_state(spark, path)
+        if state is None:
+            return
+        tmp = f"{path}.compact-tmp"
+        old = f"{path}.compact-old"
+        write_state(state.localCheckpoint(eager=True), tmp, key_buckets=key_buckets)
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(path, old)
+        os.rename(tmp, path)  # crash before this: complete copies at both tmp+old
+        shutil.rmtree(old, ignore_errors=True)
+
+
+def delta_available() -> bool:
+    """True iff delta-spark is importable in this environment."""
+    try:
+        import delta  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _merge_key_condition(key_cols: tuple[str, ...]) -> str:
+    return " AND ".join(f"t.{k} = s.{k}" for k in key_cols)
+
+
+def _merge_newer_condition(version_cols: tuple[str, ...]) -> str:
+    """Lexicographic 'source is newer' over the version order as one struct
+    comparison — the SQL twin of ``_total_order``'s leading columns."""
+    s = ", ".join(f"s.{c}" for c in version_cols)
+    t = ", ".join(f"t.{c}" for c in version_cols)
+    return f"struct({s}) > struct({t})"
+
+
+def upsert_changes_delta(
+    spark: SparkSession,
+    updates: DataFrame,
+    path: str,
+    key_cols: tuple[str, ...] = DEFAULT_KEY,
+    version_cols: tuple[str, ...] = DEFAULT_VERSION_ORDER,
+) -> None:
+    """Production form of the S9 upsert sink: Delta ``MERGE INTO`` — the ACID
+    replacement for the bucketed-parquet machinery (reference semantics
+    ``schemas/clickhouse_schemas.sql:11-13``: ReplacingMergeTree(version,
+    is_deleted) keyed upsert).
+
+    Semantics are identical to ``apply_changes``: per-key last-writer-wins on
+    the lexicographic version order, tombstones RETAINED in state (a later
+    replay of an older event must still lose — S10), reads go through
+    ``current_state``. The batch is pre-collapsed with ``apply_changes(None,
+    batch)`` because MERGE requires at most one source row per target key.
+
+    Delta's optimistic concurrency makes this safe under concurrent writers
+    (no ``_state_lock`` needed) and MERGE rewrites only the files containing
+    matched keys — the same O(touched data) incrementality the dirty-bucket
+    path hand-builds. Requires delta-spark (``delta_available()``); a session
+    configured with the Delta catalog extensions.
+    """
+    if not delta_available():
+        raise ImportError(
+            "delta-spark is not installed; use upsert_changes_bucketed (the "
+            "plain-parquet form with identical semantics) instead"
+        )
+    from delta.tables import DeltaTable
+
+    batch = apply_changes(None, updates, key_cols, version_cols)
+    if not DeltaTable.isDeltaTable(spark, path):
+        batch.write.format("delta").mode("overwrite").save(path)
         return
-    tmp = f"{path}.compact-tmp"
-    old = f"{path}.compact-old"
-    write_state(state.localCheckpoint(eager=True), tmp, key_buckets=key_buckets)
-    shutil.rmtree(old, ignore_errors=True)
-    os.rename(path, old)
-    os.rename(tmp, path)  # crash before this: complete copies at both tmp+old
-    shutil.rmtree(old, ignore_errors=True)
+    (
+        DeltaTable.forPath(spark, path)
+        .alias("t")
+        .merge(batch.alias("s"), _merge_key_condition(key_cols))
+        .whenMatchedUpdateAll(condition=_merge_newer_condition(version_cols))
+        .whenNotMatchedInsertAll()
+        .execute()
+    )
 
 
 def consistency_check(source: DataFrame, replica: DataFrame) -> bool:
