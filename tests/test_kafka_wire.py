@@ -113,3 +113,57 @@ def test_kafka_tombstone_suppression(spark):
     decoded = decode_json_envelopes(wire, value_col="value")
     assert decoded.count() == 2
     assert decoded.filter(F.col("op").isNull()).count() == 0
+
+
+def test_kafka_adapter_seam(spark, tmp_path):
+    """S1 adapter contract: cdc_envelopes_from_wire is the single decode seam
+    shared by the live kafka_wire_stream and the parquet substitute — same
+    wire columns in, ENVELOPE_SCHEMA out, tombstones dropped, and it works
+    on a STREAMING wire DataFrame (the live-broker swap is config-only)."""
+    import pytest
+
+    from cdc_postgresql_clickhouse_spark.sources.envelope import ENVELOPE_SCHEMA
+    from cdc_postgresql_clickhouse_spark.sources.kafka import cdc_envelopes_from_wire
+
+    rows = _kafka_rows(golden_workload_envelopes(), "sql_topic.public.bookings")
+    rows.append((b'{"booking_id": "b1"}', None, "sql_topic.public.bookings", 0, 999))
+    wire = spark.createDataFrame(rows, KAFKA_WIRE_SCHEMA)
+
+    decoded = cdc_envelopes_from_wire(wire)
+    assert decoded.schema == ENVELOPE_SCHEMA
+    assert decoded.count() == len(golden_workload_envelopes())  # tombstone dropped
+
+    # contract violation fails fast, not downstream
+    with pytest.raises(ValueError, match="missing column"):
+        cdc_envelopes_from_wire(wire.drop("value"))
+
+    # streaming form: wire parquet -> seam -> golden state
+    src = str(tmp_path / "seamwire")
+    wire.write.parquet(src)
+    stream = spark.readStream.schema(KAFKA_WIRE_SCHEMA).parquet(src)
+    envelopes = cdc_envelopes_from_wire(stream)
+    assert envelopes.isStreaming
+    q = (
+        envelopes.writeStream.format("memory")
+        .queryName("seam_sink")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    state = current_state(
+        apply_changes(None, changes_to_state_updates(spark.sql("SELECT * FROM seam_sink")))
+    )
+    assert state.count() == 6
+
+
+def test_kafka_source_config_shape(spark):
+    """kafka_wire_stream builds the reference-mapped reader config; where the
+    spark-sql-kafka package is absent (this sandbox) .load() must fail with
+    the standard missing-data-source error, proving the only gap between the
+    substitute and a live broker is the classpath package."""
+    import pytest
+
+    from cdc_postgresql_clickhouse_spark.sources.kafka import kafka_wire_stream
+
+    with pytest.raises(Exception, match="[Kk]afka"):
+        kafka_wire_stream(spark, "localhost:9092", "bookings_changes")
