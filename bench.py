@@ -57,6 +57,10 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "text_quality_score",
     "text_fingerprint",
+    "text_repetition_ngram",
+    "corpus_tfidf_top_terms",
+    "text_unigram_logprob",
+    "ann_lsh_buckets_sized",
     "multimodal_frame_sample",
     "ann_bruteforce_topk",
     "ann_lsh_buckets",

@@ -161,6 +161,125 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_repetition_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signal: the fraction of word-bigram occurrences
+    that are repeats (1 - distinct/total). Highly repetitive documents (boiler
+    plate, keyword stuffing, decoding loops) score near 1 and get filtered.
+
+    Entirely map-side — the bigram array is built per row with
+    transform/sequence, no explode, no shuffle; at 100 TB this is a pure scan
+    job like the other text scores. Spark's ``sequence(a, b)`` DESCENDS when
+    b < a (DuckDB's generate_series returns empty), so the single-token/empty
+    case is guarded explicitly on the Spark side."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    bigrams = F.when(
+        F.size("toks") >= 2,
+        F.expr(
+            "transform(sequence(1, size(toks) - 1),"
+            " i -> concat(element_at(toks, i), '|', element_at(toks, i + 1)))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    d = base.select(
+        "doc_id",
+        F.size(bigrams).cast("long").alias("n_bigrams"),
+        F.size(F.array_distinct(bigrams)).cast("long").alias("n_uniq_bigrams"),
+    )
+    return d.select(
+        "doc_id",
+        "n_bigrams",
+        "n_uniq_bigrams",
+        _trunc6(
+            1 - F.col("n_uniq_bigrams").cast("double") / F.nullif(F.col("n_bigrams"), F.lit(0))
+        ).alias("rep_ratio"),
+    )
+
+
+def corpus_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source top-5 terms by TF-IDF — the inverted-index / term-statistics
+    shape of a corpus explorer. tf = term occurrences within the source,
+    df = distinct docs (corpus-wide) containing the term, idf = ln((N+1)/(df+1)).
+
+    Scale shape: one explode of the token arrays feeding two keyed
+    aggregations — (source, term) for tf and term for df (the df agg counts
+    pre-distincted (doc, term) pairs, i.e. the posting list build) — then a
+    broadcast-sized join of per-source tf with the df table and a per-source
+    top-k window. The explode→groupBy is the canonical inverted-index
+    construction; everything downstream of it is proportional to the VOCAB,
+    not the corpus.
+
+    Cross-engine determinism: tf/df/N are exact integers, so idf is one ln of
+    an exact rational — identical doubles both engines; tf·idf is one
+    multiply, then FLOOR-truncated, and the top-k RANKS ON the truncated
+    value (ranking on the raw product could flip ties across engines)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "source", F.explode(tokens(F.col("text"))).alias("term"))
+    n_docs = docs.count()  # scalar: drives the idf literal, not row data
+    tf = toks.groupBy("source", "term").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    df_ = (
+        toks.select("doc_id", "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
+    scored = tf.join(df_, "term").select(
+        "source",
+        "term",
+        "tf",
+        "df",
+        _trunc6(
+            F.col("tf")
+            * F.log((F.lit(float(n_docs + 1))) / (F.col("df") + F.lit(1)).cast("double"))
+        ).alias("tfidf"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("source").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+    )
+
+
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score: average negative log-probability of a
+    document's tokens under the corpus's own unigram distribution
+    p(t) = count(t) / total_tokens. Natural-language docs score in a narrow
+    band; gibberish and boilerplate fall outside it — the cheap first-pass
+    stand-in for a real LM perplexity filter.
+
+    Scale shape: explode → corpus term-count agg (vocab-sized result) →
+    shuffle join of the exploded tokens back to the frequency table keyed on
+    term → per-doc agg. At 100 TB the frequency table is vocab-sized (fits a
+    broadcast for natural-language vocabularies; the keyed join is the
+    fallback and what this plan uses).
+
+    Cross-engine determinism: a per-doc SUM of doubles would be
+    addition-order-dependent (Spark partial aggs vs DuckDB's scan order), so
+    each token's -ln p is FLOOR-truncated to integer MICRO-units first and
+    the sum runs on exact integers (associative); the average then divides
+    two exact integers and truncates once more."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    total = toks.count()  # scalar: the unigram normalizer
+    freq = toks.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    nlp_micro = F.floor(
+        -F.log(F.col("cnt").cast("double") / F.lit(float(total))) * F.lit(1000000.0)
+    ).cast("long")
+    per_tok = toks.join(freq, "term").select("doc_id", nlp_micro.alias("nlp_u"))
+    agg = per_tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tok"),
+        F.sum("nlp_u").cast("long").alias("sum_u"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_tok",
+        _trunc6(F.col("sum_u").cast("double") / F.lit(1000000.0) / F.col("n_tok")).alias(
+            "avg_neg_logprob"
+        ),
+    )
+
+
 def _markers_sql(lg: str) -> str:
     return "len(list_filter(toks, t -> t IN ('" + "', '".join(LANG_MARKERS[lg]) + "')))::BIGINT"
 
@@ -172,6 +291,9 @@ QUERIES = {
     "text_fingerprint": text_fingerprint,
     "text_stats_by_source": text_stats_by_source,
     "multimodal_binary_meta": multimodal_binary_meta,
+    "text_repetition_ngram": text_repetition_ngram,
+    "corpus_tfidf_top_terms": corpus_tfidf_top_terms,
+    "text_unigram_logprob": text_unigram_logprob,
 }
 
 ORACLE = {
@@ -253,5 +375,56 @@ SELECT doc_id,
        WHEN octet_length(encode(text)) % 3 = 1 THEN 'jpeg'
        ELSE 'wav' END AS sniffed_format
 FROM documents
+""",
+    # generate_series(1, 0) is empty in DuckDB, matching the size>=2 guard on
+    # the Spark side (where sequence(1, 0) would DESCEND)
+    "text_repetition_ngram": f"""
+WITH base AS (SELECT doc_id, {SQL_TOKENS} AS toks FROM documents),
+bg AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(toks) - 1),
+                        i -> toks[i] || '|' || toks[i + 1]) AS bigrams
+  FROM base
+)
+SELECT doc_id,
+  len(bigrams)::BIGINT AS n_bigrams,
+  len(list_distinct(bigrams))::BIGINT AS n_uniq_bigrams,
+  CAST(FLOOR((1 - CAST(len(list_distinct(bigrams)) AS DOUBLE) / NULLIF(len(bigrams), 0))
+       * 1000000.0) AS DOUBLE) / 1000000.0 AS rep_ratio
+FROM bg
+""",
+    "corpus_tfidf_top_terms": f"""
+WITH toks AS (SELECT doc_id, source, unnest({SQL_TOKENS}) AS term FROM documents),
+tf AS (SELECT source, term, COUNT(*)::BIGINT AS tf FROM toks GROUP BY source, term),
+df AS (SELECT term, COUNT(*)::BIGINT AS df
+       FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT source, term, tf, df,
+         CAST(FLOOR(tf * ln(CAST(n_docs + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE))
+              * 1000000.0) AS DOUBLE) / 1000000.0 AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT source, term, tf, df, tfidf, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY source ORDER BY tfidf DESC, term) AS rank
+      FROM scored)
+WHERE rank <= 5
+""",
+    "text_unigram_logprob": f"""
+WITH toks AS (SELECT doc_id, unnest({SQL_TOKENS}) AS term FROM documents),
+tot AS (SELECT COUNT(*) AS total FROM toks),
+freq AS (SELECT term, COUNT(*)::BIGINT AS cnt FROM toks GROUP BY term),
+per_tok AS (
+  SELECT doc_id,
+         CAST(FLOOR(-ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)) * 1000000.0) AS BIGINT)
+           AS nlp_u
+  FROM toks JOIN freq USING (term) CROSS JOIN tot
+),
+agg AS (SELECT doc_id, COUNT(*)::BIGINT AS n_tok, SUM(nlp_u)::BIGINT AS sum_u
+        FROM per_tok GROUP BY doc_id)
+SELECT doc_id, n_tok,
+  CAST(FLOOR(CAST(sum_u AS DOUBLE) / 1000000.0 / n_tok * 1000000.0) AS DOUBLE) / 1000000.0
+    AS avg_neg_logprob
+FROM agg
 """,
 }
