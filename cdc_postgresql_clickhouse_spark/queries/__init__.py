@@ -32,6 +32,7 @@ from cdc_postgresql_clickhouse_spark.queries import (
     tpch_ext,
     tpch_more,
     training,
+    winnow,
 )
 
 # Registration order is load-bearing: the driver's correctness gate runs the
@@ -43,7 +44,8 @@ from cdc_postgresql_clickhouse_spark.queries import (
 # and is covered by scripts/parity_sweep.py locally.
 _MODULES = (
     cdc, dedup, similarity, cluster, multimodal, text, quality, training,
-    corpus, skew, debezium_types, funnel, events, tpch, tpch_ext, tpch_more,
+    corpus, skew, debezium_types, funnel, events, winnow, tpch, tpch_ext,
+    tpch_more,
 )
 
 
