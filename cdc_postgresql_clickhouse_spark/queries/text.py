@@ -200,28 +200,32 @@ def corpus_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape of a corpus explorer. tf = term occurrences within the source,
     df = distinct docs (corpus-wide) containing the term, idf = ln((N+1)/(df+1)).
 
-    Scale shape: one explode of the token arrays feeding two keyed
-    aggregations — (source, term) for tf and term for df (the df agg counts
-    pre-distincted (doc, term) pairs, i.e. the posting list build) — then a
-    broadcast-sized join of per-source tf with the df table and a per-source
-    top-k window. The explode→groupBy is the canonical inverted-index
-    construction; everything downstream of it is proportional to the VOCAB,
-    not the corpus.
+    Scale shape: the corpus is scanned and exploded ONCE into per-(doc, term)
+    occurrence counts (the posting-list build — this is the only
+    corpus-proportional stage, and it is persisted as the barrier); tf and df
+    are then both derived from that vocab×docs-bounded intermediate — tf by
+    summing counts per (source, term), df by counting posting rows per term
+    (each doc has one source, so (doc, term) rows are unique). A naive
+    two-branch formulation would re-scan and re-explode the corpus per
+    branch, doubling the dominant cost at 100 TB. Downstream of the barrier
+    everything is proportional to the VOCAB, not the corpus.
 
     Cross-engine determinism: tf/df/N are exact integers, so idf is one ln of
     an exact rational — identical doubles both engines; tf·idf is one
     multiply, then FLOOR-truncated, and the top-k RANKS ON the truncated
     value (ranking on the raw product could flip ties across engines)."""
+    from pyspark import StorageLevel
+
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", "source", F.explode(tokens(F.col("text"))).alias("term"))
     n_docs = docs.count()  # scalar: drives the idf literal, not row data
-    tf = toks.groupBy("source", "term").agg(F.count(F.lit(1)).cast("long").alias("tf"))
-    df_ = (
-        toks.select("doc_id", "term")
-        .distinct()
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    postings = (
+        docs.select("doc_id", "source", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("source", "doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    tf = postings.groupBy("source", "term").agg(F.sum("cnt").cast("long").alias("tf"))
+    df_ = postings.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
     scored = tf.join(df_, "term").select(
         "source",
         "term",
@@ -248,28 +252,42 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     band; gibberish and boilerplate fall outside it — the cheap first-pass
     stand-in for a real LM perplexity filter.
 
-    Scale shape: explode → corpus term-count agg (vocab-sized result) →
-    shuffle join of the exploded tokens back to the frequency table keyed on
-    term → per-doc agg. At 100 TB the frequency table is vocab-sized (fits a
-    broadcast for natural-language vocabularies; the keyed join is the
-    fallback and what this plan uses).
+    Scale shape: ONE explode of the corpus into per-(doc, term) counts (the
+    persisted barrier — the only corpus-proportional stage); the corpus
+    frequency table (vocab-sized) is a re-aggregation of it, and the per-doc
+    score is a keyed join back on term with each posting row contributing
+    cnt_in_doc · (-ln p) — a naive per-token formulation would re-scan and
+    re-explode the corpus for each of the three uses. The frequency table
+    fits a broadcast for natural-language vocabularies; the keyed join is
+    the general fallback.
 
     Cross-engine determinism: a per-doc SUM of doubles would be
     addition-order-dependent (Spark partial aggs vs DuckDB's scan order), so
     each token's -ln p is FLOOR-truncated to integer MICRO-units first and
-    the sum runs on exact integers (associative); the average then divides
-    two exact integers and truncates once more."""
+    the sum runs on exact integers (associative; per-posting weighting by
+    the integer cnt keeps it exact); the average then divides two exact
+    integers and truncates once more."""
+    from pyspark import StorageLevel
+
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
-    total = toks.count()  # scalar: the unigram normalizer
-    freq = toks.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    postings = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    freq = postings.groupBy("term").agg(F.sum("cnt").cast("long").alias("corpus_cnt"))
+    total = freq.agg(F.sum("corpus_cnt")).first()[0]  # scalar: the normalizer
     nlp_micro = F.floor(
-        -F.log(F.col("cnt").cast("double") / F.lit(float(total))) * F.lit(1000000.0)
+        -F.log(F.col("corpus_cnt").cast("double") / F.lit(float(total))) * F.lit(1000000.0)
     ).cast("long")
-    per_tok = toks.join(freq, "term").select("doc_id", nlp_micro.alias("nlp_u"))
-    agg = per_tok.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_tok"),
-        F.sum("nlp_u").cast("long").alias("sum_u"),
+    agg = (
+        postings.join(freq, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_tok"),
+            F.sum(F.col("cnt") * nlp_micro).cast("long").alias("sum_u"),
+        )
     )
     return agg.select(
         "doc_id",
