@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from cdc_postgresql_clickhouse_spark.queries import (
     cdc,
+    chunking,
     cluster,
     corpus,
     debezium_types,
@@ -44,8 +45,8 @@ from cdc_postgresql_clickhouse_spark.queries import (
 # and is covered by scripts/parity_sweep.py locally.
 _MODULES = (
     cdc, dedup, similarity, cluster, multimodal, text, quality, training,
-    corpus, skew, debezium_types, funnel, events, winnow, tpch, tpch_ext,
-    tpch_more,
+    corpus, skew, debezium_types, funnel, events, winnow, chunking, tpch,
+    tpch_ext, tpch_more,
 )
 
 
