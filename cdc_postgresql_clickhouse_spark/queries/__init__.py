@@ -26,6 +26,7 @@ from cdc_postgresql_clickhouse_spark.queries import (
     funnel,
     multimodal,
     quality,
+    semantic,
     similarity,
     skew,
     text,
@@ -45,8 +46,8 @@ from cdc_postgresql_clickhouse_spark.queries import (
 # and is covered by scripts/parity_sweep.py locally.
 _MODULES = (
     cdc, dedup, similarity, cluster, multimodal, text, quality, training,
-    corpus, skew, debezium_types, funnel, events, winnow, chunking, tpch,
-    tpch_ext, tpch_more,
+    corpus, skew, debezium_types, funnel, events, winnow, chunking, semantic,
+    tpch, tpch_ext, tpch_more,
 )
 
 

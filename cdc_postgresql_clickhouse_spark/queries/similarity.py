@@ -530,8 +530,13 @@ FROM (SELECT *, row_number() OVER (PARTITION BY q_id
        ORDER BY cos_sim DESC, neighbor_id) AS rank FROM pair)
 WHERE rank <= 5
 """,
-    "embedding_cosine_neardup": f"""
-WITH base AS (SELECT vec_id, {_SQL_EMB} AS e FROM embeddings WHERE vec_id < {NEARDUP_IDS}),
+}
+
+# Near-dup oracle, split into reusable pieces so composing queries (e.g. the
+# semantic-cluster oracle in queries/semantic.py) can embed the SAME edge
+# definition inside a larger (recursive) CTE chain.
+SQL_NEARDUP_CTES = (
+    f"""base AS (SELECT vec_id, {_SQL_EMB} AS e FROM embeddings WHERE vec_id < {NEARDUP_IDS}),
 derived AS (SELECT vec_id + {DERIVED_OFFSET} AS vec_id,
                    list_transform(e, x -> x * 0.9 + 0.01) AS e FROM base),
 corpus AS (SELECT * FROM base UNION ALL SELECT * FROM derived),
@@ -541,17 +546,19 @@ hashed AS (
         f"  SELECT vec_id, {band} AS band, {_sql_bucket('e', _nd_band_ids(band), ND_PLANES)} AS bucket FROM corpus"
         for band in range(ND_BANDS)
     )
-    + f"""
+    + """
 ),
 cand AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
   FROM hashed a JOIN hashed b
     ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+)"""
 )
-SELECT c.vec_a, c.vec_b, {_sql_cos('va.e', 'vb.e')} AS cos_sim
+
+SQL_NEARDUP_SELECT = f"""SELECT c.vec_a, c.vec_b, {_sql_cos('va.e', 'vb.e')} AS cos_sim
 FROM cand c
 JOIN corpus va ON va.vec_id = c.vec_a
 JOIN corpus vb ON vb.vec_id = c.vec_b
-WHERE {_sql_cos('va.e', 'vb.e')} >= 0.8
-""",
-}
+WHERE {_sql_cos('va.e', 'vb.e')} >= 0.8"""
+
+ORACLE["embedding_cosine_neardup"] = f"WITH {SQL_NEARDUP_CTES}\n{SQL_NEARDUP_SELECT}\n"
