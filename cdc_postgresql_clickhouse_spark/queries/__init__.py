@@ -30,6 +30,7 @@ from cdc_postgresql_clickhouse_spark.queries import (
     similarity,
     skew,
     text,
+    text_ext,
     tpch,
     tpch_ext,
     tpch_more,
@@ -47,7 +48,7 @@ from cdc_postgresql_clickhouse_spark.queries import (
 _MODULES = (
     cdc, dedup, similarity, cluster, multimodal, text, quality, training,
     corpus, skew, debezium_types, funnel, events, winnow, chunking, semantic,
-    tpch, tpch_ext, tpch_more,
+    text_ext, tpch, tpch_ext, tpch_more,
 )
 
 
