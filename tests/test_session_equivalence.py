@@ -100,3 +100,57 @@ def test_streaming_session_counts_equals_batch_sessionize(spark, sf_dir, tmp_pat
     assert only_stream.isEmpty() and only_batch.isEmpty(), (
         f"stream-only: {only_stream.take(5)}; batch-only: {only_batch.take(5)}"
     )
+
+
+def test_streaming_tumbling_counts_equals_batch(spark, sf_dir, tmp_path):
+    """Same drain/sentinel/re-drain pattern for the tumbling window: the
+    streaming operator must reproduce the batch events_tumbling_5min
+    aggregation exactly (per (window_start, event_type) counts)."""
+    from cdc_postgresql_clickhouse_spark.streaming.windows import tumbling_counts
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    src = str(tmp_path / "tsrc")
+    out = str(tmp_path / "tout")
+    ckpt = str(tmp_path / "tckpt")
+    ev.write.mode("overwrite").parquet(src)
+
+    def drain():
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        q = (
+            tumbling_counts(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    far_future = ev.select(F.max("ts")).first()[0]
+    spark.createDataFrame(
+        [("__sentinel__", far_future)], "event_type string, ts timestamp"
+    ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 30 DAYS")).write.mode("append").parquet(src)
+    drain()
+
+    streamed = (
+        spark.read.parquet(out)
+        .filter(F.col("event_type") != "__sentinel__")
+        .select(
+            F.floor(F.unix_timestamp("window_start")).cast("long").alias("bucket_epoch"),
+            "event_type",
+            F.col("n_events").cast("long").alias("n_events"),
+        )
+    )
+    batch = all_queries()["events_tumbling_5min"](spark, sf_dir)
+    batch = batch.select(
+        F.col(batch.columns[0]).cast("long").alias("bucket_epoch"),
+        F.col("event_type"),
+        F.col("n_events").cast("long"),
+    )
+    only_s = streamed.exceptAll(batch)
+    only_b = batch.exceptAll(streamed)
+    assert only_s.isEmpty() and only_b.isEmpty(), (
+        f"stream-only: {only_s.take(5)}; batch-only: {only_b.take(5)}"
+    )
