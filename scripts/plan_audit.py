@@ -1,0 +1,63 @@
+"""Physical-plan audit over the bench headline set: per query, the numbers
+that matter at 100 TB — shuffle (Exchange) count, broadcast joins, nested
+-loop joins (should be none outside the documented IVF assignment pass),
+parquet scans with pushed filters, and cache reuse. Usage:
+
+    python scripts/plan_audit.py [sf_dir] [query ...]
+
+The per-query rows make plan regressions visible at a glance; the pinned
+subset lives in tests/test_plans.py and friends — this is the full-surface
+observability tool.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import HEADLINE  # noqa: E402
+from cdc_postgresql_clickhouse_spark.plans.inspect import formatted_plan  # noqa: E402
+from cdc_postgresql_clickhouse_spark.queries import all_queries  # noqa: E402
+from cdc_postgresql_clickhouse_spark.session import get_spark  # noqa: E402
+
+
+def audit(plan: str) -> dict[str, int]:
+    tree = re.findall(r"\(\d+\) ([A-Za-z]+)", plan)
+    return {
+        "shuffles": sum(1 for n in tree if n == "Exchange"),
+        "bcast_joins": sum(1 for n in tree if n.startswith("BroadcastHashJoin")),
+        "smj": sum(1 for n in tree if n.startswith("SortMergeJoin")),
+        "nested_loop": sum(1 for n in tree if n.startswith("BroadcastNestedLoopJoin")),
+        "scans": sum(1 for n in tree if n == "Scan"),
+        "cache_reads": plan.count("InMemoryTableScan") + plan.count("TableCacheQueryStage"),
+        "pushed": len(re.findall(r"PushedFilters: \[[^\]]", plan)),
+    }
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    names = [n for n in HEADLINE if not only or n in only] or sorted(only)
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = all_queries()
+    unknown = set(names) - set(qs)
+    if unknown:
+        print(f"unknown query name(s): {sorted(unknown)}")
+        return 2
+    hdr = ("query", "shuffles", "bcast", "smj", "nestloop", "scans", "cache", "pushed")
+    print(f"{hdr[0]:35s} " + " ".join(f"{h:>8s}" for h in hdr[1:]))
+    for name in names:
+        a = audit(formatted_plan(qs[name](spark, sf_dir)))
+        print(
+            f"{name:35s} {a['shuffles']:8d} {a['bcast_joins']:8d} {a['smj']:8d} "
+            f"{a['nested_loop']:8d} {a['scans']:8d} {a['cache_reads']:8d} {a['pushed']:8d}"
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
