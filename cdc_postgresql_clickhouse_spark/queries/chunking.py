@@ -53,7 +53,80 @@ def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"doc_chunking": doc_chunking}
+# --- content-defined chunking ---------------------------------------------
+#
+# Fixed-stride chunks (above) break under insertion/deletion: dropping ONE
+# token shifts every boundary, so near-identical docs share zero chunk
+# hashes. Content-defined chunking (the rsync / storage-dedup primitive)
+# places a boundary AFTER any token whose hash ≡ 0 (mod BOUNDARY_MOD), so
+# boundaries are a function of local content and re-align immediately after
+# an edit — the fixture's derived near-dups (first token dropped,
+# queries/dedup.py) share almost all their chunks, which is exactly what
+# chunk_dedup_content_defined surfaces.
+
+BOUNDARY_MOD = 16  # expected chunk length ~16 tokens
+
+# integer token hash both engines agree on (same polynomial as the document
+# fingerprints): fold over chars, acc*131 + code, mod 1e9+7
+_TOK_HASH_I = (
+    "aggregate(filter(split(element_at(toks, i), ''), c -> c <> ''), 0L,"
+    " (acc, c) -> pmod(acc * 131 + ascii(c), 1000000007L))"
+)
+
+# boundary positions: 0, every i whose token hash ≡ 0 (mod MOD), and n —
+# computed ONCE per row as its own column (inlining it into the chunk
+# transform would re-hash every token once per chunk)
+_BPOS = (
+    f"CASE WHEN size(toks) >= 1 THEN concat(array(0),"
+    f" filter(sequence(1, size(toks)), i -> pmod({_TOK_HASH_I}, {BOUNDARY_MOD}) = 0),"
+    f" array(size(toks))) ELSE array(0) END"
+)
+
+# slices between consecutive boundaries; a flagged final token yields an
+# empty trailing slice, filtered out (both engines)
+_CDC_PIECES = (
+    "CASE WHEN size(bpos) >= 2 THEN"
+    " filter(transform(sequence(1, size(bpos) - 1),"
+    "   j -> slice(toks, element_at(bpos, j) + 1,"
+    "              element_at(bpos, j + 1) - element_at(bpos, j))),"
+    "   c -> size(c) > 0)"
+    " ELSE array() END"
+)
+
+
+def chunk_dedup_content_defined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-chunk detection over content-defined boundaries: chunk every
+    document (base + derived near-dups, the dedup fixture corpus), hash each
+    chunk, and report chunks appearing in >= 2 distinct documents — the
+    storage-dedup/"which passages recur across the corpus" primitive.
+
+    Map-side chunk construction (staged higher-order expressions, one
+    explode), one hash-shuffle on chunk_md5. The derived docs drop their
+    first token, so fixed-stride chunking finds ZERO shared chunks here;
+    content-defined boundaries re-align after the edit and find nearly all
+    of them (pinned by tests/test_chunking.py)."""
+    from cdc_postgresql_clickhouse_spark.queries.dedup import _corpus
+
+    corpus = _corpus(spark, sf_dir)
+    base = corpus.select("doc_id", tokens(F.col("text")).alias("toks"))
+    staged = base.withColumn("bpos", F.expr(_BPOS))
+    chunks = staged.select(
+        "doc_id", F.explode(F.expr(_CDC_PIECES)).alias("piece")
+    ).select("doc_id", F.md5(F.array_join("piece", " ")).alias("chunk_md5"))
+    return (
+        chunks.groupBy("chunk_md5")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+QUERIES = {
+    "doc_chunking": doc_chunking,
+    "chunk_dedup_content_defined": chunk_dedup_content_defined,
+}
 
 # DuckDB: list slicing l[a:b] is 1-based inclusive, so a width-W slice at s
 # is l[s : s + W - 1]; slicing past the end truncates like Spark's slice().
@@ -76,5 +149,45 @@ SELECT doc_id,
        len(toks[start : start + {CHUNK_TOKENS} - 1])::BIGINT AS chunk_tokens,
        md5(array_to_string(toks[start : start + {CHUNK_TOKENS} - 1], ' ')) AS chunk_md5
 FROM chunks
+""",
+    "chunk_dedup_content_defined": """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, regexp_replace(text, '^[^ ]+ ', '') AS text
+  FROM documents WHERE doc_id < 50
+),
+base AS (
+  SELECT doc_id,
+         list_filter(str_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                     t -> t <> '') AS toks
+  FROM corpus
+),
+staged AS (
+  SELECT doc_id, toks,
+         [0] ||
+         list_filter(generate_series(1, len(toks)),
+           i -> (list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(list_filter(str_split(toks[i], ''), c -> c <> ''),
+                                  c -> CAST(ord(c) AS BIGINT))),
+                 (acc, c) -> (acc * 131 + c) % 1000000007) % 16) = 0) ||
+         [len(toks)] AS bpos
+  FROM base
+),
+pieces AS (
+  SELECT doc_id,
+         unnest(list_filter(
+           list_transform(generate_series(1, len(bpos) - 1),
+                          j -> toks[bpos[j] + 1 : bpos[j + 1]]),
+           c -> len(c) > 0)) AS piece
+  FROM staged
+),
+hashed AS (SELECT doc_id, md5(array_to_string(piece, ' ')) AS chunk_md5 FROM pieces)
+SELECT chunk_md5,
+       COUNT(DISTINCT doc_id)::BIGINT AS n_docs,
+       COUNT(*)::BIGINT AS n_occurrences
+FROM hashed
+GROUP BY chunk_md5
+HAVING COUNT(DISTINCT doc_id) >= 2
 """,
 }
