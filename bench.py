@@ -68,6 +68,7 @@ HEADLINE = [
     "embedding_cosine_neardup",
     "corpus_decontaminate",
     "embedding_quantize_int8",
+    "chunk_dedup_content_defined",
 ]
 
 
