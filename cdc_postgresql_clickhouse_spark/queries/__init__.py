@@ -23,6 +23,7 @@ from cdc_postgresql_clickhouse_spark.queries import (
     debezium_types,
     dedup,
     events,
+    extras,
     funnel,
     multimodal,
     quality,
@@ -48,7 +49,7 @@ from cdc_postgresql_clickhouse_spark.queries import (
 _MODULES = (
     cdc, dedup, similarity, cluster, multimodal, text, quality, training,
     corpus, skew, debezium_types, funnel, events, winnow, chunking, semantic,
-    text_ext, tpch, tpch_ext, tpch_more,
+    text_ext, extras, tpch, tpch_ext, tpch_more,
 )
 
 
