@@ -27,6 +27,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from cdc_postgresql_clickhouse_spark.queries.dedup import (
+    _SQL_MINHASH_CTES,
+    _SQL_MINHASH_SELECT,
+)
 from cdc_postgresql_clickhouse_spark.sources.registry import load_table
 
 V2_OFFSET = 2_000_000
@@ -78,12 +82,49 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size distribution of the near-dup components — the dedup-ops
+    dashboard metric (a sudden mass in large clusters means the LSH
+    thresholds drifted or a template flooded the corpus). Derived from the
+    same connected-components output as ``dedup_cluster_canonical``; one
+    extra vocab-sized aggregation."""
+    from cdc_postgresql_clickhouse_spark.queries.cluster import dedup_cluster_canonical
+
+    comp = dedup_cluster_canonical(spark, sf_dir)
+    per_cluster = comp.groupBy("canonical_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return per_cluster.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters")
+    )
+
+
 QUERIES = {
     "corpus_version_diff": corpus_version_diff,
     "events_transition_matrix": events_transition_matrix,
+    "dedup_cluster_size_hist": dedup_cluster_size_hist,
 }
 
 ORACLE = {
+    "dedup_cluster_size_hist": f"""
+WITH RECURSIVE {_SQL_MINHASH_CTES},
+edges AS ({_SQL_MINHASH_SELECT}),
+bidir AS (
+  SELECT doc_a AS a, doc_b AS b FROM edges
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM edges
+),
+nodes AS (SELECT DISTINCT a AS doc_id FROM bidir),
+reach(doc_id, r) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT re.doc_id, bd.b FROM reach re JOIN bidir bd ON bd.a = re.r
+),
+comp AS (SELECT doc_id, MIN(r) AS canonical_id FROM reach GROUP BY doc_id),
+sizes AS (SELECT canonical_id, COUNT(*)::BIGINT AS cluster_size FROM comp GROUP BY canonical_id)
+SELECT cluster_size, COUNT(*)::BIGINT AS n_clusters
+FROM sizes GROUP BY cluster_size
+""",
     "corpus_version_diff": f"""
 WITH v1 AS (SELECT doc_id, md5(text) AS h1 FROM documents),
 v2src AS (
