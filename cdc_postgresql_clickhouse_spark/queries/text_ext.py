@@ -77,7 +77,36 @@ def _profile_sql(lg: str) -> str:
     return f"len(list_filter(tg, t -> t IN ('{lits}')))::BIGINT"
 
 
-QUERIES = {"text_langid_chargram": text_langid_chargram}
+# The redaction target class: in production this is the PII lexicon/regex
+# union (emails, phone numbers, account ids); the synthetic corpus contains
+# no digits, so the registered pattern targets identifier-shaped tokens
+# (8+ alphanumeric chars, ~3% of tokens) to genuinely exercise the
+# count/replace/rehash path — the operator shape is pattern-agnostic.
+PII_PATTERN = "[a-z0-9]{8,}"
+REDACTION = "<pii>"
+
+
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redaction transform paired with ``text_regex_policy_scan``: count the
+    PII-shaped matches, replace them, and fingerprint the redacted text.
+    Map-side regexp work in whole-stage codegen — a pure scan job at scale;
+    the md5 lets downstream exact-dedup run on REDACTED content so documents
+    differing only in their PII collapse."""
+    docs = load_table(spark, sf_dir, "documents")
+    low = F.lower("text")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(low, F.lit(PII_PATTERN), F.lit(0)))
+        .cast("long")
+        .alias("n_redactions"),
+        F.md5(F.regexp_replace(low, PII_PATTERN, REDACTION)).alias("redacted_md5"),
+    )
+
+
+QUERIES = {
+    "text_langid_chargram": text_langid_chargram,
+    "text_pii_redact": text_pii_redact,
+}
 
 ORACLE = {
     "text_langid_chargram": f"""
@@ -104,5 +133,11 @@ SELECT doc_id, lang, n_trigrams, s_en, s_de, s_fr, s_es,
             WHEN s_fr = GREATEST(s_en, s_de, s_fr, s_es) THEN 'fr'
             ELSE 'es' END AS guessed_lang
 FROM scored
+""",
+    "text_pii_redact": f"""
+SELECT doc_id,
+  len(regexp_extract_all(lower(text), '{PII_PATTERN}'))::BIGINT AS n_redactions,
+  md5(regexp_replace(lower(text), '{PII_PATTERN}', '{REDACTION}', 'g')) AS redacted_md5
+FROM documents
 """,
 }
