@@ -77,14 +77,43 @@ def _state_lock(path: str):
         os.close(fd)
         yield
     finally:
-        with contextlib.suppress(FileNotFoundError):
-            os.remove(lock)
+        # Remove only OUR lock: if break_state_lock misjudged this mutator as
+        # crashed and a new mutator re-acquired, the recorded pid differs and
+        # the zombie must not delete the new owner's fence.
+        with contextlib.suppress(OSError):
+            with open(lock) as fh:
+                owner = fh.read().strip()
+            if owner == str(os.getpid()):
+                os.remove(lock)
 
 
-def break_state_lock(path: str) -> bool:
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except (ProcessLookupError, ValueError):
+        return False
+    except PermissionError:
+        return True
+    return True
+
+
+def break_state_lock(path: str, force: bool = False) -> bool:
     """Remove a stale lock left by a crashed mutator. Returns True if a lock
-    file existed."""
+    file existed. Refuses (``StateLockError``) when the recorded owner pid is
+    a live process OTHER than the caller — that mutator is not crashed, just
+    slow, and breaking its fence re-opens the lost-update race; pass
+    ``force=True`` after killing it."""
     lock = f"{os.path.abspath(path)}.lock"
+    if not force:
+        owner: int | None = None
+        with contextlib.suppress(OSError, ValueError):
+            with open(lock) as fh:
+                owner = int(fh.read().strip())
+        if owner is not None and owner != os.getpid() and _pid_alive(owner):
+            raise StateLockError(
+                f"lock on {path!r} is held by live pid {owner}; not breaking "
+                "(kill the owner and pass force=True if it is truly wedged)"
+            )
     with contextlib.suppress(FileNotFoundError):
         os.remove(lock)
         return True
@@ -313,12 +342,27 @@ def _merge_key_condition(key_cols: tuple[str, ...]) -> str:
     return " AND ".join(f"t.{k} = s.{k}" for k in key_cols)
 
 
-def _merge_newer_condition(version_cols: tuple[str, ...]) -> str:
-    """Lexicographic 'source is newer' over the version order as one struct
-    comparison — the SQL twin of ``_total_order``'s leading columns."""
-    s = ", ".join(f"s.{c}" for c in version_cols)
-    t = ", ".join(f"t.{c}" for c in version_cols)
-    return f"struct({s}) > struct({t})"
+def _merge_newer_condition(
+    version_cols: tuple[str, ...], rest_cols: tuple[str, ...] = ()
+) -> str:
+    """'Source is newer' as the EXACT SQL twin of ``_total_order``: the batch
+    path orders every column descending (Spark desc = nulls LAST, i.e. NULL
+    sorts as -infinity) over version_cols then the remaining columns sorted
+    by name. A plain ``struct(s.*) > struct(t.*)`` diverges on exactly two
+    edges (found in review): a NULL in any compared column makes the struct
+    comparison NULL so the update silently skips (batch lets the non-null
+    side win), and a full version tie keeps the target (batch breaks the tie
+    on the rest columns). This expands the lexicographic order column-wise
+    with null-safe operators: s wins at column c iff ``s.c IS NOT NULL AND
+    (t.c IS NULL OR s.c > t.c)`` (never NULL-valued, so a row either matches
+    or definitively does not); columns compare equal via ``<=>``."""
+    cols = (*version_cols, *rest_cols)
+    terms = []
+    for i, c in enumerate(cols):
+        gt = f"(s.{c} IS NOT NULL AND (t.{c} IS NULL OR s.{c} > t.{c}))"
+        eqs = [f"s.{cols[j]} <=> t.{cols[j]}" for j in range(i)]
+        terms.append("(" + " AND ".join([*eqs, gt]) + ")")
+    return " OR ".join(terms)
 
 
 def upsert_changes_delta(
@@ -333,8 +377,10 @@ def upsert_changes_delta(
     ``schemas/clickhouse_schemas.sql:11-13``: ReplacingMergeTree(version,
     is_deleted) keyed upsert).
 
-    Semantics are identical to ``apply_changes``: per-key last-writer-wins on
-    the lexicographic version order, tombstones RETAINED in state (a later
+    Semantics are identical to ``apply_changes`` INCLUDING ties and NULLs:
+    per-key last-writer-wins on the total order (version columns then the
+    remaining columns sorted by name, descending, NULL smallest — see
+    ``_merge_newer_condition``), tombstones RETAINED in state (a later
     replay of an older event must still lose — S10), reads go through
     ``current_state``. The batch is pre-collapsed with ``apply_changes(None,
     batch)`` because MERGE requires at most one source row per target key.
@@ -356,11 +402,12 @@ def upsert_changes_delta(
     if not DeltaTable.isDeltaTable(spark, path):
         batch.write.format("delta").mode("overwrite").save(path)
         return
+    rest = tuple(sorted(set(batch.columns) - set(key_cols) - set(version_cols)))
     (
         DeltaTable.forPath(spark, path)
         .alias("t")
         .merge(batch.alias("s"), _merge_key_condition(key_cols))
-        .whenMatchedUpdateAll(condition=_merge_newer_condition(version_cols))
+        .whenMatchedUpdateAll(condition=_merge_newer_condition(version_cols, rest))
         .whenNotMatchedInsertAll()
         .execute()
     )

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cdc_postgresql_clickhouse_spark.functions.text import tokens
+from cdc_postgresql_clickhouse_spark.queries.dedup import _SQL_CORPUS
 from cdc_postgresql_clickhouse_spark.sources.registry import load_table
 
 CHUNK_TOKENS = 64
@@ -150,13 +151,10 @@ SELECT doc_id,
        md5(array_to_string(toks[start : start + {CHUNK_TOKENS} - 1], ' ')) AS chunk_md5
 FROM chunks
 """,
-    "chunk_dedup_content_defined": """
-WITH corpus AS (
-  SELECT doc_id, text FROM documents
-  UNION ALL
-  SELECT doc_id + 1000000 AS doc_id, regexp_replace(text, '^[^ ]+ ', '') AS text
-  FROM documents WHERE doc_id < 50
-),
+    # corpus CTE interpolated from dedup's _SQL_CORPUS (single source of
+    # truth for NEARDUP_IDS / DERIVED_OFFSET — Spark side uses dedup._corpus)
+    "chunk_dedup_content_defined": f"""
+WITH corpus AS ({_SQL_CORPUS}),
 base AS (
   SELECT doc_id,
          list_filter(str_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),

@@ -20,30 +20,45 @@ from cdc_postgresql_clickhouse_spark.operators.state import (
 def test_merge_condition_sql():
     assert _merge_key_condition(("booking_id",)) == "t.booking_id = s.booking_id"
     assert _merge_key_condition(("a", "b")) == "t.a = s.a AND t.b = s.b"
-    assert (
-        _merge_newer_condition(DEFAULT_VERSION_ORDER)
-        == "struct(s.version, s.ts_ms, s.is_deleted) > struct(t.version, t.ts_ms, t.is_deleted)"
-    )
+    cond = _merge_newer_condition(("version",))
+    assert cond == "((s.version IS NOT NULL AND (t.version IS NULL OR s.version > t.version)))"
+    two = _merge_newer_condition(("version",), ("x",))
+    assert "s.version <=> t.version" in two and "s.x > t.x" in two
 
 
 def test_merge_newer_matches_total_order(spark):
-    """The struct comparison ranks exactly like the (version, ts_ms,
-    is_deleted) lexicographic order the batch path uses: evaluate it over
-    every ordered pair of distinct version tuples."""
-    tuples = [(1, 0, 0), (1, 0, 1), (1, 5, 0), (2, 0, 0), (2, 0, 1)]
+    """The merge condition ranks exactly like the batch path's total order
+    (version cols desc nulls-last, then rest cols): evaluate it over every
+    ordered pair of tuples including NULLs (sort as -inf) and full version
+    ties (broken by the rest column, here `x`)."""
+    tuples = [
+        (1, 0, 0, 10),
+        (1, 0, 1, 10),
+        (1, 5, 0, 10),
+        (2, 0, 0, 10),
+        (2, 0, 1, 10),
+        (None, 0, 0, 10),  # NULL version: loses to any non-null version
+        (2, None, 1, 10),  # NULL mid-column
+        (2, 0, 1, 20),     # full version tie vs id=4: rest column decides
+    ]
     rows = [(i, *t) for i, t in enumerate(tuples)]
-    df = spark.createDataFrame(rows, "id int, version long, ts_ms long, is_deleted int")
+    df = spark.createDataFrame(
+        rows, "id int, version long, ts_ms long, is_deleted int, x long"
+    )
     s = df.alias("s")
     t = df.alias("t")
+    cond = _merge_newer_condition(DEFAULT_VERSION_ORDER, ("x",))
     got = (
         s.crossJoin(t)
-        .selectExpr(
-            "s.id AS sid", "t.id AS tid", f"{_merge_newer_condition(DEFAULT_VERSION_ORDER)} AS newer"
-        )
+        .selectExpr("s.id AS sid", "t.id AS tid", f"{cond} AS newer")
         .collect()
     )
+
+    def key(tp):
+        return tuple(float("-inf") if v is None else v for v in tp)
+
     for r in got:
-        assert r.newer == (tuples[r.sid] > tuples[r.tid]), (r.sid, r.tid)
+        assert r.newer == (key(tuples[r.sid]) > key(tuples[r.tid])), (r.sid, r.tid)
 
 
 def test_missing_delta_raises_clean_importerror(spark):

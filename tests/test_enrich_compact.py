@@ -151,7 +151,48 @@ def test_compact_during_active_mutation_raises(spark, tmp_path):
     # lock released: both proceed again
     compact_state(spark, path, key_buckets=2)
     assert read_state(spark, path).count() > 0
-    # stale-lock recovery path
+    # stale-lock recovery path (breaking YOUR OWN lock is allowed — the
+    # caller is by definition not a crashed other process)
     with _state_lock(path):
         assert break_state_lock(path) is True
     assert break_state_lock(path) is False
+
+
+def test_break_lock_refuses_live_foreign_owner(tmp_path):
+    """break_state_lock must not break a lock whose recorded owner is a LIVE
+    other process (it is slow, not crashed) — that would re-open the
+    lost-update race; force=True overrides after the operator kills it."""
+    import pytest
+
+    from cdc_postgresql_clickhouse_spark.operators.state import (
+        StateLockError,
+        break_state_lock,
+    )
+
+    path = str(tmp_path / "state")
+    with open(f"{path}.lock", "w") as fh:
+        fh.write("1")  # pid 1: always alive, never us
+    with pytest.raises(StateLockError, match="live pid 1"):
+        break_state_lock(path)
+    assert break_state_lock(path, force=True) is True
+
+
+def test_zombie_finally_does_not_remove_new_owners_lock(tmp_path):
+    """If an operator breaks a lock whose owner is still running and a new
+    mutator acquires a fresh lock, the zombie's exit must NOT delete the new
+    owner's lock file (ownership is verified by pid before removal)."""
+    import os
+
+    from cdc_postgresql_clickhouse_spark.operators.state import _state_lock
+
+    path = str(tmp_path / "state")
+    lock = f"{path}.lock"
+    with _state_lock(path):
+        # simulate: operator broke our lock and another process re-acquired
+        os.remove(lock)
+        with open(lock, "w") as fh:
+            fh.write("999999")  # not our pid
+    # zombie exit left the foreign lock in place
+    assert os.path.exists(lock)
+    with open(lock) as fh:
+        assert fh.read() == "999999"

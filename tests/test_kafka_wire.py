@@ -156,14 +156,28 @@ def test_kafka_adapter_seam(spark, tmp_path):
     assert state.count() == 6
 
 
+def _kafka_datasource_available(spark) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+        )
+        return True
+    except Exception:
+        return False
+
+
 def test_kafka_source_config_shape(spark):
     """kafka_wire_stream builds the reference-mapped reader config; where the
     spark-sql-kafka package is absent (this sandbox) .load() must fail with
     the standard missing-data-source error, proving the only gap between the
-    substitute and a live broker is the classpath package."""
+    substitute and a live broker is the classpath package. Where the package
+    IS present the construction would instead connect lazily — that property
+    is environment-dependent, so skip (mirrors delta_available gating)."""
     import pytest
 
     from cdc_postgresql_clickhouse_spark.sources.kafka import kafka_wire_stream
 
+    if _kafka_datasource_available(spark):
+        pytest.skip("spark-sql-kafka on classpath; absence contract not testable")
     with pytest.raises(Exception, match="[Kk]afka"):
         kafka_wire_stream(spark, "localhost:9092", "bookings_changes")
