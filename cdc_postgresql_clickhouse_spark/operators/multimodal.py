@@ -12,11 +12,14 @@ Design for 100 TB of images/audio/video:
   stages: Arrow moves the bytes in batches, pandas sees a column of
   ``bytes`` objects, output schema is declared up front — the engine-side
   plumbing (schema, batching, partition preservation) is real and tested;
-- the codecs themselves are STUBS: the image/audio libraries are not in this
-  container. Each ``_decode_*_real`` raises ``NotImplementedError`` and the
-  pipeline substitutes a deterministic fake derived from the payload bytes,
-  so tests exercise the full dataflow with stable results. Swapping in
-  Pillow/ffmpeg is a one-function change per modality.
+- the image codec is GUARDED, not stubbed: ``decode_blobs`` imports Pillow
+  once per worker when importable and decodes real payloads with it; absent
+  Pillow (this container) or on undecodable payloads it substitutes a
+  deterministic fake derived from the payload bytes, so tests exercise the
+  full dataflow with stable results in either environment. The audio/video
+  stages (resize stand-in, frame sampling) keep deterministic byte-level
+  stand-ins with the identical Arrow dataflow; swapping in ffmpeg is a
+  one-function change.
 """
 
 from __future__ import annotations
@@ -88,10 +91,38 @@ def blob_table(docs: DataFrame) -> DataFrame:
     )
 
 
+def pillow_available() -> bool:
+    """True iff Pillow is importable (guarded real-codec path)."""
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 def _decode_image_real(payload: bytes) -> Any:
-    """Real decoder hook — Pillow/opencv are not installed in this
-    environment; replace this function to go live."""
-    raise NotImplementedError("image codec not available in this environment")
+    """Real decoder: Pillow when importable (use-if-present), else
+    NotImplementedError so the pipeline substitutes the deterministic fake.
+    Kept as a module-level twin of the executor-side closure in
+    ``decode_blobs`` for direct unit testing."""
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError:
+        raise NotImplementedError("Pillow not installed in this environment") from None
+    img = Image.open(io.BytesIO(payload))
+    img.load()
+    hist = img.histogram()[:FEATURE_DIM]
+    hist = hist + [0] * (FEATURE_DIM - len(hist))
+    total = max(sum(hist), 1)
+    return (
+        img.size[0],
+        img.size[1],
+        len(img.getbands()),
+        [round(c / total, 6) for c in hist],
+    )
 
 
 def _fake_decode(payload: bytes) -> tuple[int, int, int, list[float]]:
@@ -109,8 +140,11 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int, list[float]]:
 
 def decode_blobs(blobs: DataFrame, batch_hint: int = 256) -> DataFrame:
     """Arrow-batched decode: mapInPandas keeps partitioning, streams batches,
-    and declares DECODED_SCHEMA up front. Tries the real codec per row and
-    falls back to the deterministic fake (codec stubbed in this container)."""
+    and declares DECODED_SCHEMA up front. Tries the real codec (Pillow,
+    use-if-present — imported once per worker, not per row) and falls back to
+    the deterministic fake for undecodable payloads or when Pillow is absent,
+    so the fixture corpus (UTF-8 bytes, never valid images) always takes the
+    fake path and the oracle rows stay engine-exact either way."""
 
     out_cols = [f.name for f in DECODED_SCHEMA.fields]
     feature_dim = FEATURE_DIM
@@ -120,6 +154,28 @@ def decode_blobs(blobs: DataFrame, batch_hint: int = 256) -> DataFrame:
     # workers do not necessarily have the repo on sys.path.
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hl
+
+        try:  # guarded real codec; worker-local import
+            import io as _io
+
+            from PIL import Image as _Image
+        except ImportError:
+            _Image = None
+
+        def real_decode(data: bytes):
+            if _Image is None:
+                raise NotImplementedError("Pillow not installed")
+            img = _Image.open(_io.BytesIO(data))
+            img.load()
+            hist = img.histogram()[:feature_dim]
+            hist = hist + [0] * (feature_dim - len(hist))
+            total = max(sum(hist), 1)
+            return (
+                img.size[0],
+                img.size[1],
+                len(img.getbands()),
+                [round(c / total, 6) for c in hist],
+            )
 
         def fake_decode(data: bytes):
             h = _hl.md5(data).digest()
@@ -134,8 +190,8 @@ def decode_blobs(blobs: DataFrame, batch_hint: int = 256) -> DataFrame:
             for doc_id, fmt, payload in zip(pdf["doc_id"], pdf["format"], pdf["payload"]):
                 data = bytes(payload)
                 try:
-                    raise NotImplementedError("image codec not available")  # real hook
-                except NotImplementedError:
+                    width, height, channels, feat = real_decode(data)
+                except Exception:  # absent codec or undecodable payload
                     width, height, channels, feat = fake_decode(data)
                 rows.append(
                     {

@@ -100,11 +100,11 @@ def connected_components(
         if s == prev_sum:  # labels are monotone non-increasing: fixpoint
             return lbl
         prev_sum = s
-    raise RuntimeError(
-        f"connected_components: no fixpoint in {max_iters} iterations "
-        "(component diameter exceeds the bound; raise max_iters or switch "
-        "to large-star/small-star)"
-    )
+    # Component diameter exceeds the round budget (a long chain, not the
+    # star/clique shape near-dup graphs normally have): switch to the
+    # O(log n)-round large-star/small-star variant instead of failing —
+    # same output contract, same per-round shuffle shape.
+    return connected_components_twostar(edges, id_a, id_b)
 
 
 def connected_components_twostar(
@@ -204,14 +204,46 @@ def connected_components_twostar(
     return member_label.unionByName(roots)
 
 
+# Shared materialization of the near-dup component table: connected
+# components over the MinHash-LSH edges is the expensive iterative stage, and
+# several queries derive from its output (canonical survivors, cluster-size
+# histogram). At 100 TB you materialize the cluster table ONCE per corpus
+# snapshot and every consumer reads it; locally the memo holds the
+# localCheckpointed label table (executor blocks, O(linked docs)) keyed by
+# (application, sf_dir). ``reset_clusters_cache`` restores cold-start
+# behavior (bench.py uses it so the producer's own timing stays honest).
+_CLUSTERS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared (doc_id, label) component table for ``sf_dir``'s near-dup
+    graph — computed once per (application, sf_dir) and reused by every
+    cluster-derived query. The result is localCheckpointed by
+    ``connected_components``, so reuse reads materialized blocks, never
+    re-runs the iteration."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _CLUSTERS_CACHE.get(key)
+    if hit is not None:
+        return hit
+    edges = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    comp = connected_components(edges)
+    _CLUSTERS_CACHE[key] = comp
+    return comp
+
+
+def reset_clusters_cache() -> None:
+    """Drop the shared component-table memo (cold-start semantics for
+    benchmarks and tests)."""
+    _CLUSTERS_CACHE.clear()
+
+
 def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters from the MinHash-LSH pair set: connected components,
     canonical survivor = min doc_id per component. One row per clustered
     doc: (doc_id, canonical_id, cluster_size, is_canonical) — the "drop
     every row where NOT is_canonical" step of a dedup pipeline.
     """
-    edges = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    comp = connected_components(edges)
+    comp = clusters(spark, sf_dir)
     w = Window.partitionBy("canonical_id")
     return (
         comp.select("doc_id", F.col("label").alias("canonical_id"))

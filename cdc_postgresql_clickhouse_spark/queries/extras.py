@@ -85,13 +85,14 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-size distribution of the near-dup components — the dedup-ops
     dashboard metric (a sudden mass in large clusters means the LSH
-    thresholds drifted or a template flooded the corpus). Derived from the
-    same connected-components output as ``dedup_cluster_canonical``; one
-    extra vocab-sized aggregation."""
-    from cdc_postgresql_clickhouse_spark.queries.cluster import dedup_cluster_canonical
+    thresholds drifted or a template flooded the corpus). Reads the SAME
+    materialized component table as ``dedup_cluster_canonical``
+    (``cluster.clusters`` — one connected-components run per corpus
+    snapshot, this query adds only two vocab-sized aggregations)."""
+    from cdc_postgresql_clickhouse_spark.queries.cluster import clusters
 
-    comp = dedup_cluster_canonical(spark, sf_dir)
-    per_cluster = comp.groupBy("canonical_id").agg(
+    comp = clusters(spark, sf_dir)
+    per_cluster = comp.groupBy(F.col("label").alias("canonical_id")).agg(
         F.count(F.lit(1)).cast("long").alias("cluster_size")
     )
     return per_cluster.groupBy("cluster_size").agg(

@@ -77,29 +77,72 @@ def _profile_sql(lg: str) -> str:
     return f"len(list_filter(tg, t -> t IN ('{lits}')))::BIGINT"
 
 
-# The redaction target class: in production this is the PII lexicon/regex
-# union (emails, phone numbers, account ids); the synthetic corpus contains
-# no digits, so the registered pattern targets identifier-shaped tokens
-# (8+ alphanumeric chars, ~3% of tokens) to genuinely exercise the
-# count/replace/rehash path — the operator shape is pattern-agnostic.
-PII_PATTERN = "[a-z0-9]{8,}"
+# Production PII patterns (email / E.164-ish phone / account id). The
+# synthetic corpus contains no real PII, so the fixture is made PII-bearing
+# IN-QUERY: deterministic spans synthesized as a function of doc_id are
+# appended identically on both engines (the same trick extras._v2 uses for
+# the version diff), then the production patterns run against them. The
+# operator itself (count / replace / rehash) never sees the synthesis — in
+# production it runs on raw text unchanged. All three patterns are valid in
+# both Java regex (Spark) and RE2 (DuckDB).
+PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_PHONE = r"\+\d{1,2}-\d{3}-\d{4}"
+PII_ACCT = r"\bacct-\d{6,}\b"
 REDACTION = "<pii>"
 
 
+def _inject_pii(doc_id, low):
+    """Deterministic PII spans: doc_id%3==0 gets an email, %4==1 a phone,
+    %5==2 an account id (classes overlap, so some docs carry several)."""
+    sid = doc_id.cast("string")
+    return F.concat(
+        low,
+        F.when(
+            doc_id % 3 == 0,
+            F.concat(F.lit(" reach me at user"), sid, F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            doc_id % 4 == 1,
+            F.concat(
+                F.lit(" call +1-555-"),
+                F.lpad((doc_id % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            doc_id % 5 == 2,
+            F.concat(F.lit(" account acct-"), (doc_id + 100000).cast("string")),
+        ).otherwise(F.lit("")),
+    )
+
+
 def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Redaction transform paired with ``text_regex_policy_scan``: count the
-    PII-shaped matches, replace them, and fingerprint the redacted text.
-    Map-side regexp work in whole-stage codegen — a pure scan job at scale;
-    the md5 lets downstream exact-dedup run on REDACTED content so documents
-    differing only in their PII collapse."""
+    """Redaction transform paired with ``text_regex_policy_scan``: count
+    matches per PII class, replace them all, and fingerprint the redacted
+    text. Map-side regexp work in whole-stage codegen — a pure scan job at
+    scale; the md5 lets downstream exact-dedup run on REDACTED content so
+    documents differing only in their PII collapse. Class counts are taken
+    on the pre-redaction text (the three patterns cannot overlap: only the
+    email has '@', only the phone has '+', only the account id matches
+    ``acct-``); replacement applies email → phone → account in that fixed
+    order on both engines."""
     docs = load_table(spark, sf_dir, "documents")
-    low = F.lower("text")
-    return docs.select(
+    pii_text = _inject_pii(F.col("doc_id"), F.lower("text"))
+    staged = docs.select("doc_id", pii_text.alias("pt"))
+    n = lambda p: F.size(F.regexp_extract_all("pt", F.lit(p), F.lit(0))).cast("long")  # noqa: E731
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("pt", PII_EMAIL, REDACTION), PII_PHONE, REDACTION
+        ),
+        PII_ACCT,
+        REDACTION,
+    )
+    return staged.select(
         "doc_id",
-        F.size(F.regexp_extract_all(low, F.lit(PII_PATTERN), F.lit(0)))
-        .cast("long")
-        .alias("n_redactions"),
-        F.md5(F.regexp_replace(low, PII_PATTERN, REDACTION)).alias("redacted_md5"),
+        n(PII_EMAIL).alias("n_emails"),
+        n(PII_PHONE).alias("n_phones"),
+        n(PII_ACCT).alias("n_accounts"),
+        (n(PII_EMAIL) + n(PII_PHONE) + n(PII_ACCT)).alias("n_redactions"),
+        F.md5(redacted).alias("redacted_md5"),
     )
 
 
@@ -135,9 +178,31 @@ SELECT doc_id, lang, n_trigrams, s_en, s_de, s_fr, s_es,
 FROM scored
 """,
     "text_pii_redact": f"""
+WITH staged AS (
+  SELECT doc_id,
+         lower(text)
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' reach me at user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 4 = 1
+                 THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 2
+                 THEN ' account acct-' || CAST(doc_id + 100000 AS VARCHAR)
+                 ELSE '' END AS pt
+  FROM documents
+)
 SELECT doc_id,
-  len(regexp_extract_all(lower(text), '{PII_PATTERN}'))::BIGINT AS n_redactions,
-  md5(regexp_replace(lower(text), '{PII_PATTERN}', '{REDACTION}', 'g')) AS redacted_md5
-FROM documents
+  len(regexp_extract_all(pt, '{PII_EMAIL}'))::BIGINT AS n_emails,
+  len(regexp_extract_all(pt, '{PII_PHONE}'))::BIGINT AS n_phones,
+  len(regexp_extract_all(pt, '{PII_ACCT}'))::BIGINT AS n_accounts,
+  (len(regexp_extract_all(pt, '{PII_EMAIL}'))
+   + len(regexp_extract_all(pt, '{PII_PHONE}'))
+   + len(regexp_extract_all(pt, '{PII_ACCT}')))::BIGINT AS n_redactions,
+  md5(regexp_replace(regexp_replace(regexp_replace(pt,
+        '{PII_EMAIL}', '{REDACTION}', 'g'),
+        '{PII_PHONE}', '{REDACTION}', 'g'),
+        '{PII_ACCT}', '{REDACTION}', 'g')) AS redacted_md5
+FROM staged
 """,
 }

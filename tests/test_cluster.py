@@ -129,3 +129,42 @@ def test_twostar_matches_union_find_on_random_graphs(spark):
         want = _uf_labels(edges)
         assert _labels(connected_components_twostar(df)) == want, (seed, edges)
         assert _labels(connected_components(df)) == want, (seed, edges)
+
+
+def test_cc_long_chain_autofallback_to_twostar(spark):
+    """A diameter-30 path graph exceeds label propagation's default round
+    budget (MAX_CC_ITERS=20); connected_components must switch to the
+    two-star variant and return correct labels instead of raising."""
+    edges = [(i, i + 1) for i in range(30)]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = _labels(connected_components(df))
+    assert got == _uf_labels(edges)
+
+
+def test_clusters_shared_materialization(spark, sf_dir, monkeypatch):
+    """dedup_cluster_canonical and dedup_cluster_size_hist read ONE shared
+    connected-components run (cluster.clusters memo); resetting the cache
+    restores cold-start behavior."""
+    from cdc_postgresql_clickhouse_spark.queries import cluster as cl
+    from cdc_postgresql_clickhouse_spark.queries.extras import dedup_cluster_size_hist
+
+    calls = {"n": 0}
+    real_cc = cl.connected_components
+
+    def counting_cc(*args, **kwargs):
+        calls["n"] += 1
+        return real_cc(*args, **kwargs)
+
+    monkeypatch.setattr(cl, "connected_components", counting_cc)
+    cl.reset_clusters_cache()
+    canon = cl.dedup_cluster_canonical(spark, sf_dir)
+    n_canon = canon.count()
+    hist = dedup_cluster_size_hist(spark, sf_dir)
+    hist_rows = hist.collect()
+    assert calls["n"] == 1, "second consumer must reuse the materialized components"
+    # histogram is consistent with the canonical view it derives from
+    assert sum(r.cluster_size * r.n_clusters for r in hist_rows) == n_canon
+    cl.reset_clusters_cache()
+    dedup_cluster_size_hist(spark, sf_dir).count()
+    assert calls["n"] == 2, "reset must restore cold-start (fresh CC run)"
+    cl.reset_clusters_cache()

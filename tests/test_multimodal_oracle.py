@@ -39,3 +39,53 @@ def test_decode_stats_ranges(spark, sf_dir):
         | ~F.col("feature_argmax").between(0, 15)
     )
     assert bad.isEmpty()
+
+
+def test_real_codec_hook_raises_without_pillow():
+    """Where Pillow is absent the real-codec hook must raise
+    NotImplementedError (the pipeline then substitutes the fake); where it
+    is present this test is covered by test_real_codec_decodes_png."""
+    import pytest
+
+    from cdc_postgresql_clickhouse_spark.operators.multimodal import (
+        _decode_image_real,
+        pillow_available,
+    )
+
+    if pillow_available():
+        pytest.skip("Pillow installed; real path tested below")
+    with pytest.raises(NotImplementedError):
+        _decode_image_real(b"not an image")
+
+
+def test_real_codec_decodes_png(spark):
+    """Guarded real-codec path (skipif-Pillow): a genuine PNG payload decodes
+    with its true dimensions through the SAME decode_blobs dataflow, while an
+    invalid payload in the same batch falls back to the deterministic fake."""
+    import hashlib
+    import io
+
+    import pytest
+
+    PIL = pytest.importorskip("PIL")  # noqa: F841
+    from PIL import Image
+
+    from cdc_postgresql_clickhouse_spark.operators.multimodal import (
+        BLOB_SCHEMA,
+        decode_blobs,
+    )
+
+    buf = io.BytesIO()
+    Image.new("RGB", (37, 21)).save(buf, format="PNG")
+    png = buf.getvalue()
+    rows = [
+        (1, "png", len(png), hashlib.md5(png).hexdigest(), png),
+        (2, "png", 9, hashlib.md5(b"not a png").hexdigest(), b"not a png"),
+    ]
+    out = {
+        r.doc_id: r
+        for r in decode_blobs(spark.createDataFrame(rows, BLOB_SCHEMA)).collect()
+    }
+    assert (out[1].width, out[1].height, out[1].channels) == (37, 21, 3)
+    fake_w = 64 + hashlib.md5(b"not a png").digest()[0] % 192
+    assert out[2].width == fake_w
