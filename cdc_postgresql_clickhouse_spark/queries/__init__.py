@@ -30,6 +30,7 @@ from cdc_postgresql_clickhouse_spark.queries import (
     semantic,
     similarity,
     skew,
+    streaming_queries,
     text,
     text_ext,
     tpch,
@@ -40,16 +41,21 @@ from cdc_postgresql_clickhouse_spark.queries import (
 )
 
 # Registration order is load-bearing: the driver's correctness gate runs the
-# FIRST 50 registered queries only. CDC stays first (7 rows, cheap insurance
-# on the core reference semantics); the extension families that had no driver
-# rows in rounds 1-2 (dedup/similarity/cluster/multimodal/text/quality/
-# training/corpus/skew/debezium_types/funnel + late events queries) fill the
-# rest of the window; TPC-H (39 queries, twice-proven green) registers last
-# and is covered by scripts/parity_sweep.py locally.
+# FIRST 50 registered queries only. ROTATION POLICY (see COVERAGE.md):
+# queries that have never had a driver row ALWAYS register before queries
+# that have — new additions go directly after cdc; once everything has a
+# green row somewhere, never-reds rotate by recency (oldest proof first).
+# Round-4 window: cdc (7, core reference semantics, always first) →
+# streaming_queries (2, NEW this round) → winnow/chunking/semantic/text_ext/
+# extras (9, round-3 additions that registered after the window and have no
+# driver row yet) → dedup/similarity/cluster/multimodal/text/quality/
+# training/corpus (32, r3-green refill) = exactly 50. Everything after
+# (skew/debezium_types/funnel/events: r3-green; TPC-H: r2-green ×39) is
+# covered by scripts/parity_sweep.py locally each round.
 _MODULES = (
-    cdc, dedup, similarity, cluster, multimodal, text, quality, training,
-    corpus, skew, debezium_types, funnel, events, winnow, chunking, semantic,
-    text_ext, extras, tpch, tpch_ext, tpch_more,
+    cdc, streaming_queries, winnow, chunking, semantic, text_ext, extras,
+    dedup, similarity, cluster, multimodal, text, quality, training, corpus,
+    skew, debezium_types, funnel, events, tpch, tpch_ext, tpch_more,
 )
 
 

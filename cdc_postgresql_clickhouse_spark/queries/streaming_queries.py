@@ -1,0 +1,161 @@
+"""Registered STREAMING queries: the driver's correctness gate runs real
+Structured Streaming pipelines end-to-end and checks their materialized
+output against batch DuckDB oracles — proof that the streaming forms equal
+their batch twins (survey ST1/ST6), not just that the batch twins are right.
+
+Each query stages its input from the sf_dir parquet into a temp source
+directory, drains an availableNow stream (micro-batched), reads the sink,
+``localCheckpoint``s the result (so the returned DataFrame survives temp-dir
+cleanup and repeated bench runs don't accumulate disk), and removes the temp
+tree. Everything the oracle sees is a pure function of the fixture tables,
+so the comparison is deterministic.
+
+- ``streaming_incremental_dedup``: replays ``documents`` plus deterministic
+  exact copies (doc_id % 9 == 4, shifted by +5_000_000 — arriving in a
+  LATER batch than their originals) through
+  ``streaming.dedup.run_incremental_dedup`` in 2+ micro-batches; returns the
+  duplicate log. Oracle: batch exact-dedup over the same combined corpus —
+  every doc whose content hash has a smaller-id holder is a duplicate. The
+  equality IS the incremental-vs-batch equivalence statement.
+- ``streaming_tumbling_equiv``: drains ``events`` through the watermarked
+  streaming tumbling window (append mode, sentinel-flushed) and returns the
+  emitted windows; oracle = the batch 5-minute bucket aggregation (same SQL
+  as ``events_tumbling_5min``). Covers ST1/ST6 with a driver row.
+
+Reference tie-in: the reference's own verification is batch reconciliation
+after streaming ingest (``README.md:309-329``); these queries automate that
+pattern inside the correctness gate.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_postgresql_clickhouse_spark.sources.registry import load_table
+
+COPY_MOD = 9
+COPY_RESIDUE = 4
+COPY_OFFSET = 5_000_000
+SENTINEL_TYPE = "__sentinel__"
+
+
+def _materialized(df: DataFrame) -> DataFrame:
+    """Pin the result into executor blocks so temp files can be removed."""
+    return df.localCheckpoint(eager=True)
+
+
+def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_postgresql_clickhouse_spark.streaming.dedup import run_incremental_dedup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % COPY_MOD == COPY_RESIDUE).select(
+        (F.col("doc_id") + COPY_OFFSET).alias("doc_id"), "text"
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_dedup_")
+    try:
+        src = os.path.join(tmp, "src")
+        # two source files -> maxFilesPerTrigger=1 gives 2+ micro-batches:
+        # originals first, exact copies in a later batch
+        docs.coalesce(1).write.parquet(src)
+        copies.coalesce(1).write.mode("append").parquet(src)
+        run_incremental_dedup(
+            spark,
+            src,
+            os.path.join(tmp, "state"),
+            os.path.join(tmp, "dups"),
+            os.path.join(tmp, "ckpt"),
+            max_files_per_trigger=1,
+        )
+        dups = (
+            spark.read.parquet(os.path.join(tmp, "dups"))
+            .select("doc_id", "content_hash", "keep_doc")
+            .distinct()  # dup log is at-least-once; reads dedup it
+        )
+        return _materialized(dups)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def streaming_tumbling_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_postgresql_clickhouse_spark.streaming.windows import tumbling_counts
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    tmp = tempfile.mkdtemp(prefix="stream_tumble_")
+    try:
+        src = os.path.join(tmp, "src")
+        out = os.path.join(tmp, "out")
+        ckpt = os.path.join(tmp, "ckpt")
+        ev.write.parquet(src)
+
+        def drain() -> None:
+            stream = spark.readStream.schema(ev.schema).parquet(src)
+            q = (
+                tumbling_counts(stream, value_col="value")
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        drain()
+        # append-mode windows flush only when the watermark passes them: a
+        # far-future sentinel event advances it past every real window
+        far = ev.select(F.max("ts")).first()[0]
+        spark.createDataFrame(
+            [(SENTINEL_TYPE, far, 0.0)], "event_type string, ts timestamp, value double"
+        ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 30 DAYS")).write.mode(
+            "append"
+        ).parquet(src)
+        drain()
+        res = (
+            spark.read.parquet(out)
+            .filter(F.col("event_type") != SENTINEL_TYPE)
+            .select(
+                F.unix_timestamp("window_start").alias("bucket_start"),
+                "event_type",
+                F.col("n_events").cast("long").alias("n_events"),
+                F.col("sum_value").alias("sum_value"),
+            )
+        )
+        return _materialized(res)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+QUERIES = {
+    "streaming_incremental_dedup": streaming_incremental_dedup,
+    "streaming_tumbling_equiv": streaming_tumbling_equiv,
+}
+
+ORACLE = {
+    "streaming_incremental_dedup": f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {COPY_OFFSET} AS doc_id, text
+  FROM documents WHERE doc_id % {COPY_MOD} = {COPY_RESIDUE}
+),
+h AS (SELECT doc_id, md5(text) AS content_hash FROM corpus),
+k AS (SELECT content_hash, MIN(doc_id) AS keep_doc FROM h GROUP BY 1)
+SELECT h.doc_id, h.content_hash, k.keep_doc
+FROM h JOIN k USING (content_hash)
+WHERE h.doc_id <> k.keep_doc
+""",
+    # identical to the events_tumbling_5min oracle: the streaming path must
+    # reproduce the batch bucket aggregation exactly
+    "streaming_tumbling_equiv": """
+SELECT CAST(FLOOR(CAST(FLOOR(epoch(ts)) AS BIGINT) / 300) * 300 AS BIGINT) AS bucket_start,
+       event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+}

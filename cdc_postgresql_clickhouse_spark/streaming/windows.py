@@ -39,14 +39,29 @@ def _tz_aware_ts(events: DataFrame, col: str = "ts") -> DataFrame:
     return events
 
 
-def tumbling_counts(events: DataFrame, window: str = "5 minutes", watermark: str = "10 minutes") -> DataFrame:
-    """Watermarked tumbling-window counts; append-mode capable."""
-    return (
+def tumbling_counts(
+    events: DataFrame,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+    value_col: str | None = None,
+) -> DataFrame:
+    """Watermarked tumbling-window counts; append-mode capable. With
+    ``value_col`` also sums that column (DECIMAL-summed then cast to double —
+    the exact aggregation shape of the batch twin
+    ``queries.events.events_tumbling_5min``, so stream and batch results are
+    bitwise comparable)."""
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    if value_col is not None:
+        aggs.append(
+            F.sum(F.col(value_col).cast("decimal(18,2)")).cast("double").alias("sum_value")
+        )
+    out = (
         _tz_aware_ts(events).withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+        .agg(*aggs)
     )
+    cols = ["n_events"] + (["sum_value"] if value_col is not None else [])
+    return out.select(F.col("w.start").alias("window_start"), "event_type", *cols)
 
 
 def session_counts(events: DataFrame, gap: str = "30 minutes", watermark: str = "60 minutes") -> DataFrame:
