@@ -21,6 +21,15 @@ so the comparison is deterministic.
   streaming tumbling window (append mode, sentinel-flushed) and returns the
   emitted windows; oracle = the batch 5-minute bucket aggregation (same SQL
   as ``events_tumbling_5min``). Covers ST1/ST6 with a driver row.
+- ``streaming_cdc_pipeline_equiv``: the WHOLE reference dataflow as one
+  driver row (S1-S11): ``events`` is deterministically mapped to Debezium
+  envelopes (key = user_id, version/LSN = event_id, ``error`` = delete,
+  before-image = previous row image), written as JSON files, streamed
+  through ``run_cdc_pipeline`` (decode → transform → bucketed dirty-bucket
+  upsert), and the resulting state read back through ``current_state``
+  (FINAL). Oracle = the batch arg-max over the same event mapping — the
+  reference's own reconciliation methodology (``README.md:309-329``) run
+  inside the correctness gate.
 
 Reference tie-in: the reference's own verification is batch reconciliation
 after streaming ingest (``README.md:309-329``); these queries automate that
@@ -36,6 +45,10 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cdc_postgresql_clickhouse_spark.queries.dedup import (
+    _SQL_MINHASH_CTES,
+    _SQL_MINHASH_SELECT,
+)
 from cdc_postgresql_clickhouse_spark.sources.registry import load_table
 
 COPY_MOD = 9
@@ -77,6 +90,42 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()  # dup log is at-least-once; reads dedup it
         )
         return _materialized(dups)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def streaming_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup discovery: the dedup fixture corpus (base docs +
+    derived near-dups) is replayed in 2+ micro-batches — originals and their
+    near-duplicates in DIFFERENT batches — through the banded-LSH index
+    state; the verified pair log must equal batch ``dedup_minhash_lsh`` on
+    the full corpus (same oracle SQL, same jaccard arithmetic)."""
+    from cdc_postgresql_clickhouse_spark.queries.dedup import DERIVED_OFFSET, _corpus
+    from cdc_postgresql_clickhouse_spark.streaming.dedup import run_incremental_minhash
+
+    corpus = _corpus(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="stream_minhash_")
+    try:
+        src = os.path.join(tmp, "src")
+        corpus.filter(F.col("doc_id") < DERIVED_OFFSET).coalesce(1).write.parquet(src)
+        corpus.filter(F.col("doc_id") >= DERIVED_OFFSET).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        run_incremental_minhash(
+            spark,
+            src,
+            os.path.join(tmp, "bands"),
+            os.path.join(tmp, "docs"),
+            os.path.join(tmp, "pairs"),
+            os.path.join(tmp, "ckpt"),
+            max_files_per_trigger=1,
+        )
+        pairs = (
+            spark.read.parquet(os.path.join(tmp, "pairs"))
+            .select("doc_a", "doc_b", "jaccard")
+            .distinct()
+        )
+        return _materialized(pairs)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -130,9 +179,97 @@ def streaming_tumbling_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _event_envelopes(ev: DataFrame) -> DataFrame:
+    """Deterministic Debezium envelopes from the events fixture: booking_id =
+    user_id, LSN/version = event_id (globally unique, monotone per key),
+    ``error`` events are deletes carrying the previous row image (or their
+    own, for a first-event delete — a row must always carry its key),
+    created_at = the key's first event time, modified_at = the event time."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    wk = Window.partitionBy("user_id")
+    img = F.struct(
+        F.col("event_id").alias("id"),
+        F.col("user_id").cast("string").alias("booking_id"),
+        F.col("event_type").alias("status"),
+        F.lit(False).alias("is_deleted"),
+        (F.col("event_id") % 2 == 0).alias("is_canceled"),
+        F.min(F.unix_micros("ts")).over(wk).alias("created_at"),
+        F.unix_micros("ts").alias("modified_at"),
+    )
+    staged = ev.select(
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        img.alias("img"),
+        F.lag(img).over(w).alias("prev_img"),
+    )
+    op = (
+        F.when(F.col("event_type") == "error", F.lit("d"))
+        .when(F.col("prev_img").isNull(), F.lit("c"))
+        .otherwise(F.lit("u"))
+    )
+    return staged.select(
+        F.when(op == "d", F.coalesce("prev_img", "img")).alias("before"),
+        F.when(op != "d", F.col("img")).alias("after"),
+        op.alias("op"),
+        F.floor(F.col("ts_us") / 1000).cast("long").alias("ts_ms"),
+        F.struct(
+            F.lit(None).cast("string").alias("sequence"),
+            F.col("event_id").alias("lsn"),
+        ).alias("source"),
+    )
+
+
+def streaming_cdc_pipeline_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_postgresql_clickhouse_spark.operators.state import (
+        current_state,
+        read_state,
+    )
+    from cdc_postgresql_clickhouse_spark.streaming.pipeline import run_cdc_pipeline
+
+    ev = load_table(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="stream_cdc_")
+    try:
+        env_dir = os.path.join(tmp, "env")
+        state = os.path.join(tmp, "state")
+        envelopes = _event_envelopes(ev).select(
+            F.to_json(F.struct("before", "after", "op", "ts_ms", "source")).alias(
+                "value"
+            )
+        )
+        # two source files => at least two micro-batches under
+        # maxFilesPerTrigger=1: the merge path runs incrementally, not as one
+        # degenerate batch
+        envelopes.repartition(2).write.text(env_dir)
+        run_cdc_pipeline(
+            spark,
+            env_dir,
+            state,
+            os.path.join(tmp, "ckpt"),
+            key_buckets=8,
+            max_files_per_trigger=1,
+        )
+        res = current_state(read_state(spark, state))
+        out = res.select(
+            "booking_id",
+            F.col("status").alias("last_status"),
+            "is_canceled",
+            F.unix_micros("created_at").alias("created_at_us"),
+            F.unix_micros("modified_at").alias("modified_at_us"),
+            "version",
+        )
+        return _materialized(out)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 QUERIES = {
     "streaming_incremental_dedup": streaming_incremental_dedup,
+    "streaming_minhash_neardup": streaming_minhash_neardup,
     "streaming_tumbling_equiv": streaming_tumbling_equiv,
+    "streaming_cdc_pipeline_equiv": streaming_cdc_pipeline_equiv,
 }
 
 ORACLE = {
@@ -148,6 +285,31 @@ k AS (SELECT content_hash, MIN(doc_id) AS keep_doc FROM h GROUP BY 1)
 SELECT h.doc_id, h.content_hash, k.keep_doc
 FROM h JOIN k USING (content_hash)
 WHERE h.doc_id <> k.keep_doc
+""",
+    # the streamed LSH index must discover exactly the batch pair set: this
+    # is LITERALLY the batch dedup_minhash_lsh oracle
+    "streaming_minhash_neardup": f"""
+WITH {_SQL_MINHASH_CTES}
+{_SQL_MINHASH_SELECT}
+""",
+    # the reference's reconciliation check (README.md:309-329): the streamed
+    # pipeline state must equal the batch arg-max over the same change set;
+    # keys whose LATEST change is a delete are tombstoned out by FINAL
+    "streaming_cdc_pipeline_equiv": """
+WITH imgs AS (
+  SELECT user_id, event_id, event_type, ts,
+         MIN(epoch_us(ts)) OVER (PARTITION BY user_id) AS created_us,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events
+)
+SELECT CAST(user_id AS VARCHAR) AS booking_id,
+       event_type AS last_status,
+       (event_id % 2 = 0) AS is_canceled,
+       created_us AS created_at_us,
+       epoch_us(ts) AS modified_at_us,
+       event_id AS version
+FROM imgs
+WHERE rn = 1 AND event_type <> 'error'
 """,
     # identical to the events_tumbling_5min oracle: the streaming path must
     # reproduce the batch bucket aggregation exactly

@@ -98,3 +98,40 @@ def test_replay_is_stable(spark, tmp_path):
         (r.keep_doc, r.content_hash) for r in st.collect()
     }
     assert st.count() == 2
+
+
+def test_streaming_minhash_equals_batch_lsh(spark, sf_dir, tmp_path):
+    """Replaying the dedup corpus in 2 micro-batches (originals, then their
+    near-duplicates) through the incremental banded-LSH index must discover
+    exactly the batch dedup_minhash_lsh pair set, jaccard values included."""
+    from cdc_postgresql_clickhouse_spark.queries.dedup import (
+        DERIVED_OFFSET,
+        _corpus,
+        dedup_minhash_lsh,
+    )
+    from cdc_postgresql_clickhouse_spark.streaming.dedup import run_incremental_minhash
+
+    corpus = _corpus(spark, sf_dir)
+    src = str(tmp_path / "src")
+    corpus.filter(F.col("doc_id") < DERIVED_OFFSET).coalesce(1).write.parquet(src)
+    corpus.filter(F.col("doc_id") >= DERIVED_OFFSET).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_incremental_minhash(
+        spark,
+        src,
+        str(tmp_path / "bands"),
+        str(tmp_path / "docs"),
+        str(tmp_path / "pairs"),
+        str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    got = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in spark.read.parquet(str(tmp_path / "pairs")).distinct().collect()
+    }
+    want = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup_minhash_lsh(spark, sf_dir).collect()
+    }
+    assert got == want and len(want) > 0
