@@ -67,6 +67,8 @@ HEADLINE = [
     "text_winnowing_fingerprints",
     "dedup_simhash",
     "dedup_ngram_jaccard",
+    "dedup_exact_substring",
+    "dedup_lines",
     "text_quality_score",
     "text_fingerprint",
     "text_repetition_ngram",

@@ -30,6 +30,7 @@ from cdc_postgresql_clickhouse_spark.queries import (
     semantic,
     similarity,
     skew,
+    spans,
     streaming_queries,
     text,
     text_ext,
@@ -54,6 +55,7 @@ from cdc_postgresql_clickhouse_spark.queries import (
 # covered by scripts/parity_sweep.py locally each round.
 _MODULES = (
     cdc, streaming_queries, winnow, chunking, semantic, text_ext, extras,
+    spans,  # NEW round 4: never driver-checked, registers before the refill
     dedup, similarity, cluster, multimodal, text, quality, training, corpus,
     skew, debezium_types, funnel, events, tpch, tpch_ext, tpch_more,
 )
