@@ -81,6 +81,7 @@ HEADLINE = [
     "ann_ivf_topk",
     "embedding_cosine_neardup",
     "corpus_decontaminate",
+    "corpus_training_manifest",
     "embedding_quantize_int8",
     "chunk_dedup_content_defined",
 ]

@@ -25,6 +25,7 @@ from cdc_postgresql_clickhouse_spark.queries import (
     events,
     extras,
     funnel,
+    manifest,
     multimodal,
     quality,
     semantic,
@@ -55,7 +56,7 @@ from cdc_postgresql_clickhouse_spark.queries import (
 # covered by scripts/parity_sweep.py locally each round.
 _MODULES = (
     cdc, streaming_queries, winnow, chunking, semantic, text_ext, extras,
-    spans,  # NEW round 4: never driver-checked, registers before the refill
+    spans, manifest,  # NEW round 4: never driver-checked, before the refill
     dedup, similarity, cluster, multimodal, text, quality, training, corpus,
     skew, debezium_types, funnel, events, tpch, tpch_ext, tpch_more,
 )
