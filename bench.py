@@ -79,6 +79,7 @@ HEADLINE = [
     "ann_bruteforce_topk",
     "ann_lsh_buckets",
     "ann_ivf_topk",
+    "ann_pq_topk",
     "embedding_cosine_neardup",
     "corpus_decontaminate",
     "corpus_training_manifest",

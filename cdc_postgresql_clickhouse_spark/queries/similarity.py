@@ -125,12 +125,19 @@ def _sql_bucket(vec: str, plane_ids: list[int] | None = None, planes: list[list[
 
 
 def _planes_lit(planes: list[list[int]]) -> Column:
-    """The plane matrix as ONE array<array<double>> literal (a single Py4J
-    call). The earlier approach — baking every w*e[i] term into a parsed SQL
-    string — made the expression TREE O(planes × dims): at 32 planes the
-    one-time Catalyst analyze/codegen cost hit ~14 s per query build. A
-    literal matrix + higher-order functions keeps the tree O(1) in dims."""
-    return F.lit([[float(w) for w in row] for row in planes])
+    """The plane matrix as ONE array<array<double>> literal, built as ONE
+    parsed expression string. Two earlier formulations were both slow for
+    different reasons: baking every w*e[i] term into SQL made the expression
+    TREE O(planes × dims) (14 s of Catalyst analysis at 32 planes), and
+    ``F.lit(matrix)`` recurses into per-element ``lit``/``array`` calls —
+    ~0.8 s of Py4J round trips for 32×64 doubles, paid at every query BUILD.
+    ``F.expr`` of the printed literal is one Py4J call (~3 ms) and parses to
+    the identical foldable CreateArray tree."""
+    return F.expr(
+        "array(" + ", ".join(
+            "array(" + ", ".join(f"{float(w)!r}D" for w in row) + ")" for row in planes
+        ) + ")"
+    )
 
 
 def _projections(e: Column, planes: list[list[int]]) -> Column:
@@ -437,11 +444,143 @@ def ann_ivf_topk(
     )
 
 
+# --- product quantization (Jégou et al. 2011) ------------------------------
+
+PQ_M = 8  # subspaces
+PQ_SUBDIM = DIM // PQ_M
+PQ_K = 16  # codewords per subspace -> 4-bit codes, 8 x 4 bits per vector
+PQ_TOPK = 5
+
+
+def _pq_codebook(
+    spark: SparkSession, sf_dir: str, kmeans_iters: int = 0
+) -> list[list[list[float]]]:
+    """CB[m][c] = subvector m of codeword c. Seed codewords are the first
+    PQ_K vectors (deterministic, oracle-reproducible from the table itself);
+    ``kmeans_iters > 0`` Lloyd-refines each subspace's codebook with
+    ``operators.kmeans.lloyd_refine`` — the production trainer — collecting
+    only the K×DIM model (bounded state, never row data)."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", _emb_d().alias("e"))
+    if kmeans_iters > 0:
+        from cdc_postgresql_clickhouse_spark.operators.kmeans import lloyd_refine
+
+        cb = []
+        for m in range(PQ_M):
+            sub = emb.select(
+                "vec_id", F.slice("e", m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("e")
+            )
+            cb.append(lloyd_refine(sub, k=PQ_K, iters=kmeans_iters))
+        return cb
+    rows = emb.filter(F.col("vec_id") < PQ_K).orderBy("vec_id").collect()
+    full = [[float(x) for x in r.e] for r in rows]
+    return [
+        [full[c][m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM] for c in range(PQ_K)]
+        for m in range(PQ_M)
+    ]
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    """Sequential fold of (a_i - b_i)^2 — same order as the SQL '+' chain."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def ann_pq_topk(
+    spark: SparkSession, sf_dir: str, kmeans_iters: int = 0
+) -> DataFrame:
+    """Product-quantization ANN: encode every vector as PQ_M 4-bit codeword
+    ids, reconstruct the quantized vector from the codebook at scoring time,
+    rank by approximate cosine — top-PQ_TOPK per query.
+
+    The registered query uses the deterministic first-PQ_K-vectors seed
+    codebook so the DuckDB oracle can re-derive the identical codebook from
+    the table (same device as ``ann_ivf_topk``); ``kmeans_iters > 0``
+    swaps in per-subspace Lloyd-refined codebooks (the production trainer,
+    ``operators/kmeans.py``) with the same index structure.
+
+    Scale shape: the codebook is a K×DIM literal (one Py4J call, same as the
+    LSH plane matrix), so ENCODE is a pure map pass — per subspace, an
+    argmin over a transform of the literal; no join, no shuffle, no Python.
+    The stored/shuffled representation of the corpus drops from 64 doubles
+    (512 B) to 8 nibbles (4 B) per vector — the 128× compression is what PQ
+    buys at 100 TB: the code table for 10B vectors fits in ~40 GB and
+    broadcasts/shuffles where raw vectors never could. Scoring joins the
+    broadcast query slice against the code table and reconstructs x̃
+    map-side AFTER the join, so only codes flow through the join; the
+    single-node ADC trick (per-query 8×16 lookup tables) is an inner-loop
+    optimization the reconstruction dot is arithmetically identical to.
+
+    Determinism: distances/cosines are sequential folds (bit-identical to
+    the oracle's explicit '+' chains); encode ties break to the lowest
+    codeword id in both engines (array_position-of-min vs arg_min with a
+    [dist, cid] key); final cosine is FLOOR-truncated at 6 dp; rank ties
+    break on neighbor_id."""
+    cb = _pq_codebook(spark, sf_dir, kmeans_iters)
+    # one parsed literal string, not F.lit(nested list): the latter is ~1 s
+    # of per-element Py4J calls for 8×16×8 doubles at every query build.
+    # repr() prints the shortest round-tripping decimal, so the parsed
+    # double is bit-identical to the collected one.
+    cb_lit = F.expr(
+        "array(" + ", ".join(
+            "array(" + ", ".join(
+                "array(" + ", ".join(f"{float(x)!r}D" for x in cw) + ")" for cw in sub
+            ) + ")" for sub in cb
+        ) + ")"
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", _emb_d().alias("e"))
+    # distance table built under ONE reference to the codebook literal: an
+    # unrolled per-subspace formulation duplicated the 1024-double literal
+    # 16× in the Project tree and spent 1.4 s per query BUILD constructing
+    # it; a sequence-transform keeps the tree small. One-arg lambdas only: a
+    # two-arg lambda is read as transform's (element, index) form.
+    dd = F.transform(
+        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+        lambda m: F.transform(
+            F.element_at(cb_lit, m + 1),
+            lambda cw: _l2sq(F.slice(F.col("e"), m * PQ_SUBDIM + 1, F.lit(PQ_SUBDIM)), cw),
+        ),
+    )
+    enc = emb.select("vec_id", dd.alias("dd")).select(
+        "vec_id",
+        F.transform(
+            F.col("dd"),
+            lambda d: (F.array_position(d, F.array_min(d)) - 1).cast("int"),
+        ).alias("codes"),
+    )
+    # decode ONCE per corpus row (map-side, before the pair join multiplies
+    # rows): the reconstructed x̃ and its norm cost one pass over 2×PQ_K
+    # possible codewords here vs twice per PAIR if left inside the scoring
+    # expression (3.3s → 0.9s at sf0.1)
+    xt = F.flatten(
+        F.zip_with(cb_lit, F.col("codes"), lambda sub, c: F.element_at(sub, c + 1))
+    )
+    dec = enc.select("vec_id", xt.alias("xt")).select(
+        "vec_id", "xt", _norm(F.col("xt")).alias("xn")
+    )
+    q_side = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("e").alias("qe"), _norm(F.col("e")).alias("qn")
+    )
+    pair = F.broadcast(q_side).join(dec, F.col("q_id") != F.col("vec_id"))
+    scored = pair.select(
+        "q_id",
+        F.col("vec_id").alias("neighbor_id"),
+        _cos_prenorm(F.col("qe"), F.col("xt"), F.col("qn"), F.col("xn")).alias("approx_cos"),
+    )
+    w_pq = Window.partitionBy("q_id").orderBy(F.desc("approx_cos"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w_pq))
+        .filter(F.col("rank") <= PQ_TOPK)
+        .select("q_id", "neighbor_id", "approx_cos", F.col("rank").cast("long").alias("rank"))
+    )
+
+
 QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_lsh_buckets": ann_lsh_buckets,
     "ann_lsh_buckets_sized": ann_lsh_buckets_sized,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_pq_topk": ann_pq_topk,
     "embedding_cosine_neardup": embedding_cosine_neardup,
 }
 
@@ -562,3 +701,57 @@ JOIN corpus vb ON vb.vec_id = c.vec_b
 WHERE {_sql_cos('va.e', 'vb.e')} >= 0.8"""
 
 ORACLE["embedding_cosine_neardup"] = f"WITH {SQL_NEARDUP_CTES}\n{SQL_NEARDUP_SELECT}\n"
+
+
+# --- PQ oracle --------------------------------------------------------------
+
+
+def _sql_pq_subdist(m: int) -> str:
+    """Explicit (v[i]-ce[i])^2 chain for subspace m — same order as _l2sq."""
+    lo = m * PQ_SUBDIM + 1
+    return "(" + " + ".join(
+        f"(b.v[{i}] - c.ce[{i}]) * (b.v[{i}] - c.ce[{i}])" for i in range(lo, lo + PQ_SUBDIM)
+    ) + ")"
+
+
+_SQL_PQ_DEC_XT = " || ".join(
+    f"k{m}.ce[{m * PQ_SUBDIM + 1}:{(m + 1) * PQ_SUBDIM}]" for m in range(PQ_M)
+)
+_SQL_PQ_DEC_JOINS = "\n  ".join(
+    f"JOIN cents k{m} ON k{m}.cid = e.c{m}" for m in range(PQ_M)
+)
+
+ORACLE["ann_pq_topk"] = f"""
+WITH base AS (SELECT vec_id, {_SQL_EMB} AS v FROM embeddings),
+cents AS (SELECT vec_id AS cid, {_SQL_EMB} AS ce FROM embeddings WHERE vec_id < {PQ_K}),
+dist AS (
+  SELECT b.vec_id, c.cid,
+         {", ".join(f"{_sql_pq_subdist(m)} AS d{m}" for m in range(PQ_M))}
+  FROM base b CROSS JOIN cents c
+),
+enc AS (
+  -- same argmin-with-lowest-cid-tie-break as Spark's array_position-of-min:
+  -- distances collected in cid order, first position of the minimum
+  SELECT vec_id,
+         {", ".join(f"CAST(list_position(l{m}, list_min(l{m})) - 1 AS BIGINT) AS c{m}" for m in range(PQ_M))}
+  FROM (
+    SELECT vec_id,
+           {", ".join(f"list(d{m} ORDER BY cid) AS l{m}" for m in range(PQ_M))}
+    FROM dist GROUP BY vec_id)
+),
+dec AS (
+  SELECT e.vec_id, {_SQL_PQ_DEC_XT} AS xt
+  FROM enc e
+  {_SQL_PQ_DEC_JOINS}
+),
+q AS (SELECT vec_id AS q_id, v AS qv FROM base WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT q.q_id, d.vec_id AS neighbor_id, {_sql_cos("q.qv", "d.xt")} AS approx_cos
+  FROM q CROSS JOIN dec d
+  WHERE q.q_id <> d.vec_id
+)
+SELECT q_id, neighbor_id, approx_cos, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY approx_cos DESC, neighbor_id) AS rank
+      FROM scored)
+WHERE rank <= {PQ_TOPK}
+"""
