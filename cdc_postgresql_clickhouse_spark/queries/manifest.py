@@ -90,12 +90,23 @@ def corpus_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (_trunc6(F.col("top_count").cast("double") / nw) <= MAX_TOP_WORD_FRAC)
         & (F.col("n_stop") >= MIN_STOPWORDS)
     ).select("doc_id", "n_words")
-    d2 = d1.join(passing, "doc_id")  # carries n_words; text survives for grams
+    # persist barrier: d2 sits on a diamond — the contamination branch AND
+    # the final join both consume it, so without the barrier the dedup
+    # window + quality aggregation execute twice (4.9 s → 2.6 s at sf0.1)
+    from pyspark import StorageLevel
+
+    d2 = d1.join(passing, "doc_id").persist(StorageLevel.MEMORY_AND_DISK)
 
     # stage 3 — decontamination: drop docs sharing any n-gram with the bench set
+    # two-step select (materialized token column) on BOTH gram sides:
+    # word_shingles references its token array 8× per gram, and inlining
+    # tokens(text) there re-runs the tokenizer tree per reference
+    # (3.4 s → 0.3 s for this stage; same trap documented at
+    # training.corpus_decontaminate)
     bench_grams = (
         docs.filter(is_bench)
-        .select(F.explode(F.array_distinct(word_shingles(tokens(F.col("text")), DECONTAM_NGRAM))).alias("gram"))
+        .select(tokens(F.col("text")).alias("t"))
+        .select(F.explode(F.array_distinct(word_shingles(F.col("t"), DECONTAM_NGRAM))).alias("gram"))
         .distinct()
     )
     d2_toks = d2.select("doc_id", tokens(F.col("text")).alias("t"))
