@@ -76,6 +76,7 @@ HEADLINE = [
     "text_unigram_logprob",
     "ann_lsh_buckets_sized",
     "multimodal_frame_sample",
+    "multimodal_audio_frames",
     "ann_bruteforce_topk",
     "ann_lsh_buckets",
     "ann_ivf_topk",

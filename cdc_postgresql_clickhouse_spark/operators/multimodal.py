@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    DoubleType,
     FloatType,
     IntegerType,
     LongType,
@@ -276,3 +277,80 @@ def sample_frames(blobs: DataFrame, every_n_bytes: int = 64, max_frames: int = 8
             yield pd.DataFrame(rows, columns=out_cols)
 
     return blobs.select("doc_id", "payload").mapInPandas(sample, schema=FRAME_SCHEMA)
+
+
+AUDIO_FRAME_LEN = 32  # fake-PCM samples per analysis frame
+
+AUDIO_FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("n_samples", IntegerType()),
+        StructField("rms", DoubleType()),
+    ]
+)
+
+
+def audio_frames(blobs: DataFrame, frame_len: int = AUDIO_FRAME_LEN) -> DataFrame:
+    """Audio feature extraction: window the payload into fixed-length sample
+    frames and emit per-frame RMS energy — the framing step under every
+    audio featurizer (fbank/MFCC/VAD).
+
+    Real-codec path first (stdlib ``wave``): a payload that parses as RIFF
+    WAV is decoded to 16-bit PCM and framed from the true samples. The
+    fixture payloads are UTF-8 text, never valid RIFF, so they always take
+    the deterministic fake — each byte is an 8-bit-PCM-style sample
+    (b - 128) — keeping the oracle engine-exact while the same dataflow
+    decodes real WAV when given one (pinned by a unit test with a
+    stdlib-synthesized WAV).
+
+    Float parity: per-frame sum of squares is integer-exact; rms =
+    FLOOR(sqrt(ssq/n)·1e6)/1e6 — both engines do the identical double ops.
+    Scale shape: one Arrow mapInPandas pass, frame rows ∝ payload bytes;
+    partitioning untouched."""
+
+    out_cols = [f.name for f in AUDIO_FRAME_SCHEMA.fields]
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io as _io
+        import math as _math
+        import struct as _struct
+        import wave as _wave
+
+        def real_samples(data: bytes) -> list[int]:
+            with _wave.open(_io.BytesIO(data), "rb") as w:
+                if w.getsampwidth() != 2:
+                    raise NotImplementedError("only 16-bit PCM")
+                raw = w.readframes(w.getnframes())
+            step = w.getnchannels()
+            all_s = _struct.unpack(f"<{len(raw) // 2}h", raw)
+            return list(all_s[::step])  # first channel
+
+        def fake_samples(data: bytes) -> list[int]:
+            return [b - 128 for b in data]
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                try:
+                    samples = real_samples(data)
+                except Exception:  # not RIFF / unsupported → deterministic fake
+                    samples = fake_samples(data)
+                for i in range(0, max(len(samples), 1), frame_len):
+                    sl = samples[i : i + frame_len]
+                    if not sl:
+                        break
+                    ssq = sum(s * s for s in sl)
+                    rms = _math.floor(_math.sqrt(ssq / len(sl)) * 1000000.0) / 1000000.0
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "frame_idx": i // frame_len,
+                            "n_samples": len(sl),
+                            "rms": rms,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=out_cols)
+
+    return blobs.select("doc_id", "payload").mapInPandas(frames, schema=AUDIO_FRAME_SCHEMA)

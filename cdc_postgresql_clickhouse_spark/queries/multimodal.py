@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cdc_postgresql_clickhouse_spark.operators.multimodal import (
+    audio_frames,
     blob_table,
     decode_blobs,
     resize_blobs,
@@ -69,10 +70,22 @@ def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_blobs(_blobs(spark, sf_dir), target_w=64, target_h=64)
 
 
+def multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio framing through mapInPandas: 'wav' blobs windowed into
+    32-sample frames with per-frame RMS energy. Metadata-first pruning: the
+    format predicate runs JVM-side BEFORE any payload enters Python. The
+    operator's real path decodes RIFF WAV via stdlib ``wave`` (unit-tested
+    with a synthesized file); the fixture's UTF-8 payloads take the
+    deterministic 8-bit-PCM fake the oracle replays."""
+    wav = _blobs(spark, sf_dir).filter(F.col("format") == "wav")
+    return audio_frames(wav)
+
+
 QUERIES = {
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_decode_stats": multimodal_decode_stats,
     "multimodal_resize_stats": multimodal_resize_stats,
+    "multimodal_audio_frames": multimodal_audio_frames,
 }
 
 # hex-nibble value of md5 char i (1-based) — engine-portable digest-byte math
@@ -145,3 +158,29 @@ SELECT doc_id, CAST(64 AS INTEGER) AS width, CAST(64 AS INTEGER) AS height,
 FROM agg
 """,
 }
+
+# fake 8-bit-PCM framing: sample = byte - 128 (ASCII text ⇒ byte = code
+# point); integer sum-of-squares per frame, then one sqrt + FLOOR-truncate —
+# the exact double ops the Python fake performs
+ORACLE["multimodal_audio_frames"] = """
+WITH d AS (
+  SELECT doc_id, text, length(text) AS nb
+  FROM documents WHERE length(text) % 3 = 2
+),
+fr AS (
+  SELECT doc_id, text, nb, unnest(range(CAST(ceil(nb / 32.0) AS BIGINT))) AS j
+  FROM d
+),
+sl AS (
+  SELECT doc_id, CAST(j AS INTEGER) AS frame_idx,
+         list_transform(
+           list_filter(str_split(substring(text, CAST(j * 32 + 1 AS INT), 32), ''), c -> c <> ''),
+           c -> ascii(c) - 128) AS s
+  FROM fr
+)
+SELECT doc_id, frame_idx,
+       CAST(len(s) AS INTEGER) AS n_samples,
+       FLOOR(sqrt(CAST(list_reduce(list_transform(s, x -> x * x), (a, b) -> a + b) AS DOUBLE) / len(s)) * 1000000.0) / 1000000.0 AS rms
+FROM sl
+WHERE len(s) > 0
+"""
