@@ -53,6 +53,7 @@ HEADLINE = [
     "events_tumbling_5min",
     "events_error_blast_radius",
     "sketch_distinct_users",
+    "sketch_kmv_distinct",
     "funnel_windowed",
     "retention_weekly",
     "cdc_scd2_history",

@@ -1,0 +1,103 @@
+"""Order-statistics distinct sketch: KMV (k minimum values, Bar-Yossef et
+al. 2002 / Beyer et al. SIGMOD'07) per event type — the mergeable
+distinct-count estimator behind theta sketches, complementing the
+hash-threshold sampler in ``queries/events.py``.
+
+Why KMV here: like the threshold sketch it is a pure function of the id SET
+(not of partitioning or merge order), so the DuckDB twin is exact and the
+driver hash-verifies an approximate operator end-to-end. Unlike the
+threshold sketch, its memory is a FIXED k hashes per group regardless of
+corpus size — the property that makes it a sketch: at 100 TB the per-group
+state that crosses the shuffle is k rows, and two KMV states merge by
+keeping the k smallest of the union (how a map-side partial would combine).
+
+Estimator: with U(0,1)-uniform hashes, E[distinct] = (k-1)/h_(k) where
+h_(k) is the k-th smallest hash. Hashes are the first 12 hex digits of
+md5(user_id) normalized by 16^12 — engine-identical strings, integer
+decode via the shared nibble fold, one double division at the end. Groups
+with fewer than k distinct hashes report their exact count (standard
+small-cardinality fallback).
+
+Scale shape: one distinct shuffle on (event_type, hash) — at extreme
+volume insert a per-partition top-k combine first (sort_array(slice) over
+collect_set per partition) to cap shuffle volume at k per partition-group;
+then one k-row window per group. No data-size-proportional state anywhere
+past the distinct.
+
+Reference tie-in: ClickHouse ``uniq``/``uniqTheta`` family
+(`/root/reference/README.md` verification queries use exact count); survey
+§2.13 extension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cdc_postgresql_clickhouse_spark.sources.registry import load_table
+
+KMV_K = 64
+_HEX_DIGITS = 12
+_NORM = float(16 ** _HEX_DIGITS)
+
+
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str, k: int = KMV_K) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hashed = ev.select(
+        "event_type", F.substring(F.md5(F.col("user_id").cast("string")), 1, _HEX_DIGITS).alias("h")
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    ranked = hashed.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    per = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_tracked"),
+        F.max(F.when(F.col("rn") == k, F.col("h"))).alias("hk"),
+    )
+    # conv(hex, 16, 10) on 12 hex digits fits a signed long exactly (2^48)
+    vk = F.conv(F.col("hk"), 16, 10).cast("long") / F.lit(_NORM)
+    est = F.when(F.col("n_tracked") < k, F.col("n_tracked").cast("double")).otherwise(
+        F.lit(float(k - 1)) / vk
+    )
+    return per.select(
+        "event_type",
+        "n_tracked",
+        (F.floor(est * F.lit(1000000.0)).cast("double") / F.lit(1000000.0)).alias("kmv_estimate"),
+    )
+
+
+# integer value of the first 12 md5 hex digits via an explicit nibble chain
+# (DuckDB has no base-16 conv); identical to Spark's conv(h, 16, 10)
+_SQL_HEX12 = "(" + " + ".join(
+    f"(instr('0123456789abcdef', substring(h, {i + 1}, 1)) - 1) * {16 ** (_HEX_DIGITS - 1 - i)}"
+    for i in range(_HEX_DIGITS)
+) + ")"
+
+_SQL_KMV = f"""
+WITH hashed AS (
+  SELECT DISTINCT event_type,
+         substring(md5(CAST(user_id AS VARCHAR)), 1, {_HEX_DIGITS}) AS h
+  FROM events
+),
+ranked AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM hashed
+  QUALIFY rn <= {KMV_K}
+),
+per AS (
+  SELECT event_type,
+         COUNT(*) AS n_tracked,
+         MAX(CASE WHEN rn = {KMV_K} THEN h END) AS h
+  FROM ranked GROUP BY event_type
+)
+SELECT event_type,
+       n_tracked,
+       CAST(FLOOR(
+         (CASE WHEN n_tracked < {KMV_K}
+               THEN CAST(n_tracked AS DOUBLE)
+               ELSE {float(KMV_K - 1)} / (CAST({_SQL_HEX12} AS BIGINT) / {_NORM!r})
+          END) * 1000000.0) AS DOUBLE) / 1000000.0 AS kmv_estimate
+FROM per
+"""
+
+QUERIES = {"sketch_kmv_distinct": sketch_kmv_distinct}
+ORACLE = {"sketch_kmv_distinct": _SQL_KMV}

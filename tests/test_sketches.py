@@ -1,0 +1,51 @@
+"""KMV sketch invariants: estimator accuracy vs exact distinct counts, and
+the exact-count fallback for groups smaller than k."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cdc_postgresql_clickhouse_spark.queries.sketches import KMV_K, sketch_kmv_distinct
+from cdc_postgresql_clickhouse_spark.sources.registry import load_table
+
+
+def test_kmv_estimate_within_theoretical_error(spark, sf_dir):
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact"))
+    )
+    got = sketch_kmv_distinct(spark, sf_dir).join(exact, "event_type").collect()
+    assert got
+    for r in got:
+        if r.n_tracked < KMV_K:
+            assert r.kmv_estimate == float(r.exact), r
+        else:
+            # KMV std error ~ 1/sqrt(k-2) ~ 12.7% at k=64; allow 4 sigma
+            rel = abs(r.kmv_estimate - r.exact) / r.exact
+            assert rel < 0.51, (r.event_type, r.exact, r.kmv_estimate)
+
+
+def test_kmv_small_group_exact_fallback(spark):
+    df = spark.createDataFrame(
+        [(i, "rare" if i < 5 else "common") for i in range(500)],
+        "user_id long, event_type string",
+    )
+    df.createOrReplaceTempView("tiny_events")
+    from pyspark.sql import Window
+    from cdc_postgresql_clickhouse_spark.queries.sketches import _HEX_DIGITS
+
+    hashed = df.select(
+        "event_type", F.substring(F.md5(F.col("user_id").cast("string")), 1, _HEX_DIGITS).alias("h")
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    per = (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KMV_K)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_tracked"))
+        .collect()
+    )
+    by = {r.event_type: r.n_tracked for r in per}
+    assert by["rare"] == 5  # < k -> the query path reports exactly 5.0
+    assert by["common"] == KMV_K
