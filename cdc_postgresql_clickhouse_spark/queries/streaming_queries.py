@@ -179,6 +179,72 @@ def streaming_tumbling_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+LATE_MOD = 13
+LATE_RESIDUE = 3
+
+
+def streaming_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data semantics as a driver row: after a sentinel
+    advances the watermark past every real window (closing them), a batch of
+    LATE copies of real events (event_id % LATE_MOD == LATE_RESIDUE, same
+    timestamps) is appended and drained through the SAME checkpoint. The
+    watermark persisted in the checkpoint is beyond those windows, so
+    Structured Streaming must DROP every late row. The oracle is the batch
+    aggregation over the ORIGINAL events only — if the drop failed, the late
+    copies would inflate n_events/sum_value and the value-hash would
+    mismatch. Complements ``streaming_tumbling_equiv`` (which proves
+    streaming ≡ batch on on-time data) by proving the discard side of
+    ST2/ST6 late-data handling."""
+    from cdc_postgresql_clickhouse_spark.streaming.windows import tumbling_counts
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "ts", "value")
+    tmp = tempfile.mkdtemp(prefix="stream_late_")
+    try:
+        src = os.path.join(tmp, "src")
+        out = os.path.join(tmp, "out")
+        ckpt = os.path.join(tmp, "ckpt")
+        ontime = ev.drop("event_id")
+        ontime.write.parquet(src)
+
+        def drain() -> None:
+            stream = spark.readStream.schema(ontime.schema).parquet(src)
+            q = (
+                tumbling_counts(stream, value_col="value")
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        drain()
+        far = ev.select(F.max("ts")).first()[0]
+        spark.createDataFrame(
+            [(SENTINEL_TYPE, far, 0.0)], "event_type string, ts timestamp, value double"
+        ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 30 DAYS")).write.mode(
+            "append"
+        ).parquet(src)
+        drain()  # windows closed, watermark now ~30 days ahead
+        late = ev.filter(F.col("event_id") % LATE_MOD == LATE_RESIDUE).drop("event_id")
+        late.write.mode("append").parquet(src)
+        drain()  # every late row falls behind the checkpointed watermark → dropped
+        res = (
+            spark.read.parquet(out)
+            .filter(F.col("event_type") != SENTINEL_TYPE)
+            .select(
+                F.unix_timestamp("window_start").alias("bucket_start"),
+                "event_type",
+                F.col("n_events").cast("long").alias("n_events"),
+                F.col("sum_value").alias("sum_value"),
+            )
+        )
+        return _materialized(res)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _event_envelopes(ev: DataFrame) -> DataFrame:
     """Deterministic Debezium envelopes from the events fixture: booking_id =
     user_id, LSN/version = event_id (globally unique, monotone per key),
@@ -269,6 +335,7 @@ QUERIES = {
     "streaming_incremental_dedup": streaming_incremental_dedup,
     "streaming_minhash_neardup": streaming_minhash_neardup,
     "streaming_tumbling_equiv": streaming_tumbling_equiv,
+    "streaming_late_data_drop": streaming_late_data_drop,
     "streaming_cdc_pipeline_equiv": streaming_cdc_pipeline_equiv,
 }
 
@@ -314,6 +381,17 @@ WHERE rn = 1 AND event_type <> 'error'
     # identical to the events_tumbling_5min oracle: the streaming path must
     # reproduce the batch bucket aggregation exactly
     "streaming_tumbling_equiv": """
+SELECT CAST(FLOOR(CAST(FLOOR(epoch(ts)) AS BIGINT) / 300) * 300 AS BIGINT) AS bucket_start,
+       event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+    # the ORIGINAL events only: the streamed input additionally contained
+    # late copies of event_id % LATE_MOD == LATE_RESIDUE rows, which the
+    # checkpointed watermark must drop — any leak inflates the counts and
+    # fails the value-hash
+    "streaming_late_data_drop": """
 SELECT CAST(FLOOR(CAST(FLOOR(epoch(ts)) AS BIGINT) / 300) * 300 AS BIGINT) AS bucket_start,
        event_type, COUNT(*) AS n_events,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
