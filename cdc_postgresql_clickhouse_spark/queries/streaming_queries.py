@@ -179,6 +179,69 @@ def streaming_tumbling_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def streaming_session_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming session windows (F.session_window, 30-min gap) ≡ the
+    batch lag-and-running-sum sessionization. Timestamps are truncated to
+    whole seconds BEFORE streaming so both engines sessionize the same
+    integer timeline (sub-second deltas could otherwise flip a boundary
+    decision near exactly-1800 s gaps). Boundary semantics verified
+    empirically and encoded in the oracle: a delta of exactly the gap MERGES
+    (session_window splits only on delta > gap — same rule as the batch
+    twin's ``> 1800``). Streaming session end = last event + gap, so
+    duration = end − start − gap."""
+    from cdc_postgresql_clickhouse_spark.streaming.windows import session_counts
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.date_trunc("second", F.col("ts")).alias("ts"))
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_sess_")
+    try:
+        src = os.path.join(tmp, "src")
+        out = os.path.join(tmp, "out")
+        ckpt = os.path.join(tmp, "ckpt")
+        ev.write.parquet(src)
+
+        def drain() -> None:
+            stream = spark.readStream.schema(ev.schema).parquet(src)
+            q = (
+                session_counts(stream)
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        drain()
+        far = ev.select(F.max("ts")).first()[0]
+        spark.createDataFrame(
+            [(-1, far)], "user_id long, ts timestamp"
+        ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 30 DAYS")).write.mode(
+            "append"
+        ).parquet(src)
+        drain()
+        res = (
+            spark.read.parquet(out)
+            .filter(F.col("user_id") >= 0)
+            .select(
+                "user_id",
+                F.unix_timestamp("session_start").alias("session_start_epoch"),
+                (
+                    F.unix_timestamp("session_end")
+                    - F.unix_timestamp("session_start")
+                    - F.lit(1800)
+                ).alias("duration_s"),
+                F.col("n_events").cast("long").alias("n_events"),
+            )
+        )
+        return _materialized(res)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 LATE_MOD = 13
 LATE_RESIDUE = 3
 
@@ -336,6 +399,7 @@ QUERIES = {
     "streaming_minhash_neardup": streaming_minhash_neardup,
     "streaming_tumbling_equiv": streaming_tumbling_equiv,
     "streaming_late_data_drop": streaming_late_data_drop,
+    "streaming_session_equiv": streaming_session_equiv,
     "streaming_cdc_pipeline_equiv": streaming_cdc_pipeline_equiv,
 }
 
@@ -397,5 +461,32 @@ SELECT CAST(FLOOR(CAST(FLOOR(epoch(ts)) AS BIGINT) / 300) * 300 AS BIGINT) AS bu
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
 FROM events
 GROUP BY 1, 2
+""",
+    # batch sessionization over the second-truncated timeline; split rule
+    # delta > 1800 (a delta of exactly the gap merges — verified against
+    # F.session_window's behavior); duration = max - min within the session
+    "streaming_session_equiv": """
+WITH ev AS (
+  SELECT user_id, event_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS es FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, es,
+         CASE WHEN lag(es) OVER w IS NULL OR es - lag(es) OVER w > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)
+),
+sess AS (
+  SELECT user_id, es,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY es, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM flagged
+)
+SELECT user_id,
+       MIN(es) AS session_start_epoch,
+       MAX(es) - MIN(es) AS duration_s,
+       COUNT(*) AS n_events
+FROM sess
+GROUP BY user_id, session_idx
 """,
 }
