@@ -101,3 +101,69 @@ FROM per
 
 QUERIES = {"sketch_kmv_distinct": sketch_kmv_distinct}
 ORACLE = {"sketch_kmv_distinct": _SQL_KMV}
+
+
+# --- robust anomaly detection (median / MAD) --------------------------------
+#
+# Median-absolute-deviation outlier flagging per event type — the robust
+# z-score ("Hampel identifier") that survives the heavy tails a mean/stddev
+# rule chokes on. Cross-engine exactness: values become integer CENTS first
+# (floor(v*100 + 0.5) on identical doubles), so every percentile
+# interpolation lands on exact binary fractions (x.0/x.5/x.25) and Spark's
+# percentile() equals DuckDB's quantile_cont() bit-for-bit. Scale shape: two
+# keyed aggregations + one keyed join back; exact percentiles shuffle the
+# group's values — at extreme per-group volume swap percentile() for
+# approx_percentile with a documented tolerance (the estimate then stops
+# being oracle-checkable, which is why the registered form is exact).
+
+MAD_SIGMA = 1.4826  # consistency constant: MAD ≈ sigma for normal data
+MAD_CUTOFF = 3.0
+
+
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        "event_type", F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c")
+    )
+    med = d.groupBy("event_type").agg(F.percentile("c", 0.5).alias("med"))
+    dev = d.join(med, "event_type").select(
+        "event_type", "med", F.abs(F.col("c") - F.col("med")).alias("ad")
+    )
+    madf = dev.groupBy("event_type").agg(F.percentile("ad", 0.5).alias("mad"))
+    res = dev.join(madf, "event_type").groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("med").alias("median_cents"),
+        F.max("mad").alias("mad_cents"),
+        F.sum(
+            F.when(F.col("ad") > F.lit(MAD_CUTOFF * MAD_SIGMA) * F.col("mad"), 1).otherwise(0)
+        ).alias("n_anomalies"),
+    )
+    return res
+
+
+_SQL_MAD = f"""
+WITH d AS (
+  SELECT event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c FROM events
+),
+med AS (
+  SELECT event_type, quantile_cont(CAST(c AS DOUBLE), 0.5) AS med
+  FROM d GROUP BY event_type
+),
+dev AS (
+  SELECT d.event_type, med.med, abs(d.c - med.med) AS ad
+  FROM d JOIN med USING (event_type)
+),
+madf AS (
+  SELECT event_type, quantile_cont(ad, 0.5) AS mad FROM dev GROUP BY event_type
+)
+SELECT dev.event_type,
+       COUNT(*) AS n_events,
+       MAX(dev.med) AS median_cents,
+       MAX(madf.mad) AS mad_cents,
+       SUM(CASE WHEN dev.ad > {MAD_CUTOFF * MAD_SIGMA!r} * madf.mad THEN 1 ELSE 0 END) AS n_anomalies
+FROM dev JOIN madf USING (event_type)
+GROUP BY dev.event_type
+"""
+
+QUERIES["events_anomaly_mad"] = events_anomaly_mad
+ORACLE["events_anomaly_mad"] = _SQL_MAD

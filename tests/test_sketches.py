@@ -49,3 +49,36 @@ def test_kmv_small_group_exact_fallback(spark):
     by = {r.event_type: r.n_tracked for r in per}
     assert by["rare"] == 5  # < k -> the query path reports exactly 5.0
     assert by["common"] == KMV_K
+
+
+def test_mad_anomaly_invariants(spark, sf_dir):
+    from cdc_postgresql_clickhouse_spark.queries.sketches import events_anomaly_mad
+
+    rows = events_anomaly_mad(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_anomalies < r.n_events
+        assert r.mad_cents >= 0
+        # robust center must sit inside the data range (cents are >= 0 here)
+        assert r.median_cents >= 0
+
+
+def test_mad_flags_planted_outlier(spark):
+    from cdc_postgresql_clickhouse_spark.queries.sketches import MAD_CUTOFF, MAD_SIGMA
+
+    from pyspark.sql import functions as F
+
+    # 99 values near 10.00, one at 10000.00: the robust rule must flag
+    # exactly the one outlier (a mean/stddev rule would be dragged by it)
+    vals = [(i, "t", 10.0 + (i % 5) * 0.01) for i in range(99)] + [(99, "t", 10000.0)]
+    df = spark.createDataFrame(vals, "event_id long, event_type string, value double")
+    d = df.select("event_type", F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"))
+    med = d.groupBy("event_type").agg(F.percentile("c", 0.5).alias("med"))
+    dev = d.join(med, "event_type").select("event_type", F.abs(F.col("c") - F.col("med")).alias("ad"))
+    madf = dev.groupBy("event_type").agg(F.percentile("ad", 0.5).alias("mad"))
+    n_anom = (
+        dev.join(madf, "event_type")
+        .filter(F.col("ad") > F.lit(MAD_CUTOFF * MAD_SIGMA) * F.col("mad"))
+        .count()
+    )
+    assert n_anom == 1
