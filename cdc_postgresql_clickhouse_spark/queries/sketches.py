@@ -167,3 +167,65 @@ GROUP BY dev.event_type
 
 QUERIES["events_anomaly_mad"] = events_anomaly_mad
 ORACLE["events_anomaly_mad"] = _SQL_MAD
+
+
+# --- EWMA (ordered sequential fold) -----------------------------------------
+#
+# Exponentially-weighted moving average of each user's value stream — the
+# classic online smoother (Roberts 1959, EWMA control charts). This is the
+# registry's canonical ORDERED-FOLD pattern: a sequential recurrence
+# (state_t = f(state_{t-1}, x_t)) that no commutative aggregate expresses.
+# The distributed form: ONE groupBy collects each key's (ts, id, value)
+# triples, sort_array imposes the event order deterministically (total
+# order: ts then event_id), and a higher-order aggregate() folds the
+# recurrence per key — per-key cost is its own history, keys run in
+# parallel, and the shuffle is the same single hash partition a sessionize
+# pays. alpha = 0.5 makes every intermediate an exact binary fraction
+# ((acc + x) * 0.5 on integer cents), so the fold is bit-identical in both
+# engines with no truncation step at all.
+
+def events_user_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id",
+        F.struct(
+            F.unix_micros("ts").alias("us"),
+            F.col("event_id").alias("eid"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
+        ).alias("s"),
+    )
+    arr = d.groupBy("user_id").agg(F.sort_array(F.collect_list("s")).alias("a"))
+    ewma = F.aggregate(
+        F.slice("a", 2, F.size("a") - 1),
+        F.element_at("a", 1).getField("c").cast("double"),
+        lambda acc, s: (acc + s.getField("c")) * F.lit(0.5),
+    )
+    return arr.select(
+        "user_id",
+        F.size("a").cast("long").alias("n_events"),
+        F.element_at("a", -1).getField("c").alias("last_cents"),
+        ewma.alias("ewma_cents"),
+    )
+
+
+_SQL_EWMA = """
+WITH d AS (
+  SELECT user_id,
+         {'us': epoch_us(ts), 'eid': event_id,
+          'c': CAST(FLOOR(value * 100 + 0.5) AS BIGINT)} AS s
+  FROM events
+),
+arr AS (
+  SELECT user_id, list_sort(list(s)) AS a FROM d GROUP BY user_id
+)
+SELECT user_id,
+       len(a)::BIGINT AS n_events,
+       a[-1].c AS last_cents,
+       list_reduce(list_prepend(CAST(a[1].c AS DOUBLE),
+                                list_transform(a[2:], x -> CAST(x.c AS DOUBLE))),
+                   (acc, x) -> (acc + x) * 0.5) AS ewma_cents
+FROM arr
+"""
+
+QUERIES["events_user_ewma"] = events_user_ewma
+ORACLE["events_user_ewma"] = _SQL_EWMA

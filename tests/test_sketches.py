@@ -82,3 +82,51 @@ def test_mad_flags_planted_outlier(spark):
         .count()
     )
     assert n_anom == 1
+
+
+def test_ewma_recurrence_hand_computed(spark):
+    import datetime
+
+    from cdc_postgresql_clickhouse_spark.queries import sketches
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, t0 + datetime.timedelta(seconds=i), i, float(v))
+        for i, v in enumerate([4.0, 8.0, 16.0])
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long, value double")
+    import types
+
+    # drive the same expression tree through a temp view of the fixture shape
+    from pyspark.sql import functions as F
+
+    d = df.select(
+        "user_id",
+        F.struct(
+            F.unix_micros("ts").alias("us"),
+            F.col("event_id").alias("eid"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
+        ).alias("s"),
+    )
+    arr = d.groupBy("user_id").agg(F.sort_array(F.collect_list("s")).alias("a"))
+    ewma = F.aggregate(
+        F.slice("a", 2, F.size("a") - 1),
+        F.element_at("a", 1).getField("c").cast("double"),
+        lambda acc, s: (acc + s.getField("c")) * F.lit(0.5),
+    )
+    got = arr.select(ewma.alias("e")).first().e
+    # fold: 400 -> (400+800)/2 = 600 -> (600+1600)/2 = 1100
+    assert got == 1100.0
+
+
+def test_ewma_fixture_bounds(spark, sf_dir):
+    from cdc_postgresql_clickhouse_spark.queries.sketches import events_user_ewma
+
+    out = events_user_ewma(spark, sf_dir).cache()
+    assert out.count() > 0
+    from pyspark.sql import functions as F
+
+    # EWMA is a convex combination of observed cents: stays within [min, max]
+    # of the user's values, here conservatively [0, max_cents_overall]
+    assert out.filter(F.col("ewma_cents") < 0).count() == 0
+    assert out.filter(F.col("n_events") < 1).count() == 0
