@@ -41,6 +41,7 @@ from cdc_postgresql_clickhouse_spark.queries import (
     tpch_more,
     training,
     winnow,
+    zorder,
 )
 
 # Registration order is load-bearing: the driver's correctness gate runs the
@@ -57,7 +58,7 @@ from cdc_postgresql_clickhouse_spark.queries import (
 # covered by scripts/parity_sweep.py locally each round.
 _MODULES = (
     cdc, streaming_queries, winnow, chunking, semantic, text_ext, extras,
-    spans, manifest, sketches,  # NEW round 4: never driver-checked, before the refill
+    spans, manifest, sketches, zorder,  # NEW round 4: never driver-checked, before the refill
     dedup, similarity, cluster, multimodal, text, quality, training, corpus,
     skew, debezium_types, funnel, events, tpch, tpch_ext, tpch_more,
 )
