@@ -206,3 +206,82 @@ SELECT doc_id,
 FROM staged
 """,
 }
+
+
+# --- HTML boilerplate stripping (C4-style) ----------------------------------
+#
+# The markup-removal step every web-scrape pipeline runs before quality
+# filtering (C4 / CCNet strip tags, scripts, comments before text analysis).
+# The fixture corpus has no markup, so deterministic HTML is synthesized
+# in-query as a function of doc_id on BOTH engines (same device as
+# _inject_pii above); the operator itself — strip scripts, strip comments,
+# strip tags, in that fixed order — never sees the synthesis and runs on raw
+# text unchanged in production. All patterns are valid in Java regex (Spark)
+# and RE2 (DuckDB); no newlines in the corpus, so no DOTALL dependence.
+
+HTML_SCRIPT = r"<script[^>]*>.*?</script>"
+HTML_COMMENT = r"<!--.*?-->"
+HTML_TAG = r"<[^>]*>"
+HTML_TITLE = r"<title>(.*?)</title>"
+
+
+def _inject_html(doc_id, raw):
+    sid = doc_id.cast("string")
+    return F.concat(
+        F.lit("<html><head><title>doc "), sid,
+        F.lit("</title><script>var a="), sid, F.lit(";</script></head><body class=\"c"),
+        (doc_id % 7).cast("string"), F.lit("\"><p>"),
+        raw,
+        F.lit("</p><!-- tracking "), sid, F.lit(" --></body></html>"),
+    )
+
+
+def text_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strip synthesized markup: scripts → comments → tags, then trim; report
+    the tag count, the extracted <title>, and the cleaned-text md5 (so
+    downstream dedup runs on markup-free content). Pure map-side regexp work
+    in codegen — a scan job at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select("doc_id", _inject_html(F.col("doc_id"), F.lower("text")).alias("h"))
+    stripped = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.regexp_replace("h", HTML_SCRIPT, " "), HTML_COMMENT, " "),
+            HTML_TAG,
+            " ",
+        )
+    )
+    return staged.select(
+        "doc_id",
+        F.regexp_count("h", F.lit(HTML_TAG)).cast("long").alias("n_tags"),
+        F.regexp_extract("h", HTML_TITLE, 1).alias("title"),
+        F.md5(F.regexp_replace(stripped, " +", " ")).alias("cleaned_md5"),
+    )
+
+
+QUERIES["text_html_strip"] = text_html_strip
+
+_SQL_HTML_INJ = (
+    "'<html><head><title>doc ' || CAST(doc_id AS VARCHAR) || '</title><script>var a=' || "
+    "CAST(doc_id AS VARCHAR) || ';</script></head><body class=\"c' || "
+    "CAST(doc_id % 7 AS VARCHAR) || '\"><p>' || lower(text) || '</p><!-- tracking ' || "
+    "CAST(doc_id AS VARCHAR) || ' --></body></html>'"
+)
+
+ORACLE["text_html_strip"] = f"""
+WITH staged AS (
+  SELECT doc_id, {_SQL_HTML_INJ} AS h FROM documents
+),
+stripped AS (
+  SELECT doc_id, h,
+         trim(regexp_replace(regexp_replace(regexp_replace(h,
+              '{HTML_SCRIPT}', ' ', 'g'),
+              '{HTML_COMMENT}', ' ', 'g'),
+              '{HTML_TAG}', ' ', 'g')) AS s
+  FROM staged
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(h, '{HTML_TAG}')) AS BIGINT) AS n_tags,
+       regexp_extract(h, '{HTML_TITLE}', 1) AS title,
+       md5(regexp_replace(s, ' +', ' ', 'g')) AS cleaned_md5
+FROM stripped
+"""

@@ -108,3 +108,25 @@ def test_line_dedup_cleaned_text_is_order_preserving(spark, sf_dir):
 
 def test_line_df_min_threshold_is_positive():
     assert LINE_DF_MIN >= 2 and len(BOILERPLATE) >= 2
+
+
+def test_html_strip_recovers_original_text(spark, sf_dir):
+    """Stripping the synthesized markup must leave exactly the human-visible
+    text: the <title> text plus the lowered original body — scripts,
+    comments and tags leave no residue and word spacing is preserved."""
+    import hashlib
+
+    from cdc_postgresql_clickhouse_spark.queries.text_ext import text_html_strip
+    from cdc_postgresql_clickhouse_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(20).collect()
+    got = {
+        r.doc_id: (r.n_tags, r.title, r.cleaned_md5)
+        for r in text_html_strip(spark, sf_dir).collect()
+    }
+    for d in docs:
+        n_tags, title, md5 = got[d.doc_id]
+        assert n_tags >= 8  # html, head, title x2, script..., body, p x2, comment...
+        assert title == f"doc {d.doc_id}"
+        visible = f"doc {d.doc_id} {d.text.lower()}"
+        assert md5 == hashlib.md5(visible.encode()).hexdigest()
