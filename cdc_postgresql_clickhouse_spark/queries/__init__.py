@@ -16,6 +16,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from cdc_postgresql_clickhouse_spark.queries import (
+    bpe,
     cdc,
     chunking,
     cluster,
@@ -58,7 +59,7 @@ from cdc_postgresql_clickhouse_spark.queries import (
 # covered by scripts/parity_sweep.py locally each round.
 _MODULES = (
     cdc, streaming_queries, winnow, chunking, semantic, text_ext, extras,
-    spans, manifest, sketches, zorder,  # NEW round 4: never driver-checked, before the refill
+    spans, manifest, sketches, zorder, bpe,  # NEW round 4: never driver-checked, before refill
     dedup, similarity, cluster, multimodal, text, quality, training, corpus,
     skew, debezium_types, funnel, events, tpch, tpch_ext, tpch_more,
 )

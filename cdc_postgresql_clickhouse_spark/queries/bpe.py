@@ -1,0 +1,170 @@
+"""Distributed BPE merge training (Sennrich et al. 2016): learn byte-pair
+merges from the corpus — the tokenizer-training step of an LLM data
+pipeline, and the registry's canonical ITERATIVE-MODEL-FIT pattern alongside
+k-means (`operators/kmeans.py`) and connected components
+(`queries/cluster.py`).
+
+Shape per merge round (the part that scales):
+- pair counting is ONE aggregation over the WORD-FREQUENCY table, not the
+  corpus: a single corpus pass builds (word, freq) — vocabulary-sized — and
+  every round thereafter explodes each word type's adjacent symbol pairs
+  weighted by freq. Corpus size only affects the first pass; rounds cost
+  O(vocab × word_length).
+- the argmax pair (count desc, pair asc — the deterministic tie-break) is
+  the ONLY state collected per round: O(1) model state, same contract as
+  kmeans' k×dim centroids.
+- applying a merge is a map-side string replace over the vocabulary table.
+
+Cross-engine determinism: symbol sequences are space-joined strings with an
+``</w>`` end-of-word marker; merges use plain (non-regex) ``replace`` on a
+space-wrapped representation — leftmost non-overlapping scan in both
+engines, so overlapping pairs ("a a a") resolve identically. The oracle
+unrolls MERGE_ROUNDS rounds as a CTE chain whose argmax scalars cross-join
+into the next round's replace — no collect anywhere in SQL, byte-identical
+merge tables.
+
+Reference tie-in: no analogue (the reference ships rows, not tokenizers);
+survey §2.13 extension, north-star "token counting" grown into training.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_postgresql_clickhouse_spark.functions.text import tokens
+from cdc_postgresql_clickhouse_spark.queries.dedup import _SQL_TOKENS
+from cdc_postgresql_clickhouse_spark.sources.registry import load_table
+
+MERGE_ROUNDS = 3
+EOW = "</w>"
+
+
+def _word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _initial_rep() -> F.Column:
+    """chars joined by spaces + end-of-word marker: 'spark' -> 's p a r k </w>'."""
+    chars = F.filter(F.split(F.col("w"), ""), lambda c: c != "")
+    return F.concat(F.array_join(chars, " "), F.lit(" " + EOW))
+
+
+def _pair_counts(rep_df: DataFrame) -> DataFrame:
+    """Adjacent symbol pairs weighted by word frequency — one explode + one
+    keyed agg over the vocabulary table."""
+    syms = F.split(F.col("rep"), " ")
+    pairs = F.when(
+        F.size(syms) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(syms) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(syms, i), F.element_at(syms, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        rep_df.select("freq", F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.sum("freq").alias("cnt"))
+    )
+
+
+def bpe_train(
+    spark: SparkSession, sf_dir: str, rounds: int = MERGE_ROUNDS
+) -> tuple[list[tuple[str, int]], DataFrame]:
+    """Learn ``rounds`` merges; returns (merge table, final vocab reps).
+    Only the argmax pair is collected per round (O(1) model state)."""
+    rep_df = _word_freq(spark, sf_dir).select("w", "freq", _initial_rep().alias("rep"))
+    return train_from_vocab(rep_df, rounds)
+
+
+def train_from_vocab(
+    rep_df: DataFrame, rounds: int
+) -> tuple[list[tuple[str, int]], DataFrame]:
+    """Core merge loop over any (w, freq, rep) vocabulary table."""
+    merges: list[tuple[str, int]] = []
+    for _ in range(rounds):
+        best = (
+            _pair_counts(rep_df)
+            .orderBy(F.desc("cnt"), F.asc("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        pair, cnt = best[0].pair, int(best[0].cnt)
+        merges.append((pair, cnt))
+        merged = pair.replace(" ", "")
+        rep_df = rep_df.select(
+            "w",
+            "freq",
+            F.trim(
+                F.replace(
+                    F.concat(F.lit(" "), F.col("rep"), F.lit(" ")),
+                    F.lit(f" {pair} "),
+                    F.lit(f" {merged} "),
+                )
+            ).alias("rep"),
+        )
+    return merges, rep_df
+
+
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned merge table as a DataFrame: (round, pair, merged, cnt)."""
+    merges, _ = bpe_train(spark, sf_dir)
+    return spark.createDataFrame(
+        [(i + 1, p, p.replace(" ", ""), c) for i, (p, c) in enumerate(merges)],
+        "round long, pair string, merged string, pair_count long",
+    )
+
+
+def _sql_round(i: int) -> str:
+    """One unrolled oracle round: pair counts over rep{i}, argmax scalar,
+    cross-joined replace producing rep{i+1}."""
+    return f"""
+pairs{i} AS (
+  SELECT p AS pair, SUM(freq) AS cnt FROM (
+    SELECT freq, unnest(list_transform(generate_series(1, len(syms) - 1),
+                 j -> syms[j] || ' ' || syms[j + 1])) AS p
+    FROM (SELECT freq, str_split(rep, ' ') AS syms FROM rep{i})
+  ) GROUP BY p
+),
+best{i} AS (
+  SELECT pair, cnt FROM pairs{i} ORDER BY cnt DESC, pair ASC LIMIT 1
+),
+rep{i + 1} AS (
+  SELECT w, freq,
+         trim(replace(' ' || r.rep || ' ',
+                      ' ' || b.pair || ' ',
+                      ' ' || replace(b.pair, ' ', '') || ' ')) AS rep
+  FROM rep{i} r CROSS JOIN best{i} b
+)"""
+
+
+_SQL_BPE = (
+    f"""
+WITH wf AS (
+  SELECT w, COUNT(*) AS freq FROM (
+    SELECT unnest({_SQL_TOKENS}) AS w FROM documents
+  ) GROUP BY w
+),
+rep0 AS (
+  SELECT w, freq,
+         array_to_string(list_filter(str_split(w, ''), c -> c <> ''), ' ')
+           || ' {EOW}' AS rep
+  FROM wf
+),"""
+    + ",".join(_sql_round(i) for i in range(MERGE_ROUNDS))
+    + "\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT CAST({i + 1} AS BIGINT) AS round, pair, replace(pair, ' ', '') AS merged, CAST(cnt AS BIGINT) AS pair_count FROM best{i}"
+        for i in range(MERGE_ROUNDS)
+    )
+)
+
+QUERIES = {"bpe_train_merges": bpe_train_merges}
+ORACLE = {"bpe_train_merges": _SQL_BPE}
