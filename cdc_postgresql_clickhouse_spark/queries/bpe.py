@@ -168,3 +168,64 @@ rep0 AS (
 
 QUERIES = {"bpe_train_merges": bpe_train_merges}
 ORACLE = {"bpe_train_merges": _SQL_BPE}
+
+
+def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned merge table to every document: per-doc token count
+    under the trained BPE vocabulary vs the character baseline — the
+    downstream consumer of ``bpe_train_merges`` (what a shard-packing or
+    context-budget step actually uses).
+
+    The merge table is O(rounds) driver state; application is a map-side
+    replace chain over each word's symbol string (no join — the merges ride
+    into the expression as literals, like the LSH plane matrix). Symbol
+    count = spaces + 1 on the merged representation, summed per document."""
+    merges, _ = bpe_train(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+    rep = F.concat(F.lit(" "), _initial_rep(), F.lit(" "))
+    n_chars = F.size(F.filter(F.split(F.col("w"), ""), lambda c: c != "")) + 1  # + EOW
+    for pair, _cnt in merges:
+        rep = F.replace(rep, F.lit(f" {pair} "), F.lit(f" {pair.replace(' ', '')} "))
+    n_sym = F.size(F.filter(F.split(F.trim(rep), " "), lambda s: s != ""))
+    per_word = words.select("doc_id", n_chars.alias("nc"), n_sym.alias("ns"))
+    return per_word.groupBy("doc_id").agg(
+        F.sum("nc").cast("long").alias("char_tokens"),
+        F.sum("ns").cast("long").alias("bpe_tokens"),
+    )
+
+
+QUERIES["bpe_token_count"] = bpe_token_count
+
+_SQL_BPE_COUNT = (
+    f"""
+WITH wf AS (
+  SELECT w, COUNT(*) AS freq FROM (
+    SELECT unnest({_SQL_TOKENS}) AS w FROM documents
+  ) GROUP BY w
+),
+rep0 AS (
+  SELECT w, freq,
+         array_to_string(list_filter(str_split(w, ''), c -> c <> ''), ' ')
+           || ' {EOW}' AS rep
+  FROM wf
+),"""
+    + ",".join(_sql_round(i) for i in range(MERGE_ROUNDS))
+    + f""",
+dw AS (
+  SELECT doc_id, unnest({_SQL_TOKENS}) AS w FROM documents
+),
+counted AS (
+  SELECT d.doc_id,
+         len(list_filter(str_split(r.w, ''), c -> c <> '')) + 1 AS nc,
+         len(list_filter(str_split(r.rep, ' '), s -> s <> '')) AS ns
+  FROM dw d JOIN rep{MERGE_ROUNDS} r ON r.w = d.w
+)
+SELECT doc_id,
+       CAST(SUM(nc) AS BIGINT) AS char_tokens,
+       CAST(SUM(ns) AS BIGINT) AS bpe_tokens
+FROM counted GROUP BY doc_id
+"""
+)
+
+ORACLE["bpe_token_count"] = _SQL_BPE_COUNT

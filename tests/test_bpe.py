@@ -64,3 +64,15 @@ def test_bpe_fixture_merge_table_shape(spark, sf_dir):
     # but each merged symbol's count is positive and pairs are two symbols
     for r in out:
         assert r.pair_count > 0 and " " in r.pair and r.merged == r.pair.replace(" ", "")
+
+
+def test_bpe_token_count_bounds(spark, sf_dir):
+    from cdc_postgresql_clickhouse_spark.queries.bpe import bpe_token_count
+
+    out = bpe_token_count(spark, sf_dir).cache()
+    assert out.count() > 0
+    # merging can only shrink: bpe_tokens <= char_tokens, and at least one
+    # document must actually compress (three learned merges over a small
+    # vocabulary always apply somewhere)
+    assert out.filter(F.col("bpe_tokens") > F.col("char_tokens")).count() == 0
+    assert out.filter(F.col("bpe_tokens") < F.col("char_tokens")).count() > 0
