@@ -51,12 +51,12 @@ from cdc_postgresql_clickhouse_spark.queries import (
 # that have — new additions go directly after cdc; once everything has a
 # green row somewhere, never-reds rotate by recency (oldest proof first).
 # Round-4 window: cdc (7, core reference semantics, always first) →
-# streaming_queries (2, NEW this round) → winnow/chunking/semantic/text_ext/
-# extras (9, round-3 additions that registered after the window and have no
-# driver row yet) → dedup/similarity/cluster/multimodal/text/quality/
-# training/corpus (32, r3-green refill) = exactly 50. Everything after
-# (skew/debezium_types/funnel/events: r3-green; TPC-H: r2-green ×39) is
-# covered by scripts/parity_sweep.py locally each round.
+# streaming_queries (6: 4 never-checked from early r4 + 2 new e2e rows) →
+# winnow/chunking/semantic/text_ext/extras (12, round-3 additions + the new
+# text_html_strip) → spans/manifest/sketches/zorder/bpe (10, NEW round 4) →
+# dedup/similarity (incl. new ann_pq_topk) / cluster / multimodal (incl. new
+# audio frames) / text refill to exactly 50. Everything after is green in
+# r2/r3 and re-verified locally by scripts/parity_sweep.py each round.
 _MODULES = (
     cdc, streaming_queries, winnow, chunking, semantic, text_ext, extras,
     spans, manifest, sketches, zorder, bpe,  # NEW round 4: never driver-checked, before refill
