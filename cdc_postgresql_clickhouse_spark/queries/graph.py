@@ -1,0 +1,116 @@
+"""Iterative graph analytics: weighted PageRank (Page et al. 1999) over the
+event-type transition graph — the registry's fourth iterative pattern
+(k-means, connected components, BPE, PageRank), in the shape Spark's own
+GraphX/Pregel popularized: per round one keyed join (ranks → edges) and one
+keyed sum (contributions → nodes).
+
+Cross-engine exactness without a truncation step: ranks are INTEGER
+nano-units (SCALE = 1e9). Per-edge contributions use long multiply +
+integer division — exact — and the per-node combine is an INTEGER sum,
+which is order-independent, so the nondeterministic combine order of a
+distributed float sum can never surface (same trick as
+``text_unigram_logprob``). The only float ops are the damping multiply and
+the teleport base, identical single expressions in both engines. The oracle
+unrolls PR_ITERS rounds as a CTE chain.
+
+The fixture graph is small (event types as nodes); the PLAN is the one
+you'd run on a billions-of-edges graph: the rank table partitions by node
+id, edges by src, each round is shuffle-bounded by the edge list, and the
+only driver state is the node count (one metadata-ish scalar). Dangling
+nodes (no out-edges) leak their rank mass — the standard simplified
+variant; redistributing it adds one scalar agg per round if wanted.
+
+Reference tie-in: none (survey §2.13 extension).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cdc_postgresql_clickhouse_spark.sources.registry import load_table
+
+PR_ITERS = 5
+PR_SCALE = 1_000_000_000
+PR_DAMP = 0.85
+
+
+def graph_pagerank_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "event_type", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.lag("event_type").over(w).alias("src"), F.col("event_type").alias("dst")
+    ).filter(F.col("src").isNotNull())
+    edges = pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w"))
+    nodes = (
+        edges.select(F.col("src").alias("t"))
+        .unionByName(edges.select(F.col("dst").alias("t")))
+        .distinct()
+    )
+    out_w = edges.groupBy("src").agg(F.sum("w").alias("wout"))
+    e2 = edges.join(out_w, "src").persist()
+    n_nodes = nodes.count()  # the only driver scalar (node count)
+    base = int(math.floor((1.0 - PR_DAMP) * PR_SCALE / n_nodes))
+    ranks = nodes.withColumn("r", F.lit(PR_SCALE // n_nodes).cast("long"))
+    for _ in range(PR_ITERS):
+        contrib = e2.join(ranks, e2.src == ranks.t).select(
+            F.col("dst").alias("t"), F.expr("(r * w) div wout").alias("c")
+        )
+        sums = contrib.groupBy("t").agg(F.sum("c").alias("s"))
+        ranks = nodes.join(sums, "t", "left").select(
+            "t",
+            (
+                F.lit(base)
+                + F.floor(F.lit(PR_DAMP) * F.coalesce(F.col("s"), F.lit(0)).cast("double"))
+            ).cast("long").alias("r"),
+        )
+    return ranks.select(F.col("t").alias("event_type"), F.col("r").alias("rank_nano"))
+
+
+def _sql_pr_round(i: int) -> str:
+    return f"""
+contrib{i} AS (
+  SELECT e.dst AS t, (r.r * e.w) // e.wout AS c
+  FROM e2 e JOIN r{i} r ON r.t = e.src
+),
+sums{i} AS (SELECT t, SUM(c) AS s FROM contrib{i} GROUP BY t),
+r{i + 1} AS (
+  SELECT n.t,
+         CAST(b.base + FLOOR({PR_DAMP!r} * CAST(COALESCE(s.s, 0) AS DOUBLE)) AS BIGINT) AS r
+  FROM nodes n CROSS JOIN basev b LEFT JOIN sums{i} s ON s.t = n.t
+)"""
+
+
+_SQL_PAGERANK = (
+    f"""
+WITH seq AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
+         event_type AS dst
+  FROM events
+),
+edges AS (
+  SELECT src, dst, COUNT(*) AS w FROM seq WHERE src IS NOT NULL GROUP BY src, dst
+),
+nodes AS (
+  SELECT DISTINCT t FROM (SELECT src AS t FROM edges UNION ALL SELECT dst FROM edges)
+),
+outw AS (SELECT src, SUM(w) AS wout FROM edges GROUP BY src),
+e2 AS (SELECT e.src, e.dst, e.w, o.wout FROM edges e JOIN outw o USING (src)),
+nv AS (SELECT COUNT(*) AS n FROM nodes),
+basev AS (
+  SELECT CAST(FLOOR({1.0 - PR_DAMP!r} * {float(PR_SCALE)!r} / CAST(n AS DOUBLE)) AS BIGINT) AS base
+  FROM nv
+),
+r0 AS (
+  SELECT t, CAST({PR_SCALE} // n AS BIGINT) AS r FROM nodes CROSS JOIN nv
+),"""
+    + ",".join(_sql_pr_round(i) for i in range(PR_ITERS))
+    + f"""
+SELECT t AS event_type, r AS rank_nano FROM r{PR_ITERS}
+"""
+)
+
+QUERIES = {"graph_pagerank_types": graph_pagerank_types}
+ORACLE = {"graph_pagerank_types": _SQL_PAGERANK}
