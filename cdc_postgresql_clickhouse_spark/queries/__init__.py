@@ -30,6 +30,7 @@ from cdc_postgresql_clickhouse_spark.queries import (
     manifest,
     multimodal,
     quality,
+    search,
     semantic,
     similarity,
     sketches,
@@ -60,7 +61,7 @@ from cdc_postgresql_clickhouse_spark.queries import (
 # r2/r3 and re-verified locally by scripts/parity_sweep.py each round.
 _MODULES = (
     cdc, streaming_queries, winnow, chunking, semantic, text_ext, extras,
-    spans, manifest, sketches, zorder, bpe, graph,  # NEW round 4: never driver-checked, before refill
+    spans, manifest, sketches, zorder, bpe, graph, search,  # NEW round 4, before refill
     dedup, similarity, cluster, multimodal, text, quality, training, corpus,
     skew, debezium_types, funnel, events, tpch, tpch_ext, tpch_more,
 )

@@ -1,0 +1,135 @@
+"""Keyword retrieval: BM25 ranking (Robertson-Sparck Jones / Okapi) over
+the documents table — the retrieval half of a RAG-style corpus pipeline
+(ANN covers dense retrieval in ``queries/similarity.py``; this is the
+sparse/lexical side).
+
+Scale shape: ONE corpus explode builds the posting list (doc, term, tf) —
+the same persisted barrier the TF-IDF and unigram-LM queries share — and
+document lengths are a re-aggregation of it. The query set is tiny by
+definition and broadcasts; scoring touches only postings whose term appears
+in some query (a broadcast semi-join prunes the rest), and ranking is a
+per-query top-k window. At 100 TB the posting list is the inverted index a
+search system would shard by term; the plan is identical.
+
+Cross-engine determinism: the same integer micro-unit device as
+``text_unigram_logprob`` — each (query, term, doc) partial score (idf ×
+saturated-tf, all from identical doubles) is FLOOR-truncated to micro-units
+BEFORE the per-document sum, so the distributed combine runs on exact
+integers and addition order can never surface. Ranking ties break on
+doc_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cdc_postgresql_clickhouse_spark.functions.text import tokens
+from cdc_postgresql_clickhouse_spark.sources.registry import load_table
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 10
+
+# fixed benchmark queries over the fixture vocabulary
+SEARCH_QUERIES: dict[str, list[str]] = {
+    "q_spark_join": ["spark", "join"],
+    "q_table_scan": ["table", "scan"],
+    "q_hash_merge_sort": ["hash", "merge", "sort"],
+}
+
+
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    postings = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .persist()
+    )
+    dl = postings.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    n_docs = docs.count()
+    avgdl = dl.agg(F.sum("dl")).first()[0] / float(n_docs)
+    df_t = postings.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    q = spark.createDataFrame(
+        [(qn, t) for qn, terms in SEARCH_QUERIES.items() for t in terms],
+        "query string, term string",
+    )
+    matched = (
+        postings.join(F.broadcast(q), "term")
+        .join(df_t, "term")
+        .join(dl, "doc_id")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf_sat = (F.col("tf") * F.lit(BM25_K1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(BM25_K1) * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.lit(avgdl))
+    )
+    part_micro = F.floor(idf * tf_sat * F.lit(1000000.0)).cast("long")
+    scored = matched.select("query", "doc_id", part_micro.alias("sm"))
+    per_doc = scored.groupBy("query", "doc_id").agg(
+        F.sum("sm").cast("long").alias("score_micro"),
+        F.count(F.lit(1)).cast("long").alias("terms_matched"),
+    )
+    w = Window.partitionBy("query").orderBy(F.desc("score_micro"), F.col("doc_id"))
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_TOPK)
+        .select("query", "doc_id", "score_micro", "terms_matched", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+_SQL_TOKENS = (
+    "list_filter(str_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), "
+    "t -> t <> '')"
+)
+_Q_VALUES = ", ".join(
+    f"('{qn}', '{t}')" for qn, terms in SEARCH_QUERIES.items() for t in terms
+)
+
+_SQL_BM25 = f"""
+WITH postings AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM (
+    SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents
+  ) GROUP BY doc_id, term
+),
+dl AS (SELECT doc_id, SUM(tf) AS dl FROM postings GROUP BY doc_id),
+nv AS (SELECT (SELECT COUNT(*) FROM documents) AS n,
+              (SELECT SUM(tf) FROM postings) AS tot),
+dft AS (SELECT term, COUNT(*) AS df FROM postings GROUP BY term),
+q(query, term) AS (VALUES {_Q_VALUES}),
+matched AS (
+  SELECT q.query, p.doc_id, p.tf, d.df, l.dl, nv.n, nv.tot
+  FROM postings p
+  JOIN q ON q.term = p.term
+  JOIN dft d ON d.term = p.term
+  JOIN dl l ON l.doc_id = p.doc_id
+  CROSS JOIN nv
+),
+scored AS (
+  SELECT query, doc_id,
+         CAST(FLOOR(
+           ln(1.0 + (CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5))
+           * ((tf * {BM25_K1 + 1.0!r}) /
+              (tf + {BM25_K1!r} * ({1.0 - BM25_B!r} + {BM25_B!r} * dl / (CAST(tot AS DOUBLE) / CAST(n AS DOUBLE)))))
+           * 1000000.0) AS BIGINT) AS sm
+  FROM matched
+),
+per_doc AS (
+  SELECT query, doc_id, SUM(sm) AS score_micro, COUNT(*) AS terms_matched
+  FROM scored GROUP BY query, doc_id
+)
+SELECT query, doc_id,
+       CAST(score_micro AS BIGINT) AS score_micro,
+       CAST(terms_matched AS BIGINT) AS terms_matched,
+       CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query ORDER BY score_micro DESC, doc_id) AS rank
+      FROM per_doc)
+WHERE rank <= {BM25_TOPK}
+"""
+
+QUERIES = {"text_bm25_search": text_bm25_search}
+ORACLE = {"text_bm25_search": _SQL_BM25}
