@@ -54,6 +54,9 @@ HEADLINE = [
     "events_error_blast_radius",
     "sketch_distinct_users",
     "sketch_kmv_distinct",
+    "events_anomaly_mad",
+    "events_user_ewma",
+    "graph_pagerank_types",
     "funnel_windowed",
     "retention_weekly",
     "cdc_scd2_history",
@@ -70,6 +73,9 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_exact_substring",
     "dedup_lines",
+    "text_html_strip",
+    "text_bm25_search",
+    "bpe_train_merges",
     "text_quality_score",
     "text_fingerprint",
     "text_repetition_ngram",

@@ -208,3 +208,99 @@ FROM sharded GROUP BY 1, 2
 
 QUERIES = {"corpus_training_manifest": corpus_training_manifest}
 ORACLE = {"corpus_training_manifest": _SQL_MANIFEST}
+
+
+# --- temperature-based mixture sampling -------------------------------------
+#
+# The data-mixing knob of LLM training (multinomial sampling with exponent τ,
+# the device of multilingual BERT / XLM-R / GPT-3's mixture weights):
+# source s gets weight n_s^τ, flattening the natural size distribution so
+# small sources are upsampled relative to their share. τ = 0.5 here because
+# sqrt is IEEE-correctly-rounded — bit-identical across engines — whereas a
+# general pow() could differ in the last ulp and flip a floor() threshold.
+# The normalizer Σ sqrt(n_s) is an ORDERED fold over the source-sorted list
+# (6 values), so float addition order is pinned on both sides.
+#
+# rate_s = min(1, target_tokens·w_s/W / n_s); docs kept by the deterministic
+# 16-bit md5 threshold (same key as corpus_stratified_sample). Map-side
+# filter; the per-source table is vocab-sized.
+
+MIX_BUDGET_FRAC = 0.5  # sample half the corpus tokens, redistributed by τ
+
+
+def corpus_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_postgresql_clickhouse_spark.queries.cluster import _SAMPLE_KEY
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(tokens(F.col("text"))).cast("long").alias("n_tok")
+    )
+    per_src = docs.groupBy("source").agg(F.sum("n_tok").alias("n_s"))
+    # ordered fold: Σ sqrt(n_s) with source-sorted addition order
+    norm = per_src.agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("source", "n_s"))),
+            F.lit(0.0),
+            lambda acc, s: acc + F.sqrt(s.getField("n_s").cast("double")),
+        ).alias("W"),
+        F.sum("n_s").alias("tot"),
+    )
+    rated = per_src.crossJoin(F.broadcast(norm)).select(
+        "source",
+        "n_s",
+        F.least(
+            F.lit(1.0),
+            (F.lit(MIX_BUDGET_FRAC) * F.col("tot").cast("double"))
+            * F.sqrt(F.col("n_s").cast("double"))
+            / F.col("W")
+            / F.col("n_s").cast("double"),
+        ).alias("rate"),
+    )
+    thr = F.floor(F.col("rate") * F.lit(65536.0)).cast("long")
+    keyed = docs.withColumn("k", F.expr(_SAMPLE_KEY).cast("long"))
+    kept = keyed.join(F.broadcast(rated.select("source", thr.alias("thr"), "rate")), "source").filter(
+        F.col("k") < F.col("thr")
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs_kept"),
+        F.sum("n_tok").cast("long").alias("tokens_kept"),
+        (F.floor(F.max("rate") * F.lit(1000000.0)).cast("double") / F.lit(1000000.0)).alias("rate_t6"),
+    )
+
+
+QUERIES["corpus_temperature_mixture"] = corpus_temperature_mixture
+
+_SQL_MIXTURE = f"""
+WITH d AS (
+  SELECT doc_id, source, CAST(len({_SQL_TOKENS}) AS BIGINT) AS n_tok FROM documents
+),
+per_src AS (SELECT source, SUM(n_tok) AS n_s FROM d GROUP BY source),
+norm AS (
+  SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(list(CAST(n_s AS DOUBLE) ORDER BY source), x -> sqrt(x))),
+             (a, b) -> a + b) AS "Wn",
+         SUM(n_s) AS tot
+  FROM per_src
+),
+rated AS (
+  SELECT source, n_s,
+         LEAST(1.0, ({MIX_BUDGET_FRAC!r} * CAST(tot AS DOUBLE))
+                    * sqrt(CAST(n_s AS DOUBLE)) / "Wn" / CAST(n_s AS DOUBLE)) AS rate
+  FROM per_src CROSS JOIN norm
+),
+keyed AS (
+  SELECT d.doc_id, d.source, d.n_tok,
+         ({{SAMPLE_KEY}}) AS k, r.rate,
+         CAST(FLOOR(r.rate * 65536.0) AS BIGINT) AS thr
+  FROM d JOIN rated r USING (source)
+)
+SELECT source,
+       COUNT(*) AS n_docs_kept,
+       CAST(SUM(n_tok) AS BIGINT) AS tokens_kept,
+       CAST(FLOOR(MAX(rate) * 1000000.0) AS DOUBLE) / 1000000.0 AS rate_t6
+FROM keyed WHERE k < thr
+GROUP BY source
+"""
+
+from cdc_postgresql_clickhouse_spark.queries.cluster import _SQL_SAMPLE_KEY as _SK  # noqa: E402
+
+ORACLE["corpus_temperature_mixture"] = _SQL_MIXTURE.replace("{SAMPLE_KEY}", _SK)

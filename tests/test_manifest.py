@@ -38,3 +38,28 @@ def test_manifest_excludes_benchmark_docs(spark, sf_dir):
         (F.col("first_doc") % BENCH_MOD == 0) | (F.col("last_doc") % BENCH_MOD == 0)
     ).count()
     assert bad == 0
+
+
+def test_temperature_mixture_flattens_distribution(spark, sf_dir):
+    from cdc_postgresql_clickhouse_spark.queries.manifest import (
+        MIX_BUDGET_FRAC,
+        corpus_temperature_mixture,
+    )
+    from cdc_postgresql_clickhouse_spark.functions.text import tokens
+    from cdc_postgresql_clickhouse_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", F.size(tokens(F.col("text"))).alias("n_tok")
+    )
+    sizes = {r.source: r.s for r in docs.groupBy("source").agg(F.sum("n_tok").alias("s")).collect()}
+    out = {r.source: r for r in corpus_temperature_mixture(spark, sf_dir).collect()}
+    assert set(out) <= set(sizes) and out
+    # tau < 1 upsamples small sources: keep-rate is non-increasing in size
+    by_size = sorted(sizes, key=sizes.get)
+    rates = [out[s].rate_t6 for s in by_size if s in out]
+    assert all(a >= b - 1e-9 for a, b in zip(rates, rates[1:]))
+    # total kept tokens lands near the budget (hash threshold is a ~1/256
+    # granular approximation of the target rate)
+    kept = sum(r.tokens_kept for r in out.values())
+    total = sum(sizes.values())
+    assert 0.3 * total < kept < 0.7 * total, (kept, total, MIX_BUDGET_FRAC)
