@@ -81,11 +81,13 @@ def multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_frames(wav)
 
 
+# audio_frames first: never driver-checked yet, and the registry window is
+# position-sensitive (rotation policy rule 2 — see queries/__init__.py)
 QUERIES = {
+    "multimodal_audio_frames": multimodal_audio_frames,
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_decode_stats": multimodal_decode_stats,
     "multimodal_resize_stats": multimodal_resize_stats,
-    "multimodal_audio_frames": multimodal_audio_frames,
 }
 
 # hex-nibble value of md5 char i (1-based) — engine-portable digest-byte math
