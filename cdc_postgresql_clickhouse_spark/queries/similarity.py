@@ -417,14 +417,51 @@ def ann_ivf_topk(
     w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.col("cid"))
     ranked = scored.withColumn("rn", F.row_number().over(w_assign))
     assign = ranked.filter(F.col("rn") == 1).select("vec_id", "cid")
+    return ivf_probe(emb, cents, assign, n_probe=n_probe)
+
+
+def ivf_assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment (argmax cosine, cid tie-break) — the
+    shared encode step of the batch IVF query and the streaming index
+    ingest. ``emb`` must carry (vec_id, e, nrm); ``cents`` (cid, ce, cn)."""
+    scored = F.broadcast(cents).join(emb, how="cross").select(
+        "vec_id",
+        "cid",
+        _cos_prenorm(F.col("e"), F.col("ce"), F.col("nrm"), F.col("cn")).alias("cs"),
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.col("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+
+
+def ivf_probe(
+    emb: DataFrame, cents: DataFrame, assign: DataFrame, n_probe: int = 2
+) -> DataFrame:
+    """Probe an IVF index given its assignment table: rank each query's
+    n_probe nearest centroids (recomputed from the small centroid table —
+    identical doubles to the assignment pass), pull only those lists'
+    vectors, exact-rank them. Shared by ``ann_ivf_topk`` (assignments built
+    in-query) and ``streaming_ivf_ingest_equiv`` (assignments read from the
+    incrementally-maintained state table)."""
+    q_emb = emb.filter(F.col("vec_id") % 100 == 0)
+    scored_q = F.broadcast(cents).join(q_emb, how="cross").select(
+        F.col("vec_id").alias("q_id"),
+        "cid",
+        _cos_prenorm(F.col("e"), F.col("ce"), F.col("nrm"), F.col("cn")).alias("cs"),
+    )
+    w_q = Window.partitionBy("q_id").orderBy(F.desc("cs"), F.col("cid"))
     probes = (
-        ranked.filter((F.col("vec_id") % 100 == 0) & (F.col("rn") <= n_probe))
-        .select(F.col("vec_id").alias("q_id"), "cid")
+        scored_q.withColumn("rn", F.row_number().over(w_q))
+        .filter(F.col("rn") <= n_probe)
+        .select("q_id", "cid")
     )
     cand = F.broadcast(probes).join(assign, "cid").filter(F.col("q_id") != F.col("vec_id"))
     # broadcast ONLY the query slice (vec_id % 100 == 0), never the corpus:
     # at 100× data the corpus side would be a driver/executor OOM
-    q_side = emb.filter(F.col("vec_id") % 100 == 0).select(
+    q_side = q_emb.select(
         F.col("vec_id").alias("q_id"), F.col("e").alias("qe"), F.col("nrm").alias("qn")
     )
     pair = (

@@ -242,6 +242,44 @@ def streaming_session_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def streaming_ivf_ingest_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN-index-as-data-arrives: embeddings replayed in 2+ micro-batches
+    through the incremental IVF ingest (``streaming/ann.py``: quantizer
+    model extracted from batch 1, per-batch map-side assignment, append-only
+    cid-partitioned inverted lists), then PROBED with the exact same code as
+    the batch query (``similarity.ivf_probe``). The oracle is literally the
+    batch ``ann_ivf_topk`` SQL — equality IS the statement that maintaining
+    the index incrementally yields the index the batch build would have."""
+    from cdc_postgresql_clickhouse_spark.queries.similarity import _emb_d, _norm, ivf_probe
+    from cdc_postgresql_clickhouse_spark.streaming.ann import (
+        centroid_table,
+        run_incremental_ivf,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    tmp = tempfile.mkdtemp(prefix="stream_ivf_")
+    try:
+        src = os.path.join(tmp, "src")
+        assign_path = os.path.join(tmp, "assign")
+        # batch 1 carries the seed centroids (vec_id < 16) by construction;
+        # batch 2 delivers the rest — the index accretes across batches
+        b1 = emb.filter((F.col("vec_id") < 16) | (F.col("vec_id") % 2 == 0))
+        b2 = emb.filter((F.col("vec_id") >= 16) & (F.col("vec_id") % 2 == 1))
+        b1.coalesce(1).write.parquet(src)
+        b2.coalesce(1).write.mode("append").parquet(src)
+        run_incremental_ivf(
+            spark, src, assign_path, os.path.join(tmp, "ckpt"), max_files_per_trigger=1
+        )
+        assign = spark.read.parquet(assign_path).select("vec_id", "cid").distinct()
+        cents = centroid_table(spark, assign_path)
+        full = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", _emb_d().alias("e")
+        ).withColumn("nrm", _norm(F.col("e")))
+        return _materialized(ivf_probe(full, cents, assign))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 LATE_MOD = 13
 LATE_RESIDUE = 3
 
@@ -400,6 +438,7 @@ QUERIES = {
     "streaming_tumbling_equiv": streaming_tumbling_equiv,
     "streaming_late_data_drop": streaming_late_data_drop,
     "streaming_session_equiv": streaming_session_equiv,
+    "streaming_ivf_ingest_equiv": streaming_ivf_ingest_equiv,
     "streaming_cdc_pipeline_equiv": streaming_cdc_pipeline_equiv,
 }
 
@@ -490,3 +529,9 @@ FROM sess
 GROUP BY user_id, session_idx
 """,
 }
+
+# the incremental index must probe identically to the batch-built one:
+# literally the batch IVF oracle
+from cdc_postgresql_clickhouse_spark.queries.similarity import ORACLE as _SIM_ORACLE  # noqa: E402
+
+ORACLE["streaming_ivf_ingest_equiv"] = _SIM_ORACLE["ann_ivf_topk"]

@@ -135,3 +135,39 @@ def test_streaming_minhash_equals_batch_lsh(spark, sf_dir, tmp_path):
         for r in dedup_minhash_lsh(spark, sf_dir).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_incremental_ivf_equals_batch_index(spark, sf_dir, tmp_path):
+    """Replaying the embeddings in 2 micro-batches through the incremental
+    IVF ingest yields an assignment table identical to the batch build, and
+    probing it reproduces batch ann_ivf_topk row-for-row."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cdc_postgresql_clickhouse_spark.queries.similarity import (
+        _emb_d,
+        _norm,
+        ann_ivf_topk,
+        ivf_probe,
+    )
+    from cdc_postgresql_clickhouse_spark.sources.registry import load_table
+    from cdc_postgresql_clickhouse_spark.streaming.ann import (
+        centroid_table,
+        run_incremental_ivf,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    src = str(tmp_path / "src")
+    assign_path = str(tmp_path / "assign")
+    emb.filter((F.col("vec_id") < 16) | (F.col("vec_id") % 2 == 0)).coalesce(1).write.parquet(src)
+    emb.filter((F.col("vec_id") >= 16) & (F.col("vec_id") % 2 == 1)).coalesce(1).write.mode("append").parquet(src)
+    run_incremental_ivf(spark, src, assign_path, str(tmp_path / "ckpt"))
+    assign = spark.read.parquet(assign_path).select("vec_id", "cid").distinct()
+    assert assign.count() == emb.count()
+    full = emb.select("vec_id", _emb_d().alias("e")).withColumn("nrm", _norm(F.col("e")))
+    streamed = ivf_probe(full, centroid_table(spark, assign_path), assign)
+    batch = ann_ivf_topk(spark, sf_dir)
+    srows = sorted(map(tuple, streamed.collect()))
+    brows = sorted(map(tuple, batch.collect()))
+    assert srows == brows
