@@ -47,24 +47,50 @@ from cdc_postgresql_clickhouse_spark.queries import (
     zorder,
 )
 
-# Registration order is load-bearing: the driver's correctness gate runs the
-# FIRST 50 registered queries only. ROTATION POLICY (see COVERAGE.md):
-# queries that have never had a driver row ALWAYS register before queries
-# that have — new additions go directly after cdc; once everything has a
-# green row somewhere, never-reds rotate by recency (oldest proof first).
-# Round-4 window: cdc (7, core reference semantics, always first) →
-# streaming_queries (6: 4 never-checked from early r4 + 2 new e2e rows) →
-# winnow/chunking/semantic/text_ext/extras (12, round-3 additions + the new
-# text_html_strip) → spans/manifest/sketches/zorder/bpe (10, NEW round 4) →
-# dedup/similarity (incl. new ann_pq_topk) / cluster / multimodal (incl. new
-# audio frames) / text refill to exactly 50. Everything after is green in
-# r2/r3 and re-verified locally by scripts/parity_sweep.py each round.
 _MODULES = (
     cdc, streaming_queries, winnow, chunking, semantic, text_ext, extras,
-    spans, manifest, sketches, zorder, bpe, graph, search,  # NEW round 4, before refill
+    spans, manifest, sketches, zorder, bpe, graph, search,
     dedup, similarity, cluster, multimodal, text, quality, training, corpus,
     skew, debezium_types, funnel, events, tpch, tpch_ext, tpch_more,
 )
+
+# Registration order is load-bearing: the driver's correctness gate runs the
+# FIRST 50 registered queries only. ROTATION POLICY (see COVERAGE.md):
+# rule 1 — cdc always registers first (core reference semantics, cheap
+# insurance every round); rule 2 — queries that have NEVER had a driver
+# CORRECTNESS row register next, ahead of anything already proven; rule 3 —
+# the window refills with already-green families, oldest proof first.
+#
+# The policy is encoded EXPLICITLY here rather than via module order (a new
+# query added mid-module would otherwise silently push a never-checked one
+# past position 50 — tests/test_window_policy.py pins this). _WINDOW_FRONT
+# lists the first-50 names in driver order; every remaining query follows in
+# module order and is re-verified locally by scripts/parity_sweep.py.
+_WINDOW_FRONT = [
+    # rule 1: cdc (7)
+    "cdc_current_state", "cdc_soft_delete_state", "cdc_envelope_transform",
+    "cdc_epoch_micros_roundtrip", "cdc_count_final", "cdc_idempotent_replay",
+    "cdc_scd2_history",
+    # rule 2: never driver-checked — streaming e2e (7)
+    "streaming_incremental_dedup", "streaming_minhash_neardup",
+    "streaming_tumbling_equiv", "streaming_late_data_drop",
+    "streaming_session_equiv", "streaming_ivf_ingest_equiv",
+    "streaming_cdc_pipeline_equiv",
+    # rule 2: round-3 additions (9) + round-4 (the rest)
+    "text_winnowing_fingerprints", "doc_chunking", "chunk_dedup_content_defined",
+    "embedding_semantic_cluster", "text_langid_chargram", "text_pii_redact",
+    "text_html_strip", "corpus_version_diff", "events_transition_matrix",
+    "dedup_cluster_size_hist", "dedup_exact_substring", "dedup_lines",
+    "corpus_training_manifest", "corpus_temperature_mixture",
+    "sketch_kmv_distinct", "events_anomaly_mad", "events_user_ewma",
+    "sketch_hll_distinct", "sketch_cms_heavy_hitters",
+    "layout_zorder_clustering", "bpe_train_merges", "bpe_token_count",
+    "graph_pagerank_types", "text_bm25_search", "ann_pq_topk",
+    "multimodal_audio_frames",
+    # rule 3: refill to 50 with r3-green families (oldest proof first)
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
+    "ann_bruteforce_topk", "ann_lsh_buckets", "ann_lsh_buckets_sized",
+]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -74,11 +100,18 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")
         out.update(m.QUERIES)
-    return out
+    missing = [n for n in _WINDOW_FRONT if n not in out]
+    if missing:
+        raise ValueError(f"_WINDOW_FRONT names not registered: {missing}")
+    ordered = {n: out[n] for n in _WINDOW_FRONT}
+    ordered.update({n: f for n, f in out.items() if n not in ordered})
+    return ordered
 
 
 def all_oracles() -> dict[str, str]:
     out: dict[str, str] = {}
     for m in _MODULES:
         out.update(m.ORACLE)
-    return out
+    ordered = {n: out[n] for n in _WINDOW_FRONT if n in out}
+    ordered.update({n: s for n, s in out.items() if n not in ordered})
+    return ordered

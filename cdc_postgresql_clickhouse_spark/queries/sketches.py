@@ -229,3 +229,237 @@ FROM arr
 
 QUERIES["events_user_ewma"] = events_user_ewma
 ORACLE["events_user_ewma"] = _SQL_EWMA
+
+
+# --- HyperLogLog distinct sketch --------------------------------------------
+#
+# HyperLogLog (Flajolet et al. 2007) per event type — the fixed-register
+# distinct estimator ClickHouse's ``uniq``/``uniqHLL12`` family uses, and the
+# other half of the sketch story next to KMV above: KMV keeps the k smallest
+# HASHES (order statistics), HLL keeps per-register MAXIMA of leading-zero
+# counts. Both are pure functions of the id SET, so the DuckDB twin is exact
+# and the driver hash-verifies the estimator end-to-end.
+#
+# Determinism device: the 48-bit hash (first 12 md5 hex digits) splits into a
+# 6-bit register index (m=64) and a 42-bit suffix; rho (leading-zeros+1) is a
+# generated integer CASE ladder over powers of two — the SAME Python literals
+# emit both engines' ladders, so no engine-specific bit intrinsics are
+# involved. The harmonic-mean denominator is summed as the INTEGER
+# sum(2^(43-M_j)) (register M_j <= 43, so each term and the 64-term sum are
+# exact), with empty registers contributing 2^43; the only floating point is
+# the final alpha*m^2/S division plus the standard linear-counting
+# small-range correction, both floor-truncated to micro-units.
+#
+# Scale shape: map-side (event_type, register, rho), one shuffle to
+# max-by-register (64 rows per group cross the wire after the partial max —
+# THE mergeable-sketch property), one 64-row re-agg. At 100 TB the state per
+# group is 64 integers regardless of cardinality.
+
+HLL_P = 6
+HLL_M = 1 << HLL_P  # 64 registers
+_HLL_SUFFIX_BITS = _HEX_DIGITS * 4 - HLL_P  # 42
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+
+# rho = (leading zeros of the 42-bit suffix) + 1, as an integer CASE ladder;
+# one string, two engines (column name interpolated)
+def _rho_case(col: str) -> str:
+    arms = " ".join(
+        f"WHEN {col} >= {1 << (_HLL_SUFFIX_BITS - 1 - i)} THEN {i + 1}"
+        for i in range(_HLL_SUFFIX_BITS)
+    )
+    return f"(CASE {arms} ELSE {_HLL_SUFFIX_BITS + 1} END)"
+
+
+def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hashed = ev.select(
+        "event_type",
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, _HEX_DIGITS), 16, 10
+        ).cast("long").alias("v"),
+    )
+    split = hashed.select(
+        "event_type",
+        F.shiftright(F.col("v"), _HLL_SUFFIX_BITS).alias("reg"),
+        (F.col("v") % F.lit(1 << _HLL_SUFFIX_BITS)).alias("w"),
+    )
+    regs = (
+        split.withColumn("rho", F.expr(_rho_case("w")).cast("int"))
+        .groupBy("event_type", "reg")
+        .agg(F.max("rho").alias("mj"))
+    )
+    per = regs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("registers_used"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_SUFFIX_BITS + 1} - mj)"))
+        .cast("long").alias("s_used"),
+    )
+    two43 = 1 << (_HLL_SUFFIX_BITS + 1)
+    s_int = F.col("s_used") + (F.lit(HLL_M) - F.col("registers_used")) * F.lit(two43)
+    e_raw = F.lit(_HLL_ALPHA * HLL_M * HLL_M * float(two43)) / s_int.cast("double")
+    zeros = F.lit(HLL_M) - F.col("registers_used")
+    est = F.when(
+        (e_raw <= F.lit(2.5 * HLL_M)) & (zeros > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zeros.cast("double")),
+    ).otherwise(e_raw)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact")
+    )
+    return per.join(exact, "event_type").select(
+        "event_type",
+        "registers_used",
+        "n_exact",
+        (F.floor(est * F.lit(1000000.0)).cast("double") / F.lit(1000000.0)).alias(
+            "hll_estimate"
+        ),
+    )
+
+
+def _sql_hex_int(col: str, digits: int) -> str:
+    """Integer value of the first ``digits`` md5 hex chars of ``col`` — the
+    DuckDB twin of Spark's ``conv(substring(md5(x),1,d), 16, 10)``."""
+    return "(" + " + ".join(
+        f"(instr('0123456789abcdef', substring(md5({col}), {i + 1}, 1)) - 1)"
+        f" * {16 ** (digits - 1 - i)}"
+        for i in range(digits)
+    ) + ")"
+
+
+_SQL_HLL = f"""
+WITH hashed AS (
+  SELECT event_type,
+         {_sql_hex_int('CAST(user_id AS VARCHAR)', _HEX_DIGITS)} AS v
+  FROM events
+),
+split AS (
+  SELECT event_type,
+         v // {1 << _HLL_SUFFIX_BITS} AS reg,
+         v % {1 << _HLL_SUFFIX_BITS} AS w
+  FROM hashed
+),
+regs AS (
+  SELECT event_type, reg, MAX({_rho_case('w')}) AS mj
+  FROM split GROUP BY event_type, reg
+),
+per AS (
+  SELECT event_type,
+         COUNT(*) AS registers_used,
+         SUM(CAST(POWER(2, {_HLL_SUFFIX_BITS + 1} - mj) AS BIGINT)) AS s_used
+  FROM regs GROUP BY event_type
+),
+exact AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS n_exact FROM events GROUP BY event_type
+),
+est AS (
+  SELECT event_type, registers_used,
+         s_used + ({HLL_M} - registers_used) * {1 << (_HLL_SUFFIX_BITS + 1)} AS s_int
+  FROM per
+)
+SELECT est.event_type,
+       CAST(registers_used AS BIGINT) AS registers_used,
+       CAST(n_exact AS BIGINT) AS n_exact,
+       CAST(FLOOR((CASE WHEN {_HLL_ALPHA * HLL_M * HLL_M * float(1 << (_HLL_SUFFIX_BITS + 1))!r} / CAST(s_int AS DOUBLE) <= {2.5 * HLL_M!r}
+                         AND {HLL_M} - registers_used > 0
+                   THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / CAST({HLL_M} - registers_used AS DOUBLE))
+                   ELSE {_HLL_ALPHA * HLL_M * HLL_M * float(1 << (_HLL_SUFFIX_BITS + 1))!r} / CAST(s_int AS DOUBLE)
+                   END) * 1000000.0) AS DOUBLE) / 1000000.0 AS hll_estimate
+FROM est JOIN exact ON est.event_type = exact.event_type
+"""
+
+QUERIES["sketch_hll_distinct"] = sketch_hll_distinct
+ORACLE["sketch_hll_distinct"] = _SQL_HLL
+
+
+# --- count-min sketch heavy hitters -----------------------------------------
+#
+# Count-min sketch (Cormode & Muthukrishnan 2005) over the document token
+# stream: d=4 hash rows x w=512 counters, estimate = min over rows — the
+# frequency sketch behind heavy-hitter detection in streaming systems
+# (ClickHouse ``topK`` solves the same problem with SpaceSaving; CMS is the
+# shape that merges by cell-wise ADDITION, which is what a map-side partial
+# needs). Salted md5 per row keeps both engines on identical cells.
+#
+# The sketch NEVER undercounts (every true count <= its estimate), so
+# thresholding the estimates can only add false positives, never drop a true
+# heavy hitter — the report includes the exact count next to the estimate so
+# the driver row also pins the one-sided error property on real data.
+#
+# Scale shape: the counter table is d*w = 2048 cells TOTAL regardless of
+# corpus size — one token-count aggregation (vocab-sized, the same shuffle
+# tfidf pays), a vocab x d expansion, a 2048-row cell agg that BROADCASTS
+# back for the lookup join. The only corpus-sized stage is the initial
+# explode; everything downstream is sketch-sized.
+
+CMS_DEPTH = 4
+CMS_WIDTH = 512
+CMS_PHI = 0.005  # report terms whose estimated frequency >= 0.5% of tokens
+_CMS_HASH_DIGITS = 8
+
+
+def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_postgresql_clickhouse_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .persist()
+    )
+    total = vocab.agg(F.sum("cnt")).first()[0]
+    threshold = int(total * CMS_PHI)
+    cells = vocab.select(
+        "term",
+        "cnt",
+        F.explode(F.array(*[F.lit(i) for i in range(CMS_DEPTH)])).alias("r"),
+    ).withColumn(
+        "c",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("r").cast("string"), F.lit(":"), F.col("term"))),
+                1,
+                _CMS_HASH_DIGITS,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % CMS_WIDTH,
+    )
+    counters = cells.groupBy("r", "c").agg(F.sum("cnt").alias("cell"))
+    est = (
+        cells.join(F.broadcast(counters), ["r", "c"])
+        .groupBy("term")
+        .agg(F.min("cell").cast("long").alias("cms_count"), F.max("cnt").alias("exact_count"))
+    )
+    return est.filter(F.col("cms_count") >= threshold).select(
+        "term", "cms_count", "exact_count"
+    )
+
+
+_SQL_CMS = f"""
+WITH vocab AS (
+  SELECT term, COUNT(*) AS cnt FROM (
+    SELECT unnest(list_filter(str_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), t -> t <> '')) AS term
+    FROM documents
+  ) GROUP BY term
+),
+tot AS (SELECT SUM(cnt) AS total FROM vocab),
+cells AS (
+  SELECT term, cnt, r,
+         {_sql_hex_int("CAST(r AS VARCHAR) || ':' || term", _CMS_HASH_DIGITS)} % {CMS_WIDTH} AS c
+  FROM vocab, unnest([{', '.join(str(i) for i in range(CMS_DEPTH))}]) AS u(r)
+),
+counters AS (SELECT r, c, SUM(cnt) AS cell FROM cells GROUP BY r, c),
+est AS (
+  SELECT cells.term,
+         MIN(counters.cell) AS cms_count,
+         MAX(cells.cnt) AS exact_count
+  FROM cells JOIN counters ON cells.r = counters.r AND cells.c = counters.c
+  GROUP BY cells.term
+)
+SELECT term, CAST(cms_count AS BIGINT) AS cms_count, CAST(exact_count AS BIGINT) AS exact_count
+FROM est, tot
+WHERE cms_count >= CAST(FLOOR(tot.total * {CMS_PHI!r}) AS BIGINT)
+"""
+
+QUERIES["sketch_cms_heavy_hitters"] = sketch_cms_heavy_hitters
+ORACLE["sketch_cms_heavy_hitters"] = _SQL_CMS

@@ -130,3 +130,66 @@ def test_ewma_fixture_bounds(spark, sf_dir):
     # of the user's values, here conservatively [0, max_cents_overall]
     assert out.filter(F.col("ewma_cents") < 0).count() == 0
     assert out.filter(F.col("n_events") < 1).count() == 0
+
+
+def test_hll_estimate_within_theoretical_error(spark, sf_dir):
+    from cdc_postgresql_clickhouse_spark.queries.sketches import HLL_M, sketch_hll_distinct
+
+    rows = sketch_hll_distinct(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.registers_used <= HLL_M
+        # HLL std error ~ 1.04/sqrt(m) = 13% at m=64; linear counting better
+        rel = abs(r.hll_estimate - r.n_exact) / max(r.n_exact, 1)
+        assert rel < 0.52, (r.event_type, r.n_exact, r.hll_estimate)
+
+
+def test_hll_linear_counting_small_range(spark):
+    # 3 distinct ids -> z = 64 - used > 0 and E_raw tiny: the linear-counting
+    # branch must engage and land near 3
+    from pyspark.sql import functions as F
+
+    from cdc_postgresql_clickhouse_spark.queries.sketches import (
+        _HEX_DIGITS,
+        _HLL_SUFFIX_BITS,
+        _rho_case,
+    )
+
+    df = spark.createDataFrame([(i % 3,) for i in range(300)], "user_id long")
+    split = df.select(
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, _HEX_DIGITS), 16, 10)
+        .cast("long").alias("v")
+    ).select(
+        F.shiftright(F.col("v"), _HLL_SUFFIX_BITS).alias("reg"),
+        (F.col("v") % F.lit(1 << _HLL_SUFFIX_BITS)).alias("w"),
+    )
+    used = split.withColumn("rho", F.expr(_rho_case("w"))).groupBy("reg").count().count()
+    assert used == 3  # 3 distinct hashes -> at most (here exactly) 3 registers
+
+
+def test_cms_one_sided_error_and_no_false_negatives(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from cdc_postgresql_clickhouse_spark.queries.sketches import (
+        CMS_PHI,
+        sketch_cms_heavy_hitters,
+    )
+    from cdc_postgresql_clickhouse_spark.functions.text import tokens
+    from cdc_postgresql_clickhouse_spark.sources.registry import load_table
+
+    out = sketch_cms_heavy_hitters(spark, sf_dir).collect()
+    assert out
+    # CMS never undercounts
+    for r in out:
+        assert r.cms_count >= r.exact_count, r
+    # every TRUE heavy hitter is present (one-sided threshold error)
+    vocab = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("term").count()
+    )
+    total = vocab.agg(F.sum("count")).first()[0]
+    threshold = int(total * CMS_PHI)
+    true_heavy = {r.term for r in vocab.filter(F.col("count") >= threshold).collect()}
+    reported = {r.term for r in out}
+    assert true_heavy <= reported, true_heavy - reported
