@@ -86,10 +86,10 @@ _WINDOW_FRONT = [
     "sketch_hll_distinct", "sketch_cms_heavy_hitters",
     "layout_zorder_clustering", "bpe_train_merges", "bpe_token_count",
     "graph_pagerank_types", "text_bm25_search", "ann_pq_topk",
-    "multimodal_audio_frames",
+    "multimodal_audio_frames", "retrieval_hybrid_rrf",
     # rule 3: refill to 50 with r3-green families (oldest proof first)
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
-    "ann_bruteforce_topk", "ann_lsh_buckets", "ann_lsh_buckets_sized",
+    "ann_bruteforce_topk", "ann_lsh_buckets",
 ]
 
 

@@ -133,3 +133,142 @@ WHERE rank <= {BM25_TOPK}
 
 QUERIES = {"text_bm25_search": text_bm25_search}
 ORACLE = {"text_bm25_search": _SQL_BM25}
+
+
+# --- hybrid retrieval: reciprocal rank fusion -------------------------------
+#
+# Dense + sparse hybrid retrieval (Cormack et al. 2009 RRF): fuse the exact
+# cosine ANN ranking (queries/similarity.ann_bruteforce_topk — the dense
+# leg) with an idf-weighted lexical overlap ranking over the SAME query
+# documents (doc_id <-> vec_id is the fixture's crossmodal identity, the
+# same linkage crossmodal_doc_neighbors uses). RRF score = sum over systems
+# of 1/(K + rank), K=60 — computed as floor(1e6/(K+rank)) integer
+# micro-units so the fusion sum is engine-exact; a doc absent from one
+# system's top-k contributes 0 from that system (the standard RRF
+# convention).
+#
+# Scale shape: each leg is an existing bounded plan (broadcast query side;
+# per-query top-k windows over candidates only); fusion touches 2*k rows
+# per query — a full-outer join on (query, doc) of two tiny ranked lists.
+# This is the retrieval stack of a RAG pipeline as ONE driver-checked row:
+# swap the dense leg for ann_ivf_topk / ann_pq_topk at scale, same fusion.
+
+RRF_K = 60
+RRF_TOPK = 5
+
+
+def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_postgresql_clickhouse_spark.queries.similarity import ann_bruteforce_topk
+    dense = ann_bruteforce_topk(spark, sf_dir).select(
+        "q_id", F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("d_rank")
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    terms = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("term")
+    ).persist()
+    df_t = terms.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    q_terms = terms.filter(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("q_id"), "term"
+    )
+    idf_micro = F.floor(
+        F.log(
+            F.lit(1.0)
+            + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        )
+        * F.lit(1000000.0)
+    ).cast("long")
+    matched = (
+        terms.join(F.broadcast(q_terms), "term")
+        .filter(F.col("doc_id") != F.col("q_id"))
+        .join(df_t, "term")
+    )
+    per_doc = (
+        matched.select("q_id", "doc_id", idf_micro.alias("im"))
+        .groupBy("q_id", "doc_id")
+        .agg(F.sum("im").cast("long").alias("lex_micro"))
+    )
+    ws = Window.partitionBy("q_id").orderBy(F.desc("lex_micro"), F.col("doc_id"))
+    sparse = (
+        per_doc.withColumn("s_rank", F.row_number().over(ws))
+        .filter(F.col("s_rank") <= RRF_TOPK)
+        .select("q_id", "doc_id", "s_rank")
+    )
+
+    fused = dense.join(sparse, ["q_id", "doc_id"], "full")
+    contrib = lambda r: F.when(
+        r.isNotNull(), F.floor(F.lit(1000000.0) / (F.lit(RRF_K) + r))
+    ).otherwise(F.lit(0))
+    scored = fused.select(
+        "q_id",
+        "doc_id",
+        (contrib(F.col("d_rank")) + contrib(F.col("s_rank"))).cast("long").alias("rrf_micro"),
+        F.coalesce(F.col("d_rank"), F.lit(0)).cast("long").alias("dense_rank"),
+        F.coalesce(F.col("s_rank").cast("long"), F.lit(0)).alias("sparse_rank"),
+    )
+    wf = Window.partitionBy("q_id").orderBy(F.desc("rrf_micro"), F.col("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= RRF_TOPK)
+        .select(
+            "q_id", "doc_id", "rrf_micro", "dense_rank", "sparse_rank",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def _sql_rrf() -> str:
+    from cdc_postgresql_clickhouse_spark.queries.similarity import ORACLE as _SIM
+
+    dense_sql = _SIM["ann_bruteforce_topk"].strip()
+    return f"""
+WITH dense AS (
+  SELECT q_id, neighbor_id AS doc_id, rank AS d_rank FROM ({dense_sql})
+),
+terms AS (
+  SELECT doc_id, unnest(list_distinct({_SQL_TOKENS})) AS term FROM documents
+),
+nv AS (SELECT COUNT(*) AS n FROM documents),
+dft AS (SELECT term, COUNT(*) AS df FROM terms GROUP BY term),
+qt AS (SELECT doc_id AS q_id, term FROM terms WHERE doc_id % 100 = 0),
+matched AS (
+  SELECT qt.q_id, t.doc_id, d.df
+  FROM terms t
+  JOIN qt ON qt.term = t.term AND t.doc_id <> qt.q_id
+  JOIN dft d ON d.term = t.term
+),
+per_doc AS (
+  SELECT q_id, doc_id,
+         SUM(CAST(FLOOR(ln(1.0 + (CAST(nv.n AS DOUBLE) - df + 0.5) / (df + 0.5)) * 1000000.0) AS BIGINT)) AS lex_micro
+  FROM matched CROSS JOIN nv
+  GROUP BY q_id, doc_id
+),
+sparse AS (
+  SELECT q_id, doc_id, s_rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY lex_micro DESC, doc_id) AS s_rank
+    FROM per_doc
+  ) WHERE s_rank <= {RRF_TOPK}
+),
+fused AS (
+  SELECT COALESCE(d.q_id, s.q_id) AS q_id,
+         COALESCE(d.doc_id, s.doc_id) AS doc_id,
+         (COALESCE(CAST(FLOOR(1000000.0 / ({RRF_K} + d.d_rank)) AS BIGINT), 0)
+          + COALESCE(CAST(FLOOR(1000000.0 / ({RRF_K} + s.s_rank)) AS BIGINT), 0)) AS rrf_micro,
+         COALESCE(d.d_rank, 0) AS dense_rank,
+         COALESCE(s.s_rank, 0) AS sparse_rank
+  FROM dense d FULL JOIN sparse s ON d.q_id = s.q_id AND d.doc_id = s.doc_id
+)
+SELECT q_id, doc_id,
+       CAST(rrf_micro AS BIGINT) AS rrf_micro,
+       CAST(dense_rank AS BIGINT) AS dense_rank,
+       CAST(sparse_rank AS BIGINT) AS sparse_rank,
+       CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY rrf_micro DESC, doc_id) AS rank
+      FROM fused)
+WHERE rank <= {RRF_TOPK}
+"""
+
+
+QUERIES["retrieval_hybrid_rrf"] = retrieval_hybrid_rrf
+ORACLE["retrieval_hybrid_rrf"] = _sql_rrf()
