@@ -23,6 +23,7 @@ from cdc_postgresql_clickhouse_spark.queries import (
     corpus,
     debezium_types,
     dedup,
+    dsir,
     events,
     extras,
     funnel,
@@ -49,7 +50,7 @@ from cdc_postgresql_clickhouse_spark.queries import (
 
 _MODULES = (
     cdc, streaming_queries, winnow, chunking, semantic, text_ext, extras,
-    spans, manifest, sketches, zorder, bpe, graph, search,
+    spans, manifest, sketches, zorder, bpe, graph, search, dsir,
     dedup, similarity, cluster, multimodal, text, quality, training, corpus,
     skew, debezium_types, funnel, events, tpch, tpch_ext, tpch_more,
 )
@@ -86,10 +87,10 @@ _WINDOW_FRONT = [
     "sketch_hll_distinct", "sketch_cms_heavy_hitters",
     "layout_zorder_clustering", "bpe_train_merges", "bpe_token_count",
     "graph_pagerank_types", "text_bm25_search", "ann_pq_topk",
-    "multimodal_audio_frames", "retrieval_hybrid_rrf",
+    "multimodal_audio_frames", "retrieval_hybrid_rrf", "corpus_dsir_weights",
     # rule 3: refill to 50 with r3-green families (oldest proof first)
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
-    "ann_bruteforce_topk", "ann_lsh_buckets",
+    "ann_bruteforce_topk",
 ]
 
 
