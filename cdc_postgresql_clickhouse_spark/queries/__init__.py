@@ -76,7 +76,7 @@ _WINDOW_FRONT = [
     "streaming_incremental_dedup", "streaming_minhash_neardup",
     "streaming_tumbling_equiv", "streaming_late_data_drop",
     "streaming_session_equiv", "streaming_ivf_ingest_equiv",
-    "streaming_cdc_pipeline_equiv",
+    "streaming_cdc_pipeline_equiv", "streaming_postings_ingest_equiv",
     # rule 2: round-3 additions (9) + round-4 (the rest)
     "text_winnowing_fingerprints", "doc_chunking", "chunk_dedup_content_defined",
     "embedding_semantic_cluster", "text_langid_chargram", "text_pii_redact",
@@ -90,7 +90,6 @@ _WINDOW_FRONT = [
     "multimodal_audio_frames", "retrieval_hybrid_rrf", "corpus_dsir_weights",
     # rule 3: refill to 50 with r3-green families (oldest proof first)
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
-    "ann_bruteforce_topk",
 ]
 
 

@@ -39,17 +39,27 @@ SEARCH_QUERIES: dict[str, list[str]] = {
 }
 
 
-def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    postings = (
+def build_postings(docs: DataFrame) -> DataFrame:
+    """The (doc_id, term, tf) inverted-index rows for a document set — the
+    unit the streaming ingest appends per micro-batch and the batch query
+    builds in one pass (each doc's postings are a pure function of that doc,
+    which is what makes the index incrementally maintainable)."""
+    return (
         docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-        .persist()
     )
+
+
+def bm25_rank(postings: DataFrame, n_docs: int) -> DataFrame:
+    """Okapi BM25 top-k over an already-built postings table — shared by the
+    batch query and the incrementally-maintained index
+    (``streaming/postings.py``), so 'the streamed index ranks identically'
+    is a statement about the INDEX, not about two scorers."""
+    postings = postings.persist()
     dl = postings.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
-    n_docs = docs.count()
     avgdl = dl.agg(F.sum("dl")).first()[0] / float(n_docs)
+    spark = postings.sparkSession
     df_t = postings.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
     q = spark.createDataFrame(
         [(qn, t) for qn, terms in SEARCH_QUERIES.items() for t in terms],
@@ -80,6 +90,11 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= BM25_TOPK)
         .select("query", "doc_id", "score_micro", "terms_matched", F.col("rank").cast("long").alias("rank"))
     )
+
+
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_rank(build_postings(docs), docs.count())
 
 
 _SQL_TOKENS = (

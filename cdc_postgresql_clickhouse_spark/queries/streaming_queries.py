@@ -280,6 +280,37 @@ def streaming_ivf_ingest_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def streaming_postings_ingest_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-index-as-data-arrives: documents replayed in 2+ micro-batches
+    through the incremental posting-list ingest (``streaming/postings.py``:
+    per-batch map-side postings, append-only term-sharded table), then
+    SCORED with the exact same BM25 code as the batch query
+    (``queries.search.bm25_rank`` — df/dl/avgdl are re-aggregations of the
+    index itself). The oracle is literally the batch ``text_bm25_search``
+    SQL — equality IS the statement that maintaining the inverted index
+    incrementally yields the index the batch build would have."""
+    from cdc_postgresql_clickhouse_spark.queries.search import bm25_rank
+    from cdc_postgresql_clickhouse_spark.streaming.postings import (
+        read_postings,
+        run_incremental_postings,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_docs = docs.count()
+    tmp = tempfile.mkdtemp(prefix="stream_postings_")
+    try:
+        src = os.path.join(tmp, "src")
+        idx = os.path.join(tmp, "postings")
+        docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(src)
+        docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+        run_incremental_postings(
+            spark, src, idx, os.path.join(tmp, "ckpt"), max_files_per_trigger=1
+        )
+        return _materialized(bm25_rank(read_postings(spark, idx), n_docs))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 LATE_MOD = 13
 LATE_RESIDUE = 3
 
@@ -439,6 +470,7 @@ QUERIES = {
     "streaming_late_data_drop": streaming_late_data_drop,
     "streaming_session_equiv": streaming_session_equiv,
     "streaming_ivf_ingest_equiv": streaming_ivf_ingest_equiv,
+    "streaming_postings_ingest_equiv": streaming_postings_ingest_equiv,
     "streaming_cdc_pipeline_equiv": streaming_cdc_pipeline_equiv,
 }
 
@@ -535,3 +567,9 @@ GROUP BY user_id, session_idx
 from cdc_postgresql_clickhouse_spark.queries.similarity import ORACLE as _SIM_ORACLE  # noqa: E402
 
 ORACLE["streaming_ivf_ingest_equiv"] = _SIM_ORACLE["ann_ivf_topk"]
+
+# the incrementally-built posting table must rank identically to the
+# batch-built one: literally the batch BM25 oracle
+from cdc_postgresql_clickhouse_spark.queries.search import ORACLE as _SEARCH_ORACLE  # noqa: E402
+
+ORACLE["streaming_postings_ingest_equiv"] = _SEARCH_ORACLE["text_bm25_search"]

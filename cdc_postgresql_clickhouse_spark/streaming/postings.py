@@ -1,0 +1,93 @@
+"""Streaming inverted-index maintenance: BM25/TF-IDF posting lists grown
+incrementally as documents ARRIVE — the sparse-retrieval twin of the
+streaming IVF ingest (``streaming/ann.py``): a search system does not
+rebuild its index per batch, it appends each batch's postings.
+
+Design (storage-not-state-store, same posture as ``streaming/dedup.py``):
+
+- a document's postings (doc_id, term, tf) are a PURE function of that
+  document (``queries.search.build_postings``), so each micro-batch's rows
+  are computed map-side within the batch and APPENDED — no merge contest,
+  no read-modify-write, batches never contend, and an at-least-once replay
+  just re-appends (readers ``distinct()`` the table; (doc_id, term, tf) is
+  idempotent under replay because tf is recomputed from the same doc).
+- the table is partitioned by a term hash shard (``TERM_SHARDS`` buckets) —
+  the term-sharded layout a distributed search index uses: query-time
+  scoring touches only the shards holding the query's terms.
+- the corpus-level statistics BM25 needs (df, dl, avgdl, N) are
+  re-aggregations of the postings table itself, so the incrementally-built
+  index is scored with EXACTLY the batch scorer (``queries.search.bm25_rank``).
+
+Per-batch cost: one explode + one in-batch groupBy + one append. At 100 TB
+the posting table is the same term-sharded index the batch build would
+produce once; here it accretes per batch.
+
+Reference tie-in: S8 append-sink pattern (``clickhouse_schemas.sql:36-37``)
+extended to the retrieval-index domain; no analogue in the reference.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_postgresql_clickhouse_spark.queries.search import build_postings
+
+TERM_SHARDS = 32
+_SHARD_HASH_DIGITS = 4
+
+
+def term_shard(term) -> F.Column:
+    """Deterministic term → shard id (md5 nibble decode, NOT engine hash()
+    — the shard id must be stable across Spark versions for the layout to
+    be a durable on-disk contract)."""
+    return (
+        F.conv(F.substring(F.md5(term), 1, _SHARD_HASH_DIGITS), 16, 10).cast("long")
+        % TERM_SHARDS
+    )
+
+
+def ingest_batch_postings(batch: DataFrame, postings_path: str) -> None:
+    """Append one micro-batch of (doc_id, text) rows to the term-sharded
+    posting table."""
+    p = build_postings(batch).withColumn("shard", term_shard(F.col("term")))
+    p.write.mode("append").partitionBy("shard").parquet(postings_path)
+
+
+def read_postings(spark: SparkSession, postings_path: str) -> DataFrame:
+    """The streamed index, deduplicated under the at-least-once contract."""
+    return (
+        spark.read.parquet(postings_path)
+        .select("doc_id", "term", "tf")
+        .distinct()
+    )
+
+
+def run_incremental_postings(
+    spark: SparkSession,
+    src_dir: str,
+    postings_path: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Drain ``src_dir`` (parquet files of doc_id, text) through the
+    incremental posting-list ingest with an availableNow trigger."""
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_dir)
+    )
+
+    def handle(batch: DataFrame, _batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        ingest_batch_postings(batch, postings_path)
+
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
