@@ -93,6 +93,10 @@ HEADLINE = [
     "corpus_training_manifest",
     "embedding_quantize_int8",
     "chunk_dedup_content_defined",
+    "sketch_hll_distinct",
+    "sketch_cms_heavy_hitters",
+    "retrieval_hybrid_rrf",
+    "corpus_dsir_weights",
 ]
 
 

@@ -285,3 +285,110 @@ SELECT doc_id,
        md5(regexp_replace(s, ' +', ' ', 'g')) AS cleaned_md5
 FROM stripped
 """
+
+
+# --- CCNet-style perplexity bucketing ---------------------------------------
+#
+# CCNet (Wenzek et al. 2020) splits each language's corpus into head /
+# middle / tail terciles of LM perplexity and trains on the head — the
+# classic web-corpus quality triage. The LM here is the corpus's own unigram
+# model (the same formulation as queries/text.py::text_unigram_logprob, with
+# the same integer micro-unit device: per-token -ln p floored ONCE in the
+# vocab-sized frequency table, per-doc scores exact integer sums). Tercile
+# assignment is pure integer arithmetic on per-language ranks
+# (rank*3 <= n, <= 2n), so the bucket boundary cannot drift between
+# engines.
+#
+# Scale shape: one corpus explode into (doc, term) counts (the shared
+# barrier), a vocab-sized frequency table joined back, and ONE per-language
+# window for the ranks. At 100 TB the window shuffles (lang, score) pairs —
+# one row per doc, the minimum any global tercile needs; if even that is
+# too hot, swap the exact rank for approx percentile boundaries (no longer
+# oracle-exact, which is why the registered form is the exact one).
+
+def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    from cdc_postgresql_clickhouse_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    postings = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    freq = postings.groupBy("term").agg(F.sum("cnt").cast("long").alias("corpus_cnt"))
+    total = freq.agg(F.sum("corpus_cnt")).first()[0]
+    nlp_micro = F.floor(
+        -F.log(F.col("corpus_cnt").cast("double") / F.lit(float(total))) * F.lit(1000000.0)
+    ).cast("long")
+    per_doc = (
+        postings.join(freq, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_tok"),
+            F.sum(F.col("cnt") * nlp_micro).cast("long").alias("sum_u"),
+        )
+        .select(
+            "doc_id",
+            "n_tok",
+            F.floor(F.col("sum_u") / F.col("n_tok")).cast("long").alias("nll_micro_per_tok"),
+        )
+    )
+    with_lang = per_doc.join(docs.select("doc_id", "lang"), "doc_id")
+    w = Window.partitionBy("lang").orderBy("nll_micro_per_tok", "doc_id")
+    wc = Window.partitionBy("lang")
+    ranked = with_lang.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n_lang", F.count(F.lit(1)).over(wc)
+    )
+    bucket = (
+        F.when(F.col("rn") * 3 <= F.col("n_lang"), F.lit("head"))
+        .when(F.col("rn") * 3 <= F.col("n_lang") * 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return ranked.select(
+        "doc_id", "lang", "n_tok", "nll_micro_per_tok", bucket.alias("ppl_bucket")
+    )
+
+
+_CCNET_TOKS = (
+    "list_filter(str_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), "
+    "t -> t <> '')"
+)
+
+ORACLE["text_ccnet_buckets"] = f"""
+WITH postings AS (
+  SELECT doc_id, term, COUNT(*) AS cnt FROM (
+    SELECT doc_id, unnest({_CCNET_TOKS}) AS term FROM documents
+  ) GROUP BY doc_id, term
+),
+freq AS (SELECT term, SUM(cnt) AS corpus_cnt FROM postings GROUP BY term),
+tot AS (SELECT SUM(corpus_cnt) AS total FROM freq),
+scored AS (
+  SELECT p.doc_id,
+         SUM(p.cnt) AS n_tok,
+         SUM(p.cnt * CAST(FLOOR(-ln(CAST(f.corpus_cnt AS DOUBLE) / CAST(tot.total AS DOUBLE)) * 1000000.0) AS BIGINT)) AS sum_u
+  FROM postings p JOIN freq f ON p.term = f.term CROSS JOIN tot
+  GROUP BY p.doc_id
+),
+per_doc AS (
+  SELECT doc_id, n_tok, sum_u // n_tok AS nll_micro_per_tok FROM scored
+),
+ranked AS (
+  SELECT d.doc_id, d.lang, p.n_tok, p.nll_micro_per_tok,
+         row_number() OVER (PARTITION BY d.lang ORDER BY p.nll_micro_per_tok, p.doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY d.lang) AS n_lang
+  FROM per_doc p JOIN documents d ON d.doc_id = p.doc_id
+)
+SELECT doc_id, lang,
+       CAST(n_tok AS BIGINT) AS n_tok,
+       CAST(nll_micro_per_tok AS BIGINT) AS nll_micro_per_tok,
+       CASE WHEN rn * 3 <= n_lang THEN 'head'
+            WHEN rn * 3 <= n_lang * 2 THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM ranked
+"""
+
+QUERIES["text_ccnet_buckets"] = text_ccnet_buckets

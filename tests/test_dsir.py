@@ -45,3 +45,29 @@ def test_dsir_gram_count_is_unigrams_plus_bigrams(spark, sf_dir):
     for r in got:
         expected = r.nt + max(r.nt - 1, 0)
         assert r.n_grams == expected, r
+
+
+def test_ccnet_terciles_are_balanced_and_ordered(spark, sf_dir):
+    from cdc_postgresql_clickhouse_spark.queries.text_ext import text_ccnet_buckets
+
+    rows = text_ccnet_buckets(spark, sf_dir).collect()
+    assert rows
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        n = len(rs)
+        sizes = {"head": 0, "middle": 0, "tail": 0}
+        for r in rs:
+            sizes[r.ppl_bucket] += 1
+        # integer tercile split: head = floor(n/3), head+middle = floor(2n/3)
+        assert sizes["head"] == n // 3, (lang, sizes, n)
+        assert sizes["head"] + sizes["middle"] == (2 * n) // 3, (lang, sizes, n)
+        # ordering: every head score <= every middle score <= every tail score
+        def scores(b):
+            return [r.nll_micro_per_tok for r in rs if r.ppl_bucket == b]
+        h, m, t = scores("head"), scores("middle"), scores("tail")
+        if h and m:
+            assert max(h) <= min(m), lang
+        if m and t:
+            assert max(m) <= min(t), lang
