@@ -88,9 +88,9 @@ _WINDOW_FRONT = [
     "layout_zorder_clustering", "bpe_train_merges", "bpe_token_count",
     "graph_pagerank_types", "text_bm25_search", "ann_pq_topk",
     "multimodal_audio_frames", "retrieval_hybrid_rrf", "corpus_dsir_weights",
-    "text_ccnet_buckets",
+    "text_ccnet_buckets", "graph_sssp_types",
     # rule 3: refill to 50 with r3-green families (oldest proof first)
-    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_exact", "dedup_minhash_lsh",
 ]
 
 

@@ -48,16 +48,20 @@ _HASH_DIGITS = 8
 
 
 def _grams(toks):
-    """Unigrams + adjacent bigrams (tok_i + '_' + tok_{i+1})."""
-    bigrams = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat(
-                F.element_at(toks, i), F.lit("_"), F.element_at(toks, i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    """Unigrams + adjacent bigrams (tok_i + '_' + tok_{i+1}).
+
+    Formulated as zip_with over two slices rather than transform over an
+    index sequence: ``element_at(toks, i)`` inside an index lambda
+    re-evaluates the whole tokenization expression per index (lambda bodies
+    sit outside codegen subexpression elimination), turning the gram build
+    O(n_tokens^2) in regexp work — measured 10 s vs 1 s at sf0.1. The
+    zipped form references ``toks`` a constant number of times."""
+    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n1),
+        F.slice(toks, 2, n1),
+        lambda x, y: F.concat(x, F.lit("_"), y),
+    )
     return F.concat(toks, bigrams)
 
 

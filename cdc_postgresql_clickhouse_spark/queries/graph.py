@@ -114,3 +114,103 @@ SELECT t AS event_type, r AS rank_nano FROM r{PR_ITERS}
 
 QUERIES = {"graph_pagerank_types": graph_pagerank_types}
 ORACLE = {"graph_pagerank_types": _SQL_PAGERANK}
+
+
+# --- single-source shortest paths (Bellman-Ford rounds) ---------------------
+#
+# SSSP over the same transition graph — the MIN-PLUS semiring twin of
+# PageRank's sum-times rounds (the two canonical Pregel shapes). Edge
+# length = 1e6 // weight (popular transitions are "short"), so every
+# distance is an exact integer and the per-node combine is MIN — both
+# order-independent, nothing to truncate. Unreached nodes report -1.
+#
+# Distance state holds ONLY reached nodes (no +infinity sentinel whose
+# arithmetic could overflow, no NULL-propagation semantics to align between
+# engines): each round is candidates = (previous distances) UNION ALL
+# (previous ⋈ edges relaxations), then one MIN per node. SSSP_ITERS=6 fixed
+# rounds — the oracle unrolls the same six, so the comparison is exact even
+# if a pathological graph hasn't converged (the fixture's type graph has
+# diameter well under 6).
+#
+# Scale shape: per round one keyed join (distances → out-edges) + one
+# keyed MIN — shuffle bounded by the edge list, the same budget as a
+# PageRank round; the only driver scalars are the source node id (min
+# label, a metadata-ish aggregate) shared with the oracle by construction.
+
+SSSP_ITERS = 6
+SSSP_SCALE = 1_000_000
+
+
+def graph_sssp_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "event_type", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.lag("event_type").over(w).alias("src"), F.col("event_type").alias("dst")
+    ).filter(F.col("src").isNotNull())
+    edges = (
+        pairs.groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .select("src", "dst", F.expr(f"{SSSP_SCALE} div w").cast("long").alias("wm"))
+        .persist()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("t"))
+        .unionByName(edges.select(F.col("dst").alias("t")))
+        .distinct()
+    )
+    source = nodes.agg(F.min("t")).first()[0]
+    dist = nodes.filter(F.col("t") == source).select("t", F.lit(0).cast("long").alias("d"))
+    for _ in range(SSSP_ITERS):
+        relaxed = edges.join(dist, edges.src == dist.t).select(
+            F.col("dst").alias("t"), (F.col("d") + F.col("wm")).alias("d")
+        )
+        # each round references dist TWICE (carry-over + relaxation), so
+        # without a lineage cut the plan doubles per round (2^ITERS blowup);
+        # the state is at most |nodes| rows, so the cut is ~free
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("t")
+            .agg(F.min("d").cast("long").alias("d"))
+            .localCheckpoint(eager=True)
+        )
+    return nodes.join(dist, "t", "left").select(
+        F.col("t").alias("event_type"),
+        F.coalesce(F.col("d"), F.lit(-1)).cast("long").alias("dist_micro"),
+    )
+
+
+def _sql_sssp_round(i: int) -> str:
+    return f"""
+cand{i} AS (
+  SELECT e.dst AS t, d.d + e.wm AS d FROM e2 e JOIN d{i} d ON d.t = e.src
+  UNION ALL SELECT t, d FROM d{i}
+),
+d{i + 1} AS (SELECT t, MIN(d) AS d FROM cand{i} GROUP BY t)"""
+
+
+_SQL_SSSP = (
+    f"""
+WITH seq AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
+         event_type AS dst
+  FROM events
+),
+edges AS (
+  SELECT src, dst, COUNT(*) AS w FROM seq WHERE src IS NOT NULL GROUP BY src, dst
+),
+e2 AS (SELECT src, dst, {SSSP_SCALE} // w AS wm FROM edges),
+nodes AS (
+  SELECT DISTINCT t FROM (SELECT src AS t FROM edges UNION ALL SELECT dst FROM edges)
+),
+d0 AS (
+  SELECT t, CAST(0 AS BIGINT) AS d FROM nodes WHERE t = (SELECT MIN(t) FROM nodes)
+),"""
+    + ",".join(_sql_sssp_round(i) for i in range(SSSP_ITERS))
+    + f"""
+SELECT n.t AS event_type, CAST(COALESCE(d.d, -1) AS BIGINT) AS dist_micro
+FROM nodes n LEFT JOIN d{SSSP_ITERS} d ON d.t = n.t
+"""
+)
+
+QUERIES["graph_sssp_types"] = graph_sssp_types
+ORACLE["graph_sssp_types"] = _SQL_SSSP
