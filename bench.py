@@ -97,6 +97,8 @@ HEADLINE = [
     "sketch_cms_heavy_hitters",
     "retrieval_hybrid_rrf",
     "corpus_dsir_weights",
+    "text_ccnet_buckets",
+    "graph_sssp_types",
 ]
 
 

@@ -71,7 +71,7 @@ _WINDOW_FRONT = [
     # rule 1: cdc (7)
     "cdc_current_state", "cdc_soft_delete_state", "cdc_envelope_transform",
     "cdc_epoch_micros_roundtrip", "cdc_count_final", "cdc_idempotent_replay",
-    "cdc_scd2_history",
+    "cdc_scd2_history", "cdc_reconciliation_report",
     # rule 2: never driver-checked — streaming e2e (7)
     "streaming_incremental_dedup", "streaming_minhash_neardup",
     "streaming_tumbling_equiv", "streaming_late_data_drop",
@@ -90,7 +90,7 @@ _WINDOW_FRONT = [
     "multimodal_audio_frames", "retrieval_hybrid_rrf", "corpus_dsir_weights",
     "text_ccnet_buckets", "graph_sssp_types",
     # rule 3: refill to 50 with r3-green families (oldest proof first)
-    "dedup_exact", "dedup_minhash_lsh",
+    "dedup_exact",
 ]
 
 

@@ -217,3 +217,77 @@ SELECT user_id, event_id, event_type, value,
 FROM d
 """,
 }
+
+
+# --- reconciliation report ---------------------------------------------------
+#
+# The reference's verification finale (README.md:309-329: "identical
+# entries + identical counts" between Postgres and ClickHouse) as a
+# FIRST-CLASS operator instead of a manual SQL session: two-sided
+# ``EXCEPT ALL`` between the source-of-truth state and a replica state,
+# reduced to a one-row report. The replica is derived with a DETERMINISTIC
+# simulated delivery gap (changes with event_id % RECON_DROP_MOD ==
+# RECON_DROP_RESIDUE never arrive), so the diff machinery is exercised on
+# real divergence — both engines must agree on exactly which keys diverge,
+# not just that none do. ``operators/state.py::consistency_check`` is the
+# boolean form of the same comparison used by the streaming tests.
+#
+# Scale shape: each EXCEPT ALL is one hash shuffle on the full row (the
+# same budget as the reference's GROUP-BY-all-columns reconciliation
+# query); the report is four scalar aggregates cross-joined — no row data
+# reaches the driver.
+
+RECON_DROP_MOD = 97
+RECON_DROP_RESIDUE = 13
+
+
+def cdc_reconciliation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    src = _latest(ev)
+    dst = _latest(
+        ev.filter(
+            ~(F.col("event_id") % RECON_DROP_MOD == RECON_DROP_RESIDUE)
+        )
+    )
+    src_rows = src.agg(F.count(F.lit(1)).cast("long").alias("src_rows"))
+    dst_rows = dst.agg(F.count(F.lit(1)).cast("long").alias("dst_rows"))
+    n_src_only = src.exceptAll(dst).agg(
+        F.count(F.lit(1)).cast("long").alias("n_src_only")
+    )
+    n_dst_only = dst.exceptAll(src).agg(
+        F.count(F.lit(1)).cast("long").alias("n_dst_only")
+    )
+    return (
+        src_rows.crossJoin(dst_rows)
+        .crossJoin(n_src_only)
+        .crossJoin(n_dst_only)
+        .select(
+            "src_rows",
+            "dst_rows",
+            "n_src_only",
+            "n_dst_only",
+            ((F.col("n_src_only") == 0) & (F.col("n_dst_only") == 0)).alias("consistent"),
+        )
+    )
+
+
+_RECON_DST_SQL = f"""
+SELECT user_id, event_id, event_type, value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events WHERE NOT (event_id % {RECON_DROP_MOD} = {RECON_DROP_RESIDUE}))
+WHERE rn = 1
+"""
+
+QUERIES["cdc_reconciliation_report"] = cdc_reconciliation_report
+ORACLE["cdc_reconciliation_report"] = f"""
+WITH src AS (SELECT user_id, event_id, event_type, value FROM ({_LATEST_SQL})),
+dst AS ({_RECON_DST_SQL}),
+so AS (SELECT COUNT(*) AS c FROM (SELECT * FROM src EXCEPT ALL SELECT * FROM dst)),
+do_ AS (SELECT COUNT(*) AS c FROM (SELECT * FROM dst EXCEPT ALL SELECT * FROM src))
+SELECT (SELECT COUNT(*) FROM src) AS src_rows,
+       (SELECT COUNT(*) FROM dst) AS dst_rows,
+       so.c AS n_src_only,
+       do_.c AS n_dst_only,
+       (so.c = 0 AND do_.c = 0) AS consistent
+FROM so CROSS JOIN do_
+"""

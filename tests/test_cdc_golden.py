@@ -111,3 +111,60 @@ def test_tie_break_delete_wins(spark):
     ]
     env = spark.createDataFrame(ev, schema=ENVELOPE_SCHEMA)
     assert _final_state(spark, env).count() == 0
+
+
+def test_reconciliation_report_matches_data_derived_expectation(spark, sf_dir):
+    """n_src_only must equal the number of keys whose arg-max change falls in
+    the simulated delivery gap (data-derived, so the test holds at any sf),
+    and consistency is exactly the zero-divergence predicate."""
+    from pyspark.sql import functions as F
+
+    from cdc_postgresql_clickhouse_spark.queries.cdc import (
+        RECON_DROP_MOD,
+        RECON_DROP_RESIDUE,
+        _latest,
+        cdc_reconciliation_report,
+    )
+    from cdc_postgresql_clickhouse_spark.sources.registry import load_table
+
+    r = cdc_reconciliation_report(spark, sf_dir).first()
+    ev = load_table(spark, sf_dir, "events")
+    dropped_latest = (
+        _latest(ev)
+        .filter(F.col("event_id") % RECON_DROP_MOD == RECON_DROP_RESIDUE)
+        .count()
+    )
+    assert r.n_src_only == dropped_latest
+    assert r.consistent == (r.n_src_only == 0 and r.n_dst_only == 0)
+    # self-comparison is consistent (the operator's no-divergence branch)
+    assert _latest(ev).exceptAll(_latest(ev)).isEmpty()
+
+
+def test_reconciliation_detects_divergence_on_planted_gap(spark, tmp_path):
+    """Synthetic guarantee: a key whose LATEST change has
+    event_id % RECON_DROP_MOD == RECON_DROP_RESIDUE must surface as one
+    src-only row and one dst-only (resurrected older image) row."""
+    import datetime
+
+    from cdc_postgresql_clickhouse_spark.queries.cdc import (
+        RECON_DROP_MOD,
+        RECON_DROP_RESIDUE,
+        cdc_reconciliation_report,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        # user 1: update chain ending in a DROPPED change (id == residue)
+        (1, t0, 1, "created", 1.0, "{}"),
+        (RECON_DROP_RESIDUE, t0 + datetime.timedelta(minutes=1), 1, "updated", 2.0, "{}"),
+        # user 2: untouched chain
+        (2, t0, 2, "created", 3.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    r = cdc_reconciliation_report(spark, str(tmp_path)).first()
+    assert not r.consistent
+    assert r.n_src_only == 1 and r.n_dst_only == 1
+    assert r.src_rows == 2 and r.dst_rows == 2
