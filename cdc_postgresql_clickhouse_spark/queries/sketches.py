@@ -463,3 +463,134 @@ WHERE cms_count >= CAST(FLOOR(tot.total * {CMS_PHI!r}) AS BIGINT)
 
 QUERIES["sketch_cms_heavy_hitters"] = sketch_cms_heavy_hitters
 ORACLE["sketch_cms_heavy_hitters"] = _SQL_CMS
+
+
+# --- KMV sketch MERGE (union estimates) -------------------------------------
+#
+# Distinct-user estimates for PAIRS of event types by MERGING the per-type
+# KMV states — the property that makes a sketch a sketch: two KMV states
+# merge by keeping the k smallest of the union, and (k-smallest of union of
+# k-smallests) = (k-smallest of the union), so the merged estimator is
+# EXACTLY what a direct build over the combined stream would produce
+# (pinned by test). This is how a map-side partial combine / a
+# merge-across-shards rollup works; the pair grid stands in for any
+# "estimate the union of segments without rescanning them" query.
+#
+# Scale shape: the per-type k-states are k rows each (built once, the same
+# window as sketch_kmv_distinct); the pair expansion is |types|^2/2 × 2k
+# rows — sketch-sized, independent of corpus volume. The exact side (for
+# the error column) is one distinct + one count per pair over the id set.
+
+def sketch_kmv_union(spark: SparkSession, sf_dir: str, k: int = KMV_K) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hashed = ev.select(
+        "event_type",
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, _HEX_DIGITS).alias("h"),
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    kstate = (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("event_type", "h")
+    )
+    types = hashed.select("event_type").distinct()
+    pairs = (
+        types.select(F.col("event_type").alias("type_a"))
+        .join(types.select(F.col("event_type").alias("type_b")))
+        .filter(F.col("type_a") < F.col("type_b"))
+    )
+    members = pairs.select(
+        "type_a", "type_b", F.explode(F.array("type_a", "type_b")).alias("event_type")
+    )
+    merged = (
+        members.join(kstate, "event_type")
+        .select("type_a", "type_b", "h")
+        .distinct()
+    )
+    wm = Window.partitionBy("type_a", "type_b").orderBy("h")
+    ranked = merged.withColumn("rn", F.row_number().over(wm)).filter(F.col("rn") <= k)
+    per = ranked.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tracked"),
+        F.max(F.when(F.col("rn") == k, F.col("h"))).alias("hk"),
+    )
+    vk = F.conv(F.col("hk"), 16, 10).cast("long") / F.lit(_NORM)
+    est = F.when(F.col("n_tracked") < k, F.col("n_tracked").cast("double")).otherwise(
+        F.lit(float(k - 1)) / vk
+    )
+    exact = (
+        members.join(
+            ev.select("event_type", "user_id").distinct(), "event_type"
+        )
+        .select("type_a", "type_b", "user_id")
+        .distinct()
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    )
+    return per.join(exact, ["type_a", "type_b"]).select(
+        "type_a",
+        "type_b",
+        "n_tracked",
+        "n_exact",
+        (F.floor(est * F.lit(1000000.0)).cast("double") / F.lit(1000000.0)).alias(
+            "kmv_estimate"
+        ),
+    )
+
+
+_SQL_KMV_UNION = f"""
+WITH hashed AS (
+  SELECT DISTINCT event_type,
+         substring(md5(CAST(user_id AS VARCHAR)), 1, {_HEX_DIGITS}) AS h
+  FROM events
+),
+kstate AS (
+  SELECT event_type, h FROM (
+    SELECT event_type, h,
+           row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+    FROM hashed
+  ) WHERE rn <= {KMV_K}
+),
+types AS (SELECT DISTINCT event_type FROM hashed),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b
+  FROM types a JOIN types b ON a.event_type < b.event_type
+),
+members AS (
+  SELECT type_a, type_b, unnest([type_a, type_b]) AS event_type FROM pairs
+),
+merged AS (
+  SELECT DISTINCT m.type_a, m.type_b, k.h
+  FROM members m JOIN kstate k USING (event_type)
+),
+ranked AS (
+  SELECT type_a, type_b, h,
+         row_number() OVER (PARTITION BY type_a, type_b ORDER BY h) AS rn
+  FROM merged
+  QUALIFY rn <= {KMV_K}
+),
+per AS (
+  SELECT type_a, type_b,
+         COUNT(*) AS n_tracked,
+         MAX(CASE WHEN rn = {KMV_K} THEN h END) AS h
+  FROM ranked GROUP BY type_a, type_b
+),
+exact AS (
+  SELECT type_a, type_b, COUNT(*) AS n_exact FROM (
+    SELECT DISTINCT m.type_a, m.type_b, e.user_id
+    FROM members m JOIN (SELECT DISTINCT event_type, user_id FROM events) e
+      USING (event_type)
+  ) GROUP BY type_a, type_b
+)
+SELECT per.type_a, per.type_b,
+       CAST(n_tracked AS BIGINT) AS n_tracked,
+       CAST(n_exact AS BIGINT) AS n_exact,
+       CAST(FLOOR(
+         (CASE WHEN n_tracked < {KMV_K}
+               THEN CAST(n_tracked AS DOUBLE)
+               ELSE {float(KMV_K - 1)} / (CAST({_SQL_HEX12} AS BIGINT) / {_NORM!r})
+          END) * 1000000.0) AS DOUBLE) / 1000000.0 AS kmv_estimate
+FROM per JOIN exact ON per.type_a = exact.type_a AND per.type_b = exact.type_b
+"""
+
+QUERIES["sketch_kmv_union"] = sketch_kmv_union
+ORACLE["sketch_kmv_union"] = _SQL_KMV_UNION

@@ -193,3 +193,37 @@ def test_cms_one_sided_error_and_no_false_negatives(spark, sf_dir):
     true_heavy = {r.term for r in vocab.filter(F.col("count") >= threshold).collect()}
     reported = {r.term for r in out}
     assert true_heavy <= reported, true_heavy - reported
+
+
+def test_kmv_merge_equals_direct_build(spark, sf_dir):
+    """The mergeability theorem: k-smallest of (union of per-type k-smallest
+    sets) equals k-smallest of the union's full hash set, so the merged-state
+    estimate must EQUAL the estimate from a direct build over the combined
+    stream — not merely approximate it."""
+    from pyspark.sql import functions as F
+
+    from cdc_postgresql_clickhouse_spark.queries.sketches import (
+        KMV_K,
+        _HEX_DIGITS,
+        _NORM,
+        sketch_kmv_union,
+    )
+    from cdc_postgresql_clickhouse_spark.sources.registry import load_table
+
+    merged = {(r.type_a, r.type_b): r.kmv_estimate for r in sketch_kmv_union(spark, sf_dir).collect()}
+    assert merged
+    ev = load_table(spark, sf_dir, "events")
+    for (a, b), est in merged.items():
+        hashes = sorted(
+            r.h
+            for r in ev.filter(F.col("event_type").isin(a, b))
+            .select(F.substring(F.md5(F.col("user_id").cast("string")), 1, _HEX_DIGITS).alias("h"))
+            .distinct()
+            .collect()
+        )
+        if len(hashes) < KMV_K:
+            direct = float(len(hashes))
+        else:
+            direct = (KMV_K - 1) / (int(hashes[KMV_K - 1], 16) / _NORM)
+        import math
+        assert est == math.floor(direct * 1e6) / 1e6, (a, b, est, direct)
