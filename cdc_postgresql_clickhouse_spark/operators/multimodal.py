@@ -354,3 +354,39 @@ def audio_frames(blobs: DataFrame, frame_len: int = AUDIO_FRAME_LEN) -> DataFram
             yield pd.DataFrame(rows, columns=out_cols)
 
     return blobs.select("doc_id", "payload").mapInPandas(frames, schema=AUDIO_FRAME_SCHEMA)
+
+
+PHASH_BITS = 60
+
+
+def perceptual_hash(blobs: DataFrame) -> DataFrame:
+    """Arrow-batched perceptual hash (aHash family): per payload, a
+    ``PHASH_BITS``-bin byte histogram thresholded at its mean — bit j set
+    iff counts[j] * PHASH_BITS > n_bytes — folded into one BIGINT
+    signature. 60 bits keeps the value clear of the sign bit in both
+    engines (same device as the text SimHash). On real images the
+    byte-histogram stage would be the decoded 8x8 grayscale mean-threshold;
+    the signature/banding/verify plumbing is codec-agnostic.
+
+    Same closure rules as ``decode_blobs``: self-contained, stdlib only."""
+    bits = PHASH_BITS
+
+    def phash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                counts = [0] * bits
+                for b in data:
+                    counts[b % bits] += 1
+                n = len(data)
+                sig = 0
+                for j in range(bits):
+                    if counts[j] * bits > n:
+                        sig |= 1 << j
+                out.append({"doc_id": doc_id, "phash": sig})
+            yield pd.DataFrame(out, columns=["doc_id", "phash"])
+
+    return blobs.select("doc_id", "payload").mapInPandas(
+        phash, "doc_id long, phash long"
+    )

@@ -87,7 +87,8 @@ _WINDOW_FRONT = [
     "sketch_hll_distinct", "sketch_cms_heavy_hitters", "sketch_kmv_union",
     "layout_zorder_clustering", "bpe_train_merges", "bpe_token_count",
     "graph_pagerank_types", "text_bm25_search", "ann_pq_topk",
-    "multimodal_audio_frames", "retrieval_hybrid_rrf", "corpus_dsir_weights",
+    "multimodal_audio_frames", "multimodal_phash_neardup",
+    "retrieval_hybrid_rrf", "corpus_dsir_weights",
     "text_ccnet_buckets", "graph_sssp_types",
     # rule 3: refill to 50 with r3-green families (oldest proof first)
 ]

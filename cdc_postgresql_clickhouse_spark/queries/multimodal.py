@@ -186,3 +186,107 @@ SELECT doc_id, frame_idx,
 FROM sl
 WHERE len(s) > 0
 """
+
+
+# --- perceptual-hash near-dup over the multimodal payloads ------------------
+#
+# Image-style near-duplicate detection through the REAL Arrow dataflow: the
+# dedup fixture corpus (originals + derived near-copies) becomes binary
+# payloads, a mapInPandas stage computes a 60-bit perceptual hash
+# (byte-histogram aHash — the codec-agnostic plumbing a decoded-pixel aHash
+# would use), and the signature feeds the SAME banding/verify machinery as
+# the text SimHash (4 x 15-bit bands, Hamming <= threshold). The oracle
+# replays the byte math in SQL (ASCII fixture ⇒ chars are bytes), so the
+# driver hash-verifies bytes -> Arrow -> Python -> signature -> self-join
+# end-to-end. Near-copies differ by a removed first token, so histograms
+# differ by a few counts -> small Hamming distances by construction.
+#
+# Scope: the registered form matches INGESTED payloads (the derived copies)
+# against the CATALOG (originals) — the copy-detection direction — rather
+# than all-pairs. On this TEXT stand-in corpus the byte histogram barely
+# discriminates between unrelated documents (same-language letter
+# frequencies), so all-pairs banding would degenerate toward cross-join; on
+# real decoded pixels the 8x8 aHash is discriminative and all-pairs banding
+# blocks properly. The catalog×ingest join keeps the fixture run honest:
+# candidates are |catalog-bucket| x |ingest-bucket|, and the Hamming verify
+# still has both true copies and false candidates to separate.
+
+PHASH_HAMMING_MAX = 4
+PHASH_SCOPE_IDS = 300
+
+
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    from cdc_postgresql_clickhouse_spark.operators.multimodal import (
+        PHASH_BITS,
+        perceptual_hash,
+    )
+    from cdc_postgresql_clickhouse_spark.queries.dedup import (
+        DERIVED_OFFSET,
+        _corpus,
+    )
+
+    corpus = _corpus(spark, sf_dir).filter(
+        (F.col("doc_id") < PHASH_SCOPE_IDS) | (F.col("doc_id") >= DERIVED_OFFSET)
+    )
+    sigs = perceptual_hash(blob_table(corpus))
+    banded = (
+        sigs.withColumn("band", F.explode(F.sequence(F.lit(0), F.lit(3))))
+        .withColumn("bv", F.expr("shiftright(phash, CAST(band * 15 AS INT)) & 32767"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    a = banded.filter(F.col("doc_id") < DERIVED_OFFSET).alias("a")
+    b = banded.filter(F.col("doc_id") >= DERIVED_OFFSET).alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bv") == F.col("b.bv")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr("CAST(bit_count(a.phash ^ b.phash) AS BIGINT)").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= PHASH_HAMMING_MAX)
+    )
+
+
+def _sql_phash() -> str:
+    from cdc_postgresql_clickhouse_spark.operators.multimodal import PHASH_BITS
+    from cdc_postgresql_clickhouse_spark.queries.dedup import _SQL_CORPUS
+
+    return f"""
+WITH corpus AS ({_SQL_CORPUS}),
+scoped AS (
+  SELECT doc_id, text FROM corpus
+  WHERE doc_id < {PHASH_SCOPE_IDS} OR doc_id >= 1000000
+),
+d AS (SELECT doc_id, text, length(text) AS nb FROM scoped),
+chars AS (SELECT doc_id, nb, unnest(range(nb)) AS i FROM d),
+hist AS (
+  SELECT c.doc_id, MAX(c.nb) AS nb,
+         ord(substring(d.text, CAST(c.i AS INT) + 1, 1)) % {PHASH_BITS} AS bin,
+         COUNT(*) AS cnt
+  FROM chars c JOIN d ON d.doc_id = c.doc_id
+  GROUP BY c.doc_id, bin
+),
+fp AS (
+  SELECT doc_id,
+         SUM(CASE WHEN cnt * {PHASH_BITS} > nb
+                  THEN (CAST(1 AS BIGINT) << CAST(bin AS INT)) ELSE 0 END) AS phash
+  FROM hist GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, phash, band, (phash >> CAST(band * 15 AS INT)) & 32767 AS bv
+  FROM fp, (SELECT unnest(range(4)) AS band)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+FROM banded a
+JOIN banded b ON a.band = b.band AND a.bv = b.bv
+WHERE a.doc_id < 1000000 AND b.doc_id >= 1000000
+  AND bit_count(xor(a.phash, b.phash)) <= {PHASH_HAMMING_MAX}
+"""
+
+
+QUERIES["multimodal_phash_neardup"] = multimodal_phash_neardup
+ORACLE["multimodal_phash_neardup"] = _sql_phash()

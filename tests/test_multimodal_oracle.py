@@ -89,3 +89,26 @@ def test_real_codec_decodes_png(spark):
     assert (out[1].width, out[1].height, out[1].channels) == (37, 21, 3)
     fake_w = 64 + hashlib.md5(b"not a png").digest()[0] % 192
     assert out[2].width == fake_w
+
+
+def test_phash_finds_every_planted_copy(spark, sf_dir):
+    """Copy-detection recall: every derived near-copy (doc_id + offset) must
+    match its original within the Hamming budget — the one property the
+    text-stand-in corpus can meaningfully certify (precision on text byte
+    histograms is a fixture artifact, documented in the query)."""
+    from pyspark.sql import functions as F
+
+    from cdc_postgresql_clickhouse_spark.queries.dedup import DERIVED_OFFSET, NEARDUP_IDS
+    from cdc_postgresql_clickhouse_spark.queries.multimodal import (
+        multimodal_phash_neardup,
+    )
+
+    df = multimodal_phash_neardup(spark, sf_dir).cache()
+    true_matches = df.filter(F.col("doc_b") - DERIVED_OFFSET == F.col("doc_a")).count()
+    import os
+    n_docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
+    expected = min(NEARDUP_IDS, n_docs)
+    assert true_matches == expected, (true_matches, expected)
+    # direction invariant: catalog side left, ingest side right
+    assert df.filter(F.col("doc_a") >= DERIVED_OFFSET).count() == 0
+    assert df.filter(F.col("doc_b") < DERIVED_OFFSET).count() == 0
