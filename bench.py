@@ -99,6 +99,9 @@ HEADLINE = [
     "corpus_dsir_weights",
     "text_ccnet_buckets",
     "graph_sssp_types",
+    "sketch_kmv_union",
+    "cdc_reconciliation_report",
+    "multimodal_phash_neardup",
 ]
 
 

@@ -89,7 +89,8 @@ _WINDOW_FRONT = [
     "graph_pagerank_types", "text_bm25_search", "ann_pq_topk",
     "multimodal_audio_frames", "multimodal_phash_neardup",
     "retrieval_hybrid_rrf", "corpus_dsir_weights",
-    "text_ccnet_buckets", "graph_sssp_types",
+    "text_ccnet_buckets", "graph_sssp_types", "graph_triangle_types",
+    "dedup_soft_weights",
     # rule 3: refill to 50 with r3-green families (oldest proof first)
 ]
 

@@ -162,3 +162,58 @@ FROM seq WHERE from_type IS NOT NULL
 GROUP BY from_type, to_type
 """,
 }
+
+
+def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup: instead of dropping non-canonical near-duplicates, give
+    every document a training weight of 1/cluster_size (integer micro-units)
+    so each near-dup CLUSTER contributes one document's worth of gradient —
+    the down-weighting alternative to hard removal used when duplicates
+    carry distributional signal. Unclustered docs weigh 1.0. Reads the SAME
+    materialized component table as the other cluster queries (one CC run
+    per corpus snapshot); this adds a vocab-sized size agg and one
+    broadcastable join back to the corpus spine."""
+    from cdc_postgresql_clickhouse_spark.queries.cluster import clusters
+    from cdc_postgresql_clickhouse_spark.queries.dedup import _corpus
+
+    comp = clusters(spark, sf_dir)
+    sizes = comp.groupBy(F.col("label").alias("canonical_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("csize")
+    )
+    sized = comp.select("doc_id", F.col("label").alias("canonical_id")).join(
+        sizes, "canonical_id"
+    )
+    corpus = _corpus(spark, sf_dir).select("doc_id")
+    return (
+        corpus.join(F.broadcast(sized), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("csize"), F.lit(1)).cast("long").alias("cluster_size"),
+            F.expr("CAST(1000000 div coalesce(csize, 1) AS BIGINT)").alias("weight_micro"),
+        )
+    )
+
+
+QUERIES["dedup_soft_weights"] = dedup_soft_weights
+ORACLE["dedup_soft_weights"] = f"""
+WITH RECURSIVE {_SQL_MINHASH_CTES},
+edges AS ({_SQL_MINHASH_SELECT}),
+bidir AS (
+  SELECT doc_a AS a, doc_b AS b FROM edges
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM edges
+),
+nodes AS (SELECT DISTINCT a AS doc_id FROM bidir),
+reach(doc_id, r) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT re.doc_id, bd.b FROM reach re JOIN bidir bd ON bd.a = re.r
+),
+comp AS (SELECT doc_id, MIN(r) AS canonical_id FROM reach GROUP BY doc_id),
+sizes AS (SELECT canonical_id, COUNT(*)::BIGINT AS csize FROM comp GROUP BY canonical_id),
+sized AS (SELECT comp.doc_id, sizes.csize FROM comp JOIN sizes USING (canonical_id))
+SELECT c.doc_id,
+       CAST(COALESCE(s.csize, 1) AS BIGINT) AS cluster_size,
+       CAST(1000000 // COALESCE(s.csize, 1) AS BIGINT) AS weight_micro
+FROM corpus c LEFT JOIN sized s ON s.doc_id = c.doc_id
+"""

@@ -214,3 +214,74 @@ FROM nodes n LEFT JOIN d{SSSP_ITERS} d ON d.t = n.t
 
 QUERIES["graph_sssp_types"] = graph_sssp_types
 ORACLE["graph_sssp_types"] = _SQL_SSSP
+
+
+# --- triangle counting ------------------------------------------------------
+#
+# Per-node triangle counts over the UNDIRECTED transition graph — the third
+# classic graph kernel (clustering-coefficient numerator). The standard
+# distributed formulation: orient every edge low→high, join edges on the
+# shared middle node to enumerate wedges (a<b<c), then close each wedge
+# with a semi-join back to the edge list — each triangle is produced
+# exactly once, and the join sizes are edge-list-bounded (wedges explode
+# only on high-degree nodes; at scale the mitigation is the standard
+# degree-ordered orientation, which this already is).
+
+def graph_triangle_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "event_type", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.lag("event_type").over(w).alias("src"), F.col("event_type").alias("dst")
+    ).filter(F.col("src").isNotNull() & (F.col("src") != F.col("dst")))
+    und = pairs.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct().persist()
+    e1 = und.alias("e1")
+    e2 = und.select(F.col("a").alias("b"), F.col("b").alias("c")).alias("e2")
+    wedges = e1.join(e2, "b").filter(F.col("b") < F.col("c"))
+    closer = und.select(F.col("a").alias("wa"), F.col("b").alias("wc"))
+    tris = wedges.join(
+        closer, (F.col("a") == F.col("wa")) & (F.col("c") == F.col("wc")), "leftsemi"
+    ).select("a", "b", "c")
+    per_node = (
+        tris.select(F.explode(F.array("a", "b", "c")).alias("event_type"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    nodes = und.select(F.col("a").alias("event_type")).unionByName(
+        und.select(F.col("b").alias("event_type"))
+    ).distinct()
+    return nodes.join(per_node, "event_type", "left").select(
+        "event_type", F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles")
+    )
+
+
+_SQL_TRIANGLES = """
+WITH seq AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
+         event_type AS dst
+  FROM events
+),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM seq WHERE src IS NOT NULL AND src <> dst
+),
+tris AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.b AND e1.b < e2.b
+  WHERE EXISTS (SELECT 1 FROM und e3 WHERE e3.a = e1.a AND e3.b = e2.b)
+),
+per AS (
+  SELECT t AS event_type, COUNT(*) AS n FROM (
+    SELECT unnest([a, b, c]) AS t FROM tris
+  ) GROUP BY t
+),
+nodes AS (SELECT DISTINCT a AS event_type FROM und
+          UNION SELECT DISTINCT b FROM und)
+SELECT n.event_type, CAST(COALESCE(p.n, 0) AS BIGINT) AS n_triangles
+FROM nodes n LEFT JOIN per p ON p.event_type = n.event_type
+"""
+
+QUERIES["graph_triangle_types"] = graph_triangle_types
+ORACLE["graph_triangle_types"] = _SQL_TRIANGLES
