@@ -201,3 +201,49 @@ def test_blast_radius_range_join_is_equi_not_nested_loop(spark, sf_dir):
 
     plan = formatted_plan(events_error_blast_radius(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_dsir_lambda_table_broadcasts_no_bnlj(spark, sf_dir):
+    """DSIR: the 1024-row lambda table must broadcast back onto the gram
+    stream (never a nested-loop), and the corpus side never sort-merges."""
+    plan = formatted_plan(Q["corpus_dsir_weights"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_phash_banded_join_is_equi_not_nested_loop(spark, sf_dir):
+    """Perceptual-hash candidates come from the (band, bits) equi-join —
+    a BNLJ here would mean the banding degenerated to all-pairs."""
+    plan = formatted_plan(Q["multimodal_phash_neardup"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ccnet_single_window_per_language(spark, sf_dir):
+    """Tercile ranks pay ONE window pass; no nested-loop anywhere."""
+    plan = formatted_plan(Q["text_ccnet_buckets"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Window") >= 1
+
+
+def test_hll_register_agg_no_bnlj(spark, sf_dir):
+    plan = formatted_plan(Q["sketch_hll_distinct"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cms_counters_broadcast(spark, sf_dir):
+    """The 2048-cell counter table must be the broadcast side of the
+    estimate lookup."""
+    df = Q["sketch_cms_heavy_hitters"](spark, sf_dir)
+    assert broadcast_join_count(df) >= 1
+    assert "BroadcastNestedLoopJoin" not in formatted_plan(df)
+
+
+def test_rrf_bnlj_only_where_documented(spark, sf_dir):
+    """RRF's non-equi joins are bounded: the documented brute-force dense-leg
+    baseline, plus (at tiny SF only) the fusion full-outer of two <=k-per-query
+    lists, which Spark plans as broadcast-BNLJ when a side fits the broadcast
+    threshold and as SortMergeJoin otherwise — i.e. it can never be a
+    data-sized nested loop. The lexical leg must stay equi."""
+    plan = formatted_plan(Q["retrieval_hybrid_rrf"](spark, sf_dir))
+    n = plan.count("BroadcastNestedLoopJoin")
+    assert 1 <= n <= 2, n
