@@ -32,7 +32,7 @@ from cdc_postgresql_clickhouse_spark.session import get_spark  # noqa: E402
 # timing keeps the memo warm — it measures the derived aggregation, the
 # production shape where the cluster table is materialized once per corpus
 # snapshot. Every other query gets a cold memo per run (honest recompute).
-SHARED_CLUSTER_CONSUMERS = {"dedup_cluster_size_hist"}
+SHARED_CLUSTER_CONSUMERS = {"dedup_cluster_size_hist", "dedup_soft_weights"}
 
 HEADLINE = [
     "cdc_current_state",
@@ -102,6 +102,8 @@ HEADLINE = [
     "sketch_kmv_union",
     "cdc_reconciliation_report",
     "multimodal_phash_neardup",
+    "dedup_soft_weights",
+    "graph_triangle_types",
 ]
 
 
