@@ -171,3 +171,44 @@ def test_incremental_ivf_equals_batch_index(spark, sf_dir, tmp_path):
     srows = sorted(map(tuple, streamed.collect()))
     brows = sorted(map(tuple, batch.collect()))
     assert srows == brows
+
+
+def test_restart_from_checkpoint_processes_only_new_files(spark, sf_dir, tmp_path):
+    """Production restart semantics: a SECOND run against the same
+    checkpoint after new files land must (a) not reprocess the drained
+    files — the dup log gains no rows for old data — and (b) compose state
+    across runs so the final dup set equals a one-shot build over the
+    union. This is the crash/redeploy path of dedup-as-data-arrives."""
+    from cdc_postgresql_clickhouse_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(60)
+    copies = docs.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 5_000_000).alias("doc_id"), "text"
+    )
+    src = str(tmp_path / "src")
+    state, dups, ckpt = (str(tmp_path / n) for n in ("state", "dups", "ckpt"))
+
+    docs.coalesce(1).write.parquet(src)
+    run_incremental_dedup(spark, src, state, dups, ckpt, max_files_per_trigger=1)
+    import os
+
+    first = (
+        {tuple(r) for r in spark.read.parquet(dups).distinct().collect()}
+        if os.path.exists(dups)
+        else set()
+    )
+    assert first == set()  # originals only: nothing duplicated yet
+
+    # process crash/redeploy: new data arrives, stream restarts on the
+    # SAME checkpoint
+    copies.coalesce(1).write.mode("append").parquet(src)
+    run_incremental_dedup(spark, src, state, dups, ckpt, max_files_per_trigger=1)
+    got = {
+        (r.doc_id, r.keep_doc)
+        for r in spark.read.parquet(dups).distinct().collect()
+    }
+    want = _batch_dup_set(spark, docs.unionByName(copies))
+    assert got == want and len(want) > 0
+    # every logged duplicate is from the post-restart batch: nothing old
+    # was reprocessed into the log
+    assert all(d >= 5_000_000 for d, _ in got)
