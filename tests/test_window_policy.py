@@ -32,3 +32,15 @@ def test_never_driver_checked_queries_register_inside_window():
     never = [n for n in names if n not in seen]
     outside = [n for n in never if n not in window]
     assert not outside, f"never-driver-checked queries outside the window: {outside}"
+
+
+def test_window_front_is_exactly_the_driver_window():
+    """_WINDOW_FRONT must be exactly the 50 driver-checked names, in order —
+    a shorter list silently delegates window tail composition to module
+    order; a longer one silently truncates."""
+    from cdc_postgresql_clickhouse_spark.queries import _WINDOW_FRONT, all_queries
+
+    assert len(_WINDOW_FRONT) == WINDOW
+    assert len(set(_WINDOW_FRONT)) == WINDOW
+    names = list(all_queries())
+    assert names[:WINDOW] == _WINDOW_FRONT
