@@ -28,6 +28,8 @@ extended to the retrieval-index domain; no analogue in the reference.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -91,3 +93,39 @@ def run_incremental_postings(
         .start()
     )
     q.awaitTermination()
+
+
+def compact_postings(spark: SparkSession, postings_path: str, files_per_shard: int = 1) -> None:
+    """Segment merge for the streamed index: per-batch appends leave one
+    small parquet file per (shard, batch) — fine for ingest, death by file
+    count for query-side scans at 100 TB (every BM25 run lists and opens
+    every segment). Compaction rewrites each shard to ``files_per_shard``
+    files, dropping the replay duplicates the readers currently pay a
+    ``distinct()`` for. Same single-writer fence as the CDC state machinery
+    (``operators/state.py::_state_lock``): compaction is read-modify-rewrite
+    on plain parquet, so racing an active ingest could lose an appended
+    segment — the lock turns that race into ``StateLockError`` (the search
+    analogue of Lucene's merge lock / ClickHouse OPTIMIZE).
+
+    Rewrite protocol: stage the compacted table beside the live one, then
+    atomically swap via rename — a reader never sees a half-written shard,
+    and a crash mid-compact leaves the live table untouched."""
+    import shutil
+
+    from cdc_postgresql_clickhouse_spark.operators.state import _state_lock
+
+    with _state_lock(postings_path):
+        compacted = (
+            spark.read.parquet(postings_path)
+            .select("doc_id", "term", "tf", "shard")
+            .distinct()
+            .repartition(files_per_shard, "shard")
+        )
+        staged = postings_path.rstrip("/") + "_compacting"
+        shutil.rmtree(staged, ignore_errors=True)
+        compacted.write.partitionBy("shard").parquet(staged)
+        old = postings_path.rstrip("/") + "_old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(postings_path, old)
+        os.rename(staged, postings_path)
+        shutil.rmtree(old, ignore_errors=True)

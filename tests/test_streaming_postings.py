@@ -49,3 +49,45 @@ def test_term_sharded_layout_on_disk(spark, sf_dir, tmp_path):
     shards = {os.path.basename(p) for p in glob.glob(os.path.join(idx, "shard=*"))}
     assert shards  # partitioned by term shard
     assert all(0 <= int(s.split("=")[1]) < TERM_SHARDS for s in shards)
+
+
+def test_compact_preserves_content_and_drops_duplicates(spark, sf_dir, tmp_path):
+    from cdc_postgresql_clickhouse_spark.streaming.postings import compact_postings
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(40)
+    idx = str(tmp_path / "idx")
+    ingest_batch_postings(docs, idx)
+    ingest_batch_postings(docs, idx)  # replay: physical duplicates on disk
+    before = {tuple(r) for r in read_postings(spark, idx).collect()}
+    raw_before = spark.read.parquet(idx).count()
+    n_files_before = len(glob.glob(os.path.join(idx, "shard=*", "*.parquet")))
+
+    compact_postings(spark, idx, files_per_shard=1)
+
+    after = {tuple(r) for r in read_postings(spark, idx).collect()}
+    raw_after = spark.read.parquet(idx).count()
+    n_files_after = len(glob.glob(os.path.join(idx, "shard=*", "*.parquet")))
+    assert after == before                      # logical content identical
+    assert raw_after == len(after) < raw_before  # replay dups physically gone
+    assert n_files_after < n_files_before        # segments merged
+    # one file per live shard
+    shards = glob.glob(os.path.join(idx, "shard=*"))
+    for s in shards:
+        assert len(glob.glob(os.path.join(s, "*.parquet"))) == 1, s
+
+
+def test_compact_refuses_during_active_mutation(spark, sf_dir, tmp_path):
+    from cdc_postgresql_clickhouse_spark.operators.state import StateLockError, _state_lock
+    from cdc_postgresql_clickhouse_spark.streaming.postings import compact_postings
+
+    import pytest
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(5)
+    idx = str(tmp_path / "idx")
+    ingest_batch_postings(docs, idx)
+    with _state_lock(idx):  # another mutator holds the fence
+        with pytest.raises(StateLockError):
+            compact_postings(spark, idx)
+    # after release, compaction proceeds
+    compact_postings(spark, idx)
+    assert read_postings(spark, idx).count() > 0
