@@ -110,3 +110,18 @@ def run_incremental_ivf(
         .start()
     )
     q.awaitTermination()
+
+
+def compact_assignments(spark: SparkSession, assign_path: str, files_per_cid: int = 1) -> None:
+    """Segment merge for the streamed IVF inverted lists — per-batch appends
+    leave one file per (cid, batch); probing lists and opens all of them.
+    Same protocol as the posting-table compaction
+    (``streaming/postings.py::compact_partitioned_index``): distinct rows
+    (dropping at-least-once replay duplicates), bounded files per cid,
+    staged atomic-rename swap under the single-writer fence."""
+    from cdc_postgresql_clickhouse_spark.streaming.postings import (
+        compact_partitioned_index,
+    )
+
+    cols = [f.name for f in spark.read.parquet(assign_path).schema.fields]
+    compact_partitioned_index(spark, assign_path, cols, "cid", files_per_cid)

@@ -110,22 +110,38 @@ def compact_postings(spark: SparkSession, postings_path: str, files_per_shard: i
     Rewrite protocol: stage the compacted table beside the live one, then
     atomically swap via rename — a reader never sees a half-written shard,
     and a crash mid-compact leaves the live table untouched."""
+    compact_partitioned_index(
+        spark, postings_path, ["doc_id", "term", "tf", "shard"], "shard", files_per_shard
+    )
+
+
+def compact_partitioned_index(
+    spark: SparkSession,
+    path: str,
+    columns: list[str],
+    part_col: str,
+    files_per_part: int = 1,
+) -> None:
+    """Shared segment-merge protocol for append-only partitioned index
+    tables (posting shards, IVF inverted lists): distinct the logical rows,
+    rewrite each partition to ``files_per_part`` files, stage beside the
+    live table, swap via rename under the single-writer fence."""
     import shutil
 
     from cdc_postgresql_clickhouse_spark.operators.state import _state_lock
 
-    with _state_lock(postings_path):
+    with _state_lock(path):
         compacted = (
-            spark.read.parquet(postings_path)
-            .select("doc_id", "term", "tf", "shard")
+            spark.read.parquet(path)
+            .select(*columns)
             .distinct()
-            .repartition(files_per_shard, "shard")
+            .repartition(files_per_part, part_col)
         )
-        staged = postings_path.rstrip("/") + "_compacting"
+        staged = path.rstrip("/") + "_compacting"
         shutil.rmtree(staged, ignore_errors=True)
-        compacted.write.partitionBy("shard").parquet(staged)
-        old = postings_path.rstrip("/") + "_old"
+        compacted.write.partitionBy(part_col).parquet(staged)
+        old = path.rstrip("/") + "_old"
         shutil.rmtree(old, ignore_errors=True)
-        os.rename(postings_path, old)
-        os.rename(staged, postings_path)
+        os.rename(path, old)
+        os.rename(staged, path)
         shutil.rmtree(old, ignore_errors=True)

@@ -91,3 +91,40 @@ def test_compact_refuses_during_active_mutation(spark, sf_dir, tmp_path):
     # after release, compaction proceeds
     compact_postings(spark, idx)
     assert read_postings(spark, idx).count() > 0
+
+
+def test_compact_assignments_preserves_probe_results(spark, sf_dir, tmp_path):
+    """The IVF twin: compacting the cid-partitioned assignment table must
+    not change probe results, and must bound files per cid."""
+    import pyspark.sql.functions as F
+
+    from cdc_postgresql_clickhouse_spark.queries.similarity import _emb_d, _norm, ivf_probe
+    from cdc_postgresql_clickhouse_spark.sources.registry import load_table as _lt
+    from cdc_postgresql_clickhouse_spark.streaming.ann import (
+        centroid_table,
+        compact_assignments,
+        ingest_batch_ivf,
+    )
+
+    emb = _lt(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    idx = str(tmp_path / "assign")
+    ingest_batch_ivf(spark, emb, idx)
+    ingest_batch_ivf(spark, emb, idx)  # replay appends duplicates
+
+    full = _lt(spark, sf_dir, "embeddings").select("vec_id", _emb_d().alias("e")).withColumn(
+        "nrm", _norm(F.col("e"))
+    )
+    cents = centroid_table(spark, idx)
+
+    def probe():
+        assign = spark.read.parquet(idx).select("vec_id", "cid").distinct()
+        return sorted(tuple(r) for r in ivf_probe(full, cents, assign).collect())
+
+    before = probe()
+    compact_assignments(spark, idx)
+    after = probe()
+    assert before == after and len(after) > 0
+    raw = spark.read.parquet(idx)
+    assert raw.count() == raw.distinct().count()  # physical dups gone
+    for d in glob.glob(os.path.join(idx, "cid=*")):
+        assert len(glob.glob(os.path.join(d, "*.parquet"))) == 1, d
