@@ -31,6 +31,11 @@ so the comparison is deterministic.
   reference's own reconciliation methodology (``README.md:309-329``) run
   inside the correctness gate.
 
+- ``streaming_postings_ingest_equiv`` / ``streaming_ivf_ingest_equiv``:
+  index maintenance — the sparse (posting-list) and dense (IVF) retrieval
+  indexes built incrementally per batch, probed/scored with the batch code,
+  oracle = the batch query's own SQL.
+
 Reference tie-in: the reference's own verification is batch reconciliation
 after streaming ingest (``README.md:309-329``); these queries automate that
 pattern inside the correctness gate.

@@ -39,3 +39,23 @@ def test_oracle_parity(name, spark, sf_dir, con):
     issues = compare(QUERIES[name](spark, sf_dir), con, ORACLES[name], name)
     hard = [i for i in issues if "[WARN]" not in i]
     assert not hard, "\n".join(issues)
+
+
+def test_harness_detects_value_divergence(spark, sf_dir):
+    """Meta-guard: the compare harness must be ABLE to fail — a silently
+    degenerate harness (e.g. comparing empty frames, or hashing column
+    names only) would turn every parity row green. Run a real query against
+    a deliberately perturbed oracle and require a reported mismatch."""
+    import __spark_entry__ as entry
+    from tests.oracle_harness import compare, duckdb_con
+
+    con = duckdb_con(sf_dir)
+    df = entry.queries()["cdc_count_final"](spark, sf_dir)
+    good = entry.oracle_sql()["cdc_count_final"]
+    assert compare(df, con, good, "self") == []
+    # off-by-one oracle: the value hash must flag it
+    bad = f"SELECT n_live + 1 AS n_live FROM ({good})"
+    assert compare(df, con, bad, "perturbed") != []
+    # column-rename oracle: the schema check must flag it
+    renamed = f"SELECT n_live AS n_alive FROM ({good})"
+    assert compare(df, con, renamed, "renamed") != []
