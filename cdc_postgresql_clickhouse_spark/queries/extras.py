@@ -171,8 +171,11 @@ def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     the down-weighting alternative to hard removal used when duplicates
     carry distributional signal. Unclustered docs weigh 1.0. Reads the SAME
     materialized component table as the other cluster queries (one CC run
-    per corpus snapshot); this adds a vocab-sized size agg and one
-    broadcastable join back to the corpus spine."""
+    per corpus snapshot); this adds a cluster-count-sized size agg and one
+    keyed join back to the corpus spine (NOT broadcast-hinted: the sized
+    table has a row per clustered doc — corpus-proportional in the worst
+    case — so the scale-safe plan is a hash join, with AQE free to
+    broadcast when the cluster set is actually small)."""
     from cdc_postgresql_clickhouse_spark.queries.cluster import clusters
     from cdc_postgresql_clickhouse_spark.queries.dedup import _corpus
 
@@ -185,7 +188,7 @@ def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = _corpus(spark, sf_dir).select("doc_id")
     return (
-        corpus.join(F.broadcast(sized), "doc_id", "left")
+        corpus.join(sized, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce(F.col("csize"), F.lit(1)).cast("long").alias("cluster_size"),
