@@ -194,8 +194,13 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         * F.lit(1000000.0)
     ).cast("long")
+    # q_terms is NOT broadcast-hinted: the fixture's query set is a 1%%
+    # slice of the corpus (doc_id %% 100 == 0), i.e. corpus-proportional —
+    # a production RRF has a small fixed query set and AQE will broadcast
+    # it on its own; forcing the hint here would encode the wrong plan for
+    # the scaled-up shape of THIS query.
     matched = (
-        terms.join(F.broadcast(q_terms), "term")
+        terms.join(q_terms, "term")
         .filter(F.col("doc_id") != F.col("q_id"))
         .join(df_t, "term")
     )
