@@ -107,17 +107,77 @@ ORACLE = {"sketch_kmv_distinct": _SQL_KMV}
 #
 # Median-absolute-deviation outlier flagging per event type — the robust
 # z-score ("Hampel identifier") that survives the heavy tails a mean/stddev
-# rule chokes on. Cross-engine exactness: values become integer CENTS first
-# (floor(v*100 + 0.5) on identical doubles), so every percentile
-# interpolation lands on exact binary fractions (x.0/x.5/x.25) and Spark's
-# percentile() equals DuckDB's quantile_cont() bit-for-bit. Scale shape: two
-# keyed aggregations + one keyed join back; exact percentiles shuffle the
-# group's values — at extreme per-group volume swap percentile() for
-# approx_percentile with a documented tolerance (the estimate then stops
-# being oracle-checkable, which is why the registered form is exact).
+# rule chokes on. Cross-engine exactness: INTEGER-ONLY, no doubles anywhere
+# in the chain (r4 showed that even exact-binary-fraction percentile
+# interpolation diverges across engine builds). Values become integer CENTS
+# (floor(v*100 + 0.5) on identical doubles — the one shared double step,
+# identical in both engines by IEEE754), then the median is PURE RANK
+# ARITHMETIC in doubled units: median_halfcents = c_(lo) + c_(hi) where
+# lo = (n+1) div 2 and hi = n div 2 + 1 — for odd n both ranks coincide
+# (2*middle), for even n the sum IS the midpoint in half-units. Absolute
+# deviations ad_hc = |2c - median_halfcents| are integers in half-cents;
+# their median doubles again to QUARTER-cents (mad_qcents = ad_(lo)+ad_(hi)).
+# The Hampel cutoff ad > 3*1.4826*mad compares via integer
+# cross-multiplication: ad_hc/2 > 4.4478 * mad_qc/4 ⇔
+# 20000*ad_hc > 44478*mad_qc. Every output column is BIGINT.
+#
+# Scale shape: two rank windows + one keyed join back — the same single
+# hash-partition shuffle per pass an exact percentile pays (the rank window
+# replaces percentile's sort with the identical sort). At extreme per-group
+# volume swap for approx_percentile with a documented tolerance (the result
+# then stops being oracle-checkable, which is why the registered form is
+# exact).
 
 MAD_SIGMA = 1.4826  # consistency constant: MAD ≈ sigma for normal data
 MAD_CUTOFF = 3.0
+# MAD_CUTOFF * MAD_SIGMA = 4.4478 exactly, as the integer ratio 44478/10000;
+# with ad in half-cents and mad in quarter-cents the cutoff cross-multiplies
+# to 2*10000*ad_hc > 44478*mad_qc.
+_MAD_NUM = 44478
+_MAD_DEN = 20000
+
+
+def mad_report(d: DataFrame) -> DataFrame:
+    """Integer-exact median/MAD anomaly report over an (event_type, c:long)
+    frame — the engine of ``events_anomaly_mad``, factored out so tests can
+    drive planted fixtures through the exact registered expression tree."""
+    wp = Window.partitionBy("event_type")
+    r = (
+        d.withColumn("rn", F.row_number().over(wp.orderBy("c")))
+        .withColumn("n", F.count(F.lit(1)).over(wp))
+    )
+    med = r.groupBy("event_type").agg(
+        (
+            F.sum(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("c")))
+            + F.sum(F.when(F.col("rn") == F.expr("n div 2 + 1"), F.col("c")))
+        ).alias("med_hc")
+    )
+    dev = d.join(med, "event_type").select(
+        "event_type",
+        "med_hc",
+        F.abs(F.col("c") * 2 - F.col("med_hc")).alias("ad_hc"),
+    )
+    r2 = (
+        dev.withColumn("rn", F.row_number().over(wp.orderBy("ad_hc")))
+        .withColumn("n", F.count(F.lit(1)).over(wp))
+    )
+    madf = r2.groupBy("event_type").agg(
+        (
+            F.sum(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("ad_hc")))
+            + F.sum(F.when(F.col("rn") == F.expr("n div 2 + 1"), F.col("ad_hc")))
+        ).alias("mad_qc")
+    )
+    res = dev.join(madf, "event_type").groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("med_hc").alias("median_halfcents"),
+        F.max("mad_qc").alias("mad_qcents"),
+        F.sum(
+            F.when(
+                F.col("ad_hc") * F.lit(_MAD_DEN) > F.col("mad_qc") * F.lit(_MAD_NUM), 1
+            ).otherwise(0)
+        ).cast("long").alias("n_anomalies"),
+    )
+    return res
 
 
 def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -125,42 +185,47 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = ev.select(
         "event_type", F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c")
     )
-    med = d.groupBy("event_type").agg(F.percentile("c", 0.5).alias("med"))
-    dev = d.join(med, "event_type").select(
-        "event_type", "med", F.abs(F.col("c") - F.col("med")).alias("ad")
-    )
-    madf = dev.groupBy("event_type").agg(F.percentile("ad", 0.5).alias("mad"))
-    res = dev.join(madf, "event_type").groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.max("med").alias("median_cents"),
-        F.max("mad").alias("mad_cents"),
-        F.sum(
-            F.when(F.col("ad") > F.lit(MAD_CUTOFF * MAD_SIGMA) * F.col("mad"), 1).otherwise(0)
-        ).alias("n_anomalies"),
-    )
-    return res
+    return mad_report(d)
 
 
 _SQL_MAD = f"""
 WITH d AS (
   SELECT event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c FROM events
 ),
+r AS (
+  SELECT event_type, c,
+         row_number() OVER (PARTITION BY event_type ORDER BY c) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM d
+),
 med AS (
-  SELECT event_type, quantile_cont(CAST(c AS DOUBLE), 0.5) AS med
-  FROM d GROUP BY event_type
+  SELECT event_type,
+         CAST(SUM(CASE WHEN rn = (n + 1) // 2 THEN c END)
+              + SUM(CASE WHEN rn = n // 2 + 1 THEN c END) AS BIGINT) AS med_hc
+  FROM r GROUP BY event_type
 ),
 dev AS (
-  SELECT d.event_type, med.med, abs(d.c - med.med) AS ad
+  SELECT d.event_type, med.med_hc, abs(d.c * 2 - med.med_hc) AS ad_hc
   FROM d JOIN med USING (event_type)
 ),
+r2 AS (
+  SELECT event_type, med_hc, ad_hc,
+         row_number() OVER (PARTITION BY event_type ORDER BY ad_hc) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM dev
+),
 madf AS (
-  SELECT event_type, quantile_cont(ad, 0.5) AS mad FROM dev GROUP BY event_type
+  SELECT event_type,
+         CAST(SUM(CASE WHEN rn = (n + 1) // 2 THEN ad_hc END)
+              + SUM(CASE WHEN rn = n // 2 + 1 THEN ad_hc END) AS BIGINT) AS mad_qc
+  FROM r2 GROUP BY event_type
 )
 SELECT dev.event_type,
        COUNT(*) AS n_events,
-       MAX(dev.med) AS median_cents,
-       MAX(madf.mad) AS mad_cents,
-       SUM(CASE WHEN dev.ad > {MAD_CUTOFF * MAD_SIGMA!r} * madf.mad THEN 1 ELSE 0 END) AS n_anomalies
+       MAX(dev.med_hc) AS median_halfcents,
+       MAX(madf.mad_qc) AS mad_qcents,
+       CAST(SUM(CASE WHEN dev.ad_hc * {_MAD_DEN} > madf.mad_qc * {_MAD_NUM}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
 FROM dev JOIN madf USING (event_type)
 GROUP BY dev.event_type
 """

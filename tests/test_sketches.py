@@ -52,36 +52,59 @@ def test_kmv_small_group_exact_fallback(spark):
 
 
 def test_mad_anomaly_invariants(spark, sf_dir):
+    from pyspark.sql.types import LongType, StringType
+
     from cdc_postgresql_clickhouse_spark.queries.sketches import events_anomaly_mad
 
-    rows = events_anomaly_mad(spark, sf_dir).collect()
+    out = events_anomaly_mad(spark, sf_dir)
+    # r4 lesson: the driver env diverged on double percentile interpolation,
+    # so the contract is now ZERO non-integer columns in the output schema
+    for f in out.schema.fields:
+        assert isinstance(f.dataType, (LongType, StringType)), f
+    rows = out.collect()
     assert rows
     for r in rows:
         assert 0 <= r.n_anomalies < r.n_events
-        assert r.mad_cents >= 0
+        assert r.mad_qcents >= 0
         # robust center must sit inside the data range (cents are >= 0 here)
-        assert r.median_cents >= 0
+        assert r.median_halfcents >= 0
 
 
 def test_mad_flags_planted_outlier(spark):
-    from cdc_postgresql_clickhouse_spark.queries.sketches import MAD_CUTOFF, MAD_SIGMA
-
     from pyspark.sql import functions as F
+
+    from cdc_postgresql_clickhouse_spark.queries.sketches import mad_report
 
     # 99 values near 10.00, one at 10000.00: the robust rule must flag
     # exactly the one outlier (a mean/stddev rule would be dragged by it)
     vals = [(i, "t", 10.0 + (i % 5) * 0.01) for i in range(99)] + [(99, "t", 10000.0)]
     df = spark.createDataFrame(vals, "event_id long, event_type string, value double")
     d = df.select("event_type", F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"))
-    med = d.groupBy("event_type").agg(F.percentile("c", 0.5).alias("med"))
-    dev = d.join(med, "event_type").select("event_type", F.abs(F.col("c") - F.col("med")).alias("ad"))
-    madf = dev.groupBy("event_type").agg(F.percentile("ad", 0.5).alias("mad"))
-    n_anom = (
-        dev.join(madf, "event_type")
-        .filter(F.col("ad") > F.lit(MAD_CUTOFF * MAD_SIGMA) * F.col("mad"))
-        .count()
+    r = mad_report(d).first()
+    assert r.n_anomalies == 1
+
+
+def test_mad_rank_median_hand_computed(spark):
+    from pyspark.sql import functions as F
+
+    from cdc_postgresql_clickhouse_spark.queries.sketches import mad_report
+
+    # odd count {1,2,100}: median 2 -> 4 half-cents; ads {1,0,98} -> median 1
+    # -> mad 4 quarter-cents... ads in half-cents: |2c-4| = {2,0,196},
+    # sorted {0,2,196}, median 2 half-cents -> mad_qc = 2+2 = 4
+    odd = spark.createDataFrame(
+        [("t", 1), ("t", 2), ("t", 100)], "event_type string, c long"
     )
-    assert n_anom == 1
+    r = mad_report(odd).first()
+    assert r.median_halfcents == 4 and r.mad_qcents == 4
+    # even count {1,2,3,100}: median 2.5 cents -> 5 half-cents; ads in
+    # half-cents |2c-5| = {3,1,1,195}, sorted {1,1,3,195}, even midpoint
+    # (1+3)/2 -> mad_qc = 1+3 = 4 (i.e. 1.0 cent)
+    even = spark.createDataFrame(
+        [("t", 1), ("t", 2), ("t", 3), ("t", 100)], "event_type string, c long"
+    )
+    r = mad_report(even).first()
+    assert r.median_halfcents == 5 and r.mad_qcents == 4
 
 
 def test_ewma_recurrence_hand_computed(spark):
