@@ -123,6 +123,13 @@ def main() -> None:
     # so this JITs the exact code paths the timed section runs — the timed
     # numbers then measure steady-state throughput, not first-call Janino
     # compilation and JVM warmup.
+    # Per-query progress lines pushed BENCH_r04's JSON summary past the
+    # driver's output-capture window (VERDICT r4 item 6). Default is now
+    # SILENT except for the one JSON line; set SPARK_GRAFT_VERBOSE=1 for
+    # live per-query diagnostics on stderr. The summary is ALSO persisted to
+    # BENCH_summary.json next to this script so the totals survive any
+    # capture truncation.
+    verbose = os.environ.get("SPARK_GRAFT_VERBOSE", "") not in ("", "0")
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir):
         for name in HEADLINE:
@@ -148,7 +155,11 @@ def main() -> None:
             n = fn(spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows, best of {repeats})", file=sys.stderr)
+        if verbose:
+            print(
+                f"# {name}: {timings[name]:.3f}s ({n} rows, best of {repeats})",
+                file=sys.stderr,
+            )
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     result = {
@@ -159,7 +170,14 @@ def main() -> None:
         "repeats": repeats,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    print(json.dumps(result))
+    line = json.dumps(result)
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_summary.json"), "w") as f:
+            f.write(line + "\n")
+    except OSError:
+        pass  # a read-only checkout must not fail the bench
+    print(line)
     spark.stop()
 
 

@@ -59,8 +59,10 @@ _MODULES = (
 # FIRST 50 registered queries only. ROTATION POLICY (see COVERAGE.md):
 # rule 1 — cdc always registers first (core reference semantics, cheap
 # insurance every round); rule 2 — queries that have NEVER had a driver
-# CORRECTNESS row register next, ahead of anything already proven; rule 3 —
-# the window refills with already-green families, oldest proof first.
+# CORRECTNESS row register next, ahead of anything already proven; rule 2b —
+# a query whose LATEST driver row is red stays inside the window until it
+# goes green (added r5); rule 3 — the window refills with already-green
+# families, oldest proof first.
 #
 # The policy is encoded EXPLICITLY here rather than via module order (a new
 # query added mid-module would otherwise silently push a never-checked one
@@ -68,11 +70,11 @@ _MODULES = (
 # lists the first-50 names in driver order; every remaining query follows in
 # module order and is re-verified locally by scripts/parity_sweep.py.
 _WINDOW_FRONT = [
-    # rule 1: cdc (7)
+    # rule 1: cdc (8)
     "cdc_current_state", "cdc_soft_delete_state", "cdc_envelope_transform",
     "cdc_epoch_micros_roundtrip", "cdc_count_final", "cdc_idempotent_replay",
     "cdc_scd2_history", "cdc_reconciliation_report",
-    # rule 2: never driver-checked — streaming e2e (7)
+    # rule 2: never driver-checked — streaming e2e (8)
     "streaming_incremental_dedup", "streaming_minhash_neardup",
     "streaming_tumbling_equiv", "streaming_late_data_drop",
     "streaming_session_equiv", "streaming_ivf_ingest_equiv",

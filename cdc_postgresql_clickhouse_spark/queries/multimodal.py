@@ -213,13 +213,20 @@ WHERE len(s) > 0
 
 PHASH_HAMMING_MAX = 4
 PHASH_SCOPE_IDS = 300
+PHASH_BANDS = 4
+
+
+def _phash_band_width() -> int:
+    from cdc_postgresql_clickhouse_spark.operators.multimodal import PHASH_BITS
+
+    assert PHASH_BITS % PHASH_BANDS == 0
+    return PHASH_BITS // PHASH_BANDS
 
 
 def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
 
     from cdc_postgresql_clickhouse_spark.operators.multimodal import (
-        PHASH_BITS,
         perceptual_hash,
     )
     from cdc_postgresql_clickhouse_spark.queries.dedup import (
@@ -230,10 +237,16 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _corpus(spark, sf_dir).filter(
         (F.col("doc_id") < PHASH_SCOPE_IDS) | (F.col("doc_id") >= DERIVED_OFFSET)
     )
-    sigs = perceptual_hash(blob_table(corpus))
+    # n_bytes > 0: the oracle's unnest(range(nb)) drops empty docs entirely,
+    # so a zero-length payload must not contribute a sig=0 row here either
+    # (ADVICE r4) — and a 0-byte blob has no histogram to hash anyway.
+    blobs = blob_table(corpus).filter(F.col("n_bytes") > 0)
+    width = _phash_band_width()
+    mask = (1 << width) - 1
+    sigs = perceptual_hash(blobs)
     banded = (
-        sigs.withColumn("band", F.explode(F.sequence(F.lit(0), F.lit(3))))
-        .withColumn("bv", F.expr("shiftright(phash, CAST(band * 15 AS INT)) & 32767"))
+        sigs.withColumn("band", F.explode(F.sequence(F.lit(0), F.lit(PHASH_BANDS - 1))))
+        .withColumn("bv", F.expr(f"shiftright(phash, CAST(band * {width} AS INT)) & {mask}"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     a = banded.filter(F.col("doc_id") < DERIVED_OFFSET).alias("a")
@@ -252,13 +265,15 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_phash() -> str:
     from cdc_postgresql_clickhouse_spark.operators.multimodal import PHASH_BITS
-    from cdc_postgresql_clickhouse_spark.queries.dedup import _SQL_CORPUS
+    from cdc_postgresql_clickhouse_spark.queries.dedup import _SQL_CORPUS, DERIVED_OFFSET
 
+    width = _phash_band_width()
+    mask = (1 << width) - 1
     return f"""
 WITH corpus AS ({_SQL_CORPUS}),
 scoped AS (
   SELECT doc_id, text FROM corpus
-  WHERE doc_id < {PHASH_SCOPE_IDS} OR doc_id >= 1000000
+  WHERE doc_id < {PHASH_SCOPE_IDS} OR doc_id >= {DERIVED_OFFSET}
 ),
 d AS (SELECT doc_id, text, length(text) AS nb FROM scoped),
 chars AS (SELECT doc_id, nb, unnest(range(nb)) AS i FROM d),
@@ -276,14 +291,14 @@ fp AS (
   FROM hist GROUP BY doc_id
 ),
 banded AS (
-  SELECT doc_id, phash, band, (phash >> CAST(band * 15 AS INT)) & 32767 AS bv
-  FROM fp, (SELECT unnest(range(4)) AS band)
+  SELECT doc_id, phash, band, (phash >> CAST(band * {width} AS INT)) & {mask} AS bv
+  FROM fp, (SELECT unnest(range({PHASH_BANDS})) AS band)
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
 FROM banded a
 JOIN banded b ON a.band = b.band AND a.bv = b.bv
-WHERE a.doc_id < 1000000 AND b.doc_id >= 1000000
+WHERE a.doc_id < {DERIVED_OFFSET} AND b.doc_id >= {DERIVED_OFFSET}
   AND bit_count(xor(a.phash, b.phash)) <= {PHASH_HAMMING_MAX}
 """
 

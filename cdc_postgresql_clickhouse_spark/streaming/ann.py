@@ -64,21 +64,28 @@ def ingest_batch_ivf(
     """Assign one micro-batch of (vec_id, embedding) rows against the
     persisted quantizer and append to the cid-partitioned inverted lists.
     On the first batch the quantizer is extracted (vec_id < n_centroids
-    must be present — the seed contract) and persisted."""
+    must be present — the seed contract) and persisted. Model creation and
+    the append both run under the table's ``_state_lock`` (same convention
+    as ``streaming/dedup.py``) so a concurrent ``compact_assignments``
+    cannot swap the directory between this batch's write and its
+    visibility."""
+    from cdc_postgresql_clickhouse_spark.operators.state import _state_lock
+
     emb = batch.select("vec_id", _emb_d().alias("e")).withColumn("nrm", _norm(F.col("e")))
-    mp = _model_path(assign_path)
-    if not os.path.exists(mp):
-        seed = emb.filter(F.col("vec_id") < n_centroids).select(
-            F.col("vec_id").alias("cid"), F.col("e").alias("ce"), F.col("nrm").alias("cn")
-        )
-        if seed.count() < n_centroids:
-            raise ValueError(
-                f"first batch must contain the {n_centroids} seed vectors (vec_id < {n_centroids})"
+    with _state_lock(assign_path):
+        mp = _model_path(assign_path)
+        if not os.path.exists(mp):
+            seed = emb.filter(F.col("vec_id") < n_centroids).select(
+                F.col("vec_id").alias("cid"), F.col("e").alias("ce"), F.col("nrm").alias("cn")
             )
-        seed.coalesce(1).write.parquet(mp)
-    cents = spark.read.parquet(mp)
-    assign = ivf_assign(emb, cents)
-    assign.write.mode("append").partitionBy("cid").parquet(assign_path)
+            if seed.count() < n_centroids:
+                raise ValueError(
+                    f"first batch must contain the {n_centroids} seed vectors (vec_id < {n_centroids})"
+                )
+            seed.coalesce(1).write.parquet(mp)
+        cents = spark.read.parquet(mp)
+        assign = ivf_assign(emb, cents)
+        assign.write.mode("append").partitionBy("cid").parquet(assign_path)
 
 
 def run_incremental_ivf(
@@ -118,7 +125,9 @@ def compact_assignments(spark: SparkSession, assign_path: str, files_per_cid: in
     Same protocol as the posting-table compaction
     (``streaming/postings.py::compact_partitioned_index``): distinct rows
     (dropping at-least-once replay duplicates), bounded files per cid,
-    staged atomic-rename swap under the single-writer fence."""
+    staged rename swap under the single-writer fence shared with
+    ``ingest_batch_ivf`` (writer-safe; readers must tolerate a transient
+    missing table during the swap — see ``compact_postings``)."""
     from cdc_postgresql_clickhouse_spark.streaming.postings import (
         compact_partitioned_index,
     )

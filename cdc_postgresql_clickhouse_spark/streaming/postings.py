@@ -51,9 +51,16 @@ def term_shard(term) -> F.Column:
 
 def ingest_batch_postings(batch: DataFrame, postings_path: str) -> None:
     """Append one micro-batch of (doc_id, text) rows to the term-sharded
-    posting table."""
+    posting table. The append holds the table's ``_state_lock`` (same
+    convention as ``streaming/dedup.py`` mutators) so a concurrent
+    compaction cannot snapshot-and-swap between this batch's write and its
+    visibility — without the lock, an append landing mid-compact would be
+    silently dropped by the directory swap."""
+    from cdc_postgresql_clickhouse_spark.operators.state import _state_lock
+
     p = build_postings(batch).withColumn("shard", term_shard(F.col("term")))
-    p.write.mode("append").partitionBy("shard").parquet(postings_path)
+    with _state_lock(postings_path):
+        p.write.mode("append").partitionBy("shard").parquet(postings_path)
 
 
 def read_postings(spark: SparkSession, postings_path: str) -> DataFrame:
@@ -103,13 +110,20 @@ def compact_postings(spark: SparkSession, postings_path: str, files_per_shard: i
     files, dropping the replay duplicates the readers currently pay a
     ``distinct()`` for. Same single-writer fence as the CDC state machinery
     (``operators/state.py::_state_lock``): compaction is read-modify-rewrite
-    on plain parquet, so racing an active ingest could lose an appended
-    segment — the lock turns that race into ``StateLockError`` (the search
+    on plain parquet, and ``ingest_batch_postings`` appends under the same
+    lock, so a compact racing an active ingest raises ``StateLockError`` on
+    one side instead of silently dropping the appended segment (the search
     analogue of Lucene's merge lock / ClickHouse OPTIMIZE).
 
     Rewrite protocol: stage the compacted table beside the live one, then
-    atomically swap via rename — a reader never sees a half-written shard,
-    and a crash mid-compact leaves the live table untouched."""
+    swap via two renames. WRITER safety is full (a crash mid-compact leaves
+    the live table or a complete staged copy, never a half-written shard);
+    READER safety is weaker than atomic — between the two renames the table
+    path transiently does not exist, and removing the old directory can
+    invalidate an in-flight scan holding handles to pre-compact segments.
+    Readers must tolerate a transient missing/relisted table (retry the
+    read); a fully lock-free reader protocol needs a versioned directory +
+    manifest pointer (what Delta/Iceberg provide)."""
     compact_partitioned_index(
         spark, postings_path, ["doc_id", "term", "tf", "shard"], "shard", files_per_shard
     )

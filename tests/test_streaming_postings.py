@@ -128,3 +128,27 @@ def test_compact_assignments_preserves_probe_results(spark, sf_dir, tmp_path):
     assert raw.count() == raw.distinct().count()  # physical dups gone
     for d in glob.glob(os.path.join(idx, "cid=*")):
         assert len(glob.glob(os.path.join(d, "*.parquet"))) == 1, d
+
+
+def test_ingest_refuses_during_active_compaction(spark, sf_dir, tmp_path):
+    """ADVICE r4 (medium): the compact-vs-ingest race is only closed if the
+    INGEST side also takes the fence — a batch appended between compaction's
+    snapshot read and the directory swap would be silently lost. Pin that
+    both real ingest paths raise while another mutator holds the lock."""
+    import pytest
+
+    from cdc_postgresql_clickhouse_spark.operators.state import StateLockError, _state_lock
+    from cdc_postgresql_clickhouse_spark.streaming.ann import ingest_batch_ivf
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(5)
+    idx = str(tmp_path / "idx")
+    ingest_batch_postings(docs, idx)
+    with _state_lock(idx):
+        with pytest.raises(StateLockError):
+            ingest_batch_postings(docs, idx)
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding").limit(64)
+    ap = str(tmp_path / "assign")
+    with _state_lock(ap):
+        with pytest.raises(StateLockError):
+            ingest_batch_ivf(spark, emb, ap)

@@ -1,8 +1,10 @@
 """Rotation-policy guard: every registered query that has never had a
 driver CORRECTNESS row must sit inside the driver's 50-query window
-(COVERAGE.md policy rule 2). A new query appended after position 49 would
-silently never be driver-verified — this test makes that a red build
-instead."""
+(COVERAGE.md policy rule 2), and every query whose LATEST driver row is red
+must stay inside the window until it goes green (rule 2b, added r5 per
+VERDICT r4). A new query appended after position 49 — or a red query rotated
+out while still unproven-fixed — would silently never be driver-verified;
+this test makes both a red build instead."""
 
 from __future__ import annotations
 
@@ -14,6 +16,27 @@ WINDOW = 50
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def _driver_rows() -> dict[str, tuple[int, bool]]:
+    """query -> (latest round with a row, that row was green)."""
+    rounds: dict[int, dict] = {}
+    for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        with open(path) as f:
+            data = json.load(f)
+        if isinstance(data, dict):
+            rounds[int(path.rsplit("_r", 1)[1].split(".")[0])] = data
+    latest: dict[str, tuple[int, bool]] = {}
+    for r in sorted(rounds):
+        for q, v in rounds[r].items():
+            green = bool(
+                v.get("rows_match")
+                and v.get("schema_match")
+                and v.get("hash_match") is not False
+                and not v.get("err")
+            )
+            latest[q] = (r, green)
+    return latest
+
+
 def test_never_driver_checked_queries_register_inside_window():
     from cdc_postgresql_clickhouse_spark.queries import all_oracles, all_queries
 
@@ -22,16 +45,24 @@ def test_never_driver_checked_queries_register_inside_window():
     # every query still has an oracle twin (100% oracle coverage invariant)
     assert set(names) == set(all_oracles())
 
-    seen: set[str] = set()
-    for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
-        with open(path) as f:
-            data = json.load(f)
-        if isinstance(data, dict):
-            seen |= set(data)
+    seen = set(_driver_rows())
     window = set(names[:WINDOW])
     never = [n for n in names if n not in seen]
     outside = [n for n in never if n not in window]
     assert not outside, f"never-driver-checked queries outside the window: {outside}"
+
+
+def test_red_latest_driver_rows_register_inside_window():
+    """Rule 2b: a query whose most recent driver CORRECTNESS row failed must
+    re-register inside the first-50 window — rotating it out would leave the
+    registry's only hard red signal unretested."""
+    from cdc_postgresql_clickhouse_spark.queries import all_queries
+
+    names = list(all_queries())
+    window = set(names[:WINDOW])
+    reds = [q for q, (_, green) in _driver_rows().items() if not green and q in names]
+    outside = [q for q in reds if q not in window]
+    assert not outside, f"red-latest queries outside the window: {outside}"
 
 
 def test_window_front_is_exactly_the_driver_window():
