@@ -74,26 +74,29 @@ _WINDOW_FRONT = [
     "cdc_current_state", "cdc_soft_delete_state", "cdc_envelope_transform",
     "cdc_epoch_micros_roundtrip", "cdc_count_final", "cdc_idempotent_replay",
     "cdc_scd2_history", "cdc_reconciliation_report",
-    # rule 2: never driver-checked — streaming e2e (8)
-    "streaming_incremental_dedup", "streaming_minhash_neardup",
-    "streaming_tumbling_equiv", "streaming_late_data_drop",
-    "streaming_session_equiv", "streaming_ivf_ingest_equiv",
-    "streaming_cdc_pipeline_equiv", "streaming_postings_ingest_equiv",
-    # rule 2: round-3 additions (9) + round-4 (the rest)
-    "text_winnowing_fingerprints", "doc_chunking", "chunk_dedup_content_defined",
-    "embedding_semantic_cluster", "text_langid_chargram", "text_pii_redact",
-    "text_html_strip", "corpus_version_diff", "events_transition_matrix",
-    "dedup_cluster_size_hist", "dedup_exact_substring", "dedup_lines",
-    "corpus_training_manifest", "corpus_temperature_mixture",
-    "sketch_kmv_distinct", "events_anomaly_mad", "events_user_ewma",
-    "sketch_hll_distinct", "sketch_cms_heavy_hitters", "sketch_kmv_union",
-    "layout_zorder_clustering", "bpe_train_merges", "bpe_token_count",
-    "graph_pagerank_types", "text_bm25_search", "ann_pq_topk",
-    "multimodal_audio_frames", "multimodal_phash_neardup",
-    "retrieval_hybrid_rrf", "corpus_dsir_weights",
-    "text_ccnet_buckets", "graph_sssp_types", "graph_triangle_types",
-    "dedup_soft_weights",
-    # rule 3: refill to 50 with r3-green families (oldest proof first)
+    # rule 2b: latest driver row red (r4 hash-fail; integer-exact rewrite
+    # this round must re-prove under the driver) (1)
+    "events_anomaly_mad",
+    # rule 2: never driver-checked — round-5 additions (2)
+    "sketch_quantile_bottomk", "sketch_quantile_merge",
+    # rule 3: refill with the oldest proofs — last checked r2 (39 of 43;
+    # pivot/rollup/sliding/fingerprint variants deferred to r6, their
+    # machinery is covered by the cube/tumbling/asof rows kept here)
+    "q1_pricing_summary", "q2_min_cost_supplier", "q3_shipping_priority",
+    "q4_order_priority", "q5_region_revenue", "q6_forecast_revenue",
+    "q7_nation_volume", "q8_market_share", "q9_product_profit",
+    "q10_returned_revenue", "q11_important_parts", "q12_priority_shipping",
+    "q13_order_count_distribution", "q14_promo_revenue", "q15_top_supplier",
+    "q16_supplier_part_counts", "q17_small_quantity_revenue",
+    "q18_large_orders", "q19_disjunctive_predicates", "q20_bolt_suppliers",
+    "q21_waiting_supplier", "q22_idle_customers",
+    "agg_distinct_counts", "asof_latest_order", "asof_prev_purchase",
+    "cube_returnflag_status", "customer_spend_deciles",
+    "customers_without_orders", "events_json_extract", "events_sessionize",
+    "events_tumbling_5min", "full_outer_activity", "monthly_revenue_rollup",
+    "percentile_prices_by_status", "rolling_30day_spend",
+    "set_except_nonbuilding_buyers", "set_intersect_building_buyers",
+    "topk_orders", "window_running_total",
 ]
 
 

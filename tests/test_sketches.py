@@ -250,3 +250,65 @@ def test_kmv_merge_equals_direct_build(spark, sf_dir):
             direct = (KMV_K - 1) / (int(hashes[KMV_K - 1], 16) / _NORM)
         import math
         assert est == math.floor(direct * 1e6) / 1e6, (a, b, est, direct)
+
+
+def test_quantile_bottomk_merge_equals_direct_build(spark, sf_dir):
+    """The mergeable-quantile property: pair-of-types quantiles computed
+    from the two per-type bottom-k states must EQUAL quantiles from a
+    direct bottom-k build over the combined stream — exactly, not
+    approximately (bottom-k of a union of bottom-k's is the union's
+    bottom-k; event ids are disjoint across types)."""
+    from pyspark.sql import functions as F
+
+    from cdc_postgresql_clickhouse_spark.queries.sketches import (
+        QSK_K,
+        _bottomk_state,
+        _sample_quantiles,
+        sketch_quantile_merge,
+    )
+    from cdc_postgresql_clickhouse_spark.sources.registry import load_table
+
+    merged = {
+        (r.type_a, r.type_b): (r.m_sample, r.p25_cents, r.p50_cents, r.p75_cents)
+        for r in sketch_quantile_merge(spark, sf_dir).collect()
+    }
+    assert merged
+    ev = load_table(spark, sf_dir, "events")
+    for (a, b), got in list(merged.items())[:3]:  # 3 pairs: direct build is per-pair work
+        combined = ev.filter(F.col("event_type").isin(a, b)).withColumn(
+            "event_type", F.lit(f"{a}|{b}")
+        )
+        st = _bottomk_state(combined, QSK_K)
+        r = _sample_quantiles(st, ["event_type"]).first()
+        assert got == (r.m_sample, r.p25_cents, r.p50_cents, r.p75_cents), (a, b)
+
+
+def test_quantile_bottomk_schema_and_sample_accuracy(spark, sf_dir):
+    """All-BIGINT output; sample quantiles land within the O(1/sqrt(k))
+    rank-error band of the exact quantiles."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StringType
+
+    from cdc_postgresql_clickhouse_spark.queries.sketches import sketch_quantile_bottomk
+    from cdc_postgresql_clickhouse_spark.sources.registry import load_table
+
+    out = sketch_quantile_bottomk(spark, sf_dir)
+    for f in out.schema.fields:
+        assert isinstance(f.dataType, (LongType, StringType)), f
+    rows = {r.event_type: r for r in out.collect()}
+    assert rows
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c")
+    )
+    for et, r in rows.items():
+        assert r.p25_cents <= r.p50_cents <= r.p75_cents, r
+        cs = sorted(x.c for x in ev.filter(F.col("event_type") == et).collect())
+        n = len(cs)
+        # rank error ~ n/sqrt(k) at k=64 -> 12.5% of n; allow 4 sigma
+        for q, got in ((0.25, r.p25_cents), (0.5, r.p50_cents), (0.75, r.p75_cents)):
+            import bisect
+            lo_rank = bisect.bisect_left(cs, got)
+            hi_rank = bisect.bisect_right(cs, got)
+            target = q * n
+            slack = 0.5 * n  # 4 sigma at k=64
+            assert lo_rank - slack <= target <= hi_rank + slack, (et, q, got)
