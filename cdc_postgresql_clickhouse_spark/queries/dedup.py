@@ -405,3 +405,143 @@ JOIN counts cb ON cb.doc_id = doc_b
 WHERE CAST(FLOOR((CAST(n_inter AS DOUBLE) / (ca.n_g + cb.n_g - n_inter)) * 1000000.0) AS DOUBLE) / 1000000.0 >= 0.5
 """,
 }
+
+
+# --- bottom-k containment (near-superset / quote detection) ------------------
+#
+# Asymmetric overlap C(A,B) = |A∩B| / |A| over shingle sets — the twin the
+# symmetric Jaccard pipeline above cannot express: a short quote lifted from
+# a long document has containment ~1 but Jaccard ~|quote|/|doc| ~ 0, so
+# banded Jaccard-LSH never surfaces it (Broder 1997 distinguishes resemblance
+# vs containment for exactly this reason). The corpus-cleaning use case is
+# quote/near-superset detection: find documents that are substantially
+# CONTAINED in another document even when the host is much larger.
+#
+# Estimator (set-pure, hence oracle-exact — the KMV/bottom-k device again):
+# A's state is the CONT_K smallest md5(shingle) values (one-permutation
+# bottom-k minhash); each sampled shingle-hash is membership-tested against
+# the corpus shingle inverted index via an equi-join on the hash, and
+# C(A,B) ~ hits/|sample| reported as integer PPM (hits*1e6 div m) — every
+# output column BIGINT.
+#
+# Scale shape: the sample is k rows per doc (corpus-independent state); the
+# membership join's fan-out per sampled hash is that shingle's document
+# frequency, so ubiquitous shingles would go quadratic — the DF CAP
+# (CONT_DF_CAP) drops shingles with df > cap from BOTH the index and the
+# sample domain (the estimator stays consistent: containment over the
+# rare-shingle subset), the same df-bounding discipline as the ExactSubstr
+# frequency pre-aggregation and a WAND-style upper bound: a shingle shared
+# by >cap documents carries no near-superset signal. At 100 TB: one shingle
+# explode, one df agg, one bounded equi-join — never O(n^2).
+#
+# Fixture: a planted QUOTE family (doc_id + QUOTE_OFFSET = the first
+# QUOTE_TOKENS tokens of each doc_id < QUOTE_IDS) provides true positives
+# with low Jaccard by construction; the near-dup family (first token
+# dropped) additionally yields quote-in-neardup pairs at (q-1)/q
+# containment. Both deterministic in both engines.
+
+QUOTE_IDS = 30
+QUOTE_TOKENS = 20
+QUOTE_OFFSET = 2_000_000
+CONT_K = 32
+CONT_DF_CAP = 100
+CONT_THRESHOLD_PPM = 800_000
+
+
+def _containment_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    quotes = docs.filter(F.col("doc_id") < QUOTE_IDS).select(
+        (F.col("doc_id") + QUOTE_OFFSET).alias("doc_id"),
+        F.array_join(F.slice(tokens(F.col("text")), 1, QUOTE_TOKENS), " ").alias("text"),
+    )
+    return _corpus(spark, sf_dir).unionByName(quotes)
+
+
+def dedup_minhash_containment(
+    spark: SparkSession, sf_dir: str, k: int = CONT_K
+) -> DataFrame:
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    corpus = _containment_corpus(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    shs = (
+        corpus.select("doc_id", tokens(F.col("text")).alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(word_shingles(F.col("toks"), 3))).alias("shingle"),
+        )
+        .select("doc_id", F.md5("shingle").alias("h"))
+    )
+    rare = shs.groupBy("h").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= CONT_DF_CAP
+    )
+    capped = shs.join(rare.select("h"), "h", "left_semi").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )  # feeds both the sample and the membership index
+    w = Window.partitionBy("doc_id").orderBy("h")
+    sample = capped.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    m = sample.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("m_sample"))
+    hits = (
+        sample.select(F.col("doc_id").alias("doc_sub"), "h")
+        .join(capped.select(F.col("doc_id").alias("doc_sup"), "h"), "h")
+        .filter(F.col("doc_sub") != F.col("doc_sup"))
+        .groupBy("doc_sub", "doc_sup")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    return (
+        hits.join(m.withColumnRenamed("doc_id", "doc_sub"), "doc_sub")
+        .select(
+            "doc_sub",
+            "doc_sup",
+            "m_sample",
+            "n_hits",
+            F.expr("n_hits * 1000000 div m_sample").alias("containment_ppm"),
+        )
+        .filter(F.col("containment_ppm") >= CONT_THRESHOLD_PPM)
+    )
+
+
+_SQL_CONT_CORPUS = f"""
+{_SQL_CORPUS}
+UNION ALL
+SELECT doc_id + {QUOTE_OFFSET} AS doc_id,
+       array_to_string(list_slice({_SQL_TOKENS}, 1, {QUOTE_TOKENS}), ' ') AS text
+FROM documents WHERE doc_id < {QUOTE_IDS}
+"""
+
+_SQL_CONTAINMENT = f"""
+WITH corpus AS ({_SQL_CONT_CORPUS}),
+shs AS (
+  SELECT doc_id, md5(shingle) AS h FROM ({_SQL_SHINGLES})
+),
+rare AS (
+  SELECT h FROM (SELECT h, COUNT(*) AS df FROM shs GROUP BY h) WHERE df <= {CONT_DF_CAP}
+),
+capped AS (
+  SELECT shs.doc_id, shs.h FROM shs JOIN rare USING (h)
+),
+sample AS (
+  SELECT doc_id, h FROM (
+    SELECT doc_id, h, row_number() OVER (PARTITION BY doc_id ORDER BY h) AS rn
+    FROM capped
+  ) WHERE rn <= {CONT_K}
+),
+m AS (SELECT doc_id, COUNT(*) AS m_sample FROM sample GROUP BY doc_id),
+hits AS (
+  SELECT s.doc_id AS doc_sub, c.doc_id AS doc_sup, COUNT(*) AS n_hits
+  FROM sample s JOIN capped c USING (h)
+  WHERE s.doc_id <> c.doc_id
+  GROUP BY s.doc_id, c.doc_id
+)
+SELECT hits.doc_sub, hits.doc_sup,
+       CAST(m.m_sample AS BIGINT) AS m_sample,
+       CAST(hits.n_hits AS BIGINT) AS n_hits,
+       CAST(hits.n_hits * 1000000 // m.m_sample AS BIGINT) AS containment_ppm
+FROM hits JOIN m ON m.doc_id = hits.doc_sub
+WHERE hits.n_hits * 1000000 // m.m_sample >= {CONT_THRESHOLD_PPM}
+"""
+
+QUERIES["dedup_minhash_containment"] = dedup_minhash_containment
+ORACLE["dedup_minhash_containment"] = _SQL_CONTAINMENT
