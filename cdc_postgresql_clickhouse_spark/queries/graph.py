@@ -285,3 +285,108 @@ FROM nodes n LEFT JOIN per p ON p.event_type = n.event_type
 
 QUERIES["graph_triangle_types"] = graph_triangle_types
 ORACLE["graph_triangle_types"] = _SQL_TRIANGLES
+
+
+# --- k-core decomposition (iterative h-index) --------------------------------
+#
+# Coreness of every node in the UNDIRECTED transition graph — the density
+# primitive next to PageRank (importance), SSSP (distance), triangles
+# (local clustering) and the CC machinery (components): the k-core is the
+# maximal subgraph of minimum degree k, and a node's coreness is the
+# largest k of a core containing it (community-strength / nucleus
+# detection in corpus graphs).
+#
+# Sequential peeling (remove min-degree nodes repeatedly) is inherently
+# serial; the DISTRIBUTED formulation is the h-index fixpoint of Lü et al.
+# 2016 (Nature Physics): start c_0(v) = degree(v) and iterate
+# c_{t+1}(v) = H({c_t(u) : u ~ v}) where H is the h-index (the largest h
+# such that >= h neighbors have value >= h). The sequence is non-increasing
+# and converges to coreness exactly; every quantity is an INTEGER and the
+# synchronous update is order-independent, so both engines agree
+# bit-for-bit at ANY fixed round count — the oracle unrolls KCORE_ITERS
+# rounds whether or not the graph has converged (the fixture's 5-node type
+# graph converges in 1-2).
+#
+# Per round: one keyed join (values → adjacency) + one windowed rank + one
+# keyed MAX — shuffle bounded by the (symmetrized) edge list, the same
+# budget as a PageRank round. The h-index itself is rank arithmetic: sort
+# neighbor values desc, h = max_i min(v_i, i) — no doubles anywhere.
+# localCheckpoint cuts the per-round lineage (state is |nodes| rows).
+
+KCORE_ITERS = 4
+
+
+def kcore_values(nbrs: DataFrame, iters: int = KCORE_ITERS) -> DataFrame:
+    """Iterative h-index over a symmetric (t, nb) adjacency — returns
+    (t, coreness). Factored out so tests can drive planted graphs."""
+    cur = nbrs.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("v"))
+    for _ in range(iters):
+        vals = nbrs.join(
+            cur.select(F.col("t").alias("nb"), F.col("v").alias("nv")), "nb"
+        ).select("t", "nv")
+        w = Window.partitionBy("t").orderBy(F.desc("nv"), F.asc("t"))
+        ranked = vals.withColumn("rn", F.row_number().over(w))
+        cur = (
+            ranked.groupBy("t")
+            .agg(F.max(F.least(F.col("nv"), F.col("rn"))).cast("long").alias("v"))
+            .localCheckpoint(eager=True)
+        )
+    return cur
+
+
+def graph_kcore_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "event_type", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.lag("event_type").over(w).alias("src"), F.col("event_type").alias("dst")
+    ).filter(F.col("src").isNotNull() & (F.col("src") != F.col("dst")))
+    und = pairs.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    nbrs = (
+        und.select(F.col("a").alias("t"), F.col("b").alias("nb"))
+        .unionByName(und.select(F.col("b").alias("t"), F.col("a").alias("nb")))
+        .persist()
+    )
+    return kcore_values(nbrs).select(
+        F.col("t").alias("event_type"), F.col("v").alias("coreness")
+    )
+
+
+def _sql_kcore_round(i: int) -> str:
+    return f"""
+vals{i} AS (
+  SELECT n.t, c.v AS nv FROM nbrs n JOIN c{i} c ON c.t = n.nb
+),
+ranked{i} AS (
+  SELECT t, nv, row_number() OVER (PARTITION BY t ORDER BY nv DESC, t ASC) AS rn
+  FROM vals{i}
+),
+c{i + 1} AS (
+  SELECT t, CAST(MAX(LEAST(nv, rn)) AS BIGINT) AS v FROM ranked{i} GROUP BY t
+)"""
+
+
+_SQL_KCORE = (
+    f"""
+WITH seq AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
+         event_type AS dst
+  FROM events
+),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM seq WHERE src IS NOT NULL AND src <> dst
+),
+nbrs AS (
+  SELECT a AS t, b AS nb FROM und UNION ALL SELECT b AS t, a AS nb FROM und
+),
+c0 AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS v FROM nbrs GROUP BY t),"""
+    + ",".join(_sql_kcore_round(i) for i in range(KCORE_ITERS))
+    + f"""
+SELECT t AS event_type, v AS coreness FROM c{KCORE_ITERS}
+"""
+)
+
+QUERIES["graph_kcore_types"] = graph_kcore_types
+ORACLE["graph_kcore_types"] = _SQL_KCORE

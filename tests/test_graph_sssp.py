@@ -58,3 +58,35 @@ def test_sssp_unreachable_is_minus_one(spark):
         assert dist["z"] == -1
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_kcore_hindex_converges_on_planted_graph(spark):
+    """Planted graph with known coreness: a 4-clique {10,11,12,13} (coreness
+    3 each), a pendant 14-10 (coreness 1), and a path 20-21-22 (coreness 1).
+    The h-index iteration must land on the exact coreness, and be
+    non-increasing round over round (it starts at degree)."""
+    from cdc_postgresql_clickhouse_spark.queries.graph import kcore_values
+
+    clique = [(a, b) for a in (10, 11, 12, 13) for b in (10, 11, 12, 13) if a < b]
+    edges = clique + [(10, 14), (20, 21), (21, 22)]
+    und = spark.createDataFrame(edges, "a int, b int")
+    nbrs = und.selectExpr("a AS t", "b AS nb").unionByName(
+        und.selectExpr("b AS t", "a AS nb")
+    )
+    got = {r.t: r.v for r in kcore_values(nbrs, iters=6).collect()}
+    assert got == {10: 3, 11: 3, 12: 3, 13: 3, 14: 1, 20: 1, 21: 1, 22: 1}
+    # monotone: one round from degree must be >= the fixpoint everywhere
+    one = {r.t: r.v for r in kcore_values(nbrs, iters=1).collect()}
+    assert all(one[t] >= got[t] for t in got)
+
+
+def test_kcore_fixture_bounds(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from cdc_postgresql_clickhouse_spark.queries.graph import graph_kcore_types
+
+    out = graph_kcore_types(spark, sf_dir).cache()
+    assert out.count() > 0
+    # coreness is positive and bounded by n_nodes - 1
+    n = out.count()
+    assert out.filter((F.col("coreness") < 1) | (F.col("coreness") > n - 1)).count() == 0
