@@ -335,8 +335,11 @@ def _rho_case(col: str) -> str:
     return f"(CASE {arms} ELSE {_HLL_SUFFIX_BITS + 1} END)"
 
 
-def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+def hll_registers(ev: DataFrame) -> DataFrame:
+    """(event_type, reg, mj): per-register maxima of rho — THE mergeable HLL
+    state (two register tables merge by per-cell MAX). Factored out so the
+    streaming ingest (``streaming/sketch.py``) appends per-batch register
+    tables that read-time max-merge into exactly this."""
     hashed = ev.select(
         "event_type",
         F.conv(
@@ -348,11 +351,17 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(F.col("v"), _HLL_SUFFIX_BITS).alias("reg"),
         (F.col("v") % F.lit(1 << _HLL_SUFFIX_BITS)).alias("w"),
     )
-    regs = (
+    return (
         split.withColumn("rho", F.expr(_rho_case("w")).cast("int"))
         .groupBy("event_type", "reg")
         .agg(F.max("rho").alias("mj"))
     )
+
+
+def hll_report(regs: DataFrame, ev: DataFrame) -> DataFrame:
+    """The estimator tail over a register table: integer harmonic sum,
+    alpha correction, linear-counting small-range branch, plus the exact
+    distinct for the error column."""
     per = regs.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("registers_used"),
         F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_SUFFIX_BITS + 1} - mj)"))
@@ -377,6 +386,11 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hll_estimate"
         ),
     )
+
+
+def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return hll_report(hll_registers(ev), ev)
 
 
 def _sql_hex_int(col: str, digits: int) -> str:

@@ -578,3 +578,46 @@ ORACLE["streaming_ivf_ingest_equiv"] = _SIM_ORACLE["ann_ivf_topk"]
 from cdc_postgresql_clickhouse_spark.queries.search import ORACLE as _SEARCH_ORACLE  # noqa: E402
 
 ORACLE["streaming_postings_ingest_equiv"] = _SEARCH_ORACLE["text_bm25_search"]
+
+
+def streaming_hll_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cardinality sketch: ``events`` is split into 2+
+    micro-batches BY USER (user_id parity, so both batches contribute
+    maxima to the same registers), drained through the append-only HLL
+    register ingest, max-merged at read time, and scored with the batch
+    estimator. Oracle = the batch ``sketch_hll_distinct`` SQL — the
+    sketch-merge property (max-of-maxes = max over the union) as a real
+    streaming driver row."""
+    import os
+    import shutil
+    import tempfile
+
+    from cdc_postgresql_clickhouse_spark.queries.sketches import hll_report
+    from cdc_postgresql_clickhouse_spark.streaming.sketch import (
+        read_hll_registers,
+        run_incremental_hll,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    tmp = tempfile.mkdtemp(prefix="stream_hll_")
+    try:
+        src = os.path.join(tmp, "src")
+        ev.filter(F.col("user_id") % 2 == 0).coalesce(1).write.parquet(src)
+        ev.filter(F.col("user_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+        run_incremental_hll(
+            spark, src, os.path.join(tmp, "state"), os.path.join(tmp, "ckpt"),
+            max_files_per_trigger=1,
+        )
+        regs = read_hll_registers(spark, os.path.join(tmp, "state"))
+        return _materialized(hll_report(regs, ev))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+QUERIES["streaming_hll_equiv"] = streaming_hll_equiv
+
+# the incrementally-merged registers must estimate identically to the
+# batch-built sketch: literally the batch HLL oracle
+from cdc_postgresql_clickhouse_spark.queries.sketches import ORACLE as _SK_ORACLE  # noqa: E402
+
+ORACLE["streaming_hll_equiv"] = _SK_ORACLE["sketch_hll_distinct"]

@@ -1,0 +1,49 @@
+"""Streaming HLL: the append-only register log max-merges to exactly the
+batch-built sketch, and replay is a no-op (MAX is idempotent)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cdc_postgresql_clickhouse_spark.queries.sketches import hll_registers
+from cdc_postgresql_clickhouse_spark.sources.registry import load_table
+from cdc_postgresql_clickhouse_spark.streaming.sketch import (
+    ingest_batch_hll,
+    read_hll_registers,
+    run_incremental_hll,
+)
+
+
+def _regset(df):
+    return {(r.event_type, r.reg, r.mj) for r in df.collect()}
+
+
+def test_streamed_registers_equal_batch_build(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    src = str(tmp_path / "src")
+    ev.filter(F.col("user_id") % 2 == 0).coalesce(1).write.parquet(src)
+    ev.filter(F.col("user_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+    state = str(tmp_path / "state")
+    run_incremental_hll(spark, src, state, str(tmp_path / "ckpt"), max_files_per_trigger=1)
+    assert _regset(read_hll_registers(spark, state)) == _regset(hll_registers(ev))
+
+
+def test_replay_is_idempotent_under_max_merge(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id").limit(200)
+    state = str(tmp_path / "state")
+    ingest_batch_hll(ev, state)
+    once = _regset(read_hll_registers(spark, state))
+    ingest_batch_hll(ev, state)  # at-least-once replay
+    assert _regset(read_hll_registers(spark, state)) == once
+
+
+def test_ingest_refuses_during_active_compaction(spark, sf_dir, tmp_path):
+    import pytest
+
+    from cdc_postgresql_clickhouse_spark.operators.state import StateLockError, _state_lock
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id").limit(50)
+    state = str(tmp_path / "state")
+    with _state_lock(state):
+        with pytest.raises(StateLockError):
+            ingest_batch_hll(ev, state)
