@@ -172,12 +172,23 @@ RRF_K = 60
 RRF_TOPK = 5
 
 
-def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cdc_postgresql_clickhouse_spark.queries.similarity import ann_bruteforce_topk
-    dense = ann_bruteforce_topk(spark, sf_dir).select(
-        "q_id", F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("d_rank")
-    )
+def lexical_matched(
+    spark: SparkSession, sf_dir: str, df_prune_frac: float | None = None
+) -> tuple[DataFrame, int]:
+    """The lexical leg's candidate join: (query doc, corpus doc) rows for
+    every shared term, carrying df. Returns (matched, n_docs).
 
+    ``df_prune_frac`` is the WAND-style hot-term bound (VERDICT r4 #8):
+    with it set, query terms whose df exceeds ``frac * N`` are skipped
+    BEFORE the join, so the intermediate's cardinality is bounded by
+    sum(df) over the surviving (rare) terms instead of being df-proportional
+    on stopword-frequency terms (a term with df = N produces |queries| x N
+    rows unpruned). The prune is an approximation with a quantified cap:
+    a dropped term has idf = ln(1 + (N - df + 0.5)/(df + 0.5)) <
+    ln(1 + 1/frac - 1 + eps) ~ ln(1/frac) micro-units of score — at
+    frac = 0.5 under 0.7 score-micro-units per term, which is why such
+    terms cannot reorder an idf-weighted top-k except on near-ties. The
+    REGISTERED row keeps prune off so the oracle stays exact."""
     docs = load_table(spark, sf_dir, "documents")
     n_docs = docs.count()
     terms = docs.select(
@@ -187,13 +198,10 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_terms = terms.filter(F.col("doc_id") % 100 == 0).select(
         F.col("doc_id").alias("q_id"), "term"
     )
-    idf_micro = F.floor(
-        F.log(
-            F.lit(1.0)
-            + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-        )
-        * F.lit(1000000.0)
-    ).cast("long")
+    if df_prune_frac is not None:
+        cap = int(df_prune_frac * n_docs)
+        rare = df_t.filter(F.col("df") <= cap).select("term")
+        q_terms = q_terms.join(rare, "term", "left_semi")
     # q_terms is NOT broadcast-hinted: the fixture's query set is a 1%%
     # slice of the corpus (doc_id %% 100 == 0), i.e. corpus-proportional —
     # a production RRF has a small fixed query set and AQE will broadcast
@@ -204,6 +212,25 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") != F.col("q_id"))
         .join(df_t, "term")
     )
+    return matched, n_docs
+
+
+def retrieval_hybrid_rrf(
+    spark: SparkSession, sf_dir: str, df_prune_frac: float | None = None
+) -> DataFrame:
+    from cdc_postgresql_clickhouse_spark.queries.similarity import ann_bruteforce_topk
+    dense = ann_bruteforce_topk(spark, sf_dir).select(
+        "q_id", F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("d_rank")
+    )
+
+    matched, n_docs = lexical_matched(spark, sf_dir, df_prune_frac)
+    idf_micro = F.floor(
+        F.log(
+            F.lit(1.0)
+            + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        )
+        * F.lit(1000000.0)
+    ).cast("long")
     per_doc = (
         matched.select("q_id", "doc_id", idf_micro.alias("im"))
         .groupBy("q_id", "doc_id")

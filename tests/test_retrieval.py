@@ -41,3 +41,31 @@ def test_rrf_double_top_candidate_wins(spark, sf_dir):
         both_top = [r for r in rs if r.dense_rank == 1 and r.sparse_rank == 1]
         if both_top:
             assert both_top[0].rank == 1, (q, both_top)
+
+
+def test_rrf_df_prune_bounds_matched_cardinality(spark, sf_dir):
+    """WAND-style hot-term prune: with df_prune_frac set, the lexical leg's
+    candidate join must (a) contain no row whose term df exceeds frac*N —
+    the cardinality bound sum(df | df <= cap) by construction — and (b) be
+    strictly smaller than the unpruned join on this fixture (hot terms
+    exist), while the pruned query still fills its top-k."""
+    from pyspark.sql import functions as F
+
+    from cdc_postgresql_clickhouse_spark.queries.search import (
+        RRF_TOPK,
+        lexical_matched,
+        retrieval_hybrid_rrf,
+    )
+
+    frac = 0.2
+    full, n_docs = lexical_matched(spark, sf_dir, None)
+    pruned, _ = lexical_matched(spark, sf_dir, frac)
+    cap = int(frac * n_docs)
+    assert pruned.filter(F.col("df") > cap).count() == 0
+    n_full, n_pruned = full.count(), pruned.count()
+    assert n_pruned < n_full, (n_pruned, n_full)
+    # fixture sanity: the prune actually bites (hot terms exist)
+    assert n_full - n_pruned > 0.1 * n_full
+    out = retrieval_hybrid_rrf(spark, sf_dir, df_prune_frac=frac)
+    per_q = out.groupBy("q_id").count().collect()
+    assert per_q and all(r["count"] == RRF_TOPK for r in per_q)
