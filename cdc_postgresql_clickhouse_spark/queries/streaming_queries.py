@@ -621,3 +621,47 @@ QUERIES["streaming_hll_equiv"] = streaming_hll_equiv
 from cdc_postgresql_clickhouse_spark.queries.sketches import ORACLE as _SK_ORACLE  # noqa: E402
 
 ORACLE["streaming_hll_equiv"] = _SK_ORACLE["sketch_hll_distinct"]
+
+
+def streaming_quantile_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental quantile sketch: ``events`` split into 2+ per-user
+    micro-batches, each appending its own bottom-k state; the read-time
+    re-rank of the union IS the batch state (bottom-k of a union of
+    bottom-k's = the union's bottom-k), so the streamed sketch scores with
+    the batch quantile tail and the oracle is literally the batch
+    ``sketch_quantile_bottomk`` SQL."""
+    import os
+    import shutil
+    import tempfile
+
+    from cdc_postgresql_clickhouse_spark.queries.sketches import _sample_quantiles
+    from cdc_postgresql_clickhouse_spark.streaming.sketch import (
+        read_bottomk_state,
+        run_incremental_bottomk,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "user_id", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_qsk_")
+    try:
+        src = os.path.join(tmp, "src")
+        ev.filter(F.col("user_id") % 2 == 0).coalesce(1).write.parquet(src)
+        ev.filter(F.col("user_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+        run_incremental_bottomk(
+            spark, src, os.path.join(tmp, "state"), os.path.join(tmp, "ckpt"),
+            max_files_per_trigger=1,
+        )
+        st = read_bottomk_state(spark, os.path.join(tmp, "state"))
+        qs = _sample_quantiles(st, ["event_type"])
+        n = ev.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        out = qs.join(n, "event_type").select(
+            "event_type", "n_events", "m_sample", "p25_cents", "p50_cents", "p75_cents"
+        )
+        return _materialized(out)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+QUERIES["streaming_quantile_equiv"] = streaming_quantile_equiv
+ORACLE["streaming_quantile_equiv"] = _SK_ORACLE["sketch_quantile_bottomk"]

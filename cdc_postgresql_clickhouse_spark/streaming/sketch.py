@@ -56,6 +56,28 @@ def read_hll_registers(spark: SparkSession, state_path: str) -> DataFrame:
     )
 
 
+def _drain(spark, src_dir, handle, checkpoint_dir, max_files_per_trigger):
+    """Shared availableNow micro-batch drain for the sketch ingests."""
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_dir)
+    )
+
+    def guarded(batch: DataFrame, _batch_id: int) -> None:
+        if not batch.isEmpty():
+            handle(batch)
+
+    q = (
+        stream.writeStream.foreachBatch(guarded)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_incremental_hll(
     spark: SparkSession,
     src_dir: str,
@@ -65,22 +87,57 @@ def run_incremental_hll(
 ) -> None:
     """Drain ``src_dir`` (parquet files of events rows) through the
     incremental HLL ingest with an availableNow trigger."""
-    schema = spark.read.parquet(src_dir).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(src_dir)
+    _drain(
+        spark, src_dir, lambda b: ingest_batch_hll(b, state_path),
+        checkpoint_dir, max_files_per_trigger,
     )
 
-    def handle(batch: DataFrame, _batch_id: int) -> None:
-        if batch.isEmpty():
-            return
-        ingest_batch_hll(batch, state_path)
 
-    q = (
-        stream.writeStream.foreachBatch(handle)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+# --- streaming bottom-k quantile state ---------------------------------------
+#
+# The mergeable quantile sketch (``queries.sketches.sketch_quantile_bottomk``)
+# streamed: each micro-batch appends ITS OWN bottom-k state (per key, the k
+# events with smallest md5(event_id), carrying integer cents), and readers
+# re-rank the union keeping k — exact because bottom-k(∪ of per-batch
+# bottom-k's) = bottom-k(∪), the same theorem the batch merge row pins.
+# At-least-once replay appends duplicate (h, c) rows; the read-time
+# ``distinct()`` drops them (h is unique per event), the postings-table
+# contract. State: k rows per key per batch appended, sketch-sized forever.
+
+
+def ingest_batch_bottomk(batch: DataFrame, state_path: str, k: int = None) -> None:
+    """Append one micro-batch's bottom-k quantile state (event_type, h, c)."""
+    from cdc_postgresql_clickhouse_spark.operators.state import _state_lock
+    from cdc_postgresql_clickhouse_spark.queries.sketches import QSK_K, _bottomk_state
+
+    st = _bottomk_state(batch, k if k is not None else QSK_K)
+    with _state_lock(state_path):
+        st.write.mode("append").parquet(state_path)
+
+
+def read_bottomk_state(spark: SparkSession, state_path: str, k: int = None) -> DataFrame:
+    """The merged sketch state: distinct (replay dedup), then re-rank by
+    hash keeping k per key — exactly the batch state of the full stream."""
+    from pyspark.sql import Window
+
+    from cdc_postgresql_clickhouse_spark.queries.sketches import QSK_K
+
+    kk = k if k is not None else QSK_K
+    raw = spark.read.parquet(state_path).select("event_type", "h", "c").distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    return raw.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= kk).drop("rn")
+
+
+def run_incremental_bottomk(
+    spark: SparkSession,
+    src_dir: str,
+    state_path: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Drain ``src_dir`` (parquet files of events rows) through the
+    incremental bottom-k quantile ingest with an availableNow trigger."""
+    _drain(
+        spark, src_dir, lambda b: ingest_batch_bottomk(b, state_path),
+        checkpoint_dir, max_files_per_trigger,
     )
-    q.awaitTermination()

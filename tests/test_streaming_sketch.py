@@ -47,3 +47,29 @@ def test_ingest_refuses_during_active_compaction(spark, sf_dir, tmp_path):
     with _state_lock(state):
         with pytest.raises(StateLockError):
             ingest_batch_hll(ev, state)
+
+
+def test_streamed_bottomk_equals_batch_state_and_survives_replay(spark, sf_dir, tmp_path):
+    from cdc_postgresql_clickhouse_spark.queries.sketches import QSK_K, _bottomk_state
+    from cdc_postgresql_clickhouse_spark.streaming.sketch import (
+        ingest_batch_bottomk,
+        read_bottomk_state,
+        run_incremental_bottomk,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "user_id", "value"
+    )
+    src = str(tmp_path / "src")
+    ev.filter(F.col("user_id") % 2 == 0).coalesce(1).write.parquet(src)
+    ev.filter(F.col("user_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+    state = str(tmp_path / "state")
+    run_incremental_bottomk(spark, src, state, str(tmp_path / "ckpt"), max_files_per_trigger=1)
+
+    streamed = {tuple(r) for r in read_bottomk_state(spark, state).collect()}
+    batch = {tuple(r) for r in _bottomk_state(ev, QSK_K).collect()}
+    assert streamed == batch
+    # at-least-once replay: re-append one batch; read-time distinct+rerank
+    # must leave the merged state unchanged
+    ingest_batch_bottomk(ev.filter(F.col("user_id") % 2 == 0), state)
+    assert {tuple(r) for r in read_bottomk_state(spark, state).collect()} == batch
