@@ -390,3 +390,107 @@ SELECT t AS event_type, v AS coreness FROM c{KCORE_ITERS}
 
 QUERIES["graph_kcore_types"] = graph_kcore_types
 ORACLE["graph_kcore_types"] = _SQL_KCORE
+
+
+# --- label-propagation communities -------------------------------------------
+#
+# Community labels over the WEIGHTED undirected transition graph — the
+# community-detection primitive (Raghavan et al. 2007 LPA) completing the
+# graph family: importance (PageRank), distance (SSSP), local density
+# (triangles), global density (k-core), components (CC), communities (LPA).
+#
+# Asynchronous LPA is famously nondeterministic (update order changes the
+# result); the engine-exact form here is SYNCHRONOUS weighted LPA with a
+# total-order tie-break: every round, each node adopts the label with the
+# largest incident edge-weight sum, ties broken by SMALLEST label. With
+# synchronous updates and the deterministic tie-break, both engines agree
+# bit-for-bit at any fixed round count — the oracle unrolls LPA_ITERS
+# rounds (synchronous LPA can 2-cycle on bipartite-ish structures rather
+# than converge, which is WHY the contract is fixed-round equality, not
+# convergence).
+#
+# Per round: one keyed join (labels → adjacency) + one keyed weighted count
+# + one windowed argmax — edge-list-bounded like the other rounds; labels
+# are node ids (strings), state is |nodes| rows, localCheckpoint per round.
+
+LPA_ITERS = 4
+
+
+def lpa_labels(nbrs: DataFrame, iters: int = LPA_ITERS) -> DataFrame:
+    """Synchronous weighted LPA over a symmetric (t, nb, w) adjacency —
+    returns (t, lbl). Factored out for planted-graph tests."""
+    cur = nbrs.select("t").distinct().withColumn("lbl", F.col("t"))
+    for _ in range(iters):
+        vals = nbrs.join(
+            cur.select(F.col("t").alias("nb"), "lbl"), "nb"
+        ).select("t", "lbl", "w")
+        sums = vals.groupBy("t", "lbl").agg(F.sum("w").alias("s"))
+        wd = Window.partitionBy("t").orderBy(F.desc("s"), F.asc("lbl"))
+        cur = (
+            sums.withColumn("rn", F.row_number().over(wd))
+            .filter(F.col("rn") == 1)
+            .select("t", "lbl")
+            .localCheckpoint(eager=True)
+        )
+    return cur
+
+
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "event_type", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.lag("event_type").over(w).alias("src"), F.col("event_type").alias("dst")
+    ).filter(F.col("src").isNotNull() & (F.col("src") != F.col("dst")))
+    und = (
+        pairs.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    nbrs = (
+        und.select(F.col("a").alias("t"), F.col("b").alias("nb"), "w")
+        .unionByName(und.select(F.col("b").alias("t"), F.col("a").alias("nb"), "w"))
+        .persist()
+    )
+    return lpa_labels(nbrs).select(
+        F.col("t").alias("event_type"), F.col("lbl").alias("community")
+    )
+
+
+def _sql_lpa_round(i: int) -> str:
+    return f"""
+vals{i} AS (
+  SELECT n.t, c.lbl, n.w FROM nbrs n JOIN l{i} c ON c.t = n.nb
+),
+sums{i} AS (SELECT t, lbl, SUM(w) AS s FROM vals{i} GROUP BY t, lbl),
+l{i + 1} AS (
+  SELECT t, lbl FROM (
+    SELECT t, lbl, row_number() OVER (PARTITION BY t ORDER BY s DESC, lbl ASC) AS rn
+    FROM sums{i}
+  ) WHERE rn = 1
+)"""
+
+
+_SQL_LPA = (
+    f"""
+WITH seq AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
+         event_type AS dst
+  FROM events
+),
+und AS (
+  SELECT least(src, dst) AS a, greatest(src, dst) AS b, COUNT(*) AS w
+  FROM seq WHERE src IS NOT NULL AND src <> dst
+  GROUP BY least(src, dst), greatest(src, dst)
+),
+nbrs AS (
+  SELECT a AS t, b AS nb, w FROM und UNION ALL SELECT b AS t, a AS nb, w FROM und
+),
+l0 AS (SELECT DISTINCT t, t AS lbl FROM nbrs),"""
+    + ",".join(_sql_lpa_round(i) for i in range(LPA_ITERS))
+    + f"""
+SELECT t AS event_type, lbl AS community FROM l{LPA_ITERS}
+"""
+)
+
+QUERIES["graph_label_propagation"] = graph_label_propagation
+ORACLE["graph_label_propagation"] = _SQL_LPA

@@ -90,3 +90,32 @@ def test_kcore_fixture_bounds(spark, sf_dir):
     # coreness is positive and bounded by n_nodes - 1
     n = out.count()
     assert out.filter((F.col("coreness") < 1) | (F.col("coreness") > n - 1)).count() == 0
+
+
+def test_lpa_separates_planted_communities(spark):
+    """Two 4-cliques bridged by a single weak edge: synchronous weighted LPA
+    must label each clique by its own minimum node and not leak across the
+    bridge."""
+    from pyspark.sql import functions as F
+
+    from cdc_postgresql_clickhouse_spark.queries.graph import lpa_labels
+
+    c1 = [(a, b, 5) for a in "abcd" for b in "abcd" if a < b]
+    c2 = [(a, b, 5) for a in "wxyz" for b in "wxyz" if a < b]
+    edges = c1 + c2 + [("d", "w", 1)]  # weak bridge
+    und = spark.createDataFrame(edges, "a string, b string, w long")
+    nbrs = und.selectExpr("a AS t", "b AS nb", "w").unionByName(
+        und.selectExpr("b AS t", "a AS nb", "w")
+    )
+    got = {r.t: r.lbl for r in lpa_labels(nbrs, iters=4).collect()}
+    assert {got[n] for n in "abcd"} == {"a"}
+    assert {got[n] for n in "wxyz"} == {"w"}
+
+
+def test_lpa_fixture_labels_are_nodes(spark, sf_dir):
+    from cdc_postgresql_clickhouse_spark.queries.graph import graph_label_propagation
+
+    out = graph_label_propagation(spark, sf_dir).collect()
+    assert out
+    nodes = {r.event_type for r in out}
+    assert all(r.community in nodes for r in out)
