@@ -104,6 +104,13 @@ HEADLINE = [
     "multimodal_phash_neardup",
     "dedup_soft_weights",
     "graph_triangle_types",
+    # round-5 additions (streaming rows excluded: their cost is dominated by
+    # deliberate micro-batch staging I/O, not query execution)
+    "sketch_quantile_bottomk",
+    "sketch_quantile_merge",
+    "dedup_minhash_containment",
+    "graph_kcore_types",
+    "graph_label_propagation",
 ]
 
 

@@ -473,6 +473,7 @@ def dedup_minhash_containment(
             F.explode(F.array_distinct(word_shingles(F.col("toks"), 3))).alias("shingle"),
         )
         .select("doc_id", F.md5("shingle").alias("h"))
+        .persist(StorageLevel.MEMORY_AND_DISK)  # feeds the df agg AND the capped join
     )
     rare = shs.groupBy("h").agg(F.count(F.lit(1)).alias("df")).filter(
         F.col("df") <= CONT_DF_CAP

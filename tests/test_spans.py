@@ -130,3 +130,32 @@ def test_html_strip_recovers_original_text(spark, sf_dir):
         assert title == f"doc {d.doc_id}"
         visible = f"doc {d.doc_id} {d.text.lower()}"
         assert md5 == hashlib.md5(visible.encode()).hexdigest()
+
+
+def test_exact_substring_window_parameterization_monotone(spark, sf_dir):
+    """The W knob (COVERAGE round-5 queue): a W-token duplicated window
+    contains two (W-1)-token duplicated windows, so shrinking W can only
+    grow (never shrink) each document's duplicated-token coverage — pin the
+    monotonicity at W = 8 / 16 / 32 on the fixture, and that the planted
+    near-dups are still fully covered at the larger window."""
+    from pyspark.sql import functions as F
+
+    from cdc_postgresql_clickhouse_spark.queries.dedup import DERIVED_OFFSET
+    from cdc_postgresql_clickhouse_spark.queries.spans import dedup_exact_substring
+
+    cov = {}
+    for w in (8, 16, 32):
+        cov[w] = {
+            r.doc_id: r.dup_token_frac
+            for r in dedup_exact_substring(spark, sf_dir, window_tokens=w).collect()
+        }
+    docs = set(cov[8]) & set(cov[16]) & set(cov[32])
+    assert docs
+    for d in docs:
+        assert cov[8][d] >= cov[16][d] >= cov[32][d], (d, cov[8][d], cov[16][d], cov[32][d])
+    # planted near-dups: the shared suffix is the whole derived doc, so any
+    # derived doc with >= 32 tokens is still (near-)fully covered at W=32
+    derived_covered = [
+        v for k, v in cov[32].items() if k >= DERIVED_OFFSET and v > 0
+    ]
+    assert derived_covered and max(derived_covered) > 0.9
