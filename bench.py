@@ -111,6 +111,8 @@ HEADLINE = [
     "dedup_minhash_containment",
     "graph_kcore_types",
     "graph_label_propagation",
+    "ann_ivfpq_topk",
+    "corpus_decontaminate_bloom",
 ]
 
 

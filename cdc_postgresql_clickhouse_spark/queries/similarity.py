@@ -523,6 +523,21 @@ def _l2sq(a: Column, b: Column) -> Column:
     )
 
 
+def _pq_cb_lit(cb: list[list[list[float]]]) -> Column:
+    """The PQ codebook as ONE parsed array<array<array<double>>> literal —
+    one Py4J call, not per-element ``F.lit`` recursion (~1 s of round trips
+    for 8×16×8 doubles at every query BUILD). repr() prints the shortest
+    round-tripping decimal, so the parsed double is bit-identical to the
+    collected one."""
+    return F.expr(
+        "array(" + ", ".join(
+            "array(" + ", ".join(
+                "array(" + ", ".join(f"{float(x)!r}D" for x in cw) + ")" for cw in sub
+            ) + ")" for sub in cb
+        ) + ")"
+    )
+
+
 def ann_pq_topk(
     spark: SparkSession, sf_dir: str, kmeans_iters: int = 0
 ) -> DataFrame:
@@ -554,17 +569,7 @@ def ann_pq_topk(
     [dist, cid] key); final cosine is FLOOR-truncated at 6 dp; rank ties
     break on neighbor_id."""
     cb = _pq_codebook(spark, sf_dir, kmeans_iters)
-    # one parsed literal string, not F.lit(nested list): the latter is ~1 s
-    # of per-element Py4J calls for 8×16×8 doubles at every query build.
-    # repr() prints the shortest round-tripping decimal, so the parsed
-    # double is bit-identical to the collected one.
-    cb_lit = F.expr(
-        "array(" + ", ".join(
-            "array(" + ", ".join(
-                "array(" + ", ".join(f"{float(x)!r}D" for x in cw) + ")" for cw in sub
-            ) + ")" for sub in cb
-        ) + ")"
-    )
+    cb_lit = _pq_cb_lit(cb)
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", _emb_d().alias("e"))
     # distance table built under ONE reference to the codebook literal: an
     # unrolled per-subspace formulation duplicated the 1024-double literal
@@ -612,12 +617,149 @@ def ann_pq_topk(
     )
 
 
+# --- IVF + PQ residual encoding (Faiss "IVFADC", Jégou et al. 2011 §IV) -----
+#
+# The billion-scale composition: the coarse quantizer bounds the per-query
+# scan (IVF inverted lists), and the vectors INSIDE each list are stored as
+# PQ codes of their RESIDUAL (x - centroid), not of x itself. Encoding the
+# residual is what makes the composition better than either part alone: the
+# residual distribution is centered and tighter than the raw vectors, so the
+# same 4-bit-per-subspace budget quantizes it with far less error.
+
+IVFPQ_TOPK = 5
+# residual-codebook seed: the PQ_K vectors AFTER the centroid seeds — the
+# centroid seeds' own residuals are (near-)zero and would degenerate the
+# codebook. Oracle-reproducible from the table (vec_id range filter).
+IVFPQ_CB_LO = N_CENTROIDS
+IVFPQ_CB_HI = N_CENTROIDS + PQ_K
+
+
+def ann_ivfpq_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    n_centroids: int = N_CENTROIDS,
+    n_probe: int = N_PROBE,
+) -> DataFrame:
+    """IVF + PQ-on-residuals ANN (the Faiss IVFPQ / "IVFADC" index): coarse
+    quantizer → inverted lists → PQ-encode each vector's residual → probe
+    scores queries against (centroid + decoded residual) reconstructions.
+
+    Extends the reference's analytics surface the way SURVEY §2's similarity
+    family does (reference has no ANN; this is the LLM-pipeline layer's
+    scale path, cf. ``ann_ivf_topk`` / ``ann_pq_topk`` which it composes).
+
+    Scale shape — this is the index a 10B-vector corpus actually uses:
+    - assignment and encode are MAP-SIDE passes (centroids and the residual
+      codebook ride as literals; no join, no shuffle, no Python). Stored
+      bytes per vector drop from 512 (64 doubles) to ~5 (cid + 8 nibbles).
+    - the probe join is keyed on cid exactly like ``ann_ivf_topk`` — at
+      100 TB the code table is bucketed by cid and a query touches only
+      n_probe lists; reconstruction happens once per CANDIDATE row, after
+      the cid-keyed join has already pruned the corpus to
+      O(n·n_probe/n_centroids).
+    - only the query slice, the centroid table, and the 16×64-double
+      codebook are ever broadcast/collected — never corpus rows.
+
+    Determinism (both engines): residual = e − ce elementwise; per-subspace
+    distances are sequential folds matching the SQL '+' chains with
+    parenthesization pinning (r_i − cw_i) operand order; encode ties break
+    to the lowest codeword id; reconstruction adds ce_i + r̃_i in that
+    order; cosines are FLOOR-truncated at 6 dp; rank ties break on
+    neighbor_id."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _emb_d().alias("e"), _norm(_emb_d()).alias("nrm")
+    )
+    cents = emb.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce"), F.col("nrm").alias("cn")
+    )
+    # residual codebook: the seed slice's residuals w.r.t. their OWN nearest
+    # centroids — a 16-row assign + collect (model-sized, like _pq_codebook)
+    seed = emb.filter((F.col("vec_id") >= IVFPQ_CB_LO) & (F.col("vec_id") < IVFPQ_CB_HI))
+    seed_rows = (
+        seed.join(ivf_assign(seed, cents), "vec_id")
+        .join(F.broadcast(cents.select("cid", "ce")), "cid")
+        .select("vec_id", F.zip_with(F.col("e"), F.col("ce"), lambda x, y: x - y).alias("r"))
+        .orderBy("vec_id")
+        .collect()
+    )
+    full = [[float(x) for x in row.r] for row in seed_rows]
+    cb = [
+        [full[c][m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM] for c in range(PQ_K)]
+        for m in range(PQ_M)
+    ]
+    cb_lit = _pq_cb_lit(cb)
+
+    # assign the whole corpus, form residuals, PQ-encode them (all map-side)
+    assign = ivf_assign(emb, cents)
+    withc = (
+        emb.join(assign, "vec_id")
+        .join(F.broadcast(cents.select("cid", "ce")), "cid")
+        .select(
+            "vec_id", "cid", "ce",
+            F.zip_with(F.col("e"), F.col("ce"), lambda x, y: x - y).alias("r"),
+        )
+    )
+    dd = F.transform(
+        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+        lambda m: F.transform(
+            F.element_at(cb_lit, m + 1),
+            lambda cw: _l2sq(F.slice(F.col("r"), m * PQ_SUBDIM + 1, F.lit(PQ_SUBDIM)), cw),
+        ),
+    )
+    enc = withc.select("vec_id", "cid", "ce", dd.alias("dd")).select(
+        "vec_id", "cid", "ce",
+        F.transform(
+            F.col("dd"), lambda d: (F.array_position(d, F.array_min(d)) - 1).cast("int")
+        ).alias("codes"),
+    )
+    # reconstruct x̃ = ce + decoded residual ONCE per corpus row (map-side,
+    # before the probe join multiplies rows), norm alongside
+    rt = F.flatten(
+        F.zip_with(cb_lit, F.col("codes"), lambda sub, c: F.element_at(sub, c + 1))
+    )
+    dec = (
+        enc.select("vec_id", "cid", F.zip_with(F.col("ce"), rt, lambda a, b: a + b).alias("xt"))
+        .select("vec_id", "cid", "xt", _norm(F.col("xt")).alias("xn"))
+    )
+
+    # probe: rank each query's n_probe nearest centroids, pull only those
+    # lists' CODES, score against the reconstruction (ADC)
+    q_emb = emb.filter(F.col("vec_id") % 100 == 0)
+    scored_q = F.broadcast(cents).join(q_emb, how="cross").select(
+        F.col("vec_id").alias("q_id"),
+        "cid",
+        _cos_prenorm(F.col("e"), F.col("ce"), F.col("nrm"), F.col("cn")).alias("cs"),
+    )
+    w_q = Window.partitionBy("q_id").orderBy(F.desc("cs"), F.col("cid"))
+    probes = (
+        scored_q.withColumn("rn", F.row_number().over(w_q))
+        .filter(F.col("rn") <= n_probe)
+        .select("q_id", "cid")
+    )
+    cand = F.broadcast(probes).join(dec, "cid").filter(F.col("q_id") != F.col("vec_id"))
+    q_side = q_emb.select(
+        F.col("vec_id").alias("q_id"), F.col("e").alias("qe"), F.col("nrm").alias("qn")
+    )
+    pair = cand.join(F.broadcast(q_side), "q_id").select(
+        "q_id",
+        F.col("vec_id").alias("neighbor_id"),
+        _cos_prenorm(F.col("qe"), F.col("xt"), F.col("qn"), F.col("xn")).alias("approx_cos"),
+    )
+    w_rank = Window.partitionBy("q_id").orderBy(F.desc("approx_cos"), F.col("neighbor_id"))
+    return (
+        pair.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= IVFPQ_TOPK)
+        .select("q_id", "neighbor_id", "approx_cos", F.col("rank").cast("long").alias("rank"))
+    )
+
+
 QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_lsh_buckets": ann_lsh_buckets,
     "ann_lsh_buckets_sized": ann_lsh_buckets_sized,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_pq_topk": ann_pq_topk,
+    "ann_ivfpq_topk": ann_ivfpq_topk,
     "embedding_cosine_neardup": embedding_cosine_neardup,
 }
 
@@ -791,4 +933,91 @@ SELECT q_id, neighbor_id, approx_cos, CAST(rank AS BIGINT) AS rank
 FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY approx_cos DESC, neighbor_id) AS rank
       FROM scored)
 WHERE rank <= {PQ_TOPK}
+"""
+
+
+# --- IVF+PQ oracle ----------------------------------------------------------
+#
+# Composes the IVF oracle's assign/probe CTEs with PQ encoding of the
+# RESIDUALS. Parenthesization matters: Spark materializes the residual
+# r_i = v_i - ce_i first and later adds ce_i + r̃_i, so every SQL expression
+# keeps (v[i] - ce[i]) as an explicit parenthesized operand.
+
+
+def _sql_ivfpq_subdist(m: int) -> str:
+    """((b.r_i) - (k.r_i))^2 chain for subspace m, r spelled inline."""
+    lo = m * PQ_SUBDIM + 1
+    return "(" + " + ".join(
+        f"(((b.v[{i}] - b.ce[{i}]) - (k.v[{i}] - k.ce[{i}]))"
+        f" * ((b.v[{i}] - b.ce[{i}]) - (k.v[{i}] - k.ce[{i}])))"
+        for i in range(lo, lo + PQ_SUBDIM)
+    ) + ")"
+
+
+_SQL_IVFPQ_XT = "list_value(" + ", ".join(
+    f"b.ce[{i}] + (k{(i - 1) // PQ_SUBDIM}.v[{i}] - k{(i - 1) // PQ_SUBDIM}.ce[{i}])"
+    for i in range(1, DIM + 1)
+) + ")"
+_SQL_IVFPQ_DEC_JOINS = "\n  ".join(
+    f"JOIN rcb k{m} ON k{m}.kid = e.c{m}" for m in range(PQ_M)
+)
+
+ORACLE["ann_ivfpq_topk"] = f"""
+WITH emb AS (SELECT vec_id, {_SQL_EMB} AS e FROM embeddings),
+cents AS (SELECT vec_id AS cid, e AS ce FROM emb WHERE vec_id < {N_CENTROIDS}),
+assign_scored AS (
+  SELECT vec_id, cid, {_sql_cos('e', 'ce')} AS cs,
+         row_number() OVER (PARTITION BY vec_id ORDER BY {_sql_cos('e', 'ce')} DESC, cid) AS rn
+  FROM emb CROSS JOIN cents
+),
+probes AS (SELECT vec_id AS q_id, cid FROM assign_scored
+           WHERE vec_id % 100 = 0 AND rn <= {N_PROBE}),
+-- MATERIALIZED fences below: DuckDB otherwise inlines each CTE into every
+-- downstream reference, re-expanding the 16-way assignment cross join and
+-- its 64-term cosine chains inside the 8x8 distance chains (1.6 GB / 7 s
+-- of planner+executor blowup on a 500-row corpus; ~60 MB / 0.3 s fenced)
+res AS MATERIALIZED (
+  SELECT a.vec_id, a.cid, e.e AS v, c.ce AS ce
+  FROM (SELECT vec_id, cid FROM assign_scored WHERE rn = 1) a
+  JOIN emb e ON e.vec_id = a.vec_id
+  JOIN cents c ON c.cid = a.cid
+),
+rcb AS MATERIALIZED (SELECT vec_id - {IVFPQ_CB_LO} AS kid, v, ce FROM res
+        WHERE vec_id >= {IVFPQ_CB_LO} AND vec_id < {IVFPQ_CB_HI}),
+dist AS (
+  SELECT b.vec_id, k.kid,
+         {", ".join(f"{_sql_ivfpq_subdist(m)} AS d{m}" for m in range(PQ_M))}
+  FROM res b CROSS JOIN rcb k
+),
+enc AS MATERIALIZED (
+  -- same argmin-with-lowest-codeword-tie-break as Spark's
+  -- array_position-of-min: distances listed in kid order
+  SELECT vec_id,
+         {", ".join(f"CAST(list_position(l{m}, list_min(l{m})) - 1 AS BIGINT) AS c{m}" for m in range(PQ_M))}
+  FROM (
+    SELECT vec_id,
+           {", ".join(f"list(d{m} ORDER BY kid) AS l{m}" for m in range(PQ_M))}
+    FROM dist GROUP BY vec_id)
+),
+-- MATERIALIZED: without it DuckDB inlines the 64-element list_value into
+-- every one of the cosine chains' 192 xt[i] references (each itself
+-- re-expanding res -> assign_scored), and the planner OOMs on the
+-- expression tree
+dec AS MATERIALIZED (
+  SELECT b.vec_id, b.cid, {_SQL_IVFPQ_XT} AS xt
+  FROM enc e
+  JOIN res b ON b.vec_id = e.vec_id
+  {_SQL_IVFPQ_DEC_JOINS}
+),
+q AS (SELECT vec_id AS q_id, e AS qv FROM emb WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT p.q_id, d.vec_id AS neighbor_id, {_sql_cos("q.qv", "d.xt")} AS approx_cos
+  FROM probes p
+  JOIN dec d ON d.cid = p.cid AND d.vec_id <> p.q_id
+  JOIN q ON q.q_id = p.q_id
+)
+SELECT q_id, neighbor_id, approx_cos, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY approx_cos DESC, neighbor_id) AS rank
+      FROM scored)
+WHERE rank <= {IVFPQ_TOPK}
 """

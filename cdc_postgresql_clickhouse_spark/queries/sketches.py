@@ -474,19 +474,23 @@ CMS_PHI = 0.005  # report terms whose estimated frequency >= 0.5% of tokens
 _CMS_HASH_DIGITS = 8
 
 
-def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def cms_vocab(docs: DataFrame) -> DataFrame:
+    """Token counts (term, cnt) — the map-side partial the sketch is built
+    from. A pure function of the doc set, so per-batch partials SUM-merge
+    into the global vocab (used by the streaming ingest)."""
     from cdc_postgresql_clickhouse_spark.functions.text import tokens
 
-    docs = load_table(spark, sf_dir, "documents")
-    vocab = (
+    return (
         docs.select(F.explode(tokens(F.col("text"))).alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-        .persist()
     )
-    total = vocab.agg(F.sum("cnt")).first()[0]
-    threshold = int(total * CMS_PHI)
-    cells = vocab.select(
+
+
+def cms_cells(vocab: DataFrame) -> DataFrame:
+    """Expand each term to its CMS_DEPTH (row, column) cells — salted md5
+    keeps both engines (and every batch) on identical cells."""
+    return vocab.select(
         "term",
         "cnt",
         F.explode(F.array(*[F.lit(i) for i in range(CMS_DEPTH)])).alias("r"),
@@ -503,15 +507,35 @@ def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long")
         % CMS_WIDTH,
     )
-    counters = cells.groupBy("r", "c").agg(F.sum("cnt").alias("cell"))
+
+
+def cms_counters(vocab: DataFrame) -> DataFrame:
+    """The d×w counter table (r, c, cell). CMS is LINEAR: counter tables of
+    disjoint streams merge by cell-wise ADDITION — the property the
+    streaming ingest (``streaming/sketch.py``) relies on."""
+    return cms_cells(vocab).groupBy("r", "c").agg(F.sum("cnt").alias("cell"))
+
+
+def cms_report(vocab: DataFrame, counters: DataFrame) -> DataFrame:
+    """Heavy-hitter report from a (merged) vocab + counter table: estimate =
+    min over the term's cells, threshold = CMS_PHI of total tokens; exact
+    count alongside pins the one-sided-error property on real data."""
+    total = vocab.agg(F.sum("cnt")).first()[0]
+    threshold = int(total * CMS_PHI)
     est = (
-        cells.join(F.broadcast(counters), ["r", "c"])
+        cms_cells(vocab).join(F.broadcast(counters), ["r", "c"])
         .groupBy("term")
         .agg(F.min("cell").cast("long").alias("cms_count"), F.max("cnt").alias("exact_count"))
     )
     return est.filter(F.col("cms_count") >= threshold).select(
         "term", "cms_count", "exact_count"
     )
+
+
+def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = cms_vocab(docs).persist()
+    return cms_report(vocab, cms_counters(vocab))
 
 
 _SQL_CMS = f"""

@@ -665,3 +665,44 @@ def streaming_quantile_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["streaming_quantile_equiv"] = streaming_quantile_equiv
 ORACLE["streaming_quantile_equiv"] = _SK_ORACLE["sketch_quantile_bottomk"]
+
+
+def streaming_cms_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental frequency sketch: ``documents`` split into 2+ per-doc
+    micro-batches, each appending its own CMS cell partials (batch-id
+    stamped); the read-time merge dedups replays per batch then SUMS cells
+    across batches — CMS's linearity means the merged counter table is
+    exactly the one-shot build's, so the streamed sketch reports with the
+    batch heavy-hitter code and the oracle is literally the batch
+    ``sketch_cms_heavy_hitters`` SQL. Completes the sketch-merge algebra
+    trilogy as driver rows: MAX (HLL), set union (bottom-k), ADDITION
+    (CMS)."""
+    import os
+    import shutil
+    import tempfile
+
+    from cdc_postgresql_clickhouse_spark.queries.sketches import cms_report
+    from cdc_postgresql_clickhouse_spark.streaming.sketch import (
+        read_cms_state,
+        run_incremental_cms,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="stream_cms_")
+    try:
+        src = os.path.join(tmp, "src")
+        docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(src)
+        docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+        run_incremental_cms(
+            spark, src, os.path.join(tmp, "state"), os.path.join(tmp, "ckpt"),
+            max_files_per_trigger=1,
+        )
+        vocab, counters = read_cms_state(spark, os.path.join(tmp, "state"))
+        vocab = vocab.persist()
+        return _materialized(cms_report(vocab, counters))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+QUERIES["streaming_cms_equiv"] = streaming_cms_equiv
+ORACLE["streaming_cms_equiv"] = _SK_ORACLE["sketch_cms_heavy_hitters"]

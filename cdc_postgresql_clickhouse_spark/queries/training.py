@@ -49,6 +49,25 @@ SHARD_TOKEN_BUDGET = 2048
 _TRUNC6_SQL = "CAST(FLOOR(({x}) * 1000000.0) AS DOUBLE) / 1000000.0"
 
 
+def _is_bench():
+    return (F.col("doc_id") % BENCH_MOD == 0) & (F.col("doc_id") < DERIVED_OFFSET)
+
+
+def _grams(df: DataFrame, n: int) -> DataFrame:
+    """Per-doc distinct word n-grams (doc_id, gram).
+
+    Two-step select ON PURPOSE: word_shingles references its token array 8×
+    per gram; inlining tokens(text) there puts the whole tokenizer tree into
+    every reference and Catalyst analysis goes superlinear (fresh build+exec
+    4.0s → 0.74s at sf0.01 with the materialized column; CollapseProject
+    keeps multi-referenced non-cheap aliases as a separate Project)."""
+    toks = df.select("doc_id", tokens(F.col("text")).alias("t"))
+    return toks.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles(F.col("t"), n))).alias("gram"),
+    )
+
+
 def corpus_decontaminate(
     spark: SparkSession, sf_dir: str, n: int = DECONTAM_NGRAM
 ) -> DataFrame:
@@ -61,28 +80,109 @@ def corpus_decontaminate(
     A contaminated doc is any doc in the result; the planted positives are
     the near-dup copies of benchmark docs from the dedup derived corpus."""
     corpus = _corpus(spark, sf_dir)
-    is_bench = (F.col("doc_id") % BENCH_MOD == 0) & (F.col("doc_id") < DERIVED_OFFSET)
-
-    def grams(df: DataFrame) -> DataFrame:
-        # Two-step select ON PURPOSE: word_shingles references its token
-        # array 8× per gram; inlining tokens(text) there puts the whole
-        # tokenizer tree into every reference and Catalyst analysis goes
-        # superlinear (fresh build+exec 4.0s → 0.74s at sf0.01 with the
-        # materialized column; CollapseProject keeps multi-referenced
-        # non-cheap aliases as a separate Project).
-        toks = df.select("doc_id", tokens(F.col("text")).alias("t"))
-        return toks.select(
-            "doc_id",
-            F.explode(F.array_distinct(word_shingles(F.col("t"), n))).alias("gram"),
-        )
-    bench_grams = grams(corpus.filter(is_bench)).select(
+    is_bench = _is_bench()
+    bench_grams = _grams(corpus.filter(is_bench), n).select(
         F.col("doc_id").alias("bench_doc"), "gram"
     )
-    train_grams = grams(corpus.filter(~is_bench))
+    train_grams = _grams(corpus.filter(~is_bench), n)
     hits = train_grams.join(F.broadcast(bench_grams), "gram")
     return hits.groupBy("doc_id").agg(
         F.countDistinct("gram").alias("n_shared_grams"),
         F.countDistinct("bench_doc").alias("n_bench_docs"),
+    )
+
+
+# --- Bloom-filter decontamination (the 100 TB membership path) ---------------
+#
+# The exact decontaminate broadcasts the benchmark GRAM TABLE (one row per
+# gram) into a hash join. At production benchmark-suite sizes (10^7-10^8
+# grams) that broadcast is GBs; the Bloom filter compresses membership into
+# a fixed BLOOM_M-bit array that ships as a literal — the train side becomes
+# a PURE MAP PASS (k hash probes per gram, zero joins, zero shuffle before
+# the per-doc count). One-sided error: no false negatives, so every truly
+# contaminated gram is flagged; the (bounded, ~(1-e^{-kn/m})^k) false-positive
+# residue is what the exact column quantifies. This is the same design as
+# Spark's own BloomFilter pushdown / ClickHouse's ngrambf_v1 skip index.
+
+BLOOM_M = 65536  # bits (8 KiB) — ~16 bits/gram for the fixture's ~4k bench
+#   grams -> (1-e^{-kn/m})^k ~ 0.4% FP; size m ~ 1.44·n·log2(1/p) in prod
+BLOOM_K = 3  # hash probes per gram
+_BLOOM_HASH_DIGITS = 8
+_BLOOM_WORDS = BLOOM_M // 64
+
+
+def _bloom_pos(gram, j: int):
+    """Bit position j for a gram: salted-md5 prefix mod BLOOM_M — the same
+    hash device as the CMS cells, engine-identical."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{j}:"), gram)), 1, _BLOOM_HASH_DIGITS),
+            16,
+            10,
+        ).cast("long")
+        % BLOOM_M
+    )
+
+
+def corpus_decontaminate_bloom(
+    spark: SparkSession, sf_dir: str, n: int = DECONTAM_NGRAM
+) -> DataFrame:
+    """Benchmark decontamination via a Bloom bitset: per train doc, how many
+    of its n-grams the filter flags (``n_bloom_grams``) next to how many are
+    truly benchmark grams (``n_exact_grams``) — the exact column makes the
+    driver row pin BOTH the no-false-negative property (bloom ≥ exact,
+    everywhere) and the FP rate on real data.
+
+    The bitset is built from the benchmark grams and collected as
+    BLOOM_M/64 = 128 bigint words (1 KiB — model-sized, like the PQ codebook
+    literal); probes are ``getbit`` on the word array, a whole-stage-codegen
+    map expression. At 100 TB the train scan never joins anything."""
+    corpus = _corpus(spark, sf_dir)
+    bench_g = _grams(corpus.filter(_is_bench()), n).select("gram").distinct()
+    pos_rows = (
+        bench_g.select(
+            F.explode(
+                F.array(*[_bloom_pos(F.col("gram"), j) for j in range(BLOOM_K)])
+            ).alias("pos")
+        )
+        .distinct()
+        .collect()
+    )
+    words = [0] * _BLOOM_WORDS
+    for r in pos_rows:
+        p = int(r.pos)
+        words[p // 64] |= 1 << (p % 64)
+    signed = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    words_lit = F.expr("array(" + ", ".join(f"{w}L" for w in signed) + ")")
+
+    train_g = _grams(corpus.filter(~_is_bench()), n)
+
+    def hit(j: int):
+        p = _bloom_pos(F.col("gram"), j)
+        word = F.element_at(words_lit, F.floor(p / F.lit(64)).cast("int") + 1)
+        return F.getbit(word, (p % 64).cast("int")) == 1
+
+    flag = hit(0)
+    for j in range(1, BLOOM_K):
+        flag = flag & hit(j)
+    flagged = train_g.filter(flag)
+    # no-false-negative invariant: an exact-hit gram ALWAYS passes the
+    # filter, so counting members among the flagged grams equals counting
+    # them among all of the doc's grams
+    member = (
+        flagged.join(F.broadcast(bench_g), "gram")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gram").alias("n_exact_grams"))
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(F.countDistinct("gram").alias("n_bloom_grams"))
+        .join(member, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_bloom_grams",
+            F.coalesce("n_exact_grams", F.lit(0).cast("long")).alias("n_exact_grams"),
+        )
     )
 
 
@@ -191,6 +291,44 @@ def _t6(x: str) -> str:
     return _TRUNC6_SQL.format(x=x)
 
 
+def _sql_bloom_pos(gram: str, j: int) -> str:
+    from cdc_postgresql_clickhouse_spark.queries.sketches import _sql_hex_int
+
+    salted = f"'{j}:' || {gram}"
+    return f"({_sql_hex_int(salted, _BLOOM_HASH_DIGITS)} % {BLOOM_M})"
+
+
+# The oracle checks membership by semi-joining the DISTINCT bit-position set
+# (the same set the Spark side packs into words): semantically identical to
+# the getbit probe, engine-idiomatic on each side.
+_SQL_BLOOM = f"""
+WITH corpus AS ({{corpus}}),
+grams AS (
+  SELECT DISTINCT doc_id, unnest({{ngrams}}) AS gram
+  FROM (SELECT doc_id, {{toks}} AS t FROM corpus)
+),
+bench AS (SELECT doc_id FROM corpus
+          WHERE doc_id % {BENCH_MOD} = 0 AND doc_id < {DERIVED_OFFSET}),
+bgrams AS (SELECT DISTINCT gram FROM grams JOIN bench USING (doc_id)),
+bits AS (
+  SELECT DISTINCT pos FROM (
+    {{bit_union}}
+  )
+),
+train AS (SELECT doc_id, gram FROM grams
+          WHERE doc_id NOT IN (SELECT doc_id FROM bench)),
+flagged AS (
+  SELECT doc_id, gram FROM train
+  WHERE {{probe_pred}}
+)
+SELECT f.doc_id,
+       COUNT(DISTINCT f.gram) AS n_bloom_grams,
+       COUNT(DISTINCT b.gram) AS n_exact_grams
+FROM flagged f LEFT JOIN bgrams b ON b.gram = f.gram
+GROUP BY 1
+"""
+
+
 ORACLE = {
     "corpus_decontaminate": f"""
 WITH corpus AS ({_SQL_CORPUS}),
@@ -265,8 +403,23 @@ FROM c
 """,
 }
 
+ORACLE["corpus_decontaminate_bloom"] = _SQL_BLOOM.format(
+    corpus=_SQL_CORPUS,
+    ngrams=_sql_ngrams(DECONTAM_NGRAM),
+    toks=_SQL_TOKENS,
+    bit_union="\n    UNION ALL\n    ".join(
+        f"SELECT {_sql_bloom_pos('gram', j)} AS pos FROM bgrams"
+        for j in range(BLOOM_K)
+    ),
+    probe_pred="\n    AND ".join(
+        f"{_sql_bloom_pos('gram', j)} IN (SELECT pos FROM bits)"
+        for j in range(BLOOM_K)
+    ),
+)
+
 QUERIES = {
     "corpus_decontaminate": corpus_decontaminate,
+    "corpus_decontaminate_bloom": corpus_decontaminate_bloom,
     "corpus_train_val_split": corpus_train_val_split,
     "corpus_shard_packing": corpus_shard_packing,
     "embedding_quantize_int8": embedding_quantize_int8,

@@ -57,7 +57,10 @@ def read_hll_registers(spark: SparkSession, state_path: str) -> DataFrame:
 
 
 def _drain(spark, src_dir, handle, checkpoint_dir, max_files_per_trigger):
-    """Shared availableNow micro-batch drain for the sketch ingests."""
+    """Shared availableNow micro-batch drain for the sketch ingests. The
+    handle receives (batch, batch_id): max- and set-merged sketches ignore
+    the id (their merges are idempotent by algebra), the sum-merged CMS
+    stamps it so the read-time merge can drop at-least-once re-appends."""
     schema = spark.read.parquet(src_dir).schema
     stream = (
         spark.readStream.schema(schema)
@@ -65,9 +68,9 @@ def _drain(spark, src_dir, handle, checkpoint_dir, max_files_per_trigger):
         .parquet(src_dir)
     )
 
-    def guarded(batch: DataFrame, _batch_id: int) -> None:
+    def guarded(batch: DataFrame, batch_id: int) -> None:
         if not batch.isEmpty():
-            handle(batch)
+            handle(batch, batch_id)
 
     q = (
         stream.writeStream.foreachBatch(guarded)
@@ -88,7 +91,7 @@ def run_incremental_hll(
     """Drain ``src_dir`` (parquet files of events rows) through the
     incremental HLL ingest with an availableNow trigger."""
     _drain(
-        spark, src_dir, lambda b: ingest_batch_hll(b, state_path),
+        spark, src_dir, lambda b, _i: ingest_batch_hll(b, state_path),
         checkpoint_dir, max_files_per_trigger,
     )
 
@@ -138,6 +141,82 @@ def run_incremental_bottomk(
     """Drain ``src_dir`` (parquet files of events rows) through the
     incremental bottom-k quantile ingest with an availableNow trigger."""
     _drain(
-        spark, src_dir, lambda b: ingest_batch_bottomk(b, state_path),
+        spark, src_dir, lambda b, _i: ingest_batch_bottomk(b, state_path),
+        checkpoint_dir, max_files_per_trigger,
+    )
+
+
+# --- streaming count-min state ------------------------------------------------
+#
+# The frequency sketch (``queries.sketches.sketch_cms_heavy_hitters``)
+# streamed — the third and last merge algebra of the sketch family as a
+# streaming row: HLL merges by cell-wise MAX (idempotent), bottom-k by set
+# union (distinct-deduped), CMS by cell-wise ADDITION, which is NOT
+# idempotent — so each append is stamped with its micro-batch id and the
+# read-time merge first collapses duplicate (batch_id, cell) rows (an
+# at-least-once replay re-appends identical rows under the same id), THEN
+# sums across batches. Sum-of-per-batch-sums = the global cell count because
+# the counter table is LINEAR in the input multiset — the map-side-combine
+# property CMS exists for.
+#
+# Two appended tables per batch, both sketch-scale:
+# - counters/: the batch's d×w cell partials (≤ 2048 rows) — the sketch
+#   state proper; merging it needs no term knowledge.
+# - vocab/: the batch's (term, cnt) token-count partials — needed only to
+#   ENUMERATE candidate terms and report the exact count next to the
+#   estimate (same columns the batch report carries). Vocab-sized per
+#   batch, the same shuffle grain tfidf pays.
+
+
+def ingest_batch_cms(batch: DataFrame, state_path: str, batch_id: int) -> None:
+    """Append one micro-batch's CMS cell partials + token-count partials,
+    both stamped with the micro-batch id for replay dedup."""
+    import os
+
+    from cdc_postgresql_clickhouse_spark.operators.state import _state_lock
+    from cdc_postgresql_clickhouse_spark.queries.sketches import cms_counters, cms_vocab
+
+    vocab = cms_vocab(batch).withColumn("batch_id", F.lit(int(batch_id)))
+    counters = cms_counters(vocab.drop("batch_id")).withColumn(
+        "batch_id", F.lit(int(batch_id))
+    )
+    with _state_lock(state_path):
+        vocab.write.mode("append").parquet(os.path.join(state_path, "vocab"))
+        counters.write.mode("append").parquet(os.path.join(state_path, "counters"))
+
+
+def read_cms_state(spark: SparkSession, state_path: str) -> tuple[DataFrame, DataFrame]:
+    """The merged (vocab, counters) pair: per-batch dedup (MAX over rows
+    that replay re-appended verbatim), then SUM across batches."""
+    import os
+
+    vocab = (
+        spark.read.parquet(os.path.join(state_path, "vocab"))
+        .groupBy("batch_id", "term")
+        .agg(F.max("cnt").alias("cnt"))
+        .groupBy("term")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    counters = (
+        spark.read.parquet(os.path.join(state_path, "counters"))
+        .groupBy("batch_id", "r", "c")
+        .agg(F.max("cell").alias("cell"))
+        .groupBy("r", "c")
+        .agg(F.sum("cell").alias("cell"))
+    )
+    return vocab, counters
+
+
+def run_incremental_cms(
+    spark: SparkSession,
+    src_dir: str,
+    state_path: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Drain ``src_dir`` (parquet files of documents rows) through the
+    incremental CMS ingest with an availableNow trigger."""
+    _drain(
+        spark, src_dir, lambda b, i: ingest_batch_cms(b, state_path, i),
         checkpoint_dir, max_files_per_trigger,
     )

@@ -50,3 +50,64 @@ def test_pq_recall_floor_vs_bruteforce(spark, sf_dir):
 def test_pq_lloyd_codebook_variant_runs(spark, sf_dir):
     out = ann_pq_topk(spark, sf_dir, kmeans_iters=1)
     assert out.filter(F.col("rank") == 1).count() > 0
+
+
+# --- IVF+PQ composition -----------------------------------------------------
+
+
+def test_ivfpq_topk_contract(spark, sf_dir):
+    from cdc_postgresql_clickhouse_spark.queries.similarity import (
+        IVFPQ_TOPK,
+        ann_ivfpq_topk,
+    )
+
+    out = ann_ivfpq_topk(spark, sf_dir).cache()
+    per_q = out.groupBy("q_id").agg(
+        F.count(F.lit(1)).alias("n"), F.max("rank").alias("maxr"), F.min("rank").alias("minr")
+    )
+    bad = per_q.filter(
+        (F.col("n") != IVFPQ_TOPK) | (F.col("maxr") != IVFPQ_TOPK) | (F.col("minr") != 1)
+    ).count()
+    assert bad == 0
+    assert out.filter(F.col("q_id") == F.col("neighbor_id")).count() == 0
+    assert out.filter(F.abs(F.col("approx_cos")) > 1.0).count() == 0
+
+
+def test_ivfpq_candidates_come_only_from_probed_lists(spark, sf_dir):
+    """The IVF structure must survive the PQ overlay: every reported
+    neighbor's assigned centroid is one of its query's n_probe probes."""
+    from cdc_postgresql_clickhouse_spark.queries.similarity import (
+        N_CENTROIDS,
+        _emb_d,
+        _norm,
+        ann_ivfpq_topk,
+        ivf_assign,
+    )
+    from cdc_postgresql_clickhouse_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _emb_d().alias("e"), _norm(_emb_d()).alias("nrm")
+    )
+    cents = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce"), F.col("nrm").alias("cn")
+    )
+    assign = {r.vec_id: r.cid for r in ivf_assign(emb, cents).collect()}
+    out = ann_ivfpq_topk(spark, sf_dir).collect()
+    probed: dict[int, set[int]] = {}
+    for r in out:
+        probed.setdefault(r.q_id, set()).add(assign[r.neighbor_id])
+    # n_probe = 2: every query's neighbors span at most 2 distinct lists
+    assert all(len(cids) <= 2 for cids in probed.values())
+
+
+def test_ivfpq_recall_floor_vs_bruteforce(spark, sf_dir):
+    """Residual PQ inside probed lists: candidates are ~n_probe/n_centroids
+    of the corpus, but true neighbors concentrate in the probed lists and
+    the residual codebook quantizes tighter than raw-vector PQ — the floor
+    guards against a broken encode/probe (random overlap ~ 0.005)."""
+    from cdc_postgresql_clickhouse_spark.queries.similarity import ann_ivfpq_topk
+
+    bf = {(r.q_id, r.neighbor_id) for r in ann_bruteforce_topk(spark, sf_dir).collect()}
+    ivfpq = {(r.q_id, r.neighbor_id) for r in ann_ivfpq_topk(spark, sf_dir).collect()}
+    recall = len(bf & ivfpq) / len(bf)
+    assert recall >= 0.08, recall

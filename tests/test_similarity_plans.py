@@ -70,3 +70,20 @@ def test_ivf_broadcasts_query_slice_not_corpus(spark, sf_dir):
     bnlj = re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)
     assert len(bnlj) <= 2, plan
     assert "% 100" in plan, plan
+
+
+def test_ivfpq_probe_join_is_keyed_and_corpus_never_broadcast(spark, sf_dir):
+    """IVF+PQ keeps both parents' scale shapes: the only nested-loop joins
+    are the n_centroids-row broadcast cross-scores (the assignment passes);
+    the candidate pull is an equi-join on cid; the pair join broadcasts the
+    query slice. The corpus-sized encode/decode side must never sit on the
+    build side of a broadcast."""
+    import re
+
+    plan = formatted_plan(Q["ann_ivfpq_topk"](spark, sf_dir))
+    bnlj = re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)
+    # corpus assignment + probe assignment branches only
+    assert len(bnlj) <= 2, plan
+    assert "% 100" in plan, plan
+    # candidate pull is a cid equi-join (hash join, not nested loop)
+    assert "BroadcastHashJoin" in plan, plan

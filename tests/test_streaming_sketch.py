@@ -73,3 +73,32 @@ def test_streamed_bottomk_equals_batch_state_and_survives_replay(spark, sf_dir, 
     # must leave the merged state unchanged
     ingest_batch_bottomk(ev.filter(F.col("user_id") % 2 == 0), state)
     assert {tuple(r) for r in read_bottomk_state(spark, state).collect()} == batch
+
+
+def test_streamed_cms_counters_equal_batch_and_replay_dedups(spark, sf_dir, tmp_path):
+    """CMS linearity: per-batch cell partials SUM-merge to exactly the
+    one-shot counter table; a replayed batch (same batch_id) is dropped by
+    the read-time per-batch dedup, so the sums don't double-count."""
+    from cdc_postgresql_clickhouse_spark.queries.sketches import cms_counters, cms_vocab
+    from cdc_postgresql_clickhouse_spark.streaming.sketch import (
+        ingest_batch_cms,
+        read_cms_state,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    state = str(tmp_path / "state")
+    ingest_batch_cms(docs.filter(F.col("doc_id") % 2 == 0), state, 0)
+    ingest_batch_cms(docs.filter(F.col("doc_id") % 2 == 1), state, 1)
+    vocab, counters = read_cms_state(spark, state)
+
+    batch_vocab = cms_vocab(docs)
+    want_vocab = {(r.term, r.cnt) for r in batch_vocab.collect()}
+    want_counters = {(r.r, r.c, r.cell) for r in cms_counters(batch_vocab).collect()}
+    assert {(r.term, r.cnt) for r in vocab.collect()} == want_vocab
+    assert {(r.r, r.c, r.cell) for r in counters.collect()} == want_counters
+
+    # at-least-once replay of batch 0: identical rows under the same id
+    ingest_batch_cms(docs.filter(F.col("doc_id") % 2 == 0), state, 0)
+    vocab2, counters2 = read_cms_state(spark, state)
+    assert {(r.term, r.cnt) for r in vocab2.collect()} == want_vocab
+    assert {(r.r, r.c, r.cell) for r in counters2.collect()} == want_counters
