@@ -113,6 +113,7 @@ HEADLINE = [
     "graph_label_propagation",
     "ann_ivfpq_topk",
     "corpus_decontaminate_bloom",
+    "text_repetition_topgram",
 ]
 
 

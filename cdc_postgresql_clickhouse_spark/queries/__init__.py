@@ -77,14 +77,16 @@ _WINDOW_FRONT = [
     # rule 2b: latest driver row red (r4 hash-fail; integer-exact rewrite
     # this round must re-prove under the driver) (1)
     "events_anomaly_mad",
-    # rule 2: never driver-checked — round-5 additions (10)
+    # rule 2: never driver-checked — round-5 additions (11)
     "sketch_quantile_bottomk", "sketch_quantile_merge",
     "dedup_minhash_containment", "graph_kcore_types", "streaming_hll_equiv",
     "streaming_quantile_equiv", "graph_label_propagation",
     "ann_ivfpq_topk", "streaming_cms_equiv", "corpus_decontaminate_bloom",
-    # rule 3: refill with the oldest proofs — last checked r2 (31 of 43;
-    # pivot/rollup/sliding/fingerprint/full-outer variants deferred to r6,
-    # their machinery is covered by the cube/tumbling/asof rows kept here)
+    "text_repetition_topgram",
+    # rule 3: refill with the oldest proofs — last checked r2 (30 of 43;
+    # pivot/rollup/sliding/fingerprint/full-outer/tumbling variants deferred
+    # to r6, their machinery is covered by the cube/sessionize/asof rows
+    # kept here)
     "q1_pricing_summary", "q2_min_cost_supplier", "q3_shipping_priority",
     "q4_order_priority", "q5_region_revenue", "q6_forecast_revenue",
     "q7_nation_volume", "q8_market_share", "q9_product_profit",
@@ -96,7 +98,6 @@ _WINDOW_FRONT = [
     "agg_distinct_counts", "asof_latest_order", "asof_prev_purchase",
     "cube_returnflag_status", "customer_spend_deciles",
     "customers_without_orders", "events_json_extract", "events_sessionize",
-    "events_tumbling_5min",
 ]
 
 

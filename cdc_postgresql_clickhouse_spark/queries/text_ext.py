@@ -392,3 +392,113 @@ FROM ranked
 """
 
 QUERIES["text_ccnet_buckets"] = text_ccnet_buckets
+
+
+# --- Gopher top-n-gram repetition battery (Rae et al. 2021, table A1) --------
+#
+# Per doc, the character mass of the most repeated word n-gram for
+# n = 2, 3, 4: max over grams of count x char-length, as a PPM fraction of
+# the doc's (space-joined) character total. Heavily templated/stuffed docs
+# score high on the short grams; decoding loops max the longer ones. This is
+# the signal family Gopher thresholds at 0.20/0.18/0.16 — the thresholds
+# stay user-side, the operator reports the integer evidence.
+#
+# Scale shape: per-doc local, so the implementation must NOT shuffle at the
+# token grain (a groupBy(doc, gram) would be a corpus-sized shuffle for a
+# per-row statistic). Instead: build the gram array map-side, SORT it, and
+# fold once over the sorted array counting run lengths — max(run x len)
+# falls out of the fold, O(m log m) per doc, zero shuffles, pure
+# whole-stage-codegen scan job at 100 TB (the events_user_ewma ordered-fold
+# pattern applied to runs). Pure integer output: no float division anywhere
+# (PPM via integer div), so cross-engine parity is exact.
+
+TOPGRAM_NS = (2, 3, 4)
+
+
+def _topgram_best(toks, n: int):
+    """max over word-n-grams of (occurrences x char length), via a single
+    fold over the sorted gram array (equal grams are adjacent; the running
+    best sees every run's full length at the run's last element)."""
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, F.lit(n))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    s = F.sort_array(grams)
+    init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        # only grams that actually REPEAT count (run >= 2): a long unique
+        # gram's char mass is document length, not repetition
+        gain = F.when(run >= 2, run * F.length(x).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc["best"], gain).alias("best")
+        )
+
+    return F.aggregate(s, init, step, lambda acc: acc["best"])
+
+
+def text_repetition_topgram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_postgresql_clickhouse_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", tokens(F.col("text")).alias("t")).filter(F.size("t") >= 1)
+    withc = base.select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_toks"),
+        F.length(F.array_join("t", " ")).cast("long").alias("total_chars"),
+        *[_topgram_best(F.col("t"), n).alias(f"best{n}") for n in TOPGRAM_NS],
+    )
+    return withc.select(
+        "doc_id",
+        "n_toks",
+        "total_chars",
+        *[
+            F.expr(f"best{n} * 1000000 div total_chars").alias(f"top{n}gram_ppm")
+            for n in TOPGRAM_NS
+        ],
+    )
+
+
+QUERIES["text_repetition_topgram"] = text_repetition_topgram
+
+
+def _sql_topgram_cte(n: int) -> str:
+    from cdc_postgresql_clickhouse_spark.queries.training import _sql_ngrams
+
+    return f"""g{n} AS (
+  SELECT doc_id, unnest({_sql_ngrams(n)}) AS gram FROM base
+),
+c{n} AS (
+  SELECT doc_id, MAX(cnt * length(gram)) AS best FROM (
+    SELECT doc_id, gram, COUNT(*) AS cnt FROM g{n} GROUP BY 1, 2
+  ) WHERE cnt >= 2 GROUP BY 1
+)"""
+
+
+ORACLE["text_repetition_topgram"] = (
+    "WITH base AS (\n"
+    "  SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n_toks,\n"
+    "         CAST(length(array_to_string(t, ' ')) AS BIGINT) AS total_chars\n"
+    "  FROM (SELECT doc_id, "
+    + "list_filter(str_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), t -> t <> '')"
+    + " AS t FROM documents) WHERE len(t) >= 1\n"
+    "),\n"
+    + ",\n".join(_sql_topgram_cte(n) for n in TOPGRAM_NS)
+    + "\nSELECT b.doc_id, b.n_toks, b.total_chars,\n"
+    + ",\n".join(
+        f"       CAST(COALESCE(c{n}.best, 0) * 1000000 // b.total_chars AS BIGINT) AS top{n}gram_ppm"
+        for n in TOPGRAM_NS
+    )
+    + "\nFROM base b\n"
+    + "\n".join(f"LEFT JOIN c{n} ON c{n}.doc_id = b.doc_id" for n in TOPGRAM_NS)
+)

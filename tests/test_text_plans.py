@@ -67,3 +67,39 @@ def test_pii_redact_matches_production_patterns(spark, sf_dir):
     assert agg.e > 0 and agg.p > 0 and agg.a > 0, agg
     assert agg.bad_total == 0
     assert "Exchange" not in formatted_plan(out)
+
+
+def test_topgram_fold_counts_runs_and_ignores_unique_grams(spark):
+    """Planted repetition: 'a b a b a b' has bigram 'a b' x3 (best 3x3=9)
+    and 'b a' x2 (6); a no-repeat doc scores 0 even though it HAS long
+    unique grams (the cnt>=2 restriction — unique-gram char mass is doc
+    length, not repetition)."""
+    from pyspark.sql import functions as F
+
+    from cdc_postgresql_clickhouse_spark.functions.text import tokens
+    from cdc_postgresql_clickhouse_spark.queries.text_ext import _topgram_best
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "one two three four five")], "doc_id long, text string"
+    ).select("doc_id", tokens(F.col("text")).alias("t"))
+    out = {
+        r.doc_id: (r.b2, r.b3)
+        for r in df.select(
+            "doc_id",
+            _topgram_best(F.col("t"), 2).alias("b2"),
+            _topgram_best(F.col("t"), 3).alias("b3"),
+        ).collect()
+    }
+    assert out[1] == (9, 10)  # 'a b' 3x len3; 'a b a' 2x len5
+    assert out[2] == (0, 0)
+
+
+def test_topgram_plan_is_shuffle_free(spark, sf_dir):
+    """The per-doc statistic must stay a map job: no Exchange in the plan
+    (a groupBy(doc, gram) formulation would shuffle the corpus at token
+    grain for a per-row answer)."""
+    from cdc_postgresql_clickhouse_spark.plans.inspect import formatted_plan
+    from cdc_postgresql_clickhouse_spark.queries.text_ext import QUERIES
+
+    plan = formatted_plan(QUERIES["text_repetition_topgram"](spark, sf_dir))
+    assert "Exchange" not in plan, plan
