@@ -114,6 +114,7 @@ HEADLINE = [
     "ann_ivfpq_topk",
     "corpus_decontaminate_bloom",
     "text_repetition_topgram",
+    "ann_recall_report",
 ]
 
 

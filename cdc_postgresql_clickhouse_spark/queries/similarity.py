@@ -1021,3 +1021,78 @@ FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY approx_cos DESC, n
       FROM scored)
 WHERE rank <= {IVFPQ_TOPK}
 """
+
+
+# --- ANN recall evaluation ---------------------------------------------------
+#
+# "Measure, don't guess": the evaluation harness every ANN deployment needs,
+# as a first-class operator — recall@5 of each approximate index against the
+# exact brute-force baseline over the standard query slice. One row per
+# method; integer PPM recall (n_pairs = 5 x n_queries on both sides by the
+# top-k contract, so recall@5 = hits / n_pairs exactly).
+#
+# Scale shape: the truth side is the top-k OUTPUT (n_queries x 5 rows, never
+# the corpus) joined pair-keyed; each method's cost is its own query's cost,
+# already audited. At production scale the truth is computed once on a held
+# -out query sample and reused — here each evaluation is one call.
+
+
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    methods = {
+        "ivf": ann_ivf_topk,
+        "pq": ann_pq_topk,
+        "ivfpq": ann_ivfpq_topk,
+    }
+    truth = ann_bruteforce_topk(spark, sf_dir).select("q_id", "neighbor_id").withColumn(
+        "hit", F.lit(1).cast("long")
+    )
+    allm = None
+    for name, fn in methods.items():
+        part = fn(spark, sf_dir).select(
+            F.lit(name).alias("method"), "q_id", "neighbor_id"
+        )
+        allm = part if allm is None else allm.unionByName(part)
+    joined = allm.join(F.broadcast(truth), ["q_id", "neighbor_id"], "left")
+    per = joined.groupBy("method").agg(
+        F.countDistinct("q_id").alias("n_queries"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0).cast("long"))).cast("long").alias("n_hits"),
+    )
+    return per.select(
+        "method",
+        "n_queries",
+        "n_pairs",
+        "n_hits",
+        F.expr("n_hits * 1000000 div n_pairs").alias("recall_ppm"),
+    )
+
+
+QUERIES["ann_recall_report"] = ann_recall_report
+
+# the oracle nests each method's full standalone oracle as a CTE body
+# (a parenthesized subquery may carry its own WITH chain)
+ORACLE["ann_recall_report"] = f"""
+WITH bf AS ({ORACLE["ann_bruteforce_topk"]}),
+ivf AS ({ORACLE["ann_ivf_topk"]}),
+pq AS ({ORACLE["ann_pq_topk"]}),
+ivfpq AS ({ORACLE["ann_ivfpq_topk"]}),
+allm AS (
+  SELECT 'ivf' AS method, q_id, neighbor_id FROM ivf
+  UNION ALL SELECT 'pq', q_id, neighbor_id FROM pq
+  UNION ALL SELECT 'ivfpq', q_id, neighbor_id FROM ivfpq
+),
+per AS (
+  SELECT a.method,
+         COUNT(DISTINCT a.q_id) AS n_queries,
+         COUNT(*) AS n_pairs,
+         SUM(CASE WHEN b.q_id IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+  FROM allm a
+  LEFT JOIN bf b ON b.q_id = a.q_id AND b.neighbor_id = a.neighbor_id
+  GROUP BY 1
+)
+SELECT method, CAST(n_queries AS BIGINT) AS n_queries,
+       CAST(n_pairs AS BIGINT) AS n_pairs,
+       CAST(n_hits AS BIGINT) AS n_hits,
+       CAST(n_hits * 1000000 // n_pairs AS BIGINT) AS recall_ppm
+FROM per
+"""

@@ -111,3 +111,19 @@ def test_ivfpq_recall_floor_vs_bruteforce(spark, sf_dir):
     ivfpq = {(r.q_id, r.neighbor_id) for r in ann_ivfpq_topk(spark, sf_dir).collect()}
     recall = len(bf & ivfpq) / len(bf)
     assert recall >= 0.08, recall
+
+
+def test_ann_recall_report_contract(spark, sf_dir):
+    """One row per method; n_pairs = topk x n_queries on both sides, recall
+    in [0, 1e6] PPM, and the exhaustive-candidate method (pq scores every
+    corpus vector) dominates the list-restricted composition (ivfpq prunes
+    candidates AND quantizes)."""
+    from cdc_postgresql_clickhouse_spark.queries.similarity import ann_recall_report
+
+    rows = {r.method: r for r in ann_recall_report(spark, sf_dir).collect()}
+    assert set(rows) == {"ivf", "pq", "ivfpq"}
+    for r in rows.values():
+        assert r.n_pairs == 5 * r.n_queries
+        assert 0 <= r.n_hits <= r.n_pairs
+        assert 0 <= r.recall_ppm <= 1_000_000
+    assert rows["pq"].recall_ppm >= rows["ivfpq"].recall_ppm
