@@ -115,6 +115,7 @@ HEADLINE = [
     "corpus_decontaminate_bloom",
     "text_repetition_topgram",
     "ann_recall_report",
+    "dedup_lsh_tuning_report",
 ]
 
 

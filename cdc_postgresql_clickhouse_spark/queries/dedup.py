@@ -546,3 +546,144 @@ WHERE hits.n_hits * 1000000 // m.m_sample >= {CONT_THRESHOLD_PPM}
 
 QUERIES["dedup_minhash_containment"] = dedup_minhash_containment
 ORACLE["dedup_minhash_containment"] = _SQL_CONTAINMENT
+
+
+# --- LSH band-tuning report --------------------------------------------------
+#
+# The dedup twin of ann_recall_report: how do the (bands x rows) AND/OR
+# amplification choices trade candidate volume against pairs actually found?
+# For each way of splitting the 12 minhash signatures into b bands of r rows
+# (more bands = higher recall & more candidates; more rows per band = higher
+# precision), the report counts candidate pairs and exactly-verified pairs
+# (Jaccard >= 0.5 — verification is exact, so n_verified IS the number of
+# true pairs that config surfaces) plus integer-PPM precision. Users pick
+# the config from this evidence instead of folklore.
+#
+# Scale shape: ONE signature build (the same shuffle-free per-row projection
+# dedup_minhash_lsh uses, persisted across configs); per config one
+# bounded-occupancy band self-join + a candidates-only verify join — the
+# audited minhash shape, b times on the same cached relations.
+
+LSH_TUNE_CONFIGS = ((2, 6), (4, 3), (6, 2), (12, 1))
+
+
+def dedup_lsh_tuning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    corpus = _corpus(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
+    toks = corpus.select("doc_id", tokens(F.col("text")).alias("toks"))
+    shs_all = toks.select(
+        "doc_id", F.array_distinct(word_shingles(F.col("toks"), 3)).alias("shs")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    shs = shs_all.filter(F.size("shs") > 0)
+    sig = shs.select(
+        "doc_id",
+        *[
+            F.expr(f"array_min(transform(shs, s -> md5(concat('{i}|', s))))").alias(f"mh{i}")
+            for i in range(N_HASHES)
+        ],
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    out = None
+    for nb, r in LSH_TUNE_CONFIGS:
+        band_cols = [
+            F.md5(
+                F.concat_ws(",", *[F.col(f"mh{b * r + i}") for i in range(r)])
+            ).alias(f"bh{b}")
+            for b in range(nb)
+        ]
+        bands = sig.select("doc_id", F.posexplode(F.array(*band_cols)).alias("band", "bh"))
+        a, bb = bands.alias("a"), bands.alias("b")
+        cand = (
+            a.join(bb, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")))
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .distinct()
+        )
+        pairs = (
+            cand.join(shs.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a")), "doc_a")
+            .join(shs.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b")), "doc_b")
+            .select(
+                (
+                    F.floor(
+                        F.size(F.array_intersect("shs_a", "shs_b")).cast("double")
+                        / (
+                            F.size("shs_a") + F.size("shs_b")
+                            - F.size(F.array_intersect("shs_a", "shs_b"))
+                        )
+                        * 1e6
+                    ).cast("double")
+                    / F.lit(1000000.0)
+                ).alias("jaccard")
+            )
+        )
+        per = pairs.agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates"),
+            F.coalesce(
+                F.sum(F.when(F.col("jaccard") >= 0.5, 1).otherwise(0)), F.lit(0)
+            ).cast("long").alias("n_verified"),
+        ).select(
+            F.lit(nb).cast("long").alias("n_bands"),
+            F.lit(r).cast("long").alias("band_rows"),
+            "n_candidates",
+            "n_verified",
+            F.expr("CASE WHEN n_candidates > 0 THEN n_verified * 1000000 div n_candidates ELSE 0 END").alias(
+                "precision_ppm"
+            ),
+        )
+        out = per if out is None else out.unionByName(per)
+    return out
+
+
+QUERIES["dedup_lsh_tuning_report"] = dedup_lsh_tuning_report
+
+
+def _sql_lsh_tune_config(nb: int, r: int) -> str:
+    """Per-config CTEs: bands/cand/verified counts for b bands of r rows."""
+    jac = "(CAST(FLOOR((CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter)) * 1000000.0) AS DOUBLE) / 1000000.0)"
+    return f"""bands_{nb} AS (
+  SELECT doc_id, CAST(FLOOR(seed / {r}) AS BIGINT) AS band,
+         md5(string_agg(mh, ',' ORDER BY seed)) AS bh
+  FROM sig GROUP BY 1, 2
+),
+cand_{nb} AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands_{nb} a JOIN bands_{nb} b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+ncand_{nb} AS (SELECT COUNT(*) AS n FROM cand_{nb}),
+inter_{nb} AS (
+  SELECT doc_a, doc_b, COUNT(*) AS n_inter
+  FROM cand_{nb}
+  JOIN sh sa ON sa.doc_id = doc_a
+  JOIN sh sb ON sb.doc_id = doc_b AND sb.shingle = sa.shingle
+  GROUP BY doc_a, doc_b
+),
+nver_{nb} AS (
+  SELECT COUNT(*) AS n
+  FROM inter_{nb}
+  JOIN counts ca ON ca.doc_id = doc_a
+  JOIN counts cb ON cb.doc_id = doc_b
+  WHERE {jac} >= 0.5
+)"""
+
+
+ORACLE["dedup_lsh_tuning_report"] = (
+    f"WITH corpus AS ({_SQL_CORPUS}),\nsh AS ({_SQL_SHINGLES}),\n"
+    f"""sig AS (
+  SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS mh
+  FROM sh, (SELECT unnest(range({N_HASHES})) AS seed)
+  GROUP BY doc_id, seed
+),
+counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+"""
+    + ",\n".join(_sql_lsh_tune_config(nb, r) for nb, r in LSH_TUNE_CONFIGS)
+    + "\n"
+    + "\nUNION ALL\n".join(
+        f"""SELECT CAST({nb} AS BIGINT) AS n_bands, CAST({r} AS BIGINT) AS band_rows,
+       CAST(nc.n AS BIGINT) AS n_candidates, CAST(nv.n AS BIGINT) AS n_verified,
+       CAST(CASE WHEN nc.n > 0 THEN nv.n * 1000000 // nc.n ELSE 0 END AS BIGINT) AS precision_ppm
+FROM ncand_{nb} nc, nver_{nb} nv"""
+        for nb, r in LSH_TUNE_CONFIGS
+    )
+)

@@ -149,3 +149,21 @@ def test_bucketed_upsert_equals_one_shot(spark, tmp_path_factory, rows, n_batche
     one_shot = apply_changes(None, _df(spark, rows))
     assert consistency_check(one_shot, incremental)
     assert incremental.count() == one_shot.count()
+
+
+def test_lsh_tuning_report_amplification_monotonicity(spark, sf_dir):
+    """Aligned band refinements nest: a (2x6) bucket match implies both
+    constituent (4x3) matches, and a (6x2) match implies both (12x1)
+    matches — so candidates and found-true-pairs are monotone along those
+    chains, and the single-row config pays for its recall with precision."""
+    from cdc_postgresql_clickhouse_spark.queries.dedup import dedup_lsh_tuning_report
+
+    rows = {r.n_bands: r for r in dedup_lsh_tuning_report(spark, sf_dir).collect()}
+    assert set(rows) == {2, 4, 6, 12}
+    assert rows[2].n_candidates <= rows[4].n_candidates
+    assert rows[6].n_candidates <= rows[12].n_candidates
+    assert rows[2].n_verified <= rows[4].n_verified
+    assert rows[6].n_verified <= rows[12].n_verified
+    assert rows[12].precision_ppm <= rows[6].precision_ppm
+    for r in rows.values():
+        assert 0 <= r.n_verified <= r.n_candidates
