@@ -116,6 +116,7 @@ HEADLINE = [
     "text_repetition_topgram",
     "ann_recall_report",
     "dedup_lsh_tuning_report",
+    "events_minute_gapfill",
 ]
 
 

@@ -286,3 +286,71 @@ FROM events
 GROUP BY 1
 """,
 }
+
+
+# --- minute gap-fill (ClickHouse ORDER BY ... WITH FILL analogue) -------------
+#
+# Telemetry dashboards need DENSE time series: a minute with zero events must
+# appear as an explicit zero row, not a gap (ClickHouse ships this as WITH
+# FILL / WITH FILL STEP; reference-adjacent surface). Per event type, the
+# grid spans that type's own [first, last] active minute.
+#
+# Scale shape: one keyed agg for the sparse counts, one 2-row-per-type agg
+# for the ranges, then the grid is EXPLODED from per-type sequences (43k
+# minutes/month — array explode per type row, trivially parallel) and
+# left-joined back on (type, minute). At extreme spans (years x seconds) the
+# sequence array per type gets large: swap the generator for a
+# spark.range(lo, hi, step) cross-joined with the type list — same join, the
+# grid side just changes producer. No corpus-sized shuffle beyond the
+# original count agg either way.
+
+
+def events_minute_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("unix_timestamp(ts) div 60 * 60").cast("long").alias("minute_start"),
+        "value",
+    )
+    per = ev.groupBy("event_type", "minute_start").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+    )
+    rng = ev.groupBy("event_type").agg(
+        F.min("minute_start").alias("lo"), F.max("minute_start").alias("hi")
+    )
+    grid = rng.select(
+        "event_type",
+        F.explode(F.sequence("lo", "hi", F.lit(60).cast("long"))).alias("minute_start"),
+    )
+    return grid.join(per, ["event_type", "minute_start"], "left").select(
+        "event_type",
+        "minute_start",
+        F.coalesce("n_events", F.lit(0).cast("long")).alias("n_events"),
+        F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+    )
+
+
+QUERIES["events_minute_gapfill"] = events_minute_gapfill
+
+ORACLE["events_minute_gapfill"] = """
+WITH ev AS (
+  SELECT event_type,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) // 60 * 60 AS minute_start,
+         value
+  FROM events
+),
+per AS (
+  SELECT event_type, minute_start, COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+  FROM ev GROUP BY 1, 2
+),
+rng AS (SELECT event_type, MIN(minute_start) AS lo, MAX(minute_start) AS hi FROM ev GROUP BY 1),
+grid AS (
+  SELECT event_type, unnest(range(lo, hi + 60, 60)) AS minute_start FROM rng
+)
+SELECT g.event_type, CAST(g.minute_start AS BIGINT) AS minute_start,
+       CAST(COALESCE(p.n_events, 0) AS BIGINT) AS n_events,
+       COALESCE(p.sum_value, 0.0) AS sum_value
+FROM grid g
+LEFT JOIN per p ON p.event_type = g.event_type AND p.minute_start = g.minute_start
+"""

@@ -80,3 +80,27 @@ def test_funnel_level_monotone_under_event_removal(spark, sf_dir):
     j = pd.concat({"full": full, "thinned": thinned}, axis=1)
     assert (j["thinned"] <= j["full"]).all()
     assert (j["thinned"] <= 2).all()
+
+
+def test_gapfill_grid_is_dense_and_mass_preserving(spark, sf_dir):
+    """Per type the grid is contiguous ((hi-lo)/60 + 1 rows) and the filled
+    series preserves total event mass — zeros added, nothing dropped."""
+    from pyspark.sql import functions as F
+
+    from cdc_postgresql_clickhouse_spark.queries.events import events_minute_gapfill
+    from cdc_postgresql_clickhouse_spark.sources.registry import load_table
+
+    out = events_minute_gapfill(spark, sf_dir).cache()
+    per_type = out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        ((F.max("minute_start") - F.min("minute_start")) / 60 + 1).cast("long").alias("span"),
+        F.sum("n_events").alias("n_events"),
+    ).collect()
+    totals = {
+        r.event_type: r.cnt
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    for r in per_type:
+        assert r.n_rows == r.span, (r.event_type, r.n_rows, r.span)
+        assert r.n_events == totals[r.event_type]
