@@ -117,6 +117,7 @@ HEADLINE = [
     "ann_recall_report",
     "dedup_lsh_tuning_report",
     "events_minute_gapfill",
+    "sketch_quantile_error_report",
 ]
 
 

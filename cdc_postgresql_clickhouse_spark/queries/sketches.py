@@ -878,3 +878,89 @@ QUERIES["sketch_quantile_bottomk"] = sketch_quantile_bottomk
 QUERIES["sketch_quantile_merge"] = sketch_quantile_merge
 ORACLE["sketch_quantile_bottomk"] = _SQL_QSK
 ORACLE["sketch_quantile_merge"] = _SQL_QSK_MERGE
+
+
+# --- quantile sketch error report -------------------------------------------
+#
+# The third leg of the evaluation trio (ann_recall_report, dedup_lsh_tuning
+# _report): how far are the bottom-k sample quantiles from the EXACT
+# nearest-rank quantiles, per key? Same rank arithmetic on both sides (the
+# exact side is just the sample formulas with m = n), so every column stays
+# BIGINT and the error is an exact integer difference. The expected error is
+# the O(1/sqrt(k)) rank deviation of a uniform sample — this row measures it
+# on real data instead of quoting it.
+#
+# Scale shape: the sketch side is sketch-sized; the exact side is one sort
+# per key (the ground truth an evaluation pays for ONCE, on a sampled key
+# set at extreme volume — here the key set is |event types|).
+
+
+def sketch_quantile_error_report(
+    spark: SparkSession, sf_dir: str, k: int = QSK_K
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sk = _sample_quantiles(_bottomk_state(ev, k), ["event_type"])
+    allv = ev.select(
+        "event_type", F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c")
+    )
+    ex = _sample_quantiles(allv, ["event_type"])
+    s, e = sk.alias("s"), ex.alias("e")
+    j = s.join(e, "event_type")
+    return j.select(
+        "event_type",
+        F.col("e.m_sample").alias("n_events"),
+        F.col("s.m_sample").alias("m_sample"),
+        F.col("s.p50_cents").alias("p50_sketch_cents"),
+        F.col("e.p50_cents").alias("p50_exact_cents"),
+        F.abs(F.col("s.p25_cents") - F.col("e.p25_cents")).alias("err25_cents"),
+        F.abs(F.col("s.p50_cents") - F.col("e.p50_cents")).alias("err50_cents"),
+        F.abs(F.col("s.p75_cents") - F.col("e.p75_cents")).alias("err75_cents"),
+    )
+
+
+_SQL_QSK_ERR = f"""
+WITH st AS ({_SQL_QSK_STATE}),
+sranked AS (
+  SELECT event_type, c,
+         row_number() OVER (PARTITION BY event_type ORDER BY c) AS vr,
+         COUNT(*) OVER (PARTITION BY event_type) AS m
+  FROM st
+),
+sqs AS (
+  SELECT event_type,
+         CAST(MAX(m) AS BIGINT) AS m_sample,
+         CAST(SUM(CASE WHEN vr = (m + 3) // 4 THEN c END) AS BIGINT) AS p25_cents,
+         CAST(SUM(CASE WHEN vr = (m + 1) // 2 THEN c END) AS BIGINT) AS p50_cents,
+         CAST(SUM(CASE WHEN vr = (3 * m + 3) // 4 THEN c END) AS BIGINT) AS p75_cents
+  FROM sranked GROUP BY event_type
+),
+allv AS (
+  SELECT event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c FROM events
+),
+eranked AS (
+  SELECT event_type, c,
+         row_number() OVER (PARTITION BY event_type ORDER BY c) AS vr,
+         COUNT(*) OVER (PARTITION BY event_type) AS m
+  FROM allv
+),
+eqs AS (
+  SELECT event_type,
+         CAST(MAX(m) AS BIGINT) AS m_sample,
+         CAST(SUM(CASE WHEN vr = (m + 3) // 4 THEN c END) AS BIGINT) AS p25_cents,
+         CAST(SUM(CASE WHEN vr = (m + 1) // 2 THEN c END) AS BIGINT) AS p50_cents,
+         CAST(SUM(CASE WHEN vr = (3 * m + 3) // 4 THEN c END) AS BIGINT) AS p75_cents
+  FROM eranked GROUP BY event_type
+)
+SELECT s.event_type,
+       e.m_sample AS n_events,
+       s.m_sample AS m_sample,
+       s.p50_cents AS p50_sketch_cents,
+       e.p50_cents AS p50_exact_cents,
+       ABS(s.p25_cents - e.p25_cents) AS err25_cents,
+       ABS(s.p50_cents - e.p50_cents) AS err50_cents,
+       ABS(s.p75_cents - e.p75_cents) AS err75_cents
+FROM sqs s JOIN eqs e USING (event_type)
+"""
+
+QUERIES["sketch_quantile_error_report"] = sketch_quantile_error_report
+ORACLE["sketch_quantile_error_report"] = _SQL_QSK_ERR

@@ -312,3 +312,26 @@ def test_quantile_bottomk_schema_and_sample_accuracy(spark, sf_dir):
             target = q * n
             slack = 0.5 * n  # 4 sigma at k=64
             assert lo_rank - slack <= target <= hi_rank + slack, (et, q, got)
+
+
+def test_quantile_error_report_zero_when_sample_is_whole_stream(spark, sf_dir):
+    """With k >= n the bottom-k sample IS the full stream, so the sketch and
+    exact nearest-rank quantiles must coincide exactly — pinning that both
+    sides use identical rank arithmetic (any off-by-one would show here)."""
+    from pyspark.sql import functions as F
+
+    from cdc_postgresql_clickhouse_spark.queries.sketches import (
+        QSK_K,
+        sketch_quantile_error_report,
+    )
+
+    full = sketch_quantile_error_report(spark, sf_dir, k=10_000_000).cache()
+    assert full.filter(
+        (F.col("err25_cents") != 0) | (F.col("err50_cents") != 0) | (F.col("err75_cents") != 0)
+    ).count() == 0
+    assert full.filter(F.col("m_sample") != F.col("n_events")).count() == 0
+
+    # at the real k the sample caps at k and errors are bounded integers >= 0
+    real = sketch_quantile_error_report(spark, sf_dir).cache()
+    assert real.filter(F.col("m_sample") > QSK_K).count() == 0
+    assert real.filter(F.col("err50_cents") < 0).count() == 0
