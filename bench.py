@@ -118,6 +118,7 @@ HEADLINE = [
     "dedup_lsh_tuning_report",
     "events_minute_gapfill",
     "sketch_quantile_error_report",
+    "cdc_schema_evolution_state",
 ]
 
 

@@ -70,10 +70,12 @@ _MODULES = (
 # lists the first-50 names in driver order; every remaining query follows in
 # module order and is re-verified locally by scripts/parity_sweep.py.
 _WINDOW_FRONT = [
-    # rule 1: cdc (8)
+    # rule 1: cdc (9 — schema-evolution row added r5, rule 2 places it here
+    # with its family)
     "cdc_current_state", "cdc_soft_delete_state", "cdc_envelope_transform",
     "cdc_epoch_micros_roundtrip", "cdc_count_final", "cdc_idempotent_replay",
     "cdc_scd2_history", "cdc_reconciliation_report",
+    "cdc_schema_evolution_state",
     # rule 2b: latest driver row red (r4 hash-fail; integer-exact rewrite
     # this round must re-prove under the driver) (1)
     "events_anomaly_mad",
@@ -97,7 +99,6 @@ _WINDOW_FRONT = [
     "q18_large_orders", "q19_disjunctive_predicates", "q20_bolt_suppliers",
     "q21_waiting_supplier", "q22_idle_customers",
     "agg_distinct_counts", "asof_latest_order", "asof_prev_purchase",
-    "cube_returnflag_status",
 ]
 
 

@@ -291,3 +291,158 @@ SELECT (SELECT COUNT(*) FROM src) AS src_rows,
        (so.c = 0 AND do_.c = 0) AS consistent
 FROM so CROSS JOIN do_
 """
+
+
+# --- T4 as a driver row: schema evolution through the live decode ------------
+#
+# The schema-change machinery (sources/schema_changes.py — DDL decode,
+# history table, envelope re-derivation) was pytest-proven only; this row
+# drives it END-TO-END on driver data: events are re-encoded as Debezium
+# JSON envelopes whose row image WIDENS mid-stream (rows on day >= 16 carry
+# a new k_value column, earlier rows don't), a two-event DDL stream
+# (CREATE, then ALTER ADD COLUMN) is decoded into the schema history, the
+# CURRENT envelope schema is re-derived from that history, and the data
+# stream is decoded with it — pre-DDL envelopes read NULL for the new
+# column (ClickHouse ADD COLUMN semantics), post-DDL envelopes carry it.
+# Final state = version arg-max per key, version := lsn := event_id (P5).
+#
+# The oracle states the resulting SEMANTICS over the events table directly;
+# the JSON encode→decode→transform path is the Spark implementation under
+# test (its wire shape is pinned by tests/test_schema_changes.py).
+
+_DDL_T0 = 1700000000000
+_SCHEMA_EVO_SPLIT_DAY = 16
+_BASE_COLS = [
+    ("id", "int8"), ("booking_id", "text"), ("status", "text"),
+    ("is_deleted", "bool"), ("is_canceled", "bool"),
+    ("created_at", "timestamp"), ("modified_at", "timestamp"),
+]
+
+
+def _ddl_json(ts_ms: int, change_type: str, cols: list[tuple[str, str]], ddl: str) -> str:
+    import json
+
+    return json.dumps({
+        "ts_ms": ts_ms,
+        "databaseName": "app",
+        "schemaName": "public",
+        "ddl": ddl,
+        "tableChanges": [{
+            "type": change_type,
+            "id": '"public"."bookings"',
+            "table": {
+                "columns": [
+                    {"name": n, "typeName": t, "position": i + 1, "optional": True}
+                    for i, (n, t) in enumerate(cols)
+                ],
+                "primaryKeyColumnNames": ["booking_id"],
+            },
+        }],
+    })
+
+
+def cdc_schema_evolution_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_postgresql_clickhouse_spark.operators.cdc_transform import (
+        changes_to_state_updates,
+    )
+    from cdc_postgresql_clickhouse_spark.sources.schema_changes import (
+        decode_schema_change_events,
+        envelope_schema_for,
+        latest_table_schema,
+        schema_history,
+    )
+
+    # 1. DDL stream -> history -> current envelope schema (the T4 path)
+    ddl_raw = spark.createDataFrame(
+        [
+            (_ddl_json(_DDL_T0, "CREATE", _BASE_COLS, "CREATE TABLE bookings (...)"),),
+            (
+                _ddl_json(
+                    _DDL_T0 + 1000,
+                    "ALTER",
+                    _BASE_COLS + [("k_value", "int8")],
+                    "ALTER TABLE bookings ADD COLUMN k_value int8",
+                ),
+            ),
+        ],
+        "value string",
+    )
+    history = schema_history(decode_schema_change_events(ddl_raw))
+    widened = envelope_schema_for(latest_table_schema(history, '"public"."bookings"'))
+
+    # 2. events -> Debezium JSON envelopes; the row image widens on the
+    # split day (earlier envelopes simply LACK the k_value key)
+    ev = load_table(spark, sf_dir, "events")
+    micros = (F.unix_timestamp("ts") * 1000000 + F.date_format("ts", "SSSSSS").cast("long"))
+
+    def image(with_k: bool):
+        fields = [
+            F.col("user_id").alias("id"),
+            F.col("user_id").cast("string").alias("booking_id"),
+            F.col("event_type").alias("status"),
+            F.lit(False).alias("is_deleted"),
+            F.lit(False).alias("is_canceled"),
+            micros.alias("created_at"),
+            micros.alias("modified_at"),
+        ]
+        if with_k:
+            fields.append(
+                F.get_json_object("props", "$.k").cast("long").alias("k_value")
+            )
+        return F.struct(*fields)
+
+    def envelopes(df: DataFrame, with_k: bool) -> DataFrame:
+        img = image(with_k)
+        is_del = F.col("event_type") == "error"
+        env = F.struct(
+            F.when(is_del, img).alias("before"),
+            F.when(~is_del, img).alias("after"),
+            F.when(is_del, F.lit("d")).otherwise(F.lit("u")).alias("op"),
+            (F.unix_timestamp("ts") * 1000).alias("ts_ms"),
+            F.struct(F.lit("").alias("sequence"), F.col("event_id").alias("lsn")).alias(
+                "source"
+            ),
+        )
+        return df.select(F.to_json(env, {"ignoreNullFields": "true"}).alias("value"))
+
+    pre = envelopes(ev.filter(F.dayofmonth("ts") < _SCHEMA_EVO_SPLIT_DAY), with_k=False)
+    post = envelopes(ev.filter(F.dayofmonth("ts") >= _SCHEMA_EVO_SPLIT_DAY), with_k=True)
+    raw = pre.unionByName(post)
+
+    # 3. decode with the re-derived schema, transform, version arg-max
+    decoded = raw.select(F.from_json(F.col("value"), widened).alias("e")).select("e.*")
+    updates = changes_to_state_updates(decoded, extra_image_columns=("k_value",))
+    latest = (
+        updates.groupBy("booking_id")
+        .agg(
+            F.max_by(
+                F.struct("status", "is_deleted", "k_value", "version"), F.col("version")
+            ).alias("__r")
+        )
+        .select("booking_id", "__r.*")
+    )
+    return latest.select(
+        "booking_id",
+        "status",
+        F.col("is_deleted").cast("long").alias("is_deleted"),
+        "k_value",
+        F.col("version").cast("long").alias("version"),
+    )
+
+
+QUERIES["cdc_schema_evolution_state"] = cdc_schema_evolution_state
+
+ORACLE["cdc_schema_evolution_state"] = f"""
+WITH latest AS (
+  SELECT user_id, event_id, event_type, ts, props,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events
+)
+SELECT CAST(user_id AS VARCHAR) AS booking_id,
+       event_type AS status,
+       CAST(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS BIGINT) AS is_deleted,
+       CASE WHEN day(ts) >= {_SCHEMA_EVO_SPLIT_DAY}
+            THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k_value,
+       CAST(event_id AS BIGINT) AS version
+FROM latest WHERE rn = 1
+"""

@@ -207,3 +207,28 @@ def test_widening_through_streaming_pipeline_restart(spark, tmp_path):
     rows = {r["booking_id"]: r for r in final.collect()}
     assert set(rows) == {"b1", "b2"}
     assert rows["b1"]["note"] is None and rows["b2"]["note"] == "vip"
+
+
+def test_schema_evolution_driver_row_widens_mid_stream(spark, sf_dir):
+    """The T4 driver row end-to-end: a user's k_value is populated iff their
+    LATEST change arrived after the ALTER (day >= split) — earlier envelopes
+    lack the key and must decode as NULL under the re-derived schema."""
+    from pyspark.sql import functions as F
+
+    from cdc_postgresql_clickhouse_spark.queries.cdc import (
+        _SCHEMA_EVO_SPLIT_DAY,
+        cdc_schema_evolution_state,
+    )
+    from cdc_postgresql_clickhouse_spark.sources.registry import load_table
+
+    out = {r.booking_id: r.k_value for r in cdc_schema_evolution_state(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events")
+    latest_day = {
+        str(r.user_id): r.d
+        for r in ev.groupBy("user_id")
+        .agg(F.max_by(F.dayofmonth("ts"), "event_id").alias("d"))
+        .collect()
+    }
+    assert set(out) == set(latest_day)
+    for uid, k in out.items():
+        assert (k is not None) == (latest_day[uid] >= _SCHEMA_EVO_SPLIT_DAY), uid
