@@ -119,6 +119,7 @@ HEADLINE = [
     "events_minute_gapfill",
     "sketch_quantile_error_report",
     "cdc_schema_evolution_state",
+    "events_minute_locf",
 ]
 
 

@@ -354,3 +354,85 @@ SELECT g.event_type, CAST(g.minute_start AS BIGINT) AS minute_start,
 FROM grid g
 LEFT JOIN per p ON p.event_type = g.event_type AND p.minute_start = g.minute_start
 """
+
+
+# --- forward-fill (LOCF) over the dense grid ---------------------------------
+#
+# The other WITH FILL mode (ClickHouse INTERPOLATE / pandas ffill): silent
+# minutes carry the LAST OBSERVED value forward instead of zero — gauges and
+# state metrics (queue depth, temperature) fill this way, counters fill with
+# zeros (events_minute_gapfill). last_value = the value of the latest event
+# in the minute (max_by event_id within the minute, then carried forward);
+# minutes before a type's first event stay NULL by definition of the grid
+# (the grid starts at the type's first active minute, so row 1 always has a
+# value).
+#
+# Scale shape: gapfill's grid + ONE ordered window per type (ignoreNulls
+# last) — the same single-shuffle-per-key posture as the running windows.
+
+
+def events_minute_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("unix_timestamp(ts) div 60 * 60").cast("long").alias("minute_start"),
+        "event_id",
+        "value",
+    )
+    per = ev.groupBy("event_type", "minute_start").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.max_by("value", "event_id").alias("minute_value"),
+    )
+    rng = ev.groupBy("event_type").agg(
+        F.min("minute_start").alias("lo"), F.max("minute_start").alias("hi")
+    )
+    grid = rng.select(
+        "event_type",
+        F.explode(F.sequence("lo", "hi", F.lit(60).cast("long"))).alias("minute_start"),
+    )
+    joined = grid.join(per, ["event_type", "minute_start"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("minute_start")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "event_type",
+        "minute_start",
+        F.coalesce("n_events", F.lit(0).cast("long")).alias("n_events"),
+        F.last("minute_value", ignorenulls=True).over(w).alias("filled_value"),
+    )
+
+
+QUERIES["events_minute_locf"] = events_minute_locf
+
+ORACLE["events_minute_locf"] = """
+WITH ev AS (
+  SELECT event_type,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) // 60 * 60 AS minute_start,
+         event_id, value
+  FROM events
+),
+per AS (
+  SELECT event_type, minute_start, COUNT(*) AS n_events,
+         arg_max(value, event_id) AS minute_value
+  FROM ev GROUP BY 1, 2
+),
+rng AS (SELECT event_type, MIN(minute_start) AS lo, MAX(minute_start) AS hi FROM ev GROUP BY 1),
+grid AS (
+  SELECT event_type, unnest(range(lo, hi + 60, 60)) AS minute_start FROM rng
+),
+joined AS (
+  SELECT g.event_type, g.minute_start,
+         COALESCE(p.n_events, 0) AS n_events, p.minute_value
+  FROM grid g
+  LEFT JOIN per p ON p.event_type = g.event_type AND p.minute_start = g.minute_start
+)
+SELECT event_type, CAST(minute_start AS BIGINT) AS minute_start,
+       CAST(n_events AS BIGINT) AS n_events,
+       last_value(minute_value IGNORE NULLS) OVER (
+         PARTITION BY event_type ORDER BY minute_start
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+FROM joined
+"""

@@ -104,3 +104,22 @@ def test_gapfill_grid_is_dense_and_mass_preserving(spark, sf_dir):
     for r in per_type:
         assert r.n_rows == r.span, (r.event_type, r.n_rows, r.span)
         assert r.n_events == totals[r.event_type]
+
+
+def test_locf_carries_last_observation_and_never_regresses_to_null(spark, sf_dir):
+    """Forward fill: every grid row has a value (row 1 is an observation by
+    grid construction), observed minutes show their own latest-event value,
+    and a silent minute equals the previous minute's filled value."""
+    from pyspark.sql import Window, functions as F
+
+    from cdc_postgresql_clickhouse_spark.queries.events import events_minute_locf
+
+    out = events_minute_locf(spark, sf_dir).cache()
+    assert out.filter(F.col("filled_value").isNull()).count() == 0
+    w = Window.partitionBy("event_type").orderBy("minute_start")
+    with_prev = out.withColumn("prev", F.lag("filled_value").over(w))
+    silent_changed = with_prev.filter(
+        (F.col("n_events") == 0) & (F.col("prev").isNotNull())
+        & (F.col("filled_value") != F.col("prev"))
+    ).count()
+    assert silent_changed == 0
