@@ -120,6 +120,7 @@ HEADLINE = [
     "sketch_quantile_error_report",
     "cdc_schema_evolution_state",
     "events_minute_locf",
+    "quality_threshold_sweep",
 ]
 
 

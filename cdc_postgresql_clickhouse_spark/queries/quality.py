@@ -145,3 +145,67 @@ SELECT source, COUNT(*) AS n_docs,
 FROM d GROUP BY 1
 """,
 }
+
+
+# --- filter threshold sweep --------------------------------------------------
+#
+# "What does this threshold COST?" — the question every filter setting
+# raises before a 100 TB run commits to it. For a grid of min-word-count
+# cutoffs, the retained doc count, retained token mass, and integer-PPM
+# token share. One map pass for per-doc sizes (no explode of tokens — just
+# size()), a |grid|-way expansion of doc-count-sized rows, one small agg;
+# at scale this is a scan job whose output is |grid| rows.
+
+SWEEP_MIN_WORDS = (10, 20, 30, 40, 50, 60)
+
+
+def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(F.size(tokens(F.col("text"))).cast("long").alias("n_words"))
+    grid = spark.createDataFrame([(t,) for t in SWEEP_MIN_WORDS], "min_words long")
+    e = d.select(
+        "n_words",
+        F.explode(F.array(*[F.lit(t).cast("long") for t in SWEEP_MIN_WORDS])).alias(
+            "min_words"
+        ),
+    ).filter(F.col("n_words") >= F.col("min_words"))
+    per = e.groupBy("min_words").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_kept"),
+        F.sum("n_words").cast("long").alias("tokens_kept"),
+    )
+    total = d.agg(
+        F.sum("n_words").cast("long").alias("t"), F.count(F.lit(1)).cast("long").alias("nd")
+    )
+    return (
+        grid.join(per, "min_words", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "min_words",
+            F.coalesce("n_docs_kept", F.lit(0).cast("long")).alias("n_docs_kept"),
+            F.col("nd").alias("n_docs_total"),
+            F.coalesce("tokens_kept", F.lit(0).cast("long")).alias("tokens_kept"),
+            F.expr("coalesce(tokens_kept, 0) * 1000000 div t").alias("tokens_share_ppm"),
+        )
+    )
+
+
+QUERIES["quality_threshold_sweep"] = quality_threshold_sweep
+
+ORACLE["quality_threshold_sweep"] = f"""
+WITH d AS (SELECT CAST(len({_SQL_TOKENS}) AS BIGINT) AS n_words FROM documents),
+tot AS (SELECT CAST(SUM(n_words) AS BIGINT) AS t, COUNT(*) AS nd FROM d),
+g AS (SELECT CAST(unnest([{', '.join(str(t) for t in SWEEP_MIN_WORDS)}]) AS BIGINT) AS min_words),
+per AS (
+  SELECT g.min_words,
+         COUNT(d.n_words) AS n_docs_kept,
+         COALESCE(SUM(d.n_words), 0) AS tokens_kept
+  FROM g LEFT JOIN d ON d.n_words >= g.min_words
+  GROUP BY 1
+)
+SELECT min_words,
+       CAST(n_docs_kept AS BIGINT) AS n_docs_kept,
+       CAST(nd AS BIGINT) AS n_docs_total,
+       CAST(tokens_kept AS BIGINT) AS tokens_kept,
+       CAST(tokens_kept * 1000000 // t AS BIGINT) AS tokens_share_ppm
+FROM per, tot
+"""

@@ -123,3 +123,25 @@ def test_locf_carries_last_observation_and_never_regresses_to_null(spark, sf_dir
         & (F.col("filled_value") != F.col("prev"))
     ).count()
     assert silent_changed == 0
+
+
+def test_threshold_sweep_is_monotone_and_anchored(spark, sf_dir):
+    """Raising the cutoff can only shed docs/tokens; every grid row appears
+    even if nothing passes (left-join zero path), and shares are PPM-exact."""
+    from pyspark.sql import functions as F
+
+    from cdc_postgresql_clickhouse_spark.queries.quality import (
+        SWEEP_MIN_WORDS,
+        quality_threshold_sweep,
+    )
+
+    rows = {r.min_words: r for r in quality_threshold_sweep(spark, sf_dir).collect()}
+    assert set(rows) == set(SWEEP_MIN_WORDS)
+    ordered = [rows[t] for t in sorted(rows)]
+    for a, b in zip(ordered, ordered[1:]):
+        assert a.n_docs_kept >= b.n_docs_kept
+        assert a.tokens_kept >= b.tokens_kept
+        assert a.tokens_share_ppm >= b.tokens_share_ppm
+    for r in ordered:
+        assert 0 <= r.tokens_share_ppm <= 1_000_000
+        assert r.n_docs_total == ordered[0].n_docs_total
