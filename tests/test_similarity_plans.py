@@ -81,7 +81,10 @@ def test_ivfpq_probe_join_is_keyed_and_corpus_never_broadcast(spark, sf_dir):
     import re
 
     plan = formatted_plan(Q["ann_ivfpq_topk"](spark, sf_dir))
-    bnlj = re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)
+    # count DISTINCT nodes: each id appears in the tree and again in the
+    # details section, and whether the two assignment cross-scores share an
+    # exchange (one reused node) varies with session-wide reuse-cache state
+    bnlj = set(re.findall(r"\((\d+)\) BroadcastNestedLoopJoin", plan))
     # corpus assignment + probe assignment branches only
     assert len(bnlj) <= 2, plan
     assert "% 100" in plan, plan
