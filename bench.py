@@ -121,6 +121,7 @@ HEADLINE = [
     "cdc_schema_evolution_state",
     "events_minute_locf",
     "quality_threshold_sweep",
+    "grouping_sets_order_profile",
 ]
 
 

@@ -79,7 +79,7 @@ _WINDOW_FRONT = [
     # rule 2b: latest driver row red (r4 hash-fail; integer-exact rewrite
     # this round must re-prove under the driver) (1)
     "events_anomaly_mad",
-    # rule 2: never driver-checked — round-5 additions (17)
+    # rule 2: never driver-checked — round-5 additions (18)
     "sketch_quantile_bottomk", "sketch_quantile_merge",
     "dedup_minhash_containment", "graph_kcore_types", "streaming_hll_equiv",
     "streaming_quantile_equiv", "graph_label_propagation",
@@ -87,7 +87,8 @@ _WINDOW_FRONT = [
     "text_repetition_topgram", "ann_recall_report", "dedup_lsh_tuning_report",
     "events_minute_gapfill", "sketch_quantile_error_report",
     "events_minute_locf", "quality_threshold_sweep",
-    # rule 3: refill with the oldest proofs — last checked r2 (24 of 43;
+    "grouping_sets_order_profile",
+    # rule 3: refill with the oldest proofs — last checked r2 (23 of 43;
     # pivot/rollup/sliding/fingerprint/full-outer/tumbling variants deferred
     # to r6, their machinery is covered by the cube/sessionize/asof rows
     # kept here)
@@ -99,7 +100,6 @@ _WINDOW_FRONT = [
     "q16_supplier_part_counts", "q17_small_quantity_revenue",
     "q18_large_orders", "q19_disjunctive_predicates", "q20_bolt_suppliers",
     "q21_waiting_supplier", "q22_idle_customers",
-    "agg_distinct_counts",
 ]
 
 

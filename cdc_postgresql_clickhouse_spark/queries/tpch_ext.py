@@ -275,6 +275,33 @@ def cube_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def grouping_sets_order_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS — the generalized grouping form that CUBE and ROLLUP
+    specialize (§2.4): exactly the three levels a status report needs —
+    (status, priority), (status), grand total — computed in ONE pass (an
+    Expand node + a single shuffle) instead of three scans unioned. Distinct
+    from `rollup_status_priority` in that the set list is arbitrary, not a
+    prefix chain."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dsum(F.col("o_totalprice")).alias("revenue"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("orderstatus"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("orderpriority"),
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
 def pivot_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT: order counts per priority, one column per order status. The
     value list is explicit ('O','F','P') so the plan is a single groupBy —
@@ -418,6 +445,7 @@ QUERIES = {
     "q19_disjunctive_predicates": q19_disjunctive_predicates,
     "q22_idle_customers": q22_idle_customers,
     "cube_returnflag_status": cube_returnflag_status,
+    "grouping_sets_order_profile": grouping_sets_order_profile,
     "pivot_priority_by_status": pivot_priority_by_status,
     "percentile_prices_by_status": percentile_prices_by_status,
     "monthly_revenue_rollup": monthly_revenue_rollup,
@@ -565,6 +593,14 @@ SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
 FROM lineitem
 GROUP BY CUBE(l_returnflag, l_linestatus)
+""",
+    "grouping_sets_order_profile": """
+SELECT COALESCE(o_orderstatus, 'ALL') AS orderstatus,
+       COALESCE(o_orderpriority, 'ALL') AS orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
 """,
     "pivot_priority_by_status": """
 SELECT o_orderpriority,
