@@ -122,6 +122,8 @@ HEADLINE = [
     "events_minute_locf",
     "quality_threshold_sweep",
     "grouping_sets_order_profile",
+    "source_jsonl_roundtrip_agg",
+    "source_csv_roundtrip_agg",
 ]
 
 

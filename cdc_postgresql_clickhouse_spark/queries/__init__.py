@@ -26,6 +26,7 @@ from cdc_postgresql_clickhouse_spark.queries import (
     dsir,
     events,
     extras,
+    formats,
     funnel,
     graph,
     manifest,
@@ -52,7 +53,7 @@ _MODULES = (
     cdc, streaming_queries, winnow, chunking, semantic, text_ext, extras,
     spans, manifest, sketches, zorder, bpe, graph, search, dsir,
     dedup, similarity, cluster, multimodal, text, quality, training, corpus,
-    skew, debezium_types, funnel, events, tpch, tpch_ext, tpch_more,
+    skew, debezium_types, funnel, events, formats, tpch, tpch_ext, tpch_more,
 )
 
 # Registration order is load-bearing: the driver's correctness gate runs the
@@ -79,7 +80,7 @@ _WINDOW_FRONT = [
     # rule 2b: latest driver row red (r4 hash-fail; integer-exact rewrite
     # this round must re-prove under the driver) (1)
     "events_anomaly_mad",
-    # rule 2: never driver-checked — round-5 additions (18)
+    # rule 2: never driver-checked — round-5 additions (20)
     "sketch_quantile_bottomk", "sketch_quantile_merge",
     "dedup_minhash_containment", "graph_kcore_types", "streaming_hll_equiv",
     "streaming_quantile_equiv", "graph_label_propagation",
@@ -87,8 +88,9 @@ _WINDOW_FRONT = [
     "text_repetition_topgram", "ann_recall_report", "dedup_lsh_tuning_report",
     "events_minute_gapfill", "sketch_quantile_error_report",
     "events_minute_locf", "quality_threshold_sweep",
-    "grouping_sets_order_profile",
-    # rule 3: refill with the oldest proofs — last checked r2 (23 of 43;
+    "grouping_sets_order_profile", "source_jsonl_roundtrip_agg",
+    "source_csv_roundtrip_agg",
+    # rule 3: refill with the oldest proofs — last checked r2 (21 of 43;
     # pivot/rollup/sliding/fingerprint/full-outer/tumbling variants deferred
     # to r6, their machinery is covered by the cube/sessionize/asof rows
     # kept here)
@@ -99,7 +101,6 @@ _WINDOW_FRONT = [
     "q13_order_count_distribution", "q14_promo_revenue", "q15_top_supplier",
     "q16_supplier_part_counts", "q17_small_quantity_revenue",
     "q18_large_orders", "q19_disjunctive_predicates", "q20_bolt_suppliers",
-    "q21_waiting_supplier", "q22_idle_customers",
 ]
 
 
