@@ -80,7 +80,7 @@ _WINDOW_FRONT = [
     # rule 2b: latest driver row red (r4 hash-fail; integer-exact rewrite
     # this round must re-prove under the driver) (1)
     "events_anomaly_mad",
-    # rule 2: never driver-checked — round-5 additions (20)
+    # rule 2: never driver-checked — round-5 additions (21)
     "sketch_quantile_bottomk", "sketch_quantile_merge",
     "dedup_minhash_containment", "graph_kcore_types", "streaming_hll_equiv",
     "streaming_quantile_equiv", "graph_label_propagation",
@@ -89,8 +89,8 @@ _WINDOW_FRONT = [
     "events_minute_gapfill", "sketch_quantile_error_report",
     "events_minute_locf", "quality_threshold_sweep",
     "grouping_sets_order_profile", "source_jsonl_roundtrip_agg",
-    "source_csv_roundtrip_agg",
-    # rule 3: refill with the oldest proofs — last checked r2 (21 of 43;
+    "source_csv_roundtrip_agg", "streaming_topk_equiv",
+    # rule 3: refill with the oldest proofs — last checked r2 (20 of 43;
     # pivot/rollup/sliding/fingerprint/full-outer/tumbling variants deferred
     # to r6, their machinery is covered by the cube/sessionize/asof rows
     # kept here)
@@ -100,7 +100,7 @@ _WINDOW_FRONT = [
     "q10_returned_revenue", "q11_important_parts", "q12_priority_shipping",
     "q13_order_count_distribution", "q14_promo_revenue", "q15_top_supplier",
     "q16_supplier_part_counts", "q17_small_quantity_revenue",
-    "q18_large_orders", "q19_disjunctive_predicates", "q20_bolt_suppliers",
+    "q18_large_orders", "q19_disjunctive_predicates",
 ]
 
 

@@ -166,10 +166,22 @@ def grouped_topk_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank window over the *aggregated* rows only (distinct k per group, not
     raw events), so the sort input stays tiny no matter the event volume."""
     ev = load_table(spark, sf_dir, "events")
+    return topk_from_counts(grouped_value_counts(ev))
+
+
+def grouped_value_counts(ev: DataFrame) -> DataFrame:
+    """(event_type, k, n) value counts — the partial the sketch is built
+    from. Linear in the input multiset, so per-batch partials SUM-merge
+    (used by the streaming top-k ingest)."""
     k = F.get_json_object("props", "$.k").cast("long")
-    counts = ev.select("event_type", k.alias("k")).groupBy("event_type", "k").agg(
+    return ev.select("event_type", k.alias("k")).groupBy("event_type", "k").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+def topk_from_counts(counts: DataFrame) -> DataFrame:
+    """Rank window over the (merged) count table — shared by the batch
+    query and the incrementally-maintained state."""
     w = Window.partitionBy("event_type").orderBy(F.col("n").desc(), F.col("k").asc())
     return (
         counts.withColumn("rank", F.row_number().over(w))

@@ -706,3 +706,44 @@ def streaming_cms_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["streaming_cms_equiv"] = streaming_cms_equiv
 ORACLE["streaming_cms_equiv"] = _SK_ORACLE["sketch_cms_heavy_hitters"]
+
+
+def streaming_topk_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental grouped top-k: ``events`` split into per-user
+    micro-batches, each appending its (event_type, k, n) value-count
+    partials; the read-time batch-id-deduped SUM is exactly the one-shot
+    count table (counts are linear), so the streamed state ranks with the
+    batch window and the oracle is literally the batch
+    ``grouped_topk_event_values`` SQL — ClickHouse's continuously-maintained
+    topK AggregatingMergeTree idiom as a driver row."""
+    import os
+    import shutil
+    import tempfile
+
+    from cdc_postgresql_clickhouse_spark.queries.funnel import topk_from_counts
+    from cdc_postgresql_clickhouse_spark.streaming.sketch import (
+        read_topk_counts,
+        run_incremental_topk,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id", "props")
+    tmp = tempfile.mkdtemp(prefix="stream_topk_")
+    try:
+        src = os.path.join(tmp, "src")
+        ev.filter(F.col("user_id") % 2 == 0).coalesce(1).write.parquet(src)
+        ev.filter(F.col("user_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+        run_incremental_topk(
+            spark, src, os.path.join(tmp, "state"), os.path.join(tmp, "ckpt"),
+            max_files_per_trigger=1,
+        )
+        counts = read_topk_counts(spark, os.path.join(tmp, "state"))
+        return _materialized(topk_from_counts(counts))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+QUERIES["streaming_topk_equiv"] = streaming_topk_equiv
+
+from cdc_postgresql_clickhouse_spark.queries.funnel import ORACLE as _FUNNEL_ORACLE  # noqa: E402
+
+ORACLE["streaming_topk_equiv"] = _FUNNEL_ORACLE["grouped_topk_event_values"]

@@ -207,6 +207,45 @@ def read_cms_state(spark: SparkSession, state_path: str) -> tuple[DataFrame, Dat
     return vocab, counters
 
 
+def ingest_batch_topk_counts(batch: DataFrame, state_path: str, batch_id: int) -> None:
+    """Append one micro-batch's (event_type, k, n) value-count partials —
+    the grouped-top-k state. Counts are LINEAR (like CMS cells), so the
+    merge is batch-id-deduped cell-wise ADDITION."""
+    from cdc_postgresql_clickhouse_spark.operators.state import _state_lock
+    from cdc_postgresql_clickhouse_spark.queries.funnel import grouped_value_counts
+
+    part = grouped_value_counts(batch).withColumn("batch_id", F.lit(int(batch_id)))
+    with _state_lock(state_path):
+        part.write.mode("append").parquet(state_path)
+
+
+def read_topk_counts(spark: SparkSession, state_path: str) -> DataFrame:
+    """The merged count table: per-batch dedup (replayed rows are verbatim
+    re-appends), then SUM across batches."""
+    return (
+        spark.read.parquet(state_path)
+        .groupBy("batch_id", "event_type", "k")
+        .agg(F.max("n").alias("n"))
+        .groupBy("event_type", "k")
+        .agg(F.sum("n").alias("n"))
+    )
+
+
+def run_incremental_topk(
+    spark: SparkSession,
+    src_dir: str,
+    state_path: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Drain ``src_dir`` (parquet files of events rows) through the
+    incremental grouped-top-k ingest with an availableNow trigger."""
+    _drain(
+        spark, src_dir, lambda b, i: ingest_batch_topk_counts(b, state_path, i),
+        checkpoint_dir, max_files_per_trigger,
+    )
+
+
 def run_incremental_cms(
     spark: SparkSession,
     src_dir: str,

@@ -102,3 +102,23 @@ def test_streamed_cms_counters_equal_batch_and_replay_dedups(spark, sf_dir, tmp_
     vocab2, counters2 = read_cms_state(spark, state)
     assert {(r.term, r.cnt) for r in vocab2.collect()} == want_vocab
     assert {(r.r, r.c, r.cell) for r in counters2.collect()} == want_counters
+
+
+def test_streamed_topk_counts_equal_batch_and_replay_dedups(spark, sf_dir, tmp_path):
+    """Grouped top-k linearity: per-batch value-count partials sum-merge to
+    the one-shot count table; a replayed batch id is dropped before the
+    sum."""
+    from cdc_postgresql_clickhouse_spark.queries.funnel import grouped_value_counts
+    from cdc_postgresql_clickhouse_spark.streaming.sketch import (
+        ingest_batch_topk_counts,
+        read_topk_counts,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id", "props")
+    state = str(tmp_path / "state")
+    ingest_batch_topk_counts(ev.filter(F.col("user_id") % 2 == 0), state, 0)
+    ingest_batch_topk_counts(ev.filter(F.col("user_id") % 2 == 1), state, 1)
+    want = {(r.event_type, r.k, r.n) for r in grouped_value_counts(ev).collect()}
+    assert {(r.event_type, r.k, r.n) for r in read_topk_counts(spark, state).collect()} == want
+    ingest_batch_topk_counts(ev.filter(F.col("user_id") % 2 == 0), state, 0)  # replay
+    assert {(r.event_type, r.k, r.n) for r in read_topk_counts(spark, state).collect()} == want
