@@ -124,6 +124,7 @@ HEADLINE = [
     "grouping_sets_order_profile",
     "source_jsonl_roundtrip_agg",
     "source_csv_roundtrip_agg",
+    "retrieval_known_item_eval",
 ]
 
 

@@ -80,7 +80,7 @@ _WINDOW_FRONT = [
     # rule 2b: latest driver row red (r4 hash-fail; integer-exact rewrite
     # this round must re-prove under the driver) (1)
     "events_anomaly_mad",
-    # rule 2: never driver-checked — round-5 additions (21)
+    # rule 2: never driver-checked — round-5 additions (22)
     "sketch_quantile_bottomk", "sketch_quantile_merge",
     "dedup_minhash_containment", "graph_kcore_types", "streaming_hll_equiv",
     "streaming_quantile_equiv", "graph_label_propagation",
@@ -90,7 +90,8 @@ _WINDOW_FRONT = [
     "events_minute_locf", "quality_threshold_sweep",
     "grouping_sets_order_profile", "source_jsonl_roundtrip_agg",
     "source_csv_roundtrip_agg", "streaming_topk_equiv",
-    # rule 3: refill with the oldest proofs — last checked r2 (20 of 43;
+    "retrieval_known_item_eval",
+    # rule 3: refill with the oldest proofs — last checked r2 (19 of 43;
     # pivot/rollup/sliding/fingerprint/full-outer/tumbling variants deferred
     # to r6, their machinery is covered by the cube/sessionize/asof rows
     # kept here)
@@ -100,7 +101,7 @@ _WINDOW_FRONT = [
     "q10_returned_revenue", "q11_important_parts", "q12_priority_shipping",
     "q13_order_count_distribution", "q14_promo_revenue", "q15_top_supplier",
     "q16_supplier_part_counts", "q17_small_quantity_revenue",
-    "q18_large_orders", "q19_disjunctive_predicates",
+    "q18_large_orders",
 ]
 
 

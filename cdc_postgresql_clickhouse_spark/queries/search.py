@@ -51,7 +51,7 @@ def build_postings(docs: DataFrame) -> DataFrame:
     )
 
 
-def bm25_rank(postings: DataFrame, n_docs: int) -> DataFrame:
+def bm25_rank(postings: DataFrame, n_docs: int, q: DataFrame | None = None) -> DataFrame:
     """Okapi BM25 top-k over an already-built postings table — shared by the
     batch query and the incrementally-maintained index
     (``streaming/postings.py``), so 'the streamed index ranks identically'
@@ -61,10 +61,11 @@ def bm25_rank(postings: DataFrame, n_docs: int) -> DataFrame:
     avgdl = dl.agg(F.sum("dl")).first()[0] / float(n_docs)
     spark = postings.sparkSession
     df_t = postings.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    q = spark.createDataFrame(
-        [(qn, t) for qn, terms in SEARCH_QUERIES.items() for t in terms],
-        "query string, term string",
-    )
+    if q is None:
+        q = spark.createDataFrame(
+            [(qn, t) for qn, terms in SEARCH_QUERIES.items() for t in terms],
+            "query string, term string",
+        )
     matched = (
         postings.join(F.broadcast(q), "term")
         .join(df_t, "term")
@@ -319,3 +320,108 @@ WHERE rank <= {RRF_TOPK}
 
 QUERIES["retrieval_hybrid_rrf"] = retrieval_hybrid_rrf
 ORACLE["retrieval_hybrid_rrf"] = _sql_rrf()
+
+
+# --- known-item retrieval evaluation -----------------------------------------
+#
+# The retrieval leg of the evaluation family: every KIE_MOD-th document
+# contributes a query (its first KIE_QTOKENS distinct tokens — the
+# "known-item search" protocol: the user half-remembers a document's
+# opening), the relevant item IS that document, and the report aggregates
+# where BM25 ranks it: hits@1, hits@top-k, and the reciprocal-rank sum in
+# integer micro-units (MRR × n_queries × 1e6, floor-per-query). No human
+# labels needed — the protocol manufactures exact ground truth, which is
+# how retrieval stacks are smoke-evaluated before a labeled set exists.
+#
+# Scale shape: the query table derives from a MOD-filtered scan (pushed
+# down); everything downstream is the audited BM25 plan with a broadcast
+# query set; the report is a one-row aggregate of a ≤ n_queries×k table.
+
+KIE_MOD = 50
+# 20 query tokens: the fixture vocabulary is all common words (near-flat
+# idf), so short queries can't separate the source doc from high-tf
+# lookalikes — 6 tokens found 2/10 in top-10, 20 tokens 8/10 with 3 @1.
+# Shorter docs contribute all their tokens (slice truncates).
+KIE_QTOKENS = 20
+
+
+def retrieval_known_item_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    q = (
+        docs.filter(F.col("doc_id") % KIE_MOD == 0)
+        .select(
+            F.col("doc_id").cast("string").alias("query"),
+            F.explode(
+                F.array_distinct(F.slice(tokens(F.col("text")), 1, KIE_QTOKENS))
+            ).alias("term"),
+        )
+    )
+    ranked = bm25_rank(build_postings(docs), docs.count(), q=q)
+    rel = ranked.filter(F.col("doc_id") == F.col("query").cast("long"))
+    n_queries = q.select("query").distinct().count()
+    agg = rel.agg(
+        F.coalesce(F.sum(F.when(F.col("rank") == 1, 1)), F.lit(0)).cast("long").alias("hits_at1"),
+        F.count(F.lit(1)).cast("long").alias("hits_at_topk"),
+        F.coalesce(F.sum(F.expr("1000000 div rank")), F.lit(0)).cast("long").alias(
+            "sum_reciprocal_rank_ppm"
+        ),
+    )
+    return agg.select(
+        F.lit(n_queries).cast("long").alias("n_queries"),
+        "hits_at1",
+        "hits_at_topk",
+        "sum_reciprocal_rank_ppm",
+    )
+
+
+_SQL_KIE = f"""
+WITH postings AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM (
+    SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents
+  ) GROUP BY doc_id, term
+),
+dl AS (SELECT doc_id, SUM(tf) AS dl FROM postings GROUP BY doc_id),
+nv AS (SELECT (SELECT COUNT(*) FROM documents) AS n,
+              (SELECT SUM(tf) FROM postings) AS tot),
+dft AS (SELECT term, COUNT(*) AS df FROM postings GROUP BY term),
+q AS (
+  SELECT CAST(doc_id AS VARCHAR) AS query, unnest(list_distinct(t[1:{KIE_QTOKENS}])) AS term
+  FROM (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents WHERE doc_id % {KIE_MOD} = 0)
+),
+matched AS (
+  SELECT q.query, p.doc_id, p.tf, d.df, l.dl, nv.n, nv.tot
+  FROM postings p
+  JOIN q ON q.term = p.term
+  JOIN dft d ON d.term = p.term
+  JOIN dl l ON l.doc_id = p.doc_id
+  CROSS JOIN nv
+),
+scored AS (
+  SELECT query, doc_id,
+         CAST(FLOOR(
+           ln(1.0 + (CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5))
+           * ((tf * {BM25_K1 + 1.0!r}) /
+              (tf + {BM25_K1!r} * ({1.0 - BM25_B!r} + {BM25_B!r} * dl / (CAST(tot AS DOUBLE) / CAST(n AS DOUBLE)))))
+           * 1000000.0) AS BIGINT) AS sm
+  FROM matched
+),
+per_doc AS (
+  SELECT query, doc_id, SUM(sm) AS score_micro
+  FROM scored GROUP BY query, doc_id
+),
+ranked AS (
+  SELECT query, doc_id, rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query ORDER BY score_micro DESC, doc_id) AS rank
+    FROM per_doc)
+  WHERE rank <= {BM25_TOPK}
+),
+rel AS (SELECT query, rank FROM ranked WHERE doc_id = CAST(query AS BIGINT))
+SELECT (SELECT COUNT(DISTINCT query) FROM q) AS n_queries,
+       CAST(COALESCE(SUM(CASE WHEN rank = 1 THEN 1 END), 0) AS BIGINT) AS hits_at1,
+       CAST(COUNT(*) AS BIGINT) AS hits_at_topk,
+       CAST(COALESCE(SUM(1000000 // rank), 0) AS BIGINT) AS sum_reciprocal_rank_ppm
+FROM rel
+"""
+
+QUERIES["retrieval_known_item_eval"] = retrieval_known_item_eval
+ORACLE["retrieval_known_item_eval"] = _SQL_KIE

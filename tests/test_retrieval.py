@@ -69,3 +69,18 @@ def test_rrf_df_prune_bounds_matched_cardinality(spark, sf_dir):
     out = retrieval_hybrid_rrf(spark, sf_dir, df_prune_frac=frac)
     per_q = out.groupBy("q_id").count().collect()
     assert per_q and all(r["count"] == RRF_TOPK for r in per_q)
+
+
+def test_known_item_eval_contract_and_recall_floor(spark, sf_dir):
+    """The manufactured ground truth must be found: most source docs rank
+    in their own query's top-10 (floor guards a broken query derivation or
+    rank join), and the reciprocal-rank sum is bounded by hits@1 full
+    credit + the rest at rank >= 2."""
+    from cdc_postgresql_clickhouse_spark.queries.search import retrieval_known_item_eval
+
+    r = retrieval_known_item_eval(spark, sf_dir).first()
+    assert r.n_queries == 10
+    assert r.hits_at1 <= r.hits_at_topk <= r.n_queries
+    assert r.hits_at_topk >= r.n_queries // 2  # measured 8/10 at 20 tokens
+    max_sum = r.hits_at1 * 1_000_000 + (r.hits_at_topk - r.hits_at1) * 500_000
+    assert 0 < r.sum_reciprocal_rank_ppm <= max_sum
