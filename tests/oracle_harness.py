@@ -17,6 +17,15 @@ from cdc_postgresql_clickhouse_spark.sources.registry import TABLES
 
 def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # Bound the oracle's memory and give it a spill path: DuckDB defaults to
+    # ~80% of host RAM with no temp_directory on an in-memory connection, so
+    # a heavy oracle (the ANN CTE stacks) racing a large Spark JVM for the
+    # same RAM dies with OutOfMemoryException instead of going out-of-core
+    # (observed once under full-suite memory pressure). An explicit cap +
+    # temp dir makes the oracle spill instead of fail.
+    tmp = os.environ.get("TMPDIR", "/tmp")
+    con.execute(f"SET temp_directory='{os.path.join(tmp, 'duckdb_oracle_spill')}'")
+    con.execute("SET memory_limit='16GB'")
     for t in TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(path):
