@@ -91,6 +91,8 @@ _WINDOW_FRONT = [
     "grouping_sets_order_profile", "source_jsonl_roundtrip_agg",
     "source_csv_roundtrip_agg", "streaming_topk_equiv",
     "retrieval_known_item_eval",
+    # rule 2: never driver-checked — round-6 additions
+    "graph_degree_profile", "events_histogram_equi", "events_winsorized_stats",
     # rule 3: refill with the oldest proofs — last checked r2 (19 of 43;
     # pivot/rollup/sliding/fingerprint/full-outer/tumbling variants deferred
     # to r6, their machinery is covered by the cube/sessionize/asof rows
@@ -100,8 +102,6 @@ _WINDOW_FRONT = [
     "q7_nation_volume", "q8_market_share", "q9_product_profit",
     "q10_returned_revenue", "q11_important_parts", "q12_priority_shipping",
     "q13_order_count_distribution", "q14_promo_revenue", "q15_top_supplier",
-    "q16_supplier_part_counts", "q17_small_quantity_revenue",
-    "q18_large_orders",
 ]
 
 

@@ -436,3 +436,146 @@ SELECT event_type, CAST(minute_start AS BIGINT) AS minute_start,
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
 FROM joined
 """
+
+
+# --- equi-width histogram (ClickHouse `histogram` analogue) -----------------
+#
+# Per-type equi-width value histogram with INTEGER bucket math: values become
+# cents (the registry's shared floor(v*100+0.5) step), per-type bounds come
+# from one keyed agg, and the bucket width is floor((hi-lo)/NB)+1 — strictly
+# greater than (hi-lo)/NB, so (c-lo) div width < NB always: the bucket index
+# is provably in [0, NB) with no float edge cases. Two keyed aggs + one
+# broadcast-sized join (per-type bounds), everything else map-side; the plan
+# is bounded by the event table scan at any scale.
+
+HIST_BUCKETS = 8
+
+
+def events_histogram_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c")
+    )
+    bounds = ev.groupBy("event_type").agg(
+        F.min("c").alias("lo"), F.max("c").alias("hi")
+    )
+    b = bounds.select(
+        "event_type",
+        "lo",
+        (F.expr(f"(hi - lo) div {HIST_BUCKETS}") + 1).cast("long").alias("width"),
+    )
+    d = ev.join(F.broadcast(b), "event_type").select(
+        "event_type",
+        "lo",
+        "width",
+        F.expr("(c - lo) div width").cast("long").alias("bucket"),
+        "c",
+    )
+    return d.groupBy("event_type", "bucket").agg(
+        F.max(F.col("lo") + F.col("bucket") * F.col("width")).alias("bucket_lo_cents"),
+        F.max(F.col("lo") + (F.col("bucket") + 1) * F.col("width") - 1).alias(
+            "bucket_hi_cents"
+        ),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("c").cast("long").alias("mass_cents"),
+    )
+
+
+QUERIES["events_histogram_equi"] = events_histogram_equi
+
+ORACLE["events_histogram_equi"] = f"""
+WITH ev AS (
+  SELECT event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c FROM events
+),
+bounds AS (
+  SELECT event_type, MIN(c) AS lo, (MAX(c) - MIN(c)) // {HIST_BUCKETS} + 1 AS width
+  FROM ev GROUP BY event_type
+),
+d AS (
+  SELECT e.event_type, b.lo, b.width, (e.c - b.lo) // b.width AS bucket, e.c
+  FROM ev e JOIN bounds b USING (event_type)
+)
+SELECT event_type, bucket,
+       MAX(lo + bucket * width) AS bucket_lo_cents,
+       MAX(lo + (bucket + 1) * width - 1) AS bucket_hi_cents,
+       COUNT(*) AS n_events,
+       SUM(c) AS mass_cents
+FROM d GROUP BY event_type, bucket
+"""
+
+
+# --- winsorized robust statistics -------------------------------------------
+#
+# Winsorized mean per event type: clamp to the nearest-rank p10/p90 before
+# averaging — the trimming-free robust mean (outliers are pulled to the
+# fence, not dropped, so the count is preserved). Integer-exact end to end:
+# cents, nearest-rank fences k = ceil(q·n) by integer arithmetic
+# ((q·n + 99) div 100), the clamp is greatest/least on BIGINT, and the mean
+# ships as micro-cents (sum·1e6 div n). One rank window + one keyed agg to
+# extract fences + one broadcast-sized join back + one keyed agg — the same
+# two-shuffle shape as the MAD row.
+
+
+def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c")
+    )
+    wp = Window.partitionBy("event_type")
+    r = ev.withColumn("rn", F.row_number().over(wp.orderBy("c"))).withColumn(
+        "n", F.count(F.lit(1)).over(wp)
+    )
+    fences = r.groupBy("event_type").agg(
+        F.max(F.when(F.col("rn") == F.expr("(10 * n + 99) div 100"), F.col("c"))).alias(
+            "p10_cents"
+        ),
+        F.max(F.when(F.col("rn") == F.expr("(90 * n + 99) div 100"), F.col("c"))).alias(
+            "p90_cents"
+        ),
+    )
+    clamped = ev.join(F.broadcast(fences), "event_type").select(
+        "event_type",
+        "p10_cents",
+        "p90_cents",
+        F.greatest("p10_cents", F.least("p90_cents", F.col("c"))).alias("wc"),
+    )
+    return clamped.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.max("p10_cents").alias("p10_cents"),
+        F.max("p90_cents").alias("p90_cents"),
+        F.sum("wc").cast("long").alias("winsorized_sum_cents"),
+        F.expr("sum(wc) * 1000000 div count(1)").cast("long").alias(
+            "winsorized_mean_microcents"
+        ),
+    )
+
+
+QUERIES["events_winsorized_stats"] = events_winsorized_stats
+
+ORACLE["events_winsorized_stats"] = """
+WITH ev AS (
+  SELECT event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c FROM events
+),
+r AS (
+  SELECT event_type, c,
+         row_number() OVER (PARTITION BY event_type ORDER BY c) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM ev
+),
+fences AS (
+  SELECT event_type,
+         MAX(CASE WHEN rn = (10 * n + 99) // 100 THEN c END) AS p10_cents,
+         MAX(CASE WHEN rn = (90 * n + 99) // 100 THEN c END) AS p90_cents
+  FROM r GROUP BY event_type
+),
+clamped AS (
+  SELECT e.event_type, f.p10_cents, f.p90_cents,
+         GREATEST(f.p10_cents, LEAST(f.p90_cents, e.c)) AS wc
+  FROM ev e JOIN fences f USING (event_type)
+)
+SELECT event_type, COUNT(*) AS n_events,
+       MAX(p10_cents) AS p10_cents, MAX(p90_cents) AS p90_cents,
+       SUM(wc) AS winsorized_sum_cents,
+       SUM(wc) * 1000000 // COUNT(*) AS winsorized_mean_microcents
+FROM clamped GROUP BY event_type
+"""

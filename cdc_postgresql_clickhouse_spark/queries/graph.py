@@ -494,3 +494,71 @@ SELECT t AS event_type, lbl AS community FROM l{LPA_ITERS}
 
 QUERIES["graph_label_propagation"] = graph_label_propagation
 ORACLE["graph_label_propagation"] = _SQL_LPA
+
+
+# --- degree profile ---------------------------------------------------------
+#
+# The descriptive-statistics companion of the iterative family: per-node
+# in/out degree (distinct counterparties) and weighted degree (transition
+# mass) over the same event-type transition graph. On a billions-of-edges
+# graph this is two keyed aggs over the edge list plus one full-outer
+# union-merge — no iteration, no driver state at all. ClickHouse users run
+# exactly this as the first sanity query over a behavioral graph; here it is
+# the degree-distribution input to power-law checks (Broder et al. 2000).
+
+
+def graph_degree_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "event_type", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.lag("event_type").over(w).alias("src"), F.col("event_type").alias("dst")
+    ).filter(F.col("src").isNotNull())
+    edges = pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w"))
+    outd = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("out_deg"),
+        F.sum("w").cast("long").alias("out_mass"),
+    )
+    ind = edges.groupBy("dst").agg(
+        F.count(F.lit(1)).cast("long").alias("in_deg"),
+        F.sum("w").cast("long").alias("in_mass"),
+    )
+    return (
+        outd.withColumnRenamed("src", "event_type")
+        .join(ind.withColumnRenamed("dst", "event_type"), "event_type", "full_outer")
+        .select(
+            "event_type",
+            F.coalesce("out_deg", F.lit(0)).cast("long").alias("out_deg"),
+            F.coalesce("out_mass", F.lit(0)).cast("long").alias("out_mass"),
+            F.coalesce("in_deg", F.lit(0)).cast("long").alias("in_deg"),
+            F.coalesce("in_mass", F.lit(0)).cast("long").alias("in_mass"),
+        )
+    )
+
+
+_SQL_DEGREE = """
+WITH seq AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
+         event_type AS dst
+  FROM events
+),
+edges AS (
+  SELECT src, dst, COUNT(*) AS w FROM seq WHERE src IS NOT NULL GROUP BY src, dst
+),
+outd AS (
+  SELECT src AS event_type, COUNT(*) AS out_deg, SUM(w) AS out_mass
+  FROM edges GROUP BY src
+),
+ind AS (
+  SELECT dst AS event_type, COUNT(*) AS in_deg, SUM(w) AS in_mass
+  FROM edges GROUP BY dst
+)
+SELECT COALESCE(o.event_type, i.event_type) AS event_type,
+       CAST(COALESCE(o.out_deg, 0) AS BIGINT) AS out_deg,
+       CAST(COALESCE(o.out_mass, 0) AS BIGINT) AS out_mass,
+       CAST(COALESCE(i.in_deg, 0) AS BIGINT) AS in_deg,
+       CAST(COALESCE(i.in_mass, 0) AS BIGINT) AS in_mass
+FROM outd o FULL OUTER JOIN ind i ON o.event_type = i.event_type
+"""
+
+QUERIES["graph_degree_profile"] = graph_degree_profile
+ORACLE["graph_degree_profile"] = _SQL_DEGREE

