@@ -133,3 +133,99 @@ SELECT source, n_docs, n_unique,
 FROM per
 """,
 }
+
+
+# --- token-mass concentration (Pareto curve over document length) -----------
+#
+# "What fraction of the corpus' character mass lives in the longest X% of
+# documents" — the length-skew diagnostic that decides packing strategy and
+# long-doc truncation policy for a training pipeline. SCALE-SAFE RANKING: a
+# naive top-down decile needs a global row_number (single-partition sort at
+# 100 TB). Instead documents collapse to the DISTINCT-LENGTH table (bounded
+# by the length domain, corpus-size-independent), a window over that small
+# table assigns each length its global rank interval [lo, hi], and the
+# interval is intersected with each decile's rank range by pure integer
+# arithmetic — docs of equal length are interchangeable, so the split is
+# exact without ever ranking individual rows. Every column is BIGINT.
+
+
+def corpus_length_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    lens = docs.groupBy("n_chars").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    tot = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+    w = Window.orderBy(F.desc("n_chars")).rowsBetween(Window.unboundedPreceding, 0)
+    ranked = lens.withColumn("hi", F.sum("cnt").over(w)).withColumn(
+        "lo", F.col("hi") - F.col("cnt") + 1
+    )
+    exploded = (
+        ranked.crossJoin(F.broadcast(tot))
+        .select(
+            "n_chars", "lo", "hi", "n", "total_chars",
+            F.explode(F.sequence(F.lit(0), F.lit(9))).alias("decile"),
+        )
+        .select(
+            "n_chars", "total_chars", "decile",
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.least(F.col("hi"), F.expr("(decile + 1) * n div 10"))
+                - F.greatest(F.col("lo"), F.expr("decile * n div 10 + 1"))
+                + 1,
+            ).alias("k"),
+        )
+    )
+    per = exploded.groupBy("decile").agg(
+        F.sum("k").cast("long").alias("n_docs"),
+        F.sum(F.col("k") * F.col("n_chars")).cast("long").alias("chars"),
+        F.max("total_chars").alias("_tc"),
+    )
+    wd = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return per.select(
+        "decile",
+        "n_docs",
+        "chars",
+        F.sum("chars").over(wd).cast("long").alias("cum_chars"),
+        F.expr("sum(chars) over (order by decile rows between unbounded preceding and current row) * 1000000 div max(_tc) over ()")
+        .cast("long")
+        .alias("cum_share_ppm"),
+    )
+
+
+QUERIES["corpus_length_pareto"] = corpus_length_pareto
+
+ORACLE["corpus_length_pareto"] = """
+WITH lens AS (
+  SELECT n_chars, COUNT(*) AS cnt FROM documents GROUP BY n_chars
+),
+tot AS (SELECT COUNT(*) AS n, SUM(n_chars) AS total_chars FROM documents),
+ranked AS (
+  SELECT n_chars, cnt,
+         SUM(cnt) OVER (ORDER BY n_chars DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi
+  FROM lens
+),
+exploded AS (
+  SELECT r.n_chars, t.total_chars, d.decile,
+         GREATEST(0, LEAST(r.hi, (d.decile + 1) * t.n // 10)
+                     - GREATEST(r.hi - r.cnt + 1, d.decile * t.n // 10 + 1) + 1) AS k
+  FROM ranked r
+  CROSS JOIN tot t
+  CROSS JOIN (SELECT unnest(range(0, 10)) AS decile) d
+),
+per AS (
+  SELECT decile, SUM(k) AS n_docs, SUM(k * n_chars) AS chars,
+         MAX(total_chars) AS tc
+  FROM exploded GROUP BY decile
+)
+SELECT decile, CAST(n_docs AS BIGINT) AS n_docs, CAST(chars AS BIGINT) AS chars,
+       CAST(SUM(chars) OVER (ORDER BY decile
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_chars,
+       CAST(SUM(chars) OVER (ORDER BY decile
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000
+            // MAX(tc) OVER () AS BIGINT) AS cum_share_ppm
+FROM per
+"""

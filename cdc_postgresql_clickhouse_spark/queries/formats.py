@@ -97,3 +97,25 @@ ORACLE = {
     "source_jsonl_roundtrip_agg": _SQL_RT,
     "source_csv_roundtrip_agg": _SQL_RT,
 }
+
+
+def source_orc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC leg of the format family: the other columnar container Spark
+    ships a native vectorized reader/writer for (warehouse interchange with
+    Hive-era estates). Same proof shape as the JSONL/CSV rows — distributed
+    write, schema-explicit read back, aggregate vs the parquet oracle — so
+    any encode/decode loss fails the value hash. DuckDB cannot read ORC, so
+    the oracle aggregating the parquet ORIGINAL is exactly the right twin:
+    it pins the round-trip as lossless rather than re-reading the copy."""
+    tmp = tempfile.mkdtemp(prefix="fmt_orc_")
+    try:
+        path = os.path.join(tmp, "orders_orc")
+        _roundtrip_base(spark, sf_dir).write.orc(path)
+        back = spark.read.schema(_RT_SCHEMA).orc(path)
+        return _materialized(_agg(back))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+QUERIES["source_orc_roundtrip_agg"] = source_orc_roundtrip_agg
+ORACLE["source_orc_roundtrip_agg"] = _SQL_RT

@@ -209,3 +209,66 @@ SELECT min_words,
        CAST(tokens_kept * 1000000 // t AS BIGINT) AS tokens_share_ppm
 FROM per, tot
 """
+
+
+# --- readability scoring (Flesch reading-ease, integer micro-units) ---------
+#
+# The classic readability score as a map-side quality feature (Flesch 1948;
+# Kincaid et al. 1975 — public formulas): 206.835 − 1.015·(words/sentence)
+# − 84.6·(syllables/word). Syllables use the standard vowel-group proxy
+# (runs of [aeiouy] in the lowercased text) — deterministic and identical
+# in both regex engines; sentences are runs of [.!?]. INTEGER-EXACT: the
+# two ratios are computed as floor micro-unit divisions and the formula is
+# evaluated in micro-units with floor steps in a fixed order, so both
+# engines produce bit-identical BIGINTs (the registry's standard defense
+# against cross-engine float drift). Pure map pass — no shuffle at all;
+# a quality gate would AND this into the Gopher rules.
+
+
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    low = F.lower(F.col("text"))
+    words = F.greatest(F.lit(1), F.size(tokens(F.col("text")))).cast("long")
+    sents = F.greatest(
+        F.lit(1), F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.!?]+"), F.lit(0)))
+    ).cast("long")
+    syls = F.greatest(
+        F.lit(1), F.size(F.regexp_extract_all(low, F.lit(r"[aeiouy]+"), F.lit(0)))
+    ).cast("long")
+    d = docs.select(
+        "doc_id",
+        words.alias("words"),
+        sents.alias("sentences"),
+        syls.alias("syllables"),
+    )
+    return d.select(
+        "doc_id",
+        "words",
+        "sentences",
+        "syllables",
+        (
+            F.lit(206_835_000).cast("long")
+            - F.expr("(1015 * ((words * 1000000) div sentences)) div 1000")
+            - F.expr("(84600 * ((syllables * 1000000) div words)) div 1000")
+        ).cast("long").alias("flesch_micro"),
+    )
+
+
+QUERIES["text_readability"] = text_readability
+
+ORACLE["text_readability"] = r"""
+WITH d AS (
+  SELECT doc_id,
+         GREATEST(1, len(LIST_FILTER(STR_SPLIT_REGEX(TRIM(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]+', ' ', 'g')), ' '), t -> t <> ''))) AS words,
+         GREATEST(1, len(regexp_extract_all(text, '[.!?]+'))) AS sentences,
+         GREATEST(1, len(regexp_extract_all(LOWER(text), '[aeiouy]+'))) AS syllables
+  FROM documents
+)
+SELECT doc_id, CAST(words AS BIGINT) AS words,
+       CAST(sentences AS BIGINT) AS sentences,
+       CAST(syllables AS BIGINT) AS syllables,
+       CAST(206835000 - (1015 * ((words * 1000000) // sentences)) // 1000
+                      - (84600 * ((syllables * 1000000) // words)) // 1000
+            AS BIGINT) AS flesch_micro
+FROM d
+"""

