@@ -229,3 +229,139 @@ SELECT decile, CAST(n_docs AS BIGINT) AS n_docs, CAST(chars AS BIGINT) AS chars,
             // MAX(tc) OVER () AS BIGINT) AS cum_share_ppm
 FROM per
 """
+
+
+# --- vocabulary growth (Heaps' law measurement) -----------------------------
+#
+# Vocabulary size vs corpus size at 5 ingestion checkpoints — the Heaps-law
+# curve (Heaps 1978) that tells a tokenizer-training pipeline how fast new
+# types appear and when the vocab budget saturates. SCALE-SAFE PREFIXES: a
+# naive "distinct words in the first k docs" re-scans the corpus per
+# checkpoint; instead each TERM carries its first-occurrence doc_id (one
+# vocab-sized agg), each DOC carries its token count, both map to the FIRST
+# checkpoint whose equi-width doc_id threshold admits them (pure integer
+# arithmetic — no global rank anywhere), and the 5-row cumulative sum
+# finishes the curve. One corpus explode total, regardless of checkpoints.
+
+VOCAB_CHECKPOINTS = 5
+
+
+def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from cdc_postgresql_clickhouse_spark.functions.text import tokens
+
+    K = VOCAB_CHECKPOINTS
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n_tok"), "text"
+    )
+    bounds = docs.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+    # first checkpoint admitting doc_id: 1 + |{k in 1..K-1 : t_k < doc_id}|,
+    # t_k = lo + (hi - lo) * k div K (t_K = hi admits everything)
+    def _k_first(idcol: str) -> F.Column:
+        c = F.lit(1)
+        for k in range(1, K):
+            c = c + F.when(
+                F.expr(f"lo + (hi - lo) * {k} div {K}") < F.col(idcol), 1
+            ).otherwise(0)
+        return c.cast("long")
+
+    d = docs.crossJoin(F.broadcast(bounds)).select(
+        "doc_id", "n_tok", _k_first("doc_id").alias("kf")
+    )
+    doc_adds = d.groupBy("kf").agg(
+        F.count(F.lit(1)).cast("long").alias("docs_added"),
+        F.sum("n_tok").cast("long").alias("tokens_added"),
+    )
+    first_occ = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
+        .groupBy("t")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    t_adds = (
+        first_occ.crossJoin(F.broadcast(bounds))
+        .select(_k_first("first_doc").alias("kf"))
+        .groupBy("kf")
+        .agg(F.count(F.lit(1)).cast("long").alias("vocab_added"))
+    )
+    grid = bounds.select(
+        F.explode(F.sequence(F.lit(1), F.lit(K))).alias("checkpoint"), "lo", "hi"
+    ).select(
+        "checkpoint",
+        F.expr(f"lo + (hi - lo) * checkpoint div {K}").cast("long").alias(
+            "threshold_doc_id"
+        ),
+    )
+    joined = (
+        grid.join(doc_adds, grid["checkpoint"] == doc_adds["kf"], "left")
+        .drop("kf")
+        .join(t_adds, grid["checkpoint"] == t_adds["kf"], "left")
+        .drop("kf")
+    )
+    w = Window.orderBy("checkpoint").rowsBetween(Window.unboundedPreceding, 0)
+    z = F.lit(0).cast("long")
+    return joined.select(
+        "checkpoint",
+        "threshold_doc_id",
+        F.sum(F.coalesce("docs_added", z)).over(w).cast("long").alias("n_docs"),
+        F.sum(F.coalesce("tokens_added", z)).over(w).cast("long").alias("n_tokens"),
+        F.sum(F.coalesce("vocab_added", z)).over(w).cast("long").alias("vocab_size"),
+    )
+
+
+QUERIES["corpus_vocab_growth"] = corpus_vocab_growth
+
+
+def _sql_kfirst(idcol: str, K: int) -> str:
+    cases = " + ".join(
+        f"(CASE WHEN lo + (hi - lo) * {k} // {K} < {idcol} THEN 1 ELSE 0 END)"
+        for k in range(1, K)
+    )
+    return f"(1 + {cases})"
+
+
+from cdc_postgresql_clickhouse_spark.queries.dedup import _SQL_TOKENS as _VG_TOKENS  # noqa: E402
+
+ORACLE["corpus_vocab_growth"] = f"""
+WITH docs AS (
+  SELECT doc_id, len({_VG_TOKENS})::BIGINT AS n_tok, text FROM documents
+),
+bounds AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents),
+d AS (
+  SELECT doc_id, n_tok, {_sql_kfirst("doc_id", VOCAB_CHECKPOINTS)} AS kf
+  FROM docs CROSS JOIN bounds
+),
+doc_adds AS (
+  SELECT kf, COUNT(*)::BIGINT AS docs_added, SUM(n_tok)::BIGINT AS tokens_added
+  FROM d GROUP BY kf
+),
+first_occ AS (
+  SELECT t, MIN(doc_id) AS first_doc
+  FROM (SELECT doc_id, unnest({_VG_TOKENS}) AS t FROM documents)
+  GROUP BY t
+),
+t_adds AS (
+  SELECT {_sql_kfirst("first_doc", VOCAB_CHECKPOINTS)} AS kf, COUNT(*)::BIGINT AS vocab_added
+  FROM first_occ CROSS JOIN bounds GROUP BY 1
+),
+grid AS (
+  SELECT unnest(range(1, {VOCAB_CHECKPOINTS + 1})) AS checkpoint, lo, hi FROM bounds
+),
+joined AS (
+  SELECT g.checkpoint,
+         CAST(g.lo + (g.hi - g.lo) * g.checkpoint // {VOCAB_CHECKPOINTS} AS BIGINT)
+           AS threshold_doc_id,
+         COALESCE(da.docs_added, 0) AS docs_added,
+         COALESCE(da.tokens_added, 0) AS tokens_added,
+         COALESCE(ta.vocab_added, 0) AS vocab_added
+  FROM grid g
+  LEFT JOIN doc_adds da ON da.kf = g.checkpoint
+  LEFT JOIN t_adds ta ON ta.kf = g.checkpoint
+)
+SELECT CAST(checkpoint AS BIGINT) AS checkpoint, threshold_doc_id,
+       CAST(SUM(docs_added) OVER w AS BIGINT) AS n_docs,
+       CAST(SUM(tokens_added) OVER w AS BIGINT) AS n_tokens,
+       CAST(SUM(vocab_added) OVER w AS BIGINT) AS vocab_size
+FROM joined
+WINDOW w AS (ORDER BY checkpoint ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""

@@ -579,3 +579,63 @@ SELECT event_type, COUNT(*) AS n_events,
        SUM(wc) * 1000000 // COUNT(*) AS winsorized_mean_microcents
 FROM clamped GROUP BY event_type
 """
+
+
+# --- top event paths (session-path mining) ----------------------------------
+#
+# The "what do users actually do" query: global top-10 three-step event-type
+# paths over per-user timelines — ClickHouse funnels' exploratory sibling
+# (sequenceCount over every window). Two lags inside the per-user window
+# (scale-safe: partitioned by user), one keyed count, and a top-k that
+# plans as TakeOrderedAndProject (no global sort). Deterministic tie-break:
+# count desc, path asc.
+
+TOP_PATHS_K = 10
+
+
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "event_type", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = ev.select(
+        F.lag("event_type", 2).over(w).alias("a"),
+        F.lag("event_type", 1).over(w).alias("b"),
+        F.col("event_type").alias("c"),
+    ).filter(F.col("a").isNotNull())
+    counted = d.groupBy(
+        F.concat_ws(">", "a", "b", "c").alias("path")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_paths"))
+    ranked = counted.orderBy(F.desc("n_paths"), F.asc("path")).limit(TOP_PATHS_K)
+    from pyspark.sql.window import Window as W2
+
+    return ranked.select(
+        "path",
+        "n_paths",
+        F.row_number()
+        .over(W2.orderBy(F.desc("n_paths"), F.asc("path")))
+        .cast("long")
+        .alias("rank"),
+    )
+
+
+QUERIES["events_top_paths"] = events_top_paths
+
+ORACLE["events_top_paths"] = f"""
+WITH seq AS (
+  SELECT lag(event_type, 2) OVER w AS a,
+         lag(event_type, 1) OVER w AS b,
+         event_type AS c
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+counted AS (
+  SELECT a || '>' || b || '>' || c AS path, COUNT(*)::BIGINT AS n_paths
+  FROM seq WHERE a IS NOT NULL GROUP BY 1
+)
+SELECT path, n_paths,
+       CAST(row_number() OVER (ORDER BY n_paths DESC, path ASC) AS BIGINT) AS rank
+FROM counted
+ORDER BY n_paths DESC, path ASC
+LIMIT {TOP_PATHS_K}
+"""

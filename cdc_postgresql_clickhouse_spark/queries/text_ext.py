@@ -502,3 +502,114 @@ ORACLE["text_repetition_topgram"] = (
     + "\nFROM base b\n"
     + "\n".join(f"LEFT JOIN c{n} ON c{n}.doc_id = b.doc_id" for n in TOPGRAM_NS)
 )
+
+
+# --- bigram LM perplexity proxy ---------------------------------------------
+#
+# The second-order twin of ``text_unigram_logprob``: average negative
+# log-probability of each document's token BIGRAMS under the corpus's own
+# add-1-smoothed bigram model, P(w2|w1) = (c12 + 1) / (c1 + V) — the
+# KenLM-style perplexity filter one order up, where boilerplate that fools
+# a unigram model (common words, wrong order) scores poorly (Jelinek 1990;
+# Heafield 2011 for the production form).
+#
+# Integer micro-unit discipline: -ln P is floored ONCE per bigram TYPE in
+# the model table (exactly the unigram/CCNet device), so per-doc sums are
+# exact integer arithmetic and the per-doc average is one integer division.
+# Scale shape: one corpus explode to (doc, w1, w2) counts (the barrier),
+# the bigram model is a re-aggregation of it, context counts a further
+# re-aggregation, V a scalar; the join back is keyed on the bigram. Docs
+# with fewer than 2 tokens have no bigrams and drop out (both engines).
+
+from cdc_postgresql_clickhouse_spark.queries.dedup import _SQL_TOKENS
+
+_SQL_BIGRAMS = (
+    "list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])"
+)
+
+
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    from cdc_postgresql_clickhouse_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = (
+        docs.select("doc_id", F.explode(grams).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    model = bg.groupBy("bg").agg(F.sum("cnt").cast("long").alias("c12"))
+    ctx = model.select(
+        F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"), "c12"
+    ).groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
+    vocab = (
+        docs.select(F.explode(toks).alias("t")).agg(F.count_distinct("t")).first()[0]
+    )  # scalar: vocabulary size (smoothing denominator)
+    scored = model.withColumn(
+        "w1", F.split_part(F.col("bg"), F.lit(" "), F.lit(1))
+    ).join(ctx, "w1")
+    nlp_micro = F.floor(
+        -F.log(
+            (F.col("c12") + 1).cast("double") / (F.col("c1") + F.lit(int(vocab))).cast("double")
+        )
+        * F.lit(1000000.0)
+    ).cast("long")
+    per_doc = (
+        bg.join(scored.select("bg", nlp_micro.alias("u")), "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_bigrams"),
+            F.sum(F.col("cnt") * F.col("u")).cast("long").alias("sum_u"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        F.expr("sum_u div n_bigrams").cast("long").alias("nll2_micro_per_bigram"),
+    )
+
+
+QUERIES["text_bigram_logprob"] = text_bigram_logprob
+
+ORACLE["text_bigram_logprob"] = f"""
+WITH tk AS (
+  SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
+),
+bg AS (
+  SELECT doc_id, unnest({_SQL_BIGRAMS}) AS bg FROM tk WHERE len(toks) >= 2
+),
+bgc AS (SELECT doc_id, bg, COUNT(*)::BIGINT AS cnt FROM bg GROUP BY doc_id, bg),
+model AS (SELECT bg, SUM(cnt)::BIGINT AS c12 FROM bgc GROUP BY bg),
+ctx AS (
+  SELECT split_part(bg, ' ', 1) AS w1, SUM(c12)::BIGINT AS c1 FROM model GROUP BY 1
+),
+vocab AS (
+  SELECT COUNT(DISTINCT t) AS v FROM (SELECT unnest(toks) AS t FROM tk)
+),
+scored AS (
+  SELECT m.bg,
+         CAST(FLOOR(-ln(CAST(m.c12 + 1 AS DOUBLE) / CAST(c.c1 + vb.v AS DOUBLE))
+                    * 1000000.0) AS BIGINT) AS u
+  FROM model m
+  JOIN ctx c ON c.w1 = split_part(m.bg, ' ', 1)
+  CROSS JOIN vocab vb
+),
+per_doc AS (
+  SELECT b.doc_id, SUM(b.cnt)::BIGINT AS n_bigrams,
+         SUM(b.cnt * s.u)::BIGINT AS sum_u
+  FROM bgc b JOIN scored s USING (bg) GROUP BY b.doc_id
+)
+SELECT doc_id, n_bigrams,
+       CAST(sum_u // n_bigrams AS BIGINT) AS nll2_micro_per_bigram
+FROM per_doc
+"""

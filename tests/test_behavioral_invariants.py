@@ -226,3 +226,56 @@ def test_readability_bounds_and_coverage(spark, sf_dir):
     assert len(r) == load_table(spark, sf_dir, "documents").count()
     assert (r.flesch_micro <= 206_835_000).all()
     assert (r.words >= 1).all() and (r.sentences >= 1).all() and (r.syllables >= 1).all()
+
+
+def test_vocab_growth_monotone_and_anchored_at_corpus_totals(spark, sf_dir):
+    """Heaps-curve laws: all three series are monotone non-decreasing and the
+    final checkpoint equals the exact corpus totals (docs, tokens, distinct
+    words) — the prefix construction loses nothing."""
+    from cdc_postgresql_clickhouse_spark.functions.text import tokens as _toks
+    from cdc_postgresql_clickhouse_spark.queries.corpus import corpus_vocab_growth
+
+    g = corpus_vocab_growth(spark, sf_dir).toPandas().sort_values("checkpoint")
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    tot = docs.select(F.size(_toks(F.col("text"))).alias("k")).agg(F.sum("k")).first()[0]
+    vocab = docs.select(F.explode(_toks(F.col("text"))).alias("t")).agg(
+        F.count_distinct("t")
+    ).first()[0]
+    for c in ("n_docs", "n_tokens", "vocab_size"):
+        assert g[c].is_monotonic_increasing
+    last = g.iloc[-1]
+    assert (last.n_docs, last.n_tokens, last.vocab_size) == (n, tot, vocab)
+
+
+def test_bigram_logprob_covers_multitoken_docs_exactly(spark, sf_dir):
+    """Every doc with >= 2 tokens appears with n_bigrams == n_tok - 1 and a
+    non-negative score (add-1 smoothing keeps P < 1 whenever V > 1)."""
+    from cdc_postgresql_clickhouse_spark.functions.text import tokens as _toks
+    from cdc_postgresql_clickhouse_spark.queries.text_ext import text_bigram_logprob
+
+    b = text_bigram_logprob(spark, sf_dir).toPandas().set_index("doc_id")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.size(_toks(F.col("text"))).alias("n_tok"))
+        .toPandas()
+        .set_index("doc_id")
+    )
+    multi = docs[docs.n_tok >= 2]
+    assert set(b.index) == set(multi.index)
+    assert (b.loc[multi.index, "n_bigrams"] == multi.n_tok - 1).all()
+    assert (b.nll2_micro_per_bigram >= 0).all()
+
+
+def test_top_paths_ranked_and_bounded_by_transition_count(spark, sf_dir):
+    """Top-k laws: exactly K rows, ranks 1..K, counts non-increasing in rank,
+    and the counted paths never exceed the total number of 3-windows."""
+    from cdc_postgresql_clickhouse_spark.queries.events import TOP_PATHS_K, events_top_paths
+
+    p = events_top_paths(spark, sf_dir).toPandas().sort_values("rank")
+    assert list(p["rank"]) == list(range(1, TOP_PATHS_K + 1))
+    assert p.n_paths.is_monotonic_decreasing
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").count().toPandas()
+    total_windows = (users["count"] - 2).clip(lower=0).sum()
+    assert p.n_paths.sum() <= total_windows
