@@ -639,3 +639,69 @@ FROM counted
 ORDER BY n_paths DESC, path ASC
 LIMIT {TOP_PATHS_K}
 """
+
+
+# --- rolling (trailing-window) median ---------------------------------------
+#
+# Per-type trailing 15-row median of the value stream — the robust moving
+# baseline behind the Hampel filter's sliding form (the batch MAD row is
+# the global-window special case). Integer-exact: cents in, sorted frame
+# pick by rank arithmetic in HALF-cents out (lo+hi ranks collapse the
+# even/odd cases exactly as events_anomaly_mad does). The frame is
+# materialized per row via a bounded collect_list window (15 longs) and
+# sorted with sort_array — per-row O(w log w) with w a compile-time
+# constant, partitioned by type: no global sort, no unbounded state.
+
+ROLL_W = 15
+
+
+def events_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("es"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("es", "event_id")
+        .rowsBetween(-(ROLL_W - 1), 0)
+    )
+    d = ev.withColumn("arr", F.sort_array(F.collect_list("c").over(w)))
+    m = F.size("arr")
+    med_hc = F.element_at(
+        "arr", F.expr("cast((size(arr) + 1) div 2 as int)")
+    ) + F.element_at("arr", F.expr("cast(size(arr) div 2 + 1 as int)"))
+    return d.select(
+        "event_id",
+        "event_type",
+        "c",
+        m.cast("long").alias("frame_n"),
+        med_hc.cast("long").alias("rolling_median_halfcents"),
+    )
+
+
+QUERIES["events_rolling_median"] = events_rolling_median
+
+ORACLE["events_rolling_median"] = f"""
+WITH ev AS (
+  SELECT event_id, event_type,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS es,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events
+),
+framed AS (
+  SELECT event_id, event_type, c,
+         list_sort(list(c) OVER (
+           PARTITION BY event_type ORDER BY es, event_id
+           ROWS BETWEEN {ROLL_W - 1} PRECEDING AND CURRENT ROW)) AS arr
+  FROM ev
+)
+SELECT event_id, event_type, c,
+       CAST(len(arr) AS BIGINT) AS frame_n,
+       CAST(arr[(len(arr) + 1) // 2] + arr[len(arr) // 2 + 1] AS BIGINT)
+         AS rolling_median_halfcents
+FROM framed
+"""

@@ -1096,3 +1096,67 @@ SELECT method, CAST(n_queries AS BIGINT) AS n_queries,
        CAST(n_hits * 1000000 // n_pairs AS BIGINT) AS recall_ppm
 FROM per
 """
+
+
+# --- embedding-space label evaluation (kNN precision) -----------------------
+#
+# "Are the embeddings any good" as a driver row: neighbor-label precision@5
+# of the exact cosine top-k over the standard query slice — the kNN
+# classification eval every embedding pipeline runs before trusting
+# semantic dedup or ANN retrieval (Cover & Hart 1967). Reuses the
+# brute-force ranking verbatim (one more reason it stays registered), joins
+# neighbor and query labels, and reports per-label integer-PPM precision.
+# Label joins are keyed on vec_id; the query-label side is query-slice
+# sized and broadcast.
+
+
+def retrieval_label_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bf = ann_bruteforce_topk(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    q = emb.select(F.col("vec_id").alias("q_id"), F.col("label").alias("q_label"))
+    nb = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label")
+    )
+    j = bf.join(F.broadcast(q), "q_id").join(nb, "neighbor_id")
+    per = j.groupBy(F.col("q_label").cast("long").alias("label")).agg(
+        F.count_distinct("q_id").cast("long").alias("n_queries"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(
+            F.when(F.col("n_label") == F.col("q_label"), 1).otherwise(0)
+        ).cast("long").alias("n_label_hits"),
+    )
+    return per.select(
+        "label",
+        "n_queries",
+        "n_pairs",
+        "n_label_hits",
+        F.expr("n_label_hits * 1000000 div n_pairs").cast("long").alias(
+            "precision_ppm"
+        ),
+    )
+
+
+QUERIES["retrieval_label_knn_eval"] = retrieval_label_knn_eval
+
+ORACLE["retrieval_label_knn_eval"] = f"""
+WITH bf AS ({ORACLE["ann_bruteforce_topk"]}),
+lab AS (SELECT vec_id, label FROM embeddings),
+j AS (
+  SELECT ql.label AS q_label, bf.q_id, nl.label AS n_label
+  FROM bf
+  JOIN lab ql ON ql.vec_id = bf.q_id
+  JOIN lab nl ON nl.vec_id = bf.neighbor_id
+),
+per AS (
+  SELECT CAST(q_label AS BIGINT) AS label,
+         COUNT(DISTINCT q_id) AS n_queries,
+         COUNT(*) AS n_pairs,
+         SUM(CASE WHEN n_label = q_label THEN 1 ELSE 0 END) AS n_label_hits
+  FROM j GROUP BY 1
+)
+SELECT label, CAST(n_queries AS BIGINT) AS n_queries,
+       CAST(n_pairs AS BIGINT) AS n_pairs,
+       CAST(n_label_hits AS BIGINT) AS n_label_hits,
+       CAST(n_label_hits * 1000000 // n_pairs AS BIGINT) AS precision_ppm
+FROM per
+"""

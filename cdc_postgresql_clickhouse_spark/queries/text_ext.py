@@ -613,3 +613,57 @@ SELECT doc_id, n_bigrams,
        CAST(sum_u // n_bigrams AS BIGINT) AS nll2_micro_per_bigram
 FROM per_doc
 """
+
+
+# --- language-ID confusion matrix (implementation cross-eval) ---------------
+#
+# The two independent language identifiers (marker words vs character
+# trigrams, Cavnar-Trenkle 1994) judged against the corpus's true lang and
+# EACH OTHER as one confusion-matrix driver row — the eval that tells a
+# pipeline which cheap lang-ID to trust per language before routing
+# CCNet-style per-language processing. Composes the two registered
+# operators verbatim (no third implementation to drift) and reduces to a
+# #langs³-bounded cell count — trivially small output at any corpus scale.
+
+
+def quality_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_postgresql_clickhouse_spark.queries.text import text_langid
+
+    a = text_langid(spark, sf_dir).select(
+        "doc_id", "lang", F.col("guessed_lang").alias("marker_guess")
+    )
+    b = text_langid_chargram(spark, sf_dir).select(
+        "doc_id", F.col("guessed_lang").alias("trigram_guess")
+    )
+    return (
+        a.join(b, "doc_id")
+        .groupBy("lang", "marker_guess", "trigram_guess")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("marker_guess") == F.col("lang"), 1).otherwise(0))
+            .cast("long").alias("n_marker_correct"),
+            F.sum(F.when(F.col("trigram_guess") == F.col("lang"), 1).otherwise(0))
+            .cast("long").alias("n_trigram_correct"),
+        )
+    )
+
+
+QUERIES["quality_langid_confusion"] = quality_langid_confusion
+
+
+def _langid_confusion_sql() -> str:
+    from cdc_postgresql_clickhouse_spark.queries.text import ORACLE as _TEXT_ORACLE
+
+    return f"""
+WITH a AS ({_TEXT_ORACLE["text_langid"]}),
+b AS ({ORACLE["text_langid_chargram"]})
+SELECT a.lang, a.guessed_lang AS marker_guess, b.guessed_lang AS trigram_guess,
+       COUNT(*)::BIGINT AS n_docs,
+       SUM(CASE WHEN a.guessed_lang = a.lang THEN 1 ELSE 0 END)::BIGINT AS n_marker_correct,
+       SUM(CASE WHEN b.guessed_lang = a.lang THEN 1 ELSE 0 END)::BIGINT AS n_trigram_correct
+FROM a JOIN b ON a.doc_id = b.doc_id
+GROUP BY 1, 2, 3
+"""
+
+
+ORACLE["quality_langid_confusion"] = _langid_confusion_sql()

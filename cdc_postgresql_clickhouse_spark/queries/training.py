@@ -424,3 +424,76 @@ QUERIES = {
     "corpus_shard_packing": corpus_shard_packing,
     "embedding_quantize_int8": embedding_quantize_int8,
 }
+
+
+# --- split leakage report (train→val n-gram contamination) ------------------
+#
+# The eval-integrity check a content-keyed split still needs: near-identical
+# documents land on OPPOSITE sides of the split (the split hashes doc_id,
+# not content), so val examples can share long n-grams with train — the
+# train/test leakage that inflates held-out metrics (Lee et al. 2022 §6.2
+# measures exactly this). Per VAL doc: distinct 8-gram count, how many of
+# those grams appear in ANY train doc, and the leaked fraction as integer
+# PPM. Scale shape: (doc, gram) distinct explodes on both sides, train
+# grams collapse to a DISTINCT gram set, and the membership test is one
+# gram-keyed semi-style left join — the decontamination plan with the
+# benchmark side replaced by the corpus's own train half (never pairwise
+# doc×doc).
+
+
+def corpus_split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    split = F.when(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "1a", "val"
+    ).otherwise("train")
+    base = docs.select("doc_id", split.alias("split"), tokens(F.col("text")).alias("t"))
+    grams = base.select(
+        "doc_id",
+        "split",
+        F.explode(F.array_distinct(word_shingles(F.col("t"), DECONTAM_NGRAM))).alias(
+            "gram"
+        ),
+    )
+    train_grams = grams.filter(F.col("split") == "train").select("gram").distinct()
+    val_grams = grams.filter(F.col("split") == "val").select("doc_id", "gram")
+    flagged = val_grams.join(
+        train_grams.withColumn("leaked", F.lit(1)), "gram", "left"
+    )
+    per = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        F.sum(F.coalesce("leaked", F.lit(0))).cast("long").alias("n_leaked"),
+    )
+    return per.select(
+        "doc_id",
+        "n_grams",
+        "n_leaked",
+        F.expr("n_leaked * 1000000 div n_grams").cast("long").alias("leak_ppm"),
+    )
+
+
+QUERIES["corpus_split_leakage_report"] = corpus_split_leakage_report
+
+ORACLE["corpus_split_leakage_report"] = f"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+              THEN 'val' ELSE 'train' END AS split,
+         {_SQL_TOKENS} AS t
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, split, unnest({_sql_ngrams(DECONTAM_NGRAM)}) AS gram
+  FROM base
+),
+train_grams AS (SELECT DISTINCT gram FROM grams WHERE split = 'train'),
+val_grams AS (SELECT doc_id, gram FROM grams WHERE split = 'val'),
+per AS (
+  SELECT v.doc_id, COUNT(*)::BIGINT AS n_grams,
+         SUM(CASE WHEN t.gram IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_leaked
+  FROM val_grams v LEFT JOIN train_grams t ON t.gram = v.gram
+  GROUP BY v.doc_id
+)
+SELECT doc_id, n_grams, n_leaked,
+       CAST(n_leaked * 1000000 // n_grams AS BIGINT) AS leak_ppm
+FROM per
+"""

@@ -279,3 +279,66 @@ def test_top_paths_ranked_and_bounded_by_transition_count(spark, sf_dir):
     users = ev.groupBy("user_id").count().toPandas()
     total_windows = (users["count"] - 2).clip(lower=0).sum()
     assert p.n_paths.sum() <= total_windows
+
+
+def test_langid_confusion_cells_partition_corpus(spark, sf_dir):
+    """Confusion cells sum to the corpus size; per-cell correctness counters
+    equal n_docs exactly when the guess matches the true lang and 0 when it
+    doesn't (they are functions of the cell coordinates)."""
+    from cdc_postgresql_clickhouse_spark.queries.text_ext import quality_langid_confusion
+
+    c = quality_langid_confusion(spark, sf_dir).toPandas()
+    assert c.n_docs.sum() == load_table(spark, sf_dir, "documents").count()
+    assert (
+        c.n_marker_correct == c.n_docs.where(c.marker_guess == c.lang, 0)
+    ).all()
+    assert (
+        c.n_trigram_correct == c.n_docs.where(c.trigram_guess == c.lang, 0)
+    ).all()
+
+
+def test_knn_label_eval_pair_accounting(spark, sf_dir):
+    """Every query contributes exactly 5 neighbor pairs; precision is PPM-
+    bounded; query counts sum to the standard query-slice size."""
+    from cdc_postgresql_clickhouse_spark.queries.similarity import retrieval_label_knn_eval
+
+    r = retrieval_label_knn_eval(spark, sf_dir).toPandas()
+    assert (r.n_pairs == 5 * r.n_queries).all()
+    assert ((r.precision_ppm >= 0) & (r.precision_ppm <= 1_000_000)).all()
+    n_q = (
+        load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 100 == 0).count()
+    )
+    assert r.n_queries.sum() == n_q
+
+
+def test_split_leakage_covers_val_docs_with_bounded_ppm(spark, sf_dir):
+    """Row set == val docs that have at least one 8-gram; leak counts are
+    bounded by gram counts; ppm in [0, 1e6]."""
+    from cdc_postgresql_clickhouse_spark.functions.text import tokens as _toks
+    from cdc_postgresql_clickhouse_spark.queries.training import (
+        DECONTAM_NGRAM,
+        corpus_split_leakage_report,
+    )
+
+    r = corpus_split_leakage_report(spark, sf_dir).toPandas()
+    assert (r.n_leaked <= r.n_grams).all()
+    assert ((r.leak_ppm >= 0) & (r.leak_ppm <= 1_000_000)).all()
+    val = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "1a")
+        .filter(F.size(_toks(F.col("text"))) >= DECONTAM_NGRAM)
+    )
+    assert set(r.doc_id) == {row.doc_id for row in val.select("doc_id").collect()}
+
+
+def test_rolling_median_frame_laws(spark, sf_dir):
+    """Frames are trailing and bounded: 1 <= frame_n <= W, exactly one
+    frame_n == 1 row per type (the stream head), and a singleton frame's
+    median is exactly twice its own value (half-cent doubling)."""
+    from cdc_postgresql_clickhouse_spark.queries.events import ROLL_W, events_rolling_median
+
+    r = events_rolling_median(spark, sf_dir).toPandas()
+    assert ((r.frame_n >= 1) & (r.frame_n <= ROLL_W)).all()
+    heads = r[r.frame_n == 1]
+    assert (heads.groupby("event_type").size() == 1).all()
+    assert (heads.rolling_median_halfcents == 2 * heads.c).all()
