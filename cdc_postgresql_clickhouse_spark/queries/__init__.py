@@ -41,6 +41,7 @@ from cdc_postgresql_clickhouse_spark.queries import (
     streaming_queries,
     text,
     text_ext,
+    tokenizer,
     tpch,
     tpch_ext,
     tpch_more,
@@ -51,7 +52,7 @@ from cdc_postgresql_clickhouse_spark.queries import (
 
 _MODULES = (
     cdc, streaming_queries, winnow, chunking, semantic, text_ext, extras,
-    spans, manifest, sketches, zorder, bpe, graph, search, dsir,
+    spans, manifest, sketches, zorder, bpe, tokenizer, graph, search, dsir,
     dedup, similarity, cluster, multimodal, text, quality, training, corpus,
     skew, debezium_types, funnel, events, formats, tpch, tpch_ext, tpch_more,
 )
@@ -97,12 +98,12 @@ _WINDOW_FRONT = [
     "text_bigram_logprob", "corpus_vocab_growth", "events_top_paths",
     "retrieval_label_knn_eval", "quality_langid_confusion",
     "corpus_split_leakage_report", "events_rolling_median",
+    "tokenizer_unigram_segment", "tokenizer_unigram_token_count",
     # rule 3: refill with the oldest proofs — last checked r2 (19 of 43;
     # pivot/rollup/sliding/fingerprint/full-outer/tumbling variants deferred
     # to r6, their machinery is covered by the cube/sessionize/asof rows
     # kept here)
     "q1_pricing_summary", "q2_min_cost_supplier", "q3_shipping_priority",
-    "q4_order_priority", "q5_region_revenue",
 ]
 
 

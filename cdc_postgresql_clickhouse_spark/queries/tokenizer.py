@@ -1,0 +1,299 @@
+"""SentencePiece-style UNIGRAM tokenizer: Viterbi segmentation of every
+corpus word under an integer-quantized unigram piece model (Kudo 2018
+"Subword Regularization"; Kudo & Richardson 2018 SentencePiece) — the
+second tokenizer family next to BPE (``queries/bpe.py``), covering the
+segmentation side of tokenizer training the way BPE covers merge learning.
+
+Model (derived from the corpus itself, deterministically on both engines):
+- words truncate to MAXW chars and collapse to a (word, freq) table —
+  vocabulary-sized, like BPE's; corpus size only affects the one token
+  pass that builds it.
+- candidate pieces are ALL char n-grams (1..MAXP) of those words, weighted
+  by positional occurrence × word freq; the vocab is the top VOCAB_K by
+  (weight DESC, gram ASC) — a deterministic integer ranking.
+- piece score = ilog2(weight) − ilog2(Z) (Z = selected-vocab total weight):
+  an INTEGER quantization of log2 p(piece), exact in both engines because
+  ilog2(x) = length(bin(x)) − 1 and ``bin`` renders without leading zeros
+  in Spark and DuckDB alike (verified; no float log anywhere). Unknown
+  single chars score OOV = −2·ilog2(Z), so every word always has a path.
+
+Search: per-word Viterbi DP maximizing the piece-score sum with the
+deterministic tie-break (higher score, then FEWER pieces, then
+lexicographically smallest segmentation). The Spark side runs the DP as a
+single higher-order ``aggregate`` fold over character positions — a pure
+map pass over the vocabulary-sized word table, no shuffle, no UDF; the
+model rides as one map literal (VOCAB_K entries, the PQ-codebook
+convention). The oracle unrolls the DP as MAXW chained CTEs (the
+graph-oracle device), each taking the per-word argmin of ≤MAXP candidate
+extensions via a window, with AS MATERIALIZED fences so DuckDB's CTE
+inlining cannot re-expand the chain combinatorially.
+
+At 100 TB: the corpus pass is one explode + keyed agg (combiner-friendly);
+everything after runs on the word table, whose size is bounded by the
+vocabulary of the language, not the corpus. The driver-visible state is
+the VOCAB_K-row model — the same O(model) contract as k-means/BPE/PQ.
+
+Reference tie-in: none (the reference ships rows, not tokenizers);
+survey §2.13 extension — COVERAGE.md round-6 queue item.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_postgresql_clickhouse_spark.functions.text import tokens
+from cdc_postgresql_clickhouse_spark.queries.dedup import _SQL_TOKENS
+from cdc_postgresql_clickhouse_spark.sources.registry import load_table
+
+MAXW = 12  # words truncate to this many chars before segmentation
+MAXP = 4  # max piece length
+VOCAB_K = 256  # model size
+
+
+def _ilog2(x: int) -> int:
+    return x.bit_length() - 1
+
+
+def _word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens(F.col("text"))).alias("w0"))
+        .select(F.substring("w0", 1, MAXW).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+
+
+def unigram_model(spark: SparkSession, sf_dir: str) -> tuple[list[tuple[str, int]], int]:
+    """Train the piece model: [(gram, score)] sorted by (weight desc, gram),
+    plus the OOV score. The ONLY driver-side state is this VOCAB_K-row list
+    (the k-means/BPE/PQ model contract)."""
+    wf = _word_freq(spark, sf_dir)
+    gram_frames = []
+    for L in range(1, MAXP + 1):
+        g = wf.filter(F.length("w") >= L).select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("w") - L + 1),
+                    lambda i: F.col("w").substr(i, F.lit(L)),
+                )
+            ).alias("gram"),
+            "freq",
+        )
+        gram_frames.append(g)
+    grams = gram_frames[0]
+    for g in gram_frames[1:]:
+        grams = grams.unionByName(g)
+    weighted = grams.groupBy("gram").agg(F.sum("freq").cast("long").alias("weight"))
+    top = (
+        weighted.orderBy(F.desc("weight"), F.asc("gram")).limit(VOCAB_K).collect()
+    )  # model-sized collect: VOCAB_K rows
+    z = sum(int(r.weight) for r in top)
+    oov = -2 * _ilog2(z)
+    vocab = [(r.gram, _ilog2(int(r.weight)) - _ilog2(z)) for r in top]
+    return vocab, oov
+
+
+def _vmap_sql(vocab: list[tuple[str, int]]) -> str:
+    return "map(" + ", ".join(f"'{g}', {s}" for g, s in vocab) + ")"
+
+
+def _viterbi_expr(oov: int) -> str:
+    """The per-word DP as one higher-order aggregate fold over positions.
+    acc[i+1] = best (score, n_pieces, seg) for the prefix of length i;
+    candidates at position j extend acc[i] with piece w[i+1 .. j]; argmin of
+    (−score, n_pieces, seg) structs encodes the tie-break exactly."""
+    base = "element_at(acc, cast(i + 1 as int))"
+    piece = "substr(w, cast(i + 1 as int), cast(j - i as int))"
+    sc = f"coalesce(element_at(vm, {piece}), {oov})"
+    cand = f"""named_struct(
+        'negs', -({base}.s + {sc}),
+        'np', {base}.np + 1,
+        'seg', if({base}.seg = '', {piece}, concat({base}.seg, ' ', {piece})))"""
+    return f"""
+aggregate(
+  sequence(1, length(w)),
+  array(named_struct('s', cast(0 as bigint), 'np', 0, 'seg', '')),
+  (acc, j) -> array_append(acc,
+    (
+      transform(
+        array(
+          aggregate(
+            filter(
+              transform(sequence(greatest(0, j - {MAXP}), j - 1),
+                i -> if(element_at(vm, {piece}) is not null or j - i = 1,
+                        {cand},
+                        cast(null as struct<negs: bigint, np: int, seg: string>))),
+              x -> x is not null),
+            cast(null as struct<negs: bigint, np: int, seg: string>),
+            (best, c) -> if(best is null or c < best, c, best)
+          )
+        ),
+        b -> named_struct('s', -b.negs, 'np', b.np, 'seg', b.seg)
+      )[0]
+    )
+  ),
+  acc -> element_at(acc, cast(length(w) + 1 as int))
+)"""
+
+
+def _segmented_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(w, freq, n_pieces, total_score, seg) for every distinct truncated
+    word — the shared DP result both registered queries read."""
+    vocab, oov = unigram_model(spark, sf_dir)
+    wf = _word_freq(spark, sf_dir).withColumn("vm", F.expr(_vmap_sql(vocab)))
+    # the fold appends one best-struct per position; the finish lambda
+    # un-negates the score of the full-word entry
+    dp = wf.withColumn("r", F.expr(_viterbi_expr(oov)))
+    return dp.select(
+        F.col("w").alias("word"),
+        "freq",
+        F.col("r.np").cast("long").alias("n_pieces"),
+        F.col("r.s").cast("long").alias("total_score"),
+        F.col("r.seg").alias("seg"),
+    )
+
+
+def tokenizer_unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _segmented_words(spark, sf_dir)
+
+
+def tokenizer_unigram_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level fertility report: per source, whitespace tokens vs
+    unigram pieces (fertility = pieces per token, integer PPM). The DP runs
+    once on the word table; the per-source word frequencies join to it
+    keyed on the word."""
+    docs = load_table(spark, sf_dir, "documents")
+    sw = (
+        docs.select("source", F.explode(tokens(F.col("text"))).alias("w0"))
+        .select("source", F.substring("w0", 1, MAXW).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    seg = _segmented_words(spark, sf_dir).select("word", "n_pieces")
+    j = sw.join(seg, "word")
+    per = j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct_words"),
+        F.sum("freq").cast("long").alias("ws_tokens"),
+        F.sum(F.col("freq") * F.col("n_pieces")).cast("long").alias("unigram_pieces"),
+    )
+    return per.select(
+        "source",
+        "n_distinct_words",
+        "ws_tokens",
+        "unigram_pieces",
+        F.expr("unigram_pieces * 1000000 div ws_tokens").cast("long").alias(
+            "fertility_ppm"
+        ),
+    )
+
+
+# --- oracle: the same model + DP, fully in SQL ------------------------------
+
+
+def _sql_model() -> str:
+    """CTE chain: words → w12 freq table → positional grams → top-K vocab
+    with integer log2 scores → OOV constant."""
+    gram_branches = " UNION ALL ".join(
+        f"""
+  SELECT substr(w, CAST(i AS INT), {L}) AS gram, freq
+  FROM (SELECT w, freq, unnest(range(1, length(w) - {L} + 2)) AS i
+        FROM w12 WHERE length(w) >= {L})"""
+        for L in range(1, MAXP + 1)
+    )
+    return f"""
+words0 AS (
+  SELECT unnest({_SQL_TOKENS}) AS w0 FROM documents
+),
+w12 AS MATERIALIZED (
+  SELECT substr(w0, 1, {MAXW}) AS w, COUNT(*)::BIGINT AS freq
+  FROM words0 GROUP BY 1
+),
+grams AS ({gram_branches}),
+weighted AS (SELECT gram, SUM(freq)::BIGINT AS weight FROM grams GROUP BY gram),
+topv AS MATERIALIZED (
+  SELECT gram, weight
+  FROM (SELECT gram, weight,
+               row_number() OVER (ORDER BY weight DESC, gram ASC) AS rn
+        FROM weighted)
+  WHERE rn <= {VOCAB_K}
+),
+zv AS (SELECT SUM(weight) AS z FROM topv),
+vocab AS MATERIALIZED (
+  SELECT gram,
+         (length(bin(weight)) - 1) - (length(bin(z)) - 1) AS score
+  FROM topv CROSS JOIN zv
+),
+oovv AS (SELECT -2 * (length(bin(z)) - 1) AS oov FROM zv)"""
+
+
+def _sql_dp_chain() -> str:
+    ctes = [
+        "dp0 AS MATERIALIZED (SELECT w, CAST(0 AS BIGINT) AS s, 0 AS np, '' AS seg FROM w12)"
+    ]
+    for j in range(1, MAXW + 1):
+        branches = []
+        for i in range(max(0, j - MAXP), j):
+            L = j - i
+            piece = f"substr(d.w, {i + 1}, {L})"
+            branches.append(f"""
+  SELECT d.w,
+         d.s + COALESCE(v.score, ov.oov) AS s,
+         d.np + 1 AS np,
+         CASE WHEN d.seg = '' THEN {piece} ELSE d.seg || ' ' || {piece} END AS seg
+  FROM dp{i} d
+  LEFT JOIN vocab v ON v.gram = {piece}
+  CROSS JOIN oovv ov
+  WHERE length(d.w) >= {j} AND (v.score IS NOT NULL OR {L} = 1)""")
+        union = " UNION ALL ".join(branches)
+        ctes.append(f"""dp{j} AS MATERIALIZED (
+  SELECT w, s, np, seg FROM (
+    SELECT *, row_number() OVER (PARTITION BY w ORDER BY s DESC, np ASC, seg ASC) AS rn
+    FROM ({union})
+  ) WHERE rn = 1
+)""")
+    finals = " UNION ALL ".join(
+        f"SELECT w, s, np, seg FROM dp{j} WHERE length(w) = {j}" for j in range(1, MAXW + 1)
+    )
+    ctes.append(f"seg_final AS MATERIALIZED ({finals})")
+    return ",\n".join(ctes)
+
+
+_SQL_PREFIX = f"WITH {_sql_model()},\n{_sql_dp_chain()}"
+
+_SQL_SEGMENT = f"""{_SQL_PREFIX}
+SELECT f.w AS word, wf.freq,
+       CAST(f.np AS BIGINT) AS n_pieces,
+       CAST(f.s AS BIGINT) AS total_score,
+       f.seg AS seg
+FROM seg_final f JOIN w12 wf ON wf.w = f.w
+"""
+
+_SQL_TOKEN_COUNT = f"""{_SQL_PREFIX},
+sw AS (
+  SELECT source, substr(w0, 1, {MAXW}) AS word, COUNT(*)::BIGINT AS freq
+  FROM (SELECT source, unnest({_SQL_TOKENS}) AS w0 FROM documents)
+  GROUP BY 1, 2
+),
+per AS (
+  SELECT s.source,
+         COUNT(*)::BIGINT AS n_distinct_words,
+         SUM(s.freq)::BIGINT AS ws_tokens,
+         SUM(s.freq * f.np)::BIGINT AS unigram_pieces
+  FROM sw s JOIN seg_final f ON f.w = s.word
+  GROUP BY s.source
+)
+SELECT source, n_distinct_words, ws_tokens, unigram_pieces,
+       CAST(unigram_pieces * 1000000 // ws_tokens AS BIGINT) AS fertility_ppm
+FROM per
+"""
+
+QUERIES = {
+    "tokenizer_unigram_segment": tokenizer_unigram_segment,
+    "tokenizer_unigram_token_count": tokenizer_unigram_token_count,
+}
+ORACLE = {
+    "tokenizer_unigram_segment": _SQL_SEGMENT,
+    "tokenizer_unigram_token_count": _SQL_TOKEN_COUNT,
+}
