@@ -152,3 +152,66 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def hilbert_stages(df: DataFrame, xcol: str, ycol: str, bits: int = 8, out: str = "hkey") -> DataFrame:
+    """Hilbert-curve key for two non-negative integer columns in
+    [0, 2**bits): appends ``out`` holding the curve distance d of (x, y) —
+    the locality-BETTER alternative to the Morton key (every consecutive
+    pair of d values is Manhattan-adjacent, so range-partition boundaries
+    never jump across the plane the way Z-order's seams do; Hilbert 1891,
+    and the layout Databricks ships as liquid clustering).
+
+    The classic xy2d bit loop (one reflect+swap per bit, MSB first) unrolls
+    into ``bits`` chained integer stages — plain shifts/cases, no UDF, and
+    every intermediate stays in [0, 2**bits): the same expression chain the
+    SQL oracle mirrors CTE-for-CTE. Input columns are consumed as working
+    registers and restored untouched."""
+    n = 1 << bits
+    d = df.withColumn("__hx", F.col(xcol).cast("long")).withColumn(
+        "__hy", F.col(ycol).cast("long")
+    ).withColumn("__hd", F.lit(0).cast("long"))
+    for i in range(bits):
+        s = 1 << (bits - 1 - i)
+        k = bits - 1 - i
+        rx = F.shiftright(F.col("__hx"), k).bitwiseAND(F.lit(1))
+        ry = F.shiftright(F.col("__hy"), k).bitwiseAND(F.lit(1))
+        d = d.withColumn("__rx", rx).withColumn("__ry", ry)
+        quad = F.when(F.col("__rx") == 0, F.col("__ry")).otherwise(3 - F.col("__ry"))
+        new_x = F.when(
+            F.col("__ry") == 0,
+            F.when(F.col("__rx") == 1, F.lit(n - 1) - F.col("__hy")).otherwise(
+                F.col("__hy")
+            ),
+        ).otherwise(F.col("__hx"))
+        new_y = F.when(
+            F.col("__ry") == 0,
+            F.when(F.col("__rx") == 1, F.lit(n - 1) - F.col("__hx")).otherwise(
+                F.col("__hx")
+            ),
+        ).otherwise(F.col("__hy"))
+        d = (
+            d.withColumn("__hd", F.col("__hd") + F.lit(s * s) * quad)
+            .withColumn("__hx2", new_x)
+            .withColumn("__hy2", new_y)
+            .drop("__hx", "__hy", "__rx", "__ry")
+            .withColumnRenamed("__hx2", "__hx")
+            .withColumnRenamed("__hy2", "__hy")
+        )
+    return d.withColumnRenamed("__hd", out).drop("__hx", "__hy")
+
+
+def write_hilbert(
+    df: DataFrame, path: str, col_a: str, col_b: str, n_files: int = 8, bits: int = 8
+) -> None:
+    """Write ``df`` clustered by Hilbert distance of (col_a, col_b) —
+    range-partition + in-partition sort on the key, exactly the
+    ``write_zordered`` contract with the better-locality curve."""
+    keyed = hilbert_stages(df, col_a, col_b, bits, out="__h")
+    (
+        keyed.repartitionByRange(n_files, "__h")
+        .sortWithinPartitions("__h")
+        .drop("__h")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

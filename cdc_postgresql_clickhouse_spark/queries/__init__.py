@@ -99,11 +99,12 @@ _WINDOW_FRONT = [
     "retrieval_label_knn_eval", "quality_langid_confusion",
     "corpus_split_leakage_report", "events_rolling_median",
     "tokenizer_unigram_segment", "tokenizer_unigram_token_count",
+    "layout_hilbert_clustering",
     # rule 3: refill with the oldest proofs — last checked r2 (19 of 43;
     # pivot/rollup/sliding/fingerprint/full-outer/tumbling variants deferred
     # to r6, their machinery is covered by the cube/sessionize/asof rows
     # kept here)
-    "q1_pricing_summary", "q2_min_cost_supplier", "q3_shipping_priority",
+    "q1_pricing_summary", "q2_min_cost_supplier",
 ]
 
 

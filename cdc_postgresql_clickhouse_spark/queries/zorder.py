@@ -64,3 +64,72 @@ FROM keyed GROUP BY zbucket
 
 QUERIES = {"layout_zorder_clustering": layout_zorder_clustering}
 ORACLE = {"layout_zorder_clustering": _SQL_ZORDER}
+
+
+# --- Hilbert-curve clustering (the locality-better layout) ------------------
+#
+# Same proof shape as the Z-order row, on the Hilbert key: with an 8-bit
+# curve bucketed by the top 6 of 16 key bits, every bucket is an aligned
+# 4^5-key subtree = one 32x32 quadrant (possibly rotated), so BOTH spans
+# are bounded by 31 — and unlike Morton order, consecutive buckets are
+# spatially adjacent (no seam jumps), which is why Delta liquid clustering
+# and column stores prefer Hilbert at file-count scale. The key unrolls the
+# classic xy2d bit loop (reflect + swap per bit) as integer stages; the
+# oracle mirrors the chain CTE-for-CTE.
+
+H_BITS = 8
+H_BUCKET_SHIFT = 10  # keep top 6 of 16 key bits -> 64 buckets
+
+
+def layout_hilbert_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_postgresql_clickhouse_spark.operators.layout import hilbert_stages
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_partkey") % 256).alias("x"), (F.col("l_suppkey") % 256).alias("y")
+    )
+    keyed = hilbert_stages(li, "x", "y", H_BITS, out="hkey")
+    d = keyed.select(
+        "x", "y", F.shiftright(F.col("hkey"), H_BUCKET_SHIFT).alias("hbucket")
+    )
+    return d.groupBy("hbucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.max("x") - F.min("x")).alias("x_span"),
+        (F.max("y") - F.min("y")).alias("y_span"),
+    )
+
+
+def _sql_hilbert_chain(bits: int) -> str:
+    n = 1 << bits
+    ctes = ["h0 AS (SELECT x, y, x AS hx, y AS hy, CAST(0 AS BIGINT) AS hd FROM d)"]
+    for i in range(bits):
+        s = 1 << (bits - 1 - i)
+        k = bits - 1 - i
+        rx = f"((hx >> {k}) & 1)"
+        ry = f"((hy >> {k}) & 1)"
+        ctes.append(f"""h{i + 1} AS (
+  SELECT x, y,
+         CASE WHEN {ry} = 0
+              THEN (CASE WHEN {rx} = 1 THEN {n - 1} - hy ELSE hy END)
+              ELSE hx END AS hx,
+         CASE WHEN {ry} = 0
+              THEN (CASE WHEN {rx} = 1 THEN {n - 1} - hx ELSE hx END)
+              ELSE hy END AS hy,
+         hd + {s * s} * (CASE WHEN {rx} = 0 THEN {ry} ELSE 3 - {ry} END) AS hd
+  FROM h{i}
+)""")
+    return ",\n".join(ctes)
+
+
+_SQL_HILBERT = f"""
+WITH d AS (
+  SELECT l_partkey % 256 AS x, l_suppkey % 256 AS y FROM lineitem
+),
+{_sql_hilbert_chain(H_BITS)}
+SELECT (hd >> {H_BUCKET_SHIFT}) AS hbucket, COUNT(*) AS n_rows,
+       (MAX(x) - MIN(x)) AS x_span,
+       (MAX(y) - MIN(y)) AS y_span
+FROM h{H_BITS} GROUP BY 1
+"""
+
+QUERIES["layout_hilbert_clustering"] = layout_hilbert_clustering
+ORACLE["layout_hilbert_clustering"] = _SQL_HILBERT

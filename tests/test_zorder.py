@@ -77,3 +77,57 @@ def test_zbucket_spans_bounded(spark, sf_dir):
     # top-6-of-16 interleaved bits -> each bucket is a 2^5 x 2^5 box
     assert out.filter((F.col("x_span") > 31) | (F.col("y_span") > 31)).count() == 0
     assert out.count() > 1
+
+
+def test_hilbert_key_matches_reference_and_is_bijective(spark):
+    """The unrolled Hilbert stages equal the classic xy2d loop on every
+    coordinate of a 32x32 grid (bits=5), keys are a bijection onto
+    [0, 1024), and consecutive keys are Manhattan-adjacent — the property
+    that makes Hilbert strictly better than Morton at partition seams."""
+    from cdc_postgresql_clickhouse_spark.operators.layout import hilbert_stages
+
+    bits, n = 5, 32
+
+    def rot(x, y, rx, ry):
+        if ry == 0:
+            if rx == 1:
+                x, y = n - 1 - x, n - 1 - y
+            x, y = y, x
+        return x, y
+
+    def xy2d(x, y):
+        d, s = 0, n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            x, y = rot(x, y, rx, ry)
+            s //= 2
+        return d
+
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(n) for y in range(n)], "x int, y int"
+    )
+    got = {
+        (r.x, r.y): r.hkey
+        for r in hilbert_stages(grid, "x", "y", bits, out="hkey").collect()
+    }
+    inv = {}
+    for (x, y), d in got.items():
+        assert d == xy2d(x, y), (x, y, d)
+        inv[d] = (x, y)
+    assert sorted(inv) == list(range(n * n))
+    for d in range(n * n - 1):
+        (x1, y1), (x2, y2) = inv[d], inv[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1
+
+
+def test_hilbert_buckets_are_tight_quadrants(spark, sf_dir):
+    """Every 1024-key bucket of the 8-bit curve is one 32x32 subquadrant:
+    both spans bounded by 31, rows conserved."""
+    from cdc_postgresql_clickhouse_spark.queries.zorder import layout_hilbert_clustering
+    from cdc_postgresql_clickhouse_spark.sources.registry import load_table
+
+    out = layout_hilbert_clustering(spark, sf_dir).toPandas()
+    assert (out.x_span <= 31).all() and (out.y_span <= 31).all()
+    assert out.n_rows.sum() == load_table(spark, sf_dir, "lineitem").count()
