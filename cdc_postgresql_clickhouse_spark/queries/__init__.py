@@ -31,6 +31,7 @@ from cdc_postgresql_clickhouse_spark.queries import (
     graph,
     manifest,
     multimodal,
+    pca,
     quality,
     search,
     semantic,
@@ -53,7 +54,7 @@ from cdc_postgresql_clickhouse_spark.queries import (
 _MODULES = (
     cdc, streaming_queries, winnow, chunking, semantic, text_ext, extras,
     spans, manifest, sketches, zorder, bpe, tokenizer, graph, search, dsir,
-    dedup, similarity, cluster, multimodal, text, quality, training, corpus,
+    dedup, similarity, pca, cluster, multimodal, text, quality, training, corpus,
     skew, debezium_types, funnel, events, formats, tpch, tpch_ext, tpch_more,
 )
 
@@ -99,12 +100,12 @@ _WINDOW_FRONT = [
     "retrieval_label_knn_eval", "quality_langid_confusion",
     "corpus_split_leakage_report", "events_rolling_median",
     "tokenizer_unigram_segment", "tokenizer_unigram_token_count",
-    "layout_hilbert_clustering",
+    "layout_hilbert_clustering", "embedding_pca_topcomponent",
     # rule 3: refill with the oldest proofs — last checked r2 (19 of 43;
     # pivot/rollup/sliding/fingerprint/full-outer/tumbling variants deferred
     # to r6, their machinery is covered by the cube/sessionize/asof rows
     # kept here)
-    "q1_pricing_summary", "q2_min_cost_supplier",
+    "q1_pricing_summary",
 ]
 
 
