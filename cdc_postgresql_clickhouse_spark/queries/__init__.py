@@ -101,11 +101,11 @@ _WINDOW_FRONT = [
     "corpus_split_leakage_report", "events_rolling_median",
     "tokenizer_unigram_segment", "tokenizer_unigram_token_count",
     "layout_hilbert_clustering", "embedding_pca_topcomponent",
+    "streaming_scd2_equiv",
     # rule 3: refill with the oldest proofs — last checked r2 (19 of 43;
     # pivot/rollup/sliding/fingerprint/full-outer/tumbling variants deferred
     # to r6, their machinery is covered by the cube/sessionize/asof rows
     # kept here)
-    "q1_pricing_summary",
 ]
 
 

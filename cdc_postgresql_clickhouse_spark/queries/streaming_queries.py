@@ -747,3 +747,53 @@ QUERIES["streaming_topk_equiv"] = streaming_topk_equiv
 from cdc_postgresql_clickhouse_spark.queries.funnel import ORACLE as _FUNNEL_ORACLE  # noqa: E402
 
 ORACLE["streaming_topk_equiv"] = _FUNNEL_ORACLE["grouped_topk_event_values"]
+
+
+def streaming_scd2_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained SCD2 history: ``events`` split into
+    micro-batches by EVENT parity — so every user's timeline spans batches
+    and batch 2 delivers changes that land in the MIDDLE of chains built by
+    batch 1 (the out-of-order splice an append-only SCD2 sink gets wrong).
+    After the drain the state table must equal the batch
+    ``cdc_scd2_history`` row-for-row: the oracle IS the batch SQL."""
+    import os
+    import shutil
+    import tempfile
+
+    from cdc_postgresql_clickhouse_spark.streaming.scd2 import (
+        read_scd2,
+        run_incremental_scd2,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("es"),
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_scd2_")
+    try:
+        src = os.path.join(tmp, "src")
+        ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(src)
+        ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+        run_incremental_scd2(
+            spark, src, os.path.join(tmp, "state"), os.path.join(tmp, "ckpt"),
+            max_files_per_trigger=1,
+        )
+        st = read_scd2(spark, os.path.join(tmp, "state"))
+        return _materialized(
+            st.select(
+                "user_id", "event_id", "event_type", "value",
+                "valid_from_es", "valid_to_es", "is_current",
+            )
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+QUERIES["streaming_scd2_equiv"] = streaming_scd2_equiv
+
+from cdc_postgresql_clickhouse_spark.queries.cdc import ORACLE as _CDC_ORACLE  # noqa: E402
+
+ORACLE["streaming_scd2_equiv"] = _CDC_ORACLE["cdc_scd2_history"]
