@@ -125,6 +125,25 @@ HEADLINE = [
     "source_jsonl_roundtrip_agg",
     "source_csv_roundtrip_agg",
     "retrieval_known_item_eval",
+    # round-6 additions (streaming_scd2_equiv excluded with the other
+    # streaming rows: micro-batch staging I/O dominates)
+    "graph_degree_profile",
+    "events_histogram_equi",
+    "events_winsorized_stats",
+    "source_orc_roundtrip_agg",
+    "corpus_length_pareto",
+    "text_readability",
+    "text_bigram_logprob",
+    "corpus_vocab_growth",
+    "events_top_paths",
+    "retrieval_label_knn_eval",
+    "quality_langid_confusion",
+    "corpus_split_leakage_report",
+    "events_rolling_median",
+    "tokenizer_unigram_segment",
+    "tokenizer_unigram_token_count",
+    "layout_hilbert_clustering",
+    "embedding_pca_topcomponent",
 ]
 
 
