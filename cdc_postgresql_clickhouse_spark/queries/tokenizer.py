@@ -56,12 +56,18 @@ def _ilog2(x: int) -> int:
 
 
 def _word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus word table, PERSISTED: the one corpus-proportional pass —
+    model training, segmentation, and the fertility join all re-read this
+    vocabulary-sized barrier instead of re-exploding the corpus."""
+    from pyspark import StorageLevel
+
     docs = load_table(spark, sf_dir, "documents")
     return (
         docs.select(F.explode(tokens(F.col("text"))).alias("w0"))
         .select(F.substring("w0", 1, MAXW).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
 
@@ -69,7 +75,10 @@ def unigram_model(spark: SparkSession, sf_dir: str) -> tuple[list[tuple[str, int
     """Train the piece model: [(gram, score)] sorted by (weight desc, gram),
     plus the OOV score. The ONLY driver-side state is this VOCAB_K-row list
     (the k-means/BPE/PQ model contract)."""
-    wf = _word_freq(spark, sf_dir)
+    return unigram_model_from_wf(_word_freq(spark, sf_dir))
+
+
+def unigram_model_from_wf(wf: DataFrame) -> tuple[list[tuple[str, int]], int]:
     gram_frames = []
     for L in range(1, MAXP + 1):
         g = wf.filter(F.length("w") >= L).select(
@@ -138,11 +147,17 @@ aggregate(
 )"""
 
 
-def _segmented_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _segmented_words(
+    spark: SparkSession, sf_dir: str, wf: DataFrame | None = None
+) -> DataFrame:
     """(w, freq, n_pieces, total_score, seg) for every distinct truncated
-    word — the shared DP result both registered queries read."""
-    vocab, oov = unigram_model(spark, sf_dir)
-    wf = _word_freq(spark, sf_dir).withColumn("vm", F.expr(_vmap_sql(vocab)))
+    word — the shared DP result both registered queries read. Passing a
+    pre-built (persisted) word table keeps the whole query at ONE corpus
+    pass."""
+    if wf is None:
+        wf = _word_freq(spark, sf_dir)
+    vocab, oov = unigram_model_from_wf(wf)
+    wf = wf.withColumn("vm", F.expr(_vmap_sql(vocab)))
     # the fold appends one best-struct per position; the finish lambda
     # un-negates the score of the full-word entry
     dp = wf.withColumn("r", F.expr(_viterbi_expr(oov)))
@@ -164,14 +179,22 @@ def tokenizer_unigram_token_count(spark: SparkSession, sf_dir: str) -> DataFrame
     unigram pieces (fertility = pieces per token, integer PPM). The DP runs
     once on the word table; the per-source word frequencies join to it
     keyed on the word."""
+    from pyspark import StorageLevel
+
     docs = load_table(spark, sf_dir, "documents")
     sw = (
         docs.select("source", F.explode(tokens(F.col("text"))).alias("w0"))
         .select("source", F.substring("w0", 1, MAXW).alias("word"))
         .groupBy("source", "word")
         .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    seg = _segmented_words(spark, sf_dir).select("word", "n_pieces")
+    # the corpus word table is a re-aggregation of the per-source one: the
+    # corpus is exploded exactly once for this whole query
+    wf = sw.groupBy(F.col("word").alias("w")).agg(
+        F.sum("freq").cast("long").alias("freq")
+    )
+    seg = _segmented_words(spark, sf_dir, wf=wf).select("word", "n_pieces")
     j = sw.join(seg, "word")
     per = j.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_distinct_words"),
