@@ -30,6 +30,14 @@ CHECK = [
     "graph_triangle_types",
     "dedup_soft_weights",
     "multimodal_phash_neardup",
+    # round-6 additions that lean hardest on order-independent integer
+    # devices (trunc-div power iteration, integer-log2 Viterbi model,
+    # rank-arithmetic fences, first-admitting-checkpoint mapping)
+    "embedding_pca_topcomponent",
+    "tokenizer_unigram_segment",
+    "events_winsorized_stats",
+    "corpus_vocab_growth",
+    "layout_hilbert_clustering",
 ]
 
 
