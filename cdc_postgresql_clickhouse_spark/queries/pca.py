@@ -18,13 +18,15 @@ Integer-exact cross-engine discipline (no float sums anywhere):
   2.6·10¹⁴), down-shifted by 2²⁰ and renormalized to ±10⁶ by truncating
   division against max|w| — deterministic rescaling, no sqrt, no norm.
 
-Scale shape: the ONLY corpus-proportional stage is the covariance build
-(an i-keyed self-join exploding dim² products per row — the canonical
-X·Xᵀ partial-aggregation plan, combiner-friendly on (j,k)). Everything
-after runs on the 64²-cell matrix; per-round driver state is the 64-entry
-vector (the k-means/BPE model contract). The oracle unrolls PCA_ITERS
-rounds as CTEs with max|w| cross-joined as a scalar, exactly the PageRank
-oracle device.
+Scale shape: the ONLY corpus-proportional stage is the covariance build,
+and it shuffles NO corpus data at all — outer products are built row-side
+(nested transforms over the materialized centered array, flat long array
+positions encoding (j,k)) and flow straight into the dim²-group partial
+aggregation, so the only shuffle is 64² partials per task. The dim²-cell
+matrix and the 64-entry iterate are MODEL-sized driver state (the k-means
+k×dim contract), so the renormalized rounds run on exact driver integers.
+The oracle unrolls PCA_ITERS rounds as CTEs with max|w| cross-joined as a
+scalar, exactly the PageRank oracle device.
 
 Reference tie-in: none (survey §2.13 extension; the reference has no
 vector surface at all).
@@ -51,59 +53,83 @@ def _tdiv_py(a: int, b: int) -> int:
     return -((-a) // b) if a < 0 else a // b
 
 
-def _centered(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, int]:
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        F.col("vec_id").alias("i"),
-        F.col("embedding").cast("array<double>").alias("e"),
-    )
-    xi = emb.select(
-        "i",
-        F.posexplode("e").alias("j", "x"),
-    ).select("i", "j", F.floor(F.col("x") * 1000 + F.lit(0.5)).cast("long").alias("x"))
-    n = xi.select("i").distinct().count()  # scalar: row count
-    mu = xi.groupBy("j").agg(F.sum("x").alias("sx")).select(
-        "j", F.expr(f"sx div {n}").cast("long").alias("mu")
-    )
-    cen = xi.join(F.broadcast(mu), "j").select(
-        "i", "j", (F.col("x") - F.col("mu")).alias("c")
-    )
-    return cen, n
-
-
 def _cov_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C'_jk = trunc(Σ_i c_ij·c_ik / n) — the 64×64 integer matrix."""
+    """C'_jk = trunc(Σ_i c_ij·c_ik / n) — the 64×64 integer matrix.
+
+    Plan: the mean is one cheap agg whose 64 values ride back as literals
+    (model-sized, the k-means contract); the outer products are then built
+    ROW-SIDE (nested index-aware transforms over the embedding array) and
+    flow straight into the (j, k) partial aggregation — one corpus scan,
+    ONE shuffle of 64² partials per task, and no i-keyed self-join (the
+    earlier draft shuffled the full (i, j, x) explosion on i: dim²·n rows
+    through a join for no information gain)."""
     from pyspark import StorageLevel
 
-    cen, n = _centered(spark, sf_dir)
-    a = cen.alias("a")
-    b = cen.select(
-        F.col("i"), F.col("j").alias("k"), F.col("c").alias("c2")
-    ).alias("b")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("e")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    xi_arr = F.transform(
+        "e", lambda x: F.floor(x * 1000 + F.lit(0.5)).cast("long")
+    )
+    n = emb.count()  # scalar: row count
+    sums = emb.select(F.posexplode(xi_arr).alias("j", "x")).groupBy("j").agg(
+        F.sum("x").alias("sx")
+    )
+    mu = {
+        int(r.j): _tdiv_py(int(r.sx), n) for r in sums.collect()
+    }  # model-sized collect: 64 means
+    mu_arr = "array(" + ", ".join(str(mu[j]) for j in range(PCA_DIM)) + ")"
+    cen_arr = F.expr(
+        f"transform({_xi_sql_expr()}, (x, j) -> x - element_at({mu_arr}, j + 1))"
+    )
+    # materialize the centered array BEFORE the nested lambda: an array
+    # expression referenced inside a lambda is re-evaluated per element
+    # (no CSE across lambda boundaries — the same pitfall as shingling).
+    # The flat product array carries (j, k) as its POSITION (pos = j·dim+k)
+    # so the hot path allocates plain longs, never structs.
+    ce = emb.select(cen_arr.alias("ce"))
+    prods = F.flatten(
+        F.transform(
+            F.col("ce"),
+            lambda cj: F.transform(F.col("ce"), lambda ck: cj * ck),
+        )
+    )
     cov = (
-        a.join(b, "i")
-        .groupBy("j", "k")
-        .agg(F.sum(F.col("c") * F.col("c2")).alias("cjk0"))
-        .select("j", "k", F.expr(f"cjk0 div {n}").cast("long").alias("cjk"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        ce.select(F.posexplode(prods).alias("pos", "p"))
+        .groupBy("pos")
+        .agg(F.sum("p").alias("cjk0"))
+        .select(
+            F.expr(f"pos div {PCA_DIM}").cast("long").alias("j"),
+            (F.col("pos") % PCA_DIM).cast("long").alias("k"),
+            F.expr(f"cjk0 div {n}").cast("long").alias("cjk"),
+        )
     )
     return cov
 
 
+def _xi_sql_expr() -> str:
+    """The milli-unit quantization as a SQL-text expression over column e
+    (shared by the centered-array expression built in _cov_scaled)."""
+    return "transform(e, x -> cast(floor(x * 1000 + 0.5) as bigint))"
+
+
 def embedding_pca_topcomponent(spark: SparkSession, sf_dir: str) -> DataFrame:
     cov = _cov_scaled(spark, sf_dir)
+    # dim² cells = MODEL-sized (the k-means k×dim contract): one collect,
+    # then the 8 renormalized matrix-vector rounds run on exact driver
+    # integers — per-round Spark jobs over a 4096-row table would pay 8×
+    # job-scheduling overhead to move model-sized data (measured: the
+    # rounds, not the covariance scan, dominated wall-clock that way).
+    C = {(int(r.j), int(r.k)): int(r.cjk) for r in cov.collect()}
     v = [(_V_SCALE if j == 0 else 0) for j in range(PCA_DIM)]
     for _ in range(PCA_ITERS):
-        vmap = "map(" + ", ".join(f"{k}, {v[k]}" for k in range(PCA_DIM)) + ")"
-        rows = (
-            cov.withColumn("vk", F.element_at(F.expr(vmap), F.col("k").cast("int")))
-            .groupBy("j")
-            .agg(F.sum(F.col("cjk") * F.col("vk")).alias("w"))
-            .collect()
-        )  # model-sized collect: 64 scalars per round (k-means contract)
-        w = {int(r.j): int(r.w) for r in rows}
-        wr = {j: _tdiv_py(w.get(j, 0), _W_SHIFT) for j in range(PCA_DIM)}
-        m = max(1, max(abs(x) for x in wr.values()))
-        v = [_tdiv_py(wr[j] * _V_SCALE, m) for j in range(PCA_DIM)]
+        w = [
+            sum(C.get((j, k), 0) * v[k] for k in range(PCA_DIM))
+            for j in range(PCA_DIM)
+        ]
+        wr = [_tdiv_py(x, _W_SHIFT) for x in w]
+        m = max(1, max(abs(x) for x in wr))
+        v = [_tdiv_py(x * _V_SCALE, m) for x in wr]
     out = spark.createDataFrame(
         [(j, v[j]) for j in range(PCA_DIM)], "dim long, v_micro long"
     )

