@@ -320,3 +320,165 @@ ORACLE = {
     "tokenizer_unigram_segment": _SQL_SEGMENT,
     "tokenizer_unigram_token_count": _SQL_TOKEN_COUNT,
 }
+
+
+# --- WordPiece tokenizer (greedy longest-match-first) — PENDING round 7 -----
+#
+# The third tokenizer family (Wu et al. 2016, the BERT tokenizer): greedy
+# longest-match segmentation against a vocabulary whose continuation
+# pieces carry the ## mark — unlike unigram's global-optimum Viterbi, the
+# production WordPiece INFERENCE algorithm is a deterministic greedy scan,
+# which makes the oracle a chain of tick CTEs with no argmin window at
+# all. Vocab derivation mirrors the unigram model's (top VOCAB_K grams by
+# positional weight) but counts word-START grams and CONTINUATION grams
+# as separate families, the way WordPiece's ## namespace does. Unknown
+# single chars fall back to themselves (the byte-fallback convention;
+# classic WordPiece would emit [UNK] for the whole word — documented
+# deviation, keeps token counts total).
+#
+# Registered next round (the rule-2 window is full this round); until
+# then tests/test_pending_parity.py holds it to the same oracle contract.
+
+
+def wordpiece_model(
+    spark: SparkSession, sf_dir: str, wf: DataFrame | None = None
+) -> list[tuple[str, int]]:
+    """[(piece, weight)] — pieces are grams or ##grams; top VOCAB_K overall
+    by (weight DESC, piece ASC). Model-sized driver state."""
+    if wf is None:
+        wf = _word_freq(spark, sf_dir)
+    frames = []
+    for L in range(1, MAXP + 1):
+        g = wf.filter(F.length("w") >= L).select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("w") - L + 1),
+                    lambda i: F.when(i == 1, F.col("w").substr(i, F.lit(L))).otherwise(
+                        F.concat(F.lit("##"), F.col("w").substr(i, F.lit(L)))
+                    ),
+                )
+            ).alias("piece"),
+            "freq",
+        )
+        frames.append(g)
+    grams = frames[0]
+    for g in frames[1:]:
+        grams = grams.unionByName(g)
+    weighted = grams.groupBy("piece").agg(F.sum("freq").cast("long").alias("weight"))
+    top = weighted.orderBy(F.desc("weight"), F.asc("piece")).limit(VOCAB_K).collect()
+    return [(r.piece, int(r.weight)) for r in top]
+
+
+def _wp_greedy_expr(vocab: list[tuple[str, int]]) -> str:
+    """Greedy longest-match fold: n ticks, each consuming the longest
+    matching piece at the cursor (## family when cursor > 1), single-char
+    fallback. acc = (pos, np, seg); a tick with pos > length(w) is a
+    no-op, so n ticks always complete the word."""
+    # branch for trying length L at the cursor: returns piece string or null
+    def try_l(L: int) -> str:
+        raw = f"substr(w, acc.pos, {L})"
+        key = f"if(acc.pos = 1, {raw}, concat('##', {raw}))"
+        return f"if(acc.pos + {L} - 1 <= length(w) and element_at(vm, {key}) is not null, {raw}, null)"
+
+    pick = f"coalesce({', '.join(try_l(L) for L in range(MAXP, 0, -1))}, substr(w, acc.pos, 1))"
+    return f"""
+aggregate(
+  sequence(1, length(w)),
+  named_struct('pos', 1, 'np', 0, 'seg', ''),
+  (acc, t) -> if(acc.pos > length(w), acc,
+    named_struct(
+      'pos', acc.pos + length({pick}),
+      'np', acc.np + 1,
+      'seg', if(acc.seg = '', if(acc.pos = 1, {pick}, concat('##', {pick})),
+                concat(acc.seg, ' ', if(acc.pos = 1, {pick}, concat('##', {pick}))))
+    )),
+  acc -> acc
+)"""
+
+
+def tokenizer_wordpiece_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wf = _word_freq(spark, sf_dir)
+    vocab = wordpiece_model(spark, sf_dir, wf=wf)
+    vm = "map(" + ", ".join(f"'{p}', {w}" for p, w in vocab) + ")"
+    d = wf.withColumn("vm", F.expr(vm)).withColumn(
+        "r", F.expr(_wp_greedy_expr(vocab))
+    )
+    return d.select(
+        F.col("w").alias("word"),
+        "freq",
+        F.col("r.np").cast("long").alias("n_pieces"),
+        F.col("r.seg").alias("seg"),
+    )
+
+
+def _sql_wp_model() -> str:
+    branches = " UNION ALL ".join(
+        f"""
+  SELECT CASE WHEN i = 1 THEN substr(w, CAST(i AS INT), {L})
+              ELSE '##' || substr(w, CAST(i AS INT), {L}) END AS piece, freq
+  FROM (SELECT w, freq, unnest(range(1, length(w) - {L} + 2)) AS i
+        FROM w12 WHERE length(w) >= {L})"""
+        for L in range(1, MAXP + 1)
+    )
+    return f"""
+words0 AS (
+  SELECT unnest({_SQL_TOKENS}) AS w0 FROM documents
+),
+w12 AS MATERIALIZED (
+  SELECT substr(w0, 1, {MAXW}) AS w, COUNT(*)::BIGINT AS freq
+  FROM words0 GROUP BY 1
+),
+wp_grams AS ({branches}),
+wp_vocab AS MATERIALIZED (
+  SELECT piece FROM (
+    SELECT piece, SUM(freq) AS weight,
+           row_number() OVER (ORDER BY SUM(freq) DESC, piece ASC) AS rn
+    FROM wp_grams GROUP BY piece
+  ) WHERE rn <= {VOCAB_K}
+)"""
+
+
+def _sql_wp_ticks() -> str:
+    """Greedy scan unrolled: tick CTEs g0..g{MAXW}, each advancing the
+    cursor by the longest matching piece via 4 LEFT JOIN probes."""
+    probes = "\n".join(
+        f"  LEFT JOIN wp_vocab v{L} ON g.pos + {L} - 1 <= length(g.w) AND v{L}.piece = "
+        f"(CASE WHEN g.pos = 1 THEN substr(g.w, g.pos, {L}) ELSE '##' || substr(g.w, g.pos, {L}) END)"
+        for L in range(MAXP, 0, -1)
+    )
+    pick = (
+        "COALESCE("
+        + ", ".join(
+            f"CASE WHEN v{L}.piece IS NOT NULL THEN substr(g.w, g.pos, {L}) END"
+            for L in range(MAXP, 0, -1)
+        )
+        + ", substr(g.w, g.pos, 1))"
+    )
+    ctes = [
+        "g0 AS MATERIALIZED (SELECT w, freq, 1 AS pos, 0 AS np, '' AS seg FROM w12)"
+    ]
+    for t in range(1, MAXW + 1):
+        ctes.append(f"""g{t} AS MATERIALIZED (
+  SELECT g.w, g.freq,
+         CASE WHEN g.pos > length(g.w) THEN g.pos
+              ELSE g.pos + length({pick}) END AS pos,
+         CASE WHEN g.pos > length(g.w) THEN g.np ELSE g.np + 1 END AS np,
+         CASE WHEN g.pos > length(g.w) THEN g.seg
+              WHEN g.seg = '' THEN
+                (CASE WHEN g.pos = 1 THEN {pick} ELSE '##' || {pick} END)
+              ELSE g.seg || ' ' ||
+                (CASE WHEN g.pos = 1 THEN {pick} ELSE '##' || {pick} END) END AS seg
+  FROM g{t - 1} g
+{probes}
+)""")
+    return ",\n".join(ctes)
+
+
+_SQL_WORDPIECE = f"""WITH {_sql_wp_model()},
+{_sql_wp_ticks()}
+SELECT w AS word, freq, CAST(np AS BIGINT) AS n_pieces, seg
+FROM g{MAXW}
+"""
+
+PENDING_QUERIES = {"tokenizer_wordpiece_segment": tokenizer_wordpiece_segment}
+PENDING_ORACLE = {"tokenizer_wordpiece_segment": _SQL_WORDPIECE}

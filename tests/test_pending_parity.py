@@ -1,0 +1,84 @@
+"""Round-7 PENDING operators: built, oracle-paired, and held to the SAME
+value-hash contract as registered queries — only their registration waits
+for driver-window slots to free up (rule 2 caps never-checked rows at the
+50-query window, which round 6 filled). This harness keeps them
+continuously verified until the flip."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.oracle_harness import compare, duckdb_con
+
+
+def _pending():
+    from cdc_postgresql_clickhouse_spark.queries import tokenizer
+
+    out = {}
+    for m in (tokenizer,):
+        q = getattr(m, "PENDING_QUERIES", {})
+        o = getattr(m, "PENDING_ORACLE", {})
+        assert set(q) == set(o), "pending query without oracle twin"
+        for n in q:
+            out[n] = (q[n], o[n])
+    return out
+
+
+@pytest.mark.parametrize("name", sorted(_pending()))
+def test_pending_oracle_parity(spark, sf_dir, name):
+    fn, sql = _pending()[name]
+    con = duckdb_con(sf_dir)
+    issues = [i for i in compare(fn(spark, sf_dir), con, sql, name) if "[WARN]" not in i]
+    assert not issues, issues
+
+
+def test_wordpiece_matches_python_reference(spark, sf_dir):
+    """The greedy fold + its vocab derivation equal a pure-Python
+    longest-match reference on every corpus word, and pieces rejoin to the
+    word after stripping the ## marks."""
+    from cdc_postgresql_clickhouse_spark.queries.tokenizer import (
+        MAXP,
+        VOCAB_K,
+        tokenizer_wordpiece_segment,
+        wordpiece_model,
+    )
+    from tests.test_tokenizer import _word_freq_py
+
+    wf = _word_freq_py(spark, sf_dir)
+    from collections import Counter
+
+    wt: Counter = Counter()
+    for w, f in wf.items():
+        for L in range(1, MAXP + 1):
+            for i in range(len(w) - L + 1):
+                p = w[i : i + L] if i == 0 else "##" + w[i : i + L]
+                wt[p] += f
+    top = sorted(wt.items(), key=lambda kv: (-kv[1], kv[0]))[:VOCAB_K]
+    assert wordpiece_model(spark, sf_dir) == top
+    vocab = {p for p, _ in top}
+
+    def ref(w: str):
+        pos, np_, seg = 0, 0, []
+        while pos < len(w):
+            for L in range(MAXP, 0, -1):
+                if pos + L <= len(w):
+                    key = w[pos : pos + L] if pos == 0 else "##" + w[pos : pos + L]
+                    if key in vocab:
+                        seg.append(key)
+                        pos += L
+                        break
+            else:
+                seg.append(w[pos] if pos == 0 else "##" + w[pos])
+                pos += 1
+            np_ += 1
+        return np_, " ".join(seg)
+
+    got = {
+        r.word: (r.freq, r.n_pieces, r.seg)
+        for r in tokenizer_wordpiece_segment(spark, sf_dir).collect()
+    }
+    assert set(got) == set(wf)
+    for w, f in wf.items():
+        np_, seg = ref(w)
+        assert got[w] == (f, np_, seg), (w, got[w], (f, np_, seg))
+        assert seg.replace(" ", "").replace("##", "") == w
