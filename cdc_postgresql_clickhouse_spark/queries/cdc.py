@@ -446,3 +446,96 @@ SELECT CAST(user_id AS VARCHAR) AS booking_id,
        CAST(event_id AS BIGINT) AS version
 FROM latest WHERE rn = 1
 """
+
+
+# --- primary-key change semantics — PENDING round 7 -------------------------
+#
+# Debezium encodes a PK UPDATE as TWO events: a delete under the OLD key
+# and a create under the NEW key (the single-event update cannot move a
+# row across key space — public Debezium semantics, the __debezium.newkey
+# headers). This row proves the state layer handles the pair correctly:
+# a deterministic PK-migration workload is synthesized from the fixture
+# identically on both engines (the PII/version-diff synthesis convention)
+# — every user with user_id % 10 == 3 gets a tombstone at old key and a
+# create at user_id + PK_OFFSET carrying their last value, both versioned
+# AFTER everything the user has — and the registered arg-max + tombstone
+# machinery must land the row at the new key and erase the old one.
+
+PK_OFFSET = 10_000_000
+_PK_DEL_EID = 1_000_000_000
+_PK_CRT_EID = 1_000_000_001
+
+
+def cdc_pk_change_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    wlast = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("event_id", "event_type", "value", "ts"),
+                F.struct("ts", "event_id"),
+            ).alias("__r")
+        )
+        .select("user_id", "__r.*")
+    )
+    migr = wlast.filter(F.col("user_id") % 10 == 3)
+    dels = migr.select(
+        "user_id",
+        (F.col("event_id") + _PK_DEL_EID).alias("event_id"),
+        (F.col("ts") + F.expr("INTERVAL 1 SECOND")).alias("ts"),
+        F.lit("error").alias("event_type"),
+        "value",
+    )
+    crts = migr.select(
+        (F.col("user_id") + PK_OFFSET).alias("user_id"),
+        (F.col("event_id") + _PK_CRT_EID).alias("event_id"),
+        (F.col("ts") + F.expr("INTERVAL 2 SECOND")).alias("ts"),
+        F.lit("pk_moved").alias("event_type"),
+        "value",
+    )
+    full = ev.unionByName(dels).unionByName(crts)
+    return (
+        _latest(full)
+        .filter(F.col("event_type") != "error")
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_event_type"),
+            F.col("value").alias("last_value"),
+        )
+    )
+
+
+_SQL_PK_CHANGE = f"""
+WITH ev AS (SELECT user_id, event_id, ts, event_type, value FROM events),
+wlast AS (
+  SELECT user_id, event_id, event_type, value, ts
+  FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM ev) WHERE rn = 1
+),
+migr AS (SELECT * FROM wlast WHERE user_id % 10 = 3),
+dels AS (
+  SELECT user_id, event_id + {_PK_DEL_EID} AS event_id,
+         ts + INTERVAL 1 SECOND AS ts, 'error' AS event_type, value
+  FROM migr
+),
+crts AS (
+  SELECT user_id + {PK_OFFSET} AS user_id, event_id + {_PK_CRT_EID} AS event_id,
+         ts + INTERVAL 2 SECOND AS ts, 'pk_moved' AS event_type, value
+  FROM migr
+),
+allrows AS (
+  SELECT * FROM ev UNION ALL SELECT * FROM dels UNION ALL SELECT * FROM crts
+),
+state AS (
+  SELECT user_id, event_type, value
+  FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM allrows) WHERE rn = 1
+)
+SELECT user_id, event_type AS last_event_type, value AS last_value
+FROM state WHERE event_type <> 'error'
+"""
+
+PENDING_QUERIES = {"cdc_pk_change_state": cdc_pk_change_state}
+PENDING_ORACLE = {"cdc_pk_change_state": _SQL_PK_CHANGE}

@@ -12,10 +12,10 @@ from tests.oracle_harness import compare, duckdb_con
 
 
 def _pending():
-    from cdc_postgresql_clickhouse_spark.queries import tokenizer
+    from cdc_postgresql_clickhouse_spark.queries import cdc, tokenizer
 
     out = {}
-    for m in (tokenizer,):
+    for m in (tokenizer, cdc):
         q = getattr(m, "PENDING_QUERIES", {})
         o = getattr(m, "PENDING_ORACLE", {})
         assert set(q) == set(o), "pending query without oracle twin"
@@ -82,3 +82,28 @@ def test_wordpiece_matches_python_reference(spark, sf_dir):
         np_, seg = ref(w)
         assert got[w] == (f, np_, seg), (w, got[w], (f, np_, seg))
         assert seg.replace(" ", "").replace("##", "") == w
+
+
+def test_pk_change_moves_rows_across_keyspace(spark, sf_dir):
+    """For every migrated user (uid % 10 == 3): the OLD key is gone from
+    the final state (its last event is the tombstone) and the NEW key
+    (uid + PK_OFFSET) is present with the carried value; non-migrated
+    users are untouched relative to the plain current-state view."""
+    from cdc_postgresql_clickhouse_spark.queries.cdc import (
+        PK_OFFSET,
+        cdc_current_state,
+        cdc_pk_change_state,
+    )
+
+    st = cdc_pk_change_state(spark, sf_dir).toPandas().set_index("user_id")
+    base = cdc_current_state(spark, sf_dir).toPandas().set_index("user_id")
+    migrated = [u for u in base.index if u % 10 == 3]
+    assert migrated, "fixture has no migrated users"
+    for u in migrated:
+        assert u not in st.index, f"old key {u} survived the tombstone"
+        assert u + PK_OFFSET in st.index, f"new key missing for {u}"
+        assert st.loc[u + PK_OFFSET, "last_value"] == base.loc[u, "last_value"]
+        assert st.loc[u + PK_OFFSET, "last_event_type"] == "pk_moved"
+    untouched = [u for u in base.index if u % 10 != 3 and base.loc[u, "last_event_type"] != "error"]
+    for u in untouched[:50]:
+        assert st.loc[u, "last_value"] == base.loc[u, "last_value"]
