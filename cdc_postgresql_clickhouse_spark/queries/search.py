@@ -425,3 +425,66 @@ FROM rel
 
 QUERIES["retrieval_known_item_eval"] = retrieval_known_item_eval
 ORACLE["retrieval_known_item_eval"] = _SQL_KIE
+
+
+# --- nDCG known-item evaluation — PENDING round 7 ---------------------------
+#
+# The graded-discount twin of the reciprocal-rank report: nDCG@10 under
+# the known-item protocol (Järvelin & Kekäläinen 2002). With exactly one
+# relevant item per query the ideal DCG is the rank-1 gain, so per-query
+# nDCG reduces to gain(rank)/gain(1) — and the gains 1/log2(r+1) ship as
+# a SHARED literal table floor(1e6/log2(r+1)) computed once in Python and
+# embedded verbatim in both engines, so no runtime float log exists on
+# either side.
+
+import math as _math
+
+NDCG_GAINS = {r: int(_math.floor(1_000_000 / _math.log2(r + 1))) for r in range(1, BM25_TOPK + 1)}
+
+
+def retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    q = (
+        docs.filter(F.col("doc_id") % KIE_MOD == 0)
+        .select(
+            F.col("doc_id").cast("string").alias("query"),
+            F.explode(
+                F.array_distinct(F.slice(tokens(F.col("text")), 1, KIE_QTOKENS))
+            ).alias("term"),
+        )
+    )
+    ranked = bm25_rank(build_postings(docs), docs.count(), q=q)
+    rel = ranked.filter(F.col("doc_id") == F.col("query").cast("long"))
+    gain = F.create_map(
+        *[F.lit(x) for kv in NDCG_GAINS.items() for x in kv]
+    )
+    n_queries = q.select("query").distinct().count()
+    agg = rel.agg(
+        F.count(F.lit(1)).cast("long").alias("hits_at_topk"),
+        F.coalesce(F.sum(F.element_at(gain, F.col("rank").cast("int"))), F.lit(0))
+        .cast("long")
+        .alias("ndcg_sum_ppm"),
+    )
+    return agg.select(
+        F.lit(n_queries).cast("long").alias("n_queries"),
+        "hits_at_topk",
+        "ndcg_sum_ppm",
+    )
+
+
+def _sql_ndcg() -> str:
+    gains = " ".join(f"WHEN {r} THEN {g}" for r, g in NDCG_GAINS.items())
+    base = ORACLE["retrieval_known_item_eval"]
+    head, _, _tail = base.rpartition("SELECT (SELECT COUNT(DISTINCT query) FROM q)")
+    return (
+        head
+        + f"""SELECT (SELECT COUNT(DISTINCT query) FROM q) AS n_queries,
+       CAST(COUNT(*) AS BIGINT) AS hits_at_topk,
+       CAST(COALESCE(SUM(CASE rank {gains} END), 0) AS BIGINT) AS ndcg_sum_ppm
+FROM rel
+"""
+    )
+
+
+PENDING_QUERIES = {"retrieval_ndcg_eval": retrieval_ndcg_eval}
+PENDING_ORACLE = {"retrieval_ndcg_eval": _sql_ndcg()}

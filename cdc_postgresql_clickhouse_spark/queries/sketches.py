@@ -964,3 +964,96 @@ FROM sqs s JOIN eqs e USING (event_type)
 
 QUERIES["sketch_quantile_error_report"] = sketch_quantile_error_report
 ORACLE["sketch_quantile_error_report"] = _SQL_QSK_ERR
+
+
+# --- CUSUM change detection — PENDING round 7 -------------------------------
+#
+# One-sided CUSUM over each type's value stream (Page 1954): alarms when
+# the cumulative positive drift above the baseline exceeds a threshold.
+# The recurrence S_t = max(0, S_{t-1} + (c_t − target)) is NOT a fold
+# here — it collapses to the DRAWDOWN IDENTITY S_t = P_t − min_{s≤t} P_s
+# over the prefix sums P, so both engines compute it with two plain
+# windows (running sum + running min): no recursion, no state, exact
+# integers end to end. Baseline = integer mean cents; threshold = 3× the
+# integer mean absolute deviation (both truncating divisions).
+
+
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("es"),
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
+    )
+    s1 = ev.groupBy("event_type").agg(
+        F.sum("c").alias("sc"), F.count(F.lit(1)).cast("long").alias("n")
+    ).select("event_type", "n", F.expr("sc div n").cast("long").alias("target"))
+    d = ev.join(F.broadcast(s1), "event_type")
+    s2 = d.groupBy("event_type").agg(
+        F.sum(F.abs(F.col("c") - F.col("target"))).alias("sad"),
+        F.max("n").alias("n2"),
+    ).select(
+        "event_type", (F.expr("sad div n2") * 3).cast("long").alias("h")
+    )
+    d2 = d.join(F.broadcast(s2), "event_type")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("es", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    p = F.sum(F.col("c") - F.col("target")).over(w)
+    # the running min must include the EMPTY prefix (P_0 = 0): S resets
+    # to zero at the stream head, so the subtrahend is min(0, min P_s)
+    scored = d2.withColumn("p", p).withColumn(
+        "s", F.col("p") - F.least(F.lit(0).cast("long"), F.min("p").over(w))
+    )
+    return scored.groupBy("event_type").agg(
+        F.max("n").alias("n_events"),
+        F.max("target").alias("target_cents"),
+        F.max("h").alias("h_cents"),
+        F.sum(F.when(F.col("s") > F.col("h"), 1).otherwise(0)).cast("long").alias(
+            "n_alarms"
+        ),
+        F.max("s").cast("long").alias("max_s_cents"),
+    )
+
+
+_SQL_CUSUM = """
+WITH ev AS (
+  SELECT event_type, CAST(FLOOR(epoch(ts)) AS BIGINT) AS es, event_id,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events
+),
+s1 AS (
+  SELECT event_type, COUNT(*) AS n, SUM(c) // COUNT(*) AS target
+  FROM ev GROUP BY event_type
+),
+d AS (SELECT e.*, s.n, s.target FROM ev e JOIN s1 s USING (event_type)),
+s2 AS (
+  SELECT event_type, (SUM(ABS(c - target)) // MAX(n)) * 3 AS h
+  FROM d GROUP BY event_type
+),
+pref AS (
+  SELECT d.event_type, d.es, d.event_id, d.n, d.target, s2.h,
+         SUM(d.c - d.target) OVER (
+           PARTITION BY d.event_type ORDER BY d.es, d.event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+  FROM d JOIN s2 USING (event_type)
+),
+scored AS (
+  SELECT event_type, n, target, h,
+         p - LEAST(0, MIN(p) OVER (
+           PARTITION BY event_type ORDER BY es, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s
+  FROM pref
+)
+SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_events,
+       CAST(MAX(target) AS BIGINT) AS target_cents,
+       CAST(MAX(h) AS BIGINT) AS h_cents,
+       CAST(SUM(CASE WHEN s > h THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms,
+       CAST(MAX(s) AS BIGINT) AS max_s_cents
+FROM scored GROUP BY event_type
+"""
+
+PENDING_QUERIES = {"events_cusum_changepoint": events_cusum_changepoint}
+PENDING_ORACLE = {"events_cusum_changepoint": _SQL_CUSUM}

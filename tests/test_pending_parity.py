@@ -7,15 +7,17 @@ continuously verified until the flip."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
+from cdc_postgresql_clickhouse_spark.sources.registry import load_table
 from tests.oracle_harness import compare, duckdb_con
 
 
 def _pending():
-    from cdc_postgresql_clickhouse_spark.queries import cdc, tokenizer
+    from cdc_postgresql_clickhouse_spark.queries import cdc, search, sketches, tokenizer
 
     out = {}
-    for m in (tokenizer, cdc):
+    for m in (tokenizer, cdc, search, sketches):
         q = getattr(m, "PENDING_QUERIES", {})
         o = getattr(m, "PENDING_ORACLE", {})
         assert set(q) == set(o), "pending query without oracle twin"
@@ -107,3 +109,44 @@ def test_pk_change_moves_rows_across_keyspace(spark, sf_dir):
     untouched = [u for u in base.index if u % 10 != 3 and base.loc[u, "last_event_type"] != "error"]
     for u in untouched[:50]:
         assert st.loc[u, "last_value"] == base.loc[u, "last_value"]
+
+
+def test_cusum_drawdown_identity_matches_recurrence(spark, sf_dir):
+    """The window formulation must equal the textbook recurrence
+    S_t = max(0, S_{t-1} + (c_t - target)) replayed in Python per type —
+    alarms counted identically, max S identical."""
+    from cdc_postgresql_clickhouse_spark.queries.sketches import events_cusum_changepoint
+
+    out = {
+        r.event_type: r for r in events_cusum_changepoint(spark, sf_dir).collect()
+    }
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.floor(F.unix_timestamp("ts")).cast("long").alias("es"),
+            "event_id",
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
+        )
+        .collect()
+    )
+    from collections import defaultdict
+
+    streams = defaultdict(list)
+    for r in ev:
+        streams[r.event_type].append((r.es, r.event_id, r.c))
+    for t, rows in streams.items():
+        rows.sort()
+        cs = [c for _, _, c in rows]
+        n = len(cs)
+        target = sum(cs) // n  # sums are non-negative -> // == trunc
+        h = (sum(abs(c - target) for c in cs) // n) * 3
+        s_val, alarms, mx = 0, 0, 0
+        for c in cs:
+            s_val = max(0, s_val + (c - target))
+            mx = max(mx, s_val)
+            if s_val > h:
+                alarms += 1
+        got = out[t]
+        assert (got.target_cents, got.h_cents) == (target, h)
+        assert (got.n_alarms, got.max_s_cents) == (alarms, mx), t
