@@ -562,3 +562,110 @@ FROM outd o FULL OUTER JOIN ind i ON o.event_type = i.event_type
 
 QUERIES["graph_degree_profile"] = graph_degree_profile
 ORACLE["graph_degree_profile"] = _SQL_DEGREE
+
+
+# --- community modularity report — PENDING round 7 --------------------------
+#
+# The eval row for the community family (Newman & Girvan 2004): per LPA
+# community, Q_c = in_c/m − (deg_c/2m)² over the weighted undirected
+# transition graph, as integer PPM via cross-multiplied truncating
+# divisions — composes the registered label-propagation operator verbatim
+# (the oracle nests its full unrolled SQL as a CTE, the recall-report
+# device), so the score judges exactly the communities the driver row
+# ships. Output is community-count bounded at any graph size.
+
+
+def graph_modularity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "event_type", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.lag("event_type").over(w).alias("src"), F.col("event_type").alias("dst")
+    ).filter(F.col("src").isNotNull() & (F.col("src") != F.col("dst")))
+    und = pairs.groupBy(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).agg(F.count(F.lit(1)).alias("w"))
+    nbrs = und.select(F.col("a").alias("t"), F.col("b").alias("nb"), "w").unionByName(
+        und.select(F.col("b").alias("t"), F.col("a").alias("nb"), "w")
+    )
+    labels = lpa_labels(nbrs)  # (t, lbl) — the registered operator's engine
+    w2 = und.agg((F.sum("w") * 2).cast("long")).first()[0]  # scalar: 2m
+    deg = nbrs.groupBy("t").agg(F.sum("w").cast("long").alias("deg"))
+    lab_a = labels.select(F.col("t").alias("a"), F.col("lbl").alias("la"))
+    lab_b = labels.select(F.col("t").alias("b"), F.col("lbl").alias("lb"))
+    internal = (
+        und.join(F.broadcast(lab_a), "a")
+        .join(F.broadcast(lab_b), "b")
+        .filter(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("community"))
+        .agg(F.sum("w").cast("long").alias("internal_weight"))
+    )
+    per = (
+        labels.join(deg, "t")
+        .groupBy(F.col("lbl").alias("community"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum("deg").cast("long").alias("total_degree"),
+        )
+        .join(internal, "community", "left")
+        .select(
+            "community",
+            "n_nodes",
+            F.coalesce("internal_weight", F.lit(0)).cast("long").alias("internal_weight"),
+            "total_degree",
+        )
+    )
+    return per.select(
+        "community",
+        "n_nodes",
+        "internal_weight",
+        "total_degree",
+        (
+            F.expr(f"(2 * internal_weight * 1000000) div {w2}")
+            - F.expr(f"(total_degree * total_degree * 1000000) div {w2 * w2}")
+        ).cast("long").alias("q_contrib_ppm"),
+    )
+
+
+def _sql_modularity() -> str:
+    return f"""
+WITH lab AS ({ORACLE["graph_label_propagation"]}),
+seq AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
+         event_type AS dst
+  FROM events
+),
+und AS (
+  SELECT least(src, dst) AS a, greatest(src, dst) AS b, COUNT(*) AS w
+  FROM seq WHERE src IS NOT NULL AND src <> dst
+  GROUP BY least(src, dst), greatest(src, dst)
+),
+nbrs AS (
+  SELECT a AS t, b AS nb, w FROM und UNION ALL SELECT b AS t, a AS nb, w FROM und
+),
+w2v AS (SELECT SUM(w) * 2 AS w2 FROM und),
+deg AS (SELECT t, SUM(w) AS deg FROM nbrs GROUP BY t),
+internal AS (
+  SELECT la.community AS community, SUM(u.w) AS internal_weight
+  FROM und u
+  JOIN lab la ON la.event_type = u.a
+  JOIN lab lb ON lb.event_type = u.b
+  WHERE la.community = lb.community
+  GROUP BY la.community
+),
+per AS (
+  SELECT l.community, COUNT(*) AS n_nodes, SUM(d.deg) AS total_degree
+  FROM lab l JOIN deg d ON d.t = l.event_type
+  GROUP BY l.community
+)
+SELECT p.community, CAST(p.n_nodes AS BIGINT) AS n_nodes,
+       CAST(COALESCE(i.internal_weight, 0) AS BIGINT) AS internal_weight,
+       CAST(p.total_degree AS BIGINT) AS total_degree,
+       CAST((2 * COALESCE(i.internal_weight, 0) * 1000000) // w.w2
+            - (p.total_degree * p.total_degree * 1000000) // (w.w2 * w.w2)
+            AS BIGINT) AS q_contrib_ppm
+FROM per p LEFT JOIN internal i USING (community) CROSS JOIN w2v w
+"""
+
+
+PENDING_QUERIES = {"graph_modularity_report": graph_modularity_report}
+PENDING_ORACLE = {"graph_modularity_report": _sql_modularity()}

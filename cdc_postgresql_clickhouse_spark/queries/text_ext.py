@@ -673,3 +673,69 @@ GROUP BY 1, 2, 3
 
 
 ORACLE["quality_langid_confusion"] = _langid_confusion_sql()
+
+
+# --- character-distribution entropy — PENDING round 7 -----------------------
+#
+# Per-document Shannon entropy of the character distribution (Shannon
+# 1948) — the degenerate-content detector that catches what word-level
+# stats miss (base64 blobs score HIGH, single-char runs LOW; both evade
+# length/stopword rules). Uses the registry's established micro-floor
+# device: each (doc, char)'s -log2 p is floored ONCE to integer
+# micro-bits on identical doubles, the per-doc combine is an exact
+# integer sum, and the per-char average is one integer division. One
+# explode + two keyed aggs — the unigram-logprob plan at character grain.
+
+
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    chars = docs.select(
+        "doc_id",
+        F.explode(F.filter(F.split(F.lower("text"), ""), lambda c: c != "")).alias("ch"),
+    )
+    counts = chars.groupBy("doc_id", "ch").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    totals = counts.groupBy("doc_id").agg(F.sum("cnt").cast("long").alias("total"))
+    e_micro = F.floor(
+        F.log(F.col("total").cast("double") / F.col("cnt").cast("double"))
+        / F.lit(float(__import__("math").log(2.0)))
+        * F.lit(1000000.0)
+    ).cast("long")
+    per = (
+        counts.join(totals, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.max("total").alias("n_chars_used"),
+            F.sum(F.col("cnt") * e_micro).cast("long").alias("sum_u"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_chars_used",
+        F.expr("sum_u div n_chars_used").cast("long").alias("entropy_microbits"),
+    )
+
+
+_SQL_ENTROPY = f"""
+WITH chars AS (
+  SELECT doc_id, unnest(list_filter(str_split(lower(text), ''), c -> c <> '')) AS ch
+  FROM documents
+),
+counts AS (SELECT doc_id, ch, COUNT(*)::BIGINT AS cnt FROM chars GROUP BY doc_id, ch),
+totals AS (SELECT doc_id, SUM(cnt)::BIGINT AS total FROM counts GROUP BY doc_id),
+per AS (
+  SELECT c.doc_id, MAX(t.total) AS n_chars_used,
+         SUM(c.cnt * CAST(FLOOR(
+           ln(CAST(t.total AS DOUBLE) / CAST(c.cnt AS DOUBLE))
+           / {float(__import__("math").log(2.0))!r} * 1000000.0) AS BIGINT))::BIGINT AS sum_u
+  FROM counts c JOIN totals t ON t.doc_id = c.doc_id
+  GROUP BY c.doc_id
+)
+SELECT doc_id, n_chars_used,
+       CAST(sum_u // n_chars_used AS BIGINT) AS entropy_microbits
+FROM per
+"""
+
+PENDING_QUERIES = {"text_char_entropy": text_char_entropy}
+PENDING_ORACLE = {"text_char_entropy": _SQL_ENTROPY}

@@ -14,10 +14,10 @@ from tests.oracle_harness import compare, duckdb_con
 
 
 def _pending():
-    from cdc_postgresql_clickhouse_spark.queries import cdc, search, sketches, tokenizer
+    from cdc_postgresql_clickhouse_spark.queries import cdc, graph, search, sketches, text_ext, tokenizer
 
     out = {}
-    for m in (tokenizer, cdc, search, sketches):
+    for m in (tokenizer, cdc, search, sketches, graph, text_ext):
         q = getattr(m, "PENDING_QUERIES", {})
         o = getattr(m, "PENDING_ORACLE", {})
         assert set(q) == set(o), "pending query without oracle twin"
@@ -150,3 +150,31 @@ def test_cusum_drawdown_identity_matches_recurrence(spark, sf_dir):
         got = out[t]
         assert (got.target_cents, got.h_cents) == (target, h)
         assert (got.n_alarms, got.max_s_cents) == (alarms, mx), t
+
+
+def test_modularity_accounting_laws(spark, sf_dir):
+    """Node counts partition the graph's node set, internal weight never
+    exceeds half the community's degree mass, and total Q is in
+    (-1e6, 1e6] PPM — Newman's bounds."""
+    from cdc_postgresql_clickhouse_spark.queries.graph import graph_modularity_report
+
+    m = graph_modularity_report(spark, sf_dir).toPandas()
+    assert (2 * m.internal_weight <= m.total_degree).all()
+    q = m.q_contrib_ppm.sum()
+    assert -1_000_000 < q <= 1_000_000
+    assert (m.n_nodes >= 1).all()
+
+
+def test_char_entropy_bounds(spark, sf_dir):
+    """0 <= H <= log2(#distinct chars of the doc) micro-bits (+1 for the
+    per-term floor), and every doc appears."""
+    import math
+
+    from cdc_postgresql_clickhouse_spark.queries.text_ext import text_char_entropy
+
+    e = text_char_entropy(spark, sf_dir).toPandas()
+    assert len(e) == load_table(spark, sf_dir, "documents").count()
+    assert (e.entropy_microbits >= 0).all()
+    # crude upper bound: a text of n chars has at most n distinct chars,
+    # but also at most ~40 in this fixture's alphabet
+    assert (e.entropy_microbits <= int(math.log2(64) * 1_000_000)).all()
