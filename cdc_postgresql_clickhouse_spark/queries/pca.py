@@ -113,7 +113,9 @@ def _xi_sql_expr() -> str:
     return "transform(e, x -> cast(floor(x * 1000 + 0.5) as bigint))"
 
 
-def embedding_pca_topcomponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+def top_component(spark: SparkSession, sf_dir: str) -> list[int]:
+    """The converged iterate as driver integers — the model other
+    operators (residual removal) compose."""
     cov = _cov_scaled(spark, sf_dir)
     # dim² cells = MODEL-sized (the k-means k×dim contract): one collect,
     # then the 8 renormalized matrix-vector rounds run on exact driver
@@ -130,6 +132,11 @@ def embedding_pca_topcomponent(spark: SparkSession, sf_dir: str) -> DataFrame:
         wr = [_tdiv_py(x, _W_SHIFT) for x in w]
         m = max(1, max(abs(x) for x in wr))
         v = [_tdiv_py(x * _V_SCALE, m) for x in wr]
+    return v
+
+
+def embedding_pca_topcomponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = top_component(spark, sf_dir)
     out = spark.createDataFrame(
         [(j, v[j]) for j in range(PCA_DIM)], "dim long, v_micro long"
     )
@@ -176,3 +183,110 @@ SELECT CAST(j AS BIGINT) AS dim, CAST(v AS BIGINT) AS v_micro FROM v{PCA_ITERS}
 
 QUERIES = {"embedding_pca_topcomponent": embedding_pca_topcomponent}
 ORACLE = {"embedding_pca_topcomponent": _SQL_PCA}
+
+
+# --- common-direction removal report — PENDING round 7 ----------------------
+#
+# "All-but-the-top" (Mu & Viswanath 2018): embedding clouds concentrate
+# energy in a few common directions that drown similarity signal;
+# removing the top component is the standard post-processing. This row
+# reports, per label, how much variance the top component carries —
+# the diagnostic that decides whether removal is warranted. Exact
+# integers throughout: per-row projection p = Σ c_j·v_j is int64-safe
+# (≤ 2·10³·10⁶·64), the removed energy uses consistently DOWN-SHIFTED
+# squares ((p div 2¹⁰)² div (v·v div 2²⁰)) so nothing overflows, and the
+# share ships as integer PPM. The oracle re-derives v by nesting the
+# FULL unrolled PCA SQL as a CTE (the modularity/recall-report device) —
+# the report judges exactly the component the registered row ships.
+
+_P_SHIFT = 1 << 10
+_V2_SHIFT = 1 << 20
+
+
+def embedding_pca_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    v = top_component(spark, sf_dir)
+    v2s = max(1, _tdiv_py(sum(x * x for x in v), _V2_SHIFT))
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "label", F.col("embedding").cast("array<double>").alias("e")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    n = emb.count()
+    sums = emb.select(
+        F.posexplode(F.expr(_xi_sql_expr())).alias("j", "x")
+    ).groupBy("j").agg(F.sum("x").alias("sx"))
+    mu = {int(r.j): _tdiv_py(int(r.sx), n) for r in sums.collect()}
+    mu_arr = "array(" + ", ".join(str(mu[j]) for j in range(PCA_DIM)) + ")"
+    v_arr = "array(" + ", ".join(str(x) for x in v) + ")"
+    ce = emb.select(
+        "label",
+        F.expr(
+            f"transform({_xi_sql_expr()}, (x, j) -> x - element_at({mu_arr}, j + 1))"
+        ).alias("ce"),
+    )
+    scored = ce.select(
+        "label",
+        F.expr(
+            "aggregate(zip_with(ce, " + v_arr + ", (c, vv) -> c * vv), "
+            "cast(0 as bigint), (a, b) -> a + b)"
+        ).alias("p"),
+        F.expr(
+            "aggregate(transform(ce, c -> c * c), cast(0 as bigint), (a, b) -> a + b)"
+        ).alias("var_row"),
+    )
+    per = scored.select(
+        "label",
+        "var_row",
+        F.expr(f"((p div {_P_SHIFT}) * (p div {_P_SHIFT})) div {v2s}").alias("rem_row"),
+    ).groupBy(F.col("label").cast("long").alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.sum("var_row").cast("long").alias("var_mass"),
+        F.sum("rem_row").cast("long").alias("removed_mass"),
+    )
+    return per.select(
+        "label",
+        "n_vectors",
+        "var_mass",
+        "removed_mass",
+        F.expr("removed_mass * 1000000 div var_mass").cast("long").alias(
+            "removed_ppm"
+        ),
+    )
+
+
+_SQL_RESIDUAL = f"""
+WITH vtab AS ({_SQL_PCA}),
+v2v AS (
+  SELECT GREATEST(1, SUM(v_micro * v_micro) // {_V2_SHIFT}) AS v2s FROM vtab
+),
+xi AS (
+  SELECT vec_id AS i, label, j,
+         CAST(FLOOR(CAST(embedding[j + 1] AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS x
+  FROM (SELECT vec_id, label, embedding, unnest(range(0, {PCA_DIM})) AS j FROM embeddings)
+),
+nv AS (SELECT COUNT(*) AS n FROM embeddings),
+mu AS (SELECT j, SUM(x) // n AS mu FROM xi CROSS JOIN nv GROUP BY j, n),
+cen AS (SELECT x.i, x.label, x.j, x.x - m.mu AS c FROM xi x JOIN mu m ON m.j = x.j),
+scored AS (
+  SELECT c.i, c.label,
+         SUM(c.c * v.v_micro) AS p,
+         SUM(c.c * c.c) AS var_row
+  FROM cen c JOIN vtab v ON v.dim = c.j
+  GROUP BY c.i, c.label
+),
+per AS (
+  SELECT CAST(label AS BIGINT) AS label, COUNT(*) AS n_vectors,
+         SUM(var_row) AS var_mass,
+         SUM(((p // {_P_SHIFT}) * (p // {_P_SHIFT})) // v2.v2s) AS removed_mass
+  FROM scored CROSS JOIN v2v v2
+  GROUP BY label
+)
+SELECT label, CAST(n_vectors AS BIGINT) AS n_vectors,
+       CAST(var_mass AS BIGINT) AS var_mass,
+       CAST(removed_mass AS BIGINT) AS removed_mass,
+       CAST(removed_mass * 1000000 // var_mass AS BIGINT) AS removed_ppm
+FROM per
+"""
+
+PENDING_QUERIES = {"embedding_pca_residual": embedding_pca_residual}
+PENDING_ORACLE = {"embedding_pca_residual": _SQL_RESIDUAL}

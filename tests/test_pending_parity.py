@@ -14,10 +14,10 @@ from tests.oracle_harness import compare, duckdb_con
 
 
 def _pending():
-    from cdc_postgresql_clickhouse_spark.queries import cdc, graph, search, sketches, text_ext, tokenizer
+    from cdc_postgresql_clickhouse_spark.queries import cdc, graph, pca, search, sketches, text_ext, tokenizer
 
     out = {}
-    for m in (tokenizer, cdc, search, sketches, graph, text_ext):
+    for m in (tokenizer, cdc, search, sketches, graph, text_ext, pca):
         q = getattr(m, "PENDING_QUERIES", {})
         o = getattr(m, "PENDING_ORACLE", {})
         assert set(q) == set(o), "pending query without oracle twin"
@@ -178,3 +178,15 @@ def test_char_entropy_bounds(spark, sf_dir):
     # crude upper bound: a text of n chars has at most n distinct chars,
     # but also at most ~40 in this fixture's alphabet
     assert (e.entropy_microbits <= int(math.log2(64) * 1_000_000)).all()
+
+
+def test_pca_residual_energy_accounting(spark, sf_dir):
+    """Projection energy can never exceed total variance (Bessel), shares
+    are PPM-bounded, and labels partition the vector set."""
+    from cdc_postgresql_clickhouse_spark.queries.pca import embedding_pca_residual
+
+    r = embedding_pca_residual(spark, sf_dir).toPandas()
+    assert (r.removed_mass <= r.var_mass).all()
+    assert ((r.removed_ppm >= 0) & (r.removed_ppm <= 1_000_000)).all()
+    n = load_table(spark, sf_dir, "embeddings").count()
+    assert r.n_vectors.sum() == n
