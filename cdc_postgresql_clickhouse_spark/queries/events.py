@@ -705,3 +705,38 @@ SELECT event_id, event_type, c,
          AS rolling_median_halfcents
 FROM framed
 """
+
+
+# --- hourly seasonality profile — PENDING round 7 ---------------------------
+#
+# Per-type hour-of-day activity profile (UTC) — the seasonal baseline a
+# CUSUM/anomaly layer normalizes against. One keyed agg; mean value as
+# micro-cents by integer division. Output is (#types × 24)-bounded.
+
+
+def events_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.hour("ts").cast("long").alias("hour_utc"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
+    )
+    return ev.groupBy("event_type", "hour_utc").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("c").cast("long").alias("mass_cents"),
+        F.expr("sum(c) * 1000000 div count(1)").cast("long").alias(
+            "mean_microcents"
+        ),
+    )
+
+
+_SQL_HOURLY = """
+SELECT event_type, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour_utc,
+       COUNT(*)::BIGINT AS n_events,
+       SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))::BIGINT AS mass_cents,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) * 1000000 // COUNT(*) AS BIGINT)
+         AS mean_microcents
+FROM events GROUP BY event_type, EXTRACT(hour FROM ts)
+"""
+
+PENDING_QUERIES = {"events_hourly_seasonality": events_hourly_seasonality}
+PENDING_ORACLE = {"events_hourly_seasonality": _SQL_HOURLY}

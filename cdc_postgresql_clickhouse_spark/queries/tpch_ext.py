@@ -635,3 +635,66 @@ SELECT COALESCE(user_id, o_custkey) AS key_id,
 FROM ev FULL OUTER JOIN oc ON user_id = o_custkey
 """,
 }
+
+
+# --- ranked-window profile — PENDING round 7 --------------------------------
+#
+# The remaining ranking-window surface in one row: ntile, percent_rank,
+# and cume_dist over order value within status (ClickHouse exposes the
+# same trio). percent_rank = (rank-1)/(n-1) and cume_dist = peers/n are
+# single integer-ratio divisions — identical IEEE doubles in both
+# engines (no sums, no truncation needed). Deterministic total order via
+# (cents, o_orderkey). Aggregated per (status, decile) so the output is
+# decile-bounded: min/max percent_rank of each decile pin the tile
+# boundaries exactly.
+
+
+def window_rank_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.select(
+        "o_orderstatus", "o_orderkey", _cents(F.col("o_totalprice")).alias("pc")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy("pc", "o_orderkey")
+    r = d.select(
+        "o_orderstatus",
+        "pc",
+        F.ntile(10).over(w).cast("long").alias("decile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+    return r.groupBy("o_orderstatus", "decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("pc").cast("long").alias("mass_cents"),
+        F.min("pr").alias("min_percent_rank"),
+        F.max("pr").alias("max_percent_rank"),
+        F.max("cd").alias("max_cume_dist"),
+    )
+
+
+_SQL_RANK_PROFILE = """
+WITH d AS (
+  SELECT o_orderstatus, o_orderkey,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS pc
+  FROM orders
+),
+r AS (
+  SELECT o_orderstatus, pc,
+         ntile(10) OVER w AS decile,
+         percent_rank() OVER w AS pr,
+         cume_dist() OVER w AS cd
+  FROM d
+  WINDOW w AS (PARTITION BY o_orderstatus ORDER BY pc, o_orderkey)
+)
+SELECT o_orderstatus, CAST(decile AS BIGINT) AS decile,
+       COUNT(*)::BIGINT AS n_orders,
+       SUM(pc)::BIGINT AS mass_cents,
+       MIN(pr) AS min_percent_rank,
+       MAX(pr) AS max_percent_rank,
+       MAX(cd) AS max_cume_dist
+FROM r GROUP BY o_orderstatus, decile
+"""
+
+PENDING_QUERIES = {"window_rank_profile": window_rank_profile}
+PENDING_ORACLE = {"window_rank_profile": _SQL_RANK_PROFILE}

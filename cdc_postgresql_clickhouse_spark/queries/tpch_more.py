@@ -452,3 +452,62 @@ WHERE n_supp > 1 AND n_r_supp = 1
 GROUP BY s_name
 """,
 }
+
+
+# --- market-basket pair mining — PENDING round 7 ----------------------------
+#
+# Frequent part PAIRS by co-occurrence in the same order (the support
+# count of association mining, Agrawal et al. 1993) — the top co-purchase
+# analysis every behavioral warehouse runs. Scale shape: the self-join is
+# keyed on l_orderkey and the pair fan-out is quadratic only in the
+# PER-ORDER line count (bounded small by the data model), never in the
+# table; the a<b orientation produces each pair once, and top-k plans as
+# TakeOrderedAndProject via the deterministic (support desc, pair) order.
+
+BASKET_TOPK = 20
+
+
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    a = li.alias("a")
+    b = li.select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("p2")
+    ).alias("b")
+    pairs = a.join(b, "l_orderkey").filter(F.col("l_partkey") < F.col("p2"))
+    sup = pairs.groupBy(
+        F.col("l_partkey").alias("part_a"), F.col("p2").alias("part_b")
+    ).agg(F.count(F.lit(1)).cast("long").alias("support"))
+    ranked = sup.orderBy(
+        F.desc("support"), "part_a", "part_b"
+    ).limit(BASKET_TOPK)
+    w = Window.orderBy(F.desc("support"), "part_a", "part_b")
+    return ranked.select(
+        "part_a", "part_b", "support",
+        F.row_number().over(w).cast("long").alias("rank"),
+    )
+
+
+_SQL_BASKET = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+sup AS (
+  SELECT part_a, part_b, COUNT(*)::BIGINT AS support
+  FROM pairs GROUP BY part_a, part_b
+)
+SELECT part_a, part_b, support,
+       CAST(row_number() OVER (ORDER BY support DESC, part_a, part_b) AS BIGINT) AS rank
+FROM sup
+ORDER BY support DESC, part_a, part_b
+LIMIT {BASKET_TOPK}
+"""
+
+PENDING_QUERIES = {"basket_part_pairs": basket_part_pairs}
+PENDING_ORACLE = {"basket_part_pairs": _SQL_BASKET}
