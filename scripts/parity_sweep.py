@@ -38,6 +38,11 @@ def main() -> int:
         if only and name not in only:
             continue
         ran += 1
+        # drop every persisted barrier from the previous query: a 177-query
+        # session otherwise ACCUMULATES the postings/shingle/word/embedding
+        # caches until the single local JVM aborts mid-sweep (observed at
+        # sf0.1 — the driver's own gate runs far fewer queries per session)
+        spark.catalog.clearCache()
         t0 = time.time()
         try:
             df = fn(spark, sf_dir)
