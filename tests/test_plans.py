@@ -247,3 +247,81 @@ def test_rrf_bnlj_only_where_documented(spark, sf_dir):
     plan = formatted_plan(Q["retrieval_hybrid_rrf"](spark, sf_dir))
     n = plan.count("BroadcastNestedLoopJoin")
     assert 1 <= n <= 2, n
+
+
+# --- round-6 operator plan pins ---------------------------------------------
+
+
+def test_top_paths_plans_as_take_ordered(spark, sf_dir):
+    """Global top-10 paths must be TakeOrderedAndProject over the counted
+    table — never a full sort — and the lag windows shuffle once on user."""
+    df = Q["events_top_paths"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_histogram_broadcasts_pertype_bounds(spark, sf_dir):
+    """The per-type bounds table is broadcast back onto the event stream —
+    a type-count-sized build side at any event volume."""
+    df = Q["events_histogram_equi"](spark, sf_dir)
+    assert broadcast_join_count(df) >= 1, formatted_plan(df)
+
+
+def test_winsorize_broadcasts_fences(spark, sf_dir):
+    df = Q["events_winsorized_stats"](spark, sf_dir)
+    assert broadcast_join_count(df) >= 1, formatted_plan(df)
+
+
+def test_vocab_growth_has_no_global_window(spark, sf_dir):
+    """The Heaps curve must never rank individual rows: no single-partition
+    window over corpus data (the 5-row cumulative sum windows over the
+    checkpoint grid are post-aggregation and sit above tiny inputs)."""
+    df = Q["corpus_vocab_growth"](spark, sf_dir)
+    plan = formatted_plan(df)
+    # the corpus-side stages are explode + hash aggregates; a row-level
+    # rank would appear as a Window directly above the documents scan
+    assert "row_number" not in plan.lower(), plan
+
+
+def test_pareto_windows_only_over_distinct_lengths(spark, sf_dir):
+    """corpus_length_pareto's ranking collapses to the distinct-length
+    table: the only exchanges below its windows are aggregations, never a
+    corpus-wide range partition sort."""
+    df = Q["corpus_length_pareto"](spark, sf_dir)
+    plan = formatted_plan(df)
+    # the concrete pin: a bounded number of column-pruned scans (bounds +
+    # lengths + totals branches), never a corpus-grain window — a row-level
+    # rank would appear as a Window whose child is the raw scan
+    assert plan.count("Scan parquet") <= 4, plan
+
+
+def test_rolling_median_single_keyed_window(spark, sf_dir):
+    """One hash shuffle on event_type feeds the bounded frame window —
+    no second shuffle, no global sort."""
+    df = Q["events_rolling_median"](spark, sf_dir)
+    assert shuffle_count(df) == 1, formatted_plan(df)
+
+
+def test_knn_eval_broadcasts_query_labels_not_corpus(spark, sf_dir):
+    """The query-label side is query-slice sized and broadcast; the
+    neighbor-label join is keyed. The corpus embedding side must never be
+    the build side of a nested-loop broadcast beyond the brute-force
+    query-slice cross score it composes."""
+    df = Q["retrieval_label_knn_eval"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_tokenizer_segment_is_mapside_after_word_agg(spark, sf_dir):
+    """The Viterbi fold adds NO shuffle beyond the word-frequency
+    aggregation: the only exchanges in the plan are the groupBy(w) agg
+    (printed twice when the persisted word barrier's cached build plan is
+    included alongside the InMemoryTableScan), never anything above it."""
+    df = Q["tokenizer_unigram_segment"](spark, sf_dir)
+    plan = formatted_plan(df)
+    import re
+
+    sigs = set()
+    for m in re.finditer(r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", plan):
+        sigs.add(re.sub(r"#\d+L?", "", m.group(1)))
+    assert len(sigs) <= 1, (sigs, plan)
