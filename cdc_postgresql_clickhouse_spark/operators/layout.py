@@ -215,3 +215,99 @@ def write_hilbert(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def _file_key_ranges(df: DataFrame, keycol: str) -> list[tuple[str, int, int]]:
+    """Per-file (path, min key, max key) — file-count-sized metadata, the
+    same information a table format keeps in its manifest."""
+    rows = (
+        df.withColumn("__f", F.input_file_name())
+        .groupBy("__f")
+        .agg(F.min(keycol).alias("lo"), F.max(keycol).alias("hi"))
+        .collect()
+    )
+    return [(r["__f"], int(r.lo), int(r.hi)) for r in rows]
+
+
+def optimize_clustered(
+    spark: SparkSession,
+    path: str,
+    col_a: str,
+    col_b: str,
+    n_files: int = 8,
+    bits: int = 16,
+    key: str = "zorder",
+) -> dict:
+    """Incremental OPTIMIZE for a Z-order/Hilbert-clustered table: recluster
+    ONLY the files whose key ranges overlap some other file (the Delta
+    OPTIMIZE ZORDER idea, restricted to the dirty set so a mostly-clustered
+    table after a few appends rewrites a few files, not the table).
+
+    Contract:
+    - dirty = every file whose [min, max] key interval intersects another
+      file's; disjoint files are already perfectly clustered relative to
+      the rest and are left BYTE-UNTOUCHED.
+    - dirty rows are re-ranged + sorted into ceil(dirty_share × n_files)
+      new files; old dirty files are deleted after the staged write lands
+      (writer-exclusive via the table's _state_lock; readers must tolerate
+      a transient relist, the streamed-index compaction posture).
+    - idempotent: a second call finds no overlapping files and rewrites
+      nothing (returns n_dirty == 0).
+
+    Returns {"n_files", "n_dirty", "n_rewritten_files"}."""
+    import math
+    import os
+    import shutil
+    import uuid
+
+    from cdc_postgresql_clickhouse_spark.operators.state import _state_lock
+
+    keyfn = (lambda d: hilbert_stages(d, col_a, col_b, min(bits, 8), out="__k")) if key == "hilbert" else None
+
+    with _state_lock(path):
+        df = spark.read.parquet(path)
+        if keyfn is not None:
+            keyed = keyfn(df)
+        else:
+            keyed = df.withColumn("__k", zorder_key(F.col(col_a), F.col(col_b), bits))
+        ranges = _file_key_ranges(keyed, "__k")
+        dirty = set()
+        for i, (f1, lo1, hi1) in enumerate(ranges):
+            for f2, lo2, hi2 in ranges[i + 1 :]:
+                if lo1 <= hi2 and lo2 <= hi1:
+                    dirty.add(f1)
+                    dirty.add(f2)
+        if not dirty:
+            return {"n_files": len(ranges), "n_dirty": 0, "n_rewritten_files": 0}
+        k_out = max(1, math.ceil(n_files * len(dirty) / max(1, len(ranges))))
+        dirty_rows = keyed.filter(F.input_file_name().isin(*sorted(dirty)))
+        staged = os.path.join(
+            os.path.dirname(path.rstrip("/")),
+            f".opt_staged_{uuid.uuid4().hex[:8]}",
+        )
+        (
+            dirty_rows.repartitionByRange(k_out, "__k")
+            .sortWithinPartitions("__k")
+            .drop("__k")
+            .write.mode("overwrite")
+            .parquet(staged)
+        )
+        moved = 0
+        for name in os.listdir(staged):
+            if name.endswith(".parquet"):
+                shutil.move(
+                    os.path.join(staged, name),
+                    os.path.join(path, f"opt-{uuid.uuid4().hex[:8]}-{name}"),
+                )
+                moved += 1
+        shutil.rmtree(staged, ignore_errors=True)
+        for f in dirty:
+            local = f.replace("file://", "", 1) if f.startswith("file:") else f
+            local = local.replace("file:", "", 1)
+            if os.path.exists(local):
+                os.remove(local)
+        return {
+            "n_files": len(ranges),
+            "n_dirty": len(dirty),
+            "n_rewritten_files": moved,
+        }
