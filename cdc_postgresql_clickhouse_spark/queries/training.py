@@ -497,3 +497,68 @@ SELECT doc_id, n_grams, n_leaked,
        CAST(n_leaked * 1000000 // n_grams AS BIGINT) AS leak_ppm
 FROM per
 """
+
+
+# --- weighted sampling without replacement — PENDING round 7 ----------------
+#
+# Distributed weighted sampling (Efraimidis & Spirakis 2006, "A-ES"): each
+# item draws priority key ln(u)/w (u uniform, w = item weight); the k
+# LARGEST keys per stratum are a weighted sample WITHOUT replacement —
+# the one-pass, shuffle-once form of weighted reservoir sampling, and the
+# standard way to downsample a corpus proportionally to document length
+# or quality score. Deterministic and engine-exact: u derives from the
+# first 12 md5 hex chars of doc_id ((h+1)/16^12, never zero), ln runs on
+# identical doubles, and the per-source top-k is a ranked window with a
+# doc_id tie-break. The key stays a DOUBLE internally but the OUTPUT is
+# integer-only (ids, weights, ranks) — cross-engine-safe like the ANN
+# ranks the registry already hash-verifies.
+
+WSAMPLE_K = 10
+_WS_DIGITS = 12
+_WS_NORM = float(16 ** _WS_DIGITS)
+
+
+def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.col("n_chars").cast("long").alias("w")
+    )
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, _WS_DIGITS), 16, 10).cast(
+        "long"
+    )
+    key = F.log((h + 1).cast("double") / F.lit(_WS_NORM)) / F.col("w").cast("double")
+    ranked = docs.withColumn("key", key).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy(F.desc("key"), "doc_id")
+        ),
+    )
+    return ranked.filter(F.col("rank") <= WSAMPLE_K).select(
+        "source", "doc_id", F.col("w").alias("weight_chars"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _sql_wsample() -> str:
+    from cdc_postgresql_clickhouse_spark.queries.sketches import _sql_hex_int
+
+    h = _sql_hex_int("CAST(doc_id AS VARCHAR)", _WS_DIGITS)
+    return f"""
+WITH d AS (
+  SELECT source, doc_id, CAST(n_chars AS BIGINT) AS w,
+         ln(CAST({h} + 1 AS DOUBLE) / {_WS_NORM!r}) / CAST(n_chars AS DOUBLE) AS key
+  FROM documents
+),
+ranked AS (
+  SELECT source, doc_id, w,
+         row_number() OVER (PARTITION BY source ORDER BY key DESC, doc_id) AS rank
+  FROM d
+)
+SELECT source, doc_id, w AS weight_chars, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {WSAMPLE_K}
+"""
+
+
+PENDING_QUERIES = {"corpus_weighted_sample": corpus_weighted_sample}
+PENDING_ORACLE = {"corpus_weighted_sample": _sql_wsample()}

@@ -16,11 +16,11 @@ from tests.oracle_harness import compare, duckdb_con
 def _pending():
     from cdc_postgresql_clickhouse_spark.queries import (
         cdc, events, graph, pca, search, sketches, text_ext, tokenizer, tpch_ext,
-        tpch_more,
+        tpch_more, training,
     )
 
     out = {}
-    for m in (tokenizer, cdc, search, sketches, graph, text_ext, pca, tpch_ext, events, tpch_more):
+    for m in (tokenizer, cdc, search, sketches, graph, text_ext, pca, tpch_ext, events, tpch_more, training):
         q = getattr(m, "PENDING_QUERIES", {})
         o = getattr(m, "PENDING_ORACLE", {})
         assert set(q) == set(o), "pending query without oracle twin"
@@ -193,3 +193,25 @@ def test_pca_residual_energy_accounting(spark, sf_dir):
     assert ((r.removed_ppm >= 0) & (r.removed_ppm <= 1_000_000)).all()
     n = load_table(spark, sf_dir, "embeddings").count()
     assert r.n_vectors.sum() == n
+
+
+def test_weighted_sample_favors_heavy_docs(spark, sf_dir):
+    """A-ES law: exactly K rows per source (when the source has >= K docs)
+    and the sampled docs' mean weight exceeds the population mean — the
+    whole point of weighting by length."""
+    from cdc_postgresql_clickhouse_spark.queries.training import (
+        WSAMPLE_K,
+        corpus_weighted_sample,
+    )
+
+    s = corpus_weighted_sample(spark, sf_dir).toPandas()
+    docs = load_table(spark, sf_dir, "documents").toPandas()
+    pop = docs.groupby("source")["n_chars"].agg(["mean", "count"])
+    per = s.groupby("source").agg(n=("rank", "size"), mean_w=("weight_chars", "mean"))
+    heavier = 0
+    for src, row in per.iterrows():
+        assert row.n == min(WSAMPLE_K, pop.loc[src, "count"])
+        if row.mean_w > pop.loc[src, "mean"]:
+            heavier += 1
+    # weighting must show: most strata sample heavier-than-average docs
+    assert heavier >= len(per) * 0.6, (heavier, len(per))
