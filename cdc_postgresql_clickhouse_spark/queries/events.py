@@ -740,3 +740,77 @@ FROM events GROUP BY event_type, EXTRACT(hour FROM ts)
 
 PENDING_QUERIES = {"events_hourly_seasonality": events_hourly_seasonality}
 PENDING_ORACLE = {"events_hourly_seasonality": _SQL_HOURLY}
+
+
+# --- burstiness (Fano factor) — PENDING round 7 -----------------------------
+#
+# Per-type Fano factor of the per-minute arrival counts over the DENSE
+# minute grid (silent minutes count — that's what burstiness means):
+# F = Var/Mean, 1 for Poisson arrivals, >1 bursty, <1 regular. Exact
+# integers via the computational identity
+# Var/Mean = (m·Σc² − (Σc)²) / (m·Σc), shipped as micro-units with one
+# truncating division — counts are integers, so every term is exact.
+
+
+def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("unix_timestamp(ts) div 60 * 60").cast("long").alias("minute_start"),
+    )
+    per = ev.groupBy("event_type", "minute_start").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    rng = ev.groupBy("event_type").agg(
+        F.min("minute_start").alias("lo"), F.max("minute_start").alias("hi")
+    )
+    grid = rng.select(
+        "event_type",
+        F.explode(F.sequence("lo", "hi", F.lit(60).cast("long"))).alias("minute_start"),
+    )
+    dense = grid.join(per, ["event_type", "minute_start"], "left").select(
+        "event_type", F.coalesce("c", F.lit(0).cast("long")).alias("c")
+    )
+    agg = dense.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("c").cast("long").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+    )
+    return agg.select(
+        "event_type",
+        F.col("m").alias("n_minutes"),
+        F.col("s1").alias("n_events"),
+        F.expr("(m * s2 - s1 * s1) * 1000000 div (m * s1)").cast("long").alias(
+            "fano_micro"
+        ),
+    )
+
+
+ORACLE_BURSTINESS = """
+WITH ev AS (
+  SELECT event_type,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) // 60 * 60 AS minute_start
+  FROM events
+),
+per AS (
+  SELECT event_type, minute_start, COUNT(*)::BIGINT AS c
+  FROM ev GROUP BY event_type, minute_start
+),
+rng AS (SELECT event_type, MIN(minute_start) AS lo, MAX(minute_start) AS hi FROM ev GROUP BY 1),
+grid AS (SELECT event_type, unnest(range(lo, hi + 60, 60)) AS minute_start FROM rng),
+dense AS (
+  SELECT g.event_type, COALESCE(p.c, 0) AS c
+  FROM grid g LEFT JOIN per p
+    ON p.event_type = g.event_type AND p.minute_start = g.minute_start
+),
+agg AS (
+  SELECT event_type, COUNT(*)::BIGINT AS m, SUM(c)::BIGINT AS s1,
+         SUM(c * c)::BIGINT AS s2
+  FROM dense GROUP BY event_type
+)
+SELECT event_type, m AS n_minutes, s1 AS n_events,
+       CAST((m * s2 - s1 * s1) * 1000000 // (m * s1) AS BIGINT) AS fano_micro
+FROM agg
+"""
+
+PENDING_QUERIES["events_burstiness"] = events_burstiness
+PENDING_ORACLE["events_burstiness"] = ORACLE_BURSTINESS

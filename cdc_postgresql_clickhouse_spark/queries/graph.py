@@ -669,3 +669,71 @@ FROM per p LEFT JOIN internal i USING (community) CROSS JOIN w2v w
 
 PENDING_QUERIES = {"graph_modularity_report": graph_modularity_report}
 PENDING_ORACLE = {"graph_modularity_report": _sql_modularity()}
+
+
+# --- transition-entropy profile — PENDING round 7 ---------------------------
+#
+# Per-source-node Shannon entropy of the outgoing transition distribution
+# — the behavioral-predictability statistic (entropy rate of the first-
+# order Markov chain the transition matrix defines). The micro-floor
+# device at edge grain: -log2 p floors once per edge on identical
+# doubles, the per-node combine is an exact integer sum weighted by edge
+# counts, and the average ships as micro-bits. One keyed agg over the
+# edge list + one keyed combine — node-count-bounded output.
+
+
+def graph_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "event_type", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.lag("event_type").over(w).alias("src"), F.col("event_type").alias("dst")
+    ).filter(F.col("src").isNotNull())
+    edges = pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).cast("long").alias("w"))
+    outw = edges.groupBy("src").agg(F.sum("w").cast("long").alias("wout"))
+    e_micro = F.floor(
+        F.log(F.col("wout").cast("double") / F.col("w").cast("double"))
+        / F.lit(float(__import__("math").log(2.0)))
+        * F.lit(1000000.0)
+    ).cast("long")
+    per = (
+        edges.join(F.broadcast(outw), "src")
+        .groupBy("src")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_destinations"),
+            F.max("wout").alias("n_transitions"),
+            F.sum(F.col("w") * e_micro).cast("long").alias("sum_u"),
+        )
+    )
+    return per.select(
+        F.col("src").alias("event_type"),
+        "n_destinations",
+        "n_transitions",
+        F.expr("sum_u div n_transitions").cast("long").alias("entropy_microbits"),
+    )
+
+
+_SQL_TRANS_ENTROPY = f"""
+WITH seq AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
+         event_type AS dst
+  FROM events
+),
+edges AS (
+  SELECT src, dst, COUNT(*)::BIGINT AS w FROM seq WHERE src IS NOT NULL GROUP BY src, dst
+),
+outw AS (SELECT src, SUM(w)::BIGINT AS wout FROM edges GROUP BY src),
+per AS (
+  SELECT e.src, COUNT(*)::BIGINT AS n_destinations, MAX(o.wout) AS n_transitions,
+         SUM(e.w * CAST(FLOOR(
+           ln(CAST(o.wout AS DOUBLE) / CAST(e.w AS DOUBLE))
+           / {float(__import__("math").log(2.0))!r} * 1000000.0) AS BIGINT))::BIGINT AS sum_u
+  FROM edges e JOIN outw o USING (src)
+  GROUP BY e.src
+)
+SELECT src AS event_type, n_destinations, CAST(n_transitions AS BIGINT) AS n_transitions,
+       CAST(sum_u // n_transitions AS BIGINT) AS entropy_microbits
+FROM per
+"""
+
+PENDING_QUERIES["graph_transition_entropy"] = graph_transition_entropy
+PENDING_ORACLE["graph_transition_entropy"] = _SQL_TRANS_ENTROPY

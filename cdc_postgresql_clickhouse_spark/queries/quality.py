@@ -272,3 +272,56 @@ SELECT doc_id, CAST(words AS BIGINT) AS words,
             AS BIGINT) AS flesch_micro
 FROM d
 """
+
+
+# --- quality × language mix matrix — PENDING round 7 ------------------------
+#
+# The curation dashboard row: Gopher-gate pass rates and token mass per
+# (language, verdict) cell — what a data team reads before setting
+# per-language thresholds (pass rates differ by language because the
+# stopword list and marker statistics do). Composes the two registered
+# operators verbatim; output is (#langs × 2)-bounded.
+
+
+def quality_lang_mix_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = quality_gopher_rules(spark, sf_dir).select("doc_id", "pass_quality", "n_words")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    j = g.join(docs, "doc_id")
+    per = j.groupBy("lang", "pass_quality").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("tokens"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("lang")
+    return per.select(
+        "lang",
+        "pass_quality",
+        "n_docs",
+        "tokens",
+        F.expr(
+            "n_docs * 1000000 div sum(n_docs) over (partition by lang)"
+        ).cast("long").alias("share_ppm"),
+    )
+
+
+def _sql_mix_matrix() -> str:
+    return f"""
+WITH g AS ({ORACLE["quality_gopher_rules"]}),
+j AS (
+  SELECT g.doc_id, g.pass_quality, g.n_words, d.lang
+  FROM g JOIN documents d USING (doc_id)
+),
+per AS (
+  SELECT lang, pass_quality, COUNT(*)::BIGINT AS n_docs, SUM(n_words)::BIGINT AS tokens
+  FROM j GROUP BY lang, pass_quality
+)
+SELECT lang, pass_quality, n_docs, tokens,
+       CAST(n_docs * 1000000 // SUM(n_docs) OVER (PARTITION BY lang) AS BIGINT)
+         AS share_ppm
+FROM per
+"""
+
+
+PENDING_QUERIES = {"quality_lang_mix_matrix": quality_lang_mix_matrix}
+PENDING_ORACLE = {"quality_lang_mix_matrix": _sql_mix_matrix()}

@@ -446,3 +446,103 @@ SELECT doc_id, n_tok,
 FROM agg
 """,
 }
+
+
+# --- source-vs-corpus distribution drift — PENDING round 7 ------------------
+#
+# Per-source unigram-distribution drift against the whole corpus: the
+# P-side Kullback-Leibler term of the Jensen-Shannon divergence,
+# KL(P || M) with M the even (P, corpus) mixture (Lin 1991) — always
+# finite, zero iff the source matches the corpus on its support, and the
+# standard one-sided drift score when sources cover the corpus
+# vocabulary only partially. The mixing diagnostic that says which
+# source is "different" before temperature/DSIR weighting. Every log
+# term floors ONCE per (source, term) to micro-bits
+# (the established device), frequencies stay integer, and the division
+# by the two totals happens INSIDE the shared log argument so both
+# engines evaluate one identical double expression per term. Plan: one
+# explode into (source, term) counts, a vocab-sized corpus re-agg, one
+# keyed join — the tfidf shape.
+
+
+def text_source_drift_klm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    docs = load_table(spark, sf_dir, "documents")
+    st = (
+        docs.select("source", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    corpus = st.groupBy("term").agg(F.sum("c").cast("long").alias("cc"))
+    stot = st.groupBy("source").agg(F.sum("c").cast("long").alias("n_s"))
+    ctot = corpus.agg(F.sum("cc")).first()[0]  # scalar: corpus token count
+    j = st.join(corpus, "term").join(F.broadcast(stot), "source")
+    # p = c/n_s, q = cc/ctot, m = (p+q)/2; per-term KL parts in micro-bits
+    p_over_m = (
+        F.lit(2.0) * F.col("c").cast("double") / F.col("n_s").cast("double")
+    ) / (
+        F.col("c").cast("double") / F.col("n_s").cast("double")
+        + F.col("cc").cast("double") / F.lit(float(ctot))
+    )
+    ln2 = float(__import__("math").log(2.0))
+    kl_p_u = F.floor(F.log(p_over_m) / F.lit(ln2) * F.lit(1000000.0)).cast("long")
+    per_src = j.groupBy("source").agg(
+        F.max("n_s").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum(F.col("c") * kl_p_u).cast("long").alias("klp_num"),
+    )
+    # KL(C||M) restricted to the source's support PLUS the corpus-only
+    # remainder would need the full vocab per source; the registered
+    # statistic is the P-side KL against the mixture (the dominant,
+    # always-finite half of JSD — 0 iff P == C on P's support), which is
+    # the standard one-sided drift score when sources share the corpus
+    # vocabulary only partially.
+    return per_src.select(
+        "source",
+        "n_tokens",
+        "n_terms",
+        F.expr("klp_num div n_tokens").cast("long").alias("kl_p_m_microbits"),
+    )
+
+
+def _sql_klm() -> str:
+    ln2 = float(__import__("math").log(2.0))
+    return f"""
+WITH st AS (
+  SELECT source, unnest({SQL_TOKENS}) AS term FROM documents
+),
+stc AS (SELECT source, term, COUNT(*)::BIGINT AS c FROM st GROUP BY source, term),
+corpus AS (SELECT term, SUM(c)::BIGINT AS cc FROM stc GROUP BY term),
+stot AS (SELECT source, SUM(c)::BIGINT AS n_s FROM stc GROUP BY source),
+ctot AS (SELECT SUM(cc) AS ct FROM corpus),
+j AS (
+  SELECT s.source, s.term, s.c, co.cc, st2.n_s, ctot.ct
+  FROM stc s
+  JOIN corpus co USING (term)
+  JOIN stot st2 USING (source)
+  CROSS JOIN ctot
+),
+scored AS (
+  SELECT source, c, n_s,
+         CAST(FLOOR(
+           ln((2.0 * CAST(c AS DOUBLE) / CAST(n_s AS DOUBLE))
+              / (CAST(c AS DOUBLE) / CAST(n_s AS DOUBLE)
+                 + CAST(cc AS DOUBLE) / CAST(ct AS DOUBLE)))
+           / {ln2!r} * 1000000.0) AS BIGINT) AS klu
+  FROM j
+),
+per AS (
+  SELECT source, MAX(n_s) AS n_tokens, COUNT(*)::BIGINT AS n_terms,
+         SUM(c * klu)::BIGINT AS klp_num
+  FROM scored GROUP BY source
+)
+SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens, n_terms,
+       CAST(klp_num // n_tokens AS BIGINT) AS kl_p_m_microbits
+FROM per
+"""
+
+
+PENDING_QUERIES = {"text_source_drift_klm": text_source_drift_klm}
+PENDING_ORACLE = {"text_source_drift_klm": _sql_klm()}

@@ -562,3 +562,61 @@ FROM ranked WHERE rank <= {WSAMPLE_K}
 
 PENDING_QUERIES = {"corpus_weighted_sample": corpus_weighted_sample}
 PENDING_ORACLE = {"corpus_weighted_sample": _sql_wsample()}
+
+
+# --- n-gram novelty (memorization proxy) — PENDING round 7 ------------------
+#
+# Per document: what fraction of its distinct 8-grams first appear THERE
+# (no earlier doc_id contains them) — the novelty/memorization diagnostic
+# of a curated corpus (high duplication shows as low novelty tails; the
+# complement of Lee et al. 2022's duplication measurements). One gram
+# explode + a vocab-sized min-agg + a keyed join back: the vocab-growth
+# plan at gram grain, per-doc resolution.
+
+
+def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(word_shingles(tokens(F.col("text")), DECONTAM_NGRAM))
+        ).alias("gram"),
+    )
+    first = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    per = (
+        grams.join(first, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).cast("long").alias("n_novel"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_grams",
+        "n_novel",
+        F.expr("n_novel * 1000000 div n_grams").cast("long").alias("novelty_ppm"),
+    )
+
+
+ORACLE_NOVELTY = f"""
+WITH base AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, unnest({_sql_ngrams(DECONTAM_NGRAM)}) AS gram FROM base
+),
+first AS (SELECT gram, MIN(doc_id) AS first_doc FROM grams GROUP BY gram),
+per AS (
+  SELECT g.doc_id, COUNT(*)::BIGINT AS n_grams,
+         SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)::BIGINT AS n_novel
+  FROM grams g JOIN first f USING (gram)
+  GROUP BY g.doc_id
+)
+SELECT doc_id, n_grams, n_novel,
+       CAST(n_novel * 1000000 // n_grams AS BIGINT) AS novelty_ppm
+FROM per
+"""
+
+PENDING_QUERIES["corpus_ngram_novelty"] = corpus_ngram_novelty
+PENDING_ORACLE["corpus_ngram_novelty"] = ORACLE_NOVELTY
