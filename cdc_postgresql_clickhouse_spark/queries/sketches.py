@@ -1055,5 +1055,91 @@ SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_events,
 FROM scored GROUP BY event_type
 """
 
-PENDING_QUERIES = {"events_cusum_changepoint": events_cusum_changepoint}
-PENDING_ORACLE = {"events_cusum_changepoint": _SQL_CUSUM}
+# --- Holt linear (double-exponential) smoothing — PENDING round 7 -----------
+#
+# Holt's linear-trend smoother (Holt 1957): the two-state big sibling of
+# the EWMA fold above. With alpha = beta = 1/2 the recurrence
+#   l_t = (x_t + l_{t-1} + b_{t-1}) / 2
+#   b_t = (l_t - l_{t-1}) / 2 + b_{t-1} / 2
+# rewrites (substituting l_t) to the CSE-free linear form
+#   b_t = (x_t - l_{t-1}) * 0.25 + b_{t-1} * 0.75
+# so every step is a fixed left-associated chain of IEEE double ops on
+# integer-cent inputs — bit-identical in both engines. The accumulator is
+# a 2-element DOUBLE array, NOT a struct: DuckDB 1.0.0 mis-evaluates
+# multi-field struct lambdas whose fields each read several accumulator
+# fields (verified: struct form drifts from the Python recurrence by step
+# 2; the array form is exact). Init: l_2 = x_2, b_2 = x_2 - x_1 (standard
+# two-point start); single-event keys degrade to l = x_1, b = 0. Same
+# single-shuffle ordered-fold shape as events_user_ewma.
+
+
+def events_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id",
+        F.struct(
+            F.unix_micros("ts").alias("us"),
+            F.col("event_id").alias("eid"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
+        ).alias("s"),
+    )
+    arr = d.groupBy("user_id").agg(F.sort_array(F.collect_list("s")).alias("a"))
+    c1 = F.element_at("a", 1).getField("c").cast("double")
+    c2 = F.element_at("a", 2).getField("c").cast("double")
+    folded = F.aggregate(
+        F.slice(F.col("a"), 3, F.greatest(F.size("a") - 2, F.lit(0))),
+        F.array(c2, c2 - c1),
+        lambda acc, s: F.array(
+            (s.getField("c") + F.element_at(acc, 1) + F.element_at(acc, 2))
+            * F.lit(0.5),
+            (s.getField("c") - F.element_at(acc, 1)) * F.lit(0.25)
+            + F.element_at(acc, 2) * F.lit(0.75),
+        ),
+    )
+    st = F.when(F.size("a") >= 2, folded).otherwise(
+        F.array(c1, F.lit(0.0).cast("double"))
+    )
+    return arr.select(
+        "user_id",
+        F.size("a").cast("long").alias("n_events"),
+        F.element_at(st, 1).alias("level_cents"),
+        F.element_at(st, 2).alias("trend_cents"),
+        (F.element_at(st, 1) + F.element_at(st, 2)).alias("forecast_cents"),
+    )
+
+
+_SQL_HOLT = """
+WITH d AS (
+  SELECT user_id,
+         {'us': epoch_us(ts), 'eid': event_id,
+          'c': CAST(FLOOR(value * 100 + 0.5) AS BIGINT)} AS s
+  FROM events
+),
+arr AS (SELECT user_id, list_sort(list(s)) AS a FROM d GROUP BY user_id),
+st AS (
+  SELECT user_id, len(a)::BIGINT AS n_events,
+    CASE WHEN len(a) >= 2 THEN
+      list_reduce(
+        list_prepend([CAST(a[2].c AS DOUBLE), CAST(a[2].c - a[1].c AS DOUBLE)],
+                     list_transform(a[3:], x -> [CAST(x.c AS DOUBLE),
+                                                 CAST(0 AS DOUBLE)])),
+        (acc, x) -> [(x[1] + acc[1] + acc[2]) * 0.5,
+                     (x[1] - acc[1]) * 0.25 + acc[2] * 0.75])
+    ELSE [CAST(a[1].c AS DOUBLE), CAST(0 AS DOUBLE)] END AS v
+  FROM arr
+)
+SELECT user_id, n_events,
+       v[1] AS level_cents,
+       v[2] AS trend_cents,
+       v[1] + v[2] AS forecast_cents
+FROM st
+"""
+
+PENDING_QUERIES = {
+    "events_cusum_changepoint": events_cusum_changepoint,
+    "events_holt_linear": events_holt_linear,
+}
+PENDING_ORACLE = {
+    "events_cusum_changepoint": _SQL_CUSUM,
+    "events_holt_linear": _SQL_HOLT,
+}

@@ -155,6 +155,49 @@ def test_cusum_drawdown_identity_matches_recurrence(spark, sf_dir):
         assert (got.n_alarms, got.max_s_cents) == (alarms, mx), t
 
 
+def test_holt_linear_matches_recurrence(spark, sf_dir):
+    """The array fold must equal the pinned Holt recurrence replayed in
+    Python per user: l_t = (x_t + l + b)*0.5, b_t = (x_t - l)*0.25 + b*0.75
+    (the CSE-free rewrite of the textbook form — bit-identical to it only
+    up to ~1e-13, so the REWRITE is the operator's spec and both engines
+    and this reference replay exactly that op order), including the l2/b2
+    two-point init and the single-event degenerate case."""
+    from cdc_postgresql_clickhouse_spark.queries.sketches import events_holt_linear
+
+    out = {r.user_id: r for r in events_holt_linear(spark, sf_dir).collect()}
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("us"),
+            "event_id",
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
+        )
+        .collect()
+    )
+    from collections import defaultdict
+
+    streams = defaultdict(list)
+    for r in ev:
+        streams[r.user_id].append((r.us, r.event_id, r.c))
+    assert set(out) == set(streams)
+    singles = 0
+    for u, rows in streams.items():
+        rows.sort()
+        cs = [float(c) for _, _, c in rows]
+        if len(cs) == 1:
+            l, b = cs[0], 0.0
+            singles += 1
+        else:
+            l, b = cs[1], cs[1] - cs[0]
+            for x in cs[2:]:
+                l, b = (x + l + b) * 0.5, (x - l) * 0.25 + b * 0.75
+        got = out[u]
+        assert got.n_events == len(cs)
+        assert (got.level_cents, got.trend_cents) == (l, b), u
+        assert got.forecast_cents == l + b
+
+
 def test_modularity_accounting_laws(spark, sf_dir):
     """Node counts partition the graph's node set, internal weight never
     exceeds half the community's degree mass, and total Q is in
