@@ -509,5 +509,218 @@ ORDER BY support DESC, part_a, part_b
 LIMIT {BASKET_TOPK}
 """
 
-PENDING_QUERIES = {"basket_part_pairs": basket_part_pairs}
-PENDING_ORACLE = {"basket_part_pairs": _SQL_BASKET}
+# --- association rules over the top pairs — PENDING round 7 -----------------
+#
+# Confidence and lift (Agrawal et al. 1993) for the top-support part
+# pairs: conf(a→b) = sup(ab)/sup(a), lift = N·sup(ab)/(sup(a)·sup(b)),
+# both as integer PPM (truncating div) so the row is exact. Scale shape:
+# the 20-row ranked pair set is broadcast against the item-support table
+# (one keyed agg over the distinct basket-item pairs), so the joins move
+# 20 rows, never the item table; the basket count rides as a broadcast
+# 1-row cross join.
+
+def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    n_b = li.agg(F.countDistinct("l_orderkey").cast("long").alias("n_baskets"))
+    item = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("sup_item")
+    )
+    ranked = basket_part_pairs(spark, sf_dir)
+    j = (
+        item.join(F.broadcast(ranked), item.l_partkey == ranked.part_a)
+        .select("part_a", "part_b", "support", "rank",
+                F.col("sup_item").alias("sup_a"))
+    )
+    j = (
+        item.join(F.broadcast(j), item.l_partkey == j.part_b)
+        .select("part_a", "part_b", "support", "rank", "sup_a",
+                F.col("sup_item").alias("sup_b"))
+    )
+    return (
+        j.crossJoin(F.broadcast(n_b))
+        .select(
+            "part_a", "part_b", "support", "sup_a", "sup_b",
+            F.expr("support * 1000000 div sup_a").cast("long").alias("conf_ab_ppm"),
+            F.expr("support * 1000000 div sup_b").cast("long").alias("conf_ba_ppm"),
+            F.expr("support * n_baskets * 1000000 div (sup_a * sup_b)")
+            .cast("long").alias("lift_ppm"),
+            "rank",
+        )
+    )
+
+
+_SQL_RULES = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+nb AS (SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM li),
+item AS (SELECT l_partkey, COUNT(*)::BIGINT AS sup_item FROM li GROUP BY 1),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+sup AS (
+  SELECT part_a, part_b, COUNT(*)::BIGINT AS support
+  FROM pairs GROUP BY part_a, part_b
+),
+ranked AS (
+  SELECT part_a, part_b, support,
+         CAST(row_number() OVER (ORDER BY support DESC, part_a, part_b) AS BIGINT) AS rank
+  FROM sup
+  ORDER BY support DESC, part_a, part_b
+  LIMIT {BASKET_TOPK}
+)
+SELECT r.part_a, r.part_b, r.support,
+       ia.sup_item AS sup_a, ib.sup_item AS sup_b,
+       r.support * 1000000 // ia.sup_item AS conf_ab_ppm,
+       r.support * 1000000 // ib.sup_item AS conf_ba_ppm,
+       r.support * nb.n_baskets * 1000000 // (ia.sup_item * ib.sup_item) AS lift_ppm,
+       r.rank
+FROM ranked r
+JOIN item ia ON r.part_a = ia.l_partkey
+JOIN item ib ON r.part_b = ib.l_partkey
+CROSS JOIN nb
+"""
+
+
+# --- RFM customer segmentation — PENDING round 7 ----------------------------
+#
+# Recency/Frequency/Monetary quintile scoring (Hughes 1994), the
+# warehouse-classic customer segmentation. All three metrics are exact
+# integers (days from the corpus max date, order count, total cents);
+# quintiles are ntile(5) over a TOTAL order (metric + custkey tie-break)
+# so both engines bucket identically. Scale shape: one keyed agg over
+# orders, a broadcast 1-row max-date, three window passes over the
+# customer-grain table (cheap — customer cardinality, not order
+# cardinality).
+
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("d"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    mx = o.agg(F.max("d").alias("max_d"))
+    per = o.groupBy("o_custkey").agg(
+        F.max("d").alias("last_d"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.sum("cents").cast("long").alias("monetary_cents"),
+    )
+    per = per.crossJoin(F.broadcast(mx)).select(
+        "o_custkey",
+        F.datediff("max_d", "last_d").cast("long").alias("recency_days"),
+        "frequency",
+        "monetary_cents",
+    )
+    wr = Window.orderBy(F.desc("recency_days"), "o_custkey")
+    wf = Window.orderBy(F.asc("frequency"), "o_custkey")
+    wm = Window.orderBy(F.asc("monetary_cents"), "o_custkey")
+    scored = per.select(
+        "o_custkey", "recency_days", "frequency", "monetary_cents",
+        F.ntile(5).over(wr).cast("long").alias("r_score"),
+        F.ntile(5).over(wf).cast("long").alias("f_score"),
+        F.ntile(5).over(wm).cast("long").alias("m_score"),
+    )
+    return scored.select(
+        "*",
+        (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score"))
+        .cast("long").alias("rfm_code"),
+    )
+
+
+_SQL_RFM = """
+WITH o AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+),
+mx AS (SELECT MAX(d) AS max_d FROM o),
+per AS (
+  SELECT o_custkey,
+         date_diff('day', MAX(d), (SELECT max_d FROM mx))::BIGINT AS recency_days,
+         COUNT(*)::BIGINT AS frequency,
+         SUM(cents)::BIGINT AS monetary_cents
+  FROM o GROUP BY o_custkey
+),
+scored AS (
+  SELECT o_custkey, recency_days, frequency, monetary_cents,
+         CAST(ntile(5) OVER (ORDER BY recency_days DESC, o_custkey) AS BIGINT) AS r_score,
+         CAST(ntile(5) OVER (ORDER BY frequency ASC, o_custkey) AS BIGINT) AS f_score,
+         CAST(ntile(5) OVER (ORDER BY monetary_cents ASC, o_custkey) AS BIGINT) AS m_score
+  FROM per
+)
+SELECT *, r_score * 100 + f_score * 10 + m_score AS rfm_code FROM scored
+"""
+
+
+# --- monthly cohort LTV matrix — PENDING round 7 ----------------------------
+#
+# First-order cohort analysis: customers grouped by the month of their
+# first order; each (cohort, month-offset) cell reports active customers
+# and revenue. Month index is pure integer arithmetic (year*12 + month-1)
+# so the offset needs no interval math in either engine. Scale shape: one
+# keyed min-agg to the customer grain, a keyed (not broadcast — customer
+# cardinality is corpus-proportional) join back to orders, one keyed agg
+# to the cell grain.
+
+def cohort_monthly_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+        .cast("long").alias("mi"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    first = o.groupBy("o_custkey").agg(F.min("mi").alias("cohort_mi"))
+    j = o.join(first, "o_custkey")
+    cells = j.groupBy(
+        F.col("cohort_mi").cast("long").alias("cohort_mi"),
+        (F.col("mi") - F.col("cohort_mi")).cast("long").alias("month_offset"),
+    ).agg(
+        F.countDistinct("o_custkey").cast("long").alias("n_active"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("revenue_cents"),
+    )
+    return cells.select(
+        F.expr("cohort_mi div 12").cast("long").alias("cohort_year"),
+        (F.col("cohort_mi") % 12 + 1).cast("long").alias("cohort_month"),
+        "month_offset", "n_active", "n_orders", "revenue_cents",
+    )
+
+
+_SQL_COHORT = """
+WITH o AS (
+  SELECT o_custkey,
+         (year(o_orderdate) * 12 + month(o_orderdate) - 1)::BIGINT AS mi,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+),
+first AS (SELECT o_custkey, MIN(mi) AS cohort_mi FROM o GROUP BY o_custkey),
+cells AS (
+  SELECT cohort_mi, o.mi - cohort_mi AS month_offset,
+         COUNT(DISTINCT o.o_custkey)::BIGINT AS n_active,
+         COUNT(*)::BIGINT AS n_orders,
+         SUM(cents)::BIGINT AS revenue_cents
+  FROM o JOIN first USING (o_custkey)
+  GROUP BY 1, 2
+)
+SELECT cohort_mi // 12 AS cohort_year,
+       cohort_mi % 12 + 1 AS cohort_month,
+       month_offset, n_active, n_orders, revenue_cents
+FROM cells
+"""
+
+PENDING_QUERIES = {
+    "basket_part_pairs": basket_part_pairs,
+    "basket_association_rules": basket_association_rules,
+    "customer_rfm_segments": customer_rfm_segments,
+    "cohort_monthly_ltv": cohort_monthly_ltv,
+}
+PENDING_ORACLE = {
+    "basket_part_pairs": _SQL_BASKET,
+    "basket_association_rules": _SQL_RULES,
+    "customer_rfm_segments": _SQL_RFM,
+    "cohort_monthly_ltv": _SQL_COHORT,
+}

@@ -238,6 +238,66 @@ def test_pca_residual_energy_accounting(spark, sf_dir):
     assert r.n_vectors.sum() == n
 
 
+def test_association_rule_laws(spark, sf_dir):
+    """Support can never exceed either item support, confidences are
+    PPM-bounded, and lift relates to confidence by the integer identity
+    lift = conf(a->b) * N / sup(b) (checked within truncation slack)."""
+    from cdc_postgresql_clickhouse_spark.queries.tpch_more import (
+        basket_association_rules,
+    )
+
+    r = basket_association_rules(spark, sf_dir).toPandas()
+    assert len(r) > 0
+    assert (r.support <= r[["sup_a", "sup_b"]].min(axis=1)).all()
+    assert ((r.conf_ab_ppm > 0) & (r.conf_ab_ppm <= 1_000_000)).all()
+    assert ((r.conf_ba_ppm > 0) & (r.conf_ba_ppm <= 1_000_000)).all()
+    n_b = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey").distinct().count()
+    )
+    exact = r.support * n_b * 1_000_000 // (r.sup_a * r.sup_b)
+    assert (r.lift_ppm == exact).all()
+
+
+def test_rfm_quintiles_partition_customers(spark, sf_dir):
+    """Every scored customer lands in exactly one quintile per axis, the
+    five buckets are balanced to within one, and a higher r_score never
+    pairs with a strictly larger recency among untied values."""
+    from cdc_postgresql_clickhouse_spark.queries.tpch_more import (
+        customer_rfm_segments,
+    )
+
+    r = customer_rfm_segments(spark, sf_dir).toPandas()
+    n = len(r)
+    for col in ("r_score", "f_score", "m_score"):
+        sizes = r[col].value_counts()
+        assert set(sizes.index) <= {1, 2, 3, 4, 5}
+        assert sizes.max() - sizes.min() <= 1, (col, sizes)
+    assert r.o_custkey.is_unique
+    hi = r[r.r_score == 5].recency_days.max()
+    lo = r[r.r_score == 1].recency_days.min()
+    assert hi <= lo, "score-5 customers must be at least as recent as score-1"
+    assert ((r.rfm_code >= 111) & (r.rfm_code <= 555)).all()
+    assert n == load_table(spark, sf_dir, "orders").select("o_custkey").distinct().count()
+
+
+def test_cohort_matrix_conserves_orders_and_revenue(spark, sf_dir):
+    """Cell n_orders and revenue must sum to the orders table's totals,
+    offset 0 exists for every cohort, and offsets are non-negative."""
+    from cdc_postgresql_clickhouse_spark.queries.tpch_more import cohort_monthly_ltv
+
+    m = cohort_monthly_ltv(spark, sf_dir).toPandas()
+    o = load_table(spark, sf_dir, "orders").select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")).alias("cents"),
+    ).collect()[0]
+    assert m.n_orders.sum() == o.n
+    assert m.revenue_cents.sum() == o.cents
+    assert (m.month_offset >= 0).all()
+    cohorts = m.groupby(["cohort_year", "cohort_month"]).month_offset.min()
+    assert (cohorts == 0).all(), "every cohort starts at offset 0"
+
+
 def test_weighted_sample_favors_heavy_docs(spark, sf_dir):
     """A-ES law: exactly K rows per source (when the source has >= K docs)
     and the sampled docs' mean weight exceeds the population mean — the
