@@ -737,5 +737,163 @@ SELECT doc_id, n_chars_used,
 FROM per
 """
 
-PENDING_QUERIES = {"text_char_entropy": text_char_entropy}
-PENDING_ORACLE = {"text_char_entropy": _SQL_ENTROPY}
+# --- held-out bigram perplexity per source — PENDING round 7 ----------------
+#
+# The LM-quality eval the CCNet/KenLM pipeline actually runs (Wenzek
+# 2020; Heafield 2011): train the add-1-smoothed bigram model ONLY on the
+# train split (the registered content-keyed md5 split), score ONLY the
+# val split, report per-source held-out NLL and the out-of-vocabulary
+# bigram rate. Unlike ``text_bigram_logprob`` (which scores the corpus
+# under its own model), this measures generalization — a source whose
+# held-out NLL far exceeds its in-corpus NLL is memorizing source-local
+# boilerplate. Unseen val bigrams take c12 = 0 (and unseen contexts
+# c1 = 0) via left joins, which add-1 smoothing prices at 1/(c1+V) —
+# exactly the textbook form, no special cases. Integer micro-unit
+# discipline: -ln P floored once per (source, bigram) type on identical
+# doubles, exact integer sums after. Scale shape: one corpus explode to
+# bigram counts (shared grain with the model re-agg), keyed left joins on
+# the bigram/context, V a scalar; nothing corpus-proportional is
+# broadcast or collected.
+
+
+def corpus_bigram_heldout_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    from cdc_postgresql_clickhouse_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    split = F.when(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "1a", "val"
+    ).otherwise("train")
+    tk = docs.select(
+        "doc_id", "source", split.alias("split"), tokens(F.col("text")).alias("t")
+    )
+    toks = F.col("t")
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bgc = (
+        tk.select("source", "split", F.explode(grams).alias("bg"))
+        .groupBy("source", "split", "bg")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    model = (
+        bgc.filter(F.col("split") == "train")
+        .groupBy("bg")
+        .agg(F.sum("cnt").cast("long").alias("c12"))
+    )
+    ctx = (
+        model.select(
+            F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"), "c12"
+        )
+        .groupBy("w1")
+        .agg(F.sum("c12").cast("long").alias("c1"))
+    )
+    vocab = (
+        tk.filter(F.col("split") == "train")
+        .select(F.explode("t").alias("tok"))
+        .agg(F.count_distinct("tok"))
+        .first()[0]
+    )  # scalar: train-split vocabulary size (smoothing denominator)
+    val = (
+        bgc.filter(F.col("split") == "val")
+        .groupBy("source", "bg")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    scored = (
+        val.join(model, "bg", "left")
+        .withColumn("c12", F.coalesce("c12", F.lit(0).cast("long")))
+        .withColumn("w1", F.split_part(F.col("bg"), F.lit(" "), F.lit(1)))
+        .join(ctx, "w1", "left")
+        .withColumn("c1", F.coalesce("c1", F.lit(0).cast("long")))
+    )
+    u = F.floor(
+        -F.log(
+            (F.col("c12") + 1).cast("double")
+            / (F.col("c1") + F.lit(int(vocab))).cast("double")
+        )
+        * F.lit(1000000.0)
+    ).cast("long")
+    per = scored.groupBy("source").agg(
+        F.sum("cnt").cast("long").alias("n_bigrams"),
+        F.sum(F.when(F.col("c12") == 0, F.col("cnt")).otherwise(0))
+        .cast("long")
+        .alias("n_oov_bigrams"),
+        F.sum(F.col("cnt") * u).cast("long").alias("sum_u"),
+    )
+    return per.select(
+        "source",
+        "n_bigrams",
+        "n_oov_bigrams",
+        F.expr("sum_u div n_bigrams").cast("long").alias("heldout_nll2_micro"),
+    )
+
+
+def _heldout_sql() -> str:
+    return f"""
+WITH tk AS (
+  SELECT doc_id, source,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+              THEN 'val' ELSE 'train' END AS split,
+         {_SQL_TOKENS} AS toks
+  FROM documents
+),
+bg AS (
+  SELECT source, split, unnest({_SQL_BIGRAMS}) AS bg FROM tk WHERE len(toks) >= 2
+),
+bgc AS (
+  SELECT source, split, bg, COUNT(*)::BIGINT AS cnt
+  FROM bg GROUP BY source, split, bg
+),
+model AS (
+  SELECT bg, SUM(cnt)::BIGINT AS c12 FROM bgc WHERE split = 'train' GROUP BY bg
+),
+ctx AS (
+  SELECT split_part(bg, ' ', 1) AS w1, SUM(c12)::BIGINT AS c1 FROM model GROUP BY 1
+),
+vocab AS (
+  SELECT COUNT(DISTINCT t) AS v
+  FROM (SELECT unnest(toks) AS t FROM tk WHERE split = 'train')
+),
+val AS (
+  SELECT source, bg, SUM(cnt)::BIGINT AS cnt
+  FROM bgc WHERE split = 'val' GROUP BY source, bg
+),
+scored AS (
+  SELECT v.source, v.cnt,
+         COALESCE(m.c12, 0) AS c12,
+         CAST(FLOOR(-ln(CAST(COALESCE(m.c12, 0) + 1 AS DOUBLE)
+                        / CAST(COALESCE(c.c1, 0) + vb.v AS DOUBLE))
+                    * 1000000.0) AS BIGINT) AS u
+  FROM val v
+  LEFT JOIN model m USING (bg)
+  LEFT JOIN ctx c ON c.w1 = split_part(v.bg, ' ', 1)
+  CROSS JOIN vocab vb
+),
+per AS (
+  SELECT source, SUM(cnt)::BIGINT AS n_bigrams,
+         SUM(CASE WHEN c12 = 0 THEN cnt ELSE 0 END)::BIGINT AS n_oov_bigrams,
+         SUM(cnt * u)::BIGINT AS sum_u
+  FROM scored GROUP BY source
+)
+SELECT source, n_bigrams, n_oov_bigrams,
+       CAST(sum_u // n_bigrams AS BIGINT) AS heldout_nll2_micro
+FROM per
+"""
+
+
+PENDING_QUERIES = {
+    "text_char_entropy": text_char_entropy,
+    "corpus_bigram_heldout_ppl": corpus_bigram_heldout_ppl,
+}
+PENDING_ORACLE = {
+    "text_char_entropy": _SQL_ENTROPY,
+    "corpus_bigram_heldout_ppl": _heldout_sql(),
+}

@@ -238,6 +238,33 @@ def test_pca_residual_energy_accounting(spark, sf_dir):
     assert r.n_vectors.sum() == n
 
 
+def test_heldout_ppl_oov_and_source_coverage(spark, sf_dir):
+    """OOV bigrams are a subset of the val bigrams, NLL is positive (every
+    smoothed probability < 1 given V > 1), and exactly the sources owning
+    a val doc with >= 2 tokens are reported."""
+    from cdc_postgresql_clickhouse_spark.functions.text import tokens
+    from cdc_postgresql_clickhouse_spark.queries.text_ext import (
+        corpus_bigram_heldout_ppl,
+    )
+
+    r = corpus_bigram_heldout_ppl(spark, sf_dir).toPandas()
+    assert len(r) > 0
+    assert ((r.n_oov_bigrams >= 0) & (r.n_oov_bigrams <= r.n_bigrams)).all()
+    assert (r.heldout_nll2_micro > 0).all()
+    docs = load_table(spark, sf_dir, "documents")
+    expect = {
+        row.source
+        for row in docs.filter(
+            (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "1a")
+            & (F.size(tokens(F.col("text"))) >= 2)
+        )
+        .select("source")
+        .distinct()
+        .collect()
+    }
+    assert set(r.source) == expect
+
+
 def test_association_rule_laws(spark, sf_dir):
     """Support can never exceed either item support, confidences are
     PPM-bounded, and lift relates to confidence by the integer identity
