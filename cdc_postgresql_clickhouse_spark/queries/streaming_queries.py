@@ -797,3 +797,47 @@ QUERIES["streaming_scd2_equiv"] = streaming_scd2_equiv
 from cdc_postgresql_clickhouse_spark.queries.cdc import ORACLE as _CDC_ORACLE  # noqa: E402
 
 ORACLE["streaming_scd2_equiv"] = _CDC_ORACLE["cdc_scd2_history"]
+
+
+def streaming_ewma_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained ordered fold: ``events`` split into two
+    micro-batches AT THE MEDIAN TIMESTAMP (every batch-2 row strictly
+    follows every batch-1 row, the ordered-arrival contract a
+    time-partitioned source provides), drained through the batch-id-fenced
+    fold ingest (``streaming/fold.py``), whose per-key accumulator
+    continues the batch fold's exact op sequence — so after the drain the
+    state equals the one-shot ``events_user_ewma`` bit-for-bit and the
+    oracle IS the batch SQL. Demonstrates sink-side exactly-once (fencing)
+    where the sketch rows use order-free merge algebra."""
+    import os
+    import shutil
+    import tempfile
+
+    from cdc_postgresql_clickhouse_spark.streaming.fold import (
+        read_ewma,
+        run_incremental_ewma,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.col("event_id").alias("eid"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
+    )
+    t_med = ev.agg(F.expr("percentile(us, 0.5)")).first()[0]
+    tmp = tempfile.mkdtemp(prefix="stream_ewma_")
+    try:
+        src = os.path.join(tmp, "src")
+        ev.filter(F.col("us") <= t_med).coalesce(1).write.parquet(src)
+        ev.filter(F.col("us") > t_med).coalesce(1).write.mode("append").parquet(src)
+        run_incremental_ewma(
+            spark, src, os.path.join(tmp, "state"), os.path.join(tmp, "ckpt"),
+            max_files_per_trigger=1,
+        )
+        return _materialized(read_ewma(spark, os.path.join(tmp, "state")))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+PENDING_QUERIES = {"streaming_ewma_equiv": streaming_ewma_equiv}
+PENDING_ORACLE = {"streaming_ewma_equiv": _SK_ORACLE["events_user_ewma"]}

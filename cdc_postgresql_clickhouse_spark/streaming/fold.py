@@ -1,0 +1,167 @@
+"""Streaming ordered-fold maintenance: a NON-COMMUTATIVE per-key recurrence
+(the EWMA of ``queries/sketches.py::events_user_ewma``) kept current as
+events arrive — the composition the sketch ingests cannot express: HLL/
+bottom-k/CMS merge by order-free algebra (max / union / sum), a fold does
+not, so replay tolerance must come from the SINK, not the merge.
+
+Design (state-in-the-table, ST3 posture; reference tie-in: the S9 upsert
+sink's merge-newer discipline, clickhouse_schemas.sql:29-37, applied to
+fold state):
+
+- state: ONE row per key — (user_id, n_events, last_us, last_eid, last_c,
+  acc, applied_bid) — laid out in ``__bucket = pmod(xxhash64(user_id), N)``
+  dirs; a micro-batch reads ONLY its keys' buckets (partition pruning),
+  folds each key's sorted batch rows CONTINUING from the stored
+  accumulator (fold associativity over ordered concatenation: the
+  composed fold is literally the batch fold's op sequence, so the result
+  is bit-identical to a one-shot fold of the whole history), and
+  dynamically overwrites exactly the touched buckets.
+- exactly-once: foreachBatch replays deliver the SAME batch id, so every
+  state row carries ``applied_bid`` and the ingest FENCES — if the
+  touched buckets' max applied id >= the incoming id, the batch already
+  landed and the ingest is a no-op. This is the standard idempotent-sink
+  recipe for non-idempotent merges (Structured Streaming programming
+  guide, foreachBatch exactly-once section); a replayed batch touches the
+  same buckets by construction, so the pruned fence is sufficient.
+- ORDERED-ARRIVAL CONTRACT: a fold consumes its stream in order, so every
+  batch row's (us, eid) must exceed the state's (last_us, last_eid) for
+  its key — the contract a time-partitioned source (Kafka per-key order,
+  date-partitioned backfills) provides naturally. Late data would need
+  the SCD2 module's raw-row splice instead; that trade-off is the point
+  of keeping both modules.
+- cost per batch: O(touched buckets + batch). State is one row per key
+  forever — at 100 TB of events, |users| rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_postgresql_clickhouse_spark.operators.state import (
+    _bucket_expr,
+    _state_lock,
+    read_state,
+    write_state,
+)
+
+FOLD_BUCKETS = 8
+_STATE_COLS = (
+    "user_id", "n_events", "last_us", "last_eid", "last_c", "acc", "applied_bid"
+)
+
+
+def _ewma_step(acc, s):
+    """The pinned EWMA op order — identical to the batch fold."""
+    return (acc + s.getField("c")) * F.lit(0.5)
+
+
+def ingest_batch_ewma(
+    spark: SparkSession,
+    batch: DataFrame,
+    state_path: str,
+    batch_id: int,
+    key_buckets: int = FOLD_BUCKETS,
+) -> None:
+    """Fold one micro-batch of (user_id, us, eid, c) rows into the state."""
+    b = batch.select("user_id", "us", "eid", "c")
+    touched = sorted(
+        r[0]
+        for r in b.select(_bucket_expr(("user_id",), key_buckets).alias("bk"))
+        .distinct()
+        .collect()
+    )
+    if not touched:
+        return
+    with _state_lock(state_path):
+        state = read_state(spark, state_path, buckets=touched)
+        if state is not None:
+            # eager: the dynamic overwrite below must never read its input
+            state = state.select(*_STATE_COLS).localCheckpoint(eager=True)
+            fence = state.agg(F.max("applied_bid")).first()[0]
+            if fence is not None and int(batch_id) <= int(fence):
+                return  # at-least-once replay: batch already applied
+        arr = b.groupBy("user_id").agg(
+            F.sort_array(
+                F.collect_list(F.struct("us", "eid", "c"))
+            ).alias("a")
+        )
+        if state is None:
+            joined = arr.select(
+                "user_id", "a",
+                *(F.lit(None).cast("long").alias(c) for c in _STATE_COLS[1:-2]),
+                F.lit(None).cast("double").alias("acc"),
+                F.lit(None).cast("long").alias("applied_bid"),
+            )
+        else:
+            joined = arr.join(state, "user_id", "full_outer")
+        a = F.col("a")
+        seeded = F.aggregate(a, F.col("acc"), _ewma_step)
+        fresh = F.aggregate(
+            F.slice(a, 2, F.greatest(F.size(a) - 1, F.lit(0))),
+            F.element_at(a, 1).getField("c").cast("double"),
+            _ewma_step,
+        )
+        new_acc = (
+            F.when(a.isNull(), F.col("acc"))
+            .when(F.col("acc").isNotNull(), seeded)
+            .otherwise(fresh)
+        )
+        batch_n = F.when(a.isNull(), F.lit(0)).otherwise(F.size(a)).cast("long")
+        out = joined.select(
+            "user_id",
+            (F.coalesce(F.col("n_events"), F.lit(0)) + batch_n)
+            .cast("long").alias("n_events"),
+            F.when(a.isNull(), F.col("last_us"))
+            .otherwise(F.element_at(a, -1).getField("us"))
+            .cast("long").alias("last_us"),
+            F.when(a.isNull(), F.col("last_eid"))
+            .otherwise(F.element_at(a, -1).getField("eid"))
+            .cast("long").alias("last_eid"),
+            F.when(a.isNull(), F.col("last_c"))
+            .otherwise(F.element_at(a, -1).getField("c"))
+            .cast("long").alias("last_c"),
+            new_acc.alias("acc"),
+            F.lit(int(batch_id)).cast("long").alias("applied_bid"),
+        )
+        write_state(
+            out,
+            state_path,
+            key_buckets=key_buckets,
+            key_cols=("user_id",),
+            dynamic_overwrite=True,
+        )
+
+
+def read_ewma(spark: SparkSession, state_path: str) -> DataFrame | None:
+    """The maintained fold state, in the batch row's output shape."""
+    st = read_state(spark, state_path)
+    if st is None:
+        return None
+    return st.select(
+        "user_id",
+        "n_events",
+        F.col("last_c").alias("last_cents"),
+        F.col("acc").alias("ewma_cents"),
+    )
+
+
+def run_incremental_ewma(
+    spark: SparkSession,
+    src_dir: str,
+    state_path: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Drain ``src_dir`` (parquet files of (user_id, us, eid, c) rows,
+    time-ordered across files per the ordered-arrival contract) through
+    the fold ingest with an availableNow trigger."""
+    from cdc_postgresql_clickhouse_spark.streaming.sketch import _drain
+
+    _drain(
+        spark,
+        src_dir,
+        lambda b, i: ingest_batch_ewma(spark, b, state_path, i),
+        checkpoint_dir,
+        max_files_per_trigger,
+    )

@@ -15,12 +15,12 @@ from tests.oracle_harness import compare, duckdb_con
 
 def _pending():
     from cdc_postgresql_clickhouse_spark.queries import (
-        cdc, events, graph, pca, quality, search, sketches, text, text_ext, tokenizer, tpch_ext,
-        tpch_more, training, quality,
+        cdc, events, graph, pca, quality, search, sketches, streaming_queries, text,
+        text_ext, tokenizer, tpch_ext, tpch_more, training,
     )
 
     out = {}
-    for m in (tokenizer, cdc, search, sketches, graph, text_ext, pca, tpch_ext, events, tpch_more, training, quality, text):
+    for m in (tokenizer, cdc, search, sketches, graph, text_ext, pca, tpch_ext, events, tpch_more, training, quality, text, streaming_queries):
         q = getattr(m, "PENDING_QUERIES", {})
         o = getattr(m, "PENDING_ORACLE", {})
         assert set(q) == set(o), "pending query without oracle twin"

@@ -1,0 +1,84 @@
+"""Streaming ordered-fold laws beyond the oracle equivalence row: the
+batch-id fence makes replay a no-op, a 3-way time split still equals the
+one-shot fold bit-for-bit, and new keys appearing mid-stream seed
+correctly."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from cdc_postgresql_clickhouse_spark.queries.sketches import events_user_ewma
+from cdc_postgresql_clickhouse_spark.sources.registry import load_table
+from cdc_postgresql_clickhouse_spark.streaming.fold import (
+    ingest_batch_ewma,
+    read_ewma,
+)
+
+
+def _rows(spark, sf_dir):
+    return load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.col("event_id").alias("eid"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
+    )
+
+
+def _canon(df) -> pd.DataFrame:
+    return (
+        df.toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)[["user_id", "n_events", "last_cents", "ewma_cents"]]
+    )
+
+
+def test_three_way_time_split_matches_batch_fold(spark, sf_dir):
+    """Terciles of the timestamp range as three ordered ingests: the
+    maintained state must equal the one-shot fold bit-for-bit, including
+    users whose first event arrives only in batch 2 or 3 (mid-stream
+    seeding)."""
+    ev = _rows(spark, sf_dir)
+    t1, t2 = ev.agg(
+        F.expr("percentile(us, 0.3333)"), F.expr("percentile(us, 0.6667)")
+    ).first()
+    parts = [
+        ev.filter(F.col("us") <= t1),
+        ev.filter((F.col("us") > t1) & (F.col("us") <= t2)),
+        ev.filter(F.col("us") > t2),
+    ]
+    tmp = tempfile.mkdtemp(prefix="fold_law_")
+    try:
+        state = f"{tmp}/state"
+        for i, p in enumerate(parts):
+            ingest_batch_ewma(spark, p, state, batch_id=i)
+        got = _canon(read_ewma(spark, state))
+        want = _canon(events_user_ewma(spark, sf_dir))
+        pd.testing.assert_frame_equal(got, want)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_replay_fence_is_noop(spark, sf_dir):
+    """Re-ingesting an already-applied batch id (at-least-once replay)
+    must leave the state byte-identical — the fold is NOT idempotent, so
+    this is exactly what the fence exists to guarantee."""
+    ev = _rows(spark, sf_dir)
+    t_med = ev.agg(F.expr("percentile(us, 0.5)")).first()[0]
+    b1 = ev.filter(F.col("us") <= t_med)
+    b2 = ev.filter(F.col("us") > t_med)
+    tmp = tempfile.mkdtemp(prefix="fold_fence_")
+    try:
+        state = f"{tmp}/state"
+        ingest_batch_ewma(spark, b1, state, batch_id=0)
+        ingest_batch_ewma(spark, b2, state, batch_id=1)
+        before = _canon(read_ewma(spark, state))
+        ingest_batch_ewma(spark, b2, state, batch_id=1)  # replay
+        ingest_batch_ewma(spark, b1, state, batch_id=0)  # stale replay
+        after = _canon(read_ewma(spark, state))
+        pd.testing.assert_frame_equal(after, before)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
