@@ -537,5 +537,70 @@ SELECT user_id, event_type AS last_event_type, value AS last_value
 FROM state WHERE event_type <> 'error'
 """
 
-PENDING_QUERIES = {"cdc_pk_change_state": cdc_pk_change_state}
-PENDING_ORACLE = {"cdc_pk_change_state": _SQL_PK_CHANGE}
+# --- as-of (time-travel) state read — PENDING round 7 -----------------------
+#
+# The state table AS OF an epoch T — the time-travel read every versioned
+# store offers (Delta VERSION AS OF, the reference's keep-every-version
+# posture clickhouse_schemas.sql:50-56 exists to serve): per key, the
+# latest change with es <= T, tombstones visible (R1 semantics, same as
+# ``cdc_current_state``). T is a pure integer scalar derived from the
+# corpus itself ((min_es + max_es) div 2) so both engines pick the same
+# instant with no float interpolation. Scale shape: the es <= T filter
+# prunes BEFORE the shuffle (at real scale it prunes date partitions),
+# then the same map-side max_by as current_state. The law test pins
+# consistency with the SCD2 interval form: this row equals
+# ``cdc_scd2_history`` filtered to valid_from_es <= T < valid_to_es.
+
+
+def cdc_state_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "value",
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("es"),
+    )
+    lo, hi = ev.agg(F.min("es"), F.max("es")).first()
+    t_asof = (int(lo) + int(hi)) // 2
+    upto = ev.filter(F.col("es") <= F.lit(t_asof))
+    latest = (
+        upto.groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("event_id", "event_type", "value"),
+                F.struct("es", "event_id"),
+            ).alias("__r")
+        )
+        .select("user_id", "__r.*")
+    )
+    return latest.select(
+        "user_id",
+        F.lit(t_asof).cast("long").alias("asof_es"),
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
+_SQL_ASOF = """
+WITH ev AS (
+  SELECT user_id, event_id, event_type, value,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS es
+  FROM events
+),
+t AS (SELECT (MIN(es) + MAX(es)) // 2 AS t_asof FROM ev),
+upto AS (SELECT ev.* FROM ev CROSS JOIN t WHERE ev.es <= t.t_asof)
+SELECT user_id,
+       (SELECT t_asof FROM t) AS asof_es,
+       event_id AS last_event_id,
+       event_type AS last_event_type,
+       value AS last_value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY es DESC, event_id DESC) AS rn
+      FROM upto) WHERE rn = 1
+"""
+
+PENDING_QUERIES = {
+    "cdc_pk_change_state": cdc_pk_change_state,
+    "cdc_state_asof": cdc_state_asof,
+}
+PENDING_ORACLE = {
+    "cdc_pk_change_state": _SQL_PK_CHANGE,
+    "cdc_state_asof": _SQL_ASOF,
+}

@@ -841,3 +841,62 @@ def streaming_ewma_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PENDING_QUERIES = {"streaming_ewma_equiv": streaming_ewma_equiv}
 PENDING_ORACLE = {"streaming_ewma_equiv": _SK_ORACLE["events_user_ewma"]}
+
+
+def streaming_retraction_mv_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained grouped aggregate with RETRACTIONS
+    (``streaming/mv.py``): ``events`` split into micro-batches by EVENT
+    parity — deliberately out of order, so batch 2 delivers changes both
+    newer and older than batch 1's per-key state; stale rows must lose the
+    version arg-max and produce no delta, updates must retract their old
+    group's contribution, tombstones must retract without adding. After
+    the drain the MV table equals the batch group-by over the
+    soft-deleted current state — changelog semantics (Flink retract
+    streams) as a driver row, the case the append-only windowed MVs never
+    face."""
+    import os
+    import shutil
+    import tempfile
+
+    from cdc_postgresql_clickhouse_spark.streaming.mv import (
+        read_mv,
+        run_incremental_mv,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.col("event_id").alias("eid"),
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_mv_")
+    try:
+        src = os.path.join(tmp, "src")
+        ev.filter(F.col("eid") % 2 == 0).coalesce(1).write.parquet(src)
+        ev.filter(F.col("eid") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+        run_incremental_mv(
+            spark, src, os.path.join(tmp, "state"), os.path.join(tmp, "ckpt"),
+            max_files_per_trigger=1,
+        )
+        return _materialized(read_mv(spark, os.path.join(tmp, "state")))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_SQL_RETRACTION_MV = """
+WITH latest AS (
+  SELECT user_id, event_type,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) WHERE rn = 1
+)
+SELECT event_type AS last_event_type,
+       COUNT(*)::BIGINT AS n_users,
+       SUM(cents)::BIGINT AS sum_cents
+FROM latest WHERE event_type <> 'error'
+GROUP BY 1
+"""
+
+PENDING_QUERIES["streaming_retraction_mv_equiv"] = streaming_retraction_mv_equiv
+PENDING_ORACLE["streaming_retraction_mv_equiv"] = _SQL_RETRACTION_MV

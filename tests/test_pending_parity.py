@@ -114,6 +114,31 @@ def test_pk_change_moves_rows_across_keyspace(spark, sf_dir):
         assert st.loc[u, "last_value"] == base.loc[u, "last_value"]
 
 
+def test_asof_read_equals_scd2_interval_filter(spark, sf_dir):
+    """Time-travel consistency law: the as-of read must equal the SCD2
+    history filtered to valid_from_es <= T < valid_to_es (open intervals
+    count) — the two encodings of 'state at T' cannot disagree."""
+    from cdc_postgresql_clickhouse_spark.queries.cdc import (
+        cdc_scd2_history,
+        cdc_state_asof,
+    )
+
+    asof = cdc_state_asof(spark, sf_dir).toPandas()
+    t = asof.asof_es.iloc[0]
+    assert (asof.asof_es == t).all()
+    hist = cdc_scd2_history(spark, sf_dir).toPandas()
+    want = hist[
+        (hist.valid_from_es <= t)
+        & (hist.valid_to_es.isna() | (hist.valid_to_es > t))
+    ]
+    got = asof.sort_values("user_id").reset_index(drop=True)
+    want = want.sort_values("user_id").reset_index(drop=True)
+    assert list(got.user_id) == list(want.user_id)
+    assert list(got.last_event_id) == list(want.event_id)
+    assert list(got.last_event_type) == list(want.event_type)
+    assert list(got.last_value) == list(want.value)
+
+
 def test_cusum_drawdown_identity_matches_recurrence(spark, sf_dir):
     """The window formulation must equal the textbook recurrence
     S_t = max(0, S_{t-1} + (c_t - target)) replayed in Python per type —
