@@ -814,3 +814,89 @@ FROM agg
 
 PENDING_QUERIES["events_burstiness"] = events_burstiness
 PENDING_ORACLE["events_burstiness"] = ORACLE_BURSTINESS
+
+
+# --- capped sessionization — PENDING round 7 --------------------------------
+#
+# Gap + MAX-DURATION sessionization: a session closes on a 30-min gap OR
+# when it has run 2 hours since ITS OWN START — the cap every production
+# sessionizer applies to runaway sessions (bots, idle heartbeats). The
+# cap makes the rule genuinely SEQUENTIAL: a boundary depends on the
+# current session's start, which depends on all earlier boundaries, so no
+# window/lag formulation exists (the gap-only rule is the classic
+# lag+cumsum; the capped rule is the registry's ordered-fold device with
+# an all-integer [prev_es, session_start, n_capped, n_gap] accumulator —
+# exact in both engines, no floats anywhere). The gap-only count rides in
+# the same fold and is law-pinned equal to the window-based
+# ``events_sessionize`` session count per user.
+
+SESS_GAP_S = 1800
+SESS_CAP_S = 7200
+
+
+def events_sessionize_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.struct(
+            F.floor(F.unix_timestamp("ts")).cast("long").alias("es"),
+            F.col("event_id").alias("eid"),
+        ).alias("s"),
+    )
+    arr = ev.groupBy("user_id").agg(F.sort_array(F.collect_list("s")).alias("a"))
+    e1 = F.element_at("a", 1).getField("es")
+
+    def step(acc, s):
+        es = s.getField("es")
+        capped = (es - F.element_at(acc, 1) > SESS_GAP_S) | (
+            es - F.element_at(acc, 2) > SESS_CAP_S
+        )
+        gap = es - F.element_at(acc, 1) > SESS_GAP_S
+        return F.array(
+            es,
+            F.when(capped, es).otherwise(F.element_at(acc, 2)),
+            F.element_at(acc, 3) + F.when(capped, 1).otherwise(0),
+            F.element_at(acc, 4) + F.when(gap, 1).otherwise(0),
+        )
+
+    folded = F.aggregate(
+        F.slice(F.col("a"), 2, F.greatest(F.size("a") - 1, F.lit(0))),
+        F.array(e1, e1, F.lit(1).cast("long"), F.lit(1).cast("long")),
+        step,
+    )
+    return arr.select(
+        "user_id",
+        F.size("a").cast("long").alias("n_events"),
+        F.element_at(folded, 4).cast("long").alias("n_sessions_gap"),
+        F.element_at(folded, 3).cast("long").alias("n_sessions_capped"),
+    )
+
+
+ORACLE_SESS_CAPPED = f"""
+WITH d AS (
+  SELECT user_id,
+         {{'es': CAST(FLOOR(epoch(ts)) AS BIGINT), 'eid': event_id}} AS s
+  FROM events
+),
+arr AS (SELECT user_id, list_sort(list(s)) AS a FROM d GROUP BY user_id),
+st AS (
+  SELECT user_id, len(a)::BIGINT AS n_events,
+    list_reduce(
+      list_prepend([a[1].es, a[1].es, CAST(1 AS BIGINT), CAST(1 AS BIGINT)],
+                   list_transform(a[2:], x -> [x.es, 0, 0, 0])),
+      (acc, x) -> [x[1],
+                   CASE WHEN x[1] - acc[1] > {SESS_GAP_S}
+                          OR x[1] - acc[2] > {SESS_CAP_S}
+                        THEN x[1] ELSE acc[2] END,
+                   acc[3] + CASE WHEN x[1] - acc[1] > {SESS_GAP_S}
+                                   OR x[1] - acc[2] > {SESS_CAP_S}
+                                 THEN 1 ELSE 0 END,
+                   acc[4] + CASE WHEN x[1] - acc[1] > {SESS_GAP_S}
+                                 THEN 1 ELSE 0 END]) AS v
+  FROM arr
+)
+SELECT user_id, n_events, v[4] AS n_sessions_gap, v[3] AS n_sessions_capped
+FROM st
+"""
+
+PENDING_QUERIES["events_sessionize_capped"] = events_sessionize_capped
+PENDING_ORACLE["events_sessionize_capped"] = ORACLE_SESS_CAPPED

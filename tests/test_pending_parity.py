@@ -223,6 +223,62 @@ def test_holt_linear_matches_recurrence(spark, sf_dir):
         assert got.forecast_cents == l + b
 
 
+def test_capped_sessionize_laws(spark, sf_dir):
+    """The fold equals the Python recurrence per user, the embedded
+    gap-only count equals the window-based events_sessionize session
+    count, and the cap can only split sessions (capped >= gap)."""
+    from cdc_postgresql_clickhouse_spark.queries.events import (
+        SESS_CAP_S,
+        SESS_GAP_S,
+        events_sessionize,
+        events_sessionize_capped,
+    )
+
+    out = {r.user_id: r for r in events_sessionize_capped(spark, sf_dir).collect()}
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.floor(F.unix_timestamp("ts")).cast("long").alias("es"),
+            "event_id",
+        )
+        .collect()
+    )
+    from collections import defaultdict
+
+    streams = defaultdict(list)
+    for r in ev:
+        streams[r.user_id].append((r.es, r.event_id))
+    assert set(out) == set(streams)
+    for u, rows in streams.items():
+        rows.sort()
+        es = [e for e, _ in rows]
+        prev = start = es[0]
+        n_cap = n_gap = 1
+        for x in es[1:]:
+            capped = (x - prev > SESS_GAP_S) or (x - start > SESS_CAP_S)
+            if capped:
+                start = x
+                n_cap += 1
+            if x - prev > SESS_GAP_S:
+                n_gap += 1
+            prev = x
+        got = out[u]
+        assert (got.n_events, got.n_sessions_gap, got.n_sessions_capped) == (
+            len(es), n_gap, n_cap,
+        ), u
+        assert got.n_sessions_capped >= got.n_sessions_gap
+    window_counts = {
+        r.user_id: r.n
+        for r in events_sessionize(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for u, r in out.items():
+        assert r.n_sessions_gap == window_counts[u], u
+
+
 def test_modularity_accounting_laws(spark, sf_dir):
     """Node counts partition the graph's node set, internal weight never
     exceeds half the community's degree mass, and total Q is in
