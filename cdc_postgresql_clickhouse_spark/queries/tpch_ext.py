@@ -696,5 +696,97 @@ SELECT o_orderstatus, CAST(decile AS BIGINT) AS decile,
 FROM r GROUP BY o_orderstatus, decile
 """
 
-PENDING_QUERIES = {"window_rank_profile": window_rank_profile}
-PENDING_ORACLE = {"window_rank_profile": _SQL_RANK_PROFILE}
+# --- one-pass column profiler — PENDING round 7 -----------------------------
+#
+# The ANALYZE/data-profiling operator every engine ships: per column of
+# ``orders`` — row count, null count, exact distinct count, min/max, and
+# the deterministic mode (most frequent value, ties to the larger value)
+# with its frequency. The scale-relevant design point: N columns profile
+# in ONE scan — each row explodes to N (col_name, canonical_repr) pairs
+# and every statistic is a keyed agg over that long grain, instead of N
+# per-column scans/shuffles. Numeric columns render as zero-padded
+# fixed-width strings so string MIN/MAX agrees with numeric order in
+# both engines; money goes through exact cents, timestamps through epoch
+# seconds.
+
+_PROFILE_PAD = 12
+
+
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+
+    def num(c):
+        return F.lpad(c.cast("long").cast("string"), _PROFILE_PAD, "0")
+
+    pairs = F.array(
+        F.struct(F.lit("o_orderkey").alias("col_name"), num(F.col("o_orderkey")).alias("v")),
+        F.struct(F.lit("o_custkey").alias("col_name"), num(F.col("o_custkey")).alias("v")),
+        F.struct(F.lit("o_orderstatus").alias("col_name"), F.col("o_orderstatus").alias("v")),
+        F.struct(
+            F.lit("o_totalprice").alias("col_name"),
+            num(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))).alias("v"),
+        ),
+        F.struct(
+            F.lit("o_orderdate").alias("col_name"),
+            num(F.floor(F.unix_timestamp("o_orderdate"))).alias("v"),
+        ),
+        F.struct(F.lit("o_orderpriority").alias("col_name"), F.col("o_orderpriority").alias("v")),
+    )
+    long = o.select(F.explode(pairs).alias("e")).select("e.*")
+    g = long.groupBy("col_name", "v").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    return g.groupBy("col_name").agg(
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("v").isNull(), F.col("cnt")).otherwise(0))
+        .cast("long").alias("n_null"),
+        F.count(F.when(F.col("v").isNotNull(), 1)).cast("long").alias("n_distinct"),
+        F.min("v").alias("min_repr"),
+        F.max("v").alias("max_repr"),
+        F.max_by("v", F.struct("cnt", "v")).alias("mode_repr"),
+        F.max("cnt").cast("long").alias("mode_count"),
+    )
+
+
+_SQL_PROFILE = f"""
+WITH long AS (
+  SELECT 'o_orderkey' AS col_name, lpad(CAST(o_orderkey AS VARCHAR), {_PROFILE_PAD}, '0') AS v FROM orders
+  UNION ALL
+  SELECT 'o_custkey', lpad(CAST(o_custkey AS VARCHAR), {_PROFILE_PAD}, '0') FROM orders
+  UNION ALL
+  SELECT 'o_orderstatus', o_orderstatus FROM orders
+  UNION ALL
+  SELECT 'o_totalprice',
+         lpad(CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR), {_PROFILE_PAD}, '0')
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderdate',
+         lpad(CAST(CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) AS VARCHAR), {_PROFILE_PAD}, '0')
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderpriority', o_orderpriority FROM orders
+),
+g AS (SELECT col_name, v, COUNT(*)::BIGINT AS cnt FROM long GROUP BY col_name, v),
+ranked AS (
+  SELECT col_name, v, cnt,
+         row_number() OVER (PARTITION BY col_name ORDER BY cnt DESC, v DESC) AS rn
+  FROM g WHERE v IS NOT NULL
+)
+SELECT g.col_name,
+       SUM(g.cnt)::BIGINT AS n_rows,
+       SUM(CASE WHEN g.v IS NULL THEN g.cnt ELSE 0 END)::BIGINT AS n_null,
+       COUNT(CASE WHEN g.v IS NOT NULL THEN 1 END)::BIGINT AS n_distinct,
+       MIN(g.v) AS min_repr,
+       MAX(g.v) AS max_repr,
+       MAX(CASE WHEN r.rn = 1 THEN r.v END) AS mode_repr,
+       MAX(g.cnt)::BIGINT AS mode_count
+FROM g LEFT JOIN ranked r ON r.col_name = g.col_name AND r.v = g.v AND r.rn = 1
+GROUP BY g.col_name
+"""
+
+PENDING_QUERIES = {
+    "window_rank_profile": window_rank_profile,
+    "profile_orders_columns": profile_orders_columns,
+}
+PENDING_ORACLE = {
+    "window_rank_profile": _SQL_RANK_PROFILE,
+    "profile_orders_columns": _SQL_PROFILE,
+}

@@ -223,6 +223,31 @@ def test_holt_linear_matches_recurrence(spark, sf_dir):
         assert got.forecast_cents == l + b
 
 
+def test_profile_matches_per_column_truth(spark, sf_dir):
+    """The one-pass long-grain profile must agree with direct per-column
+    aggregates: n_rows, distinct counts, and that the mode's frequency is
+    the max group count."""
+    from cdc_postgresql_clickhouse_spark.queries.tpch_ext import (
+        profile_orders_columns,
+    )
+
+    p = profile_orders_columns(spark, sf_dir).toPandas().set_index("col_name")
+    o = load_table(spark, sf_dir, "orders")
+    n = o.count()
+    assert (p.n_rows == n).all() and (p.n_null == 0).all()
+    assert len(p) == 6
+    for col in ("o_orderkey", "o_orderstatus", "o_orderpriority"):
+        assert p.loc[col, "n_distinct"] == o.select(col).distinct().count()
+    top = (
+        o.groupBy("o_orderpriority").count()
+        .orderBy(F.desc("count"), F.desc("o_orderpriority")).first()
+    )
+    assert p.loc["o_orderpriority", "mode_repr"] == top[0]
+    assert p.loc["o_orderpriority", "mode_count"] == top[1]
+    assert (p.mode_count <= p.n_rows).all()
+    assert (p.min_repr <= p.max_repr).all()
+
+
 def test_capped_sessionize_laws(spark, sf_dir):
     """The fold equals the Python recurrence per user, the embedded
     gap-only count equals the window-based events_sessionize session
