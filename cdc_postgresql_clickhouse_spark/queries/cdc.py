@@ -596,11 +596,103 @@ FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY es DESC, event_
       FROM upto) WHERE rn = 1
 """
 
+# --- dead-letter classification report — PENDING round 7 --------------------
+#
+# The DLQ split (T3/S11, ``sources/envelope.py::decode_json_envelopes_with_dlq``,
+# the quarantine posture the reference's Kafka Connect error-tolerance
+# setting only drops, debezium_configuration.json) driven end-to-end as a
+# driver row: events render to REAL Debezium envelope JSON, a
+# deterministic seventh of them is corrupted two ways — truncated bytes
+# (unparseable) and a missing op code (parseable but dead) — the stream
+# runs through the production decode-with-DLQ split, and the report
+# counts records per op with the dead letters as one quarantine bucket.
+# The oracle never touches JSON: the corruption and the op assignment are
+# pure event_id arithmetic, so ground truth is a CASE expression — which
+# is exactly what makes this a real test of the decoder (the Spark side
+# must RECOVER the planted classification from the bytes).
+
+
+def cdc_dlq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_postgresql_clickhouse_spark.sources.envelope import (
+        decode_json_envelopes_with_dlq,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type") == "error", F.lit("d"))
+        .when(F.col("event_id") % 3 == 0, F.lit("c"))
+        .otherwise(F.lit("u"))
+    )
+    micros = F.unix_micros("ts")
+    row_img = F.struct(
+        F.col("user_id").alias("id"),
+        F.concat(F.lit("BK"), F.col("event_id")).alias("booking_id"),
+        F.col("event_type").alias("status"),
+        F.lit(False).alias("is_deleted"),
+        F.lit(False).alias("is_canceled"),
+        micros.alias("created_at"),
+        micros.alias("modified_at"),
+    )
+    full = F.to_json(
+        F.struct(
+            F.lit(None).cast(ROW_SCHEMA_JSON).alias("before"),
+            row_img.alias("after"),
+            op.alias("op"),
+            F.unix_millis("ts").alias("ts_ms"),
+            F.struct(
+                F.concat(F.lit("seq-"), F.col("event_id")).alias("sequence"),
+                F.col("event_id").alias("lsn"),
+            ).alias("source"),
+        )
+    )
+    no_op = F.to_json(
+        F.struct(
+            row_img.alias("after"),
+            F.unix_millis("ts").alias("ts_ms"),
+        )
+    )
+    value = (
+        F.when(
+            F.col("event_id") % 13 == 0,
+            F.substring(full, 1, F.length(full) - 5),  # truncated bytes
+        )
+        .when(F.col("event_id") % 13 == 1, no_op)  # parseable, no op code
+        .otherwise(full)
+    )
+    raw = ev.select(value.alias("value"))
+    valid, dead = decode_json_envelopes_with_dlq(raw)
+    per_op = valid.groupBy("op").agg(F.count(F.lit(1)).cast("long").alias("n_records"))
+    dlq = dead.agg(F.count(F.lit(1)).cast("long").alias("n_records")).select(
+        F.lit("__dlq__").alias("op"), "n_records"
+    )
+    return per_op.unionByName(dlq)
+
+
+# JSON null-before needs the row type spelled as a DDL string
+ROW_SCHEMA_JSON = (
+    "struct<id:bigint,booking_id:string,status:string,is_deleted:boolean,"
+    "is_canceled:boolean,created_at:bigint,modified_at:bigint>"
+)
+
+
+_SQL_DLQ = """
+WITH cls AS (
+  SELECT CASE WHEN event_id % 13 = 0 OR event_id % 13 = 1 THEN '__dlq__'
+              WHEN event_type = 'error' THEN 'd'
+              WHEN event_id % 3 = 0 THEN 'c'
+              ELSE 'u' END AS op
+  FROM events
+)
+SELECT op, COUNT(*)::BIGINT AS n_records FROM cls GROUP BY op
+"""
+
 PENDING_QUERIES = {
     "cdc_pk_change_state": cdc_pk_change_state,
     "cdc_state_asof": cdc_state_asof,
+    "cdc_dlq_report": cdc_dlq_report,
 }
 PENDING_ORACLE = {
     "cdc_pk_change_state": _SQL_PK_CHANGE,
     "cdc_state_asof": _SQL_ASOF,
+    "cdc_dlq_report": _SQL_DLQ,
 }
