@@ -323,5 +323,108 @@ FROM per
 """
 
 
-PENDING_QUERIES = {"quality_lang_mix_matrix": quality_lang_mix_matrix}
-PENDING_ORACLE = {"quality_lang_mix_matrix": _sql_mix_matrix()}
+# --- robust per-source outlier docs — PENDING round 7 -----------------------
+#
+# Hampel-style outlier listing at DOCUMENT grain: per source, the docs
+# whose token count deviates from the source median by more than
+# 2.4 x MAD. The cutoff is a NAMED TUNABLE: the textbook normal-data
+# value is 3/0.6745 = 4.4478 (the events MAD row uses it), but this
+# corpus's length law is uniform — max |dev|/MAD is ~2.6-4.4 depending
+# on scale — so 2.4 is the setting that actually partitions at every
+# shipped SF (26/34/11 outliers at sf0.001/0.01/0.1); the operator's
+# job is the robust length gate a
+# curation pipeline runs per source because sources have wildly different
+# length regimes (a normal doc for one source is an outlier for another).
+# Same integer discipline as the MAD row: median on 2x-scaled counts
+# (half-units make even-count midpoints integers), MAD on 4x, the cutoff
+# as integer cross-multiplication — zero doubles anywhere. Two keyed aggs
+# + a keyed join back; output is the outlier docs only.
+
+_OUT_NUM = 24000  # 2.4 * MAD, scaled by 10^4
+_OUT_DEN = 20000  # x is in half-units vs MAD in quarter-units: 2 * 10^4
+
+
+def quality_outlier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(tokens(F.col("text"))).cast("long").alias("n_tok")
+    )
+    w = Window.partitionBy("source").orderBy("n_tok", "doc_id")
+    r = docs.select(
+        "*",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("n"),
+    )
+    med = r.groupBy("source").agg(
+        (
+            F.sum(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("n_tok")))
+            + F.sum(F.when(F.col("rn") == F.expr("n div 2 + 1"), F.col("n_tok")))
+        ).cast("long").alias("med_ht")
+    )
+    dev = docs.join(med, "source").select(
+        "*", F.abs(F.col("n_tok") * 2 - F.col("med_ht")).alias("ad_ht")
+    )
+    w2 = Window.partitionBy("source").orderBy("ad_ht", "doc_id")
+    r2 = dev.select(
+        "*",
+        F.row_number().over(w2).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("n"),
+    )
+    madf = r2.groupBy("source").agg(
+        (
+            F.sum(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("ad_ht")))
+            + F.sum(F.when(F.col("rn") == F.expr("n div 2 + 1"), F.col("ad_ht")))
+        ).cast("long").alias("mad_qt")
+    )
+    scored = dev.join(madf, "source")
+    return scored.filter(
+        F.col("ad_ht") * _OUT_DEN > F.col("mad_qt") * _OUT_NUM
+    ).select("source", "doc_id", "n_tok", "med_ht", "mad_qt")
+
+
+_SQL_OUTLIER_DOCS = f"""
+WITH d AS (
+  SELECT doc_id, source, CAST(len({_SQL_TOKENS}) AS BIGINT) AS n_tok
+  FROM documents
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY source ORDER BY n_tok, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM d
+),
+med AS (
+  SELECT source,
+         CAST(SUM(CASE WHEN rn = (n + 1) // 2 THEN n_tok END)
+              + SUM(CASE WHEN rn = n // 2 + 1 THEN n_tok END) AS BIGINT) AS med_ht
+  FROM r GROUP BY source
+),
+dev AS (
+  SELECT d.doc_id, d.source, d.n_tok, med.med_ht,
+         abs(d.n_tok * 2 - med.med_ht) AS ad_ht
+  FROM d JOIN med USING (source)
+),
+r2 AS (
+  SELECT *, row_number() OVER (PARTITION BY source ORDER BY ad_ht, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM dev
+),
+madf AS (
+  SELECT source,
+         CAST(SUM(CASE WHEN rn = (n + 1) // 2 THEN ad_ht END)
+              + SUM(CASE WHEN rn = n // 2 + 1 THEN ad_ht END) AS BIGINT) AS mad_qt
+  FROM r2 GROUP BY source
+)
+SELECT dev.source, dev.doc_id, dev.n_tok, dev.med_ht, madf.mad_qt
+FROM dev JOIN madf USING (source)
+WHERE dev.ad_ht * {_OUT_DEN} > madf.mad_qt * {_OUT_NUM}
+"""
+
+PENDING_QUERIES = {
+    "quality_lang_mix_matrix": quality_lang_mix_matrix,
+    "quality_outlier_docs": quality_outlier_docs,
+}
+PENDING_ORACLE = {
+    "quality_lang_mix_matrix": _sql_mix_matrix(),
+    "quality_outlier_docs": _SQL_OUTLIER_DOCS,
+}
