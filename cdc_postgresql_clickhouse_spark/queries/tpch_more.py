@@ -712,15 +712,101 @@ SELECT cohort_mi // 12 AS cohort_year,
 FROM cells
 """
 
+# --- fuzzy record linkage (SymSpell deletion-neighborhood join) — PENDING r7
+#
+# Near-duplicate NAME pairs within edit distance <= 2 — the record-linkage
+# / entity-resolution primitive (dirty catalogs, vendor name matching).
+# The naive plan is the O(n²) all-pairs levenshtein cross join; the scale
+# plan is the SymSpell identity (Garbe 2012): ed(s,t) <= k implies s and
+# t share a common variant reachable by <= k character DELETIONS from
+# each — so candidates come from an EQUI-join on exploded deletion
+# variants (O(L²) variants per distinct name, L bounded), and the exact
+# levenshtein filter verifies the superset afterwards. Work runs at
+# DISTINCT-name grain (the right grain: a 100 TB catalog dedups its name
+# dictionary, not its rows), and the variant expression is one SQL string
+# shared verbatim by both engines.
+
+FUZZY_K = 2
+
+_VARIANTS_SQL = (
+    "array_distinct(concat("
+    " array({c}),"
+    " transform(sequence(1, length({c})), i ->"
+    "   concat(substring({c}, 1, i-1), substring({c}, i+1, length({c})))),"
+    " flatten(transform(sequence(1, length({c})), i ->"
+    "   transform(sequence(i+1, length({c})), j ->"
+    "     concat(substring({c}, 1, i-1), substring({c}, i+1, j-i-1),"
+    "            substring({c}, j+1, length({c}))))))"
+    "))"
+)
+
+
+def linkage_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    names = (
+        load_table(spark, sf_dir, "part")
+        .groupBy(F.col("p_name").alias("name"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_parts"))
+    )
+    v = names.select(
+        "name", "n_parts",
+        F.explode(F.expr(_VARIANTS_SQL.format(c="name"))).alias("var"),
+    )
+    a = v.select(F.col("name").alias("name_a"), F.col("n_parts").alias("n_parts_a"), "var")
+    b = v.select(F.col("name").alias("name_b"), F.col("n_parts").alias("n_parts_b"), "var")
+    cand = (
+        a.join(b, "var")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select("name_a", "name_b", "n_parts_a", "n_parts_b")
+        .distinct()
+    )
+    return cand.select(
+        "*", F.levenshtein("name_a", "name_b").cast("long").alias("edit_dist")
+    ).filter(F.col("edit_dist") <= FUZZY_K)
+
+
+def _fuzzy_sql() -> str:
+    # DuckDB's lambda/array kernel: list_* names, range() is end-exclusive
+    var = (
+        "list_distinct(list_concat(list_concat("
+        " [name],"
+        " list_transform(range(1, length(name) + 1), i ->"
+        "   concat(substring(name, 1, i-1), substring(name, i+1, length(name))))),"
+        " flatten(list_transform(range(1, length(name) + 1), i ->"
+        "   list_transform(range(i+1, length(name) + 1), j ->"
+        "     concat(substring(name, 1, i-1), substring(name, i+1, j-i-1),"
+        "            substring(name, j+1, length(name))))))"
+        "))"
+    )
+    return f"""
+WITH names AS (
+  SELECT p_name AS name, COUNT(*)::BIGINT AS n_parts FROM part GROUP BY 1
+),
+v AS (
+  SELECT name, n_parts, unnest({var}) AS var FROM names
+),
+cand AS (
+  SELECT DISTINCT a.name AS name_a, b.name AS name_b,
+         a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+  FROM v a JOIN v b ON a.var = b.var AND a.name < b.name
+)
+SELECT name_a, name_b, n_parts_a, n_parts_b,
+       CAST(levenshtein(name_a, name_b) AS BIGINT) AS edit_dist
+FROM cand
+WHERE levenshtein(name_a, name_b) <= {FUZZY_K}
+"""
+
+
 PENDING_QUERIES = {
     "basket_part_pairs": basket_part_pairs,
     "basket_association_rules": basket_association_rules,
     "customer_rfm_segments": customer_rfm_segments,
     "cohort_monthly_ltv": cohort_monthly_ltv,
+    "linkage_fuzzy_part_names": linkage_fuzzy_part_names,
 }
 PENDING_ORACLE = {
     "basket_part_pairs": _SQL_BASKET,
     "basket_association_rules": _SQL_RULES,
     "customer_rfm_segments": _SQL_RFM,
     "cohort_monthly_ltv": _SQL_COHORT,
+    "linkage_fuzzy_part_names": _fuzzy_sql(),
 }

@@ -344,6 +344,42 @@ def test_pca_residual_energy_accounting(spark, sf_dir):
     assert r.n_vectors.sum() == n
 
 
+def test_fuzzy_linkage_is_complete_vs_bruteforce(spark, sf_dir):
+    """The SymSpell deletion-neighborhood join must find EXACTLY the pairs
+    a brute-force all-pairs levenshtein finds — completeness is the whole
+    point of the pigeonhole; spurious pairs would mean a broken verify."""
+    from cdc_postgresql_clickhouse_spark.queries.tpch_more import (
+        FUZZY_K,
+        linkage_fuzzy_part_names,
+    )
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    names = sorted(
+        r[0]
+        for r in load_table(spark, sf_dir, "part").select("p_name").distinct().collect()
+    )
+    want = {
+        (a, b, lev(a, b))
+        for i, a in enumerate(names)
+        for b in names[i + 1:]
+        if lev(a, b) <= FUZZY_K
+    }
+    got = {
+        (r.name_a, r.name_b, r.edit_dist)
+        for r in linkage_fuzzy_part_names(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert want, "fixture must contain at least one fuzzy pair"
+
+
 def test_heldout_ppl_oov_and_source_coverage(spark, sf_dir):
     """OOV bigrams are a subset of the val bigrams, NLL is positive (every
     smoothed probability < 1 given V > 1), and exactly the sources owning
