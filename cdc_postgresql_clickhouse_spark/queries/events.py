@@ -900,3 +900,57 @@ FROM st
 
 PENDING_QUERIES["events_sessionize_capped"] = events_sessionize_capped
 PENDING_ORACLE["events_sessionize_capped"] = ORACLE_SESS_CAPPED
+
+
+# --- hourly latency bands — PENDING round 7 ---------------------------------
+#
+# The observability classic: per (event_type, hour-of-day), nearest-rank
+# p50/p95 of the value distribution plus the count — the SLO band chart
+# every dashboard draws. Nearest-rank (ceil(p*n), the winsorized row's
+# convention) keeps every number an exact integer; the grain is bounded
+# (|types| x 24) so the output is a constant-size report at any corpus
+# scale. One shuffle to the (type, hour) grain, rank window inside it.
+
+
+def events_hourly_latency_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.hour("ts").cast("long").alias("hour"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
+    )
+    wp = Window.partitionBy("event_type", "hour")
+    r = ev.withColumn("rn", F.row_number().over(wp.orderBy("c"))).withColumn(
+        "n", F.count(F.lit(1)).over(wp)
+    )
+    return r.groupBy("event_type", "hour").agg(
+        F.max("n").cast("long").alias("n_events"),
+        F.max(F.when(F.col("rn") == F.expr("(50 * n + 99) div 100"), F.col("c")))
+        .cast("long").alias("p50_cents"),
+        F.max(F.when(F.col("rn") == F.expr("(95 * n + 99) div 100"), F.col("c")))
+        .cast("long").alias("p95_cents"),
+    )
+
+
+ORACLE_HOURLY_BANDS = """
+WITH ev AS (
+  SELECT event_type, CAST(hour(ts) AS BIGINT) AS hour,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events
+),
+r AS (
+  SELECT event_type, hour, c,
+         row_number() OVER (PARTITION BY event_type, hour ORDER BY c) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type, hour) AS n
+  FROM ev
+)
+SELECT event_type, hour,
+       CAST(MAX(n) AS BIGINT) AS n_events,
+       CAST(MAX(CASE WHEN rn = (50 * n + 99) // 100 THEN c END) AS BIGINT) AS p50_cents,
+       CAST(MAX(CASE WHEN rn = (95 * n + 99) // 100 THEN c END) AS BIGINT) AS p95_cents
+FROM r GROUP BY event_type, hour
+"""
+
+PENDING_QUERIES["events_hourly_latency_bands"] = events_hourly_latency_bands
+PENDING_ORACLE["events_hourly_latency_bands"] = ORACLE_HOURLY_BANDS

@@ -1160,3 +1160,113 @@ SELECT label, CAST(n_queries AS BIGINT) AS n_queries,
        CAST(n_label_hits * 1000000 // n_pairs AS BIGINT) AS precision_ppm
 FROM per
 """
+
+
+# --- embedding-dimension truncation recall — PENDING round 7 ----------------
+#
+# Matryoshka-style storage eval (Kusupati et al. 2022): if vectors were
+# truncated to their first d dimensions, what fraction of the full-dim
+# exact top-5 would the truncated exact top-5 retain? The number that
+# decides whether a 100 TB vector store can ship d/4-sized embeddings.
+# Per d: the same broadcast-query brute-force scan as the registered
+# truth (one corpus scan per d, |dims| is a 2-element constant), then an
+# overlap join on the full-dim truth. Integer PPM recall; the cosine is
+# the shared floor-truncated form over sliced arrays.
+
+TRUNC_DIMS = (16, 32)
+
+
+def _bruteforce_topk_d(spark: SparkSession, sf_dir: str, d: int) -> DataFrame:
+    e_d = F.slice(_emb_d(), 1, d)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", e_d.alias("e"), _norm(e_d).alias("nrm")
+    )
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("e").alias("qe"), F.col("nrm").alias("qn")
+    )
+    pairs = F.broadcast(q).join(emb, F.col("q_id") != F.col("vec_id"))
+    scored = pairs.select(
+        "q_id",
+        F.col("vec_id").alias("neighbor_id"),
+        _cos_prenorm(F.col("qe"), F.col("e"), F.col("qn"), F.col("nrm")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("q_id", "neighbor_id")
+    )
+
+
+def ann_dim_truncation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    truth = (
+        ann_bruteforce_topk(spark, sf_dir)
+        .select("q_id", "neighbor_id")
+        .withColumn("hit", F.lit(1).cast("long"))
+    )
+    allm = None
+    for d in TRUNC_DIMS:
+        part = _bruteforce_topk_d(spark, sf_dir, d).select(
+            F.lit(int(d)).cast("long").alias("dim"), "q_id", "neighbor_id"
+        )
+        allm = part if allm is None else allm.unionByName(part)
+    joined = allm.join(F.broadcast(truth), ["q_id", "neighbor_id"], "left")
+    per = joined.groupBy("dim").agg(
+        F.countDistinct("q_id").cast("long").alias("n_queries"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0).cast("long"))).cast("long").alias("n_hits"),
+    )
+    return per.select(
+        "dim", "n_queries", "n_pairs", "n_hits",
+        F.expr("n_hits * 1000000 div n_pairs").cast("long").alias("recall_ppm"),
+    )
+
+
+def _sql_dot_d(a: str, b: str, d: int) -> str:
+    return "(" + " + ".join(f"{a}[{i}] * {b}[{i}]" for i in range(1, d + 1)) + ")"
+
+
+def _sql_cos_d(a: str, b: str, d: int) -> str:
+    raw = f"{_sql_dot_d(a, b, d)} / (sqrt({_sql_dot_d(a, a, d)}) * sqrt({_sql_dot_d(b, b, d)}))"
+    return f"(CAST(FLOOR(({raw}) * 1000000.0) AS DOUBLE) / 1000000.0)"
+
+
+def _trunc_report_sql() -> str:
+    legs = " UNION ALL ".join(
+        f"""
+  SELECT CAST({d} AS BIGINT) AS dim, q_id, neighbor_id FROM (
+    SELECT q_id, neighbor_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, neighbor_id) AS rank
+    FROM (
+      SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,
+             {_sql_cos_d('q.e', 'e.e', d)} AS cs
+      FROM (SELECT vec_id, {_SQL_EMB} AS e FROM embeddings WHERE vec_id % 100 = 0) q
+      JOIN (SELECT vec_id, {_SQL_EMB} AS e FROM embeddings) e
+        ON q.vec_id <> e.vec_id
+    )
+  ) WHERE rank <= 5
+"""
+        for d in TRUNC_DIMS
+    )
+    return f"""
+WITH bf AS ({ORACLE["ann_bruteforce_topk"]}),
+allm AS ({legs}),
+per AS (
+  SELECT a.dim,
+         COUNT(DISTINCT a.q_id) AS n_queries,
+         COUNT(*) AS n_pairs,
+         SUM(CASE WHEN bf.q_id IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+  FROM allm a
+  LEFT JOIN bf ON bf.q_id = a.q_id AND bf.neighbor_id = a.neighbor_id
+  GROUP BY a.dim
+)
+SELECT dim, CAST(n_queries AS BIGINT) AS n_queries,
+       CAST(n_pairs AS BIGINT) AS n_pairs,
+       CAST(n_hits AS BIGINT) AS n_hits,
+       CAST(n_hits * 1000000 // n_pairs AS BIGINT) AS recall_ppm
+FROM per
+"""
+
+
+PENDING_QUERIES = {"ann_dim_truncation_report": ann_dim_truncation_report}
+PENDING_ORACLE = {"ann_dim_truncation_report": _trunc_report_sql()}

@@ -15,12 +15,12 @@ from tests.oracle_harness import compare, duckdb_con
 
 def _pending():
     from cdc_postgresql_clickhouse_spark.queries import (
-        cdc, events, graph, pca, quality, search, sketches, streaming_queries, text,
-        text_ext, tokenizer, tpch_ext, tpch_more, training,
+        cdc, events, graph, pca, quality, search, similarity, sketches,
+        streaming_queries, text, text_ext, tokenizer, tpch_ext, tpch_more, training,
     )
 
     out = {}
-    for m in (tokenizer, cdc, search, sketches, graph, text_ext, pca, tpch_ext, events, tpch_more, training, quality, text, streaming_queries):
+    for m in (tokenizer, cdc, search, sketches, graph, text_ext, pca, tpch_ext, events, tpch_more, training, quality, text, streaming_queries, similarity):
         q = getattr(m, "PENDING_QUERIES", {})
         o = getattr(m, "PENDING_ORACLE", {})
         assert set(q) == set(o), "pending query without oracle twin"
@@ -487,3 +487,18 @@ def test_weighted_sample_favors_heavy_docs(spark, sf_dir):
             heavier += 1
     # weighting must show: most strata sample heavier-than-average docs
     assert heavier >= len(per) * 0.6, (heavier, len(per))
+
+
+def test_truncation_report_accounting(spark, sf_dir):
+    """Every sampled query contributes exactly 5 pairs per dim, hits are
+    bounded by pairs, and exactly the configured dims report."""
+    from cdc_postgresql_clickhouse_spark.queries.similarity import (
+        TRUNC_DIMS,
+        ann_dim_truncation_report,
+    )
+
+    r = ann_dim_truncation_report(spark, sf_dir).toPandas().set_index("dim")
+    assert sorted(r.index) == sorted(TRUNC_DIMS)
+    assert (r.n_pairs == r.n_queries * 5).all()
+    assert ((r.n_hits >= 0) & (r.n_hits <= r.n_pairs)).all()
+    assert ((r.recall_ppm >= 0) & (r.recall_ppm <= 1_000_000)).all()
