@@ -502,3 +502,19 @@ def test_truncation_report_accounting(spark, sf_dir):
     assert (r.n_pairs == r.n_queries * 5).all()
     assert ((r.n_hits >= 0) & (r.n_hits <= r.n_pairs)).all()
     assert ((r.recall_ppm >= 0) & (r.recall_ppm <= 1_000_000)).all()
+
+
+def test_kmv_intersect_bounds_and_error(spark, sf_dir):
+    """Sketch accounting: common members never exceed the union sketch,
+    and the estimate lands within 60% relative error of the exact
+    intersection for non-trivial overlaps (k=64 gives ~12% typical)."""
+    from cdc_postgresql_clickhouse_spark.queries.sketches import sketch_kmv_intersect
+
+    r = sketch_kmv_intersect(spark, sf_dir).toPandas()
+    assert len(r) > 0
+    assert (r.n_common <= r.n_tracked).all()
+    assert (r.kmv_intersect_estimate >= 0).all()
+    big = r[r.n_exact_intersect >= 15]
+    assert len(big) > 0, "fixture has no overlapping type pairs"
+    rel = (big.kmv_intersect_estimate - big.n_exact_intersect).abs() / big.n_exact_intersect
+    assert (rel <= 0.6).all(), rel.max()
