@@ -796,12 +796,93 @@ WHERE levenshtein(name_a, name_b) <= {FUZZY_K}
 """
 
 
+# --- order backlog (cumulative flow) — PENDING round 7 ----------------------
+#
+# The cumulative-flow diagram of an order system: per day on the DENSE
+# day grid, cumulative orders placed, cumulative orders fully shipped
+# (an order ships when its LAST lineitem ships), and the open backlog —
+# the operations chart behind every "how far behind are we" question.
+# Day indexes are pure integers (epoch // 86400) so the grid, the
+# cumsums, and the join need no engine date arithmetic; the grid is
+# bounded by the calendar span, not the table size, and both daily
+# inputs are keyed pre-aggregations (orders; lineitem max-shipdate per
+# order) before anything touches the grid.
+
+def orders_backlog_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    day = lambda c: F.floor(F.floor(F.unix_timestamp(c)) / 86400).cast("long")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", day("o_orderdate").alias("d")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", day("l_shipdate").alias("sd")
+    )
+    shipped = li.groupBy("l_orderkey").agg(F.max("sd").alias("d"))
+    placed_daily = o.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("n_placed"))
+    shipped_daily = shipped.groupBy("d").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shipped")
+    )
+    lo_hi = o.agg(F.min("d").alias("lo")).crossJoin(
+        shipped.agg(F.max("d").alias("hi"))
+    )
+    grid = lo_hi.select(F.explode(F.sequence("lo", "hi")).alias("d"))
+    daily = (
+        grid.join(placed_daily, "d", "left")
+        .join(shipped_daily, "d", "left")
+        .select(
+            "d",
+            F.coalesce("n_placed", F.lit(0).cast("long")).alias("n_placed"),
+            F.coalesce("n_shipped", F.lit(0).cast("long")).alias("n_shipped"),
+        )
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        F.col("d").alias("day_index"),
+        "n_placed",
+        "n_shipped",
+        F.sum("n_placed").over(w).cast("long").alias("cum_placed"),
+        F.sum("n_shipped").over(w).cast("long").alias("cum_shipped"),
+        (F.sum("n_placed").over(w) - F.sum("n_shipped").over(w))
+        .cast("long").alias("backlog"),
+    )
+
+
+_SQL_BACKLOG = """
+WITH o AS (
+  SELECT o_orderkey, CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) // 86400 AS d
+  FROM orders
+),
+li AS (
+  SELECT l_orderkey, CAST(FLOOR(epoch(l_shipdate)) AS BIGINT) // 86400 AS sd
+  FROM lineitem
+),
+shipped AS (SELECT l_orderkey, MAX(sd) AS d FROM li GROUP BY 1),
+pd AS (SELECT d, COUNT(*)::BIGINT AS n_placed FROM o GROUP BY 1),
+sd AS (SELECT d, COUNT(*)::BIGINT AS n_shipped FROM shipped GROUP BY 1),
+lim AS (SELECT (SELECT MIN(d) FROM o) AS lo, (SELECT MAX(d) FROM shipped) AS hi),
+grid AS (SELECT unnest(range(lo, hi + 1)) AS d FROM lim),
+daily AS (
+  SELECT g.d, COALESCE(pd.n_placed, 0) AS n_placed,
+         COALESCE(sd.n_shipped, 0) AS n_shipped
+  FROM grid g LEFT JOIN pd ON pd.d = g.d LEFT JOIN sd ON sd.d = g.d
+)
+SELECT d AS day_index, n_placed, n_shipped,
+       CAST(SUM(n_placed) OVER w AS BIGINT) AS cum_placed,
+       CAST(SUM(n_shipped) OVER w AS BIGINT) AS cum_shipped,
+       CAST(SUM(n_placed) OVER w - SUM(n_shipped) OVER w AS BIGINT) AS backlog
+FROM daily
+WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
 PENDING_QUERIES = {
     "basket_part_pairs": basket_part_pairs,
     "basket_association_rules": basket_association_rules,
     "customer_rfm_segments": customer_rfm_segments,
     "cohort_monthly_ltv": cohort_monthly_ltv,
     "linkage_fuzzy_part_names": linkage_fuzzy_part_names,
+    "orders_backlog_timeseries": orders_backlog_timeseries,
 }
 PENDING_ORACLE = {
     "basket_part_pairs": _SQL_BASKET,
@@ -809,4 +890,5 @@ PENDING_ORACLE = {
     "customer_rfm_segments": _SQL_RFM,
     "cohort_monthly_ltv": _SQL_COHORT,
     "linkage_fuzzy_part_names": _fuzzy_sql(),
+    "orders_backlog_timeseries": _SQL_BACKLOG,
 }

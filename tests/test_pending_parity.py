@@ -518,3 +518,24 @@ def test_kmv_intersect_bounds_and_error(spark, sf_dir):
     assert len(big) > 0, "fixture has no overlapping type pairs"
     rel = (big.kmv_intersect_estimate - big.n_exact_intersect).abs() / big.n_exact_intersect
     assert (rel <= 0.6).all(), rel.max()
+
+
+def test_backlog_conservation_laws(spark, sf_dir):
+    """Flow conservation: final cum_placed equals the orders count, final
+    cum_shipped equals orders with any lineitem, backlog is their
+    difference and never negative before... backlog CAN be negative only
+    if an order ships before it exists — assert it never is. The grid is
+    dense (consecutive day indexes)."""
+    from cdc_postgresql_clickhouse_spark.queries.tpch_more import (
+        orders_backlog_timeseries,
+    )
+
+    b = orders_backlog_timeseries(spark, sf_dir).toPandas().sort_values("day_index")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    assert b.cum_placed.iloc[-1] == o.count()
+    assert b.cum_shipped.iloc[-1] == li.select("l_orderkey").distinct().count()
+    assert (b.backlog == b.cum_placed - b.cum_shipped).all()
+    assert (b.backlog >= 0).all(), "an order shipped before it was placed"
+    d = b.day_index.to_numpy()
+    assert ((d[1:] - d[:-1]) == 1).all(), "grid must be dense"
