@@ -900,3 +900,47 @@ GROUP BY 1
 
 PENDING_QUERIES["streaming_retraction_mv_equiv"] = streaming_retraction_mv_equiv
 PENDING_ORACLE["streaming_retraction_mv_equiv"] = _SQL_RETRACTION_MV
+
+
+def streaming_session_capped_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capped-sessionization fold maintained incrementally
+    (``streaming/fold.py::ingest_batch_sessions`` — the second instance of
+    the batch-id-fenced ordered-fold sink, proving the pattern is not
+    EWMA-specific): ``events`` split at the median epoch second, drained,
+    and the state must equal the batch ``events_sessionize_capped`` row
+    exactly; the oracle IS the batch SQL."""
+    import os
+    import shutil
+    import tempfile
+
+    from cdc_postgresql_clickhouse_spark.streaming.fold import (
+        read_sessions,
+        run_incremental_sessions,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("es"),
+        F.col("event_id").alias("eid"),
+    )
+    t_med = ev.agg(F.expr("percentile(es, 0.5)")).first()[0]
+    tmp = tempfile.mkdtemp(prefix="stream_sess_")
+    try:
+        src = os.path.join(tmp, "src")
+        ev.filter(F.col("es") <= t_med).coalesce(1).write.parquet(src)
+        ev.filter(F.col("es") > t_med).coalesce(1).write.mode("append").parquet(src)
+        run_incremental_sessions(
+            spark, src, os.path.join(tmp, "state"), os.path.join(tmp, "ckpt"),
+            max_files_per_trigger=1,
+        )
+        return _materialized(read_sessions(spark, os.path.join(tmp, "state")))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+from cdc_postgresql_clickhouse_spark.queries.events import (  # noqa: E402
+    ORACLE_SESS_CAPPED as _SESS_CAPPED_SQL,
+)
+
+PENDING_QUERIES["streaming_session_capped_equiv"] = streaming_session_capped_equiv
+PENDING_ORACLE["streaming_session_capped_equiv"] = _SESS_CAPPED_SQL

@@ -165,3 +165,139 @@ def run_incremental_ewma(
         checkpoint_dir,
         max_files_per_trigger,
     )
+
+
+# --- second fold instance: capped sessionization -----------------------------
+#
+# The same ingest recipe (touched-bucket read, batch-id fence, continue
+# the fold from stored state, dynamic bucket overwrite) applied to the
+# ALL-INTEGER session-counting fold of
+# ``queries/events.py::events_sessionize_capped`` — demonstrating the
+# sink pattern is not EWMA-specific: any left fold whose per-key state
+# fits a fixed struct streams this way under the ordered-arrival
+# contract. State: (prev_es, start_es, n_capped, n_gap) + n_events.
+
+_SESS_STATE_COLS = (
+    "user_id", "n_events", "prev_es", "start_es", "n_capped", "n_gap", "applied_bid"
+)
+
+
+def ingest_batch_sessions(
+    spark: SparkSession,
+    batch: DataFrame,
+    state_path: str,
+    batch_id: int,
+    key_buckets: int = FOLD_BUCKETS,
+) -> None:
+    """Fold one micro-batch of (user_id, es, eid) rows into the capped
+    sessionization state."""
+    from cdc_postgresql_clickhouse_spark.queries.events import SESS_CAP_S, SESS_GAP_S
+
+    b = batch.select("user_id", "es", "eid")
+    touched = sorted(
+        r[0]
+        for r in b.select(_bucket_expr(("user_id",), key_buckets).alias("bk"))
+        .distinct()
+        .collect()
+    )
+    if not touched:
+        return
+    with _state_lock(state_path):
+        state = read_state(spark, state_path, buckets=touched)
+        if state is not None:
+            state = state.select(*_SESS_STATE_COLS).localCheckpoint(eager=True)
+            fence = state.agg(F.max("applied_bid")).first()[0]
+            if fence is not None and int(batch_id) <= int(fence):
+                return
+        arr = b.groupBy("user_id").agg(
+            F.sort_array(F.collect_list(F.struct("es", "eid"))).alias("a")
+        )
+        if state is None:
+            joined = arr.select(
+                "user_id", "a",
+                *(F.lit(None).cast("long").alias(c) for c in _SESS_STATE_COLS[1:]),
+            )
+        else:
+            joined = arr.join(state, "user_id", "full_outer")
+        a = F.col("a")
+
+        def step(acc, s):
+            es = s.getField("es")
+            capped = (es - F.element_at(acc, 1) > SESS_GAP_S) | (
+                es - F.element_at(acc, 2) > SESS_CAP_S
+            )
+            gap = es - F.element_at(acc, 1) > SESS_GAP_S
+            return F.array(
+                es,
+                F.when(capped, es).otherwise(F.element_at(acc, 2)),
+                F.element_at(acc, 3) + F.when(capped, 1).otherwise(0),
+                F.element_at(acc, 4) + F.when(gap, 1).otherwise(0),
+            )
+
+        e1 = F.element_at(a, 1).getField("es")
+        fresh = F.aggregate(
+            F.slice(a, 2, F.greatest(F.size(a) - 1, F.lit(0))),
+            F.array(e1, e1, F.lit(1).cast("long"), F.lit(1).cast("long")),
+            step,
+        )
+        seeded = F.aggregate(
+            a,
+            F.array(F.col("prev_es"), F.col("start_es"), F.col("n_capped"), F.col("n_gap")),
+            step,
+        )
+        folded = (
+            F.when(a.isNull(), F.array(F.col("prev_es"), F.col("start_es"), F.col("n_capped"), F.col("n_gap")))
+            .when(F.col("prev_es").isNotNull(), seeded)
+            .otherwise(fresh)
+        )
+        batch_n = F.when(a.isNull(), F.lit(0)).otherwise(F.size(a)).cast("long")
+        out = joined.select(
+            "user_id",
+            (F.coalesce(F.col("n_events"), F.lit(0)) + batch_n)
+            .cast("long").alias("n_events"),
+            F.element_at(folded, 1).cast("long").alias("prev_es"),
+            F.element_at(folded, 2).cast("long").alias("start_es"),
+            F.element_at(folded, 3).cast("long").alias("n_capped"),
+            F.element_at(folded, 4).cast("long").alias("n_gap"),
+            F.lit(int(batch_id)).cast("long").alias("applied_bid"),
+        )
+        write_state(
+            out,
+            state_path,
+            key_buckets=key_buckets,
+            key_cols=("user_id",),
+            dynamic_overwrite=True,
+        )
+
+
+def read_sessions(spark: SparkSession, state_path: str) -> DataFrame | None:
+    """The maintained session counts, in the batch row's output shape."""
+    st = read_state(spark, state_path)
+    if st is None:
+        return None
+    return st.select(
+        "user_id",
+        "n_events",
+        F.col("n_gap").alias("n_sessions_gap"),
+        F.col("n_capped").alias("n_sessions_capped"),
+    )
+
+
+def run_incremental_sessions(
+    spark: SparkSession,
+    src_dir: str,
+    state_path: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Drain ``src_dir`` (parquet files of (user_id, es, eid) rows,
+    time-ordered across files) through the session-fold ingest."""
+    from cdc_postgresql_clickhouse_spark.streaming.sketch import _drain
+
+    _drain(
+        spark,
+        src_dir,
+        lambda b, i: ingest_batch_sessions(spark, b, state_path, i),
+        checkpoint_dir,
+        max_files_per_trigger,
+    )

@@ -82,3 +82,42 @@ def test_replay_fence_is_noop(spark, sf_dir):
         pd.testing.assert_frame_equal(after, before)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_session_fold_three_way_split_and_fence(spark, sf_dir):
+    """The second fold instance obeys the same laws: a 3-way time split
+    equals the batch capped-sessionize row exactly, and replaying an
+    applied batch id is a no-op."""
+    from cdc_postgresql_clickhouse_spark.queries.events import events_sessionize_capped
+    from cdc_postgresql_clickhouse_spark.streaming.fold import (
+        ingest_batch_sessions,
+        read_sessions,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("es"),
+        F.col("event_id").alias("eid"),
+    )
+    t1, t2 = ev.agg(
+        F.expr("percentile(es, 0.3333)"), F.expr("percentile(es, 0.6667)")
+    ).first()
+    parts = [
+        ev.filter(F.col("es") <= t1),
+        ev.filter((F.col("es") > t1) & (F.col("es") <= t2)),
+        ev.filter(F.col("es") > t2),
+    ]
+    tmp = tempfile.mkdtemp(prefix="sess_fold_")
+    try:
+        state = f"{tmp}/state"
+        for i, p in enumerate(parts):
+            ingest_batch_sessions(spark, p, state, batch_id=i)
+        cols = ["user_id", "n_events", "n_sessions_gap", "n_sessions_capped"]
+        got = read_sessions(spark, state).toPandas().sort_values("user_id").reset_index(drop=True)[cols]
+        want = events_sessionize_capped(spark, sf_dir).toPandas().sort_values("user_id").reset_index(drop=True)[cols]
+        pd.testing.assert_frame_equal(got, want)
+        ingest_batch_sessions(spark, parts[1], state, batch_id=1)  # stale replay
+        after = read_sessions(spark, state).toPandas().sort_values("user_id").reset_index(drop=True)[cols]
+        pd.testing.assert_frame_equal(after, want)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
