@@ -1300,3 +1300,114 @@ LEFT JOIN exact ON exact.type_a = per.type_a AND exact.type_b = per.type_b
 
 PENDING_QUERIES["sketch_kmv_intersect"] = sketch_kmv_intersect
 PENDING_ORACLE["sketch_kmv_intersect"] = _SQL_KMV_INTERSECT
+
+
+# --- CMS join-size estimation — PENDING round 7 -----------------------------
+#
+# Equi-join cardinality estimation by sketch INNER PRODUCT (Cormode &
+# Muthukrishnan 2005 §4.2, the application CMS was designed for, and what
+# a cost-based optimizer consults before choosing a join strategy):
+# |A ⋈ B| = Σ_k cntA(k)·cntB(k), estimated as min over sketch rows r of
+# Σ_c A[r,c]·B[r,c] — a ONE-SIDED overestimate (colliding cells only add
+# mass), law-pinned below. Each side's d×w counter table reuses the
+# registered CMS machinery verbatim; the estimate costs d·w cell
+# multiplies however large the tables are, while the exact inner product
+# (carried for the error column) pays the real key join. Every output is
+# BIGINT — integer-exact end to end.
+
+
+def sketch_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev_keys = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.col("user_id").cast("string").alias("term"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    ord_keys = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").cast("string").alias("term"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    ca = cms_counters(ev_keys).select("r", "c", F.col("cell").alias("cell_a"))
+    cb = cms_counters(ord_keys).select("r", "c", F.col("cell").alias("cell_b"))
+    rows = spark.range(CMS_DEPTH).select(F.col("id").cast("int").alias("r"))
+    prod = ca.join(cb, ["r", "c"]).groupBy("r").agg(
+        F.sum(F.col("cell_a") * F.col("cell_b")).cast("long").alias("ip")
+    )
+    per_row = rows.join(prod, "r", "left").select(
+        "r", F.coalesce("ip", F.lit(0).cast("long")).alias("ip")
+    )
+    est = per_row.agg(F.min("ip").cast("long").alias("cms_join_estimate"))
+    exact = (
+        ev_keys.select(F.col("term"), F.col("cnt").alias("ca"))
+        .join(ord_keys.select("term", F.col("cnt").alias("cb")), "term")
+        .agg(F.sum(F.col("ca") * F.col("cb")).cast("long").alias("exact_join_size"))
+    )
+    sizes = ev_keys.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys_a")
+    ).crossJoin(ord_keys.agg(F.count(F.lit(1)).cast("long").alias("n_keys_b")))
+    return (
+        sizes.crossJoin(exact)
+        .crossJoin(est)
+        .select(
+            "n_keys_a", "n_keys_b", "exact_join_size", "cms_join_estimate",
+            ((F.col("cms_join_estimate") - F.col("exact_join_size")) * 1000000)
+            .cast("long").alias("overshoot_abs_x1m_raw"),
+        )
+        .select(
+            "n_keys_a", "n_keys_b", "exact_join_size", "cms_join_estimate",
+            F.expr("overshoot_abs_x1m_raw div exact_join_size").cast("long")
+            .alias("overshoot_ppm"),
+        )
+    )
+
+
+_SQL_CMS_JOIN = f"""
+WITH ak AS (
+  SELECT CAST(user_id AS VARCHAR) AS term, COUNT(*)::BIGINT AS cnt
+  FROM events GROUP BY 1
+),
+bk AS (
+  SELECT CAST(o_custkey AS VARCHAR) AS term, COUNT(*)::BIGINT AS cnt
+  FROM orders GROUP BY 1
+),
+ca AS (
+  SELECT r, c, SUM(cnt) AS cell_a FROM (
+    SELECT cnt, r,
+           {_sql_hex_int("CAST(r AS VARCHAR) || ':' || term", _CMS_HASH_DIGITS)} % {CMS_WIDTH} AS c
+    FROM ak, unnest([{', '.join(str(i) for i in range(CMS_DEPTH))}]) AS u(r)
+  ) GROUP BY r, c
+),
+cb AS (
+  SELECT r, c, SUM(cnt) AS cell_b FROM (
+    SELECT cnt, r,
+           {_sql_hex_int("CAST(r AS VARCHAR) || ':' || term", _CMS_HASH_DIGITS)} % {CMS_WIDTH} AS c
+    FROM bk, unnest([{', '.join(str(i) for i in range(CMS_DEPTH))}]) AS u(r)
+  ) GROUP BY r, c
+),
+rows_d AS (SELECT unnest([{', '.join(str(i) for i in range(CMS_DEPTH))}]) AS r),
+prod AS (
+  SELECT ca.r, SUM(ca.cell_a * cb.cell_b) AS ip
+  FROM ca JOIN cb ON ca.r = cb.r AND ca.c = cb.c
+  GROUP BY ca.r
+),
+per_row AS (
+  SELECT rows_d.r, COALESCE(prod.ip, 0) AS ip
+  FROM rows_d LEFT JOIN prod ON prod.r = rows_d.r
+),
+est AS (SELECT CAST(MIN(ip) AS BIGINT) AS cms_join_estimate FROM per_row),
+exact AS (
+  SELECT CAST(SUM(ak.cnt * bk.cnt) AS BIGINT) AS exact_join_size
+  FROM ak JOIN bk USING (term)
+),
+sizes AS (
+  SELECT (SELECT COUNT(*) FROM ak)::BIGINT AS n_keys_a,
+         (SELECT COUNT(*) FROM bk)::BIGINT AS n_keys_b
+)
+SELECT n_keys_a, n_keys_b, exact_join_size, cms_join_estimate,
+       CAST((cms_join_estimate - exact_join_size) * 1000000 // exact_join_size
+            AS BIGINT) AS overshoot_ppm
+FROM sizes CROSS JOIN exact CROSS JOIN est
+"""
+
+PENDING_QUERIES["sketch_cms_join_size"] = sketch_cms_join_size
+PENDING_ORACLE["sketch_cms_join_size"] = _SQL_CMS_JOIN

@@ -539,3 +539,26 @@ def test_backlog_conservation_laws(spark, sf_dir):
     assert (b.backlog >= 0).all(), "an order shipped before it was placed"
     d = b.day_index.to_numpy()
     assert ((d[1:] - d[:-1]) == 1).all(), "grid must be dense"
+
+
+def test_cms_join_size_one_sided(spark, sf_dir):
+    """CMS inner product can only OVERestimate (colliding cells add
+    non-negative mass), and the overshoot obeys the analysis: expected
+    collision mass per row is ~|A|·|B|/w, so the min over rows must stay
+    within a small multiple of that (Cormode-Muthukrishnan Thm 3 shape;
+    2x covers the fixed-hash realization on every shipped SF)."""
+    from cdc_postgresql_clickhouse_spark.queries.sketches import (
+        CMS_WIDTH,
+        sketch_cms_join_size,
+    )
+
+    r = sketch_cms_join_size(spark, sf_dir).collect()[0]
+    assert r.exact_join_size > 0, "fixture keys must overlap"
+    assert r.cms_join_estimate >= r.exact_join_size
+    assert r.overshoot_ppm >= 0
+    tot_a = load_table(spark, sf_dir, "events").count()
+    tot_b = load_table(spark, sf_dir, "orders").count()
+    bound = 2 * tot_a * tot_b // CMS_WIDTH
+    assert r.cms_join_estimate - r.exact_join_size <= bound, (
+        r.cms_join_estimate, r.exact_join_size, bound,
+    )
