@@ -737,3 +737,133 @@ FROM per
 
 PENDING_QUERIES["graph_transition_entropy"] = graph_transition_entropy
 PENDING_ORACLE["graph_transition_entropy"] = _SQL_TRANS_ENTROPY
+
+
+# --- HITS hubs & authorities — PENDING round 7 ------------------------------
+#
+# Kleinberg's HITS (1999) over the weighted event-type transition graph —
+# the other classic link-analysis fixpoint next to the registered
+# PageRank: authority(t) = Σ_{s→t} hub(s)·w, hub(s) = Σ_{s→t} auth(t)·w,
+# each L1-normalized per round. Integer nano-unit discipline throughout:
+# the normalizer is the integer SUM carried as a broadcast 1-row cross
+# join (not a driver collect — unlike PageRank's node count, nothing here
+# leaves the plan), and `x div (S div SCALE)` renormalizes without the x*SCALE
+# product that would overflow int64 (weighted raws reach ~1e13). Fixed HITS_ITERS rounds; the oracle unrolls them as a CTE
+# chain. Same Pregel-shaped keyed-join round as PageRank; the per-round
+# all-reduce is a 1-row aggregate.
+
+HITS_ITERS = 4
+HITS_SCALE = 1_000_000_000
+
+
+def _hits_edges(spark: SparkSession, sf_dir: str):
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.lag("event_type").over(w).alias("src"), F.col("event_type").alias("dst")
+    ).filter(F.col("src").isNotNull())
+    edges = pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).cast("long").alias("w"))
+    nodes = (
+        edges.select(F.col("src").alias("t"))
+        .unionByName(edges.select(F.col("dst").alias("t")))
+        .distinct()
+    )
+    return edges, nodes
+
+
+def graph_hits_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges, nodes = _hits_edges(spark, sf_dir)
+    edges = edges.persist()
+    nodes = nodes.persist()
+    auth = nodes.select("t", F.lit(HITS_SCALE).cast("long").alias("a"))
+    hub = nodes.select("t", F.lit(HITS_SCALE).cast("long").alias("h"))
+    for _ in range(HITS_ITERS):
+        a_raw = (
+            edges.join(hub.select(F.col("t").alias("src"), "h"), "src")
+            .groupBy(F.col("dst").alias("t"))
+            .agg(F.sum(F.col("h") * F.col("w")).alias("ar"))
+        )
+        a_full = nodes.join(a_raw, "t", "left").select(
+            "t", F.coalesce("ar", F.lit(0).cast("long")).alias("ar")
+        )
+        s_a = a_full.agg(F.sum("ar").alias("sa"))
+        auth = (
+            a_full.crossJoin(F.broadcast(s_a))
+            .select("t", F.expr(f"ar div (sa div {HITS_SCALE})").cast("long").alias("a"))
+            .localCheckpoint(eager=True)  # lineage cut per half-round
+        )
+        h_raw = (
+            edges.join(auth.select(F.col("t").alias("dst"), "a"), "dst")
+            .groupBy(F.col("src").alias("t"))
+            .agg(F.sum(F.col("a") * F.col("w")).alias("hr"))
+        )
+        h_full = nodes.join(h_raw, "t", "left").select(
+            "t", F.coalesce("hr", F.lit(0).cast("long")).alias("hr")
+        )
+        s_h = h_full.agg(F.sum("hr").alias("sh"))
+        hub = (
+            h_full.crossJoin(F.broadcast(s_h))
+            .select("t", F.expr(f"hr div (sh div {HITS_SCALE})").cast("long").alias("h"))
+            .localCheckpoint(eager=True)
+        )
+    return (
+        auth.join(hub, "t")
+        .select(
+            F.col("t").alias("event_type"),
+            F.col("a").alias("authority_nano"),
+            F.col("h").alias("hub_nano"),
+        )
+    )
+
+
+def _sql_hits() -> str:
+    parts = []
+    prev_h, prev_a = "h0", "a0"
+    for i in range(1, HITS_ITERS + 1):
+        parts.append(f"""
+araw{i} AS MATERIALIZED (
+  SELECT n.t, COALESCE(x.v, 0) AS v FROM nodes n LEFT JOIN (
+    SELECT e.dst AS t, SUM(p.h * e.w) AS v
+    FROM edges e JOIN {prev_h} p ON p.t = e.src GROUP BY e.dst
+  ) x ON x.t = n.t
+),
+sa{i} AS MATERIALIZED (SELECT SUM(v) AS s FROM araw{i}),
+a{i} AS MATERIALIZED (SELECT t, CAST(v // (s // {HITS_SCALE}) AS BIGINT) AS a
+         FROM araw{i} CROSS JOIN sa{i}),
+hraw{i} AS MATERIALIZED (
+  SELECT n.t, COALESCE(x.v, 0) AS v FROM nodes n LEFT JOIN (
+    SELECT e.src AS t, SUM(p.a * e.w) AS v
+    FROM edges e JOIN a{i} p ON p.t = e.dst GROUP BY e.src
+  ) x ON x.t = n.t
+),
+sh{i} AS MATERIALIZED (SELECT SUM(v) AS s FROM hraw{i}),
+h{i} AS MATERIALIZED (SELECT t, CAST(v // (s // {HITS_SCALE}) AS BIGINT) AS h
+         FROM hraw{i} CROSS JOIN sh{i})""")
+        prev_a, prev_h = f"a{i}", f"h{i}"
+    chain = ",".join(parts)
+    return f"""
+WITH base AS (
+  SELECT user_id, event_id, event_type, ts,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
+  FROM events
+),
+edges AS MATERIALIZED (
+  SELECT src, event_type AS dst, COUNT(*)::BIGINT AS w
+  FROM base WHERE src IS NOT NULL GROUP BY src, event_type
+),
+nodes AS MATERIALIZED (
+  SELECT DISTINCT t FROM (
+    SELECT src AS t FROM edges UNION ALL SELECT dst FROM edges
+  )
+),
+h0 AS (SELECT t, CAST({HITS_SCALE} AS BIGINT) AS h FROM nodes),
+a0 AS (SELECT t, CAST({HITS_SCALE} AS BIGINT) AS a FROM nodes),{chain}
+SELECT {prev_a}.t AS event_type, {prev_a}.a AS authority_nano, {prev_h}.h AS hub_nano
+FROM {prev_a} JOIN {prev_h} ON {prev_a}.t = {prev_h}.t
+"""
+
+
+PENDING_QUERIES["graph_hits_types"] = graph_hits_types
+PENDING_ORACLE["graph_hits_types"] = _sql_hits()

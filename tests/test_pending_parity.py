@@ -562,3 +562,23 @@ def test_cms_join_size_one_sided(spark, sf_dir):
     assert r.cms_join_estimate - r.exact_join_size <= bound, (
         r.cms_join_estimate, r.exact_join_size, bound,
     )
+
+
+def test_hits_normalization_and_positivity(spark, sf_dir):
+    """Each HITS vector is L1-normalized to ~SCALE nano-units (within
+    per-node truncation slack) and strictly positive on this strongly
+    connected transition graph."""
+    from cdc_postgresql_clickhouse_spark.queries.graph import (
+        HITS_SCALE,
+        graph_hits_types,
+    )
+
+    r = graph_hits_types(spark, sf_dir).toPandas()
+    n = len(r)
+    assert n >= 2
+    assert (r.authority_nano > 0).all() and (r.hub_nano > 0).all()
+    # renormalization divides by (S div SCALE): result sums to ~SCALE with
+    # slack from both truncations, bounded by n + SCALE/(S div SCALE) terms
+    for col in ("authority_nano", "hub_nano"):
+        total = r[col].sum()
+        assert abs(total - HITS_SCALE) <= HITS_SCALE * 0.01, (col, total)
