@@ -290,3 +290,89 @@ FROM per
 
 PENDING_QUERIES = {"embedding_pca_residual": embedding_pca_residual}
 PENDING_ORACLE = {"embedding_pca_residual": _SQL_RESIDUAL}
+
+
+# --- per-label centroid drift across the split — PENDING round 7 ------------
+#
+# Embedding-distribution drift monitor: for each label, the squared L2
+# shift between the TRAIN-half and VAL-half centroids under the
+# registered content-keyed md5 split — the embedding-side twin of
+# ``text_source_drift_klm`` (a healthy embedding space shows near-zero
+# split drift; a large shift means the split is not exchangeable or the
+# embedding depends on the split key — either is a data bug worth an
+# alarm). Integer milli-unit discipline (the PCA family's device):
+# per-component sums are exact integer additions (partition-order safe),
+# centroids are integer divisions, and the drift is an integer sum of
+# squared differences. Component grain is |labels| x DIM — constant-size
+# shuffle whatever the corpus.
+
+
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    split = F.when(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 2) < "1a", "val"
+    ).otherwise("train")
+    base = emb.select(
+        F.col("label").cast("long").alias("label"),
+        split.alias("split"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("j", "v"),
+    ).select(
+        "label", "split", "j",
+        F.floor(F.col("v") * 1000 + F.lit(0.5)).cast("long").alias("x"),
+    )
+    sums = base.groupBy("label", "split", "j").agg(
+        F.sum("x").cast("long").alias("sx"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    cent = sums.select(
+        "label", "split", "j", F.expr("sx div n").cast("long").alias("mu"), "n"
+    )
+    a = cent.filter(F.col("split") == "train").select(
+        "label", "j", F.col("mu").alias("mu_t"), F.col("n").alias("n_train")
+    )
+    b = cent.filter(F.col("split") == "val").select(
+        "label", "j", F.col("mu").alias("mu_v"), F.col("n").alias("n_val")
+    )
+    d = a.join(b, ["label", "j"]).select(
+        "label", "n_train", "n_val",
+        (F.col("mu_t") - F.col("mu_v")).alias("dd"),
+    )
+    return d.groupBy("label").agg(
+        F.max("n_train").cast("long").alias("n_train"),
+        F.max("n_val").cast("long").alias("n_val"),
+        F.sum(F.col("dd") * F.col("dd")).cast("long").alias("drift_sq_milli2"),
+        F.max(F.abs(F.col("dd"))).cast("long").alias("max_shift_milli"),
+    )
+
+
+_SQL_DRIFT = f"""
+WITH xi AS (
+  SELECT label,
+         CASE WHEN substr(md5(CAST(vec_id AS VARCHAR)), 1, 2) < '1a'
+              THEN 'val' ELSE 'train' END AS split,
+         j,
+         CAST(FLOOR(CAST(embedding[j + 1] AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS x
+  FROM (SELECT vec_id, label, embedding, unnest(range(0, {PCA_DIM})) AS j
+        FROM embeddings)
+),
+sums AS (
+  SELECT CAST(label AS BIGINT) AS label, split, j,
+         SUM(x)::BIGINT AS sx, COUNT(*)::BIGINT AS n
+  FROM xi GROUP BY 1, 2, 3
+),
+cent AS (SELECT label, split, j, sx // n AS mu, n FROM sums),
+d AS (
+  SELECT a.label, a.n AS n_train, b.n AS n_val, a.mu - b.mu AS dd
+  FROM cent a JOIN cent b ON a.label = b.label AND a.j = b.j
+  WHERE a.split = 'train' AND b.split = 'val'
+)
+SELECT label,
+       CAST(MAX(n_train) AS BIGINT) AS n_train,
+       CAST(MAX(n_val) AS BIGINT) AS n_val,
+       CAST(SUM(dd * dd) AS BIGINT) AS drift_sq_milli2,
+       CAST(MAX(ABS(dd)) AS BIGINT) AS max_shift_milli
+FROM d GROUP BY label
+"""
+
+PENDING_QUERIES["embedding_centroid_drift"] = embedding_centroid_drift
+PENDING_ORACLE["embedding_centroid_drift"] = _SQL_DRIFT

@@ -582,3 +582,26 @@ def test_hits_normalization_and_positivity(spark, sf_dir):
     for col in ("authority_nano", "hub_nano"):
         total = r[col].sum()
         assert abs(total - HITS_SCALE) <= HITS_SCALE * 0.01, (col, total)
+
+
+def test_centroid_drift_bounds(spark, sf_dir):
+    """max component shift bounds the total: max^2 <= drift_sq <= DIM*max^2;
+    split sizes per label sum to the label's vector count."""
+    from cdc_postgresql_clickhouse_spark.queries.pca import (
+        PCA_DIM,
+        embedding_centroid_drift,
+    )
+
+    r = embedding_centroid_drift(spark, sf_dir).toPandas()
+    assert len(r) > 0
+    assert (r.max_shift_milli ** 2 <= r.drift_sq_milli2).all()
+    assert (r.drift_sq_milli2 <= PCA_DIM * r.max_shift_milli ** 2).all()
+    counts = {
+        row.label: row.n
+        for row in load_table(spark, sf_dir, "embeddings")
+        .groupBy(F.col("label").cast("long").alias("label"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for _, row in r.iterrows():
+        assert row.n_train + row.n_val == counts[row.label]
