@@ -1,0 +1,96 @@
+"""Physical-plan pins for the round-7 PENDING layer — same contract as
+tests/test_plans.py: a correct-but-badly-planned operator fails even when
+its rows match the oracle. Only batch rows whose build is lazy (or
+scalar-only) are pinned here; streaming equivalence rows execute real
+pipelines at build time and are covered by their law suites instead."""
+
+from __future__ import annotations
+
+from cdc_postgresql_clickhouse_spark.plans.inspect import (
+    broadcast_join_count,
+    formatted_plan,
+    read_schemas,
+    shuffle_count,
+)
+
+
+def test_association_rules_broadcast_ranked_set(spark, sf_dir):
+    """The 20-row ranked pair set must be the broadcast side against the
+    item-support table — twice (part_a leg, part_b leg)."""
+    from cdc_postgresql_clickhouse_spark.queries.tpch_more import (
+        basket_association_rules,
+    )
+
+    df = basket_association_rules(spark, sf_dir)
+    assert broadcast_join_count(df) >= 2, formatted_plan(df)[:2000]
+
+
+def test_fuzzy_linkage_is_equi_join_not_cartesian(spark, sf_dir):
+    """The SymSpell point: candidates come from an EQUI-join on deletion
+    variants — the plan must contain no nested-loop/cartesian pairing."""
+    from cdc_postgresql_clickhouse_spark.queries.tpch_more import (
+        linkage_fuzzy_part_names,
+    )
+
+    plan = formatted_plan(linkage_fuzzy_part_names(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_profiler_is_one_scan(spark, sf_dir):
+    """Six columns profiled in ONE pass: exactly one parquet scan."""
+    from cdc_postgresql_clickhouse_spark.queries.tpch_ext import (
+        profile_orders_columns,
+    )
+
+    rs = read_schemas(profile_orders_columns(spark, sf_dir))
+    assert len(rs) == 1, rs
+
+
+def test_backlog_prunes_both_scans(spark, sf_dir):
+    """Orders reads only (orderkey, orderdate); lineitem only
+    (orderkey, shipdate) — the daily inputs are keyed pre-aggregations."""
+    from cdc_postgresql_clickhouse_spark.queries.tpch_more import (
+        orders_backlog_timeseries,
+    )
+
+    rs = read_schemas(orders_backlog_timeseries(spark, sf_dir))
+    joined = " | ".join(rs)
+    assert "o_totalprice" not in joined and "o_orderpriority" not in joined, rs
+    assert "l_extendedprice" not in joined and "l_quantity" not in joined, rs
+
+
+def test_asof_read_is_single_shuffle(spark, sf_dir):
+    """Same shape contract as cdc_current_state: the time filter is
+    map-side, then ONE hash shuffle for the keyed arg-max."""
+    from cdc_postgresql_clickhouse_spark.queries.cdc import cdc_state_asof
+
+    df = cdc_state_asof(spark, sf_dir)
+    assert shuffle_count(df) == 1, formatted_plan(df)[:2000]
+
+
+def test_capped_sessionize_is_single_shuffle(spark, sf_dir):
+    """The ordered fold costs exactly the sessionize shuffle: one hash
+    partition by user, the fold itself map-side over the sorted array."""
+    from cdc_postgresql_clickhouse_spark.queries.events import (
+        events_sessionize_capped,
+    )
+
+    df = events_sessionize_capped(spark, sf_dir)
+    assert shuffle_count(df) == 1, formatted_plan(df)[:2000]
+
+
+def test_truncation_report_broadcasts_query_sides(spark, sf_dir):
+    """Each brute-force leg is the documented broadcast-query × corpus
+    scan (a BroadcastNestedLoopJoin — the non-equi q_id != vec_id pairing
+    with the sampled 1%-side broadcast, same shape as the registered
+    ann_bruteforce_topk), and the truth overlap join is a broadcast HASH
+    join. No sort-merge join anywhere: nothing corpus-sized shuffles."""
+    from cdc_postgresql_clickhouse_spark.queries.similarity import (
+        ann_dim_truncation_report,
+    )
+
+    plan = formatted_plan(ann_dim_truncation_report(spark, sf_dir))
+    assert plan.count("BroadcastNestedLoopJoin") >= 3, plan[:2000]
+    assert plan.count("BroadcastHashJoin") >= 1, plan[:2000]
+    assert "SortMergeJoin" not in plan
