@@ -1411,3 +1411,126 @@ FROM sizes CROSS JOIN exact CROSS JOIN est
 
 PENDING_QUERIES["sketch_cms_join_size"] = sketch_cms_join_size
 PENDING_ORACLE["sketch_cms_join_size"] = _SQL_CMS_JOIN
+
+
+# --- seasonal-adjusted anomaly detection — PENDING round 7 ------------------
+#
+# The observability upgrade of ``events_anomaly_mad``: raw-value MAD
+# flags every rush-hour spike; the production detector first removes the
+# HOUR-OF-DAY baseline (per (type, hour) integer mean cents, a broadcast
+# |types|x24 table) and runs the robust median/MAD gate on the
+# RESIDUALS. Same no-doubles contract as the MAD row: residual medians
+# on 2x half-units, MAD on 4x quarter-units, the 4.4478 cutoff as
+# integer cross-multiplication. Plan: one broadcast join adds the
+# baseline map-side, then the MAD row's two keyed rank aggs.
+
+
+def events_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.hour("ts").cast("long").alias("hour"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
+    )
+    base = ev.groupBy("event_type", "hour").agg(
+        F.expr("sum(c) div count(1)").cast("long").alias("base")
+    )
+    d = ev.join(F.broadcast(base), ["event_type", "hour"]).select(
+        "event_type", (F.col("c") - F.col("base")).alias("r")
+    )
+    w = Window.partitionBy("event_type").orderBy("r")
+    rr = d.select(
+        "*",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+    med = rr.groupBy("event_type").agg(
+        (
+            F.sum(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("r")))
+            + F.sum(F.when(F.col("rn") == F.expr("n div 2 + 1"), F.col("r")))
+        ).cast("long").alias("med_hr")
+    )
+    dev = d.join(F.broadcast(med), "event_type").select(
+        "event_type", "med_hr", F.abs(F.col("r") * 2 - F.col("med_hr")).alias("ad_hr")
+    )
+    w2 = Window.partitionBy("event_type").orderBy("ad_hr")
+    r2 = dev.select(
+        "*",
+        F.row_number().over(w2).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+    madf = r2.groupBy("event_type").agg(
+        (
+            F.sum(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("ad_hr")))
+            + F.sum(F.when(F.col("rn") == F.expr("n div 2 + 1"), F.col("ad_hr")))
+        ).cast("long").alias("mad_qr")
+    )
+    return (
+        dev.join(F.broadcast(madf), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.max("med_hr").alias("resid_median_halfcents"),
+            F.max("mad_qr").alias("resid_mad_qcents"),
+            F.sum(
+                F.when(
+                    F.col("ad_hr") * _MAD_DEN > F.col("mad_qr") * _MAD_NUM, 1
+                ).otherwise(0)
+            ).cast("long").alias("n_anomalies"),
+        )
+    )
+
+
+_SQL_SEASONAL = f"""
+WITH ev AS (
+  SELECT event_type, CAST(hour(ts) AS BIGINT) AS hour,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events
+),
+base AS (
+  SELECT event_type, hour, SUM(c) // COUNT(*) AS base
+  FROM ev GROUP BY event_type, hour
+),
+d AS (
+  SELECT ev.event_type, ev.c - base.base AS r
+  FROM ev JOIN base USING (event_type, hour)
+),
+rr AS (
+  SELECT event_type, r,
+         row_number() OVER (PARTITION BY event_type ORDER BY r) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM d
+),
+med AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN rn = (n + 1) // 2 THEN r END)
+              + SUM(CASE WHEN rn = n // 2 + 1 THEN r END) AS BIGINT) AS med_hr
+  FROM rr GROUP BY event_type
+),
+dev AS (
+  SELECT d.event_type, med.med_hr, abs(d.r * 2 - med.med_hr) AS ad_hr
+  FROM d JOIN med USING (event_type)
+),
+r2 AS (
+  SELECT event_type, med_hr, ad_hr,
+         row_number() OVER (PARTITION BY event_type ORDER BY ad_hr) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM dev
+),
+madf AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN rn = (n + 1) // 2 THEN ad_hr END)
+              + SUM(CASE WHEN rn = n // 2 + 1 THEN ad_hr END) AS BIGINT) AS mad_qr
+  FROM r2 GROUP BY event_type
+)
+SELECT dev.event_type,
+       COUNT(*) AS n_events,
+       MAX(dev.med_hr) AS resid_median_halfcents,
+       MAX(madf.mad_qr) AS resid_mad_qcents,
+       CAST(SUM(CASE WHEN dev.ad_hr * {_MAD_DEN} > madf.mad_qr * {_MAD_NUM}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+FROM dev JOIN madf USING (event_type)
+GROUP BY dev.event_type
+"""
+
+PENDING_QUERIES["events_anomaly_seasonal"] = events_anomaly_seasonal
+PENDING_ORACLE["events_anomaly_seasonal"] = _SQL_SEASONAL

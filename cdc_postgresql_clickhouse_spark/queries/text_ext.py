@@ -897,3 +897,98 @@ PENDING_ORACLE = {
     "text_char_entropy": _SQL_ENTROPY,
     "corpus_bigram_heldout_ppl": _heldout_sql(),
 }
+
+
+# --- Zipf rank-frequency fit — PENDING round 7 ------------------------------
+#
+# Per-source Zipf exponent: least-squares slope of ln(freq) on ln(rank)
+# over the top-ZIPF_TOPN word frequencies (Zipf 1949) — the
+# language-statistics companion of the Heaps-law vocab-growth row: a
+# natural-language source fits s ~ 1; templated/boilerplate text shows a
+# distinctly flatter or steeper head. Determinism: milli-ln x/y via the
+# shared floor device (exact identical integers in both engines), all
+# four sums exact integer aggregates, and the final slope/R^2 divisions
+# done once on those exact integers with the floor-truncation rule.
+# Plan: token explode -> (source, word) counts -> per-source top-N by a
+# deterministic rank window over the count table (vocab grain, not
+# corpus grain) -> one 6-long-column agg per source.
+
+ZIPF_TOPN = 200
+
+
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from cdc_postgresql_clickhouse_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select("source", F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    rw = Window.partitionBy("source").orderBy(F.desc("f"), "w")
+    ranked = wc.withColumn("rank", F.row_number().over(rw)).filter(
+        F.col("rank") <= ZIPF_TOPN
+    )
+    mlog = lambda c: F.floor(F.log(c.cast("double")) * 1000.0).cast("long")
+    pts = ranked.select(
+        "source", mlog(F.col("rank")).alias("x"), mlog(F.col("f")).alias("y")
+    )
+    agg = pts.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    denx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    deny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    slope_ppm = F.floor(-num / denx * F.lit(1000000.0)).cast("long")
+    r2_ppm = F.floor(num * num / (denx * deny) * F.lit(1000000.0)).cast("long")
+    return agg.select(
+        "source", F.col("n").alias("n_ranks"),
+        slope_ppm.alias("zipf_slope_ppm"), r2_ppm.alias("fit_r2_ppm"),
+    )
+
+
+def _zipf_sql() -> str:
+    return f"""
+WITH wc AS (
+  SELECT source, w, COUNT(*)::BIGINT AS f FROM (
+    SELECT source, unnest({_SQL_TOKENS}) AS w FROM documents
+  ) GROUP BY source, w
+),
+ranked AS (
+  SELECT source, f,
+         row_number() OVER (PARTITION BY source ORDER BY f DESC, w) AS rank
+  FROM wc QUALIFY rank <= {ZIPF_TOPN}
+),
+pts AS (
+  SELECT source,
+         CAST(FLOOR(ln(CAST(rank AS DOUBLE)) * 1000.0) AS BIGINT) AS x,
+         CAST(FLOOR(ln(CAST(f AS DOUBLE)) * 1000.0) AS BIGINT) AS y
+  FROM ranked
+),
+agg AS (
+  SELECT source, COUNT(*)::BIGINT AS n,
+         SUM(x)::BIGINT AS sx, SUM(y)::BIGINT AS sy,
+         SUM(x * y)::BIGINT AS sxy, SUM(x * x)::BIGINT AS sxx,
+         SUM(y * y)::BIGINT AS syy
+  FROM pts GROUP BY source
+)
+SELECT source, n AS n_ranks,
+       CAST(FLOOR(-(CAST(n * sxy - sx * sy AS DOUBLE))
+                  / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000.0) AS BIGINT)
+         AS zipf_slope_ppm,
+       CAST(FLOOR(CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE)
+                  / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))
+                  * 1000000.0) AS BIGINT) AS fit_r2_ppm
+FROM agg
+"""
+
+
+PENDING_QUERIES["text_zipf_fit"] = text_zipf_fit
+PENDING_ORACLE["text_zipf_fit"] = _zipf_sql()

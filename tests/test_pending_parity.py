@@ -605,3 +605,38 @@ def test_centroid_drift_bounds(spark, sf_dir):
     }
     for _, row in r.iterrows():
         assert row.n_train + row.n_val == counts[row.label]
+
+
+def test_seasonal_anomaly_vs_raw_mad(spark, sf_dir):
+    """Residualizing cannot invent events: per-type counts equal the raw
+    MAD row's, and anomaly counts stay bounded by n_events."""
+    from cdc_postgresql_clickhouse_spark.queries.sketches import (
+        events_anomaly_mad,
+        events_anomaly_seasonal,
+    )
+
+    s = events_anomaly_seasonal(spark, sf_dir).toPandas().set_index("event_type")
+    m = events_anomaly_mad(spark, sf_dir).toPandas().set_index("event_type")
+    assert sorted(s.index) == sorted(m.index)
+    assert (s.n_events == m.n_events.reindex(s.index)).all()
+    assert ((s.n_anomalies >= 0) & (s.n_anomalies <= s.n_events)).all()
+    assert (s.resid_mad_qcents >= 0).all()
+
+
+def test_zipf_fit_laws(spark, sf_dir):
+    """Frequencies fall with rank, so the fitted slope is positive; R^2 is
+    PPM-bounded; rank counts respect the cap; every source reports."""
+    from cdc_postgresql_clickhouse_spark.queries.text_ext import (
+        ZIPF_TOPN,
+        text_zipf_fit,
+    )
+
+    r = text_zipf_fit(spark, sf_dir).toPandas()
+    srcs = {
+        row.source
+        for row in load_table(spark, sf_dir, "documents").select("source").distinct().collect()
+    }
+    assert set(r.source) == srcs
+    assert (r.zipf_slope_ppm > 0).all()
+    assert ((r.fit_r2_ppm >= 0) & (r.fit_r2_ppm <= 1_000_000)).all()
+    assert (r.n_ranks <= ZIPF_TOPN).all() and (r.n_ranks >= 3).all()
