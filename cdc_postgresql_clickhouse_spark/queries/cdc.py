@@ -696,3 +696,91 @@ PENDING_ORACLE = {
     "cdc_state_asof": _SQL_ASOF,
     "cdc_dlq_report": _SQL_DLQ,
 }
+
+
+# --- TOAST unavailable-value carry-forward — PENDING round 7 ----------------
+#
+# Debezium sends ``__debezium_unavailable_value`` for an UNCHANGED TOASTed
+# column (PostgreSQL doesn't ship large unmodified values with the WAL
+# row), so a naive sink overwrites real data with the placeholder — the
+# classic Debezium→warehouse correctness trap. The correct sink semantics
+# is per-key carry-forward: the placeholder inherits the key's most
+# recent REAL value in change order. Re-expressed Spark-first as one
+# window: last(real_value, ignorenulls) over the per-key (ts, event_id)
+# frame — the LOCF pattern at change-stream grain — then the usual
+# arg-max current-state read. A deterministic seventh of the fixture's
+# changes (event_id % 7 == 2) is replaced by the placeholder in-query,
+# exactly the _inject device the PII row uses; the operator itself never
+# sees the synthesis. One shuffle on the key serves both the window and
+# the arg-max.
+
+TOAST_PLACEHOLDER = "__debezium_unavailable_value"
+
+
+def cdc_toast_carryforward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.unix_micros("ts").alias("us"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
+    )
+    wire = ev.select(
+        "user_id", "us", "event_id",
+        F.when(F.col("event_id") % 7 == 2, F.lit(TOAST_PLACEHOLDER))
+        .otherwise(F.col("c").cast("string")).alias("v_wire"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    real = F.when(F.col("v_wire") != TOAST_PLACEHOLDER, F.col("v_wire").cast("long"))
+    eff = wire.select(
+        "user_id", "us", "event_id",
+        (F.col("v_wire") == TOAST_PLACEHOLDER).alias("is_ph"),
+        F.last(real, ignorenulls=True).over(w).alias("eff_cents"),
+    )
+    return eff.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_changes"),
+        F.sum(F.when(F.col("is_ph"), 1).otherwise(0)).cast("long")
+        .alias("n_placeholders"),
+        F.max_by(F.col("eff_cents"), F.struct("us", "event_id"))
+        .alias("last_cents_effective"),
+        F.max_by(F.col("is_ph"), F.struct("us", "event_id"))
+        .cast("int").cast("long").alias("last_was_carried"),
+    )
+
+
+_SQL_TOAST = f"""
+WITH wire AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id,
+         CASE WHEN event_id % 7 = 2 THEN '{TOAST_PLACEHOLDER}'
+              ELSE CAST(CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS VARCHAR)
+         END AS v_wire
+  FROM events
+),
+eff AS (
+  SELECT user_id, us, event_id,
+         (v_wire = '{TOAST_PLACEHOLDER}') AS is_ph,
+         last_value(CASE WHEN v_wire <> '{TOAST_PLACEHOLDER}'
+                         THEN CAST(v_wire AS BIGINT) END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS eff_cents
+  FROM wire
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY us DESC, event_id DESC) AS rn
+  FROM eff
+)
+SELECT e.user_id,
+       COUNT(*)::BIGINT AS n_changes,
+       SUM(CASE WHEN e.is_ph THEN 1 ELSE 0 END)::BIGINT AS n_placeholders,
+       MAX(CASE WHEN r.rn = 1 THEN r.eff_cents END)::BIGINT AS last_cents_effective,
+       MAX(CASE WHEN r.rn = 1 THEN CASE WHEN r.is_ph THEN 1 ELSE 0 END END)::BIGINT
+         AS last_was_carried
+FROM eff e JOIN ranked r
+  ON r.user_id = e.user_id AND r.us = e.us AND r.event_id = e.event_id
+GROUP BY e.user_id
+"""
+
+PENDING_QUERIES["cdc_toast_carryforward"] = cdc_toast_carryforward
+PENDING_ORACLE["cdc_toast_carryforward"] = _SQL_TOAST

@@ -640,3 +640,49 @@ def test_zipf_fit_laws(spark, sf_dir):
     assert (r.zipf_slope_ppm > 0).all()
     assert ((r.fit_r2_ppm >= 0) & (r.fit_r2_ppm <= 1_000_000)).all()
     assert (r.n_ranks <= ZIPF_TOPN).all() and (r.n_ranks >= 3).all()
+
+
+def test_toast_carryforward_semantics(spark, sf_dir):
+    """Replay the carry-forward in Python per user: the effective last
+    value must be the most recent REAL (non-placeholder) value in change
+    order, and the placeholder share must be the planted ~1/7."""
+    from cdc_postgresql_clickhouse_spark.queries.cdc import (
+        TOAST_PLACEHOLDER,
+        cdc_toast_carryforward,
+    )
+
+    out = {r.user_id: r for r in cdc_toast_carryforward(spark, sf_dir).collect()}
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("us"),
+            "event_id",
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
+        )
+        .collect()
+    )
+    from collections import defaultdict
+
+    streams = defaultdict(list)
+    for r in ev:
+        streams[r.user_id].append((r.us, r.event_id, r.c))
+    assert set(out) == set(streams)
+    total_ph = total = 0
+    for u, rows in streams.items():
+        rows.sort()
+        eff, n_ph = None, 0
+        for _, eid, c in rows:
+            if eid % 7 == 2:
+                n_ph += 1  # placeholder: eff unchanged (carry-forward)
+            else:
+                eff = c
+        last_is_ph = rows[-1][1] % 7 == 2
+        got = out[u]
+        assert got.n_changes == len(rows)
+        assert got.n_placeholders == n_ph
+        assert got.last_cents_effective == eff, u
+        assert got.last_was_carried == int(last_is_ph)
+        total_ph += n_ph
+        total += len(rows)
+    assert 0.10 <= total_ph / total <= 0.18  # ~1/7 planted
