@@ -784,3 +784,73 @@ GROUP BY e.user_id
 
 PENDING_QUERIES["cdc_toast_carryforward"] = cdc_toast_carryforward
 PENDING_ORACLE["cdc_toast_carryforward"] = _SQL_TOAST
+
+
+# --- incremental chunked snapshot (DBLog) equivalence — PENDING round 7 -----
+#
+# Netflix DBLog / Debezium incremental snapshots: re-sync a table in KEY
+# CHUNKS while the change stream keeps flowing, each chunk read AS OF a
+# different instant. The correctness claim of that algorithm — chunk rows
+# interleaved with concurrent changes converge to the live state — is
+# exactly the S9/ST2 version-arg-max contract: a chunk row carries its
+# underlying row's version (the key's last change at the chunk's as-of
+# instant), so any later change beats it and any earlier change loses.
+# This row REPLAYS the algorithm: three key-range chunks snapshotted at
+# the 1/4, 1/2, 3/4 epochs (each chunk = the as-of state of its key
+# range, built by the registered as-of machinery), unioned with the FULL
+# change log, merged by arg-max — and must equal the plain current state;
+# the oracle IS the current-state SQL. One extra union over the
+# current-state plan; chunking adds no shuffle (the range filter is
+# map-side).
+
+
+def cdc_incremental_snapshot_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "value", "ts",
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("es"),
+    )
+    lo, hi = ev.agg(F.min("es"), F.max("es")).first()
+    span = int(hi) - int(lo)
+    chunks = [
+        (F.col("user_id") % 3 == 0, int(lo) + span // 4),
+        (F.col("user_id") % 3 == 1, int(lo) + span // 2),
+        (F.col("user_id") % 3 == 2, int(lo) + 3 * span // 4),
+    ]
+    snap = None
+    for key_pred, t_asof in chunks:
+        part = (
+            ev.filter(key_pred & (F.col("es") <= F.lit(t_asof)))
+            .groupBy("user_id")
+            .agg(
+                F.max_by(
+                    F.struct("event_id", "event_type", "value", "ts"),
+                    F.struct("ts", "event_id"),
+                ).alias("__r")
+            )
+            .select("user_id", "__r.*")
+        )
+        snap = part if snap is None else snap.unionByName(part)
+    merged = snap.unionByName(
+        ev.select("user_id", "event_id", "event_type", "value", "ts")
+    )
+    # at-least-once: a chunk row duplicates its key's change row verbatim
+    merged = merged.distinct()
+    return (
+        merged.groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("event_id", "event_type", "value"),
+                F.struct("ts", "event_id"),
+            ).alias("__r")
+        )
+        .select(
+            "user_id",
+            F.col("__r.event_id").alias("last_event_id"),
+            F.col("__r.event_type").alias("last_event_type"),
+            F.col("__r.value").alias("last_value"),
+        )
+    )
+
+
+PENDING_QUERIES["cdc_incremental_snapshot_equiv"] = cdc_incremental_snapshot_equiv
+PENDING_ORACLE["cdc_incremental_snapshot_equiv"] = ORACLE["cdc_current_state"]
