@@ -311,3 +311,18 @@ def optimize_clustered(
             "n_dirty": len(dirty),
             "n_rewritten_files": moved,
         }
+
+
+def write_date_partitioned(
+    df: DataFrame, path: str, ts_col: str = "ts", part_col: str = "dt"
+) -> None:
+    """The bread-and-butter production layout: Hive-style date partition
+    directories (``dt=YYYY-MM-DD/``) derived from the event timestamp.
+    Complements the bucket/Z-order/Hilbert layouts: those cluster WITHIN
+    files for data skipping; date partitioning prunes whole DIRECTORIES
+    at plan time, which is the first and cheapest pruning level every
+    time-series scan hits (Catalyst turns a ``dt`` predicate into a
+    partition filter — zero data files of other days are even listed).
+    At 100 TB this is the difference between scanning a day and a year."""
+    out = df.withColumn(part_col, F.date_format(F.col(ts_col), "yyyy-MM-dd"))
+    out.write.mode("overwrite").partitionBy(part_col).parquet(path)

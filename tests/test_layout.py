@@ -86,3 +86,32 @@ def test_skew_safe_count_distinct_exact(spark, sf_dir):
     )
     assert got.exceptAll(expected).isEmpty()
     assert expected.exceptAll(got).isEmpty()
+
+
+def test_date_partitioned_write_prunes_directories(spark, sf_dir, tmp_path):
+    """A dt predicate must reach the partition level: the planned scan
+    lists ONLY the matching date directories (inputFiles is the proof),
+    and the pruned read returns exactly the rows of those dates."""
+    from cdc_postgresql_clickhouse_spark.operators.layout import (
+        write_date_partitioned,
+    )
+    from cdc_postgresql_clickhouse_spark.sources.registry import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "value")
+    path = str(tmp_path / "ev_by_date")
+    write_date_partitioned(ev, path)
+
+    days = sorted(
+        r[0]
+        for r in spark.read.parquet(path).select("dt").distinct().collect()
+    )
+    assert len(days) >= 3, "fixture spans too few days for a pruning test"
+    pick = days[len(days) // 2]
+    pruned = spark.read.parquet(path).filter(F.col("dt") == pick)
+    plan = formatted_plan(pruned)
+    import re
+
+    m = re.search(r"PartitionFilters: \[(.*?)\]", plan)
+    assert m and "dt" in m.group(1), plan[:1500]
+    want = ev.filter(F.date_format("ts", "yyyy-MM-dd") == pick).count()
+    assert pruned.count() == want
