@@ -161,3 +161,54 @@ def envelope_schema_for(columns: list[Row]) -> StructType:
             StructField("source", source_schema),
         ]
     )
+
+
+class SchemaCompatibilityError(ValueError):
+    """A DDL transition violates the required registry compatibility mode."""
+
+
+def check_schema_transition(
+    history: DataFrame, table_id: str, require: str = "BACKWARD"
+) -> "CompatReport":
+    """Enforce a registry compatibility mode over the table's LAST schema
+    transition in the history — the in-engine stand-in for the schema
+    registry's compatibility gate (the reference's stack rejects the
+    producer's registration instead; here the pipeline operator calls
+    this before re-deriving the envelope schema). Returns the transition
+    report, or raises ``SchemaCompatibilityError`` naming the offending
+    fields. A table with a single recorded schema passes trivially."""
+    from cdc_postgresql_clickhouse_spark.sources.schema_compat import (
+        CompatReport,
+        compatibility,
+    )
+
+    rows = (
+        history.filter(F.col("table_id") == table_id)
+        .orderBy(F.desc("ts_ms"), F.desc(F.size("columns")))
+        .select("columns")
+        .take(2)
+    )
+    if not rows:
+        raise KeyError(f"no schema history for table {table_id!r}")
+    if len(rows) == 1:
+        return CompatReport()
+    new_cols = sorted(rows[0]["columns"], key=lambda c: c["position"])
+    prev_cols = sorted(rows[1]["columns"], key=lambda c: c["position"])
+
+    def _row_schema(cols):
+        return StructType(
+            [
+                StructField(c["name"], _PG_TO_SPARK.get(c["typeName"], StringType()))
+                for c in cols
+            ]
+        )
+
+    report = compatibility(_row_schema(prev_cols), _row_schema(new_cols))
+    if require.upper() not in report.modes() + [""]:
+        raise SchemaCompatibilityError(
+            f"table {table_id!r} transition violates {require}: "
+            f"added_required={report.added_required} "
+            f"dropped_required={report.dropped_required} "
+            f"breaking={report.breaking_type_changes}"
+        )
+    return report

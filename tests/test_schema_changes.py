@@ -232,3 +232,72 @@ def test_schema_evolution_driver_row_widens_mid_stream(spark, sf_dir):
     assert set(out) == set(latest_day)
     for uid, k in out.items():
         assert (k is not None) == (latest_day[uid] >= _SCHEMA_EVO_SPLIT_DAY), uid
+
+
+def test_compat_gate_passes_widening_and_rejects_narrowing(spark):
+    """The registry gate over the history's last transition: the T4
+    ADD COLUMN passes BACKWARD (and FULL), while an int8 -> int4
+    narrowing of `id` raises naming the offending field."""
+    import pytest
+
+    from cdc_postgresql_clickhouse_spark.sources.schema_changes import (
+        SchemaCompatibilityError,
+        check_schema_transition,
+    )
+
+    widened = _BASE_COLUMNS + [
+        {"name": "loyalty_tier", "typeName": "text", "position": 8, "optional": True}
+    ]
+    hist = schema_history(
+        decode_schema_change_events(
+            _wire(
+                spark,
+                [
+                    _ddl_event(1000, "CREATE TABLE bookings (...)", _BASE_COLUMNS, "CREATE"),
+                    _ddl_event(2000, "ALTER TABLE bookings ADD loyalty_tier text", widened, "ALTER"),
+                ],
+            )
+        )
+    )
+    report = check_schema_transition(hist, TABLE_ID, require="FULL")
+    assert report.added_optional == ["loyalty_tier"] and report.full
+
+    # int8 -> int4 is NOT breaking in-engine (both decode as LongType):
+    narrowed = [dict(c) for c in _BASE_COLUMNS]
+    narrowed[0]["typeName"] = "int4"
+    hist_n = schema_history(
+        decode_schema_change_events(
+            _wire(
+                spark,
+                [
+                    _ddl_event(1000, "CREATE TABLE bookings (...)", _BASE_COLUMNS, "CREATE"),
+                    _ddl_event(2000, "ALTER TABLE bookings ALTER id TYPE int4", narrowed, "ALTER"),
+                ],
+            )
+        )
+    )
+    assert check_schema_transition(hist_n, TABLE_ID, require="FULL").full
+
+    # but text -> int8 changes the decoded Spark type: breaking both ways
+    retyped = [dict(c) for c in _BASE_COLUMNS]
+    retyped[1]["typeName"] = "int8"  # booking_id: text -> int8
+    hist2 = schema_history(
+        decode_schema_change_events(
+            _wire(
+                spark,
+                [
+                    _ddl_event(1000, "CREATE TABLE bookings (...)", _BASE_COLUMNS, "CREATE"),
+                    _ddl_event(2000, "ALTER TABLE bookings ALTER booking_id TYPE int8", retyped, "ALTER"),
+                ],
+            )
+        )
+    )
+    with pytest.raises(SchemaCompatibilityError, match="booking_id"):
+        check_schema_transition(hist2, TABLE_ID, require="BACKWARD")
+
+    single = schema_history(
+        decode_schema_change_events(
+            _wire(spark, [_ddl_event(1000, "CREATE TABLE", _BASE_COLUMNS, "CREATE")])
+        )
+    )
+    assert check_schema_transition(single, TABLE_ID).full  # trivial pass
