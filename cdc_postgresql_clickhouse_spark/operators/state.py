@@ -419,3 +419,39 @@ def consistency_check(source: DataFrame, replica: DataFrame) -> bool:
     cols = sorted(set(source.columns) & set(replica.columns))
     s, r = source.select(*cols), replica.select(*cols)
     return s.exceptAll(r).isEmpty() and r.exceptAll(s).isEmpty()
+
+
+def state_table_stats(spark: SparkSession, path: str) -> dict:
+    """Operational introspection of a bucketed state table: per-table row
+    count plus the file-layout facts an operator actually pages on —
+    bucket count, data-file count, total bytes, and the max/min files per
+    bucket (a high max means a bucket needs compaction; the dirty-bucket
+    upsert rewrites each touched bucket wholesale, so healthy tables sit
+    at one file per bucket). Walks the directory tree driver-side —
+    metadata-cadence work, like the reference's system-table queries —
+    and reads NO data files except one count() over the table."""
+    import os
+
+    buckets: dict[str, int] = {}
+    total_bytes = 0
+    n_files = 0
+    for root, _dirs, files in os.walk(path):
+        part = [p for p in root.split(os.sep) if p.startswith("__bucket=")]
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            n_files += 1
+            total_bytes += os.path.getsize(os.path.join(root, f))
+            if part:
+                buckets[part[-1]] = buckets.get(part[-1], 0) + 1
+    df = read_state(spark, path)
+    n_rows = 0 if df is None else df.count()
+    per_bucket = sorted(buckets.values())
+    return {
+        "n_rows": n_rows,
+        "n_buckets": len(buckets),
+        "n_files": n_files,
+        "total_bytes": total_bytes,
+        "max_files_per_bucket": per_bucket[-1] if per_bucket else 0,
+        "min_files_per_bucket": per_bucket[0] if per_bucket else 0,
+    }

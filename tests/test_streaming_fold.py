@@ -121,3 +121,24 @@ def test_session_fold_three_way_split_and_fence(spark, sf_dir):
         pd.testing.assert_frame_equal(after, want)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_state_table_stats_reports_layout(spark, sf_dir):
+    """The ops introspection sees what the fold sink wrote: every bucket
+    directory counted, row count matching the state, bytes positive."""
+    from cdc_postgresql_clickhouse_spark.operators.state import state_table_stats
+    from cdc_postgresql_clickhouse_spark.streaming.fold import FOLD_BUCKETS
+
+    ev = _rows(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="fold_stats_")
+    try:
+        state = f"{tmp}/state"
+        ingest_batch_ewma(spark, ev, state, batch_id=0)
+        st = state_table_stats(spark, state)
+        assert st["n_rows"] == read_ewma(spark, state).count()
+        assert 1 <= st["n_buckets"] <= FOLD_BUCKETS
+        assert st["n_files"] >= st["n_buckets"]
+        assert st["total_bytes"] > 0
+        assert st["max_files_per_bucket"] >= st["min_files_per_bucket"] >= 1
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
