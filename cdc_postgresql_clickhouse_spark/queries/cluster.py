@@ -333,3 +333,83 @@ FROM documents
 WHERE {_SQL_SAMPLE_KEY} < ({_RATE_CASE})
 """,
 }
+
+
+# --- survivorship policy comparison — PENDING round 7 -----------------------
+#
+# The curation decision every dedup pipeline makes after clustering:
+# WHICH duplicate survives? min-doc-id (the registered canonical row's
+# stable-arbitrary policy) vs keep-longest (content-aware: retain the
+# most complete copy — what near-superset clusters want). This row puts
+# both policies side by side per cluster: survivors under each, their
+# sizes, whether they disagree, and the character mass at stake. Reuses
+# the shared one-run-per-corpus ``clusters()`` component table; the
+# doc-attribute join is keyed (corpus-proportional side NOT broadcast);
+# per-cluster picks are deterministic arg-max/arg-min with doc_id
+# tie-breaks in both engines.
+
+
+def dedup_survivor_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    comp = clusters(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    j = comp.select("doc_id", F.col("label").alias("cluster_id")).join(docs, "doc_id")
+    per = j.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size"),
+        F.min("doc_id").alias("survivor_min_id"),
+        F.min_by("n_chars", "doc_id").alias("min_survivor_chars"),
+        F.max_by("doc_id", F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("nd")))
+        .alias("survivor_longest_id"),
+        F.max("n_chars").alias("longest_survivor_chars"),
+        F.sum("n_chars").cast("long").alias("cluster_chars"),
+    ).filter(F.col("cluster_size") >= 2)
+    return per.select(
+        "*",
+        (F.col("survivor_min_id") != F.col("survivor_longest_id"))
+        .alias("policies_differ"),
+    )
+
+
+_SQL_SURVIVOR = f"""
+WITH RECURSIVE {_SQL_MINHASH_CTES},
+edges AS ({_SQL_MINHASH_SELECT}),
+bidir AS (
+  SELECT doc_a AS a, doc_b AS b FROM edges
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM edges
+),
+nodes AS (SELECT DISTINCT a AS doc_id FROM bidir),
+reach(doc_id, r) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT re.doc_id, bd.b FROM reach re JOIN bidir bd ON bd.a = re.r
+),
+comp AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id),
+scored AS (
+  SELECT comp.cluster_id, comp.doc_id, CAST(d.n_chars AS BIGINT) AS n_chars
+  FROM comp JOIN documents d USING (doc_id)
+),
+rl AS (
+  SELECT cluster_id, doc_id, n_chars,
+         row_number() OVER (PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS rn_l,
+         row_number() OVER (PARTITION BY cluster_id ORDER BY doc_id) AS rn_m
+  FROM scored
+),
+per AS (
+  SELECT cluster_id,
+         COUNT(*)::BIGINT AS cluster_size,
+         MAX(CASE WHEN rn_m = 1 THEN doc_id END) AS survivor_min_id,
+         MAX(CASE WHEN rn_m = 1 THEN n_chars END) AS min_survivor_chars,
+         MAX(CASE WHEN rn_l = 1 THEN doc_id END) AS survivor_longest_id,
+         MAX(CASE WHEN rn_l = 1 THEN n_chars END) AS longest_survivor_chars,
+         SUM(n_chars)::BIGINT AS cluster_chars
+  FROM rl GROUP BY cluster_id
+  HAVING COUNT(*) >= 2
+)
+SELECT *, survivor_min_id <> survivor_longest_id AS policies_differ
+FROM per
+"""
+
+PENDING_QUERIES = {"dedup_survivor_policy": dedup_survivor_policy}
+PENDING_ORACLE = {"dedup_survivor_policy": _SQL_SURVIVOR}

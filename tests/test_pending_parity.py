@@ -15,12 +15,12 @@ from tests.oracle_harness import compare, duckdb_con
 
 def _pending():
     from cdc_postgresql_clickhouse_spark.queries import (
-        cdc, events, graph, pca, quality, search, similarity, sketches,
+        cdc, cluster, events, graph, pca, quality, search, similarity, sketches,
         streaming_queries, text, text_ext, tokenizer, tpch_ext, tpch_more, training,
     )
 
     out = {}
-    for m in (tokenizer, cdc, search, sketches, graph, text_ext, pca, tpch_ext, events, tpch_more, training, quality, text, streaming_queries, similarity):
+    for m in (tokenizer, cdc, search, sketches, graph, text_ext, pca, tpch_ext, events, tpch_more, training, quality, text, streaming_queries, similarity, cluster):
         q = getattr(m, "PENDING_QUERIES", {})
         o = getattr(m, "PENDING_ORACLE", {})
         assert set(q) == set(o), "pending query without oracle twin"
@@ -686,3 +686,24 @@ def test_toast_carryforward_semantics(spark, sf_dir):
         total_ph += n_ph
         total += len(rows)
     assert 0.10 <= total_ph / total <= 0.18  # ~1/7 planted
+
+
+def test_survivor_policy_laws(spark, sf_dir):
+    """Both survivors belong to their cluster's doc set, keep-longest
+    retains at least as many characters as keep-min, and policies_differ
+    is exactly the id inequality."""
+    from cdc_postgresql_clickhouse_spark.queries.cluster import (
+        dedup_cluster_canonical,
+        dedup_survivor_policy,
+    )
+
+    r = dedup_survivor_policy(spark, sf_dir).toPandas()
+    assert len(r) > 0
+    assert (r.longest_survivor_chars >= r.min_survivor_chars).all()
+    assert (r.policies_differ == (r.survivor_min_id != r.survivor_longest_id)).all()
+    canon = dedup_cluster_canonical(spark, sf_dir).toPandas()
+    members = canon.groupby("canonical_id").doc_id.apply(set)
+    for _, row in r.iterrows():
+        assert row.survivor_min_id in members[row.cluster_id]
+        assert row.survivor_longest_id in members[row.cluster_id]
+        assert row.survivor_min_id == min(members[row.cluster_id])
