@@ -944,3 +944,66 @@ from cdc_postgresql_clickhouse_spark.queries.events import (  # noqa: E402
 
 PENDING_QUERIES["streaming_session_capped_equiv"] = streaming_session_capped_equiv
 PENDING_ORACLE["streaming_session_capped_equiv"] = _SESS_CAPPED_SQL
+
+
+def streaming_dlq_replay_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quarantine loop CLOSED: a producer bug prefixes a fifth of the
+    envelope records with garbage bytes; the pipeline quarantines them to
+    the DLQ (raw bytes preserved) and lands the clean records; the fix
+    strips the prefix from the quarantined bytes and REPLAYS them through
+    the same pipeline into the same state table — after which the state
+    must equal a never-corrupted run bit-for-bit (replay lands via the
+    same version arg-max merge, so ordering between the two passes is
+    irrelevant). The oracle is the full-pipeline row's SQL — this row
+    proves quarantine + replay-after-fix loses NOTHING."""
+    from cdc_postgresql_clickhouse_spark.operators.state import (
+        current_state,
+        read_state,
+    )
+    from cdc_postgresql_clickhouse_spark.streaming.pipeline import run_cdc_pipeline
+
+    ev = load_table(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="stream_dlqr_")
+    try:
+        env_dir = os.path.join(tmp, "env")
+        fixed_dir = os.path.join(tmp, "env_fixed")
+        state = os.path.join(tmp, "state")
+        dlq = os.path.join(tmp, "dlq")
+        envelopes = _event_envelopes(ev).select(
+            F.col("source.lsn").alias("lsn"),
+            F.to_json(F.struct("before", "after", "op", "ts_ms", "source")).alias("j"),
+        )
+        corrupted = envelopes.select(
+            F.when(F.col("lsn") % 5 == 3, F.concat(F.lit("CORRUPT!"), F.col("j")))
+            .otherwise(F.col("j")).alias("value")
+        )
+        corrupted.repartition(2).write.text(env_dir)
+        run_cdc_pipeline(
+            spark, env_dir, state, os.path.join(tmp, "ckpt1"),
+            key_buckets=8, max_files_per_trigger=1, dlq_path=dlq,
+        )
+        # the fix: strip the garbage prefix from the quarantined raw bytes
+        dead = spark.read.json(dlq).select(
+            F.regexp_replace("raw_value", "^CORRUPT!", "").alias("value")
+        )
+        dead.coalesce(1).write.text(fixed_dir)
+        run_cdc_pipeline(
+            spark, fixed_dir, state, os.path.join(tmp, "ckpt2"),
+            key_buckets=8, max_files_per_trigger=1,
+        )
+        res = current_state(read_state(spark, state))
+        out = res.select(
+            "booking_id",
+            F.col("status").alias("last_status"),
+            "is_canceled",
+            F.unix_micros("created_at").alias("created_at_us"),
+            F.unix_micros("modified_at").alias("modified_at_us"),
+            "version",
+        )
+        return _materialized(out)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+PENDING_QUERIES["streaming_dlq_replay_equiv"] = streaming_dlq_replay_equiv
+PENDING_ORACLE["streaming_dlq_replay_equiv"] = ORACLE["streaming_cdc_pipeline_equiv"]
