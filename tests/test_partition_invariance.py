@@ -63,3 +63,39 @@ def test_result_is_parallelism_invariant(spark, sf_dir, name):
         conf.set("spark.sql.shuffle.partitions", orig)
         reset_clusters_cache()
     assert a == b, f"{name}: result depends on shuffle partitioning"
+
+
+# Pending-layer operators with the strongest order-sensitivity exposure:
+# the two new ordered folds, the double-exponential fold, the fuzzy
+# equi-join, the SymSpell dedup of variants, and the drift/profile sums.
+_PENDING_CHECK = [
+    "events_holt_linear",
+    "events_sessionize_capped",
+    "customer_rfm_segments",
+    "linkage_fuzzy_part_names",
+    "profile_orders_columns",
+    "embedding_centroid_drift",
+    "sketch_cms_join_size",
+    "graph_hits_types",
+]
+
+
+def _pending_queries():
+    from tests.test_pending_parity import _pending
+
+    return {k: v[0] for k, v in _pending().items()}
+
+
+@pytest.mark.parametrize("name", _PENDING_CHECK)
+def test_pending_result_is_parallelism_invariant(spark, sf_dir, name):
+    fn = _pending_queries()[name]
+    conf = spark.conf
+    orig = conf.get("spark.sql.shuffle.partitions")
+    try:
+        conf.set("spark.sql.shuffle.partitions", "3")
+        a = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
+        conf.set("spark.sql.shuffle.partitions", "17")
+        b = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
+    finally:
+        conf.set("spark.sql.shuffle.partitions", orig)
+    assert a == b, f"{name}: result depends on shuffle partitioning"
