@@ -954,3 +954,88 @@ FROM r GROUP BY event_type, hour
 
 PENDING_QUERIES["events_hourly_latency_bands"] = events_hourly_latency_bands
 PENDING_ORACLE["events_hourly_latency_bands"] = ORACLE_HOURLY_BANDS
+
+
+# --- DAU / WAU / MAU + stickiness — PENDING round 7 -------------------------
+#
+# The product-analytics staple: per day on the dense grid, distinct
+# active users over the trailing 1 / 7 / 30 days, plus the DAU/MAU
+# stickiness ratio (integer PPM). Exact sliding DISTINCT does not
+# decompose into a running sum, so the scale shape is SUPPORT EXPLODE:
+# each distinct (user, active-day) pair supports the 30 days whose
+# trailing window contains it (a bounded 30x fan-out of the per-user-day
+# grain — corpus-bounded, unlike a per-event fan-out), then one distinct
+# + keyed count per window length. Days are pure integers; no date
+# arithmetic in either engine.
+
+_ACTIVE_WINDOWS = (1, 7, 30)
+
+
+def events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("CAST(FLOOR(unix_timestamp(ts)) AS BIGINT) div 86400").alias("d"),
+    )
+    ud = ev.distinct()
+    lo_hi = ud.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    counts = {}
+    for w in _ACTIVE_WINDOWS:
+        support = ud.select(
+            "user_id",
+            F.explode(F.sequence(F.col("d"), F.col("d") + F.lit(w - 1))).alias("sd"),
+        ).distinct()
+        counts[w] = support.groupBy(F.col("sd").alias("d")).agg(
+            F.count(F.lit(1)).cast("long").alias(f"n{w}")
+        )
+    grid = lo_hi.select(F.explode(F.sequence("lo", "hi")).alias("d"))
+    out = grid
+    for w in _ACTIVE_WINDOWS:
+        out = out.join(counts[w], "d", "left")
+    return out.select(
+        F.col("d").alias("day_index"),
+        F.coalesce("n1", F.lit(0).cast("long")).alias("dau"),
+        F.coalesce("n7", F.lit(0).cast("long")).alias("wau"),
+        F.coalesce("n30", F.lit(0).cast("long")).alias("mau"),
+        F.when(
+            F.coalesce("n30", F.lit(0)) > 0,
+            F.expr("coalesce(n1, 0) * 1000000 div coalesce(n30, 1)"),
+        ).otherwise(F.lit(0)).cast("long").alias("stickiness_ppm"),
+    )
+
+
+ORACLE_ACTIVE = """
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS d
+  FROM events
+),
+lim AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM ud),
+grid AS (SELECT unnest(range(lo, hi + 1)) AS d FROM lim),
+s1 AS (
+  SELECT d, COUNT(*)::BIGINT AS n1 FROM ud GROUP BY d
+),
+s7 AS (
+  SELECT sd AS d, COUNT(DISTINCT user_id)::BIGINT AS n7 FROM (
+    SELECT user_id, unnest(range(d, d + 7)) AS sd FROM ud
+  ) GROUP BY sd
+),
+s30 AS (
+  SELECT sd AS d, COUNT(DISTINCT user_id)::BIGINT AS n30 FROM (
+    SELECT user_id, unnest(range(d, d + 30)) AS sd FROM ud
+  ) GROUP BY sd
+)
+SELECT g.d AS day_index,
+       COALESCE(s1.n1, 0) AS dau,
+       COALESCE(s7.n7, 0) AS wau,
+       COALESCE(s30.n30, 0) AS mau,
+       CASE WHEN COALESCE(s30.n30, 0) > 0
+            THEN COALESCE(s1.n1, 0) * 1000000 // COALESCE(s30.n30, 1)
+            ELSE 0 END AS stickiness_ppm
+FROM grid g
+LEFT JOIN s1 ON s1.d = g.d
+LEFT JOIN s7 ON s7.d = g.d
+LEFT JOIN s30 ON s30.d = g.d
+"""
+
+PENDING_QUERIES["events_active_users"] = events_active_users
+PENDING_ORACLE["events_active_users"] = ORACLE_ACTIVE

@@ -707,3 +707,19 @@ def test_survivor_policy_laws(spark, sf_dir):
         assert row.survivor_min_id in members[row.cluster_id]
         assert row.survivor_longest_id in members[row.cluster_id]
         assert row.survivor_min_id == min(members[row.cluster_id])
+
+
+def test_active_users_monotone_windows(spark, sf_dir):
+    """A longer trailing window can only see more users: dau <= wau <= mau
+    per day, mau never exceeds the corpus's distinct users, and
+    stickiness is PPM-bounded."""
+    from cdc_postgresql_clickhouse_spark.queries.events import events_active_users
+
+    r = events_active_users(spark, sf_dir).toPandas()
+    assert len(r) > 0
+    assert (r.dau <= r.wau).all() and (r.wau <= r.mau).all()
+    total = load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert (r.mau <= total).all()
+    assert ((r.stickiness_ppm >= 0) & (r.stickiness_ppm <= 1_000_000)).all()
+    d = r.day_index.sort_values().to_numpy()
+    assert ((d[1:] - d[:-1]) == 1).all(), "grid must be dense"
