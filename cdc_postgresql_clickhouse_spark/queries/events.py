@@ -1039,3 +1039,105 @@ LEFT JOIN s30 ON s30.d = g.d
 
 PENDING_QUERIES["events_active_users"] = events_active_users
 PENDING_ORACLE["events_active_users"] = ORACLE_ACTIVE
+
+
+# --- session-level type co-occurrence — PENDING round 7 ---------------------
+#
+# Which event types co-occur within the SAME session? The behavioral
+# basket analysis at session grain: sessions from the registered gap rule
+# (30 min), distinct types per session, a<b oriented pairs, support +
+# integer-PPM lift against independent session membership. Pair fan-out
+# is quadratic only in the per-session DISTINCT-TYPE count (bounded by
+# |types|, here <= 5), never in events; the session build is the standard
+# lag+cumsum single key shuffle.
+
+
+def events_session_type_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type",
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("es"),
+    )
+    w_order = Window.partitionBy("user_id").orderBy("es", "event_id")
+    flagged = ev.withColumn(
+        "new_sess",
+        F.when(
+            F.lag("es").over(w_order).isNull()
+            | ((F.col("es") - F.lag("es").over(w_order)) > 1800),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    run = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = flagged.withColumn("sid", F.sum("new_sess").over(run)).select(
+        F.concat_ws("#", "user_id", "sid").alias("session_key"), "event_type"
+    ).distinct()
+    n_sessions = sess.select("session_key").distinct().count()
+    member = sess.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_member")
+    )
+    a = sess.alias("a")
+    b = sess.select(
+        "session_key", F.col("event_type").alias("type_b")
+    ).alias("b")
+    pairs = (
+        a.join(b, "session_key")
+        .filter(F.col("event_type") < F.col("type_b"))
+        .groupBy(F.col("event_type").alias("type_a"), "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+    )
+    ma = member.select(F.col("event_type").alias("type_a"), F.col("n_member").alias("n_a"))
+    mb = member.select(F.col("event_type").alias("type_b"), F.col("n_member").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(ma), "type_a")
+        .join(F.broadcast(mb), "type_b")
+        .select(
+            "type_a", "type_b", "support", "n_a", "n_b",
+            F.expr("support * 1000000 div n_a").cast("long").alias("conf_ab_ppm"),
+            F.expr(f"support * CAST({int(n_sessions)} AS BIGINT) * 1000000"
+                   " div (n_a * n_b)").cast("long").alias("lift_ppm"),
+        )
+    )
+
+
+ORACLE_SESSION_PAIRS = """
+WITH flagged AS (
+  SELECT user_id, event_id, event_type,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS es,
+         CASE WHEN lag(CAST(FLOOR(epoch(ts)) AS BIGINT))
+                     OVER (PARTITION BY user_id ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT), event_id) IS NULL
+                 OR CAST(FLOOR(epoch(ts)) AS BIGINT)
+                    - lag(CAST(FLOOR(epoch(ts)) AS BIGINT))
+                      OVER (PARTITION BY user_id ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT), event_id) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+sess0 AS (
+  SELECT user_id, event_type,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY es, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+),
+sess AS (
+  SELECT DISTINCT CAST(user_id AS VARCHAR) || '#' || CAST(sid AS VARCHAR) AS session_key,
+         event_type
+  FROM sess0
+),
+ns AS (SELECT COUNT(DISTINCT session_key) AS n FROM sess),
+member AS (SELECT event_type, COUNT(*)::BIGINT AS n_member FROM sess GROUP BY 1),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*)::BIGINT AS support
+  FROM sess a JOIN sess b
+    ON a.session_key = b.session_key AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b, p.support,
+       ma.n_member AS n_a, mb.n_member AS n_b,
+       p.support * 1000000 // ma.n_member AS conf_ab_ppm,
+       p.support * ns.n * 1000000 // (ma.n_member * mb.n_member) AS lift_ppm
+FROM pairs p
+JOIN member ma ON ma.event_type = p.type_a
+JOIN member mb ON mb.event_type = p.type_b
+CROSS JOIN ns
+"""
+
+PENDING_QUERIES["events_session_type_pairs"] = events_session_type_pairs
+PENDING_ORACLE["events_session_type_pairs"] = ORACLE_SESSION_PAIRS

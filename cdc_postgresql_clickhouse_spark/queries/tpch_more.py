@@ -892,3 +892,62 @@ PENDING_ORACLE = {
     "linkage_fuzzy_part_names": _fuzzy_sql(),
     "orders_backlog_timeseries": _SQL_BACKLOG,
 }
+
+
+# --- inter-order interval histogram — PENDING round 7 -----------------------
+#
+# Reorder-cadence analysis: the distribution of day gaps between a
+# customer's consecutive orders, bucketed into week-wide bins — the
+# retail staple behind replenishment and churn-risk models. One lag
+# window per customer (integer day indexes), then a corpus-level
+# fixed-width histogram: bucket = gap // 7 capped at REORDER_CAP (the
+# open tail bin), all integers. One key shuffle + one tiny agg.
+
+REORDER_BIN_DAYS = 7
+REORDER_CAP = 12  # bins; gaps >= 12 weeks fall into the open tail
+
+
+def orders_reorder_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr("CAST(FLOOR(unix_timestamp(o_orderdate)) AS BIGINT) div 86400")
+        .alias("d"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    gaps = o.select(
+        (F.col("d") - F.lag("d").over(w)).alias("gap_days")
+    ).filter(F.col("gap_days").isNotNull())
+    bin_ = F.least(
+        F.expr(f"gap_days div {REORDER_BIN_DAYS}"), F.lit(REORDER_CAP)
+    ).cast("long")
+    return gaps.groupBy(bin_.alias("week_bin")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.min("gap_days").cast("long").alias("min_gap_days"),
+        F.max("gap_days").cast("long").alias("max_gap_days"),
+    )
+
+
+_SQL_REORDER = f"""
+WITH o AS (
+  SELECT o_custkey,
+         CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) // 86400 AS d,
+         o_orderkey
+  FROM orders
+),
+gaps AS (
+  SELECT d - lag(d) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey) AS gap_days
+  FROM o
+)
+SELECT LEAST(gap_days // {REORDER_BIN_DAYS}, {REORDER_CAP})::BIGINT AS week_bin,
+       COUNT(*)::BIGINT AS n_gaps,
+       MIN(gap_days)::BIGINT AS min_gap_days,
+       MAX(gap_days)::BIGINT AS max_gap_days
+FROM gaps WHERE gap_days IS NOT NULL
+GROUP BY 1
+"""
+
+PENDING_QUERIES["orders_reorder_intervals"] = orders_reorder_intervals
+PENDING_ORACLE["orders_reorder_intervals"] = _SQL_REORDER

