@@ -428,3 +428,63 @@ PENDING_ORACLE = {
     "quality_lang_mix_matrix": _sql_mix_matrix(),
     "quality_outlier_docs": _SQL_OUTLIER_DOCS,
 }
+
+
+# --- quality × duplication contingency — PENDING round 7 --------------------
+#
+# The filter-ordering question every curation pipeline asks: how much do
+# the quality gate and the near-dup clusters OVERLAP? If failing docs are
+# disproportionately duplicates, dedup-then-filter and filter-then-dedup
+# retain different corpora (a canonical survivor can fail quality while a
+# discarded duplicate passes). This row is the 2x2 contingency at the
+# decision grain: (pass_quality x is_clustered_duplicate) with doc and
+# token mass per cell. Composes the registered gate and the shared
+# one-run ``clusters()`` table verbatim; a doc is a "duplicate" when it
+# belongs to a cluster and is not its canonical survivor. The cluster
+# table also carries the LSH fixture's synthesized twins (doc_id + 1e6);
+# the gate's left join keeps the contingency at REAL-document grain, so
+# those drop out of every cell by construction.
+
+
+def quality_dedup_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_postgresql_clickhouse_spark.queries.cluster import (
+        dedup_cluster_canonical,
+    )
+
+    gate = quality_gopher_rules(spark, sf_dir).select(
+        "doc_id", "n_words", "pass_quality"
+    )
+    dup = dedup_cluster_canonical(spark, sf_dir).select(
+        "doc_id",
+        (~F.col("is_canonical")).cast("int").alias("is_dup"),
+    )
+    j = gate.join(dup, "doc_id", "left").select(
+        "n_words",
+        "pass_quality",
+        F.coalesce("is_dup", F.lit(0)).alias("is_dup"),
+    )
+    return j.groupBy("pass_quality", "is_dup").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("n_tokens"),
+    )
+
+
+def _interaction_sql() -> str:
+    from cdc_postgresql_clickhouse_spark.queries.cluster import ORACLE as _CL_ORACLE
+
+    return f"""
+WITH gate AS ({ORACLE["quality_gopher_rules"]}),
+dup AS (
+  SELECT doc_id, CASE WHEN is_canonical THEN 0 ELSE 1 END AS is_dup
+  FROM ({_CL_ORACLE["dedup_cluster_canonical"]})
+)
+SELECT g.pass_quality, COALESCE(d.is_dup, 0) AS is_dup,
+       COUNT(*)::BIGINT AS n_docs,
+       SUM(g.n_words)::BIGINT AS n_tokens
+FROM gate g LEFT JOIN dup d USING (doc_id)
+GROUP BY 1, 2
+"""
+
+
+PENDING_QUERIES["quality_dedup_interaction"] = quality_dedup_interaction
+PENDING_ORACLE["quality_dedup_interaction"] = _interaction_sql()

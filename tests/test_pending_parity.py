@@ -759,3 +759,29 @@ def test_session_pairs_bounds(spark, sf_dir):
     assert (r.support <= r[["n_a", "n_b"]].min(axis=1)).all()
     assert ((r.conf_ab_ppm > 0) & (r.conf_ab_ppm <= 1_000_000)).all()
     assert (r.lift_ppm > 0).all()
+
+
+def test_interaction_cells_partition_docs(spark, sf_dir):
+    """The 2x2 cells partition the corpus: doc and token totals match the
+    gate's, and the duplicate marginal matches the cluster table's
+    non-canonical count."""
+    from cdc_postgresql_clickhouse_spark.queries.cluster import (
+        dedup_cluster_canonical,
+    )
+    from cdc_postgresql_clickhouse_spark.queries.quality import (
+        quality_dedup_interaction,
+        quality_gopher_rules,
+    )
+
+    r = quality_dedup_interaction(spark, sf_dir).toPandas()
+    gate = quality_gopher_rules(spark, sf_dir).toPandas()
+    assert r.n_docs.sum() == len(gate)
+    assert r.n_tokens.sum() == gate.n_words.sum()
+    assert r[r.pass_quality == 1].n_docs.sum() == (gate.pass_quality == 1).sum()
+    canon = dedup_cluster_canonical(spark, sf_dir).toPandas()
+    # the cluster table also contains the SYNTHESIZED near-dup twins the
+    # LSH fixture plants (doc_id + 1e6) — the contingency is at real-doc
+    # grain, so restrict the marginal to ids present in documents
+    real = set(gate.doc_id)
+    real_dups = canon[~canon.is_canonical & canon.doc_id.isin(real)]
+    assert r[r.is_dup == 1].n_docs.sum() == len(real_dups)
