@@ -632,3 +632,63 @@ FROM per
 
 PENDING_QUERIES["corpus_ngram_novelty"] = corpus_ngram_novelty
 PENDING_ORACLE["corpus_ngram_novelty"] = ORACLE_NOVELTY
+
+
+# --- token-mass Gini coefficient — PENDING round 7 --------------------------
+#
+# Distribution-inequality summary per source: the Gini coefficient of
+# document token counts — one number for "is this source a few huge
+# documents or many uniform ones", complementing the length-Pareto row's
+# full decile curve. Integer rank formula on ascending-sorted counts:
+#   G = 2·Σ(i·x_i) / (n·Σx) − (n+1)/n
+# computed as two truncating integer divisions in PPM — no doubles. One
+# keyed rank window over doc-grain rows, one keyed agg.
+
+
+def corpus_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("x")
+    )
+    w = Window.partitionBy("source").orderBy("x", "doc_id")
+    r = d.select("source", "x", F.row_number().over(w).cast("long").alias("i"))
+    agg = r.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("i") * F.col("x")).cast("long").alias("six"),
+    )
+    return agg.select(
+        "source",
+        F.col("n").alias("n_docs"),
+        F.col("sx").alias("total_tokens"),
+        (
+            F.expr("2 * six * 1000000 div (n * sx)")
+            - F.expr("(n + 1) * 1000000 div n")
+        ).cast("long").alias("gini_ppm"),
+    )
+
+
+_SQL_GINI = f"""
+WITH d AS (
+  SELECT source, doc_id, CAST(len({_SQL_TOKENS}) AS BIGINT) AS x
+  FROM documents
+),
+r AS (
+  SELECT source, x,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY x, doc_id) AS BIGINT) AS i
+  FROM d
+),
+agg AS (
+  SELECT source, COUNT(*)::BIGINT AS n, SUM(x)::BIGINT AS sx,
+         SUM(i * x)::BIGINT AS six
+  FROM r GROUP BY source
+)
+SELECT source, n AS n_docs, sx AS total_tokens,
+       CAST(2 * six * 1000000 // (n * sx) - (n + 1) * 1000000 // n AS BIGINT)
+         AS gini_ppm
+FROM agg
+"""
+
+PENDING_QUERIES["corpus_token_gini"] = corpus_token_gini
+PENDING_ORACLE["corpus_token_gini"] = _SQL_GINI

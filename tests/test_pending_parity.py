@@ -785,3 +785,25 @@ def test_interaction_cells_partition_docs(spark, sf_dir):
     real = set(gate.doc_id)
     real_dups = canon[~canon.is_canonical & canon.doc_id.isin(real)]
     assert r[r.is_dup == 1].n_docs.sum() == len(real_dups)
+
+
+def test_gini_matches_pandas_and_bounds(spark, sf_dir):
+    """The integer-PPM Gini equals the textbook rank formula computed in
+    Python (within the two truncating divisions' slack of 2 ppm), and is
+    bounded in [0, 1e6)."""
+    from cdc_postgresql_clickhouse_spark.functions.text import tokens
+    from cdc_postgresql_clickhouse_spark.queries.training import corpus_token_gini
+
+    r = corpus_token_gini(spark, sf_dir).toPandas().set_index("source")
+    assert ((r.gini_ppm >= 0) & (r.gini_ppm < 1_000_000)).all()
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("source", "doc_id", F.size(tokens(F.col("text"))).alias("x"))
+        .toPandas()
+    )
+    for src, grp in docs.groupby("source"):
+        xs = sorted(grp.x)
+        n, sx = len(xs), sum(xs)
+        six = sum((i + 1) * x for i, x in enumerate(xs))
+        want = 2 * six * 1_000_000 // (n * sx) - (n + 1) * 1_000_000 // n
+        assert abs(r.loc[src, "gini_ppm"] - want) <= 2, src
