@@ -576,24 +576,13 @@ PENDING_ORACLE = {"corpus_weighted_sample": _sql_wsample()}
 
 def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    # materialize the token ARRAY before the shingle lambda: Catalyst has no
-    # CSE across lambda boundaries, so element_at over the raw tokens(...)
-    # expression re-runs the regex tokenizer per shingle element — measured
-    # 76 s -> ~2 s at sf0.1 (the documented shingling pitfall; this was the
-    # registry's one remaining raw-tokens word_shingles call site)
-    tk = docs.select("doc_id", tokens(F.col("text")).alias("t"))
     from pyspark import StorageLevel
 
-    # persist barrier: the gram table feeds BOTH the first-seen min-agg and
-    # the join-back side — without it the tokenize+shingle pass runs twice
-    # (76 s -> 10 s came from materializing the token array before the
-    # shingle lambda; 10 s -> ~6 s from sharing this subtree)
-    grams = tk.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(word_shingles(F.col("t"), DECONTAM_NGRAM))
-        ).alias("gram"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # _grams carries the materialize-tokens-before-the-shingle-lambda device
+    # (the raw tokens(...) form re-ran the regex tokenizer per shingle
+    # element: 76 s -> ~3 s at sf0.1); the persist barrier shares the gram
+    # table between the first-seen min-agg and the join-back side
+    grams = _grams(docs, DECONTAM_NGRAM).persist(StorageLevel.MEMORY_AND_DISK)
     first = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
     per = (
         grams.join(first, "gram")
