@@ -790,3 +790,196 @@ PENDING_ORACLE = {
     "window_rank_profile": _SQL_RANK_PROFILE,
     "profile_orders_columns": _SQL_PROFILE,
 }
+
+
+# --- data-validation expectation suite — PENDING round 7 --------------------
+#
+# The Deequ/Great-Expectations staple a 100 TB ingest pipeline runs before
+# promoting a snapshot: a declarative battery of constraints (not-null,
+# accepted values, numeric ranges, key uniqueness, referential integrity,
+# derived-column consistency) evaluated in bulk, one report row per check
+# with the violation count. Scale shape: all row-level checks for a table
+# evaluate as conditional aggregates in ONE scan of that table (uniqueness
+# rides the same agg as a single COUNT DISTINCT); each FK check is a
+# key-projected LEFT join + null count — the probe scan reads exactly one
+# parquet column and the dim side is broadcastable when small. Nothing
+# collects; the report is check-count-sized. One expectation
+# (``orders_orderdate_before_2000``) deliberately fails on this corpus so
+# the row proves violation ACCOUNTING, not just all-zeros.
+
+def validation_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def report(table: str, agg_df: DataFrame, checks: list[str]) -> DataFrame:
+        stack = ", ".join(f"'{c}', v_{i}" for i, c in enumerate(checks))
+        return agg_df.select(
+            F.expr(f"stack({len(checks)}, {stack}) AS (check_id, n_violations)"),
+            F.lit(table).alias("table_name"),
+            F.col("n").alias("n_rows"),
+        )
+
+    def fk(table: str, check: str, fact, f_key: str, dim, d_key: str) -> DataFrame:
+        probe = fact.select(f_key).join(
+            dim.select(d_key), F.col(f_key) == F.col(d_key), "left"
+        )
+        return probe.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.count_if(F.col(d_key).isNull()).cast("long").alias("v_0"),
+        ).select(
+            F.lit(check).alias("check_id"),
+            F.col("v_0").alias("n_violations"),
+            F.lit(table).alias("table_name"),
+            F.col("n").alias("n_rows"),
+        )
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cu = load_table(spark, sf_dir, "customer")
+    pa = load_table(spark, sf_dir, "part")
+    su = load_table(spark, sf_dir, "supplier")
+    docs = load_table(spark, sf_dir, "documents")
+    ev = load_table(spark, sf_dir, "events")
+
+    orders_checks = [
+        "orders_status_accepted", "orders_totalprice_positive",
+        "orders_orderdate_before_2000", "orders_orderkey_unique",
+        "orders_custkey_not_null",
+    ]
+    o_agg = o.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count_if(~F.col("o_orderstatus").isin("O", "F", "P")).cast("long").alias("v_0"),
+        F.count_if(_cents(F.col("o_totalprice")) <= 0).cast("long").alias("v_1"),
+        F.count_if(
+            F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+        ).cast("long").alias("v_2"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).cast("long").alias("v_3"),
+        F.count_if(F.col("o_custkey").isNull()).cast("long").alias("v_4"),
+    )
+    li_checks = [
+        "lineitem_quantity_range", "lineitem_discount_range",
+        "lineitem_tax_range", "lineitem_extendedprice_positive",
+    ]
+    li_agg = li.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count_if(
+            ~F.round(F.col("l_quantity")).cast("long").between(1, 50)
+        ).cast("long").alias("v_0"),
+        F.count_if(~_cents(F.col("l_discount")).between(0, 10)).cast("long").alias("v_1"),
+        F.count_if(~_cents(F.col("l_tax")).between(0, 8)).cast("long").alias("v_2"),
+        F.count_if(_cents(F.col("l_extendedprice")) <= 0).cast("long").alias("v_3"),
+    )
+    docs_checks = ["documents_nchars_consistent", "documents_lang_nonempty"]
+    docs_agg = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count_if(F.col("n_chars") != F.length("text")).cast("long").alias("v_0"),
+        F.count_if(
+            F.col("lang").isNull() | (F.col("lang") == "")
+        ).cast("long").alias("v_1"),
+    )
+    ev_agg = ev.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count_if(_cents(F.col("value")) <= 0).cast("long").alias("v_0"),
+    )
+    cu_agg = cu.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.count(F.lit(1)) - F.countDistinct("c_custkey")).cast("long").alias("v_0"),
+    )
+    parts = [
+        report("orders", o_agg, orders_checks),
+        report("lineitem", li_agg, li_checks),
+        report("documents", docs_agg, docs_checks),
+        report("events", ev_agg, ["events_value_positive"]),
+        report("customer", cu_agg, ["customer_custkey_unique"]),
+        fk("orders", "orders_custkey_fk", o, "o_custkey", cu, "c_custkey"),
+        fk("lineitem", "lineitem_orderkey_fk", li, "l_orderkey", o, "o_orderkey"),
+        fk("lineitem", "lineitem_partkey_fk", li, "l_partkey", pa, "p_partkey"),
+        fk("lineitem", "lineitem_suppkey_fk", li, "l_suppkey", su, "s_suppkey"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "check_id", "table_name", "n_rows", "n_violations",
+        F.when(F.col("n_violations") == 0, F.lit(1)).otherwise(F.lit(0))
+        .cast("long").alias("passed"),
+    )
+
+
+_SQL_EXPECTATIONS = """
+WITH o AS (
+  SELECT COUNT(*)::BIGINT AS n,
+         COUNT(*) FILTER (WHERE o_orderstatus NOT IN ('O','F','P'))::BIGINT AS v_status,
+         COUNT(*) FILTER (WHERE CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) <= 0)::BIGINT AS v_price,
+         COUNT(*) FILTER (WHERE o_orderdate >= TIMESTAMP '2000-01-01')::BIGINT AS v_date,
+         (COUNT(*) - COUNT(DISTINCT o_orderkey))::BIGINT AS v_uniq,
+         COUNT(*) FILTER (WHERE o_custkey IS NULL)::BIGINT AS v_null
+  FROM orders
+),
+li AS (
+  SELECT COUNT(*)::BIGINT AS n,
+         COUNT(*) FILTER (WHERE CAST(FLOOR(l_quantity + 0.5) AS BIGINT) NOT BETWEEN 1 AND 50)::BIGINT AS v_qty,
+         COUNT(*) FILTER (WHERE CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) NOT BETWEEN 0 AND 10)::BIGINT AS v_disc,
+         COUNT(*) FILTER (WHERE CAST(FLOOR(l_tax * 100 + 0.5) AS BIGINT) NOT BETWEEN 0 AND 8)::BIGINT AS v_tax,
+         COUNT(*) FILTER (WHERE CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) <= 0)::BIGINT AS v_price
+  FROM lineitem
+),
+d AS (
+  SELECT COUNT(*)::BIGINT AS n,
+         COUNT(*) FILTER (WHERE n_chars <> length(text))::BIGINT AS v_chars,
+         COUNT(*) FILTER (WHERE lang IS NULL OR lang = '')::BIGINT AS v_lang
+  FROM documents
+),
+e AS (
+  SELECT COUNT(*)::BIGINT AS n,
+         COUNT(*) FILTER (WHERE CAST(FLOOR(value * 100 + 0.5) AS BIGINT) <= 0)::BIGINT AS v_val
+  FROM events
+),
+c AS (
+  SELECT COUNT(*)::BIGINT AS n,
+         (COUNT(*) - COUNT(DISTINCT c_custkey))::BIGINT AS v_uniq
+  FROM customer
+),
+fk_oc AS (
+  SELECT COUNT(*)::BIGINT AS n,
+         COUNT(*) FILTER (WHERE c.c_custkey IS NULL)::BIGINT AS v
+  FROM orders o2 LEFT JOIN customer c ON o2.o_custkey = c.c_custkey
+),
+fk_lo AS (
+  SELECT COUNT(*)::BIGINT AS n,
+         COUNT(*) FILTER (WHERE o2.o_orderkey IS NULL)::BIGINT AS v
+  FROM lineitem l2 LEFT JOIN orders o2 ON l2.l_orderkey = o2.o_orderkey
+),
+fk_lp AS (
+  SELECT COUNT(*)::BIGINT AS n,
+         COUNT(*) FILTER (WHERE p.p_partkey IS NULL)::BIGINT AS v
+  FROM lineitem l2 LEFT JOIN part p ON l2.l_partkey = p.p_partkey
+),
+fk_ls AS (
+  SELECT COUNT(*)::BIGINT AS n,
+         COUNT(*) FILTER (WHERE s.s_suppkey IS NULL)::BIGINT AS v
+  FROM lineitem l2 LEFT JOIN supplier s ON l2.l_suppkey = s.s_suppkey
+),
+rows_ AS (
+  SELECT 'orders_status_accepted' AS check_id, 'orders' AS table_name, n AS n_rows, v_status AS n_violations FROM o
+  UNION ALL SELECT 'orders_totalprice_positive', 'orders', n, v_price FROM o
+  UNION ALL SELECT 'orders_orderdate_before_2000', 'orders', n, v_date FROM o
+  UNION ALL SELECT 'orders_orderkey_unique', 'orders', n, v_uniq FROM o
+  UNION ALL SELECT 'orders_custkey_not_null', 'orders', n, v_null FROM o
+  UNION ALL SELECT 'lineitem_quantity_range', 'lineitem', n, v_qty FROM li
+  UNION ALL SELECT 'lineitem_discount_range', 'lineitem', n, v_disc FROM li
+  UNION ALL SELECT 'lineitem_tax_range', 'lineitem', n, v_tax FROM li
+  UNION ALL SELECT 'lineitem_extendedprice_positive', 'lineitem', n, v_price FROM li
+  UNION ALL SELECT 'documents_nchars_consistent', 'documents', n, v_chars FROM d
+  UNION ALL SELECT 'documents_lang_nonempty', 'documents', n, v_lang FROM d
+  UNION ALL SELECT 'events_value_positive', 'events', n, v_val FROM e
+  UNION ALL SELECT 'customer_custkey_unique', 'customer', n, v_uniq FROM c
+  UNION ALL SELECT 'orders_custkey_fk', 'orders', n, v FROM fk_oc
+  UNION ALL SELECT 'lineitem_orderkey_fk', 'lineitem', n, v FROM fk_lo
+  UNION ALL SELECT 'lineitem_partkey_fk', 'lineitem', n, v FROM fk_lp
+  UNION ALL SELECT 'lineitem_suppkey_fk', 'lineitem', n, v FROM fk_ls
+)
+SELECT check_id, table_name, n_rows, n_violations,
+       (CASE WHEN n_violations = 0 THEN 1 ELSE 0 END)::BIGINT AS passed
+FROM rows_
+"""
+
+PENDING_QUERIES["validation_expectations_report"] = validation_expectations_report
+PENDING_ORACLE["validation_expectations_report"] = _SQL_EXPECTATIONS

@@ -787,6 +787,26 @@ def test_interaction_cells_partition_docs(spark, sf_dir):
     assert r[r.is_dup == 1].n_docs.sum() == len(real_dups)
 
 
+def test_expectations_accounting_laws(spark, sf_dir):
+    """passed is exactly (n_violations == 0), violations never exceed the
+    table's row count, every check's n_rows equals the real table count,
+    and the one deliberately-failing expectation is the ONLY red row on
+    this corpus — TPC-H referential integrity must hold."""
+    from cdc_postgresql_clickhouse_spark.queries.tpch_ext import (
+        validation_expectations_report,
+    )
+
+    r = validation_expectations_report(spark, sf_dir).toPandas()
+    assert (r.passed == (r.n_violations == 0).astype(int)).all()
+    assert ((r.n_violations >= 0) & (r.n_violations <= r.n_rows)).all()
+    for t in r.table_name.unique():
+        n = load_table(spark, sf_dir, t).count()
+        assert (r[r.table_name == t].n_rows == n).all(), t
+    failing = set(r[r.passed == 0].check_id)
+    assert failing == {"orders_orderdate_before_2000"}, failing
+    assert r[r.check_id == "orders_orderdate_before_2000"].n_violations.iloc[0] > 0
+
+
 def test_gini_matches_pandas_and_bounds(spark, sf_dir):
     """The integer-PPM Gini equals the textbook rank formula computed in
     Python (within the two truncating divisions' slack of 2 ppm), and is
