@@ -687,3 +687,122 @@ FROM ncand_{nb} nc, nver_{nb} nv"""
         for nb, r in LSH_TUNE_CONFIGS
     )
 )
+
+
+# --- exact set-similarity join via prefix filtering — PENDING round 7 -------
+#
+# The PPJoin/SSJoin family (Chaudhuri et al. ICDE'06, Xiao et al. WWW'08):
+# EXACT all-pairs set Jaccard >= tau with NO false negatives and no
+# all-pairs scan — the deterministic counterpart to the probabilistic
+# MinHash+LSH candidate stage, over the SAME 3-word-shingle sets the
+# MinHash row signs (unigram sets degenerate on this corpus: a small
+# shared vocabulary makes ~70% of random pairs exceed tau, so shingles
+# are the honest dedup grain). Order every shingle by ascending document
+# frequency (rarest first, ties by shingle string — one global total
+# order both engines reproduce), keep only each doc's first
+# p = m - ceil(tau*m) + 1 shingles as its PREFIX, and self-join prefixes:
+# any pair with J >= tau MUST share a prefix element (pigeonhole on the
+# (1-tau)-fraction a qualifying pair can disagree on), so verification
+# joins only candidate pairs back to the full sets for the exact count.
+#
+# Scale shape: df table and per-doc rank are one shuffle each at shingle
+# grain; the candidate join's fan-out is bounded by prefix-bucket
+# occupancy, which rare-first ordering drives toward 1 (hot shingles never
+# enter short prefixes); verification cost is sum(|A|) over candidates,
+# never O(n^2). tau = 3/5 exactly — ceil(3m/5) = (3m+4) div 5 keeps the
+# prefix length pure integer arithmetic in both engines.
+
+PF_TAU_PPM = 600_000
+
+
+def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    corpus = _corpus(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
+    toks = (
+        corpus.select(
+            "doc_id",
+            F.explode(word_shingles(tokens(F.col("text")), 3)).alias("tok"),
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)  # 3 branches: df, prefix, verify
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("m"))
+    dfs = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    ranked = (
+        toks.join(dfs, "tok")
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "tok")),
+        )
+        .join(sizes, "doc_id")
+    )
+    pref = ranked.filter(
+        F.col("rn") <= F.col("m") - F.expr("(3 * m + 4) div 5") + 1
+    ).select("doc_id", "tok")
+    cand = (
+        pref.alias("a")
+        .join(pref.alias("b"), "tok")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    inter = (
+        cand.join(toks.alias("ta"), F.col("doc_a") == F.col("ta.doc_id"))
+        .join(
+            toks.alias("tb"),
+            (F.col("tb.doc_id") == F.col("doc_b")) & (F.col("tb.tok") == F.col("ta.tok")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            F.expr("n_inter * 1000000 div (sa.m + sb.m - n_inter)")
+            .cast("long")
+            .alias("jaccard_ppm"),
+        )
+        .filter(F.col("jaccard_ppm") >= PF_TAU_PPM)
+    )
+
+
+_SQL_PREFIX_FILTER = f"""
+WITH corpus AS ({_SQL_CORPUS}),
+toks AS (
+  SELECT doc_id, shingle AS tok FROM ({_SQL_SHINGLES})
+),
+sizes AS (SELECT doc_id, COUNT(*)::BIGINT AS m FROM toks GROUP BY 1),
+dfs AS (SELECT tok, COUNT(*)::BIGINT AS df FROM toks GROUP BY 1),
+ranked AS (
+  SELECT t.doc_id, t.tok, s.m,
+         row_number() OVER (PARTITION BY t.doc_id ORDER BY d.df, t.tok) AS rn
+  FROM toks t JOIN dfs d USING (tok) JOIN sizes s USING (doc_id)
+),
+pref AS (SELECT doc_id, tok FROM ranked WHERE rn <= m - (3 * m + 4) // 5 + 1),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM pref a JOIN pref b ON a.tok = b.tok AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT doc_a, doc_b, COUNT(*)::BIGINT AS n_inter
+  FROM cand
+  JOIN toks ta ON ta.doc_id = doc_a
+  JOIN toks tb ON tb.doc_id = doc_b AND tb.tok = ta.tok
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_inter,
+       (n_inter * 1000000 // (sa.m + sb.m - n_inter))::BIGINT AS jaccard_ppm
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_inter * 1000000 // (sa.m + sb.m - n_inter) >= {PF_TAU_PPM}
+"""
+
+PENDING_QUERIES = {"dedup_jaccard_prefix_filter": dedup_jaccard_prefix_filter}
+PENDING_ORACLE = {"dedup_jaccard_prefix_filter": _SQL_PREFIX_FILTER}

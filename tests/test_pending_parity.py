@@ -15,12 +15,13 @@ from tests.oracle_harness import compare, duckdb_con
 
 def _pending():
     from cdc_postgresql_clickhouse_spark.queries import (
-        cdc, cluster, events, graph, pca, quality, search, similarity, sketches,
-        streaming_queries, text, text_ext, tokenizer, tpch_ext, tpch_more, training,
+        cdc, cluster, dedup, events, graph, pca, quality, search, similarity,
+        sketches, streaming_queries, text, text_ext, tokenizer, tpch_ext,
+        tpch_more, training,
     )
 
     out = {}
-    for m in (tokenizer, cdc, search, sketches, graph, text_ext, pca, tpch_ext, events, tpch_more, training, quality, text, streaming_queries, similarity, cluster):
+    for m in (tokenizer, cdc, search, sketches, graph, text_ext, pca, tpch_ext, events, tpch_more, training, quality, text, streaming_queries, similarity, cluster, dedup):
         q = getattr(m, "PENDING_QUERIES", {})
         o = getattr(m, "PENDING_ORACLE", {})
         assert set(q) == set(o), "pending query without oracle twin"
@@ -785,6 +786,47 @@ def test_interaction_cells_partition_docs(spark, sf_dir):
     real = set(gate.doc_id)
     real_dups = canon[~canon.is_canonical & canon.doc_id.isin(real)]
     assert r[r.is_dup == 1].n_docs.sum() == len(real_dups)
+
+
+def test_prefix_filter_is_complete_vs_bruteforce(spark, sf_dir):
+    """The prefix-filtered join must find EXACTLY the pairs a brute-force
+    all-pairs shingle-set Jaccard >= 3/5 finds — zero false negatives is
+    the pigeonhole guarantee PPJoin exists to provide, and the planted
+    near-dup twins must all be among them."""
+    from cdc_postgresql_clickhouse_spark.queries.dedup import (
+        NEARDUP_IDS,
+        dedup_jaccard_prefix_filter,
+        _corpus,
+    )
+    from cdc_postgresql_clickhouse_spark.functions.text import tokens, word_shingles
+
+    sets = {
+        r.doc_id: set(r.shs)
+        for r in _corpus(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.array_distinct(word_shingles(tokens(F.col("text")), 3)).alias("shs"),
+        )
+        .collect()
+        if r.shs
+    }
+    ids = sorted(sets)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            if inter == 0:
+                continue
+            j_ppm = inter * 1_000_000 // (len(sets[a]) + len(sets[b]) - inter)
+            if j_ppm >= 600_000:
+                want[(a, b)] = (inter, j_ppm)
+    got = {
+        (r.doc_a, r.doc_b): (r.n_inter, r.jaccard_ppm)
+        for r in dedup_jaccard_prefix_filter(spark, sf_dir).collect()
+    }
+    assert got == want
+    twins = {(d, d + 1_000_000) for d in range(NEARDUP_IDS) if d in sets}
+    assert twins <= set(got), "planted twins must all be found"
 
 
 def test_expectations_accounting_laws(spark, sf_dir):
