@@ -1007,3 +1007,65 @@ def streaming_dlq_replay_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PENDING_QUERIES["streaming_dlq_replay_equiv"] = streaming_dlq_replay_equiv
 PENDING_ORACLE["streaming_dlq_replay_equiv"] = ORACLE["streaming_cdc_pipeline_equiv"]
+
+
+def streaming_join_mv_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained JOIN of two change streams' current states
+    (``streaming/join_mv.py``): ``events`` split into side A (even
+    event_ids) and side B (odd), delivered as micro-batches that
+    interleave the sides AND scramble version order (batch split by
+    ``eid div 2`` parity, so each batch carries old and new versions of
+    both sides). A change on one side must retract and re-add the joined
+    pair with the other side's unchanged row; tombstones kill the pair
+    until both sides are live. After the drain the MV equals the batch
+    join of the two soft-deleted current states, grouped by
+    (a_type, b_type) — the bilinear changelog case the single-stream
+    retraction MV cannot express."""
+    from cdc_postgresql_clickhouse_spark.streaming.join_mv import (
+        read_join_mv,
+        run_incremental_join_mv,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.col("event_id").alias("eid"),
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_jmv_")
+    try:
+        src = os.path.join(tmp, "src")
+        half = F.expr("eid div 2") % 2
+        ev.filter(half == 0).coalesce(1).write.parquet(src)
+        ev.filter(half == 1).coalesce(1).write.mode("append").parquet(src)
+        run_incremental_join_mv(
+            spark, src, os.path.join(tmp, "state"), os.path.join(tmp, "ckpt"),
+            max_files_per_trigger=1,
+        )
+        return _materialized(read_join_mv(spark, os.path.join(tmp, "state")))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_SQL_JOIN_MV = """
+WITH a AS (
+  SELECT user_id, event_type AS a_type,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS a_cents
+  FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE event_id % 2 = 0)
+  WHERE rn = 1 AND event_type <> 'error'
+),
+b AS (
+  SELECT user_id, event_type AS b_type
+  FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE event_id % 2 = 1)
+  WHERE rn = 1 AND event_type <> 'error'
+)
+SELECT a_type, b_type, COUNT(*)::BIGINT AS n_pairs, SUM(a_cents)::BIGINT AS sum_a_cents
+FROM a JOIN b USING (user_id)
+GROUP BY 1, 2
+"""
+
+PENDING_QUERIES["streaming_join_mv_equiv"] = streaming_join_mv_equiv
+PENDING_ORACLE["streaming_join_mv_equiv"] = _SQL_JOIN_MV

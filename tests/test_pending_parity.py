@@ -30,10 +30,16 @@ def _pending():
     return out
 
 
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    c = duckdb_con(sf_dir)
+    yield c
+    c.close()
+
+
 @pytest.mark.parametrize("name", sorted(_pending()))
-def test_pending_oracle_parity(spark, sf_dir, name):
+def test_pending_oracle_parity(spark, sf_dir, con, name):
     fn, sql = _pending()[name]
-    con = duckdb_con(sf_dir)
     issues = [i for i in compare(fn(spark, sf_dir), con, sql, name) if "[WARN]" not in i]
     assert not issues, issues
 
