@@ -1141,3 +1141,191 @@ CROSS JOIN ns
 
 PENDING_QUERIES["events_session_type_pairs"] = events_session_type_pairs
 PENDING_ORACLE["events_session_type_pairs"] = ORACLE_SESSION_PAIRS
+
+
+# --- first-order Markov next-event prediction eval — PENDING round 7 --------
+#
+# The model-eval angle on the transition graph the entropy/HITS/PageRank
+# rows already build: fit the first-order Markov chain (argmax next type
+# per current type, ties to the lexicographically smallest destination)
+# and score it IN-SAMPLE — per source type, the share of real transitions
+# the chain predicts correctly. This is exactly the modal destination's
+# share, so accuracy is pure integer counting; it upper-bounds any
+# constant-per-state predictor and is the baseline a sequence model must
+# beat. Scale shape: one lag window per user partition, one edge-grain
+# groupBy — the eval itself runs on the type x type edge table.
+
+def events_markov_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "event_type", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.lag("event_type").over(w).alias("src"), F.col("event_type").alias("dst")
+    ).filter(F.col("src").isNotNull())
+    edges = pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).cast("long").alias("w"))
+    rk = Window.partitionBy("src").orderBy(F.desc("w"), F.asc("dst"))
+    top = edges.withColumn("rn", F.row_number().over(rk))
+    return (
+        top.groupBy("src")
+        .agg(
+            F.sum("w").cast("long").alias("n_transitions"),
+            F.count(F.lit(1)).cast("long").alias("n_destinations"),
+            F.max(F.when(F.col("rn") == 1, F.col("dst"))).alias("top_next"),
+            F.max(F.when(F.col("rn") == 1, F.col("w"))).cast("long").alias("n_correct"),
+        )
+        .select(
+            F.col("src").alias("event_type"),
+            "n_transitions",
+            "n_destinations",
+            "top_next",
+            "n_correct",
+            F.expr("n_correct * 1000000 div n_transitions").cast("long")
+            .alias("accuracy_ppm"),
+        )
+    )
+
+
+ORACLE_MARKOV = """
+WITH seq AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
+         event_type AS dst
+  FROM events
+),
+edges AS (
+  SELECT src, dst, COUNT(*)::BIGINT AS w FROM seq WHERE src IS NOT NULL GROUP BY src, dst
+),
+ranked AS (
+  SELECT src, dst, w, row_number() OVER (PARTITION BY src ORDER BY w DESC, dst ASC) AS rn
+  FROM edges
+)
+SELECT src AS event_type,
+       SUM(w)::BIGINT AS n_transitions,
+       COUNT(*)::BIGINT AS n_destinations,
+       MAX(CASE WHEN rn = 1 THEN dst END) AS top_next,
+       MAX(CASE WHEN rn = 1 THEN w END)::BIGINT AS n_correct,
+       (MAX(CASE WHEN rn = 1 THEN w END) * 1000000 // SUM(w))::BIGINT AS accuracy_ppm
+FROM ranked
+GROUP BY src
+"""
+
+PENDING_QUERIES["events_markov_accuracy"] = events_markov_accuracy
+PENDING_ORACLE["events_markov_accuracy"] = ORACLE_MARKOV
+
+
+# --- lag-k autocorrelation of the per-day count series — PENDING round 7 ----
+#
+# The telemetry time-series primitive next to the seasonal/CUSUM/Holt
+# rows: per event type, Pearson autocorrelation of the DAILY event-count
+# series at lags 1..3, computed over the DENSE day grid (absent days
+# count 0 — the gapfill matters: skipping empty days silently shifts the
+# lag alignment). All five sufficient statistics (n, Sx, Sy, Sxx, Syy,
+# Sxy) are exact BIGINTs from one (type, day) pre-aggregation; the only
+# doubles are one IEEE-correctly-rounded sqrt and one division, floored
+# at milli grain (the graph_transition_entropy precedent for a
+# deterministic transcendental tail). Scale shape: the raw scan reduces
+# to type x day grain in ONE shuffle; the lag self-join and moment sums
+# run on that model-sized series table.
+
+ACF_LAGS = (1, 2, 3)
+
+
+def events_autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("CAST(FLOOR(unix_timestamp(ts)) AS BIGINT) div 86400").alias("d"),
+    )
+    counts = ev.groupBy("event_type", "d").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    lim = ev.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    grid = lim.select(F.explode(F.sequence("lo", "hi")).alias("d"))
+    types = counts.select("event_type").distinct()
+    series = (
+        grid.crossJoin(types)
+        .join(counts, ["event_type", "d"], "left")
+        .select("event_type", "d", F.coalesce("c", F.lit(0)).cast("long").alias("c"))
+    )
+    lagged = series.select(
+        "event_type", "d", "c", F.explode(F.array(*[F.lit(k) for k in ACF_LAGS])).alias("lag")
+    )
+    joined = lagged.alias("x").join(
+        series.alias("y"),
+        (F.col("x.event_type") == F.col("y.event_type"))
+        & (F.col("y.d") == F.col("x.d") + F.col("x.lag")),
+    ).select(
+        F.col("x.event_type").alias("event_type"),
+        F.col("x.lag").alias("lag"),
+        F.col("x.c").alias("cx"),
+        F.col("y.c").alias("cy"),
+    )
+    m = joined.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("cx").cast("long").alias("sx"),
+        F.sum("cy").cast("long").alias("sy"),
+        F.sum(F.col("cx") * F.col("cx")).cast("long").alias("sxx"),
+        F.sum(F.col("cy") * F.col("cy")).cast("long").alias("syy"),
+        F.sum(F.col("cx") * F.col("cy")).cast("long").alias("sxy"),
+    )
+    num = F.col("n_pairs") * F.col("sxy") - F.col("sx") * F.col("sy")
+    d1 = F.col("n_pairs") * F.col("sxx") - F.col("sx") * F.col("sx")
+    d2 = F.col("n_pairs") * F.col("syy") - F.col("sy") * F.col("sy")
+    return m.select(
+        "event_type",
+        "lag",
+        "n_pairs",
+        num.cast("long").alias("acf_num"),
+        d1.cast("long").alias("var_x"),
+        d2.cast("long").alias("var_y"),
+        F.when(
+            (d1 > 0) & (d2 > 0),
+            F.floor(
+                num.cast("double")
+                * F.lit(1000.0)
+                / F.sqrt(d1.cast("double") * d2.cast("double"))
+            ),
+        ).otherwise(F.lit(0)).cast("long").alias("rho_milli"),
+    )
+
+
+ORACLE_ACF = f"""
+WITH ev AS (
+  SELECT event_type, CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS d FROM events
+),
+counts AS (SELECT event_type, d, COUNT(*)::BIGINT AS c FROM ev GROUP BY 1, 2),
+lim AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM ev),
+grid AS (SELECT unnest(range(lo, hi + 1)) AS d FROM lim),
+types AS (SELECT DISTINCT event_type FROM counts),
+series AS (
+  SELECT t.event_type, g.d, COALESCE(c.c, 0)::BIGINT AS c
+  FROM grid g CROSS JOIN types t
+  LEFT JOIN counts c ON c.event_type = t.event_type AND c.d = g.d
+),
+lags AS (SELECT unnest(ARRAY{list(ACF_LAGS)}) AS lag),
+joined AS (
+  SELECT x.event_type, l.lag, x.c AS cx, y.c AS cy
+  FROM series x
+  CROSS JOIN lags l
+  JOIN series y ON y.event_type = x.event_type AND y.d = x.d + l.lag
+),
+m AS (
+  SELECT event_type, lag,
+         COUNT(*)::BIGINT AS n_pairs,
+         SUM(cx)::BIGINT AS sx, SUM(cy)::BIGINT AS sy,
+         SUM(cx * cx)::BIGINT AS sxx, SUM(cy * cy)::BIGINT AS syy,
+         SUM(cx * cy)::BIGINT AS sxy
+  FROM joined GROUP BY 1, 2
+)
+SELECT event_type, lag, n_pairs,
+       (n_pairs * sxy - sx * sy)::BIGINT AS acf_num,
+       (n_pairs * sxx - sx * sx)::BIGINT AS var_x,
+       (n_pairs * syy - sy * sy)::BIGINT AS var_y,
+       CASE WHEN n_pairs * sxx - sx * sx > 0 AND n_pairs * syy - sy * sy > 0
+            THEN CAST(FLOOR(
+              CAST(n_pairs * sxy - sx * sy AS DOUBLE) * 1000.0
+              / sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)
+                     * CAST(n_pairs * syy - sy * sy AS DOUBLE))) AS BIGINT)
+            ELSE 0 END AS rho_milli
+FROM m
+"""
+
+PENDING_QUERIES["events_autocorr_daily"] = events_autocorr_daily
+PENDING_ORACLE["events_autocorr_daily"] = ORACLE_ACF

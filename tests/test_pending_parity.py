@@ -835,6 +835,89 @@ def test_prefix_filter_is_complete_vs_bruteforce(spark, sf_dir):
     assert twins <= set(got), "planted twins must all be found"
 
 
+def test_markov_accuracy_is_modal_share(spark, sf_dir):
+    """The chain's in-sample accuracy per state is exactly the modal
+    destination's share: replay the lag pairs in Python, recompute the
+    mode (ties to smallest destination), and match every column; totals
+    must conserve (transitions = events - users)."""
+    from collections import Counter, defaultdict
+
+    from cdc_postgresql_clickhouse_spark.queries.events import events_markov_accuracy
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.unix_micros("ts").alias("us"), "event_id", "event_type")
+        .collect()
+    )
+    streams = defaultdict(list)
+    for r in ev:
+        streams[r.user_id].append((r.us, r.event_id, r.event_type))
+    trans: dict = defaultdict(Counter)
+    for rows in streams.values():
+        rows.sort()
+        for (_, _, a), (_, _, b) in zip(rows, rows[1:]):
+            trans[a][b] += 1
+    got = {r.event_type: r for r in events_markov_accuracy(spark, sf_dir).collect()}
+    assert set(got) == set(trans)
+    for src, ctr in trans.items():
+        top = min(ctr, key=lambda d: (-ctr[d], d))
+        n = sum(ctr.values())
+        r = got[src]
+        assert (r.n_transitions, r.n_destinations) == (n, len(ctr))
+        assert (r.top_next, r.n_correct) == (top, ctr[top]), src
+        assert r.accuracy_ppm == ctr[top] * 1_000_000 // n
+    assert sum(r.n_transitions for r in got.values()) == len(ev) - len(streams)
+
+
+def test_autocorr_matches_python_and_bounds(spark, sf_dir):
+    """The sufficient statistics replayed in Python over the dense daily
+    grid reproduce every output column (including the floored IEEE
+    sqrt/divide tail), and Cauchy-Schwarz bounds rho in [-1000, 1000]."""
+    import math
+    from collections import Counter
+
+    from cdc_postgresql_clickhouse_spark.queries.events import (
+        ACF_LAGS,
+        events_autocorr_daily,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr("CAST(FLOOR(unix_timestamp(ts)) AS BIGINT) div 86400").alias("d"),
+        )
+        .collect()
+    )
+    counts: Counter = Counter((r.event_type, r.d) for r in ev)
+    lo, hi = min(r.d for r in ev), max(r.d for r in ev)
+    types = {r.event_type for r in ev}
+    got = {
+        (r.event_type, r.lag): r for r in events_autocorr_daily(spark, sf_dir).collect()
+    }
+    assert set(got) == {(t, k) for t in types for k in ACF_LAGS}
+    for t in types:
+        series = [counts.get((t, d), 0) for d in range(lo, hi + 1)]
+        for k in ACF_LAGS:
+            xs, ys = series[:-k], series[k:]
+            n = len(xs)
+            sx, sy = sum(xs), sum(ys)
+            sxx = sum(x * x for x in xs)
+            syy = sum(y * y for y in ys)
+            sxy = sum(x * y for x, y in zip(xs, ys))
+            num = n * sxy - sx * sy
+            d1, d2 = n * sxx - sx * sx, n * syy - sy * sy
+            rho = (
+                math.floor(float(num) * 1000.0 / math.sqrt(float(d1) * float(d2)))
+                if d1 > 0 and d2 > 0
+                else 0
+            )
+            r = got[(t, k)]
+            assert (r.n_pairs, r.acf_num, r.var_x, r.var_y) == (n, num, d1, d2), (t, k)
+            assert r.rho_milli == rho, (t, k)
+            assert -1000 <= r.rho_milli <= 1000
+
+
 def test_expectations_accounting_laws(spark, sf_dir):
     """passed is exactly (n_violations == 0), violations never exceed the
     table's row count, every check's n_rows equals the real table count,
