@@ -992,3 +992,123 @@ FROM agg
 
 PENDING_QUERIES["text_zipf_fit"] = text_zipf_fit
 PENDING_ORACLE["text_zipf_fit"] = _zipf_sql()
+
+
+# --- RAKE keyword extraction — PENDING round 7 -------------------------------
+#
+# Rapid Automatic Keyword Extraction (Rose et al. 2010), the classic
+# unsupervised keyword stage of a document-enrichment pipeline: candidate
+# phrases are maximal stopword-free token runs; each word scores
+# deg(w)/freq(w) within its document (deg = summed length of the phrases
+# containing it), a phrase scores the sum of its words' scores, and the
+# doc's keyword is the top-scoring phrase (ties to the lexicographically
+# smallest). Scores stay integer as deg*1e6 div freq micro-units summed
+# per phrase. Scale shape: everything is one posexplode to token grain, a
+# per-doc running stopword count (window keyed by doc — partitions are
+# document-sized), and keyed aggs back down to phrase and doc grain; no
+# driver state, no UDFs.
+
+from cdc_postgresql_clickhouse_spark.functions.text import (  # noqa: E402
+    STOPWORDS as _RAKE_STOP,
+    tokens as _rake_tokens,
+)
+
+
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _rake_tokens(F.col("text")).alias("t")
+    )
+    tok = docs.select("doc_id", F.posexplode("t").alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    marked = tok.select(
+        "doc_id", "pos", "tok",
+        F.sum(F.when(F.col("tok").isin(*_RAKE_STOP), 1).otherwise(0))
+        .over(w).alias("phrase_id"),
+    ).filter(~F.col("tok").isin(*_RAKE_STOP))
+    plen = marked.groupBy("doc_id", "phrase_id").agg(
+        F.count(F.lit(1)).cast("long").alias("p_len")
+    )
+    occ = marked.join(plen, ["doc_id", "phrase_id"])
+    wscore = occ.groupBy("doc_id", "tok").agg(
+        F.expr("sum(p_len) * 1000000 div count(1)").cast("long").alias("w_micro")
+    )
+    phr = (
+        occ.join(wscore, ["doc_id", "tok"])
+        .groupBy("doc_id", "phrase_id")
+        .agg(
+            F.sum("w_micro").cast("long").alias("score_micro"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("phrase"),
+        )
+    )
+    rk = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_micro"), F.asc("phrase"), F.asc("phrase_id")
+    )
+    return (
+        phr.withColumn("rn", F.row_number().over(rk))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_phrases"),
+            F.max(F.when(F.col("rn") == 1, F.col("phrase"))).alias("top_phrase"),
+            F.max(F.when(F.col("rn") == 1, F.col("score_micro")))
+            .cast("long").alias("top_score_micro"),
+        )
+    )
+
+
+_SQL_RAKE_STOP = "('" + "', '".join(_RAKE_STOP) + "')"
+
+_SQL_RAKE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(range(1, len(t) + 1)) AS pos, t
+  FROM (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents)
+),
+marked AS (
+  SELECT doc_id, pos, t[pos] AS tok,
+         SUM(CASE WHEN t[pos] IN {_SQL_RAKE_STOP} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS phrase_id
+  FROM toks
+),
+nonstop AS (SELECT * FROM marked WHERE tok NOT IN {_SQL_RAKE_STOP}),
+plen AS (
+  SELECT doc_id, phrase_id, COUNT(*)::BIGINT AS p_len
+  FROM nonstop GROUP BY 1, 2
+),
+occ AS (
+  SELECT n.doc_id, n.phrase_id, n.pos, n.tok, p.p_len
+  FROM nonstop n JOIN plen p USING (doc_id, phrase_id)
+),
+wscore AS (
+  SELECT doc_id, tok, (SUM(p_len) * 1000000 // COUNT(*))::BIGINT AS w_micro
+  FROM occ GROUP BY 1, 2
+),
+phr AS (
+  SELECT o.doc_id, o.phrase_id,
+         SUM(w.w_micro)::BIGINT AS score_micro,
+         string_agg(o.tok, ' ' ORDER BY o.pos) AS phrase
+  FROM occ o JOIN wscore w ON w.doc_id = o.doc_id AND w.tok = o.tok
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score_micro DESC, phrase ASC, phrase_id ASC
+  ) AS rn
+  FROM phr
+)
+SELECT doc_id,
+       COUNT(*)::BIGINT AS n_phrases,
+       MAX(CASE WHEN rn = 1 THEN phrase END) AS top_phrase,
+       MAX(CASE WHEN rn = 1 THEN score_micro END)::BIGINT AS top_score_micro
+FROM ranked
+GROUP BY doc_id
+"""
+
+PENDING_QUERIES["text_rake_keywords"] = text_rake_keywords
+PENDING_ORACLE["text_rake_keywords"] = _SQL_RAKE

@@ -835,6 +835,53 @@ def test_prefix_filter_is_complete_vs_bruteforce(spark, sf_dir):
     assert twins <= set(got), "planted twins must all be found"
 
 
+def test_rake_matches_python_reference(spark, sf_dir):
+    """The relational RAKE equals the textbook per-document algorithm
+    replayed in Python (phrase split at stopwords, deg/freq word scores
+    in integer micro-units, top phrase with deterministic ties), for
+    every document."""
+    from collections import Counter, defaultdict
+
+    from cdc_postgresql_clickhouse_spark.functions.text import STOPWORDS, tokens
+    from cdc_postgresql_clickhouse_spark.queries.text_ext import text_rake_keywords
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", tokens(F.col("text")).alias("t"))
+        .collect()
+    )
+    stop = set(STOPWORDS)
+    got = {r.doc_id: r for r in text_rake_keywords(spark, sf_dir).collect()}
+    for d in docs:
+        phrases, cur = [], []
+        for tk in d.t:
+            if tk in stop:
+                if cur:
+                    phrases.append(cur)
+                cur = []
+            else:
+                cur.append(tk)
+        if cur:
+            phrases.append(cur)
+        if not phrases:
+            assert d.doc_id not in got
+            continue
+        deg: Counter = Counter()
+        freq: Counter = Counter()
+        for p in phrases:
+            for tk in p:
+                deg[tk] += len(p)
+                freq[tk] += 1
+        w_micro = {tk: deg[tk] * 1_000_000 // freq[tk] for tk in deg}
+        scored = [(sum(w_micro[tk] for tk in p), " ".join(p)) for p in phrases]
+        top_score = max(s for s, _ in scored)
+        # ties to lexicographically smallest phrase
+        top_phrase = min(p for s, p in scored if s == top_score)
+        r = got[d.doc_id]
+        assert r.n_phrases == len(phrases), d.doc_id
+        assert (r.top_phrase, r.top_score_micro) == (top_phrase, top_score), d.doc_id
+
+
 def test_markov_accuracy_is_modal_share(spark, sf_dir):
     """The chain's in-sample accuracy per state is exactly the modal
     destination's share: replay the lag pairs in Python, recompute the
