@@ -1329,3 +1329,68 @@ FROM m
 
 PENDING_QUERIES["events_autocorr_daily"] = events_autocorr_daily
 PENDING_ORACLE["events_autocorr_daily"] = ORACLE_ACF
+
+
+# --- time-weighted average value per user — PENDING round 7 ------------------
+#
+# The telemetry TWAP: a user's value series averaged by HOLDING TIME, not
+# by observation count — each event's cents weight is the seconds until
+# the user's next event, so bursty samples stop dominating the mean (the
+# canonical fix for irregularly-sampled gauges). The last event has no
+# successor and carries zero weight; users whose events all share one
+# second have zero total weight and are excluded (their TWAP is
+# undefined). Pure integer: cents x seconds summed, one truncating
+# division at the end. Scale shape: one lead() window per user partition,
+# one keyed agg — no self-join, no driver state.
+
+def events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("es"),
+        F.col("event_id").alias("eid"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("es", "eid")
+    d = ev.select(
+        "user_id", "cents",
+        (F.lead("es").over(w) - F.col("es")).alias("dur_s"),
+    ).filter(F.col("dur_s").isNotNull())
+    return (
+        d.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_intervals"),
+            F.sum("dur_s").cast("long").alias("total_dur_s"),
+            F.sum(F.col("dur_s") * F.col("cents")).cast("long").alias("weighted_cents_s"),
+        )
+        .filter(F.col("total_dur_s") > 0)
+        .select(
+            "user_id", "n_intervals", "total_dur_s",
+            F.expr("weighted_cents_s div total_dur_s").cast("long").alias("twap_cents"),
+        )
+    )
+
+
+ORACLE_TWAP = """
+WITH seq AS (
+  SELECT user_id,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+         lead(CAST(FLOOR(epoch(ts)) AS BIGINT)) OVER w
+           - CAST(FLOOR(epoch(ts)) AS BIGINT) AS dur_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT), event_id)
+),
+agg AS (
+  SELECT user_id,
+         COUNT(*)::BIGINT AS n_intervals,
+         SUM(dur_s)::BIGINT AS total_dur_s,
+         SUM(dur_s * cents)::BIGINT AS weighted_cents_s
+  FROM seq WHERE dur_s IS NOT NULL
+  GROUP BY user_id
+)
+SELECT user_id, n_intervals, total_dur_s,
+       (weighted_cents_s // total_dur_s)::BIGINT AS twap_cents
+FROM agg WHERE total_dur_s > 0
+"""
+
+PENDING_QUERIES["events_twap"] = events_twap
+PENDING_ORACLE["events_twap"] = ORACLE_TWAP

@@ -488,3 +488,97 @@ GROUP BY 1, 2
 
 PENDING_QUERIES["quality_dedup_interaction"] = quality_dedup_interaction
 PENDING_ORACLE["quality_dedup_interaction"] = _interaction_sql()
+
+
+# --- two-sample KS test between source length distributions — PENDING r7 ----
+#
+# The distribution-drift test a corpus-mixing pipeline runs between
+# sources (and between snapshots): for every source pair, the
+# Kolmogorov-Smirnov statistic D = max_t |F_a(t) - F_b(t)| over the
+# pooled document-length support. Exactly integer: at each distinct
+# length, the CDF difference |cum_a * n_b - cum_b * n_a| is compared by
+# cross-multiplication, and only the final max converts to PPM with one
+# truncating division. Scale shape: documents reduce to (source, length)
+# grain in one shuffle; the pair fan-out is |sources choose 2| x values —
+# source-count-bounded, never document-bounded; the running CDFs are one
+# window per pair partition.
+
+def quality_ks_length_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "n_chars")
+    counts = docs.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    totals = counts.groupBy("source").agg(F.sum("cnt").cast("long").alias("n"))
+    pairs = (
+        totals.alias("pa")
+        .crossJoin(totals.alias("pb"))
+        .filter(F.col("pa.source") < F.col("pb.source"))
+        .select(
+            F.col("pa.source").alias("s_a"), F.col("pa.n").alias("n_a"),
+            F.col("pb.source").alias("s_b"), F.col("pb.n").alias("n_b"),
+        )
+    )
+    long = pairs.join(
+        counts, (F.col("source") == F.col("s_a")) | (F.col("source") == F.col("s_b"))
+    ).groupBy("s_a", "s_b", "n_a", "n_b", "v").agg(
+        F.sum(F.when(F.col("source") == F.col("s_a"), F.col("cnt")).otherwise(0))
+        .cast("long").alias("ca"),
+        F.sum(F.when(F.col("source") == F.col("s_b"), F.col("cnt")).otherwise(0))
+        .cast("long").alias("cb"),
+    )
+    w = (
+        Window.partitionBy("s_a", "s_b")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cdf = long.select(
+        "s_a", "s_b", "n_a", "n_b",
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+    )
+    return (
+        cdf.groupBy("s_a", "s_b", "n_a", "n_b")
+        .agg(
+            F.max(F.abs(F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")))
+            .alias("d_num")
+        )
+        .select(
+            "s_a", "s_b", "n_a", "n_b",
+            F.expr("d_num * 1000000 div (n_a * n_b)").cast("long").alias("ks_d_ppm"),
+        )
+    )
+
+
+_SQL_KS = """
+WITH counts AS (
+  SELECT source, n_chars AS v, COUNT(*)::BIGINT AS cnt
+  FROM documents GROUP BY 1, 2
+),
+totals AS (SELECT source, SUM(cnt)::BIGINT AS n FROM counts GROUP BY 1),
+pairs AS (
+  SELECT pa.source AS s_a, pa.n AS n_a, pb.source AS s_b, pb.n AS n_b
+  FROM totals pa, totals pb WHERE pa.source < pb.source
+),
+long AS (
+  SELECT p.s_a, p.s_b, p.n_a, p.n_b, c.v,
+         SUM(CASE WHEN c.source = p.s_a THEN c.cnt ELSE 0 END)::BIGINT AS ca,
+         SUM(CASE WHEN c.source = p.s_b THEN c.cnt ELSE 0 END)::BIGINT AS cb
+  FROM pairs p JOIN counts c ON c.source = p.s_a OR c.source = p.s_b
+  GROUP BY 1, 2, 3, 4, 5
+),
+cdf AS (
+  SELECT s_a, s_b, n_a, n_b,
+         SUM(ca) OVER (PARTITION BY s_a, s_b ORDER BY v) AS cum_a,
+         SUM(cb) OVER (PARTITION BY s_a, s_b ORDER BY v) AS cum_b
+  FROM long
+)
+SELECT s_a, s_b, n_a, n_b,
+       (MAX(ABS(cum_a * n_b - cum_b * n_a)) * 1000000 // (n_a * n_b))::BIGINT AS ks_d_ppm
+FROM cdf
+GROUP BY 1, 2, 3, 4
+"""
+
+PENDING_QUERIES["quality_ks_length_test"] = quality_ks_length_test
+PENDING_ORACLE["quality_ks_length_test"] = _SQL_KS

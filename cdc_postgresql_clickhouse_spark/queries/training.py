@@ -681,3 +681,69 @@ FROM agg
 
 PENDING_QUERIES["corpus_token_gini"] = corpus_token_gini
 PENDING_ORACLE["corpus_token_gini"] = _SQL_GINI
+
+
+# --- cross-source shingle-overlap matrix — PENDING round 7 -------------------
+#
+# Corpus-mixture design needs to know how redundant sources are with each
+# other BEFORE weighting them: for every source pair, the Jaccard overlap
+# of their distinct 3-word-shingle sets (source-level profile, not
+# doc-level dedup — the question is "do these two crawls cover the same
+# content", not "which docs are twins"). Scale shape: documents reduce to
+# the distinct (source, shingle) grain in one shuffle; the pair counts
+# come from a shingle-keyed self-join whose fan-out per shingle is at
+# most |sources|^2 — source-count-bounded, never document-bounded; the
+# final matrix is |sources choose 2| rows. Pure integer PPM.
+
+def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", tokens(F.col("text")).alias("t")
+    )
+    sh = docs.select(
+        "source", F.explode(F.array_distinct(word_shingles(F.col("t"), 3))).alias("g")
+    ).distinct()
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("m"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), "g")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    return (
+        inter.join(sizes.alias("sa"), F.col("source_a") == F.col("sa.source"))
+        .join(sizes.alias("sb"), F.col("source_b") == F.col("sb.source"))
+        .select(
+            "source_a", "source_b", "n_shared",
+            F.col("sa.m").alias("m_a"), F.col("sb.m").alias("m_b"),
+            F.expr("n_shared * 1000000 div (sa.m + sb.m - n_shared)")
+            .cast("long").alias("jaccard_ppm"),
+            F.expr("n_shared * 1000000 div least(sa.m, sb.m)")
+            .cast("long").alias("containment_ppm"),
+        )
+    )
+
+
+_SQL_SOURCE_OVERLAP = f"""
+WITH sh AS (
+  SELECT DISTINCT source, unnest({_sql_ngrams(3)}) AS g
+  FROM (SELECT source, {_SQL_TOKENS} AS t FROM documents)
+),
+sizes AS (SELECT source, COUNT(*)::BIGINT AS m FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.source AS source_a, b.source AS source_b, COUNT(*)::BIGINT AS n_shared
+  FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, n_shared, sa.m AS m_a, sb.m AS m_b,
+       (n_shared * 1000000 // (sa.m + sb.m - n_shared))::BIGINT AS jaccard_ppm,
+       (n_shared * 1000000 // least(sa.m, sb.m))::BIGINT AS containment_ppm
+FROM inter
+JOIN sizes sa ON sa.source = source_a
+JOIN sizes sb ON sb.source = source_b
+"""
+
+PENDING_QUERIES["corpus_source_overlap"] = corpus_source_overlap
+PENDING_ORACLE["corpus_source_overlap"] = _SQL_SOURCE_OVERLAP

@@ -835,6 +835,90 @@ def test_prefix_filter_is_complete_vs_bruteforce(spark, sf_dir):
     assert twins <= set(got), "planted twins must all be found"
 
 
+def test_twap_matches_python_replay(spark, sf_dir):
+    """The windowed TWAP equals the per-user holding-time replay: weights
+    are the seconds to the next event, the last event carries none, and
+    zero-total-duration users are absent."""
+    from collections import defaultdict
+
+    from cdc_postgresql_clickhouse_spark.queries.events import events_twap
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.floor(F.unix_timestamp("ts")).cast("long").alias("es"),
+            "event_id",
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
+        )
+        .collect()
+    )
+    streams = defaultdict(list)
+    for r in ev:
+        streams[r.user_id].append((r.es, r.event_id, r.c))
+    got = {r.user_id: r for r in events_twap(spark, sf_dir).collect()}
+    seen = set()
+    for u, rows in streams.items():
+        rows.sort()
+        tot = wsum = 0
+        for (e1, _, c1), (e2, _, _) in zip(rows, rows[1:]):
+            tot += e2 - e1
+            wsum += (e2 - e1) * c1
+        if tot == 0:
+            assert u not in got
+            continue
+        seen.add(u)
+        r = got[u]
+        assert (r.n_intervals, r.total_dur_s) == (len(rows) - 1, tot), u
+        assert r.twap_cents == wsum // tot, u
+    assert set(got) == seen
+
+
+def test_ks_matches_python_replay(spark, sf_dir):
+    """Every source pair reports once, D is PPM-bounded, and the integer
+    cross-multiplied statistic equals the textbook max-CDF-gap replayed
+    in Python over the pooled support."""
+    from collections import defaultdict
+
+    from cdc_postgresql_clickhouse_spark.queries.quality import quality_ks_length_test
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "n_chars").collect()
+    by_src = defaultdict(list)
+    for r in docs:
+        by_src[r.source].append(r.n_chars)
+    got = {(r.s_a, r.s_b): r for r in quality_ks_length_test(spark, sf_dir).collect()}
+    srcs = sorted(by_src)
+    assert len(got) == len(srcs) * (len(srcs) - 1) // 2
+    for (a, b), r in got.items():
+        xs, ys = sorted(by_src[a]), sorted(by_src[b])
+        na, nb = len(xs), len(ys)
+        support = sorted(set(xs) | set(ys))
+        d = 0
+        import bisect
+
+        for v in support:
+            ca = bisect.bisect_right(xs, v)
+            cb = bisect.bisect_right(ys, v)
+            d = max(d, abs(ca * nb - cb * na))
+        assert (r.n_a, r.n_b) == (na, nb)
+        assert r.ks_d_ppm == d * 1_000_000 // (na * nb), (a, b)
+        assert 0 <= r.ks_d_ppm <= 1_000_000
+
+
+def test_source_overlap_bounds(spark, sf_dir):
+    """Shared shingles never exceed either source's set, containment
+    dominates Jaccard, both are PPM-bounded, and every reported pair is
+    ordered."""
+    from cdc_postgresql_clickhouse_spark.queries.training import corpus_source_overlap
+
+    r = corpus_source_overlap(spark, sf_dir).toPandas()
+    assert len(r) > 0
+    assert (r.source_a < r.source_b).all()
+    assert (r.n_shared <= r[["m_a", "m_b"]].min(axis=1)).all()
+    assert (r.jaccard_ppm <= r.containment_ppm).all()
+    assert ((r.jaccard_ppm >= 0) & (r.containment_ppm <= 1_000_000)).all()
+
+
 def test_rake_matches_python_reference(spark, sf_dir):
     """The relational RAKE equals the textbook per-document algorithm
     replayed in Python (phrase split at stopwords, deg/freq word scores
