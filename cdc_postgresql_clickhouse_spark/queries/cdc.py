@@ -854,3 +854,83 @@ def cdc_incremental_snapshot_equiv(spark: SparkSession, sf_dir: str) -> DataFram
 
 PENDING_QUERIES["cdc_incremental_snapshot_equiv"] = cdc_incremental_snapshot_equiv
 PENDING_ORACLE["cdc_incremental_snapshot_equiv"] = ORACLE["cdc_current_state"]
+
+
+# --- change-stream sequence-gap audit — PENDING round 7 ----------------------
+#
+# The replication-health audit an operator runs when at-least-once
+# delivery is suspected of silently LOSING messages: event_ids are the
+# statement sequence (dense by construction, the envelope generator's
+# lsn order), a transport fault is simulated by dropping every id
+# congruent to 13 mod 97, and the report reconstructs — per 1000-wide
+# sequence chunk clipped to the observed global span — how many ids the
+# chunk should carry vs how many arrived. Missing counts are pure
+# integer span arithmetic, exact even at chunk boundaries because the
+# chunk grid derives from the GLOBAL min/max, not per-chunk extremes.
+# Scale shape: one filtered scan to chunk grain, a model-sized grid
+# join; no windows over the raw stream.
+
+GAP_CHUNK = 1000
+GAP_DROP_MOD, GAP_DROP_RESIDUE = 97, 13
+
+
+def cdc_sequence_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").alias("sid")
+    )
+    received = ev.filter(F.col("sid") % GAP_DROP_MOD != GAP_DROP_RESIDUE)
+    lim = ev.agg(F.min("sid").alias("gmin"), F.max("sid").alias("gmax"))
+    per_chunk = received.groupBy(
+        F.expr(f"sid div {GAP_CHUNK}").alias("chunk_id")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_received"))
+    grid = lim.select(
+        F.explode(
+            F.sequence(
+                F.expr(f"gmin div {GAP_CHUNK}"), F.expr(f"gmax div {GAP_CHUNK}")
+            )
+        ).alias("chunk_id"),
+        "gmin",
+        "gmax",
+    )
+    return (
+        grid.join(per_chunk, "chunk_id", "left")
+        .select(
+            "chunk_id",
+            F.greatest(F.col("chunk_id") * GAP_CHUNK, F.col("gmin")).alias("span_lo"),
+            F.least(F.col("chunk_id") * GAP_CHUNK + GAP_CHUNK - 1, F.col("gmax"))
+            .alias("span_hi"),
+            F.coalesce("n_received", F.lit(0)).cast("long").alias("n_received"),
+        )
+        .select(
+            "chunk_id", "span_lo", "span_hi", "n_received",
+            (F.col("span_hi") - F.col("span_lo") + 1 - F.col("n_received"))
+            .cast("long").alias("n_missing"),
+        )
+    )
+
+
+ORACLE_GAPS = f"""
+WITH ev AS (SELECT event_id AS sid FROM events),
+lim AS (SELECT MIN(sid) AS gmin, MAX(sid) AS gmax FROM ev),
+received AS (SELECT sid FROM ev WHERE sid % {GAP_DROP_MOD} <> {GAP_DROP_RESIDUE}),
+per_chunk AS (
+  SELECT sid // {GAP_CHUNK} AS chunk_id, COUNT(*)::BIGINT AS n_received
+  FROM received GROUP BY 1
+),
+grid AS (
+  SELECT unnest(range(gmin // {GAP_CHUNK}, gmax // {GAP_CHUNK} + 1)) AS chunk_id,
+         gmin, gmax
+  FROM lim
+)
+SELECT g.chunk_id,
+       GREATEST(g.chunk_id * {GAP_CHUNK}, g.gmin) AS span_lo,
+       LEAST(g.chunk_id * {GAP_CHUNK} + {GAP_CHUNK} - 1, g.gmax) AS span_hi,
+       COALESCE(p.n_received, 0)::BIGINT AS n_received,
+       (LEAST(g.chunk_id * {GAP_CHUNK} + {GAP_CHUNK} - 1, g.gmax)
+        - GREATEST(g.chunk_id * {GAP_CHUNK}, g.gmin) + 1
+        - COALESCE(p.n_received, 0))::BIGINT AS n_missing
+FROM grid g LEFT JOIN per_chunk p ON p.chunk_id = g.chunk_id
+"""
+
+PENDING_QUERIES["cdc_sequence_gap_report"] = cdc_sequence_gap_report
+PENDING_ORACLE["cdc_sequence_gap_report"] = ORACLE_GAPS

@@ -747,3 +747,71 @@ JOIN sizes sb ON sb.source = source_b
 
 PENDING_QUERIES["corpus_source_overlap"] = corpus_source_overlap
 PENDING_ORACLE["corpus_source_overlap"] = _SQL_SOURCE_OVERLAP
+
+
+# --- exact stratified train/val/test split — PENDING round 7 -----------------
+#
+# The md5-hash split already shipped gives each doc an independent coin
+# flip — proportions drift by sqrt(n) per stratum. This is the EXACT
+# variant a finetune/eval pipeline needs when per-source quotas are
+# contractual: within each source, docs are ordered by the deterministic
+# md5 shuffle key and the first floor(0.8n) go to train, the next
+# floor(0.9n)-floor(0.8n) to val, the rest to test — proportions exact
+# to one document, assignment reproducible row-for-row. Scale shape: one
+# row_number window per source partition plus the per-source count via a
+# partition-window max of the rank (no second scan); the report is
+# (source x split)-sized.
+
+def corpus_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("long").alias("ntok"),
+        F.md5(F.col("doc_id").cast("string")).alias("k"),
+    )
+    w = Window.partitionBy("source").orderBy("k", "doc_id")
+    wall = Window.partitionBy("source")
+    ranked = docs.select(
+        "source", "ntok",
+        F.row_number().over(w).alias("r"),
+    ).withColumn("n", F.max("r").over(wall).cast("long"))
+    labeled = ranked.select(
+        "source", "ntok", "n",
+        F.when(F.col("r") <= F.expr("8 * n div 10"), F.lit("train"))
+        .when(F.col("r") <= F.expr("9 * n div 10"), F.lit("val"))
+        .otherwise(F.lit("test")).alias("split"),
+    )
+    return labeled.groupBy("source", "split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("ntok").cast("long").alias("n_tokens"),
+        F.expr("count(1) * 1000000 div max(n)").cast("long").alias("share_ppm"),
+    )
+
+
+_SQL_STRAT_SPLIT = f"""
+WITH docs AS (
+  SELECT source, doc_id, len({_SQL_TOKENS}) AS ntok,
+         md5(CAST(doc_id AS VARCHAR)) AS k
+  FROM documents
+),
+ranked AS (
+  SELECT source, ntok,
+         row_number() OVER (PARTITION BY source ORDER BY k, doc_id) AS r,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM docs
+),
+labeled AS (
+  SELECT source, ntok, n,
+         CASE WHEN r <= 8 * n // 10 THEN 'train'
+              WHEN r <= 9 * n // 10 THEN 'val'
+              ELSE 'test' END AS split
+  FROM ranked
+)
+SELECT source, split, COUNT(*)::BIGINT AS n_docs, SUM(ntok)::BIGINT AS n_tokens,
+       (COUNT(*) * 1000000 // MAX(n))::BIGINT AS share_ppm
+FROM labeled
+GROUP BY 1, 2
+"""
+
+PENDING_QUERIES["corpus_stratified_split"] = corpus_stratified_split
+PENDING_ORACLE["corpus_stratified_split"] = _SQL_STRAT_SPLIT

@@ -835,6 +835,55 @@ def test_prefix_filter_is_complete_vs_bruteforce(spark, sf_dir):
     assert twins <= set(got), "planted twins must all be found"
 
 
+def test_gap_report_accounting(spark, sf_dir):
+    """Chunk spans tile the observed sequence exactly, received+missing
+    conserves per chunk, and total missing equals the planted drop count
+    (every id congruent 13 mod 97)."""
+    from cdc_postgresql_clickhouse_spark.queries.cdc import (
+        GAP_DROP_MOD,
+        GAP_DROP_RESIDUE,
+        cdc_sequence_gap_report,
+    )
+
+    r = cdc_sequence_gap_report(spark, sf_dir).toPandas().sort_values("chunk_id")
+    ids = [
+        row.event_id
+        for row in load_table(spark, sf_dir, "events").select("event_id").collect()
+    ]
+    gmin, gmax = min(ids), max(ids)
+    assert r.span_lo.iloc[0] == gmin and r.span_hi.iloc[-1] == gmax
+    assert (r.span_lo.iloc[1:].to_numpy() == r.span_hi.iloc[:-1].to_numpy() + 1).all()
+    assert ((r.span_hi - r.span_lo + 1) == r.n_received + r.n_missing).all()
+    planted = sum(1 for i in ids if i % GAP_DROP_MOD == GAP_DROP_RESIDUE)
+    assert r.n_missing.sum() == planted > 0
+
+
+def test_stratified_split_exactness(spark, sf_dir):
+    """Per source: the three splits partition the docs, train gets exactly
+    floor(0.8n), train+val exactly floor(0.9n), and token mass conserves
+    against the corpus total."""
+    from cdc_postgresql_clickhouse_spark.functions.text import tokens
+    from cdc_postgresql_clickhouse_spark.queries.training import (
+        corpus_stratified_split,
+    )
+
+    r = corpus_stratified_split(spark, sf_dir).toPandas()
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("source", F.size(tokens(F.col("text"))).alias("ntok"))
+        .toPandas()
+    )
+    pop = docs.groupby("source").agg(n=("ntok", "size"), tok=("ntok", "sum"))
+    for src, grp in r.groupby("source"):
+        g = grp.set_index("split")
+        n = pop.loc[src, "n"]
+        assert g.n_docs.sum() == n
+        assert g.loc["train", "n_docs"] == 8 * n // 10
+        assert g.loc["train", "n_docs"] + g.loc["val", "n_docs"] == 9 * n // 10
+        assert g.n_tokens.sum() == pop.loc[src, "tok"]
+    assert r.n_docs.sum() == len(docs)
+
+
 def test_twap_matches_python_replay(spark, sf_dir):
     """The windowed TWAP equals the per-user holding-time replay: weights
     are the seconds to the next event, the last event carries none, and
