@@ -1394,3 +1394,89 @@ FROM agg WHERE total_dur_s > 0
 
 PENDING_QUERIES["events_twap"] = events_twap
 PENDING_ORACLE["events_twap"] = ORACLE_TWAP
+
+
+# --- CUSUM change-point detection — PENDING round 7 ---------------------------
+#
+# Page's cumulative-sum change-point locator per event type: with the series
+# centred on its own mean, the |prefix sum| peaks at the most likely level
+# shift. The mean is never materialized — S_k = n·prefix_k − k·total keeps
+# the centred prefix exact in int64 (cents×n: safe to ~1e9 rows/type; switch
+# the products to DECIMAL(38) beyond). Ordering is (epoch-second, event_id),
+# the argmax tie-break is the EARLIEST k, both pinned identically in the
+# oracle via the same ROW_NUMBER sort. Scale shape: one window pass per type
+# partition (prefix + row_number in a single sort), one rank-1 filter — no
+# self-join, no driver state; the second window orders the same partition key
+# so AQE reuses the shuffle.
+
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("es"),
+        F.col("event_id").alias("eid"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    wseq = Window.partitionBy("event_type").orderBy("es", "eid")
+    wall = Window.partitionBy("event_type")
+    scored = ev.select(
+        "event_type", "es",
+        F.row_number().over(wseq).alias("k"),
+        (
+            F.count(F.lit(1)).over(wall)
+            * F.sum("cents").over(wseq.rowsBetween(Window.unboundedPreceding, 0))
+        ).alias("np"),
+        F.sum("cents").over(wall).alias("total"),
+        F.count(F.lit(1)).over(wall).alias("n_events"),
+    ).select(
+        "event_type", "es", "k", "n_events",
+        F.abs(F.col("np") - F.col("k") * F.col("total")).alias("s_abs"),
+    )
+    wr = Window.partitionBy("event_type").orderBy(F.desc("s_abs"), F.asc("k"))
+    return (
+        scored.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("k").cast("long").alias("cp_k"),
+            F.col("es").cast("long").alias("cp_es"),
+            F.col("s_abs").cast("long").alias("s_abs_max"),
+        )
+    )
+
+
+ORACLE_CUSUM = """
+WITH seq AS (
+  SELECT event_type,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS es,
+         event_id AS eid,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+scored AS (
+  SELECT event_type, es,
+         ROW_NUMBER() OVER w AS k,
+         COUNT(*) OVER (PARTITION BY event_type)
+           * SUM(cents) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS np,
+         SUM(cents) OVER (PARTITION BY event_type) AS total,
+         COUNT(*) OVER (PARTITION BY event_type) AS n_events
+  FROM seq
+  WINDOW w AS (PARTITION BY event_type ORDER BY es, eid)
+),
+ranked AS (
+  SELECT event_type, n_events, k, es,
+         abs(np - k * total) AS s_abs,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY abs(np - k * total) DESC, k ASC) AS rn
+  FROM scored
+)
+SELECT event_type,
+       n_events::BIGINT AS n_events,
+       k::BIGINT AS cp_k,
+       es::BIGINT AS cp_es,
+       s_abs::BIGINT AS s_abs_max
+FROM ranked WHERE rn = 1
+"""
+
+PENDING_QUERIES["events_cusum_changepoint"] = events_cusum_changepoint
+PENDING_ORACLE["events_cusum_changepoint"] = ORACLE_CUSUM

@@ -546,3 +546,71 @@ FROM per
 
 PENDING_QUERIES = {"text_source_drift_klm": text_source_drift_klm}
 PENDING_ORACLE = {"text_source_drift_klm": _sql_klm()}
+
+
+# --- Simpson diversity of the token distribution — PENDING round 7 -----------
+#
+# Lexical-diversity diagnostic per source: Simpson's index D = P(two tokens
+# drawn without replacement are the same type) = Σ c·(c−1) / (N·(N−1)) — the
+# repeat-probability twin of the entropy diagnostics, and (unlike entropy)
+# exactly computable in integers: the only division is the final floor to
+# ppm, pushed through DECIMAL(38)/HUGEINT because Σc(c−1)×1e6 exceeds int64
+# once a source holds ~10⁶ tokens of a repeated type. Also reports the
+# type/token counts and the hapax share (types seen once — the tail-mass
+# companion metric), all BIGINT. Scale shape: one explode to token grain,
+# one (source, token) groupBy, one source-grain agg — map-side partials on
+# both, no window, no driver state.
+
+def corpus_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    tok = docs.select("source", F.explode(tokens(F.col("text"))).alias("t"))
+    per_type = tok.groupBy("source", "t").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    return (
+        per_type.groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.count_if(F.col("c") == 1).cast("long").alias("n_hapax"),
+            F.sum(F.col("c") * (F.col("c") - 1)).cast("long").alias("rep_pairs2"),
+        )
+        .select(
+            "source", "n_tokens", "n_types", "n_hapax",
+            F.expr(
+                "CAST((CAST(rep_pairs2 AS DECIMAL(38,0)) * 1000000)"
+                " DIV (CAST(n_tokens AS DECIMAL(38,0)) * (n_tokens - 1)) AS BIGINT)"
+            ).alias("simpson_ppm"),
+            F.expr("n_hapax * 1000000 div n_types").cast("long").alias("hapax_ppm"),
+        )
+    )
+
+
+def _sql_simpson() -> str:
+    from cdc_postgresql_clickhouse_spark.queries.dedup import _SQL_TOKENS
+
+    return f"""
+WITH tok AS (
+  SELECT source, unnest({_SQL_TOKENS}) AS t FROM documents
+),
+per_type AS (
+  SELECT source, t, COUNT(*)::BIGINT AS c FROM tok GROUP BY source, t
+),
+per AS (
+  SELECT source,
+         SUM(c)::BIGINT AS n_tokens,
+         COUNT(*)::BIGINT AS n_types,
+         COUNT(*) FILTER (WHERE c = 1)::BIGINT AS n_hapax,
+         SUM(c * (c - 1))::BIGINT AS rep_pairs2
+  FROM per_type GROUP BY source
+)
+SELECT source, n_tokens, n_types, n_hapax,
+       (rep_pairs2::HUGEINT * 1000000 // (n_tokens::HUGEINT * (n_tokens - 1)))::BIGINT
+         AS simpson_ppm,
+       (n_hapax * 1000000 // n_types)::BIGINT AS hapax_ppm
+FROM per
+"""
+
+
+PENDING_QUERIES["corpus_simpson_diversity"] = corpus_simpson_diversity
+PENDING_ORACLE["corpus_simpson_diversity"] = _sql_simpson()

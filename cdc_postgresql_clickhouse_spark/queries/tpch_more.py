@@ -951,3 +951,90 @@ GROUP BY 1
 
 PENDING_QUERIES["orders_reorder_intervals"] = orders_reorder_intervals
 PENDING_ORACLE["orders_reorder_intervals"] = _SQL_REORDER
+
+
+# --- Pareto / ABC inventory classification — PENDING round 7 -----------------
+#
+# The classic ABC analysis over parts: rank parts by revenue, class A = the
+# parts covering the first 80 % of revenue mass, B = the next 15 % (to 95 %),
+# C = the tail. Thresholds are integer cross-multiplications (cum*5 <= tot*4,
+# cum*20 <= tot*19) on exact 1e-4-dollar units — no ratio is ever
+# materialized. SCALE-SAFE RANKING: the cumulative runs over the
+# DISTINCT-REVENUE table (corpus_length_pareto's device) — parts with equal
+# revenue are interchangeable, so the class is assigned at the distinct-value
+# grain (ties share one class, decided by the group's inclusive cumulative;
+# stated here because the oracle mirrors it exactly). The lone global window
+# therefore orders the bounded distinct-value domain, never the part table.
+# share_ppm divides through DECIMAL(38)/HUGEINT: class mass × 1e6 exceeds
+# int64 at sf >= 0.1.
+
+def orders_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(_rev_micros()).cast("long").alias("rev")
+    )
+    by_rev = per_part.groupBy("rev").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts_v")
+    )
+    w = Window.orderBy(F.desc("rev")).rowsBetween(Window.unboundedPreceding, 0)
+    cum = by_rev.withColumn("cum", F.sum(F.col("rev") * F.col("n_parts_v")).over(w))
+    tot = per_part.agg(F.sum("rev").cast("long").alias("tot"))
+    classed = cum.crossJoin(F.broadcast(tot)).select(
+        "rev", "n_parts_v",
+        F.when(F.col("cum") * 5 <= F.col("tot") * 4, F.lit("A"))
+        .when(F.col("cum") * 20 <= F.col("tot") * 19, F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("abc_class"),
+        "tot",
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.sum("n_parts_v").cast("long").alias("n_parts"),
+            F.sum(F.col("rev") * F.col("n_parts_v")).cast("long").alias("class_rev_micros"),
+            F.max("tot").alias("_tot"),
+        )
+        .select(
+            "abc_class", "n_parts", "class_rev_micros",
+            F.expr(
+                "CAST((CAST(class_rev_micros AS DECIMAL(38,0)) * 1000000)"
+                " DIV CAST(_tot AS DECIMAL(38,0)) AS BIGINT)"
+            ).alias("share_ppm"),
+        )
+    )
+
+
+_SQL_PARETO_ABC = """
+WITH per_part AS (
+  SELECT l_partkey,
+         SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))::BIGINT AS rev
+  FROM lineitem GROUP BY l_partkey
+),
+by_rev AS (
+  SELECT rev, COUNT(*)::BIGINT AS n_parts_v FROM per_part GROUP BY rev
+),
+cum AS (
+  SELECT rev, n_parts_v,
+         SUM(rev * n_parts_v) OVER (ORDER BY rev DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum,
+         (SELECT SUM(rev) FROM per_part)::BIGINT AS tot
+  FROM by_rev
+),
+classed AS (
+  SELECT rev, n_parts_v, tot,
+         CASE WHEN cum * 5 <= tot * 4 THEN 'A'
+              WHEN cum * 20 <= tot * 19 THEN 'B'
+              ELSE 'C' END AS abc_class
+  FROM cum
+)
+SELECT abc_class,
+       SUM(n_parts_v)::BIGINT AS n_parts,
+       SUM(rev * n_parts_v)::BIGINT AS class_rev_micros,
+       (SUM(rev * n_parts_v)::HUGEINT * 1000000 // MAX(tot))::BIGINT AS share_ppm
+FROM classed
+GROUP BY abc_class
+"""
+
+PENDING_QUERIES["orders_pareto_abc"] = orders_pareto_abc
+PENDING_ORACLE["orders_pareto_abc"] = _SQL_PARETO_ABC
