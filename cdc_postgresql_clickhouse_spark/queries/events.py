@@ -1396,7 +1396,7 @@ PENDING_QUERIES["events_twap"] = events_twap
 PENDING_ORACLE["events_twap"] = ORACLE_TWAP
 
 
-# --- CUSUM change-point detection — PENDING round 7 ---------------------------
+# --- Change-point locator (CUSUM argmax) — PENDING round 7 ---------------------------
 #
 # Page's cumulative-sum change-point locator per event type: with the series
 # centred on its own mean, the |prefix sum| peaks at the most likely level
@@ -1409,7 +1409,7 @@ PENDING_ORACLE["events_twap"] = ORACLE_TWAP
 # self-join, no driver state; the second window orders the same partition key
 # so AQE reuses the shuffle.
 
-def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_changepoint_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_type",
         F.floor(F.unix_timestamp("ts")).cast("long").alias("es"),
@@ -1478,5 +1478,5 @@ SELECT event_type,
 FROM ranked WHERE rn = 1
 """
 
-PENDING_QUERIES["events_cusum_changepoint"] = events_cusum_changepoint
-PENDING_ORACLE["events_cusum_changepoint"] = ORACLE_CUSUM
+PENDING_QUERIES["events_changepoint_argmax"] = events_changepoint_argmax
+PENDING_ORACLE["events_changepoint_argmax"] = ORACLE_CUSUM

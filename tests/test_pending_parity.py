@@ -26,6 +26,7 @@ def _pending():
         o = getattr(m, "PENDING_ORACLE", {})
         assert set(q) == set(o), "pending query without oracle twin"
         for n in q:
+            assert n not in out, f"duplicate pending query name {n!r} ({m.__name__})"
             out[n] = (q[n], o[n])
     return out
 
