@@ -1038,3 +1038,74 @@ GROUP BY abc_class
 
 PENDING_QUERIES["orders_pareto_abc"] = orders_pareto_abc
 PENDING_ORACLE["orders_pareto_abc"] = _SQL_PARETO_ABC
+
+
+# --- Benford first-digit audit — PENDING round 7 ------------------------------
+#
+# Fraud/entry-error screen on order totals: the leading significant digit of
+# a naturally-grown monetary amount follows Benford's law
+# P(d) = log10(1 + 1/d). Expected masses are FROZEN integer literals
+# floor(1e6·log10(1+1/d)) — both engines compare against the same nine
+# constants, so no floating log is ever evaluated in-plan. The first digit is
+# taken from the cents representation (scaling by 100 never changes the
+# leading significant digit of a positive amount). Observed ppm uses the
+# DECIMAL(38)/HUGEINT floor-division device. Scale shape: map-side digit
+# extraction + one 9-group aggregate with map-side partials; the total joins
+# back as a broadcast literal-sized row — nothing corpus-proportional ever
+# shuffles twice.
+
+_BENFORD_PPM = {
+    1: 301029, 2: 176091, 3: 124938, 4: 96910, 5: 79181,
+    6: 66946, 7: 57991, 8: 51152, 9: 45757,
+}
+
+
+def orders_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1
+        ).cast("int").alias("digit")
+    )
+    per = o.groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    tot = per.agg(F.sum("n_orders").cast("long").alias("tot"))
+    exp_map = F.create_map(
+        *[F.lit(x) for kv in _BENFORD_PPM.items() for x in kv]
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n_orders",
+            F.expr(
+                "CAST((CAST(n_orders AS DECIMAL(38,0)) * 1000000)"
+                " DIV CAST(tot AS DECIMAL(38,0)) AS BIGINT)"
+            ).alias("obs_ppm"),
+            exp_map[F.col("digit")].cast("long").alias("exp_ppm"),
+        )
+        .withColumn("abs_dev_ppm", F.abs(F.col("obs_ppm") - F.col("exp_ppm")))
+    )
+
+
+def _sql_benford() -> str:
+    cases = " ".join(
+        f"WHEN {d} THEN {p}" for d, p in sorted(_BENFORD_PPM.items())
+    )
+    return f"""
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1)
+              AS INTEGER) AS digit
+  FROM orders
+),
+per AS (SELECT digit, COUNT(*)::BIGINT AS n_orders FROM d GROUP BY digit)
+SELECT digit, n_orders,
+       (n_orders::HUGEINT * 1000000 // (SELECT SUM(n_orders) FROM per))::BIGINT
+         AS obs_ppm,
+       (CASE digit {cases} END)::BIGINT AS exp_ppm,
+       ABS((n_orders::HUGEINT * 1000000 // (SELECT SUM(n_orders) FROM per))
+           - CASE digit {cases} END)::BIGINT AS abs_dev_ppm
+FROM per
+"""
+
+
+PENDING_QUERIES["orders_benford_digits"] = orders_benford_digits
+PENDING_ORACLE["orders_benford_digits"] = _sql_benford()
