@@ -61,3 +61,93 @@ SELECT l_suppkey, COUNT(DISTINCT l_partkey) AS n_distinct
 FROM lineitem GROUP BY l_suppkey
 """,
 }
+
+
+# --- Join-key skew diagnostic — PENDING round 7 --------------------------------
+#
+# The planning report that DECIDES when the salting above is worth it: for
+# each lineitem join key, the distribution of rows-per-key — total rows,
+# distinct keys, the heaviest key's row count and ppm share, the nearest-rank
+# p99 of per-key counts, and max/mean in ppm (the skew ratio AQE's
+# skewedPartitionFactor reasons about). Exact and scale-safe: the only
+# key-grain pass is one count per key with map-side partials; everything
+# after runs on the COUNT-OF-COUNTS table, whose domain is bounded by the
+# heaviest key's multiplicity, so the unpartitioned cumulative window
+# (explicitly single-reducer) orders dozens of rows, never the corpus.
+# Nearest-rank p99 uses the integer identity cum >= ceil(0.99*N) <=>
+# 100*cum >= 99*N. max/mean ppm cross-multiplies through DECIMAL(38):
+# max_rows * n_keys * 1e6 overflows int64 on realistic corpora.
+
+_SKEW_KEYS = ["l_orderkey", "l_partkey", "l_suppkey"]
+
+
+def skew_join_key_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(*_SKEW_KEYS)
+    out = None
+    for col in _SKEW_KEYS:
+        per = li.groupBy(F.col(col).alias("k")).agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
+        cc = per.groupBy("c").agg(F.count(F.lit(1)).cast("long").alias("nkc"))
+        wcum = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+        wall = Window.orderBy("c").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        cc2 = cc.select(
+            "c", "nkc",
+            F.sum("nkc").over(wcum).alias("cum"),
+            F.sum("nkc").over(wall).alias("nk"),
+        )
+        row = cc2.agg(
+            F.sum(F.col("c") * F.col("nkc")).cast("long").alias("n_rows"),
+            F.sum("nkc").cast("long").alias("n_keys"),
+            F.max("c").cast("long").alias("max_rows"),
+            F.min(F.when(F.col("cum") * 100 >= F.col("nk") * 99, F.col("c")))
+            .cast("long")
+            .alias("p99_rows"),
+        ).select(
+            F.lit(col).alias("key_col"),
+            "n_rows", "n_keys", "max_rows", "p99_rows",
+            F.expr(
+                "CAST((CAST(max_rows AS DECIMAL(38,0)) * 1000000)"
+                " DIV CAST(n_rows AS DECIMAL(38,0)) AS BIGINT)"
+            ).alias("max_share_ppm"),
+            F.expr(
+                "CAST((CAST(max_rows AS DECIMAL(38,0)) * n_keys * 1000000)"
+                " DIV CAST(n_rows AS DECIMAL(38,0)) AS BIGINT)"
+            ).alias("max_over_mean_ppm"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _sql_skew_report() -> str:
+    blocks = []
+    for col in _SKEW_KEYS:
+        blocks.append(f"""
+SELECT '{col}' AS key_col,
+       SUM(c * nkc)::BIGINT AS n_rows,
+       SUM(nkc)::BIGINT AS n_keys,
+       MAX(c)::BIGINT AS max_rows,
+       MIN(CASE WHEN cum * 100 >= nk * 99 THEN c END)::BIGINT AS p99_rows,
+       (MAX(c)::HUGEINT * 1000000 // SUM(c * nkc))::BIGINT AS max_share_ppm,
+       (MAX(c)::HUGEINT * SUM(nkc) * 1000000 // SUM(c * nkc))::BIGINT
+         AS max_over_mean_ppm
+FROM (
+  SELECT c, nkc,
+         SUM(nkc) OVER (ORDER BY c
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(nkc) OVER () AS nk
+  FROM (
+    SELECT c, COUNT(*)::BIGINT AS nkc FROM (
+      SELECT {col}, COUNT(*)::BIGINT AS c FROM lineitem GROUP BY {col}
+    ) GROUP BY c
+  )
+)""")
+    return " UNION ALL ".join(blocks)
+
+
+PENDING_QUERIES = {"skew_join_key_report": skew_join_key_report}
+PENDING_ORACLE = {"skew_join_key_report": _sql_skew_report()}
