@@ -1109,3 +1109,76 @@ FROM per
 
 PENDING_QUERIES["orders_benford_digits"] = orders_benford_digits
 PENDING_ORACLE["orders_benford_digits"] = _sql_benford()
+
+
+# --- Ship-lag trend (OLS slope) — PENDING round 7 ------------------------------
+#
+# Ops-health regression: is fulfilment getting slower over time? The monthly
+# mean ship lag (l_shipdate - o_orderdate, in centi-days to keep the mean
+# integer) is regressed on months-since-epoch per order priority with the
+# closed-form OLS slope n·Σxy − Σx·Σy over n·Σx² − (Σx)², entirely in
+# integers; the final slope floors to milli-centi-days-per-month with
+# truncating division — Spark DIV and DuckDB // both truncate toward zero,
+# which matters because the numerator CAN go negative (verified convention,
+# see embedding_pca_topcomponent). Scale shape: ONE corpus-proportional
+# stage — the lineitem⨝orders key join (co-partitioned, left to AQE) feeding
+# a (priority, month) aggregate with map-side partials; the regression then
+# runs on the BOUNDED monthly grid (#priorities × #months), never row grain.
+
+def orders_shiplag_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_orderpriority").alias("priority"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("long").alias("x"),
+        F.datediff("l_shipdate", "o_orderdate").cast("long").alias("lag"),
+    )
+    monthly = j.groupBy("priority", "x").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("lag").cast("long").alias("sl"),
+    ).select(
+        "priority", "x",
+        F.expr("sl * 100 div n").cast("long").alias("y"),
+    )
+    return (
+        monthly.groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_months"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+        .select(
+            "priority", "n_months",
+            F.expr("sy div n_months").cast("long").alias("lag_cdays_mean"),
+            F.expr(
+                "CAST((CAST(n_months * sxy - sx * sy AS DECIMAL(38,0)) * 1000)"
+                " DIV CAST(n_months * sxx - sx * sx AS DECIMAL(38,0)) AS BIGINT)"
+            ).alias("slope_mcd_month"),
+        )
+    )
+
+
+_SQL_SHIPLAG_TREND = """
+WITH monthly AS (
+  SELECT o_orderpriority AS priority,
+         (year(o_orderdate) * 12 + month(o_orderdate))::BIGINT AS x,
+         (SUM(datediff('day', o_orderdate, l_shipdate))::BIGINT * 100
+            // COUNT(*))::BIGINT AS y
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+)
+SELECT priority,
+       COUNT(*)::BIGINT AS n_months,
+       (SUM(y) // COUNT(*))::BIGINT AS lag_cdays_mean,
+       ((COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))::HUGEINT * 1000
+          // (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x)))::BIGINT AS slope_mcd_month
+FROM monthly
+GROUP BY priority
+"""
+
+PENDING_QUERIES["orders_shiplag_trend"] = orders_shiplag_trend
+PENDING_ORACLE["orders_shiplag_trend"] = _SQL_SHIPLAG_TREND
