@@ -582,3 +582,77 @@ GROUP BY 1, 2, 3, 4
 
 PENDING_QUERIES["quality_ks_length_test"] = quality_ks_length_test
 PENDING_ORACLE["quality_ks_length_test"] = _SQL_KS
+
+
+# --- Chi-square independence report (source × lang) — PENDING round 7 ----------
+#
+# Is language mix independent of source? Pearson residual report over the
+# (source, lang) contingency table: observed count, expected count under
+# independence in micro-docs e_micro = floor(row_total · col_total · 1e6 / N),
+# and the per-cell chi-square contribution floor((o·1e6 − e_micro)² /
+# (e_micro · 1e6)) ≈ (o−e)²/e — the statistic is DEFINED as this
+# integer-floored per-cell form so both engines agree bit-for-bit (the double
+# floor costs at most ±1 per cell vs the real statistic). Overflow audit at
+# 100 TB (N ≈ 1e11 docs): r·c·1e6 ≤ 1e28 and (o·1e6 − e_micro)² ≤ ~1e34, both
+# inside DECIMAL(38)/HUGEINT. Scale shape: one groupBy to the BOUNDED
+# (source, lang) grid with map-side partials; the marginals are windows over
+# that grid, never over the corpus.
+
+def quality_chi2_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "lang")
+    per = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    )
+    ws = Window.partitionBy("source")
+    wl = Window.partitionBy("lang")
+    wall = Window.partitionBy()
+    cells = per.select(
+        "source", "lang", "o",
+        F.sum("o").over(ws).alias("r"),
+        F.sum("o").over(wl).alias("c"),
+        F.sum("o").over(wall).alias("n"),
+    )
+    return cells.select(
+        "source", "lang",
+        F.col("o").alias("n_docs"),
+        F.expr(
+            "CAST((CAST(r AS DECIMAL(38,0)) * c * 1000000)"
+            " DIV CAST(n AS DECIMAL(38,0)) AS BIGINT)"
+        ).alias("exp_micro"),
+    ).select(
+        "source", "lang", "n_docs", "exp_micro",
+        F.expr(
+            "CAST(CAST(n_docs * 1000000 - exp_micro AS DECIMAL(38,0))"
+            " * (n_docs * 1000000 - exp_micro)"
+            " DIV (CAST(exp_micro AS DECIMAL(38,0)) * 1000000) AS BIGINT)"
+        ).alias("chi2_cell"),
+    )
+
+
+_SQL_CHI2 = """
+WITH per AS (
+  SELECT source, lang, COUNT(*)::BIGINT AS o FROM documents GROUP BY 1, 2
+),
+cells AS (
+  SELECT source, lang, o,
+         SUM(o) OVER (PARTITION BY source) AS r,
+         SUM(o) OVER (PARTITION BY lang) AS c,
+         SUM(o) OVER () AS n
+  FROM per
+),
+ex AS (
+  SELECT source, lang, o AS n_docs,
+         (r::HUGEINT * c * 1000000 // n)::BIGINT AS exp_micro
+  FROM cells
+)
+SELECT source, lang, n_docs, exp_micro,
+       ((n_docs::HUGEINT * 1000000 - exp_micro)
+          * (n_docs::HUGEINT * 1000000 - exp_micro)
+          // (exp_micro::HUGEINT * 1000000))::BIGINT AS chi2_cell
+FROM ex
+"""
+
+PENDING_QUERIES["quality_chi2_source_lang"] = quality_chi2_source_lang
+PENDING_ORACLE["quality_chi2_source_lang"] = _SQL_CHI2
