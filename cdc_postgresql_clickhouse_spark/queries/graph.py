@@ -867,3 +867,82 @@ FROM {prev_a} JOIN {prev_h} ON {prev_a}.t = {prev_h}.t
 
 PENDING_QUERIES["graph_hits_types"] = graph_hits_types
 PENDING_ORACLE["graph_hits_types"] = _sql_hits()
+
+
+# --- structural neighbor-Jaccard — PENDING round 7 ---------------------------
+#
+# Node-similarity report (the SimRank-lite building block role-mining uses):
+# for each pair of event types, the Jaccard of their OUT-neighbor sets in the
+# distinct directed transition graph — |N(a)∩N(b)| / |N(a)∪N(b)| in floored
+# ppm. Pairs sharing zero neighbors are omitted (the co-neighbor join never
+# generates them; the oracle mirrors that). Scale shape: the classic
+# inverted-list device — distinct edges once, shared counts via the
+# join-on-common-neighbor (fan-out bounded by per-neighbor in-degree, the
+# hot-key candidate a salting pass would target on a power-law graph),
+# degrees joined back at pair grain; nothing corpus-proportional shuffles
+# more than once.
+
+def graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        ev.select(
+            F.lag("event_type").over(w).alias("src"),
+            F.col("event_type").alias("dst"),
+        )
+        .filter(F.col("src").isNotNull() & (F.col("src") != F.col("dst")))
+        .distinct()
+        .persist()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    e1 = edges.select(F.col("src").alias("a"), "dst")
+    e2 = edges.select(F.col("src").alias("b"), "dst")
+    shared = (
+        e1.join(e2, "dst")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    da = deg.select(F.col("src").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("src").alias("b"), F.col("deg").alias("deg_b"))
+    return (
+        shared.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
+        .select(
+            F.col("a").alias("type_a"),
+            F.col("b").alias("type_b"),
+            "n_shared", "deg_a", "deg_b",
+            F.expr("n_shared * 1000000 div (deg_a + deg_b - n_shared)")
+            .cast("long")
+            .alias("jaccard_ppm"),
+        )
+    )
+
+
+_SQL_NBR_JACCARD = """
+WITH seq AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
+  FROM events
+),
+edges AS (
+  SELECT DISTINCT src, event_type AS dst FROM seq
+  WHERE src IS NOT NULL AND src <> event_type
+),
+deg AS (SELECT src, COUNT(*)::BIGINT AS deg FROM edges GROUP BY src),
+shared AS (
+  SELECT e1.src AS a, e2.src AS b, COUNT(*)::BIGINT AS n_shared
+  FROM edges e1 JOIN edges e2 USING (dst)
+  WHERE e1.src < e2.src
+  GROUP BY 1, 2
+)
+SELECT a AS type_a, b AS type_b, n_shared,
+       da.deg AS deg_a, db.deg AS deg_b,
+       (n_shared * 1000000 // (da.deg + db.deg - n_shared))::BIGINT AS jaccard_ppm
+FROM shared JOIN deg da ON da.src = a JOIN deg db ON db.src = b
+"""
+
+PENDING_QUERIES["graph_neighbor_jaccard"] = graph_neighbor_jaccard
+PENDING_ORACLE["graph_neighbor_jaccard"] = _SQL_NBR_JACCARD
