@@ -806,3 +806,134 @@ WHERE n_inter * 1000000 // (sa.m + sb.m - n_inter) >= {PF_TAU_PPM}
 
 PENDING_QUERIES = {"dedup_jaccard_prefix_filter": dedup_jaccard_prefix_filter}
 PENDING_ORACLE = {"dedup_jaccard_prefix_filter": _SQL_PREFIX_FILTER}
+
+
+# --- TF-IDF cosine near-dup (candidate-verify) — PENDING round 7 --------------
+#
+# The weighted complement of the Jaccard prefix filter above: near-dup by
+# COSINE over sparse TF-IDF vectors at the 3-shingle grain (the corpus's
+# honest dedup unit — its unigram vocabulary is ~31 types, so shingles carry
+# the signal; weights make rare-shingle overlap outrank boilerplate
+# overlap). Exactness device: the verdict is the SQUARED cosine in floored
+# ppm — cos²·1e6 = dot²·1e6 / (‖a‖²·‖b‖²) needs no square root, so the whole
+# verify stage is integer once the weights are. Weights w = tf·idf_c with
+# idf_c = floor(100·ln(N/df)) — the single-float-expression ln convention
+# shared with corpus_tfidf_top_terms (same expression both engines, floored
+# immediately). Overflow audit: with doc length ≤ 1e4 shingles and
+# idf_c ≤ 2600 (N = 1e11), w ≤ 2.6e7, ‖·‖² ≤ 6.8e18 (int64-edge,
+# documented), dot² and the norm product ≤ ~4.6e37 — inside
+# DECIMAL(38)/HUGEINT. Scale shape: candidates come ONLY from shingles with
+# df ≤ TFIDF_DF_CAP (fan-out ≤ cap·Σdf, the inverted-list device — a
+# qualifying pair that shares no rare shingle is out of scope BY DEFINITION,
+# and the oracle applies the identical rule); verification joins candidate
+# pairs back to the two weight vectors, cost Σ|A| over candidates, never
+# O(n²).
+
+TFIDF_DF_CAP = 4
+TFIDF_TAU_COS2_PPM = 640_000  # cos >= 0.8
+
+
+def dedup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    corpus = _corpus(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    tf = (
+        corpus.select(
+            "doc_id",
+            F.explode(word_shingles(tokens(F.col("text")), 3)).alias("t"),
+        )
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    n_docs = corpus.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    dfs = tf.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    w = (
+        tf.join(dfs, "t")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id", "t", "df",
+            (
+                F.col("tf")
+                * F.floor(F.log(F.col("n").cast("double") / F.col("df")) * 100)
+                .cast("long")
+            ).alias("w"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)  # 3 branches: norms, cand, verify
+    )
+    norms = w.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+    rare = w.filter(F.col("df") <= TFIDF_DF_CAP).select("doc_id", "t")
+    cand = (
+        rare.alias("a")
+        .join(rare.alias("b"), "t")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    dots = (
+        cand.join(w.alias("wa"), F.col("doc_a") == F.col("wa.doc_id"))
+        .join(
+            w.alias("wb"),
+            (F.col("wb.doc_id") == F.col("doc_b")) & (F.col("wb.t") == F.col("wa.t")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa.w") * F.col("wb.w")).cast("long").alias("dot_w"))
+    )
+    return (
+        dots.join(norms.alias("na"), F.col("doc_a") == F.col("na.doc_id"))
+        .join(norms.alias("nb"), F.col("doc_b") == F.col("nb.doc_id"))
+        .select(
+            "doc_a", "doc_b", "dot_w",
+            F.expr(
+                "CAST(CAST(dot_w AS DECIMAL(38,0)) * dot_w * 1000000"
+                " DIV (CAST(na.n2 AS DECIMAL(38,0)) * nb.n2) AS BIGINT)"
+            ).alias("cos2_ppm"),
+        )
+        .filter(F.col("cos2_ppm") >= TFIDF_TAU_COS2_PPM)
+    )
+
+
+_SQL_TFIDF_COSINE = f"""
+WITH corpus AS ({_SQL_CORPUS}),
+tf AS (
+  SELECT doc_id, g AS t, COUNT(*)::BIGINT AS tf
+  FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+           i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS g
+    FROM (SELECT doc_id, {_SQL_TOKENS} AS t FROM corpus)
+  )
+  GROUP BY 1, 2
+),
+dfs AS (SELECT t, COUNT(*)::BIGINT AS df FROM tf GROUP BY 1),
+w AS (
+  SELECT doc_id, t, df,
+         tf * CAST(FLOOR(ln((SELECT COUNT(*) FROM corpus)::DOUBLE / df) * 100)
+                   AS BIGINT) AS w
+  FROM tf JOIN dfs USING (t)
+),
+norms AS (SELECT doc_id, SUM(w * w)::BIGINT AS n2 FROM w GROUP BY 1),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM w a JOIN w b ON a.t = b.t AND a.doc_id < b.doc_id
+  WHERE a.df <= {TFIDF_DF_CAP} AND b.df <= {TFIDF_DF_CAP}
+),
+dots AS (
+  SELECT doc_a, doc_b, SUM(wa.w * wb.w)::BIGINT AS dot_w
+  FROM cand
+  JOIN w wa ON wa.doc_id = doc_a
+  JOIN w wb ON wb.doc_id = doc_b AND wb.t = wa.t
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, dot_w,
+       (dot_w::HUGEINT * dot_w * 1000000 // (na.n2::HUGEINT * nb.n2))::BIGINT
+         AS cos2_ppm
+FROM dots
+JOIN norms na ON na.doc_id = doc_a
+JOIN norms nb ON nb.doc_id = doc_b
+WHERE (dot_w::HUGEINT * dot_w * 1000000 // (na.n2::HUGEINT * nb.n2))
+        >= {TFIDF_TAU_COS2_PPM}
+"""
+
+PENDING_QUERIES["dedup_tfidf_cosine"] = dedup_tfidf_cosine
+PENDING_ORACLE["dedup_tfidf_cosine"] = _SQL_TFIDF_COSINE
