@@ -815,3 +815,115 @@ GROUP BY 1, 2
 
 PENDING_QUERIES["corpus_stratified_split"] = corpus_stratified_split
 PENDING_ORACLE["corpus_stratified_split"] = _SQL_STRAT_SPLIT
+
+
+# --- Label silhouette over quantized embeddings — PENDING round 7 --------------
+#
+# Embedding-quality eval: the SIMPLIFIED silhouette (centroid form, Rousseeuw
+# 1987 §4's O(n·k) variant) of the ground-truth label partition, made
+# integer-exact end to end: coordinates quantize to milli-units
+# q = floor(x·1000 + 0.5) (the portable half-up device), centroids are
+# truncating per-dimension integer means, distances are integer SQUARED
+# Euclidean (the monotone surrogate — no square root exists in-plan), and
+# s = (b − a)/max(a, b) floors to ppm with truncating division (negative
+# numerators occur; Spark DIV and DuckDB // both truncate toward zero,
+# verified convention). Scale shape: centroids aggregate (label, dim) with
+# map-side partials over a BOUNDED k·DIM grid, reassemble to k arrays, and
+# broadcast; per-vector scoring is then one map-side zip_with fold per
+# (vector, centroid) — n·k rows, no corpus-grain shuffle after the centroid
+# pass. Ties a=b → s=0 (max(a,b)=0 guard included).
+
+def embedding_label_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label",
+        F.transform(
+            _emb_d("embedding"),
+            lambda x: F.floor(x * 1000 + F.lit(0.5)).cast("long"),
+        ).alias("q"),
+    )
+    dims = emb.select(
+        "label", F.posexplode("q").alias("pos", "qv")
+    )
+    cent = (
+        dims.groupBy("label", "pos")
+        .agg(F.sum("qv").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select("label", "pos", F.expr("s div n").cast("long").alias("cv"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+                lambda st: st.cv,
+            ).alias("c")
+        )
+        .select(F.col("label").alias("clabel"), "c")
+    )
+    d2 = F.aggregate(
+        F.zip_with("q", "c", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(cent))
+        .select("vec_id", "label", "clabel", d2.alias("d2"))
+        .groupBy("vec_id", "label")
+        .agg(
+            F.min(F.when(F.col("clabel") == F.col("label"), F.col("d2"))).alias("a"),
+            F.min(F.when(F.col("clabel") != F.col("label"), F.col("d2"))).alias("b"),
+        )
+        .select(
+            "label",
+            F.expr(
+                "CASE WHEN greatest(a, b) = 0 THEN CAST(0 AS BIGINT)"
+                " ELSE CAST((b - a) * 1000000 DIV greatest(a, b) AS BIGINT) END"
+            ).alias("s_ppm"),
+        )
+    )
+    return scored.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.expr("sum(s_ppm) div count(1)").cast("long").alias("mean_s_ppm"),
+        F.count_if(F.col("s_ppm") < 0).cast("long").alias("n_misplaced"),
+    )
+
+
+_SQL_SILHOUETTE = f"""
+WITH q AS (
+  SELECT vec_id, label,
+         list_transform({_SQL_EMB},
+                        x -> CAST(FLOOR(x * 1000 + 0.5) AS BIGINT)) AS q
+  FROM embeddings
+),
+dims AS (
+  SELECT vec_id, label, pos - 1 AS pos, qv
+  FROM (SELECT vec_id, label, unnest(q) AS qv,
+               generate_subscripts(q, 1) AS pos FROM q)
+),
+cent AS (
+  SELECT label AS clabel, pos, SUM(qv) // COUNT(*) AS cv
+  FROM dims GROUP BY 1, 2
+),
+d2 AS (
+  SELECT d.vec_id, d.label, c.clabel,
+         SUM((d.qv - c.cv) * (d.qv - c.cv))::BIGINT AS d2
+  FROM dims d JOIN cent c USING (pos)
+  GROUP BY 1, 2, 3
+),
+ab AS (
+  SELECT vec_id, label,
+         MIN(CASE WHEN clabel = label THEN d2 END) AS a,
+         MIN(CASE WHEN clabel <> label THEN d2 END) AS b
+  FROM d2 GROUP BY 1, 2
+),
+s AS (
+  SELECT label,
+         CASE WHEN GREATEST(a, b) = 0 THEN 0
+              ELSE (b - a) * 1000000 // GREATEST(a, b) END::BIGINT AS s_ppm
+  FROM ab
+)
+SELECT label, COUNT(*)::BIGINT AS n_vecs,
+       (SUM(s_ppm) // COUNT(*))::BIGINT AS mean_s_ppm,
+       COUNT(*) FILTER (WHERE s_ppm < 0)::BIGINT AS n_misplaced
+FROM s GROUP BY label
+"""
+
+PENDING_QUERIES["embedding_label_silhouette"] = embedding_label_silhouette
+PENDING_ORACLE["embedding_label_silhouette"] = _SQL_SILHOUETTE
