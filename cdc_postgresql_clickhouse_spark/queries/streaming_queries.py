@@ -1069,3 +1069,87 @@ GROUP BY 1, 2
 
 PENDING_QUERIES["streaming_join_mv_equiv"] = streaming_join_mv_equiv
 PENDING_ORACLE["streaming_join_mv_equiv"] = _SQL_JOIN_MV
+
+
+def streaming_interval_join_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native watermarked STREAM-STREAM interval join ≡ the batch interval
+    join: purchases joined with same-user clicks in the preceding 60
+    minutes, streamed as THREE event-time-ordered micro-batches (month split
+    into ~10-day chunks, sequential appends + maxFilesPerTrigger=1). The
+    2-hour watermark delay exceeds the 60-minute join range, so no partner
+    row is ever evicted before its match arrives and the streamed pair set
+    is exactly the batch one (contract documented on
+    ``streaming.windows.interval_join_pairs``). The row reports per-purchase
+    click context: pair count, tightest gap in whole seconds, and the
+    purchase amount in cents."""
+    from cdc_postgresql_clickhouse_spark.streaming.windows import interval_join_pairs
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_ij_")
+    try:
+        src = os.path.join(tmp, "src")
+        out = os.path.join(tmp, "out")
+        ckpt = os.path.join(tmp, "ckpt")
+        chunk = (F.dayofmonth("ts") - 1).cast("int") / 10
+        for i in range(3):
+            ev.filter(F.floor(chunk) == i).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+        stream = spark.readStream.schema(ev.schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src)
+        q = (
+            interval_join_pairs(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        pairs = spark.read.parquet(out)
+        res = (
+            pairs.groupBy(
+                F.col("p_id").alias("purchase_id"),
+                F.col("p_uid").alias("user_id"),
+            )
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_clicks_60m"),
+                F.min(
+                    F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")
+                ).cast("long").alias("min_gap_s"),
+                F.max(
+                    F.floor(F.col("p_value") * 100 + F.lit(0.5)).cast("long")
+                ).alias("cents"),
+            )
+        )
+        return _materialized(res)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_SQL_INTERVAL_JOIN = """
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, ts AS p_ts,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT event_id AS c_id, user_id, ts AS c_ts
+  FROM events WHERE event_type = 'click'
+)
+SELECT purchase_id, user_id,
+       COUNT(*)::BIGINT AS n_clicks_60m,
+       MIN(CAST(FLOOR(epoch(p_ts)) AS BIGINT)
+           - CAST(FLOOR(epoch(c_ts)) AS BIGINT))::BIGINT AS min_gap_s,
+       MAX(cents)::BIGINT AS cents
+FROM p JOIN c USING (user_id)
+WHERE c_ts <= p_ts AND c_ts >= p_ts - INTERVAL 60 MINUTE
+GROUP BY 1, 2
+"""
+
+PENDING_QUERIES["streaming_interval_join_equiv"] = streaming_interval_join_equiv
+PENDING_ORACLE["streaming_interval_join_equiv"] = _SQL_INTERVAL_JOIN
