@@ -1182,3 +1182,82 @@ GROUP BY priority
 
 PENDING_QUERIES["orders_shiplag_trend"] = orders_shiplag_trend
 PENDING_ORACLE["orders_shiplag_trend"] = _SQL_SHIPLAG_TREND
+
+
+# --- Theil–Sen robust trend — PENDING round 7 ----------------------------------
+#
+# The robust twin of orders_shiplag_trend: the Theil–Sen estimator (median of
+# all pairwise slopes) on the same (priority, month) grid — outlier months
+# bend OLS but not the pairwise median. Exactness: each pairwise slope is
+# quantized once to milli-units (dy·1000 div dx, truncating — both engines),
+# and the median is the LOWER nearest-rank element rank = (n+1) div 2 under
+# the total order (slope_q, x1, x2), so ties break identically. Scale shape:
+# the pair self-join and the ranking window run over the BOUNDED monthly
+# grid (≤ ~100 rows per priority → ≤ ~5 000 pairs), never row-grain data;
+# the only corpus-proportional work is the same join + monthly aggregate the
+# OLS row uses.
+
+def orders_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_orderpriority").alias("priority"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("long").alias("x"),
+        F.datediff("l_shipdate", "o_orderdate").cast("long").alias("lag"),
+    )
+    monthly = j.groupBy("priority", "x").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("lag").cast("long").alias("sl"),
+    ).select("priority", "x", F.expr("sl * 100 div n").cast("long").alias("y"))
+    a = monthly.select("priority", F.col("x").alias("x1"), F.col("y").alias("y1"))
+    b = monthly.select("priority", F.col("x").alias("x2"), F.col("y").alias("y2"))
+    pairs = a.join(b, "priority").filter(F.col("x1") < F.col("x2")).select(
+        "priority", "x1", "x2",
+        F.expr("(y2 - y1) * 1000 div (x2 - x1)").cast("long").alias("slope_q"),
+    )
+    wrk = Window.partitionBy("priority").orderBy("slope_q", "x1", "x2")
+    wn = Window.partitionBy("priority")
+    ranked = pairs.select(
+        "priority", "slope_q",
+        F.row_number().over(wrk).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n_pairs"),
+    )
+    return (
+        ranked.filter(F.col("rn") == F.expr("(n_pairs + 1) div 2"))
+        .select(
+            "priority",
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.col("slope_q").alias("ts_slope_mcd_month"),
+        )
+    )
+
+
+_SQL_THEILSEN = """
+WITH monthly AS (
+  SELECT o_orderpriority AS priority,
+         (year(o_orderdate) * 12 + month(o_orderdate))::BIGINT AS x,
+         (SUM(datediff('day', o_orderdate, l_shipdate))::BIGINT * 100
+            // COUNT(*))::BIGINT AS y
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.priority, a.x AS x1, b.x AS x2,
+         ((b.y - a.y) * 1000 // (b.x - a.x))::BIGINT AS slope_q
+  FROM monthly a JOIN monthly b ON a.priority = b.priority AND a.x < b.x
+),
+ranked AS (
+  SELECT priority, slope_q,
+         ROW_NUMBER() OVER (PARTITION BY priority ORDER BY slope_q, x1, x2) AS rn,
+         COUNT(*) OVER (PARTITION BY priority) AS n_pairs
+  FROM pairs
+)
+SELECT priority, n_pairs::BIGINT AS n_pairs,
+       slope_q AS ts_slope_mcd_month
+FROM ranked WHERE rn = (n_pairs + 1) // 2
+"""
+
+PENDING_QUERIES["orders_theilsen_trend"] = orders_theilsen_trend
+PENDING_ORACLE["orders_theilsen_trend"] = _SQL_THEILSEN
