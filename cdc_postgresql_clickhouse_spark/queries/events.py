@@ -1480,3 +1480,120 @@ FROM ranked WHERE rn = 1
 
 PENDING_QUERIES["events_changepoint_argmax"] = events_changepoint_argmax
 PENDING_ORACLE["events_changepoint_argmax"] = ORACLE_CUSUM
+
+
+# --- Bot-behavior score — PENDING round 7 --------------------------------------
+#
+# The traffic-quality filter a training-data pipeline runs before counting
+# anything per-user: behavioral features that separate scripted traffic from
+# humans — burst rate (max events in any single minute), median
+# inter-arrival gap (lower nearest-rank, rank (n+1) div 2), overall rate in
+# events-per-hour milli-units, and type diversity — plus a thresholded
+# is_bot verdict (burst ≥ BOT_BURST_PER_MIN or median gap ≤ BOT_MIN_GAP_S;
+# frozen integer constants, same in the oracle). All integer: gaps in whole
+# epoch seconds, rate = n·3600·1000 div span (single-event users: span 0 →
+# rate NULL, never a bot). Scale shape: everything partitions by user_id —
+# one (user, minute) pre-agg for bursts, one lag + ranking window pass for
+# gaps, one user-grain agg; no global window, no driver state.
+
+BOT_BURST_PER_MIN = 5
+BOT_MIN_GAP_S = 120
+
+
+def events_bot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("es"),
+        F.col("event_id").alias("eid"),
+        "event_type",
+    )
+    burst = (
+        ev.groupBy("user_id", F.expr("es div 60").alias("minute"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .groupBy("user_id")
+        .agg(F.max("c").alias("max_per_min"))
+    )
+    wseq = Window.partitionBy("user_id").orderBy("es", "eid")
+    gaps = ev.select(
+        "user_id", (F.col("es") - F.lag("es").over(wseq)).alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    wrk = Window.partitionBy("user_id").orderBy("gap")
+    wn = Window.partitionBy("user_id")
+    med = (
+        gaps.select(
+            "user_id", "gap",
+            F.row_number().over(wrk).alias("rn"),
+            F.count(F.lit(1)).over(wn).alias("ng"),
+        )
+        .filter(F.col("rn") == F.expr("(ng + 1) div 2"))
+        .select("user_id", F.col("gap").alias("med_gap_s"))
+    )
+    base = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("event_type").cast("long").alias("n_types"),
+        (F.max("es") - F.min("es")).alias("span_s"),
+    )
+    return (
+        base.join(burst, "user_id")
+        .join(med, "user_id", "left")
+        .select(
+            "user_id", "n_events", "n_types", "max_per_min",
+            F.col("med_gap_s").cast("long").alias("med_gap_s"),
+            F.when(
+                F.col("span_s") > 0,
+                F.expr("n_events * 3600000 div span_s"),
+            ).cast("long").alias("rate_mhz"),
+            (
+                (F.col("max_per_min") >= BOT_BURST_PER_MIN)
+                | (F.col("med_gap_s") <= BOT_MIN_GAP_S)
+            ).alias("is_bot"),
+        )
+    )
+
+
+_SQL_BOT_SCORE = f"""
+WITH ev AS (
+  SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS es, event_id AS eid,
+         event_type
+  FROM events
+),
+burst AS (
+  SELECT user_id, MAX(c) AS max_per_min FROM (
+    SELECT user_id, es // 60 AS minute, COUNT(*)::BIGINT AS c
+    FROM ev GROUP BY 1, 2
+  ) GROUP BY user_id
+),
+gaps AS (
+  SELECT user_id, gap FROM (
+    SELECT user_id,
+           es - LAG(es) OVER (PARTITION BY user_id ORDER BY es, eid) AS gap
+    FROM ev
+  ) WHERE gap IS NOT NULL
+),
+med AS (
+  SELECT user_id, gap AS med_gap_s FROM (
+    SELECT user_id, gap,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY gap) AS rn,
+           COUNT(*) OVER (PARTITION BY user_id) AS ng
+    FROM gaps
+  ) WHERE rn = (ng + 1) // 2
+),
+base AS (
+  SELECT user_id, COUNT(*)::BIGINT AS n_events,
+         COUNT(DISTINCT event_type)::BIGINT AS n_types,
+         MAX(es) - MIN(es) AS span_s
+  FROM ev GROUP BY user_id
+)
+SELECT b.user_id, b.n_events, b.n_types, burst.max_per_min,
+       med.med_gap_s::BIGINT AS med_gap_s,
+       CASE WHEN b.span_s > 0
+            THEN b.n_events * 3600000 // b.span_s END::BIGINT AS rate_mhz,
+       (burst.max_per_min >= {BOT_BURST_PER_MIN}
+        OR med.med_gap_s <= {BOT_MIN_GAP_S}) AS is_bot
+FROM base b
+JOIN burst USING (user_id)
+LEFT JOIN med USING (user_id)
+"""
+
+PENDING_QUERIES["events_bot_score"] = events_bot_score
+PENDING_ORACLE["events_bot_score"] = _SQL_BOT_SCORE
