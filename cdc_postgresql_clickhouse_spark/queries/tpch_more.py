@@ -1261,3 +1261,74 @@ FROM ranked WHERE rn = (n_pairs + 1) // 2
 
 PENDING_QUERIES["orders_theilsen_trend"] = orders_theilsen_trend
 PENDING_ORACLE["orders_theilsen_trend"] = _SQL_THEILSEN
+
+
+# --- Supplier HHI concentration — PENDING round 7 ------------------------------
+#
+# Market-concentration audit: the Herfindahl–Hirschman index of supplier
+# revenue within each nation, on the standard 0–10 000 point scale made
+# integer-exact: per-supplier share quantized ONCE to basis points
+# bp = rev·10 000 div nation_total (truncating), HHI = Σ bp² div 10 000 —
+# the statistic is DEFINED over the quantized shares so both engines agree
+# bit-for-bit (the quantization understates the true HHI by < 2·#suppliers
+# bp², documented). Also reports the top supplier's share in basis points.
+# Scale shape: one lineitem shuffle to supplier grain, a BROADCAST
+# supplier→nation enrichment (dimension-sized), then nation-grain windows
+# over the bounded supplier-per-nation domain.
+
+def supplier_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.sum(_rev_micros()).cast("long").alias("rev")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    dim = supp.join(nat, supp.s_nationkey == nat.n_nationkey).select(
+        F.col("s_suppkey").alias("l_suppkey"), F.col("n_name").alias("nation")
+    )
+    enriched = per_supp.join(F.broadcast(dim), "l_suppkey")
+    wn = Window.partitionBy("nation")
+    shares = enriched.select(
+        "nation", "rev",
+        F.expr(
+            "CAST((CAST(rev AS DECIMAL(38,0)) * 10000)"
+            " DIV CAST(sum(rev) over (partition by nation) AS DECIMAL(38,0))"
+            " AS BIGINT)"
+        ).alias("bp"),
+        F.sum("rev").over(wn).alias("tot"),
+    )
+    return shares.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.max("tot").cast("long").alias("rev_micros"),
+        F.expr("sum(bp * bp) div 10000").cast("long").alias("hhi_points"),
+        F.max("bp").cast("long").alias("top_share_bp"),
+    )
+
+
+_SQL_HHI = """
+WITH per_supp AS (
+  SELECT l_suppkey,
+         SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))::BIGINT AS rev
+  FROM lineitem GROUP BY l_suppkey
+),
+shares AS (
+  SELECT n.n_name AS nation, rev,
+         (rev::HUGEINT * 10000
+            // SUM(rev) OVER (PARTITION BY n.n_name))::BIGINT AS bp,
+         SUM(rev) OVER (PARTITION BY n.n_name) AS tot
+  FROM per_supp p
+  JOIN supplier s ON s.s_suppkey = p.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+)
+SELECT nation,
+       COUNT(*)::BIGINT AS n_suppliers,
+       MAX(tot)::BIGINT AS rev_micros,
+       (SUM(bp * bp) // 10000)::BIGINT AS hhi_points,
+       MAX(bp)::BIGINT AS top_share_bp
+FROM shares
+GROUP BY nation
+"""
+
+PENDING_QUERIES["supplier_hhi_concentration"] = supplier_hhi_concentration
+PENDING_ORACLE["supplier_hhi_concentration"] = _SQL_HHI
