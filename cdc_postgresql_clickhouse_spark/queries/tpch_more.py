@@ -1332,3 +1332,93 @@ GROUP BY nation
 
 PENDING_QUERIES["supplier_hhi_concentration"] = supplier_hhi_concentration
 PENDING_ORACLE["supplier_hhi_concentration"] = _SQL_HHI
+
+
+# --- Seasonal index (ratio-to-moving-average) — PENDING round 7 ----------------
+#
+# The textbook multiplicative seasonal decomposition step: monthly revenue
+# over a centered 2×12 moving average, then the seasonal index per
+# month-of-year as the LOWER nearest-rank median of the ratios. Integer
+# devices: the 2×12 MA is kept as 24 half-units ma24 = rev[t−6] +
+# 2·Σ_{t−5..t+5} rev + rev[t+6] (never divided), the ratio quantizes once to
+# ppm as rev_t·24·1e6 div ma24, and the median picks rank (n+1) div 2 under
+# (ratio, month-index) — all reproducible bit-for-bit. Months without the
+# full ±6 window are excluded (count(±5) = 11 AND both edge lags present).
+# Scale shape: one shuffle to the BOUNDED monthly grid; the ordered window
+# and the ranking run over that grid (≤ ~100 rows — the explicit
+# single-partition window is a bounded-domain sort, stated not hidden).
+
+def orders_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+        .cast("long")
+        .alias("m"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    monthly = o.groupBy("m").agg(F.sum("cents").cast("long").alias("rev"))
+    wo = Window.orderBy("m")
+    wmid = wo.rowsBetween(-5, 5)
+    scored = monthly.select(
+        "m", "rev",
+        F.sum("rev").over(wmid).alias("mid"),
+        F.count(F.lit(1)).over(wmid).alias("nmid"),
+        F.lag("rev", 6).over(wo).alias("lo"),
+        F.lead("rev", 6).over(wo).alias("hi"),
+    ).filter(
+        (F.col("nmid") == 11) & F.col("lo").isNotNull() & F.col("hi").isNotNull()
+    ).select(
+        "m",
+        (F.col("m") % 12 + 1).cast("long").alias("month"),
+        F.expr(
+            "CAST((CAST(rev AS DECIMAL(38,0)) * 24 * 1000000)"
+            " DIV CAST(lo + 2 * mid + hi AS DECIMAL(38,0)) AS BIGINT)"
+        ).alias("ratio_ppm"),
+    )
+    wrk = Window.partitionBy("month").orderBy("ratio_ppm", "m")
+    wn = Window.partitionBy("month")
+    return (
+        scored.select(
+            "month", "ratio_ppm",
+            F.row_number().over(wrk).alias("rn"),
+            F.count(F.lit(1)).over(wn).alias("n_obs"),
+        )
+        .filter(F.col("rn") == F.expr("(n_obs + 1) div 2"))
+        .select(
+            "month",
+            F.col("n_obs").cast("long").alias("n_obs"),
+            F.col("ratio_ppm").alias("seasonal_ppm"),
+        )
+    )
+
+
+_SQL_SEASONAL = """
+WITH monthly AS (
+  SELECT (year(o_orderdate) * 12 + month(o_orderdate) - 1)::BIGINT AS m,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))::BIGINT AS rev
+  FROM orders GROUP BY 1
+),
+scored AS (
+  SELECT m, (m % 12 + 1)::BIGINT AS month,
+         (rev::HUGEINT * 24 * 1000000 // (lo + 2 * mid + hi))::BIGINT AS ratio_ppm
+  FROM (
+    SELECT m, rev,
+           SUM(rev) OVER (ORDER BY m ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING) AS mid,
+           COUNT(*) OVER (ORDER BY m ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING) AS nmid,
+           LAG(rev, 6) OVER (ORDER BY m) AS lo,
+           LEAD(rev, 6) OVER (ORDER BY m) AS hi
+    FROM monthly
+  )
+  WHERE nmid = 11 AND lo IS NOT NULL AND hi IS NOT NULL
+)
+SELECT month, n_obs::BIGINT AS n_obs, ratio_ppm AS seasonal_ppm
+FROM (
+  SELECT month, ratio_ppm,
+         ROW_NUMBER() OVER (PARTITION BY month ORDER BY ratio_ppm, m) AS rn,
+         COUNT(*) OVER (PARTITION BY month) AS n_obs
+  FROM scored
+)
+WHERE rn = (n_obs + 1) // 2
+"""
+
+PENDING_QUERIES["orders_seasonal_index"] = orders_seasonal_index
+PENDING_ORACLE["orders_seasonal_index"] = _SQL_SEASONAL
