@@ -1270,3 +1270,96 @@ FROM per
 
 PENDING_QUERIES = {"ann_dim_truncation_report": ann_dim_truncation_report}
 PENDING_ORACLE = {"ann_dim_truncation_report": _trunc_report_sql()}
+
+
+# --- Mutual-kNN reciprocity — PENDING round 7 ----------------------------------
+#
+# Embedding-quality / hubness diagnostic: in a healthy embedding space most
+# kNN edges are RECIPROCAL (a ∈ kNN(b) whenever b ∈ kNN(a)); hub-dominated
+# spaces show low reciprocity. Computed exactly on the deterministic mod-10
+# subsample (both endpoints need a full kNN list, so the subsample bounds
+# the quadratic stage at (n/10)² — the honest brute-force eval grain; the
+# IVF/LSH paths above are the production ANN story). kNN = cosine top-K_REC
+# with the same (cos DESC, neighbor_id) tie-break as ann_bruteforce_topk;
+# reciprocity is a self-semi-join of the directed edge set on the reversed
+# key. Reported per label of the source vector: edges, mutual edges, and
+# mutual share in ppm (integer division).
+
+K_REC = 5
+
+
+def embedding_knn_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % 10 == 0
+    ).select("vec_id", "label", _emb_d().alias("e"), _norm(_emb_d()).alias("nrm"))
+    a = emb.select(
+        F.col("vec_id").alias("q_id"), F.col("label").alias("q_label"),
+        F.col("e").alias("qe"), F.col("nrm").alias("qn"),
+    )
+    pairs = F.broadcast(a).join(emb, F.col("q_id") != F.col("vec_id"))
+    scored = pairs.select(
+        "q_id", "q_label",
+        F.col("vec_id").alias("n_id"),
+        _cos_prenorm(F.col("qe"), F.col("e"), F.col("qn"), F.col("nrm")).alias("cs"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cs"), F.col("n_id"))
+    knn = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= K_REC)
+        .select("q_id", "q_label", "n_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)  # probed twice (edge + reverse)
+    )
+    rev = knn.select(F.col("n_id").alias("q_id"), F.col("q_id").alias("n_id"))
+    mutual = knn.join(rev, ["q_id", "n_id"], "leftsemi")
+    edges = knn.groupBy(F.col("q_label").alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges")
+    )
+    mut = mutual.groupBy(F.col("q_label").alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_mutual")
+    )
+    return (
+        edges.join(mut, "label", "left")
+        .select(
+            "label", "n_edges",
+            F.coalesce("n_mutual", F.lit(0)).cast("long").alias("n_mutual"),
+            F.expr("coalesce(n_mutual, 0) * 1000000 div n_edges")
+            .cast("long")
+            .alias("mutual_ppm"),
+        )
+    )
+
+
+_SQL_KNN_RECIPROCITY = f"""
+WITH emb AS (
+  SELECT vec_id, label, {_SQL_EMB} AS e FROM embeddings WHERE vec_id % 10 = 0
+),
+scored AS (
+  SELECT a.vec_id AS q_id, a.label AS q_label, b.vec_id AS n_id,
+         {_sql_cos('a.e', 'b.e')} AS cs
+  FROM emb a JOIN emb b ON a.vec_id <> b.vec_id
+),
+knn AS (
+  SELECT q_id, q_label, n_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, n_id) AS rank
+    FROM scored
+  ) WHERE rank <= {K_REC}
+),
+mutual AS (
+  SELECT k.q_label, COUNT(*)::BIGINT AS n_mutual
+  FROM knn k
+  WHERE EXISTS (SELECT 1 FROM knn r WHERE r.q_id = k.n_id AND r.n_id = k.q_id)
+  GROUP BY 1
+),
+edges AS (
+  SELECT q_label, COUNT(*)::BIGINT AS n_edges FROM knn GROUP BY 1
+)
+SELECT e.q_label AS label, e.n_edges,
+       COALESCE(m.n_mutual, 0)::BIGINT AS n_mutual,
+       (COALESCE(m.n_mutual, 0) * 1000000 // e.n_edges)::BIGINT AS mutual_ppm
+FROM edges e LEFT JOIN mutual m ON m.q_label = e.q_label
+"""
+
+PENDING_QUERIES["embedding_knn_reciprocity"] = embedding_knn_reciprocity
+PENDING_ORACLE["embedding_knn_reciprocity"] = _SQL_KNN_RECIPROCITY
