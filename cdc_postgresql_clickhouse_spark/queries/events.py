@@ -1597,3 +1597,76 @@ LEFT JOIN med USING (user_id)
 
 PENDING_QUERIES["events_bot_score"] = events_bot_score
 PENDING_ORACLE["events_bot_score"] = _SQL_BOT_SCORE
+
+
+# --- Time-RANGE frame rolling sum — PENDING round 7 ----------------------------
+#
+# The window-surface feature the ROWS-frame queries can't express: a rolling
+# sum over a TIME range (all same-type events in the preceding 600 s,
+# RANGE BETWEEN 600 PRECEDING AND CURRENT ROW on the integer epoch-second
+# key) — RANGE frames bound by VALUE distance, so co-timed events share one
+# frame regardless of row order, which is exactly why the per-row result is
+# deterministic without an event_id tie-break. Summarized to type grain for
+# a bounded driver row: the peak 10-minute load (cents and event count) per
+# type and when it peaked (earliest peak second on ties). Scale shape: one
+# window pass partitioned by type ordered by the second (Spark evaluates
+# RANGE frames with a sliding aggregate over the sorted partition, same as
+# the ROWS path), then a type-grain arg-max — no self-join, no explode.
+
+def events_range_frame_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("es"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("es")
+        .rangeBetween(-600, Window.currentRow)
+    )
+    scored = ev.select(
+        "event_type", "es",
+        F.sum("cents").over(w).alias("win_cents"),
+        F.count(F.lit(1)).over(w).alias("win_n"),
+    )
+    return scored.groupBy("event_type").agg(
+        F.max_by(
+            F.struct("win_cents", "win_n", "es"),
+            F.struct(F.col("win_cents"), F.col("win_n"), (-F.col("es")).alias("nes")),
+        ).alias("__p")
+    ).select(
+        "event_type",
+        F.col("__p.win_cents").cast("long").alias("peak_10m_cents"),
+        F.col("__p.win_n").cast("long").alias("peak_10m_events"),
+        F.col("__p.es").cast("long").alias("peak_es"),
+    )
+
+
+_SQL_RANGE_PEAK = """
+WITH scored AS (
+  SELECT event_type, es,
+         SUM(cents) OVER w AS win_cents,
+         COUNT(*) OVER w AS win_n
+  FROM (
+    SELECT event_type,
+           CAST(FLOOR(epoch(ts)) AS BIGINT) AS es,
+           CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+    FROM events
+  )
+  WINDOW w AS (PARTITION BY event_type ORDER BY es
+               RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+              ORDER BY win_cents DESC, win_n DESC, es ASC) AS rn
+  FROM scored
+)
+SELECT event_type,
+       win_cents::BIGINT AS peak_10m_cents,
+       win_n::BIGINT AS peak_10m_events,
+       es::BIGINT AS peak_es
+FROM ranked WHERE rn = 1
+"""
+
+PENDING_QUERIES["events_range_frame_peak"] = events_range_frame_peak
+PENDING_ORACLE["events_range_frame_peak"] = _SQL_RANGE_PEAK
