@@ -1422,3 +1422,60 @@ WHERE rn = (n_obs + 1) // 2
 
 PENDING_QUERIES["orders_seasonal_index"] = orders_seasonal_index
 PENDING_ORACLE["orders_seasonal_index"] = _SQL_SEASONAL
+
+
+# --- Index-of-dispersion test — PENDING round 7 ---------------------------------
+#
+# Distribution-shape audit: are items-per-order Poisson (dispersion ≈ 1),
+# under-dispersed (capped/uniform) or over-dispersed (bursty)? The index of
+# dispersion var/mean collapses to the pure-integer rational
+# (n·Σx² − (Σx)²) / ((n−1)·Σx), floored once to ppm through DECIMAL(38) —
+# n·Σx² reaches ~1e12·1e14 at 100 TB, past int64. Grouped by order priority.
+# Scale shape: one shuffle to order grain (count items per order, map-side
+# partials), one bounded-grid aggregate per priority; no window, no join
+# beyond the orderkey one.
+
+def orders_dispersion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    per_order = (
+        li.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(F.col("o_orderpriority").alias("priority"), "x")
+    )
+    return (
+        per_order.groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("x").alias("sx"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+        .select(
+            "priority", "n_orders",
+            F.expr("sx div n_orders").cast("long").alias("mean_items"),
+            F.expr(
+                "CAST((CAST(n_orders AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx)"
+                " * 1000000 DIV (CAST(n_orders - 1 AS DECIMAL(38,0)) * sx) AS BIGINT)"
+            ).alias("dispersion_ppm"),
+        )
+    )
+
+
+_SQL_DISPERSION = """
+WITH per_order AS (
+  SELECT o_orderpriority AS priority, COUNT(*)::BIGINT AS x
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY o_orderkey, o_orderpriority
+)
+SELECT priority,
+       COUNT(*)::BIGINT AS n_orders,
+       (SUM(x) // COUNT(*))::BIGINT AS mean_items,
+       ((COUNT(*)::HUGEINT * SUM(x * x) - SUM(x)::HUGEINT * SUM(x)) * 1000000
+          // ((COUNT(*) - 1)::HUGEINT * SUM(x)))::BIGINT AS dispersion_ppm
+FROM per_order
+GROUP BY priority
+"""
+
+PENDING_QUERIES["orders_dispersion_test"] = orders_dispersion_test
+PENDING_ORACLE["orders_dispersion_test"] = _SQL_DISPERSION
