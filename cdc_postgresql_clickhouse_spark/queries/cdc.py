@@ -934,3 +934,72 @@ FROM grid g LEFT JOIN per_chunk p ON p.chunk_id = g.chunk_id
 
 PENDING_QUERIES["cdc_sequence_gap_report"] = cdc_sequence_gap_report
 PENDING_ORACLE["cdc_sequence_gap_report"] = ORACLE_GAPS
+
+
+# --- Replication staleness report — PENDING round 7 ----------------------------
+#
+# The freshness audit run against a FINAL view: how stale is each key's
+# current row relative to the newest change in the log? Staleness in whole
+# hours (stale_s div 3600) against the global max event second, bucketed by
+# the power-of-2 device bucket = length(bin(hours + 1)) − 1 (ilog2 — same
+# primitive as the tokenizer's score quantizer, rendered identically by
+# Spark's bin() and DuckDB's bin()). Tombstoned keys (last event 'error')
+# are excluded — they have no live row to be stale (the current_state
+# convention). Scale shape: one per-key arg-max (map-side max_by, the A2
+# single-shuffle pattern), a broadcast one-row global max, and a bounded
+# bucket-grain aggregate.
+
+def cdc_staleness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("es"),
+        F.col("event_id").alias("eid"),
+        "event_type",
+    )
+    last = ev.groupBy("user_id").agg(
+        F.max_by(F.struct("es", "event_type"), F.struct("es", "eid")).alias("__l")
+    ).select(
+        "user_id",
+        F.col("__l.es").alias("last_es"),
+        F.col("__l.event_type").alias("last_type"),
+    ).filter(F.col("last_type") != "error")
+    now = ev.agg(F.max("es").alias("now_es"))
+    buck = last.crossJoin(F.broadcast(now)).select(
+        F.expr("(now_es - last_es) div 3600").cast("long").alias("stale_h")
+    ).select(
+        "stale_h",
+        (F.length(F.bin(F.col("stale_h") + 1)) - 1).cast("long").alias("bucket"),
+    )
+    return buck.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.min("stale_h").cast("long").alias("min_h"),
+        F.max("stale_h").cast("long").alias("max_h"),
+    )
+
+
+ORACLE_STALENESS = """
+WITH ev AS (
+  SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS es, event_id AS eid,
+         event_type
+  FROM events
+),
+last AS (
+  SELECT user_id, es AS last_es, event_type AS last_type FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY es DESC, eid DESC) AS rn
+    FROM ev
+  ) WHERE rn = 1 AND event_type <> 'error'
+),
+buck AS (
+  SELECT (((SELECT MAX(es) FROM ev) - last_es) // 3600)::BIGINT AS stale_h
+  FROM last
+)
+SELECT (length(bin(stale_h + 1)) - 1)::BIGINT AS bucket,
+       COUNT(*)::BIGINT AS n_keys,
+       MIN(stale_h)::BIGINT AS min_h,
+       MAX(stale_h)::BIGINT AS max_h
+FROM buck
+GROUP BY 1
+"""
+
+PENDING_QUERIES["cdc_staleness_report"] = cdc_staleness_report
+PENDING_ORACLE["cdc_staleness_report"] = ORACLE_STALENESS
