@@ -1670,3 +1670,84 @@ FROM ranked WHERE rn = 1
 
 PENDING_QUERIES["events_range_frame_peak"] = events_range_frame_peak
 PENDING_ORACLE["events_range_frame_peak"] = _SQL_RANGE_PEAK
+
+
+# --- Entry-type bounce rate — PENDING round 7 -----------------------------------
+#
+# The web-analytics landing report transplanted to event streams: group
+# sessions (the standard 30-min-gap device, identical to events_sessionize)
+# by their ENTRY event type and report how many bounce (single-event
+# sessions), plus bounce share in ppm and the mean session length in
+# milli-events. Entry = first event by (es, event_id) — min_by, so it rides
+# the same user-partitioned shuffle as the session aggregate. Scale shape:
+# one user-grain window pass (lag + running sum — one sort), one
+# (user, session) aggregate, one bounded entry-type rollup; the partitioning
+# is reused across all three stages.
+
+def events_entry_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type",
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("es"),
+    )
+    w_order = Window.partitionBy("user_id").orderBy("es", "event_id")
+    run = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = ev.withColumn(
+        "new_sess",
+        F.when(
+            F.lag("es").over(w_order).isNull()
+            | ((F.col("es") - F.lag("es").over(w_order)) > 1800),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn("session_idx", F.sum("new_sess").over(run))
+    per_sess = sess.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min_by("event_type", F.struct("es", "event_id")).alias("entry_type"),
+    )
+    return per_sess.groupBy("entry_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.count_if(F.col("n_events") == 1).cast("long").alias("n_bounces"),
+        F.expr(
+            "count_if(n_events = 1) * 1000000 div count(1)"
+        ).cast("long").alias("bounce_ppm"),
+        F.expr("sum(n_events) * 1000 div count(1)").cast("long").alias(
+            "mean_len_milli"
+        ),
+    )
+
+
+ORACLE_BOUNCE = """
+WITH ev AS (
+  SELECT user_id, event_id, event_type,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS es
+  FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN lag_es IS NULL OR es - lag_es > 1800 THEN 1 ELSE 0 END AS new_sess
+  FROM (
+    SELECT *, LAG(es) OVER (PARTITION BY user_id ORDER BY es, event_id) AS lag_es
+    FROM ev
+  )
+),
+sess AS (
+  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY es, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM flagged
+),
+per_sess AS (
+  SELECT user_id, session_idx,
+         COUNT(*)::BIGINT AS n_events,
+         FIRST(event_type ORDER BY es, event_id) AS entry_type
+  FROM sess GROUP BY 1, 2
+)
+SELECT entry_type,
+       COUNT(*)::BIGINT AS n_sessions,
+       COUNT(*) FILTER (WHERE n_events = 1)::BIGINT AS n_bounces,
+       (COUNT(*) FILTER (WHERE n_events = 1) * 1000000 // COUNT(*))::BIGINT
+         AS bounce_ppm,
+       (SUM(n_events) * 1000 // COUNT(*))::BIGINT AS mean_len_milli
+FROM per_sess
+GROUP BY entry_type
+"""
+
+PENDING_QUERIES["events_entry_bounce_rate"] = events_entry_bounce_rate
+PENDING_ORACLE["events_entry_bounce_rate"] = ORACLE_BOUNCE
