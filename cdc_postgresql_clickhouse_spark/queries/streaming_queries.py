@@ -1153,3 +1153,74 @@ GROUP BY 1, 2
 
 PENDING_QUERIES["streaming_interval_join_equiv"] = streaming_interval_join_equiv
 PENDING_ORACLE["streaming_interval_join_equiv"] = _SQL_INTERVAL_JOIN
+
+
+def streaming_dropdup_watermark_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming dedup (``dropDuplicatesWithinWatermark`` on
+    event_id) ≡ batch DISTINCT: ``events`` streamed as batch 1, then exact
+    copies of every event_id % 7 == 2 row re-delivered in a LATER
+    micro-batch (the at-least-once redelivery shape). The 40-day watermark
+    delay exceeds the fixture's whole event-time span, so no dedup state
+    ever expires and every redelivery is provably suppressed — the
+    documented contract: the delay IS the dedup window, size it past the
+    maximum redelivery disorder. Output: per-type count + cents sum over
+    the deduped stream; oracle = the same aggregate over plain ``events``
+    (exact copies add nothing)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_ddw_")
+    try:
+        src = os.path.join(tmp, "src")
+        out = os.path.join(tmp, "out")
+        ckpt = os.path.join(tmp, "ckpt")
+        ev.coalesce(1).write.parquet(src)
+        ev.filter(F.col("event_id") % 7 == 2).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        from cdc_postgresql_clickhouse_spark.streaming.windows import _tz_aware_ts
+
+        deduped = (
+            _tz_aware_ts(stream)
+            .withWatermark("ts", "40 days")
+            .dropDuplicatesWithinWatermark(["event_id"])
+        )
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        res = (
+            spark.read.parquet(out)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_events"),
+                F.sum(
+                    F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+                ).cast("long").alias("sum_cents"),
+            )
+        )
+        return _materialized(res)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_SQL_DROPDUP = """
+SELECT event_type,
+       COUNT(*)::BIGINT AS n_events,
+       SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))::BIGINT AS sum_cents
+FROM events
+GROUP BY event_type
+"""
+
+PENDING_QUERIES["streaming_dropdup_watermark_equiv"] = streaming_dropdup_watermark_equiv
+PENDING_ORACLE["streaming_dropdup_watermark_equiv"] = _SQL_DROPDUP
