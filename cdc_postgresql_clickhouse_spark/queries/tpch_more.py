@@ -1479,3 +1479,154 @@ GROUP BY priority
 
 PENDING_QUERIES["orders_dispersion_test"] = orders_dispersion_test
 PENDING_ORACLE["orders_dispersion_test"] = _SQL_DISPERSION
+
+
+# --- Week-over-week revenue growth — PENDING round 7 ----------------------------
+#
+# The reporting-layer growth table: revenue per ISO-style week index
+# (days-since-epoch div 7 — no year-boundary seam, both engines share the
+# same integer week key), with week-over-week growth in signed ppm against
+# the PREVIOUS OBSERVED week (lag over the bounded weekly grid; a gap week
+# simply widens the step, stated not hidden). Growth = (rev − prev)·1e6 div
+# prev with truncating division (negative growth occurs). Scale shape: one
+# shuffle to the bounded weekly grid with map-side partials; the lag window
+# orders that grid only.
+
+def orders_revenue_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.expr("datediff(o_orderdate, DATE '1970-01-01') div 7")
+        .cast("long")
+        .alias("week"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    weekly = o.groupBy("week").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("rev_cents"),
+    )
+    w = Window.orderBy("week")
+    return weekly.select(
+        "week", "n_orders", "rev_cents",
+        F.lag("rev_cents").over(w).alias("prev_cents"),
+    ).select(
+        "week", "n_orders", "rev_cents",
+        F.expr(
+            "CASE WHEN prev_cents IS NULL THEN NULL"
+            " ELSE CAST((CAST(rev_cents AS DECIMAL(38,0)) - prev_cents) * 1000000"
+            " DIV CAST(prev_cents AS DECIMAL(38,0)) AS BIGINT) END"
+        ).alias("wow_ppm"),
+    )
+
+
+_SQL_REV_WOW = """
+WITH weekly AS (
+  SELECT (datediff('day', DATE '1970-01-01', o_orderdate) // 7)::BIGINT AS week,
+         COUNT(*)::BIGINT AS n_orders,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))::BIGINT AS rev_cents
+  FROM orders GROUP BY 1
+)
+SELECT week, n_orders, rev_cents,
+       CASE WHEN prev_cents IS NULL THEN NULL
+            ELSE ((rev_cents::HUGEINT - prev_cents) * 1000000 // prev_cents) END::BIGINT
+         AS wow_ppm
+FROM (SELECT *, LAG(rev_cents) OVER (ORDER BY week) AS prev_cents FROM weekly)
+"""
+
+PENDING_QUERIES["orders_revenue_wow"] = orders_revenue_wow
+PENDING_ORACLE["orders_revenue_wow"] = _SQL_REV_WOW
+
+
+# --- Brand share shift — PENDING round 7 -----------------------------------------
+#
+# Mix-shift report: each part brand's revenue share of its half of the
+# timeline (orders split at the fixture-independent calendar midpoint,
+# computed as the integer mean of min/max epoch-day — both engines derive
+# the same constant from the data, no magic date), and the share delta in
+# signed ppm. A brand present in only one half keeps its row via the full
+# outer grid (missing side = 0). Scale shape: lineitem⨝part is the one
+# corpus join (part dimension broadcast-eligible at TPC-H ratios but left
+# to AQE — it is corpus-proportional in general); everything after runs on
+# the bounded (brand × 2) grid.
+
+def parts_brand_share_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_orderkey", _rev_micros().alias("rev")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.expr("datediff(o_orderdate, DATE '1970-01-01')").alias("d")
+    )
+    p = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    mid = o.agg(
+        F.expr("(min(d) + max(d)) div 2").cast("long").alias("mid")
+    )
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(p, "l_partkey")
+        .crossJoin(F.broadcast(mid))
+        .select(
+            "p_brand",
+            (F.col("d") > F.col("mid")).cast("int").alias("half"),
+            "rev",
+        )
+    )
+    per = j.groupBy("p_brand", "half").agg(F.sum("rev").cast("long").alias("brev"))
+    wh = Window.partitionBy("half")
+    shares = per.select(
+        "p_brand", "half",
+        F.expr(
+            "CAST((CAST(brev AS DECIMAL(38,0)) * 1000000)"
+            " DIV CAST(sum(brev) over (partition by half) AS DECIMAL(38,0))"
+            " AS BIGINT)"
+        ).alias("share_ppm"),
+    )
+    h0 = shares.filter(F.col("half") == 0).select(
+        "p_brand", F.col("share_ppm").alias("share_h1_ppm")
+    )
+    h1 = shares.filter(F.col("half") == 1).select(
+        "p_brand", F.col("share_ppm").alias("share_h2_ppm")
+    )
+    return (
+        h0.join(h1, "p_brand", "full")
+        .select(
+            "p_brand",
+            F.coalesce("share_h1_ppm", F.lit(0)).alias("share_h1_ppm"),
+            F.coalesce("share_h2_ppm", F.lit(0)).alias("share_h2_ppm"),
+        )
+        .withColumn(
+            "shift_ppm", F.col("share_h2_ppm") - F.col("share_h1_ppm")
+        )
+    )
+
+
+_SQL_BRAND_SHIFT = """
+WITH od AS (
+  SELECT o_orderkey, datediff('day', DATE '1970-01-01', o_orderdate) AS d
+  FROM orders
+),
+j AS (
+  SELECT p.p_brand,
+         CASE WHEN od.d > (SELECT (MIN(d) + MAX(d)) // 2 FROM od) THEN 1 ELSE 0 END AS half,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS rev
+  FROM lineitem
+  JOIN od ON l_orderkey = o_orderkey
+  JOIN part p ON p.p_partkey = l_partkey
+),
+per AS (SELECT p_brand, half, SUM(rev)::BIGINT AS brev FROM j GROUP BY 1, 2),
+shares AS (
+  SELECT p_brand, half,
+         (brev::HUGEINT * 1000000 // SUM(brev) OVER (PARTITION BY half))::BIGINT
+           AS share_ppm
+  FROM per
+)
+SELECT COALESCE(h0.p_brand, h1.p_brand) AS p_brand,
+       COALESCE(h0.share_ppm, 0)::BIGINT AS share_h1_ppm,
+       COALESCE(h1.share_ppm, 0)::BIGINT AS share_h2_ppm,
+       (COALESCE(h1.share_ppm, 0) - COALESCE(h0.share_ppm, 0))::BIGINT AS shift_ppm
+FROM (SELECT * FROM shares WHERE half = 0) h0
+FULL JOIN (SELECT * FROM shares WHERE half = 1) h1 USING (p_brand)
+"""
+
+PENDING_QUERIES["parts_brand_share_shift"] = parts_brand_share_shift
+PENDING_ORACLE["parts_brand_share_shift"] = _SQL_BRAND_SHIFT
