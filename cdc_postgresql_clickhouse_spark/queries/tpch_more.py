@@ -1630,3 +1630,79 @@ FULL JOIN (SELECT * FROM shares WHERE half = 1) h1 USING (p_brand)
 
 PENDING_QUERIES["parts_brand_share_shift"] = parts_brand_share_shift
 PENDING_ORACLE["parts_brand_share_shift"] = _SQL_BRAND_SHIFT
+
+
+# --- Customer value-tier migration matrix — PENDING round 7 ---------------------
+#
+# Customer-dynamics report: spend terciles computed INDEPENDENTLY in each
+# half of the timeline (same calendar-midpoint split as the brand-shift
+# row), then the transition matrix between tiers — including the 'churned'
+# (first half only, tier_h2 NULL) and 'acquired' (second half only, tier_h1
+# NULL) margins that a same-population matrix would hide. Tiering is
+# ntile(3) over (spend, custkey) — the deterministic-tie device the RFM row
+# pinned; like the RFM row, the tier windows are GLOBAL sorts over the
+# customer-grain table (the honest cost of exact population quantiles —
+# the approx-sketch rows are the scale alternative, stated not hidden).
+# Scale shape: one shuffle to (customer, half) grain, two customer-grain
+# sorts, one bounded 4×4 matrix aggregate.
+
+def customer_tier_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr("datediff(o_orderdate, DATE '1970-01-01')").alias("d"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    mid = o.agg(F.expr("(min(d) + max(d)) div 2").cast("long").alias("mid"))
+    per = (
+        o.crossJoin(F.broadcast(mid))
+        .select(
+            "o_custkey",
+            (F.col("d") > F.col("mid")).cast("int").alias("half"),
+            "cents",
+        )
+        .groupBy("o_custkey", "half")
+        .agg(F.sum("cents").cast("long").alias("spend"))
+    )
+    wt = Window.partitionBy("half").orderBy("spend", "o_custkey")
+    tiered = per.select(
+        "o_custkey", "half", F.ntile(3).over(wt).cast("long").alias("tier")
+    )
+    t0 = tiered.filter(F.col("half") == 0).select(
+        "o_custkey", F.col("tier").alias("tier_h1")
+    )
+    t1 = tiered.filter(F.col("half") == 1).select(
+        "o_custkey", F.col("tier").alias("tier_h2")
+    )
+    return (
+        t0.join(t1, "o_custkey", "full")
+        .groupBy("tier_h1", "tier_h2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+    )
+
+
+_SQL_TIER_MIGRATION = """
+WITH o AS (
+  SELECT o_custkey, datediff('day', DATE '1970-01-01', o_orderdate) AS d,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+),
+per AS (
+  SELECT o_custkey,
+         CASE WHEN d > (SELECT (MIN(d) + MAX(d)) // 2 FROM o) THEN 1 ELSE 0 END AS half,
+         SUM(cents)::BIGINT AS spend
+  FROM o GROUP BY 1, 2
+),
+tiered AS (
+  SELECT o_custkey, half,
+         NTILE(3) OVER (PARTITION BY half ORDER BY spend, o_custkey)::BIGINT AS tier
+  FROM per
+)
+SELECT t0.tier_h1, t1.tier_h2, COUNT(*)::BIGINT AS n_customers
+FROM (SELECT o_custkey, tier AS tier_h1 FROM tiered WHERE half = 0) t0
+FULL JOIN (SELECT o_custkey, tier AS tier_h2 FROM tiered WHERE half = 1) t1
+  USING (o_custkey)
+GROUP BY 1, 2
+"""
+
+PENDING_QUERIES["customer_tier_migration"] = customer_tier_migration
+PENDING_ORACLE["customer_tier_migration"] = _SQL_TIER_MIGRATION
