@@ -614,3 +614,67 @@ FROM per
 
 PENDING_QUERIES["corpus_simpson_diversity"] = corpus_simpson_diversity
 PENDING_ORACLE["corpus_simpson_diversity"] = _sql_simpson()
+
+
+# --- Term burstiness (Church–Gale) — PENDING round 7 ---------------------------
+#
+# The adaptation statistic behind "a word that occurs once occurs again":
+# for the TOP_BURST tokens by collection frequency, the mean within-document
+# term frequency burst = cf·1000 div df (milli — a bursty term concentrates
+# its mass in few docs) and the adaptation share adapt_ppm = (docs with
+# tf ≥ 2)·1e6 div df. Deterministic top-K by (cf DESC, token) — the
+# TakeOrderedAndProject shape, never a full sort. Scale shape: one explode
+# to (doc, token) grain with an immediate count (map-side partials), one
+# token-grain aggregate, then the bounded top-K; all integer.
+
+TOP_BURST = 20
+
+
+def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tf = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    per = tf.groupBy("t").agg(
+        F.sum("tf").cast("long").alias("cf"),
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.count_if(F.col("tf") >= 2).cast("long").alias("df2"),
+    )
+    return (
+        per.orderBy(F.desc("cf"), "t")
+        .limit(TOP_BURST)
+        .select(
+            F.col("t").alias("token"), "cf", "df",
+            F.expr("cf * 1000 div df").cast("long").alias("burst_milli"),
+            F.expr("df2 * 1000000 div df").cast("long").alias("adapt_ppm"),
+        )
+    )
+
+
+def _sql_burstiness() -> str:
+    from cdc_postgresql_clickhouse_spark.queries.dedup import _SQL_TOKENS
+
+    return f"""
+WITH tf AS (
+  SELECT doc_id, t, COUNT(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest({_SQL_TOKENS}) AS t FROM documents)
+  GROUP BY 1, 2
+),
+per AS (
+  SELECT t, SUM(tf)::BIGINT AS cf, COUNT(*)::BIGINT AS df,
+         COUNT(*) FILTER (WHERE tf >= 2)::BIGINT AS df2
+  FROM tf GROUP BY t
+)
+SELECT t AS token, cf, df,
+       (cf * 1000 // df)::BIGINT AS burst_milli,
+       (df2 * 1000000 // df)::BIGINT AS adapt_ppm
+FROM per
+ORDER BY cf DESC, t
+LIMIT {TOP_BURST}
+"""
+
+
+PENDING_QUERIES["text_term_burstiness"] = text_term_burstiness
+PENDING_ORACLE["text_term_burstiness"] = _sql_burstiness()
