@@ -1541,8 +1541,10 @@ PENDING_ORACLE["orders_revenue_wow"] = _SQL_REV_WOW
 # timeline (orders split at the fixture-independent calendar midpoint,
 # computed as the integer mean of min/max epoch-day — both engines derive
 # the same constant from the data, no magic date), and the share delta in
-# signed ppm. A brand present in only one half keeps its row via the full
-# outer grid (missing side = 0). Scale shape: lineitem⨝part is the one
+# signed ppm. A brand present in only one half keeps its row (missing side
+# = 0) via a single conditional-aggregation pivot — ONE pass over the
+# (brand × 2) grid, no self-join, so the corpus lineage below is evaluated
+# once. Scale shape: lineitem⨝part is the one
 # corpus join (part dimension broadcast-eligible at TPC-H ratios but left
 # to AQE — it is corpus-proportional in general); everything after runs on
 # the bounded (brand × 2) grid.
@@ -1580,18 +1582,15 @@ def parts_brand_share_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("share_ppm"),
     )
-    h0 = shares.filter(F.col("half") == 0).select(
-        "p_brand", F.col("share_ppm").alias("share_h1_ppm")
-    )
-    h1 = shares.filter(F.col("half") == 1).select(
-        "p_brand", F.col("share_ppm").alias("share_h2_ppm")
-    )
     return (
-        h0.join(h1, "p_brand", "full")
-        .select(
-            "p_brand",
-            F.coalesce("share_h1_ppm", F.lit(0)).alias("share_h1_ppm"),
-            F.coalesce("share_h2_ppm", F.lit(0)).alias("share_h2_ppm"),
+        shares.groupBy("p_brand")
+        .agg(
+            F.coalesce(
+                F.max(F.when(F.col("half") == 0, F.col("share_ppm"))), F.lit(0)
+            ).cast("long").alias("share_h1_ppm"),
+            F.coalesce(
+                F.max(F.when(F.col("half") == 1, F.col("share_ppm"))), F.lit(0)
+            ).cast("long").alias("share_h2_ppm"),
         )
         .withColumn(
             "shift_ppm", F.col("share_h2_ppm") - F.col("share_h1_ppm")
@@ -1620,12 +1619,13 @@ shares AS (
            AS share_ppm
   FROM per
 )
-SELECT COALESCE(h0.p_brand, h1.p_brand) AS p_brand,
-       COALESCE(h0.share_ppm, 0)::BIGINT AS share_h1_ppm,
-       COALESCE(h1.share_ppm, 0)::BIGINT AS share_h2_ppm,
-       (COALESCE(h1.share_ppm, 0) - COALESCE(h0.share_ppm, 0))::BIGINT AS shift_ppm
-FROM (SELECT * FROM shares WHERE half = 0) h0
-FULL JOIN (SELECT * FROM shares WHERE half = 1) h1 USING (p_brand)
+SELECT p_brand,
+       COALESCE(MAX(CASE WHEN half = 0 THEN share_ppm END), 0)::BIGINT AS share_h1_ppm,
+       COALESCE(MAX(CASE WHEN half = 1 THEN share_ppm END), 0)::BIGINT AS share_h2_ppm,
+       (COALESCE(MAX(CASE WHEN half = 1 THEN share_ppm END), 0)
+        - COALESCE(MAX(CASE WHEN half = 0 THEN share_ppm END), 0))::BIGINT AS shift_ppm
+FROM shares
+GROUP BY p_brand
 """
 
 PENDING_QUERIES["parts_brand_share_shift"] = parts_brand_share_shift
@@ -1638,7 +1638,9 @@ PENDING_ORACLE["parts_brand_share_shift"] = _SQL_BRAND_SHIFT
 # half of the timeline (same calendar-midpoint split as the brand-shift
 # row), then the transition matrix between tiers — including the 'churned'
 # (first half only, tier_h2 NULL) and 'acquired' (second half only, tier_h1
-# NULL) margins that a same-population matrix would hide. Tiering is
+# NULL) margins that a same-population matrix would hide — kept in ONE
+# conditional-aggregation pivot pass (no half-vs-half self-join, so the
+# order lineage is evaluated once). Tiering is
 # ntile(3) over (spend, custkey) — the deterministic-tie device the RFM row
 # pinned; like the RFM row, the tier windows are GLOBAL sorts over the
 # customer-grain table (the honest cost of exact population quantiles —
@@ -1667,14 +1669,12 @@ def customer_tier_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiered = per.select(
         "o_custkey", "half", F.ntile(3).over(wt).cast("long").alias("tier")
     )
-    t0 = tiered.filter(F.col("half") == 0).select(
-        "o_custkey", F.col("tier").alias("tier_h1")
-    )
-    t1 = tiered.filter(F.col("half") == 1).select(
-        "o_custkey", F.col("tier").alias("tier_h2")
-    )
     return (
-        t0.join(t1, "o_custkey", "full")
+        tiered.groupBy("o_custkey")
+        .agg(
+            F.max(F.when(F.col("half") == 0, F.col("tier"))).alias("tier_h1"),
+            F.max(F.when(F.col("half") == 1, F.col("tier"))).alias("tier_h2"),
+        )
         .groupBy("tier_h1", "tier_h2")
         .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
     )
@@ -1697,10 +1697,13 @@ tiered AS (
          NTILE(3) OVER (PARTITION BY half ORDER BY spend, o_custkey)::BIGINT AS tier
   FROM per
 )
-SELECT t0.tier_h1, t1.tier_h2, COUNT(*)::BIGINT AS n_customers
-FROM (SELECT o_custkey, tier AS tier_h1 FROM tiered WHERE half = 0) t0
-FULL JOIN (SELECT o_custkey, tier AS tier_h2 FROM tiered WHERE half = 1) t1
-  USING (o_custkey)
+SELECT tier_h1, tier_h2, COUNT(*)::BIGINT AS n_customers
+FROM (
+  SELECT o_custkey,
+         MAX(CASE WHEN half = 0 THEN tier END) AS tier_h1,
+         MAX(CASE WHEN half = 1 THEN tier END) AS tier_h2
+  FROM tiered GROUP BY o_custkey
+)
 GROUP BY 1, 2
 """
 
