@@ -963,8 +963,9 @@ PENDING_ORACLE["orders_reorder_intervals"] = _SQL_REORDER
 # DISTINCT-REVENUE table (corpus_length_pareto's device) — parts with equal
 # revenue are interchangeable, so the class is assigned at the distinct-value
 # grain (ties share one class, decided by the group's inclusive cumulative;
-# stated here because the oracle mirrors it exactly). The lone global window
-# therefore orders the bounded distinct-value domain, never the part table.
+# stated here because the oracle mirrors it exactly). The global windows
+# (cumulative AND the grand total) order the bounded distinct-value domain
+# only, never the part table — the part table is scanned exactly once.
 # share_ppm divides through DECIMAL(38)/HUGEINT: class mass × 1e6 exceeds
 # int64 at sf >= 0.1.
 
@@ -977,9 +978,13 @@ def orders_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_parts_v")
     )
     w = Window.orderBy(F.desc("rev")).rowsBetween(Window.unboundedPreceding, 0)
-    cum = by_rev.withColumn("cum", F.sum(F.col("rev") * F.col("n_parts_v")).over(w))
-    tot = per_part.agg(F.sum("rev").cast("long").alias("tot"))
-    classed = cum.crossJoin(F.broadcast(tot)).select(
+    wall = Window.orderBy(F.desc("rev")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = by_rev.withColumn(
+        "cum", F.sum(F.col("rev") * F.col("n_parts_v")).over(w)
+    ).withColumn("tot", F.sum(F.col("rev") * F.col("n_parts_v")).over(wall))
+    classed = cum.select(
         "rev", "n_parts_v",
         F.when(F.col("cum") * 5 <= F.col("tot") * 4, F.lit("A"))
         .when(F.col("cum") * 20 <= F.col("tot") * 19, F.lit("B"))
@@ -1018,7 +1023,7 @@ cum AS (
   SELECT rev, n_parts_v,
          SUM(rev * n_parts_v) OVER (ORDER BY rev DESC
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum,
-         (SELECT SUM(rev) FROM per_part)::BIGINT AS tot
+         SUM(rev * n_parts_v) OVER ()::BIGINT AS tot
   FROM by_rev
 ),
 classed AS (
