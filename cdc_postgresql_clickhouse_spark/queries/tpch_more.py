@@ -1055,9 +1055,8 @@ PENDING_ORACLE["orders_pareto_abc"] = _SQL_PARETO_ABC
 # taken from the cents representation (scaling by 100 never changes the
 # leading significant digit of a positive amount). Observed ppm uses the
 # DECIMAL(38)/HUGEINT floor-division device. Scale shape: map-side digit
-# extraction + one 9-group aggregate with map-side partials; the total joins
-# back as a broadcast literal-sized row — nothing corpus-proportional ever
-# shuffles twice.
+# extraction + ONE 9-group aggregate with map-side partials; the grand total
+# is a window over those 9 rows, so orders is scanned exactly once.
 
 _BENFORD_PPM = {
     1: 301029, 2: 176091, 3: 124938, 4: 96910, 5: 79181,
@@ -1072,12 +1071,14 @@ def orders_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("int").alias("digit")
     )
     per = o.groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
-    tot = per.agg(F.sum("n_orders").cast("long").alias("tot"))
+    wall = Window.orderBy("digit").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     exp_map = F.create_map(
         *[F.lit(x) for kv in _BENFORD_PPM.items() for x in kv]
     )
     return (
-        per.crossJoin(F.broadcast(tot))
+        per.withColumn("tot", F.sum("n_orders").over(wall))
         .select(
             "digit",
             "n_orders",
@@ -1101,12 +1102,15 @@ WITH d AS (
               AS INTEGER) AS digit
   FROM orders
 ),
-per AS (SELECT digit, COUNT(*)::BIGINT AS n_orders FROM d GROUP BY digit)
+per AS (
+  SELECT digit, COUNT(*)::BIGINT AS n_orders,
+         SUM(COUNT(*)) OVER ()::BIGINT AS tot
+  FROM d GROUP BY digit
+)
 SELECT digit, n_orders,
-       (n_orders::HUGEINT * 1000000 // (SELECT SUM(n_orders) FROM per))::BIGINT
-         AS obs_ppm,
+       (n_orders::HUGEINT * 1000000 // tot)::BIGINT AS obs_ppm,
        (CASE digit {cases} END)::BIGINT AS exp_ppm,
-       ABS((n_orders::HUGEINT * 1000000 // (SELECT SUM(n_orders) FROM per))
+       ABS((n_orders::HUGEINT * 1000000 // tot)
            - CASE digit {cases} END)::BIGINT AS abs_dev_ppm
 FROM per
 """
