@@ -1224,3 +1224,77 @@ GROUP BY event_type
 
 PENDING_QUERIES["streaming_dropdup_watermark_equiv"] = streaming_dropdup_watermark_equiv
 PENDING_ORACLE["streaming_dropdup_watermark_equiv"] = _SQL_DROPDUP
+
+
+def streaming_state_store_dedup_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``applyInPandasWithState`` keyed max-version dedup
+    (``streaming/windows.py``, the state-store alternative to the
+    table-merge pipeline) ≡ batch last-writer-wins: events delivered as TWO
+    micro-batches split by event_id parity — version order deliberately
+    scrambled across batches — and the emitted stream reduced to each key's
+    final arg-max row. WHICH intermediate rows are emitted depends on the
+    batch split (each batch emits only rows advancing its key's running
+    max), but the final arg-max is split-invariant: the global max version
+    always advances the max when it arrives, so it is always emitted. Oracle
+    = the batch per-user max event_id with its type."""
+    from cdc_postgresql_clickhouse_spark.streaming.windows import (
+        stateful_max_version_dedup,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type"
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_ssd_")
+    try:
+        src = os.path.join(tmp, "src")
+        out = os.path.join(tmp, "out")
+        ckpt = os.path.join(tmp, "ckpt")
+        ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(src)
+        ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stateful_max_version_dedup(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        res = (
+            spark.read.parquet(out)
+            .groupBy("user_id")
+            .agg(
+                F.max_by(
+                    F.struct("version", "event_type"), F.col("version")
+                ).alias("__m")
+            )
+            .select(
+                "user_id",
+                F.col("__m.version").cast("long").alias("version"),
+                F.col("__m.event_type").alias("event_type"),
+            )
+        )
+        return _materialized(res)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_SQL_STATE_STORE_DEDUP = """
+SELECT user_id, event_id::BIGINT AS version, event_type
+FROM (
+  SELECT user_id, event_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+PENDING_QUERIES["streaming_state_store_dedup_equiv"] = streaming_state_store_dedup_equiv
+PENDING_ORACLE["streaming_state_store_dedup_equiv"] = _SQL_STATE_STORE_DEDUP
