@@ -1003,3 +1003,63 @@ GROUP BY 1
 
 PENDING_QUERIES["cdc_staleness_report"] = cdc_staleness_report
 PENDING_ORACLE["cdc_staleness_report"] = ORACLE_STALENESS
+
+
+# --- Delivery-order inversion report — PENDING round 7 --------------------------
+#
+# The late-data rate the watermark/LWW machinery exists to absorb, measured:
+# treating event_id as ARRIVAL order and the event timestamp as SOURCE
+# (commit) order, an adjacent inversion is a consecutive arrival pair for a
+# key whose timestamps run backwards — each one is a delivery that a
+# timestamp-ordered consumer would have mis-applied without version
+# arg-max. Reported per event type of the LATER (inverted) arrival:
+# adjacent pairs, inversions, rate in ppm, and the worst backwards jump in
+# seconds. Scale shape: one lag window pass per user partition (the
+# arrival sort), one bounded type-grain aggregate — the same single-shuffle
+# shape as the sequence-gap audit.
+
+def cdc_inversion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_id").alias("arr"),
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("es"),
+        "event_type",
+    )
+    w = Window.partitionBy("user_id").orderBy("arr")
+    pairs = ev.select(
+        "event_type",
+        (F.col("es") - F.lag("es").over(w)).alias("d"),
+    ).filter(F.col("d").isNotNull())
+    return pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.count_if(F.col("d") < 0).cast("long").alias("n_inversions"),
+        F.expr("count_if(d < 0) * 1000000 div count(1)")
+        .cast("long")
+        .alias("inversion_ppm"),
+        F.coalesce(-F.min(F.when(F.col("d") < 0, F.col("d"))), F.lit(0))
+        .cast("long")
+        .alias("max_backjump_s"),
+    )
+
+
+ORACLE_INVERSIONS = """
+WITH pairs AS (
+  SELECT event_type,
+         CAST(FLOOR(epoch(ts)) AS BIGINT)
+           - LAG(CAST(FLOOR(epoch(ts)) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY event_id) AS d
+  FROM events
+)
+SELECT event_type,
+       COUNT(*)::BIGINT AS n_pairs,
+       COUNT(*) FILTER (WHERE d < 0)::BIGINT AS n_inversions,
+       (COUNT(*) FILTER (WHERE d < 0) * 1000000 // COUNT(*))::BIGINT
+         AS inversion_ppm,
+       COALESCE(-MIN(CASE WHEN d < 0 THEN d END), 0)::BIGINT AS max_backjump_s
+FROM pairs
+WHERE d IS NOT NULL
+GROUP BY event_type
+"""
+
+PENDING_QUERIES["cdc_inversion_report"] = cdc_inversion_report
+PENDING_ORACLE["cdc_inversion_report"] = ORACLE_INVERSIONS

@@ -946,3 +946,74 @@ FROM shared JOIN deg da ON da.src = a JOIN deg db ON db.src = b
 
 PENDING_QUERIES["graph_neighbor_jaccard"] = graph_neighbor_jaccard
 PENDING_ORACLE["graph_neighbor_jaccard"] = _SQL_NBR_JACCARD
+
+
+# --- Directed-edge reciprocity — PENDING round 7 ------------------------------
+#
+# The companion scalar to the neighbor-Jaccard above: what share of distinct
+# directed transitions a→b also occur reversed b→a — high reciprocity means
+# back-and-forth flows (navigation loops), low means funnel-like one-way
+# traffic. Per SOURCE type: out-degree, reciprocated out-edges, and the
+# share in ppm; the reverse probe is a self-semi-join of the distinct edge
+# table on the swapped key. Scale shape: distinct edges once (the same
+# user-partitioned lag pass every transition query rides), then edge-grain
+# joins — bounded by the type-graph size, never the event count.
+
+def graph_edge_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        ev.select(
+            F.lag("event_type").over(w).alias("src"),
+            F.col("event_type").alias("dst"),
+        )
+        .filter(F.col("src").isNotNull() & (F.col("src") != F.col("dst")))
+        .distinct()
+        .persist()
+    )
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = edges.join(rev, ["src", "dst"], "leftsemi")
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("out_deg"))
+    rdeg = recip.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("n_recip")
+    )
+    return (
+        deg.join(rdeg, "src", "left")
+        .select(
+            F.col("src").alias("event_type"),
+            "out_deg",
+            F.coalesce("n_recip", F.lit(0)).cast("long").alias("n_recip"),
+            F.expr("coalesce(n_recip, 0) * 1000000 div out_deg")
+            .cast("long")
+            .alias("recip_ppm"),
+        )
+    )
+
+
+_SQL_RECIPROCITY = """
+WITH seq AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
+  FROM events
+),
+edges AS (
+  SELECT DISTINCT src, event_type AS dst FROM seq
+  WHERE src IS NOT NULL AND src <> event_type
+),
+recip AS (
+  SELECT e.src, COUNT(*)::BIGINT AS n_recip
+  FROM edges e
+  WHERE EXISTS (SELECT 1 FROM edges r WHERE r.src = e.dst AND r.dst = e.src)
+  GROUP BY e.src
+),
+deg AS (SELECT src, COUNT(*)::BIGINT AS out_deg FROM edges GROUP BY src)
+SELECT d.src AS event_type, d.out_deg,
+       COALESCE(r.n_recip, 0)::BIGINT AS n_recip,
+       (COALESCE(r.n_recip, 0) * 1000000 // d.out_deg)::BIGINT AS recip_ppm
+FROM deg d LEFT JOIN recip r ON r.src = d.src
+"""
+
+PENDING_QUERIES["graph_edge_reciprocity"] = graph_edge_reciprocity
+PENDING_ORACLE["graph_edge_reciprocity"] = _SQL_RECIPROCITY
