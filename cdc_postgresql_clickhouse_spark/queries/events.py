@@ -1751,3 +1751,87 @@ GROUP BY entry_type
 
 PENDING_QUERIES["events_entry_bounce_rate"] = events_entry_bounce_rate
 PENDING_ORACLE["events_entry_bounce_rate"] = ORACLE_BOUNCE
+
+
+# --- Signup→purchase conversion latency — PENDING round 7 -----------------------
+#
+# The funnel-latency complement of funnel_windowed: per signup-week cohort,
+# the nearest-rank median and p90 of the time from a user's FIRST signup to
+# their first purchase at-or-after it (users without a qualifying purchase
+# drop out — this is the converted-population latency, stated not hidden).
+# Rank arithmetic: median rank (n+1) div 2, p90 rank ceil(9n/10) =
+# (9n+9) div 10, both picked from ONE ranking window via conditional
+# aggregation. Scale shape: two user-grain aggregates (first signup,
+# first qualifying purchase — the join is user-keyed, co-partitioned), one
+# cohort-grain ranking window over per-user rows, one bounded weekly rollup.
+
+def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type",
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("es"),
+    )
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("es").alias("s_es"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("es").alias("p_es"))
+        .join(s, "user_id")
+        .filter(F.col("p_es") >= F.col("s_es"))
+        .groupBy("user_id")
+        .agg(F.min("p_es").alias("p_es"), F.max("s_es").alias("s_es"))
+    )
+    lat = p.select(
+        F.expr("s_es div 604800").cast("long").alias("week"),
+        (F.col("p_es") - F.col("s_es")).alias("lat_s"),
+    )
+    wrk = Window.partitionBy("week").orderBy("lat_s")
+    wn = Window.partitionBy("week")
+    ranked = lat.select(
+        "week", "lat_s",
+        F.row_number().over(wrk).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return ranked.groupBy("week").agg(
+        F.max("n").cast("long").alias("n_converted"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("lat_s"))
+        ).cast("long").alias("median_lat_s"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(9 * n + 9) div 10"), F.col("lat_s"))
+        ).cast("long").alias("p90_lat_s"),
+    )
+
+
+ORACLE_CONV_LATENCY = """
+WITH ev AS (
+  SELECT user_id, event_type, CAST(FLOOR(epoch(ts)) AS BIGINT) AS es FROM events
+),
+s AS (
+  SELECT user_id, MIN(es) AS s_es FROM ev WHERE event_type = 'signup'
+  GROUP BY user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.es) AS p_es, MAX(s.s_es) AS s_es
+  FROM ev e JOIN s ON e.user_id = s.user_id
+  WHERE e.event_type = 'purchase' AND e.es >= s.s_es
+  GROUP BY e.user_id
+),
+ranked AS (
+  SELECT (s_es // 604800)::BIGINT AS week, p_es - s_es AS lat_s,
+         ROW_NUMBER() OVER (PARTITION BY s_es // 604800 ORDER BY p_es - s_es) AS rn,
+         COUNT(*) OVER (PARTITION BY s_es // 604800) AS n
+  FROM p
+)
+SELECT week,
+       MAX(n)::BIGINT AS n_converted,
+       MAX(CASE WHEN rn = (n + 1) // 2 THEN lat_s END)::BIGINT AS median_lat_s,
+       MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN lat_s END)::BIGINT AS p90_lat_s
+FROM ranked
+GROUP BY week
+"""
+
+PENDING_QUERIES["events_conversion_latency"] = events_conversion_latency
+PENDING_ORACLE["events_conversion_latency"] = ORACLE_CONV_LATENCY
