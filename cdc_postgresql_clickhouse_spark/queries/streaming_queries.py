@@ -1298,3 +1298,74 @@ FROM (
 
 PENDING_QUERIES["streaming_state_store_dedup_equiv"] = streaming_state_store_dedup_equiv
 PENDING_ORACLE["streaming_state_store_dedup_equiv"] = _SQL_STATE_STORE_DEDUP
+
+
+def streaming_sliding_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming SLIDING windows (10-min window / 5-min slide,
+    overlapping — each event feeds two frames) ≡ the batch two-bucket
+    expansion of events_sliding_10min. Append mode + the far-future
+    sentinel flush, per the tumbling twin; the stream groups by
+    (window, type) so the sentinel's windows are filterable, then the
+    read-back re-aggregates to bucket grain — the DECIMAL(18,2) partial
+    sums re-add exactly (integer cents under the hood), so the double cast
+    happens once at the end, same as the batch twin."""
+    from cdc_postgresql_clickhouse_spark.streaming.windows import sliding_counts
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    tmp = tempfile.mkdtemp(prefix="stream_slide_")
+    try:
+        src = os.path.join(tmp, "src")
+        out = os.path.join(tmp, "out")
+        ckpt = os.path.join(tmp, "ckpt")
+        ev.write.parquet(src)
+
+        def drain() -> None:
+            q = (
+                sliding_counts(
+                    spark.readStream.schema(ev.schema).parquet(src)
+                )
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        drain()
+        far = ev.select(F.max("ts")).first()[0]
+        spark.createDataFrame(
+            [(SENTINEL_TYPE, far, 0.0)], "event_type string, ts timestamp, value double"
+        ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 30 DAYS")).write.mode(
+            "append"
+        ).parquet(src)
+        drain()
+        res = (
+            spark.read.parquet(out)
+            .filter(F.col("event_type") != SENTINEL_TYPE)
+            .groupBy(F.unix_timestamp("window_start").alias("bucket_start"))
+            .agg(
+                F.sum("n_events").cast("long").alias("n_events"),
+                F.sum("sum_dec").cast("double").alias("sum_value"),
+            )
+        )
+        return _materialized(res)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_SQL_SLIDING_EQ = """
+WITH b AS (SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) AS es, value FROM events),
+expanded AS (
+  SELECT (es // 300) * 300 AS s, value FROM b
+  UNION ALL
+  SELECT (es // 300) * 300 - 300 AS s, value FROM b
+)
+SELECT CAST(s AS BIGINT) AS bucket_start, COUNT(*)::BIGINT AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM expanded GROUP BY 1
+"""
+
+PENDING_QUERIES["streaming_sliding_equiv"] = streaming_sliding_equiv
+PENDING_ORACLE["streaming_sliding_equiv"] = _SQL_SLIDING_EQ

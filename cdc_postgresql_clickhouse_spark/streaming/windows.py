@@ -186,3 +186,30 @@ def interval_join_pairs(
         & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {range_minutes} MINUTES")),
         "inner",
     )
+
+
+def sliding_counts(
+    events: DataFrame,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked SLIDING windows (overlapping — each event lands in
+    window/slide frames); append-mode capable, flushed by the same
+    far-future-sentinel device as the tumbling twin. Spark aligns sliding
+    window starts to multiples of the slide, which is exactly the batch
+    twin's two-bucket expansion (events_sliding_10min)."""
+    return (
+        _tz_aware_ts(events).withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_dec"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_dec",
+        )
+    )
