@@ -1072,17 +1072,22 @@ PENDING_ORACLE["streaming_join_mv_equiv"] = _SQL_JOIN_MV
 
 
 def streaming_interval_join_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Native watermarked STREAM-STREAM interval join ≡ the batch interval
-    join: purchases joined with same-user clicks in the preceding 60
-    minutes, streamed as THREE event-time-ordered micro-batches (month split
-    into ~10-day chunks, sequential appends + maxFilesPerTrigger=1). The
-    2-hour watermark delay exceeds the 60-minute join range, so no partner
-    row is ever evicted before its match arrives and the streamed pair set
-    is exactly the batch one (contract documented on
-    ``streaming.windows.interval_join_pairs``). The row reports per-purchase
-    click context: pair count, tightest gap in whole seconds, and the
-    purchase amount in cents."""
-    from cdc_postgresql_clickhouse_spark.streaming.windows import interval_join_pairs
+    """The NATIVE watermarked stream-stream interval join
+    (``streaming/joins.py::purchase_attribution_join`` — the same function
+    the batch row events_purchase_attribution gates through DuckDB) run as a
+    genuine two-stream join over the fixture: purchases joined with
+    same-user clicks in the preceding 60 minutes, streamed as THREE
+    event-time-ordered micro-batches (month split into ~10-day chunks,
+    sequential appends + maxFilesPerTrigger=1). The 2-hour watermark delay
+    exceeds the 60-minute join range, so no partner row is ever evicted
+    before its match arrives and the streamed pair set is exactly the batch
+    one; inner stream-stream joins emit on match in append mode, so no
+    sentinel flush is needed. The row reports per-purchase click context:
+    pair count, tightest gap in whole seconds, and the purchase amount in
+    cents."""
+    from cdc_postgresql_clickhouse_spark.streaming.joins import (
+        purchase_attribution_join,
+    )
 
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", "event_type", "value"
@@ -1100,9 +1105,17 @@ def streaming_interval_join_equiv(spark: SparkSession, sf_dir: str) -> DataFrame
         stream = spark.readStream.schema(ev.schema).option(
             "maxFilesPerTrigger", 1
         ).parquet(src)
+        from cdc_postgresql_clickhouse_spark.streaming.windows import _tz_aware_ts
+
+        tz = _tz_aware_ts(stream)
+        joined = purchase_attribution_join(
+            tz.filter(F.col("event_type") == "click"),
+            tz.filter(F.col("event_type") == "purchase"),
+            lookback="60 minutes",
+            watermark="2 hours",
+        )
         q = (
-            interval_join_pairs(stream)
-            .writeStream.format("parquet")
+            joined.writeStream.format("parquet")
             .option("path", out)
             .option("checkpointLocation", ckpt)
             .outputMode("append")
@@ -1112,17 +1125,14 @@ def streaming_interval_join_equiv(spark: SparkSession, sf_dir: str) -> DataFrame
         q.awaitTermination()
         pairs = spark.read.parquet(out)
         res = (
-            pairs.groupBy(
-                F.col("p_id").alias("purchase_id"),
-                F.col("p_uid").alias("user_id"),
-            )
+            pairs.groupBy("purchase_id", "user_id")
             .agg(
                 F.count(F.lit(1)).cast("long").alias("n_clicks_60m"),
                 F.min(
-                    F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")
+                    F.unix_timestamp("purchase_ts") - F.unix_timestamp("view_ts")
                 ).cast("long").alias("min_gap_s"),
                 F.max(
-                    F.floor(F.col("p_value") * 100 + F.lit(0.5)).cast("long")
+                    F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
                 ).alias("cents"),
             )
         )
@@ -1153,6 +1163,7 @@ GROUP BY 1, 2
 
 PENDING_QUERIES["streaming_interval_join_equiv"] = streaming_interval_join_equiv
 PENDING_ORACLE["streaming_interval_join_equiv"] = _SQL_INTERVAL_JOIN
+
 
 
 def streaming_dropdup_watermark_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -141,53 +141,6 @@ def stateful_max_version_dedup(events: DataFrame) -> DataFrame:
     )
 
 
-def interval_join_pairs(
-    events: DataFrame,
-    range_minutes: int = 60,
-    watermark: str = "2 hours",
-) -> DataFrame:
-    """Native STREAM-STREAM inner join with an event-time range condition
-    (purchase ⨝ preceding same-user clicks within ``range_minutes``) — the
-    Structured Streaming feature the rest of the streaming layer deliberately
-    avoids (the CDC path is version-based), exercised here on its own terms.
-
-    Both sides carry a watermark; Spark derives the state-retention bound
-    from watermark + range condition and evicts old rows from the join state
-    automatically. CORRECTNESS CONTRACT for equivalence against a batch
-    oracle: deliver micro-batches in event-time order and keep the watermark
-    delay STRICTLY larger than the join range — then no row's partner can be
-    evicted before the row arrives, so the streamed pair set equals the
-    batch interval join exactly. Inner stream-stream joins emit on match in
-    append mode (no window-close wait), so no sentinel flush is needed."""
-    ev = _tz_aware_ts(events)
-    purchases = (
-        ev.filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("user_id").alias("p_uid"),
-            F.col("ts").alias("p_ts"),
-            F.col("event_id").alias("p_id"),
-            F.col("value").alias("p_value"),
-        )
-        .withWatermark("p_ts", watermark)
-    )
-    clicks = (
-        ev.filter(F.col("event_type") == "click")
-        .select(
-            F.col("user_id").alias("c_uid"),
-            F.col("ts").alias("c_ts"),
-            F.col("event_id").alias("c_id"),
-        )
-        .withWatermark("c_ts", watermark)
-    )
-    return purchases.join(
-        clicks,
-        (F.col("p_uid") == F.col("c_uid"))
-        & (F.col("c_ts") <= F.col("p_ts"))
-        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {range_minutes} MINUTES")),
-        "inner",
-    )
-
-
 def sliding_counts(
     events: DataFrame,
     window: str = "10 minutes",
