@@ -94,3 +94,46 @@ def test_truncation_report_broadcasts_query_sides(spark, sf_dir):
     assert plan.count("BroadcastNestedLoopJoin") >= 3, plan[:2000]
     assert plan.count("BroadcastHashJoin") >= 1, plan[:2000]
     assert "SortMergeJoin" not in plan
+
+
+def test_pareto_and_benford_scan_once(spark, sf_dir):
+    """Both grand totals ride windows over the bounded distinct/digit grid —
+    the fact table must appear exactly once in each plan."""
+    from cdc_postgresql_clickhouse_spark.queries.tpch_more import (
+        orders_benford_digits,
+        orders_pareto_abc,
+    )
+
+    import re
+
+    for fn in (orders_pareto_abc, orders_benford_digits):
+        plan = formatted_plan(fn(spark, sf_dir))
+        assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan[:2000]
+
+
+def test_share_pivots_are_single_pass(spark, sf_dir):
+    """The half-vs-half reports pivot with conditional aggregation: no
+    full-outer self-join, so no SortMergeJoin may appear."""
+    from cdc_postgresql_clickhouse_spark.queries.tpch_more import (
+        customer_tier_migration,
+        parts_brand_share_shift,
+    )
+
+    import re
+
+    for fn, max_scans in ((customer_tier_migration, 2), (parts_brand_share_shift, 4)):
+        plan = formatted_plan(fn(spark, sf_dir))
+        assert "SortMergeJoin" not in plan, plan[:2000]
+        assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= max_scans, plan[:2000]
+
+
+def test_tfidf_cosine_candidates_are_equi_join(spark, sf_dir):
+    """Rare-shingle blocking must pair candidates through an EQUI-join; the
+    only nested-loop allowed is the one-row corpus-count broadcast."""
+    from cdc_postgresql_clickhouse_spark.queries.dedup import dedup_tfidf_cosine
+
+    import re
+
+    plan = formatted_plan(dedup_tfidf_cosine(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 1, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
