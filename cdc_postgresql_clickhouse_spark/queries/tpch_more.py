@@ -1720,28 +1720,34 @@ PENDING_QUERIES["customer_tier_migration"] = customer_tier_migration
 PENDING_ORACLE["customer_tier_migration"] = _SQL_TIER_MIGRATION
 
 
-# --- Duplicate-payment screen — PENDING round 7 ---------------------------------
+# --- Rapid repeat-order audit — PENDING round 7 ---------------------------------
 #
-# The classic AP audit: orders by the same customer for the same amount on
-# the same day are double-charge candidates. Report one row per candidate
-# GROUP (not per order): customer, cents, epoch-day, how many orders
-# collided, and the colliding order ids as a deterministic sorted CSV (the
-# sort makes the value hash stable; the group is small by construction —
-# real duplicates come in 2s and 3s). Scale shape: one shuffle to the
-# (customer, cents, day) composite key with map-side partials, HAVING
-# count > 1 — selectivity does the rest; no window, no join.
+# The ops screen for accidental double submissions and scripted ordering: a
+# customer placing MORE THAN ONE order inside the same calendar week
+# (epoch-day div 7 — no year-boundary seam). One row per (customer, week)
+# collision group: order count, total cents, and the colliding order ids as
+# a deterministically SORTED CSV (the sort makes the value hash stable; the
+# group is small by construction). An exact same-amount duplicate screen is
+# vacuous on this schema — o_totalprice is effectively continuous (probed:
+# zero collisions at sf0.01), so the week-grain recurrence is the honest
+# signal. Scale shape: one shuffle to the (customer, week) composite key
+# with map-side partials, HAVING count > 1 — selectivity does the rest; no
+# window, no join.
 
-def orders_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+def orders_rapid_repeat_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
         "o_custkey",
+        F.expr("datediff(o_orderdate, DATE '1970-01-01') div 7")
+        .cast("long")
+        .alias("week"),
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
-        F.expr("datediff(o_orderdate, DATE '1970-01-01')").cast("long").alias("d"),
         "o_orderkey",
     )
     return (
-        o.groupBy("o_custkey", "cents", "d")
+        o.groupBy("o_custkey", "week")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("sum_cents"),
             F.array_join(
                 F.array_sort(F.collect_list(F.col("o_orderkey").cast("string"))),
                 ",",
@@ -1751,17 +1757,17 @@ def orders_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_DUP_PAYMENTS = """
+_SQL_RAPID_REPEAT = """
 SELECT o_custkey,
-       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
-       datediff('day', DATE '1970-01-01', o_orderdate)::BIGINT AS d,
+       (datediff('day', DATE '1970-01-01', o_orderdate) // 7)::BIGINT AS week,
        COUNT(*)::BIGINT AS n_orders,
+       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))::BIGINT AS sum_cents,
        string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY CAST(o_orderkey AS VARCHAR))
          AS orderkeys
 FROM orders
-GROUP BY 1, 2, 3
+GROUP BY 1, 2
 HAVING COUNT(*) > 1
 """
 
-PENDING_QUERIES["orders_duplicate_payments"] = orders_duplicate_payments
-PENDING_ORACLE["orders_duplicate_payments"] = _SQL_DUP_PAYMENTS
+PENDING_QUERIES["orders_rapid_repeat_orders"] = orders_rapid_repeat_orders
+PENDING_ORACLE["orders_rapid_repeat_orders"] = _SQL_RAPID_REPEAT
