@@ -1,10 +1,12 @@
 """Local emulation of the driver's full correctness gate: every registered
 query vs its DuckDB oracle at a given sf dir. Usage:
 
-    python scripts/parity_sweep.py [sf_dir] [query ...]
+    python scripts/parity_sweep.py [--pending] [sf_dir] [query ...]
 
-Prints one line per query (OK/FAIL/ERR) and a final summary; exit code 1 on
-any failure.
+--pending sweeps the round-7 PENDING layer (PENDING_QUERIES/PENDING_ORACLE
+across the query modules) instead of the registered contract — the flip
+validation tool. Prints one line per query (OK/FAIL/ERR) and a final
+summary; exit code 1 on any failure.
 """
 
 from __future__ import annotations
@@ -21,13 +23,34 @@ from tests.oracle_harness import compare, duckdb_con  # noqa: E402
 from cdc_postgresql_clickhouse_spark.session import get_spark  # noqa: E402
 
 
+def _pending_maps() -> tuple[dict, dict]:
+    import importlib
+
+    qs: dict = {}
+    oracles: dict = {}
+    mods = (
+        "tokenizer cdc search sketches skew graph text_ext pca tpch_ext "
+        "events tpch_more training quality text streaming_queries similarity "
+        "cluster dedup"
+    ).split()
+    for m in mods:
+        mod = importlib.import_module(f"cdc_postgresql_clickhouse_spark.queries.{m}")
+        qs.update(getattr(mod, "PENDING_QUERIES", {}))
+        oracles.update(getattr(mod, "PENDING_ORACLE", {}))
+    return qs, oracles
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--pending"]
+    pending = "--pending" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
     spark = get_spark()
     con = duckdb_con(sf_dir)
-    qs = entry.queries()
-    oracles = entry.oracle_sql()
+    if pending:
+        qs, oracles = _pending_maps()
+    else:
+        qs, oracles = entry.queries(), entry.oracle_sql()
     unknown = only - set(qs)
     if unknown:
         print(f"unknown query name(s): {sorted(unknown)}; known: {sorted(qs)}")
