@@ -164,8 +164,8 @@ WITH xi AS (
   FROM (SELECT vec_id, embedding, unnest(range(0, {PCA_DIM})) AS j FROM embeddings)
 ),
 nv AS (SELECT COUNT(*) AS n FROM embeddings),
-mu AS (SELECT j, SUM(x) // n AS mu FROM xi CROSS JOIN nv GROUP BY j, n),
-cen AS (SELECT x.i, x.j, x.x - m.mu AS c FROM xi x JOIN mu m ON m.j = x.j),
+mu AS MATERIALIZED (SELECT j, SUM(x) // n AS mu FROM xi CROSS JOIN nv GROUP BY j, n),
+cen AS MATERIALIZED (SELECT x.i, x.j, x.x - m.mu AS c FROM xi x JOIN mu m ON m.j = x.j),
 cov AS (
   SELECT a.j, b.j AS k, SUM(a.c * b.c) AS cjk
   FROM cen a JOIN cen b ON a.i = b.i GROUP BY a.j, b.j
@@ -255,7 +255,7 @@ def embedding_pca_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_RESIDUAL = f"""
-WITH vtab AS ({_SQL_PCA}),
+WITH vtab AS MATERIALIZED ({_SQL_PCA}),
 v2v AS (
   SELECT GREATEST(1, SUM(v_micro * v_micro) // {_V2_SHIFT}) AS v2s FROM vtab
 ),
