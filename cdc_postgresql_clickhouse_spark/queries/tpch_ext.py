@@ -983,3 +983,46 @@ FROM rows_
 
 PENDING_QUERIES["validation_expectations_report"] = validation_expectations_report
 PENDING_ORACLE["validation_expectations_report"] = _SQL_EXPECTATIONS
+
+
+# --- PIVOT→UNPIVOT round-trip — PENDING round 7 ---------------------------------
+#
+# The UNPIVOT (melt) half of the reshape surface, proved by algebra: pivot
+# order counts to wide form (explicit value list — one groupBy, no
+# discovery pass), melt back with ``DataFrame.unpivot``, and the long form
+# must equal the direct GROUP BY — the oracle IS that direct aggregation,
+# so the row passes only if unpivot(pivot(x)) = x for every populated cell.
+# Zero-count cells materialized by the wide form are dropped on the way
+# back (n > 0), mirroring the direct aggregation which never saw them.
+# Scale shape: one shuffle for the pivot groupBy; the unpivot is a
+# zero-shuffle row-local explode of 3 columns.
+
+def pivot_unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    wide = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    long = wide.unpivot(
+        ids=["o_orderpriority"],
+        values=["O", "F", "P"],
+        variableColumnName="o_orderstatus",
+        valueColumnName="n",
+    )
+    return long.filter(F.col("n").isNotNull() & (F.col("n") > 0)).select(
+        "o_orderpriority",
+        "o_orderstatus",
+        F.col("n").cast("long").alias("n_orders"),
+    )
+
+
+_SQL_PIVOT_ROUNDTRIP = """
+SELECT o_orderpriority, o_orderstatus, COUNT(*)::BIGINT AS n_orders
+FROM orders
+WHERE o_orderstatus IN ('O', 'F', 'P')
+GROUP BY 1, 2
+"""
+
+PENDING_QUERIES["pivot_unpivot_roundtrip"] = pivot_unpivot_roundtrip
+PENDING_ORACLE["pivot_unpivot_roundtrip"] = _SQL_PIVOT_ROUNDTRIP
