@@ -41,9 +41,15 @@ CHECK = [
 ]
 
 
+def _key(t):
+    # None-safe total order: nullable report columns (e.g. the tier-migration
+    # churn/acquisition margins) would make tuple comparison raise
+    return tuple((v is None, v) for v in t)
+
+
 def _rows(spark, name, sf_dir):
     df = Q[name](spark, sf_dir)
-    return sorted(tuple(r) for r in df.collect())
+    return sorted((tuple(r) for r in df.collect()), key=_key)
 
 
 @pytest.mark.parametrize("name", CHECK)
@@ -77,6 +83,17 @@ _PENDING_CHECK = [
     "embedding_centroid_drift",
     "sketch_cms_join_size",
     "graph_hits_types",
+    # fourth-session additions that lean hardest on ordered devices:
+    # pairwise-slope median, ranking-window medians/p90s, ntile tiering,
+    # argmax change-point, TF-IDF cos² over float-ln weights, RANGE frames
+    "orders_theilsen_trend",
+    "orders_seasonal_index",
+    "events_conversion_latency",
+    "customer_tier_migration",
+    "events_changepoint_argmax",
+    "dedup_tfidf_cosine",
+    "events_range_frame_peak",
+    "skew_join_key_report",
 ]
 
 
@@ -93,9 +110,9 @@ def test_pending_result_is_parallelism_invariant(spark, sf_dir, name):
     orig = conf.get("spark.sql.shuffle.partitions")
     try:
         conf.set("spark.sql.shuffle.partitions", "3")
-        a = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
+        a = sorted((tuple(r) for r in fn(spark, sf_dir).collect()), key=_key)
         conf.set("spark.sql.shuffle.partitions", "17")
-        b = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
+        b = sorted((tuple(r) for r in fn(spark, sf_dir).collect()), key=_key)
     finally:
         conf.set("spark.sql.shuffle.partitions", orig)
     assert a == b, f"{name}: result depends on shuffle partitioning"
