@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from cdc_postgresql_clickhouse_spark.functions.text import STOPWORDS, normalized_text, tokens
 from cdc_postgresql_clickhouse_spark.sources.registry import load_table
@@ -678,3 +679,101 @@ LIMIT {TOP_BURST}
 
 PENDING_QUERIES["text_term_burstiness"] = text_term_burstiness
 PENDING_ORACLE["text_term_burstiness"] = _sql_burstiness()
+
+
+# --- Distinctive-vocabulary keyness — PENDING round 7 ---------------------------
+#
+# Corpus-comparison: which tokens make each source sound like ITSELF —
+# the keyword-extraction complement of the KL drift row (that one scores
+# whole sources; this one names the tokens). Keyness is a pure-integer
+# smoothed rate ratio instead of Dunning's G² so no floating ln enters the
+# ranking: with per-million rates r_in = a·1e6 div n_src and
+# r_out = b·1e6 div n_rest, keyness_milli = (r_in + 1)·1000 div (r_out + 1)
+# (+1 Laplace keeps unseen-elsewhere tokens finite and the ratio monotone).
+# Top KEYNESS_K per source by (keyness DESC, token) — deterministic.
+# Scale shape: one explode to (source, token) counts, one token-grain total
+# to derive the complement by subtraction (no anti-join), one bounded
+# per-source ranking window.
+
+KEYNESS_K = 5
+
+
+def text_keyness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    tok = docs.select("source", F.explode(tokens(F.col("text"))).alias("t"))
+    per = tok.groupBy("source", "t").agg(F.count(F.lit(1)).cast("long").alias("a"))
+    tot_t = per.groupBy("t").agg(F.sum("a").cast("long").alias("ct"))
+    wsrc = Window.partitionBy("source")
+    wall = Window.partitionBy()
+    scored = (
+        per.join(tot_t, "t")
+        .select(
+            "source", "t", "a", "ct",
+            F.sum("a").over(wsrc).alias("n_src"),
+            F.sum("a").over(wall).alias("n_all"),
+        )
+        .select(
+            "source", "t", "a",
+            (F.col("ct") - F.col("a")).alias("b"),
+            "n_src",
+            (F.col("n_all") - F.col("n_src")).alias("n_rest"),
+        )
+        .select(
+            "source", "t", "a", "b",
+            F.expr(
+                "((a * 1000000 div n_src) + 1) * 1000"
+                " div ((b * 1000000 div n_rest) + 1)"
+            ).cast("long").alias("keyness_milli"),
+        )
+    )
+    wrk = Window.partitionBy("source").orderBy(
+        F.desc("keyness_milli"), F.asc("t")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(wrk))
+        .filter(F.col("rn") <= KEYNESS_K)
+        .select(
+            "source",
+            F.col("t").alias("token"),
+            F.col("a").alias("n_in"),
+            F.col("b").alias("n_out"),
+            "keyness_milli",
+            F.col("rn").cast("long").alias("rank"),
+        )
+    )
+
+
+def _sql_keyness() -> str:
+    from cdc_postgresql_clickhouse_spark.queries.dedup import _SQL_TOKENS
+
+    return f"""
+WITH tok AS (
+  SELECT source, unnest({_SQL_TOKENS}) AS t FROM documents
+),
+per AS (SELECT source, t, COUNT(*)::BIGINT AS a FROM tok GROUP BY 1, 2),
+tot_t AS (SELECT t, SUM(a)::BIGINT AS ct FROM per GROUP BY t),
+scored AS (
+  SELECT source, t, a, ct - a AS b,
+         SUM(a) OVER (PARTITION BY source) AS n_src,
+         SUM(a) OVER () - SUM(a) OVER (PARTITION BY source) AS n_rest
+  FROM per JOIN tot_t USING (t)
+),
+keyed AS (
+  SELECT source, t, a, b,
+         (((a * 1000000 // n_src) + 1) * 1000
+            // ((b * 1000000 // n_rest) + 1))::BIGINT AS keyness_milli
+  FROM scored
+)
+SELECT source, t AS token, a AS n_in, b AS n_out, keyness_milli,
+       rn::BIGINT AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+              ORDER BY keyness_milli DESC, t) AS rn
+  FROM keyed
+)
+WHERE rn <= {KEYNESS_K}
+"""
+
+
+PENDING_QUERIES["text_keyness_report"] = text_keyness_report
+PENDING_ORACLE["text_keyness_report"] = _sql_keyness()
