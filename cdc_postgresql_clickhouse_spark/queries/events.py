@@ -1835,3 +1835,92 @@ GROUP BY week
 
 PENDING_QUERIES["events_conversion_latency"] = events_conversion_latency
 PENDING_ORACLE["events_conversion_latency"] = ORACLE_CONV_LATENCY
+
+
+# --- Activity streaks (gaps and islands) — PENDING round 7 ----------------------
+#
+# The canonical gaps-and-islands pattern, absent from the surface until now:
+# consecutive-day activity runs per user via the island key
+# day − dense_rank(day) (constant within a run of consecutive distinct days,
+# the textbook device — no recursion, no self-join). Report per user:
+# active days, number of islands, the LONGEST streak with its start day
+# (earliest on ties), and the longest gap between islands. Scale shape: one
+# distinct to (user, day) grain, one user-partitioned ranking window, one
+# (user, island) aggregate, one user rollup — a single user-keyed shuffle
+# chain, no global state.
+
+def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT)").alias("day"),
+    ).distinct()
+    wdr = Window.partitionBy("user_id").orderBy("day")
+    isl = ev.select(
+        "user_id", "day",
+        (F.col("day") - F.dense_rank().over(wdr)).alias("grp"),
+        (F.col("day") - F.lag("day").over(wdr)).alias("gap"),
+    )
+    runs = isl.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).cast("long").alias("len"),
+        F.min("day").alias("start_day"),
+    )
+    wbest = Window.partitionBy("user_id").orderBy(
+        F.desc("len"), F.asc("start_day")
+    )
+    best = (
+        runs.withColumn("rn", F.row_number().over(wbest))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("len").alias("longest_streak"),
+            F.col("start_day").alias("streak_start_day"),
+        )
+    )
+    base = isl.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_active_days"),
+        F.countDistinct("grp").cast("long").alias("n_islands"),
+        F.coalesce(
+            F.max(F.when(F.col("gap") > 1, F.col("gap") - 1)), F.lit(0)
+        ).cast("long").alias("longest_gap_days"),
+    )
+    return base.join(best, "user_id")
+
+
+ORACLE_STREAKS = """
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day
+  FROM events
+),
+isl AS (
+  SELECT user_id, day,
+         day - DENSE_RANK() OVER (PARTITION BY user_id ORDER BY day) AS grp,
+         day - LAG(day) OVER (PARTITION BY user_id ORDER BY day) AS gap
+  FROM ud
+),
+runs AS (
+  SELECT user_id, grp, COUNT(*)::BIGINT AS len, MIN(day) AS start_day
+  FROM isl GROUP BY 1, 2
+),
+best AS (
+  SELECT user_id, len AS longest_streak, start_day AS streak_start_day
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                ORDER BY len DESC, start_day) AS rn
+    FROM runs
+  ) WHERE rn = 1
+),
+base AS (
+  SELECT user_id, COUNT(*)::BIGINT AS n_active_days,
+         COUNT(DISTINCT grp)::BIGINT AS n_islands,
+         COALESCE(MAX(CASE WHEN gap > 1 THEN gap - 1 END), 0)::BIGINT
+           AS longest_gap_days
+  FROM isl GROUP BY user_id
+)
+SELECT b.user_id, b.n_active_days, b.n_islands, b.longest_gap_days,
+       s.longest_streak, s.streak_start_day
+FROM base b JOIN best s USING (user_id)
+"""
+
+PENDING_QUERIES["events_activity_streaks"] = events_activity_streaks
+PENDING_ORACLE["events_activity_streaks"] = ORACLE_STREAKS
