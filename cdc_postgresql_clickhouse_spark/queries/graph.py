@@ -1017,3 +1017,93 @@ FROM deg d LEFT JOIN recip r ON r.src = d.src
 
 PENDING_QUERIES["graph_edge_reciprocity"] = graph_edge_reciprocity
 PENDING_ORACLE["graph_edge_reciprocity"] = _SQL_RECIPROCITY
+
+
+# --- Degree assortativity — PENDING round 7 -----------------------------------
+#
+# Newman's degree-mixing coefficient over the distinct transition graph: the
+# Pearson correlation, across directed edges, between the OUT-degree of the
+# edge's source and the IN-degree of its target. Positive r = hubs feed
+# hubs; negative = hub-and-spoke funnels. Sufficient statistics are exact
+# BIGINTs at edge grain; the only doubles are one IEEE-correctly-rounded
+# sqrt and one division, floored once at milli grain (the autocorr-tail
+# device). Degenerate variance → r = 0. Scale shape: two degree aggregates
+# joined back to the edge list (broadcast — node-domain-sized for the type
+# graph), one global sufficient-stats aggregate.
+
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        ev.select(
+            F.lag("event_type").over(w).alias("src"),
+            F.col("event_type").alias("dst"),
+        )
+        .filter(F.col("src").isNotNull() & (F.col("src") != F.col("dst")))
+        .distinct()
+        .persist()
+    )
+    outd = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("x"))
+    ind = edges.groupBy("dst").agg(F.count(F.lit(1)).cast("long").alias("y"))
+    e = edges.join(F.broadcast(outd), "src").join(F.broadcast(ind), "dst")
+    m = e.agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("n_edges") * F.col("sxy") - F.col("sx") * F.col("sy")
+    d1 = F.col("n_edges") * F.col("sxx") - F.col("sx") * F.col("sx")
+    d2 = F.col("n_edges") * F.col("syy") - F.col("sy") * F.col("sy")
+    return m.select(
+        "n_edges",
+        num.cast("long").alias("r_num"),
+        d1.cast("long").alias("var_x"),
+        d2.cast("long").alias("var_y"),
+        F.when(
+            (d1 > 0) & (d2 > 0),
+            F.floor(
+                num.cast("double")
+                * F.lit(1000.0)
+                / F.sqrt(d1.cast("double") * d2.cast("double"))
+            ),
+        ).otherwise(F.lit(0)).cast("long").alias("r_milli"),
+    )
+
+
+_SQL_ASSORTATIVITY = """
+WITH seq AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
+  FROM events
+),
+edges AS (
+  SELECT DISTINCT src, event_type AS dst FROM seq
+  WHERE src IS NOT NULL AND src <> event_type
+),
+outd AS (SELECT src, COUNT(*)::BIGINT AS x FROM edges GROUP BY src),
+ind AS (SELECT dst, COUNT(*)::BIGINT AS y FROM edges GROUP BY dst),
+m AS (
+  SELECT COUNT(*)::BIGINT AS n_edges,
+         SUM(x)::BIGINT AS sx, SUM(y)::BIGINT AS sy,
+         SUM(x * y)::BIGINT AS sxy,
+         SUM(x * x)::BIGINT AS sxx, SUM(y * y)::BIGINT AS syy
+  FROM edges JOIN outd USING (src) JOIN ind USING (dst)
+)
+SELECT n_edges,
+       (n_edges * sxy - sx * sy)::BIGINT AS r_num,
+       (n_edges * sxx - sx * sx)::BIGINT AS var_x,
+       (n_edges * syy - sy * sy)::BIGINT AS var_y,
+       CASE WHEN n_edges * sxx - sx * sx > 0 AND n_edges * syy - sy * sy > 0
+            THEN FLOOR(CAST(n_edges * sxy - sx * sy AS DOUBLE) * 1000.0
+                       / sqrt(CAST(n_edges * sxx - sx * sx AS DOUBLE)
+                              * CAST(n_edges * syy - sy * sy AS DOUBLE)))
+            ELSE 0 END::BIGINT AS r_milli
+FROM m
+"""
+
+PENDING_QUERIES["graph_degree_assortativity"] = graph_degree_assortativity
+PENDING_ORACLE["graph_degree_assortativity"] = _SQL_ASSORTATIVITY
