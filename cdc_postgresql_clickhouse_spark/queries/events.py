@@ -1924,3 +1924,69 @@ FROM base b JOIN best s USING (user_id)
 
 PENDING_QUERIES["events_activity_streaks"] = events_activity_streaks
 PENDING_ORACLE["events_activity_streaks"] = ORACLE_STREAKS
+
+
+# --- Streak hazard curve (discrete survival) — PENDING round 7 ------------------
+#
+# Discrete-time survival over the activity islands above: for each streak
+# length k, the hazard h(k) = P(a streak ENDS at exactly k days | it reached
+# k) = (#islands of length k) / (#islands of length ≥ k) — the churn curve
+# product teams read ("day-3 cliff"). Pure integers: the at-risk set is a
+# suffix sum over the BOUNDED length histogram (descending cumulative
+# window), hazard ships in ppm. Scale shape: reuses the single user-keyed
+# shuffle chain of the streak report down to (user, island) grain, then
+# everything runs on the length histogram — corpus-independent domain.
+
+def events_streak_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT)").alias("day"),
+    ).distinct()
+    wdr = Window.partitionBy("user_id").orderBy("day")
+    isl = ev.select(
+        "user_id", "day",
+        (F.col("day") - F.dense_rank().over(wdr)).alias("grp"),
+    )
+    runs = isl.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).cast("long").alias("len")
+    )
+    hist = runs.groupBy("len").agg(F.count(F.lit(1)).cast("long").alias("n_end"))
+    wrisk = Window.orderBy(F.desc("len")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return hist.select(
+        F.col("len").alias("k"),
+        "n_end",
+        F.sum("n_end").over(wrisk).alias("n_at_risk"),
+    ).select(
+        "k", "n_end",
+        F.col("n_at_risk").cast("long").alias("n_at_risk"),
+        F.expr("n_end * 1000000 div n_at_risk").cast("long").alias("hazard_ppm"),
+    )
+
+
+ORACLE_STREAK_HAZARD = """
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day
+  FROM events
+),
+isl AS (
+  SELECT user_id, day,
+         day - DENSE_RANK() OVER (PARTITION BY user_id ORDER BY day) AS grp
+  FROM ud
+),
+runs AS (
+  SELECT user_id, grp, COUNT(*)::BIGINT AS len FROM isl GROUP BY 1, 2
+),
+hist AS (SELECT len, COUNT(*)::BIGINT AS n_end FROM runs GROUP BY len)
+SELECT len AS k, n_end,
+       SUM(n_end) OVER (ORDER BY len DESC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS n_at_risk,
+       (n_end * 1000000 // SUM(n_end) OVER (ORDER BY len DESC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS hazard_ppm
+FROM hist
+"""
+
+PENDING_QUERIES["events_streak_hazard"] = events_streak_hazard
+PENDING_ORACLE["events_streak_hazard"] = ORACLE_STREAK_HAZARD
