@@ -1363,3 +1363,96 @@ FROM edges e LEFT JOIN mutual m ON m.q_label = e.q_label
 
 PENDING_QUERIES["embedding_knn_reciprocity"] = embedding_knn_reciprocity
 PENDING_ORACLE["embedding_knn_reciprocity"] = _SQL_KNN_RECIPROCITY
+
+
+# --- int8 quantization retrieval impact — PENDING round 7 ----------------------
+#
+# The missing half of the quantization story: embedding_quantize_int8
+# reports reconstruction ERROR; this row reports what that error DOES to
+# retrieval — recall@5 of cosine top-k computed on the dequantized vectors
+# (q = floor(x/scale + 0.5), x̂ = q·scale, the identical portable half-up
+# device) against the full-precision truth, over the same mod-100 query
+# panel as ann_bruteforce_topk. Zero-scale (all-zero) vectors are excluded
+# on both sides. Scale shape: the quantize pass is a zero-shuffle map; the
+# scoring reuses the broadcast-queries × corpus scan; the overlap join runs
+# at (query, neighbor) grain — 5 rows per query.
+
+def embedding_quantize_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _emb_d().alias("v")
+    ).select(
+        "vec_id", "v",
+        (F.array_max(F.transform("v", F.abs)) / F.lit(127.0)).alias("scale"),
+    ).filter(F.col("scale") > 0)
+    deq = emb.select(
+        "vec_id",
+        F.transform(
+            "v", lambda x: F.floor(x / F.col("scale") + F.lit(0.5)) * F.col("scale")
+        ).alias("e"),
+    ).select("vec_id", "e", _norm(F.col("e")).alias("nrm"))
+    q = deq.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("e").alias("qe"), F.col("nrm").alias("qn")
+    )
+    scored = F.broadcast(q).join(deq, F.col("q_id") != F.col("vec_id")).select(
+        "q_id",
+        F.col("vec_id").alias("neighbor_id"),
+        _cos_prenorm(F.col("qe"), F.col("e"), F.col("qn"), F.col("nrm")).alias("cs"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cs"), F.col("neighbor_id"))
+    qk = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("q_id", "neighbor_id")
+    )
+    truth = ann_bruteforce_topk(spark, sf_dir).select(
+        "q_id", "neighbor_id"
+    ).withColumn("hit", F.lit(1).cast("long"))
+    joined = qk.join(F.broadcast(truth), ["q_id", "neighbor_id"], "left")
+    return joined.agg(
+        F.countDistinct("q_id").cast("long").alias("n_queries"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0).cast("long")))
+        .cast("long")
+        .alias("n_hits"),
+    ).select(
+        "n_queries", "n_pairs", "n_hits",
+        F.expr("n_hits * 1000000 div n_pairs").cast("long").alias("recall_ppm"),
+    )
+
+
+_SQL_QUANT_RECALL = f"""
+WITH base AS (
+  SELECT vec_id, {_SQL_EMB} AS v,
+         list_max(list_transform({_SQL_EMB}, x -> abs(x))) / 127.0 AS scale
+  FROM embeddings
+),
+deq AS (
+  SELECT vec_id,
+         list_transform(v, x -> FLOOR(x / scale + 0.5) * scale) AS e
+  FROM base WHERE scale > 0
+),
+q AS (SELECT vec_id AS q_id, e AS qe FROM deq WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT q_id, vec_id AS neighbor_id, {_sql_cos('qe', 'e')} AS cs
+  FROM q JOIN deq ON q_id <> vec_id
+),
+qk AS (
+  SELECT q_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, neighbor_id) AS rank
+    FROM scored
+  ) WHERE rank <= 5
+),
+bf AS ({ORACLE["ann_bruteforce_topk"]}),
+joined AS (
+  SELECT k.q_id, CASE WHEN b.q_id IS NULL THEN 0 ELSE 1 END AS hit
+  FROM qk k LEFT JOIN bf b ON b.q_id = k.q_id AND b.neighbor_id = k.neighbor_id
+)
+SELECT COUNT(DISTINCT q_id)::BIGINT AS n_queries,
+       COUNT(*)::BIGINT AS n_pairs,
+       SUM(hit)::BIGINT AS n_hits,
+       (SUM(hit) * 1000000 // COUNT(*))::BIGINT AS recall_ppm
+FROM joined
+"""
+
+PENDING_QUERIES["embedding_quantize_recall"] = embedding_quantize_recall
+PENDING_ORACLE["embedding_quantize_recall"] = _SQL_QUANT_RECALL
