@@ -1063,3 +1063,46 @@ GROUP BY event_type
 
 PENDING_QUERIES["cdc_inversion_report"] = cdc_inversion_report
 PENDING_ORACLE["cdc_inversion_report"] = ORACLE_INVERSIONS
+
+
+# --- State-table growth curve — PENDING round 7 ---------------------------------
+#
+# Capacity planning for the keyed state table: how fast does the key space
+# grow? Each key's FIRST-SEEN day (min over its events — arrival of the 'c'
+# row in envelope terms), rolled to daily new-key counts and the cumulative
+# key count (running sum over the BOUNDED daily grid; days without arrivals
+# simply don't emit a row — the cumulative still carries, stated not
+# hidden). Scale shape: one per-key min (map-side partials), one daily
+# aggregate, one ordered window over the bounded day domain.
+
+def cdc_state_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT)").alias("day"),
+    )
+    first = ev.groupBy("user_id").agg(F.min("day").alias("d0"))
+    daily = first.groupBy("d0").agg(
+        F.count(F.lit(1)).cast("long").alias("n_new_keys")
+    )
+    w = Window.orderBy("d0").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        F.col("d0").alias("day"),
+        "n_new_keys",
+        F.sum("n_new_keys").over(w).cast("long").alias("cum_keys"),
+    )
+
+
+ORACLE_STATE_GROWTH = """
+WITH first AS (
+  SELECT user_id, MIN(CAST(FLOOR(epoch(ts) / 86400) AS BIGINT)) AS d0
+  FROM events GROUP BY user_id
+),
+daily AS (SELECT d0, COUNT(*)::BIGINT AS n_new_keys FROM first GROUP BY d0)
+SELECT d0 AS day, n_new_keys,
+       SUM(n_new_keys) OVER (ORDER BY d0
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_keys
+FROM daily
+"""
+
+PENDING_QUERIES["cdc_state_growth"] = cdc_state_growth
+PENDING_ORACLE["cdc_state_growth"] = ORACLE_STATE_GROWTH
