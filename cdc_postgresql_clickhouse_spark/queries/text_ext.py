@@ -1112,3 +1112,82 @@ GROUP BY doc_id
 
 PENDING_QUERIES["text_rake_keywords"] = text_rake_keywords
 PENDING_ORACLE["text_rake_keywords"] = _SQL_RAKE
+
+
+# --- Inter-identifier agreement (Cohen's kappa) — PENDING round 7 --------------
+#
+# The scalar the confusion matrix above implies but never states: do the two
+# cheap language identifiers agree BEYOND CHANCE? Cohen's kappa
+# (po − pe)/(1 − pe) cross-multiplies into pure integers —
+# kappa_milli = 1000·(n·d − Σ_k r_k·c_k) div (n² − Σ_k r_k·c_k) with d the
+# agreeing docs and r/c the per-language marginals of each rater (the
+# numerator CAN go negative; both engines truncate toward zero). Composes
+# the two registered identifiers verbatim; every aggregate after the per-doc
+# join runs on the #langs²-bounded guess grid.
+
+def quality_langid_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_postgresql_clickhouse_spark.queries.text import text_langid
+
+    a = text_langid(spark, sf_dir).select(
+        "doc_id", F.col("guessed_lang").alias("mg")
+    )
+    b = text_langid_chargram(spark, sf_dir).select(
+        "doc_id", F.col("guessed_lang").alias("tg")
+    )
+    grid = a.join(b, "doc_id").groupBy("mg", "tg").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = grid.agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("mg") == F.col("tg"), F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("n_agree"),
+    )
+    r = grid.groupBy("mg").agg(F.sum("n").alias("rk"))
+    c = grid.groupBy("tg").agg(F.sum("n").alias("ck"))
+    rc = (
+        r.join(c, r.mg == c.tg)
+        .agg(F.sum(F.col("rk") * F.col("ck")).cast("long").alias("s_rc"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(rc))
+        .select(
+            "n_docs", "n_agree",
+            F.expr("n_agree * 1000000 div n_docs").cast("long").alias("agree_ppm"),
+            F.expr(
+                "CAST((CAST(n_docs AS DECIMAL(38,0)) * n_agree - s_rc) * 1000"
+                " DIV (CAST(n_docs AS DECIMAL(38,0)) * n_docs - s_rc) AS BIGINT)"
+            ).alias("kappa_milli"),
+        )
+    )
+
+
+def _langid_kappa_sql() -> str:
+    from cdc_postgresql_clickhouse_spark.queries.text import ORACLE as _TEXT_ORACLE
+
+    return f"""
+WITH a AS ({_TEXT_ORACLE["text_langid"]}),
+b AS ({ORACLE["text_langid_chargram"]}),
+grid AS (
+  SELECT a.guessed_lang AS mg, b.guessed_lang AS tg, COUNT(*)::BIGINT AS n
+  FROM a JOIN b ON a.doc_id = b.doc_id
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT SUM(n)::BIGINT AS n_docs,
+         SUM(CASE WHEN mg = tg THEN n ELSE 0 END)::BIGINT AS n_agree
+  FROM grid
+),
+r AS (SELECT mg, SUM(n) AS rk FROM grid GROUP BY mg),
+c AS (SELECT tg, SUM(n) AS ck FROM grid GROUP BY tg),
+rc AS (SELECT SUM(rk * ck)::BIGINT AS s_rc FROM r JOIN c ON r.mg = c.tg)
+SELECT n_docs, n_agree,
+       (n_agree * 1000000 // n_docs)::BIGINT AS agree_ppm,
+       ((n_docs::HUGEINT * n_agree - s_rc) * 1000
+          // (n_docs::HUGEINT * n_docs - s_rc))::BIGINT AS kappa_milli
+FROM tot CROSS JOIN rc
+"""
+
+
+PENDING_QUERIES["quality_langid_kappa"] = quality_langid_kappa
+PENDING_ORACLE["quality_langid_kappa"] = _langid_kappa_sql()
