@@ -1771,3 +1771,55 @@ HAVING COUNT(*) > 1
 
 PENDING_QUERIES["orders_rapid_repeat_orders"] = orders_rapid_repeat_orders
 PENDING_ORACLE["orders_rapid_repeat_orders"] = _SQL_RAPID_REPEAT
+
+
+# --- Return rate by fulfilment age — PENDING round 7 ----------------------------
+#
+# Does slow fulfilment drive returns? Return share (l_returnflag = 'R') per
+# ship-lag bucket, power-of-2 weeks via the shared ilog2 bin() device
+# (bucket = length(bin(lag_days div 7 + 1)) − 1, so 0 = same week,
+# 1 = 1–2 weeks, 2 = 3–6, ...). Rate in ppm, plus the revenue at stake per
+# bucket. Scale shape: the one lineitem⨝orders key join (AQE), a map-side
+# bucket expression, one bounded bucket-grain aggregate — nothing else.
+
+def orders_return_rate_by_age(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_returnflag", _rev_micros().alias("rev")
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        (
+            F.length(
+                F.bin(F.expr("datediff(l_shipdate, o_orderdate) div 7") + 1)
+            ) - 1
+        ).cast("long").alias("age_bucket"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("ret"),
+        "rev",
+    )
+    return j.groupBy("age_bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum("ret").cast("long").alias("n_returned"),
+        F.expr("sum(ret) * 1000000 div count(1)").cast("long").alias("return_ppm"),
+        F.sum(F.when(F.col("ret") == 1, F.col("rev")).otherwise(0))
+        .cast("long")
+        .alias("returned_rev_micros"),
+    )
+
+
+_SQL_RETURN_BY_AGE = """
+SELECT (length(bin((datediff('day', o_orderdate, l_shipdate) // 7) + 1)) - 1)::BIGINT
+         AS age_bucket,
+       COUNT(*)::BIGINT AS n_items,
+       SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT AS n_returned,
+       (SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) * 1000000
+          // COUNT(*))::BIGINT AS return_ppm,
+       SUM(CASE WHEN l_returnflag = 'R'
+                THEN CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+                ELSE 0 END)::BIGINT AS returned_rev_micros
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+"""
+
+PENDING_QUERIES["orders_return_rate_by_age"] = orders_return_rate_by_age
+PENDING_ORACLE["orders_return_rate_by_age"] = _SQL_RETURN_BY_AGE
