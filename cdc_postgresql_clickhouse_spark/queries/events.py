@@ -1990,3 +1990,95 @@ FROM hist
 
 PENDING_QUERIES["events_streak_hazard"] = events_streak_hazard
 PENDING_ORACLE["events_streak_hazard"] = ORACLE_STREAK_HAZARD
+
+
+# --- Error-impact difference-in-differences — PENDING round 7 -------------------
+#
+# The two-group pre/post comparison an incident review runs: users who ever
+# hit an 'error' event (treated) vs users who never did (control), mean
+# event value in cents before vs after the timeline midpoint
+# ((min+max) div 2 of the epoch seconds — both engines derive the same
+# constant), and the DiD estimate (T_post − T_pre) − (C_post − C_pre). The
+# naive observational caveats (treatment is not randomized, 'ever-treated'
+# peeks across the midpoint) are design facts of the report, stated not
+# hidden — the row verifies the ARITHMETIC, all truncating integer
+# divisions. Scale shape: one per-user any-error flag (map-side partials)
+# joined back user-keyed, one bounded (group, period) aggregate, one final
+# 4-cell pivot.
+
+def events_did_error_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("es"),
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    treated = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("t")
+    )
+    mid = ev.agg(F.expr("(min(es) + max(es)) div 2").cast("long").alias("mid"))
+    cells = (
+        ev.join(treated, "user_id")
+        .crossJoin(F.broadcast(mid))
+        .select(
+            "t",
+            (F.col("es") > F.col("mid")).cast("int").alias("post"),
+            "cents",
+        )
+        .groupBy("t", "post")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.expr("sum(cents) div count(1)").cast("long").alias("mean_cents"),
+        )
+    )
+    pv = cells.groupBy().agg(
+        F.max(F.when((F.col("t") == 1) & (F.col("post") == 0), F.col("mean_cents"))).alias("t_pre"),
+        F.max(F.when((F.col("t") == 1) & (F.col("post") == 1), F.col("mean_cents"))).alias("t_post"),
+        F.max(F.when((F.col("t") == 0) & (F.col("post") == 0), F.col("mean_cents"))).alias("c_pre"),
+        F.max(F.when((F.col("t") == 0) & (F.col("post") == 1), F.col("mean_cents"))).alias("c_post"),
+        F.sum("n").cast("long").alias("n_events"),
+    )
+    return pv.select(
+        "n_events",
+        F.col("t_pre").cast("long").alias("treated_pre_cents"),
+        F.col("t_post").cast("long").alias("treated_post_cents"),
+        F.col("c_pre").cast("long").alias("control_pre_cents"),
+        F.col("c_post").cast("long").alias("control_post_cents"),
+        (
+            (F.col("t_post") - F.col("t_pre")) - (F.col("c_post") - F.col("c_pre"))
+        ).cast("long").alias("did_cents"),
+    )
+
+
+ORACLE_DID = """
+WITH ev AS (
+  SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS es, event_type,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+treated AS (
+  SELECT user_id, MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS t
+  FROM ev GROUP BY user_id
+),
+cells AS (
+  SELECT t.t,
+         CASE WHEN e.es > (SELECT (MIN(es) + MAX(es)) // 2 FROM ev) THEN 1 ELSE 0 END AS post,
+         COUNT(*)::BIGINT AS n,
+         (SUM(e.cents) // COUNT(*))::BIGINT AS mean_cents
+  FROM ev e JOIN treated t USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT SUM(n)::BIGINT AS n_events,
+       MAX(CASE WHEN t = 1 AND post = 0 THEN mean_cents END)::BIGINT AS treated_pre_cents,
+       MAX(CASE WHEN t = 1 AND post = 1 THEN mean_cents END)::BIGINT AS treated_post_cents,
+       MAX(CASE WHEN t = 0 AND post = 0 THEN mean_cents END)::BIGINT AS control_pre_cents,
+       MAX(CASE WHEN t = 0 AND post = 1 THEN mean_cents END)::BIGINT AS control_post_cents,
+       ((MAX(CASE WHEN t = 1 AND post = 1 THEN mean_cents END)
+         - MAX(CASE WHEN t = 1 AND post = 0 THEN mean_cents END))
+        - (MAX(CASE WHEN t = 0 AND post = 1 THEN mean_cents END)
+           - MAX(CASE WHEN t = 0 AND post = 0 THEN mean_cents END)))::BIGINT AS did_cents
+FROM cells
+"""
+
+PENDING_QUERIES["events_did_error_impact"] = events_did_error_impact
+PENDING_ORACLE["events_did_error_impact"] = ORACLE_DID
