@@ -23,3 +23,20 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_SMOKE
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_spark_cache_per_module():
+    """Release persisted barriers between test modules. The full suite runs
+    hundreds of queries through ONE local JVM; persist() barriers (shingle /
+    weight / edge tables) otherwise accumulate for the whole session until
+    the HOST runs dry and the DuckDB oracle dies with a bad-allocation OOM
+    mid-suite (observed at the test_oracle_parity module boundary). Same fix
+    as parity_sweep's per-query clearCache, at module grain so intra-module
+    cache reuse (e.g. the shared clusters memo) still pays off."""
+    yield
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.catalog.clearCache()
