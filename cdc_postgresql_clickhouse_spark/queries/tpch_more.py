@@ -1823,3 +1823,54 @@ GROUP BY 1
 
 PENDING_QUERIES["orders_return_rate_by_age"] = orders_return_rate_by_age
 PENDING_ORACLE["orders_return_rate_by_age"] = _SQL_RETURN_BY_AGE
+
+
+# --- Single-source supply risk — PENDING round 7 --------------------------------
+#
+# The procurement-risk screen: parts observed shipping from fewer than two
+# distinct suppliers are single-sourced — a supply-chain fragility metric.
+# Supplier breadth comes from the DISTINCT (part, supplier) pairs actually
+# traded in lineitem (no partsupp table in the fixture; the observed graph
+# is the honest source). Per brand: parts traded, single-sourced parts and
+# their ppm share, plus the max supplier breadth. Scale shape: one distinct
+# to (part, supp) grain, one part-grain count, one broadcast part-dim
+# enrichment, one bounded brand rollup.
+
+def parts_single_source_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    ).distinct()
+    per_part = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_supp")
+    )
+    p = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    j = per_part.join(F.broadcast(p), "l_partkey")
+    return j.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.count_if(F.col("n_supp") == 1).cast("long").alias("n_single_source"),
+        F.expr("count_if(n_supp = 1) * 1000000 div count(1)")
+        .cast("long")
+        .alias("single_source_ppm"),
+        F.max("n_supp").cast("long").alias("max_suppliers"),
+    )
+
+
+_SQL_SINGLE_SOURCE = """
+WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+per_part AS (
+  SELECT l_partkey, COUNT(*)::BIGINT AS n_supp FROM pairs GROUP BY l_partkey
+)
+SELECT p.p_brand,
+       COUNT(*)::BIGINT AS n_parts,
+       COUNT(*) FILTER (WHERE n_supp = 1)::BIGINT AS n_single_source,
+       (COUNT(*) FILTER (WHERE n_supp = 1) * 1000000 // COUNT(*))::BIGINT
+         AS single_source_ppm,
+       MAX(n_supp)::BIGINT AS max_suppliers
+FROM per_part JOIN part p ON p.p_partkey = l_partkey
+GROUP BY p.p_brand
+"""
+
+PENDING_QUERIES["parts_single_source_risk"] = parts_single_source_risk
+PENDING_ORACLE["parts_single_source_risk"] = _SQL_SINGLE_SOURCE
