@@ -2082,3 +2082,72 @@ FROM cells
 
 PENDING_QUERIES["events_did_error_impact"] = events_did_error_impact
 PENDING_ORACLE["events_did_error_impact"] = ORACLE_DID
+
+
+# --- Fano factor across timescales — PENDING round 7 ----------------------------
+#
+# Multi-scale burstiness: the Fano factor (windowed count variance over
+# mean) of each event type at three window sizes — 1 minute, 10 minutes,
+# 1 hour. Poisson traffic holds F ≈ 1 at every scale; bursty traffic grows
+# with the window. Windows with zero events COUNT (the dense grid runs from
+# the type's first to last window — variance against a sparse grid would
+# understate burstiness), built by an explicit bounded generator, never a
+# row explode. Same integer rational as the dispersion row:
+# fano_ppm = (n·Σc² − (Σc)²)·1e6 div ((n−1)·Σc) through DECIMAL(38).
+# Scale shape: per scale one (type, window) count (map-side partials) plus
+# a grid count DERIVED from each type's min/max window index (two scalars —
+# the zero windows are arithmetic, never materialized), one bounded rollup.
+
+FANO_SCALES = [60, 600, 3600]
+
+
+def events_fano_timescales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("es"),
+    )
+    out = None
+    for w in FANO_SCALES:
+        cnt = ev.select(
+            "event_type", F.expr(f"es div {w}").alias("win")
+        ).groupBy("event_type", "win").agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
+        per = cnt.groupBy("event_type").agg(
+            (F.max("win") - F.min("win") + 1).cast("long").alias("n_wins"),
+            F.sum("c").alias("sc"),
+            F.sum(F.col("c") * F.col("c")).alias("scc"),
+        )
+        row = per.select(
+            "event_type",
+            F.lit(w).cast("long").alias("scale_s"),
+            "n_wins",
+            F.expr(
+                "CAST((CAST(n_wins AS DECIMAL(38,0)) * scc - CAST(sc AS DECIMAL(38,0)) * sc)"
+                " * 1000000 DIV (CAST(n_wins - 1 AS DECIMAL(38,0)) * sc) AS BIGINT)"
+            ).alias("fano_ppm"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _sql_fano() -> str:
+    blocks = []
+    for w in FANO_SCALES:
+        blocks.append(f"""
+SELECT event_type, CAST({w} AS BIGINT) AS scale_s,
+       (MAX(win) - MIN(win) + 1)::BIGINT AS n_wins,
+       (((MAX(win) - MIN(win) + 1)::HUGEINT * SUM(c * c)
+          - SUM(c)::HUGEINT * SUM(c)) * 1000000
+         // ((MAX(win) - MIN(win))::HUGEINT * SUM(c)))::BIGINT AS fano_ppm
+FROM (
+  SELECT event_type, CAST(FLOOR(epoch(ts)) AS BIGINT) // {w} AS win,
+         COUNT(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2
+)
+GROUP BY event_type""")
+    return " UNION ALL ".join(blocks)
+
+
+PENDING_QUERIES["events_fano_timescales"] = events_fano_timescales
+PENDING_ORACLE["events_fano_timescales"] = _sql_fano()
