@@ -1874,3 +1874,52 @@ GROUP BY p.p_brand
 
 PENDING_QUERIES["parts_single_source_risk"] = parts_single_source_risk
 PENDING_ORACLE["parts_single_source_risk"] = _SQL_SINGLE_SOURCE
+
+
+# --- Ship-SLA attainment — PENDING round 7 --------------------------------------
+#
+# The fulfilment SLA dashboard row: per order priority, the share of line
+# items shipped within 30 / 60 / 90 days of the order date, as three
+# cumulative attainment ppm columns from ONE conditional-aggregate pass
+# (no per-threshold subqueries), plus the worst observed lag. Scale shape:
+# the lineitem⨝orders key join (AQE), then a single bounded
+# priority-grain aggregate — the canonical one-join-one-agg report.
+
+def orders_sla_attainment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff("l_shipdate", "o_orderdate").cast("long").alias("lag"),
+    )
+    def ppm(days: int):
+        return (
+            F.expr(f"count_if(lag <= {days}) * 1000000 div count(1)")
+            .cast("long")
+            .alias(f"within_{days}d_ppm")
+        )
+    return j.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        ppm(30), ppm(60), ppm(90),
+        F.max("lag").cast("long").alias("max_lag_days"),
+    )
+
+
+_SQL_SLA = """
+SELECT o_orderpriority AS priority,
+       COUNT(*)::BIGINT AS n_items,
+       (COUNT(*) FILTER (WHERE lag <= 30) * 1000000 // COUNT(*))::BIGINT AS within_30d_ppm,
+       (COUNT(*) FILTER (WHERE lag <= 60) * 1000000 // COUNT(*))::BIGINT AS within_60d_ppm,
+       (COUNT(*) FILTER (WHERE lag <= 90) * 1000000 // COUNT(*))::BIGINT AS within_90d_ppm,
+       MAX(lag)::BIGINT AS max_lag_days
+FROM (
+  SELECT o_orderpriority, datediff('day', o_orderdate, l_shipdate)::BIGINT AS lag
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+GROUP BY 1
+"""
+
+PENDING_QUERIES["orders_sla_attainment"] = orders_sla_attainment
+PENDING_ORACLE["orders_sla_attainment"] = _SQL_SLA
