@@ -1106,3 +1106,87 @@ FROM daily
 
 PENDING_QUERIES["cdc_state_growth"] = cdc_state_growth
 PENDING_ORACLE["cdc_state_growth"] = ORACLE_STATE_GROWTH
+
+
+# --- Key churn (arrivals vs tombstones) — PENDING round 7 -----------------------
+#
+# The flow companion of the growth curve above: per week, keys ARRIVING
+# (first-ever event) vs keys TOMBSTONED (an 'error' event that is still the
+# key's last event at corpus end — the settled-delete definition, so a
+# revived key never counts), and the running net live-key balance. Scale
+# shape: two per-key arg-aggregates (min for arrival, arg-max for the
+# settled state — the A2 single-shuffle pattern), one bounded weekly grid
+# with a full-outer conditional pivot, one running window over that grid.
+
+def cdc_key_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("es"),
+        F.col("event_id").alias("eid"),
+        "event_type",
+    )
+    per = ev.groupBy("user_id").agg(
+        F.min("es").alias("first_es"),
+        F.max_by(F.struct("es", "event_type"), F.struct("es", "eid")).alias("__l"),
+    ).select(
+        "user_id",
+        F.expr("first_es div 604800").cast("long").alias("w_in"),
+        F.when(
+            F.col("__l.event_type") == "error",
+            F.expr("__l.es div 604800"),
+        ).cast("long").alias("w_out"),
+    )
+    arr = per.groupBy(F.col("w_in").alias("week")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_arrived")
+    )
+    dep = per.filter(F.col("w_out").isNotNull()).groupBy(
+        F.col("w_out").alias("week")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_tombstoned"))
+    grid = arr.join(dep, "week", "full").select(
+        "week",
+        F.coalesce("n_arrived", F.lit(0)).cast("long").alias("n_arrived"),
+        F.coalesce("n_tombstoned", F.lit(0)).cast("long").alias("n_tombstoned"),
+    )
+    w = Window.orderBy("week").rowsBetween(Window.unboundedPreceding, 0)
+    return grid.select(
+        "week", "n_arrived", "n_tombstoned",
+        F.sum(F.col("n_arrived") - F.col("n_tombstoned"))
+        .over(w)
+        .cast("long")
+        .alias("net_live_keys"),
+    )
+
+
+ORACLE_KEY_CHURN = """
+WITH ev AS (
+  SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS es, event_id AS eid,
+         event_type
+  FROM events
+),
+per AS (
+  SELECT user_id,
+         MIN(es) // 604800 AS w_in,
+         CASE WHEN FIRST(event_type ORDER BY es DESC, eid DESC) = 'error'
+              THEN FIRST(es ORDER BY es DESC, eid DESC) // 604800 END AS w_out
+  FROM ev GROUP BY user_id
+),
+arr AS (SELECT w_in AS week, COUNT(*)::BIGINT AS n_arrived FROM per GROUP BY 1),
+dep AS (
+  SELECT w_out AS week, COUNT(*)::BIGINT AS n_tombstoned FROM per
+  WHERE w_out IS NOT NULL GROUP BY 1
+),
+grid AS (
+  SELECT COALESCE(a.week, d.week) AS week,
+         COALESCE(n_arrived, 0)::BIGINT AS n_arrived,
+         COALESCE(n_tombstoned, 0)::BIGINT AS n_tombstoned
+  FROM arr a FULL JOIN dep d ON a.week = d.week
+)
+SELECT week, n_arrived, n_tombstoned,
+       SUM(n_arrived - n_tombstoned) OVER (ORDER BY week
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+         AS net_live_keys
+FROM grid
+"""
+
+PENDING_QUERIES["cdc_key_churn"] = cdc_key_churn
+PENDING_ORACLE["cdc_key_churn"] = ORACLE_KEY_CHURN
