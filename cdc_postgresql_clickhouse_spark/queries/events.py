@@ -2151,3 +2151,87 @@ GROUP BY event_type""")
 
 PENDING_QUERIES["events_fano_timescales"] = events_fano_timescales
 PENDING_ORACLE["events_fano_timescales"] = _sql_fano()
+
+
+# --- Value-distribution drift (total variation) — PENDING round 7 ---------------
+#
+# Did the VALUE distribution shift between the two halves of the timeline?
+# Per event type: pool both halves, cut into 10 equal-count buckets
+# (ntile over the unique total order (cents, es, eid)), then the total
+# variation distance between the halves' bucket shares —
+# tv_ppm = Σ_d |p_d·1e6 div n1 − q_d·1e6 div n2| div 2, DEFINED over the
+# floored shares so both engines agree bit-for-bit (±10 ppm of the real TV).
+# The KS row tests doc lengths; this is the bucketed drift statistic
+# monitoring uses (a PSI without the floating log). Scale shape: the ntile
+# window partitions by type over event grain — the honest cost of exact
+# pooled quantiles (the sketch rows are the approximate path); after that,
+# one bounded (type × 10 × 2) aggregate.
+
+def events_value_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("es"),
+        F.col("event_id").alias("eid"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    mid = ev.agg(F.expr("(min(es) + max(es)) div 2").cast("long").alias("mid"))
+    wd = Window.partitionBy("event_type").orderBy("cents", "es", "eid")
+    bucketed = ev.crossJoin(F.broadcast(mid)).select(
+        "event_type",
+        F.ntile(10).over(wd).cast("long").alias("d"),
+        (F.col("es") > F.col("mid")).cast("int").alias("half"),
+    )
+    cells = bucketed.groupBy("event_type", "d").agg(
+        F.count_if(F.col("half") == 0).cast("long").alias("p"),
+        F.count_if(F.col("half") == 1).cast("long").alias("q"),
+    )
+    wt = Window.partitionBy("event_type")
+    scored = cells.select(
+        "event_type", "p", "q",
+        F.sum("p").over(wt).alias("n1"),
+        F.sum("q").over(wt).alias("n2"),
+    )
+    return scored.groupBy("event_type").agg(
+        F.max("n1").cast("long").alias("n_first_half"),
+        F.max("n2").cast("long").alias("n_second_half"),
+        F.expr(
+            "CAST(sum(abs(p * 1000000 div n1 - q * 1000000 div n2)) div 2 AS BIGINT)"
+        ).alias("tv_ppm"),
+    )
+
+
+ORACLE_VALUE_DRIFT = """
+WITH ev AS (
+  SELECT event_type, CAST(FLOOR(epoch(ts)) AS BIGINT) AS es, event_id AS eid,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+bucketed AS (
+  SELECT event_type,
+         NTILE(10) OVER (PARTITION BY event_type ORDER BY cents, es, eid) AS d,
+         CASE WHEN es > (SELECT (MIN(es) + MAX(es)) // 2 FROM ev)
+              THEN 1 ELSE 0 END AS half
+  FROM ev
+),
+cells AS (
+  SELECT event_type, d,
+         COUNT(*) FILTER (WHERE half = 0)::BIGINT AS p,
+         COUNT(*) FILTER (WHERE half = 1)::BIGINT AS q
+  FROM bucketed GROUP BY 1, 2
+),
+scored AS (
+  SELECT event_type, p, q,
+         SUM(p) OVER (PARTITION BY event_type) AS n1,
+         SUM(q) OVER (PARTITION BY event_type) AS n2
+  FROM cells
+)
+SELECT event_type,
+       MAX(n1)::BIGINT AS n_first_half,
+       MAX(n2)::BIGINT AS n_second_half,
+       (SUM(ABS(p * 1000000 // n1 - q * 1000000 // n2)) // 2)::BIGINT AS tv_ppm
+FROM scored
+GROUP BY event_type
+"""
+
+PENDING_QUERIES["events_value_drift_tv"] = events_value_drift_tv
+PENDING_ORACLE["events_value_drift_tv"] = ORACLE_VALUE_DRIFT
