@@ -2235,3 +2235,48 @@ GROUP BY event_type
 
 PENDING_QUERIES["events_value_drift_tv"] = events_value_drift_tv
 PENDING_ORACLE["events_value_drift_tv"] = ORACLE_VALUE_DRIFT
+
+
+# --- Concurrency synchrony bands — PENDING round 7 ------------------------------
+#
+# Flash-crowd profile: how many minutes saw 1, 2–3, 4–7, ... concurrently
+# active distinct users (power-of-2 bands via the shared ilog2 bin()
+# device) — the load-shape histogram capacity planning reads next to the
+# per-user burst features of the bot score. Scale shape: one
+# (minute, user) distinct, one minute-grain distinct count (both map-side
+# partial-able), one bounded band rollup.
+
+def events_synchrony_minutes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr("CAST(floor(unix_timestamp(ts) / 60) AS BIGINT)").alias("minute"),
+        "user_id",
+    ).distinct()
+    per_min = ev.groupBy("minute").agg(
+        F.count(F.lit(1)).cast("long").alias("u")
+    )
+    banded = per_min.select(
+        "u", (F.length(F.bin(F.col("u"))) - 1).cast("long").alias("band")
+    )
+    return banded.groupBy("band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_minutes"),
+        F.min("u").cast("long").alias("min_users"),
+        F.max("u").cast("long").alias("max_users"),
+    )
+
+
+ORACLE_SYNCHRONY = """
+WITH m AS (
+  SELECT DISTINCT CAST(FLOOR(epoch(ts) / 60) AS BIGINT) AS minute, user_id
+  FROM events
+),
+per_min AS (SELECT minute, COUNT(*)::BIGINT AS u FROM m GROUP BY minute)
+SELECT (length(bin(u)) - 1)::BIGINT AS band,
+       COUNT(*)::BIGINT AS n_minutes,
+       MIN(u)::BIGINT AS min_users,
+       MAX(u)::BIGINT AS max_users
+FROM per_min
+GROUP BY 1
+"""
+
+PENDING_QUERIES["events_synchrony_minutes"] = events_synchrony_minutes
+PENDING_ORACLE["events_synchrony_minutes"] = ORACLE_SYNCHRONY
