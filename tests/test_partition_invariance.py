@@ -94,6 +94,13 @@ _PENDING_CHECK = [
     "dedup_tfidf_cosine",
     "events_range_frame_peak",
     "skew_join_key_report",
+    # part-3 additions: dense_rank islands, pooled-ntile drift buckets,
+    # settled-tombstone arg-max, marginal-product kappa
+    "events_activity_streaks",
+    "events_value_drift_tv",
+    "events_fano_timescales",
+    "cdc_key_churn",
+    "quality_langid_kappa",
 ]
 
 
