@@ -2280,3 +2280,78 @@ GROUP BY 1
 
 PENDING_QUERIES["events_synchrony_minutes"] = events_synchrony_minutes
 PENDING_ORACLE["events_synchrony_minutes"] = ORACLE_SYNCHRONY
+
+
+# --- Self-transition rate — PENDING round 7 -------------------------------------
+#
+# The diagonal the transition-graph rows all EXCLUDE (src ≠ dst), measured:
+# per event type, the share of consecutive same-user pairs that repeat the
+# type — scripted retries and UI double-fires live here. Per type of the
+# EARLIER event: adjacent pairs, self-repeats, ppm, and the longest
+# uninterrupted run of the type (islands over the run-key
+# row_number − row_number-within-type, the gaps-and-islands device at
+# value grain). Scale shape: one user-partitioned window pass, one bounded
+# type rollup.
+
+def events_self_transition_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type",
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("es"),
+    )
+    w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    wt = Window.partitionBy("user_id", "event_type").orderBy("es", "event_id")
+    seq = ev.select(
+        "user_id", "event_type",
+        F.lead("event_type").over(w).alias("nxt"),
+        (F.row_number().over(w) - F.row_number().over(wt)).alias("runkey"),
+    )
+    runs = seq.groupBy("user_id", "event_type", "runkey").agg(
+        F.count(F.lit(1)).cast("long").alias("runlen")
+    )
+    longest = runs.groupBy("event_type").agg(
+        F.max("runlen").cast("long").alias("longest_run")
+    )
+    pairs = seq.filter(F.col("nxt").isNotNull()).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.count_if(F.col("nxt") == F.col("event_type")).cast("long").alias("n_self"),
+        F.expr("count_if(nxt = event_type) * 1000000 div count(1)")
+        .cast("long")
+        .alias("self_ppm"),
+    )
+    return pairs.join(longest, "event_type")
+
+
+ORACLE_SELF_TRANSITION = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER w AS nxt,
+         ROW_NUMBER() OVER w
+           - ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT), event_id)
+           AS runkey
+  FROM events
+  WINDOW w AS (PARTITION BY user_id
+               ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT), event_id)
+),
+runs AS (
+  SELECT user_id, event_type, runkey, COUNT(*)::BIGINT AS runlen
+  FROM seq GROUP BY 1, 2, 3
+),
+longest AS (
+  SELECT event_type, MAX(runlen)::BIGINT AS longest_run FROM runs GROUP BY 1
+),
+pairs AS (
+  SELECT event_type,
+         COUNT(*)::BIGINT AS n_pairs,
+         COUNT(*) FILTER (WHERE nxt = event_type)::BIGINT AS n_self,
+         (COUNT(*) FILTER (WHERE nxt = event_type) * 1000000
+            // COUNT(*))::BIGINT AS self_ppm
+  FROM seq WHERE nxt IS NOT NULL
+  GROUP BY event_type
+)
+SELECT p.event_type, p.n_pairs, p.n_self, p.self_ppm, l.longest_run
+FROM pairs p JOIN longest l USING (event_type)
+"""
+
+PENDING_QUERIES["events_self_transition_rate"] = events_self_transition_rate
+PENDING_ORACLE["events_self_transition_rate"] = ORACLE_SELF_TRANSITION
