@@ -937,3 +937,75 @@ WHERE (dot_w::HUGEINT * dot_w * 1000000 // (na.n2::HUGEINT * nb.n2))
 
 PENDING_QUERIES["dedup_tfidf_cosine"] = dedup_tfidf_cosine
 PENDING_ORACLE["dedup_tfidf_cosine"] = _SQL_TFIDF_COSINE
+
+
+# --- Near-dup graph transitivity audit — PENDING round 7 ------------------------
+#
+# Is "near-duplicate of" behaving like an equivalence relation? Pairwise
+# thresholds never guarantee transitivity (a~b and b~c at J ≥ 0.5 do not
+# imply a~c), and the open-wedge rate is exactly the damage a
+# connected-components dedup will do by merging non-duplicates through
+# chains. One summary row over the MinHash pair set: edges, wedges
+# (two-paths through a shared middle), closed wedges (third edge present),
+# and the closure rate in ppm — the graph-transitivity coefficient of the
+# dedup relation. Scale shape: the pair set is LSH-bounded (never O(n²));
+# the wedge join fans out by per-doc near-dup degree and the closure probe
+# is a semi-join back to the pair set — both pair-set-proportional.
+
+def dedup_transitivity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b").persist()
+    adj = pairs.unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    )
+    w1 = adj.select(F.col("doc_a").alias("m"), F.col("doc_b").alias("x"))
+    w2 = adj.select(F.col("doc_a").alias("m"), F.col("doc_b").alias("y"))
+    wedges = w1.join(w2, "m").filter(F.col("x") < F.col("y"))
+    closed = wedges.join(
+        pairs.select(F.col("doc_a").alias("x"), F.col("doc_b").alias("y")),
+        ["x", "y"],
+        "leftsemi",
+    )
+    ne = pairs.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    nw = wedges.agg(F.count(F.lit(1)).cast("long").alias("n_wedges"))
+    nc = closed.agg(F.count(F.lit(1)).cast("long").alias("n_closed"))
+    return (
+        ne.crossJoin(F.broadcast(nw))
+        .crossJoin(F.broadcast(nc))
+        .select(
+            "n_edges", "n_wedges", "n_closed",
+            F.expr(
+                "CASE WHEN n_wedges = 0 THEN CAST(0 AS BIGINT)"
+                " ELSE CAST(n_closed * 1000000 div n_wedges AS BIGINT) END"
+            ).alias("closure_ppm"),
+        )
+    )
+
+
+_SQL_TRANSITIVITY = f"""
+WITH {_SQL_MINHASH_CTES},
+pairs AS ({_SQL_MINHASH_SELECT}),
+adj AS (
+  SELECT doc_a, doc_b FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+wedges AS (
+  SELECT a.doc_b AS x, b.doc_b AS y
+  FROM adj a JOIN adj b ON a.doc_a = b.doc_a AND a.doc_b < b.doc_b
+),
+closed AS (
+  SELECT 1 FROM wedges w
+  WHERE EXISTS (SELECT 1 FROM pairs p WHERE p.doc_a = w.x AND p.doc_b = w.y)
+)
+SELECT (SELECT COUNT(*) FROM pairs)::BIGINT AS n_edges,
+       (SELECT COUNT(*) FROM wedges)::BIGINT AS n_wedges,
+       (SELECT COUNT(*) FROM closed)::BIGINT AS n_closed,
+       (CASE WHEN (SELECT COUNT(*) FROM wedges) = 0 THEN 0
+             ELSE (SELECT COUNT(*) FROM closed) * 1000000
+                  // (SELECT COUNT(*) FROM wedges) END)::BIGINT AS closure_ppm
+"""
+
+PENDING_QUERIES["dedup_transitivity_report"] = dedup_transitivity_report
+PENDING_ORACLE["dedup_transitivity_report"] = _SQL_TRANSITIVITY
