@@ -1190,3 +1190,49 @@ FROM grid
 
 PENDING_QUERIES["cdc_key_churn"] = cdc_key_churn
 PENDING_ORACLE["cdc_key_churn"] = ORACLE_KEY_CHURN
+
+
+# --- Write-amplification report — PENDING round 7 -------------------------------
+#
+# How much churn does the upsert path absorb? Per key, the change-log holds
+# n_versions rows but the FINAL view keeps one — the ratio is the storage /
+# merge work the ReplacingMergeTree analogue pays. Keys banded by
+# power-of-2 version counts (the shared ilog2 bin() device); each band
+# reports keys, log rows, and the band's amplification in milli
+# (rows·1000 div keys). The corpus-wide ratio is the n_versions-weighted
+# mean of the bands — derivable, so it is NOT shipped as a separate
+# all-grain row. Scale shape: one per-key count (map-side partials), one
+# bounded band rollup.
+
+def cdc_write_amplification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    per = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_versions")
+    )
+    banded = per.select(
+        "n_versions",
+        (F.length(F.bin(F.col("n_versions"))) - 1).cast("long").alias("band"),
+    )
+    return banded.groupBy("band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("n_versions").cast("long").alias("n_log_rows"),
+        F.expr("sum(n_versions) * 1000 div count(1)")
+        .cast("long")
+        .alias("amplification_milli"),
+    )
+
+
+ORACLE_WRITE_AMP = """
+WITH per AS (
+  SELECT user_id, COUNT(*)::BIGINT AS n_versions FROM events GROUP BY user_id
+)
+SELECT (length(bin(n_versions)) - 1)::BIGINT AS band,
+       COUNT(*)::BIGINT AS n_keys,
+       SUM(n_versions)::BIGINT AS n_log_rows,
+       (SUM(n_versions) * 1000 // COUNT(*))::BIGINT AS amplification_milli
+FROM per
+GROUP BY 1
+"""
+
+PENDING_QUERIES["cdc_write_amplification"] = cdc_write_amplification
+PENDING_ORACLE["cdc_write_amplification"] = ORACLE_WRITE_AMP
