@@ -1534,3 +1534,113 @@ GROUP BY dev.event_type
 
 PENDING_QUERIES["events_anomaly_seasonal"] = events_anomaly_seasonal
 PENDING_ORACLE["events_anomaly_seasonal"] = _SQL_SEASONAL
+
+
+# --- CMS width-sweep calibration — PENDING round 7 -----------------------------
+#
+# The sizing curve the quantile/LSH calibration rows have and CMS lacked:
+# the same stream sketched at widths 64 / 256 / 1024 (depth fixed at
+# CMS_DEPTH), scored on the top-CMS_SWEEP_K exact heavy hitters — exact
+# count, estimate (min over depth rows), and the one-sided overestimate in
+# ppm of the exact count. Overestimate shrinks ~linearly with width; the
+# report makes the knee visible. Same salted-md5 cells as the production
+# sketch, so every (width, term) estimate is engine-identical. Scale shape:
+# per width one (r, c) counter aggregate over the vocab cells (vocab-grain,
+# never token-grain) and a broadcast join of the 5-term probe set.
+
+CMS_SWEEP_WIDTHS = [64, 256, 1024]
+CMS_SWEEP_K = 5
+
+
+def sketch_cms_error_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    vocab = cms_vocab(docs).persist()
+    top = (
+        vocab.orderBy(F.desc("cnt"), "term")
+        .limit(CMS_SWEEP_K)
+        .select(F.col("term").alias("t"), F.col("cnt").alias("exact_count"))
+    )
+    out = None
+    for w in CMS_SWEEP_WIDTHS:
+        cells = vocab.select(
+            "term", "cnt",
+            F.explode(F.array(*[F.lit(i) for i in range(CMS_DEPTH)])).alias("r"),
+        ).withColumn(
+            "c",
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("r").cast("string"), F.lit(":"), F.col("term"))),
+                    1,
+                    _CMS_HASH_DIGITS,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % w,
+        )
+        counters = cells.groupBy("r", "c").agg(F.sum("cnt").alias("cell"))
+        est = (
+            cells.join(F.broadcast(top), cells.term == top.t)
+            .join(counters, ["r", "c"])
+            .groupBy("term")
+            .agg(
+                F.min("cell").cast("long").alias("cms_count"),
+                F.max("exact_count").cast("long").alias("exact_count"),
+            )
+        )
+        row = est.select(
+            F.lit(w).cast("long").alias("width"),
+            "term", "exact_count", "cms_count",
+            F.expr("(cms_count - exact_count) * 1000000 div exact_count")
+            .cast("long")
+            .alias("over_ppm"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _sql_cms_sweep() -> str:
+    from cdc_postgresql_clickhouse_spark.queries.dedup import _SQL_TOKENS
+
+    blocks = []
+    for w in CMS_SWEEP_WIDTHS:
+        blocks.append(f"""
+SELECT CAST({w} AS BIGINT) AS width, e.term, e.exact_count,
+       e.cms_count,
+       ((e.cms_count - e.exact_count) * 1000000 // e.exact_count)::BIGINT AS over_ppm
+FROM (
+  SELECT cl.term, MIN(co.cell)::BIGINT AS cms_count,
+         MAX(tp.exact_count)::BIGINT AS exact_count
+  FROM cells_{w} cl
+  JOIN top tp ON tp.t = cl.term
+  JOIN counters_{w} co ON co.r = cl.r AND co.c = cl.c
+  GROUP BY cl.term
+) e""")
+    cell_ctes = ",\n".join(
+        f"""cells_{w} AS (
+  SELECT term, cnt, r,
+         {_sql_hex_int("CAST(r AS VARCHAR) || ':' || term", _CMS_HASH_DIGITS)} % {w} AS c
+  FROM vocab, unnest([{', '.join(str(i) for i in range(CMS_DEPTH))}]) AS u(r)
+),
+counters_{w} AS (
+  SELECT r, c, SUM(cnt) AS cell FROM cells_{w} GROUP BY r, c
+)"""
+        for w in CMS_SWEEP_WIDTHS
+    )
+    return f"""
+WITH vocab AS MATERIALIZED (
+  SELECT t AS term, COUNT(*)::BIGINT AS cnt
+  FROM (SELECT unnest({_SQL_TOKENS}) AS t FROM documents)
+  GROUP BY 1
+),
+top AS MATERIALIZED (
+  SELECT term AS t, cnt AS exact_count FROM vocab
+  ORDER BY cnt DESC, term LIMIT {CMS_SWEEP_K}
+),
+{cell_ctes}
+{' UNION ALL '.join(blocks)}
+"""
+
+
+PENDING_QUERIES["sketch_cms_error_sweep"] = sketch_cms_error_sweep
+PENDING_ORACLE["sketch_cms_error_sweep"] = _sql_cms_sweep()
