@@ -1923,3 +1923,128 @@ GROUP BY 1
 
 PENDING_QUERIES["orders_sla_attainment"] = orders_sla_attainment
 PENDING_ORACLE["orders_sla_attainment"] = _SQL_SLA
+
+
+# --- Day-of-week load uniformity — PENDING round 7 ------------------------------
+#
+# Is order intake uniform across weekdays? Benford-structure audit against
+# the UNIFORM expectation: per day-of-week (epoch-day mod 7 — engine-
+# agnostic, no locale-dependent dayname()), observed orders, expected in
+# micro-orders floor(total·1e6/7), and the per-cell chi-square contribution
+# floor((o·1e6 − e_micro)²/(e_micro·1e6)) — the integer-floored per-cell
+# convention of quality_chi2_source_lang. Scale shape: one 7-group
+# aggregate with map-side partials; the total is a window over 7 rows.
+
+def orders_dow_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.expr("pmod(datediff(o_orderdate, DATE '1970-01-01'), 7)")
+        .cast("long")
+        .alias("dow")
+    )
+    per = o.groupBy("dow").agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    wall = Window.orderBy("dow").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return per.withColumn("tot", F.sum("n_orders").over(wall)).select(
+        "dow", "n_orders",
+        F.expr("CAST(tot * 1000000 div 7 AS BIGINT)").alias("exp_micro"),
+    ).select(
+        "dow", "n_orders", "exp_micro",
+        F.expr(
+            "CAST(CAST(n_orders * 1000000 - exp_micro AS DECIMAL(38,0))"
+            " * (n_orders * 1000000 - exp_micro)"
+            " DIV (CAST(exp_micro AS DECIMAL(38,0)) * 1000000) AS BIGINT)"
+        ).alias("chi2_cell"),
+    )
+
+
+_SQL_DOW_UNIFORMITY = """
+WITH per AS (
+  SELECT ((datediff('day', DATE '1970-01-01', o_orderdate) % 7 + 7) % 7)::BIGINT AS dow,
+         COUNT(*)::BIGINT AS n_orders
+  FROM orders GROUP BY 1
+),
+ex AS (
+  SELECT dow, n_orders,
+         (SUM(n_orders) OVER () * 1000000 // 7)::BIGINT AS exp_micro
+  FROM per
+)
+SELECT dow, n_orders, exp_micro,
+       ((n_orders::HUGEINT * 1000000 - exp_micro)
+          * (n_orders::HUGEINT * 1000000 - exp_micro)
+          // (exp_micro::HUGEINT * 1000000))::BIGINT AS chi2_cell
+FROM ex
+"""
+
+PENDING_QUERIES["orders_dow_uniformity"] = orders_dow_uniformity
+PENDING_ORACLE["orders_dow_uniformity"] = _SQL_DOW_UNIFORMITY
+
+
+# --- Discount–quantity correlation — PENDING round 7 ----------------------------
+#
+# Do bigger discounts move bigger quantities? Pearson r between discount
+# cents and quantity cents per part brand: exact BIGINT sufficient
+# statistics at line grain, one IEEE sqrt + division tail floored at milli
+# (the autocorr/assortativity device), r = 0 on degenerate variance. Scale
+# shape: lineitem⨝part enrichment (broadcastable dimension), one bounded
+# brand-grain aggregate of five sums.
+
+def lineitem_discount_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.round(F.col("l_discount") * 100).cast("long").alias("x"),
+        F.round(F.col("l_quantity") * 100).cast("long").alias("y"),
+    )
+    p = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    j = li.join(F.broadcast(p), "l_partkey")
+    m = j.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    d1 = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    d2 = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return m.select(
+        "p_brand",
+        F.col("n").alias("n_items"),
+        F.when(
+            (d1 > 0) & (d2 > 0),
+            F.floor(
+                num.cast("double")
+                * F.lit(1000.0)
+                / F.sqrt(d1.cast("double") * d2.cast("double"))
+            ),
+        ).otherwise(F.lit(0)).cast("long").alias("r_milli"),
+    )
+
+
+_SQL_DISC_QTY_CORR = """
+WITH j AS (
+  SELECT p.p_brand,
+         CAST(ROUND(l_discount * 100) AS BIGINT) AS x,
+         CAST(ROUND(l_quantity * 100) AS BIGINT) AS y
+  FROM lineitem JOIN part p ON p.p_partkey = l_partkey
+),
+m AS (
+  SELECT p_brand, COUNT(*)::BIGINT AS n,
+         SUM(x)::BIGINT AS sx, SUM(y)::BIGINT AS sy,
+         SUM(x * y)::BIGINT AS sxy,
+         SUM(x * x)::BIGINT AS sxx, SUM(y * y)::BIGINT AS syy
+  FROM j GROUP BY p_brand
+)
+SELECT p_brand, n AS n_items,
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+            THEN FLOOR(CAST(n * sxy - sx * sy AS DOUBLE) * 1000.0
+                       / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                              * CAST(n * syy - sy * sy AS DOUBLE)))
+            ELSE 0 END::BIGINT AS r_milli
+FROM m
+"""
+
+PENDING_QUERIES["lineitem_discount_quantity_corr"] = lineitem_discount_quantity_corr
+PENDING_ORACLE["lineitem_discount_quantity_corr"] = _SQL_DISC_QTY_CORR
