@@ -1644,3 +1644,88 @@ top AS MATERIALIZED (
 
 PENDING_QUERIES["sketch_cms_error_sweep"] = sketch_cms_error_sweep
 PENDING_ORACLE["sketch_cms_error_sweep"] = _sql_cms_sweep()
+
+
+# --- KMV k-sweep calibration — PENDING round 7 ---------------------------------
+#
+# The distinct-count twin of the CMS width sweep: the same per-type user
+# stream sketched at k = 16 / 64 / 256 minimum values, scored against the
+# exact distinct count — estimate (the production (k−1)/v_k tail with the
+# small-range exact branch) and |error| in ppm of the exact count, floored
+# once on identical doubles. Error contracts ~1/√k; the report makes the
+# knee visible next to the quantile and CMS calibration rows. Scale shape:
+# per k one type-partitioned top-k-by-hash window over the DISTINCT hash
+# table, then bounded type-grain scoring against one exact-distinct
+# aggregate shared across all three k.
+
+KMV_SWEEP_KS = [16, 64, 256]
+
+
+def sketch_kmv_error_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact")
+    )
+    out = None
+    for k in KMV_SWEEP_KS:
+        est = sketch_kmv_distinct(spark, sf_dir, k=k).select(
+            "event_type", F.col("kmv_estimate").alias("est")
+        )
+        row = est.join(F.broadcast(exact), "event_type").select(
+            F.lit(k).cast("long").alias("k"),
+            "event_type", "n_exact",
+            F.col("est").alias("kmv_estimate"),
+            F.floor(
+                F.abs(F.col("est") - F.col("n_exact"))
+                * F.lit(1000000.0)
+                / F.col("n_exact")
+            ).cast("long").alias("err_ppm"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _sql_kmv_sweep() -> str:
+    blocks = []
+    for k in KMV_SWEEP_KS:
+        blocks.append(f"""
+SELECT CAST({k} AS BIGINT) AS k, per.event_type, x.n_exact,
+       CAST(FLOOR(
+         (CASE WHEN n_tracked < {k}
+               THEN CAST(n_tracked AS DOUBLE)
+               ELSE {float(k - 1)} / (CAST({_SQL_HEX12} AS BIGINT) / {_NORM!r})
+          END) * 1000000.0) AS DOUBLE) / 1000000.0 AS kmv_estimate,
+       CAST(FLOOR(ABS(
+         CAST(FLOOR(
+           (CASE WHEN n_tracked < {k}
+                 THEN CAST(n_tracked AS DOUBLE)
+                 ELSE {float(k - 1)} / (CAST({_SQL_HEX12} AS BIGINT) / {_NORM!r})
+            END) * 1000000.0) AS DOUBLE) / 1000000.0
+         - x.n_exact) * 1000000.0 / x.n_exact) AS BIGINT) AS err_ppm
+FROM (
+  SELECT event_type, COUNT(*) AS n_tracked,
+         MAX(CASE WHEN rn = {k} THEN h END) AS h
+  FROM (
+    SELECT event_type, h,
+           row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+    FROM hashed
+  ) WHERE rn <= {k}
+  GROUP BY event_type
+) per
+JOIN x ON x.event_type = per.event_type""")
+    return f"""
+WITH hashed AS MATERIALIZED (
+  SELECT DISTINCT event_type,
+         substring(md5(CAST(user_id AS VARCHAR)), 1, {_HEX_DIGITS}) AS h
+  FROM events
+),
+x AS MATERIALIZED (
+  SELECT event_type, COUNT(DISTINCT user_id)::BIGINT AS n_exact
+  FROM events GROUP BY event_type
+)
+{' UNION ALL '.join(blocks)}
+"""
+
+
+PENDING_QUERIES["sketch_kmv_error_sweep"] = sketch_kmv_error_sweep
+PENDING_ORACLE["sketch_kmv_error_sweep"] = _sql_kmv_sweep()
