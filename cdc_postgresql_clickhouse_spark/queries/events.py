@@ -2355,3 +2355,63 @@ FROM pairs p JOIN longest l USING (event_type)
 
 PENDING_QUERIES["events_self_transition_rate"] = events_self_transition_rate
 PENDING_ORACLE["events_self_transition_rate"] = ORACLE_SELF_TRANSITION
+
+
+# --- Error MTBF bands — PENDING round 7 -----------------------------------------
+#
+# Reliability profile: mean time between 'error' events per user (users
+# with ≥ 2 errors — one error has no "between"), banded by power-of-2 hours
+# via the shared ilog2 bin() device. MTBF per user is the exact integer
+# span div (n_errors − 1) — no per-gap window needed: consecutive-gap mean
+# telescopes to (last − first)/(n − 1). Scale shape: one error-filtered
+# per-user aggregate (min/max/count, map-side partials), one bounded band
+# rollup.
+
+def events_error_mtbf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "error"
+    ).select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("es"),
+    )
+    per = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_err"),
+        F.min("es").alias("lo"),
+        F.max("es").alias("hi"),
+    ).filter(F.col("n_err") >= 2).select(
+        F.expr("(hi - lo) div (n_err - 1)").cast("long").alias("mtbf_s")
+    )
+    banded = per.select(
+        "mtbf_s",
+        (F.length(F.bin(F.expr("mtbf_s div 3600") + 1)) - 1)
+        .cast("long")
+        .alias("band"),
+    )
+    return banded.groupBy("band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.min("mtbf_s").cast("long").alias("min_mtbf_s"),
+        F.max("mtbf_s").cast("long").alias("max_mtbf_s"),
+    )
+
+
+ORACLE_ERROR_MTBF = """
+WITH per AS (
+  SELECT user_id, COUNT(*)::BIGINT AS n_err,
+         MIN(CAST(FLOOR(epoch(ts)) AS BIGINT)) AS lo,
+         MAX(CAST(FLOOR(epoch(ts)) AS BIGINT)) AS hi
+  FROM events WHERE event_type = 'error'
+  GROUP BY user_id
+),
+m AS (
+  SELECT (hi - lo) // (n_err - 1) AS mtbf_s FROM per WHERE n_err >= 2
+)
+SELECT (length(bin((mtbf_s // 3600) + 1)) - 1)::BIGINT AS band,
+       COUNT(*)::BIGINT AS n_users,
+       MIN(mtbf_s)::BIGINT AS min_mtbf_s,
+       MAX(mtbf_s)::BIGINT AS max_mtbf_s
+FROM m
+GROUP BY 1
+"""
+
+PENDING_QUERIES["events_error_mtbf"] = events_error_mtbf
+PENDING_ORACLE["events_error_mtbf"] = ORACLE_ERROR_MTBF
