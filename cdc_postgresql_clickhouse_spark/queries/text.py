@@ -777,3 +777,78 @@ WHERE rn <= {KEYNESS_K}
 
 PENDING_QUERIES["text_keyness_report"] = text_keyness_report
 PENDING_ORACLE["text_keyness_report"] = _sql_keyness()
+
+
+# --- MATTR lexical diversity — PENDING round 7 ----------------------------------
+#
+# The length-controlled diversity metric (Covington & McFall 2010): plain
+# TTR collapses as documents grow, so MATTR averages the type/token ratio
+# over every sliding MATTR_W-token window instead. Integer form: per doc,
+# Σ_w |distinct(window_w)| · 1000 div (n_windows · MATTR_W); per source,
+# the doc-mean of that milli value (second truncating division). Docs
+# shorter than MATTR_W have no window and drop out (stated, not hidden).
+# Scale shape: the window sweep is a PER-ROW array computation
+# (transform over the index range + array_distinct on slices — zero
+# shuffle, whole-stage codegen); only the bounded source rollup shuffles.
+
+MATTR_W = 50
+
+
+def text_mattr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", tokens(F.col("text")).alias("t")
+    )
+    n_win = F.greatest(F.size("t") - F.lit(MATTR_W - 1), F.lit(0))
+    sum_d = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), n_win),
+            lambda i: F.size(F.array_distinct(F.slice("t", i, MATTR_W))),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    per_doc = docs.filter(F.size("t") >= MATTR_W).select(
+        "source",
+        sum_d.alias("sum_d"),
+        n_win.cast("long").alias("n_win"),
+    ).select(
+        "source",
+        F.expr(f"sum_d * 1000 div (n_win * {MATTR_W})")
+        .cast("long")
+        .alias("mattr_milli"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.expr("sum(mattr_milli) div count(1)").cast("long").alias("mean_mattr_milli"),
+        F.min("mattr_milli").cast("long").alias("min_mattr_milli"),
+        F.max("mattr_milli").cast("long").alias("max_mattr_milli"),
+    )
+
+
+def _sql_mattr() -> str:
+    from cdc_postgresql_clickhouse_spark.queries.dedup import _SQL_TOKENS
+
+    return f"""
+WITH docs AS (
+  SELECT source, {_SQL_TOKENS} AS t FROM documents
+),
+per_doc AS (
+  SELECT source,
+         CAST(
+           list_sum(list_transform(range(1, len(t) - {MATTR_W} + 2),
+                    i -> len(list_distinct(t[i:i + {MATTR_W} - 1])))) * 1000
+           // ((len(t) - {MATTR_W} + 1) * {MATTR_W})
+         AS BIGINT) AS mattr_milli
+  FROM docs WHERE len(t) >= {MATTR_W}
+)
+SELECT source, COUNT(*)::BIGINT AS n_docs,
+       (SUM(mattr_milli) // COUNT(*))::BIGINT AS mean_mattr_milli,
+       MIN(mattr_milli)::BIGINT AS min_mattr_milli,
+       MAX(mattr_milli)::BIGINT AS max_mattr_milli
+FROM per_doc
+GROUP BY source
+"""
+
+
+PENDING_QUERIES["text_mattr_diversity"] = text_mattr_diversity
+PENDING_ORACLE["text_mattr_diversity"] = _sql_mattr()
