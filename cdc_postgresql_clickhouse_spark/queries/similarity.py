@@ -1456,3 +1456,81 @@ FROM joined
 
 PENDING_QUERIES["embedding_quantize_recall"] = embedding_quantize_recall
 PENDING_ORACLE["embedding_quantize_recall"] = _SQL_QUANT_RECALL
+
+
+# --- Hubness (k-occurrence) profile — PENDING round 7 --------------------------
+#
+# The distribution behind the reciprocity number: how often does each
+# vector appear in OTHER vectors' top-K_REC lists (its k-occurrence N_k)?
+# High-dimensional spaces grow hub points with N_k >> K_REC and a long tail
+# of anti-hubs at 0 — the skew that silently biases kNN-based dedup and
+# retrieval eval. Bands are power-of-2 via the shared ilog2 bin() device
+# (N_k + 1 so anti-hubs land in band 0); same deterministic mod-10 eval
+# subsample and tie-break as embedding_knn_reciprocity. Scale shape: the
+# kNN edge list (subsample-bounded), one neighbor-grain count, a LEFT join
+# from the subsample so anti-hubs (never referenced) keep N_k = 0, one
+# bounded band rollup.
+
+def embedding_hubness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % 10 == 0
+    ).select("vec_id", _emb_d().alias("e"), _norm(_emb_d()).alias("nrm"))
+    a = emb.select(
+        F.col("vec_id").alias("q_id"), F.col("e").alias("qe"), F.col("nrm").alias("qn")
+    )
+    scored = F.broadcast(a).join(emb, F.col("q_id") != F.col("vec_id")).select(
+        "q_id",
+        F.col("vec_id").alias("n_id"),
+        _cos_prenorm(F.col("qe"), F.col("e"), F.col("qn"), F.col("nrm")).alias("cs"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cs"), F.col("n_id"))
+    knn = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= K_REC)
+        .select("n_id")
+    )
+    occ = knn.groupBy("n_id").agg(F.count(F.lit(1)).cast("long").alias("nk"))
+    full = emb.select(F.col("vec_id").alias("n_id")).join(
+        occ, "n_id", "left"
+    ).select(F.coalesce("nk", F.lit(0)).cast("long").alias("nk"))
+    banded = full.select(
+        "nk", (F.length(F.bin(F.col("nk") + 1)) - 1).cast("long").alias("band")
+    )
+    return banded.groupBy("band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.min("nk").cast("long").alias("min_k_occ"),
+        F.max("nk").cast("long").alias("max_k_occ"),
+    )
+
+
+_SQL_HUBNESS = f"""
+WITH emb AS (
+  SELECT vec_id, {_SQL_EMB} AS e FROM embeddings WHERE vec_id % 10 = 0
+),
+scored AS (
+  SELECT a.vec_id AS q_id, b.vec_id AS n_id, {_sql_cos('a.e', 'b.e')} AS cs
+  FROM emb a JOIN emb b ON a.vec_id <> b.vec_id
+),
+knn AS (
+  SELECT n_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, n_id) AS rank
+    FROM scored
+  ) WHERE rank <= {K_REC}
+),
+occ AS (SELECT n_id, COUNT(*)::BIGINT AS nk FROM knn GROUP BY n_id),
+allp AS (
+  SELECT COALESCE(o.nk, 0)::BIGINT AS nk
+  FROM emb e LEFT JOIN occ o ON o.n_id = e.vec_id
+)
+SELECT (length(bin(nk + 1)) - 1)::BIGINT AS band,
+       COUNT(*)::BIGINT AS n_points,
+       MIN(nk)::BIGINT AS min_k_occ,
+       MAX(nk)::BIGINT AS max_k_occ
+FROM allp
+GROUP BY 1
+"""
+
+PENDING_QUERIES["embedding_hubness_profile"] = embedding_hubness_profile
+PENDING_ORACLE["embedding_hubness_profile"] = _SQL_HUBNESS
