@@ -2048,3 +2048,65 @@ FROM m
 
 PENDING_QUERIES["lineitem_discount_quantity_corr"] = lineitem_discount_quantity_corr
 PENDING_ORACLE["lineitem_discount_quantity_corr"] = _SQL_DISC_QTY_CORR
+
+
+# --- Customer balance profile — PENDING round 7 ---------------------------------
+#
+# Credit-risk snapshot on the customer dimension: per market segment, the
+# share of customers in debit (negative account balance) in ppm, the exact
+# nearest-rank median balance in cents (rank (n+1) div 2 under
+# (cents, custkey) — deterministic ties), and the extremes. Scale shape:
+# one segment-partitioned ranking window over the customer dimension (the
+# smallest table in the schema — the honest exact-median cost), one bounded
+# segment rollup.
+
+def customers_balance_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_mktsegment", "c_custkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    wrk = Window.partitionBy("c_mktsegment").orderBy("cents", "c_custkey")
+    wn = Window.partitionBy("c_mktsegment")
+    ranked = c.select(
+        "c_mktsegment", "cents",
+        F.row_number().over(wrk).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+        F.sum(F.when(F.col("cents") < 0, 1).otherwise(0)).over(wn).alias("n_neg"),
+    )
+    return ranked.groupBy("c_mktsegment").agg(
+        F.max("n").cast("long").alias("n_customers"),
+        F.expr("max(n_neg) * 1000000 div max(n)").cast("long").alias("debit_ppm"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("cents"))
+        ).cast("long").alias("median_cents"),
+        F.min("cents").cast("long").alias("min_cents"),
+        F.max("cents").cast("long").alias("max_cents"),
+    )
+
+
+_SQL_BALANCE_PROFILE = """
+WITH c AS (
+  SELECT c_mktsegment, c_custkey,
+         CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer
+),
+ranked AS (
+  SELECT c_mktsegment, cents,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY cents, c_custkey) AS rn,
+         COUNT(*) OVER (PARTITION BY c_mktsegment) AS n,
+         SUM(CASE WHEN cents < 0 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY c_mktsegment) AS n_neg
+  FROM c
+)
+SELECT c_mktsegment,
+       MAX(n)::BIGINT AS n_customers,
+       (MAX(n_neg) * 1000000 // MAX(n))::BIGINT AS debit_ppm,
+       MAX(CASE WHEN rn = (n + 1) // 2 THEN cents END)::BIGINT AS median_cents,
+       MIN(cents)::BIGINT AS min_cents,
+       MAX(cents)::BIGINT AS max_cents
+FROM ranked
+GROUP BY c_mktsegment
+"""
+
+PENDING_QUERIES["customers_balance_profile"] = customers_balance_profile
+PENDING_ORACLE["customers_balance_profile"] = _SQL_BALANCE_PROFILE
