@@ -1107,3 +1107,70 @@ FROM m
 
 PENDING_QUERIES["graph_degree_assortativity"] = graph_degree_assortativity
 PENDING_ORACLE["graph_degree_assortativity"] = _SQL_ASSORTATIVITY
+
+
+# --- Local clustering coefficient — PENDING round 7 ----------------------------
+#
+# The canonical ratio the triangle counts imply but never state: per node,
+# C = 2·T / (d·(d−1)) over the UNDIRECTED distinct transition graph — how
+# close each type's neighborhood is to a clique, in floored ppm (d < 2 →
+# 0). Triangle counting reuses the oriented wedge-closure device of
+# graph_triangle_types verbatim; the undirected degree is one aggregate
+# over the symmetrized edge list. Scale shape: identical to the triangle
+# row (wedge join bounded by neighbor lists) plus one degree aggregate and
+# a node-grain join.
+
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tri = graph_triangle_types(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.lag("event_type").over(w).alias("src"), F.col("event_type").alias("dst")
+    ).filter(F.col("src").isNotNull() & (F.col("src") != F.col("dst")))
+    und = pairs.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    deg = (
+        und.select(F.col("a").alias("event_type"))
+        .unionByName(und.select(F.col("b").alias("event_type")))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    return tri.join(deg, "event_type").select(
+        "event_type",
+        "n_triangles",
+        "d",
+        F.expr(
+            "CASE WHEN d < 2 THEN CAST(0 AS BIGINT)"
+            " ELSE CAST(2 * n_triangles * 1000000 div (d * (d - 1)) AS BIGINT) END"
+        ).alias("cc_ppm"),
+    )
+
+
+_SQL_CLUSTERING_COEF = f"""
+WITH tri AS ({_SQL_TRIANGLES}),
+seq AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
+         event_type AS dst
+  FROM events
+),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM seq WHERE src IS NOT NULL AND src <> dst
+),
+deg AS (
+  SELECT event_type, COUNT(*)::BIGINT AS d FROM (
+    SELECT a AS event_type FROM und UNION ALL SELECT b FROM und
+  ) GROUP BY 1
+)
+SELECT t.event_type, t.n_triangles, deg.d,
+       CASE WHEN deg.d < 2 THEN 0
+            ELSE 2 * t.n_triangles * 1000000 // (deg.d * (deg.d - 1))
+       END::BIGINT AS cc_ppm
+FROM tri t JOIN deg USING (event_type)
+"""
+
+PENDING_QUERIES["graph_clustering_coefficient"] = graph_clustering_coefficient
+PENDING_ORACLE["graph_clustering_coefficient"] = _SQL_CLUSTERING_COEF
