@@ -1236,3 +1236,71 @@ GROUP BY 1
 
 PENDING_QUERIES["cdc_write_amplification"] = cdc_write_amplification
 PENDING_ORACLE["cdc_write_amplification"] = ORACLE_WRITE_AMP
+
+
+# --- Weekly op-code mix — PENDING round 7 ---------------------------------------
+#
+# The envelope-operation mix over time under the standard event mapping
+# (a key's FIRST event is its create 'c', an 'error' is a delete 'd',
+# everything else an update 'u'): per week, counts and ppm shares of each
+# op — the workload-shape report capacity and compaction planning read
+# (update-heavy weeks merge; delete-heavy weeks tombstone-compact). Scale
+# shape: one per-key min to mark creates (map-side partials), one
+# user-keyed join back, one bounded (week × 3) rollup with shares via a
+# week-partition window over that grid.
+
+def cdc_op_mix_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_id").alias("eid"),
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("es"),
+        "event_type",
+    )
+    first = ev.groupBy("user_id").agg(
+        F.min(F.struct("es", "eid")).alias("__f")
+    ).select("user_id", F.col("__f.eid").alias("first_eid"))
+    opd = ev.join(first, "user_id").select(
+        F.expr("es div 604800").cast("long").alias("week"),
+        F.when(F.col("eid") == F.col("first_eid"), "c")
+        .when(F.col("event_type") == "error", "d")
+        .otherwise("u")
+        .alias("op"),
+    )
+    per = opd.groupBy("week", "op").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ops")
+    )
+    ww = Window.partitionBy("week")
+    return per.select(
+        "week", "op", "n_ops",
+        F.expr("n_ops * 1000000 div sum(n_ops) over (partition by week)")
+        .cast("long")
+        .alias("share_ppm"),
+    )
+
+
+ORACLE_OP_MIX = """
+WITH ev AS (
+  SELECT user_id, event_id AS eid,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS es, event_type
+  FROM events
+),
+first AS (
+  SELECT user_id, FIRST(eid ORDER BY es, eid) AS first_eid
+  FROM ev GROUP BY user_id
+),
+opd AS (
+  SELECT (es // 604800)::BIGINT AS week,
+         CASE WHEN eid = first_eid THEN 'c'
+              WHEN event_type = 'error' THEN 'd'
+              ELSE 'u' END AS op
+  FROM ev JOIN first USING (user_id)
+),
+per AS (SELECT week, op, COUNT(*)::BIGINT AS n_ops FROM opd GROUP BY 1, 2)
+SELECT week, op, n_ops,
+       (n_ops * 1000000 // SUM(n_ops) OVER (PARTITION BY week))::BIGINT
+         AS share_ppm
+FROM per
+"""
+
+PENDING_QUERIES["cdc_op_mix_weekly"] = cdc_op_mix_weekly
+PENDING_ORACLE["cdc_op_mix_weekly"] = ORACLE_OP_MIX
