@@ -2110,3 +2110,60 @@ GROUP BY c_mktsegment
 
 PENDING_QUERIES["customers_balance_profile"] = customers_balance_profile
 PENDING_ORACLE["customers_balance_profile"] = _SQL_BALANCE_PROFILE
+
+
+# --- Part-type class revenue — PENDING round 7 ----------------------------------
+#
+# Dimension engineering on the free-text p_type ("STANDARD ANODIZED TIN"):
+# roll revenue up to the FIRST word — the manufacturing class — with share
+# ppm of total, ordered by an explicit rank for a stable driver hash. The
+# string split is a map-side expression on the part dimension, so the big
+# side still joins on the integer key and the derived class rides along
+# (never a corpus-side string operation). Scale shape: lineitem⨝part
+# (broadcastable dimension), one bounded class rollup, share via a window
+# over that grid.
+
+def parts_type_class_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", _rev_micros().alias("rev")
+    )
+    p = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"),
+        F.split(F.col("p_type"), " ").getItem(0).alias("type_class"),
+    )
+    per = (
+        li.join(F.broadcast(p), "l_partkey")
+        .groupBy("type_class")
+        .agg(F.sum("rev").cast("long").alias("rev_micros"))
+    )
+    wall = Window.orderBy("type_class").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wr = Window.orderBy(F.desc("rev_micros"), F.asc("type_class"))
+    return per.withColumn("tot", F.sum("rev_micros").over(wall)).select(
+        "type_class", "rev_micros",
+        F.expr(
+            "CAST(CAST(rev_micros AS DECIMAL(38,0)) * 1000000"
+            " DIV CAST(tot AS DECIMAL(38,0)) AS BIGINT)"
+        ).alias("share_ppm"),
+        F.row_number().over(wr).cast("long").alias("rank"),
+    )
+
+
+_SQL_TYPE_CLASS = """
+WITH per AS (
+  SELECT split_part(p_type, ' ', 1) AS type_class,
+         SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))::BIGINT AS rev_micros
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  GROUP BY 1
+)
+SELECT type_class, rev_micros,
+       (rev_micros::HUGEINT * 1000000 // SUM(rev_micros) OVER ())::BIGINT
+         AS share_ppm,
+       ROW_NUMBER() OVER (ORDER BY rev_micros DESC, type_class)::BIGINT AS rank
+FROM per
+"""
+
+PENDING_QUERIES["parts_type_class_revenue"] = parts_type_class_revenue
+PENDING_ORACLE["parts_type_class_revenue"] = _SQL_TYPE_CLASS
