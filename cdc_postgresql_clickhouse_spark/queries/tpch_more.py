@@ -2167,3 +2167,81 @@ FROM per
 
 PENDING_QUERIES["parts_type_class_revenue"] = parts_type_class_revenue
 PENDING_ORACLE["parts_type_class_revenue"] = _SQL_TYPE_CLASS
+
+
+# --- Trade-flow matrix — PENDING round 7 ----------------------------------------
+#
+# Q7 without the blinkers: revenue between EVERY (supplier nation, customer
+# nation) pair, not one hand-picked pair — the full five-table star
+# (lineitem ⨝ orders ⨝ customer ⨝ supplier ⨝ nation×2) rolled to the
+# bounded 25×25 matrix, with share ppm and the domestic flag (the
+# home-bias diagnostic falls straight out). Scale shape: the two fact-side
+# joins are key joins (orderkey, suppkey — AQE decides broadcast vs
+# shuffle); customer and the two nation legs are dimension enrichments on
+# the already-joined keys; everything after is matrix-grain.
+
+def trade_flow_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", _rev_micros().alias("rev")
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(
+            F.broadcast(n.select(
+                F.col("n_nationkey").alias("sn_key"),
+                F.col("n_name").alias("supp_nation"),
+            )),
+            F.col("s_nationkey") == F.col("sn_key"),
+        )
+        .join(
+            F.broadcast(n.select(
+                F.col("n_nationkey").alias("cn_key"),
+                F.col("n_name").alias("cust_nation"),
+            )),
+            F.col("c_nationkey") == F.col("cn_key"),
+        )
+    )
+    per = j.groupBy("supp_nation", "cust_nation").agg(
+        F.sum("rev").cast("long").alias("rev_micros"),
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+    )
+    wall = Window.partitionBy()
+    return per.select(
+        "supp_nation", "cust_nation", "n_items", "rev_micros",
+        F.expr(
+            "CAST(CAST(rev_micros AS DECIMAL(38,0)) * 1000000"
+            " DIV CAST(sum(rev_micros) over () AS DECIMAL(38,0)) AS BIGINT)"
+        ).alias("share_ppm"),
+        (F.col("supp_nation") == F.col("cust_nation")).alias("domestic"),
+    )
+
+
+_SQL_TRADE_FLOW = """
+WITH per AS (
+  SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+         COUNT(*)::BIGINT AS n_items,
+         SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))::BIGINT AS rev_micros
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ns ON ns.n_nationkey = s_nationkey
+  JOIN nation nc ON nc.n_nationkey = c_nationkey
+  GROUP BY 1, 2
+)
+SELECT supp_nation, cust_nation, n_items, rev_micros,
+       (rev_micros::HUGEINT * 1000000 // SUM(rev_micros) OVER ())::BIGINT
+         AS share_ppm,
+       supp_nation = cust_nation AS domestic
+FROM per
+"""
+
+PENDING_QUERIES["trade_flow_matrix"] = trade_flow_matrix
+PENDING_ORACLE["trade_flow_matrix"] = _SQL_TRADE_FLOW
