@@ -2245,3 +2245,65 @@ FROM per
 
 PENDING_QUERIES["trade_flow_matrix"] = trade_flow_matrix
 PENDING_ORACLE["trade_flow_matrix"] = _SQL_TRADE_FLOW
+
+
+# --- Open-order aging — PENDING round 7 -----------------------------------------
+#
+# The accounts-receivable-style aging report on still-open orders
+# (o_orderstatus = 'O'): age = days from order date to the corpus's last
+# order date (both engines derive the same "as of" scalar from the data),
+# banded by power-of-2 months via the shared ilog2 bin() device, with order
+# counts and the open value at risk per band. Scale shape: one filtered
+# scan + a broadcast one-row max-date, one bounded band rollup.
+
+def orders_open_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        F.expr("datediff(o_orderdate, DATE '1970-01-01')").cast("long").alias("d"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    asof = o.agg(F.max("d").alias("asof_d"))
+    aged = (
+        o.filter(F.col("o_orderstatus") == "O")
+        .crossJoin(F.broadcast(asof))
+        .select(
+            (F.col("asof_d") - F.col("d")).alias("age_days"),
+            "cents",
+        )
+        .select(
+            "age_days", "cents",
+            (F.length(F.bin(F.expr("age_days div 30") + 1)) - 1)
+            .cast("long")
+            .alias("band"),
+        )
+    )
+    return aged.groupBy("band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_open"),
+        F.sum("cents").cast("long").alias("open_cents"),
+        F.min("age_days").cast("long").alias("min_age_days"),
+        F.max("age_days").cast("long").alias("max_age_days"),
+    )
+
+
+_SQL_OPEN_AGING = """
+WITH o AS (
+  SELECT o_orderstatus,
+         datediff('day', DATE '1970-01-01', o_orderdate)::BIGINT AS d,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+aged AS (
+  SELECT (SELECT MAX(d) FROM o) - d AS age_days, cents
+  FROM o WHERE o_orderstatus = 'O'
+)
+SELECT (length(bin((age_days // 30) + 1)) - 1)::BIGINT AS band,
+       COUNT(*)::BIGINT AS n_open,
+       SUM(cents)::BIGINT AS open_cents,
+       MIN(age_days)::BIGINT AS min_age_days,
+       MAX(age_days)::BIGINT AS max_age_days
+FROM aged
+GROUP BY 1
+"""
+
+PENDING_QUERIES["orders_open_aging"] = orders_open_aging
+PENDING_ORACLE["orders_open_aging"] = _SQL_OPEN_AGING
