@@ -2415,3 +2415,57 @@ GROUP BY 1
 
 PENDING_QUERIES["events_error_mtbf"] = events_error_mtbf
 PENDING_ORACLE["events_error_mtbf"] = ORACLE_ERROR_MTBF
+
+
+# --- Newcomer load share — PENDING round 7 --------------------------------------
+#
+# How much of each week's traffic comes from users in their FIRST week?
+# High newcomer share means load growth is acquisition-driven (and caches
+# keyed on returning users won't help); low means a stable heavy-user base.
+# Per week: events, events from users whose first-ever event fell in that
+# same week, share in ppm, and distinct newcomers. Scale shape: one
+# per-user min (map-side partials), one user-keyed join back, one bounded
+# weekly rollup.
+
+def events_newcomer_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("CAST(floor(unix_timestamp(ts) / 604800) AS BIGINT)").alias("week"),
+    )
+    first = ev.groupBy("user_id").agg(F.min("week").alias("w0"))
+    j = ev.join(first, "user_id").select(
+        "week",
+        "user_id",
+        (F.col("week") == F.col("w0")).cast("int").alias("fresh"),
+    )
+    return j.groupBy("week").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("fresh").cast("long").alias("n_fresh_events"),
+        F.expr("sum(fresh) * 1000000 div count(1)")
+        .cast("long")
+        .alias("fresh_ppm"),
+        F.countDistinct(
+            F.when(F.col("fresh") == 1, F.col("user_id"))
+        ).cast("long").alias("n_newcomers"),
+    )
+
+
+ORACLE_NEWCOMER = """
+WITH ev AS (
+  SELECT user_id, CAST(FLOOR(epoch(ts) / 604800) AS BIGINT) AS week
+  FROM events
+),
+first AS (SELECT user_id, MIN(week) AS w0 FROM ev GROUP BY user_id)
+SELECT week,
+       COUNT(*)::BIGINT AS n_events,
+       SUM(CASE WHEN week = w0 THEN 1 ELSE 0 END)::BIGINT AS n_fresh_events,
+       (SUM(CASE WHEN week = w0 THEN 1 ELSE 0 END) * 1000000
+          // COUNT(*))::BIGINT AS fresh_ppm,
+       COUNT(DISTINCT CASE WHEN week = w0 THEN user_id END)::BIGINT
+         AS n_newcomers
+FROM ev JOIN first USING (user_id)
+GROUP BY week
+"""
+
+PENDING_QUERIES["events_newcomer_load"] = events_newcomer_load
+PENDING_ORACLE["events_newcomer_load"] = ORACLE_NEWCOMER
