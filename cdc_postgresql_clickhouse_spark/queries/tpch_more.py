@@ -2307,3 +2307,56 @@ GROUP BY 1
 
 PENDING_QUERIES["orders_open_aging"] = orders_open_aging
 PENDING_ORACLE["orders_open_aging"] = _SQL_OPEN_AGING
+
+
+# --- Basket-size value curve — PENDING round 7 ----------------------------------
+#
+# Does order value scale linearly with basket size? Per basket size (line
+# items per order): orders, mean order value in cents (truncating), and the
+# MARGINAL value of the next item (lag difference over the bounded
+# size grid — where the curve flattens, upselling stops paying). Scale
+# shape: one order-grain count join (orderkey-keyed), one bounded
+# size-grain rollup, one lag window over that grid.
+
+def orders_size_value_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    size = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items")
+    )
+    j = size.join(o, size.l_orderkey == o.o_orderkey)
+    per = j.groupBy("n_items").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.expr("sum(cents) div count(1)").cast("long").alias("mean_cents"),
+    )
+    w = Window.orderBy("n_items")
+    return per.select(
+        "n_items", "n_orders", "mean_cents",
+        (F.col("mean_cents") - F.lag("mean_cents").over(w))
+        .cast("long")
+        .alias("marginal_cents"),
+    )
+
+
+_SQL_SIZE_VALUE = """
+WITH size AS (
+  SELECT l_orderkey, COUNT(*)::BIGINT AS n_items FROM lineitem GROUP BY 1
+),
+per AS (
+  SELECT n_items, COUNT(*)::BIGINT AS n_orders,
+         (SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) // COUNT(*))::BIGINT
+           AS mean_cents
+  FROM size JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY n_items
+)
+SELECT n_items, n_orders, mean_cents,
+       (mean_cents - LAG(mean_cents) OVER (ORDER BY n_items))::BIGINT
+         AS marginal_cents
+FROM per
+"""
+
+PENDING_QUERIES["orders_size_value_curve"] = orders_size_value_curve
+PENDING_ORACLE["orders_size_value_curve"] = _SQL_SIZE_VALUE
