@@ -2469,3 +2469,52 @@ GROUP BY week
 
 PENDING_QUERIES["events_newcomer_load"] = events_newcomer_load
 PENDING_ORACLE["events_newcomer_load"] = ORACLE_NEWCOMER
+
+
+# --- Hour-of-week load profile — PENDING round 7 --------------------------------
+#
+# The 168-cell load heatmap behind capacity scheduling: events per
+# (day-of-week, hour) cell — dow from epoch-day mod 7 (engine-agnostic, no
+# locale daynames), share of total in ppm, and the global rank (hottest
+# cell first, deterministic (n DESC, dow, hour) tie-break). Scale shape:
+# map-side cell key, one bounded 168-cell aggregate; share and rank are
+# windows over that grid.
+
+def events_hour_of_week_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr("pmod(CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT), 7)")
+        .cast("long")
+        .alias("dow"),
+        F.expr("pmod(CAST(floor(unix_timestamp(ts) / 3600) AS BIGINT), 24)")
+        .cast("long")
+        .alias("hour"),
+    )
+    per = ev.groupBy("dow", "hour").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    wall = Window.partitionBy()
+    wr = Window.orderBy(F.desc("n_events"), "dow", "hour")
+    return per.select(
+        "dow", "hour", "n_events",
+        F.expr("n_events * 1000000 div sum(n_events) over ()")
+        .cast("long")
+        .alias("share_ppm"),
+        F.row_number().over(wr).cast("long").alias("rank"),
+    )
+
+
+ORACLE_HOUR_OF_WEEK = """
+WITH per AS (
+  SELECT ((CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) % 7 + 7) % 7) AS dow,
+         ((CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) % 24 + 24) % 24) AS hour,
+         COUNT(*)::BIGINT AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT dow::BIGINT AS dow, hour::BIGINT AS hour, n_events,
+       (n_events * 1000000 // SUM(n_events) OVER ())::BIGINT AS share_ppm,
+       ROW_NUMBER() OVER (ORDER BY n_events DESC, dow, hour)::BIGINT AS rank
+FROM per
+"""
+
+PENDING_QUERIES["events_hour_of_week_profile"] = events_hour_of_week_profile
+PENDING_ORACLE["events_hour_of_week_profile"] = ORACLE_HOUR_OF_WEEK
