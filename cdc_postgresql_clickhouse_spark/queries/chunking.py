@@ -131,30 +131,7 @@ QUERIES = {
 
 # DuckDB: list slicing l[a:b] is 1-based inclusive, so a width-W slice at s
 # is l[s : s + W - 1]; slicing past the end truncates like Spark's slice().
-ORACLE = {
-    "doc_chunking": f"""
-WITH base AS (
-  SELECT doc_id,
-         list_filter(str_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
-                     t -> t <> '') AS toks
-  FROM documents
-),
-chunks AS (
-  SELECT doc_id,
-         unnest(generate_series(1, len(toks), {CHUNK_STRIDE})) AS start,
-         toks
-  FROM base WHERE len(toks) >= 1
-)
-SELECT doc_id,
-       CAST((start - 1) / {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
-       len(toks[start : start + {CHUNK_TOKENS} - 1])::BIGINT AS chunk_tokens,
-       md5(array_to_string(toks[start : start + {CHUNK_TOKENS} - 1], ' ')) AS chunk_md5
-FROM chunks
-""",
-    # corpus CTE interpolated from dedup's _SQL_CORPUS (single source of
-    # truth for NEARDUP_IDS / DERIVED_OFFSET — Spark side uses dedup._corpus)
-    "chunk_dedup_content_defined": f"""
-WITH corpus AS ({_SQL_CORPUS}),
+_SQL_CHUNK_HASHED = f"""corpus AS ({_SQL_CORPUS}),
 base AS (
   SELECT doc_id,
          list_filter(str_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
@@ -180,7 +157,32 @@ pieces AS (
            c -> len(c) > 0)) AS piece
   FROM staged
 ),
-hashed AS (SELECT doc_id, md5(array_to_string(piece, ' ')) AS chunk_md5 FROM pieces)
+hashed AS (SELECT doc_id, md5(array_to_string(piece, ' ')) AS chunk_md5 FROM pieces)"""
+
+ORACLE = {
+    "doc_chunking": f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(str_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                     t -> t <> '') AS toks
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(toks), {CHUNK_STRIDE})) AS start,
+         toks
+  FROM base WHERE len(toks) >= 1
+)
+SELECT doc_id,
+       CAST((start - 1) / {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+       len(toks[start : start + {CHUNK_TOKENS} - 1])::BIGINT AS chunk_tokens,
+       md5(array_to_string(toks[start : start + {CHUNK_TOKENS} - 1], ' ')) AS chunk_md5
+FROM chunks
+""",
+    # corpus CTE interpolated from dedup's _SQL_CORPUS (single source of
+    # truth for NEARDUP_IDS / DERIVED_OFFSET — Spark side uses dedup._corpus)
+    "chunk_dedup_content_defined": f"""
+WITH {_SQL_CHUNK_HASHED}
 SELECT chunk_md5,
        COUNT(DISTINCT doc_id)::BIGINT AS n_docs,
        COUNT(*)::BIGINT AS n_occurrences
@@ -189,3 +191,91 @@ GROUP BY chunk_md5
 HAVING COUNT(DISTINCT doc_id) >= 2
 """,
 }
+
+
+# --- Chunk-boundary stability — PENDING round 7 ---------------------------------
+#
+# The property content-defined chunking EXISTS for, measured directly: for
+# every planted (original, derived) near-dup pair — the derived doc drops
+# its first token, the worst case for fixed-stride chunking — the share of
+# the original's distinct chunks that survive verbatim in the derived doc,
+# in ppm. Content-defined boundaries re-synchronize at the first boundary
+# after the edit, so only the leading chunk (and hash-collision-coincident
+# splits) is lost — the fixture's short docs average ~56% survival with
+# single-chunk docs at 0, vs ~0 EVERYWHERE for fixed-stride chunking
+# (tests/test_chunking.py pins the comparison qualitatively). Scale: the
+# map-side chunk pipeline (one explode), a pair-keyed semi-join of the two
+# chunk sets, one pair-grain aggregate.
+
+def chunk_stability_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_postgresql_clickhouse_spark.queries.dedup import (
+        DERIVED_OFFSET,
+        NEARDUP_IDS,
+        _corpus,
+    )
+
+    corpus = _corpus(spark, sf_dir)
+    base = corpus.select("doc_id", tokens(F.col("text")).alias("toks"))
+    staged = base.withColumn("bpos", F.expr(_BPOS))
+    chunks = staged.select(
+        "doc_id", F.explode(F.expr(_CDC_PIECES)).alias("piece")
+    ).select(
+        "doc_id", F.md5(F.array_join("piece", " ")).alias("chunk_md5")
+    ).distinct()
+    orig = chunks.filter(F.col("doc_id") < NEARDUP_IDS).select(
+        F.col("doc_id").alias("pair"), "chunk_md5"
+    )
+    der = chunks.filter(F.col("doc_id") >= DERIVED_OFFSET).select(
+        (F.col("doc_id") - DERIVED_OFFSET).alias("pair"), "chunk_md5"
+    )
+    shared = orig.join(der, ["pair", "chunk_md5"], "leftsemi").groupBy("pair").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shared")
+    )
+    tot = orig.groupBy("pair").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks")
+    )
+    return (
+        tot.join(shared, "pair", "left")
+        .select(
+            F.col("pair").alias("doc_id"),
+            "n_chunks",
+            F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared"),
+            F.expr("coalesce(n_shared, 0) * 1000000 div n_chunks")
+            .cast("long")
+            .alias("stability_ppm"),
+        )
+    )
+
+
+from cdc_postgresql_clickhouse_spark.queries.dedup import (  # noqa: E402
+    DERIVED_OFFSET as _DOFF,
+    NEARDUP_IDS as _NIDS,
+)
+
+_SQL_CHUNK_STABILITY = f"""
+WITH {_SQL_CHUNK_HASHED},
+dchunks AS (SELECT DISTINCT doc_id, chunk_md5 FROM hashed),
+orig AS (
+  SELECT doc_id AS pair, chunk_md5 FROM dchunks WHERE doc_id < {_NIDS}
+),
+der AS (
+  SELECT doc_id - {_DOFF} AS pair, chunk_md5 FROM dchunks
+  WHERE doc_id >= {_DOFF}
+),
+shared AS (
+  SELECT o.pair, COUNT(*)::BIGINT AS n_shared
+  FROM orig o
+  WHERE EXISTS (SELECT 1 FROM der d
+                WHERE d.pair = o.pair AND d.chunk_md5 = o.chunk_md5)
+  GROUP BY o.pair
+),
+tot AS (SELECT pair, COUNT(*)::BIGINT AS n_chunks FROM orig GROUP BY pair)
+SELECT t.pair AS doc_id, t.n_chunks,
+       COALESCE(s.n_shared, 0)::BIGINT AS n_shared,
+       (COALESCE(s.n_shared, 0) * 1000000 // t.n_chunks)::BIGINT
+         AS stability_ppm
+FROM tot t LEFT JOIN shared s ON s.pair = t.pair
+"""
+
+PENDING_QUERIES = {"chunk_stability_report": chunk_stability_report}
+PENDING_ORACLE = {"chunk_stability_report": _SQL_CHUNK_STABILITY}

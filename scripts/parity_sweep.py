@@ -29,7 +29,7 @@ def _pending_maps() -> tuple[dict, dict]:
     qs: dict = {}
     oracles: dict = {}
     mods = (
-        "tokenizer cdc search sketches skew graph text_ext pca tpch_ext "
+        "tokenizer cdc chunking search sketches skew graph text_ext pca tpch_ext "
         "events tpch_more training quality text streaming_queries similarity "
         "cluster dedup"
     ).split()
