@@ -2518,3 +2518,80 @@ FROM per
 
 PENDING_QUERIES["events_hour_of_week_profile"] = events_hour_of_week_profile
 PENDING_ORACLE["events_hour_of_week_profile"] = ORACLE_HOUR_OF_WEEK
+
+
+# --- Seasonal strength (balanced η²) — PENDING round 7 --------------------------
+#
+# How much of a type's hourly load variance is EXPLAINED by hour-of-day?
+# One-way ANOVA R² on the balanced dense design (D whole days × 24 hours,
+# zero cells counted), where balance collapses eta² to pure integers:
+# with S_h the per-hour totals, S the grand total, N = 24·D and Q = Σx²
+# over the dense grid, η² = (24·ΣS_h² − S²) / (N·Q − S²) — no per-group
+# division survives. Days are truncated to the fixture's [min_day, max_day]
+# full range; zero cells contribute zero to every sum, so the dense grid is
+# ARITHMETIC (D from two scalars), never materialized. η² ≈ 1e6 means the
+# daily shape explains everything (then the seasonal-adjusted anomaly row
+# is the right detector); ≈ 0 means hour-of-day is noise. Floored ppm via
+# DECIMAL(38).
+
+def events_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT)").alias("day"),
+        F.expr("pmod(CAST(floor(unix_timestamp(ts) / 3600) AS BIGINT), 24)")
+        .alias("hour"),
+    )
+    span = ev.agg(
+        (F.max("day") - F.min("day") + 1).cast("long").alias("n_days")
+    )
+    cells = ev.groupBy("event_type", "day", "hour").agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    hourly = cells.groupBy("event_type", "hour").agg(
+        F.sum("x").alias("sh"), F.sum(F.col("x") * F.col("x")).alias("qh")
+    )
+    per = hourly.groupBy("event_type").agg(
+        F.sum("sh").cast("long").alias("s"),
+        F.sum("qh").cast("long").alias("q"),
+        F.sum(F.col("sh") * F.col("sh")).cast("long").alias("ssh"),
+    )
+    return per.crossJoin(F.broadcast(span)).select(
+        "event_type",
+        F.col("s").alias("n_events"),
+        F.expr(
+            "CAST(CAST(24 * ssh - s * s AS DECIMAL(38,0)) * 1000000"
+            " DIV CAST(24 * n_days * q - s * s AS DECIMAL(38,0)) AS BIGINT)"
+        ).alias("eta2_ppm"),
+    )
+
+
+ORACLE_SEASONAL_STRENGTH = """
+WITH ev AS (
+  SELECT event_type,
+         CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day,
+         ((CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) % 24 + 24) % 24) AS hour
+  FROM events
+),
+span AS (SELECT (MAX(day) - MIN(day) + 1)::BIGINT AS n_days FROM ev),
+cells AS (
+  SELECT event_type, day, hour, COUNT(*)::BIGINT AS x
+  FROM ev GROUP BY 1, 2, 3
+),
+hourly AS (
+  SELECT event_type, hour, SUM(x) AS sh, SUM(x * x) AS qh
+  FROM cells GROUP BY 1, 2
+),
+per AS (
+  SELECT event_type, SUM(sh)::BIGINT AS s, SUM(qh)::BIGINT AS q,
+         SUM(sh * sh)::BIGINT AS ssh
+  FROM hourly GROUP BY event_type
+)
+SELECT event_type, s AS n_events,
+       ((24::HUGEINT * ssh - s::HUGEINT * s) * 1000000
+          // (24::HUGEINT * (SELECT n_days FROM span) * q - s::HUGEINT * s))::BIGINT
+         AS eta2_ppm
+FROM per
+"""
+
+PENDING_QUERIES["events_seasonal_strength"] = events_seasonal_strength
+PENDING_ORACLE["events_seasonal_strength"] = ORACLE_SEASONAL_STRENGTH
