@@ -1174,3 +1174,107 @@ FROM tri t JOIN deg USING (event_type)
 
 PENDING_QUERIES["graph_clustering_coefficient"] = graph_clustering_coefficient
 PENDING_ORACLE["graph_clustering_coefficient"] = _SQL_CLUSTERING_COEF
+
+
+# --- All-pairs distance profile — PENDING round 7 -------------------------------
+#
+# Eccentricity / closeness over the undirected distinct transition graph:
+# APSP by min-plus DOUBLING — d_{t+1}(a,c) = min(d_t(a,c),
+# min_b d_t(a,b) + d_t(b,c)) — so APSP_ROUNDS = 3 rounds cover any diameter
+# ≤ 2³ (unrolled identically in the oracle, the kcore/PR convention).
+# Per node: eccentricity (max finite distance), closeness as mean distance
+# in milli-hops over REACHABLE other nodes (unreachable pairs simply never
+# appear — stated), and the reachable count. All integers. Scale shape:
+# each round is one self-join + min-combine keyed on the node domain —
+# the bounded type graph here; on a billion-node graph the same plan is the
+# standard log-diameter min-plus schedule.
+
+APSP_ROUNDS = 3
+
+
+def graph_distance_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.lag("event_type").over(w).alias("src"), F.col("event_type").alias("dst")
+    ).filter(F.col("src").isNotNull() & (F.col("src") != F.col("dst")))
+    und = pairs.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    edges = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).select("a", "b", F.lit(1).cast("long").alias("d"))
+    nodes = edges.select("a").distinct()
+    d = nodes.select("a", F.col("a").alias("b"), F.lit(0).cast("long").alias("d")) \
+        .unionByName(edges) \
+        .groupBy("a", "b").agg(F.min("d").alias("d"))
+    for _ in range(APSP_ROUNDS):
+        via = (
+            d.alias("x")
+            .join(d.alias("y"), F.col("x.b") == F.col("y.a"))
+            .select(
+                F.col("x.a").alias("a"),
+                F.col("y.b").alias("b"),
+                (F.col("x.d") + F.col("y.d")).alias("d"),
+            )
+        )
+        d = d.unionByName(via).groupBy("a", "b").agg(F.min("d").alias("d"))
+    reach = d.filter(F.col("a") != F.col("b"))
+    return reach.groupBy(F.col("a").alias("event_type")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_reachable"),
+        F.max("d").cast("long").alias("eccentricity"),
+        F.expr("sum(d) * 1000 div count(1)").cast("long").alias("mean_dist_milli"),
+    )
+
+
+def _sql_apsp_round(t: int) -> str:
+    return f"""
+d{t + 1} AS (
+  SELECT a, b, MIN(d) AS d FROM (
+    SELECT a, b, d FROM d{t}
+    UNION ALL
+    SELECT x.a, y.b, x.d + y.d AS d
+    FROM d{t} x JOIN d{t} y ON x.b = y.a
+  ) GROUP BY a, b
+)"""
+
+
+_SQL_DISTANCE_PROFILE = (
+    """
+WITH seq AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
+         event_type AS dst
+  FROM events
+),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM seq WHERE src IS NOT NULL AND src <> dst
+),
+edges AS (
+  SELECT a, b, 1::BIGINT AS d FROM und
+  UNION ALL
+  SELECT b, a, 1::BIGINT FROM und
+),
+d0 AS (
+  SELECT a, b, MIN(d) AS d FROM (
+    SELECT DISTINCT a, a AS b, 0::BIGINT AS d FROM edges
+    UNION ALL
+    SELECT a, b, d FROM edges
+  ) GROUP BY a, b
+),"""
+    + ",".join(_sql_apsp_round(t) for t in range(APSP_ROUNDS))
+    + f"""
+SELECT a AS event_type,
+       COUNT(*)::BIGINT AS n_reachable,
+       MAX(d)::BIGINT AS eccentricity,
+       (SUM(d) * 1000 // COUNT(*))::BIGINT AS mean_dist_milli
+FROM d{APSP_ROUNDS}
+WHERE a <> b
+GROUP BY a
+"""
+)
+
+PENDING_QUERIES["graph_distance_profile"] = graph_distance_profile
+PENDING_ORACLE["graph_distance_profile"] = _SQL_DISTANCE_PROFILE
