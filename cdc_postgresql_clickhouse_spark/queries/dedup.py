@@ -1009,3 +1009,79 @@ SELECT (SELECT COUNT(*) FROM pairs)::BIGINT AS n_edges,
 
 PENDING_QUERIES["dedup_transitivity_report"] = dedup_transitivity_report
 PENDING_ORACLE["dedup_transitivity_report"] = _SQL_TRANSITIVITY
+
+
+# --- SimHash bit-balance diagnostic — PENDING round 7 ---------------------------
+#
+# Sketch health-check for the SimHash above: each of the 60 fingerprint
+# bits should split the corpus ~50/50 — a skewed bit carries less than one
+# bit of discriminating power, and a stuck bit (tiny vocabulary, correlated
+# token hashes) silently weakens every Hamming distance. Per bit position:
+# docs with the bit set, share in ppm, and |deviation| from 500 000 ppm.
+# Runs over the FULL fixture corpus (no verify-scope cap — fingerprinting
+# is the map-side O(docs · 60) stage; no pair join here). Scale shape: the
+# identical (doc, bit) sign pipeline as dedup_simhash, stopped before
+# packing, one bounded 60-row rollup.
+
+def dedup_simhash_bit_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _corpus(spark, sf_dir)
+    tok = corpus.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    ).distinct().withColumn("h", F.md5("tok"))
+    bits = (
+        tok.withColumn("bp", F.explode(F.sequence(F.lit(0), F.lit(59))))
+        .withColumn(
+            "nib",
+            F.expr(
+                "instr('0123456789abcdef', substring(h, CAST(bp / 4 AS INT) + 1, 1)) - 1"
+            ),
+        )
+        .withColumn(
+            "contrib",
+            F.expr("CASE WHEN (nib >> (bp % 4)) & 1 = 1 THEN 1 ELSE -1 END"),
+        )
+    )
+    per_doc = bits.groupBy("doc_id", "bp").agg(F.sum("contrib").alias("s"))
+    per_bit = per_doc.groupBy("bp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count_if(F.col("s") > 0).cast("long").alias("n_set"),
+    )
+    return per_bit.select(
+        F.col("bp").cast("long").alias("bit"),
+        "n_docs", "n_set",
+        F.expr("n_set * 1000000 div n_docs").cast("long").alias("set_ppm"),
+        F.abs(F.expr("n_set * 1000000 div n_docs") - 500000)
+        .cast("long")
+        .alias("skew_ppm"),
+    )
+
+
+_SQL_BIT_BALANCE = f"""
+WITH corpus AS ({_SQL_CORPUS}),
+tok AS (
+  SELECT DISTINCT doc_id, md5(t) AS h
+  FROM (SELECT doc_id, unnest({_SQL_TOKENS}) AS t FROM corpus)
+),
+bits AS (
+  SELECT doc_id, bp,
+         instr('0123456789abcdef', substring(h, CAST(bp // 4 AS INT) + 1, 1)) - 1 AS nib
+  FROM tok, (SELECT unnest(range(60)) AS bp)
+),
+per_doc AS (
+  SELECT doc_id, bp,
+         SUM(CASE WHEN (nib >> (bp % 4)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM bits GROUP BY doc_id, bp
+),
+per_bit AS (
+  SELECT bp, COUNT(*)::BIGINT AS n_docs,
+         COUNT(*) FILTER (WHERE s > 0)::BIGINT AS n_set
+  FROM per_doc GROUP BY bp
+)
+SELECT bp::BIGINT AS bit, n_docs, n_set,
+       (n_set * 1000000 // n_docs)::BIGINT AS set_ppm,
+       ABS(n_set * 1000000 // n_docs - 500000)::BIGINT AS skew_ppm
+FROM per_bit
+"""
+
+PENDING_QUERIES["dedup_simhash_bit_balance"] = dedup_simhash_bit_balance
+PENDING_ORACLE["dedup_simhash_bit_balance"] = _SQL_BIT_BALANCE
