@@ -413,3 +413,72 @@ FROM per
 
 PENDING_QUERIES = {"dedup_survivor_policy": dedup_survivor_policy}
 PENDING_ORACLE = {"dedup_survivor_policy": _SQL_SURVIVOR}
+
+
+# --- Dedup ROI curve — PENDING round 7 ------------------------------------------
+#
+# The planning curve behind "is exact-dedup worth running first?": process
+# near-dup clusters LARGEST FIRST and track how fast removable mass
+# accumulates — each cluster of size s removes s − 1 docs. Computed on the
+# DISTINCT-SIZE grain (the corpus_length_pareto device: clusters of equal
+# size are interchangeable, so the cumulative lives on the bounded size
+# domain, never cluster grain): per size tier, cluster count, docs removed
+# in the tier, and the cumulative share of ALL removable docs in ppm. A
+# steep curve (few big clusters dominate) means a cheap top-k pass captures
+# most of the win. Reads the shared `clusters()` materialization — no
+# second components run.
+
+def dedup_roi_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    comp = clusters(spark, sf_dir)
+    sizes = comp.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("s")
+    )
+    by_size = sizes.groupBy("s").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters")
+    )
+    w = Window.orderBy(F.desc("s")).rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.orderBy(F.desc("s")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return by_size.select(
+        F.col("s").alias("cluster_size"),
+        "n_clusters",
+        ((F.col("s") - 1) * F.col("n_clusters")).cast("long").alias("tier_removed"),
+        F.sum((F.col("s") - 1) * F.col("n_clusters")).over(w).alias("cum_removed"),
+        F.sum((F.col("s") - 1) * F.col("n_clusters")).over(wall).alias("tot"),
+    ).select(
+        "cluster_size", "n_clusters", "tier_removed",
+        F.col("cum_removed").cast("long").alias("cum_removed"),
+        F.expr("cum_removed * 1000000 div tot").cast("long").alias("cum_share_ppm"),
+    )
+
+
+_SQL_ROI_CURVE = f"""
+WITH RECURSIVE {_SQL_MINHASH_CTES},
+edges AS ({_SQL_MINHASH_SELECT}),
+bidir AS (
+  SELECT doc_a AS a, doc_b AS b FROM edges
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM edges
+),
+nodes AS (SELECT DISTINCT a AS doc_id FROM bidir),
+reach(doc_id, r) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT re.doc_id, bd.b FROM reach re JOIN bidir bd ON bd.a = re.r
+),
+comp AS (SELECT doc_id, MIN(r) AS canonical_id FROM reach GROUP BY doc_id),
+sizes AS (SELECT canonical_id, COUNT(*)::BIGINT AS s FROM comp GROUP BY canonical_id),
+by_size AS (SELECT s, COUNT(*)::BIGINT AS n_clusters FROM sizes GROUP BY s)
+SELECT s AS cluster_size, n_clusters,
+       ((s - 1) * n_clusters)::BIGINT AS tier_removed,
+       SUM((s - 1) * n_clusters) OVER (ORDER BY s DESC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_removed,
+       (SUM((s - 1) * n_clusters) OVER (ORDER BY s DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000
+         // SUM((s - 1) * n_clusters) OVER ())::BIGINT AS cum_share_ppm
+FROM by_size
+"""
+
+PENDING_QUERIES["dedup_roi_curve"] = dedup_roi_curve
+PENDING_ORACLE["dedup_roi_curve"] = _SQL_ROI_CURVE
