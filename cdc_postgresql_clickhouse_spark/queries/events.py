@@ -2595,3 +2595,110 @@ FROM per
 
 PENDING_QUERIES["events_seasonal_strength"] = events_seasonal_strength
 PENDING_ORACLE["events_seasonal_strength"] = ORACLE_SEASONAL_STRENGTH
+
+
+# --- Trend-break report — PENDING round 7 ---------------------------------------
+#
+# Did each type's daily volume TREND change between the two halves of the
+# timeline? Closed-form integer OLS (the orders_shiplag_trend device) fit
+# separately per (type, half) on the DENSE daily count grid — zero days
+# count, derived arithmetically (zeros add nothing to Σy/Σxy but DO extend
+# Σx/Σx², so the dense sums come from the closed-form range identities
+# Σx = (lo+hi)(hi−lo+1)/2 and Σx² via the square-pyramid formula — no grid
+# materialization). Slopes floor to milli-events/day; the break statistic
+# is their difference. Scale shape: one (type, half, day) aggregate with
+# map-side partials, one bounded (type × 2) rollup + pivot.
+
+def events_trend_break(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT)").alias("day"),
+    )
+    span = ev.agg(
+        F.min("day").alias("lo"),
+        F.max("day").alias("hi"),
+        F.expr("(min(day) + max(day)) div 2").cast("long").alias("mid"),
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    halves = daily.crossJoin(F.broadcast(span)).select(
+        "event_type", "day", "c",
+        (F.col("day") > F.col("mid")).cast("int").alias("half"),
+        "lo", "hi", "mid",
+    )
+    agg = halves.groupBy("event_type", "half").agg(
+        F.sum("c").alias("sy"),
+        F.sum(F.col("day") * F.col("c")).alias("sxy"),
+        F.max(F.when(F.col("half") == 0, F.col("lo")).otherwise(F.col("mid") + 1)).alias("a"),
+        F.max(F.when(F.col("half") == 0, F.col("mid")).otherwise(F.col("hi"))).alias("b"),
+    )
+    # dense-grid x-sums over [a, b]: n = b-a+1, Σx, Σx² by closed form
+    slope = agg.select(
+        "event_type", "half",
+        F.expr("b - a + 1").alias("n"),
+        F.expr("(a + b) * (b - a + 1) div 2").alias("sx"),
+        F.expr(
+            "(b * (b + 1) * (2 * b + 1) - (a - 1) * a * (2 * a - 1)) div 6"
+        ).alias("sxx"),
+        "sy", "sxy",
+    ).select(
+        "event_type", "half",
+        F.expr(
+            "CAST(CAST(n * sxy - sx * sy AS DECIMAL(38,0)) * 1000"
+            " DIV CAST(n * sxx - sx * sx AS DECIMAL(38,0)) AS BIGINT)"
+        ).alias("slope_milli"),
+    )
+    return slope.groupBy("event_type").agg(
+        F.max(F.when(F.col("half") == 0, F.col("slope_milli"))).cast("long").alias("slope_pre_milli"),
+        F.max(F.when(F.col("half") == 1, F.col("slope_milli"))).cast("long").alias("slope_post_milli"),
+    ).withColumn(
+        "break_milli", F.col("slope_post_milli") - F.col("slope_pre_milli")
+    )
+
+
+ORACLE_TREND_BREAK = """
+WITH ev AS (
+  SELECT event_type, CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day
+  FROM events
+),
+span AS (
+  SELECT MIN(day) AS lo, MAX(day) AS hi, (MIN(day) + MAX(day)) // 2 AS mid
+  FROM ev
+),
+daily AS (
+  SELECT event_type, day, COUNT(*)::BIGINT AS c FROM ev GROUP BY 1, 2
+),
+agg AS (
+  SELECT event_type,
+         CASE WHEN day > (SELECT mid FROM span) THEN 1 ELSE 0 END AS half,
+         SUM(c) AS sy, SUM(day * c) AS sxy,
+         MAX(CASE WHEN day > (SELECT mid FROM span)
+                  THEN (SELECT mid FROM span) + 1
+                  ELSE (SELECT lo FROM span) END) AS a,
+         MAX(CASE WHEN day > (SELECT mid FROM span)
+                  THEN (SELECT hi FROM span)
+                  ELSE (SELECT mid FROM span) END) AS b
+  FROM daily GROUP BY 1, 2
+),
+slope AS (
+  SELECT event_type, half,
+         (((b - a + 1)::HUGEINT * sxy
+            - ((a + b) * (b - a + 1) // 2)::HUGEINT * sy) * 1000
+           // ((b - a + 1)::HUGEINT
+                 * ((b * (b + 1) * (2 * b + 1) - (a - 1) * a * (2 * a - 1)) // 6)
+               - ((a + b) * (b - a + 1) // 2)::HUGEINT
+                 * ((a + b) * (b - a + 1) // 2)))::BIGINT AS slope_milli
+  FROM agg
+)
+SELECT event_type,
+       MAX(CASE WHEN half = 0 THEN slope_milli END)::BIGINT AS slope_pre_milli,
+       MAX(CASE WHEN half = 1 THEN slope_milli END)::BIGINT AS slope_post_milli,
+       (MAX(CASE WHEN half = 1 THEN slope_milli END)
+        - MAX(CASE WHEN half = 0 THEN slope_milli END))::BIGINT AS break_milli
+FROM slope
+GROUP BY event_type
+"""
+
+PENDING_QUERIES["events_trend_break"] = events_trend_break
+PENDING_ORACLE["events_trend_break"] = ORACLE_TREND_BREAK
