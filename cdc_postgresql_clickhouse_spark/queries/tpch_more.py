@@ -2429,3 +2429,58 @@ JOIN nation n ON n.n_nationkey = s.s_nationkey
 
 PENDING_QUERIES["suppliers_speed_ranking"] = suppliers_speed_ranking
 PENDING_ORACLE["suppliers_speed_ranking"] = _SQL_SPEED_RANKING
+
+
+# --- Revenue drawdown — PENDING round 7 -----------------------------------------
+#
+# The volatility lens on the weekly revenue series: for each week, the
+# running peak of weekly revenue and the drawdown from that peak in ppm
+# (peak − current)·1e6 div peak — plus, in one deterministic row per week,
+# whether it set a new peak. The worst drawdown week is readable off the
+# max of the column (left to the consumer — the per-week grain is the
+# dashboard row). Scale shape: one bounded weekly aggregate, one ordered
+# running-max window over that grid.
+
+def orders_revenue_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.expr("datediff(o_orderdate, DATE '1970-01-01') div 7")
+        .cast("long")
+        .alias("week"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    weekly = o.groupBy("week").agg(F.sum("cents").cast("long").alias("rev"))
+    w = Window.orderBy("week").rowsBetween(Window.unboundedPreceding, 0)
+    return weekly.select(
+        "week", "rev",
+        F.max("rev").over(w).alias("peak"),
+    ).select(
+        "week", "rev",
+        F.col("peak").cast("long").alias("peak_rev"),
+        F.expr(
+            "CAST((CAST(peak AS DECIMAL(38,0)) - rev) * 1000000"
+            " DIV CAST(peak AS DECIMAL(38,0)) AS BIGINT)"
+        ).alias("drawdown_ppm"),
+        (F.col("rev") == F.col("peak")).alias("is_peak"),
+    )
+
+
+_SQL_REV_DRAWDOWN = """
+WITH weekly AS (
+  SELECT (datediff('day', DATE '1970-01-01', o_orderdate) // 7)::BIGINT AS week,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))::BIGINT AS rev
+  FROM orders GROUP BY 1
+),
+p AS (
+  SELECT week, rev,
+         MAX(rev) OVER (ORDER BY week
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+  FROM weekly
+)
+SELECT week, rev, peak::BIGINT AS peak_rev,
+       ((peak::HUGEINT - rev) * 1000000 // peak)::BIGINT AS drawdown_ppm,
+       rev = peak AS is_peak
+FROM p
+"""
+
+PENDING_QUERIES["orders_revenue_drawdown"] = orders_revenue_drawdown
+PENDING_ORACLE["orders_revenue_drawdown"] = _SQL_REV_DRAWDOWN
