@@ -23,11 +23,26 @@ def test_no_orphan_oracles():
     assert set(ORACLES) <= set(QUERIES)
 
 
-@pytest.fixture(scope="module")
+@pytest.fixture
 def con(sf_dir):
+    # per-TEST connection (was module-scoped): this module runs a hundred-plus
+    # oracle queries through one process — a long-lived DuckDB instance plus
+    # Spark's intra-module cache growth exhausted HOST memory twice in full
+    # suite runs ("bad allocation" on a KB-sized block). Reconnecting frees
+    # the allocator every test; view registration is milliseconds.
     c = duckdb_con(sf_dir)
     yield c
     c.close()
+
+
+@pytest.fixture(autouse=True)
+def _clear_spark_cache_per_test():
+    yield
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.catalog.clearCache()
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
