@@ -144,6 +144,44 @@ HEADLINE = [
     "tokenizer_unigram_token_count",
     "layout_hilbert_clustering",
     "embedding_pca_topcomponent",
+    # round-7 registration wave 1 (streaming_* equivalence rows excluded
+    # with the other streaming rows: micro-batch staging I/O dominates)
+    "tokenizer_wordpiece_segment",
+    "cdc_pk_change_state",
+    "events_cusum_changepoint",
+    "retrieval_ndcg_eval",
+    "graph_modularity_report",
+    "text_char_entropy",
+    "embedding_pca_residual",
+    "basket_part_pairs",
+    "events_hourly_seasonality",
+    "window_rank_profile",
+    "corpus_weighted_sample",
+    "corpus_ngram_novelty",
+    "events_burstiness",
+    "graph_transition_entropy",
+    "quality_lang_mix_matrix",
+    "text_source_drift_klm",
+    "events_holt_linear",
+    "basket_association_rules",
+    "cohort_monthly_ltv",
+    "customer_rfm_segments",
+    "corpus_bigram_heldout_ppl",
+    "cdc_state_asof",
+    "events_sessionize_capped",
+    "profile_orders_columns",
+    "cdc_dlq_report",
+    "quality_outlier_docs",
+    "linkage_fuzzy_part_names",
+    "ann_dim_truncation_report",
+    "events_hourly_latency_bands",
+    "sketch_kmv_intersect",
+    "orders_backlog_timeseries",
+    "sketch_cms_join_size",
+    "graph_hits_types",
+    "embedding_centroid_drift",
+    "events_anomaly_seasonal",
+    "text_zipf_fit",
 ]
 
 
@@ -210,14 +248,37 @@ def main() -> None:
         "repeats": repeats,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    line = json.dumps(result)
+    full_line = json.dumps(result)
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_summary.json"), "w") as f:
-            f.write(line + "\n")
+            f.write(full_line + "\n")
     except OSError:
         pass  # a read-only checkout must not fail the bench
-    print(line)
+    # The driver records only the TAIL (~2 KB) of stdout; the full per-query
+    # map (3+ KB at 100+ headline queries) overflowed that capture two rounds
+    # running (BENCH_r04/r06 `parsed: null`). The final stdout line therefore
+    # stays spec-shaped but compact: totals + only the slowest queries, as
+    # many as fit a conservative byte budget. The complete map persists in
+    # BENCH_summary.json and on stderr.
+    print(f"# full per-query map: {full_line}", file=sys.stderr)
+    compact = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": "sec",
+        "queries": {},
+        "repeats": repeats,
+        "sf": result["sf"],
+        "n_queries": len(timings),
+        "queries_truncated_to_slowest": True,
+        "full_map": "BENCH_summary.json",
+    }
+    for name in sorted(timings, key=timings.get, reverse=True):
+        compact["queries"][name] = timings[name]
+        if len(json.dumps(compact)) > 1500:
+            del compact["queries"][name]
+            break
+    print(json.dumps(compact))
     spark.stop()
 
 

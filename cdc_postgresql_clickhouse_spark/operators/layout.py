@@ -253,8 +253,17 @@ def optimize_clustered(
       a transient relist, the streamed-index compaction posture).
     - idempotent: a second call finds no overlapping files and rewrites
       nothing (returns n_dirty == 0).
+    - crash-safe swap: the dirty-file set is journaled (to ``_optimize_``
+      ``journal.json`` inside the table dir — the underscore prefix hides
+      it from Spark's readers) BEFORE the staged files move in, and the
+      journal is cleared only after the originals are deleted. A crash
+      between the move and the delete would otherwise leave BOTH copies of
+      every dirty row permanently (reclustering dedupes nothing); with the
+      journal, the next call reconciles first — it deletes any listed
+      original that still exists — so the table heals before it is read.
 
     Returns {"n_files", "n_dirty", "n_rewritten_files"}."""
+    import json
     import math
     import os
     import shutil
@@ -263,8 +272,17 @@ def optimize_clustered(
     from cdc_postgresql_clickhouse_spark.operators.state import _state_lock
 
     keyfn = (lambda d: hilbert_stages(d, col_a, col_b, min(bits, 8), out="__k")) if key == "hilbert" else None
+    journal = os.path.join(path, "_optimize_journal.json")
 
     with _state_lock(path):
+        if os.path.exists(journal):
+            # a previous call crashed between its move and delete phases:
+            # finish its delete phase before trusting the table's contents
+            with open(journal) as fh:
+                for stale in json.load(fh)["dirty"]:
+                    if os.path.exists(stale):
+                        os.remove(stale)
+            os.remove(journal)
         df = spark.read.parquet(path)
         if keyfn is not None:
             keyed = keyfn(df)
@@ -292,6 +310,18 @@ def optimize_clustered(
             .write.mode("overwrite")
             .parquet(staged)
         )
+        locals_ = []
+        for f in sorted(dirty):
+            local = f.replace("file://", "", 1) if f.startswith("file:") else f
+            locals_.append(local.replace("file:", "", 1))
+        # journal the doomed originals BEFORE any staged file becomes
+        # visible; written atomically so a torn journal can't half-reconcile
+        tmp_journal = journal + ".tmp"
+        with open(tmp_journal, "w") as fh:
+            json.dump({"dirty": locals_}, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp_journal, journal)
         moved = 0
         for name in os.listdir(staged):
             if name.endswith(".parquet"):
@@ -301,11 +331,10 @@ def optimize_clustered(
                 )
                 moved += 1
         shutil.rmtree(staged, ignore_errors=True)
-        for f in dirty:
-            local = f.replace("file://", "", 1) if f.startswith("file:") else f
-            local = local.replace("file:", "", 1)
+        for local in locals_:
             if os.path.exists(local):
                 os.remove(local)
+        os.remove(journal)
         return {
             "n_files": len(ranges),
             "n_dirty": len(dirty),

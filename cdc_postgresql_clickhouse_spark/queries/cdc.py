@@ -1304,3 +1304,19 @@ FROM per
 
 PENDING_QUERIES["cdc_op_mix_weekly"] = cdc_op_mix_weekly
 PENDING_ORACLE["cdc_op_mix_weekly"] = ORACLE_OP_MIX
+
+
+# --- Round-7 registration wave 1 ------------------------------------------
+# Flip these pending rows into the driver contract: the r6 green rows freed
+# window slots (rotation policy in COVERAGE.md; order in
+# queries/__init__._WINDOW_FRONT). The functions above are unchanged — the
+# flip only moves the (query, oracle) pair between registries.
+_REGISTER_WAVE1 = (
+    "cdc_pk_change_state",
+    "cdc_state_asof",
+    "cdc_dlq_report",
+)
+for _n in _REGISTER_WAVE1:
+    QUERIES[_n] = PENDING_QUERIES.pop(_n)
+    ORACLE[_n] = PENDING_ORACLE.pop(_n)
+del _n

@@ -498,7 +498,7 @@ SELECT event_type, bucket,
        MAX(lo + bucket * width) AS bucket_lo_cents,
        MAX(lo + (bucket + 1) * width - 1) AS bucket_hi_cents,
        COUNT(*) AS n_events,
-       SUM(c) AS mass_cents
+       SUM(c)::BIGINT AS mass_cents
 FROM d GROUP BY event_type, bucket
 """
 
@@ -575,8 +575,8 @@ clamped AS (
 )
 SELECT event_type, COUNT(*) AS n_events,
        MAX(p10_cents) AS p10_cents, MAX(p90_cents) AS p90_cents,
-       SUM(wc) AS winsorized_sum_cents,
-       SUM(wc) * 1000000 // COUNT(*) AS winsorized_mean_microcents
+       SUM(wc)::BIGINT AS winsorized_sum_cents,
+       (SUM(wc) * 1000000 // COUNT(*))::BIGINT AS winsorized_mean_microcents
 FROM clamped GROUP BY event_type
 """
 
@@ -2702,3 +2702,20 @@ GROUP BY event_type
 
 PENDING_QUERIES["events_trend_break"] = events_trend_break
 PENDING_ORACLE["events_trend_break"] = ORACLE_TREND_BREAK
+
+
+# --- Round-7 registration wave 1 ------------------------------------------
+# Flip these pending rows into the driver contract: the r6 green rows freed
+# window slots (rotation policy in COVERAGE.md; order in
+# queries/__init__._WINDOW_FRONT). The functions above are unchanged — the
+# flip only moves the (query, oracle) pair between registries.
+_REGISTER_WAVE1 = (
+    "events_hourly_seasonality",
+    "events_burstiness",
+    "events_sessionize_capped",
+    "events_hourly_latency_bands",
+)
+for _n in _REGISTER_WAVE1:
+    QUERIES[_n] = PENDING_QUERIES.pop(_n)
+    ORACLE[_n] = PENDING_ORACLE.pop(_n)
+del _n

@@ -1278,3 +1278,19 @@ GROUP BY a
 
 PENDING_QUERIES["graph_distance_profile"] = graph_distance_profile
 PENDING_ORACLE["graph_distance_profile"] = _SQL_DISTANCE_PROFILE
+
+
+# --- Round-7 registration wave 1 ------------------------------------------
+# Flip these pending rows into the driver contract: the r6 green rows freed
+# window slots (rotation policy in COVERAGE.md; order in
+# queries/__init__._WINDOW_FRONT). The functions above are unchanged — the
+# flip only moves the (query, oracle) pair between registries.
+_REGISTER_WAVE1 = (
+    "graph_modularity_report",
+    "graph_transition_entropy",
+    "graph_hits_types",
+)
+for _n in _REGISTER_WAVE1:
+    QUERIES[_n] = PENDING_QUERIES.pop(_n)
+    ORACLE[_n] = PENDING_ORACLE.pop(_n)
+del _n

@@ -376,3 +376,18 @@ FROM d GROUP BY label
 
 PENDING_QUERIES["embedding_centroid_drift"] = embedding_centroid_drift
 PENDING_ORACLE["embedding_centroid_drift"] = _SQL_DRIFT
+
+
+# --- Round-7 registration wave 1 ------------------------------------------
+# Flip these pending rows into the driver contract: the r6 green rows freed
+# window slots (rotation policy in COVERAGE.md; order in
+# queries/__init__._WINDOW_FRONT). The functions above are unchanged — the
+# flip only moves the (query, oracle) pair between registries.
+_REGISTER_WAVE1 = (
+    "embedding_pca_residual",
+    "embedding_centroid_drift",
+)
+for _n in _REGISTER_WAVE1:
+    QUERIES[_n] = PENDING_QUERIES.pop(_n)
+    ORACLE[_n] = PENDING_ORACLE.pop(_n)
+del _n

@@ -656,3 +656,18 @@ FROM ex
 
 PENDING_QUERIES["quality_chi2_source_lang"] = quality_chi2_source_lang
 PENDING_ORACLE["quality_chi2_source_lang"] = _SQL_CHI2
+
+
+# --- Round-7 registration wave 1 ------------------------------------------
+# Flip these pending rows into the driver contract: the r6 green rows freed
+# window slots (rotation policy in COVERAGE.md; order in
+# queries/__init__._WINDOW_FRONT). The functions above are unchanged — the
+# flip only moves the (query, oracle) pair between registries.
+_REGISTER_WAVE1 = (
+    "quality_lang_mix_matrix",
+    "quality_outlier_docs",
+)
+for _n in _REGISTER_WAVE1:
+    QUERIES[_n] = PENDING_QUERIES.pop(_n)
+    ORACLE[_n] = PENDING_ORACLE.pop(_n)
+del _n

@@ -488,3 +488,17 @@ FROM rel
 
 PENDING_QUERIES = {"retrieval_ndcg_eval": retrieval_ndcg_eval}
 PENDING_ORACLE = {"retrieval_ndcg_eval": _sql_ndcg()}
+
+
+# --- Round-7 registration wave 1 ------------------------------------------
+# Flip these pending rows into the driver contract: the r6 green rows freed
+# window slots (rotation policy in COVERAGE.md; order in
+# queries/__init__._WINDOW_FRONT). The functions above are unchanged — the
+# flip only moves the (query, oracle) pair between registries.
+_REGISTER_WAVE1 = (
+    "retrieval_ndcg_eval",
+)
+for _n in _REGISTER_WAVE1:
+    QUERIES[_n] = PENDING_QUERIES.pop(_n)
+    ORACLE[_n] = PENDING_ORACLE.pop(_n)
+del _n

@@ -1534,3 +1534,17 @@ GROUP BY 1
 
 PENDING_QUERIES["embedding_hubness_profile"] = embedding_hubness_profile
 PENDING_ORACLE["embedding_hubness_profile"] = _SQL_HUBNESS
+
+
+# --- Round-7 registration wave 1 ------------------------------------------
+# Flip these pending rows into the driver contract: the r6 green rows freed
+# window slots (rotation policy in COVERAGE.md; order in
+# queries/__init__._WINDOW_FRONT). The functions above are unchanged — the
+# flip only moves the (query, oracle) pair between registries.
+_REGISTER_WAVE1 = (
+    "ann_dim_truncation_report",
+)
+for _n in _REGISTER_WAVE1:
+    QUERIES[_n] = PENDING_QUERIES.pop(_n)
+    ORACLE[_n] = PENDING_ORACLE.pop(_n)
+del _n

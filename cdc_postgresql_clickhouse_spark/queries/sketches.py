@@ -1729,3 +1729,21 @@ x AS MATERIALIZED (
 
 PENDING_QUERIES["sketch_kmv_error_sweep"] = sketch_kmv_error_sweep
 PENDING_ORACLE["sketch_kmv_error_sweep"] = _sql_kmv_sweep()
+
+
+# --- Round-7 registration wave 1 ------------------------------------------
+# Flip these pending rows into the driver contract: the r6 green rows freed
+# window slots (rotation policy in COVERAGE.md; order in
+# queries/__init__._WINDOW_FRONT). The functions above are unchanged — the
+# flip only moves the (query, oracle) pair between registries.
+_REGISTER_WAVE1 = (
+    "events_cusum_changepoint",
+    "events_holt_linear",
+    "sketch_kmv_intersect",
+    "sketch_cms_join_size",
+    "events_anomaly_seasonal",
+)
+for _n in _REGISTER_WAVE1:
+    QUERIES[_n] = PENDING_QUERIES.pop(_n)
+    ORACLE[_n] = PENDING_ORACLE.pop(_n)
+del _n

@@ -1380,3 +1380,19 @@ FROM expanded GROUP BY 1
 
 PENDING_QUERIES["streaming_sliding_equiv"] = streaming_sliding_equiv
 PENDING_ORACLE["streaming_sliding_equiv"] = _SQL_SLIDING_EQ
+
+
+# --- Round-7 registration wave 1 ------------------------------------------
+# Flip these pending rows into the driver contract: the r6 green rows freed
+# window slots (rotation policy in COVERAGE.md; order in
+# queries/__init__._WINDOW_FRONT). The functions above are unchanged — the
+# flip only moves the (query, oracle) pair between registries.
+_REGISTER_WAVE1 = (
+    "streaming_ewma_equiv",
+    "streaming_retraction_mv_equiv",
+    "streaming_session_capped_equiv",
+)
+for _n in _REGISTER_WAVE1:
+    QUERIES[_n] = PENDING_QUERIES.pop(_n)
+    ORACLE[_n] = PENDING_ORACLE.pop(_n)
+del _n

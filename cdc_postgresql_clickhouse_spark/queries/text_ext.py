@@ -1191,3 +1191,19 @@ FROM tot CROSS JOIN rc
 
 PENDING_QUERIES["quality_langid_kappa"] = quality_langid_kappa
 PENDING_ORACLE["quality_langid_kappa"] = _langid_kappa_sql()
+
+
+# --- Round-7 registration wave 1 ------------------------------------------
+# Flip these pending rows into the driver contract: the r6 green rows freed
+# window slots (rotation policy in COVERAGE.md; order in
+# queries/__init__._WINDOW_FRONT). The functions above are unchanged — the
+# flip only moves the (query, oracle) pair between registries.
+_REGISTER_WAVE1 = (
+    "text_char_entropy",
+    "corpus_bigram_heldout_ppl",
+    "text_zipf_fit",
+)
+for _n in _REGISTER_WAVE1:
+    QUERIES[_n] = PENDING_QUERIES.pop(_n)
+    ORACLE[_n] = PENDING_ORACLE.pop(_n)
+del _n

@@ -482,3 +482,17 @@ FROM g{MAXW}
 
 PENDING_QUERIES = {"tokenizer_wordpiece_segment": tokenizer_wordpiece_segment}
 PENDING_ORACLE = {"tokenizer_wordpiece_segment": _SQL_WORDPIECE}
+
+
+# --- Round-7 registration wave 1 ------------------------------------------
+# Flip these pending rows into the driver contract: the r6 green rows freed
+# window slots (rotation policy in COVERAGE.md; order in
+# queries/__init__._WINDOW_FRONT). The functions above are unchanged — the
+# flip only moves the (query, oracle) pair between registries.
+_REGISTER_WAVE1 = (
+    "tokenizer_wordpiece_segment",
+)
+for _n in _REGISTER_WAVE1:
+    QUERIES[_n] = PENDING_QUERIES.pop(_n)
+    ORACLE[_n] = PENDING_ORACLE.pop(_n)
+del _n

@@ -1026,3 +1026,18 @@ GROUP BY 1, 2
 
 PENDING_QUERIES["pivot_unpivot_roundtrip"] = pivot_unpivot_roundtrip
 PENDING_ORACLE["pivot_unpivot_roundtrip"] = _SQL_PIVOT_ROUNDTRIP
+
+
+# --- Round-7 registration wave 1 ------------------------------------------
+# Flip these pending rows into the driver contract: the r6 green rows freed
+# window slots (rotation policy in COVERAGE.md; order in
+# queries/__init__._WINDOW_FRONT). The functions above are unchanged — the
+# flip only moves the (query, oracle) pair between registries.
+_REGISTER_WAVE1 = (
+    "window_rank_profile",
+    "profile_orders_columns",
+)
+for _n in _REGISTER_WAVE1:
+    QUERIES[_n] = PENDING_QUERIES.pop(_n)
+    ORACLE[_n] = PENDING_ORACLE.pop(_n)
+del _n

@@ -2484,3 +2484,22 @@ FROM p
 
 PENDING_QUERIES["orders_revenue_drawdown"] = orders_revenue_drawdown
 PENDING_ORACLE["orders_revenue_drawdown"] = _SQL_REV_DRAWDOWN
+
+
+# --- Round-7 registration wave 1 ------------------------------------------
+# Flip these pending rows into the driver contract: the r6 green rows freed
+# window slots (rotation policy in COVERAGE.md; order in
+# queries/__init__._WINDOW_FRONT). The functions above are unchanged — the
+# flip only moves the (query, oracle) pair between registries.
+_REGISTER_WAVE1 = (
+    "basket_part_pairs",
+    "basket_association_rules",
+    "cohort_monthly_ltv",
+    "customer_rfm_segments",
+    "linkage_fuzzy_part_names",
+    "orders_backlog_timeseries",
+)
+for _n in _REGISTER_WAVE1:
+    QUERIES[_n] = PENDING_QUERIES.pop(_n)
+    ORACLE[_n] = PENDING_ORACLE.pop(_n)
+del _n

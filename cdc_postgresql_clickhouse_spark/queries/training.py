@@ -927,3 +927,18 @@ FROM s GROUP BY label
 
 PENDING_QUERIES["embedding_label_silhouette"] = embedding_label_silhouette
 PENDING_ORACLE["embedding_label_silhouette"] = _SQL_SILHOUETTE
+
+
+# --- Round-7 registration wave 1 ------------------------------------------
+# Flip these pending rows into the driver contract: the r6 green rows freed
+# window slots (rotation policy in COVERAGE.md; order in
+# queries/__init__._WINDOW_FRONT). The functions above are unchanged — the
+# flip only moves the (query, oracle) pair between registries.
+_REGISTER_WAVE1 = (
+    "corpus_weighted_sample",
+    "corpus_ngram_novelty",
+)
+for _n in _REGISTER_WAVE1:
+    QUERIES[_n] = PENDING_QUERIES.pop(_n)
+    ORACLE[_n] = PENDING_ORACLE.pop(_n)
+del _n

@@ -70,6 +70,15 @@ SCHEMA_CHANGE_SCHEMA = StructType(
         StructField("schemaName", StringType()),
         StructField("ddl", StringType()),
         StructField("tableChanges", ArrayType(TABLE_CHANGE_SCHEMA)),
+        # Debezium stamps the source position on schema-change events too;
+        # the LSN is the MONOTONIC order of DDLs — ts_ms is millisecond-
+        # grained and two ALTERs in one millisecond tie on it
+        StructField(
+            "source",
+            StructType(
+                [StructField("sequence", StringType()), StructField("lsn", LongType())]
+            ),
+        ),
     ]
 )
 
@@ -111,12 +120,14 @@ def schema_history(events: DataFrame) -> DataFrame:
         "databaseName",
         "schemaName",
         "ddl",
+        F.col("source.lsn").alias("lsn"),
         F.explode("tableChanges").alias("tc"),
     ).select(
         "ts_ms",
         "databaseName",
         "schemaName",
         "ddl",
+        "lsn",
         F.col("tc.type").alias("change_type"),
         F.col("tc.id").alias("table_id"),
         F.col("tc.table.columns").alias("columns"),
@@ -124,13 +135,23 @@ def schema_history(events: DataFrame) -> DataFrame:
     )
 
 
+def _recency_order(history: DataFrame):
+    """Newest-first ordering for schema history rows: ts_ms, then the
+    source LSN — the MONOTONIC tie-break for DDLs landing in the same
+    millisecond. Column count is only a last-resort heuristic for legacy
+    events without an LSN; it mis-orders a same-ts column DROP (the newer
+    schema is the SHORTER one), which is exactly why the LSN wins."""
+    return history.orderBy(
+        F.desc("ts_ms"), F.desc_nulls_last("lsn"), F.desc(F.size("columns"))
+    )
+
+
 def latest_table_schema(history: DataFrame, table_id: str) -> list[Row]:
-    """Current column list for a table: the max-ts_ms history row (ties break
-    on the longer column list — an ALTER in the same millisecond). Driver-side
-    collect is fine: history is DDL-cadence data, bounded by schema churn."""
+    """Current column list for a table: the max-(ts_ms, lsn) history row.
+    Driver-side collect is fine: history is DDL-cadence data, bounded by
+    schema churn."""
     row = (
-        history.filter(F.col("table_id") == table_id)
-        .orderBy(F.desc("ts_ms"), F.desc(F.size("columns")))
+        _recency_order(history.filter(F.col("table_id") == table_id))
         .select("columns")
         .first()
     )
@@ -183,8 +204,7 @@ def check_schema_transition(
     )
 
     rows = (
-        history.filter(F.col("table_id") == table_id)
-        .orderBy(F.desc("ts_ms"), F.desc(F.size("columns")))
+        _recency_order(history.filter(F.col("table_id") == table_id))
         .select("columns")
         .take(2)
     )

@@ -17,12 +17,18 @@ fold state):
   is bit-identical to a one-shot fold of the whole history), and
   dynamically overwrites exactly the touched buckets.
 - exactly-once: foreachBatch replays deliver the SAME batch id, so every
-  state row carries ``applied_bid`` and the ingest FENCES — if the
-  touched buckets' max applied id >= the incoming id, the batch already
-  landed and the ingest is a no-op. This is the standard idempotent-sink
-  recipe for non-idempotent merges (Structured Streaming programming
-  guide, foreachBatch exactly-once section); a replayed batch touches the
-  same buckets by construction, so the pruned fence is sufficient.
+  state row carries ``applied_bid`` and the ingest FENCES PER BUCKET —
+  the batch is applied only to touched buckets whose recorded id is
+  behind the incoming one. A single max-fence over all touched buckets
+  would not survive a crash mid-commit: Spark's multi-bucket dynamic
+  partition overwrite is not atomic, so some buckets can land at batch N
+  while others stay at N-1, and a whole-batch skip on max==N would then
+  lose the laggard buckets' events forever. Folds are independent per
+  key (hence per bucket), so applying the replayed batch to ONLY the
+  laggard buckets is exact; buckets already at N are left untouched.
+  This is the standard idempotent-sink recipe for non-idempotent merges
+  (Structured Streaming programming guide, foreachBatch exactly-once
+  section), made partial-commit-safe.
 - ORDERED-ARRIVAL CONTRACT: a fold consumes its stream in order, so every
   batch row's (us, eid) must exceed the state's (last_us, last_eid) for
   its key — the contract a time-partitioned source (Kafka per-key order,
@@ -49,6 +55,28 @@ FOLD_BUCKETS = 8
 _STATE_COLS = (
     "user_id", "n_events", "last_us", "last_eid", "last_c", "acc", "applied_bid"
 )
+
+
+def _unfenced_buckets(
+    state, touched: list[int], batch_id: int, key_buckets: int
+) -> list[int]:
+    """The touched buckets whose state is still behind ``batch_id`` — the
+    per-bucket replay fence. Every row of a bucket carries the same
+    ``applied_bid`` (a touch rewrites the whole bucket), and a touched
+    bucket with NO rows has never committed at all, so it is unfenced."""
+    if state is None:
+        return list(touched)
+    fenced = {
+        r["bk"]
+        for r in state.select(
+            _bucket_expr(("user_id",), key_buckets).alias("bk"), "applied_bid"
+        )
+        .groupBy("bk")
+        .agg(F.min("applied_bid").alias("mb"))
+        .filter(F.col("mb") >= int(batch_id))
+        .collect()
+    }
+    return [bk for bk in touched if bk not in fenced]
 
 
 def _ewma_step(acc, s):
@@ -78,9 +106,19 @@ def ingest_batch_ewma(
         if state is not None:
             # eager: the dynamic overwrite below must never read its input
             state = state.select(*_STATE_COLS).localCheckpoint(eager=True)
-            fence = state.agg(F.max("applied_bid")).first()[0]
-            if fence is not None and int(batch_id) <= int(fence):
-                return  # at-least-once replay: batch already applied
+        unfenced = _unfenced_buckets(state, touched, batch_id, key_buckets)
+        if not unfenced:
+            return  # at-least-once replay: every touched bucket committed
+        if len(unfenced) < len(touched):
+            # partial prior commit: re-apply ONLY to the laggard buckets
+            bexpr = _bucket_expr(("user_id",), key_buckets)
+            b = b.filter(bexpr.isin(unfenced))
+            if state is not None:
+                # an empty filtered state joins like no state at all (the
+                # fold's null-acc branch), so no special-casing needed
+                state = state.filter(
+                    _bucket_expr(("user_id",), key_buckets).isin(unfenced)
+                ).localCheckpoint(eager=True)
         arr = b.groupBy("user_id").agg(
             F.sort_array(
                 F.collect_list(F.struct("us", "eid", "c"))
@@ -206,9 +244,16 @@ def ingest_batch_sessions(
         state = read_state(spark, state_path, buckets=touched)
         if state is not None:
             state = state.select(*_SESS_STATE_COLS).localCheckpoint(eager=True)
-            fence = state.agg(F.max("applied_bid")).first()[0]
-            if fence is not None and int(batch_id) <= int(fence):
-                return
+        unfenced = _unfenced_buckets(state, touched, batch_id, key_buckets)
+        if not unfenced:
+            return  # at-least-once replay: every touched bucket committed
+        if len(unfenced) < len(touched):
+            bexpr = _bucket_expr(("user_id",), key_buckets)
+            b = b.filter(bexpr.isin(unfenced))
+            if state is not None:
+                state = state.filter(
+                    _bucket_expr(("user_id",), key_buckets).isin(unfenced)
+                ).localCheckpoint(eager=True)
         arr = b.groupBy("user_id").agg(
             F.sort_array(F.collect_list(F.struct("es", "eid"))).alias("a")
         )

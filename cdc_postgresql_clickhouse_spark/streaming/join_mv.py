@@ -14,8 +14,10 @@ per-touched-key pair swap: retract (old_a, old_b) if both were live, add
 retracts and re-adds the pair with the OTHER side's unchanged row — the
 cross-side coupling that makes join MVs harder than aggregate MVs.
 
-Design (state-in-the-table, ST3 posture; exactly-once by batch-id
-fencing as in ``streaming/fold.py``):
+Design (state-in-the-table, ST3 posture; exactly-once by the MV's own
+atomically-published batch-id fence, ``streaming/mvstore.py``, with the
+idempotent key state simply re-applied on replay — same recipe and crash
+analysis as ``streaming/mv.py``):
 
 - ``keys/`` — one row per key holding BOTH sides' current (version,
   type, measure), bucketed by ``pmod(xxhash64(user_id), N)``; per batch
@@ -46,6 +48,10 @@ from cdc_postgresql_clickhouse_spark.operators.state import (
     _state_lock,
     read_state,
     write_state,
+)
+from cdc_postgresql_clickhouse_spark.streaming.mvstore import (
+    publish_mv_versioned,
+    read_mv_versioned,
 )
 
 JMV_BUCKETS = 8
@@ -100,12 +106,29 @@ def ingest_batch_join_mv(
     keys_path = os.path.join(state_path, "keys")
     mv_path = os.path.join(state_path, "mv")
     with _state_lock(state_path):
+        # the MV's own fence (see mvstore.py) — resolved first, exactly as
+        # in streaming/mv.py, so replayed deltas can never double-apply
+        mv_old, mv_bid = read_mv_versioned(spark, mv_path)
+        if mv_old is not None:
+            mv_old = mv_old.localCheckpoint(eager=True)
         prior = read_state(spark, keys_path, buckets=touched)
         if prior is not None:
             prior = prior.select(*_KEY_COLS).localCheckpoint(eager=True)
-            fence = prior.agg(F.max("applied_bid")).first()[0]
-            if fence is not None and int(batch_id) <= int(fence):
-                return  # at-least-once replay: batch already applied
+            bucket_bids = dict(
+                prior.select(
+                    _bucket_expr(("user_id",), key_buckets).alias("bk"),
+                    "applied_bid",
+                )
+                .groupBy("bk")
+                .agg(F.min("applied_bid").alias("mb"))
+                .collect()
+            )
+            if int(batch_id) <= mv_bid and all(
+                bucket_bids.get(bk) is not None
+                and int(batch_id) <= int(bucket_bids[bk])
+                for bk in touched
+            ):
+                return  # replay of a FULLY committed batch: nothing to redo
             p = prior.select(
                 "user_id",
                 F.col("a_us").alias("p_a_us"), F.col("a_eid").alias("p_a_eid"),
@@ -173,38 +196,37 @@ def ingest_batch_join_mv(
                 F.col("a_cents").cast("long").alias("dc"),
             ),
         )
-        deltas = (
-            new.select(F.explode(F.array_compact(F.array(retract, add))).alias("d"))
-            .select("d.*")
-            .groupBy("ga", "gb")
-            .agg(F.sum("dn").cast("long").alias("dn"), F.sum("dc").cast("long").alias("dc"))
-            .localCheckpoint(eager=True)
-        )
-        try:
-            mv_old = spark.read.parquet(mv_path).localCheckpoint(eager=True)
-        except Exception:
-            mv_old = None
-        if mv_old is None:
-            merged = deltas.select(
-                F.col("ga").alias("a_type"), F.col("gb").alias("b_type"),
-                F.col("dn").alias("n_pairs"), F.col("dc").alias("sum_a_cents"),
+        if mv_bid < int(batch_id):
+            deltas = (
+                new.select(F.explode(F.array_compact(F.array(retract, add))).alias("d"))
+                .select("d.*")
+                .groupBy("ga", "gb")
+                .agg(F.sum("dn").cast("long").alias("dn"), F.sum("dc").cast("long").alias("dc"))
+                .localCheckpoint(eager=True)
             )
-        else:
-            d2 = deltas.select(
-                F.col("ga").alias("a_type"), F.col("gb").alias("b_type"), "dn", "dc"
-            )
-            merged = (
-                mv_old.join(d2, ["a_type", "b_type"], "full_outer")
-                .select(
-                    "a_type", "b_type",
-                    (F.coalesce("n_pairs", F.lit(0)) + F.coalesce("dn", F.lit(0)))
-                    .cast("long").alias("n_pairs"),
-                    (F.coalesce("sum_a_cents", F.lit(0)) + F.coalesce("dc", F.lit(0)))
-                    .cast("long").alias("sum_a_cents"),
+            if mv_old is None:
+                merged = deltas.select(
+                    F.col("ga").alias("a_type"), F.col("gb").alias("b_type"),
+                    F.col("dn").alias("n_pairs"), F.col("dc").alias("sum_a_cents"),
                 )
-            )
-        merged = merged.filter(F.col("n_pairs") > 0)
-        merged.write.mode("overwrite").parquet(mv_path)
+            else:
+                d2 = deltas.select(
+                    F.col("ga").alias("a_type"), F.col("gb").alias("b_type"), "dn", "dc"
+                )
+                merged = (
+                    mv_old.join(d2, ["a_type", "b_type"], "full_outer")
+                    .select(
+                        "a_type", "b_type",
+                        (F.coalesce("n_pairs", F.lit(0)) + F.coalesce("dn", F.lit(0)))
+                        .cast("long").alias("n_pairs"),
+                        (F.coalesce("sum_a_cents", F.lit(0)) + F.coalesce("dc", F.lit(0)))
+                        .cast("long").alias("sum_a_cents"),
+                    )
+                )
+            merged = merged.filter(F.col("n_pairs") > 0)
+            publish_mv_versioned(merged, mv_path, int(batch_id))
+        # else: deltas already aggregated — skip the non-idempotent merge,
+        # re-land the idempotent key state
         write_state(
             new.select(
                 "user_id",
@@ -223,9 +245,10 @@ def read_join_mv(spark: SparkSession, state_path: str) -> DataFrame:
     """The maintained joined aggregate, in the batch join's output shape."""
     import os
 
-    return spark.read.parquet(os.path.join(state_path, "mv")).select(
-        "a_type", "b_type", "n_pairs", "sum_a_cents"
-    )
+    df, _ = read_mv_versioned(spark, os.path.join(state_path, "mv"))
+    if df is None:
+        raise FileNotFoundError(f"no MV published under {state_path!r}")
+    return df.select("a_type", "b_type", "n_pairs", "sum_a_cents")
 
 
 def run_incremental_join_mv(

@@ -22,9 +22,15 @@ fencing as in ``streaming/fold.py``):
   group, n_users and sum_cents. Deltas are linear (+1/-1, +c/-c), so the
   MV update is a tiny keyed merge. Tombstoned keys contribute nothing —
   a delete retracts the old contribution and adds none.
-- exactly-once: deltas are NOT idempotent, so the ingest fences on the
-  touched buckets' max applied batch id exactly like the fold sink; a
-  foreachBatch replay re-delivers the same id and is a no-op.
+- exactly-once: deltas are NOT idempotent, so the MV carries its OWN
+  fence — each batch's aggregate is published as an atomically-swapped
+  versioned directory named by batch id (``streaming/mvstore.py``), and
+  the delta merge is skipped whenever the published id already covers the
+  incoming batch. The key-state merge is an idempotent arg-max and is
+  simply re-applied on replay, so a crash between the two commits in
+  EITHER direction replays to the correct state (MV ahead of keys: merge
+  skipped, keys caught up; keys never ahead: they are written only after
+  the MV swap succeeds).
 - cost per batch: O(touched buckets + batch + |groups|); MV reads are
   O(|groups|) forever, never a scan of the change log.
 
@@ -44,6 +50,10 @@ from cdc_postgresql_clickhouse_spark.operators.state import (
     _state_lock,
     read_state,
     write_state,
+)
+from cdc_postgresql_clickhouse_spark.streaming.mvstore import (
+    publish_mv_versioned,
+    read_mv_versioned,
 )
 
 MV_BUCKETS = 8
@@ -74,12 +84,34 @@ def ingest_batch_mv(
     keys_path = os.path.join(state_path, "keys")
     mv_path = os.path.join(state_path, "mv")
     with _state_lock(state_path):
+        # the MV's own fence (see mvstore.py): resolved FIRST so a replay of
+        # an already-aggregated batch can never double-apply its deltas,
+        # regardless of where a previous attempt crashed
+        mv_old, mv_bid = read_mv_versioned(spark, mv_path)
+        if mv_old is not None:
+            mv_old = mv_old.localCheckpoint(eager=True)
         prior = read_state(spark, keys_path, buckets=touched)
         if prior is not None:
             prior = prior.select(*_KEY_COLS).localCheckpoint(eager=True)
-            fence = prior.agg(F.max("applied_bid")).first()[0]
-            if fence is not None and int(batch_id) <= int(fence):
-                return  # at-least-once replay: batch already applied
+            # replay of a FULLY committed batch is a no-op — but only when
+            # EVERY touched bucket proves it (per-bucket min, and a touched
+            # bucket with no rows at all has by definition not committed);
+            # a partially committed key write re-applies idempotently below
+            bucket_bids = dict(
+                prior.select(
+                    _bucket_expr(("user_id",), key_buckets).alias("bk"),
+                    "applied_bid",
+                )
+                .groupBy("bk")
+                .agg(F.min("applied_bid").alias("mb"))
+                .collect()
+            )
+            if int(batch_id) <= mv_bid and all(
+                bucket_bids.get(bk) is not None
+                and int(batch_id) <= int(bucket_bids[bk])
+                for bk in touched
+            ):
+                return
             p = prior.select(
                 "user_id",
                 F.col("us").alias("p_us"),
@@ -144,37 +176,39 @@ def ingest_batch_mv(
                 F.col("cents").cast("long").alias("dc"),
             ),
         )
-        deltas = (
-            new.select(F.explode(F.array_compact(F.array(retract, add))).alias("d"))
-            .select("d.*")
-            .groupBy("g")
-            .agg(F.sum("dn").cast("long").alias("dn"), F.sum("dc").cast("long").alias("dc"))
-            .localCheckpoint(eager=True)
-        )
-        try:
-            mv_old = spark.read.parquet(mv_path).localCheckpoint(eager=True)
-        except Exception:
-            mv_old = None
-        if mv_old is None:
-            merged = deltas.select(
-                F.col("g").alias("last_event_type"),
-                F.col("dn").alias("n_users"),
-                F.col("dc").alias("sum_cents"),
+        if mv_bid < int(batch_id):
+            deltas = (
+                new.select(F.explode(F.array_compact(F.array(retract, add))).alias("d"))
+                .select("d.*")
+                .groupBy("g")
+                .agg(F.sum("dn").cast("long").alias("dn"), F.sum("dc").cast("long").alias("dc"))
+                .localCheckpoint(eager=True)
             )
-        else:
-            d2 = deltas.select(F.col("g").alias("last_event_type"), "dn", "dc")
-            merged = (
-                mv_old.join(d2, "last_event_type", "full_outer")
-                .select(
-                    "last_event_type",
-                    (F.coalesce("n_users", F.lit(0)) + F.coalesce("dn", F.lit(0)))
-                    .cast("long").alias("n_users"),
-                    (F.coalesce("sum_cents", F.lit(0)) + F.coalesce("dc", F.lit(0)))
-                    .cast("long").alias("sum_cents"),
+            if mv_old is None:
+                merged = deltas.select(
+                    F.col("g").alias("last_event_type"),
+                    F.col("dn").alias("n_users"),
+                    F.col("dc").alias("sum_cents"),
                 )
-            )
-        merged = merged.filter(F.col("n_users") > 0)
-        merged.write.mode("overwrite").parquet(mv_path)
+            else:
+                d2 = deltas.select(F.col("g").alias("last_event_type"), "dn", "dc")
+                merged = (
+                    mv_old.join(d2, "last_event_type", "full_outer")
+                    .select(
+                        "last_event_type",
+                        (F.coalesce("n_users", F.lit(0)) + F.coalesce("dn", F.lit(0)))
+                        .cast("long").alias("n_users"),
+                        (F.coalesce("sum_cents", F.lit(0)) + F.coalesce("dc", F.lit(0)))
+                        .cast("long").alias("sum_cents"),
+                    )
+                )
+            merged = merged.filter(F.col("n_users") > 0)
+            # atomic swap; on success the MV fence records batch_id, so a
+            # crash before the key write below replays into "merge skipped,
+            # keys re-applied idempotently"
+            publish_mv_versioned(merged, mv_path, int(batch_id))
+        # else: replay of a batch whose deltas are already aggregated —
+        # skip the merge (deltas are not idempotent), re-land the keys
         write_state(
             new.select(
                 "user_id", "us", "eid", "event_type", "cents",
@@ -191,9 +225,10 @@ def read_mv(spark: SparkSession, state_path: str) -> DataFrame:
     """The maintained aggregate, in the batch group-by's output shape."""
     import os
 
-    return spark.read.parquet(os.path.join(state_path, "mv")).select(
-        "last_event_type", "n_users", "sum_cents"
-    )
+    df, _ = read_mv_versioned(spark, os.path.join(state_path, "mv"))
+    if df is None:
+        raise FileNotFoundError(f"no MV published under {state_path!r}")
+    return df.select("last_event_type", "n_users", "sum_cents")
 
 
 def run_incremental_mv(

@@ -25,7 +25,17 @@ def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     # temp dir makes the oracle spill instead of fail.
     tmp = os.environ.get("TMPDIR", "/tmp")
     con.execute(f"SET temp_directory='{os.path.join(tmp, 'duckdb_oracle_spill')}'")
-    con.execute("SET memory_limit='16GB'")
+    # Cap at min(16GB, 40% of physical RAM): a fixed 16GB on a small host
+    # would RAISE DuckDB's cap above its 80%-of-RAM default and make the OOM
+    # this setting exists to avoid more likely. Env-overridable for odd hosts.
+    limit = os.environ.get("ORACLE_DUCKDB_MEMORY_LIMIT")
+    if limit is None:
+        try:
+            pages = os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
+            limit = f"{min(16.0, pages * 0.4 / 2**30):.1f}GB"
+        except (ValueError, OSError, AttributeError):
+            limit = "4.0GB"
+    con.execute(f"SET memory_limit='{limit}'")
     for t in TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(path):
@@ -85,6 +95,95 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str, name: str = "?")
     for c in sp_n.columns:
         if str(sp_n[c].dtype) != str(du_n[c].dtype):
             issues.append(f"{name}.{c}: dtype spark={sp_n[c].dtype} duckdb={du_n[c].dtype} [WARN]")
+    issues.extend(type_lint(spark_df, con, sql, name))
+    return issues
+
+
+# --- result-type lint --------------------------------------------------------
+#
+# Two driver rounds were lost to result-TYPE divergence that value comparison
+# cannot see after pandas coercion: r4 (DuckDB float percentile interpolation
+# vs Spark bigint) and r6 (DuckDB widening SUM(BIGINT) to HUGEINT → Arrow
+# decimal128(38,0) vs Spark int64 — values identical, driver value-hash
+# differs). The lint compares TYPE FAMILIES at the Arrow layer, where the
+# driver hashes, using a LIMIT-0 bind of the oracle (no execution cost):
+# an oracle column whose Arrow family (int/float/decimal/...) differs from
+# its Spark twin's is a HARD failure, not a [WARN].
+
+_ARROW_FAMILY_TESTS = (
+    ("decimal", "is_decimal"),
+    ("int", "is_integer"),
+    ("float", "is_floating"),
+    ("bool", "is_boolean"),
+    ("str", "is_string"),
+    ("str", "is_large_string"),
+    ("timestamp", "is_timestamp"),
+    ("date", "is_date"),
+    ("binary", "is_binary"),
+    ("binary", "is_large_binary"),
+    ("list", "is_list"),
+    ("list", "is_large_list"),
+    ("list", "is_fixed_size_list"),
+    ("struct", "is_struct"),
+    ("map", "is_map"),
+    ("null", "is_null"),
+)
+
+_SPARK_FAMILY = {
+    "byte": "int", "short": "int", "int": "int", "bigint": "int",
+    "float": "float", "double": "float",
+    "boolean": "bool", "string": "str",
+    "timestamp": "timestamp", "timestamp_ntz": "timestamp", "date": "date",
+    "binary": "binary", "void": "null",
+}
+
+
+def _arrow_family(t) -> str:
+    import pyarrow.types as pt
+
+    for fam, pred in _ARROW_FAMILY_TESTS:
+        if getattr(pt, pred)(t):
+            return fam
+    return str(t)
+
+
+def _spark_family(dt) -> str:
+    s = dt.simpleString()
+    if s.startswith("decimal"):
+        return "decimal"
+    if s.startswith("array"):
+        return "list"
+    if s.startswith("struct"):
+        return "struct"
+    if s.startswith("map"):
+        return "map"
+    return _SPARK_FAMILY.get(s, s)
+
+
+def type_lint(spark_df, con: duckdb.DuckDBPyConnection, sql: str, name: str = "?") -> list[str]:
+    """Hard type-family parity between the Spark result schema and the
+    oracle's Arrow output schema (LIMIT-0 bind — planning only)."""
+    issues: list[str] = []
+    try:
+        oracle = con.execute(f"SELECT * FROM (\n{sql}\n) AS _type_lint LIMIT 0").arrow().schema
+    except Exception as e:  # pragma: no cover - lint must not mask the real run
+        return [f"{name}: type-lint bind failed: {e}"]
+    spark_fields = {f.name: f.dataType for f in spark_df.schema.fields}
+    for field in oracle:
+        if field.name not in spark_fields:
+            continue  # column-set parity is compare()'s job
+        ofam = _arrow_family(field.type)
+        sfam = _spark_family(spark_fields[field.name])
+        if ofam == "null" or sfam == "null":
+            continue  # untyped NULL literal matches anything
+        if ofam != sfam:
+            issues.append(
+                f"{name}.{field.name}: result-type family mismatch — "
+                f"oracle {field.type} ({ofam}) vs spark "
+                f"{spark_fields[field.name].simpleString()} ({sfam}); the driver "
+                f"value-hash distinguishes these even when values match "
+                f"(cast the oracle, e.g. ::BIGINT / ::DOUBLE)"
+            )
     return issues
 
 

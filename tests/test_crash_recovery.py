@@ -1,0 +1,166 @@
+"""Crash-window recovery laws for the streaming sinks (ADVICE r6):
+
+- the MV sinks (``streaming/mv.py``, ``streaming/join_mv.py``) commit two
+  artifacts per batch — the atomically-published versioned MV and the
+  bucketed key state. A crash BETWEEN the two must replay to the exact
+  fully-committed state: the MV's own fence skips the non-idempotent delta
+  merge, the idempotent key arg-max is re-applied.
+- the fold sink (``streaming/fold.py``) fences PER BUCKET: a crash mid
+  multi-bucket dynamic overwrite leaves buckets at mixed batch ids, and the
+  replay must apply the batch to ONLY the laggard buckets — a whole-batch
+  max-fence skip would lose their events forever; a whole-batch re-apply
+  would double-fold the committed buckets.
+- a corrupt MV (manifest naming a missing version) must fail LOUDLY, never
+  silently rebuild the aggregate from one batch's deltas.
+
+Each test simulates the crash by snapshotting the key-state directory
+before a batch, running the batch to completion, restoring the snapshot
+(for the MV sinks: whole key state = crash after MV publish, before key
+write; for the fold: a single bucket = torn dynamic overwrite), and
+replaying the same batch id."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_postgresql_clickhouse_spark.sources.registry import load_table
+from cdc_postgresql_clickhouse_spark.streaming.fold import (
+    FOLD_BUCKETS,
+    ingest_batch_ewma,
+    read_ewma,
+)
+from cdc_postgresql_clickhouse_spark.streaming.mv import ingest_batch_mv, read_mv
+
+_SCHEMA = "user_id long, us long, eid long, event_type string, cents long"
+
+
+def _mv(spark, path) -> dict:
+    return {
+        r.last_event_type: (r.n_users, r.sum_cents)
+        for r in read_mv(spark, path).collect()
+    }
+
+
+def _snapshot(src: str, dst: str) -> None:
+    shutil.rmtree(dst, ignore_errors=True)
+    shutil.copytree(src, dst)
+
+
+def _restore(snapshot: str, dst: str) -> None:
+    shutil.rmtree(dst, ignore_errors=True)
+    shutil.copytree(snapshot, dst)
+
+
+def test_mv_crash_between_publish_and_key_write_replays_exact(spark):
+    """Crash window: MV published at batch 1, key state still at batch 0.
+    The replay of batch 1 must NOT double-apply the deltas (the old
+    key-fence design did exactly that: fence behind, MV ahead)."""
+    tmp = tempfile.mkdtemp(prefix="mv_crash_")
+    try:
+        b0 = spark.createDataFrame(
+            [(1, 10, 1, "view", 100), (2, 10, 2, "purchase", 200)], _SCHEMA
+        )
+        ingest_batch_mv(spark, b0, tmp, batch_id=0)
+        keys = os.path.join(tmp, "keys")
+        snap = os.path.join(tmp, "keys_snapshot")
+        _snapshot(keys, snap)
+
+        b1 = spark.createDataFrame(
+            [(1, 20, 3, "purchase", 300), (3, 20, 4, "view", 50)], _SCHEMA
+        )
+        ingest_batch_mv(spark, b1, tmp, batch_id=1)
+        want = _mv(spark, tmp)
+        assert want == {"purchase": (2, 500), "view": (1, 50)}
+
+        # crash: the key write of batch 1 never landed
+        _restore(snap, keys)
+        ingest_batch_mv(spark, b1, tmp, batch_id=1)  # foreachBatch replay
+        assert _mv(spark, tmp) == want, "replay double-applied the deltas"
+
+        # and the key state caught up: a subsequent batch behaves normally
+        b2 = spark.createDataFrame([(3, 30, 5, "error", 0)], _SCHEMA)
+        ingest_batch_mv(spark, b2, tmp, batch_id=2)
+        assert _mv(spark, tmp) == {"purchase": (2, 500)}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(f"{tmp}.lock", ignore_errors=True)
+
+
+def test_mv_corrupt_manifest_fails_loudly(spark):
+    """A manifest naming a missing version directory is corruption and must
+    raise — the old bare except rebuilt the aggregate from one batch."""
+    tmp = tempfile.mkdtemp(prefix="mv_corrupt_")
+    try:
+        b0 = spark.createDataFrame([(1, 10, 1, "view", 100)], _SCHEMA)
+        ingest_batch_mv(spark, b0, tmp, batch_id=0)
+        shutil.rmtree(os.path.join(tmp, "mv", "v0"))
+        with pytest.raises(RuntimeError, match="missing version"):
+            read_mv(spark, tmp)
+        b1 = spark.createDataFrame([(1, 20, 2, "purchase", 300)], _SCHEMA)
+        with pytest.raises(RuntimeError, match="missing version"):
+            ingest_batch_mv(spark, b1, tmp, batch_id=1)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(f"{tmp}.lock", ignore_errors=True)
+
+
+def _fold_rows(spark, sf_dir):
+    return load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.col("event_id").alias("eid"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
+    )
+
+
+def _fold_canon(df) -> pd.DataFrame:
+    return (
+        df.toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)[["user_id", "n_events", "last_cents", "ewma_cents"]]
+    )
+
+
+def test_fold_torn_bucket_overwrite_replays_only_laggards(spark, sf_dir):
+    """Crash window: batch 1's dynamic overwrite committed all buckets
+    EXCEPT one, which is restored to its batch-0 content. The replay must
+    (a) re-fold batch 1 into the torn bucket and (b) leave the committed
+    buckets untouched — the final state equals the uncrashed run
+    bit-for-bit. A max-fence would skip the whole batch and lose the torn
+    bucket's events; an unfenced re-apply would double-fold the rest."""
+    ev = _fold_rows(spark, sf_dir)
+    mid = ev.agg(F.expr("percentile(us, 0.5)")).first()[0]
+    b0, b1 = ev.filter(F.col("us") <= mid), ev.filter(F.col("us") > mid)
+    tmp = tempfile.mkdtemp(prefix="fold_crash_")
+    try:
+        state, ref = os.path.join(tmp, "state"), os.path.join(tmp, "ref")
+        for path in (state, ref):
+            ingest_batch_ewma(spark, b0, path, batch_id=0)
+            ingest_batch_ewma(spark, b1, path, batch_id=1)
+        want = _fold_canon(read_ewma(spark, ref))
+
+        # tear ONE bucket of `state` back to its batch-0 content (a third
+        # state dir ingests only batch 0 to provide the pre-crash bytes)
+        torn = next(
+            bk
+            for bk in range(FOLD_BUCKETS)
+            if os.path.isdir(os.path.join(state, f"__bucket={bk}"))
+        )
+        pre = os.path.join(tmp, "pre_crash")
+        ingest_batch_ewma(spark, b0, pre, batch_id=0)
+        _restore(
+            os.path.join(pre, f"__bucket={torn}"),
+            os.path.join(state, f"__bucket={torn}"),
+        )
+
+        ingest_batch_ewma(spark, b1, state, batch_id=1)  # replay
+        got = _fold_canon(read_ewma(spark, state))
+        pd.testing.assert_frame_equal(got, want)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

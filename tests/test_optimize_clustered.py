@@ -134,3 +134,57 @@ def test_optimize_hilbert_variant(spark, sf_dir):
         assert stats2["n_dirty"] == 0
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_optimize_journal_heals_torn_swap(spark, sf_dir):
+    """Crash window (ADVICE r6): staged files moved in, dirty originals not
+    yet deleted. Simulated by restoring one doomed original next to the
+    completed optimize output and re-planting the journal. The next call
+    must FIRST finish the delete phase (the duplicate rows disappear before
+    the table is read), then find nothing dirty to recluster."""
+    import json
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_partkey") % 256).alias("x"), (F.col("l_suppkey") % 256).alias("y")
+    )
+    tmp = tempfile.mkdtemp(prefix="opt_journal_")
+    try:
+        path = os.path.join(tmp, "t")
+        a = li.filter((F.col("x") + F.col("y")) % 2 == 0)
+        b = li.filter((F.col("x") + F.col("y")) % 2 == 1)
+        write_zordered(a, path, "x", "y", n_files=2)
+        z = zorder_key(F.col("x"), F.col("y"), 16).alias("__z")
+        (
+            b.withColumn("__z", z)
+            .repartitionByRange(2, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+            .write.mode("append")
+            .parquet(path)
+        )
+        want_rows = _rows(spark, path)
+        # snapshot one pre-optimize file so we can resurrect it as the
+        # "never deleted" original
+        victim = sorted(glob.glob(os.path.join(path, "*.parquet")))[0]
+        saved = os.path.join(tmp, "victim.parquet")
+        shutil.copy(victim, saved)
+
+        optimize_clustered(spark, path, "x", "y", n_files=4)
+        assert _rows(spark, path) == want_rows
+
+        # simulate the torn swap: original back in place, journal present
+        resurrected = os.path.join(path, os.path.basename(victim))
+        shutil.copy(saved, resurrected)
+        with open(os.path.join(path, "_optimize_journal.json"), "w") as fh:
+            json.dump({"dirty": [resurrected]}, fh)
+        # the duplicate is visible to a raw read right now...
+        assert len(_rows(spark, path)) > len(want_rows)
+
+        # ...and the next optimize heals it before reading
+        stats = optimize_clustered(spark, path, "x", "y", n_files=4)
+        assert not os.path.exists(resurrected)
+        assert not os.path.exists(os.path.join(path, "_optimize_journal.json"))
+        assert stats["n_dirty"] == 0
+        assert _rows(spark, path) == want_rows
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

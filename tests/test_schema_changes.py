@@ -301,3 +301,33 @@ def test_compat_gate_passes_widening_and_rejects_narrowing(spark):
         )
     )
     assert check_schema_transition(single, TABLE_ID).full  # trivial pass
+
+
+def test_same_ms_drop_transition_orders_by_lsn(spark):
+    """Two DDLs in the SAME millisecond, the second a column DROP: the
+    monotonic source LSN must decide prev/new — the old column-count
+    tie-break assumed the newer schema is never shorter and validated the
+    transition BACKWARDS (ADVICE r6). With the LSN, latest_table_schema
+    returns the post-DROP columns and check_schema_transition sees the
+    drop as a drop."""
+    from cdc_postgresql_clickhouse_spark.sources.schema_changes import (
+        check_schema_transition,
+        latest_table_schema,
+    )
+
+    widened = _BASE_COLUMNS + [
+        {"name": "loyalty_tier", "typeName": "text", "position": 8, "optional": True}
+    ]
+    add = _ddl_event(1000, "ALTER TABLE bookings ADD loyalty_tier text", widened, "ALTER")
+    drop = _ddl_event(1000, "ALTER TABLE bookings DROP loyalty_tier", _BASE_COLUMNS, "ALTER")
+    add["source"] = {"sequence": "[]", "lsn": 100}
+    drop["source"] = {"sequence": "[]", "lsn": 200}  # later DDL, same ts_ms
+    hist = schema_history(decode_schema_change_events(_wire(spark, [add, drop])))
+
+    latest = latest_table_schema(hist, TABLE_ID)
+    assert [c["name"] for c in latest] == [c["name"] for c in _BASE_COLUMNS]
+
+    report = check_schema_transition(hist, TABLE_ID, require="BACKWARD")
+    # dropping an optional column is the DROP direction: dropped, not added
+    assert report.dropped_optional == ["loyalty_tier"]
+    assert report.added_optional == []
