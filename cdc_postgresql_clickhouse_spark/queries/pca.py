@@ -391,3 +391,91 @@ for _n in _REGISTER_WAVE1:
     QUERIES[_n] = PENDING_QUERIES.pop(_n)
     ORACLE[_n] = PENDING_ORACLE.pop(_n)
 del _n
+
+
+# --- embedding norm outliers — PENDING round 8+ ------------------------------
+#
+# The broken-embedding detector every vector pipeline runs before indexing:
+# vectors whose L2 norm is wildly off their label's typical norm are
+# truncated inputs, all-zero failures, or un-normalized stragglers from a
+# different encoder checkpoint. Integer-exact end to end: dimensions
+# quantize once to milli-units (the shared floor(x·1000 + 0.5) step), the
+# SQUARED norm is an exact int64 sum of bounded products (|q| ≤ ~10³ ⇒
+# term ≤ 10⁶, × 64 dims ≪ int64), and the per-label robust gate is the
+# registered Hampel median/MAD machinery (`sketches.mad_report`) verbatim —
+# same nearest-rank half/quarter-unit devices, same cross-multiplied
+# cutoff, no sqrt and no doubles anywhere. One scan, two rank windows
+# keyed by label: the same two-shuffle shape as events_anomaly_mad.
+
+
+def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_postgresql_clickhouse_spark.queries.sketches import mad_report
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm2 = F.expr(
+        "aggregate(transform(embedding, x -> CAST(FLOOR(x * 1000 + 0.5) AS BIGINT)),"
+        " CAST(0 AS BIGINT), (a, v) -> a + v * v)"
+    )
+    d = emb.select(F.col("label").cast("long").alias("event_type"), norm2.alias("c"))
+    rep = mad_report(d)
+    return rep.select(
+        F.col("event_type").alias("label"),
+        F.col("n_events").cast("long").alias("n_vecs"),
+        F.col("median_halfcents").cast("long").alias("median_norm2_halfunits"),
+        F.col("mad_qcents").cast("long").alias("mad_norm2_quarterunits"),
+        F.col("n_anomalies").cast("long").alias("n_outliers"),
+    )
+
+
+def _sql_norm_outliers() -> str:
+    from cdc_postgresql_clickhouse_spark.queries.sketches import _MAD_DEN, _MAD_NUM
+
+    return f"""
+WITH d AS (
+  SELECT CAST(label AS BIGINT) AS label,
+         CAST(list_sum(list_transform(embedding,
+              x -> CAST(FLOOR(x * 1000 + 0.5) AS BIGINT)
+                   * CAST(FLOOR(x * 1000 + 0.5) AS BIGINT))) AS BIGINT) AS c
+  FROM embeddings
+),
+r AS (
+  SELECT label, c,
+         row_number() OVER (PARTITION BY label ORDER BY c) AS rn,
+         COUNT(*) OVER (PARTITION BY label) AS n
+  FROM d
+),
+med AS (
+  SELECT label,
+         CAST(SUM(CASE WHEN rn = (n + 1) // 2 THEN c END)
+              + SUM(CASE WHEN rn = n // 2 + 1 THEN c END) AS BIGINT) AS med_hc
+  FROM r GROUP BY label
+),
+dev AS (
+  SELECT d.label, med.med_hc, abs(d.c * 2 - med.med_hc) AS ad_hc
+  FROM d JOIN med USING (label)
+),
+r2 AS (
+  SELECT label, med_hc, ad_hc,
+         row_number() OVER (PARTITION BY label ORDER BY ad_hc) AS rn,
+         COUNT(*) OVER (PARTITION BY label) AS n
+  FROM dev
+),
+madf AS (
+  SELECT label,
+         CAST(SUM(CASE WHEN rn = (n + 1) // 2 THEN ad_hc END)
+              + SUM(CASE WHEN rn = n // 2 + 1 THEN ad_hc END) AS BIGINT) AS mad_qc
+  FROM r2 GROUP BY label
+)
+SELECT dev.label,
+       COUNT(*)::BIGINT AS n_vecs,
+       MAX(dev.med_hc)::BIGINT AS median_norm2_halfunits,
+       MAX(madf.mad_qc)::BIGINT AS mad_norm2_quarterunits,
+       CAST(SUM(CASE WHEN dev.ad_hc * {_MAD_DEN} > madf.mad_qc * {_MAD_NUM}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev JOIN madf USING (label)
+GROUP BY dev.label
+"""
+
+
+PENDING_QUERIES["embedding_norm_outliers"] = embedding_norm_outliers
+PENDING_ORACLE["embedding_norm_outliers"] = _sql_norm_outliers()

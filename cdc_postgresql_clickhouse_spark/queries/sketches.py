@@ -1747,3 +1747,200 @@ for _n in _REGISTER_WAVE1:
     QUERIES[_n] = PENDING_QUERIES.pop(_n)
     ORACLE[_n] = PENDING_ORACLE.pop(_n)
 del _n
+
+
+# --- KMV set-DIFFERENCE estimate (theta AnotB) — PENDING round 8+ -----------
+#
+# The last leg of the sketch set algebra after union (registered) and
+# intersection (wave 1): est|A\B| from bottom-k states alone — the theta
+# sketch's AnotB operation (Dasgupta et al., DataSketches). Under the
+# UNION's threshold theta_U = h_k(A ∪ B), every tracked hash h < theta_U
+# is below BOTH input thresholds (theta_U <= min(theta_A, theta_B), since
+# the union keeps the k smallest of either side), so membership of h in
+# each side's bottom-k state is an EXACT set query for these hashes:
+# rho_{A\B} = |{h in K_U : h in A, h not in B}| / |K_U| estimates
+# |A\B| / |A ∪ B|, and est|A\B| = rho_{A\B} × est_union. The three rho
+# numerators PARTITION K_U (n_common + n_anotb + n_bnota = n_tracked —
+# law-pinned), so the intersect and the two difference estimates sum to
+# the union estimate exactly. Exact set differences ride along for the
+# error columns. Sketch work is |types|·k rows; the corpus pays the same
+# one distinct (type, hash) projection as every KMV row.
+
+
+def sketch_theta_difference(
+    spark: SparkSession, sf_dir: str, k: int = KMV_K
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hashed = ev.select(
+        "event_type",
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, _HEX_DIGITS).alias("h"),
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    kstate = (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("event_type", "h")
+    )
+    types = hashed.select("event_type").distinct()
+    pairs = (
+        types.select(F.col("event_type").alias("type_a"))
+        .join(types.select(F.col("event_type").alias("type_b")))
+        .filter(F.col("type_a") < F.col("type_b"))
+    )
+    members = pairs.select(
+        "type_a", "type_b", F.explode(F.array("type_a", "type_b")).alias("event_type")
+    )
+    merged = (
+        members.join(kstate, "event_type").select("type_a", "type_b", "h").distinct()
+    )
+    wm = Window.partitionBy("type_a", "type_b").orderBy("h")
+    ranked = merged.withColumn("rn", F.row_number().over(wm)).filter(F.col("rn") <= k)
+    ka = kstate.select(F.col("event_type").alias("type_a"), "h", F.lit(1).alias("ia"))
+    kb = kstate.select(F.col("event_type").alias("type_b"), "h", F.lit(1).alias("ib"))
+    marked = (
+        ranked.join(ka, ["type_a", "h"], "left")
+        .join(kb, ["type_b", "h"], "left")
+        .select(
+            "type_a", "type_b", "rn", "h",
+            F.coalesce("ia", F.lit(0)).alias("ia"),
+            F.coalesce("ib", F.lit(0)).alias("ib"),
+        )
+    )
+    per = marked.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tracked"),
+        F.max(F.when(F.col("rn") == k, F.col("h"))).alias("hk"),
+        F.sum(F.when((F.col("ia") == 1) & (F.col("ib") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("n_anotb"),
+        F.sum(F.when((F.col("ia") == 0) & (F.col("ib") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("n_bnota"),
+    )
+    vk = F.conv(F.col("hk"), 16, 10).cast("long") / F.lit(_NORM)
+    est_union = F.when(
+        F.col("n_tracked") < k, F.col("n_tracked").cast("double")
+    ).otherwise(F.lit(float(k - 1)) / vk)
+    frac = lambda c: F.col(c).cast("double") / F.col("n_tracked").cast("double")  # noqa: E731
+    du = ev.select("event_type", "user_id").distinct()
+    da = du.groupBy(F.col("event_type").alias("type_a")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_a")
+    )
+    db = du.groupBy(F.col("event_type").alias("type_b")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_b")
+    )
+    ia2 = du.select(F.col("event_type").alias("type_a"), "user_id")
+    ib2 = du.select(F.col("event_type").alias("type_b"), "user_id")
+    exact_int = (
+        pairs.join(ia2, "type_a")
+        .join(ib2, ["type_b", "user_id"])
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_int"))
+    )
+    ex = (
+        pairs.join(F.broadcast(da), "type_a")
+        .join(F.broadcast(db), "type_b")
+        .join(exact_int, ["type_a", "type_b"], "left")
+        .select(
+            "type_a", "type_b",
+            (F.col("n_a") - F.coalesce("n_int", F.lit(0))).cast("long").alias(
+                "n_exact_a_minus_b"
+            ),
+            (F.col("n_b") - F.coalesce("n_int", F.lit(0))).cast("long").alias(
+                "n_exact_b_minus_a"
+            ),
+        )
+    )
+    t6 = lambda c: (F.floor(c * F.lit(1000000.0)).cast("double") / F.lit(1000000.0))  # noqa: E731
+    return (
+        per.join(ex, ["type_a", "type_b"])
+        .select(
+            "type_a", "type_b", "n_tracked", "n_anotb", "n_bnota",
+            "n_exact_a_minus_b", "n_exact_b_minus_a",
+            t6(frac("n_anotb") * est_union).alias("theta_a_minus_b_estimate"),
+            t6(frac("n_bnota") * est_union).alias("theta_b_minus_a_estimate"),
+        )
+    )
+
+
+_SQL_THETA_DIFF = f"""
+WITH hashed AS (
+  SELECT DISTINCT event_type,
+         substring(md5(CAST(user_id AS VARCHAR)), 1, {_HEX_DIGITS}) AS h
+  FROM events
+),
+kstate AS (
+  SELECT event_type, h FROM (
+    SELECT event_type, h,
+           row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+    FROM hashed
+  ) WHERE rn <= {KMV_K}
+),
+types AS (SELECT DISTINCT event_type FROM hashed),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b
+  FROM types a JOIN types b ON a.event_type < b.event_type
+),
+members AS (
+  SELECT type_a, type_b, unnest([type_a, type_b]) AS event_type FROM pairs
+),
+merged AS (
+  SELECT DISTINCT m.type_a, m.type_b, k.h
+  FROM members m JOIN kstate k USING (event_type)
+),
+ranked AS (
+  SELECT type_a, type_b, h,
+         row_number() OVER (PARTITION BY type_a, type_b ORDER BY h) AS rn
+  FROM merged
+  QUALIFY rn <= {KMV_K}
+),
+marked AS (
+  SELECT r.type_a, r.type_b, r.rn, r.h,
+         CASE WHEN ka.h IS NULL THEN 0 ELSE 1 END AS ia,
+         CASE WHEN kb.h IS NULL THEN 0 ELSE 1 END AS ib
+  FROM ranked r
+  LEFT JOIN kstate ka ON ka.event_type = r.type_a AND ka.h = r.h
+  LEFT JOIN kstate kb ON kb.event_type = r.type_b AND kb.h = r.h
+),
+per AS (
+  SELECT type_a, type_b,
+         COUNT(*) AS n_tracked,
+         MAX(CASE WHEN rn = {KMV_K} THEN h END) AS h,
+         SUM(CASE WHEN ia = 1 AND ib = 0 THEN 1 ELSE 0 END) AS n_anotb,
+         SUM(CASE WHEN ia = 0 AND ib = 1 THEN 1 ELSE 0 END) AS n_bnota
+  FROM marked GROUP BY type_a, type_b
+),
+du AS (SELECT DISTINCT event_type, user_id FROM events),
+dc AS (SELECT event_type, COUNT(*) AS n FROM du GROUP BY 1),
+exact_int AS (
+  SELECT p.type_a, p.type_b, COUNT(*) AS n_int
+  FROM pairs p
+  JOIN du ua ON ua.event_type = p.type_a
+  JOIN du ub ON ub.event_type = p.type_b AND ub.user_id = ua.user_id
+  GROUP BY p.type_a, p.type_b
+),
+est AS (
+  SELECT type_a, type_b, n_tracked, n_anotb, n_bnota,
+         (CASE WHEN n_tracked < {KMV_K}
+               THEN CAST(n_tracked AS DOUBLE)
+               ELSE {float(KMV_K - 1)} / (CAST({_SQL_HEX12} AS BIGINT) / {_NORM!r})
+          END) AS est_union
+  FROM per
+)
+SELECT e.type_a, e.type_b,
+       CAST(e.n_tracked AS BIGINT) AS n_tracked,
+       CAST(e.n_anotb AS BIGINT) AS n_anotb,
+       CAST(e.n_bnota AS BIGINT) AS n_bnota,
+       CAST(da.n - COALESCE(xi.n_int, 0) AS BIGINT) AS n_exact_a_minus_b,
+       CAST(db.n - COALESCE(xi.n_int, 0) AS BIGINT) AS n_exact_b_minus_a,
+       CAST(FLOOR(CAST(e.n_anotb AS DOUBLE) / e.n_tracked * e.est_union
+                  * 1000000.0) AS DOUBLE) / 1000000.0 AS theta_a_minus_b_estimate,
+       CAST(FLOOR(CAST(e.n_bnota AS DOUBLE) / e.n_tracked * e.est_union
+                  * 1000000.0) AS DOUBLE) / 1000000.0 AS theta_b_minus_a_estimate
+FROM est e
+JOIN dc da ON da.event_type = e.type_a
+JOIN dc db ON db.event_type = e.type_b
+LEFT JOIN exact_int xi ON xi.type_a = e.type_a AND xi.type_b = e.type_b
+"""
+
+PENDING_QUERIES["sketch_theta_difference"] = sketch_theta_difference
+PENDING_ORACLE["sketch_theta_difference"] = _SQL_THETA_DIFF

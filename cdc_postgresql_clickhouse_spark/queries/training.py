@@ -942,3 +942,233 @@ for _n in _REGISTER_WAVE1:
     QUERIES[_n] = PENDING_QUERIES.pop(_n)
     ORACLE[_n] = PENDING_ORACLE.pop(_n)
 del _n
+
+
+# --- context-window packing efficiency — PENDING round 8+ --------------------
+#
+# The question every training-export job answers before writing shards:
+# how much of the token budget is PADDING at each context length? Two
+# integer-exact bounds per L, computed from nothing but per-doc token
+# counts (one scan, one keyed agg — scale-free):
+#
+# - unpacked: every doc is chunked to ceil(n/L) sequences and the last
+#   chunk padded — the no-cross-doc-packing cost (what naive per-doc
+#   export pays). pad = (L - n mod L) mod L.
+# - packed lower bound: sequences may concatenate freely across docs
+#   (the GPT-style packed dataloader); the best any packer can do is
+#   ceil(total/L) sequences, i.e. padding < L overall.
+#
+# The gap between the two efficiency columns IS the value of sequence
+# packing at that context length — the report a pipeline reads to decide
+# whether packing is worth the loader complexity.
+
+PACK_CONTEXT_LENS = (128, 512, 2048)
+
+
+def packing_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(F.size(tokens(F.col("text"))).cast("long").alias("n_tok"))
+    per_l = d.select(
+        "n_tok",
+        F.explode(
+            F.array(*[F.lit(line).cast("long") for line in PACK_CONTEXT_LENS])
+        ).alias("context_len"),
+    )
+    agg = per_l.groupBy("context_len").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        F.sum(F.expr("(n_tok + context_len - 1) div context_len"))
+        .cast("long")
+        .alias("n_chunks"),
+        F.sum(F.expr("(context_len - n_tok % context_len) % context_len"))
+        .cast("long")
+        .alias("pad_unpacked"),
+    )
+    return agg.select(
+        "context_len",
+        "n_docs",
+        "total_tokens",
+        "n_chunks",
+        "pad_unpacked",
+        F.expr("(total_tokens + context_len - 1) div context_len")
+        .cast("long")
+        .alias("n_seqs_packed_lb"),
+        F.expr(
+            "((total_tokens + context_len - 1) div context_len) * context_len"
+            " - total_tokens"
+        )
+        .cast("long")
+        .alias("pad_packed_lb"),
+        F.expr("total_tokens * 1000000 div (n_chunks * context_len)")
+        .cast("long")
+        .alias("eff_unpacked_ppm"),
+        F.expr(
+            "total_tokens * 1000000 div"
+            " (((total_tokens + context_len - 1) div context_len) * context_len)"
+        )
+        .cast("long")
+        .alias("eff_packed_lb_ppm"),
+    )
+
+
+_SQL_PACKING = f"""
+WITH d AS (
+  SELECT CAST(len({_SQL_TOKENS}) AS BIGINT) AS n_tok FROM documents
+),
+per_l AS (
+  SELECT d.n_tok, CAST(l.context_len AS BIGINT) AS context_len
+  FROM d CROSS JOIN (VALUES {", ".join(f"({line})" for line in PACK_CONTEXT_LENS)})
+       AS l(context_len)
+),
+agg AS (
+  SELECT context_len,
+         COUNT(*)::BIGINT AS n_docs,
+         SUM(n_tok)::BIGINT AS total_tokens,
+         SUM((n_tok + context_len - 1) // context_len)::BIGINT AS n_chunks,
+         SUM((context_len - n_tok % context_len) % context_len)::BIGINT AS pad_unpacked
+  FROM per_l GROUP BY context_len
+)
+SELECT context_len, n_docs, total_tokens, n_chunks, pad_unpacked,
+       ((total_tokens + context_len - 1) // context_len)::BIGINT AS n_seqs_packed_lb,
+       (((total_tokens + context_len - 1) // context_len) * context_len
+        - total_tokens)::BIGINT AS pad_packed_lb,
+       (total_tokens * 1000000 // (n_chunks * context_len))::BIGINT AS eff_unpacked_ppm,
+       (total_tokens * 1000000
+        // (((total_tokens + context_len - 1) // context_len) * context_len)
+       )::BIGINT AS eff_packed_lb_ppm
+FROM agg
+"""
+
+PENDING_QUERIES["packing_efficiency_report"] = packing_efficiency_report
+PENDING_ORACLE["packing_efficiency_report"] = _SQL_PACKING
+
+
+# --- fuzzy (MinHash) benchmark decontamination — PENDING round 8+ ------------
+#
+# The exact and Bloom decontaminate rows catch VERBATIM n-gram overlap; a
+# lightly-paraphrased benchmark leak shares few 8-grams but most of its
+# 3-shingles. This is the GPT-3-appendix-style FUZZY decontamination pass:
+# the same MinHash -> banded-LSH machinery as dedup_minhash_lsh, but run
+# BIPARTITE — train docs against the (small) benchmark set — so candidates
+# come from a broadcast hash join against the benchmark band table, never
+# a self-join. Per flagged train doc: candidate benchmark count, best
+# exact shingle-Jaccard (verified on candidates only, micro-floored), and
+# the ship/quarantine verdict at the 0.5 near-dup threshold. At 100 TB
+# the train side is one map pass (signatures are per-row projections) plus
+# a broadcast join; only candidate pairs pay the verify join.
+
+
+def corpus_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_postgresql_clickhouse_spark.queries.dedup import (
+        BAND_ROWS,
+        N_HASHES,
+    )
+
+    corpus = _corpus(spark, sf_dir)
+    shs_all = corpus.select(
+        "doc_id",
+        F.array_distinct(word_shingles(tokens(F.col("text")), 3)).alias("shs"),
+    ).filter(F.size("shs") > 0)
+
+    def _minhash(seed: int):
+        return F.expr(
+            f"array_min(transform(shs, s -> md5(concat('{seed}|', s))))"
+        ).alias(f"mh{seed}")
+
+    def _bands(df: DataFrame) -> DataFrame:
+        sig = df.select("doc_id", *[_minhash(i) for i in range(N_HASHES)])
+        band_cols = [
+            F.md5(
+                F.concat_ws(
+                    ",", *[F.col(f"mh{b * BAND_ROWS + r}") for r in range(BAND_ROWS)]
+                )
+            ).alias(f"bh{b}")
+            for b in range(N_HASHES // BAND_ROWS)
+        ]
+        return sig.select("doc_id", F.array(*band_cols).alias("bhs")).select(
+            "doc_id", F.posexplode("bhs").alias("band", "bh")
+        )
+
+    is_bench = _is_bench()
+    bench_bands = _bands(shs_all.filter(is_bench)).select(
+        F.col("doc_id").alias("bench_doc"), "band", "bh"
+    )
+    train_bands = _bands(shs_all.filter(~is_bench))
+    cand = (
+        train_bands.join(F.broadcast(bench_bands), ["band", "bh"])
+        .select("doc_id", "bench_doc")
+        .distinct()
+    )
+    tr = shs_all.select("doc_id", F.col("shs").alias("shs_t"))
+    be = shs_all.select(F.col("doc_id").alias("bench_doc"), F.col("shs").alias("shs_b"))
+    scored = (
+        cand.join(tr, "doc_id")
+        .join(F.broadcast(be), "bench_doc")
+        .select(
+            "doc_id",
+            "bench_doc",
+            F.expr(
+                "size(array_intersect(shs_t, shs_b)) * 1000000"
+                " div (size(shs_t) + size(shs_b) - size(array_intersect(shs_t, shs_b)))"
+            )
+            .cast("long")
+            .alias("j_ppm"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bench_candidates"),
+        F.max("j_ppm").cast("long").alias("best_jaccard_ppm"),
+        (F.max("j_ppm") >= 500000).alias("contaminated"),
+    )
+
+
+def _sql_fuzzy_decontam() -> str:
+    from cdc_postgresql_clickhouse_spark.queries.dedup import (
+        _SQL_SHINGLES,
+        BAND_ROWS,
+        N_HASHES,
+    )
+
+    return f"""
+WITH corpus AS ({_SQL_CORPUS}),
+sh AS ({_SQL_SHINGLES}),
+counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+sig AS (
+  SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS mh
+  FROM sh, (SELECT unnest(range({N_HASHES})) AS seed)
+  GROUP BY doc_id, seed
+),
+bands AS (
+  SELECT doc_id, CAST(FLOOR(seed / {BAND_ROWS}) AS BIGINT) AS band,
+         md5(string_agg(mh, ',' ORDER BY seed)) AS bh
+  FROM sig GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT t.doc_id, b.doc_id AS bench_doc
+  FROM bands t JOIN bands b ON t.band = b.band AND t.bh = b.bh
+  WHERE NOT (t.doc_id % {BENCH_MOD} = 0 AND t.doc_id < {DERIVED_OFFSET})
+    AND b.doc_id % {BENCH_MOD} = 0 AND b.doc_id < {DERIVED_OFFSET}
+),
+inter AS (
+  SELECT c.doc_id, c.bench_doc, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN sh st ON st.doc_id = c.doc_id
+  JOIN sh sb ON sb.doc_id = c.bench_doc AND sb.shingle = st.shingle
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT i.doc_id, i.bench_doc,
+         (i.n_inter * 1000000 // (ct.n_sh + cb.n_sh - i.n_inter))::BIGINT AS j_ppm
+  FROM inter i
+  JOIN counts ct ON ct.doc_id = i.doc_id
+  JOIN counts cb ON cb.doc_id = i.bench_doc
+)
+SELECT doc_id, COUNT(*)::BIGINT AS n_bench_candidates,
+       MAX(j_ppm)::BIGINT AS best_jaccard_ppm,
+       MAX(j_ppm) >= 500000 AS contaminated
+FROM scored GROUP BY doc_id
+"""
+
+
+PENDING_QUERIES["corpus_decontaminate_fuzzy"] = corpus_decontaminate_fuzzy
+PENDING_ORACLE["corpus_decontaminate_fuzzy"] = _sql_fuzzy_decontam()

@@ -141,3 +141,30 @@ def test_tfidf_cosine_candidates_are_equi_join(spark, sf_dir):
     plan = formatted_plan(dedup_tfidf_cosine(spark, sf_dir))
     assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 1, plan[:2000]
     assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_fuzzy_decontam_broadcasts_bench_side(spark, sf_dir):
+    """Bipartite LSH: the benchmark bands AND the benchmark shingle sets are
+    the broadcast sides; candidates never come from a corpus self-join and
+    nothing plans cartesian."""
+    from cdc_postgresql_clickhouse_spark.queries.training import (
+        PENDING_QUERIES as TR_P,
+    )
+
+    df = TR_P["corpus_decontaminate_fuzzy"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert broadcast_join_count(df) >= 2, plan[:2000]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_packing_report_is_one_scan_one_shuffle(spark, sf_dir):
+    """Per-doc token counts fan out to |context_lens| rows map-side; the
+    only shuffle is the 3-key aggregation."""
+    from cdc_postgresql_clickhouse_spark.queries.training import (
+        PENDING_QUERIES as TR_P,
+    )
+
+    df = TR_P["packing_efficiency_report"](spark, sf_dir)
+    assert len(read_schemas(df)) == 1
+    assert shuffle_count(df) <= 1, formatted_plan(df)[:2000]

@@ -1,0 +1,101 @@
+"""Laws for the round-7 additions beyond oracle parity: the theta-sketch
+partition identity, packing-report conservation bounds, fuzzy-decontamination
+recall of the planted near-dup benchmark copies, and a brute-force twin for
+the norm-outlier gate."""
+
+from __future__ import annotations
+
+from cdc_postgresql_clickhouse_spark.queries.pca import PENDING_QUERIES as PCA_P
+from cdc_postgresql_clickhouse_spark.queries.sketches import KMV_K
+from cdc_postgresql_clickhouse_spark.queries.sketches import PENDING_QUERIES as SK_P
+from cdc_postgresql_clickhouse_spark.queries.training import (
+    BENCH_MOD,
+    DERIVED_OFFSET,
+    PACK_CONTEXT_LENS,
+)
+from cdc_postgresql_clickhouse_spark.queries.training import PENDING_QUERIES as TR_P
+
+
+def test_theta_difference_partitions_the_union_sketch(spark, sf_dir):
+    """The three membership classes of K_U (common / A-only / B-only)
+    partition it exactly: their counts sum to n_tracked for every pair,
+    and BELOW k the sketch IS the set — both difference estimates equal
+    the exact differences."""
+    from cdc_postgresql_clickhouse_spark.queries.sketches import (
+        QUERIES as SK_Q,  # sketch_kmv_intersect registered in wave 1
+    )
+
+    diff = SK_P["sketch_theta_difference"](spark, sf_dir)
+    rows = {(r.type_a, r.type_b): r for r in diff.collect()}
+    assert rows
+    for r in SK_Q["sketch_kmv_intersect"](spark, sf_dir).collect():
+        d = rows[(r.type_a, r.type_b)]
+        assert r.n_common + d.n_anotb + d.n_bnota == d.n_tracked, (r, d)
+    for d in rows.values():
+        if d.n_tracked < KMV_K:  # exact regime
+            assert d.theta_a_minus_b_estimate == float(d.n_exact_a_minus_b)
+            assert d.theta_b_minus_a_estimate == float(d.n_exact_b_minus_a)
+
+
+def test_packing_report_conservation_laws(spark, sf_dir):
+    rows = {r.context_len: r for r in TR_P["packing_efficiency_report"](spark, sf_dir).collect()}
+    assert set(rows) == set(PACK_CONTEXT_LENS)
+    for line, r in rows.items():
+        # chunking conservation: tokens + per-doc padding fill the chunks
+        assert r.total_tokens + r.pad_unpacked == r.n_chunks * line
+        # the packed lower bound wastes less than one context window total
+        assert 0 <= r.pad_packed_lb < line
+        assert r.n_seqs_packed_lb <= r.n_chunks
+        assert r.eff_packed_lb_ppm >= r.eff_unpacked_ppm
+        assert r.eff_packed_lb_ppm <= 1_000_000
+
+
+def test_fuzzy_decontamination_recalls_planted_copies(spark, sf_dir):
+    """The derived corpus plants a near-dup copy (first word dropped) of
+    every doc_id < NEARDUP_IDS at doc_id + DERIVED_OFFSET. Copies of
+    BENCHMARK docs are training-set leaks by construction and the fuzzy
+    pass must quarantine every one of them."""
+    from cdc_postgresql_clickhouse_spark.queries.dedup import NEARDUP_IDS
+
+    res = {r.doc_id: r for r in TR_P["corpus_decontaminate_fuzzy"](spark, sf_dir).collect()}
+    planted = [
+        DERIVED_OFFSET + b for b in range(0, NEARDUP_IDS, BENCH_MOD)
+    ]
+    missed = [d for d in planted if d not in res or not res[d].contaminated]
+    assert not missed, f"planted benchmark copies not quarantined: {missed}"
+    for d in planted:
+        assert res[d].best_jaccard_ppm >= 500_000
+
+
+def test_norm_outliers_match_bruteforce(spark, sf_dir):
+    """Python twin of the per-label Hampel gate on integer milli-norms²,
+    computed on the collected table (bounded at test SF)."""
+    from cdc_postgresql_clickhouse_spark.queries.sketches import _MAD_DEN, _MAD_NUM
+    from cdc_postgresql_clickhouse_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("label", "embedding").collect()
+    import math
+
+    by_label: dict[int, list[int]] = {}
+    for r in emb:
+        q = [math.floor(x * 1000 + 0.5) for x in r.embedding]
+        by_label.setdefault(int(r.label), []).append(sum(v * v for v in q))
+    want = {}
+    for lab, ns in by_label.items():
+        s = sorted(ns)
+        n = len(s)
+        med2 = s[(n + 1) // 2 - 1] + s[n // 2]
+        ads = sorted(abs(2 * v - med2) for v in ns)
+        mad4 = ads[(n + 1) // 2 - 1] + ads[n // 2]
+        out = sum(1 for v in ns if abs(2 * v - med2) * _MAD_DEN > mad4 * _MAD_NUM)
+        want[lab] = (n, med2, mad4, out)
+    got = {
+        int(r.label): (
+            r.n_vecs,
+            r.median_norm2_halfunits,
+            r.mad_norm2_quarterunits,
+            r.n_outliers,
+        )
+        for r in PCA_P["embedding_norm_outliers"](spark, sf_dir).collect()
+    }
+    assert got == want
