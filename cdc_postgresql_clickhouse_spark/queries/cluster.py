@@ -41,6 +41,7 @@ from pyspark.sql.window import Window
 from cdc_postgresql_clickhouse_spark.queries.dedup import (
     _SQL_MINHASH_CTES,
     _SQL_MINHASH_SELECT,
+    DERIVED_OFFSET,
     dedup_minhash_lsh,
 )
 from cdc_postgresql_clickhouse_spark.sources.registry import load_table
@@ -482,3 +483,107 @@ FROM by_size
 
 PENDING_QUERIES["dedup_roi_curve"] = dedup_roi_curve
 PENDING_ORACLE["dedup_roi_curve"] = _SQL_ROI_CURVE
+
+
+# --- cross-source duplication matrix — PENDING round 8+ ----------------------
+#
+# The provenance question behind every dedup report: WHICH sources
+# duplicate into which? Every verified near-dup pair (the registered
+# MinHash-LSH edge set, reused verbatim) is attributed to its endpoints'
+# sources — derived copies inherit their base doc's source (doc_id mod
+# DERIVED_OFFSET) — and aggregated into an unordered source×source
+# matrix with pair counts, distinct docs touched, and each cell's share
+# of all near-dup pairs (integer PPM). Cross-source cells are the
+# scraped-from-each-other signal; the diagonal is within-source
+# duplication. Scale shape: the pair set is candidates-only (banded LSH),
+# so BOTH source-attribution joins broadcast the pair side against the
+# corpus-sized doc table — the corpus is never shuffled, and the matrix
+# is |sources|²-bounded.
+
+
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+
+    def base(c: str):
+        return F.when(
+            F.col(c) >= DERIVED_OFFSET, F.col(c) - DERIVED_OFFSET
+        ).otherwise(F.col(c))
+
+    keyed = pairs.select(
+        "doc_a", "doc_b", base("doc_a").alias("ba"), base("doc_b").alias("bb")
+    )
+    sa = docs.select(F.col("doc_id").alias("ba"), F.col("source").alias("src_a"))
+    sb = docs.select(F.col("doc_id").alias("bb"), F.col("source").alias("src_b"))
+    attributed = (
+        sa.join(F.broadcast(keyed), "ba")
+        .join(F.broadcast(sb), "bb", "inner")
+        .select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+            "doc_a",
+            "doc_b",
+        )
+    )
+    pair_cells = attributed.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    # distinct docs per cell at doc grain (a per-cell collect_list would be
+    # cell-sized state — unbounded at scale; countDistinct shuffles keyed)
+    doc_cells = (
+        attributed.select(
+            "source_a", "source_b", F.explode(F.array("doc_a", "doc_b")).alias("d")
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.countDistinct("d").cast("long").alias("n_docs"))
+    )
+    cells = pair_cells.join(doc_cells, ["source_a", "source_b"])
+    total = cells.agg(F.sum("n_pairs").cast("long").alias("t"))
+    return cells.crossJoin(F.broadcast(total)).select(
+        "source_a",
+        "source_b",
+        "n_pairs",
+        "n_docs",
+        (F.col("source_a") == F.col("source_b")).alias("within_source"),
+        F.expr("n_pairs * 1000000 div t").cast("long").alias("share_ppm"),
+    )
+
+
+_SQL_CROSS_SOURCE = f"""
+WITH {_SQL_MINHASH_CTES},
+pairs AS ({_SQL_MINHASH_SELECT}),
+keyed AS (
+  SELECT doc_a, doc_b,
+         CASE WHEN doc_a >= {DERIVED_OFFSET} THEN doc_a - {DERIVED_OFFSET} ELSE doc_a END AS ba,
+         CASE WHEN doc_b >= {DERIVED_OFFSET} THEN doc_b - {DERIVED_OFFSET} ELSE doc_b END AS bb
+  FROM pairs
+),
+attributed AS (
+  SELECT LEAST(da.source, db.source) AS source_a,
+         GREATEST(da.source, db.source) AS source_b,
+         k.doc_a, k.doc_b
+  FROM keyed k
+  JOIN documents da ON da.doc_id = k.ba
+  JOIN documents db ON db.doc_id = k.bb
+),
+pair_cells AS (
+  SELECT source_a, source_b, COUNT(*)::BIGINT AS n_pairs
+  FROM attributed GROUP BY source_a, source_b
+),
+doc_cells AS (
+  SELECT source_a, source_b, CAST(COUNT(DISTINCT d) AS BIGINT) AS n_docs
+  FROM (SELECT source_a, source_b, unnest([doc_a, doc_b]) AS d FROM attributed)
+  GROUP BY source_a, source_b
+),
+cells AS (
+  SELECT source_a, source_b, n_pairs, n_docs
+  FROM pair_cells JOIN doc_cells USING (source_a, source_b)
+)
+SELECT source_a, source_b, n_pairs, n_docs,
+       source_a = source_b AS within_source,
+       (n_pairs * 1000000 // (SELECT SUM(n_pairs) FROM cells))::BIGINT AS share_ppm
+FROM cells
+"""
+
+PENDING_QUERIES["dedup_cross_source_matrix"] = dedup_cross_source_matrix
+PENDING_ORACLE["dedup_cross_source_matrix"] = _SQL_CROSS_SOURCE

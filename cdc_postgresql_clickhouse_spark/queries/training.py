@@ -1172,3 +1172,78 @@ FROM scored GROUP BY doc_id
 
 PENDING_QUERIES["corpus_decontaminate_fuzzy"] = corpus_decontaminate_fuzzy
 PENDING_ORACLE["corpus_decontaminate_fuzzy"] = _sql_fuzzy_decontam()
+
+
+# --- temperature upsampling plan — PENDING round 8+ ---------------------------
+#
+# The Chinchilla-era planning question the temperature MIXTURE row (which
+# downsamples within one epoch) does not answer: given a TRAINING BUDGET of
+# several corpus epochs, how many times does each source repeat? Planned
+# tokens per source follow the sqrt-temperature weights w_s = sqrt(n_s)/W
+# (the same source-sorted double fold as corpus_temperature_mixture — one
+# shared IEEE step, floored once to integer tokens); everything after the
+# floor is integer: epochs in PPM (>1e6 = upsampled), whole repeats, and
+# the partial-epoch remainder. |sources|-bounded output; the corpus pays
+# one scan + one keyed agg.
+
+UPSAMPLE_BUDGET_EPOCHS = 4
+
+
+def corpus_upsample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", F.size(tokens(F.col("text"))).cast("long").alias("n_tok")
+    )
+    per_src = docs.groupBy("source").agg(F.sum("n_tok").cast("long").alias("n_s"))
+    norm = per_src.agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("source", "n_s"))),
+            F.lit(0.0),
+            lambda acc, s: acc + F.sqrt(s.getField("n_s").cast("double")),
+        ).alias("W"),
+        F.sum("n_s").cast("long").alias("tot"),
+    )
+    planned = F.floor(
+        F.lit(float(UPSAMPLE_BUDGET_EPOCHS))
+        * F.col("tot").cast("double")
+        * F.sqrt(F.col("n_s").cast("double"))
+        / F.col("W")
+    ).cast("long")
+    return per_src.crossJoin(F.broadcast(norm)).select(
+        "source",
+        F.col("n_s").alias("tokens_available"),
+        planned.alias("planned_tokens"),
+        (planned * 1000000 / F.col("n_s")).cast("long").alias("epochs_ppm"),
+        (planned / F.col("n_s")).cast("long").alias("full_repeats"),
+        (planned % F.col("n_s")).cast("long").alias("remainder_tokens"),
+    )
+
+
+_SQL_UPSAMPLE = f"""
+WITH d AS (
+  SELECT source, CAST(len({_SQL_TOKENS}) AS BIGINT) AS n_tok FROM documents
+),
+per_src AS (SELECT source, SUM(n_tok)::BIGINT AS n_s FROM d GROUP BY source),
+norm AS (
+  SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(list(CAST(n_s AS DOUBLE) ORDER BY source), x -> sqrt(x))),
+             (a, b) -> a + b) AS "Wn",
+         SUM(n_s)::BIGINT AS tot
+  FROM per_src
+),
+planned AS (
+  SELECT source, n_s,
+         CAST(FLOOR({float(UPSAMPLE_BUDGET_EPOCHS)!r} * CAST(tot AS DOUBLE)
+                    * sqrt(CAST(n_s AS DOUBLE)) / "Wn") AS BIGINT) AS p
+  FROM per_src CROSS JOIN norm
+)
+SELECT source,
+       n_s AS tokens_available,
+       p AS planned_tokens,
+       (p * 1000000 // n_s)::BIGINT AS epochs_ppm,
+       (p // n_s)::BIGINT AS full_repeats,
+       (p % n_s)::BIGINT AS remainder_tokens
+FROM planned
+"""
+
+PENDING_QUERIES["corpus_upsample_plan"] = corpus_upsample_plan
+PENDING_ORACLE["corpus_upsample_plan"] = _SQL_UPSAMPLE

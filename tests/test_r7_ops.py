@@ -99,3 +99,42 @@ def test_norm_outliers_match_bruteforce(spark, sf_dir):
         for r in PCA_P["embedding_norm_outliers"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_cross_source_matrix_conserves_pairs(spark, sf_dir):
+    """Every near-dup pair lands in exactly one unordered source cell:
+    cell pair counts sum to the LSH pair count, and the PPM shares sum to
+    at most one (truncating division loses < |cells| ppm)."""
+    from cdc_postgresql_clickhouse_spark.queries.cluster import (
+        PENDING_QUERIES as CL_P,
+    )
+    from cdc_postgresql_clickhouse_spark.queries.dedup import dedup_minhash_lsh
+
+    cells = CL_P["dedup_cross_source_matrix"](spark, sf_dir).collect()
+    n_pairs_total = dedup_minhash_lsh(spark, sf_dir).count()
+    assert sum(r.n_pairs for r in cells) == n_pairs_total
+    assert 1_000_000 - len(cells) <= sum(r.share_ppm for r in cells) <= 1_000_000
+    for r in cells:
+        assert r.within_source == (r.source_a == r.source_b)
+        assert r.n_docs <= 2 * r.n_pairs
+
+
+def test_upsample_plan_identities(spark, sf_dir):
+    """planned = full_repeats·available + remainder for every source, and
+    the plan spends (within per-source floor loss) the whole budget of
+    UPSAMPLE_BUDGET_EPOCHS corpus epochs."""
+    from cdc_postgresql_clickhouse_spark.queries.training import (
+        UPSAMPLE_BUDGET_EPOCHS,
+    )
+
+    rows = TR_P["corpus_upsample_plan"](spark, sf_dir).collect()
+    tot = sum(r.tokens_available for r in rows)
+    planned = sum(r.planned_tokens for r in rows)
+    assert tot * UPSAMPLE_BUDGET_EPOCHS - len(rows) <= planned
+    assert planned <= tot * UPSAMPLE_BUDGET_EPOCHS
+    for r in rows:
+        assert (
+            r.full_repeats * r.tokens_available + r.remainder_tokens
+            == r.planned_tokens
+        )
+        assert r.epochs_ppm == r.planned_tokens * 1_000_000 // r.tokens_available
