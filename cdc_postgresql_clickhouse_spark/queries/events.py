@@ -2719,3 +2719,65 @@ for _n in _REGISTER_WAVE1:
     QUERIES[_n] = PENDING_QUERIES.pop(_n)
     ORACLE[_n] = PENDING_ORACLE.pop(_n)
 del _n
+
+
+# --- minute OHLC bars — PENDING round 8+ --------------------------------------
+#
+# The canonical ClickHouse time-series rollup (the shape its AggregatingMT
+# materialized views exist for, cf. the reference's MV at
+# clickhouse_schemas.sql:49-58): per (event_type, minute), open/high/low/
+# close of the integer cent value plus volume. Open/close are version
+# arg-min/arg-max over the (epoch-micros, event_id) order key — the exact
+# same ordered-arg-max algebra as the CDC current-state merge (A2), which
+# makes the bar mergeable: partial bars from two data slices combine by
+# the same min_by/max_by/min/max/sum, so at 100 TB this is ONE map-side
+# partial agg + one keyed shuffle, and the streaming variant could reuse
+# the sketch-ingest recipe verbatim. Both engines compare the order key
+# as a (us, eid) row value — no synthetic packed key, no overflow.
+
+
+def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.col("event_id").alias("eid"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
+    )
+    d = ev.withColumn("minute_idx", F.expr("us div 60000000").cast("long"))
+    return d.groupBy("event_type", "minute_idx").agg(
+        F.min_by("c", F.struct("us", "eid")).cast("long").alias("open_cents"),
+        F.max("c").cast("long").alias("high_cents"),
+        F.min("c").cast("long").alias("low_cents"),
+        F.max_by("c", F.struct("us", "eid")).cast("long").alias("close_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("c").cast("long").alias("volume_cents"),
+    )
+
+
+_SQL_OHLC = """
+WITH ev AS (
+  SELECT event_type,
+         epoch_us(ts) AS us,
+         event_id AS eid,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events
+),
+d AS (
+  SELECT *, CAST(us // 60000000 AS BIGINT) AS minute_idx,
+         row_number() OVER (PARTITION BY event_type, CAST(us // 60000000 AS BIGINT)
+                            ORDER BY us, eid) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type, CAST(us // 60000000 AS BIGINT)) AS n
+  FROM ev
+)
+SELECT event_type, minute_idx,
+       MAX(CASE WHEN rn = 1 THEN c END)::BIGINT AS open_cents,
+       MAX(c)::BIGINT AS high_cents,
+       MIN(c)::BIGINT AS low_cents,
+       MAX(CASE WHEN rn = n THEN c END)::BIGINT AS close_cents,
+       COUNT(*)::BIGINT AS n_events,
+       SUM(c)::BIGINT AS volume_cents
+FROM d GROUP BY event_type, minute_idx
+"""
+
+PENDING_QUERIES["events_ohlc_bars"] = events_ohlc_bars
+PENDING_ORACLE["events_ohlc_bars"] = _SQL_OHLC

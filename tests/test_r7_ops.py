@@ -138,3 +138,57 @@ def test_upsample_plan_identities(spark, sf_dir):
             == r.planned_tokens
         )
         assert r.epochs_ppm == r.planned_tokens * 1_000_000 // r.tokens_available
+
+
+def test_ohlc_bars_merge_like_partials(spark, sf_dir):
+    """The mergeability claim behind the one-shuffle shape: re-aggregating
+    the bars of ANY two-way user split with the same min_by/max_by/min/
+    max/sum algebra equals the one-shot bars — partial aggregation is
+    exact, so map-side combine at scale loses nothing. (Split by user so
+    both halves cover the same minutes with interleaved order keys.)"""
+    from pyspark.sql import functions as F
+
+    from cdc_postgresql_clickhouse_spark.queries.events import (
+        PENDING_QUERIES as EV_P,
+    )
+    from cdc_postgresql_clickhouse_spark.sources.registry import load_table
+
+    whole = {
+        (r.event_type, r.minute_idx): r
+        for r in EV_P["events_ohlc_bars"](spark, sf_dir).collect()
+    }
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.col("event_id").alias("eid"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
+        (F.col("user_id") % 2).alias("half"),
+    ).withColumn("minute_idx", F.expr("us div 60000000").cast("long"))
+    partial = ev.groupBy("event_type", "minute_idx", "half").agg(
+        F.min_by(F.struct("us", "eid", "c"), F.struct("us", "eid")).alias("o"),
+        F.max("c").alias("high_cents"),
+        F.min("c").alias("low_cents"),
+        F.max_by(F.struct("us", "eid", "c"), F.struct("us", "eid")).alias("cl"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("c").alias("volume_cents"),
+    )
+    merged = partial.groupBy("event_type", "minute_idx").agg(
+        F.min_by("o.c", F.struct("o.us", "o.eid")).cast("long").alias("open_cents"),
+        F.max("high_cents").cast("long").alias("high_cents"),
+        F.min("low_cents").cast("long").alias("low_cents"),
+        F.max_by("cl.c", F.struct("cl.us", "cl.eid")).cast("long").alias("close_cents"),
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.sum("volume_cents").cast("long").alias("volume_cents"),
+    )
+    got = {(r.event_type, r.minute_idx): r for r in merged.collect()}
+    assert set(got) == set(whole)
+    for k, w in whole.items():
+        g = got[k]
+        assert (
+            g.open_cents, g.high_cents, g.low_cents, g.close_cents,
+            g.n_events, g.volume_cents,
+        ) == (
+            w.open_cents, w.high_cents, w.low_cents, w.close_cents,
+            w.n_events, w.volume_cents,
+        ), (k, g, w)
