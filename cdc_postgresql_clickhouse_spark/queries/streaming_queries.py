@@ -1396,3 +1396,54 @@ for _n in _REGISTER_WAVE1:
     QUERIES[_n] = PENDING_QUERIES.pop(_n)
     ORACLE[_n] = PENDING_ORACLE.pop(_n)
 del _n
+
+
+# --- streaming OHLC equivalence — PENDING round 8+ ----------------------------
+
+
+def streaming_ohlc_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally maintained minute OHLC bars: ``events`` split into 2+
+    micro-batches BY USER (so both batches write partial bars for the same
+    minutes with interleaved order keys), drained through the partial-bar
+    ingest, merged at read time with the arg-min/arg-max algebra. Oracle =
+    the batch ``events_ohlc_bars`` SQL — the AggregatingMergeTree merge
+    property (partial bars combine exactly) as a real streaming driver row."""
+    import os
+    import shutil
+    import tempfile
+
+    from cdc_postgresql_clickhouse_spark.streaming.sketch import (
+        read_ohlc_bars,
+        run_incremental_ohlc,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.col("event_id").alias("eid"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
+        "user_id",
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_ohlc_")
+    try:
+        src = os.path.join(tmp, "src")
+        ev.filter(F.col("user_id") % 2 == 0).drop("user_id").coalesce(1).write.parquet(src)
+        ev.filter(F.col("user_id") % 2 == 1).drop("user_id").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        run_incremental_ohlc(
+            spark, src, os.path.join(tmp, "state"), os.path.join(tmp, "ckpt"),
+            max_files_per_trigger=1,
+        )
+        return _materialized(read_ohlc_bars(spark, os.path.join(tmp, "state")))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# the merged bars must equal the batch operator exactly: literally the batch
+# OHLC oracle (referenced as the module constant so a future registration
+# flip of events_ohlc_bars cannot orphan this lookup)
+from cdc_postgresql_clickhouse_spark.queries.events import _SQL_OHLC  # noqa: E402
+
+PENDING_QUERIES["streaming_ohlc_equiv"] = streaming_ohlc_equiv
+PENDING_ORACLE["streaming_ohlc_equiv"] = _SQL_OHLC

@@ -259,3 +259,78 @@ def run_incremental_cms(
         spark, src_dir, lambda b, i: ingest_batch_cms(b, state_path, i),
         checkpoint_dir, max_files_per_trigger,
     )
+
+
+# --- mergeable OHLC bar maintenance -------------------------------------------
+#
+# The AggregatingMergeTree shape (reference MV, clickhouse_schemas.sql:49-58)
+# for time-series bars: each micro-batch appends its PARTIAL bars — open and
+# close as (us, eid, c) order-key structs, high/low/count/sum scalars — and
+# the read-time merge re-aggregates them with the same arg-min/arg-max
+# algebra, which `tests/test_r7_ops.py` pins equal to the one-shot bars.
+# Replay safety follows the CMS recipe: partials are stamped with the batch
+# id, and the read dedups per (batch_id, bar) before merging, so a replayed
+# append of identical rows collapses. State is bars-per-batch-sized, never
+# event-sized.
+
+
+def ingest_batch_ohlc(batch: DataFrame, state_path: str, batch_id: int) -> None:
+    """Append one micro-batch's partial bars, stamped for replay dedup.
+    Expects (event_type, us, eid, c) rows."""
+    from cdc_postgresql_clickhouse_spark.operators.state import _state_lock
+
+    partial = (
+        batch.withColumn("minute_idx", F.expr("us div 60000000").cast("long"))
+        .groupBy("event_type", "minute_idx")
+        .agg(
+            F.min_by(F.struct("us", "eid", "c"), F.struct("us", "eid")).alias("o"),
+            F.max("c").cast("long").alias("high_cents"),
+            F.min("c").cast("long").alias("low_cents"),
+            F.max_by(F.struct("us", "eid", "c"), F.struct("us", "eid")).alias("cl"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("c").cast("long").alias("volume_cents"),
+        )
+        .withColumn("batch_id", F.lit(int(batch_id)))
+    )
+    with _state_lock(state_path):
+        partial.write.mode("append").parquet(state_path)
+
+
+def read_ohlc_bars(spark: SparkSession, state_path: str) -> DataFrame:
+    """Merged bars in the batch operator's output shape: per-batch dedup
+    (replayed appends are verbatim duplicates), then the partial-bar merge."""
+    st = spark.read.parquet(state_path)
+    deduped = st.groupBy("batch_id", "event_type", "minute_idx").agg(
+        F.max("o").alias("o"),
+        F.max("high_cents").alias("high_cents"),
+        F.max("low_cents").alias("low_cents"),
+        F.max("cl").alias("cl"),
+        F.max("n_events").alias("n_events"),
+        F.max("volume_cents").alias("volume_cents"),
+    )
+    return deduped.groupBy("event_type", "minute_idx").agg(
+        F.min_by("o.c", F.struct("o.us", "o.eid")).cast("long").alias("open_cents"),
+        F.max("high_cents").cast("long").alias("high_cents"),
+        F.min("low_cents").cast("long").alias("low_cents"),
+        F.max_by("cl.c", F.struct("cl.us", "cl.eid")).cast("long").alias("close_cents"),
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.sum("volume_cents").cast("long").alias("volume_cents"),
+    )
+
+
+def run_incremental_ohlc(
+    spark: SparkSession,
+    src_dir: str,
+    state_path: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Drain ``src_dir`` (parquet files of (event_type, us, eid, c) rows)
+    through the OHLC partial-bar ingest with an availableNow trigger."""
+    _drain(
+        spark,
+        src_dir,
+        lambda b, i: ingest_batch_ohlc(b, state_path, i),
+        checkpoint_dir,
+        max_files_per_trigger,
+    )

@@ -105,9 +105,15 @@ _PENDING_CHECK = [
 
 
 def _pending_queries():
+    # registration waves flip names from the pending layer into the driver
+    # contract without moving code; the invariance pin follows the operator
+    # wherever it is registered
+    from cdc_postgresql_clickhouse_spark.queries import all_queries
     from tests.test_pending_parity import _pending
 
-    return {k: v[0] for k, v in _pending().items()}
+    out = dict(all_queries())
+    out.update({k: v[0] for k, v in _pending().items()})
+    return out
 
 
 @pytest.mark.parametrize("name", _PENDING_CHECK)
