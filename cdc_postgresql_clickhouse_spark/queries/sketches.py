@@ -1944,3 +1944,164 @@ LEFT JOIN exact_int xi ON xi.type_a = e.type_a AND xi.type_b = e.type_b
 
 PENDING_QUERIES["sketch_theta_difference"] = sketch_theta_difference
 PENDING_ORACLE["sketch_theta_difference"] = _SQL_THETA_DIFF
+
+
+# --- intersection estimator shoot-out — PENDING round 8+ ----------------------
+#
+# The eval row for the sketch set algebra (the ann_recall_report pattern):
+# per type pair, the two sketch-only intersection estimators side by side
+# against the exact answer —
+# - KMV rho (registered ``sketch_kmv_intersect``, composed verbatim):
+#   |K_U ∩ A ∩ B|/|K_U| × est_union;
+# - HLL inclusion-exclusion: est(A) + est(B) − est(A ∪ B), where the union
+#   sketch is the per-register MAX of the two register tables (the HLL
+#   merge law) and each estimate is the registered estimator tail. The
+#   textbook caveat this row measures: inclusion-exclusion compounds three
+#   estimators' errors and can go NEGATIVE for small intersections
+#   (clamped at 0), which is exactly why theta/KMV sketches exist.
+# Sketch work is |types|·(k + M) rows; the corpus pays the same hashed
+# projections the registered rows pay. Estimates are floored to 1e-6 once
+# at the end; error columns are integer PPM against max(1, exact).
+
+
+def _hll_est_over(regs: DataFrame, keys: list[str]):
+    """The registered HLL estimator tail (hll_report), generic over the
+    grouping keys, returning full-precision doubles for composition."""
+    per = regs.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("registers_used"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_SUFFIX_BITS + 1} - mj)"))
+        .cast("long").alias("s_used"),
+    )
+    two43 = 1 << (_HLL_SUFFIX_BITS + 1)
+    s_int = F.col("s_used") + (F.lit(HLL_M) - F.col("registers_used")) * F.lit(two43)
+    e_raw = F.lit(_HLL_ALPHA * HLL_M * HLL_M * float(two43)) / s_int.cast("double")
+    zeros = F.lit(HLL_M) - F.col("registers_used")
+    est = F.when(
+        (e_raw <= F.lit(2.5 * HLL_M)) & (zeros > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zeros.cast("double")),
+    ).otherwise(e_raw)
+    return per.select(*keys, est.alias("est"))
+
+
+def sketch_intersection_method_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    regs = hll_registers(ev)
+    per_type = _hll_est_over(regs, ["event_type"])
+    types = regs.select("event_type").distinct()
+    pairs = (
+        types.select(F.col("event_type").alias("type_a"))
+        .join(types.select(F.col("event_type").alias("type_b")))
+        .filter(F.col("type_a") < F.col("type_b"))
+    )
+    members = pairs.select(
+        "type_a", "type_b", F.explode(F.array("type_a", "type_b")).alias("event_type")
+    )
+    union_regs = (
+        members.join(regs, "event_type")
+        .groupBy("type_a", "type_b", "reg")
+        .agg(F.max("mj").alias("mj"))
+    )
+    est_u = _hll_est_over(union_regs, ["type_a", "type_b"]).withColumnRenamed(
+        "est", "est_u"
+    )
+    ea = per_type.select(F.col("event_type").alias("type_a"), F.col("est").alias("est_a"))
+    eb = per_type.select(F.col("event_type").alias("type_b"), F.col("est").alias("est_b"))
+    hll = (
+        est_u.join(F.broadcast(ea), "type_a")
+        .join(F.broadcast(eb), "type_b")
+        .select(
+            "type_a", "type_b",
+            F.greatest(
+                F.lit(0.0), F.col("est_a") + F.col("est_b") - F.col("est_u")
+            ).alias("hll_ie_raw"),
+        )
+    )
+    kmv = sketch_kmv_intersect(spark, sf_dir).select(
+        "type_a", "type_b", "n_exact_intersect", "kmv_intersect_estimate"
+    )
+    t6 = lambda c: (F.floor(c * F.lit(1000000.0)).cast("double") / F.lit(1000000.0))  # noqa: E731
+    err = lambda est: F.floor(  # noqa: E731
+        F.abs(est - F.col("n_exact_intersect").cast("double"))
+        * F.lit(1000000.0)
+        / F.greatest(F.lit(1.0), F.col("n_exact_intersect").cast("double"))
+    ).cast("long")
+    return kmv.join(hll, ["type_a", "type_b"]).select(
+        "type_a", "type_b", "n_exact_intersect",
+        "kmv_intersect_estimate",
+        t6(F.col("hll_ie_raw")).alias("hll_incl_excl_estimate"),
+        err(F.col("kmv_intersect_estimate")).alias("kmv_err_ppm"),
+        err(t6(F.col("hll_ie_raw"))).alias("hll_err_ppm"),
+    )
+
+
+def _sql_hll_est_over(regs_cte: str, keys: str) -> str:
+    two43 = 1 << (_HLL_SUFFIX_BITS + 1)
+    raw = f"{_HLL_ALPHA * HLL_M * HLL_M * float(two43)!r} / CAST(s_used + ({HLL_M} - registers_used) * {two43} AS DOUBLE)"
+    return f"""
+  SELECT {keys},
+         (CASE WHEN {raw} <= {2.5 * HLL_M!r} AND {HLL_M} - registers_used > 0
+               THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / CAST({HLL_M} - registers_used AS DOUBLE))
+               ELSE {raw} END) AS est
+  FROM (SELECT {keys}, COUNT(*) AS registers_used,
+               SUM(CAST(POWER(2, {_HLL_SUFFIX_BITS + 1} - mj) AS BIGINT)) AS s_used
+        FROM {regs_cte} GROUP BY {keys})
+"""
+
+
+_SQL_IE_ERR = (
+    "CAST(FLOOR(abs({est} - CAST(n_exact_intersect AS DOUBLE)) * 1000000.0"
+    " / GREATEST(1.0, CAST(n_exact_intersect AS DOUBLE))) AS BIGINT)"
+)
+_SQL_T6 = "CAST(FLOOR(({x}) * 1000000.0) AS DOUBLE) / 1000000.0"
+
+_SQL_INTERSECT_METHODS = f"""
+WITH hashed AS (
+  SELECT event_type,
+         {_sql_hex_int('CAST(user_id AS VARCHAR)', _HEX_DIGITS)} AS v
+  FROM events
+),
+split AS (
+  SELECT event_type,
+         v // {1 << _HLL_SUFFIX_BITS} AS reg,
+         v % {1 << _HLL_SUFFIX_BITS} AS w
+  FROM hashed
+),
+regs AS (
+  SELECT event_type, reg, MAX({_rho_case('w')}) AS mj
+  FROM split GROUP BY event_type, reg
+),
+types AS (SELECT DISTINCT event_type FROM regs),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b
+  FROM types a JOIN types b ON a.event_type < b.event_type
+),
+members AS (
+  SELECT type_a, type_b, unnest([type_a, type_b]) AS event_type FROM pairs
+),
+union_regs AS (
+  SELECT m.type_a, m.type_b, r.reg, MAX(r.mj) AS mj
+  FROM members m JOIN regs r USING (event_type)
+  GROUP BY 1, 2, 3
+),
+est_t AS ({_sql_hll_est_over('regs', 'event_type')}),
+est_u AS ({_sql_hll_est_over('union_regs', 'type_a, type_b')}),
+hll AS (
+  SELECT u.type_a, u.type_b,
+         GREATEST(0.0, ea.est + eb.est - u.est) AS hll_ie_raw
+  FROM est_u u
+  JOIN est_t ea ON ea.event_type = u.type_a
+  JOIN est_t eb ON eb.event_type = u.type_b
+),
+kmv AS (SELECT * FROM (
+{_SQL_KMV_INTERSECT}
+) _kmv)
+SELECT k.type_a, k.type_b, k.n_exact_intersect,
+       k.kmv_intersect_estimate,
+       {_SQL_T6.format(x='h.hll_ie_raw')} AS hll_incl_excl_estimate,
+       {_SQL_IE_ERR.format(est='k.kmv_intersect_estimate')} AS kmv_err_ppm,
+       {_SQL_IE_ERR.format(est=_SQL_T6.format(x='h.hll_ie_raw'))} AS hll_err_ppm
+FROM kmv k JOIN hll h ON h.type_a = k.type_a AND h.type_b = k.type_b
+"""
+
+PENDING_QUERIES["sketch_intersection_method_report"] = sketch_intersection_method_report
+PENDING_ORACLE["sketch_intersection_method_report"] = _SQL_INTERSECT_METHODS

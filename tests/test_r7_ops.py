@@ -192,3 +192,35 @@ def test_ohlc_bars_merge_like_partials(spark, sf_dir):
             w.open_cents, w.high_cents, w.low_cents, w.close_cents,
             w.n_events, w.volume_cents,
         ), (k, g, w)
+
+
+def test_intersection_method_report_laws(spark, sf_dir):
+    """The shoot-out row's structural laws: inclusion-exclusion is clamped
+    non-negative, the KMV leg is EXACT whenever the union sketch is below
+    capacity (the theta-difference exact regime on the same pairs), and
+    error columns are consistent with their estimates."""
+    from cdc_postgresql_clickhouse_spark.queries.sketches import (
+        sketch_kmv_intersect,
+    )
+
+    rep = {
+        (r.type_a, r.type_b): r
+        for r in SK_P["sketch_intersection_method_report"](spark, sf_dir).collect()
+    }
+    assert rep
+    tracked = {
+        (r.type_a, r.type_b): r.n_tracked
+        for r in sketch_kmv_intersect(spark, sf_dir).collect()
+    }
+    for k, r in rep.items():
+        assert r.hll_incl_excl_estimate >= 0.0
+        if tracked[k] < KMV_K:
+            assert r.kmv_intersect_estimate == float(r.n_exact_intersect)
+            assert r.kmv_err_ppm == 0
+        want_err = int(
+            abs(r.kmv_intersect_estimate - r.n_exact_intersect)
+            * 1_000_000
+            / max(1, r.n_exact_intersect)
+        )
+        # floor-of-double boundary: allow the exact integer only
+        assert r.kmv_err_ppm in (want_err, max(0, want_err - 1)), (k, r)
