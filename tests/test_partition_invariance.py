@@ -101,6 +101,15 @@ _PENDING_CHECK = [
     "events_fano_timescales",
     "cdc_key_churn",
     "quality_langid_kappa",
+    # round-7 additions leaning on ordered devices: OHLC arg-min/arg-max
+    # order keys, the theta membership joins, the bipartite LSH verify,
+    # and the Hampel gate's rank windows
+    "events_ohlc_bars",
+    "sketch_theta_difference",
+    "corpus_decontaminate_fuzzy",
+    "embedding_norm_outliers",
+    "sketch_intersection_method_report",
+    "dedup_cross_source_matrix",
 ]
 
 
