@@ -2781,3 +2781,91 @@ FROM d GROUP BY event_type, minute_idx
 
 PENDING_QUERIES["events_ohlc_bars"] = events_ohlc_bars
 PENDING_ORACLE["events_ohlc_bars"] = _SQL_OHLC
+
+
+# --- last-touch attribution — PENDING round 8+ --------------------------------
+#
+# Marketing attribution, the workload funnels feed: every `purchase` is
+# credited to the LATEST strictly-preceding non-purchase event by the same
+# user within a lookback window. The carried "last touch" is a running MAX
+# of the (us, eid, event_type) struct over non-purchase rows — struct
+# ordering is dominated by (us, eid), so the max IS the latest touch and
+# the whole thing is ONE pass over the per-user window (no per-conversion
+# lookback join). Per credited channel: conversions, share in integer PPM;
+# purchases with no in-window touch report as the 'unattributed' row.
+# Scale: windows partition by user (parallel), then one tiny keyed agg.
+
+ATTR_WINDOW_S = 7 * 24 * 3600
+
+
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.col("event_id").alias("eid"),
+        "event_type",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "eid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.max(
+        F.when(
+            F.col("event_type") != "purchase",
+            F.struct("us", "eid", "event_type"),
+        )
+    ).over(w)
+    credited = (
+        ev.withColumn("t", touch)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.when(
+                F.col("t").isNotNull()
+                & (
+                    F.col("us") - F.col("t.us")
+                    <= F.lit(ATTR_WINDOW_S * 1_000_000).cast("long")
+                ),
+                F.col("t.event_type"),
+            )
+            .otherwise(F.lit("unattributed"))
+            .alias("channel"),
+        )
+    )
+    cells = credited.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("n_conversions")
+    )
+    total = cells.agg(F.sum("n_conversions").cast("long").alias("t"))
+    return cells.crossJoin(F.broadcast(total)).select(
+        "channel",
+        "n_conversions",
+        F.expr("n_conversions * 1000000 div t").cast("long").alias("share_ppm"),
+    )
+
+
+_SQL_ATTRIBUTION = f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id AS eid, event_type FROM events
+),
+touched AS (
+  SELECT user_id, us, eid, event_type,
+         MAX(CASE WHEN event_type <> 'purchase' THEN (us, eid, event_type) END)
+           OVER (PARTITION BY user_id ORDER BY us, eid
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS t
+  FROM ev
+),
+credited AS (
+  SELECT CASE WHEN t IS NOT NULL AND us - t[1] <= {ATTR_WINDOW_S * 1_000_000}
+              THEN CAST(t[3] AS VARCHAR) ELSE 'unattributed' END AS channel
+  FROM touched WHERE event_type = 'purchase'
+),
+cells AS (SELECT channel, COUNT(*)::BIGINT AS n_conversions FROM credited GROUP BY channel)
+SELECT channel, n_conversions,
+       (n_conversions * 1000000 // (SELECT SUM(n_conversions) FROM cells))::BIGINT AS share_ppm
+FROM cells
+"""
+
+PENDING_QUERIES["events_attribution_last_touch"] = events_attribution_last_touch
+PENDING_ORACLE["events_attribution_last_touch"] = _SQL_ATTRIBUTION

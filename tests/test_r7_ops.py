@@ -224,3 +224,25 @@ def test_intersection_method_report_laws(spark, sf_dir):
         )
         # floor-of-double boundary: allow the exact integer only
         assert r.kmv_err_ppm in (want_err, max(0, want_err - 1)), (k, r)
+
+
+def test_attribution_conserves_purchases(spark, sf_dir):
+    """Every purchase is credited exactly once (some channel or
+    'unattributed'), purchases never credit themselves, and shares sum to
+    at most one (truncating PPM)."""
+    from pyspark.sql import functions as F
+
+    from cdc_postgresql_clickhouse_spark.queries.events import (
+        PENDING_QUERIES as EV_P,
+    )
+    from cdc_postgresql_clickhouse_spark.sources.registry import load_table
+
+    rows = EV_P["events_attribution_last_touch"](spark, sf_dir).collect()
+    n_purchases = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert sum(r.n_conversions for r in rows) == n_purchases
+    assert all(r.channel != "purchase" for r in rows)
+    assert 1_000_000 - len(rows) <= sum(r.share_ppm for r in rows) <= 1_000_000
