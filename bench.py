@@ -278,6 +278,7 @@ def main() -> None:
         if len(json.dumps(compact)) > 1500:
             del compact["queries"][name]
             break
+    compact["queries_truncated_to_slowest"] = len(compact["queries"]) < len(timings)
     print(json.dumps(compact))
     spark.stop()
 
