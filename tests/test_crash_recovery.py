@@ -164,3 +164,100 @@ def test_fold_torn_bucket_overwrite_replays_only_laggards(spark, sf_dir):
         pd.testing.assert_frame_equal(got, want)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_join_mv_crash_between_publish_and_key_write_replays_exact(spark):
+    """Same crash window for the bilinear sink (streaming/join_mv.py):
+    MV published, two-sided key state restored to the previous batch —
+    the replay must not double-apply the pair deltas."""
+    from cdc_postgresql_clickhouse_spark.streaming.join_mv import (
+        ingest_batch_join_mv,
+        read_join_mv,
+    )
+
+    def mv(path):
+        return {
+            (r.a_type, r.b_type): (r.n_pairs, r.sum_a_cents)
+            for r in read_join_mv(spark, path).collect()
+        }
+
+    tmp = tempfile.mkdtemp(prefix="jmv_crash_")
+    try:
+        # A side = even eids, B side = odd
+        b0 = spark.createDataFrame(
+            [(1, 10, 2, "view", 100), (1, 10, 3, "click", 0)], _SCHEMA
+        )
+        ingest_batch_join_mv(spark, b0, tmp, batch_id=0)
+        assert mv(tmp) == {("view", "click"): (1, 100)}
+        keys = os.path.join(tmp, "keys")
+        snap = os.path.join(tmp, "keys_snapshot")
+        _snapshot(keys, snap)
+
+        # A migrates view -> purchase (retract old pair, add new one)
+        b1 = spark.createDataFrame([(1, 20, 4, "purchase", 300)], _SCHEMA)
+        ingest_batch_join_mv(spark, b1, tmp, batch_id=1)
+        want = mv(tmp)
+        assert want == {("purchase", "click"): (1, 300)}
+
+        _restore(snap, keys)  # crash: key write of batch 1 never landed
+        ingest_batch_join_mv(spark, b1, tmp, batch_id=1)  # replay
+        assert mv(tmp) == want, "replay double-applied the pair deltas"
+
+        # key state caught up: the B side can still retract the pair
+        b2 = spark.createDataFrame([(1, 30, 5, "error", 0)], _SCHEMA)
+        ingest_batch_join_mv(spark, b2, tmp, batch_id=2)
+        assert mv(tmp) == {}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(f"{tmp}.lock", ignore_errors=True)
+
+
+def test_session_fold_torn_bucket_replays_only_laggards(spark, sf_dir):
+    """The per-bucket fence applies to the second fold instance too: tear
+    one bucket of the capped-session state back to batch 0 and replay —
+    final state equals the uncrashed run."""
+    from cdc_postgresql_clickhouse_spark.streaming.fold import (
+        ingest_batch_sessions,
+        read_sessions,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.col("event_id").alias("eid"),
+    ).select(
+        "user_id", F.expr("us div 1000000").cast("long").alias("es"), "eid"
+    )
+    mid = ev.agg(F.expr("percentile(es, 0.5)")).first()[0]
+    b0, b1 = ev.filter(F.col("es") <= mid), ev.filter(F.col("es") > mid)
+
+    def canon(df):
+        return (
+            df.toPandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)[
+                ["user_id", "n_events", "n_sessions_gap", "n_sessions_capped"]
+            ]
+        )
+
+    tmp = tempfile.mkdtemp(prefix="sess_crash_")
+    try:
+        state, ref, pre = (os.path.join(tmp, n) for n in ("state", "ref", "pre"))
+        for path in (state, ref):
+            ingest_batch_sessions(spark, b0, path, batch_id=0)
+            ingest_batch_sessions(spark, b1, path, batch_id=1)
+        want = canon(read_sessions(spark, ref))
+        ingest_batch_sessions(spark, b0, pre, batch_id=0)
+        torn = next(
+            bk
+            for bk in range(FOLD_BUCKETS)
+            if os.path.isdir(os.path.join(state, f"__bucket={bk}"))
+        )
+        _restore(
+            os.path.join(pre, f"__bucket={torn}"),
+            os.path.join(state, f"__bucket={torn}"),
+        )
+        ingest_batch_sessions(spark, b1, state, batch_id=1)  # replay
+        pd.testing.assert_frame_equal(canon(read_sessions(spark, state)), want)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
