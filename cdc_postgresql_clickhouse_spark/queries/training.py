@@ -1247,3 +1247,138 @@ FROM planned
 
 PENDING_QUERIES["corpus_upsample_plan"] = corpus_upsample_plan
 PENDING_ORACLE["corpus_upsample_plan"] = _SQL_UPSAMPLE
+
+
+# --- Bloom false-positive-rate sweep — PENDING round 8+ -----------------------
+#
+# The error-sweep leg for the Bloom decontamination path (the KMV and CMS
+# sweeps' sibling): measured FPR of the benchmark-gram filter over the
+# TRUE-NEGATIVE universe (train grams not in the benchmark set) at several
+# filter sizes, k fixed. Unlike the registered operator (which collects
+# the bitset as a literal for the pure-map probe), the sweep counts
+# membership with THREE semi-joins against the broadcast position set —
+# no driver-side state at all, so the same query audits a filter too big
+# to ship as a literal. All-integer output; the (1-e^{-kn/m})^k theory
+# comparison lives in the law test (cross-engine float exp is not part of
+# the driver contract).
+
+BLOOM_SWEEP_M = (1024, 8192, 65536)
+
+
+def sketch_bloom_error_sweep(
+    spark: SparkSession, sf_dir: str, n: int = DECONTAM_NGRAM
+) -> DataFrame:
+    corpus = _corpus(spark, sf_dir)
+    grams = _grams(corpus, n)
+    bench_g = (
+        grams.join(
+            corpus.filter(_is_bench()).select("doc_id"), "doc_id"
+        ).select("gram").distinct()
+    )
+    probe_g = (
+        grams.select("gram").distinct().join(bench_g, "gram", "left_anti")
+    )
+    out = None
+    for m in BLOOM_SWEEP_M:
+        def pos(j: int):
+            return (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{j}:"), F.col("gram"))),
+                        1,
+                        _BLOOM_HASH_DIGITS,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % m
+            )
+
+        bits = (
+            bench_g.select(
+                F.explode(F.array(*[pos(j) for j in range(BLOOM_K)])).alias("pos")
+            )
+            .distinct()
+        )
+        probed = probe_g.select("gram", *[pos(j).alias(f"p{j}") for j in range(BLOOM_K)])
+        flagged = probed
+        for j in range(BLOOM_K):
+            flagged = flagged.join(
+                F.broadcast(bits.withColumnRenamed("pos", f"p{j}")),
+                f"p{j}",
+                "left_semi",
+            )
+        row = (
+            probe_g.agg(F.count(F.lit(1)).cast("long").alias("n_probe_grams"))
+            .crossJoin(F.broadcast(bench_g.agg(
+                F.count(F.lit(1)).cast("long").alias("n_bench_grams"))))
+            .crossJoin(F.broadcast(flagged.agg(
+                F.count(F.lit(1)).cast("long").alias("n_false_positives"))))
+            .select(
+                F.lit(m).cast("long").alias("m_bits"),
+                F.lit(BLOOM_K).cast("long").alias("k_hashes"),
+                "n_bench_grams",
+                "n_probe_grams",
+                "n_false_positives",
+                F.expr("n_false_positives * 1000000 div n_probe_grams")
+                .cast("long")
+                .alias("fpr_ppm"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _sql_bloom_pos_m(gram: str, j: int, m: int) -> str:
+    from cdc_postgresql_clickhouse_spark.queries.sketches import _sql_hex_int
+
+    salted = f"'{j}:' || {gram}"
+    return f"({_sql_hex_int(salted, _BLOOM_HASH_DIGITS)} % {m})"
+
+
+def _sql_bloom_sweep() -> str:
+    arms = []
+    for m in BLOOM_SWEEP_M:
+        bit_union = "\n      UNION ALL\n      ".join(
+            f"SELECT {_sql_bloom_pos_m('gram', j, m)} AS pos FROM bgrams"
+            for j in range(BLOOM_K)
+        )
+        probe_pred = "\n      AND ".join(
+            f"{_sql_bloom_pos_m('gram', j, m)} IN (SELECT pos FROM bits_{m})"
+            for j in range(BLOOM_K)
+        )
+        arms.append(f"""
+bits_{m} AS (SELECT DISTINCT pos FROM (
+      {bit_union}
+)),
+fp_{m} AS (
+  SELECT COUNT(*) AS nfp FROM probe_g WHERE {probe_pred}
+)""")
+    selects = "\nUNION ALL\n".join(
+        f"""SELECT CAST({m} AS BIGINT) AS m_bits, CAST({BLOOM_K} AS BIGINT) AS k_hashes,
+       (SELECT COUNT(*) FROM bgrams)::BIGINT AS n_bench_grams,
+       (SELECT COUNT(*) FROM probe_g)::BIGINT AS n_probe_grams,
+       (SELECT nfp FROM fp_{m})::BIGINT AS n_false_positives,
+       ((SELECT nfp FROM fp_{m}) * 1000000 // (SELECT COUNT(*) FROM probe_g))::BIGINT AS fpr_ppm"""
+        for m in BLOOM_SWEEP_M
+    )
+    return f"""
+WITH corpus AS ({_SQL_CORPUS}),
+grams AS (
+  SELECT DISTINCT doc_id, unnest({_sql_ngrams(DECONTAM_NGRAM)}) AS gram
+  FROM (SELECT doc_id, {_SQL_TOKENS} AS t FROM corpus)
+),
+bench AS (SELECT doc_id FROM corpus
+          WHERE doc_id % {BENCH_MOD} = 0 AND doc_id < {DERIVED_OFFSET}),
+bgrams AS (SELECT DISTINCT gram FROM grams JOIN bench USING (doc_id)),
+probe_g AS (
+  SELECT DISTINCT gram FROM grams
+  WHERE gram NOT IN (SELECT gram FROM bgrams)
+),
+{",".join(arms)}
+{selects}
+"""
+
+
+PENDING_QUERIES["sketch_bloom_error_sweep"] = sketch_bloom_error_sweep
+PENDING_ORACLE["sketch_bloom_error_sweep"] = _sql_bloom_sweep()

@@ -246,3 +246,30 @@ def test_attribution_conserves_purchases(spark, sf_dir):
     assert sum(r.n_conversions for r in rows) == n_purchases
     assert all(r.channel != "purchase" for r in rows)
     assert 1_000_000 - len(rows) <= sum(r.share_ppm for r in rows) <= 1_000_000
+
+
+def test_bloom_sweep_monotone_and_near_theory(spark, sf_dir):
+    """Bigger filters false-positive less (monotone in m), FPR is a true
+    false-positive rate over NON-members only, and each measured rate sits
+    within a loose factor of the textbook (1-e^{-kn/m})^k — the law test
+    owns the float theory so the driver row can stay all-integer."""
+    import math
+
+    rows = {
+        r.m_bits: r
+        for r in TR_P["sketch_bloom_error_sweep"](spark, sf_dir).collect()
+    }
+    from cdc_postgresql_clickhouse_spark.queries.training import BLOOM_SWEEP_M
+
+    assert set(rows) == set(BLOOM_SWEEP_M)
+    rates = [rows[m].fpr_ppm for m in sorted(rows)]
+    assert rates == sorted(rates, reverse=True), rates  # monotone in m
+    for m, r in rows.items():
+        assert 0 <= r.n_false_positives <= r.n_probe_grams
+        theory = (1 - math.exp(-r.k_hashes * r.n_bench_grams / m)) ** r.k_hashes
+        measured = r.fpr_ppm / 1e6
+        # loose band: within 3x either way, or both effectively zero
+        if theory > 1e-4 or measured > 1e-4:
+            assert theory / 3 <= max(measured, 1e-7) <= theory * 3, (
+                m, theory, measured,
+            )
