@@ -1041,3 +1041,78 @@ for _n in _REGISTER_WAVE1:
     QUERIES[_n] = PENDING_QUERIES.pop(_n)
     ORACLE[_n] = PENDING_ORACLE.pop(_n)
 del _n
+
+
+# --- referential-integrity audit — PENDING round 8+ ---------------------------
+#
+# The cross-TABLE data-quality row next to the column-level
+# ``validation_expectations_report``: orphan counts for every foreign-key
+# edge of the star schema, one left-anti join each. Small parents
+# (region/nation/customer/supplier/part at dimension scale) broadcast;
+# the lineitem→orders edge is the one genuinely big-big check and shuffles
+# on the key like any fact-fact join. The events.user_id→customer edge is
+# included deliberately: the synthetic event stream is NOT FK-clean, so
+# the audit proves the detector on real violations instead of reporting
+# a vacuous zero column. Output is |edges|-bounded.
+
+_FK_EDGES = (
+    ("lineitem.l_orderkey->orders.o_orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part.p_partkey", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier.s_suppkey", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer.c_custkey", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation.n_nationkey", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation.n_nationkey", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey->region.r_regionkey", "nation", "n_regionkey", "region", "r_regionkey"),
+    ("events.user_id->customer.c_custkey", "events", "user_id", "customer", "c_custkey"),
+)
+
+
+def validation_fk_orphans_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for name, child_t, child_k, parent_t, parent_k in _FK_EDGES:
+        child = load_table(spark, sf_dir, child_t).select(
+            F.col(child_k).alias("__k")
+        )
+        parent = load_table(spark, sf_dir, parent_t).select(
+            F.col(parent_k).alias("__k")
+        ).distinct()
+        orphans = child.join(parent, "__k", "left_anti")
+        row = (
+            child.agg(F.count(F.lit(1)).cast("long").alias("n_child_rows"))
+            .crossJoin(
+                F.broadcast(
+                    orphans.agg(F.count(F.lit(1)).cast("long").alias("n_orphans"))
+                )
+            )
+            .select(
+                F.lit(name).alias("fk_edge"),
+                "n_child_rows",
+                "n_orphans",
+                F.expr("n_orphans * 1000000 div n_child_rows")
+                .cast("long")
+                .alias("orphan_ppm"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+# NULL child keys count as orphans on BOTH engines: Spark's left-anti keeps
+# null-keyed rows (they match nothing), while a bare SQL NOT IN would
+# silently drop them (NULL semantics) — spelled out explicitly here.
+_SQL_FK_ORPHANS = "\nUNION ALL\n".join(
+    f"""SELECT '{name}' AS fk_edge,
+       (SELECT COUNT(*) FROM {child_t})::BIGINT AS n_child_rows,
+       (SELECT COUNT(*) FROM {child_t} c
+        WHERE c.{child_k} IS NULL OR c.{child_k} NOT IN
+              (SELECT {parent_k} FROM {parent_t} WHERE {parent_k} IS NOT NULL)
+       )::BIGINT AS n_orphans,
+       ((SELECT COUNT(*) FROM {child_t} c
+         WHERE c.{child_k} IS NULL OR c.{child_k} NOT IN
+               (SELECT {parent_k} FROM {parent_t} WHERE {parent_k} IS NOT NULL)) * 1000000
+        // (SELECT COUNT(*) FROM {child_t}))::BIGINT AS orphan_ppm"""
+    for name, child_t, child_k, parent_t, parent_k in _FK_EDGES
+)
+
+PENDING_QUERIES["validation_fk_orphans_report"] = validation_fk_orphans_report
+PENDING_ORACLE["validation_fk_orphans_report"] = _SQL_FK_ORPHANS

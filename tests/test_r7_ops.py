@@ -273,3 +273,45 @@ def test_bloom_sweep_monotone_and_near_theory(spark, sf_dir):
             assert theory / 3 <= max(measured, 1e-7) <= theory * 3, (
                 m, theory, measured,
             )
+
+
+def test_fk_orphans_detects_planted_violations(spark, sf_dir, tmp_path):
+    """The shipped fixtures are FK-clean (all-zero report — verified), so
+    the detector is proven on a planted mini-schema: orphaned and
+    null-keyed child rows must both count."""
+    from cdc_postgresql_clickhouse_spark.queries.tpch_ext import (
+        PENDING_QUERIES as TX_P,
+    )
+    from cdc_postgresql_clickhouse_spark.sources.registry import load_table
+
+    mini = str(tmp_path / "mini_sf")
+    # copy every real table so the other edges still resolve ...
+    for t in ("lineitem", "orders", "part", "supplier", "customer",
+              "nation", "region"):
+        load_table(spark, sf_dir, t).write.parquet(f"{mini}/{t}.parquet")
+    # ... but plant an events table with 2 orphans + 1 null key among 5 rows
+    ok_user = load_table(spark, sf_dir, "customer").select("c_custkey").first()[0]
+    rows = [(1, "2024-01-01 00:00:00", ok_user, "view", 1.0, None)] * 2 + [
+        (2, "2024-01-01 00:00:00", -999_999, "view", 1.0, None),
+        (3, "2024-01-01 00:00:00", -888_888, "view", 1.0, None),
+        (4, "2024-01-01 00:00:00", None, "view", 1.0, None),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id", "event_type",
+        "value", "props",
+    ).write.parquet(f"{mini}/events.parquet")
+
+    rep = {
+        r.fk_edge: r
+        for r in TX_P["validation_fk_orphans_report"](spark, mini).collect()
+    }
+    ev = rep["events.user_id->customer.c_custkey"]
+    assert (ev.n_child_rows, ev.n_orphans) == (5, 3)  # 2 orphans + 1 null
+    assert ev.orphan_ppm == 3 * 1_000_000 // 5
+    assert all(
+        r.n_orphans == 0 for k, r in rep.items() if not k.startswith("events")
+    )
