@@ -2869,3 +2869,122 @@ FROM cells
 
 PENDING_QUERIES["events_attribution_last_touch"] = events_attribution_last_touch
 PENDING_ORACLE["events_attribution_last_touch"] = _SQL_ATTRIBUTION
+
+
+# --- Kaplan-Meier conversion survival — PENDING round 8+ ----------------------
+#
+# Survival analysis enters the registry: the Kaplan-Meier estimator of
+# "time from first activity to first purchase", with users who never
+# convert RIGHT-CENSORED at their last observed event — the statistically
+# honest version of time-to-convert (dropping non-converters biases the
+# curve optimistic; counting them as converted biases it pessimistic).
+# S(t) = Π_{s<=t} (1 - d_s/n_s) over event days, computed as an ordered
+# integer fold in PPM with truncating division (both engines run the
+# literal same op sequence; the accumulator carries [survival_ppm,
+# consumed] so the at-risk count n_s = total - consumed needs no second
+# pass). The day-grain table is |distinct T|-bounded (corpus time span in
+# days), so the collect_list is model-sized state — the same bounded-
+# array device as the rolling-median frame, never event-sized.
+
+_KM_B = 1 << 31  # (d, c) pair encoding base for the cross-engine fold
+
+
+def events_km_conversion_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_micros(ts) div 86400000000").cast("long").alias("day"),
+        "event_type",
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.min("day").alias("first_day"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("day"))).alias(
+            "conv_day"
+        ),
+        F.max("day").alias("last_day"),
+    )
+    tt = per_user.select(
+        F.when(
+            F.col("conv_day").isNotNull(), F.col("conv_day") - F.col("first_day")
+        )
+        .otherwise(F.col("last_day") - F.col("first_day"))
+        .cast("long")
+        .alias("t"),
+        F.col("conv_day").isNotNull().alias("e"),
+    )
+    day_t = tt.groupBy("t").agg(
+        F.sum(F.when(F.col("e"), 1).otherwise(0)).cast("long").alias("d"),
+        F.sum(F.when(F.col("e"), 0).otherwise(1)).cast("long").alias("c"),
+    )
+    arr = day_t.agg(
+        F.sort_array(F.collect_list(F.struct("t", "d", "c"))).alias("a"),
+        F.sum(F.col("d") + F.col("c")).cast("long").alias("tot"),
+    )
+    ex = arr.select("a", "tot", F.posexplode("a").alias("i", "x"))
+    before = F.expr(
+        "aggregate(slice(a, 1, i), CAST(0 AS BIGINT), (acc, y) -> acc + y.d + y.c)"
+    )
+    surv = F.expr(
+        "element_at(aggregate(slice(a, 1, i + 1),"
+        " array(CAST(1000000 AS BIGINT), CAST(0 AS BIGINT)),"
+        " (acc, y) -> array("
+        "   element_at(acc, 1) * ((tot - element_at(acc, 2)) - y.d)"
+        "     div (tot - element_at(acc, 2)),"
+        "   element_at(acc, 2) + y.d + y.c)), 1)"
+    )
+    return ex.select(
+        F.col("x.t").alias("t_days"),
+        (F.col("tot") - before).cast("long").alias("n_at_risk"),
+        F.col("x.d").alias("n_converted"),
+        F.col("x.c").alias("n_censored"),
+        surv.cast("long").alias("survival_ppm"),
+    )
+
+
+_SQL_KM = f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS day, event_type FROM events
+),
+per_user AS (
+  SELECT user_id, MIN(day) AS first_day,
+         MIN(CASE WHEN event_type = 'purchase' THEN day END) AS conv_day,
+         MAX(day) AS last_day
+  FROM ev GROUP BY user_id
+),
+tt AS (
+  SELECT CAST(CASE WHEN conv_day IS NOT NULL THEN conv_day - first_day
+              ELSE last_day - first_day END AS BIGINT) AS t,
+         conv_day IS NOT NULL AS e
+  FROM per_user
+),
+day_t AS (
+  SELECT t, SUM(CASE WHEN e THEN 1 ELSE 0 END)::BIGINT AS d,
+         SUM(CASE WHEN e THEN 0 ELSE 1 END)::BIGINT AS c
+  FROM tt GROUP BY t
+),
+arr AS (
+  SELECT list(t ORDER BY t) AS ts,
+         list(d * {_KM_B} + c ORDER BY t) AS es,
+         SUM(d + c)::BIGINT AS tot
+  FROM day_t
+),
+idx AS (
+  SELECT ts, es, tot, unnest(generate_series(1, len(ts))) AS i FROM arr
+)
+SELECT ts[i] AS t_days,
+       (tot - list_reduce(
+          list_prepend(CAST(0 AS BIGINT),
+            list_transform(es[1:i-1], x -> x // {_KM_B} + x % {_KM_B})),
+          (a, b) -> a + b))::BIGINT AS n_at_risk,
+       (es[i] // {_KM_B})::BIGINT AS n_converted,
+       (es[i] % {_KM_B})::BIGINT AS n_censored,
+       list_reduce(
+         list_prepend([CAST(1000000 AS BIGINT), CAST(0 AS BIGINT)],
+           list_transform(es[1:i], x -> [x // {_KM_B}, x % {_KM_B}])),
+         (acc, x) -> [acc[1] * ((tot - acc[2]) - x[1]) // (tot - acc[2]),
+                      acc[2] + x[1] + x[2]]
+       )[1]::BIGINT AS survival_ppm
+FROM idx
+"""
+
+PENDING_QUERIES["events_km_conversion_survival"] = events_km_conversion_survival
+PENDING_ORACLE["events_km_conversion_survival"] = _SQL_KM

@@ -1294,3 +1294,100 @@ for _n in _REGISTER_WAVE1:
     QUERIES[_n] = PENDING_QUERIES.pop(_n)
     ORACLE[_n] = PENDING_ORACLE.pop(_n)
 del _n
+
+
+# --- personalized PageRank — PENDING round 8+ ---------------------------------
+#
+# Topic-sensitive / personalized PageRank (Haveliwala 2002): the random
+# surfer RESTARTS at a seed node instead of uniformly, giving proximity-
+# to-seed scores — the link-analysis primitive behind related-item and
+# local-community queries, and a genuinely different fixpoint from the
+# registered uniform PageRank (same damping, different restart vector).
+# Identical integer discipline: nano-unit ranks, truncating per-edge
+# splits, FLOOR once per round on the damped sum; the restart mass goes
+# whole to the seed. Same Pregel shape (keyed join + keyed agg per
+# round); the oracle unrolls rounds as CTEs exactly like the uniform row.
+
+PPR_SEED = "purchase"
+
+
+def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.lag("event_type").over(w).alias("src"), F.col("event_type").alias("dst")
+    ).filter(F.col("src").isNotNull())
+    edges = pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w"))
+    nodes = (
+        edges.select(F.col("src").alias("t"))
+        .unionByName(edges.select(F.col("dst").alias("t")))
+        .distinct()
+    )
+    out_w = edges.groupBy("src").agg(F.sum("w").alias("wout"))
+    e2 = edges.join(out_w, "src").persist()
+    base = int(math.floor((1.0 - PR_DAMP) * PR_SCALE))
+    seed = F.when(F.col("t") == PPR_SEED, F.lit(1)).otherwise(F.lit(0))
+    ranks = nodes.withColumn(
+        "r", (seed * F.lit(PR_SCALE)).cast("long")
+    )
+    for _ in range(PR_ITERS):
+        contrib = e2.join(ranks, e2.src == ranks.t).select(
+            F.col("dst").alias("t"), F.expr("(r * w) div wout").alias("c")
+        )
+        sums = contrib.groupBy("t").agg(F.sum("c").alias("s"))
+        ranks = nodes.join(sums, "t", "left").select(
+            "t",
+            (
+                seed * F.lit(base)
+                + F.floor(
+                    F.lit(PR_DAMP) * F.coalesce(F.col("s"), F.lit(0)).cast("double")
+                )
+            ).cast("long").alias("r"),
+        )
+    return ranks.select(F.col("t").alias("event_type"), F.col("r").alias("ppr_nano"))
+
+
+def _sql_ppr_round(i: int) -> str:
+    return f"""
+pcontrib{i} AS (
+  SELECT e.dst AS t, (r.r * e.w) // e.wout AS c
+  FROM e2 e JOIN pr{i} r ON r.t = e.src
+),
+psums{i} AS (SELECT t, SUM(c) AS s FROM pcontrib{i} GROUP BY t),
+pr{i + 1} AS (
+  SELECT n.t,
+         CAST((CASE WHEN n.t = '{PPR_SEED}' THEN {int(math.floor((1.0 - PR_DAMP) * PR_SCALE))} ELSE 0 END)
+              + FLOOR({PR_DAMP!r} * CAST(COALESCE(s.s, 0) AS DOUBLE)) AS BIGINT) AS r
+  FROM nodes n LEFT JOIN psums{i} s ON s.t = n.t
+)"""
+
+
+_SQL_PPR = (
+    f"""
+WITH seq AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
+         event_type AS dst
+  FROM events
+),
+edges AS (
+  SELECT src, dst, COUNT(*) AS w FROM seq WHERE src IS NOT NULL GROUP BY src, dst
+),
+nodes AS (
+  SELECT DISTINCT t FROM (SELECT src AS t FROM edges UNION ALL SELECT dst FROM edges)
+),
+outw AS (SELECT src, SUM(w) AS wout FROM edges GROUP BY src),
+e2 AS (SELECT e.src, e.dst, e.w, o.wout FROM edges e JOIN outw o USING (src)),
+pr0 AS (
+  SELECT t, CAST(CASE WHEN t = '{PPR_SEED}' THEN {PR_SCALE} ELSE 0 END AS BIGINT) AS r
+  FROM nodes
+),"""
+    + ",".join(_sql_ppr_round(i) for i in range(PR_ITERS))
+    + f"""
+SELECT t AS event_type, r AS ppr_nano FROM pr{PR_ITERS}
+"""
+)
+
+PENDING_QUERIES["graph_personalized_pagerank"] = graph_personalized_pagerank
+PENDING_ORACLE["graph_personalized_pagerank"] = _SQL_PPR

@@ -315,3 +315,61 @@ def test_fk_orphans_detects_planted_violations(spark, sf_dir, tmp_path):
     assert all(
         r.n_orphans == 0 for k, r in rep.items() if not k.startswith("events")
     )
+
+
+def test_km_survival_matches_lifelines_style_bruteforce(spark, sf_dir):
+    """Python twin of the KM estimator (the op-order spec): per-user
+    (T, event) built from collected events, survival folded in integer
+    PPM with truncating division — must equal the operator row-for-row.
+    Also pins monotone non-increasing survival and at-risk conservation."""
+    from pyspark.sql import functions as F
+
+    from cdc_postgresql_clickhouse_spark.queries.events import (
+        PENDING_QUERIES as EV_P,
+    )
+    from cdc_postgresql_clickhouse_spark.sources.registry import load_table
+
+    rows = sorted(
+        EV_P["events_km_conversion_survival"](spark, sf_dir).collect(),
+        key=lambda r: r.t_days,
+    )
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.expr("unix_micros(ts) div 86400000000").cast("long").alias("day"),
+            "event_type",
+        )
+        .collect()
+    )
+    per: dict[int, list] = {}
+    for r in ev:
+        st = per.setdefault(r.user_id, [None, None, None])
+        st[0] = r.day if st[0] is None else min(st[0], r.day)
+        st[2] = r.day if st[2] is None else max(st[2], r.day)
+        if r.event_type == "purchase":
+            st[1] = r.day if st[1] is None else min(st[1], r.day)
+    from collections import Counter
+
+    d_cnt, c_cnt = Counter(), Counter()
+    for first, conv, last in per.values():
+        if conv is not None:
+            d_cnt[conv - first] += 1
+        else:
+            c_cnt[last - first] += 1
+    days = sorted(set(d_cnt) | set(c_cnt))
+    tot = sum(d_cnt.values()) + sum(c_cnt.values())
+    assert tot == len(per)
+    consumed, surv, want = 0, 1_000_000, []
+    for t in days:
+        n = tot - consumed
+        surv = surv * (n - d_cnt[t]) // n
+        want.append((t, n, d_cnt[t], c_cnt[t], surv))
+        consumed += d_cnt[t] + c_cnt[t]
+    got = [
+        (r.t_days, r.n_at_risk, r.n_converted, r.n_censored, r.survival_ppm)
+        for r in rows
+    ]
+    assert got == want
+    survs = [r.survival_ppm for r in rows]
+    assert survs == sorted(survs, reverse=True)
