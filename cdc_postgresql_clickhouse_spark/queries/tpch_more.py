@@ -2503,3 +2503,123 @@ for _n in _REGISTER_WAVE1:
     QUERIES[_n] = PENDING_QUERIES.pop(_n)
     ORACLE[_n] = PENDING_ORACLE.pop(_n)
 del _n
+
+
+# --- Little's law audit — PENDING round 8+ -------------------------------------
+#
+# Queueing theory as a data-quality diagnostic: over an interior
+# observation window (the middle half of the order timeline, so boundary
+# censoring is REAL and the identity is not vacuously exact), compare the
+# time-averaged open-order count L against λ·W (arrival rate × mean
+# latency of orders placed in the window) — Little's law. The residual
+# quantifies edge effects (orders straddling the window) and any
+# inconsistency between the placed/shipped extracts; on a healthy
+# pipeline it is small but nonzero. All integer micro-units: the backlog
+# time-integral is Σ per order of clipped [placed, shipped) overlap with
+# the window — one scan over per-order lifetimes + a broadcast bounds
+# row, no dense grid needed.
+
+
+def orders_littles_law_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    day = lambda c: F.floor(F.floor(F.unix_timestamp(c)) / 86400).cast("long")  # noqa: E731
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", day("o_orderdate").alias("p")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", day("l_shipdate").alias("sd")
+    )
+    done = li.groupBy("l_orderkey").agg(F.max("sd").alias("s"))
+    lives = o.join(done, o.o_orderkey == done.l_orderkey).select("p", "s")
+    bounds = lives.agg(
+        F.min("p").alias("lo"), F.max("s").alias("hi")
+    ).select(
+        (F.col("lo") + F.expr("(hi - lo) div 4")).alias("lo2"),
+        (F.col("hi") - F.expr("(hi - lo) div 4")).alias("hi2"),
+    )
+    j = lives.crossJoin(F.broadcast(bounds))
+    overlap = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.col("s") - 1, F.col("hi2"))
+        - F.greatest(F.col("p"), F.col("lo2"))
+        + 1,
+    )
+    in_win = (F.col("p") >= F.col("lo2")) & (F.col("p") <= F.col("hi2"))
+    agg = j.agg(
+        F.max(F.col("hi2") - F.col("lo2") + 1).cast("long").alias("window_days"),
+        F.sum(overlap).cast("long").alias("open_order_days"),
+        F.sum(F.when(in_win, 1).otherwise(0)).cast("long").alias("n_placed"),
+        F.sum(F.when(in_win, F.col("s") - F.col("p"))).cast("long").alias(
+            "latency_days_sum"
+        ),
+    )
+    micro = lambda num, den: F.expr(f"{num} * 1000000 div {den}")  # noqa: E731
+    derived = agg.select(
+        "window_days",
+        "n_placed",
+        micro("open_order_days", "window_days").cast("long").alias(
+            "avg_open_orders_micro"
+        ),
+        micro("n_placed", "window_days").cast("long").alias(
+            "arrivals_per_day_micro"
+        ),
+        micro("latency_days_sum", "n_placed").cast("long").alias(
+            "avg_latency_days_micro"
+        ),
+    )
+    return derived.select(
+        "*",
+        F.expr(
+            "arrivals_per_day_micro * avg_latency_days_micro div 1000000"
+        ).cast("long").alias("littles_rhs_micro"),
+        F.expr(
+            "(avg_open_orders_micro - arrivals_per_day_micro *"
+            " avg_latency_days_micro div 1000000) * 1000000"
+            " div greatest(CAST(1 AS BIGINT), avg_open_orders_micro)"
+        ).cast("long").alias("littles_residual_ppm"),
+    )
+
+
+_SQL_LITTLES = """
+WITH o AS (
+  SELECT o_orderkey, CAST(FLOOR(FLOOR(epoch(o_orderdate)) / 86400) AS BIGINT) AS p
+  FROM orders
+),
+done AS (
+  SELECT l_orderkey,
+         MAX(CAST(FLOOR(FLOOR(epoch(l_shipdate)) / 86400) AS BIGINT)) AS s
+  FROM lineitem GROUP BY l_orderkey
+),
+lives AS (SELECT o.p, d.s FROM o JOIN done d ON d.l_orderkey = o.o_orderkey),
+bounds AS (
+  SELECT MIN(p) + (MAX(s) - MIN(p)) // 4 AS lo2,
+         MAX(s) - (MAX(s) - MIN(p)) // 4 AS hi2
+  FROM lives
+),
+agg AS (
+  SELECT MAX(hi2 - lo2 + 1)::BIGINT AS window_days,
+         SUM(GREATEST(0, LEAST(s - 1, hi2) - GREATEST(p, lo2) + 1))::BIGINT
+           AS open_order_days,
+         SUM(CASE WHEN p >= lo2 AND p <= hi2 THEN 1 ELSE 0 END)::BIGINT AS n_placed,
+         SUM(CASE WHEN p >= lo2 AND p <= hi2 THEN s - p END)::BIGINT
+           AS latency_days_sum
+  FROM lives CROSS JOIN bounds
+),
+derived AS (
+  SELECT window_days, n_placed,
+         (open_order_days * 1000000 // window_days)::BIGINT AS avg_open_orders_micro,
+         (n_placed * 1000000 // window_days)::BIGINT AS arrivals_per_day_micro,
+         (latency_days_sum * 1000000 // n_placed)::BIGINT AS avg_latency_days_micro
+  FROM agg
+)
+SELECT *,
+       (arrivals_per_day_micro * avg_latency_days_micro // 1000000)::BIGINT
+         AS littles_rhs_micro,
+       ((avg_open_orders_micro
+         - arrivals_per_day_micro * avg_latency_days_micro // 1000000) * 1000000
+        // GREATEST(CAST(1 AS BIGINT), avg_open_orders_micro))::BIGINT
+         AS littles_residual_ppm
+FROM derived
+"""
+
+PENDING_QUERIES["orders_littles_law_audit"] = orders_littles_law_audit
+PENDING_ORACLE["orders_littles_law_audit"] = _SQL_LITTLES

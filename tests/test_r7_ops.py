@@ -373,3 +373,46 @@ def test_km_survival_matches_lifelines_style_bruteforce(spark, sf_dir):
     assert got == want
     survs = [r.survival_ppm for r in rows]
     assert survs == sorted(survs, reverse=True)
+
+
+def test_littles_law_audit_matches_bruteforce(spark, sf_dir):
+    """Python twin on collected per-order lifetimes: window bounds, clipped
+    open-order-days integral, in-window arrivals/latency, and both derived
+    Little's-law columns must match the operator exactly."""
+    from pyspark.sql import functions as F
+
+    from cdc_postgresql_clickhouse_spark.queries.tpch_more import (
+        PENDING_QUERIES as TM_P,
+    )
+    from cdc_postgresql_clickhouse_spark.sources.registry import load_table
+
+    day = lambda c: F.floor(F.floor(F.unix_timestamp(c)) / 86400).cast("long")  # noqa: E731
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", day("o_orderdate").alias("p")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", day("l_shipdate").alias("sd")
+    )
+    done = li.groupBy("l_orderkey").agg(F.max("sd").alias("s"))
+    lives = [
+        (r.p, r.s)
+        for r in o.join(done, o.o_orderkey == done.l_orderkey).select("p", "s").collect()
+    ]
+    lo, hi = min(p for p, _ in lives), max(s for _, s in lives)
+    lo2, hi2 = lo + (hi - lo) // 4, hi - (hi - lo) // 4
+    window_days = hi2 - lo2 + 1
+    open_days = sum(max(0, min(s - 1, hi2) - max(p, lo2) + 1) for p, s in lives)
+    placed = [(p, s) for p, s in lives if lo2 <= p <= hi2]
+    lat_sum = sum(s - p for p, s in placed)
+    avg_open = open_days * 1_000_000 // window_days
+    arr = len(placed) * 1_000_000 // window_days
+    lat = lat_sum * 1_000_000 // len(placed)
+    rhs = arr * lat // 1_000_000
+    resid = (avg_open - rhs) * 1_000_000 // max(1, avg_open)
+
+    r = TM_P["orders_littles_law_audit"](spark, sf_dir).first()
+    assert (
+        r.window_days, r.n_placed, r.avg_open_orders_micro,
+        r.arrivals_per_day_micro, r.avg_latency_days_micro,
+        r.littles_rhs_micro, r.littles_residual_ppm,
+    ) == (window_days, len(placed), avg_open, arr, lat, rhs, resid)
