@@ -1207,3 +1207,182 @@ for _n in _REGISTER_WAVE1:
     QUERIES[_n] = PENDING_QUERIES.pop(_n)
     ORACLE[_n] = PENDING_ORACLE.pop(_n)
 del _n
+
+
+# --- Kneser-Ney held-out perplexity — PENDING round 8+ ------------------------
+#
+# The add-1 held-out row's grown-up sibling: interpolated Kneser-Ney
+# bigram smoothing (Kneser & Ney 1995; Chen & Goodman 1998's winner),
+# the discount/continuation algebra every serious n-gram LM (KenLM,
+# CCNet's filters) uses. Exact-integer formulation with D = 3/4:
+#   P(w|v) = max(4c(v,w) - 3, 0)·1e6 div 4c(v)
+#          + 3·N1+(v,·) · (N1+(·,w)·1e6 div N1+(·,·)) div 4c(v)
+# — the continuation probability asks "how many CONTEXTS does w complete"
+# (why 'francisco' scores low despite high unigram count), the discount
+# mass 3·N1+(v,·)/4c(v) is exactly what term 1 withheld. Unseen contexts
+# back off to the continuation distribution alone; w's never seen as a
+# continuation are reported as OOV and excluded from the NLL (the add-1
+# row prices them instead — the two rows bracket the same corpus). Model
+# tables are all keyed aggs of the train bigram table; scoring is two
+# broadcast-sized joins per val bigram. The ln device is the established
+# micro-floored one.
+
+
+def corpus_bigram_kn_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    from cdc_postgresql_clickhouse_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    split = F.when(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "1a", "val"
+    ).otherwise("train")
+    tk = docs.select(
+        "doc_id", "source", split.alias("split"), tokens(F.col("text")).alias("t")
+    )
+    toks = F.col("t")
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bgc = (
+        tk.select("source", "split", F.explode(grams).alias("bg"))
+        .groupBy("source", "split", "bg")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    model = (
+        bgc.filter(F.col("split") == "train")
+        .groupBy("bg")
+        .agg(F.sum("cnt").cast("long").alias("c12"))
+        .withColumn("w1", F.split_part(F.col("bg"), F.lit(" "), F.lit(1)))
+        .withColumn("w2", F.split_part(F.col("bg"), F.lit(" "), F.lit(2)))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    ctx = model.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("n1v"),
+    )
+    cont = model.groupBy("w2").agg(F.count(F.lit(1)).cast("long").alias("n1w"))
+    n_pairs = model.count()  # scalar: distinct train bigrams (model-sized)
+    val = (
+        bgc.filter(F.col("split") == "val")
+        .groupBy("source", "bg")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+        .withColumn("w1", F.split_part(F.col("bg"), F.lit(" "), F.lit(1)))
+        .withColumn("w2", F.split_part(F.col("bg"), F.lit(" "), F.lit(2)))
+    )
+    scored = (
+        val.join(model.select("bg", "c12"), "bg", "left")
+        .withColumn("c12", F.coalesce("c12", F.lit(0).cast("long")))
+        .join(ctx, "w1", "left")
+        .withColumn("c1", F.coalesce("c1", F.lit(0).cast("long")))
+        .withColumn("n1v", F.coalesce("n1v", F.lit(0).cast("long")))
+        .join(cont, "w2", "left")
+        .withColumn("n1w", F.coalesce("n1w", F.lit(0).cast("long")))
+    )
+    pcont = F.expr(f"n1w * 1000000 div {n_pairs}")
+    p_ppm = F.when(
+        F.col("c1") > 0,
+        F.expr("greatest(CAST(0 AS BIGINT), 4 * c12 - 3) * 1000000 div (4 * c1)")
+        + F.expr(f"3 * n1v * (n1w * 1000000 div {n_pairs}) div (4 * c1)").cast("long"),
+    ).otherwise(pcont.cast("long"))
+    s2 = scored.withColumn("p_ppm", p_ppm)
+    u = F.floor(
+        -F.log(F.col("p_ppm").cast("double") / F.lit(1000000.0)) * F.lit(1000000.0)
+    ).cast("long")
+    per = s2.groupBy("source").agg(
+        F.sum("cnt").cast("long").alias("n_bigrams"),
+        F.sum(F.when(F.col("p_ppm") == 0, F.col("cnt")).otherwise(0))
+        .cast("long")
+        .alias("n_oov_w"),
+        F.sum(F.when(F.col("p_ppm") > 0, F.col("cnt") * u)).cast("long").alias(
+            "sum_u"
+        ),
+        F.sum(F.when(F.col("p_ppm") > 0, F.col("cnt")).otherwise(0))
+        .cast("long")
+        .alias("n_scored"),
+    )
+    return per.select(
+        "source",
+        "n_bigrams",
+        "n_scored",
+        "n_oov_w",
+        F.expr("sum_u div n_scored").cast("long").alias("kn_nll_micro_per_bigram"),
+    )
+
+
+def _sql_kn_ppl() -> str:
+    from cdc_postgresql_clickhouse_spark.queries.dedup import _SQL_TOKENS
+
+    return f"""
+WITH tk AS (
+  SELECT doc_id, source,
+         CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+              THEN 'val' ELSE 'train' END AS split,
+         {_SQL_TOKENS} AS t
+  FROM documents
+),
+bgc AS (
+  SELECT source, split, bg, COUNT(*)::BIGINT AS cnt
+  FROM (
+    SELECT source, split,
+           unnest(CASE WHEN len(t) >= 2
+                  THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])
+                  ELSE [] END) AS bg
+    FROM tk
+  ) GROUP BY 1, 2, 3
+),
+model AS (
+  SELECT bg, split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2,
+         SUM(cnt)::BIGINT AS c12
+  FROM bgc WHERE split = 'train' GROUP BY 1, 2, 3
+),
+ctx AS (SELECT w1, SUM(c12)::BIGINT AS c1, COUNT(*)::BIGINT AS n1v FROM model GROUP BY w1),
+cont AS (SELECT w2, COUNT(*)::BIGINT AS n1w FROM model GROUP BY w2),
+npairs AS (SELECT COUNT(*)::BIGINT AS np FROM model),
+val AS (
+  SELECT source, bg, split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2,
+         SUM(cnt)::BIGINT AS cnt
+  FROM bgc WHERE split = 'val' GROUP BY 1, 2, 3, 4
+),
+scored AS (
+  SELECT v.source, v.cnt,
+         COALESCE(m.c12, 0) AS c12,
+         COALESCE(x.c1, 0) AS c1,
+         COALESCE(x.n1v, 0) AS n1v,
+         COALESCE(co.n1w, 0) AS n1w,
+         np
+  FROM val v
+  LEFT JOIN model m ON m.bg = v.bg
+  LEFT JOIN ctx x ON x.w1 = v.w1
+  LEFT JOIN cont co ON co.w2 = v.w2
+  CROSS JOIN npairs
+),
+p AS (
+  SELECT source, cnt,
+         CASE WHEN c1 > 0
+              THEN GREATEST(CAST(0 AS BIGINT), 4 * c12 - 3) * 1000000 // (4 * c1)
+                   + 3 * n1v * (n1w * 1000000 // np) // (4 * c1)
+              ELSE (n1w * 1000000 // np) END AS p_ppm
+  FROM scored
+)
+SELECT source,
+       SUM(cnt)::BIGINT AS n_bigrams,
+       SUM(CASE WHEN p_ppm > 0 THEN cnt ELSE 0 END)::BIGINT AS n_scored,
+       SUM(CASE WHEN p_ppm = 0 THEN cnt ELSE 0 END)::BIGINT AS n_oov_w,
+       (SUM(CASE WHEN p_ppm > 0 THEN
+            cnt * CAST(FLOOR(-ln(CAST(p_ppm AS DOUBLE) / 1000000.0) * 1000000.0) AS BIGINT)
+            END) // SUM(CASE WHEN p_ppm > 0 THEN cnt ELSE 0 END))::BIGINT
+         AS kn_nll_micro_per_bigram
+FROM p GROUP BY source
+"""
+
+
+PENDING_QUERIES["corpus_bigram_kn_ppl"] = corpus_bigram_kn_ppl
+PENDING_ORACLE["corpus_bigram_kn_ppl"] = _sql_kn_ppl()

@@ -416,3 +416,44 @@ def test_littles_law_audit_matches_bruteforce(spark, sf_dir):
         r.arrivals_per_day_micro, r.avg_latency_days_micro,
         r.littles_rhs_micro, r.littles_residual_ppm,
     ) == (window_days, len(placed), avg_open, arr, lat, rhs, resid)
+
+
+def test_kn_continuation_scores_versatile_words_higher(spark, sf_dir, tmp_path):
+    """The 'san francisco' property KN exists for: after an unseen context,
+    a word that completes MANY contexts (dog) must outscore a word that is
+    frequent but completes ONE (francisco) — unigram counting gets this
+    backwards. Planted mini-corpus: francisco appears 8x, always after
+    san; dog appears 4x after 4 different words. Two val sources probe
+    'new francisco' vs 'new dog' ('new' unseen, so both back off to the
+    continuation distribution); KN must give source B the lower NLL.
+    Structural invariants (scored + oov = total, NLL positive) are pinned
+    on the real corpus too."""
+    from cdc_postgresql_clickhouse_spark.queries.text_ext import (
+        PENDING_QUERIES as TE_P,
+    )
+
+    mini = str(tmp_path / "kn_sf")
+    train_txt = (
+        "san francisco " * 8
+        + "big dog small dog fast dog old dog "
+        + "filler words here to pad the model out"
+    )
+    rows = [
+        (1, "srcT", "en", train_txt),  # md5(1) -> train
+        (6, "srcA", "en", "new francisco"),  # md5(6) -> val
+        (27, "srcB", "en", "new dog"),  # md5(27) -> val
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, source string, lang string, text string"
+    ).write.parquet(f"{mini}/documents.parquet")
+
+    rep = {r.source: r for r in TE_P["corpus_bigram_kn_ppl"](spark, mini).collect()}
+    assert rep["srcA"].n_scored == 1 and rep["srcB"].n_scored == 1
+    assert (
+        rep["srcB"].kn_nll_micro_per_bigram < rep["srcA"].kn_nll_micro_per_bigram
+    ), rep
+
+    real = TE_P["corpus_bigram_kn_ppl"](spark, sf_dir).collect()
+    for r in real:
+        assert r.n_scored + r.n_oov_w == r.n_bigrams
+        assert r.kn_nll_micro_per_bigram > 0
