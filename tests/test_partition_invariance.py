@@ -110,6 +110,12 @@ _PENDING_CHECK = [
     "embedding_norm_outliers",
     "sketch_intersection_method_report",
     "dedup_cross_source_matrix",
+    # later round-7 additions: PPR's iterated keyed aggs, the KM ordered
+    # fold, the Little's-law clipped-overlap sums, KN's joined model tables
+    "graph_personalized_pagerank",
+    "events_km_conversion_survival",
+    "orders_littles_law_audit",
+    "corpus_bigram_kn_ppl",
 ]
 
 
