@@ -2889,19 +2889,11 @@ PENDING_ORACLE["events_attribution_last_touch"] = _SQL_ATTRIBUTION
 _KM_B = 1 << 31  # (d, c) pair encoding base for the cross-engine fold
 
 
-def events_km_conversion_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id",
-        F.expr("unix_micros(ts) div 86400000000").cast("long").alias("day"),
-        "event_type",
-    )
-    per_user = ev.groupBy("user_id").agg(
-        F.min("day").alias("first_day"),
-        F.min(F.when(F.col("event_type") == "purchase", F.col("day"))).alias(
-            "conv_day"
-        ),
-        F.max("day").alias("last_day"),
-    )
+def km_estimator(per_user: DataFrame) -> DataFrame:
+    """The KM tail over a per-user (first_day, conv_day, last_day) table —
+    factored out so the streaming variant (per-user state maintained by
+    order-free min/min/max merges, ``streaming/sketch.py``) scores with
+    the EXACT batch expression tree."""
     tt = per_user.select(
         F.when(
             F.col("conv_day").isNotNull(), F.col("conv_day") - F.col("first_day")
@@ -2938,6 +2930,27 @@ def events_km_conversion_survival(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("x.c").alias("n_censored"),
         surv.cast("long").alias("survival_ppm"),
     )
+
+
+def km_per_user(ev: DataFrame) -> DataFrame:
+    """Per-user survival state from (user_id, day, event_type) rows: every
+    field is an order-free min/min/max — the mergeable-sketch algebra."""
+    return ev.groupBy("user_id").agg(
+        F.min("day").alias("first_day"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("day"))).alias(
+            "conv_day"
+        ),
+        F.max("day").alias("last_day"),
+    )
+
+
+def events_km_conversion_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_micros(ts) div 86400000000").cast("long").alias("day"),
+        "event_type",
+    )
+    return km_estimator(km_per_user(ev))
 
 
 _SQL_KM = f"""

@@ -1447,3 +1447,49 @@ from cdc_postgresql_clickhouse_spark.queries.events import _SQL_OHLC  # noqa: E4
 
 PENDING_QUERIES["streaming_ohlc_equiv"] = streaming_ohlc_equiv
 PENDING_ORACLE["streaming_ohlc_equiv"] = _SQL_OHLC
+
+
+# --- streaming Kaplan-Meier equivalence — PENDING round 8+ ---------------------
+
+
+def streaming_km_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The survival curve maintained incrementally: ``events`` split into
+    2+ micro-batches BY TIME (so a user's censoring status genuinely
+    changes between batches — converted-later users are the hard case),
+    drained through the per-user min/min/max ingest, merged at read time,
+    scored with the batch estimator. Oracle = the batch KM SQL."""
+    import os
+    import shutil
+    import tempfile
+
+    from cdc_postgresql_clickhouse_spark.queries.events import km_estimator
+    from cdc_postgresql_clickhouse_spark.streaming.sketch import (
+        read_km_per_user,
+        run_incremental_km,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_micros(ts) div 86400000000").cast("long").alias("day"),
+        "event_type",
+    )
+    mid = ev.agg(F.expr("percentile(day, 0.5)")).first()[0]
+    tmp = tempfile.mkdtemp(prefix="stream_km_")
+    try:
+        src = os.path.join(tmp, "src")
+        ev.filter(F.col("day") <= mid).coalesce(1).write.parquet(src)
+        ev.filter(F.col("day") > mid).coalesce(1).write.mode("append").parquet(src)
+        run_incremental_km(
+            spark, src, os.path.join(tmp, "state"), os.path.join(tmp, "ckpt"),
+            max_files_per_trigger=1,
+        )
+        merged = read_km_per_user(spark, os.path.join(tmp, "state"))
+        return _materialized(km_estimator(merged))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+from cdc_postgresql_clickhouse_spark.queries.events import _SQL_KM  # noqa: E402
+
+PENDING_QUERIES["streaming_km_equiv"] = streaming_km_equiv
+PENDING_ORACLE["streaming_km_equiv"] = _SQL_KM

@@ -334,3 +334,54 @@ def run_incremental_ohlc(
         checkpoint_dir,
         max_files_per_trigger,
     )
+
+
+# --- mergeable Kaplan-Meier survival state -------------------------------------
+#
+# Survival curves are maintainable because the per-user state is pure
+# order-free algebra: first_day = MIN, conv_day = MIN over purchases,
+# last_day = MAX — merging any micro-batch split per user reproduces the
+# batch table exactly (min-of-mins / max-of-maxes), the HLL-register
+# argument at user grain. Each batch appends its per-user partials;
+# reads merge and hand the table to the BATCH estimator
+# (queries/events.km_estimator), so the curve is bit-identical to the
+# one-shot computation. Replay-safe without a fence: re-appending the
+# same partials changes no min/max.
+
+
+def ingest_batch_km(batch: DataFrame, state_path: str) -> None:
+    """Append one micro-batch's per-user survival partials. Expects
+    (user_id, day, event_type) rows."""
+    from cdc_postgresql_clickhouse_spark.operators.state import _state_lock
+    from cdc_postgresql_clickhouse_spark.queries.events import km_per_user
+
+    with _state_lock(state_path):
+        km_per_user(batch).write.mode("append").parquet(state_path)
+
+
+def read_km_per_user(spark: SparkSession, state_path: str) -> DataFrame:
+    """The merged per-user table in the batch shape."""
+    st = spark.read.parquet(state_path)
+    return st.groupBy("user_id").agg(
+        F.min("first_day").alias("first_day"),
+        F.min("conv_day").alias("conv_day"),
+        F.max("last_day").alias("last_day"),
+    )
+
+
+def run_incremental_km(
+    spark: SparkSession,
+    src_dir: str,
+    state_path: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Drain ``src_dir`` (parquet files of (user_id, day, event_type) rows)
+    through the survival-state ingest with an availableNow trigger."""
+    _drain(
+        spark,
+        src_dir,
+        lambda b, i: ingest_batch_km(b, state_path),
+        checkpoint_dir,
+        max_files_per_trigger,
+    )
