@@ -3001,3 +3001,130 @@ FROM idx
 
 PENDING_QUERIES["events_km_conversion_survival"] = events_km_conversion_survival
 PENDING_ORACLE["events_km_conversion_survival"] = _SQL_KM
+
+
+# --- Poisson-bootstrap confidence intervals — PENDING round 8+ -----------------
+#
+# Uncertainty quantification enters the registry: a 95% bootstrap CI for
+# the per-type mean value, by the POISSON bootstrap (Chamandy et al. 2012,
+# "Estimating Uncertainty for Massive Data Streams" — the Google recipe) —
+# the distributed form of resampling: instead of drawing n-out-of-n (which
+# needs global coordination), each row enters replicate b with weight
+# w ~ Poisson(1), independent per (row, b), so every replicate is one
+# map-side weight + the same keyed agg as the plain mean. Determinism:
+# w is drawn by an md5-derived 16-bit uniform against the PRECOMPUTED
+# integer CDF ladder of Poisson(1) (thresholds frozen as literals, tail
+# capped at w=5 — cumP(4)=0.9963), so both engines draw the identical
+# replicate weights. Replicate means are integer micro-units; the CI is
+# nearest-rank p2.5/p97.5 over B=64 replicate means. Cost: B× map-side
+# fan-out into a (type, b)-keyed agg — bounded, no global resample.
+
+BOOT_B = 64
+_POISSON_CDF16 = (24109, 48218, 60273, 64291, 65296)  # w = 0..4, else 5
+
+
+def events_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("event_id").alias("eid"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
+    )
+    exploded = ev.select(
+        "event_type", "eid", "c",
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b"),
+    )
+    u = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.col("eid"), F.col("b"))), 1, 4), 16, 10
+    ).cast("long")
+    ladder = F.when(u < _POISSON_CDF16[0], 0)
+    for i in range(1, len(_POISSON_CDF16)):
+        ladder = ladder.when(u < _POISSON_CDF16[i], i)
+    w = ladder.otherwise(len(_POISSON_CDF16)).cast("long")
+    reps = (
+        exploded.withColumn("w", w)
+        .groupBy("event_type", "b")
+        .agg(
+            F.sum("w").cast("long").alias("sw"),
+            F.sum(F.col("w") * F.col("c")).cast("long").alias("swc"),
+        )
+        .filter(F.col("sw") > 0)
+        .select("event_type", "b", F.expr("swc * 1000000 div sw").alias("m"))
+    )
+    wr = Window.partitionBy("event_type")
+    ranked = reps.withColumn("rn", F.row_number().over(wr.orderBy("m", "b"))).withColumn(
+        "nb", F.count(F.lit(1)).over(wr)
+    )
+    ci = ranked.groupBy("event_type").agg(
+        F.max(F.when(F.col("rn") == F.expr("(25 * nb + 999) div 1000"), F.col("m")))
+        .cast("long").alias("boot_lo_micro"),
+        F.max(F.when(F.col("rn") == F.expr("(975 * nb + 999) div 1000"), F.col("m")))
+        .cast("long").alias("boot_hi_micro"),
+        F.count(F.lit(1)).cast("long").alias("n_replicates"),
+    )
+    point = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.expr("sum(c) * 1000000 div count(1)").cast("long").alias("mean_micro"),
+    )
+    return point.join(ci, "event_type").select(
+        "event_type", "n_events", "mean_micro",
+        "boot_lo_micro", "boot_hi_micro", "n_replicates",
+    )
+
+
+def _sql_bootstrap() -> str:
+    from cdc_postgresql_clickhouse_spark.queries.sketches import _sql_hex_int
+
+    u = _sql_hex_int("CAST(eid AS VARCHAR) || ':' || CAST(b AS VARCHAR)", 4)
+    arms = " ".join(
+        f"WHEN {u} < {t} THEN {i}" for i, t in enumerate(_POISSON_CDF16)
+    )
+    return f"""
+WITH ev AS (
+  SELECT event_type, event_id AS eid,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events
+),
+exploded AS (
+  SELECT event_type, eid, c, CAST(b AS BIGINT) AS b
+  FROM ev, (SELECT unnest(range({BOOT_B})) AS b)
+),
+weighted AS (
+  SELECT event_type, b, c,
+         CAST(CASE {arms} ELSE {len(_POISSON_CDF16)} END AS BIGINT) AS w
+  FROM exploded
+),
+reps AS (
+  SELECT event_type, b, SUM(w * c) * 1000000 // SUM(w) AS m
+  FROM weighted GROUP BY event_type, b
+  HAVING SUM(w) > 0
+),
+ranked AS (
+  SELECT event_type, m,
+         row_number() OVER (PARTITION BY event_type ORDER BY m, b) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS nb
+  FROM reps
+),
+ci AS (
+  SELECT event_type,
+         MAX(CASE WHEN rn = (25 * nb + 999) // 1000 THEN m END)::BIGINT
+           AS boot_lo_micro,
+         MAX(CASE WHEN rn = (975 * nb + 999) // 1000 THEN m END)::BIGINT
+           AS boot_hi_micro,
+         COUNT(*)::BIGINT AS n_replicates
+  FROM ranked GROUP BY event_type
+),
+point AS (
+  SELECT event_type, COUNT(*)::BIGINT AS n_events,
+         (SUM(c) * 1000000 // COUNT(*))::BIGINT AS mean_micro
+  FROM ev GROUP BY event_type
+)
+SELECT p.event_type, p.n_events, p.mean_micro,
+       c.boot_lo_micro, c.boot_hi_micro, c.n_replicates
+FROM point p JOIN ci c USING (event_type)
+"""
+
+
+PENDING_QUERIES["events_bootstrap_mean_ci"] = events_bootstrap_mean_ci
+PENDING_ORACLE["events_bootstrap_mean_ci"] = _sql_bootstrap()

@@ -457,3 +457,56 @@ def test_kn_continuation_scores_versatile_words_higher(spark, sf_dir, tmp_path):
     for r in real:
         assert r.n_scored + r.n_oov_w == r.n_bigrams
         assert r.kn_nll_micro_per_bigram > 0
+
+
+def test_bootstrap_ci_matches_bruteforce_and_brackets_mean(spark, sf_dir):
+    """Python twin of the deterministic Poisson bootstrap: identical md5
+    weight draws, replicate means, and nearest-rank CI — plus the sanity
+    bracket lo <= mean <= hi at fixture scale."""
+    import hashlib
+
+    from cdc_postgresql_clickhouse_spark.queries.events import (
+        _POISSON_CDF16,
+        BOOT_B,
+        PENDING_QUERIES as EV_P,
+    )
+    from cdc_postgresql_clickhouse_spark.sources.registry import load_table
+    from pyspark.sql import functions as F
+
+    got = {r.event_type: r for r in EV_P["events_bootstrap_mean_ci"](spark, sf_dir).collect()}
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type", F.col("event_id").alias("eid"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
+        )
+        .collect()
+    )
+    by_type: dict[str, list] = {}
+    for r in ev:
+        by_type.setdefault(r.event_type, []).append((r.eid, r.c))
+
+    def weight(eid, b):
+        u = int(hashlib.md5(f"{eid}:{b}".encode()).hexdigest()[:4], 16)
+        for i, t in enumerate(_POISSON_CDF16):
+            if u < t:
+                return i
+        return len(_POISSON_CDF16)
+
+    for etype, rows in by_type.items():
+        means = []
+        for b in range(BOOT_B):
+            sw = swc = 0
+            for eid, c in rows:
+                w = weight(eid, b)
+                sw += w
+                swc += w * c
+            if sw > 0:
+                means.append(swc * 1_000_000 // sw)
+        means.sort()
+        nb = len(means)
+        lo = means[(25 * nb + 999) // 1000 - 1]
+        hi = means[(975 * nb + 999) // 1000 - 1]
+        g = got[etype]
+        assert (g.n_replicates, g.boot_lo_micro, g.boot_hi_micro) == (nb, lo, hi)
+        assert g.boot_lo_micro <= g.mean_micro <= g.boot_hi_micro
