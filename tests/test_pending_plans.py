@@ -168,3 +168,28 @@ def test_packing_report_is_one_scan_one_shuffle(spark, sf_dir):
     df = TR_P["packing_efficiency_report"](spark, sf_dir)
     assert len(read_schemas(df)) == 1
     assert shuffle_count(df) <= 1, formatted_plan(df)[:2000]
+
+
+def test_ohlc_is_one_scan_one_shuffle(spark, sf_dir):
+    """The AggregatingMergeTree claim in plan form: minute bars are ONE
+    parquet scan into ONE keyed aggregation — the min_by/max_by algebra
+    partial-aggregates map-side, so nothing else shuffles."""
+    from cdc_postgresql_clickhouse_spark.queries.events import (
+        PENDING_QUERIES as EV_P,
+    )
+
+    df = EV_P["events_ohlc_bars"](spark, sf_dir)
+    assert len(read_schemas(df)) == 1
+    assert shuffle_count(df) == 1, formatted_plan(df)[:2000]
+
+
+def test_kn_model_reuses_one_corpus_scan(spark, sf_dir):
+    """The persisted bigram table is load-bearing: model/context/
+    continuation/val tables all derive from ONE tokenize+explode pass —
+    a second parquet scan would re-run the tokenizer tree per table."""
+    from cdc_postgresql_clickhouse_spark.queries.text_ext import (
+        PENDING_QUERIES as TE_P,
+    )
+
+    df = TE_P["corpus_bigram_kn_ppl"](spark, sf_dir)
+    assert len(read_schemas(df)) <= 1, read_schemas(df)
