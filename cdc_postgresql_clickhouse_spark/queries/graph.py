@@ -50,7 +50,12 @@ def graph_pagerank_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     out_w = edges.groupBy("src").agg(F.sum("w").alias("wout"))
+    # materialize BOTH round inputs: e2 via persist, nodes via checkpoint —
+    # an unpersisted nodes re-derives the full events scan + lag window in
+    # EVERY unrolled round (observed: 14 parquet scans for 5 iterations);
+    # both tables are |types|/|edges|-bounded model state
     e2 = edges.join(out_w, "src").persist()
+    nodes = nodes.localCheckpoint(eager=True)
     n_nodes = nodes.count()  # the only driver scalar (node count)
     base = int(math.floor((1.0 - PR_DAMP) * PR_SCALE / n_nodes))
     ranks = nodes.withColumn("r", F.lit(PR_SCALE // n_nodes).cast("long"))
@@ -1327,6 +1332,7 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out_w = edges.groupBy("src").agg(F.sum("w").alias("wout"))
     e2 = edges.join(out_w, "src").persist()
+    nodes = nodes.localCheckpoint(eager=True)  # same round-input fix as above
     base = int(math.floor((1.0 - PR_DAMP) * PR_SCALE))
     seed = F.when(F.col("t") == PPR_SEED, F.lit(1)).otherwise(F.lit(0))
     ranks = nodes.withColumn(

@@ -193,3 +193,17 @@ def test_kn_model_reuses_one_corpus_scan(spark, sf_dir):
 
     df = TE_P["corpus_bigram_kn_ppl"](spark, sf_dir)
     assert len(read_schemas(df)) <= 1, read_schemas(df)
+
+
+def test_pagerank_rounds_do_not_rescan_the_corpus(spark, sf_dir):
+    """Both pagerank fixpoints must materialize their round inputs: an
+    unpersisted nodes table re-derives the events scan + lag window in
+    EVERY unrolled round (was 14 parquet scans for 5 iterations — a
+    scale-killer at 100 TB where the edge build dominates)."""
+    from cdc_postgresql_clickhouse_spark.queries.graph import (
+        PENDING_QUERIES as GR_P,
+        QUERIES as GR_Q,
+    )
+
+    for fn in (GR_Q["graph_pagerank_types"], GR_P["graph_personalized_pagerank"]):
+        assert len(read_schemas(fn(spark, sf_dir))) <= 2
