@@ -1161,16 +1161,23 @@ PENDING_ORACLE = {
 
 
 def sketch_kmv_intersect(spark: SparkSession, sf_dir: str, k: int = KMV_K) -> DataFrame:
+    from pyspark import StorageLevel
+
     ev = load_table(spark, sf_dir, "events")
+    # persist the two derived tables every downstream branch re-reads: the
+    # round-7 scan audit found this query re-deriving the corpus-sized
+    # distinct (type, hash) projection TWELVE times (one full scan + one
+    # distinct shuffle per reference) — the classic diamond-lineage trap
     hashed = ev.select(
         "event_type",
         F.substring(F.md5(F.col("user_id").cast("string")), 1, _HEX_DIGITS).alias("h"),
-    ).distinct()
+    ).distinct().persist(StorageLevel.MEMORY_AND_DISK)
     w = Window.partitionBy("event_type").orderBy("h")
     kstate = (
         hashed.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select("event_type", "h")
+        .persist(StorageLevel.MEMORY_AND_DISK)  # |types|·k rows, read 3x
     )
     types = hashed.select("event_type").distinct()
     pairs = (
@@ -1208,7 +1215,9 @@ def sketch_kmv_intersect(spark: SparkSession, sf_dir: str, k: int = KMV_K) -> Da
     est_int = (
         F.col("n_common").cast("double") / F.col("n_tracked").cast("double") * est_union
     )
-    du = ev.select("event_type", "user_id").distinct()
+    du = ev.select("event_type", "user_id").distinct().persist(
+        StorageLevel.MEMORY_AND_DISK
+    )  # read by both exact-intersect legs
     ia = du.select(F.col("event_type").alias("type_a"), "user_id")
     ib = du.select(F.col("event_type").alias("type_b"), "user_id")
     exact = (
@@ -1770,16 +1779,20 @@ del _n
 def sketch_theta_difference(
     spark: SparkSession, sf_dir: str, k: int = KMV_K
 ) -> DataFrame:
+    from pyspark import StorageLevel
+
     ev = load_table(spark, sf_dir, "events")
+    # same diamond-lineage persists as sketch_kmv_intersect (scan audit)
     hashed = ev.select(
         "event_type",
         F.substring(F.md5(F.col("user_id").cast("string")), 1, _HEX_DIGITS).alias("h"),
-    ).distinct()
+    ).distinct().persist(StorageLevel.MEMORY_AND_DISK)
     w = Window.partitionBy("event_type").orderBy("h")
     kstate = (
         hashed.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select("event_type", "h")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     types = hashed.select("event_type").distinct()
     pairs = (
@@ -1821,7 +1834,9 @@ def sketch_theta_difference(
         F.col("n_tracked") < k, F.col("n_tracked").cast("double")
     ).otherwise(F.lit(float(k - 1)) / vk)
     frac = lambda c: F.col(c).cast("double") / F.col("n_tracked").cast("double")  # noqa: E731
-    du = ev.select("event_type", "user_id").distinct()
+    du = ev.select("event_type", "user_id").distinct().persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     da = du.groupBy(F.col("event_type").alias("type_a")).agg(
         F.count(F.lit(1)).cast("long").alias("n_a")
     )

@@ -1064,11 +1064,16 @@ def corpus_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         N_HASHES,
     )
 
+    from pyspark import StorageLevel
+
     corpus = _corpus(spark, sf_dir)
+    # persisted like dedup_minhash_lsh's shingle table: referenced by the
+    # bench bands, the train bands, and both verify sides (scan audit
+    # found 4 re-tokenizations without it)
     shs_all = corpus.select(
         "doc_id",
         F.array_distinct(word_shingles(tokens(F.col("text")), 3)).alias("shs"),
-    ).filter(F.size("shs") > 0)
+    ).filter(F.size("shs") > 0).persist(StorageLevel.MEMORY_AND_DISK)
 
     def _minhash(seed: int):
         return F.expr(
