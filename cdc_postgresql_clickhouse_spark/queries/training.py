@@ -1273,16 +1273,21 @@ BLOOM_SWEEP_M = (1024, 8192, 65536)
 def sketch_bloom_error_sweep(
     spark: SparkSession, sf_dir: str, n: int = DECONTAM_NGRAM
 ) -> DataFrame:
+    from pyspark import StorageLevel
+
     corpus = _corpus(spark, sf_dir)
     grams = _grams(corpus, n)
+    # the gram universes are m-INDEPENDENT: persist them once or every
+    # sweep arm re-runs the corpus explode+distinct (the shuffle audit
+    # found 42 exchanges for 3 filter sizes without these)
     bench_g = (
         grams.join(
             corpus.filter(_is_bench()).select("doc_id"), "doc_id"
-        ).select("gram").distinct()
+        ).select("gram").distinct().persist(StorageLevel.MEMORY_AND_DISK)
     )
     probe_g = (
         grams.select("gram").distinct().join(bench_g, "gram", "left_anti")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     out = None
     for m in BLOOM_SWEEP_M:
         def pos(j: int):
