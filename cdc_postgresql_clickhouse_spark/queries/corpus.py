@@ -365,3 +365,130 @@ SELECT CAST(checkpoint AS BIGINT) AS checkpoint, threshold_doc_id,
 FROM joined
 WINDOW w AS (ORDER BY checkpoint ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 """
+
+
+# --- dedup-rate growth curve — PENDING round 8+ --------------------------------
+#
+# The scaling question a 100 TB corpus owner actually asks: how does the
+# duplicate rate GROW with corpus size (shared boilerplate and copied
+# passages compound as more of everything arrives)? Measured at LINE
+# grain — the granularity where the fixture (like the web) genuinely
+# repeats — on nested md5-ordered prefixes (25/50/75/100%, deterministic
+# order-free subsets): per prefix, the fraction of line occurrences whose
+# line text appears in >= 2 distinct docs OF THAT PREFIX, in PPM. Lines
+# come from the CCNet line-dedup machinery verbatim (boilerplate header +
+# 8-token body slices). Monotonicity is a law, not a hope: a line
+# duplicated within a prefix stays duplicated in every superset, so the
+# duplicated-occurrence count is non-decreasing (pinned). One line
+# explode fans out to |prefixes| map-side copies into keyed aggs — no
+# per-prefix rescans.
+
+DUP_GROWTH_PREFIXES = (25, 50, 75, 100)
+
+
+def corpus_dup_rate_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_postgresql_clickhouse_spark.functions.text import tokens
+    from cdc_postgresql_clickhouse_spark.queries.spans import _lines_expr
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    lined = base.select("doc_id", F.expr(_lines_expr()).alias("lines"))
+    occ = lined.select("doc_id", F.explode("lines").alias("l")).select(
+        "doc_id", F.md5("l").alias("lmd5")
+    )
+    k100 = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        * 100
+    )
+    fanned = occ.select(
+        "doc_id",
+        "lmd5",
+        k100.alias("k100"),
+        F.explode(
+            F.array(*[F.lit(p).cast("long") for p in DUP_GROWTH_PREFIXES])
+        ).alias("prefix_pct"),
+    ).filter(F.col("k100") < F.col("prefix_pct") * 65536)
+    per_line = fanned.groupBy("prefix_pct", "lmd5").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occ"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs_line"),
+    )
+    docs_per = fanned.groupBy("prefix_pct").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs")
+    )
+    rates = per_line.groupBy("prefix_pct").agg(
+        F.sum("n_occ").cast("long").alias("n_line_occurrences"),
+        F.sum(F.when(F.col("n_docs_line") >= 2, F.col("n_occ")).otherwise(0))
+        .cast("long")
+        .alias("n_dup_occurrences"),
+    )
+    return docs_per.join(rates, "prefix_pct").select(
+        "prefix_pct",
+        "n_docs",
+        "n_line_occurrences",
+        "n_dup_occurrences",
+        F.expr("n_dup_occurrences * 1000000 div n_line_occurrences")
+        .cast("long")
+        .alias("dup_line_ppm"),
+    )
+
+
+def _sql_dup_growth() -> str:
+    from cdc_postgresql_clickhouse_spark.queries.dedup import _SQL_TOKENS
+    from cdc_postgresql_clickhouse_spark.queries.sketches import _sql_hex_int
+    from cdc_postgresql_clickhouse_spark.queries.spans import (
+        _SQL_BOILERPLATE,
+        BOILERPLATE,
+        LINE_TOKENS,
+    )
+
+    k = _sql_hex_int("CAST(doc_id AS VARCHAR)", 4)
+    return f"""
+WITH base AS (
+  SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
+),
+lined AS (
+  SELECT doc_id,
+         [({_SQL_BOILERPLATE})[CAST(doc_id % {len(BOILERPLATE)} AS INT) + 1]] ||
+         CASE WHEN len(toks) >= 1
+              THEN list_transform(generate_series(1, CAST(ceil(len(toks) / {LINE_TOKENS}.0) AS BIGINT)),
+                     j -> array_to_string(toks[(j - 1) * {LINE_TOKENS} + 1 : j * {LINE_TOKENS}], ' '))
+              ELSE CAST([] AS VARCHAR[]) END AS lines
+  FROM base
+),
+occ AS (
+  SELECT doc_id, md5(l) AS lmd5, ({k}) * 100 AS k100
+  FROM (SELECT doc_id, unnest(lines) AS l FROM lined)
+),
+fanned AS (
+  SELECT doc_id, lmd5, CAST(p AS BIGINT) AS prefix_pct
+  FROM occ, (VALUES {", ".join(f"({p})" for p in DUP_GROWTH_PREFIXES)}) v(p)
+  WHERE k100 < p * 65536
+),
+per_line AS (
+  SELECT prefix_pct, lmd5, COUNT(*)::BIGINT AS n_occ,
+         COUNT(DISTINCT doc_id)::BIGINT AS n_docs_line
+  FROM fanned GROUP BY 1, 2
+),
+docs_per AS (
+  SELECT prefix_pct, COUNT(DISTINCT doc_id)::BIGINT AS n_docs
+  FROM fanned GROUP BY 1
+),
+rates AS (
+  SELECT prefix_pct,
+         SUM(n_occ)::BIGINT AS n_line_occurrences,
+         SUM(CASE WHEN n_docs_line >= 2 THEN n_occ ELSE 0 END)::BIGINT
+           AS n_dup_occurrences
+  FROM per_line GROUP BY 1
+)
+SELECT d.prefix_pct, d.n_docs, r.n_line_occurrences, r.n_dup_occurrences,
+       (r.n_dup_occurrences * 1000000 // r.n_line_occurrences)::BIGINT
+         AS dup_line_ppm
+FROM docs_per d JOIN rates r USING (prefix_pct)
+"""
+
+
+PENDING_QUERIES = globals().get("PENDING_QUERIES", {})
+PENDING_ORACLE = globals().get("PENDING_ORACLE", {})
+PENDING_QUERIES["corpus_dup_rate_growth"] = corpus_dup_rate_growth
+PENDING_ORACLE["corpus_dup_rate_growth"] = _sql_dup_growth()

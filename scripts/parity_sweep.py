@@ -31,7 +31,7 @@ def _pending_maps() -> tuple[dict, dict]:
     mods = (
         "tokenizer cdc chunking search sketches skew graph text_ext pca tpch_ext "
         "events tpch_more training quality text streaming_queries similarity "
-        "cluster dedup"
+        "cluster dedup corpus"
     ).split()
     for m in mods:
         mod = importlib.import_module(f"cdc_postgresql_clickhouse_spark.queries.{m}")

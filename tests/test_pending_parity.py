@@ -15,13 +15,13 @@ from tests.oracle_harness import compare, duckdb_con
 
 def _pending():
     from cdc_postgresql_clickhouse_spark.queries import (
-        cdc, chunking, cluster, dedup, events, graph, pca, quality, search,
-        similarity, sketches, skew, streaming_queries, text, text_ext,
-        tokenizer, tpch_ext, tpch_more, training,
+        cdc, chunking, cluster, corpus, dedup, events, graph, pca, quality,
+        search, similarity, sketches, skew, streaming_queries, text,
+        text_ext, tokenizer, tpch_ext, tpch_more, training,
     )
 
     out = {}
-    for m in (tokenizer, cdc, chunking, search, sketches, skew, graph, text_ext, pca, tpch_ext, events, tpch_more, training, quality, text, streaming_queries, similarity, cluster, dedup):
+    for m in (tokenizer, cdc, chunking, search, sketches, skew, graph, text_ext, pca, tpch_ext, events, tpch_more, training, quality, text, streaming_queries, similarity, cluster, dedup, corpus):
         q = getattr(m, "PENDING_QUERIES", {})
         o = getattr(m, "PENDING_ORACLE", {})
         assert set(q) == set(o), "pending query without oracle twin"

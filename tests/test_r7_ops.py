@@ -510,3 +510,25 @@ def test_bootstrap_ci_matches_bruteforce_and_brackets_mean(spark, sf_dir):
         g = got[etype]
         assert (g.n_replicates, g.boot_lo_micro, g.boot_hi_micro) == (nb, lo, hi)
         assert g.boot_lo_micro <= g.mean_micro <= g.boot_hi_micro
+
+
+def test_dup_rate_growth_is_monotone_on_nested_prefixes(spark, sf_dir):
+    """Nested prefixes: occurrences grow with the prefix, and a line
+    duplicated within a prefix stays duplicated in every superset, so the
+    duplicated-occurrence count is non-decreasing; the fixture's rate
+    curve itself also grows (the compounding-duplication signal)."""
+    from cdc_postgresql_clickhouse_spark.queries.corpus import (
+        PENDING_QUERIES as CO_P,
+    )
+
+    rows = sorted(
+        CO_P["corpus_dup_rate_growth"](spark, sf_dir).collect(),
+        key=lambda r: r.prefix_pct,
+    )
+    assert [r.prefix_pct for r in rows] == [25, 50, 75, 100]
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_docs <= b.n_docs
+        assert a.n_line_occurrences <= b.n_line_occurrences
+        assert a.n_dup_occurrences <= b.n_dup_occurrences
+        assert a.dup_line_ppm <= b.dup_line_ppm  # fixture property
+    assert rows[-1].n_dup_occurrences > 0
