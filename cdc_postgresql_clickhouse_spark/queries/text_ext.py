@@ -1386,3 +1386,156 @@ FROM p GROUP BY source
 
 PENDING_QUERIES["corpus_bigram_kn_ppl"] = corpus_bigram_kn_ppl
 PENDING_ORACLE["corpus_bigram_kn_ppl"] = _sql_kn_ppl()
+
+
+# --- Burrows' Delta stylometry — PENDING round 8+ ------------------------------
+#
+# The digital-humanities classic (Burrows 2002): authorship distance as
+# the mean absolute difference of z-scored relative frequencies of the
+# top-K most frequent words — the "function word fingerprint" that
+# separates writing styles even when topics match. Integer-exact via the
+# repo's half/quarter-unit robust devices: per-source frequencies in PPM,
+# per-word center/scale as the MEDIAN and MAD across sources (nearest
+# two-rank sums — med2 = 2·median, mad4 = 4·MAD), z in milli-units as
+# (2f − med2)·2000 div mad4 (truncation toward zero agrees across
+# engines — verified: DuckDB // and Spark div both truncate), and the
+# pairwise Delta as the mean |z_a − z_b|. |sources|²-bounded output; the
+# corpus pays one tokenize + one (source, word) agg.
+
+DELTA_TOP_WORDS = 30
+
+
+def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from cdc_postgresql_clickhouse_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    sw = (
+        docs.select("source", F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .persist()
+    )
+    totals = sw.groupBy("source").agg(F.sum("cnt").cast("long").alias("n_s"))
+    top = (
+        sw.groupBy("w")
+        .agg(F.sum("cnt").cast("long").alias("tot"))
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.orderBy(F.desc("tot"), F.col("w"))),
+        )
+        .filter(F.col("rk") <= DELTA_TOP_WORDS)
+        .select("w")
+    )
+    # dense (source × top-word) grid: absent words are frequency 0
+    grid = totals.crossJoin(F.broadcast(top))
+    f = (
+        grid.join(sw, ["source", "w"], "left")
+        .select(
+            "source",
+            "w",
+            F.expr("coalesce(cnt, CAST(0 AS BIGINT)) * 1000000 div n_s").alias("f"),
+        )
+    )
+    wp = Window.partitionBy("w")
+    r = f.withColumn("rn", F.row_number().over(wp.orderBy("f"))).withColumn(
+        "n", F.count(F.lit(1)).over(wp)
+    )
+    med = r.groupBy("w").agg(
+        (
+            F.sum(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("f")))
+            + F.sum(F.when(F.col("rn") == F.expr("n div 2 + 1"), F.col("f")))
+        ).alias("med2")
+    )
+    dev = f.join(med, "w").select(
+        "source", "w", "med2", F.abs(F.col("f") * 2 - F.col("med2")).alias("ad2"), "f"
+    )
+    r2 = dev.withColumn("rn", F.row_number().over(wp.orderBy("ad2"))).withColumn(
+        "n", F.count(F.lit(1)).over(wp)
+    )
+    madf = r2.groupBy("w").agg(
+        (
+            F.sum(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("ad2")))
+            + F.sum(F.when(F.col("rn") == F.expr("n div 2 + 1"), F.col("ad2")))
+        ).alias("mad4")
+    )
+    z = dev.join(madf, "w").select(
+        "source",
+        "w",
+        F.expr("(f * 2 - med2) * 2000 div greatest(CAST(1 AS BIGINT), mad4)").alias(
+            "z_milli"
+        ),
+    )
+    za = z.select(F.col("source").alias("source_a"), "w", F.col("z_milli").alias("za"))
+    zb = z.select(F.col("source").alias("source_b"), "w", F.col("z_milli").alias("zb"))
+    pairs = za.join(zb, "w").filter(F.col("source_a") < F.col("source_b"))
+    return pairs.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.expr("sum(abs(za - zb)) div count(1)").cast("long").alias("delta_milli"),
+    )
+
+
+def _sql_burrows_delta() -> str:
+    from cdc_postgresql_clickhouse_spark.queries.dedup import _SQL_TOKENS
+
+    return f"""
+WITH sw AS (
+  SELECT source, w, COUNT(*)::BIGINT AS cnt
+  FROM (SELECT source, unnest({_SQL_TOKENS}) AS w FROM documents)
+  GROUP BY 1, 2
+),
+totals AS (SELECT source, SUM(cnt)::BIGINT AS n_s FROM sw GROUP BY source),
+top AS (
+  SELECT w FROM (
+    SELECT w, row_number() OVER (ORDER BY SUM(cnt) DESC, w) AS rk
+    FROM sw GROUP BY w
+  ) WHERE rk <= {DELTA_TOP_WORDS}
+),
+f AS (
+  SELECT t.source, tp.w,
+         COALESCE(s.cnt, 0) * 1000000 // t.n_s AS f
+  FROM totals t CROSS JOIN top tp
+  LEFT JOIN sw s ON s.source = t.source AND s.w = tp.w
+),
+r AS (
+  SELECT w, source, f,
+         row_number() OVER (PARTITION BY w ORDER BY f) AS rn,
+         COUNT(*) OVER (PARTITION BY w) AS n
+  FROM f
+),
+med AS (
+  SELECT w, CAST(SUM(CASE WHEN rn = (n + 1) // 2 THEN f END)
+           + SUM(CASE WHEN rn = n // 2 + 1 THEN f END) AS BIGINT) AS med2
+  FROM r GROUP BY w
+),
+dev AS (
+  SELECT f.source, f.w, f.f, med.med2, abs(f.f * 2 - med.med2) AS ad2
+  FROM f JOIN med USING (w)
+),
+r2 AS (
+  SELECT w, source, f, med2, ad2,
+         row_number() OVER (PARTITION BY w ORDER BY ad2) AS rn,
+         COUNT(*) OVER (PARTITION BY w) AS n
+  FROM dev
+),
+madf AS (
+  SELECT w, CAST(SUM(CASE WHEN rn = (n + 1) // 2 THEN ad2 END)
+           + SUM(CASE WHEN rn = n // 2 + 1 THEN ad2 END) AS BIGINT) AS mad4
+  FROM r2 GROUP BY w
+),
+z AS (
+  SELECT d.source, d.w,
+         (d.f * 2 - d.med2) * 2000 // GREATEST(CAST(1 AS BIGINT), m.mad4) AS z_milli
+  FROM dev d JOIN madf m USING (w)
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       COUNT(*)::BIGINT AS n_words,
+       (SUM(abs(a.z_milli - b.z_milli)) // COUNT(*))::BIGINT AS delta_milli
+FROM z a JOIN z b ON a.w = b.w AND a.source < b.source
+GROUP BY 1, 2
+"""
+
+
+PENDING_QUERIES["text_burrows_delta"] = text_burrows_delta
+PENDING_ORACLE["text_burrows_delta"] = _sql_burrows_delta()

@@ -532,3 +532,56 @@ def test_dup_rate_growth_is_monotone_on_nested_prefixes(spark, sf_dir):
         assert a.n_dup_occurrences <= b.n_dup_occurrences
         assert a.dup_line_ppm <= b.dup_line_ppm  # fixture property
     assert rows[-1].n_dup_occurrences > 0
+
+
+def test_burrows_delta_is_a_semimetric(spark, sf_dir):
+    """Delta's structural laws on the source matrix: complete unordered
+    pair coverage, exactly K words per pair, non-negative distances, and
+    self-distance zero by construction (checked via a planted twin source
+    — two sources with identical text must have Delta 0)."""
+    from cdc_postgresql_clickhouse_spark.queries.text_ext import (
+        DELTA_TOP_WORDS,
+        PENDING_QUERIES as TE_P,
+    )
+    from cdc_postgresql_clickhouse_spark.sources.registry import load_table
+
+    rows = TE_P["text_burrows_delta"](spark, sf_dir).collect()
+    n_sources = load_table(spark, sf_dir, "documents").select("source").distinct().count()
+    assert len(rows) == n_sources * (n_sources - 1) // 2
+    for r in rows:
+        assert r.n_words == DELTA_TOP_WORDS
+        assert r.delta_milli >= 0
+        assert r.source_a < r.source_b
+
+
+def test_burrows_delta_twin_sources_have_zero_distance(spark, tmp_path, sf_dir):
+    """Planted semimetric identity: duplicate a source verbatim under a
+    new name — the pair's Delta must be exactly 0 while its distance to a
+    genuinely different source is positive."""
+    from pyspark.sql import functions as F
+
+    from cdc_postgresql_clickhouse_spark.queries.text_ext import (
+        PENDING_QUERIES as TE_P,
+    )
+    from cdc_postgresql_clickhouse_spark.sources.registry import load_table
+
+    mini = str(tmp_path / "delta_sf")
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isin("src0", "src1")
+    )
+    twin = docs.filter(F.col("source") == "src0").select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.lit("src0_twin").alias("source"),
+        "lang",
+        "text",
+    )
+    docs.select("doc_id", "source", "lang", "text").unionByName(twin).write.parquet(
+        f"{mini}/documents.parquet"
+    )
+    d = {
+        (r.source_a, r.source_b): r.delta_milli
+        for r in TE_P["text_burrows_delta"](spark, mini).collect()
+    }
+    assert d[("src0", "src0_twin")] == 0
+    assert d[("src0", "src1")] > 0
+    assert d[("src0", "src1")] == d[("src0_twin", "src1")]
