@@ -3128,3 +3128,88 @@ FROM point p JOIN ci c USING (event_type)
 
 PENDING_QUERIES["events_bootstrap_mean_ci"] = events_bootstrap_mean_ci
 PENDING_ORACLE["events_bootstrap_mean_ci"] = _sql_bootstrap()
+
+
+# --- A/B power analysis (minimum detectable effect) — PENDING round 8+ ---------
+#
+# The experimentation-platform planning row: for a 50/50 split of each
+# event type's CURRENT traffic, the minimum detectable effect on the mean
+# value at alpha = 5% (two-sided) and 80% power — MDE = (z_{0.975} +
+# z_{0.80}) · sqrt(2 σ²/n_arm), the sample-size formula every A/B tool
+# inverts. Integer discipline: σ² is the exact integer sample variance
+# (n·Σc² − (Σc)²) div (n(n−1)) in cents², the z-sum is the FROZEN literal
+# 2.801585 (no runtime quantile functions), and the single IEEE step is
+# sqrt — correctly rounded by the standard, hence bit-identical across
+# engines — floored once to micro-cents. Int64 audit: Σc² ≤ n·(10^4
+# cents)² ⇒ safe beyond 10^10 rows per type; n·Σc² ≤ 10^18 at the
+# fixture's value range (documented bound, same as the variance rows).
+
+_AB_ZSUM_PPM = 2_801_585  # z_0.975 + z_0.80 in micro-units
+
+
+def events_ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c")
+    )
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("c").cast("long").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+    )
+    stats = agg.select(
+        "event_type",
+        "n_events",
+        F.expr("s * 1000000 div n_events").cast("long").alias("mean_cents_micro"),
+        F.expr("(n_events * s2 - s * s) div (n_events * (n_events - 1))")
+        .cast("long")
+        .alias("var_cents2"),
+        F.expr("n_events div 2").cast("long").alias("n_per_arm"),
+    )
+    mde = F.floor(
+        F.lit(float(_AB_ZSUM_PPM))
+        * F.sqrt(
+            F.lit(2.0) * F.col("var_cents2").cast("double")
+            / F.col("n_per_arm").cast("double")
+        )
+    ).cast("long")
+    return stats.select("*", mde.alias("mde_cents_micro")).select(
+        "*",
+        F.expr(
+            "mde_cents_micro * 1000000 div greatest(CAST(1 AS BIGINT),"
+            " mean_cents_micro)"
+        ).cast("long").alias("mde_rel_ppm"),
+    )
+
+
+_SQL_AB_POWER = f"""
+WITH ev AS (
+  SELECT event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c FROM events
+),
+agg AS (
+  SELECT event_type, COUNT(*)::BIGINT AS n_events,
+         SUM(c)::BIGINT AS s, SUM(c * c)::BIGINT AS s2
+  FROM ev GROUP BY event_type
+),
+stats AS (
+  SELECT event_type, n_events,
+         (s * 1000000 // n_events)::BIGINT AS mean_cents_micro,
+         ((n_events * s2 - s * s) // (n_events * (n_events - 1)))::BIGINT
+           AS var_cents2,
+         (n_events // 2)::BIGINT AS n_per_arm
+  FROM agg
+),
+m AS (
+  SELECT *,
+         CAST(FLOOR({float(_AB_ZSUM_PPM)!r}
+              * sqrt(2.0 * CAST(var_cents2 AS DOUBLE)
+                     / CAST(n_per_arm AS DOUBLE))) AS BIGINT) AS mde_cents_micro
+  FROM stats
+)
+SELECT *,
+       (mde_cents_micro * 1000000
+        // GREATEST(CAST(1 AS BIGINT), mean_cents_micro))::BIGINT AS mde_rel_ppm
+FROM m
+"""
+
+PENDING_QUERIES["events_ab_power_mde"] = events_ab_power_mde
+PENDING_ORACLE["events_ab_power_mde"] = _SQL_AB_POWER

