@@ -1397,3 +1397,118 @@ SELECT t AS event_type, r AS ppr_nano FROM pr{PR_ITERS}
 
 PENDING_QUERIES["graph_personalized_pagerank"] = graph_personalized_pagerank
 PENDING_ORACLE["graph_personalized_pagerank"] = _SQL_PPR
+
+
+# --- Markov stationary distribution — PENDING round 8+ -------------------------
+#
+# The equilibrium diagnostic for the event-type Markov chain: power-
+# iterate the ROW-STOCHASTIC transition matrix (no damping, no restart —
+# the third fixpoint flavor after PageRank's damped-uniform and PPR's
+# damped-seed) from the uniform vector, and report the stationary mass
+# next to the EMPIRICAL type share. If the observed stream were generated
+# by its own transition matrix at equilibrium, the two agree; the gap per
+# type localizes non-stationarity (ramping types, session-boundary
+# artifacts). Integer nano-units; each round's per-edge truncating split
+# leaks < out_degree nano per node (bounded, law-pinned as mass
+# conservation within n_nodes·|edges| nano per round). Same unrolled-CTE
+# oracle device as the sibling fixpoints.
+
+MARKOV_ITERS = 8
+
+
+def graph_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.lag("event_type").over(w).alias("src"), F.col("event_type").alias("dst")
+    ).filter(F.col("src").isNotNull())
+    edges = pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w"))
+    nodes = (
+        edges.select(F.col("src").alias("t"))
+        .unionByName(edges.select(F.col("dst").alias("t")))
+        .distinct()
+    )
+    out_w = edges.groupBy("src").agg(F.sum("w").alias("wout"))
+    e2 = edges.join(out_w, "src").persist()
+    nodes = nodes.localCheckpoint(eager=True)
+    n_nodes = nodes.count()
+    ranks = nodes.withColumn("r", F.lit(PR_SCALE // n_nodes).cast("long"))
+    for _ in range(MARKOV_ITERS):
+        contrib = e2.join(ranks, e2.src == ranks.t).select(
+            F.col("dst").alias("t"), F.expr("(r * w) div wout").alias("c")
+        )
+        ranks = nodes.join(
+            contrib.groupBy("t").agg(F.sum("c").alias("s")), "t", "left"
+        ).select("t", F.coalesce("s", F.lit(0)).cast("long").alias("r"))
+    emp = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.col("event_type").alias("t"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    tot = emp.agg(F.sum("cnt").cast("long").alias("tot"))
+    emp2 = emp.crossJoin(F.broadcast(tot)).select(
+        "t", F.expr("cnt * 1000000000 div tot").cast("long").alias("empirical_nano")
+    )
+    return ranks.join(emp2, "t").select(
+        F.col("t").alias("event_type"),
+        F.col("r").alias("stationary_nano"),
+        "empirical_nano",
+        F.abs(F.col("r") - F.col("empirical_nano")).cast("long").alias(
+            "equilibrium_gap_nano"
+        ),
+    )
+
+
+def _sql_markov_round(i: int) -> str:
+    return f"""
+mcontrib{i} AS (
+  SELECT e.dst AS t, (r.r * e.w) // e.wout AS c
+  FROM e2 e JOIN mr{i} r ON r.t = e.src
+),
+mr{i + 1} AS (
+  SELECT n.t, CAST(COALESCE(s.s, 0) AS BIGINT) AS r
+  FROM nodes n LEFT JOIN (SELECT t, SUM(c) AS s FROM mcontrib{i} GROUP BY t) s
+    ON s.t = n.t
+)"""
+
+
+_SQL_MARKOV = (
+    f"""
+WITH seq AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
+         event_type AS dst
+  FROM events
+),
+edges AS (
+  SELECT src, dst, COUNT(*) AS w FROM seq WHERE src IS NOT NULL GROUP BY src, dst
+),
+nodes AS (
+  SELECT DISTINCT t FROM (SELECT src AS t FROM edges UNION ALL SELECT dst FROM edges)
+),
+outw AS (SELECT src, SUM(w) AS wout FROM edges GROUP BY src),
+e2 AS (SELECT e.src, e.dst, e.w, o.wout FROM edges e JOIN outw o USING (src)),
+nv AS (SELECT COUNT(*) AS n FROM nodes),
+mr0 AS (
+  SELECT t, CAST({PR_SCALE} // n AS BIGINT) AS r FROM nodes CROSS JOIN nv
+),"""
+    + ",".join(_sql_markov_round(i) for i in range(MARKOV_ITERS))
+    + f"""
+, emp AS (
+  SELECT event_type AS t, COUNT(*)::BIGINT AS cnt FROM events GROUP BY event_type
+),
+emp2 AS (
+  SELECT t, (cnt * 1000000000 // (SELECT SUM(cnt) FROM emp))::BIGINT AS empirical_nano
+  FROM emp
+)
+SELECT r.t AS event_type,
+       r.r AS stationary_nano,
+       e.empirical_nano,
+       abs(r.r - e.empirical_nano)::BIGINT AS equilibrium_gap_nano
+FROM mr{MARKOV_ITERS} r JOIN emp2 e USING (t)
+"""
+)
+
+PENDING_QUERIES["graph_markov_stationary"] = graph_markov_stationary
+PENDING_ORACLE["graph_markov_stationary"] = _SQL_MARKOV

@@ -624,3 +624,24 @@ def test_ab_power_mde_matches_statsmodels_style_formula(spark, sf_dir):
             n, var, arm, mde,
         )
         assert g.mde_rel_ppm == mde * 1_000_000 // max(1, s * 1_000_000 // n)
+
+
+def test_markov_stationary_conserves_mass(spark, sf_dir):
+    """Row-stochastic power iteration conserves L1 mass up to the bounded
+    per-round truncation leak (< n_nodes · n_edges nano per round), and the
+    empirical shares sum to one up to per-type truncation."""
+    from cdc_postgresql_clickhouse_spark.queries.graph import (
+        MARKOV_ITERS,
+        PENDING_QUERIES as GR_P,
+        PR_SCALE,
+    )
+
+    rows = GR_P["graph_markov_stationary"](spark, sf_dir).collect()
+    n = len(rows)
+    s = sum(r.stationary_nano for r in rows)
+    leak_bound = MARKOV_ITERS * n * n * n  # edges <= n², cut per edge < 1 nano... generous
+    assert PR_SCALE - leak_bound <= s <= PR_SCALE, (s, leak_bound)
+    e = sum(r.empirical_nano for r in rows)
+    assert 1_000_000_000 - n <= e <= 1_000_000_000
+    for r in rows:
+        assert r.equilibrium_gap_nano == abs(r.stationary_nano - r.empirical_nano)
