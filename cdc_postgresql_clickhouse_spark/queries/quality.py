@@ -671,3 +671,97 @@ for _n in _REGISTER_WAVE1:
     QUERIES[_n] = PENDING_QUERIES.pop(_n)
     ORACLE[_n] = PENDING_ORACLE.pop(_n)
 del _n
+
+
+# --- filter selection-bias audit — PENDING round 8+ ----------------------------
+#
+# The dataset-paper due-diligence row: does the quality gate SHIFT the
+# corpus composition? Per (source, lang) cell: share of docs and of token
+# mass BEFORE vs AFTER the Gopher gate (integer PPM), the signed shifts,
+# and the cell's kept-rate — the numbers behind "our filter
+# disproportionately removes X" findings. Composes the registered gate
+# verbatim (same expression tree at doc grain); output is
+# |sources|·|langs|-bounded; the corpus pays the gate's one tokenize +
+# the docs table join.
+
+
+def quality_filter_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    gate = quality_gopher_rules(spark, sf_dir).select("doc_id", "n_words", "pass_quality")
+    j = docs.join(gate, "doc_id")
+    cells = j.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("pass_quality") == 1, 1).otherwise(0)).cast("long").alias(
+            "n_docs_kept"
+        ),
+        F.sum(F.when(F.col("pass_quality") == 1, F.col("n_words")).otherwise(0))
+        .cast("long")
+        .alias("n_tokens_kept"),
+    )
+    tot = cells.agg(
+        F.sum("n_docs").cast("long").alias("td"),
+        F.sum("n_tokens").cast("long").alias("tt"),
+        F.sum("n_docs_kept").cast("long").alias("tdk"),
+        F.sum("n_tokens_kept").cast("long").alias("ttk"),
+    )
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_docs_kept",
+        F.expr("n_docs_kept * 1000000 div n_docs").cast("long").alias("kept_rate_ppm"),
+        F.expr("n_docs * 1000000 div td").cast("long").alias("doc_share_before_ppm"),
+        F.expr("n_docs_kept * 1000000 div tdk").cast("long").alias(
+            "doc_share_after_ppm"
+        ),
+        F.expr(
+            "n_docs_kept * 1000000 div tdk - n_docs * 1000000 div td"
+        ).cast("long").alias("doc_share_shift_ppm"),
+        F.expr("n_tokens * 1000000 div tt").cast("long").alias(
+            "token_share_before_ppm"
+        ),
+        F.expr("n_tokens_kept * 1000000 div ttk").cast("long").alias(
+            "token_share_after_ppm"
+        ),
+        F.expr(
+            "n_tokens_kept * 1000000 div ttk - n_tokens * 1000000 div tt"
+        ).cast("long").alias("token_share_shift_ppm"),
+    )
+
+
+_SQL_FILTER_BIAS = f"""
+WITH g AS ({ORACLE["quality_gopher_rules"]}),
+j AS (
+  SELECT d.source, d.lang, g.n_words, g.pass_quality
+  FROM documents d JOIN g ON g.doc_id = d.doc_id
+),
+cells AS (
+  SELECT source, lang,
+         COUNT(*)::BIGINT AS n_docs,
+         SUM(n_words)::BIGINT AS n_tokens,
+         SUM(CASE WHEN pass_quality = 1 THEN 1 ELSE 0 END)::BIGINT AS n_docs_kept,
+         SUM(CASE WHEN pass_quality = 1 THEN n_words ELSE 0 END)::BIGINT
+           AS n_tokens_kept
+  FROM j GROUP BY source, lang
+),
+tot AS (
+  SELECT SUM(n_docs)::BIGINT AS td, SUM(n_tokens)::BIGINT AS tt,
+         SUM(n_docs_kept)::BIGINT AS tdk, SUM(n_tokens_kept)::BIGINT AS ttk
+  FROM cells
+)
+SELECT source, lang, n_docs, n_docs_kept,
+       (n_docs_kept * 1000000 // n_docs)::BIGINT AS kept_rate_ppm,
+       (n_docs * 1000000 // td)::BIGINT AS doc_share_before_ppm,
+       (n_docs_kept * 1000000 // tdk)::BIGINT AS doc_share_after_ppm,
+       (n_docs_kept * 1000000 // tdk - n_docs * 1000000 // td)::BIGINT
+         AS doc_share_shift_ppm,
+       (n_tokens * 1000000 // tt)::BIGINT AS token_share_before_ppm,
+       (n_tokens_kept * 1000000 // ttk)::BIGINT AS token_share_after_ppm,
+       (n_tokens_kept * 1000000 // ttk - n_tokens * 1000000 // tt)::BIGINT
+         AS token_share_shift_ppm
+FROM cells CROSS JOIN tot
+"""
+
+PENDING_QUERIES["quality_filter_bias_audit"] = quality_filter_bias_audit
+PENDING_ORACLE["quality_filter_bias_audit"] = _SQL_FILTER_BIAS

@@ -645,3 +645,27 @@ def test_markov_stationary_conserves_mass(spark, sf_dir):
     assert 1_000_000_000 - n <= e <= 1_000_000_000
     for r in rows:
         assert r.equilibrium_gap_nano == abs(r.stationary_nano - r.empirical_nano)
+
+
+def test_filter_bias_audit_shares_balance(spark, sf_dir):
+    """Shares before and after each sum to one (up to per-cell truncation),
+    shifts are their exact difference, and kept counts respect bounds."""
+    from cdc_postgresql_clickhouse_spark.queries.quality import (
+        PENDING_QUERIES as Q_P,
+    )
+
+    rows = Q_P["quality_filter_bias_audit"](spark, sf_dir).collect()
+    n = len(rows)
+    for col in ("doc_share_before_ppm", "doc_share_after_ppm",
+                "token_share_before_ppm", "token_share_after_ppm"):
+        s = sum(getattr(r, col) for r in rows)
+        assert 1_000_000 - n <= s <= 1_000_000, (col, s)
+    for r in rows:
+        assert 0 <= r.n_docs_kept <= r.n_docs
+        assert r.doc_share_shift_ppm == r.doc_share_after_ppm - r.doc_share_before_ppm
+        assert (
+            r.token_share_shift_ppm
+            == r.token_share_after_ppm - r.token_share_before_ppm
+        )
+    # the gate must actually cut something for the audit to be non-vacuous
+    assert any(r.n_docs_kept < r.n_docs for r in rows)
