@@ -3213,3 +3213,86 @@ FROM m
 
 PENDING_QUERIES["events_ab_power_mde"] = events_ab_power_mde
 PENDING_ORACLE["events_ab_power_mde"] = _SQL_AB_POWER
+
+
+# --- first-touch attribution — PENDING round 8+ --------------------------------
+#
+# The other end of the attribution spectrum (the pair brackets every
+# position-based scheme): each CONVERTING USER's first purchase is
+# credited to the user's EARLIEST non-purchase event preceding it — the
+# acquisition-channel view, vs last-touch's closing-channel view. One
+# keyed agg per user (min_by over order-key structs, before-the-purchase
+# guarded in the aggregate's filter), then the tiny channel rollup; no
+# windows at all, so this is cheaper than last-touch at any scale. Users
+# converting on their very first event report 'unattributed'.
+
+
+def events_attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.col("event_id").alias("eid"),
+        "event_type",
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(
+                F.col("event_type") == "purchase", F.struct("us", "eid")
+            )
+        ).alias("fp"),
+        F.min(
+            F.when(
+                F.col("event_type") != "purchase",
+                F.struct("us", "eid", "event_type"),
+            )
+        ).alias("ft"),
+    )
+    credited = per_user.filter(F.col("fp").isNotNull()).select(
+        F.when(
+            F.col("ft").isNotNull()
+            & (
+                F.struct(F.col("ft.us"), F.col("ft.eid"))
+                < F.struct(F.col("fp.us"), F.col("fp.eid"))
+            ),
+            F.col("ft.event_type"),
+        )
+        .otherwise(F.lit("unattributed"))
+        .alias("channel")
+    )
+    cells = credited.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("n_converting_users")
+    )
+    total = cells.agg(F.sum("n_converting_users").cast("long").alias("t"))
+    return cells.crossJoin(F.broadcast(total)).select(
+        "channel",
+        "n_converting_users",
+        F.expr("n_converting_users * 1000000 div t").cast("long").alias("share_ppm"),
+    )
+
+
+_SQL_FIRST_TOUCH = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id AS eid, event_type FROM events
+),
+per_user AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'purchase' THEN (us, eid) END) AS fp,
+         MIN(CASE WHEN event_type <> 'purchase' THEN (us, eid, event_type) END) AS ft
+  FROM ev GROUP BY user_id
+),
+credited AS (
+  SELECT CASE WHEN ft IS NOT NULL AND (ft[1], ft[2]) < (fp[1], fp[2])
+              THEN CAST(ft[3] AS VARCHAR) ELSE 'unattributed' END AS channel
+  FROM per_user WHERE fp IS NOT NULL
+),
+cells AS (
+  SELECT channel, COUNT(*)::BIGINT AS n_converting_users FROM credited GROUP BY channel
+)
+SELECT channel, n_converting_users,
+       (n_converting_users * 1000000
+        // (SELECT SUM(n_converting_users) FROM cells))::BIGINT AS share_ppm
+FROM cells
+"""
+
+PENDING_QUERIES["events_attribution_first_touch"] = events_attribution_first_touch
+PENDING_ORACLE["events_attribution_first_touch"] = _SQL_FIRST_TOUCH

@@ -669,3 +669,26 @@ def test_filter_bias_audit_shares_balance(spark, sf_dir):
         )
     # the gate must actually cut something for the audit to be non-vacuous
     assert any(r.n_docs_kept < r.n_docs for r in rows)
+
+
+def test_first_touch_conserves_converting_users(spark, sf_dir):
+    """Every converting user credited exactly once; purchases never credit
+    themselves; shares sum to one up to truncation."""
+    from pyspark.sql import functions as F
+
+    from cdc_postgresql_clickhouse_spark.queries.events import (
+        PENDING_QUERIES as EV_P,
+    )
+    from cdc_postgresql_clickhouse_spark.sources.registry import load_table
+
+    rows = EV_P["events_attribution_first_touch"](spark, sf_dir).collect()
+    n_conv = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_converting_users for r in rows) == n_conv
+    assert all(r.channel != "purchase" for r in rows)
+    assert 1_000_000 - len(rows) <= sum(r.share_ppm for r in rows) <= 1_000_000
