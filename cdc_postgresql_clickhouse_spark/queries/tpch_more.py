@@ -2623,3 +2623,105 @@ FROM derived
 
 PENDING_QUERIES["orders_littles_law_audit"] = orders_littles_law_audit
 PENDING_ORACLE["orders_littles_law_audit"] = _SQL_LITTLES
+
+
+# --- price-volume-mix revenue decomposition — PENDING round 8+ -----------------
+#
+# The FP&A bridge every revenue review runs: ΔRevenue between the first
+# and second half of the order timeline, per part type, split EXACTLY
+# into price effect (Δp̄·q₀), volume effect (p̄₀·Δq), and the cross term
+# (Δp̄·Δq) — with the truncation residual carried explicitly so
+# price + volume + cross + residual = Δrev·1e6 is an IDENTITY, not an
+# approximation (avg unit prices are truncated micro-cents). The period
+# split is the integer midpoint day of the observed range (in-plan, no
+# driver scalar); one join + one (type, half) agg; |types|-bounded
+# output. Int64 audit at sf0.1: Δrev·1e6 ≈ 1.5e16, p̄·Δq ≈ 1.3e16 — an
+# order of magnitude of headroom, documented like the variance rows.
+
+
+def orders_revenue_pvm_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey",
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long").alias("rev_c"),
+        F.col("l_quantity").cast("long").alias("q"),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.floor(F.unix_timestamp("o_orderdate")) / 86400).cast("long").alias("d"),
+    )
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).join(
+        pt, li.l_partkey == pt.p_partkey
+    )
+    mid = o.agg(
+        F.expr("(min(d) + max(d)) div 2").cast("long").alias("mid")
+    )
+    halves = j.crossJoin(F.broadcast(mid)).select(
+        "p_type", "rev_c", "q", (F.col("d") > F.col("mid")).alias("h1")
+    )
+    cells = halves.groupBy("p_type").agg(
+        F.sum(F.when(~F.col("h1"), F.col("rev_c")).otherwise(0)).cast("long").alias("rev0"),
+        F.sum(F.when(F.col("h1"), F.col("rev_c")).otherwise(0)).cast("long").alias("rev1"),
+        F.sum(F.when(~F.col("h1"), F.col("q")).otherwise(0)).cast("long").alias("q0"),
+        F.sum(F.when(F.col("h1"), F.col("q")).otherwise(0)).cast("long").alias("q1"),
+    )
+    withp = cells.select(
+        "*",
+        F.expr("rev0 * 1000000 div q0").cast("long").alias("p0m"),
+        F.expr("rev1 * 1000000 div q1").cast("long").alias("p1m"),
+    )
+    return withp.select(
+        "p_type", "rev0", "rev1", "q0", "q1",
+        F.expr("(p1m - p0m) * q0").cast("long").alias("price_effect_microcents"),
+        F.expr("p0m * (q1 - q0)").cast("long").alias("volume_effect_microcents"),
+        F.expr("(p1m - p0m) * (q1 - q0)").cast("long").alias("cross_effect_microcents"),
+        F.expr(
+            "(rev1 - rev0) * 1000000 - ((p1m - p0m) * q0 + p0m * (q1 - q0)"
+            " + (p1m - p0m) * (q1 - q0))"
+        ).cast("long").alias("truncation_residual_microcents"),
+    )
+
+
+_SQL_PVM = """
+WITH li AS (
+  SELECT l_orderkey, l_partkey,
+         CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS rev_c,
+         CAST(l_quantity AS BIGINT) AS q
+  FROM lineitem
+),
+o AS (
+  SELECT o_orderkey,
+         CAST(FLOOR(FLOOR(epoch(o_orderdate)) / 86400) AS BIGINT) AS d
+  FROM orders
+),
+mid AS (SELECT (MIN(d) + MAX(d)) // 2 AS mid FROM o),
+halves AS (
+  SELECT p.p_type, li.rev_c, li.q, o.d > mid.mid AS h1
+  FROM li JOIN o ON o.o_orderkey = li.l_orderkey
+  JOIN part p ON p.p_partkey = li.l_partkey
+  CROSS JOIN mid
+),
+cells AS (
+  SELECT p_type,
+         SUM(CASE WHEN NOT h1 THEN rev_c ELSE 0 END)::BIGINT AS rev0,
+         SUM(CASE WHEN h1 THEN rev_c ELSE 0 END)::BIGINT AS rev1,
+         SUM(CASE WHEN NOT h1 THEN q ELSE 0 END)::BIGINT AS q0,
+         SUM(CASE WHEN h1 THEN q ELSE 0 END)::BIGINT AS q1
+  FROM halves GROUP BY p_type
+),
+withp AS (
+  SELECT *, (rev0 * 1000000 // q0)::BIGINT AS p0m,
+         (rev1 * 1000000 // q1)::BIGINT AS p1m
+  FROM cells
+)
+SELECT p_type, rev0, rev1, q0, q1,
+       ((p1m - p0m) * q0)::BIGINT AS price_effect_microcents,
+       (p0m * (q1 - q0))::BIGINT AS volume_effect_microcents,
+       ((p1m - p0m) * (q1 - q0))::BIGINT AS cross_effect_microcents,
+       ((rev1 - rev0) * 1000000 - ((p1m - p0m) * q0 + p0m * (q1 - q0)
+         + (p1m - p0m) * (q1 - q0)))::BIGINT AS truncation_residual_microcents
+FROM withp
+"""
+
+PENDING_QUERIES["orders_revenue_pvm_bridge"] = orders_revenue_pvm_bridge
+PENDING_ORACLE["orders_revenue_pvm_bridge"] = _SQL_PVM

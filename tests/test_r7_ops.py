@@ -692,3 +692,27 @@ def test_first_touch_conserves_converting_users(spark, sf_dir):
     assert sum(r.n_converting_users for r in rows) == n_conv
     assert all(r.channel != "purchase" for r in rows)
     assert 1_000_000 - len(rows) <= sum(r.share_ppm for r in rows) <= 1_000_000
+
+
+def test_pvm_bridge_is_an_exact_identity(spark, sf_dir):
+    """price + volume + cross + residual == Δrev·1e6 for every type, and
+    the residual is bounded by the truncation it carries (< q0 + q1 + 1
+    micro-cents per unit of truncated price, i.e. |residual| < q0 + q1)."""
+    from cdc_postgresql_clickhouse_spark.queries.tpch_more import (
+        PENDING_QUERIES as TM_P,
+    )
+
+    rows = TM_P["orders_revenue_pvm_bridge"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        lhs = (r.rev1 - r.rev0) * 1_000_000
+        rhs = (
+            r.price_effect_microcents
+            + r.volume_effect_microcents
+            + r.cross_effect_microcents
+            + r.truncation_residual_microcents
+        )
+        assert lhs == rhs, r
+        # each truncated price loses < 1 micro-cent per unit of the half
+        # it scales: p0m scales q1 overall, p1m scales q0 + Δq = q1
+        assert abs(r.truncation_residual_microcents) < r.q0 + r.q1 + 2, r
