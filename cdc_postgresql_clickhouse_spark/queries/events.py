@@ -3296,3 +3296,73 @@ FROM cells
 
 PENDING_QUERIES["events_attribution_first_touch"] = events_attribution_first_touch
 PENDING_ORACLE["events_attribution_first_touch"] = _SQL_FIRST_TOUCH
+
+
+# --- user-activity concentration — PENDING round 8+ ----------------------------
+#
+# The whale report: how concentrated is event volume across users? Gini
+# coefficient by the integer rank formula (the token-Gini device at user
+# grain — (2·Σi·xᵢ − (n+1)·Σx)·1e6 div (n·Σx) over ascending ranks) plus
+# the top-1% and top-10% user shares in PPM (nearest-rank integer user
+# counts). One keyed count + one global rank window over |users| rows
+# (user-grain, never event-grain, so the window input is the small side).
+
+
+def events_user_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    per_user = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    w = Window.orderBy("x", "user_id")
+    ranked = per_user.select(
+        "x", F.row_number().over(w).cast("long").alias("i")
+    )
+    return _concentration_agg(ranked)
+
+
+def _concentration_agg(ranked: DataFrame) -> DataFrame:
+    n = ranked.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    j = ranked.crossJoin(F.broadcast(n))
+    return j.agg(
+        F.max("n").cast("long").alias("n_users"),
+        F.sum("x").cast("long").alias("n_events"),
+        F.expr(
+            "(2 * sum(i * x) - (max(n) + 1) * sum(x)) * 1000000"
+            " div (max(n) * sum(x))"
+        ).cast("long").alias("gini_ppm"),
+        F.expr(
+            "sum(CASE WHEN i > n - (n + 99) div 100 THEN x ELSE 0 END)"
+            " * 1000000 div sum(x)"
+        ).cast("long").alias("top1pct_share_ppm"),
+        F.expr(
+            "sum(CASE WHEN i > n - (n + 9) div 10 THEN x ELSE 0 END)"
+            " * 1000000 div sum(x)"
+        ).cast("long").alias("top10pct_share_ppm"),
+    )
+
+
+_SQL_CONCENTRATION = """
+WITH per_user AS (
+  SELECT user_id, COUNT(*)::BIGINT AS x FROM events GROUP BY user_id
+),
+ranked AS (
+  SELECT x, CAST(row_number() OVER (ORDER BY x, user_id) AS BIGINT) AS i
+  FROM per_user
+),
+n AS (SELECT COUNT(*)::BIGINT AS n FROM ranked)
+SELECT MAX(n.n)::BIGINT AS n_users,
+       SUM(x)::BIGINT AS n_events,
+       ((2 * SUM(i * x) - (MAX(n.n) + 1) * SUM(x)) * 1000000
+        // (MAX(n.n) * SUM(x)))::BIGINT AS gini_ppm,
+       (SUM(CASE WHEN i > n.n - (n.n + 99) // 100 THEN x ELSE 0 END)
+        * 1000000 // SUM(x))::BIGINT AS top1pct_share_ppm,
+       (SUM(CASE WHEN i > n.n - (n.n + 9) // 10 THEN x ELSE 0 END)
+        * 1000000 // SUM(x))::BIGINT AS top10pct_share_ppm
+FROM ranked CROSS JOIN n
+"""
+
+PENDING_QUERIES["events_user_concentration"] = events_user_concentration
+PENDING_ORACLE["events_user_concentration"] = _SQL_CONCENTRATION

@@ -716,3 +716,29 @@ def test_pvm_bridge_is_an_exact_identity(spark, sf_dir):
         # each truncated price loses < 1 micro-cent per unit of the half
         # it scales: p0m scales q1 overall, p1m scales q0 + Δq = q1
         assert abs(r.truncation_residual_microcents) < r.q0 + r.q1 + 2, r
+
+
+def test_user_concentration_matches_bruteforce(spark, sf_dir):
+    """Python twin of the rank-formula Gini and the nearest-rank top-k
+    shares, plus the Lorenz ordering top1% <= top10% and Gini in [0, 1e6)."""
+    from collections import Counter
+
+    from cdc_postgresql_clickhouse_spark.queries.events import (
+        PENDING_QUERIES as EV_P,
+    )
+    from cdc_postgresql_clickhouse_spark.sources.registry import load_table
+
+    r = EV_P["events_user_concentration"](spark, sf_dir).first()
+    counts = Counter(
+        row.user_id for row in load_table(spark, sf_dir, "events").select("user_id").collect()
+    )
+    xs = sorted(counts.values())
+    n, tot = len(xs), sum(xs)
+    gini = (2 * sum((i + 1) * x for i, x in enumerate(xs)) - (n + 1) * tot) * 1_000_000 // (n * tot)
+    top1 = sum(xs[n - (n + 99) // 100:]) * 1_000_000 // tot
+    top10 = sum(xs[n - (n + 9) // 10:]) * 1_000_000 // tot
+    assert (r.n_users, r.n_events, r.gini_ppm, r.top1pct_share_ppm, r.top10pct_share_ppm) == (
+        n, tot, gini, top1, top10,
+    )
+    assert 0 <= r.gini_ppm < 1_000_000
+    assert r.top1pct_share_ppm <= r.top10pct_share_ppm
