@@ -3366,3 +3366,78 @@ FROM ranked CROSS JOIN n
 
 PENDING_QUERIES["events_user_concentration"] = events_user_concentration
 PENDING_ORACLE["events_user_concentration"] = _SQL_CONCENTRATION
+
+
+# --- heavy-hitter turnover — PENDING round 8+ ----------------------------------
+#
+# "Are the whales the same whales?" — stability of the top-K most active
+# users between the first and second half of the event timeline: overlap
+# count, Jaccard in PPM, and entrant/dropout counts. The question behind
+# cache sizing, abuse review, and whether a heavy-hitter sketch's state
+# can be carried across windows. Two keyed counts + two |users|-grain
+# rank windows + a tiny set compare; K is a frozen literal so both
+# engines cut identical nearest-rank tops (count desc, user_id asc
+# tie-break — deterministic).
+
+HH_TURNOVER_K = 20
+
+
+def events_heavy_hitter_turnover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("us")
+    )
+    mid = ev.agg(F.expr("(min(us) + max(us)) div 2").cast("long").alias("mid"))
+    halves = ev.crossJoin(F.broadcast(mid)).select(
+        "user_id", (F.col("us") > F.col("mid")).alias("h1")
+    )
+    counts = halves.groupBy("h1", "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    w = Window.partitionBy("h1").orderBy(F.desc("x"), "user_id")
+    tops = counts.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= HH_TURNOVER_K
+    )
+    a = tops.filter(~F.col("h1")).select(F.col("user_id").alias("u"))
+    b = tops.filter(F.col("h1")).select(F.col("user_id").alias("u"))
+    inter = a.join(b, "u").agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    return inter.select(
+        F.lit(HH_TURNOVER_K).cast("long").alias("k"),
+        "n_common",
+        F.expr(f"n_common * 1000000 div (2 * {HH_TURNOVER_K} - n_common)")
+        .cast("long")
+        .alias("jaccard_ppm"),
+        (F.lit(HH_TURNOVER_K).cast("long") - F.col("n_common")).alias("n_entrants"),
+        (F.lit(HH_TURNOVER_K).cast("long") - F.col("n_common")).alias("n_dropouts"),
+    )
+
+
+_SQL_HH_TURNOVER = f"""
+WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+mid AS (SELECT (MIN(us) + MAX(us)) // 2 AS mid FROM ev),
+counts AS (
+  SELECT us > mid AS h1, user_id, COUNT(*)::BIGINT AS x
+  FROM ev CROSS JOIN mid GROUP BY 1, 2
+),
+tops AS (
+  SELECT h1, user_id FROM (
+    SELECT h1, user_id,
+           row_number() OVER (PARTITION BY h1 ORDER BY x DESC, user_id) AS rk
+    FROM counts
+  ) WHERE rk <= {HH_TURNOVER_K}
+),
+inter AS (
+  SELECT COUNT(*)::BIGINT AS n_common
+  FROM tops a JOIN tops b ON a.user_id = b.user_id AND NOT a.h1 AND b.h1
+)
+SELECT CAST({HH_TURNOVER_K} AS BIGINT) AS k,
+       n_common,
+       (n_common * 1000000 // (2 * {HH_TURNOVER_K} - n_common))::BIGINT AS jaccard_ppm,
+       ({HH_TURNOVER_K} - n_common)::BIGINT AS n_entrants,
+       ({HH_TURNOVER_K} - n_common)::BIGINT AS n_dropouts
+FROM inter
+"""
+
+PENDING_QUERIES["events_heavy_hitter_turnover"] = events_heavy_hitter_turnover
+PENDING_ORACLE["events_heavy_hitter_turnover"] = _SQL_HH_TURNOVER

@@ -742,3 +742,18 @@ def test_user_concentration_matches_bruteforce(spark, sf_dir):
     )
     assert 0 <= r.gini_ppm < 1_000_000
     assert r.top1pct_share_ppm <= r.top10pct_share_ppm
+
+
+def test_heavy_hitter_turnover_bounds(spark, sf_dir):
+    """n_common in [0, K]; Jaccard = c/(2K - c); entrants = dropouts = K - c
+    by construction of equal-size top sets."""
+    from cdc_postgresql_clickhouse_spark.queries.events import (
+        HH_TURNOVER_K,
+        PENDING_QUERIES as EV_P,
+    )
+
+    r = EV_P["events_heavy_hitter_turnover"](spark, sf_dir).first()
+    assert r.k == HH_TURNOVER_K
+    assert 0 <= r.n_common <= HH_TURNOVER_K
+    assert r.jaccard_ppm == r.n_common * 1_000_000 // (2 * HH_TURNOVER_K - r.n_common)
+    assert r.n_entrants == r.n_dropouts == HH_TURNOVER_K - r.n_common
