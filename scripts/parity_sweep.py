@@ -46,7 +46,6 @@ def main() -> int:
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
     spark = get_spark()
-    con = duckdb_con(sf_dir)
     if pending:
         qs, oracles = _pending_maps()
     else:
@@ -74,7 +73,16 @@ def main() -> int:
                 n = df.count()
                 print(f"OK   {name}: rows={n} (no oracle) [{time.time()-t0:.1f}s]")
                 continue
-            issues = [i for i in compare(df, con, sql, name) if "[WARN]" not in i]
+            # per-QUERY DuckDB connection, same hygiene as the pytest
+            # harness: one long-lived instance across 200+ oracle queries
+            # accumulates allocator state until a heavy CTE stack dies on a
+            # transient OOM (observed once on the PCA row mid-sweep;
+            # standalone it passes) — reconnecting is milliseconds
+            con = duckdb_con(sf_dir)
+            try:
+                issues = [i for i in compare(df, con, sql, name) if "[WARN]" not in i]
+            finally:
+                con.close()
             if issues:
                 failures.append(name)
                 print(f"FAIL {name} [{time.time()-t0:.1f}s]")
