@@ -253,14 +253,16 @@ def optimize_clustered(
       a transient relist, the streamed-index compaction posture).
     - idempotent: a second call finds no overlapping files and rewrites
       nothing (returns n_dirty == 0).
-    - crash-safe swap: the dirty-file set is journaled (to ``_optimize_``
-      ``journal.json`` inside the table dir — the underscore prefix hides
-      it from Spark's readers) BEFORE the staged files move in, and the
-      journal is cleared only after the originals are deleted. A crash
-      between the move and the delete would otherwise leave BOTH copies of
-      every dirty row permanently (reclustering dedupes nothing); with the
-      journal, the next call reconciles first — it deletes any listed
-      original that still exists — so the table heals before it is read.
+    - crash-safe swap: the dirty-file set AND the staged directory are
+      journaled (to ``_optimize_journal.json`` inside the table dir — the
+      underscore prefix hides it from Spark's readers) BEFORE the staged
+      files move in, and the journal is cleared only after the originals
+      are deleted. Recovery rolls FORWARD: it first moves any parquet
+      still sitting in the journaled staged directory into the table (so
+      a crash between the journal swap and the move loop cannot strand
+      replacement rows), then finishes the delete phase, then removes the
+      journal and the staged dir. Either crash window therefore heals to
+      exactly one copy of every dirty row before the table is read.
 
     Returns {"n_files", "n_dirty", "n_rewritten_files"}."""
     import json
@@ -276,12 +278,27 @@ def optimize_clustered(
 
     with _state_lock(path):
         if os.path.exists(journal):
-            # a previous call crashed between its move and delete phases:
-            # finish its delete phase before trusting the table's contents
+            # a previous call crashed after publishing its journal: roll its
+            # swap FORWARD before trusting the table's contents. Order
+            # matters — move the surviving staged replacements in FIRST
+            # (a crash between the journal swap and the move loop leaves
+            # them stranded in the staged dir; deleting the originals
+            # before rescuing them would lose the dirty rows), THEN finish
+            # the delete phase, then clear the journal.
             with open(journal) as fh:
-                for stale in json.load(fh)["dirty"]:
-                    if os.path.exists(stale):
-                        os.remove(stale)
+                entry = json.load(fh)
+            stale_staged = entry.get("staged")
+            if stale_staged and os.path.isdir(stale_staged):
+                for name in os.listdir(stale_staged):
+                    if name.endswith(".parquet"):
+                        shutil.move(
+                            os.path.join(stale_staged, name),
+                            os.path.join(path, f"opt-{uuid.uuid4().hex[:8]}-{name}"),
+                        )
+                shutil.rmtree(stale_staged, ignore_errors=True)
+            for stale in entry["dirty"]:
+                if os.path.exists(stale):
+                    os.remove(stale)
             os.remove(journal)
         df = spark.read.parquet(path)
         if keyfn is not None:
@@ -314,11 +331,13 @@ def optimize_clustered(
         for f in sorted(dirty):
             local = f.replace("file://", "", 1) if f.startswith("file:") else f
             locals_.append(local.replace("file:", "", 1))
-        # journal the doomed originals BEFORE any staged file becomes
-        # visible; written atomically so a torn journal can't half-reconcile
+        # journal the doomed originals AND the staged dir BEFORE any staged
+        # file becomes visible; written atomically so a torn journal can't
+        # half-reconcile. Recording the staged path is what lets recovery
+        # roll forward if we crash before the move loop below finishes.
         tmp_journal = journal + ".tmp"
         with open(tmp_journal, "w") as fh:
-            json.dump({"dirty": locals_}, fh)
+            json.dump({"dirty": locals_, "staged": staged}, fh)
             fh.flush()
             os.fsync(fh.fileno())
         os.replace(tmp_journal, journal)

@@ -249,6 +249,99 @@ def write_state(
         state.write.mode("overwrite").parquet(path)
 
 
+_SWAP_JOURNAL = "_state_swap_journal.json"
+
+
+def recover_bucket_swap(path: str) -> bool:
+    """Finish a ``publish_state_buckets`` swap interrupted by a crash.
+
+    The journal is written only AFTER the staged write is complete, so
+    recovery always rolls FORWARD: any journaled bucket still present in
+    the staged dir replaces its table directory (rmtree + rename — the
+    rename is atomic per bucket); buckets already swapped are skipped.
+    Returns True if a torn swap was healed. Callers must hold the state
+    lock. An orphan staging dir with NO journal (crash mid-staged-write)
+    is deleted — the old state is intact and the batch replays through
+    the per-bucket fence."""
+    import json
+    import shutil
+
+    journal = os.path.join(path, _SWAP_JOURNAL)
+    staged_root = f"{os.path.abspath(path)}.staged"
+    if not os.path.exists(journal):
+        if os.path.isdir(staged_root):
+            shutil.rmtree(staged_root, ignore_errors=True)
+        return False
+    with open(journal) as fh:
+        entry = json.load(fh)
+    for bucket_dir in entry["buckets"]:
+        src = os.path.join(entry["staged"], bucket_dir)
+        dst = os.path.join(path, bucket_dir)
+        if os.path.isdir(src):
+            if os.path.isdir(dst):
+                shutil.rmtree(dst)
+            os.rename(src, dst)
+    os.remove(journal)
+    shutil.rmtree(entry["staged"], ignore_errors=True)
+    return True
+
+
+def publish_state_buckets(
+    state: DataFrame,
+    path: str,
+    key_buckets: int,
+    key_cols: tuple[str, ...] = DEFAULT_KEY,
+) -> None:
+    """Crash-atomic per-bucket publish — the replacement for a raw dynamic
+    partition overwrite wherever a replay fence reads ``applied_bid`` back
+    from the table (ADVICE r7: Spark's multi-bucket dynamic overwrite is not
+    atomic even WITHIN a bucket — a crash mid job-commit can leave one bucket
+    dir holding a mix of old- and new-batch files, and min(applied_bid)
+    then re-applies the batch to rows already folded, a double-fold; the
+    delete-then-rename window can even leave a bucket EMPTY, which a fence
+    reads as never-committed and silently drops the bucket's history).
+
+    Protocol (same journal discipline as ``layout.optimize_clustered``):
+    (1) write the touched buckets' COMPLETE new state to a sibling staging
+    dir; (2) fsync-publish a journal naming the staged bucket dirs; (3) swap
+    each bucket directory in with rmtree+rename (rename is atomic, so every
+    bucket is either wholly old or wholly new at all times); (4) clear the
+    journal and staging dir. A crash in (1) leaves an orphan staging dir and
+    the old state intact; a crash in (3) is rolled forward by
+    ``recover_bucket_swap``. Callers must hold the state lock."""
+    import json
+    import shutil
+
+    staged_root = f"{os.path.abspath(path)}.staged"
+    if os.path.isdir(staged_root):
+        shutil.rmtree(staged_root)
+    out = state.withColumn(BUCKET_COL, _bucket_expr(key_cols, key_buckets))
+    (
+        out.repartition(F.col(BUCKET_COL))
+        .write.mode("overwrite")
+        .partitionBy(BUCKET_COL)
+        .parquet(staged_root)
+    )
+    bucket_dirs = sorted(
+        d for d in os.listdir(staged_root) if d.startswith(f"{BUCKET_COL}=")
+    )
+    os.makedirs(path, exist_ok=True)
+    journal = os.path.join(path, _SWAP_JOURNAL)
+    tmp_journal = journal + ".tmp"
+    with open(tmp_journal, "w") as fh:
+        json.dump({"buckets": bucket_dirs, "staged": staged_root}, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp_journal, journal)
+    for bucket_dir in bucket_dirs:
+        dst = os.path.join(path, bucket_dir)
+        if os.path.isdir(dst):
+            shutil.rmtree(dst)
+        os.rename(os.path.join(staged_root, bucket_dir), dst)
+    os.remove(journal)
+    shutil.rmtree(staged_root, ignore_errors=True)
+
+
 def upsert_changes_bucketed(
     spark: SparkSession,
     updates: DataFrame,

@@ -271,10 +271,10 @@ def _sql_rrf() -> str:
 
     dense_sql = _SIM["ann_bruteforce_topk"].strip()
     return f"""
-WITH dense AS (
+WITH dense AS MATERIALIZED (
   SELECT q_id, neighbor_id AS doc_id, rank AS d_rank FROM ({dense_sql})
 ),
-terms AS (
+terms AS MATERIALIZED (
   SELECT doc_id, unnest(list_distinct({_SQL_TOKENS})) AS term FROM documents
 ),
 nv AS (SELECT COUNT(*) AS n FROM documents),

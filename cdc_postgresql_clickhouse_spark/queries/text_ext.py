@@ -661,8 +661,8 @@ def _langid_confusion_sql() -> str:
     from cdc_postgresql_clickhouse_spark.queries.text import ORACLE as _TEXT_ORACLE
 
     return f"""
-WITH a AS ({_TEXT_ORACLE["text_langid"]}),
-b AS ({ORACLE["text_langid_chargram"]})
+WITH a AS MATERIALIZED ({_TEXT_ORACLE["text_langid"]}),
+b AS MATERIALIZED ({ORACLE["text_langid_chargram"]})
 SELECT a.lang, a.guessed_lang AS marker_guess, b.guessed_lang AS trigram_guess,
        COUNT(*)::BIGINT AS n_docs,
        SUM(CASE WHEN a.guessed_lang = a.lang THEN 1 ELSE 0 END)::BIGINT AS n_marker_correct,
@@ -1166,8 +1166,8 @@ def _langid_kappa_sql() -> str:
     from cdc_postgresql_clickhouse_spark.queries.text import ORACLE as _TEXT_ORACLE
 
     return f"""
-WITH a AS ({_TEXT_ORACLE["text_langid"]}),
-b AS ({ORACLE["text_langid_chargram"]}),
+WITH a AS MATERIALIZED ({_TEXT_ORACLE["text_langid"]}),
+b AS MATERIALIZED ({ORACLE["text_langid_chargram"]}),
 grid AS (
   SELECT a.guessed_lang AS mg, b.guessed_lang AS tg, COUNT(*)::BIGINT AS n
   FROM a JOIN b ON a.doc_id = b.doc_id

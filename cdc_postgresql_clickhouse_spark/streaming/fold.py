@@ -15,7 +15,9 @@ fold state):
   accumulator (fold associativity over ordered concatenation: the
   composed fold is literally the batch fold's op sequence, so the result
   is bit-identical to a one-shot fold of the whole history), and
-  dynamically overwrites exactly the touched buckets.
+  publishes exactly the touched buckets via the journaled atomic
+  bucket swap (``publish_state_buckets`` — rename per bucket, so a
+  bucket is never half-old/half-new even across a crash).
 - exactly-once: foreachBatch replays deliver the SAME batch id, so every
   state row carries ``applied_bid`` and the ingest FENCES PER BUCKET —
   the batch is applied only to touched buckets whose recorded id is
@@ -45,10 +47,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cdc_postgresql_clickhouse_spark.operators.state import (
+    _SWAP_JOURNAL,
     _bucket_expr,
     _state_lock,
+    publish_state_buckets,
     read_state,
-    write_state,
+    recover_bucket_swap,
 )
 
 FOLD_BUCKETS = 8
@@ -62,8 +66,12 @@ def _unfenced_buckets(
 ) -> list[int]:
     """The touched buckets whose state is still behind ``batch_id`` — the
     per-bucket replay fence. Every row of a bucket carries the same
-    ``applied_bid`` (a touch rewrites the whole bucket), and a touched
-    bucket with NO rows has never committed at all, so it is unfenced."""
+    ``applied_bid``: the publish path swaps each bucket directory in with
+    an atomic rename (``publish_state_buckets``), so a bucket is wholly old
+    or wholly new even across a crash (ADVICE r7 — a raw dynamic partition
+    overwrite could tear WITHIN a bucket, and min(applied_bid) would then
+    double-fold the already-committed rows). A touched bucket with NO rows
+    has never committed at all, so it is unfenced."""
     if state is None:
         return list(touched)
     fenced = {
@@ -102,9 +110,10 @@ def ingest_batch_ewma(
     if not touched:
         return
     with _state_lock(state_path):
+        recover_bucket_swap(state_path)
         state = read_state(spark, state_path, buckets=touched)
         if state is not None:
-            # eager: the dynamic overwrite below must never read its input
+            # eager: the bucket swap below must never read its input
             state = state.select(*_STATE_COLS).localCheckpoint(eager=True)
         unfenced = _unfenced_buckets(state, touched, batch_id, key_buckets)
         if not unfenced:
@@ -162,18 +171,25 @@ def ingest_batch_ewma(
             new_acc.alias("acc"),
             F.lit(int(batch_id)).cast("long").alias("applied_bid"),
         )
-        write_state(
-            out,
-            state_path,
-            key_buckets=key_buckets,
-            key_cols=("user_id",),
-            dynamic_overwrite=True,
+        publish_state_buckets(
+            out, state_path, key_buckets=key_buckets, key_cols=("user_id",)
         )
+
+
+def _heal_then_read(spark: SparkSession, state_path: str) -> DataFrame | None:
+    """Reader-side recovery: finish any torn bucket swap (journal present)
+    before handing out a lazy DataFrame over the state dir."""
+    import os
+
+    if os.path.exists(os.path.join(state_path, _SWAP_JOURNAL)):
+        with _state_lock(state_path):
+            recover_bucket_swap(state_path)
+    return read_state(spark, state_path)
 
 
 def read_ewma(spark: SparkSession, state_path: str) -> DataFrame | None:
     """The maintained fold state, in the batch row's output shape."""
-    st = read_state(spark, state_path)
+    st = _heal_then_read(spark, state_path)
     if st is None:
         return None
     return st.select(
@@ -241,6 +257,7 @@ def ingest_batch_sessions(
     if not touched:
         return
     with _state_lock(state_path):
+        recover_bucket_swap(state_path)
         state = read_state(spark, state_path, buckets=touched)
         if state is not None:
             state = state.select(*_SESS_STATE_COLS).localCheckpoint(eager=True)
@@ -306,18 +323,14 @@ def ingest_batch_sessions(
             F.element_at(folded, 4).cast("long").alias("n_gap"),
             F.lit(int(batch_id)).cast("long").alias("applied_bid"),
         )
-        write_state(
-            out,
-            state_path,
-            key_buckets=key_buckets,
-            key_cols=("user_id",),
-            dynamic_overwrite=True,
+        publish_state_buckets(
+            out, state_path, key_buckets=key_buckets, key_cols=("user_id",)
         )
 
 
 def read_sessions(spark: SparkSession, state_path: str) -> DataFrame | None:
     """The maintained session counts, in the batch row's output shape."""
-    st = read_state(spark, state_path)
+    st = _heal_then_read(spark, state_path)
     if st is None:
         return None
     return st.select(

@@ -73,8 +73,26 @@ def publish_mv_versioned(df: DataFrame, mv_root: str, batch_id: int) -> None:
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, os.path.join(mv_root, _MANIFEST))
-    # best-effort cleanup of superseded versions; a crash here only leaves
-    # unreferenced directories that the next publish removes
+    # Best-effort cleanup of superseded versions, KEEPING the immediately
+    # previous one (ADVICE r7: read_mv takes no lock and returns a lazy
+    # DataFrame, so a reader that resolved the manifest just before this
+    # publish may still be scanning the old version's directory — deleting
+    # it mid-scan fails the read or drops rows. One generation of grace
+    # outlives any lazy plan created before the swap; v_{N-2} and older are
+    # unreferenced by both the manifest and any pre-swap reader). A crash
+    # here only leaves unreferenced directories that the next publish
+    # removes.
+    live = {name}
+    older = sorted(
+        (
+            int(entry[1:])
+            for entry in os.listdir(mv_root)
+            if entry.startswith("v") and entry != name and entry[1:].isdigit()
+        ),
+        reverse=True,
+    )
+    if older:
+        live.add(f"v{older[0]}")
     for entry in os.listdir(mv_root):
-        if entry.startswith("v") and entry != name:
+        if entry.startswith("v") and entry not in live:
             shutil.rmtree(os.path.join(mv_root, entry), ignore_errors=True)

@@ -188,3 +188,42 @@ def test_optimize_journal_heals_torn_swap(spark, sf_dir):
         assert _rows(spark, path) == want_rows
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_optimize_journal_rolls_forward_pre_move_crash(spark, sf_dir):
+    """Crash window (ADVICE r7, HIGH): journal published, staged replacement
+    files NOT yet moved into the table. Delete-only recovery would remove
+    every dirty original while its replacement still sits in the orphaned
+    staged dir — permanent data loss. Recovery must roll FORWARD: rescue the
+    staged parquet into the table first, then delete the originals."""
+    import json
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_partkey") % 256).alias("x"), (F.col("l_suppkey") % 256).alias("y")
+    )
+    tmp = tempfile.mkdtemp(prefix="opt_premove_")
+    try:
+        path = os.path.join(tmp, "t")
+        li.filter(F.col("x") % 2 == 0).coalesce(1).write.parquet(path)
+        li.filter(F.col("x") % 2 == 1).coalesce(1).write.mode("append").parquet(path)
+        want_rows = _rows(spark, path)
+
+        # hand-build the exact crash state: every current file journaled as
+        # dirty, its full replacement written to a staged dir that never got
+        # its move loop, journal (new format: dirty + staged) in place
+        originals = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        staged = os.path.join(tmp, ".opt_staged_crash")
+        spark.read.parquet(path).repartition(2).write.parquet(staged)
+        with open(os.path.join(path, "_optimize_journal.json"), "w") as fh:
+            json.dump({"dirty": originals, "staged": staged}, fh)
+
+        stats = optimize_clustered(spark, path, "x", "y", n_files=4)
+        # no row lost, no row duplicated
+        assert _rows(spark, path) == want_rows
+        # every doomed original is gone, the staged dir and journal cleaned
+        assert not any(os.path.exists(f) for f in originals)
+        assert not os.path.isdir(staged)
+        assert not os.path.exists(os.path.join(path, "_optimize_journal.json"))
+        assert stats is not None
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

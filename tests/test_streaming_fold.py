@@ -142,3 +142,59 @@ def test_state_table_stats_reports_layout(spark, sf_dir):
         assert st["max_files_per_bucket"] >= st["min_files_per_bucket"] >= 1
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_torn_bucket_swap_rolls_forward(spark, sf_dir):
+    """Crash window (ADVICE r7, MEDIUM): journal published, only SOME bucket
+    dirs swapped in. Hand-build that state by re-staging batch-1's output
+    for two buckets and reverting those table dirs to their batch-0
+    contents plus the journal. Recovery (next ingest's replay) must roll
+    the swap forward and converge to the one-shot fold exactly — never
+    double-fold the already-swapped buckets."""
+    import json
+    import os
+
+    from cdc_postgresql_clickhouse_spark.queries.sketches import events_user_ewma
+
+    ev = _rows(spark, sf_dir)
+    t_med = ev.agg(F.expr("percentile(us, 0.5)")).first()[0]
+    b1 = ev.filter(F.col("us") <= t_med)
+    b2 = ev.filter(F.col("us") > t_med)
+    tmp = tempfile.mkdtemp(prefix="fold_torn_")
+    try:
+        state = f"{tmp}/state"
+        ingest_batch_ewma(spark, b1, state, batch_id=0)
+        # snapshot the post-batch-0 state
+        snap0 = f"{tmp}/snap0"
+        shutil.copytree(state, snap0)
+        ingest_batch_ewma(spark, b2, state, batch_id=1)
+        want = _canon(read_ewma(spark, state))
+
+        # hand-build the torn swap: two victim buckets reverted to their
+        # batch-0 contents, their batch-1 replacements parked in the staged
+        # dir, journal naming ALL buckets (the swapped ones are gone from
+        # the staged dir, as a real crash mid-loop leaves them)
+        buckets = sorted(
+            d for d in os.listdir(state) if d.startswith("__bucket=")
+        )
+        victims = buckets[:2]
+        staged = f"{os.path.abspath(state)}.staged"
+        os.makedirs(staged)
+        for v in victims:
+            shutil.move(os.path.join(state, v), os.path.join(staged, v))
+            shutil.copytree(os.path.join(snap0, v), os.path.join(state, v))
+        with open(os.path.join(state, "_state_swap_journal.json"), "w") as fh:
+            json.dump({"buckets": buckets, "staged": staged}, fh)
+
+        # reader-side heal: read_ewma alone must already see batch-1 state
+        healed = _canon(read_ewma(spark, state))
+        pd.testing.assert_frame_equal(healed, want)
+        assert not os.path.exists(os.path.join(state, "_state_swap_journal.json"))
+        assert not os.path.isdir(staged)
+
+        # and the at-least-once replay of batch 1 stays a no-op (all
+        # buckets now fenced at bid 1 — no double-fold anywhere)
+        ingest_batch_ewma(spark, b2, state, batch_id=1)
+        pd.testing.assert_frame_equal(_canon(read_ewma(spark, state)), want)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
