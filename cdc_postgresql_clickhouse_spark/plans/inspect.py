@@ -53,3 +53,42 @@ def wholestage_codegen_ids(df: DataFrame) -> int:
     plan = formatted_plan(df)
     ids = set(re.findall(r"\[codegen id : (\d+)\]", plan))
     return len(ids)
+
+
+def unpartitioned_window_orders(df: DataFrame) -> list[str]:
+    """The ORDER spec of every Window node that has NO partition spec — the
+    single-task global-sort anti-pattern (VERDICT r7). A partitioned Window
+    prints three top-level bracket groups after ``Window `` (functions,
+    partition spec, order spec); a global one prints two. Returns the order
+    text of each global node so tests can whitelist windows over BOUNDED
+    inputs (the ranking device's ≤ n_parts ``__pid`` offset rows) while
+    failing any over a data-proportional grain."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    out = []
+    for line in plan.splitlines():
+        m = re.search(r"\bWindow \[", line)
+        if m is None:
+            continue
+        rest = line[m.start() + len("Window ") :]
+        groups: list[str] = []
+        depth, cur = 0, ""
+        for ch in rest:
+            if ch == "[":
+                depth += 1
+                if depth == 1:
+                    cur = ""
+                    continue
+            elif ch == "]":
+                depth -= 1
+                if depth == 0:
+                    groups.append(cur)
+                    continue
+            if depth >= 1:
+                cur += ch
+        # two groups = (functions, X). X is an ORDER spec (global window —
+        # the anti-pattern) only when it carries a sort direction; a
+        # partition-only window (no ORDER BY) prints its partition spec
+        # there and is fine.
+        if len(groups) == 2 and ("ASC" in groups[1] or "DESC" in groups[1]):
+            out.append(groups[1])
+    return out

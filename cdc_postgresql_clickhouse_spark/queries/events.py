@@ -3309,17 +3309,19 @@ PENDING_ORACLE["events_attribution_first_touch"] = _SQL_FIRST_TOUCH
 
 
 def events_user_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    # VERDICT r7 fix: the rank comes from the two-phase exact global rank,
+    # not a single-partition row_number window — user grain is |users| at
+    # 100 TB, not "the small side"
+    from cdc_postgresql_clickhouse_spark.operators.ranking import global_row_number
 
     per_user = (
         load_table(spark, sf_dir, "events")
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).cast("long").alias("x"))
     )
-    w = Window.orderBy("x", "user_id")
-    ranked = per_user.select(
-        "x", F.row_number().over(w).cast("long").alias("i")
-    )
+    ranked = global_row_number(
+        per_user, [F.asc("x"), F.asc("user_id")], out="i"
+    ).select("x", "i")
     return _concentration_agg(ranked)
 
 
@@ -3383,7 +3385,10 @@ HH_TURNOVER_K = 20
 
 
 def events_heavy_hitter_turnover(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    # VERDICT r7 fix: ranking within only 2 half-timeline groups put each
+    # half's |users| rows on one task — the salted lossless prune
+    # (grouped_topk) bounds the final per-group window to ≤ buckets·K rows
+    from cdc_postgresql_clickhouse_spark.operators.ranking import grouped_topk
 
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", F.unix_micros("ts").alias("us")
@@ -3395,9 +3400,13 @@ def events_heavy_hitter_turnover(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = halves.groupBy("h1", "user_id").agg(
         F.count(F.lit(1)).cast("long").alias("x")
     )
-    w = Window.partitionBy("h1").orderBy(F.desc("x"), "user_id")
-    tops = counts.withColumn("rk", F.row_number().over(w)).filter(
-        F.col("rk") <= HH_TURNOVER_K
+    tops = grouped_topk(
+        counts,
+        ["h1"],
+        [F.desc("x"), F.asc("user_id")],
+        HH_TURNOVER_K,
+        salt_col=F.col("user_id"),
+        rank_out="rk",
     )
     a = tops.filter(~F.col("h1")).select(F.col("user_id").alias("u"))
     b = tops.filter(F.col("h1")).select(F.col("user_id").alias("u"))

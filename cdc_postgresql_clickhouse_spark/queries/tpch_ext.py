@@ -402,18 +402,26 @@ def rolling_30day_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
 def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile ranking: customers split into 10 spend deciles. Total spend in
     exact cents and a custkey tie-break make the ntile assignment fully
-    deterministic in both engines."""
-    from pyspark.sql.window import Window
+    deterministic in both engines.
+
+    Scale shape (VERDICT r7 fix): a literal ``ntile(10) OVER (ORDER BY …)``
+    is a single-partition sort over |customers| — here the tile comes from
+    ``operators.ranking.ntile_exact`` (two-phase exact global rank + the
+    closed-form tile), identical output with every data-proportional stage
+    partitioned."""
+    from cdc_postgresql_clickhouse_spark.operators.ranking import ntile_exact
 
     orders = load_table(spark, sf_dir, "orders")
     totals = orders.groupBy("o_custkey").agg(
         F.sum(_cents(F.col("o_totalprice"))).alias("total_c")
     )
-    w = Window.orderBy(F.col("total_c"), F.col("o_custkey"))
-    return totals.select(
+    tiled = ntile_exact(
+        totals, 10, [F.col("total_c"), F.col("o_custkey")], out="decile"
+    )
+    return tiled.select(
         "o_custkey",
         (F.col("total_c").cast("double") / F.lit(100.0)).alias("total_spend"),
-        F.ntile(10).over(w).cast("long").alias("decile"),
+        "decile",
     )
 
 

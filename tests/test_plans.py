@@ -325,3 +325,29 @@ def test_tokenizer_segment_is_mapside_after_word_agg(spark, sf_dir):
     for m in re.finditer(r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", plan):
         sigs.add(re.sub(r"#\d+L?", "", m.group(1)))
     assert len(sigs) <= 1, (sigs, plan)
+
+
+def test_no_global_windows_over_unbounded_grains(spark, sf_dir):
+    """VERDICT r7 scale fix pin: the de-globalized ranking queries must not
+    plan ANY unpartitioned Window over a data-proportional grain. The only
+    allowed global windows are the ranking device's offset windows over its
+    ≤ n_parts __pid counts (bounded by config, not by data)."""
+    from cdc_postgresql_clickhouse_spark.plans.inspect import (
+        unpartitioned_window_orders,
+    )
+
+    for name in (
+        "customer_spend_deciles",
+        "customer_rfm_segments",
+        "events_user_concentration",
+        "events_heavy_hitter_turnover",
+    ):
+        fn = Q.get(name)
+        if fn is None:  # pending rows pick the pin up at registration
+            from cdc_postgresql_clickhouse_spark.queries import events
+
+            fn = events.PENDING_QUERIES[name]
+        for order in unpartitioned_window_orders(fn(spark, sf_dir)):
+            assert "__pid" in order, (
+                f"{name}: global window over unbounded grain: {order}"
+            )
