@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -182,6 +183,181 @@ HEADLINE = [
     "embedding_centroid_drift",
     "events_anomaly_seasonal",
     "text_zipf_fit",
+    # round-8 registration: the whole pending layer (streaming_* equivalence
+    # rows excluded with the other streaming rows: micro-batch staging I/O
+    # dominates their wall-clock, not query execution)
+    "cdc_soft_delete_state",
+    "cdc_epoch_micros_roundtrip",
+    "cdc_count_final",
+    "cdc_idempotent_replay",
+    "cdc_toast_carryforward",
+    "cdc_incremental_snapshot_equiv",
+    "dedup_survivor_policy",
+    "events_active_users",
+    "events_session_type_pairs",
+    "orders_reorder_intervals",
+    "quality_dedup_interaction",
+    "corpus_token_gini",
+    "validation_expectations_report",
+    "dedup_jaccard_prefix_filter",
+    "events_autocorr_daily",
+    "events_markov_accuracy",
+    "text_rake_keywords",
+    "corpus_source_overlap",
+    "events_twap",
+    "quality_ks_length_test",
+    "cdc_sequence_gap_report",
+    "corpus_stratified_split",
+    "corpus_simpson_diversity",
+    "orders_pareto_abc",
+    "events_changepoint_argmax",
+    "orders_benford_digits",
+    "skew_join_key_report",
+    "orders_shiplag_trend",
+    "quality_chi2_source_lang",
+    "graph_neighbor_jaccard",
+    "dedup_tfidf_cosine",
+    "embedding_label_silhouette",
+    "orders_theilsen_trend",
+    "events_bot_score",
+    "supplier_hhi_concentration",
+    "orders_seasonal_index",
+    "embedding_knn_reciprocity",
+    "events_range_frame_peak",
+    "orders_dispersion_test",
+    "cdc_staleness_report",
+    "events_entry_bounce_rate",
+    "cdc_inversion_report",
+    "cdc_state_growth",
+    "cdc_key_churn",
+    "cdc_write_amplification",
+    "cdc_op_mix_weekly",
+    "doc_chunking",
+    "chunk_stability_report",
+    "text_langid_chargram",
+    "text_pii_redact",
+    "quality_langid_kappa",
+    "corpus_bigram_kn_ppl",
+    "text_burrows_delta",
+    "events_transition_matrix",
+    "corpus_temperature_mixture",
+    "sketch_cms_error_sweep",
+    "sketch_kmv_error_sweep",
+    "sketch_theta_difference",
+    "sketch_intersection_method_report",
+    "layout_zorder_clustering",
+    "bpe_token_count",
+    "graph_edge_reciprocity",
+    "graph_degree_assortativity",
+    "graph_clustering_coefficient",
+    "graph_distance_profile",
+    "graph_personalized_pagerank",
+    "graph_markov_stationary",
+    "dedup_transitivity_report",
+    "dedup_simhash_bit_balance",
+    "embedding_quantize_recall",
+    "embedding_hubness_profile",
+    "embedding_norm_outliers",
+    "dedup_roi_curve",
+    "dedup_cross_source_matrix",
+    "multimodal_decode_stats",
+    "multimodal_resize_stats",
+    "text_token_count",
+    "text_langid",
+    "text_stats_by_source",
+    "multimodal_binary_meta",
+    "text_term_burstiness",
+    "text_keyness_report",
+    "text_mattr_diversity",
+    "text_regex_policy_scan",
+    "quality_filter_bias_audit",
+    "corpus_train_val_split",
+    "corpus_shard_packing",
+    "packing_efficiency_report",
+    "corpus_decontaminate_fuzzy",
+    "corpus_upsample_plan",
+    "sketch_bloom_error_sweep",
+    "crossmodal_doc_neighbors",
+    "corpus_mix_stats",
+    "corpus_dup_rate_by_source",
+    "corpus_dup_rate_growth",
+    "skew_salted_revenue_by_status",
+    "skew_distinct_parts_per_supplier",
+    "debezium_decimal_decode",
+    "hstore_props_map",
+    "sequence_match_clean_purchase",
+    "grouped_topk_event_values",
+    "events_purchase_attribution",
+    "events_sliding_10min",
+    "events_json_extract",
+    "events_conversion_latency",
+    "events_activity_streaks",
+    "events_streak_hazard",
+    "events_did_error_impact",
+    "events_fano_timescales",
+    "events_value_drift_tv",
+    "events_synchrony_minutes",
+    "events_self_transition_rate",
+    "events_error_mtbf",
+    "events_newcomer_load",
+    "events_hour_of_week_profile",
+    "events_seasonal_strength",
+    "events_trend_break",
+    "events_ohlc_bars",
+    "events_attribution_last_touch",
+    "events_km_conversion_survival",
+    "events_bootstrap_mean_ci",
+    "events_ab_power_mde",
+    "events_attribution_first_touch",
+    "events_user_concentration",
+    "events_heavy_hitter_turnover",
+    "agg_distinct_counts",
+    "rollup_status_priority",
+    "customers_without_orders",
+    "set_intersect_building_buyers",
+    "set_except_nonbuilding_buyers",
+    "asof_latest_order",
+    "asof_prev_purchase",
+    "q4_order_priority",
+    "rolling_30day_spend",
+    "customer_spend_deciles",
+    "collect_priority_fingerprint",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_predicates",
+    "q22_idle_customers",
+    "cube_returnflag_status",
+    "pivot_priority_by_status",
+    "monthly_revenue_rollup",
+    "full_outer_activity",
+    "pivot_unpivot_roundtrip",
+    "validation_fk_orphans_report",
+    "q2_min_cost_supplier",
+    "q11_important_parts",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q16_supplier_part_counts",
+    "q21_waiting_supplier",
+    "orders_revenue_wow",
+    "parts_brand_share_shift",
+    "customer_tier_migration",
+    "orders_rapid_repeat_orders",
+    "orders_return_rate_by_age",
+    "parts_single_source_risk",
+    "orders_sla_attainment",
+    "orders_dow_uniformity",
+    "lineitem_discount_quantity_corr",
+    "customers_balance_profile",
+    "parts_type_class_revenue",
+    "trade_flow_matrix",
+    "orders_open_aging",
+    "orders_size_value_curve",
+    "suppliers_speed_ranking",
+    "orders_revenue_drawdown",
+    "orders_littles_law_audit",
+    "orders_revenue_pvm_bridge",
 ]
 
 
@@ -249,12 +425,30 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     full_line = json.dumps(result)
+    repo = os.path.dirname(os.path.abspath(__file__))
     try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_summary.json"), "w") as f:
+        with open(os.path.join(repo, "BENCH_summary.json"), "w") as f:
             f.write(full_line + "\n")
     except OSError:
         pass  # a read-only checkout must not fail the bench
+    # VERDICT r7 #6: BENCH_summary.json is overwritten every round, so
+    # round-over-round deltas previously depended on the driver's 2 KB tail
+    # capture. Persist the full map per ROUND too (never overwritten across
+    # rounds): the current round is 1 + the highest driver-recorded
+    # BENCH_r{N}.json, since the driver writes its record after this run.
+    try:
+        import glob as _glob
+
+        rounds = [
+            int(m.group(1))
+            for p in _glob.glob(os.path.join(repo, "BENCH_r*.json"))
+            if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+        ]
+        this_round = (max(rounds) if rounds else 0) + 1
+        with open(os.path.join(repo, f"BENCH_full_r{this_round:02d}.json"), "w") as f:
+            f.write(full_line + "\n")
+    except OSError:
+        pass
     # The driver records only the TAIL (~2 KB) of stdout; the full per-query
     # map (3+ KB at 100+ headline queries) overflowed that capture two rounds
     # running (BENCH_r04/r06 `parsed: null`). The final stdout line therefore

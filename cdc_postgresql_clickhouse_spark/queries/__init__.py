@@ -78,34 +78,34 @@ _WINDOW_FRONT = [
     "cdc_epoch_micros_roundtrip", "cdc_count_final", "cdc_idempotent_replay",
     "cdc_scd2_history", "cdc_reconciliation_report",
     "cdc_schema_evolution_state",
-    # rule 2b: latest driver row red — r6 hash-fail on both, root-caused by
-    # VERDICT r6 as a DuckDB HUGEINT (SUM(BIGINT) → decimal128) vs Spark
-    # int64 result-type divergence; oracles now cast ::BIGINT and the rows
-    # stay fronted until the driver re-proves them (2)
-    "events_histogram_equi", "events_winsorized_stats",
-    # rule 2: never driver-checked — round-7 registration wave 1 (39):
-    # the five VERDICT-named high-value rows first (they are also the five
-    # oldest-built), then strictly oldest-built-first (first-commit order)
-    "tokenizer_wordpiece_segment", "cdc_pk_change_state",
-    "events_cusum_changepoint", "retrieval_ndcg_eval",
-    "graph_modularity_report", "text_char_entropy", "embedding_pca_residual",
-    "basket_part_pairs", "events_hourly_seasonality", "window_rank_profile",
-    "corpus_weighted_sample", "corpus_ngram_novelty", "events_burstiness",
-    "graph_transition_entropy", "quality_lang_mix_matrix",
-    "text_source_drift_klm", "events_holt_linear",
-    "basket_association_rules", "cohort_monthly_ltv",
-    "customer_rfm_segments", "corpus_bigram_heldout_ppl",
-    "streaming_ewma_equiv", "cdc_state_asof",
-    "streaming_retraction_mv_equiv", "events_sessionize_capped",
-    "profile_orders_columns", "cdc_dlq_report", "quality_outlier_docs",
-    "linkage_fuzzy_part_names", "ann_dim_truncation_report",
-    "events_hourly_latency_bands", "sketch_kmv_intersect",
-    "orders_backlog_timeseries", "streaming_session_capped_equiv",
-    "sketch_cms_join_size", "graph_hits_types", "embedding_centroid_drift",
-    "events_anomaly_seasonal", "text_zipf_fit",
-    # rule 3: no refill slots this round — 9 + 2 + 39 = 50; every
-    # previously-green row rotates behind the window in module order and is
-    # re-verified locally by scripts/parity_sweep.py
+    # rule 2b: none — CORRECTNESS_r07 was 50/50 green, zero red anywhere.
+    # rule 2: never driver-checked — round-8 registered the ENTIRE pending
+    # layer (121 rows, VERDICT r7 #1); the window takes the first 41 in
+    # oldest-built-first order (the wave-2 queue recorded in COVERAGE.md).
+    # The remaining 80 never-checked rows follow behind the window in
+    # module order and front in r9/r10; every registered row is re-verified
+    # locally by scripts/parity_sweep.py each round regardless.
+    "cdc_toast_carryforward", "cdc_incremental_snapshot_equiv",
+    "dedup_survivor_policy", "streaming_dlq_replay_equiv",
+    "events_active_users", "events_session_type_pairs",
+    "orders_reorder_intervals", "quality_dedup_interaction",
+    "corpus_token_gini", "validation_expectations_report",
+    "dedup_jaccard_prefix_filter", "streaming_join_mv_equiv",
+    "events_autocorr_daily", "events_markov_accuracy", "text_rake_keywords",
+    "corpus_source_overlap", "events_twap", "quality_ks_length_test",
+    "cdc_sequence_gap_report", "corpus_stratified_split",
+    "corpus_simpson_diversity", "orders_pareto_abc",
+    "events_changepoint_argmax", "orders_benford_digits",
+    "skew_join_key_report", "orders_shiplag_trend",
+    "quality_chi2_source_lang", "graph_neighbor_jaccard",
+    "dedup_tfidf_cosine", "embedding_label_silhouette",
+    "streaming_interval_join_equiv", "orders_theilsen_trend",
+    "events_bot_score", "supplier_hhi_concentration",
+    "orders_seasonal_index", "embedding_knn_reciprocity",
+    "events_range_frame_peak", "orders_dispersion_test",
+    "cdc_staleness_report", "events_entry_bounce_rate",
+    "streaming_dropdup_watermark_equiv",
+    # rule 3: no refill slots this round — 9 + 41 = 50.
 ]
 
 

@@ -492,3 +492,14 @@ PENDING_QUERIES = globals().get("PENDING_QUERIES", {})
 PENDING_ORACLE = globals().get("PENDING_ORACLE", {})
 PENDING_QUERIES["corpus_dup_rate_growth"] = corpus_dup_rate_growth
 PENDING_ORACLE["corpus_dup_rate_growth"] = _sql_dup_growth()
+
+
+# --- Round-8 registration: the whole pending layer flips in ----------------
+# VERDICT r7 #1: the driver's 50-row window gates which rows get CHECKED per
+# round, not how many may be REGISTERED — holding locally hash-verified
+# operators out of the contract understates coverage and risks rows never
+# receiving a driver row. Window order lives in queries/__init__.
+for _n in list(PENDING_QUERIES):
+    QUERIES[_n] = PENDING_QUERIES.pop(_n)
+    ORACLE[_n] = PENDING_ORACLE.pop(_n)
+del _n

@@ -1085,3 +1085,14 @@ FROM per_bit
 
 PENDING_QUERIES["dedup_simhash_bit_balance"] = dedup_simhash_bit_balance
 PENDING_ORACLE["dedup_simhash_bit_balance"] = _SQL_BIT_BALANCE
+
+
+# --- Round-8 registration: the whole pending layer flips in ----------------
+# VERDICT r7 #1: the driver's 50-row window gates which rows get CHECKED per
+# round, not how many may be REGISTERED — holding locally hash-verified
+# operators out of the contract understates coverage and risks rows never
+# receiving a driver row. Window order lives in queries/__init__.
+for _n in list(PENDING_QUERIES):
+    QUERIES[_n] = PENDING_QUERIES.pop(_n)
+    ORACLE[_n] = PENDING_ORACLE.pop(_n)
+del _n

@@ -765,3 +765,14 @@ FROM cells CROSS JOIN tot
 
 PENDING_QUERIES["quality_filter_bias_audit"] = quality_filter_bias_audit
 PENDING_ORACLE["quality_filter_bias_audit"] = _SQL_FILTER_BIAS
+
+
+# --- Round-8 registration: the whole pending layer flips in ----------------
+# VERDICT r7 #1: the driver's 50-row window gates which rows get CHECKED per
+# round, not how many may be REGISTERED — holding locally hash-verified
+# operators out of the contract understates coverage and risks rows never
+# receiving a driver row. Window order lives in queries/__init__.
+for _n in list(PENDING_QUERIES):
+    QUERIES[_n] = PENDING_QUERIES.pop(_n)
+    ORACLE[_n] = PENDING_ORACLE.pop(_n)
+del _n

@@ -2120,3 +2120,14 @@ FROM kmv k JOIN hll h ON h.type_a = k.type_a AND h.type_b = k.type_b
 
 PENDING_QUERIES["sketch_intersection_method_report"] = sketch_intersection_method_report
 PENDING_ORACLE["sketch_intersection_method_report"] = _SQL_INTERSECT_METHODS
+
+
+# --- Round-8 registration: the whole pending layer flips in ----------------
+# VERDICT r7 #1: the driver's 50-row window gates which rows get CHECKED per
+# round, not how many may be REGISTERED — holding locally hash-verified
+# operators out of the contract understates coverage and risks rows never
+# receiving a driver row. Window order lives in queries/__init__.
+for _n in list(PENDING_QUERIES):
+    QUERIES[_n] = PENDING_QUERIES.pop(_n)
+    ORACLE[_n] = PENDING_ORACLE.pop(_n)
+del _n

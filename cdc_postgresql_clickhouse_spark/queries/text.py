@@ -866,3 +866,14 @@ for _n in _REGISTER_WAVE1:
     QUERIES[_n] = PENDING_QUERIES.pop(_n)
     ORACLE[_n] = PENDING_ORACLE.pop(_n)
 del _n
+
+
+# --- Round-8 registration: the whole pending layer flips in ----------------
+# VERDICT r7 #1: the driver's 50-row window gates which rows get CHECKED per
+# round, not how many may be REGISTERED — holding locally hash-verified
+# operators out of the contract understates coverage and risks rows never
+# receiving a driver row. Window order lives in queries/__init__.
+for _n in list(PENDING_QUERIES):
+    QUERIES[_n] = PENDING_QUERIES.pop(_n)
+    ORACLE[_n] = PENDING_ORACLE.pop(_n)
+del _n

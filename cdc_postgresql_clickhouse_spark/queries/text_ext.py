@@ -1539,3 +1539,14 @@ GROUP BY 1, 2
 
 PENDING_QUERIES["text_burrows_delta"] = text_burrows_delta
 PENDING_ORACLE["text_burrows_delta"] = _sql_burrows_delta()
+
+
+# --- Round-8 registration: the whole pending layer flips in ----------------
+# VERDICT r7 #1: the driver's 50-row window gates which rows get CHECKED per
+# round, not how many may be REGISTERED — holding locally hash-verified
+# operators out of the contract understates coverage and risks rows never
+# receiving a driver row. Window order lives in queries/__init__.
+for _n in list(PENDING_QUERIES):
+    QUERIES[_n] = PENDING_QUERIES.pop(_n)
+    ORACLE[_n] = PENDING_ORACLE.pop(_n)
+del _n

@@ -1,8 +1,9 @@
-"""Round-7 PENDING operators: built, oracle-paired, and held to the SAME
-value-hash contract as registered queries — only their registration waits
-for driver-window slots to free up (rule 2 caps never-checked rows at the
-50-query window, which round 6 filled). This harness keeps them
-continuously verified until the flip."""
+"""Law tests for operators built during the round-7 pending era, plus the
+(now normally empty) pending-layer parity sweep. Round 8 registered the
+entire pending layer (VERDICT r7 #1), so the parity parametrization below
+collects nothing unless a future round stages new pending rows — the
+registered contract is swept by tests/test_oracle_parity.py. The law tests
+remain load-bearing regardless of registration state."""
 
 from __future__ import annotations
 

@@ -148,7 +148,7 @@ def test_fuzzy_decontam_broadcasts_bench_side(spark, sf_dir):
     the broadcast sides; candidates never come from a corpus self-join and
     nothing plans cartesian."""
     from cdc_postgresql_clickhouse_spark.queries.training import (
-        PENDING_QUERIES as TR_P,
+        QUERIES as TR_P,
     )
 
     df = TR_P["corpus_decontaminate_fuzzy"](spark, sf_dir)
@@ -162,7 +162,7 @@ def test_packing_report_is_one_scan_one_shuffle(spark, sf_dir):
     """Per-doc token counts fan out to |context_lens| rows map-side; the
     only shuffle is the 3-key aggregation."""
     from cdc_postgresql_clickhouse_spark.queries.training import (
-        PENDING_QUERIES as TR_P,
+        QUERIES as TR_P,
     )
 
     df = TR_P["packing_efficiency_report"](spark, sf_dir)
@@ -175,7 +175,7 @@ def test_ohlc_is_one_scan_one_shuffle(spark, sf_dir):
     parquet scan into ONE keyed aggregation — the min_by/max_by algebra
     partial-aggregates map-side, so nothing else shuffles."""
     from cdc_postgresql_clickhouse_spark.queries.events import (
-        PENDING_QUERIES as EV_P,
+        QUERIES as EV_P,
     )
 
     df = EV_P["events_ohlc_bars"](spark, sf_dir)
@@ -188,7 +188,7 @@ def test_kn_model_reuses_one_corpus_scan(spark, sf_dir):
     continuation/val tables all derive from ONE tokenize+explode pass —
     a second parquet scan would re-run the tokenizer tree per table."""
     from cdc_postgresql_clickhouse_spark.queries.text_ext import (
-        PENDING_QUERIES as TE_P,
+        QUERIES as TE_P,
     )
 
     df = TE_P["corpus_bigram_kn_ppl"](spark, sf_dir)
@@ -201,7 +201,7 @@ def test_pagerank_rounds_do_not_rescan_the_corpus(spark, sf_dir):
     EVERY unrolled round (was 14 parquet scans for 5 iterations — a
     scale-killer at 100 TB where the edge build dominates)."""
     from cdc_postgresql_clickhouse_spark.queries.graph import (
-        PENDING_QUERIES as GR_P,
+        QUERIES as GR_P,
         QUERIES as GR_Q,
     )
 

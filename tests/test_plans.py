@@ -342,11 +342,7 @@ def test_no_global_windows_over_unbounded_grains(spark, sf_dir):
         "events_user_concentration",
         "events_heavy_hitter_turnover",
     ):
-        fn = Q.get(name)
-        if fn is None:  # pending rows pick the pin up at registration
-            from cdc_postgresql_clickhouse_spark.queries import events
-
-            fn = events.PENDING_QUERIES[name]
+        fn = Q[name]
         for order in unpartitioned_window_orders(fn(spark, sf_dir)):
             assert "__pid" in order, (
                 f"{name}: global window over unbounded grain: {order}"

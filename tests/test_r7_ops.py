@@ -5,15 +5,15 @@ the norm-outlier gate."""
 
 from __future__ import annotations
 
-from cdc_postgresql_clickhouse_spark.queries.pca import PENDING_QUERIES as PCA_P
+from cdc_postgresql_clickhouse_spark.queries.pca import QUERIES as PCA_P
 from cdc_postgresql_clickhouse_spark.queries.sketches import KMV_K
-from cdc_postgresql_clickhouse_spark.queries.sketches import PENDING_QUERIES as SK_P
+from cdc_postgresql_clickhouse_spark.queries.sketches import QUERIES as SK_P
 from cdc_postgresql_clickhouse_spark.queries.training import (
     BENCH_MOD,
     DERIVED_OFFSET,
     PACK_CONTEXT_LENS,
 )
-from cdc_postgresql_clickhouse_spark.queries.training import PENDING_QUERIES as TR_P
+from cdc_postgresql_clickhouse_spark.queries.training import QUERIES as TR_P
 
 
 def test_theta_difference_partitions_the_union_sketch(spark, sf_dir):
@@ -106,7 +106,7 @@ def test_cross_source_matrix_conserves_pairs(spark, sf_dir):
     cell pair counts sum to the LSH pair count, and the PPM shares sum to
     at most one (truncating division loses < |cells| ppm)."""
     from cdc_postgresql_clickhouse_spark.queries.cluster import (
-        PENDING_QUERIES as CL_P,
+        QUERIES as CL_P,
     )
     from cdc_postgresql_clickhouse_spark.queries.dedup import dedup_minhash_lsh
 
@@ -149,7 +149,7 @@ def test_ohlc_bars_merge_like_partials(spark, sf_dir):
     from pyspark.sql import functions as F
 
     from cdc_postgresql_clickhouse_spark.queries.events import (
-        PENDING_QUERIES as EV_P,
+        QUERIES as EV_P,
     )
     from cdc_postgresql_clickhouse_spark.sources.registry import load_table
 
@@ -233,7 +233,7 @@ def test_attribution_conserves_purchases(spark, sf_dir):
     from pyspark.sql import functions as F
 
     from cdc_postgresql_clickhouse_spark.queries.events import (
-        PENDING_QUERIES as EV_P,
+        QUERIES as EV_P,
     )
     from cdc_postgresql_clickhouse_spark.sources.registry import load_table
 
@@ -280,7 +280,7 @@ def test_fk_orphans_detects_planted_violations(spark, sf_dir, tmp_path):
     the detector is proven on a planted mini-schema: orphaned and
     null-keyed child rows must both count."""
     from cdc_postgresql_clickhouse_spark.queries.tpch_ext import (
-        PENDING_QUERIES as TX_P,
+        QUERIES as TX_P,
     )
     from cdc_postgresql_clickhouse_spark.sources.registry import load_table
 
@@ -325,7 +325,7 @@ def test_km_survival_matches_lifelines_style_bruteforce(spark, sf_dir):
     from pyspark.sql import functions as F
 
     from cdc_postgresql_clickhouse_spark.queries.events import (
-        PENDING_QUERIES as EV_P,
+        QUERIES as EV_P,
     )
     from cdc_postgresql_clickhouse_spark.sources.registry import load_table
 
@@ -382,7 +382,7 @@ def test_littles_law_audit_matches_bruteforce(spark, sf_dir):
     from pyspark.sql import functions as F
 
     from cdc_postgresql_clickhouse_spark.queries.tpch_more import (
-        PENDING_QUERIES as TM_P,
+        QUERIES as TM_P,
     )
     from cdc_postgresql_clickhouse_spark.sources.registry import load_table
 
@@ -429,7 +429,7 @@ def test_kn_continuation_scores_versatile_words_higher(spark, sf_dir, tmp_path):
     Structural invariants (scored + oov = total, NLL positive) are pinned
     on the real corpus too."""
     from cdc_postgresql_clickhouse_spark.queries.text_ext import (
-        PENDING_QUERIES as TE_P,
+        QUERIES as TE_P,
     )
 
     mini = str(tmp_path / "kn_sf")
@@ -468,7 +468,7 @@ def test_bootstrap_ci_matches_bruteforce_and_brackets_mean(spark, sf_dir):
     from cdc_postgresql_clickhouse_spark.queries.events import (
         _POISSON_CDF16,
         BOOT_B,
-        PENDING_QUERIES as EV_P,
+        QUERIES as EV_P,
     )
     from cdc_postgresql_clickhouse_spark.sources.registry import load_table
     from pyspark.sql import functions as F
@@ -518,7 +518,7 @@ def test_dup_rate_growth_is_monotone_on_nested_prefixes(spark, sf_dir):
     duplicated-occurrence count is non-decreasing; the fixture's rate
     curve itself also grows (the compounding-duplication signal)."""
     from cdc_postgresql_clickhouse_spark.queries.corpus import (
-        PENDING_QUERIES as CO_P,
+        QUERIES as CO_P,
     )
 
     rows = sorted(
@@ -541,7 +541,7 @@ def test_burrows_delta_is_a_semimetric(spark, sf_dir):
     — two sources with identical text must have Delta 0)."""
     from cdc_postgresql_clickhouse_spark.queries.text_ext import (
         DELTA_TOP_WORDS,
-        PENDING_QUERIES as TE_P,
+        QUERIES as TE_P,
     )
     from cdc_postgresql_clickhouse_spark.sources.registry import load_table
 
@@ -561,7 +561,7 @@ def test_burrows_delta_twin_sources_have_zero_distance(spark, tmp_path, sf_dir):
     from pyspark.sql import functions as F
 
     from cdc_postgresql_clickhouse_spark.queries.text_ext import (
-        PENDING_QUERIES as TE_P,
+        QUERIES as TE_P,
     )
     from cdc_postgresql_clickhouse_spark.sources.registry import load_table
 
@@ -597,7 +597,7 @@ def test_ab_power_mde_matches_statsmodels_style_formula(spark, sf_dir):
 
     from cdc_postgresql_clickhouse_spark.queries.events import (
         _AB_ZSUM_PPM,
-        PENDING_QUERIES as EV_P,
+        QUERIES as EV_P,
     )
     from cdc_postgresql_clickhouse_spark.sources.registry import load_table
 
@@ -632,7 +632,7 @@ def test_markov_stationary_conserves_mass(spark, sf_dir):
     empirical shares sum to one up to per-type truncation."""
     from cdc_postgresql_clickhouse_spark.queries.graph import (
         MARKOV_ITERS,
-        PENDING_QUERIES as GR_P,
+        QUERIES as GR_P,
         PR_SCALE,
     )
 
@@ -651,7 +651,7 @@ def test_filter_bias_audit_shares_balance(spark, sf_dir):
     """Shares before and after each sum to one (up to per-cell truncation),
     shifts are their exact difference, and kept counts respect bounds."""
     from cdc_postgresql_clickhouse_spark.queries.quality import (
-        PENDING_QUERIES as Q_P,
+        QUERIES as Q_P,
     )
 
     rows = Q_P["quality_filter_bias_audit"](spark, sf_dir).collect()
@@ -677,7 +677,7 @@ def test_first_touch_conserves_converting_users(spark, sf_dir):
     from pyspark.sql import functions as F
 
     from cdc_postgresql_clickhouse_spark.queries.events import (
-        PENDING_QUERIES as EV_P,
+        QUERIES as EV_P,
     )
     from cdc_postgresql_clickhouse_spark.sources.registry import load_table
 
@@ -699,7 +699,7 @@ def test_pvm_bridge_is_an_exact_identity(spark, sf_dir):
     the residual is bounded by the truncation it carries (< q0 + q1 + 1
     micro-cents per unit of truncated price, i.e. |residual| < q0 + q1)."""
     from cdc_postgresql_clickhouse_spark.queries.tpch_more import (
-        PENDING_QUERIES as TM_P,
+        QUERIES as TM_P,
     )
 
     rows = TM_P["orders_revenue_pvm_bridge"](spark, sf_dir).collect()
@@ -724,7 +724,7 @@ def test_user_concentration_matches_bruteforce(spark, sf_dir):
     from collections import Counter
 
     from cdc_postgresql_clickhouse_spark.queries.events import (
-        PENDING_QUERIES as EV_P,
+        QUERIES as EV_P,
     )
     from cdc_postgresql_clickhouse_spark.sources.registry import load_table
 
@@ -749,7 +749,7 @@ def test_heavy_hitter_turnover_bounds(spark, sf_dir):
     by construction of equal-size top sets."""
     from cdc_postgresql_clickhouse_spark.queries.events import (
         HH_TURNOVER_K,
-        PENDING_QUERIES as EV_P,
+        QUERIES as EV_P,
     )
 
     r = EV_P["events_heavy_hitter_turnover"](spark, sf_dir).first()

@@ -37,7 +37,13 @@ def _driver_rows() -> dict[str, tuple[int, bool]]:
     return latest
 
 
-def test_never_driver_checked_queries_register_inside_window():
+def test_never_driver_checked_queries_fill_the_window():
+    """Rule 2 under the round-8 all-registered regime (VERDICT r7 #1: the
+    whole pending layer registered at once, so never-checked rows can
+    OUTNUMBER the window). Invariant: no already-green row may occupy a
+    non-rule-1 window slot while a never-checked row waits behind the
+    window — window slots are spent on unchecked (or rule-2b red) rows
+    first; once unchecked rows all fit, they must ALL be inside."""
     from cdc_postgresql_clickhouse_spark.queries import all_oracles, all_queries
 
     names = list(all_queries())
@@ -45,11 +51,25 @@ def test_never_driver_checked_queries_register_inside_window():
     # every query still has an oracle twin (100% oracle coverage invariant)
     assert set(names) == set(all_oracles())
 
-    seen = set(_driver_rows())
-    window = set(names[:WINDOW])
+    seen = _driver_rows()
+    window = names[:WINDOW]
     never = [n for n in names if n not in seen]
-    outside = [n for n in never if n not in window]
-    assert not outside, f"never-driver-checked queries outside the window: {outside}"
+    n_rule1_slots = 9  # cdc insurance rows, always fronted
+    if len(never) > WINDOW - n_rule1_slots:
+        wasted = [
+            n
+            for n in window[n_rule1_slots:]
+            if n in seen and seen[n][1]  # already checked AND green
+        ]
+        assert not wasted, (
+            f"green already-checked rows occupy window slots while "
+            f"{len(never)} rows have never been driver-checked: {wasted}"
+        )
+    else:
+        outside = [n for n in never if n not in set(window)]
+        assert not outside, (
+            f"never-driver-checked queries outside the window: {outside}"
+        )
 
 
 def test_red_latest_driver_rows_register_inside_window():
