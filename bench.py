@@ -358,6 +358,7 @@ HEADLINE = [
     "orders_revenue_drawdown",
     "orders_littles_law_audit",
     "orders_revenue_pvm_bridge",
+    "ann_nprobe_recall_sweep",
 ]
 
 

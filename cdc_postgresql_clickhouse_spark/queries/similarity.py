@@ -822,7 +822,13 @@ FROM bucketed a
 JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE {_sql_cos('a.e', 'b.e')} >= 0.2
 """,
-    "ann_ivf_topk": f"""
+}
+
+
+def _sql_ivf(n_probe: int) -> str:
+    """The IVF oracle, parameterized on n_probe — shared by the registered
+    ann_ivf_topk row (n_probe = N_PROBE) and the recall-vs-nprobe sweep."""
+    return f"""
 WITH emb AS (SELECT vec_id, {_SQL_EMB} AS e FROM embeddings),
 cents AS (SELECT vec_id AS cid, e AS ce FROM emb WHERE vec_id < {N_CENTROIDS}),
 assign_scored AS (
@@ -832,7 +838,7 @@ assign_scored AS (
 ),
 assign AS (SELECT vec_id, cid FROM assign_scored WHERE rn = 1),
 probes AS (SELECT vec_id AS q_id, cid FROM assign_scored
-           WHERE vec_id % 100 = 0 AND rn <= {N_PROBE}),
+           WHERE vec_id % 100 = 0 AND rn <= {n_probe}),
 cand AS (
   SELECT p.q_id, a.vec_id AS neighbor_id
   FROM probes p JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.q_id
@@ -847,8 +853,10 @@ SELECT q_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank
 FROM (SELECT *, row_number() OVER (PARTITION BY q_id
        ORDER BY cos_sim DESC, neighbor_id) AS rank FROM pair)
 WHERE rank <= 5
-""",
-}
+"""
+
+
+ORACLE["ann_ivf_topk"] = _sql_ivf(N_PROBE)
 
 # Near-dup oracle, split into reusable pieces so composing queries (e.g. the
 # semantic-cluster oracle in queries/semantic.py) can embed the SAME edge
@@ -1567,3 +1575,69 @@ for _n in list(PENDING_QUERIES):
     QUERIES[_n] = PENDING_QUERIES.pop(_n)
     ORACLE[_n] = PENDING_ORACLE.pop(_n)
 del _n
+
+
+# --- IVF recall-vs-nprobe sweep ------------------------------------------------
+#
+# The capacity-planning twin of ann_recall_report: recall@5 AND candidate
+# volume as a function of n_probe (1, 2, 4) against the brute-force truth.
+# This is the curve an operator reads to size probe cost at a target
+# recall — the missing eval between "one method, one operating point"
+# (ann_recall_report) and production tuning. Scale shape: each arm is the
+# audited IVF pipeline (map-side assign, cid-keyed probe, broadcast query
+# slice); the truth side is top-k-bounded and broadcast.
+
+NPROBE_SWEEP = (1, 2, 4)
+
+
+def ann_nprobe_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    truth = ann_bruteforce_topk(spark, sf_dir).select(
+        "q_id", "neighbor_id"
+    ).withColumn("hit", F.lit(1).cast("long"))
+    allm = None
+    for np_ in NPROBE_SWEEP:
+        part = ann_ivf_topk(spark, sf_dir, n_probe=np_).select(
+            F.lit(np_).cast("long").alias("n_probe"), "q_id", "neighbor_id"
+        )
+        allm = part if allm is None else allm.unionByName(part)
+    joined = allm.join(F.broadcast(truth), ["q_id", "neighbor_id"], "left")
+    per = joined.groupBy("n_probe").agg(
+        F.countDistinct("q_id").alias("n_queries"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0).cast("long")))
+        .cast("long").alias("n_hits"),
+    )
+    return per.select(
+        "n_probe",
+        "n_queries",
+        "n_pairs",
+        "n_hits",
+        F.expr("n_hits * 1000000 div n_pairs").alias("recall_ppm"),
+    )
+
+
+QUERIES["ann_nprobe_recall_sweep"] = ann_nprobe_recall_sweep
+
+# each arm's full pipeline CTE is MATERIALIZED (the ann_recall_report OOM
+# lesson: sequential pipelines, peak memory = one arm)
+ORACLE["ann_nprobe_recall_sweep"] = f"""
+WITH bf AS MATERIALIZED ({ORACLE["ann_bruteforce_topk"]}),
+{", ".join(f'ivf{np_} AS MATERIALIZED ({_sql_ivf(np_)})' for np_ in NPROBE_SWEEP)},
+allm AS (
+  {" UNION ALL ".join(f"SELECT CAST({np_} AS BIGINT) AS n_probe, q_id, neighbor_id FROM ivf{np_}" for np_ in NPROBE_SWEEP)}
+),
+per AS (
+  SELECT a.n_probe,
+         COUNT(DISTINCT a.q_id) AS n_queries,
+         COUNT(*) AS n_pairs,
+         SUM(CASE WHEN b.q_id IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+  FROM allm a
+  LEFT JOIN bf b ON b.q_id = a.q_id AND b.neighbor_id = a.neighbor_id
+  GROUP BY 1
+)
+SELECT n_probe, CAST(n_queries AS BIGINT) AS n_queries,
+       CAST(n_pairs AS BIGINT) AS n_pairs,
+       CAST(n_hits AS BIGINT) AS n_hits,
+       CAST(n_hits * 1000000 // n_pairs AS BIGINT) AS recall_ppm
+FROM per
+"""

@@ -1504,3 +1504,133 @@ for _n in list(PENDING_QUERIES):
     QUERIES[_n] = PENDING_QUERIES.pop(_n)
     ORACLE[_n] = PENDING_ORACLE.pop(_n)
 del _n
+
+
+# --- stream-stream LEFT-OUTER interval join -----------------------------------
+#
+# The outer half of the attribution join: purchases WITHOUT a same-user
+# click in the lookback window must still emit (NULL view columns) — but
+# only once the watermark proves no match can arrive. The state-eviction
+# mechanics are what the equivalence row exercises: unmatched rows appear
+# in a micro-batch AFTER the one that advanced the watermark past them, so
+# the drain appends a far-future sentinel pair (advances both sides'
+# watermarks) plus one further sentinel batch (applies it). Sentinels use
+# negative user_ids and are filtered from the result; the sentinel
+# purchase itself can never emit (nothing outruns its own watermark),
+# which is exactly why it is filtered by id rather than waited for.
+
+
+def streaming_interval_left_join_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT-OUTER interval join ≡ the batch left
+    join: purchases joined to same-user clicks in the preceding 60 minutes,
+    streamed as three event-time-ordered chunks + two sentinel batches.
+    The 2-hour watermark delay exceeds the 60-minute range, so no partner
+    evicts early (matched pairs exact) and the sentinels push the final
+    watermark past every real purchase (unmatched set exact). One summary
+    row: purchase counts split matched/unmatched + pair count + unmatched
+    cents."""
+    from cdc_postgresql_clickhouse_spark.streaming.joins import (
+        purchase_attribution_left_join,
+    )
+    from cdc_postgresql_clickhouse_spark.streaming.windows import _tz_aware_ts
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_ilj_")
+    try:
+        src = os.path.join(tmp, "src")
+        out = os.path.join(tmp, "out")
+        ckpt = os.path.join(tmp, "ckpt")
+        chunk = (F.dayofmonth("ts") - 1).cast("int") / 10
+        for i in range(3):
+            ev.filter(F.floor(chunk) == i).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+        max_ts = ev.agg(F.max("ts")).first()[0]
+        for j, days in enumerate((30, 31)):
+            sentinel = spark.createDataFrame(
+                [
+                    (-1 - 2 * j, max_ts, int(-1 - 2 * j), "click", 0.0),
+                    (-2 - 2 * j, max_ts, int(-2 - 2 * j), "purchase", 0.0),
+                ],
+                ev.schema,
+            ).select(
+                "user_id",
+                (F.col("ts") + F.expr(f"INTERVAL {days} DAYS")).alias("ts"),
+                "event_id", "event_type", "value",
+            )
+            sentinel.coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(ev.schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src)
+        tz = _tz_aware_ts(stream)
+        joined = purchase_attribution_left_join(
+            tz.filter(F.col("event_type") == "click"),
+            tz.filter(F.col("event_type") == "purchase"),
+            lookback="60 minutes",
+            watermark="2 hours",
+        )
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        pairs = spark.read.parquet(out).filter(F.col("user_id") >= 0)
+        per_p = pairs.groupBy("purchase_id").agg(
+            F.count("view_id").cast("long").alias("n_views"),
+            F.max(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+                "cents"
+            ),
+        )
+        res = per_p.agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.sum(F.when(F.col("n_views") > 0, 1).otherwise(0))
+            .cast("long").alias("n_matched_purchases"),
+            F.sum(F.when(F.col("n_views") == 0, 1).otherwise(0))
+            .cast("long").alias("n_unmatched_purchases"),
+            F.sum("n_views").cast("long").alias("n_pairs"),
+            F.sum(F.when(F.col("n_views") == 0, F.col("cents")).otherwise(0))
+            .cast("long").alias("unmatched_cents"),
+        )
+        return _materialized(res)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_SQL_INTERVAL_LEFT_JOIN = """
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, ts AS p_ts,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT event_id AS c_id, user_id, ts AS c_ts
+  FROM events WHERE event_type = 'click'
+),
+per_p AS (
+  SELECT p.purchase_id,
+         COUNT(c.c_id)::BIGINT AS n_views,
+         MAX(p.cents) AS cents
+  FROM p LEFT JOIN c
+    ON p.user_id = c.user_id
+   AND c.c_ts <= p.p_ts AND c.c_ts >= p.p_ts - INTERVAL 60 MINUTE
+  GROUP BY 1
+)
+SELECT COUNT(*)::BIGINT AS n_purchases,
+       SUM(CASE WHEN n_views > 0 THEN 1 ELSE 0 END)::BIGINT
+         AS n_matched_purchases,
+       SUM(CASE WHEN n_views = 0 THEN 1 ELSE 0 END)::BIGINT
+         AS n_unmatched_purchases,
+       SUM(n_views)::BIGINT AS n_pairs,
+       SUM(CASE WHEN n_views = 0 THEN cents ELSE 0 END)::BIGINT
+         AS unmatched_cents
+FROM per_p
+"""
+
+QUERIES["streaming_interval_left_join_equiv"] = streaming_interval_left_join_equiv
+ORACLE["streaming_interval_left_join_equiv"] = _SQL_INTERVAL_LEFT_JOIN

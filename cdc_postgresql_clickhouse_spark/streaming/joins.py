@@ -49,3 +49,45 @@ def purchase_attribution_join(
     return p.join(v, cond, "inner").select(
         "user_id", "purchase_id", "purchase_ts", "value", "view_id", "view_ts"
     )
+
+
+def purchase_attribution_left_join(
+    views: DataFrame,
+    purchases: DataFrame,
+    lookback: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """LEFT-OUTER interval join: every purchase emits — paired with each
+    same-user view in the ``lookback`` window, or with NULL view columns
+    once the watermark passes the point where no matching view can still
+    arrive (view_ts ≤ purchase_ts, so that point is purchase_ts + the
+    watermark delay). This is the Structured Streaming outer-join contract:
+    both sides watermarked + an event-time range in the join condition, so
+    the state store can both evict matched state AND prove a purchase
+    unmatched. The same function works on batch DataFrames (withWatermark
+    is a no-op; the planner runs a plain left join), which is how the
+    DuckDB twin verifies the semantics.
+
+    NOTE for finite sources: unmatched rows emit only in a micro-batch
+    AFTER the watermark has advanced past them — drive the stream with a
+    late sentinel (and one further batch to apply it) or the tail of the
+    left side stays in state at stream end."""
+    v = views.select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+    ).withWatermark("view_ts", watermark)
+    p = purchases.select(
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        "value",
+    ).withWatermark("purchase_ts", watermark)
+    cond = (
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {lookback}"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+    )
+    return p.join(v, cond, "left_outer").select(
+        "user_id", "purchase_id", "purchase_ts", "value", "view_id", "view_ts"
+    )

@@ -32,10 +32,17 @@ def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     if limit is None:
         try:
             pages = os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
-            limit = f"{min(16.0, pages * 0.4 / 2**30):.1f}GB"
+            limit = f"{min(24.0, pages * 0.4 / 2**30):.1f}GB"
         except (ValueError, OSError, AttributeError):
             limit = "4.0GB"
     con.execute(f"SET memory_limit='{limit}'")
+    # Bound oracle parallelism: DuckDB 1.0 defaults to every host thread
+    # (32 here) and per-thread sort/window buffers are PINNED — the heavy
+    # ANN cross-join + rank oracles intermittently exhausted the buffer
+    # manager ("failed to allocate block of 2048 bytes") at full width even
+    # with spill configured. 8 threads cuts pinned memory 4x; the oracle is
+    # the correctness twin, not the thing being benchmarked.
+    con.execute(f"SET threads={int(os.environ.get('ORACLE_DUCKDB_THREADS', '8'))}")
     for t in TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(path):

@@ -207,3 +207,24 @@ def test_pagerank_rounds_do_not_rescan_the_corpus(spark, sf_dir):
 
     for fn in (GR_Q["graph_pagerank_types"], GR_P["graph_personalized_pagerank"]):
         assert len(read_schemas(fn(spark, sf_dir))) <= 2
+
+
+def test_skew_report_runs_on_count_of_counts(spark, sf_dir):
+    """The skew diagnostic's only key-grain pass is one count per key; the
+    cumulative windows run on the COUNT-OF-COUNTS table (domain bounded by
+    the heaviest key's multiplicity). Pin: exactly 3 scans (one per join
+    key), no cartesian, and every aggregation partial (no extra exchanges
+    beyond the per-key and count-of-counts groupings)."""
+    import re as _re
+
+    from cdc_postgresql_clickhouse_spark.queries.skew import QUERIES as SK_Q
+
+    df = SK_Q["skew_join_key_report"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert len(read_schemas(df)) == 3, read_schemas(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # per key col: per-key groupBy + count-of-counts groupBy + the bounded
+    # single-reducer window = 3 exchanges; 3 key cols -> <= 9 (+1 slack for
+    # the final union's AQE coalescing variance)
+    assert len(_re.findall(r"\(\d+\) Exchange\b", plan)) <= 10, plan[:1500]
