@@ -359,6 +359,9 @@ HEADLINE = [
     "orders_littles_law_audit",
     "orders_revenue_pvm_bridge",
     "ann_nprobe_recall_sweep",
+    "cdc_txn_atomicity_report",
+    "corpus_modality_coverage",
+    "text_word_pmi_topk",
 ]
 
 

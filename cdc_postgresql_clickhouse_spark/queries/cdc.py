@@ -1331,3 +1331,89 @@ for _n in list(PENDING_QUERIES):
     QUERIES[_n] = PENDING_QUERIES.pop(_n)
     ORACLE[_n] = PENDING_ORACLE.pop(_n)
 del _n
+
+
+# --- transaction atomicity report (extension beyond the reference) ------------
+#
+# Debezium can emit transaction metadata (BEGIN/END markers with per-table
+# event counts); the reference's single-table pipeline never consumes it,
+# but any multi-statement source makes "was the whole transaction applied"
+# the first replication-health question. Model: a user's events inside one
+# 10-minute bucket form one transaction; a consumer cut at the 70th
+# percentile of the LSN range (here: event-time micros, the version token
+# per README.md:98) splits history into applied/unapplied. A transaction
+# with events on BOTH sides of the cut is TORN — the atomicity violation a
+# txn-boundary-aware sink must buffer against. All-integer; one keyed agg
+# + a broadcast one-row bound; scale = O(|events|) map + one shuffle.
+
+TXN_BUCKET_US = 600_000_000
+
+
+def cdc_txn_atomicity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        "event_type",
+    )
+    bounds = ev.agg(
+        (
+            F.min("us") + F.expr("CAST((max(us) - min(us)) * 7 div 10 AS BIGINT)")
+        ).alias("cut_us")
+    )
+    per_txn = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id", F.expr(f"us div {TXN_BUCKET_US}").alias("tb"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("event_type").cast("long").alias("n_types"),
+            F.sum(F.when(F.col("us") <= F.col("cut_us"), 1).otherwise(0))
+            .cast("long").alias("n_before_cut"),
+        )
+    )
+    return per_txn.agg(
+        F.count(F.lit(1)).cast("long").alias("n_txns"),
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.max("n_events").cast("long").alias("max_events_per_txn"),
+        F.sum(F.when(F.col("n_types") > 1, 1).otherwise(0))
+        .cast("long").alias("n_multi_type_txns"),
+        F.sum(
+            F.when(
+                (F.col("n_before_cut") > 0) & (F.col("n_before_cut") < F.col("n_events")),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("n_torn_at_cut"),
+    ).select(
+        "n_txns", "n_events", "max_events_per_txn", "n_multi_type_txns",
+        "n_torn_at_cut",
+        F.expr("n_torn_at_cut * 1000000 div n_txns").alias("torn_ppm"),
+    )
+
+
+_SQL_TXN_ATOMICITY = f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS us, event_type FROM events
+),
+bounds AS (
+  SELECT MIN(us) + (MAX(us) - MIN(us)) * 7 // 10 AS cut_us FROM ev
+),
+per_txn AS (
+  SELECT user_id, us // {TXN_BUCKET_US} AS tb,
+         COUNT(*)::BIGINT AS n_events,
+         COUNT(DISTINCT event_type)::BIGINT AS n_types,
+         SUM(CASE WHEN us <= (SELECT cut_us FROM bounds) THEN 1 ELSE 0 END)::BIGINT
+           AS n_before_cut
+  FROM ev GROUP BY 1, 2
+)
+SELECT COUNT(*)::BIGINT AS n_txns,
+       SUM(n_events)::BIGINT AS n_events,
+       MAX(n_events)::BIGINT AS max_events_per_txn,
+       SUM(CASE WHEN n_types > 1 THEN 1 ELSE 0 END)::BIGINT AS n_multi_type_txns,
+       SUM(CASE WHEN n_before_cut > 0 AND n_before_cut < n_events
+                THEN 1 ELSE 0 END)::BIGINT AS n_torn_at_cut,
+       (SUM(CASE WHEN n_before_cut > 0 AND n_before_cut < n_events
+                 THEN 1 ELSE 0 END) * 1000000 // COUNT(*))::BIGINT AS torn_ppm
+FROM per_txn
+"""
+
+QUERIES["cdc_txn_atomicity_report"] = cdc_txn_atomicity_report
+ORACLE["cdc_txn_atomicity_report"] = _SQL_TXN_ATOMICITY

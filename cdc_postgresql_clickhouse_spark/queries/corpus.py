@@ -503,3 +503,64 @@ for _n in list(PENDING_QUERIES):
     QUERIES[_n] = PENDING_QUERIES.pop(_n)
     ORACLE[_n] = PENDING_ORACLE.pop(_n)
 del _n
+
+
+# --- cross-modality alignment coverage -----------------------------------------
+#
+# The multimodal-pipeline hygiene check: does every document have its
+# embedding row, and every embedding its document? (Orphans on either side
+# mean a failed encode job or a stale corpus snapshot — the FK-orphan
+# report's analogue across modality tables.) One full-outer keyed join on
+# the id + one agg; at 100 TB both sides are id-bucketed tables and the
+# join co-locates. Label coverage counts distinct labels among matched
+# rows — the "is the labeled slice aligned" follow-up.
+
+
+def corpus_modality_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), F.lit(1).alias("d")
+    )
+    vecs = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"), F.col("label").cast("long").alias("label")
+    )
+    j = docs.join(vecs, "id", "full_outer")
+    return j.agg(
+        F.sum(F.when(F.col("d").isNotNull(), 1).otherwise(0))
+        .cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("label").isNotNull(), 1).otherwise(0))
+        .cast("long").alias("n_vecs"),
+        F.sum(
+            F.when(F.col("d").isNotNull() & F.col("label").isNotNull(), 1).otherwise(0)
+        ).cast("long").alias("n_matched"),
+        F.sum(
+            F.when(F.col("d").isNotNull() & F.col("label").isNull(), 1).otherwise(0)
+        ).cast("long").alias("n_docs_only"),
+        F.sum(
+            F.when(F.col("d").isNull() & F.col("label").isNotNull(), 1).otherwise(0)
+        ).cast("long").alias("n_vecs_only"),
+        F.countDistinct(
+            F.when(F.col("d").isNotNull(), F.col("label"))
+        ).cast("long").alias("n_matched_labels"),
+    )
+
+
+_SQL_MODALITY_COVERAGE = """
+WITH d AS (SELECT doc_id AS id FROM documents),
+v AS (SELECT vec_id AS id, CAST(label AS BIGINT) AS label FROM embeddings),
+j AS (SELECT COALESCE(d.id, v.id) AS id, d.id AS did, v.label
+      FROM d FULL JOIN v ON d.id = v.id)
+SELECT SUM(CASE WHEN did IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_docs,
+       SUM(CASE WHEN label IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_vecs,
+       SUM(CASE WHEN did IS NOT NULL AND label IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_matched,
+       SUM(CASE WHEN did IS NOT NULL AND label IS NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_docs_only,
+       SUM(CASE WHEN did IS NULL AND label IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_vecs_only,
+       COUNT(DISTINCT CASE WHEN did IS NOT NULL THEN label END)::BIGINT
+         AS n_matched_labels
+FROM j
+"""
+
+QUERIES["corpus_modality_coverage"] = corpus_modality_coverage
+ORACLE["corpus_modality_coverage"] = _SQL_MODALITY_COVERAGE

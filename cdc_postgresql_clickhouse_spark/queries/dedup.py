@@ -720,10 +720,13 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     corpus = _corpus(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
+    # two-step select (the _grams lesson): inlining tokens(text) inside
+    # word_shingles re-runs the tokenizer tree per element_at — O(len²)
     toks = (
-        corpus.select(
+        corpus.select("doc_id", tokens(F.col("text")).alias("toks"))
+        .select(
             "doc_id",
-            F.explode(word_shingles(tokens(F.col("text")), 3)).alias("tok"),
+            F.explode(word_shingles(F.col("toks"), 3)).alias("tok"),
         )
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)  # 3 branches: df, prefix, verify
@@ -839,10 +842,13 @@ def dedup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _corpus(spark, sf_dir).repartition(
         spark.sparkContext.defaultParallelism
     )
+    # two-step select (the _grams lesson): never inline tokens(text) into
+    # word_shingles — each element_at would re-run the tokenizer tree
     tf = (
-        corpus.select(
+        corpus.select("doc_id", tokens(F.col("text")).alias("toks"))
+        .select(
             "doc_id",
-            F.explode(word_shingles(tokens(F.col("text")), 3)).alias("t"),
+            F.explode(word_shingles(F.col("toks"), 3)).alias("t"),
         )
         .groupBy("doc_id", "t")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))

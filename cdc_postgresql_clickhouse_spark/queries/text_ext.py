@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from cdc_postgresql_clickhouse_spark.functions.text import normalized_text
+from cdc_postgresql_clickhouse_spark.functions.text import normalized_text, tokens
 from cdc_postgresql_clickhouse_spark.sources.registry import load_table
 
 # High-frequency character trigrams per language (space-padded forms appear
@@ -1550,3 +1550,86 @@ for _n in list(PENDING_QUERIES):
     QUERIES[_n] = PENDING_QUERIES.pop(_n)
     ORACLE[_n] = PENDING_ORACLE.pop(_n)
 del _n
+
+
+# --- word co-occurrence PMI ------------------------------------------------------
+#
+# Pointwise mutual information over within-document word co-occurrence —
+# the collocation/association-mining primitive (Church & Hanks 1990)
+# behind phrase detection and embedding-training diagnostics. Presence-
+# based: a pair counts once per document containing both words.
+#
+# Scale shape: pair mining over an UNBOUNDED vocabulary is O(doc_len²) per
+# doc and O(V²) overall, so the candidate space is capped to the TOP
+# ``PMI_VOCAB`` words by document frequency (df desc, word asc tie-break —
+# the standard collocation practice). That cap is a broadcast side; the
+# per-doc pair fan-out is then ≤ V²/2 regardless of corpus size, and the
+# final ranking sorts ≤ V²/2 rows. PMI in floored micro-nats of the
+# exact-integer ratio (n_pair·N)/(df_a·df_b) — the repo's ln-floor device.
+
+PMI_VOCAB = 50
+PMI_MIN_PAIR_DOCS = 5
+PMI_TOPK = 20
+
+
+def text_word_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("w")
+    )
+    df_counts = docs.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    vocab = df_counts.orderBy(F.desc("df"), F.asc("w")).limit(PMI_VOCAB)
+    n_docs = load_table(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    # prune postings to the capped vocab, then pair within doc
+    kept = docs.join(F.broadcast(vocab), "w")
+    a = kept.select("doc_id", F.col("w").alias("w_a"), F.col("df").alias("df_a"))
+    b = kept.select("doc_id", F.col("w").alias("w_b"), F.col("df").alias("df_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("w_a") < F.col("w_b"))
+        .groupBy("w_a", "w_b", "df_a", "df_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pair_docs"))
+        .filter(F.col("n_pair_docs") >= PMI_MIN_PAIR_DOCS)
+    )
+    scored = pairs.crossJoin(F.broadcast(n_docs)).select(
+        "w_a", "w_b", "n_pair_docs", "df_a", "df_b",
+        F.floor(
+            F.log(
+                (F.col("n_pair_docs") * F.col("n_docs")).cast("double")
+                / (F.col("df_a") * F.col("df_b")).cast("double")
+            )
+            * F.lit(1000000.0)
+        ).cast("long").alias("pmi_micro"),
+    )
+    return scored.orderBy(
+        F.desc("pmi_micro"), F.asc("w_a"), F.asc("w_b")
+    ).limit(PMI_TOPK)
+
+
+_SQL_WORD_PMI = f"""
+WITH docs AS (
+  SELECT doc_id, unnest(list_distinct({_SQL_TOKENS})) AS w FROM documents
+),
+dfc AS (SELECT w, COUNT(*)::BIGINT AS df FROM docs GROUP BY w),
+vocab AS (SELECT w, df FROM dfc ORDER BY df DESC, w LIMIT {PMI_VOCAB}),
+nd AS (SELECT COUNT(*)::BIGINT AS n_docs FROM documents),
+kept AS (SELECT d.doc_id, d.w, v.df FROM docs d JOIN vocab v USING (w)),
+pairs AS (
+  SELECT a.w AS w_a, b.w AS w_b, a.df AS df_a, b.df AS df_b,
+         COUNT(*)::BIGINT AS n_pair_docs
+  FROM kept a JOIN kept b ON a.doc_id = b.doc_id AND a.w < b.w
+  GROUP BY 1, 2, 3, 4
+  HAVING COUNT(*) >= {PMI_MIN_PAIR_DOCS}
+)
+SELECT w_a, w_b, n_pair_docs, df_a, df_b,
+       CAST(FLOOR(LN(CAST(n_pair_docs * n_docs AS DOUBLE)
+                     / CAST(df_a * df_b AS DOUBLE)) * 1000000.0) AS BIGINT)
+         AS pmi_micro
+FROM pairs CROSS JOIN nd
+ORDER BY pmi_micro DESC, w_a, w_b
+LIMIT {PMI_TOPK}
+"""
+
+QUERIES["text_word_pmi_topk"] = text_word_pmi_topk
+ORACLE["text_word_pmi_topk"] = _SQL_WORD_PMI

@@ -1066,13 +1066,23 @@ def corpus_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark import StorageLevel
 
-    corpus = _corpus(spark, sf_dir)
+    # repartition before the shingle build, as dedup_minhash_lsh does:
+    # documents.parquet is 1-2 splits locally, and without it the whole
+    # tokenize+shingle+distinct pass runs on 1-2 tasks (bench caught it at
+    # 27.6s — 30s of single-task shingling, 5x the rest of the query)
+    corpus = _corpus(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     # persisted like dedup_minhash_lsh's shingle table: referenced by the
     # bench bands, the train bands, and both verify sides (scan audit
-    # found 4 re-tokenizations without it)
-    shs_all = corpus.select(
+    # found 4 re-tokenizations without it). Two-step select ON PURPOSE
+    # (the _grams lesson): word_shingles references its token array 3× per
+    # gram, and inlining tokens(text) re-runs the whole tokenizer tree in
+    # every element_at — bench caught it at ~18s of the 27s total.
+    toks = corpus.select("doc_id", tokens(F.col("text")).alias("toks"))
+    shs_all = toks.select(
         "doc_id",
-        F.array_distinct(word_shingles(tokens(F.col("text")), 3)).alias("shs"),
+        F.array_distinct(word_shingles(F.col("toks"), 3)).alias("shs"),
     ).filter(F.size("shs") > 0).persist(StorageLevel.MEMORY_AND_DISK)
 
     def _minhash(seed: int):
