@@ -73,39 +73,34 @@ _MODULES = (
 # lists the first-50 names in driver order; every remaining query follows in
 # module order and is re-verified locally by scripts/parity_sweep.py.
 _WINDOW_FRONT = [
-    # rule 1: cdc (9)
-    "cdc_current_state", "cdc_soft_delete_state", "cdc_envelope_transform",
-    "cdc_epoch_micros_roundtrip", "cdc_count_final", "cdc_idempotent_replay",
-    "cdc_scd2_history", "cdc_reconciliation_report",
-    "cdc_schema_evolution_state",
-    # rule 2b: none — CORRECTNESS_r07 was 50/50 green, zero red anywhere.
-    # rule 2: never driver-checked — round-8 registered the ENTIRE pending
-    # layer (121 rows, VERDICT r7 #1); the window takes the first 41 in
-    # oldest-built-first order (the wave-2 queue recorded in COVERAGE.md).
-    # The remaining 80 never-checked rows follow behind the window in
-    # module order and front in r9/r10; every registered row is re-verified
-    # locally by scripts/parity_sweep.py each round regardless.
-    "cdc_toast_carryforward", "cdc_incremental_snapshot_equiv",
-    "dedup_survivor_policy", "streaming_dlq_replay_equiv",
-    "events_active_users", "events_session_type_pairs",
-    "orders_reorder_intervals", "quality_dedup_interaction",
-    "corpus_token_gini", "validation_expectations_report",
-    "dedup_jaccard_prefix_filter", "streaming_join_mv_equiv",
-    "events_autocorr_daily", "events_markov_accuracy", "text_rake_keywords",
-    "corpus_source_overlap", "events_twap", "quality_ks_length_test",
-    "cdc_sequence_gap_report", "corpus_stratified_split",
-    "corpus_simpson_diversity", "orders_pareto_abc",
-    "events_changepoint_argmax", "orders_benford_digits",
-    "skew_join_key_report", "orders_shiplag_trend",
-    "quality_chi2_source_lang", "graph_neighbor_jaccard",
-    "dedup_tfidf_cosine", "embedding_label_silhouette",
-    "streaming_interval_join_equiv", "orders_theilsen_trend",
-    "events_bot_score", "supplier_hhi_concentration",
-    "orders_seasonal_index", "embedding_knn_reciprocity",
-    "events_range_frame_peak", "orders_dispersion_test",
-    "cdc_staleness_report", "events_entry_bounce_rate",
-    "streaming_dropdup_watermark_equiv",
-    # rule 3: no refill slots this round — 9 + 41 = 50.
+    # rule 1: cdc insurance, shrunk to 2 while the never-checked queue is
+    # non-empty (VERDICT r8 #1): the flagship current-state read plus one
+    # rotating CDC row (r9 rotation: cdc_count_final, the reference's own
+    # verification query, README.md:321-329).
+    "cdc_current_state", "cdc_count_final",
+    # rule 2b: none — CORRECTNESS_r08 was 50/50 green, zero red anywhere.
+    # rule 2: never driver-checked — 85 rows queued after the r8 full
+    # registration; the window takes the first 48 in registration (module)
+    # order. The remaining 37 follow behind the window and front in r10;
+    # every registered row is re-verified locally by
+    # scripts/parity_sweep.py each round regardless.
+    "cdc_inversion_report", "cdc_state_growth", "cdc_key_churn",
+    "cdc_write_amplification", "cdc_op_mix_weekly", "cdc_txn_atomicity_report",
+    "streaming_state_store_dedup_equiv", "streaming_sliding_equiv", "streaming_ohlc_equiv",
+    "streaming_km_equiv", "streaming_interval_left_join_equiv", "chunk_stability_report",
+    "quality_langid_kappa", "corpus_bigram_kn_ppl", "text_burrows_delta",
+    "text_word_pmi_topk", "sketch_cms_error_sweep", "sketch_kmv_error_sweep",
+    "sketch_theta_difference", "sketch_intersection_method_report", "graph_edge_reciprocity",
+    "graph_degree_assortativity", "graph_clustering_coefficient", "graph_distance_profile",
+    "graph_personalized_pagerank", "graph_markov_stationary", "dedup_transitivity_report",
+    "dedup_simhash_bit_balance", "embedding_quantize_recall", "embedding_hubness_profile",
+    "ann_nprobe_recall_sweep", "embedding_norm_outliers", "dedup_roi_curve",
+    "dedup_cross_source_matrix", "text_term_burstiness", "text_keyness_report",
+    "text_mattr_diversity", "quality_filter_bias_audit", "packing_efficiency_report",
+    "corpus_decontaminate_fuzzy", "corpus_upsample_plan", "sketch_bloom_error_sweep",
+    "corpus_dup_rate_growth", "corpus_modality_coverage", "events_conversion_latency",
+    "events_activity_streaks", "events_streak_hazard", "events_did_error_impact",
+    # rule 3: no refill slots this round — 2 + 48 = 50.
 ]
 
 
