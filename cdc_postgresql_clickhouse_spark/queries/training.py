@@ -1058,6 +1058,20 @@ PENDING_ORACLE["packing_efficiency_report"] = _SQL_PACKING
 # a broadcast join; only candidate pairs pay the verify join.
 
 
+def _mh_family() -> tuple[int, list[int], list[int]]:
+    """Deterministic universal-hash family (a_i*h + b_i) % p over the 52-bit
+    md5-prefix base hash; p = 2^31-1 keeps every product under 2^62 so the
+    arithmetic is exact in ANSI-mode bigints on both engines. Constants are
+    Knuth-multiplicative steps — fixed literals, identical in the Spark
+    expression and the DuckDB twin."""
+    from cdc_postgresql_clickhouse_spark.queries.dedup import N_HASHES
+
+    p = 2147483647
+    a_mul = [(2654435761 * (i + 1)) % p for i in range(N_HASHES)]
+    b_add = [(40503 * i + 1) % p for i in range(N_HASHES)]
+    return p, a_mul, b_add
+
+
 def corpus_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_postgresql_clickhouse_spark.queries.dedup import (
         BAND_ROWS,
@@ -1080,23 +1094,44 @@ def corpus_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # gram, and inlining tokens(text) re-runs the whole tokenizer tree in
     # every element_at — bench caught it at ~18s of the 27s total.
     toks = corpus.select("doc_id", tokens(F.col("text")).alias("toks"))
+    # ONE md5 per shingle (52-bit hex prefix -> bigint), then N_HASHES cheap
+    # universal-hash variants (a*h+b) % p downstream — vs the previous
+    # 12 separate md5(seed|s) passes this cuts the hash work 12x. The hs
+    # column lives in the SAME persisted table as shs so the 12 transforms
+    # read the materialized array (an unpersisted projection would be
+    # collapse-inlined by Catalyst, re-running the md5 transform 12x); the
+    # duplicated shingle subtree in this one Project is CSE-eliminated
+    # (measured: same 4.6s build as a shingle-only persist at sf0.1).
+    # The empty-shingle filter sits AFTER the persist, evaluated against the
+    # cached relation: pushed into the scan it re-runs the whole
+    # tokenize+shingle tree per raw input row serially on the 1-2 file
+    # splits (the dedup_minhash_lsh lesson — this very trap was the r8 bench
+    # line's 15.2s: 16.3s persist -> 4.6s by moving the filter up).
+    p, a_mul, b_add = _mh_family()
     shs_all = toks.select(
         "doc_id",
         F.array_distinct(word_shingles(F.col("toks"), 3)).alias("shs"),
-    ).filter(F.size("shs") > 0).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    shs_all = shs_all.select(
+        "doc_id",
+        "shs",
+        F.expr(
+            "transform(shs, s ->"
+            f" cast(conv(substring(md5(s), 1, 13), 16, 10) as bigint) % {p}L)"
+        ).alias("hs"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    shs_all = shs_all.filter(F.size("shs") > 0)
 
     def _minhash(seed: int):
         return F.expr(
-            f"array_min(transform(shs, s -> md5(concat('{seed}|', s))))"
+            f"array_min(transform(hs, h -> (h * {a_mul[seed]}L + {b_add[seed]}L) % {p}L))"
         ).alias(f"mh{seed}")
 
     def _bands(df: DataFrame) -> DataFrame:
         sig = df.select("doc_id", *[_minhash(i) for i in range(N_HASHES)])
         band_cols = [
-            F.md5(
-                F.concat_ws(
-                    ",", *[F.col(f"mh{b * BAND_ROWS + r}") for r in range(BAND_ROWS)]
-                )
+            F.concat_ws(
+                ",", *[F.col(f"mh{b * BAND_ROWS + r}").cast("string") for r in range(BAND_ROWS)]
             ).alias(f"bh{b}")
             for b in range(N_HASHES // BAND_ROWS)
         ]
@@ -1144,18 +1179,27 @@ def _sql_fuzzy_decontam() -> str:
         N_HASHES,
     )
 
+    p, a_mul, b_add = _mh_family()
+    seeds = ", ".join(
+        f"({i}, {a_mul[i]}, {b_add[i]})" for i in range(N_HASHES)
+    )
     return f"""
 WITH corpus AS ({_SQL_CORPUS}),
 sh AS ({_SQL_SHINGLES}),
 counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+hs AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(shingle), 1, 13))::UBIGINT % {p} AS BIGINT) AS h
+  FROM sh
+),
 sig AS (
-  SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS mh
-  FROM sh, (SELECT unnest(range({N_HASHES})) AS seed)
-  GROUP BY doc_id, seed
+  SELECT doc_id, s.seed, MIN((h * s.a + s.b) % {p}) AS mh
+  FROM hs, (VALUES {seeds}) AS s(seed, a, b)
+  GROUP BY doc_id, s.seed
 ),
 bands AS (
   SELECT doc_id, CAST(FLOOR(seed / {BAND_ROWS}) AS BIGINT) AS band,
-         md5(string_agg(mh, ',' ORDER BY seed)) AS bh
+         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS bh
   FROM sig GROUP BY 1, 2
 ),
 cand AS (
