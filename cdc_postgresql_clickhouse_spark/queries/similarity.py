@@ -1646,12 +1646,25 @@ NPROBE_SWEEP = (1, 2, 4)
 
 
 def ann_nprobe_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    truth = ann_bruteforce_topk(spark, sf_dir).select(
+    from pyspark import StorageLevel
+
+    # the shared index build of ann_recall_report: emb + coarse assignment
+    # persist once, each arm probes the same cached inverted lists
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _emb_d().alias("e"), _norm(_emb_d()).alias("nrm")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    cents = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce"), F.col("nrm").alias("cn")
+    )
+    assign = ivf_assign(emb, cents).persist(StorageLevel.MEMORY_AND_DISK)
+    truth = ann_bruteforce_topk(spark, sf_dir, emb=emb).select(
         "q_id", "neighbor_id"
     ).withColumn("hit", F.lit(1).cast("long"))
     allm = None
     for np_ in NPROBE_SWEEP:
-        part = ann_ivf_topk(spark, sf_dir, n_probe=np_).select(
+        part = ann_ivf_topk(
+            spark, sf_dir, n_probe=np_, emb=emb, cents=cents, assign=assign
+        ).select(
             F.lit(np_).cast("long").alias("n_probe"), "q_id", "neighbor_id"
         )
         allm = part if allm is None else allm.unionByName(part)
@@ -1662,12 +1675,20 @@ def ann_nprobe_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.coalesce(F.col("hit"), F.lit(0).cast("long")))
         .cast("long").alias("n_hits"),
     )
+    # recall divides by the FIXED truth-set size (one constant for every
+    # arm), not the emitted-pair count: hits are superset-monotone in
+    # n_probe, so with a fixed denominator the recall curve is provably
+    # nondecreasing — hits/n_pairs (precision) is not, since the
+    # denominator also grows with n_probe (ADVICE r8).
+    n_truth = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    per = per.crossJoin(F.broadcast(n_truth))
     return per.select(
         "n_probe",
         "n_queries",
         "n_pairs",
         "n_hits",
-        F.expr("n_hits * 1000000 div n_pairs").alias("recall_ppm"),
+        "n_truth",
+        F.expr("n_hits * 1000000 div n_truth").alias("recall_ppm"),
     )
 
 
@@ -1693,6 +1714,7 @@ per AS (
 SELECT n_probe, CAST(n_queries AS BIGINT) AS n_queries,
        CAST(n_pairs AS BIGINT) AS n_pairs,
        CAST(n_hits AS BIGINT) AS n_hits,
-       CAST(n_hits * 1000000 // n_pairs AS BIGINT) AS recall_ppm
-FROM per
+       CAST(t.n_truth AS BIGINT) AS n_truth,
+       CAST(n_hits * 1000000 // t.n_truth AS BIGINT) AS recall_ppm
+FROM per CROSS JOIN (SELECT COUNT(*) AS n_truth FROM bf) t
 """

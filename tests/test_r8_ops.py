@@ -84,8 +84,15 @@ def test_nprobe_recall_is_monotone_and_consistent(spark, sf_dir):
     }
     assert set(rows) == set(NPROBE_SWEEP)
     recalls = [rows[p]["recall_ppm"] for p in sorted(rows)]
-    # probing more lists can only add candidates: recall is nondecreasing
+    # probing more lists can only add candidates, and true top-5 members
+    # present in a candidate set always make the candidate top-5, so hits
+    # are superset-monotone; recall divides by the FIXED truth-set size
+    # (n_truth, constant across arms), making the curve provably
+    # nondecreasing on any fixture (ADVICE r8: hits/n_pairs was not).
     assert recalls == sorted(recalls)
+    hits = [rows[p]["n_hits"] for p in sorted(rows)]
+    assert hits == sorted(hits)
+    assert len({rows[p]["n_truth"] for p in rows}) == 1
     # the n_probe=2 arm IS the registered IVF operating point: its hit
     # accounting must match ann_recall_report's ivf row exactly
     rep = {
