@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from cdc_postgresql_clickhouse_spark.sources.registry import load_table
+from cdc_postgresql_clickhouse_spark.queries._pending import flip_pending
 
 
 def _latest(ev: DataFrame) -> DataFrame:
@@ -1327,10 +1328,7 @@ del _n
 # round, not how many may be REGISTERED — holding locally hash-verified
 # operators out of the contract understates coverage and risks rows never
 # receiving a driver row. Window order lives in queries/__init__.
-for _n in list(PENDING_QUERIES):
-    QUERIES[_n] = PENDING_QUERIES.pop(_n)
-    ORACLE[_n] = PENDING_ORACLE.pop(_n)
-del _n
+flip_pending(PENDING_QUERIES, PENDING_ORACLE, QUERIES, ORACLE)
 
 
 # --- transaction atomicity report (extension beyond the reference) ------------

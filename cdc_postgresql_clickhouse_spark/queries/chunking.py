@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from cdc_postgresql_clickhouse_spark.functions.text import tokens
 from cdc_postgresql_clickhouse_spark.queries.dedup import _SQL_CORPUS
 from cdc_postgresql_clickhouse_spark.sources.registry import load_table
+from cdc_postgresql_clickhouse_spark.queries._pending import flip_pending
 
 CHUNK_TOKENS = 64
 CHUNK_STRIDE = 48  # 25% overlap between consecutive chunks
@@ -286,7 +287,4 @@ PENDING_ORACLE = {"chunk_stability_report": _SQL_CHUNK_STABILITY}
 # round, not how many may be REGISTERED — holding locally hash-verified
 # operators out of the contract understates coverage and risks rows never
 # receiving a driver row. Window order lives in queries/__init__.
-for _n in list(PENDING_QUERIES):
-    QUERIES[_n] = PENDING_QUERIES.pop(_n)
-    ORACLE[_n] = PENDING_ORACLE.pop(_n)
-del _n
+flip_pending(PENDING_QUERIES, PENDING_ORACLE, QUERIES, ORACLE)

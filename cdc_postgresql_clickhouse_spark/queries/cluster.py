@@ -45,6 +45,7 @@ from cdc_postgresql_clickhouse_spark.queries.dedup import (
     dedup_minhash_lsh,
 )
 from cdc_postgresql_clickhouse_spark.sources.registry import load_table
+from cdc_postgresql_clickhouse_spark.queries._pending import flip_pending
 
 MAX_CC_ITERS = 20
 
@@ -594,7 +595,4 @@ PENDING_ORACLE["dedup_cross_source_matrix"] = _SQL_CROSS_SOURCE
 # round, not how many may be REGISTERED — holding locally hash-verified
 # operators out of the contract understates coverage and risks rows never
 # receiving a driver row. Window order lives in queries/__init__.
-for _n in list(PENDING_QUERIES):
-    QUERIES[_n] = PENDING_QUERIES.pop(_n)
-    ORACLE[_n] = PENDING_ORACLE.pop(_n)
-del _n
+flip_pending(PENDING_QUERIES, PENDING_ORACLE, QUERIES, ORACLE)

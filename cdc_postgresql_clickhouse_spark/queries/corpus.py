@@ -25,6 +25,7 @@ from cdc_postgresql_clickhouse_spark.queries.similarity import (
 )
 from cdc_postgresql_clickhouse_spark.queries.text import _trunc6
 from cdc_postgresql_clickhouse_spark.sources.registry import load_table
+from cdc_postgresql_clickhouse_spark.queries._pending import flip_pending
 
 
 def crossmodal_doc_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -499,10 +500,7 @@ PENDING_ORACLE["corpus_dup_rate_growth"] = _sql_dup_growth()
 # round, not how many may be REGISTERED — holding locally hash-verified
 # operators out of the contract understates coverage and risks rows never
 # receiving a driver row. Window order lives in queries/__init__.
-for _n in list(PENDING_QUERIES):
-    QUERIES[_n] = PENDING_QUERIES.pop(_n)
-    ORACLE[_n] = PENDING_ORACLE.pop(_n)
-del _n
+flip_pending(PENDING_QUERIES, PENDING_ORACLE, QUERIES, ORACLE)
 
 
 # --- cross-modality alignment coverage -----------------------------------------

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from cdc_postgresql_clickhouse_spark.functions.text import tokens, word_shingles
 from cdc_postgresql_clickhouse_spark.sources.registry import load_table
+from cdc_postgresql_clickhouse_spark.queries._pending import flip_pending
 
 N_HASHES = 12
 BAND_ROWS = 3  # 4 bands × 3 rows
@@ -1098,7 +1099,4 @@ PENDING_ORACLE["dedup_simhash_bit_balance"] = _SQL_BIT_BALANCE
 # round, not how many may be REGISTERED — holding locally hash-verified
 # operators out of the contract understates coverage and risks rows never
 # receiving a driver row. Window order lives in queries/__init__.
-for _n in list(PENDING_QUERIES):
-    QUERIES[_n] = PENDING_QUERIES.pop(_n)
-    ORACLE[_n] = PENDING_ORACLE.pop(_n)
-del _n
+flip_pending(PENDING_QUERIES, PENDING_ORACLE, QUERIES, ORACLE)

@@ -29,6 +29,7 @@ from cdc_postgresql_clickhouse_spark.functions.text import STOPWORDS, tokens
 from cdc_postgresql_clickhouse_spark.queries.dedup import _SQL_TOKENS
 from cdc_postgresql_clickhouse_spark.queries.text import _trunc6
 from cdc_postgresql_clickhouse_spark.sources.registry import load_table
+from cdc_postgresql_clickhouse_spark.queries._pending import flip_pending
 
 # Gopher-style gate, pinned to named constants so the Spark and SQL sides
 # can't drift. Bounds chosen to actually partition the synthetic corpus
@@ -772,7 +773,4 @@ PENDING_ORACLE["quality_filter_bias_audit"] = _SQL_FILTER_BIAS
 # round, not how many may be REGISTERED — holding locally hash-verified
 # operators out of the contract understates coverage and risks rows never
 # receiving a driver row. Window order lives in queries/__init__.
-for _n in list(PENDING_QUERIES):
-    QUERIES[_n] = PENDING_QUERIES.pop(_n)
-    ORACLE[_n] = PENDING_ORACLE.pop(_n)
-del _n
+flip_pending(PENDING_QUERIES, PENDING_ORACLE, QUERIES, ORACLE)

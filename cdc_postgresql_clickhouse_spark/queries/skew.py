@@ -18,6 +18,7 @@ from cdc_postgresql_clickhouse_spark.operators.layout import (
 )
 from cdc_postgresql_clickhouse_spark.queries.tpch import _cents
 from cdc_postgresql_clickhouse_spark.sources.registry import load_table
+from cdc_postgresql_clickhouse_spark.queries._pending import flip_pending
 
 N_SALTS = 8
 
@@ -158,7 +159,4 @@ PENDING_ORACLE = {"skew_join_key_report": _sql_skew_report()}
 # round, not how many may be REGISTERED — holding locally hash-verified
 # operators out of the contract understates coverage and risks rows never
 # receiving a driver row. Window order lives in queries/__init__.
-for _n in list(PENDING_QUERIES):
-    QUERIES[_n] = PENDING_QUERIES.pop(_n)
-    ORACLE[_n] = PENDING_ORACLE.pop(_n)
-del _n
+flip_pending(PENDING_QUERIES, PENDING_ORACLE, QUERIES, ORACLE)

@@ -55,6 +55,7 @@ from cdc_postgresql_clickhouse_spark.queries.dedup import (
     _SQL_MINHASH_SELECT,
 )
 from cdc_postgresql_clickhouse_spark.sources.registry import load_table
+from cdc_postgresql_clickhouse_spark.queries._pending import flip_pending
 
 COPY_MOD = 9
 COPY_RESIDUE = 4
@@ -1500,10 +1501,7 @@ PENDING_ORACLE["streaming_km_equiv"] = _SQL_KM
 # round, not how many may be REGISTERED — holding locally hash-verified
 # operators out of the contract understates coverage and risks rows never
 # receiving a driver row. Window order lives in queries/__init__.
-for _n in list(PENDING_QUERIES):
-    QUERIES[_n] = PENDING_QUERIES.pop(_n)
-    ORACLE[_n] = PENDING_ORACLE.pop(_n)
-del _n
+flip_pending(PENDING_QUERIES, PENDING_ORACLE, QUERIES, ORACLE)
 
 
 # --- stream-stream LEFT-OUTER interval join -----------------------------------

@@ -16,6 +16,7 @@ from pyspark.sql.window import Window
 
 from cdc_postgresql_clickhouse_spark.functions.text import STOPWORDS, normalized_text, tokens
 from cdc_postgresql_clickhouse_spark.sources.registry import load_table
+from cdc_postgresql_clickhouse_spark.queries._pending import flip_pending
 
 # DuckDB twin of functions.text.tokens (keep in sync).
 SQL_TOKENS = (
@@ -873,7 +874,4 @@ del _n
 # round, not how many may be REGISTERED — holding locally hash-verified
 # operators out of the contract understates coverage and risks rows never
 # receiving a driver row. Window order lives in queries/__init__.
-for _n in list(PENDING_QUERIES):
-    QUERIES[_n] = PENDING_QUERIES.pop(_n)
-    ORACLE[_n] = PENDING_ORACLE.pop(_n)
-del _n
+flip_pending(PENDING_QUERIES, PENDING_ORACLE, QUERIES, ORACLE)

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from cdc_postgresql_clickhouse_spark.functions.text import normalized_text, tokens
 from cdc_postgresql_clickhouse_spark.sources.registry import load_table
+from cdc_postgresql_clickhouse_spark.queries._pending import flip_pending
 
 # High-frequency character trigrams per language (space-padded forms appear
 # because the normalized text keeps single spaces between words).
@@ -1546,10 +1547,7 @@ PENDING_ORACLE["text_burrows_delta"] = _sql_burrows_delta()
 # round, not how many may be REGISTERED — holding locally hash-verified
 # operators out of the contract understates coverage and risks rows never
 # receiving a driver row. Window order lives in queries/__init__.
-for _n in list(PENDING_QUERIES):
-    QUERIES[_n] = PENDING_QUERIES.pop(_n)
-    ORACLE[_n] = PENDING_ORACLE.pop(_n)
-del _n
+flip_pending(PENDING_QUERIES, PENDING_ORACLE, QUERIES, ORACLE)
 
 
 # --- word co-occurrence PMI ------------------------------------------------------

@@ -36,6 +36,7 @@ from cdc_postgresql_clickhouse_spark.queries.dedup import (
 from cdc_postgresql_clickhouse_spark.queries.similarity import DIM, _SQL_EMB, _emb_d
 from cdc_postgresql_clickhouse_spark.queries.text import _trunc6
 from cdc_postgresql_clickhouse_spark.sources.registry import load_table
+from cdc_postgresql_clickhouse_spark.queries._pending import flip_pending
 
 # Production decontamination uses 13-grams (the common exact-substring
 # standard); the fixture's docs are 10-99 tokens, so the registered query
@@ -1453,7 +1454,4 @@ PENDING_ORACLE["sketch_bloom_error_sweep"] = _sql_bloom_sweep()
 # round, not how many may be REGISTERED — holding locally hash-verified
 # operators out of the contract understates coverage and risks rows never
 # receiving a driver row. Window order lives in queries/__init__.
-for _n in list(PENDING_QUERIES):
-    QUERIES[_n] = PENDING_QUERIES.pop(_n)
-    ORACLE[_n] = PENDING_ORACLE.pop(_n)
-del _n
+flip_pending(PENDING_QUERIES, PENDING_ORACLE, QUERIES, ORACLE)
