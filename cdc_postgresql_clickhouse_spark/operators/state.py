@@ -206,7 +206,21 @@ def read_state(
 ) -> DataFrame | None:
     """Read the state table. ``buckets`` prunes a bucketed layout to the given
     key-hash buckets (partition pruning: only those directories are scanned —
-    the read is O(touched buckets), not O(state))."""
+    the read is O(touched buckets), not O(state)).
+
+    A torn bucket swap (crash between ``publish_state_buckets``' per-bucket
+    renames) is rolled FORWARD here, under the state lock, before the read
+    plans — a direct reader would otherwise see a journaled-but-unswapped
+    bucket as never-committed state (ADVICE r8). Lock discipline: every
+    ingest path that calls read_state while HOLDING the lock heals first
+    (``recover_bucket_swap`` is step one of the ingest recipe), so the
+    journal cannot exist here under a held lock; ``StateLockError`` from
+    this block therefore means a LIVE publish is mid-swap, and propagating
+    it beats planning over a half-swapped directory."""
+    journal = os.path.join(path, _SWAP_JOURNAL)
+    if os.path.exists(journal):
+        with _state_lock(path):
+            recover_bucket_swap(path)
     try:
         # mergeSchema: after a T4 widening, buckets written before the ALTER
         # have fewer columns than buckets written after — union their schemas

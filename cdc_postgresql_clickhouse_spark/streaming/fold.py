@@ -47,7 +47,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cdc_postgresql_clickhouse_spark.operators.state import (
-    _SWAP_JOURNAL,
     _bucket_expr,
     _state_lock,
     publish_state_buckets,
@@ -177,13 +176,10 @@ def ingest_batch_ewma(
 
 
 def _heal_then_read(spark: SparkSession, state_path: str) -> DataFrame | None:
-    """Reader-side recovery: finish any torn bucket swap (journal present)
-    before handing out a lazy DataFrame over the state dir."""
-    import os
-
-    if os.path.exists(os.path.join(state_path, _SWAP_JOURNAL)):
-        with _state_lock(state_path):
-            recover_bucket_swap(state_path)
+    """Reader-side recovery seam. The healing itself now lives in
+    ``read_state`` (journal check + roll-forward under the state lock,
+    unconditionally — the former check-then-lock here could miss a publish
+    that started between the unlocked check and the read, ADVICE r8)."""
     return read_state(spark, state_path)
 
 

@@ -261,3 +261,58 @@ def test_session_fold_torn_bucket_replays_only_laggards(spark, sf_dir):
         pd.testing.assert_frame_equal(canon(read_sessions(spark, state)), want)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_direct_read_state_heals_torn_journaled_swap(spark, sf_dir):
+    """ADVICE r8: a caller using the GENERIC ``read_state`` directly on a
+    bucket-swapped state dir whose last publish crashed between rmtree(dst)
+    and rename must still see the committed state — the journal roll-forward
+    now lives in ``read_state`` itself, not only in fold.py's wrappers.
+    Simulated crash: one journaled bucket is still in the staging dir and
+    its table directory is missing entirely."""
+    import json
+
+    from cdc_postgresql_clickhouse_spark.operators.state import (
+        _SWAP_JOURNAL,
+        read_state,
+    )
+
+    ev = _fold_rows(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="heal_read_")
+    try:
+        state = os.path.join(tmp, "state")
+        ingest_batch_ewma(spark, ev, state, batch_id=0)
+        want = _fold_canon(read_ewma(spark, state))
+
+        # tear the swap: move one bucket back into a staging root, delete
+        # its table dir, and journal the pending swap (the exact on-disk
+        # shape of a crash between publish_state_buckets' rmtree and rename)
+        torn = next(
+            f"__bucket={bk}"
+            for bk in range(FOLD_BUCKETS)
+            if os.path.isdir(os.path.join(state, f"__bucket={bk}"))
+        )
+        staged = f"{os.path.abspath(state)}.staged"
+        os.makedirs(staged, exist_ok=True)
+        shutil.move(os.path.join(state, torn), os.path.join(staged, torn))
+        with open(os.path.join(state, _SWAP_JOURNAL), "w") as fh:
+            json.dump({"buckets": [torn], "staged": staged}, fh)
+
+        # a direct read (no fold wrapper, no prior recover call) must heal:
+        # full state back, journal and staging dir gone
+        healed = read_state(spark, state)
+        assert healed is not None
+        got = _fold_canon(
+            healed.select(
+                "user_id", "n_events",
+                F.col("last_c").alias("last_cents"),
+                F.col("acc").alias("ewma_cents"),
+            )
+        )
+        pd.testing.assert_frame_equal(got, want)
+        assert not os.path.exists(os.path.join(state, _SWAP_JOURNAL))
+        assert not os.path.exists(staged)
+        assert os.path.isdir(os.path.join(state, torn))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(f"{tmp}.lock", ignore_errors=True)
