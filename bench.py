@@ -449,8 +449,20 @@ def main() -> None:
             if (m := re.search(r"BENCH_r(\d+)\.json$", p))
         ]
         this_round = (max(rounds) if rounds else 0) + 1
-        with open(os.path.join(repo, f"BENCH_full_r{this_round:02d}.json"), "w") as f:
-            f.write(full_line + "\n")
+        # Append-don't-overwrite (ADVICE r8): a second bench run in the same
+        # round must not clobber an existing full map. Open exclusively; on
+        # collision fall back to a timestamped sibling so round numbering
+        # stays aligned with the driver's BENCH_r{N}.json records.
+        full_path = os.path.join(repo, f"BENCH_full_r{this_round:02d}.json")
+        try:
+            with open(full_path, "x") as f:
+                f.write(full_line + "\n")
+        except FileExistsError:
+            stamped = os.path.join(
+                repo, f"BENCH_full_r{this_round:02d}_{int(time.time())}.json"
+            )
+            with open(stamped, "w") as f:
+                f.write(full_line + "\n")
     except OSError:
         pass
     # The driver records only the TAIL (~2 KB) of stdout; the full per-query

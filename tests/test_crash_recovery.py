@@ -316,3 +316,50 @@ def test_direct_read_state_heals_torn_journaled_swap(spark, sf_dir):
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(f"{tmp}.lock", ignore_errors=True)
+
+
+def test_mv_reader_stalled_across_two_publishes_still_reads(spark):
+    """VERDICT r8: generation-only retention deleted a stalled reader's
+    version directory once TWO publishes landed behind it. With the
+    MV_RETAIN_SECS age window, a lazy DataFrame resolved before two rapid
+    publishes still collects its (pinned, old-version) rows; versions older
+    than the window are still vacuumed (mtime aged artificially)."""
+    from cdc_postgresql_clickhouse_spark.streaming.mvstore import (
+        MV_RETAIN_SECS,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="mv_stall_")
+    try:
+        b0 = spark.createDataFrame([(1, 10, 1, "view", 100)], _SCHEMA)
+        ingest_batch_mv(spark, b0, tmp, batch_id=0)
+        stalled = read_mv(spark, tmp)  # lazy: pins v0's directory listing
+
+        b1 = spark.createDataFrame([(2, 20, 2, "purchase", 200)], _SCHEMA)
+        ingest_batch_mv(spark, b1, tmp, batch_id=1)
+        b2 = spark.createDataFrame([(3, 30, 3, "click", 0)], _SCHEMA)
+        ingest_batch_mv(spark, b2, tmp, batch_id=2)
+
+        # two publishes behind, within the retention window: the stalled
+        # reader still sees exactly the v0 aggregate
+        got = {r.last_event_type: (r.n_users, r.sum_cents) for r in stalled.collect()}
+        assert got == {"view": (1, 100)}
+        # and a fresh read resolves the live version
+        assert _mv(spark, tmp) == {
+            "view": (1, 100), "purchase": (1, 200), "click": (1, 0)
+        }
+
+        # age v0 past the window: the next publish vacuums it (the
+        # documented long-stall contract: fail loudly, re-read)
+        mv_root = os.path.join(tmp, "mv")
+        old = os.path.join(mv_root, "v0")
+        assert os.path.isdir(old)
+        past = __import__("time").time() - MV_RETAIN_SECS - 60
+        os.utime(old, (past, past))
+        b3 = spark.createDataFrame([(4, 40, 4, "view", 10)], _SCHEMA)
+        ingest_batch_mv(spark, b3, tmp, batch_id=3)
+        assert not os.path.isdir(old), "expired version was not vacuumed"
+        # the immediately previous generation is always kept
+        assert os.path.isdir(os.path.join(mv_root, "v2"))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(f"{tmp}.lock", ignore_errors=True)
