@@ -1,0 +1,66 @@
+"""Plan-shape ceilings for every registered query whose r8 bench line
+exceeded 2 s at sf0.1 (VERDICT r8 #6): the host is too noisy for timing
+regressions to surface reliably, so the cheapest durable insurance is
+pinning the physical-plan shape — shuffle count, nested-loop count, and a
+no-cartesian invariant. A plan regression (a broadcast silently becoming a
+shuffle join, a new unkeyed join, an extra shuffle from a lost
+partitioning) fails here even when the rows still match the oracle.
+
+Ceilings are the measured values at the time of pinning (sf0.001 — the
+formatted plan is pre-AQE, so the shape is scale-independent for these
+fixtures). BroadcastNestedLoopJoin allowances are the audited bounded
+cross-scores: centroid/codebook grids (ann_*), the one-row count/threshold
+broadcasts (quality/retrieval/sketch rows) — each join's streamed side is
+model-sized, never the corpus.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from cdc_postgresql_clickhouse_spark.plans.inspect import (
+    formatted_plan,
+    shuffle_count,
+)
+
+# (query, max_shuffles, max_bnlj) — measured r9; see module docstring.
+_PINS = [
+    ("corpus_decontaminate_fuzzy", 3, 0),
+    ("events_bootstrap_mean_ci", 3, 0),
+    ("ann_recall_report", 10, 5),
+    ("quality_langid_confusion", 1, 0),
+    ("dedup_jaccard_prefix_filter", 10, 0),
+    ("cdc_schema_evolution_state", 1, 0),
+    ("cdc_dlq_report", 2, 0),
+    ("sketch_bloom_error_sweep", 21, 6),
+    ("ann_ivfpq_topk", 3, 2),
+    ("quality_langid_kappa", 7, 1),
+    ("retrieval_known_item_eval", 7, 0),
+    ("embedding_pca_topcomponent", 0, 0),
+    ("graph_modularity_report", 9, 0),
+    ("graph_hits_types", 2, 0),
+    ("retrieval_hybrid_rrf", 7, 1),
+    ("embedding_pca_residual", 1, 0),
+    ("corpus_decontaminate_bloom", 5, 0),
+    ("retrieval_ndcg_eval", 7, 0),
+]
+
+
+@pytest.mark.parametrize("name,max_shuffles,max_bnlj", _PINS)
+def test_slow_query_plan_shape(spark, sf_dir, name, max_shuffles, max_bnlj):
+    from cdc_postgresql_clickhouse_spark.queries import all_queries
+
+    spark.catalog.clearCache()
+    df = all_queries()[name](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan[:2000]
+    bnlj = plan.count(") BroadcastNestedLoopJoin")
+    assert bnlj <= max_bnlj, (
+        f"{name}: {bnlj} BroadcastNestedLoopJoin nodes (pinned max "
+        f"{max_bnlj})\n{plan[:2000]}"
+    )
+    shuffles = shuffle_count(df)
+    assert shuffles <= max_shuffles, (
+        f"{name}: {shuffles} shuffles (pinned max {max_shuffles})\n"
+        f"{plan[:2000]}"
+    )
