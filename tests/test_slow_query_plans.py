@@ -43,6 +43,10 @@ _PINS = [
     ("embedding_pca_residual", 1, 0),
     ("corpus_decontaminate_bloom", 5, 0),
     ("retrieval_ndcg_eval", 7, 0),
+    # r7->r8 watch item (VERDICT r8 #4): byte-identical code, noise-stepped
+    # timing — pin the shape so a REAL plan regression can't hide in the
+    # noise (rounds are checkpoint-materialized: the final plan is scan-only)
+    ("graph_label_propagation", 0, 0),
 ]
 
 
