@@ -229,3 +229,71 @@ FROM counted GROUP BY doc_id
 )
 
 ORACLE["bpe_token_count"] = _SQL_BPE_COUNT
+
+
+# --- tokenizer fertility by source -------------------------------------------
+#
+# The tokenizer-quality eval every multilingual/multi-domain corpus runs
+# before committing a vocabulary (fertility = subword tokens emitted per
+# word; the number that prices context-window budgets per source and flags
+# domains the merges under-serve). Same trained merge table and map-side
+# replace-chain application as ``bpe_token_count``, rolled up per source
+# with the char-baseline compression alongside. Scale shape: O(rounds)
+# driver model state, one map pass over exploded words, one bounded
+# (|sources|) aggregation.
+
+
+def tokenizer_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merges, _ = bpe_train(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select("source", F.explode(tokens(F.col("text"))).alias("w"))
+    rep = F.concat(F.lit(" "), _initial_rep(), F.lit(" "))
+    n_chars = F.size(F.filter(F.split(F.col("w"), ""), lambda c: c != "")) + 1  # + EOW
+    for pair, _cnt in merges:
+        rep = F.replace(rep, F.lit(f" {pair} "), F.lit(f" {pair.replace(' ', '')} "))
+    n_sym = F.size(F.filter(F.split(F.trim(rep), " "), lambda s: s != ""))
+    per_word = words.select("source", n_chars.alias("nc"), n_sym.alias("ns"))
+    return per_word.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum("ns").cast("long").alias("n_bpe_tokens"),
+        F.sum("nc").cast("long").alias("n_char_tokens"),
+        F.expr("sum(ns) * 1000 div count(1)").cast("long").alias("fertility_milli"),
+        F.expr("sum(nc) * 1000 div sum(ns)").cast("long").alias("compression_milli"),
+    )
+
+
+QUERIES["tokenizer_fertility_by_source"] = tokenizer_fertility_by_source
+
+ORACLE["tokenizer_fertility_by_source"] = (
+    f"""
+WITH wf AS (
+  SELECT w, COUNT(*) AS freq FROM (
+    SELECT unnest({_SQL_TOKENS}) AS w FROM documents
+  ) GROUP BY w
+),
+rep0 AS (
+  SELECT w, freq,
+         array_to_string(list_filter(str_split(w, ''), c -> c <> ''), ' ')
+           || ' {EOW}' AS rep
+  FROM wf
+),"""
+    + ",".join(_sql_round(i) for i in range(MERGE_ROUNDS))
+    + f""",
+sw AS (
+  SELECT source, unnest({_SQL_TOKENS}) AS w FROM documents
+),
+counted AS (
+  SELECT s.source,
+         len(list_filter(str_split(r.w, ''), c -> c <> '')) + 1 AS nc,
+         len(list_filter(str_split(r.rep, ' '), x -> x <> '')) AS ns
+  FROM sw s JOIN rep{MERGE_ROUNDS} r ON r.w = s.w
+)
+SELECT source,
+       COUNT(*)::BIGINT AS n_words,
+       SUM(ns)::BIGINT AS n_bpe_tokens,
+       SUM(nc)::BIGINT AS n_char_tokens,
+       (SUM(ns) * 1000 // COUNT(*))::BIGINT AS fertility_milli,
+       (SUM(nc) * 1000 // SUM(ns))::BIGINT AS compression_milli
+FROM counted GROUP BY source
+"""
+)

@@ -1415,3 +1415,94 @@ FROM per_txn
 
 QUERIES["cdc_txn_atomicity_report"] = cdc_txn_atomicity_report
 ORACLE["cdc_txn_atomicity_report"] = _SQL_TXN_ATOMICITY
+
+
+# --- per-bucket compaction debt ----------------------------------------------
+#
+# The ReplacingMergeTree merge-DEBT planning view (the reference's engine
+# merges duplicate-key rows in the background, clickhouse_schemas.sql:11-13,
+# README.md:59-62; a FINAL read pays for whatever has not merged yet): per
+# key-hash bucket of the change log under the standard event mapping
+# (user_id = business key, events = versions, last 'error' = tombstone
+# winner), how many rows a compaction would reclaim — superseded versions
+# plus every version of tombstoned keys — and the debt share that prices the
+# bucket's FINAL-read overhead. This is the report that schedules which
+# buckets the optimize pass (operators/layout.py) rewrites first.
+#
+# Scale shape: one keyed aggregation per key (map-side partials), one
+# bounded rollup over N_DEBT_BUCKETS rows; the last-version winner rides the
+# same max_by device as the state table, no window over the log.
+
+N_DEBT_BUCKETS = 8
+
+
+def cdc_compaction_debt_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_id").alias("eid"),
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("es"),
+        "event_type",
+    )
+    per = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_versions"),
+        F.expr("max_by(event_type, struct(es, eid))").alias("last_type"),
+    )
+    bucketed = per.select(
+        (F.col("user_id") % N_DEBT_BUCKETS).cast("long").alias("bucket"),
+        "n_versions",
+        (F.col("last_type") == "error").alias("dead"),
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("n_versions").cast("long").alias("n_log_rows"),
+        F.sum(F.col("n_versions") - 1).cast("long").alias("n_superseded"),
+        F.sum(F.when(F.col("dead"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_tombstoned_keys"),
+        F.sum(
+            F.when(F.col("dead"), F.col("n_versions")).otherwise(
+                F.col("n_versions") - 1
+            )
+        )
+        .cast("long")
+        .alias("n_reclaimable"),
+        F.expr(
+            "sum(if(dead, n_versions, n_versions - 1)) * 1000000"
+            " div sum(n_versions)"
+        )
+        .cast("long")
+        .alias("debt_ppm"),
+    )
+
+
+_SQL_COMPACTION_DEBT = f"""
+WITH ev AS (
+  SELECT user_id, event_id AS eid,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS es, event_type
+  FROM events
+),
+per AS (
+  SELECT user_id, COUNT(*)::BIGINT AS n_versions,
+         FIRST(event_type ORDER BY es DESC, eid DESC) AS last_type
+  FROM ev GROUP BY user_id
+),
+bucketed AS (
+  SELECT (user_id % {N_DEBT_BUCKETS})::BIGINT AS bucket, n_versions,
+         last_type = 'error' AS dead
+  FROM per
+)
+SELECT bucket,
+       COUNT(*)::BIGINT AS n_keys,
+       SUM(n_versions)::BIGINT AS n_log_rows,
+       SUM(n_versions - 1)::BIGINT AS n_superseded,
+       SUM(CASE WHEN dead THEN 1 ELSE 0 END)::BIGINT AS n_tombstoned_keys,
+       SUM(CASE WHEN dead THEN n_versions ELSE n_versions - 1 END)::BIGINT
+         AS n_reclaimable,
+       (SUM(CASE WHEN dead THEN n_versions ELSE n_versions - 1 END) * 1000000
+        // SUM(n_versions))::BIGINT AS debt_ppm
+FROM bucketed
+GROUP BY bucket
+"""
+
+QUERIES["cdc_compaction_debt_report"] = cdc_compaction_debt_report
+ORACLE["cdc_compaction_debt_report"] = _SQL_COMPACTION_DEBT

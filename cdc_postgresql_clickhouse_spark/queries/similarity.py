@@ -1716,3 +1716,87 @@ SELECT n_probe, CAST(n_queries AS BIGINT) AS n_queries,
        CAST(n_hits * 1000000 // t.n_truth AS BIGINT) AS recall_ppm
 FROM per CROSS JOIN (SELECT COUNT(*) AS n_truth FROM bf) t
 """
+
+
+# --- radius (range) similarity search ---------------------------------------
+#
+# The ANN op class the top-k family cannot express: "every neighbor within
+# cosine >= tau" — the primitive behind near-dup QUARANTINE radii (all docs
+# within tau of a flagged doc), embedding-space density screens, and
+# radius-limited retrieval. Reported as a capacity curve over three radii:
+# pair volume, query coverage, and the max single-query fan-out (the skew
+# number an operator sizes result buffers by).
+#
+# Scale shape: the query slice (1%) is broadcast; per (pair, tau) work is
+# map-side behind that one broadcast join; two keyed aggregations (q_id ->
+# tau) produce a 3-row report. The corpus is scanned once; at 100 TB the
+# same plan holds with the query slice still the only broadcast. Cosines
+# are FLOOR-truncated micro-units compared as integers, so thresholding is
+# bit-identical across engines (no 0.2-is-not-binary boundary surprises).
+
+RADIUS_TAUS_PPM = (200_000, 400_000, 600_000)
+
+
+def ann_radius_search_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _emb_d().alias("e"), _norm(_emb_d()).alias("nrm")
+    )
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("e").alias("qe"), F.col("nrm").alias("qn")
+    )
+    pairs = F.broadcast(q).join(emb, F.col("q_id") != F.col("vec_id"))
+    c6 = F.floor(
+        _dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("nrm"))
+        * F.lit(1000000.0)
+    ).cast("long")
+    scored = pairs.select("q_id", c6.alias("c6"))
+    grid = scored.select(
+        "q_id",
+        "c6",
+        F.explode(
+            F.array(*[F.lit(t).cast("long") for t in RADIUS_TAUS_PPM])
+        ).alias("tau_ppm"),
+    )
+    perq = grid.groupBy("q_id", "tau_ppm").agg(
+        F.sum(F.when(F.col("c6") >= F.col("tau_ppm"), 1).otherwise(0))
+        .cast("long")
+        .alias("n"),
+    )
+    return perq.groupBy("tau_ppm").agg(
+        F.sum("n").cast("long").alias("n_pairs"),
+        F.sum(F.when(F.col("n") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_queries_covered"),
+        F.max("n").cast("long").alias("max_per_query"),
+    )
+
+
+QUERIES["ann_radius_search_report"] = ann_radius_search_report
+
+_SQL_RADIUS_RAW = (
+    f"{_sql_dot('q.qe', 'e.e')} / (sqrt({_sql_dot('q.qe', 'q.qe')})"
+    f" * sqrt({_sql_dot('e.e', 'e.e')}))"
+)
+
+ORACLE["ann_radius_search_report"] = f"""
+WITH emb AS (SELECT vec_id, {_SQL_EMB} AS e FROM embeddings),
+q AS (SELECT vec_id AS q_id, e AS qe FROM emb WHERE vec_id % 100 = 0),
+pairs AS (
+  SELECT q.q_id,
+         CAST(FLOOR(({_SQL_RADIUS_RAW}) * 1000000.0) AS BIGINT) AS c6
+  FROM q JOIN emb e ON e.vec_id <> q.q_id
+),
+grid AS (
+  SELECT p.q_id, t.tau_ppm,
+         SUM(CASE WHEN p.c6 >= t.tau_ppm THEN 1 ELSE 0 END)::BIGINT AS n
+  FROM pairs p
+  CROSS JOIN (VALUES {", ".join(f"(CAST({t} AS BIGINT))" for t in RADIUS_TAUS_PPM)}) AS t(tau_ppm)
+  GROUP BY 1, 2
+)
+SELECT tau_ppm,
+       SUM(n)::BIGINT AS n_pairs,
+       SUM(CASE WHEN n > 0 THEN 1 ELSE 0 END)::BIGINT AS n_queries_covered,
+       MAX(n)::BIGINT AS max_per_query
+FROM grid
+GROUP BY tau_ppm
+"""

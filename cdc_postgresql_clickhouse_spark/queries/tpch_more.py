@@ -2763,3 +2763,92 @@ PENDING_ORACLE["orders_revenue_pvm_bridge"] = _SQL_PVM
 # operators out of the contract understates coverage and risks rows never
 # receiving a driver row. Window order lives in queries/__init__.
 flip_pending(PENDING_QUERIES, PENDING_ORACLE, QUERIES, ORACLE)
+
+
+# --- item-based collaborative filtering (brand recommendations) -------------
+#
+# The recommendation primitive a purchase log feeds (item-based CF,
+# Sarwar et al. 2001 / the Amazon item-to-item scheme): score each
+# NOT-yet-bought brand for a customer as the sum of its co-occurrence
+# counts with the brands the customer already buys, report top-3 per
+# customer for the 1%-slice. Scale shape: the item-item co-occurrence
+# matrix is catalog-bounded (|brands|^2 = 625 rows here — the whole point
+# of item-based over user-based CF at scale) and broadcast; candidate
+# scoring is one keyed join from the slice's ownership edges plus an anti
+# join to drop owned brands; the only window is per-customer top-3.
+
+
+def reco_brand_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(F.col("o_custkey").alias("c"), F.col("p_brand").alias("b"))
+        .distinct()
+    )
+    e2 = edges.select(F.col("c").alias("c2"), F.col("b").alias("b2"))
+    cooc = (
+        edges.join(e2, (F.col("c") == F.col("c2")) & (F.col("b") != F.col("b2")))
+        .groupBy(F.col("b").alias("b_owned"), F.col("b2").alias("b_cand"))
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    slice_edges = edges.filter(F.col("c") % 100 == 0)
+    scored = (
+        slice_edges.join(
+            F.broadcast(cooc), slice_edges.b == cooc.b_owned
+        )
+        .groupBy("c", "b_cand")
+        .agg(F.sum("w").cast("long").alias("score"))
+    )
+    owned = slice_edges.select("c", F.col("b").alias("b_cand"))
+    unowned = scored.join(owned, ["c", "b_cand"], "left_anti")
+    w = Window.partitionBy("c").orderBy(F.desc("score"), F.col("b_cand"))
+    return (
+        unowned.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            F.col("c").alias("c_custkey"),
+            F.col("b_cand").alias("rec_brand"),
+            "score",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+QUERIES["reco_brand_cooccurrence_topk"] = reco_brand_cooccurrence_topk
+
+ORACLE["reco_brand_cooccurrence_topk"] = """
+WITH edges AS (
+  SELECT DISTINCT o.o_custkey AS c, p.p_brand AS b
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN part p ON l.l_partkey = p.p_partkey
+),
+cooc AS (
+  SELECT e1.b AS b_owned, e2.b AS b_cand, COUNT(*)::BIGINT AS w
+  FROM edges e1 JOIN edges e2 ON e1.c = e2.c AND e1.b <> e2.b
+  GROUP BY 1, 2
+),
+slice_edges AS (SELECT c, b FROM edges WHERE c % 100 = 0),
+scored AS (
+  SELECT s.c, co.b_cand, SUM(co.w)::BIGINT AS score
+  FROM slice_edges s JOIN cooc co ON co.b_owned = s.b
+  GROUP BY 1, 2
+),
+unowned AS (
+  SELECT sc.c, sc.b_cand, sc.score
+  FROM scored sc
+  WHERE NOT EXISTS (
+    SELECT 1 FROM slice_edges o WHERE o.c = sc.c AND o.b = sc.b_cand
+  )
+),
+ranked AS (
+  SELECT c, b_cand, score,
+         ROW_NUMBER() OVER (PARTITION BY c ORDER BY score DESC, b_cand) AS rank
+  FROM unowned
+)
+SELECT c AS c_custkey, b_cand AS rec_brand, score, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 3
+"""

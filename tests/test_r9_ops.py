@@ -1,0 +1,105 @@
+"""Law tests for the round-9 operators (each also oracle-paired and swept
+by test_oracle_parity): radius search, compaction debt, tokenizer
+fertility, item-based CF recommendations."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cdc_postgresql_clickhouse_spark.sources.registry import load_table
+
+
+def test_radius_search_monotone_and_consistent_with_topk(spark, sf_dir):
+    """Pair volume, coverage, and max fan-out are all nonincreasing in the
+    radius threshold (radius sets are nested); the tightest radius's pairs
+    are a subset of brute-force scores by construction, so every tau=0.2
+    pair count is bounded by the query slice x (corpus-1)."""
+    from cdc_postgresql_clickhouse_spark.queries.similarity import (
+        RADIUS_TAUS_PPM,
+        QUERIES as SIM_Q,
+    )
+
+    rows = {
+        r["tau_ppm"]: r
+        for r in SIM_Q["ann_radius_search_report"](spark, sf_dir).collect()
+    }
+    assert set(rows) == set(RADIUS_TAUS_PPM)
+    taus = sorted(rows)
+    for col in ("n_pairs", "n_queries_covered", "max_per_query"):
+        vals = [rows[t][col] for t in taus]
+        assert vals == sorted(vals, reverse=True), (col, vals)
+    n_vecs = load_table(spark, sf_dir, "embeddings").count()
+    n_q = (n_vecs + 99) // 100
+    for t in taus:
+        assert rows[t]["n_pairs"] <= n_q * (n_vecs - 1)
+        assert rows[t]["n_queries_covered"] <= n_q
+        assert rows[t]["max_per_query"] <= n_vecs - 1
+
+
+def test_compaction_debt_conservation(spark, sf_dir):
+    """Bucket-level accounting sums to the global log: n_log_rows adds up
+    to |events|, n_keys to |users|, superseded = rows - keys per bucket,
+    and reclaimable = superseded + tombstoned keys' live rows."""
+    from cdc_postgresql_clickhouse_spark.queries.cdc import (
+        QUERIES as CDC_Q,
+        N_DEBT_BUCKETS,
+    )
+
+    rows = CDC_Q["cdc_compaction_debt_report"](spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events")
+    assert sum(r["n_log_rows"] for r in rows) == ev.count()
+    assert sum(r["n_keys"] for r in rows) == ev.select("user_id").distinct().count()
+    for r in rows:
+        assert 0 <= r["bucket"] < N_DEBT_BUCKETS
+        assert r["n_superseded"] == r["n_log_rows"] - r["n_keys"]
+        assert r["n_reclaimable"] == r["n_superseded"] + r["n_tombstoned_keys"]
+        assert 0 <= r["debt_ppm"] <= 1_000_000
+
+
+def test_fertility_by_source_consistent_with_doc_counts(spark, sf_dir):
+    """The per-source rollup must re-aggregate the per-doc bpe_token_count
+    totals exactly (same merges, same application), and fertility is >= 1
+    token per word (a word never disappears) and <= its char length + EOW."""
+    from cdc_postgresql_clickhouse_spark.queries.bpe import QUERIES as BPE_Q
+
+    per_source = BPE_Q["tokenizer_fertility_by_source"](spark, sf_dir).collect()
+    per_doc = BPE_Q["bpe_token_count"](spark, sf_dir).agg(
+        F.sum("bpe_tokens").alias("bpe"), F.sum("char_tokens").alias("ch")
+    ).first()
+    assert sum(r["n_bpe_tokens"] for r in per_source) == per_doc["bpe"]
+    assert sum(r["n_char_tokens"] for r in per_source) == per_doc["ch"]
+    for r in per_source:
+        assert r["fertility_milli"] >= 1000  # >= one symbol per word
+        assert r["n_bpe_tokens"] <= r["n_char_tokens"]
+        assert r["compression_milli"] >= 1000
+
+
+def test_reco_excludes_owned_brands_and_ranks_by_cooccurrence(spark, sf_dir):
+    """No recommended brand may already be owned by the customer; ranks are
+    1..3 without gaps per customer; scores nonincreasing in rank."""
+    from cdc_postgresql_clickhouse_spark.queries.tpch_more import (
+        QUERIES as TM_Q,
+    )
+
+    recs = TM_Q["reco_brand_cooccurrence_topk"](spark, sf_dir).collect()
+    assert recs, "slice produced no recommendations"
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    owned = {
+        (r.c, r.b)
+        for r in li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(part, li.l_partkey == part.p_partkey)
+        .select(F.col("o_custkey").alias("c"), F.col("p_brand").alias("b"))
+        .distinct()
+        .collect()
+    }
+    by_cust: dict[int, list] = {}
+    for r in recs:
+        assert (r.c_custkey, r.rec_brand) not in owned, r
+        by_cust.setdefault(r.c_custkey, []).append(r)
+    for c, rs in by_cust.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        scores = [r.score for r in rs]
+        assert scores == sorted(scores, reverse=True)
