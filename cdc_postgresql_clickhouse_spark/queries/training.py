@@ -1455,3 +1455,71 @@ PENDING_ORACLE["sketch_bloom_error_sweep"] = _sql_bloom_sweep()
 # operators out of the contract understates coverage and risks rows never
 # receiving a driver row. Window order lives in queries/__init__.
 flip_pending(PENDING_QUERIES, PENDING_ORACLE, QUERIES, ORACLE)
+
+
+# --- decontamination n-gram-size sensitivity sweep ---------------------------
+#
+# The knob every decontamination deployment has to pick (GPT-3 appendix C
+# uses 13-grams; smaller n over-flags, larger n misses paraphrases): the
+# same exact-overlap pass at n = 3/5/8/13, reporting flagged-doc volume,
+# planted-leak recall (the derived near-dup copies of benchmark docs), and
+# total gram-hit mass per n. Scale shape: each arm is the audited
+# corpus_decontaminate plan (broadcast benchmark gram table + one train
+# map pass); arms are independent, the union is 4 one-row aggregates.
+
+DECONTAM_SWEEP_NS = (3, 5, 8, 13)
+
+
+def corpus_decontaminate_ngram_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for n in DECONTAM_SWEEP_NS:
+        per = corpus_decontaminate(spark, sf_dir, n=n)
+        agg = per.agg(
+            F.count(F.lit(1)).cast("long").alias("n_flagged_docs"),
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("doc_id") >= DERIVED_OFFSET, 1).otherwise(0)
+                ),
+                F.lit(0),
+            ).cast("long").alias("n_flagged_planted"),
+            F.coalesce(F.sum("n_shared_grams"), F.lit(0))
+            .cast("long")
+            .alias("n_gram_hits"),
+        ).select(F.lit(n).cast("long").alias("ngram_n"), "*")
+        out = agg if out is None else out.unionByName(agg)
+    return out
+
+
+def _sql_decontam_sweep() -> str:
+    blocks = []
+    for n in DECONTAM_SWEEP_NS:
+        blocks.append(f"""
+SELECT CAST({n} AS BIGINT) AS ngram_n,
+       COUNT(*)::BIGINT AS n_flagged_docs,
+       COALESCE(SUM(CASE WHEN doc_id >= {DERIVED_OFFSET} THEN 1 ELSE 0 END), 0)::BIGINT
+         AS n_flagged_planted,
+       COALESCE(SUM(n_shared_grams), 0)::BIGINT AS n_gram_hits
+FROM (
+  SELECT t.doc_id, COUNT(DISTINCT t.gram) AS n_shared_grams
+  FROM (
+    SELECT DISTINCT doc_id, unnest({_sql_ngrams(n)}) AS gram
+    FROM (SELECT doc_id, {_SQL_TOKENS} AS t FROM corpus)
+  ) t
+  JOIN (
+    SELECT DISTINCT gram FROM (
+      SELECT doc_id, unnest({_sql_ngrams(n)}) AS gram
+      FROM (SELECT doc_id, {_SQL_TOKENS} AS t FROM corpus)
+    ) WHERE doc_id % {BENCH_MOD} = 0 AND doc_id < {DERIVED_OFFSET}
+  ) b ON t.gram = b.gram
+  WHERE NOT (t.doc_id % {BENCH_MOD} = 0 AND t.doc_id < {DERIVED_OFFSET})
+  GROUP BY 1
+)""")
+    return (
+        f"WITH corpus AS ({_SQL_CORPUS})"
+        + "\n"
+        + "\nUNION ALL\n".join(blocks)
+    )
+
+
+QUERIES["corpus_decontaminate_ngram_sweep"] = corpus_decontaminate_ngram_sweep
+ORACLE["corpus_decontaminate_ngram_sweep"] = _sql_decontam_sweep()

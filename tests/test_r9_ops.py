@@ -103,3 +103,26 @@ def test_reco_excludes_owned_brands_and_ranks_by_cooccurrence(spark, sf_dir):
         assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
         scores = [r.score for r in rs]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_decontam_sweep_monotone_in_ngram_size(spark, sf_dir):
+    """A shared n-gram implies shared (n-1)-grams (substrings are contained
+    in both docs), so the flagged-doc set at larger n is a subset of the
+    smaller-n set: flagged and planted counts are nonincreasing in n. The
+    n=8 arm must agree with the registered corpus_decontaminate row."""
+    from cdc_postgresql_clickhouse_spark.queries.training import (
+        DECONTAM_SWEEP_NS,
+        QUERIES as TR_Q,
+    )
+
+    rows = {
+        r["ngram_n"]: r
+        for r in TR_Q["corpus_decontaminate_ngram_sweep"](spark, sf_dir).collect()
+    }
+    assert set(rows) == set(DECONTAM_SWEEP_NS)
+    ns = sorted(rows)
+    for col in ("n_flagged_docs", "n_flagged_planted"):
+        vals = [rows[n][col] for n in ns]
+        assert vals == sorted(vals, reverse=True), (col, vals)
+    base = TR_Q["corpus_decontaminate"](spark, sf_dir)
+    assert rows[8]["n_flagged_docs"] == base.count()
