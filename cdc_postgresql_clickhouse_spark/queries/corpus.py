@@ -562,3 +562,97 @@ FROM j
 
 QUERIES["corpus_modality_coverage"] = corpus_modality_coverage
 ORACLE["corpus_modality_coverage"] = _SQL_MODALITY_COVERAGE
+
+
+# --- quality-ordered curriculum schedule -------------------------------------
+#
+# The data-ordering plan curriculum-style pretraining consumes (easy/clean
+# first, noisy tail last — the anti-curriculum flips the same ranking):
+# sources ranked by mean quality score (integer micro mean of the
+# text_quality_score heuristic), with cumulative token mass and a 3-phase
+# split at 1/3 and 2/3 of total tokens. Scale shape: the per-doc quality
+# pass is the audited map-side heuristic; the rollup is |sources|-bounded,
+# and the ranking window runs over that bounded grid (20 rows), never over
+# docs.
+
+
+def corpus_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from cdc_postgresql_clickhouse_spark.queries.text import text_quality_score
+
+    q = text_quality_score(spark, sf_dir).select("doc_id", "n_tok", "quality")
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    per = src.join(q, "doc_id").groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        F.expr(
+            "sum(cast(floor(quality * 1000000.0) as bigint)) div count(1)"
+        ).cast("long").alias("mean_quality_micro"),
+    )
+    w = Window.orderBy(F.desc("mean_quality_micro"), F.col("source"))
+    ranked = per.select(
+        "*",
+        F.row_number().over(w).cast("long").alias("rank"),
+        F.sum("total_tokens")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("cum_tokens"),
+    )
+    total = per.agg(F.sum("total_tokens").cast("long").alias("grand_tokens"))
+    out = ranked.crossJoin(F.broadcast(total))
+    share = F.expr("cum_tokens * 1000000 div grand_tokens")
+    return out.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        "mean_quality_micro",
+        "rank",
+        "cum_tokens",
+        share.cast("long").alias("cum_share_ppm"),
+        (
+            F.lit(1)
+            + F.when(share > 333333, 1).otherwise(0)
+            + F.when(share > 666667, 1).otherwise(0)
+        ).cast("long").alias("phase"),
+    )
+
+
+QUERIES["corpus_curriculum_schedule"] = corpus_curriculum_schedule
+
+
+def _sql_curriculum() -> str:
+    from cdc_postgresql_clickhouse_spark.queries.text import ORACLE as _TX_ORACLE
+
+    return f"""
+WITH q AS ({_TX_ORACLE["text_quality_score"]}),
+per AS (
+  SELECT s.source, COUNT(*)::BIGINT AS n_docs,
+         SUM(q.n_tok)::BIGINT AS total_tokens,
+         (SUM(CAST(FLOOR(q.quality * 1000000.0) AS BIGINT)) // COUNT(*))::BIGINT
+           AS mean_quality_micro
+  FROM (SELECT doc_id, source FROM documents) s
+  JOIN q USING (doc_id)
+  GROUP BY 1
+),
+ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (ORDER BY mean_quality_micro DESC, source) AS rank,
+         SUM(total_tokens) OVER (
+           ORDER BY mean_quality_micro DESC, source ROWS UNBOUNDED PRECEDING
+         ) AS cum_tokens
+  FROM per
+)
+SELECT source, n_docs, total_tokens, mean_quality_micro,
+       CAST(rank AS BIGINT) AS rank,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens,
+       (cum_tokens * 1000000 // t.grand_tokens)::BIGINT AS cum_share_ppm,
+       (1 + CASE WHEN cum_tokens * 1000000 // t.grand_tokens > 333333 THEN 1 ELSE 0 END
+          + CASE WHEN cum_tokens * 1000000 // t.grand_tokens > 666667 THEN 1 ELSE 0 END
+       )::BIGINT AS phase
+FROM ranked
+CROSS JOIN (SELECT SUM(total_tokens) AS grand_tokens FROM per) t
+"""
+
+
+ORACLE["corpus_curriculum_schedule"] = _sql_curriculum()
