@@ -1100,3 +1100,103 @@ PENDING_ORACLE["dedup_simhash_bit_balance"] = _SQL_BIT_BALANCE
 # operators out of the contract understates coverage and risks rows never
 # receiving a driver row. Window order lives in queries/__init__.
 flip_pending(PENDING_QUERIES, PENDING_ORACLE, QUERIES, ORACLE)
+
+
+# --- near-dup method agreement matrix ----------------------------------------
+#
+# The "which detector do we trust" eval a dedup deployment runs before
+# picking its production method: pairwise agreement (intersection /
+# union of emitted pairs) between the three registered near-dup detectors
+# on their common verify scope. MinHash-LSH is probabilistic-recall
+# exact-verified, SimHash is Hamming-banded, n-gram Jaccard is the exact
+# baseline — systematic disagreement localizes which approximation loses
+# which pairs. Scale shape: composes three audited pipelines; the
+# agreement aggregation runs over their (tiny, pair-bounded) outputs.
+
+
+def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def in_scope(c: str):
+        return (F.col(c) < VERIFY_SCOPE_IDS) | (F.col(c) >= DERIVED_OFFSET)
+
+    mh = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .filter(in_scope("doc_a") & in_scope("doc_b"))
+    )
+    sh = dedup_simhash(spark, sf_dir).select("doc_a", "doc_b")
+    ng = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    u = (
+        mh.select("doc_a", "doc_b", F.lit("minhash").alias("m"))
+        .unionByName(sh.select("doc_a", "doc_b", F.lit("simhash").alias("m")))
+        .unionByName(ng.select("doc_a", "doc_b", F.lit("ngram").alias("m")))
+    )
+    tagged = u.groupBy("doc_a", "doc_b").agg(
+        *[
+            F.max(F.when(F.col("m") == name, 1).otherwise(0)).alias(f"f_{name}")
+            for name in ("minhash", "simhash", "ngram")
+        ]
+    )
+    out = None
+    for a, b in (("minhash", "ngram"), ("minhash", "simhash"), ("ngram", "simhash")):
+        fa, fb = F.col(f"f_{a}"), F.col(f"f_{b}")
+        row = tagged.agg(
+            F.sum(fa).cast("long").alias("n_a"),
+            F.sum(fb).cast("long").alias("n_b"),
+            F.sum(fa * fb).cast("long").alias("n_both"),
+            F.sum(F.greatest(fa, fb)).cast("long").alias("n_either"),
+        ).select(
+            F.lit(a).alias("method_a"),
+            F.lit(b).alias("method_b"),
+            "n_a",
+            "n_b",
+            "n_both",
+            "n_either",
+            F.expr("n_both * 1000000 div nullif(n_either, 0)")
+            .cast("long")
+            .alias("agreement_ppm"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+QUERIES["dedup_method_agreement"] = dedup_method_agreement
+
+
+def _sql_method_agreement() -> str:
+    scope = (
+        f"(doc_a < {VERIFY_SCOPE_IDS} OR doc_a >= {DERIVED_OFFSET})"
+        f" AND (doc_b < {VERIFY_SCOPE_IDS} OR doc_b >= {DERIVED_OFFSET})"
+    )
+    arms = []
+    for a, b in (("minhash", "ngram"), ("minhash", "simhash"), ("ngram", "simhash")):
+        arms.append(f"""
+SELECT '{a}' AS method_a, '{b}' AS method_b,
+       SUM(f_{a})::BIGINT AS n_a, SUM(f_{b})::BIGINT AS n_b,
+       SUM(f_{a} * f_{b})::BIGINT AS n_both,
+       SUM(GREATEST(f_{a}, f_{b}))::BIGINT AS n_either,
+       (SUM(f_{a} * f_{b}) * 1000000
+        // NULLIF(SUM(GREATEST(f_{a}, f_{b})), 0))::BIGINT AS agreement_ppm
+FROM tagged""")
+    return f"""
+WITH mh AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM ({ORACLE["dedup_minhash_lsh"]}) WHERE {scope}
+),
+sh AS MATERIALIZED (SELECT doc_a, doc_b FROM ({ORACLE["dedup_simhash"]})),
+ng AS MATERIALIZED (SELECT doc_a, doc_b FROM ({ORACLE["dedup_ngram_jaccard"]})),
+u AS (
+  SELECT doc_a, doc_b, 'minhash' AS m FROM mh
+  UNION ALL SELECT doc_a, doc_b, 'simhash' FROM sh
+  UNION ALL SELECT doc_a, doc_b, 'ngram' FROM ng
+),
+tagged AS (
+  SELECT doc_a, doc_b,
+         MAX(CASE WHEN m = 'minhash' THEN 1 ELSE 0 END) AS f_minhash,
+         MAX(CASE WHEN m = 'simhash' THEN 1 ELSE 0 END) AS f_simhash,
+         MAX(CASE WHEN m = 'ngram' THEN 1 ELSE 0 END) AS f_ngram
+  FROM u GROUP BY 1, 2
+)
+{" UNION ALL ".join(arms)}
+"""
+
+
+ORACLE["dedup_method_agreement"] = _sql_method_agreement()

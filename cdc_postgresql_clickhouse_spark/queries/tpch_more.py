@@ -2852,3 +2852,85 @@ ranked AS (
 SELECT c AS c_custkey, b_cand AS rec_brand, score, CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= 3
 """
+
+
+# --- duplicate-invoice detection ----------------------------------------------
+#
+# The transactional near-dup audit (duplicate-payment detection — the
+# record-linkage pattern finance teams run nightly): order pairs from the
+# same customer within a price tolerance and a date window. Candidates come
+# from a bucketize-then-refine equi-join (the events_error_blast_radius
+# device): prices bucket at the tolerance scale, the left side explodes to
+# its 3 adjacent buckets so every pair within tolerance shares a join key,
+# and the exact predicates refine candidates only — no cartesian, no
+# BroadcastNestedLoopJoin, keyed on (custkey, bucket) at any scale.
+
+DUP_INV_PRICE_TOL = 5_000  # whole-currency units
+DUP_INV_DAYS = 60
+_DUP_INV_BUCKET = 10_000
+
+
+def orders_duplicate_invoice_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        # FLOOR explicitly: a bare double->bigint cast truncates in Spark
+        # but rounds in DuckDB — off-by-one on every .5+ cent price
+        F.floor("o_totalprice").cast("bigint").alias("price_i"),
+        F.to_date("o_orderdate").alias("d"),
+    )
+    bk = (F.col("price_i") / _DUP_INV_BUCKET).cast("bigint")
+    left = o.select(
+        F.col("o_orderkey").alias("k_a"),
+        "o_custkey",
+        F.col("price_i").alias("p_a"),
+        F.col("d").alias("d_a"),
+        F.explode(F.array(bk - 1, bk, bk + 1)).alias("bk"),
+    )
+    right = o.select(
+        F.col("o_orderkey").alias("k_b"),
+        "o_custkey",
+        F.col("price_i").alias("p_b"),
+        F.col("d").alias("d_b"),
+        bk.alias("bk"),
+    )
+    cand = left.join(right, ["o_custkey", "bk"]).filter(F.col("k_a") < F.col("k_b"))
+    return cand.filter(
+        (F.abs(F.col("p_a") - F.col("p_b")) <= DUP_INV_PRICE_TOL)
+        & (F.abs(F.datediff("d_a", "d_b")) <= DUP_INV_DAYS)
+    ).select(
+        "o_custkey",
+        F.col("k_a").alias("order_a"),
+        F.col("k_b").alias("order_b"),
+        F.abs(F.col("p_a") - F.col("p_b")).cast("long").alias("price_diff"),
+        F.abs(F.datediff("d_a", "d_b")).cast("long").alias("day_diff"),
+    )
+
+
+QUERIES["orders_duplicate_invoice_detection"] = orders_duplicate_invoice_detection
+
+ORACLE["orders_duplicate_invoice_detection"] = f"""
+WITH o AS (
+  SELECT o_orderkey, o_custkey, CAST(FLOOR(o_totalprice) AS BIGINT) AS price_i,
+         CAST(o_orderdate AS DATE) AS d
+  FROM orders
+),
+lft AS (
+  SELECT o_orderkey AS k_a, o_custkey, price_i AS p_a, d AS d_a,
+         (price_i // {_DUP_INV_BUCKET}) + x.off AS bk
+  FROM o CROSS JOIN (VALUES (-1), (0), (1)) AS x(off)
+),
+rgt AS (
+  SELECT o_orderkey AS k_b, o_custkey, price_i AS p_b, d AS d_b,
+         price_i // {_DUP_INV_BUCKET} AS bk
+  FROM o
+)
+SELECT l.o_custkey,
+       l.k_a AS order_a, r.k_b AS order_b,
+       abs(l.p_a - r.p_b)::BIGINT AS price_diff,
+       abs(datediff('day', l.d_a, r.d_b))::BIGINT AS day_diff
+FROM lft l JOIN rgt r ON l.o_custkey = r.o_custkey AND l.bk = r.bk
+WHERE l.k_a < r.k_b
+  AND abs(l.p_a - r.p_b) <= {DUP_INV_PRICE_TOL}
+  AND abs(datediff('day', l.d_a, r.d_b)) <= {DUP_INV_DAYS}
+"""

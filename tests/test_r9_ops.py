@@ -126,3 +126,62 @@ def test_decontam_sweep_monotone_in_ngram_size(spark, sf_dir):
         assert vals == sorted(vals, reverse=True), (col, vals)
     base = TR_Q["corpus_decontaminate"](spark, sf_dir)
     assert rows[8]["n_flagged_docs"] == base.count()
+
+
+def test_method_agreement_counts_are_set_algebra(spark, sf_dir):
+    """n_both <= min(n_a, n_b); n_either = n_a + n_b - n_both; agreement in
+    [0, 1e6]; the exact n-gram baseline must agree with MinHash on at least
+    the planted near-dup mass (both verify at Jaccard >= 0.5)."""
+    from cdc_postgresql_clickhouse_spark.queries.dedup import (
+        QUERIES as DD_Q,
+    )
+
+    rows = DD_Q["dedup_method_agreement"](spark, sf_dir).collect()
+    assert {(r.method_a, r.method_b) for r in rows} == {
+        ("minhash", "ngram"), ("minhash", "simhash"), ("ngram", "simhash")
+    }
+    for r in rows:
+        assert r.n_both <= min(r.n_a, r.n_b)
+        assert r.n_either == r.n_a + r.n_b - r.n_both
+        if r.n_either:
+            assert 0 <= r.agreement_ppm <= 1_000_000
+
+
+def test_duplicate_invoices_no_bucket_boundary_misses(spark, sf_dir):
+    """The bucketize-then-refine candidates must equal a brute-force pair
+    scan per customer (collected at test SF): no pair within tolerance may
+    be lost at a bucket boundary, and no plan may go cartesian."""
+    from cdc_postgresql_clickhouse_spark.queries.tpch_more import (
+        DUP_INV_DAYS,
+        DUP_INV_PRICE_TOL,
+        QUERIES as TM_Q,
+    )
+    from cdc_postgresql_clickhouse_spark.plans.inspect import formatted_plan
+
+    df = TM_Q["orders_duplicate_invoice_detection"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    got = {(r.o_custkey, r.order_a, r.order_b) for r in df.collect()}
+    import math
+    from collections import defaultdict
+
+    rows = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", F.to_date("o_orderdate").alias("d")
+    ).collect()
+    by_cust = defaultdict(list)
+    for r in rows:
+        by_cust[r.o_custkey].append(r)
+    want = set()
+    for c, rs in by_cust.items():
+        for i in range(len(rs)):
+            for j in range(len(rs)):
+                a, b = rs[i], rs[j]
+                if a.o_orderkey >= b.o_orderkey:
+                    continue
+                if abs(math.floor(a.o_totalprice) - math.floor(b.o_totalprice)) > DUP_INV_PRICE_TOL:
+                    continue
+                if abs((a.d - b.d).days) > DUP_INV_DAYS:
+                    continue
+                want.add((c, a.o_orderkey, b.o_orderkey))
+    assert got == want
