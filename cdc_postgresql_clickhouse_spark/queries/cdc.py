@@ -1436,18 +1436,12 @@ ORACLE["cdc_txn_atomicity_report"] = _SQL_TXN_ATOMICITY
 N_DEBT_BUCKETS = 8
 
 
-def cdc_compaction_debt_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id",
-        F.col("event_id").alias("eid"),
-        F.floor(F.unix_timestamp("ts")).cast("long").alias("es"),
-        "event_type",
-    )
-    per = ev.groupBy("user_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_versions"),
-        F.expr("max_by(event_type, struct(es, eid))").alias("last_type"),
-    )
-    bucketed = per.select(
+def debt_rollup(per_user: DataFrame) -> DataFrame:
+    """Bucket rollup shared by the batch report and the streaming debt
+    state reader (`streaming/sketch.py::read_compaction_debt`): takes one
+    row per key (user_id, n_versions, last_type) — however maintained —
+    and prices per-bucket merge debt."""
+    bucketed = per_user.select(
         (F.col("user_id") % N_DEBT_BUCKETS).cast("long").alias("bucket"),
         "n_versions",
         (F.col("last_type") == "error").alias("dead"),
@@ -1473,6 +1467,20 @@ def cdc_compaction_debt_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("debt_ppm"),
     )
+
+
+def cdc_compaction_debt_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_id").alias("eid"),
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("es"),
+        "event_type",
+    )
+    per = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_versions"),
+        F.expr("max_by(event_type, struct(es, eid))").alias("last_type"),
+    )
+    return debt_rollup(per)
 
 
 _SQL_COMPACTION_DEBT = f"""

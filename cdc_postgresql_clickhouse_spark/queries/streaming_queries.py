@@ -1632,3 +1632,53 @@ FROM per_p
 
 QUERIES["streaming_interval_left_join_equiv"] = streaming_interval_left_join_equiv
 ORACLE["streaming_interval_left_join_equiv"] = _SQL_INTERVAL_LEFT_JOIN
+
+
+# --- streaming compaction-debt equivalence ------------------------------------
+
+
+def streaming_compaction_debt_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r9 per-bucket merge-debt report maintained INCREMENTALLY:
+    ``events`` split into 2+ micro-batches BY TIME (the hard case — a key's
+    tombstone status genuinely flips between batches when its last event
+    crosses the cut), drained through the order-free partial ingest
+    (counts add, last-event merges as a struct max), merged at read time
+    through the SAME ``debt_rollup`` the batch operator uses. Oracle = the
+    batch ``cdc_compaction_debt_report`` SQL."""
+    import os
+    import shutil
+    import tempfile
+
+    from cdc_postgresql_clickhouse_spark.streaming.sketch import (
+        read_compaction_debt,
+        run_incremental_debt,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("es"),
+        F.col("event_id").alias("eid"),
+        "event_type",
+    )
+    mid = ev.agg(F.expr("percentile(es, 0.5)")).first()[0]
+    tmp = tempfile.mkdtemp(prefix="stream_debt_")
+    try:
+        src = os.path.join(tmp, "src")
+        ev.filter(F.col("es") <= mid).coalesce(1).write.parquet(src)
+        ev.filter(F.col("es") > mid).coalesce(1).write.mode("append").parquet(src)
+        run_incremental_debt(
+            spark, src, os.path.join(tmp, "state"), os.path.join(tmp, "ckpt"),
+            max_files_per_trigger=1,
+        )
+        return _materialized(read_compaction_debt(spark, os.path.join(tmp, "state")))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(f"{os.path.join(tmp, 'state')}.lock", ignore_errors=True)
+
+
+# the merged state must equal the batch report exactly — literally the batch
+# compaction-debt oracle
+from cdc_postgresql_clickhouse_spark.queries.cdc import _SQL_COMPACTION_DEBT  # noqa: E402
+
+QUERIES["streaming_compaction_debt_equiv"] = streaming_compaction_debt_equiv
+ORACLE["streaming_compaction_debt_equiv"] = _SQL_COMPACTION_DEBT

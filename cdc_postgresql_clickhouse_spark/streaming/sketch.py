@@ -385,3 +385,66 @@ def run_incremental_km(
         checkpoint_dir,
         max_files_per_trigger,
     )
+
+
+# --- incremental compaction-debt state ---------------------------------------
+#
+# Streaming twin of queries/cdc.py::cdc_compaction_debt_report: per-key
+# (n_versions, last-event) state is an ORDER-FREE mergeable algebra
+# (counts add; the last event is a max over the unique (es, eid) order
+# key), so the partial-append + merge-at-read recipe of the OHLC bars
+# applies verbatim — no ordered fold, no per-bucket fence needed. Replayed
+# micro-batches append verbatim-duplicate partials; the read-time
+# per-(batch_id, key) dedup drops them (same at-least-once posture as the
+# CMS ingest).
+
+
+def ingest_batch_debt(batch: DataFrame, state_path: str, batch_id: int) -> None:
+    """Append one micro-batch's per-key debt partials.
+    Expects (user_id, es, eid, event_type) rows."""
+    from cdc_postgresql_clickhouse_spark.operators.state import _state_lock
+
+    partial = batch.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_versions"),
+        F.max(F.struct("es", "eid", "event_type")).alias("last"),
+    ).withColumn("batch_id", F.lit(int(batch_id)))
+    with _state_lock(state_path):
+        partial.write.mode("append").parquet(state_path)
+
+
+def read_compaction_debt(spark: SparkSession, state_path: str) -> DataFrame:
+    """Merged per-bucket debt report in the batch operator's output shape:
+    per-batch dedup (replays are verbatim duplicates), additive count merge,
+    struct-max last-event merge, then the SHARED batch rollup."""
+    from cdc_postgresql_clickhouse_spark.queries.cdc import debt_rollup
+
+    st = spark.read.parquet(state_path)
+    deduped = st.groupBy("batch_id", "user_id").agg(
+        F.max("n_versions").alias("n_versions"),
+        F.max("last").alias("last"),
+    )
+    per_user = deduped.groupBy("user_id").agg(
+        F.sum("n_versions").cast("long").alias("n_versions"),
+        F.max("last").alias("last"),
+    ).select(
+        "user_id", "n_versions", F.col("last.event_type").alias("last_type")
+    )
+    return debt_rollup(per_user)
+
+
+def run_incremental_debt(
+    spark: SparkSession,
+    src_dir: str,
+    state_path: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Drain ``src_dir`` (parquet files of (user_id, es, eid, event_type)
+    rows) through the debt partial ingest with an availableNow trigger."""
+    _drain(
+        spark,
+        src_dir,
+        lambda b, i: ingest_batch_debt(b, state_path, i),
+        checkpoint_dir,
+        max_files_per_trigger,
+    )

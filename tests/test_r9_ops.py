@@ -185,3 +185,38 @@ def test_duplicate_invoices_no_bucket_boundary_misses(spark, sf_dir):
                     continue
                 want.add((c, a.o_orderkey, b.o_orderkey))
     assert got == want
+
+
+def test_streaming_debt_replay_is_idempotent(spark, sf_dir):
+    """At-least-once posture: re-appending the same micro-batch partial
+    (same batch_id — a foreachBatch replay) must not change the merged
+    report; a DIFFERENT batch id with the same rows must (it is new data)."""
+    import os
+    import shutil
+    import tempfile
+
+    from cdc_postgresql_clickhouse_spark.streaming.sketch import (
+        ingest_batch_debt,
+        read_compaction_debt,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("es"),
+        F.col("event_id").alias("eid"),
+        "event_type",
+    ).limit(500)
+    tmp = tempfile.mkdtemp(prefix="debt_replay_")
+    state = os.path.join(tmp, "state")
+    try:
+        ingest_batch_debt(ev, state, batch_id=0)
+        once = sorted(map(tuple, read_compaction_debt(spark, state).collect()))
+        ingest_batch_debt(ev, state, batch_id=0)  # replay: verbatim duplicate
+        twice = sorted(map(tuple, read_compaction_debt(spark, state).collect()))
+        assert once == twice, "replayed batch changed the merged debt state"
+        ingest_batch_debt(ev, state, batch_id=1)  # genuinely new batch id
+        thrice = sorted(map(tuple, read_compaction_debt(spark, state).collect()))
+        assert thrice != once, "new batch id was silently dropped"
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(f"{state}.lock", ignore_errors=True)
