@@ -362,6 +362,16 @@ HEADLINE = [
     "cdc_txn_atomicity_report",
     "corpus_modality_coverage",
     "text_word_pmi_topk",
+    # round-9 additions (streaming_compaction_debt_equiv excluded with the
+    # other streaming rows: micro-batch staging I/O dominates)
+    "ann_radius_search_report",
+    "cdc_compaction_debt_report",
+    "tokenizer_fertility_by_source",
+    "reco_brand_cooccurrence_topk",
+    "corpus_decontaminate_ngram_sweep",
+    "corpus_curriculum_schedule",
+    "dedup_method_agreement",
+    "orders_duplicate_invoice_detection",
 ]
 
 

@@ -81,9 +81,15 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_minhash_lsh(
+    spark: SparkSession, sf_dir: str, scope_ids: int | None = None
+) -> DataFrame:
     """Full MinHash → banded LSH → Jaccard-verify pipeline, shuffle-free up
-    to the candidate join.
+    to the candidate join. ``scope_ids`` restricts the corpus like the
+    simhash/ngram detectors do; signatures are per-doc projections and a
+    pair's candidacy/verification depends only on its two docs, so the
+    scoped pair set IS the full pair set intersected with the scope —
+    dedup_method_agreement exploits this to skip hashing the long tail.
 
     Signature h_i(doc) = min over shingles of md5(i || '|' || shingle) —
     lexicographic min of md5 hex is a valid min-wise permutation and is
@@ -113,7 +119,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       repartition can be dropped."""
     from pyspark import StorageLevel
 
-    corpus = _corpus(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
+    corpus = _corpus(spark, sf_dir)
+    if scope_ids is not None:
+        corpus = corpus.filter(
+            (F.col("doc_id") < scope_ids) | (F.col("doc_id") >= DERIVED_OFFSET)
+        )
+    corpus = corpus.repartition(spark.sparkContext.defaultParallelism)
     toks = corpus.select("doc_id", tokens(F.col("text")).alias("toks"))
     shs_all = toks.select(
         "doc_id", F.array_distinct(word_shingles(F.col("toks"), 3)).alias("shs")
@@ -1119,7 +1130,7 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (F.col(c) < VERIFY_SCOPE_IDS) | (F.col(c) >= DERIVED_OFFSET)
 
     mh = (
-        dedup_minhash_lsh(spark, sf_dir)
+        dedup_minhash_lsh(spark, sf_dir, scope_ids=VERIFY_SCOPE_IDS)
         .select("doc_a", "doc_b")
         .filter(in_scope("doc_a") & in_scope("doc_b"))
     )

@@ -47,6 +47,11 @@ _PINS = [
     # timing — pin the shape so a REAL plan regression can't hide in the
     # noise (rounds are checkpoint-materialized: the final plan is scan-only)
     ("graph_label_propagation", 0, 0),
+    # r9 additions whose bench line exceeds 2 s: the agreement row composes
+    # three audited dedup pipelines (26 shuffles = their sum + the pair-set
+    # algebra); the recommender is the bounded cooc self-join + slice scoring
+    ("dedup_method_agreement", 26, 0),
+    ("reco_brand_cooccurrence_topk", 9, 0),
 ]
 
 
