@@ -372,6 +372,7 @@ HEADLINE = [
     "corpus_curriculum_schedule",
     "dedup_method_agreement",
     "orders_duplicate_invoice_detection",
+    "embedding_kcenter_coreset",
 ]
 
 

@@ -1800,3 +1800,111 @@ SELECT tau_ppm,
 FROM grid
 GROUP BY tau_ppm
 """
+
+
+# --- k-center coreset selection (farthest-point greedy) -----------------------
+#
+# Diverse-subset selection for data curation (the k-center coreset /
+# Gonzalez 1985 farthest-point heuristic — the standard device for picking
+# a maximally-spread sample of an embedding corpus for labeling, eval-set
+# construction, or diversity-balanced training mixes). Seed = the lowest
+# vec_id; each round adds the vector farthest (max min-cosine-distance,
+# micro-integer, tie -> lowest vec_id) from the chosen set and reports the
+# coverage radius the new center closed. The radius column IS the k-center
+# quality curve (2-approximation of the optimal k-center radius).
+#
+# Scale shape: centers are O(K·DIM) driver state (the kmeans convention);
+# each round is one map pass (distance to a K-bounded literal) + one
+# all-reduce argmax. K rounds = K linear scans, never a join.
+
+KCENTER_K = 5
+
+
+def embedding_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _emb_d().alias("e"), _norm(_emb_d()).alias("nrm")
+    )
+    seed = emb.orderBy("vec_id").select("vec_id", "e").first()
+    centers = [(int(seed.vec_id), [float(x) for x in seed.e])]
+    rows = [(1, int(seed.vec_id), 0)]
+    for rnd in range(2, KCENTER_K + 1):
+        cents_lit = F.expr(
+            "array(" + ", ".join(
+                "array(" + ", ".join(f"{float(x)!r}D" for x in vec) + ")"
+                for _cid, vec in centers
+            ) + ")"
+        )
+        # min cosine-distance (micro ints) to the chosen set, map-side
+        d6 = F.array_min(
+            F.transform(
+                cents_lit,
+                lambda c: F.lit(1000000).cast("long")
+                - (_cos_prenorm(F.col("e"), c, F.col("nrm"), _norm(c)) * 1000000.0)
+                .cast("long"),
+            )
+        )
+        chosen_ids = [cid for cid, _vec in centers]
+        cand = emb.filter(~F.col("vec_id").isin(chosen_ids)).select(
+            "vec_id", "e", d6.alias("d6")
+        )
+        # argmax d6, tie -> lowest vec_id: struct max on (d6, -vec_id)
+        top = cand.select(
+            F.max(F.struct(F.col("d6"), (-F.col("vec_id")).alias("nid"))).alias("m")
+        ).select(F.col("m.d6").alias("d6"), (-F.col("m.nid")).alias("vec_id")).first()
+        vec = [float(x) for x in emb.filter(F.col("vec_id") == int(top.vec_id)).first().e]
+        centers.append((int(top.vec_id), vec))
+        rows.append((rnd, int(top.vec_id), int(top.d6)))
+    return spark.createDataFrame(
+        rows, "round long, center_id long, radius_micro long"
+    )
+
+
+QUERIES["embedding_kcenter_coreset"] = embedding_kcenter_coreset
+
+
+def _sql_kcenter() -> str:
+    # K-1 unrolled rounds; round r's argmax scans emb with LEAST() over the
+    # r-1 chosen centers' distances (each fetched by a scalar-subquery join)
+    def dist(c_alias: str) -> str:
+        # FLOOR, not a bare cast: DuckDB's double->bigint cast ROUNDS while
+        # Spark's floor-truncated cosine is exact — the canonical _sql_cos
+        # convention
+        return (
+            f"(1000000 - CAST(FLOOR(({_sql_dot('e.e', f'{c_alias}.e')}"
+            f" / (sqrt({_sql_dot('e.e', 'e.e')}) * sqrt({_sql_dot(f'{c_alias}.e', f'{c_alias}.e')})))"
+            f" * 1000000.0) AS BIGINT))"
+        )
+
+    ctes = [
+        "emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)",
+        "c1 AS (SELECT vec_id, e, CAST(0 AS BIGINT) AS d6 FROM emb ORDER BY vec_id LIMIT 1)",
+    ]
+    for r in range(2, KCENTER_K + 1):
+        prev = [f"c{i}" for i in range(1, r)]
+        joins = " ".join(
+            f"CROSS JOIN (SELECT e FROM {p}) AS {p}v" for p in prev
+        )
+        mind = (
+            "LEAST(" + ", ".join(dist(f"{p}v") for p in prev) + ")"
+            if len(prev) > 1
+            else dist(f"{prev[0]}v")
+        )
+        not_in = ", ".join(f"(SELECT vec_id FROM {p})" for p in prev)
+        ctes.append(
+            f"""c{r} AS (
+  SELECT e.vec_id, e.e, {mind} AS d6
+  FROM emb e {joins}
+  WHERE e.vec_id NOT IN ({not_in})
+  ORDER BY d6 DESC, e.vec_id
+  LIMIT 1
+)"""
+        )
+    sel = "\nUNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, CAST(vec_id AS BIGINT) AS center_id,"
+        f" CAST(d6 AS BIGINT) AS radius_micro FROM c{r}"
+        for r in range(1, KCENTER_K + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + sel
+
+
+ORACLE["embedding_kcenter_coreset"] = _sql_kcenter()

@@ -220,3 +220,25 @@ def test_streaming_debt_replay_is_idempotent(spark, sf_dir):
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(f"{state}.lock", ignore_errors=True)
+
+
+def test_kcenter_radius_curve_is_nonincreasing_and_centers_distinct(spark, sf_dir):
+    """Farthest-point greedy: the coverage radius closed by each new center
+    is nonincreasing (the min-distance field only shrinks as centers are
+    added); centers are distinct; the seed is the lowest vec_id."""
+    from cdc_postgresql_clickhouse_spark.queries.similarity import (
+        KCENTER_K,
+        QUERIES as SIM_Q,
+    )
+
+    rows = sorted(
+        SIM_Q["embedding_kcenter_coreset"](spark, sf_dir).collect(),
+        key=lambda r: r["round"],
+    )
+    assert [r["round"] for r in rows] == list(range(1, KCENTER_K + 1))
+    assert len({r["center_id"] for r in rows}) == KCENTER_K
+    assert rows[0]["center_id"] == load_table(
+        spark, sf_dir, "embeddings"
+    ).agg(F.min("vec_id")).first()[0]
+    radii = [r["radius_micro"] for r in rows[1:]]
+    assert radii == sorted(radii, reverse=True)
