@@ -373,6 +373,7 @@ HEADLINE = [
     "dedup_method_agreement",
     "orders_duplicate_invoice_detection",
     "embedding_kcenter_coreset",
+    "quality_dedup_bias_audit",
 ]
 
 

@@ -596,3 +596,85 @@ PENDING_ORACLE["dedup_cross_source_matrix"] = _SQL_CROSS_SOURCE
 # operators out of the contract understates coverage and risks rows never
 # receiving a driver row. Window order lives in queries/__init__.
 flip_pending(PENDING_QUERIES, PENDING_ORACLE, QUERIES, ORACLE)
+
+
+# --- dedup bias audit by source ------------------------------------------------
+#
+# The fairness check a dedup pipeline ships with: does near-dup removal
+# fall disproportionately on some sources? Removal = non-canonical cluster
+# members (the rows a "keep canonical only" policy drops); derived near-dup
+# copies attribute to their BASE doc's source (doc_id - DERIVED_OFFSET).
+# Per source: corpus size, clustered docs, removed docs, integer-ppm
+# removal rate. Scale shape: the shared cluster memo (one component table
+# per corpus snapshot) joined source-keyed; output is |sources|-bounded.
+
+
+def quality_dedup_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_postgresql_clickhouse_spark.queries.dedup import DERIVED_OFFSET
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    base_id = F.when(
+        F.col("doc_id") >= DERIVED_OFFSET, F.col("doc_id") - DERIVED_OFFSET
+    ).otherwise(F.col("doc_id"))
+    members = dedup_cluster_canonical(spark, sf_dir).select(
+        "doc_id", "is_canonical"
+    )
+    corpus_ids = docs.select("doc_id").unionByName(
+        docs.filter(F.col("doc_id") < 50).select(
+            (F.col("doc_id") + DERIVED_OFFSET).alias("doc_id")
+        )
+    )
+    tagged = (
+        corpus_ids.join(members, "doc_id", "left")
+        .select(
+            base_id.alias("base_id"),
+            F.coalesce(
+                F.when(~F.col("is_canonical"), 1).otherwise(0), F.lit(0)
+            ).alias("removed"),
+            F.when(F.col("is_canonical").isNotNull(), 1).otherwise(0).alias(
+                "clustered"
+            ),
+        )
+        .join(docs.select(F.col("doc_id").alias("base_id"), "source"), "base_id")
+    )
+    return tagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("clustered").cast("long").alias("n_clustered"),
+        F.sum("removed").cast("long").alias("n_removed"),
+        F.expr("sum(removed) * 1000000 div count(1)")
+        .cast("long")
+        .alias("removal_ppm"),
+    )
+
+
+QUERIES["quality_dedup_bias_audit"] = quality_dedup_bias_audit
+
+
+def _sql_bias_audit() -> str:
+    from cdc_postgresql_clickhouse_spark.queries.dedup import DERIVED_OFFSET
+
+    return f"""
+WITH members AS ({ORACLE["dedup_cluster_canonical"]}),
+corpus_ids AS (
+  SELECT doc_id FROM documents
+  UNION ALL
+  SELECT doc_id + {DERIVED_OFFSET} FROM documents WHERE doc_id < 50
+),
+tagged AS (
+  SELECT CASE WHEN c.doc_id >= {DERIVED_OFFSET}
+              THEN c.doc_id - {DERIVED_OFFSET} ELSE c.doc_id END AS base_id,
+         CASE WHEN m.is_canonical = FALSE THEN 1 ELSE 0 END AS removed,
+         CASE WHEN m.doc_id IS NOT NULL THEN 1 ELSE 0 END AS clustered
+  FROM corpus_ids c LEFT JOIN members m ON m.doc_id = c.doc_id
+)
+SELECT d.source,
+       COUNT(*)::BIGINT AS n_docs,
+       SUM(t.clustered)::BIGINT AS n_clustered,
+       SUM(t.removed)::BIGINT AS n_removed,
+       (SUM(t.removed) * 1000000 // COUNT(*))::BIGINT AS removal_ppm
+FROM tagged t JOIN documents d ON d.doc_id = t.base_id
+GROUP BY d.source
+"""
+
+
+ORACLE["quality_dedup_bias_audit"] = _sql_bias_audit()

@@ -242,3 +242,26 @@ def test_kcenter_radius_curve_is_nonincreasing_and_centers_distinct(spark, sf_di
     ).agg(F.min("vec_id")).first()[0]
     radii = [r["radius_micro"] for r in rows[1:]]
     assert radii == sorted(radii, reverse=True)
+
+
+def test_bias_audit_accounting(spark, sf_dir):
+    """Source totals must sum to |documents| + |derived copies|; removed <=
+    clustered <= n_docs per source; every removed doc is a non-canonical
+    cluster member by construction (cross-checked against the cluster
+    table)."""
+    from cdc_postgresql_clickhouse_spark.queries.cluster import (
+        QUERIES as CL_Q,
+        dedup_cluster_canonical,
+    )
+
+    rows = CL_Q["quality_dedup_bias_audit"](spark, sf_dir).collect()
+    n_docs_total = load_table(spark, sf_dir, "documents").count()
+    n_derived = load_table(spark, sf_dir, "documents").filter("doc_id < 50").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs_total + n_derived
+    for r in rows:
+        assert 0 <= r["n_removed"] <= r["n_clustered"] <= r["n_docs"]
+        assert 0 <= r["removal_ppm"] <= 1_000_000
+    total_removed = sum(r["n_removed"] for r in rows)
+    assert total_removed == dedup_cluster_canonical(spark, sf_dir).filter(
+        "NOT is_canonical"
+    ).count()
