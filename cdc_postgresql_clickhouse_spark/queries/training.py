@@ -112,16 +112,26 @@ _BLOOM_HASH_DIGITS = 8
 _BLOOM_WORDS = BLOOM_M // 64
 
 
-def _bloom_pos(gram, j: int):
-    """Bit position j for a gram: salted-md5 prefix mod BLOOM_M — the same
-    hash device as the CMS cells, engine-identical."""
+# ONE md5 per gram, K INDEPENDENT probe hashes carved from disjoint
+# 8-hex-char windows of the same digest (md5 has 32; K=3 uses 24) — the
+# K-1 extra md5 passes per gram disappear while the positions stay as
+# independent as the old per-salt digests. NOT a universal-hash family
+# over one shared base: (a_j*h+b_j) variants of a single base collide
+# JOINTLY (all K positions at once) whenever two grams' bases land close
+# mod m — measured 36% gram-FP overhead vs 4% with independent windows.
+
+
+def _bloom_pos(gram, j: int, m: int = BLOOM_M):
+    """Bit position j for a gram: j-th 32-bit window of ONE md5 digest,
+    mod m. Same-Project CSE evaluates the md5 once per row even when all
+    K positions sit in one expression tree."""
     return (
         F.conv(
-            F.substring(F.md5(F.concat(F.lit(f"{j}:"), gram)), 1, _BLOOM_HASH_DIGITS),
+            F.substring(F.md5(gram), 1 + _BLOOM_HASH_DIGITS * j, _BLOOM_HASH_DIGITS),
             16,
             10,
         ).cast("long")
-        % BLOOM_M
+        % m
     )
 
 
@@ -292,11 +302,12 @@ def _t6(x: str) -> str:
     return _TRUNC6_SQL.format(x=x)
 
 
-def _sql_bloom_pos(gram: str, j: int) -> str:
-    from cdc_postgresql_clickhouse_spark.queries.sketches import _sql_hex_int
-
-    salted = f"'{j}:' || {gram}"
-    return f"({_sql_hex_int(salted, _BLOOM_HASH_DIGITS)} % {BLOOM_M})"
+def _sql_bloom_pos(gram: str, j: int, m: int = BLOOM_M) -> str:
+    win = (
+        f"CAST(('0x' || substr(md5({gram}), {1 + _BLOOM_HASH_DIGITS * j},"
+        f" {_BLOOM_HASH_DIGITS}))::UBIGINT AS BIGINT)"
+    )
+    return f"({win} % {m})"
 
 
 # The oracle checks membership by semi-joining the DISTINCT bit-position set
@@ -1346,18 +1357,7 @@ def sketch_bloom_error_sweep(
     out = None
     for m in BLOOM_SWEEP_M:
         def pos(j: int):
-            return (
-                F.conv(
-                    F.substring(
-                        F.md5(F.concat(F.lit(f"{j}:"), F.col("gram"))),
-                        1,
-                        _BLOOM_HASH_DIGITS,
-                    ),
-                    16,
-                    10,
-                ).cast("long")
-                % m
-            )
+            return _bloom_pos(F.col("gram"), j, m=m)
 
         bits = (
             bench_g.select(
@@ -1395,10 +1395,7 @@ def sketch_bloom_error_sweep(
 
 
 def _sql_bloom_pos_m(gram: str, j: int, m: int) -> str:
-    from cdc_postgresql_clickhouse_spark.queries.sketches import _sql_hex_int
-
-    salted = f"'{j}:' || {gram}"
-    return f"({_sql_hex_int(salted, _BLOOM_HASH_DIGITS)} % {m})"
+    return _sql_bloom_pos(gram, j, m=m)
 
 
 def _sql_bloom_sweep() -> str:
