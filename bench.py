@@ -374,6 +374,7 @@ HEADLINE = [
     "orders_duplicate_invoice_detection",
     "embedding_kcenter_coreset",
     "quality_dedup_bias_audit",
+    "quality_spearman_quality_logprob",
 ]
 
 

@@ -774,3 +774,113 @@ PENDING_ORACLE["quality_filter_bias_audit"] = _SQL_FILTER_BIAS
 # operators out of the contract understates coverage and risks rows never
 # receiving a driver row. Window order lives in queries/__init__.
 flip_pending(PENDING_QUERIES, PENDING_ORACLE, QUERIES, ORACLE)
+
+
+# --- Spearman rank correlation: quality heuristic vs LM perplexity proxy -----
+#
+# "Do my two quality signals agree?" as a first-class eval: per source, the
+# Spearman rank correlation between the affine-mix quality score and the
+# unigram-LM avg negative logprob (HIGH quality should track LOW logprob,
+# so a healthy corpus shows negative rho). Ties break by doc_id on both
+# axes — the rank correlation of the tie-broken total orders, identical in
+# both engines.
+#
+# Scale shape: ranks come from the two-phase GLOBAL rank over the
+# (source, metric, doc_id) total order (operators/ranking.py — no
+# data-proportional per-source window task); per-source rank = global
+# rank minus a broadcast per-source offset. Σd² fits a double exactly
+# (d ≤ n, Σd² ≤ n³ < 2^53 at any realistic per-source count), and the
+# final ratio is a FLOOR-truncated ppm mirrored operand-for-operand.
+
+
+def _source_rank(df: DataFrame, metric: str, out: str) -> DataFrame:
+    from cdc_postgresql_clickhouse_spark.operators.ranking import (
+        global_row_number,
+    )
+
+    g = global_row_number(
+        df, [F.col("source"), F.col(metric), F.col("doc_id")], out="__g"
+    )
+    base = g.groupBy("source").agg(F.min("__g").alias("__base"))
+    return g.join(F.broadcast(base), "source").select(
+        "source",
+        "doc_id",
+        (F.col("__g") - F.col("__base") + 1).cast("long").alias(out),
+    )
+
+
+def quality_spearman_quality_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_postgresql_clickhouse_spark.queries.text import (
+        text_quality_score,
+        text_unigram_logprob,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    q = text_quality_score(spark, sf_dir).select("doc_id", "quality")
+    lp = text_unigram_logprob(spark, sf_dir).select("doc_id", "avg_neg_logprob")
+    joined = docs.join(q, "doc_id").join(lp, "doc_id")
+    rq = _source_rank(joined.select("source", "doc_id", "quality"), "quality", "rq")
+    rl = _source_rank(
+        joined.select("source", "doc_id", "avg_neg_logprob"), "avg_neg_logprob", "rl"
+    )
+    d = rq.join(rl, ["source", "doc_id"]).select(
+        "source", ((F.col("rq") - F.col("rl")) * (F.col("rq") - F.col("rl"))).alias("d2")
+    )
+    per = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("d2").cast("long").alias("sum_d2"),
+    ).filter(F.col("n_docs") >= 2)
+    rho = F.floor(
+        (
+            F.lit(1.0)
+            - F.lit(6.0) * F.col("sum_d2").cast("double")
+            / (
+                F.col("n_docs").cast("double")
+                * (F.col("n_docs").cast("double") * F.col("n_docs").cast("double") - F.lit(1.0))
+            )
+        )
+        * F.lit(1000000.0)
+    ).cast("long")
+    return per.select("source", "n_docs", "sum_d2", rho.alias("rho_ppm"))
+
+
+QUERIES["quality_spearman_quality_logprob"] = quality_spearman_quality_logprob
+
+
+def _sql_spearman() -> str:
+    from cdc_postgresql_clickhouse_spark.queries.text import ORACLE as _TX_ORACLE
+
+    return f"""
+WITH q AS ({_TX_ORACLE["text_quality_score"]}),
+lp AS ({_TX_ORACLE["text_unigram_logprob"]}),
+joined AS (
+  SELECT d.source, d.doc_id, q.quality, lp.avg_neg_logprob
+  FROM documents d JOIN q USING (doc_id) JOIN lp USING (doc_id)
+),
+rq AS (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY quality, doc_id) AS rq
+  FROM joined
+),
+rl AS (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY avg_neg_logprob, doc_id) AS rl
+  FROM joined
+),
+per AS (
+  SELECT rq.source,
+         COUNT(*)::BIGINT AS n_docs,
+         SUM((rq.rq - rl.rl) * (rq.rq - rl.rl))::BIGINT AS sum_d2
+  FROM rq JOIN rl USING (source, doc_id)
+  GROUP BY 1
+)
+SELECT source, n_docs, sum_d2,
+       CAST(FLOOR((1.0 - 6.0 * CAST(sum_d2 AS DOUBLE)
+         / (CAST(n_docs AS DOUBLE) * (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE) - 1.0))
+       ) * 1000000.0) AS BIGINT) AS rho_ppm
+FROM per
+WHERE n_docs >= 2
+"""
+
+
+ORACLE["quality_spearman_quality_logprob"] = _sql_spearman()

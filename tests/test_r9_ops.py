@@ -265,3 +265,39 @@ def test_bias_audit_accounting(spark, sf_dir):
     assert total_removed == dedup_cluster_canonical(spark, sf_dir).filter(
         "NOT is_canonical"
     ).count()
+
+
+def test_spearman_bounds_and_python_twin(spark, sf_dir):
+    """rho in [-1e6, 1e6]; a Python recomputation on the collected metric
+    pairs (same tie-break) must agree exactly for every source."""
+    from cdc_postgresql_clickhouse_spark.queries.quality import (
+        QUERIES as QL_Q,
+    )
+    from cdc_postgresql_clickhouse_spark.queries.text import (
+        text_quality_score,
+        text_unigram_logprob,
+    )
+    import math
+
+    rows = {r.source: r for r in QL_Q["quality_spearman_quality_logprob"](spark, sf_dir).collect()}
+    docs = {r.doc_id: r.source for r in load_table(spark, sf_dir, "documents").select("doc_id", "source").collect()}
+    q = {r.doc_id: r.quality for r in text_quality_score(spark, sf_dir).select("doc_id", "quality").collect()}
+    lp = {r.doc_id: r.avg_neg_logprob for r in text_unigram_logprob(spark, sf_dir).select("doc_id", "avg_neg_logprob").collect()}
+    from collections import defaultdict
+
+    by_src = defaultdict(list)
+    for d, s in docs.items():
+        if d in q and d in lp:
+            by_src[s].append(d)
+    for s, ds in by_src.items():
+        if len(ds) < 2:
+            assert s not in rows
+            continue
+        rq = {d: i + 1 for i, d in enumerate(sorted(ds, key=lambda d: (q[d], d)))}
+        rl = {d: i + 1 for i, d in enumerate(sorted(ds, key=lambda d: (lp[d], d)))}
+        n = len(ds)
+        sum_d2 = sum((rq[d] - rl[d]) ** 2 for d in ds)
+        rho = math.floor((1.0 - 6.0 * sum_d2 / (n * (n * n - 1.0))) * 1e6)
+        r = rows[s]
+        assert (r.n_docs, r.sum_d2, r.rho_ppm) == (n, sum_d2, rho), s
+        assert -1_000_000 <= r.rho_ppm <= 1_000_000
