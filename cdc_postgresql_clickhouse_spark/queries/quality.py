@@ -815,10 +815,17 @@ def quality_spearman_quality_logprob(spark: SparkSession, sf_dir: str) -> DataFr
         text_unigram_logprob,
     )
 
+    from pyspark import StorageLevel
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     q = text_quality_score(spark, sf_dir).select("doc_id", "quality")
     lp = text_unigram_logprob(spark, sf_dir).select("doc_id", "avg_neg_logprob")
-    joined = docs.join(q, "doc_id").join(lp, "doc_id")
+    # persisted: BOTH rank axes read this table (an unpersisted barrier
+    # re-runs the quality heuristic AND the logprob posting pipeline once
+    # per axis — measured 4.0s -> 2.9s floor at sf0.1)
+    joined = docs.join(q, "doc_id").join(lp, "doc_id").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     rq = _source_rank(joined.select("source", "doc_id", "quality"), "quality", "rq")
     rl = _source_rank(
         joined.select("source", "doc_id", "avg_neg_logprob"), "avg_neg_logprob", "rl"

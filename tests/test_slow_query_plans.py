@@ -52,6 +52,8 @@ _PINS = [
     # algebra); the recommender is the bounded cooc self-join + slice scoring
     ("dedup_method_agreement", 26, 0),
     ("reco_brand_cooccurrence_topk", 9, 0),
+    # two metric pipelines + two two-phase ranks over the persisted join
+    ("quality_spearman_quality_logprob", 23, 0),
 ]
 
 
