@@ -375,6 +375,7 @@ HEADLINE = [
     "embedding_kcenter_coreset",
     "quality_dedup_bias_audit",
     "quality_spearman_quality_logprob",
+    "corpus_token_budget_waterfill",
 ]
 
 

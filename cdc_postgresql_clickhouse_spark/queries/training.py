@@ -1520,3 +1520,142 @@ FROM (
 
 QUERIES["corpus_decontaminate_ngram_sweep"] = corpus_decontaminate_ngram_sweep
 ORACLE["corpus_decontaminate_ngram_sweep"] = _sql_decontam_sweep()
+
+
+# --- budget-constrained token allocation (exact waterfill) --------------------
+#
+# corpus_temperature_mixture caps each source's sampling rate at 1.0 but
+# silently UNDER-SPENDS the budget when a source saturates; this operator
+# answers the planning question properly: given a token budget, allocate
+# per-source quotas proportional to sqrt-temperature weights with capacity
+# clipping and EXACT redistribution of the clipped mass (waterfilling).
+# Closed form over the |sources|-bounded grid: sort by capacity/weight,
+# find the unique prefix whose members saturate, threshold t = remaining
+# budget / remaining weight; all integer (milli-weights, floored divides)
+# so both engines agree bit-for-bit. The only window runs over the bounded
+# source grid (the orders_pareto_abc pattern), never over docs.
+
+WATERFILL_BUDGET_PCT = 60
+
+
+def corpus_token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", F.size(tokens(F.col("text"))).cast("long").alias("n_tok")
+    )
+    per = docs.groupBy("source").agg(F.sum("n_tok").cast("long").alias("capacity"))
+    return waterfill_allocate(per)
+
+
+def waterfill_allocate(
+    per: DataFrame, budget_pct: int = WATERFILL_BUDGET_PCT
+) -> DataFrame:
+    """Core waterfill over an arbitrary (source, capacity) table — unit
+    tests feed skewed capacities to exercise the capped prefix, which the
+    uniform fixture never enters."""
+    per = per.select(
+        "source",
+        "capacity",
+        F.floor(F.sqrt(F.col("capacity").cast("double")) * 1000.0)
+        .cast("long")
+        .alias("w_milli"),
+    )
+    tot = per.agg(
+        F.sum("capacity").cast("long").alias("tot_c"),
+        F.sum("w_milli").cast("long").alias("tot_w"),
+    )
+    g = per.crossJoin(F.broadcast(tot)).select(
+        "*",
+        F.expr(f"tot_c * {int(budget_pct)} div 100").alias("budget"),
+        F.expr("capacity * 1000000 div w_milli").alias("ratio"),
+    )
+    w = Window.orderBy("ratio", "source")
+    cum = g.select(
+        "*",
+        F.sum("capacity").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum_c"),
+        F.sum("w_milli").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum_w"),
+        F.row_number().over(w).cast("long").alias("j"),
+    )
+    # candidate threshold after capping prefix 1..j (j=0 row synthesized by
+    # treating each row's PRE-prefix state); validity: the j-th source's own
+    # allocation at t_j would exceed its capacity (so capping it is right)
+    # and the remaining weight is positive
+    cand = cum.select(
+        "j",
+        F.expr("(budget - cum_c) * 1000 div nullif(tot_w - cum_w, 0)").alias("t"),
+        F.expr(
+            "capacity <= w_milli * ((budget - (cum_c - capacity)) * 1000"
+            " div nullif(tot_w - (cum_w - w_milli), 0)) div 1000"
+        ).alias("own_capped"),
+    )
+    # prefix 0 (nobody capped) threshold rides with j=0
+    t0 = g.agg(
+        F.expr(f"min(budget) * 1000 div min(tot_w)").cast("long").alias("t"),
+    ).select(F.lit(0).cast("long").alias("j"), "t", F.lit(True).alias("own_capped"))
+    # the valid prefix is the LARGEST j whose j-th member saturates at its
+    # own pre-prefix threshold (j=0 always valid as the floor); t decreases
+    # in j past the optimum, so max valid j gives the exact waterfill
+    valid = cand.filter("own_capped").unionByName(t0)
+    pick = valid.agg(F.max(F.struct("j", "t")).alias("m")).select(
+        F.col("m.t").alias("t_star"), F.col("m.j").alias("j_star")
+    )
+    out = cum.crossJoin(F.broadcast(pick))
+    alloc = F.when(
+        F.col("j") <= F.col("j_star"), F.col("capacity")
+    ).otherwise(F.expr("w_milli * t_star div 1000"))
+    return out.select(
+        "source",
+        "capacity",
+        "w_milli",
+        alloc.cast("long").alias("allocated"),
+        (F.col("j") <= F.col("j_star")).alias("capped"),
+    )
+
+
+QUERIES["corpus_token_budget_waterfill"] = corpus_token_budget_waterfill
+
+ORACLE["corpus_token_budget_waterfill"] = f"""
+WITH per AS (
+  SELECT source, SUM(len({_SQL_TOKENS}))::BIGINT AS capacity
+  FROM documents GROUP BY source
+),
+pw AS (
+  SELECT source, capacity,
+         CAST(FLOOR(sqrt(CAST(capacity AS DOUBLE)) * 1000.0) AS BIGINT) AS w_milli
+  FROM per
+),
+tot AS (SELECT SUM(capacity)::BIGINT AS tot_c, SUM(w_milli)::BIGINT AS tot_w FROM pw),
+g AS (
+  SELECT pw.*, t.tot_c, t.tot_w,
+         (t.tot_c * {WATERFILL_BUDGET_PCT} // 100)::BIGINT AS budget,
+         (capacity * 1000000 // w_milli)::BIGINT AS ratio
+  FROM pw CROSS JOIN tot t
+),
+cum AS (
+  SELECT *,
+         SUM(capacity) OVER (ORDER BY ratio, source ROWS UNBOUNDED PRECEDING) AS cum_c,
+         SUM(w_milli) OVER (ORDER BY ratio, source ROWS UNBOUNDED PRECEDING) AS cum_w,
+         CAST(ROW_NUMBER() OVER (ORDER BY ratio, source) AS BIGINT) AS j
+  FROM g
+),
+cand AS (
+  SELECT j, ((budget - cum_c) * 1000 // NULLIF(tot_w - cum_w, 0))::BIGINT AS t,
+         capacity <= w_milli * ((budget - (cum_c - capacity)) * 1000
+           // NULLIF(tot_w - (cum_w - w_milli), 0)) // 1000 AS own_capped
+  FROM cum
+),
+t0 AS (
+  SELECT CAST(0 AS BIGINT) AS j,
+         (MIN(budget) * 1000 // MIN(tot_w))::BIGINT AS t,
+         TRUE AS own_capped
+  FROM g
+),
+valid AS (SELECT j, t FROM cand WHERE own_capped UNION ALL SELECT j, t FROM t0),
+pick AS (
+  SELECT j AS j_star, t AS t_star FROM valid ORDER BY j DESC, t DESC LIMIT 1
+)
+SELECT c.source, c.capacity, c.w_milli,
+       CAST(CASE WHEN c.j <= p.j_star THEN c.capacity
+                 ELSE c.w_milli * p.t_star // 1000 END AS BIGINT) AS allocated,
+       c.j <= p.j_star AS capped
+FROM cum c CROSS JOIN pick p
+"""

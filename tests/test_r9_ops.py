@@ -301,3 +301,79 @@ def test_spearman_bounds_and_python_twin(spark, sf_dir):
         r = rows[s]
         assert (r.n_docs, r.sum_d2, r.rho_ppm) == (n, sum_d2, rho), s
         assert -1_000_000 <= r.rho_ppm <= 1_000_000
+
+
+def test_waterfill_spends_budget_and_honors_caps(spark, sf_dir):
+    """The whole point vs the rate-capped mixture row: the budget is
+    actually SPENT (sum allocated within floor-granularity slack of the
+    budget), no source exceeds its capacity, capped sources get exactly
+    their capacity, and uncapped allocations are weight-proportional at
+    one shared threshold."""
+    from cdc_postgresql_clickhouse_spark.queries.training import (
+        WATERFILL_BUDGET_PCT,
+        QUERIES as TR_Q,
+    )
+
+    rows = TR_Q["corpus_token_budget_waterfill"](spark, sf_dir).collect()
+    assert rows
+    total_capacity = sum(r.capacity for r in rows)
+    budget = total_capacity * WATERFILL_BUDGET_PCT // 100
+    alloc = sum(r.allocated for r in rows)
+    assert alloc <= budget
+    # floor losses: < 1 token per uncapped source plus the t-granularity
+    # (w_milli/1000 tokens per source)
+    slack = sum(r.w_milli // 1000 + 1 for r in rows)
+    assert alloc >= budget - slack, (alloc, budget, slack)
+    uncapped_ts = set()
+    for r in rows:
+        assert 0 <= r.allocated <= r.capacity
+        if r.capped:
+            assert r.allocated == r.capacity
+        else:
+            # shared threshold: reconstruct t from the allocation
+            uncapped_ts.add(r.allocated * 1000 // r.w_milli)
+    if uncapped_ts:
+        # all uncapped sources sit at one water level (within floor slack)
+        assert max(uncapped_ts) - min(uncapped_ts) <= 1, uncapped_ts
+
+
+def test_waterfill_capped_prefix_python_twin(spark):
+    """Skewed capacities force the capped path the uniform fixture never
+    enters: a tiny source saturates, its clipped mass redistributes to the
+    others at one shared water level. Cross-checked against a Python
+    continuous waterfill (integer-floored at the same points)."""
+    from cdc_postgresql_clickhouse_spark.queries.training import (
+        waterfill_allocate,
+    )
+    import math
+
+    caps = {"tiny": 100, "mid": 50_000, "big": 200_000, "huge": 800_000}
+    per = spark.createDataFrame(list(caps.items()), "source string, capacity long")
+    rows = {r.source: r for r in waterfill_allocate(per, budget_pct=60).collect()}
+    assert rows["tiny"].capped and rows["tiny"].allocated == 100
+    budget = sum(caps.values()) * 60 // 100
+    alloc = sum(r.allocated for r in rows.values())
+    assert alloc <= budget
+    slack = sum(r.w_milli // 1000 + 1 for r in rows.values())
+    assert alloc >= budget - slack
+    # python twin: iterate the standard waterfill (cap the smallest
+    # capacity/weight ratio while its fair share exceeds capacity)
+    w = {s: math.floor(math.sqrt(c) * 1000) for s, c in caps.items()}
+    order = sorted(caps, key=lambda s: (caps[s] * 1_000_000 // w[s], s))
+    capped, rem_b, rem_w = set(), budget, sum(w.values())
+    for s in order:
+        t = rem_b * 1000 // rem_w
+        if caps[s] <= w[s] * t // 1000:
+            capped.add(s)
+            rem_b -= caps[s]
+            rem_w -= w[s]
+        else:
+            break
+    t = rem_b * 1000 // rem_w
+    assert "tiny" in capped
+    for s in caps:
+        if s in capped:
+            assert rows[s].capped and rows[s].allocated == caps[s], s
+        else:
+            assert not rows[s].capped, s
+            assert rows[s].allocated == w[s] * t // 1000, s
