@@ -57,6 +57,15 @@ class StateLockError(RuntimeError):
     OPTIMIZE's part-level lock; on Delta the problem disappears — ACID)."""
 
 
+# Paths whose _state_lock THIS process currently holds. Lets read_state
+# distinguish "called under the caller's own lock" (heal directly; the
+# O_EXCL lock is non-reentrant, so re-acquiring would raise StateLockError
+# against the caller's own fence — ADVICE r9) from a lock-free read (take
+# the lock, heal under it). Single-mutator-per-process assumption, same as
+# the lock itself (host-local local[] harness; Delta/ACID at scale).
+_HELD_LOCKS: set[str] = set()
+
+
 @contextlib.contextmanager
 def _state_lock(path: str):
     """Single-writer fence: an O_EXCL sibling lock file. Host-local by
@@ -64,7 +73,8 @@ def _state_lock(path: str):
     multi-driver deployment gets its exclusion from the storage layer
     (Delta/ACID), not from this file. A crash can leave a stale lock;
     ``break_state_lock`` removes it after operator inspection."""
-    lock = f"{os.path.abspath(path)}.lock"
+    apath = os.path.abspath(path)
+    lock = f"{apath}.lock"
     try:
         fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
     except FileExistsError:
@@ -72,11 +82,13 @@ def _state_lock(path: str):
             f"state table {path!r} is locked by another upsert/compact "
             f"(lock file {lock!r}; if its owner crashed, call break_state_lock)"
         ) from None
+    _HELD_LOCKS.add(apath)
     try:
         os.write(fd, str(os.getpid()).encode())
         os.close(fd)
         yield
     finally:
+        _HELD_LOCKS.discard(apath)
         # Remove only OUR lock: if break_state_lock misjudged this mutator as
         # crashed and a new mutator re-acquired, the recorded pid differs and
         # the zombie must not delete the new owner's fence.
@@ -211,14 +223,23 @@ def read_state(
     A torn bucket swap (crash between ``publish_state_buckets``' per-bucket
     renames) is rolled FORWARD here, under the state lock, before the read
     plans — a direct reader would otherwise see a journaled-but-unswapped
-    bucket as never-committed state (ADVICE r8). Lock discipline: every
-    ingest path that calls read_state while HOLDING the lock heals first
-    (``recover_bucket_swap`` is step one of the ingest recipe), so the
-    journal cannot exist here under a held lock; ``StateLockError`` from
-    this block therefore means a LIVE publish is mid-swap, and propagating
-    it beats planning over a half-swapped directory."""
-    journal = os.path.join(path, _SWAP_JOURNAL)
-    if os.path.exists(journal):
+    bucket as never-committed state (ADVICE r8). Lock discipline (ADVICE
+    r9): if THIS process already holds the path's lock (every ingest path —
+    fold/upsert/compact — calls read_state inside its locked section), heal
+    directly under the caller's lock; re-acquiring the non-reentrant O_EXCL
+    lock would raise StateLockError against the caller's own fence. A
+    lock-free read takes the lock UNCONDITIONALLY and heals under it — the
+    former check-then-lock (``exists(journal)`` before acquiring) could run
+    before a live publish wrote its journal and then plan over a
+    half-swapped directory; now a live publish makes the read raise
+    ``StateLockError`` instead, which beats reading torn state. Residual
+    TOCTOU, by design: the lock is released before the scan executes, so a
+    publish STARTING after release can still swap buckets mid-read —
+    race-free concurrent read-while-publish needs the storage layer
+    (Delta/ACID); this file-based machinery is the local[] harness."""
+    if os.path.abspath(path) in _HELD_LOCKS:
+        recover_bucket_swap(path)
+    else:
         with _state_lock(path):
             recover_bucket_swap(path)
     try:

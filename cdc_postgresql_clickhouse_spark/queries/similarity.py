@@ -1834,13 +1834,19 @@ def embedding_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for _cid, vec in centers
             ) + ")"
         )
-        # min cosine-distance (micro ints) to the chosen set, map-side
+        # min cosine-distance (micro ints) to the chosen set, map-side.
+        # ONE floor on the raw cosine (the _sql_cos convention), NOT
+        # _cos_prenorm * 1e6: that double round-trip (floor(raw*1e6)/1e6,
+        # then *1e6 and truncate) lands one ulp off the integer for ~1% of
+        # values and Spark's truncating cast yields k-1 where the oracle's
+        # single CAST(FLOOR(raw*1e6) AS BIGINT) yields k (ADVICE r9 high).
         d6 = F.array_min(
             F.transform(
                 cents_lit,
                 lambda c: F.lit(1000000).cast("long")
-                - (_cos_prenorm(F.col("e"), c, F.col("nrm"), _norm(c)) * 1000000.0)
-                .cast("long"),
+                - F.floor(
+                    _dot(F.col("e"), c) / (F.col("nrm") * _norm(c)) * F.lit(1000000.0)
+                ).cast("long"),
             )
         )
         chosen_ids = [cid for cid, _vec in centers]

@@ -1552,7 +1552,14 @@ def waterfill_allocate(
     """Core waterfill over an arbitrary (source, capacity) table — unit
     tests feed skewed capacities to exercise the capped prefix, which the
     uniform fixture never enters."""
-    per = per.select(
+    # Guard: a zero-capacity source gives w_milli = 0, where Spark's `div`
+    # yields NULL but DuckDB's `//` raises — drop such sources up front on
+    # BOTH sides (they can receive no tokens anyway). Every `div` below
+    # also relies on a NON-NEGATIVE numerator: Spark `div` truncates toward
+    # zero while DuckDB `//` floors, so they agree only for >= 0 values.
+    # Valid rows provably satisfy this (budget >= cum_c on the uncapped
+    # prefix; ratio operands are positive) — keep it that way under edits.
+    per = per.filter(F.col("capacity") > 0).select(
         "source",
         "capacity",
         F.floor(F.sqrt(F.col("capacity").cast("double")) * 1000.0)
@@ -1621,7 +1628,7 @@ WITH per AS (
 pw AS (
   SELECT source, capacity,
          CAST(FLOOR(sqrt(CAST(capacity AS DOUBLE)) * 1000.0) AS BIGINT) AS w_milli
-  FROM per
+  FROM per WHERE capacity > 0
 ),
 tot AS (SELECT SUM(capacity)::BIGINT AS tot_c, SUM(w_milli)::BIGINT AS tot_w FROM pw),
 g AS (

@@ -363,3 +363,129 @@ def test_mv_reader_stalled_across_two_publishes_still_reads(spark):
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(f"{tmp}.lock", ignore_errors=True)
+
+
+def _tear_one_bucket(state: str) -> tuple[str, str]:
+    """Move one bucket of a published state back into a staging root and
+    journal the pending swap — the exact on-disk shape of a crash between
+    publish_state_buckets' rmtree and rename. Returns (bucket_dir, staged)."""
+    import json
+
+    from cdc_postgresql_clickhouse_spark.operators.state import _SWAP_JOURNAL
+
+    torn = next(
+        f"__bucket={bk}"
+        for bk in range(FOLD_BUCKETS)
+        if os.path.isdir(os.path.join(state, f"__bucket={bk}"))
+    )
+    staged = f"{os.path.abspath(state)}.staged"
+    os.makedirs(staged, exist_ok=True)
+    shutil.move(os.path.join(state, torn), os.path.join(staged, torn))
+    with open(os.path.join(state, _SWAP_JOURNAL), "w") as fh:
+        json.dump({"buckets": [torn], "staged": staged}, fh)
+    return torn, staged
+
+
+def test_read_state_under_own_lock_heals_torn_journal(spark, sf_dir):
+    """ADVICE r9: read_state called while the CALLER holds the state lock
+    (every ingest path) must heal a leftover torn journal directly under
+    that lock — the former behavior re-acquired the non-reentrant O_EXCL
+    lock and raised StateLockError against the caller's own fence, with a
+    message directing the operator to break a LIVE lock."""
+    from cdc_postgresql_clickhouse_spark.operators.state import (
+        _SWAP_JOURNAL,
+        _state_lock,
+        read_state,
+    )
+
+    ev = _fold_rows(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="own_lock_heal_")
+    try:
+        state = os.path.join(tmp, "state")
+        ingest_batch_ewma(spark, ev, state, batch_id=0)
+        torn, staged = _tear_one_bucket(state)
+        with _state_lock(state):
+            healed = read_state(spark, state)  # must not raise
+            assert healed is not None
+        assert not os.path.exists(os.path.join(state, _SWAP_JOURNAL))
+        assert not os.path.exists(staged)
+        assert os.path.isdir(os.path.join(state, torn))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_mutators_heal_torn_journal_inside_own_lock(spark):
+    """ADVICE r9: upsert_changes_bucketed / compact_state on a table left
+    with a torn publish journal must roll the swap forward inside their own
+    locked section and proceed — the former code's read_state saw the
+    journal, re-acquired the non-reentrant lock, and raised StateLockError
+    against the caller's OWN fence."""
+    import json
+
+    from cdc_postgresql_clickhouse_spark.operators.state import (
+        _SWAP_JOURNAL,
+        compact_state,
+        read_state,
+        upsert_changes_bucketed,
+    )
+
+    rows = spark.createDataFrame(
+        [(f"b{i}", i, i * 10, 0) for i in range(1, 9)],
+        "booking_id string, version long, ts_ms long, is_deleted int",
+    )
+    tmp = tempfile.mkdtemp(prefix="mutator_heal_")
+    try:
+        state = os.path.join(tmp, "state")
+        upsert_changes_bucketed(spark, rows, state, key_buckets=4)
+        want = read_state(spark, state).count()
+
+        def tear() -> None:
+            torn = next(
+                d for d in sorted(os.listdir(state)) if d.startswith("__bucket=")
+            )
+            staged = f"{os.path.abspath(state)}.staged"
+            os.makedirs(staged, exist_ok=True)
+            shutil.move(os.path.join(state, torn), os.path.join(staged, torn))
+            with open(os.path.join(state, _SWAP_JOURNAL), "w") as fh:
+                json.dump({"buckets": [torn], "staged": staged}, fh)
+
+        tear()
+        # replaying the same batch over the torn table must heal + proceed
+        upsert_changes_bucketed(spark, rows, state, key_buckets=4)
+        assert not os.path.exists(os.path.join(state, _SWAP_JOURNAL))
+        assert read_state(spark, state).count() == want
+
+        tear()
+        compact_state(spark, state, key_buckets=4)  # must not raise either
+        assert not os.path.exists(os.path.join(state, _SWAP_JOURNAL))
+        assert read_state(spark, state).count() == want
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_lock_free_read_raises_on_live_foreign_lock(spark, sf_dir):
+    """ADVICE r9: a lock-free read_state now takes the lock UNCONDITIONALLY
+    (the former exists(journal) check could run before a live publish wrote
+    its journal and then plan over a half-swapped directory). A live foreign
+    lock therefore makes the read raise StateLockError instead of racing."""
+    from cdc_postgresql_clickhouse_spark.operators.state import (
+        StateLockError,
+        read_state,
+    )
+
+    ev = _fold_rows(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="foreign_lock_read_")
+    try:
+        state = os.path.join(tmp, "state")
+        ingest_batch_ewma(spark, ev, state, batch_id=0)
+        lock = f"{os.path.abspath(state)}.lock"
+        with open(lock, "w") as fh:  # simulate another live mutator's fence
+            fh.write("999999")
+        try:
+            with pytest.raises(StateLockError):
+                read_state(spark, state)
+        finally:
+            os.remove(lock)
+        assert read_state(spark, state) is not None  # lock gone: reads fine
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
