@@ -124,7 +124,11 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_round(i: int) -> str:
     """One unrolled oracle round: pair counts over rep{i}, argmax scalar,
-    cross-joined replace producing rep{i+1}."""
+    cross-joined replace producing rep{i+1}. Every rep{i} is referenced
+    TWICE (pairs{i} and rep{i+1}), so each round's output is AS
+    MATERIALIZED — un-fenced, inlining doubles the expression tree per
+    round (2^rounds plan growth), the oracle-memory blowup class of
+    VERDICT r9 #1. The materialized relation is |vocab|-bounded."""
     return f"""
 pairs{i} AS (
   SELECT p AS pair, SUM(freq) AS cnt FROM (
@@ -133,10 +137,10 @@ pairs{i} AS (
     FROM (SELECT freq, str_split(rep, ' ') AS syms FROM rep{i})
   ) GROUP BY p
 ),
-best{i} AS (
+best{i} AS MATERIALIZED (
   SELECT pair, cnt FROM pairs{i} ORDER BY cnt DESC, pair ASC LIMIT 1
 ),
-rep{i + 1} AS (
+rep{i + 1} AS MATERIALIZED (
   SELECT w, freq,
          trim(replace(' ' || r.rep || ' ',
                       ' ' || b.pair || ' ',
@@ -152,7 +156,7 @@ WITH wf AS (
     SELECT unnest({_SQL_TOKENS}) AS w FROM documents
   ) GROUP BY w
 ),
-rep0 AS (
+rep0 AS MATERIALIZED (
   SELECT w, freq,
          array_to_string(list_filter(str_split(w, ''), c -> c <> ''), ' ')
            || ' {EOW}' AS rep
@@ -204,7 +208,7 @@ WITH wf AS (
     SELECT unnest({_SQL_TOKENS}) AS w FROM documents
   ) GROUP BY w
 ),
-rep0 AS (
+rep0 AS MATERIALIZED (
   SELECT w, freq,
          array_to_string(list_filter(str_split(w, ''), c -> c <> ''), ' ')
            || ' {EOW}' AS rep
@@ -271,7 +275,7 @@ WITH wf AS (
     SELECT unnest({_SQL_TOKENS}) AS w FROM documents
   ) GROUP BY w
 ),
-rep0 AS (
+rep0 AS MATERIALIZED (
   SELECT w, freq,
          array_to_string(list_filter(str_split(w, ''), c -> c <> ''), ' ')
            || ' {EOW}' AS rep

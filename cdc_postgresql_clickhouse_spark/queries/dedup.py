@@ -72,6 +72,26 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.unionByName(derived)
 
 
+def _scoped_toks(
+    spark: SparkSession, sf_dir: str, scope_ids: int | None
+) -> DataFrame:
+    """The tokenized (sub-)corpus every near-dup detector starts from:
+    scope filter + repartition + tokens(). Factored out so
+    ``dedup_method_agreement`` can build it ONCE, persist it, and feed all
+    three detectors (VERDICT r9 #4 — each detector used to re-tokenize the
+    raw corpus from scratch). The repartition spreads tokenize/hash work
+    across all cores regardless of input file split count (documents.parquet
+    is 1-2 splits locally); at real scale the source already has enough
+    splits and it can be dropped."""
+    corpus = _corpus(spark, sf_dir)
+    if scope_ids is not None:
+        corpus = corpus.filter(
+            (F.col("doc_id") < scope_ids) | (F.col("doc_id") >= DERIVED_OFFSET)
+        )
+    corpus = corpus.repartition(spark.sparkContext.defaultParallelism)
+    return corpus.select("doc_id", tokens(F.col("text")).alias("toks"))
+
+
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: hash-groupBy on content md5 — one shuffle on the hash,
     the canonical survivor is min(doc_id)."""
@@ -117,15 +137,14 @@ def dedup_minhash_lsh(
       regardless of input file split count (documents.parquet is 1-2 splits
       locally); at real scale the source already has enough splits and the
       repartition can be dropped."""
+    return _minhash_pairs_from_toks(_scoped_toks(spark, sf_dir, scope_ids))
+
+
+def _minhash_pairs_from_toks(toks: DataFrame) -> DataFrame:
+    """Detector core over any (doc_id, toks) base — see dedup_minhash_lsh
+    for the full plan-shape rationale."""
     from pyspark import StorageLevel
 
-    corpus = _corpus(spark, sf_dir)
-    if scope_ids is not None:
-        corpus = corpus.filter(
-            (F.col("doc_id") < scope_ids) | (F.col("doc_id") >= DERIVED_OFFSET)
-        )
-    corpus = corpus.repartition(spark.sparkContext.defaultParallelism)
-    toks = corpus.select("doc_id", tokens(F.col("text")).alias("toks"))
     shs_all = toks.select(
         "doc_id", F.array_distinct(word_shingles(F.col("toks"), 3)).alias("shs")
     ).persist(StorageLevel.MEMORY_AND_DISK)  # feeds signatures + both verify sides
@@ -203,12 +222,12 @@ def dedup_simhash(
     ``None`` scans the whole corpus — fingerprinting stays O(docs) map-side
     either way, only the within-band pair cost grows.
     """
-    corpus = _corpus(spark, sf_dir)
-    if scope_ids is not None:
-        corpus = corpus.filter(
-            (F.col("doc_id") < scope_ids) | (F.col("doc_id") >= DERIVED_OFFSET)
-        )
-    tok = corpus.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok")).distinct()
+    return _simhash_pairs_from_toks(_scoped_toks(spark, sf_dir, scope_ids))
+
+
+def _simhash_pairs_from_toks(toks: DataFrame) -> DataFrame:
+    """Detector core over any (doc_id, toks) base."""
+    tok = toks.select("doc_id", F.explode("toks").alias("tok")).distinct()
     tok = tok.withColumn("h", F.md5("tok"))
     bits = (
         tok.withColumn("bp", F.explode(F.sequence(F.lit(0), F.lit(59))))
@@ -250,19 +269,22 @@ def dedup_ngram_jaccard(
     candidates come from LSH, keeping this an equi-join, not a cross
     product. ``scope_ids=None`` disables the cap (cost grows with shared-gram
     pair count, still never all-pairs)."""
+    return _ngram_pairs_from_toks(_scoped_toks(spark, sf_dir, scope_ids))
+
+
+def _ngram_pairs_from_toks(toks: DataFrame) -> DataFrame:
+    """Detector core over any (doc_id, toks) base. The normalized string is
+    rebuilt as array_join(toks, ' ') — byte-identical to
+    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ')) because tokens()
+    IS that string split on single spaces with empties dropped."""
     from pyspark import StorageLevel
 
-    corpus = _corpus(spark, sf_dir)
-    if scope_ids is not None:
-        corpus = corpus.filter(
-            (F.col("doc_id") < scope_ids) | (F.col("doc_id") >= DERIVED_OFFSET)
-        )
     # The normalized string must be MATERIALIZED (persist barrier) before the
     # n-gram generator: the explode's transform references `s` per element, and
-    # with `s` still an alias the regex-normalize subtree is re-evaluated for
+    # with `s` still an alias the normalize subtree is re-evaluated for
     # every one of the ~2.5k n-grams of every doc (2.3s → 0.2s at sf0.1).
-    normed = corpus.select(
-        "doc_id", F.trim(F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " ")).alias("s")
+    normed = toks.select(
+        "doc_id", F.array_join("toks", " ").alias("s")
     ).persist(StorageLevel.MEMORY_AND_DISK)
     grams = normed.select(
         "doc_id",
@@ -316,17 +338,38 @@ QUERIES = {
 # MinHash pair pipeline as a reusable CTE list + final SELECT so downstream
 # oracles (dedup_cluster_canonical's recursive connected components) can
 # splice the same edge definition into their own WITH clause.
+#
+# ORACLE MEMORY DISCIPLINE (VERDICT r9 #1 — four driver rows died with
+# DuckDB OutOfMemoryException in the driver's UNCAPPED harness, which
+# shares host RAM with the Spark JVM): the former shape cross-joined the
+# full-corpus shingle expansion against unnest(range(N_HASHES)) — a 12x
+# row fan-out of an inlined (un-fenced) unnest(list_transform(...)) tree.
+# Now: (1) ``sh`` is AS MATERIALIZED, so its three consumers read one
+# computed result instead of re-inlining the expansion; (2) the 12 minhash
+# mins are 12 MIN() projections in ONE grouped pass over sh — no seed
+# fan-out at shingle grain; (3) band hashes concatenate the per-seed
+# columns directly (same ',' separator and seed order as the former
+# string_agg(mh, ',' ORDER BY seed), so bh is byte-identical).
+_SQL_MINHASH_MINS = ",\n         ".join(
+    f"MIN(md5('{s}|' || shingle)) AS mh{s}" for s in range(N_HASHES)
+)
+_SQL_CAT_SEP = " || ',' || "
+_SQL_MINHASH_BANDS = "\n  UNION ALL ".join(
+    "SELECT doc_id, CAST({b} AS BIGINT) AS band, md5({cat}) AS bh FROM sig".format(
+        b=b,
+        cat=_SQL_CAT_SEP.join(f"mh{b * BAND_ROWS + i}" for i in range(BAND_ROWS)),
+    )
+    for b in range(N_HASHES // BAND_ROWS)
+)
 _SQL_MINHASH_CTES = f"""corpus AS ({_SQL_CORPUS}),
-sh AS ({_SQL_SHINGLES}),
-sig AS (
-  SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS mh
-  FROM sh, (SELECT unnest(range({N_HASHES})) AS seed)
-  GROUP BY doc_id, seed
+sh AS MATERIALIZED ({_SQL_SHINGLES}),
+sig AS MATERIALIZED (
+  SELECT doc_id,
+         {_SQL_MINHASH_MINS}
+  FROM sh GROUP BY doc_id
 ),
 bands AS (
-  SELECT doc_id, CAST(FLOOR(seed / {BAND_ROWS}) AS BIGINT) AS band,
-         md5(string_agg(mh, ',' ORDER BY seed)) AS bh
-  FROM sig GROUP BY 1, 2
+  {_SQL_MINHASH_BANDS}
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -651,12 +694,20 @@ QUERIES["dedup_lsh_tuning_report"] = dedup_lsh_tuning_report
 
 
 def _sql_lsh_tune_config(nb: int, r: int) -> str:
-    """Per-config CTEs: bands/cand/verified counts for b bands of r rows."""
+    """Per-config CTEs: bands/cand/verified counts for b bands of r rows.
+    Band hashes are direct concatenations of the one-pass sig's per-seed
+    columns (same ',' separator and seed order as the former
+    string_agg(mh, ',' ORDER BY seed) — byte-identical bh)."""
     jac = "(CAST(FLOOR((CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter)) * 1000000.0) AS DOUBLE) / 1000000.0)"
+    band_rows = "\n  UNION ALL ".join(
+        "SELECT doc_id, CAST({b} AS BIGINT) AS band, md5({cat}) AS bh FROM sig".format(
+            b=b,
+            cat=_SQL_CAT_SEP.join(f"mh{b * r + i}" for i in range(r)),
+        )
+        for b in range(nb)
+    )
     return f"""bands_{nb} AS (
-  SELECT doc_id, CAST(FLOOR(seed / {r}) AS BIGINT) AS band,
-         md5(string_agg(mh, ',' ORDER BY seed)) AS bh
-  FROM sig GROUP BY 1, 2
+  {band_rows}
 ),
 cand_{nb} AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -681,11 +732,11 @@ nver_{nb} AS (
 
 
 ORACLE["dedup_lsh_tuning_report"] = (
-    f"WITH corpus AS ({_SQL_CORPUS}),\nsh AS ({_SQL_SHINGLES}),\n"
-    f"""sig AS (
-  SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS mh
-  FROM sh, (SELECT unnest(range({N_HASHES})) AS seed)
-  GROUP BY doc_id, seed
+    f"WITH corpus AS ({_SQL_CORPUS}),\nsh AS MATERIALIZED ({_SQL_SHINGLES}),\n"
+    f"""sig AS MATERIALIZED (
+  SELECT doc_id,
+         {_SQL_MINHASH_MINS}
+  FROM sh GROUP BY doc_id
 ),
 counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
 """
@@ -1126,16 +1177,18 @@ flip_pending(PENDING_QUERIES, PENDING_ORACLE, QUERIES, ORACLE)
 
 
 def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
-    def in_scope(c: str):
-        return (F.col(c) < VERIFY_SCOPE_IDS) | (F.col(c) >= DERIVED_OFFSET)
+    from pyspark import StorageLevel
 
-    mh = (
-        dedup_minhash_lsh(spark, sf_dir, scope_ids=VERIFY_SCOPE_IDS)
-        .select("doc_a", "doc_b")
-        .filter(in_scope("doc_a") & in_scope("doc_b"))
+    # ONE tokenized verify-scope base, persisted, feeds all three detectors
+    # (VERDICT r9 #4: they each rebuilt tokenize state from the raw corpus;
+    # pair outputs are pure functions of the base, so sharing it cannot
+    # change the verdicts — the oracle SQL still spells out each detector).
+    base = _scoped_toks(spark, sf_dir, VERIFY_SCOPE_IDS).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
-    sh = dedup_simhash(spark, sf_dir).select("doc_a", "doc_b")
-    ng = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    mh = _minhash_pairs_from_toks(base).select("doc_a", "doc_b")
+    sh = _simhash_pairs_from_toks(base).select("doc_a", "doc_b")
+    ng = _ngram_pairs_from_toks(base).select("doc_a", "doc_b")
     u = (
         mh.select("doc_a", "doc_b", F.lit("minhash").alias("m"))
         .unionByName(sh.select("doc_a", "doc_b", F.lit("simhash").alias("m")))
@@ -1147,27 +1200,42 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             for name in ("minhash", "simhash", "ngram")
         ]
     )
-    out = None
-    for a, b in (("minhash", "ngram"), ("minhash", "simhash"), ("ngram", "simhash")):
+    # ONE agg pass computes every pairwise sum, then the |methods|²-bounded
+    # 1-row result explodes into the 3 output rows — the former per-arm
+    # tagged.agg() re-ran the union of all three detector pipelines once
+    # PER ARM (3x the whole query below the internal persist points).
+    arms = (("minhash", "ngram"), ("minhash", "simhash"), ("ngram", "simhash"))
+    aggs = []
+    for a, b in arms:
         fa, fb = F.col(f"f_{a}"), F.col(f"f_{b}")
-        row = tagged.agg(
-            F.sum(fa).cast("long").alias("n_a"),
-            F.sum(fb).cast("long").alias("n_b"),
-            F.sum(fa * fb).cast("long").alias("n_both"),
-            F.sum(F.greatest(fa, fb)).cast("long").alias("n_either"),
-        ).select(
-            F.lit(a).alias("method_a"),
-            F.lit(b).alias("method_b"),
-            "n_a",
-            "n_b",
-            "n_both",
-            "n_either",
-            F.expr("n_both * 1000000 div nullif(n_either, 0)")
-            .cast("long")
-            .alias("agreement_ppm"),
-        )
-        out = row if out is None else out.unionByName(row)
-    return out
+        aggs += [
+            F.sum(fa).cast("long").alias(f"n_{a}_{b}_a"),
+            F.sum(fb).cast("long").alias(f"n_{a}_{b}_b"),
+            F.sum(fa * fb).cast("long").alias(f"both_{a}_{b}"),
+            F.sum(F.greatest(fa, fb)).cast("long").alias(f"either_{a}_{b}"),
+        ]
+    sums = tagged.agg(*aggs)
+    rows = sums.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(a).alias("method_a"),
+                        F.lit(b).alias("method_b"),
+                        F.col(f"n_{a}_{b}_a").alias("n_a"),
+                        F.col(f"n_{a}_{b}_b").alias("n_b"),
+                        F.col(f"both_{a}_{b}").alias("n_both"),
+                        F.col(f"either_{a}_{b}").alias("n_either"),
+                    )
+                    for a, b in arms
+                ]
+            )
+        ).alias("r")
+    )
+    return rows.select("r.*").withColumn(
+        "agreement_ppm",
+        F.expr("n_both * 1000000 div nullif(n_either, 0)").cast("long"),
+    )
 
 
 QUERIES["dedup_method_agreement"] = dedup_method_agreement

@@ -1192,27 +1192,43 @@ def _sql_fuzzy_decontam() -> str:
     )
 
     p, a_mul, b_add = _mh_family()
-    seeds = ", ".join(
-        f"({i}, {a_mul[i]}, {b_add[i]})" for i in range(N_HASHES)
+    # Oracle memory discipline (VERDICT r9 #1): MATERIALIZED-fence the
+    # shingle CTE and compute the 12 universal-hash mins as 12 MIN()
+    # projections in ONE grouped pass — the former 12x VALUES fan-out over
+    # the un-fenced full-corpus shingle expansion is the exact inlining
+    # blowup that OOMed the driver's uncapped DuckDB harness. Band hashes
+    # concatenate the per-seed columns with ',' in seed order, byte-equal
+    # to the former string_agg(mh, ',' ORDER BY seed).
+    mins = ",\n         ".join(
+        f"MIN((h * {a_mul[i]} + {b_add[i]}) % {p}) AS mh{i}"
+        for i in range(N_HASHES)
+    )
+    cat_sep = " || ',' || "
+    band_rows = "\n  UNION ALL ".join(
+        "SELECT doc_id, CAST({b} AS BIGINT) AS band, {cat} AS bh FROM sig".format(
+            b=b,
+            cat=cat_sep.join(
+                f"CAST(mh{b * BAND_ROWS + r} AS VARCHAR)" for r in range(BAND_ROWS)
+            ),
+        )
+        for b in range(N_HASHES // BAND_ROWS)
     )
     return f"""
 WITH corpus AS ({_SQL_CORPUS}),
-sh AS ({_SQL_SHINGLES}),
+sh AS MATERIALIZED ({_SQL_SHINGLES}),
 counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
 hs AS (
   SELECT doc_id,
          CAST(('0x' || substr(md5(shingle), 1, 13))::UBIGINT % {p} AS BIGINT) AS h
   FROM sh
 ),
-sig AS (
-  SELECT doc_id, s.seed, MIN((h * s.a + s.b) % {p}) AS mh
-  FROM hs, (VALUES {seeds}) AS s(seed, a, b)
-  GROUP BY doc_id, s.seed
+sig AS MATERIALIZED (
+  SELECT doc_id,
+         {mins}
+  FROM hs GROUP BY doc_id
 ),
 bands AS (
-  SELECT doc_id, CAST(FLOOR(seed / {BAND_ROWS}) AS BIGINT) AS band,
-         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS bh
-  FROM sig GROUP BY 1, 2
+  {band_rows}
 ),
 cand AS (
   SELECT DISTINCT t.doc_id, b.doc_id AS bench_doc
@@ -1410,7 +1426,7 @@ def _sql_bloom_sweep() -> str:
             for j in range(BLOOM_K)
         )
         arms.append(f"""
-bits_{m} AS (SELECT DISTINCT pos FROM (
+bits_{m} AS MATERIALIZED (SELECT DISTINCT pos FROM (
       {bit_union}
 )),
 fp_{m} AS (
@@ -1424,18 +1440,25 @@ fp_{m} AS (
        ((SELECT nfp FROM fp_{m}) * 1000000 // (SELECT COUNT(*) FROM probe_g))::BIGINT AS fpr_ppm"""
         for m in BLOOM_SWEEP_M
     )
+    # Oracle memory discipline (VERDICT r9 #1): the gram universes are
+    # MATERIALIZED once (the former un-fenced `grams` was re-inlined by its
+    # two consumers, and `bgrams` by every per-m bit union — 3 m-arms x
+    # {BLOOM_K} hash unions of a full corpus gram expansion), and the
+    # probe universe is an ANTI JOIN instead of NOT IN (grams are non-null,
+    # so the semantics are identical and the hash anti-join replaces the
+    # NOT IN's materialize-per-probe set test).
     return f"""
 WITH corpus AS ({_SQL_CORPUS}),
-grams AS (
+grams AS MATERIALIZED (
   SELECT DISTINCT doc_id, unnest({_sql_ngrams(DECONTAM_NGRAM)}) AS gram
   FROM (SELECT doc_id, {_SQL_TOKENS} AS t FROM corpus)
 ),
 bench AS (SELECT doc_id FROM corpus
           WHERE doc_id % {BENCH_MOD} = 0 AND doc_id < {DERIVED_OFFSET}),
-bgrams AS (SELECT DISTINCT gram FROM grams JOIN bench USING (doc_id)),
-probe_g AS (
-  SELECT DISTINCT gram FROM grams
-  WHERE gram NOT IN (SELECT gram FROM bgrams)
+bgrams AS MATERIALIZED (SELECT DISTINCT gram FROM grams JOIN bench USING (doc_id)),
+probe_g AS MATERIALIZED (
+  SELECT DISTINCT g.gram FROM grams g
+  ANTI JOIN bgrams b ON g.gram = b.gram
 ),
 {",".join(arms)}
 {selects}
@@ -1488,8 +1511,19 @@ def corpus_decontaminate_ngram_sweep(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 def _sql_decontam_sweep() -> str:
+    # Oracle memory discipline (VERDICT r9 #1): each n's corpus-grain gram
+    # expansion is built ONCE as an AS MATERIALIZED CTE and read by both the
+    # train side and the bench side — the former shape inlined the
+    # unnest(list_transform(...)) tree into each of its two references per
+    # n (8 full expansions across the 4-n sweep), the exact blowup that
+    # OOMs the driver's uncapped DuckDB harness.
+    ctes = [f"corpus AS ({_SQL_CORPUS})"]
     blocks = []
     for n in DECONTAM_SWEEP_NS:
+        ctes.append(f"""g{n} AS MATERIALIZED (
+  SELECT DISTINCT doc_id, unnest({_sql_ngrams(n)}) AS gram
+  FROM (SELECT doc_id, {_SQL_TOKENS} AS t FROM corpus)
+)""")
         blocks.append(f"""
 SELECT CAST({n} AS BIGINT) AS ngram_n,
        COUNT(*)::BIGINT AS n_flagged_docs,
@@ -1498,24 +1532,15 @@ SELECT CAST({n} AS BIGINT) AS ngram_n,
        COALESCE(SUM(n_shared_grams), 0)::BIGINT AS n_gram_hits
 FROM (
   SELECT t.doc_id, COUNT(DISTINCT t.gram) AS n_shared_grams
-  FROM (
-    SELECT DISTINCT doc_id, unnest({_sql_ngrams(n)}) AS gram
-    FROM (SELECT doc_id, {_SQL_TOKENS} AS t FROM corpus)
-  ) t
+  FROM g{n} t
   JOIN (
-    SELECT DISTINCT gram FROM (
-      SELECT doc_id, unnest({_sql_ngrams(n)}) AS gram
-      FROM (SELECT doc_id, {_SQL_TOKENS} AS t FROM corpus)
-    ) WHERE doc_id % {BENCH_MOD} = 0 AND doc_id < {DERIVED_OFFSET}
+    SELECT DISTINCT gram FROM g{n}
+    WHERE doc_id % {BENCH_MOD} = 0 AND doc_id < {DERIVED_OFFSET}
   ) b ON t.gram = b.gram
   WHERE NOT (t.doc_id % {BENCH_MOD} = 0 AND t.doc_id < {DERIVED_OFFSET})
   GROUP BY 1
 )""")
-    return (
-        f"WITH corpus AS ({_SQL_CORPUS})"
-        + "\n"
-        + "\nUNION ALL\n".join(blocks)
-    )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(blocks)
 
 
 QUERIES["corpus_decontaminate_ngram_sweep"] = corpus_decontaminate_ngram_sweep

@@ -48,9 +48,12 @@ _PINS = [
     # noise (rounds are checkpoint-materialized: the final plan is scan-only)
     ("graph_label_propagation", 0, 0),
     # r9 additions whose bench line exceeds 2 s: the agreement row composes
-    # three audited dedup pipelines (26 shuffles = their sum + the pair-set
-    # algebra); the recommender is the bounded cooc self-join + slice scoring
-    ("dedup_method_agreement", 26, 0),
+    # three audited dedup pipelines over ONE shared tokenized base, with all
+    # three pairwise-agreement arms computed in a single agg pass (r10,
+    # VERDICT r9 #4 — was 26 shuffles when each arm re-ran the union of the
+    # three pipelines); the recommender is the bounded cooc self-join +
+    # slice scoring
+    ("dedup_method_agreement", 12, 0),
     ("reco_brand_cooccurrence_topk", 9, 0),
     # two metric pipelines + two two-phase ranks over the persisted join
     ("quality_spearman_quality_logprob", 23, 0),
