@@ -3468,3 +3468,73 @@ PENDING_ORACLE["events_heavy_hitter_turnover"] = _SQL_HH_TURNOVER
 # operators out of the contract understates coverage and risks rows never
 # receiving a driver row. Window order lives in queries/__init__.
 flip_pending(PENDING_QUERIES, PENDING_ORACLE, QUERIES, ORACLE)
+
+
+# --- Weekly cohort retention matrix — round 10 -------------------------------
+#
+# The classic cohort triangle: users grouped by their first-activity week,
+# each cohort tracked across week offsets — n_active distinct users at
+# offset k over the cohort's size, in ppm. The product-analytics staple the
+# funnel/streak family lacked: streaks measure CONSECUTIVE activity, the
+# cohort matrix measures RETURN probability by tenure, which is what
+# capacity and growth models consume.
+#
+# Scale shape: one map-side-combinable distinct over (user, week) — the
+# activity grain — plus one per-user MIN for the cohort stamp (both partial
+# aggregates), a user-keyed join between them, and a final rollup onto the
+# (weeks x offsets) triangle, which is calendar-bounded (O(W^2/2) rows at
+# ANY corpus size). Cohort size joins back by cohort week — a broadcast of
+# the W-row cohort table. No window over unbounded partitions, no driver
+# state.
+#
+# Determinism: weeks are integer epoch-week indices (floor(epoch) div
+# 604800 — the proven cdc_op_mix_weekly device, no calendar/timezone
+# semantics involved); retention is integer-ppm (div on both engines,
+# non-negative numerator).
+
+def events_retention_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("floor(unix_timestamp(ts)) div 604800").cast("long").alias("week"),
+    )
+    active = ev.distinct()
+    cohort = active.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    sizes = cohort.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cohort")
+    )
+    cells = (
+        active.join(cohort, "user_id")
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+    )
+    return cells.join(F.broadcast(sizes), "cohort_week").select(
+        "cohort_week",
+        F.col("week_offset").cast("long").alias("week_offset"),
+        "n_cohort",
+        "n_active",
+        F.expr("n_active * 1000000 div n_cohort").cast("long").alias("retention_ppm"),
+    )
+
+
+_SQL_COHORT_MATRIX = """
+WITH active AS (
+  SELECT DISTINCT user_id,
+         (CAST(FLOOR(epoch(ts)) AS BIGINT) // 604800)::BIGINT AS week
+  FROM events
+),
+cohort AS (SELECT user_id, MIN(week) AS cohort_week FROM active GROUP BY user_id),
+sizes AS (SELECT cohort_week, COUNT(*)::BIGINT AS n_cohort FROM cohort GROUP BY 1),
+cells AS (
+  SELECT c.cohort_week, a.week - c.cohort_week AS week_offset,
+         COUNT(*)::BIGINT AS n_active
+  FROM active a JOIN cohort c USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT cells.cohort_week, CAST(week_offset AS BIGINT) AS week_offset,
+       n_cohort, n_active,
+       (n_active * 1000000 // n_cohort)::BIGINT AS retention_ppm
+FROM cells JOIN sizes USING (cohort_week)
+"""
+
+QUERIES["events_retention_cohort_matrix"] = events_retention_cohort_matrix
+ORACLE["events_retention_cohort_matrix"] = _SQL_COHORT_MATRIX

@@ -305,3 +305,120 @@ WHERE a.doc_id < {DERIVED_OFFSET} AND b.doc_id >= {DERIVED_OFFSET}
 
 QUERIES["multimodal_phash_neardup"] = multimodal_phash_neardup
 ORACLE["multimodal_phash_neardup"] = _sql_phash()
+
+
+# --- Aspect-ratio bucketing — round 10 ---------------------------------------
+#
+# The vision-training batching staple (SDXL-style bucketed sampling): every
+# decoded image is assigned to the nearest bucket from a fixed aspect-ratio
+# ladder, and the report shows how the corpus distributes over buckets and
+# how much canvas each bucket wastes — per image, the letterbox waste of
+# fitting its aspect inside the bucket's (1e6 - fill ppm, where fill is the
+# smaller/larger ratio quotient). Training loaders consume exactly this
+# table to size per-bucket batches and to decide whether the ladder needs
+# more rungs.
+#
+# Spark side runs the REAL decode dataflow (Arrow mapInPandas, same stage
+# the decode-stats query audits) — the oracle replays the fake codec's
+# width/height byte math in SQL (md5 digest bytes 0/1), so the driver
+# hash-verifies bytes -> Python -> dims -> bucket assignment end-to-end.
+#
+# Scale shape: decode is a no-shuffle mapInPandas pass; bucket assignment
+# is a broadcast join against the 7-rung literal ladder + one per-doc
+# lexicographic MIN (map-side combinable); the report is a 7-row rollup.
+# Integer milli/ppm arithmetic throughout; ties on |ratio - rung| break to
+# the smaller rung on both engines.
+
+AR_LADDER = [(1, 2), (9, 16), (3, 4), (1, 1), (4, 3), (16, 9), (2, 1)]
+
+
+def multimodal_aspect_ratio_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dec = decode_blobs(_blobs(spark, sf_dir)).select(
+        "doc_id",
+        F.expr("width * 1000 div height").cast("long").alias("ratio_milli"),
+    )
+    ladder = spark.createDataFrame(
+        [(w, h, w * 1000 // h) for w, h in AR_LADDER],
+        "bucket_w int, bucket_h int, bucket_milli bigint",
+    )
+    assigned = (
+        dec.join(F.broadcast(ladder))
+        .groupBy("doc_id", "ratio_milli")
+        .agg(
+            F.min(
+                F.struct(
+                    F.abs(F.col("ratio_milli") - F.col("bucket_milli")).alias("d"),
+                    F.col("bucket_milli").alias("bm"),
+                    F.col("bucket_w").alias("bw"),
+                    F.col("bucket_h").alias("bh"),
+                )
+            ).alias("pick")
+        )
+        .select(
+            "doc_id", "ratio_milli",
+            F.col("pick.bm").alias("bucket_milli"),
+            F.col("pick.bw").alias("bucket_w"),
+            F.col("pick.bh").alias("bucket_h"),
+        )
+    )
+    fill = F.when(
+        F.col("ratio_milli") <= F.col("bucket_milli"),
+        F.expr("ratio_milli * 1000000 div bucket_milli"),
+    ).otherwise(F.expr("bucket_milli * 1000000 div ratio_milli"))
+    per = assigned.withColumn("waste_ppm", F.lit(1000000) - fill).groupBy(
+        "bucket_w", "bucket_h", "bucket_milli"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_images"),
+        F.expr("sum(waste_ppm) div count(1)").cast("long").alias("mean_waste_ppm"),
+    )
+    total = per.agg(F.sum("n_images").alias("nt"))
+    return per.join(F.broadcast(total)).select(
+        F.col("bucket_w").cast("long").alias("bucket_w"),
+        F.col("bucket_h").cast("long").alias("bucket_h"),
+        "bucket_milli", "n_images",
+        F.expr("n_images * 1000000 div nt").cast("long").alias("share_ppm"),
+        "mean_waste_ppm",
+    )
+
+
+def _sql_ar_buckets() -> str:
+    ladder_rows = ", ".join(f"({w}, {h}, {w * 1000 // h})" for w, h in AR_LADDER)
+    hx = "md5(text)"
+    return f"""
+WITH dims AS (
+  SELECT doc_id,
+         64 + {_digest_byte(hx, 0)} % 192 AS width,
+         64 + {_digest_byte(hx, 1)} % 192 AS height
+  FROM documents
+),
+ratio AS (SELECT doc_id, (width * 1000 // height)::BIGINT AS ratio_milli FROM dims),
+ladder AS (SELECT * FROM (VALUES {ladder_rows}) AS t(bucket_w, bucket_h, bucket_milli)),
+assigned AS (
+  SELECT doc_id, ratio_milli, bucket_milli, bucket_w, bucket_h FROM (
+    SELECT r.*, l.*,
+           row_number() OVER (
+             PARTITION BY r.doc_id
+             ORDER BY ABS(r.ratio_milli - l.bucket_milli), l.bucket_milli
+           ) AS rn
+    FROM ratio r, ladder l
+  ) WHERE rn = 1
+),
+per AS (
+  SELECT bucket_w, bucket_h, bucket_milli,
+         COUNT(*)::BIGINT AS n_images,
+         (SUM(1000000 - CASE WHEN ratio_milli <= bucket_milli
+                             THEN ratio_milli * 1000000 // bucket_milli
+                             ELSE bucket_milli * 1000000 // ratio_milli END)
+          // COUNT(*))::BIGINT AS mean_waste_ppm
+  FROM assigned GROUP BY 1, 2, 3
+)
+SELECT CAST(bucket_w AS BIGINT) AS bucket_w, CAST(bucket_h AS BIGINT) AS bucket_h,
+       bucket_milli, n_images,
+       (n_images * 1000000 // (SELECT SUM(n_images) FROM per))::BIGINT AS share_ppm,
+       mean_waste_ppm
+FROM per
+"""
+
+
+QUERIES["multimodal_aspect_ratio_buckets"] = multimodal_aspect_ratio_buckets
+ORACLE["multimodal_aspect_ratio_buckets"] = _sql_ar_buckets()

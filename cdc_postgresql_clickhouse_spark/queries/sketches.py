@@ -2129,3 +2129,162 @@ PENDING_ORACLE["sketch_intersection_method_report"] = _SQL_INTERSECT_METHODS
 # operators out of the contract understates coverage and risks rows never
 # receiving a driver row. Window order lives in queries/__init__.
 flip_pending(PENDING_QUERIES, PENDING_ORACLE, QUERIES, ORACLE)
+
+
+# --- HLL precision sweep — round 10 -----------------------------------------
+#
+# The HLL half of the sketch-calibration family (CMS width sweep, KMV
+# k-sweep above): the same per-type user stream sketched at m = 16 / 64 /
+# 256 registers, scored against the exact distinct count. Error contracts
+# ~1.04/sqrt(m); the report makes the memory/accuracy knee visible next to
+# the KMV rows (HLL state is m 6-bit maxima vs KMV's k 48-bit hashes — the
+# sweep is the evidence for choosing registers over order statistics at a
+# given budget). Reference parity: ClickHouse exposes exactly this family
+# as uniqHLL12/uniqCombined with fixed precisions; the sweep is how a
+# deployment picks one.
+#
+# Scale shape: ONE events scan; the 48-bit hash fans out through a 3-row
+# precision grid (explode of a literal array — no extra scan, no persist of
+# corpus-grain state), and the per-(p, type, register) MAX partial-aggs
+# map-side, so the single shuffle carries at most sum(m) = 336 rows per
+# (type, partition) regardless of cardinality — the mergeable-sketch
+# property the fixed-m query above pins, held across all three precisions.
+#
+# Determinism: register index = top-p bits, rho = (48-p)+1 - bitlen(suffix)
+# with bitlen as ONE shared 48-arm integer CASE ladder (rho >= 1 because
+# the suffix is < 2^(48-p)); the harmonic denominator is the exact integer
+# sum(2^((48-p)+1-mj)) with empty registers contributing 2^((48-p)+1); the
+# only floating point is alpha*m^2*2^(B+1)/S plus the standard
+# linear-counting branch, micro-floored once on identical doubles (the
+# proven sketch_hll_distinct device, parameterized by p).
+
+HLL_SWEEP_PS = [4, 6, 8]
+_HLL_TOTAL_BITS = _HEX_DIGITS * 4  # 48
+
+
+def _bitlen_case(col: str, bits: int = _HLL_TOTAL_BITS) -> str:
+    """Highest-set-bit position (bitlen(0) = 0) as an integer CASE ladder —
+    one generated string, two engines; rho_B(w) = B + 1 - bitlen(w)."""
+    arms = " ".join(
+        f"WHEN {col} >= {1 << (bits - 1 - i)} THEN {bits - i}" for i in range(bits)
+    )
+    return f"(CASE {arms} ELSE 0 END)"
+
+
+def sketch_hll_error_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hashed = ev.select(
+        "event_type",
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, _HEX_DIGITS), 16, 10
+        ).cast("long").alias("v"),
+    )
+    grid = hashed.select(
+        "event_type", "v",
+        F.explode(F.array(*[F.lit(p) for p in HLL_SWEEP_PS])).alias("p"),
+    )
+    suffix = f"(v % shiftleft(CAST(1 AS BIGINT), {_HLL_TOTAL_BITS} - p))"
+    split = grid.select(
+        "p", "event_type",
+        F.expr(f"shiftright(v, {_HLL_TOTAL_BITS} - p)").alias("reg"),
+        (
+            F.lit(_HLL_TOTAL_BITS + 1) - F.col("p")
+            - F.expr(_bitlen_case(suffix)).cast("int")
+        ).cast("int").alias("rho"),
+    )
+    regs = split.groupBy("p", "event_type", "reg").agg(F.max("rho").alias("mj"))
+    per = regs.groupBy("p", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("registers_used"),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_TOTAL_BITS} + 1 - p - mj)")
+        ).cast("long").alias("s_used"),
+    )
+    consts = spark.createDataFrame(
+        [(p, 1 << p, 0.7213 / (1.0 + 1.079 / (1 << p))) for p in HLL_SWEEP_PS],
+        "p int, m bigint, alpha double",
+    )
+    two_b1 = F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_TOTAL_BITS} + 1 - p)")
+    j = per.join(F.broadcast(consts), "p")
+    m_d = F.col("m").cast("double")
+    s_int = F.col("s_used") + (F.col("m") - F.col("registers_used")) * two_b1
+    e_raw = F.col("alpha") * m_d * m_d * two_b1.cast("double") / s_int.cast("double")
+    zeros = F.col("m") - F.col("registers_used")
+    est = F.when(
+        (e_raw <= F.lit(2.5) * m_d) & (zeros > 0),
+        m_d * F.log(m_d / zeros.cast("double")),
+    ).otherwise(e_raw)
+    t6 = F.floor(est * F.lit(1000000.0)).cast("double") / F.lit(1000000.0)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact")
+    )
+    return j.join(F.broadcast(exact), "event_type").select(
+        F.col("p").cast("long").alias("p"),
+        F.col("m").alias("m"),
+        "event_type",
+        "n_exact",
+        "registers_used",
+        t6.alias("hll_estimate"),
+        F.floor(
+            F.abs(t6 - F.col("n_exact").cast("double"))
+            * F.lit(1000000.0) / F.col("n_exact").cast("double")
+        ).cast("long").alias("err_ppm"),
+    )
+
+
+def _sql_hll_sweep() -> str:
+    grid_rows = ", ".join(
+        f"({p}, {1 << p}, {0.7213 / (1.0 + 1.079 / (1 << p))!r})"
+        for p in HLL_SWEEP_PS
+    )
+    tb = _HLL_TOTAL_BITS
+    suffix = f"(h.v % (CAST(1 AS BIGINT) << ({tb} - g.p)))"
+    est = """(CASE WHEN e_raw <= 2.5 * CAST(m AS DOUBLE) AND m - registers_used > 0
+              THEN CAST(m AS DOUBLE) * ln(CAST(m AS DOUBLE) / CAST(m - registers_used AS DOUBLE))
+              ELSE e_raw END)"""
+    t6 = f"CAST(FLOOR({est} * 1000000.0) AS DOUBLE) / 1000000.0"
+    return f"""
+WITH hashed AS MATERIALIZED (
+  SELECT event_type,
+         {_sql_hex_int('CAST(user_id AS VARCHAR)', _HEX_DIGITS)} AS v
+  FROM events
+),
+grid AS (SELECT * FROM (VALUES {grid_rows}) AS t(p, m, alpha)),
+split AS (
+  SELECT g.p, g.m, g.alpha, h.event_type,
+         h.v // (CAST(1 AS BIGINT) << ({tb} - g.p)) AS reg,
+         CAST({tb} + 1 - g.p - {_bitlen_case(suffix)} AS INTEGER) AS rho
+  FROM hashed h, grid g
+),
+regs AS (
+  SELECT p, m, alpha, event_type, reg, MAX(rho) AS mj
+  FROM split GROUP BY 1, 2, 3, 4, 5
+),
+per AS (
+  SELECT p, m, alpha, event_type,
+         CAST(COUNT(*) AS BIGINT) AS registers_used,
+         CAST(SUM(CAST(1 AS BIGINT) << ({tb} + 1 - p - mj)) AS BIGINT) AS s_used
+  FROM regs GROUP BY 1, 2, 3, 4
+),
+exact AS (
+  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM events GROUP BY 1
+),
+scored AS (
+  SELECT p, m, event_type, registers_used,
+         alpha * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)
+           * CAST(CAST(1 AS BIGINT) << ({tb} + 1 - p) AS DOUBLE)
+           / CAST(s_used + (m - registers_used) * (CAST(1 AS BIGINT) << ({tb} + 1 - p)) AS DOUBLE)
+           AS e_raw
+  FROM per
+)
+SELECT CAST(s.p AS BIGINT) AS p, CAST(s.m AS BIGINT) AS m, s.event_type,
+       x.n_exact, s.registers_used,
+       {t6} AS hll_estimate,
+       CAST(FLOOR(ABS({t6} - CAST(x.n_exact AS DOUBLE))
+                  * 1000000.0 / CAST(x.n_exact AS DOUBLE)) AS BIGINT) AS err_ppm
+FROM scored s JOIN exact x ON x.event_type = s.event_type
+"""
+
+
+QUERIES["sketch_hll_error_sweep"] = sketch_hll_error_sweep
+ORACLE["sketch_hll_error_sweep"] = _sql_hll_sweep()
