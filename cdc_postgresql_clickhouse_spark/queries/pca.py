@@ -157,8 +157,9 @@ v{t + 1} AS (
 )"""
 
 
-_SQL_PCA = (
-    f"""
+# the covariance prelude (xi/nv/mu/cen/covp CTEs) is shared verbatim with
+# the isotropy report below — one fragment, two oracles.
+_SQL_COV_PRELUDE = f"""
 WITH xi AS (
   SELECT vec_id AS i, j,
          CAST(FLOOR(CAST(embedding[j + 1] AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS x
@@ -171,7 +172,11 @@ cov AS (
   SELECT a.j, b.j AS k, SUM(a.c * b.c) AS cjk
   FROM cen a JOIN cen b ON a.i = b.i GROUP BY a.j, b.j
 ),
-covp AS MATERIALIZED (SELECT j, k, cjk // n AS cjk FROM cov CROSS JOIN nv),
+covp AS MATERIALIZED (SELECT j, k, cjk // n AS cjk FROM cov CROSS JOIN nv)"""
+
+_SQL_PCA = (
+    _SQL_COV_PRELUDE
+    + f""",
 v0 AS (
   SELECT j, CAST(CASE WHEN j = 0 THEN {_V_SCALE} ELSE 0 END AS BIGINT) AS v
   FROM (SELECT DISTINCT j FROM mu)
@@ -488,3 +493,118 @@ PENDING_ORACLE["embedding_norm_outliers"] = _sql_norm_outliers()
 # operators out of the contract understates coverage and risks rows never
 # receiving a driver row. Window order lives in queries/__init__.
 flip_pending(PENDING_QUERIES, PENDING_ORACLE, QUERIES, ORACLE)
+
+
+# --- Isotropy / effective-rank report — round 10 -----------------------------
+#
+# The eigendecomposition-free isotropy diagnostics an embedding pipeline
+# monitors BEFORE deciding on whitening or ABTT removal (the residual
+# report above measures the cure; this measures the disease):
+#
+# - participation ratio tr(C)^2 / ||C||_F^2 — the effective number of
+#   dimensions carrying variance ((sum lambda)^2 / sum lambda^2 in [1, d]),
+#   computable exactly from the integer covariance cells because C is
+#   symmetric (Frobenius^2 = sum of squared eigenvalues); no eigensolve,
+#   no iteration, no driver rounds.
+# - anisotropy ||mu||^2 / E||x||^2 — the Ethayarajh-style mean-cosine
+#   proxy (how far the cloud sits from the origin relative to its size);
+#   near 0 = centered/isotropic, near 1 = everything points one way.
+#
+# Exactness: both ratios are built from the SAME integer moments the PCA
+# family ships (milli-quantized components, truncating integer divisions),
+# so the only floats are two final divisions of exact int64s — identical
+# IEEE operations in both engines, micro-floored once. Scale shape: one
+# corpus scan feeding dim^2-bounded partials (the _cov_scaled plan) plus
+# one row-side fold for E||x||^2; output is a single row of model-sized
+# scalars. At extreme row counts the raw second moment would approach
+# int64 (2.6e8/row); rescale the quantization step before the sum there.
+
+def embedding_isotropy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("e")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    xi_arr = F.expr(_xi_sql_expr())
+    n = emb.count()
+    sums = emb.select(F.posexplode(xi_arr).alias("j", "x")).groupBy("j").agg(
+        F.sum("x").alias("sx")
+    )
+    mu = {int(r.j): _tdiv_py(int(r.sx), n) for r in sums.collect()}
+    mu_norm2 = sum(v * v for v in mu.values())
+    mu_arr = "array(" + ", ".join(str(mu[j]) for j in range(PCA_DIM)) + ")"
+    cen_arr = F.expr(
+        f"transform({_xi_sql_expr()}, (x, j) -> x - element_at({mu_arr}, j + 1))"
+    )
+    ce = emb.select(cen_arr.alias("ce"))
+    prods = F.flatten(
+        F.transform(
+            F.col("ce"),
+            lambda cj: F.transform(F.col("ce"), lambda ck: cj * ck),
+        )
+    )
+    covagg = (
+        ce.select(F.posexplode(prods).alias("pos", "p"))
+        .groupBy("pos")
+        .agg(F.sum("p").alias("cjk0"))
+        .select(
+            F.expr(f"pos div {PCA_DIM}").alias("j"),
+            (F.col("pos") % PCA_DIM).alias("k"),
+            F.expr(f"cjk0 div {n}").alias("cjk"),
+        )
+        .agg(
+            F.sum(F.when(F.col("j") == F.col("k"), F.col("cjk")).otherwise(F.lit(0)))
+            .cast("long").alias("trace_scaled"),
+            F.sum(F.col("cjk") * F.col("cjk")).cast("long").alias("frob2_scaled"),
+        )
+    )
+    x2 = emb.select(
+        F.sum(
+            F.expr(f"aggregate({_xi_sql_expr()}, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)")
+        ).alias("tot_x2")
+    )
+    pr = (
+        F.floor(
+            F.col("trace_scaled").cast("double") * F.col("trace_scaled").cast("double")
+            / F.col("frob2_scaled").cast("double") * F.lit(1000000.0)
+        ).cast("double") / F.lit(1000000.0)
+    )
+    return covagg.join(x2).select(
+        F.lit(PCA_DIM).cast("long").alias("d"),
+        F.lit(n).cast("long").alias("n_vectors"),
+        "trace_scaled",
+        "frob2_scaled",
+        pr.alias("participation_ratio"),
+        F.lit(mu_norm2).cast("long").alias("mu_norm2_scaled"),
+        F.expr(f"tot_x2 div {n}").cast("long").alias("mean_norm2_scaled"),
+        F.expr(f"{mu_norm2} * 1000000 div (tot_x2 div {n})").cast("long")
+        .alias("anisotropy_ppm"),
+    )
+
+
+_SQL_ISOTROPY = (
+    _SQL_COV_PRELUDE
+    + f""",
+tf AS (
+  SELECT SUM(CASE WHEN j = k THEN cjk ELSE 0 END) AS trace_scaled,
+         SUM(cjk * cjk) AS frob2_scaled
+  FROM covp
+),
+mu2 AS (SELECT SUM(mu * mu) AS mu_norm2 FROM mu),
+x2 AS (SELECT SUM(x * x) // (SELECT n FROM nv) AS mean_norm2 FROM xi)
+SELECT CAST({PCA_DIM} AS BIGINT) AS d,
+       CAST((SELECT n FROM nv) AS BIGINT) AS n_vectors,
+       CAST(trace_scaled AS BIGINT) AS trace_scaled,
+       CAST(frob2_scaled AS BIGINT) AS frob2_scaled,
+       CAST(FLOOR(CAST(trace_scaled AS DOUBLE) * CAST(trace_scaled AS DOUBLE)
+                  / CAST(frob2_scaled AS DOUBLE) * 1000000.0) AS DOUBLE) / 1000000.0
+         AS participation_ratio,
+       CAST(mu_norm2 AS BIGINT) AS mu_norm2_scaled,
+       CAST(mean_norm2 AS BIGINT) AS mean_norm2_scaled,
+       CAST(mu_norm2 * 1000000 // mean_norm2 AS BIGINT) AS anisotropy_ppm
+FROM tf CROSS JOIN mu2 CROSS JOIN x2
+"""
+)
+
+QUERIES["embedding_isotropy_report"] = embedding_isotropy_report
+ORACLE["embedding_isotropy_report"] = _SQL_ISOTROPY

@@ -502,3 +502,197 @@ for _n in _REGISTER_WAVE1:
     QUERIES[_n] = PENDING_QUERIES.pop(_n)
     ORACLE[_n] = PENDING_ORACLE.pop(_n)
 del _n
+
+
+# --- Dirichlet query-likelihood evaluation — round 10 ------------------------
+#
+# The second classical scorer next to BM25: Dirichlet-smoothed query
+# likelihood (Zhai & Lafferty 2001), log P(q|d) decomposed as
+#   sum_{t in q matched in d} ln(1 + tf/(mu*P(t|C)))  +  |q|*ln(mu/(dl+mu))
+# with P(t|C) = cf(t)/|C|. Run under the SAME known-item protocol as
+# retrieval_known_item_eval, the report answers the question a retrieval
+# stack actually asks before adding a scorer: does QL find the known item,
+# and how much does its top-10 overlap BM25's (rank-fusion headroom — RRF
+# only helps where the lists DISAGREE)?
+#
+# Scale shape: the audited BM25 plan (broadcast query set pruning the
+# postings scan) twice over ONE persisted postings table; candidates are
+# docs matching >= 1 query term; collection stats (cf, |C|) are one
+# re-aggregation of postings; everything after scoring is <= n_queries*k.
+#
+# Determinism: per-(q,t,d) matched parts floor to micro-units BEFORE the
+# per-doc sum (the BM25 device); the dl-part is one floored micro term
+# scaled by the integer |q|; ln arguments are single divisions of exact
+# doubles; ranking ties break on doc_id.
+
+QL_MU = 2000.0
+
+
+def retrieval_query_likelihood_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.filter(F.col("doc_id") % KIE_MOD == 0).select(
+        F.col("doc_id").cast("string").alias("query"),
+        F.explode(
+            F.array_distinct(F.slice(tokens(F.col("text")), 1, KIE_QTOKENS))
+        ).alias("term"),
+    )
+    postings = build_postings(docs).persist()
+    n_docs = docs.count()
+    total = postings.agg(F.sum("tf")).first()[0]  # scalar, the avgdl device
+    dl = postings.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    cf = postings.groupBy("term").agg(F.sum("tf").cast("long").alias("cf"))
+    qlen = q.groupBy("query").agg(F.count(F.lit(1)).cast("long").alias("qlen"))
+    part = F.floor(
+        F.log(
+            F.lit(1.0)
+            + F.col("tf").cast("double") * F.lit(float(total))
+            / (F.lit(QL_MU) * F.col("cf").cast("double"))
+        ) * F.lit(1000000.0)
+    ).cast("long")
+    per_doc = (
+        postings.join(F.broadcast(q), "term")
+        .join(cf, "term")
+        .select("query", "doc_id", part.alias("sm"))
+        .groupBy("query", "doc_id")
+        .agg(F.sum("sm").cast("long").alias("match_micro"))
+    )
+    dl_part = F.floor(
+        F.log(F.lit(QL_MU) / (F.col("dl").cast("double") + F.lit(QL_MU)))
+        * F.lit(1000000.0)
+    ).cast("long")
+    scored = (
+        per_doc.join(dl, "doc_id")
+        .join(F.broadcast(qlen), "query")
+        .select(
+            "query", "doc_id",
+            (F.col("match_micro") + F.col("qlen") * dl_part).alias("score_micro"),
+        )
+    )
+    w = Window.partitionBy("query").orderBy(F.desc("score_micro"), F.col("doc_id"))
+    ql_top = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_TOPK)
+        .persist()
+    )
+    bm_top = bm25_rank(postings, n_docs, q=q)
+    rel = ql_top.filter(F.col("doc_id") == F.col("query").cast("long"))
+    a1 = rel.agg(
+        F.coalesce(F.sum(F.when(F.col("rank") == 1, 1)), F.lit(0)).cast("long")
+        .alias("ql_hits_at1"),
+        F.count(F.lit(1)).cast("long").alias("ql_hits_at_topk"),
+        F.coalesce(F.sum(F.expr("1000000 div rank")), F.lit(0)).cast("long")
+        .alias("ql_sum_reciprocal_rank_ppm"),
+    )
+    ov = ql_top.join(
+        bm_top.select("query", "doc_id"), ["query", "doc_id"]
+    ).agg(F.count(F.lit(1)).cast("long").alias("overlap_total"))
+    b1 = (
+        rel.filter(F.col("rank") == 1)
+        .join(
+            bm_top.filter(
+                (F.col("rank") == 1) & (F.col("doc_id") == F.col("query").cast("long"))
+            ).select("query"),
+            "query",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("both_at1"))
+    )
+    n_queries = q.select("query").distinct().count()
+    return a1.join(ov).join(b1).select(
+        F.lit(n_queries).cast("long").alias("n_queries"),
+        "ql_hits_at1", "ql_hits_at_topk", "ql_sum_reciprocal_rank_ppm",
+        "overlap_total",
+        F.expr(f"overlap_total * 1000000 div {n_queries * BM25_TOPK}")
+        .cast("long").alias("mean_topk_overlap_ppm"),
+        "both_at1",
+    )
+
+
+_SQL_QL_EVAL = f"""
+WITH postings AS MATERIALIZED (
+  SELECT doc_id, term, COUNT(*) AS tf FROM (
+    SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents
+  ) GROUP BY doc_id, term
+),
+q AS MATERIALIZED (
+  SELECT CAST(doc_id AS VARCHAR) AS query, unnest(list_distinct(t[1:{KIE_QTOKENS}])) AS term
+  FROM (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents WHERE doc_id % {KIE_MOD} = 0)
+),
+nv AS (SELECT (SELECT COUNT(*) FROM documents) AS n,
+              (SELECT SUM(tf) FROM postings) AS tot),
+dl AS (SELECT doc_id, SUM(tf) AS dl FROM postings GROUP BY doc_id),
+cf AS (SELECT term, SUM(tf) AS cf FROM postings GROUP BY term),
+qlen AS (SELECT query, COUNT(*) AS qlen FROM q GROUP BY query),
+per_doc AS (
+  SELECT q.query, p.doc_id,
+         SUM(CAST(FLOOR(
+           ln(1.0 + CAST(p.tf AS DOUBLE) * CAST(nv.tot AS DOUBLE)
+                    / ({QL_MU!r} * CAST(c.cf AS DOUBLE)))
+           * 1000000.0) AS BIGINT)) AS match_micro
+  FROM postings p JOIN q ON q.term = p.term JOIN cf c ON c.term = p.term
+  CROSS JOIN nv
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT pd.query, pd.doc_id,
+         pd.match_micro + ql.qlen * CAST(FLOOR(
+           ln({QL_MU!r} / (CAST(l.dl AS DOUBLE) + {QL_MU!r})) * 1000000.0
+         ) AS BIGINT) AS score_micro
+  FROM per_doc pd JOIN dl l ON l.doc_id = pd.doc_id
+  JOIN qlen ql ON ql.query = pd.query
+),
+ql_top AS MATERIALIZED (
+  SELECT query, doc_id, rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query ORDER BY score_micro DESC, doc_id) AS rank
+    FROM scored)
+  WHERE rank <= {BM25_TOPK}
+),
+dft AS (SELECT term, COUNT(*) AS df FROM postings GROUP BY term),
+bm_scored AS (
+  SELECT q.query, p.doc_id,
+         SUM(CAST(FLOOR(
+           ln(1.0 + (CAST(nv.n AS DOUBLE) - d.df + 0.5) / (d.df + 0.5))
+           * ((p.tf * {BM25_K1 + 1.0!r}) /
+              (p.tf + {BM25_K1!r} * ({1.0 - BM25_B!r} + {BM25_B!r} * l.dl / (CAST(nv.tot AS DOUBLE) / CAST(nv.n AS DOUBLE)))))
+           * 1000000.0) AS BIGINT)) AS score_micro
+  FROM postings p
+  JOIN q ON q.term = p.term
+  JOIN dft d ON d.term = p.term
+  JOIN dl l ON l.doc_id = p.doc_id
+  CROSS JOIN nv
+  GROUP BY 1, 2
+),
+bm_top AS MATERIALIZED (
+  SELECT query, doc_id, rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query ORDER BY score_micro DESC, doc_id) AS rank
+    FROM bm_scored)
+  WHERE rank <= {BM25_TOPK}
+),
+rel AS (SELECT query, rank FROM ql_top WHERE doc_id = CAST(query AS BIGINT)),
+a1 AS (
+  SELECT CAST(COALESCE(SUM(CASE WHEN rank = 1 THEN 1 END), 0) AS BIGINT) AS ql_hits_at1,
+         CAST(COUNT(*) AS BIGINT) AS ql_hits_at_topk,
+         CAST(COALESCE(SUM(1000000 // rank), 0) AS BIGINT) AS ql_sum_reciprocal_rank_ppm
+  FROM rel
+),
+ov AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS overlap_total
+  FROM ql_top a JOIN bm_top b ON a.query = b.query AND a.doc_id = b.doc_id
+),
+b1 AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS both_at1
+  FROM rel r JOIN bm_top b
+    ON b.query = r.query AND b.rank = 1 AND b.doc_id = CAST(b.query AS BIGINT)
+  WHERE r.rank = 1
+),
+nq AS (SELECT COUNT(DISTINCT query) AS n_queries FROM q)
+SELECT CAST(nq.n_queries AS BIGINT) AS n_queries,
+       a1.ql_hits_at1, a1.ql_hits_at_topk, a1.ql_sum_reciprocal_rank_ppm,
+       ov.overlap_total,
+       CAST(ov.overlap_total * 1000000 // (nq.n_queries * {BM25_TOPK}) AS BIGINT)
+         AS mean_topk_overlap_ppm,
+       b1.both_at1
+FROM a1 CROSS JOIN ov CROSS JOIN b1 CROSS JOIN nq
+"""
+
+QUERIES["retrieval_query_likelihood_eval"] = retrieval_query_likelihood_eval
+ORACLE["retrieval_query_likelihood_eval"] = _SQL_QL_EVAL

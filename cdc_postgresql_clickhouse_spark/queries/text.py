@@ -875,3 +875,107 @@ del _n
 # operators out of the contract understates coverage and risks rows never
 # receiving a driver row. Window order lives in queries/__init__.
 flip_pending(PENDING_QUERIES, PENDING_ORACLE, QUERIES, ORACLE)
+
+
+# --- OCR-garbage scoring — round 10 ------------------------------------------
+#
+# Char-level garble detection — the filter a scanned/OCR'd ingest runs
+# BEFORE the word-level Gopher gate (quality_gopher_rules judges fluency of
+# real words; this catches text that was never words: symbol soup, digit
+# bleed, consonant smears like 'rn->m' cascades, and mid-word case flips
+# from broken segmentation). Signals, all integer:
+#   symbol_milli     non-alphanumeric-non-whitespace chars per 1000
+#   digit_milli      digit chars per 1000
+#   run_penalty      25 per consonant-run char beyond 4 (longest run)
+#   case_penalty     10 per lower->UPPER flip inside a word
+# garbage_score_milli = 2*symbol + digit + run_penalty + case_penalty;
+# a document flags at >= 100. The per-source rollup is what an ingest
+# dashboard pages on (one bad scanner batch = one source spiking).
+#
+# Scale shape: pure per-document map work (regexp counts + one
+# split/array_max, all codegen/scan-side, no explode), then a map-side
+# combinable rollup onto the |sources|-bounded grid. Regex classes are
+# Java/RE2-identical literals; the longest-consonant-run device is
+# split-on-non-consonant + array_max (empty fragments contribute 0).
+
+_CONSONANTS = "bcdfghjklmnpqrstvwxyz"
+OCR_FLAG_MILLI = 100
+
+
+def text_ocr_garbage_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    scored = (
+        docs.withColumn("n", F.greatest(F.lit(1), F.length("text")).cast("long"))
+        .withColumn(
+            "symbol_n",
+            F.length(F.regexp_replace("text", r"[A-Za-z0-9 \t\n]", "")).cast("long"),
+        )
+        .withColumn(
+            "digit_n", F.length(F.regexp_replace("text", r"[^0-9]", "")).cast("long")
+        )
+        .withColumn(
+            "max_run",
+            F.array_max(
+                F.transform(
+                    F.split(F.lower("text"), f"[^{_CONSONANTS}]+"),
+                    lambda s: F.length(s),
+                )
+            ).cast("long"),
+        )
+        .withColumn(
+            "flips",
+            F.size(
+                F.regexp_extract_all(F.col("text"), F.lit("[a-z][A-Z]"), F.lit(0))
+            ).cast("long"),
+        )
+        .select(
+            "source",
+            (
+                F.lit(2) * F.expr("symbol_n * 1000 div n")
+                + F.expr("digit_n * 1000 div n")
+                + F.lit(25) * F.greatest(F.lit(0), F.col("max_run") - F.lit(4))
+                + F.lit(10) * F.col("flips")
+            ).cast("long").alias("score_milli"),
+        )
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("score_milli") >= OCR_FLAG_MILLI, 1).otherwise(0))
+            .cast("long").alias("n_flagged"),
+            F.expr("sum(score_milli) div count(1)").cast("long").alias("mean_score_milli"),
+            F.max("score_milli").alias("max_score_milli"),
+        )
+        .select(
+            "source", "n_docs", "n_flagged",
+            F.expr("n_flagged * 1000000 div n_docs").cast("long").alias("flag_rate_ppm"),
+            "mean_score_milli", "max_score_milli",
+        )
+    )
+
+
+_SQL_OCR_GARBAGE = f"""
+WITH per AS (
+  SELECT source,
+         (2 * (length(regexp_replace(text, '[A-Za-z0-9 \\t\\n]', '', 'g')) * 1000
+               // GREATEST(1, length(text)))
+          + (length(regexp_replace(text, '[^0-9]', '', 'g')) * 1000
+             // GREATEST(1, length(text)))
+          + 25 * GREATEST(0, list_max(list_transform(
+                string_split_regex(lower(text), '[^{_CONSONANTS}]+'),
+                s -> length(s))) - 4)
+          + 10 * len(regexp_extract_all(text, '[a-z][A-Z]')))::BIGINT AS score_milli
+  FROM documents
+)
+SELECT source, COUNT(*)::BIGINT AS n_docs,
+       SUM(CASE WHEN score_milli >= {OCR_FLAG_MILLI} THEN 1 ELSE 0 END)::BIGINT AS n_flagged,
+       (SUM(CASE WHEN score_milli >= {OCR_FLAG_MILLI} THEN 1 ELSE 0 END) * 1000000
+        // COUNT(*))::BIGINT AS flag_rate_ppm,
+       (SUM(score_milli) // COUNT(*))::BIGINT AS mean_score_milli,
+       MAX(score_milli)::BIGINT AS max_score_milli
+FROM per GROUP BY source
+"""
+
+QUERIES["text_ocr_garbage_score"] = text_ocr_garbage_score
+ORACLE["text_ocr_garbage_score"] = _SQL_OCR_GARBAGE
