@@ -1,0 +1,118 @@
+"""Law tests for the round-10 operators (each also oracle-paired and swept
+by test_oracle_parity): HLL precision sweep, cohort retention matrix,
+aspect-ratio buckets, OCR-garbage scoring, isotropy report, and the
+query-likelihood retrieval eval."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cdc_postgresql_clickhouse_spark.sources.registry import load_table
+
+
+def test_hll_sweep_consistent_with_fixed_m(spark, sf_dir):
+    """The sweep's p=6 rows must agree exactly with the registered fixed-m
+    HLL query (same hash, same estimator, m=64), and registers can never
+    exceed m."""
+    from cdc_postgresql_clickhouse_spark.queries.sketches import (
+        HLL_SWEEP_PS,
+        QUERIES as SK_Q,
+    )
+
+    sweep = SK_Q["sketch_hll_error_sweep"](spark, sf_dir).collect()
+    assert {r["p"] for r in sweep} == set(HLL_SWEEP_PS)
+    for r in sweep:
+        assert r["m"] == 1 << r["p"]
+        assert 1 <= r["registers_used"] <= r["m"]
+        assert r["hll_estimate"] > 0
+        assert r["err_ppm"] >= 0
+    fixed = {
+        r["event_type"]: r["hll_estimate"]
+        for r in SK_Q["sketch_hll_distinct"](spark, sf_dir).collect()
+    }
+    for r in sweep:
+        if r["p"] == 6:
+            assert r["hll_estimate"] == fixed[r["event_type"]], r
+
+
+def test_cohort_matrix_accounting(spark, sf_dir):
+    """Offset 0 is full retention by construction; cohort sizes partition
+    the user base; retention never exceeds 1e6."""
+    from cdc_postgresql_clickhouse_spark.queries.events import QUERIES as EV_Q
+
+    rows = EV_Q["events_retention_cohort_matrix"](spark, sf_dir).collect()
+    assert rows
+    n_users = (
+        load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    zero = [r for r in rows if r["week_offset"] == 0]
+    assert sum(r["n_cohort"] for r in zero) == n_users
+    for r in zero:
+        assert r["n_active"] == r["n_cohort"] and r["retention_ppm"] == 1_000_000
+    for r in rows:
+        assert r["week_offset"] >= 0
+        assert 0 < r["n_active"] <= r["n_cohort"]
+        assert r["retention_ppm"] <= 1_000_000
+
+
+def test_aspect_ratio_buckets_partition_and_waste(spark, sf_dir):
+    """Every image lands in exactly one ladder rung; shares sum to ~1e6;
+    waste is a proper ppm."""
+    from cdc_postgresql_clickhouse_spark.queries.multimodal import (
+        AR_LADDER,
+        QUERIES as MM_Q,
+    )
+
+    rows = MM_Q["multimodal_aspect_ratio_buckets"](spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n_images"] for r in rows) == n_docs
+    ladder = {(w, h) for w, h in AR_LADDER}
+    assert {(r["bucket_w"], r["bucket_h"]) for r in rows} <= ladder
+    share = sum(r["share_ppm"] for r in rows)
+    assert 1_000_000 - len(AR_LADDER) <= share <= 1_000_000
+    for r in rows:
+        assert 0 <= r["mean_waste_ppm"] < 1_000_000
+
+
+def test_ocr_garbage_rollup_bounds(spark, sf_dir):
+    from cdc_postgresql_clickhouse_spark.queries.text import QUERIES as TX_Q
+
+    rows = TX_Q["text_ocr_garbage_score"](spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    for r in rows:
+        assert 0 <= r["n_flagged"] <= r["n_docs"]
+        assert 0 <= r["flag_rate_ppm"] <= 1_000_000
+        assert 0 <= r["mean_score_milli"] <= r["max_score_milli"]
+
+
+def test_isotropy_invariants(spark, sf_dir):
+    """PR in [1, d] (Cauchy-Schwarz both ways on the eigenvalue vector);
+    the mean never carries more energy than the average vector."""
+    from cdc_postgresql_clickhouse_spark.queries.pca import (
+        PCA_DIM,
+        QUERIES as PCA_Q,
+    )
+
+    r = PCA_Q["embedding_isotropy_report"](spark, sf_dir).collect()[0]
+    assert r["d"] == PCA_DIM
+    assert r["trace_scaled"] > 0 and r["frob2_scaled"] > 0
+    assert 1.0 <= r["participation_ratio"] <= PCA_DIM
+    assert 0 <= r["mu_norm2_scaled"] <= r["mean_norm2_scaled"]
+    assert 0 <= r["anisotropy_ppm"] <= 1_000_000
+
+
+def test_query_likelihood_eval_bounds(spark, sf_dir):
+    from cdc_postgresql_clickhouse_spark.queries.search import (
+        BM25_TOPK,
+        QUERIES as SR_Q,
+    )
+
+    r = SR_Q["retrieval_query_likelihood_eval"](spark, sf_dir).collect()[0]
+    nq = r["n_queries"]
+    assert nq > 0
+    assert 0 <= r["ql_hits_at1"] <= r["ql_hits_at_topk"] <= nq
+    assert r["ql_sum_reciprocal_rank_ppm"] <= nq * 1_000_000
+    assert 0 <= r["overlap_total"] <= nq * BM25_TOPK
+    assert 0 <= r["mean_topk_overlap_ppm"] <= 1_000_000
+    assert r["both_at1"] <= r["ql_hits_at1"]
