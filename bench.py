@@ -376,6 +376,13 @@ HEADLINE = [
     "quality_dedup_bias_audit",
     "quality_spearman_quality_logprob",
     "corpus_token_budget_waterfill",
+    # round-10 additions
+    "sketch_hll_error_sweep",
+    "events_retention_cohort_matrix",
+    "multimodal_aspect_ratio_buckets",
+    "text_ocr_garbage_score",
+    "embedding_isotropy_report",
+    "retrieval_query_likelihood_eval",
 ]
 
 

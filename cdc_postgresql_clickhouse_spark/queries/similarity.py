@@ -1914,3 +1914,195 @@ def _sql_kcenter() -> str:
 
 
 ORACLE["embedding_kcenter_coreset"] = _sql_kcenter()
+
+
+# --- MMR diversity re-ranking — round 10 -------------------------------------
+#
+# Maximal Marginal Relevance (Carbonell & Goldstein 1998): re-rank each
+# query's candidate pool so the returned top-k trades relevance against
+# redundancy — the standard diversification pass a RAG retriever runs after
+# ANN (returning 5 near-identical chunks wastes 4 context slots). Per
+# round, pick argmax over remaining candidates of
+#     0.7 * rel(q, c) - 0.3 * max_{s in selected} sim(c, s)
+# from a 16-candidate exact-cosine pool; rank 1 is pure relevance (no
+# selected set yet).
+#
+# Determinism: relevance and candidate-pair similarities floor ONCE from
+# the raw cosine to BIGINT micro-units (never the double round-trip back
+# from a /1e6 column — the documented double->bigint trap), and the MMR
+# objective is the exact integer 7*rel_micro - 3*maxsim_micro (lambda=0.7
+# scaled by 10); ties break on neighbor_id. The K-1 selection rounds are
+# UNROLLED on both engines (the k-center/PageRank oracle device) — each
+# round is a bounded join over the persisted per-query pools, state is
+# never driver-side.
+#
+# Scale shape: candidate generation is the audited brute-force plan
+# (broadcast query side, one corpus scan, per-query top-16 window); the
+# pairwise-sim table is <= 16x15 rows per query and persists once; each
+# MMR round touches only (pool x selected) per query. At 100 TB you'd swap
+# the exact pool for the IVF candidates — the re-rank stages are unchanged.
+
+MMR_K = 5
+MMR_POOL = 16
+MMR_LAMBDA_X10 = 7  # relevance weight; diversity weight = 10 - this
+
+
+def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _emb_d().alias("e"), _norm(_emb_d()).alias("nrm")
+    )
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("e").alias("qe"), F.col("nrm").alias("qn")
+    )
+    raw = _dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("nrm"))
+    scored = (
+        F.broadcast(q)
+        .join(emb, F.col("q_id") != F.col("vec_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.floor(raw * F.lit(1000000.0)).cast("long").alias("rel_micro"),
+        )
+    )
+    # ids-only through the ranking window (the 64-double arrays would ride
+    # every window buffer row otherwise); pairsim joins the vectors back.
+    w = Window.partitionBy("q_id").orderBy(F.desc("rel_micro"), F.col("neighbor_id"))
+    pool = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= MMR_POOL)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    a = pool.select("q_id", F.col("neighbor_id").alias("c_a"))
+    b = pool.select("q_id", F.col("neighbor_id").alias("c_b"))
+    va = emb.select(F.col("vec_id").alias("c_a"), F.col("e").alias("ea"), F.col("nrm").alias("na"))
+    vb = emb.select(F.col("vec_id").alias("c_b"), F.col("e").alias("eb"), F.col("nrm").alias("nb"))
+    psim_raw = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    pairsim = (
+        a.join(b, ["q_id"])
+        .filter(F.col("c_a") != F.col("c_b"))
+        .join(va, "c_a")
+        .join(vb, "c_b")
+        .select(
+            "q_id", "c_a", "c_b",
+            F.floor(psim_raw * F.lit(1000000.0)).cast("long").alias("sim_micro"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    lam, div = MMR_LAMBDA_X10, 10 - MMR_LAMBDA_X10
+    cand = pool.select("q_id", "neighbor_id", "rel_micro")
+    selected = (
+        pool.filter(F.col("rn") == 1)
+        .select(
+            "q_id",
+            F.lit(1).cast("long").alias("mmr_rank"),
+            "neighbor_id", "rel_micro",
+            (F.lit(lam) * F.col("rel_micro")).cast("long").alias("mmr_micro"),
+        )
+    )
+    for t in range(2, MMR_K + 1):
+        sel_ids = selected.select("q_id", F.col("neighbor_id").alias("c_b"))
+        ms = (
+            pairsim.join(sel_ids, ["q_id", "c_b"])
+            .groupBy("q_id", "c_a")
+            .agg(F.max("sim_micro").alias("maxsim"))
+        )
+        rem = cand.join(
+            selected.select("q_id", "neighbor_id"), ["q_id", "neighbor_id"], "left_anti"
+        )
+        mmr = rem.join(
+            ms,
+            (rem["q_id"] == ms["q_id"]) & (rem["neighbor_id"] == ms["c_a"]),
+        ).select(
+            rem["q_id"], "neighbor_id", "rel_micro",
+            (F.lit(lam) * F.col("rel_micro") - F.lit(div) * F.col("maxsim"))
+            .cast("long").alias("mmr_micro"),
+        )
+        wt = Window.partitionBy("q_id").orderBy(F.desc("mmr_micro"), F.col("neighbor_id"))
+        pick = (
+            mmr.withColumn("prn", F.row_number().over(wt))
+            .filter(F.col("prn") == 1)
+            .select(
+                "q_id", F.lit(t).cast("long").alias("mmr_rank"),
+                "neighbor_id", "rel_micro", "mmr_micro",
+            )
+        )
+        # lineage cut per round (the graph-rounds device): selected is
+        # n_queries*t rows, but round t's plan references selected THREE
+        # times (anti-join, maxsim, union) — unchecked, the DAG doubles
+        # per round (observed: 243 Exchanges / 284 Sorts at K=5, executor
+        # heap death on local[32]); checkpointed it stays round-local.
+        selected = selected.unionByName(pick).localCheckpoint(eager=True)
+    return selected
+
+
+def _sql_mmr() -> str:
+    lam, div = MMR_LAMBDA_X10, 10 - MMR_LAMBDA_X10
+    cos_qc = f"{_sql_dot('q.qe', 'c.ce')} / (sqrt({_sql_dot('q.qe', 'q.qe')}) * sqrt({_sql_dot('c.ce', 'c.ce')}))"
+    cos_ab = f"{_sql_dot('x.ce', 'y.ce')} / (sqrt({_sql_dot('x.ce', 'x.ce')}) * sqrt({_sql_dot('y.ce', 'y.ce')}))"
+    ctes = [
+        f"""vecs AS MATERIALIZED (
+  SELECT vec_id, {_SQL_EMB} AS ce FROM embeddings
+),
+pool AS MATERIALIZED (
+  SELECT q_id, neighbor_id, rel_micro, rn FROM (
+    SELECT q.q_id, c.vec_id AS neighbor_id,
+           CAST(FLOOR(({cos_qc}) * 1000000.0) AS BIGINT) AS rel_micro,
+           row_number() OVER (
+             PARTITION BY q.q_id
+             ORDER BY CAST(FLOOR(({cos_qc}) * 1000000.0) AS BIGINT) DESC, c.vec_id
+           ) AS rn
+    FROM (SELECT vec_id AS q_id, ce AS qe FROM vecs WHERE vec_id % 100 = 0) q
+    JOIN vecs c ON c.vec_id <> q.q_id
+  ) WHERE rn <= {MMR_POOL}
+),
+pairsim AS MATERIALIZED (
+  SELECT a.q_id, a.neighbor_id AS c_a, b.neighbor_id AS c_b,
+         CAST(FLOOR(({cos_ab}) * 1000000.0) AS BIGINT) AS sim_micro
+  FROM pool a JOIN pool b ON b.q_id = a.q_id AND b.neighbor_id <> a.neighbor_id
+  JOIN vecs x ON x.vec_id = a.neighbor_id
+  JOIN vecs y ON y.vec_id = b.neighbor_id
+),
+sel1 AS (
+  SELECT q_id, CAST(1 AS BIGINT) AS mmr_rank, neighbor_id, rel_micro,
+         CAST({lam} * rel_micro AS BIGINT) AS mmr_micro
+  FROM pool WHERE rn = 1
+)"""
+    ]
+    for t in range(2, MMR_K + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT q_id, neighbor_id FROM sel{r}" for r in range(1, t)
+        )
+        ctes.append(
+            f"""sel{t} AS (
+  SELECT q_id, CAST({t} AS BIGINT) AS mmr_rank, neighbor_id, rel_micro, mmr_micro
+  FROM (
+    SELECT p.q_id, p.neighbor_id, p.rel_micro,
+           CAST({lam} * p.rel_micro - {div} * ms.maxsim AS BIGINT) AS mmr_micro,
+           row_number() OVER (
+             PARTITION BY p.q_id
+             ORDER BY {lam} * p.rel_micro - {div} * ms.maxsim DESC, p.neighbor_id
+           ) AS prn
+    FROM pool p
+    JOIN (
+      SELECT ps.q_id, ps.c_a, MAX(ps.sim_micro) AS maxsim
+      FROM pairsim ps JOIN ({prev}) s ON s.q_id = ps.q_id AND s.neighbor_id = ps.c_b
+      GROUP BY 1, 2
+    ) ms ON ms.q_id = p.q_id AND ms.c_a = p.neighbor_id
+    WHERE NOT EXISTS (
+      SELECT 1 FROM ({prev}) s2
+      WHERE s2.q_id = p.q_id AND s2.neighbor_id = p.neighbor_id
+    )
+  ) WHERE prn = 1
+)"""
+        )
+    final = " UNION ALL ".join(
+        f"SELECT q_id, mmr_rank, neighbor_id, rel_micro, mmr_micro FROM sel{r}"
+        for r in range(1, MMR_K + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + final
+
+
+QUERIES["similarity_mmr_rerank"] = similarity_mmr_rerank
+ORACLE["similarity_mmr_rerank"] = _sql_mmr()

@@ -116,3 +116,34 @@ def test_query_likelihood_eval_bounds(spark, sf_dir):
     assert 0 <= r["overlap_total"] <= nq * BM25_TOPK
     assert 0 <= r["mean_topk_overlap_ppm"] <= 1_000_000
     assert r["both_at1"] <= r["ql_hits_at1"]
+
+
+def test_mmr_rerank_laws(spark, sf_dir):
+    """Rank 1 is the pure-relevance argmax (= brute-force rank 1 under the
+    same tie-break); MMR scores are non-increasing in rank (the selected
+    set only grows, so every candidate's penalty only grows); picks are
+    distinct per query and exactly min(K, pool)."""
+    from cdc_postgresql_clickhouse_spark.queries.similarity import (
+        MMR_K,
+        QUERIES as SIM_Q,
+        ann_bruteforce_topk,
+    )
+
+    rows = SIM_Q["similarity_mmr_rerank"](spark, sf_dir).collect()
+    byq = {}
+    for r in rows:
+        byq.setdefault(r["q_id"], []).append(r)
+    bf1 = {
+        r["q_id"]: r["neighbor_id"]
+        for r in ann_bruteforce_topk(spark, sf_dir).collect()
+        if r["rank"] == 1
+    }
+    assert set(byq) == set(bf1)
+    for q, picks in byq.items():
+        picks.sort(key=lambda r: r["mmr_rank"])
+        assert len(picks) == min(MMR_K, len(picks))
+        assert len({p["neighbor_id"] for p in picks}) == len(picks)
+        assert picks[0]["neighbor_id"] == bf1[q]
+        assert picks[0]["mmr_micro"] == 7 * picks[0]["rel_micro"]
+        scores = [p["mmr_micro"] for p in picks]
+        assert scores == sorted(scores, reverse=True), (q, scores)
