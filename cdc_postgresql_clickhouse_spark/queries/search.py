@@ -528,7 +528,9 @@ del _n
 QL_MU = 2000.0
 
 
-def retrieval_query_likelihood_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ql_eval_tops(spark: SparkSession, sf_dir: str):
+    """(q, postings, n_docs, ql_top, bm_top) — factored so the law test can
+    pin the inlined BM25 partials against bm25_rank row-for-row."""
     docs = load_table(spark, sf_dir, "documents")
     q = docs.filter(F.col("doc_id") % KIE_MOD == 0).select(
         F.col("doc_id").cast("string").alias("query"),
@@ -539,42 +541,69 @@ def retrieval_query_likelihood_eval(spark: SparkSession, sf_dir: str) -> DataFra
     postings = build_postings(docs).persist()
     n_docs = docs.count()
     total = postings.agg(F.sum("tf")).first()[0]  # scalar, the avgdl device
+    avgdl = float(total) / float(n_docs)
     dl = postings.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
-    cf = postings.groupBy("term").agg(F.sum("tf").cast("long").alias("cf"))
+    stats = postings.groupBy("term").agg(
+        F.sum("tf").cast("long").alias("cf"),
+        F.count(F.lit(1)).cast("long").alias("df"),
+    )
     qlen = q.groupBy("query").agg(F.count(F.lit(1)).cast("long").alias("qlen"))
-    part = F.floor(
+    # ONE matched pass feeds BOTH scorers (the shared-base device from
+    # ann_recall_report): postings x queries is the corpus-scale join; the
+    # QL and BM25 partials are projections over the same matched rows, so
+    # scoring twice costs one extra expression, not a second join tree.
+    # test_r10_ops pins the inlined BM25 against bm25_rank row-for-row.
+    matched = (
+        postings.join(F.broadcast(q), "term")
+        .join(stats, "term")
+        .join(dl, "doc_id")
+    )
+    ql_part = F.floor(
         F.log(
             F.lit(1.0)
             + F.col("tf").cast("double") * F.lit(float(total))
             / (F.lit(QL_MU) * F.col("cf").cast("double"))
         ) * F.lit(1000000.0)
     ).cast("long")
-    per_doc = (
-        postings.join(F.broadcast(q), "term")
-        .join(cf, "term")
-        .select("query", "doc_id", part.alias("sm"))
-        .groupBy("query", "doc_id")
-        .agg(F.sum("sm").cast("long").alias("match_micro"))
+    bm_idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    bm_tf = (F.col("tf") * F.lit(BM25_K1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(BM25_K1) * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.lit(avgdl))
+    )
+    bm_part = F.floor(bm_idf * bm_tf * F.lit(1000000.0)).cast("long")
+    per_doc = matched.groupBy("query", "doc_id").agg(
+        F.sum(ql_part).cast("long").alias("match_micro"),
+        F.sum(bm_part).cast("long").alias("bm_micro"),
+        F.min("dl").alias("dl"),
     )
     dl_part = F.floor(
         F.log(F.lit(QL_MU) / (F.col("dl").cast("double") + F.lit(QL_MU)))
         * F.lit(1000000.0)
     ).cast("long")
-    scored = (
-        per_doc.join(dl, "doc_id")
-        .join(F.broadcast(qlen), "query")
-        .select(
-            "query", "doc_id",
-            (F.col("match_micro") + F.col("qlen") * dl_part).alias("score_micro"),
-        )
-    )
-    w = Window.partitionBy("query").orderBy(F.desc("score_micro"), F.col("doc_id"))
+    scored = per_doc.join(F.broadcast(qlen), "query").select(
+        "query", "doc_id", "bm_micro",
+        (F.col("match_micro") + F.col("qlen") * dl_part).alias("score_micro"),
+    ).persist()
+    w_ql = Window.partitionBy("query").orderBy(F.desc("score_micro"), F.col("doc_id"))
     ql_top = (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w_ql))
         .filter(F.col("rank") <= BM25_TOPK)
         .persist()
     )
-    bm_top = bm25_rank(postings, n_docs, q=q)
+    w_bm = Window.partitionBy("query").orderBy(F.desc("bm_micro"), F.col("doc_id"))
+    bm_top = (
+        scored.withColumn("rank", F.row_number().over(w_bm))
+        .filter(F.col("rank") <= BM25_TOPK)
+        .select("query", "doc_id", F.col("bm_micro").alias("score_micro"), "rank")
+    )
+    return q, postings, n_docs, ql_top, bm_top
+
+
+def retrieval_query_likelihood_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q, postings, n_docs, ql_top, bm_top = _ql_eval_tops(spark, sf_dir)
     rel = ql_top.filter(F.col("doc_id") == F.col("query").cast("long"))
     a1 = rel.agg(
         F.coalesce(F.sum(F.when(F.col("rank") == 1, 1)), F.lit(0)).cast("long")
@@ -620,51 +649,46 @@ q AS MATERIALIZED (
 nv AS (SELECT (SELECT COUNT(*) FROM documents) AS n,
               (SELECT SUM(tf) FROM postings) AS tot),
 dl AS (SELECT doc_id, SUM(tf) AS dl FROM postings GROUP BY doc_id),
-cf AS (SELECT term, SUM(tf) AS cf FROM postings GROUP BY term),
+stats AS (SELECT term, SUM(tf) AS cf, COUNT(*) AS df FROM postings GROUP BY term),
 qlen AS (SELECT query, COUNT(*) AS qlen FROM q GROUP BY query),
-per_doc AS (
+per_doc AS MATERIALIZED (
   SELECT q.query, p.doc_id,
          SUM(CAST(FLOOR(
            ln(1.0 + CAST(p.tf AS DOUBLE) * CAST(nv.tot AS DOUBLE)
-                    / ({QL_MU!r} * CAST(c.cf AS DOUBLE)))
-           * 1000000.0) AS BIGINT)) AS match_micro
-  FROM postings p JOIN q ON q.term = p.term JOIN cf c ON c.term = p.term
-  CROSS JOIN nv
-  GROUP BY 1, 2
-),
-scored AS (
-  SELECT pd.query, pd.doc_id,
-         pd.match_micro + ql.qlen * CAST(FLOOR(
-           ln({QL_MU!r} / (CAST(l.dl AS DOUBLE) + {QL_MU!r})) * 1000000.0
-         ) AS BIGINT) AS score_micro
-  FROM per_doc pd JOIN dl l ON l.doc_id = pd.doc_id
-  JOIN qlen ql ON ql.query = pd.query
-),
-ql_top AS MATERIALIZED (
-  SELECT query, doc_id, rank FROM (
-    SELECT *, row_number() OVER (PARTITION BY query ORDER BY score_micro DESC, doc_id) AS rank
-    FROM scored)
-  WHERE rank <= {BM25_TOPK}
-),
-dft AS (SELECT term, COUNT(*) AS df FROM postings GROUP BY term),
-bm_scored AS (
-  SELECT q.query, p.doc_id,
+                    / ({QL_MU!r} * CAST(s.cf AS DOUBLE)))
+           * 1000000.0) AS BIGINT)) AS match_micro,
          SUM(CAST(FLOOR(
-           ln(1.0 + (CAST(nv.n AS DOUBLE) - d.df + 0.5) / (d.df + 0.5))
+           ln(1.0 + (CAST(nv.n AS DOUBLE) - s.df + 0.5) / (s.df + 0.5))
            * ((p.tf * {BM25_K1 + 1.0!r}) /
               (p.tf + {BM25_K1!r} * ({1.0 - BM25_B!r} + {BM25_B!r} * l.dl / (CAST(nv.tot AS DOUBLE) / CAST(nv.n AS DOUBLE)))))
-           * 1000000.0) AS BIGINT)) AS score_micro
+           * 1000000.0) AS BIGINT)) AS bm_micro,
+         MIN(l.dl) AS dl
   FROM postings p
   JOIN q ON q.term = p.term
-  JOIN dft d ON d.term = p.term
+  JOIN stats s ON s.term = p.term
   JOIN dl l ON l.doc_id = p.doc_id
   CROSS JOIN nv
   GROUP BY 1, 2
 ),
+scored AS MATERIALIZED (
+  SELECT pd.query, pd.doc_id, pd.bm_micro,
+         pd.match_micro + ql.qlen * CAST(FLOOR(
+           ln({QL_MU!r} / (CAST(pd.dl AS DOUBLE) + {QL_MU!r})) * 1000000.0
+         ) AS BIGINT) AS score_micro
+  FROM per_doc pd JOIN qlen ql ON ql.query = pd.query
+),
+ql_top AS MATERIALIZED (
+  SELECT query, doc_id, rank FROM (
+    SELECT query, doc_id,
+           row_number() OVER (PARTITION BY query ORDER BY score_micro DESC, doc_id) AS rank
+    FROM scored)
+  WHERE rank <= {BM25_TOPK}
+),
 bm_top AS MATERIALIZED (
   SELECT query, doc_id, rank FROM (
-    SELECT *, row_number() OVER (PARTITION BY query ORDER BY score_micro DESC, doc_id) AS rank
-    FROM bm_scored)
+    SELECT query, doc_id,
+           row_number() OVER (PARTITION BY query ORDER BY bm_micro DESC, doc_id) AS rank
+    FROM scored)
   WHERE rank <= {BM25_TOPK}
 ),
 rel AS (SELECT query, rank FROM ql_top WHERE doc_id = CAST(query AS BIGINT)),

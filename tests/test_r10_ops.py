@@ -147,3 +147,22 @@ def test_mmr_rerank_laws(spark, sf_dir):
         assert picks[0]["mmr_micro"] == 7 * picks[0]["rel_micro"]
         scores = [p["mmr_micro"] for p in picks]
         assert scores == sorted(scores, reverse=True), (q, scores)
+
+
+def test_ql_eval_inlined_bm25_matches_bm25_rank(spark, sf_dir):
+    """The QL eval inlines BM25 partials into its shared matched pass (one
+    corpus join for two scorers); this pins the inlined scorer against the
+    canonical bm25_rank row-for-row so the formulas cannot drift."""
+    from cdc_postgresql_clickhouse_spark.queries.search import (
+        _ql_eval_tops,
+        bm25_rank,
+    )
+
+    q, postings, n_docs, _ql_top, bm_top = _ql_eval_tops(spark, sf_dir)
+    canonical = bm25_rank(postings, n_docs, q=q)
+    mine = {(r["query"], r["doc_id"]): (r["rank"], r["score_micro"]) for r in bm_top.collect()}
+    theirs = {
+        (r["query"], r["doc_id"]): (r["rank"], r["score_micro"])
+        for r in canonical.collect()
+    }
+    assert mine == theirs

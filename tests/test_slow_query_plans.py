@@ -57,6 +57,12 @@ _PINS = [
     ("reco_brand_cooccurrence_topk", 9, 0),
     # two metric pipelines + two two-phase ranks over the persisted join
     ("quality_spearman_quality_logprob", 23, 0),
+    # r10 additions near/above 2 s: the isotropy report's BNLJ is the
+    # one-row covagg x x2 scalar join; the QL eval computes BOTH scorers'
+    # partials from ONE matched pass (was 21 shuffles as two join trees),
+    # its BNLJs are the one-row report-arm cross joins
+    ("embedding_isotropy_report", 3, 1),
+    ("retrieval_query_likelihood_eval", 15, 2),
 ]
 
 
