@@ -383,6 +383,9 @@ HEADLINE = [
     "text_ocr_garbage_score",
     "embedding_isotropy_report",
     "retrieval_query_likelihood_eval",
+    "similarity_mmr_rerank",
+    "quality_ccnet_ppl_buckets",
+    "corpus_epoch_shuffle_audit",
 ]
 
 

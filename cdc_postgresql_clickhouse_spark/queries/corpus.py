@@ -656,3 +656,118 @@ CROSS JOIN (SELECT SUM(total_tokens) AS grand_tokens FROM per) t
 
 
 ORACLE["corpus_curriculum_schedule"] = _sql_curriculum()
+
+
+# --- Epoch-shuffle uniformity audit — round 10 --------------------------------
+#
+# Training loaders reshuffle the corpus every epoch by a deterministic
+# per-epoch hash (position = rank of md5(doc_id:epoch)) — cheap, stateless,
+# resumable. This audit verifies the property that recipe is trusted for:
+# within every epoch, each SOURCE's documents must spread uniformly over
+# the global order (a source clumping early/late in an epoch skews what
+# the model sees when training stops mid-epoch). Per (epoch, source):
+# chi-square of the source's decile histogram against uniform, plus the
+# worst single-decile deviation — both exact integers via
+#   chi2 = (1/(10n)) * sum_d (10*obs_d - n)^2
+# scaled to milli (the Fano/burstiness identity trick: no ratio is ever a
+# float). Empty deciles count as obs = 0 through a dense 10-row grid.
+#
+# Scale shape: the per-epoch global position uses the two-phase global
+# rank over (epoch, hash, doc_id) (operators/ranking.py — ranking by hash
+# IS the shuffle operation, and the two-phase rank is how it distributes);
+# everything after is (|epochs| x |sources| x 10)-bounded.
+
+SHUFFLE_EPOCHS = 3
+
+
+def corpus_epoch_shuffle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_postgresql_clickhouse_spark.operators.ranking import global_row_number
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    n_docs = docs.count()  # scalar: per-epoch denominator
+    hashed = docs.select(
+        "doc_id", "source",
+        F.explode(F.array(*[F.lit(e) for e in range(SHUFFLE_EPOCHS)])).alias("epoch"),
+    ).select(
+        "source", "epoch",
+        F.md5(F.concat_ws(":", F.col("doc_id"), F.col("epoch"))).alias("h"),
+        "doc_id",
+    )
+    g = global_row_number(
+        hashed, [F.col("epoch"), F.col("h"), F.col("doc_id")], out="__g"
+    )
+    base = g.groupBy("epoch").agg(F.min("__g").alias("__base"))
+    pos = g.join(F.broadcast(base), "epoch").select(
+        "epoch", "source",
+        F.expr(f"(__g - __base) * 10 div {n_docs}").cast("int").alias("decile"),
+    )
+    obs = pos.groupBy("epoch", "source", "decile").agg(
+        F.count(F.lit(1)).cast("long").alias("obs")
+    )
+    src_n = pos.groupBy("epoch", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_src")
+    )
+    grid = src_n.crossJoin(
+        F.broadcast(
+            spark.range(10).select(F.col("id").cast("int").alias("decile"))
+        )
+    )
+    dense = grid.join(obs, ["epoch", "source", "decile"], "left").select(
+        "epoch", "source", "n_src",
+        F.coalesce("obs", F.lit(0).cast("long")).alias("obs"),
+    )
+    dev = (F.col("obs") * 10 - F.col("n_src"))
+    return (
+        dense.groupBy("epoch", "source")
+        .agg(
+            F.min("n_src").alias("n_docs"),
+            F.sum(dev * dev).cast("long").alias("ssq"),
+            F.max(F.abs(dev)).cast("long").alias("maxdev"),
+        )
+        .select(
+            F.col("epoch").cast("long").alias("epoch"),
+            "source", "n_docs",
+            F.expr("ssq * 1000 div (10 * n_docs)").cast("long").alias("chi2_milli"),
+            F.expr("maxdev * 1000 div n_docs").cast("long").alias("max_dev_milli"),
+        )
+    )
+
+
+_SQL_SHUFFLE_AUDIT = f"""
+WITH hashed AS (
+  SELECT d.source, g.epoch,
+         md5(CAST(d.doc_id AS VARCHAR) || ':' || CAST(g.epoch AS VARCHAR)) AS h,
+         d.doc_id
+  FROM documents d, (SELECT unnest(range({SHUFFLE_EPOCHS})) AS epoch) g
+),
+nv AS (SELECT COUNT(*) AS n FROM documents),
+pos AS (
+  SELECT epoch, source,
+         CAST((ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY h, doc_id) - 1) * 10
+              // (SELECT n FROM nv) AS INTEGER) AS decile
+  FROM hashed
+),
+obs AS (
+  SELECT epoch, source, decile, COUNT(*)::BIGINT AS obs
+  FROM pos GROUP BY 1, 2, 3
+),
+src_n AS (SELECT epoch, source, COUNT(*)::BIGINT AS n_src FROM pos GROUP BY 1, 2),
+grid AS (
+  SELECT s.epoch, s.source, s.n_src, g.decile
+  FROM src_n s CROSS JOIN (SELECT CAST(unnest(range(10)) AS INTEGER) AS decile) g
+),
+dense AS (
+  SELECT grid.epoch, grid.source, grid.n_src, grid.decile, COALESCE(o.obs, 0) AS obs
+  FROM grid
+  LEFT JOIN obs o ON o.epoch = grid.epoch AND o.source = grid.source AND o.decile = grid.decile
+)
+SELECT CAST(epoch AS BIGINT) AS epoch, source,
+       MIN(n_src)::BIGINT AS n_docs,
+       (SUM((obs * 10 - n_src) * (obs * 10 - n_src)) * 1000
+        // (10 * MIN(n_src)))::BIGINT AS chi2_milli,
+       (MAX(ABS(obs * 10 - n_src)) * 1000 // MIN(n_src))::BIGINT AS max_dev_milli
+FROM dense GROUP BY 1, 2
+"""
+
+QUERIES["corpus_epoch_shuffle_audit"] = corpus_epoch_shuffle_audit
+ORACLE["corpus_epoch_shuffle_audit"] = _SQL_SHUFFLE_AUDIT

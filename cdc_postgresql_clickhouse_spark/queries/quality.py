@@ -891,3 +891,92 @@ WHERE n_docs >= 2
 
 
 ORACLE["quality_spearman_quality_logprob"] = _sql_spearman()
+
+
+# --- CCNet-style perplexity buckets — round 10 --------------------------------
+#
+# The CCNet recipe (Wenzek et al. 2020): bucket each language's documents
+# into head / middle / tail terciles by LM perplexity (here the registered
+# unigram avg-neg-logprob proxy), keep the head, inspect the middle, drop
+# the tail. The report is the cut sheet that decision consumes per
+# language: how many documents and tokens land in each tercile and where
+# the cutoffs sit.
+#
+# Scale shape: the per-doc score is the audited one-explode logprob
+# pipeline; ranking inside language uses the two-phase GLOBAL rank
+# (operators/ranking.py via the _source_rank pattern — no
+# data-proportional per-language window task at 100 TB where one language
+# can be half the corpus); bucket = ((rank-1)*3) div n_lang is pure
+# integer; the rollup is (|langs| x 3)-bounded.
+#
+# Determinism: ranks tie-break on doc_id; counts and token mass are exact
+# integers; the cutoff columns are MIN/MAX of identical doubles
+# (order-independent, unlike a mean of doubles — which is why the report
+# ships cutoffs, not a float average).
+
+CCNET_BUCKETS = ("head", "middle", "tail")
+
+
+def quality_ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    from cdc_postgresql_clickhouse_spark.operators.ranking import global_row_number
+    from cdc_postgresql_clickhouse_spark.queries.text import text_unigram_logprob
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    lp = text_unigram_logprob(spark, sf_dir)
+    joined = docs.join(lp, "doc_id").persist(StorageLevel.MEMORY_AND_DISK)
+    g = global_row_number(
+        joined, [F.col("lang"), F.col("avg_neg_logprob"), F.col("doc_id")], out="__g"
+    )
+    base = g.groupBy("lang").agg(
+        F.min("__g").alias("__base"), F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    ranked = g.join(F.broadcast(base), "lang").select(
+        "lang", "n_tok", "avg_neg_logprob",
+        F.expr("(__g - __base) * 3 div __n").cast("int").alias("__b"),
+    )
+    bucket = (
+        F.when(F.col("__b") == 0, CCNET_BUCKETS[0])
+        .when(F.col("__b") == 1, CCNET_BUCKETS[1])
+        .otherwise(CCNET_BUCKETS[2])
+    )
+    return (
+        ranked.groupBy("lang", bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+            F.min("avg_neg_logprob").alias("nlp_lo"),
+            F.max("avg_neg_logprob").alias("nlp_hi"),
+        )
+    )
+
+
+def _sql_ccnet() -> str:
+    from cdc_postgresql_clickhouse_spark.queries.text import ORACLE as _TX_ORACLE
+
+    return f"""
+WITH lp AS MATERIALIZED ({_TX_ORACLE["text_unigram_logprob"]}),
+joined AS (
+  SELECT d.lang, lp.doc_id, lp.n_tok, lp.avg_neg_logprob
+  FROM documents d JOIN lp ON lp.doc_id = d.doc_id
+),
+ranked AS (
+  SELECT lang, n_tok, avg_neg_logprob,
+         CAST((ROW_NUMBER() OVER (PARTITION BY lang ORDER BY avg_neg_logprob, doc_id) - 1) * 3
+              // (COUNT(*) OVER (PARTITION BY lang)) AS INTEGER) AS b
+  FROM joined
+)
+SELECT lang,
+       CASE b WHEN 0 THEN '{CCNET_BUCKETS[0]}' WHEN 1 THEN '{CCNET_BUCKETS[1]}'
+              ELSE '{CCNET_BUCKETS[2]}' END AS bucket,
+       COUNT(*)::BIGINT AS n_docs,
+       SUM(n_tok)::BIGINT AS total_tokens,
+       MIN(avg_neg_logprob) AS nlp_lo,
+       MAX(avg_neg_logprob) AS nlp_hi
+FROM ranked GROUP BY 1, 2
+"""
+
+
+QUERIES["quality_ccnet_ppl_buckets"] = quality_ccnet_ppl_buckets
+ORACLE["quality_ccnet_ppl_buckets"] = _sql_ccnet()

@@ -166,3 +166,47 @@ def test_ql_eval_inlined_bm25_matches_bm25_rank(spark, sf_dir):
         for r in canonical.collect()
     }
     assert mine == theirs
+
+
+def test_ccnet_buckets_partition_and_order(spark, sf_dir):
+    """Terciles partition each language's docs with sizes within 1 of each
+    other, and the perplexity cutoffs are ordered head <= middle <= tail."""
+    from cdc_postgresql_clickhouse_spark.queries.quality import QUERIES as QL_Q
+
+    rows = QL_Q["quality_ccnet_ppl_buckets"](spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    per_lang = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], {})[r["bucket"]] = r
+    for lang, b in by_lang.items():
+        assert set(b) <= {"head", "middle", "tail"}
+        assert sum(r["n_docs"] for r in b.values()) == per_lang[lang]
+        sizes = [r["n_docs"] for r in b.values()]
+        assert max(sizes) - min(sizes) <= 1
+        if "head" in b and "middle" in b:
+            assert b["head"]["nlp_hi"] <= b["middle"]["nlp_lo"]
+        if "middle" in b and "tail" in b:
+            assert b["middle"]["nlp_hi"] <= b["tail"]["nlp_lo"]
+
+
+def test_epoch_shuffle_audit_uniformity(spark, sf_dir):
+    """Every (epoch, source) cell exists, per-epoch doc counts add up, and
+    the md5 shuffle is actually uniform: chi2 over 9 df stays far below
+    the catastrophic-clumping regime at every epoch."""
+    from cdc_postgresql_clickhouse_spark.queries.corpus import (
+        SHUFFLE_EPOCHS,
+        QUERIES as CO_Q,
+    )
+
+    rows = CO_Q["corpus_epoch_shuffle_audit"](spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    n_sources = docs.select("source").distinct().count()
+    assert len(rows) == SHUFFLE_EPOCHS * n_sources
+    for e in range(SHUFFLE_EPOCHS):
+        assert sum(r["n_docs"] for r in rows if r["epoch"] == e) == n_docs
+    for r in rows:
+        assert 0 <= r["chi2_milli"] < 50_000, r
+        assert 0 <= r["max_dev_milli"] <= 10_000, r
