@@ -75,6 +75,10 @@ def _state_lock(path: str):
     ``break_state_lock`` removes it after operator inspection."""
     apath = os.path.abspath(path)
     lock = f"{apath}.lock"
+    # The lock is a SIBLING of the table dir; on a first-ever read the
+    # parent may not exist yet (streams read state before the first batch
+    # writes it) and O_CREAT raises FileNotFoundError, not FileExistsError.
+    os.makedirs(os.path.dirname(lock) or ".", exist_ok=True)
     try:
         fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
     except FileExistsError:

@@ -489,3 +489,16 @@ def test_lock_free_read_raises_on_live_foreign_lock(spark, sf_dir):
         assert read_state(spark, state) is not None  # lock gone: reads fine
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_lock_free_read_on_never_written_state(spark, tmp_path):
+    """Regression (r10): the unconditional reader lock is a SIBLING file of
+    the table dir — on a first-ever read (stream reads state before batch 1
+    writes it) the parent directory does not exist and the O_EXCL open used
+    to die with FileNotFoundError instead of returning the no-state None."""
+    from cdc_postgresql_clickhouse_spark.operators.state import read_state
+
+    path = str(tmp_path / "never" / "state" / "keys")
+    assert read_state(spark, path) is None
+    # and the lock was released: a second read works too
+    assert read_state(spark, path) is None
