@@ -386,6 +386,7 @@ HEADLINE = [
     "similarity_mmr_rerank",
     "quality_ccnet_ppl_buckets",
     "corpus_epoch_shuffle_audit",
+    "retrieval_hard_negatives_mine",
 ]
 
 

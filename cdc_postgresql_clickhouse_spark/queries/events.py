@@ -3492,12 +3492,11 @@ flip_pending(PENDING_QUERIES, PENDING_ORACLE, QUERIES, ORACLE)
 # semantics involved); retention is integer-ppm (div on both engines,
 # non-negative numerator).
 
-def events_retention_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id",
-        F.expr("floor(unix_timestamp(ts)) div 604800").cast("long").alias("week"),
-    )
-    active = ev.distinct()
+def cohort_matrix_from_activity(active: DataFrame) -> DataFrame:
+    """The matrix tail over a DISTINCT (user_id, week) activity table —
+    factored out because the activity grain is MERGEABLE state (set union;
+    min-week per user), which is what the streaming equiv appends per
+    micro-batch and distinct-merges at read time."""
     cohort = active.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
     sizes = cohort.groupBy("cohort_week").agg(
         F.count(F.lit(1)).cast("long").alias("n_cohort")
@@ -3514,6 +3513,14 @@ def events_retention_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFram
         "n_active",
         F.expr("n_active * 1000000 div n_cohort").cast("long").alias("retention_ppm"),
     )
+
+
+def events_retention_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("floor(unix_timestamp(ts)) div 604800").cast("long").alias("week"),
+    )
+    return cohort_matrix_from_activity(ev.distinct())
 
 
 _SQL_COHORT_MATRIX = """

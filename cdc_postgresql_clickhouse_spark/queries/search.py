@@ -720,3 +720,104 @@ FROM a1 CROSS JOIN ov CROSS JOIN b1 CROSS JOIN nq
 
 QUERIES["retrieval_query_likelihood_eval"] = retrieval_query_likelihood_eval
 ORACLE["retrieval_query_likelihood_eval"] = _SQL_QL_EVAL
+
+
+# --- Hard-negative mining — round 10 ------------------------------------------
+#
+# The retriever-finetuning data op (DPR/Karpukhin et al. 2020 recipe):
+# for every known-item query whose positive document ranks in BM25's
+# top-k, emit one training triplet per co-ranked NON-relevant document —
+# (anchor query, positive, hard negative) with the score margin. BM25's
+# own top-k non-relevant hits ARE the canonical hard negatives (lexically
+# confusable, semantically wrong); negative margins mark negatives that
+# OUTRANK the positive — the highest-value training pairs. Queries whose
+# positive missed the top-k entirely produce no triplets (nothing to
+# anchor the margin), and their count is recoverable from
+# retrieval_known_item_eval's hits_at_topk.
+#
+# Scale shape: the audited BM25 plan (broadcast query set over ONE
+# persisted postings table) + a per-query self-join of the <= k-row ranked
+# slice — output is <= n_queries * (k-1) rows. Margins subtract exact
+# integer micro scores.
+
+def retrieval_hard_negatives_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.filter(F.col("doc_id") % KIE_MOD == 0).select(
+        F.col("doc_id").cast("string").alias("query"),
+        F.explode(
+            F.array_distinct(F.slice(tokens(F.col("text")), 1, KIE_QTOKENS))
+        ).alias("term"),
+    )
+    ranked = bm25_rank(build_postings(docs), docs.count(), q=q).persist()
+    rel = ranked.filter(F.col("doc_id") == F.col("query").cast("long")).select(
+        "query",
+        F.col("rank").alias("pos_rank"),
+        F.col("score_micro").alias("pos_score"),
+    )
+    neg = ranked.filter(F.col("doc_id") != F.col("query").cast("long")).select(
+        "query",
+        F.col("doc_id").alias("neg_doc_id"),
+        F.col("rank").alias("neg_rank"),
+        F.col("score_micro").alias("neg_score"),
+    )
+    return rel.join(neg, "query").select(
+        F.col("query").cast("long").alias("q_doc_id"),
+        "pos_rank",
+        "neg_doc_id",
+        "neg_rank",
+        (F.col("pos_score") - F.col("neg_score")).cast("long").alias("margin_micro"),
+    )
+
+
+_SQL_HARD_NEG = f"""
+WITH postings AS MATERIALIZED (
+  SELECT doc_id, term, COUNT(*) AS tf FROM (
+    SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents
+  ) GROUP BY doc_id, term
+),
+q AS MATERIALIZED (
+  SELECT CAST(doc_id AS VARCHAR) AS query, unnest(list_distinct(t[1:{KIE_QTOKENS}])) AS term
+  FROM (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents WHERE doc_id % {KIE_MOD} = 0)
+),
+nv AS (SELECT (SELECT COUNT(*) FROM documents) AS n,
+              (SELECT SUM(tf) FROM postings) AS tot),
+dl AS (SELECT doc_id, SUM(tf) AS dl FROM postings GROUP BY doc_id),
+dft AS (SELECT term, COUNT(*) AS df FROM postings GROUP BY term),
+per_doc AS (
+  SELECT q.query, p.doc_id,
+         SUM(CAST(FLOOR(
+           ln(1.0 + (CAST(nv.n AS DOUBLE) - d.df + 0.5) / (d.df + 0.5))
+           * ((p.tf * {BM25_K1 + 1.0!r}) /
+              (p.tf + {BM25_K1!r} * ({1.0 - BM25_B!r} + {BM25_B!r} * l.dl / (CAST(nv.tot AS DOUBLE) / CAST(nv.n AS DOUBLE)))))
+           * 1000000.0) AS BIGINT)) AS score_micro
+  FROM postings p
+  JOIN q ON q.term = p.term
+  JOIN dft d ON d.term = p.term
+  JOIN dl l ON l.doc_id = p.doc_id
+  CROSS JOIN nv
+  GROUP BY 1, 2
+),
+ranked AS MATERIALIZED (
+  SELECT query, doc_id, score_micro, rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query ORDER BY score_micro DESC, doc_id) AS rank
+    FROM per_doc)
+  WHERE rank <= {BM25_TOPK}
+),
+rel AS (
+  SELECT query, rank AS pos_rank, score_micro AS pos_score
+  FROM ranked WHERE doc_id = CAST(query AS BIGINT)
+),
+neg AS (
+  SELECT query, doc_id AS neg_doc_id, rank AS neg_rank, score_micro AS neg_score
+  FROM ranked WHERE doc_id <> CAST(query AS BIGINT)
+)
+SELECT CAST(rel.query AS BIGINT) AS q_doc_id,
+       CAST(pos_rank AS BIGINT) AS pos_rank,
+       neg_doc_id,
+       CAST(neg_rank AS BIGINT) AS neg_rank,
+       CAST(pos_score - neg_score AS BIGINT) AS margin_micro
+FROM rel JOIN neg ON neg.query = rel.query
+"""
+
+QUERIES["retrieval_hard_negatives_mine"] = retrieval_hard_negatives_mine
+ORACLE["retrieval_hard_negatives_mine"] = _SQL_HARD_NEG

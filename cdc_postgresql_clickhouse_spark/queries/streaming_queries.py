@@ -1682,3 +1682,49 @@ from cdc_postgresql_clickhouse_spark.queries.cdc import _SQL_COMPACTION_DEBT  # 
 
 QUERIES["streaming_compaction_debt_equiv"] = streaming_compaction_debt_equiv
 ORACLE["streaming_compaction_debt_equiv"] = _SQL_COMPACTION_DEBT
+
+
+def streaming_retention_cohort_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained cohort retention: ``events`` split into 2+
+    micro-batches BY USER parity (both batches contribute weeks to the same
+    users), drained through the append-only (user, week) activity ingest,
+    distinct-merged at read time, and folded through the BATCH matrix tail.
+    Oracle = the batch ``events_retention_cohort_matrix`` SQL — set-union
+    mergeability (distinct of a union of per-batch distincts = distinct of
+    the union) as a driver row, the exact-count sibling of the HLL and
+    bottom-k sketch equivs."""
+    import os
+    import shutil
+    import tempfile
+
+    from cdc_postgresql_clickhouse_spark.queries.events import (
+        cohort_matrix_from_activity,
+    )
+    from cdc_postgresql_clickhouse_spark.streaming.sketch import (
+        read_activity_state,
+        run_incremental_activity,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    tmp = tempfile.mkdtemp(prefix="stream_cohort_")
+    try:
+        src = os.path.join(tmp, "src")
+        ev.filter(F.col("user_id") % 2 == 0).coalesce(1).write.parquet(src)
+        ev.filter(F.col("user_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+        run_incremental_activity(
+            spark, src, os.path.join(tmp, "state"), os.path.join(tmp, "ckpt"),
+            max_files_per_trigger=1,
+        )
+        active = read_activity_state(spark, os.path.join(tmp, "state"))
+        return _materialized(cohort_matrix_from_activity(active))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+QUERIES["streaming_retention_cohort_equiv"] = streaming_retention_cohort_equiv
+
+# the incrementally-merged activity set must produce the batch matrix:
+# literally the batch cohort oracle
+from cdc_postgresql_clickhouse_spark.queries.events import ORACLE as _EV_ORACLE  # noqa: E402
+
+ORACLE["streaming_retention_cohort_equiv"] = _EV_ORACLE["events_retention_cohort_matrix"]

@@ -448,3 +448,45 @@ def run_incremental_debt(
         checkpoint_dir,
         max_files_per_trigger,
     )
+
+
+# --- streaming (user, week) activity state ------------------------------------
+#
+# The cohort-retention matrix's state grain (queries.events
+# .cohort_matrix_from_activity) is a SET of (user_id, week) pairs — union-
+# mergeable, so each micro-batch appends its own distinct pairs and readers
+# distinct-merge the union. At-least-once replay appends duplicate pairs;
+# the read-time distinct drops them (the postings-table contract). Unlike
+# the HLL registers this state grows with |users x weeks|, which is the
+# point: the matrix needs exact per-cohort distinct counts, and the state
+# IS the minimal sufficient statistic for them (raw events are never kept).
+
+
+def ingest_batch_activity(batch: DataFrame, state_path: str) -> None:
+    """Append one micro-batch's distinct (user_id, week) activity pairs."""
+    from cdc_postgresql_clickhouse_spark.operators.state import _state_lock
+
+    pairs = batch.select(
+        "user_id",
+        F.expr("floor(unix_timestamp(ts)) div 604800").cast("long").alias("week"),
+    ).distinct()
+    with _state_lock(state_path):
+        pairs.write.mode("append").parquet(state_path)
+
+
+def run_incremental_activity(
+    spark: SparkSession,
+    src_dir: str,
+    state_path: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+) -> None:
+    _drain(
+        spark, src_dir, lambda b, _i: ingest_batch_activity(b, state_path),
+        checkpoint_dir, max_files_per_trigger,
+    )
+
+
+def read_activity_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """The merged activity set: distinct over every appended batch."""
+    return spark.read.parquet(state_path).distinct()

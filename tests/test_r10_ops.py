@@ -210,3 +210,45 @@ def test_epoch_shuffle_audit_uniformity(spark, sf_dir):
     for r in rows:
         assert 0 <= r["chi2_milli"] < 50_000, r
         assert 0 <= r["max_dev_milli"] <= 10_000, r
+
+
+def test_hard_negatives_margin_consistency(spark, sf_dir):
+    """Triplets exist only for queries whose positive ranked in top-k; per
+    found query there are exactly (found-slice-size - 1) negatives;
+    margin sign agrees with rank order (higher-ranked negative <=> smaller
+    or negative margin under the shared tie-break)."""
+    from cdc_postgresql_clickhouse_spark.queries.search import (
+        BM25_TOPK,
+        QUERIES as SR_Q,
+    )
+
+    trips = SR_Q["retrieval_hard_negatives_mine"](spark, sf_dir).collect()
+    eva = SR_Q["retrieval_known_item_eval"](spark, sf_dir).collect()[0]
+    found_queries = {t["q_doc_id"] for t in trips}
+    assert len(found_queries) <= eva["hits_at_topk"]
+    byq = {}
+    for t in trips:
+        byq.setdefault(t["q_doc_id"], []).append(t)
+    for qd, ts in byq.items():
+        assert len(ts) <= BM25_TOPK - 1
+        for t in ts:
+            if t["neg_rank"] < t["pos_rank"]:
+                assert t["margin_micro"] <= 0, t
+            else:
+                assert t["margin_micro"] >= 0, t
+
+
+def test_streaming_cohort_equiv_matches_batch(spark, sf_dir):
+    """The streamed activity state folds to the exact batch matrix."""
+    from cdc_postgresql_clickhouse_spark.queries.events import QUERIES as EV_Q
+    from cdc_postgresql_clickhouse_spark.queries.streaming_queries import (
+        QUERIES as ST_Q,
+    )
+
+    key = lambda r: (r["cohort_week"], r["week_offset"])  # noqa: E731
+    batch = {key(r): r for r in EV_Q["events_retention_cohort_matrix"](spark, sf_dir).collect()}
+    stream = {key(r): r for r in ST_Q["streaming_retention_cohort_equiv"](spark, sf_dir).collect()}
+    assert set(batch) == set(stream)
+    for k in batch:
+        assert batch[k]["n_active"] == stream[k]["n_active"]
+        assert batch[k]["retention_ppm"] == stream[k]["retention_ppm"]
