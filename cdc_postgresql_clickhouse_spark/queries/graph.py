@@ -1215,7 +1215,8 @@ def graph_distance_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = edges.select("a").distinct()
     d = nodes.select("a", F.col("a").alias("b"), F.lit(0).cast("long").alias("d")) \
         .unionByName(edges) \
-        .groupBy("a", "b").agg(F.min("d").alias("d"))
+        .groupBy("a", "b").agg(F.min("d").alias("d")) \
+        .localCheckpoint(eager=True)
     for _ in range(APSP_ROUNDS):
         via = (
             d.alias("x")
@@ -1226,7 +1227,13 @@ def graph_distance_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("x.d") + F.col("y.d")).alias("d"),
             )
         )
-        d = d.unionByName(via).groupBy("a", "b").agg(F.min("d").alias("d"))
+        # lineage cut per round (the LPA/PageRank device): each round
+        # references d TWICE, so the uncut tree doubles per round (the
+        # cold plan measured 292 Exchanges); state is |types|^2-bounded.
+        d = (
+            d.unionByName(via).groupBy("a", "b").agg(F.min("d").alias("d"))
+            .localCheckpoint(eager=True)
+        )
     reach = d.filter(F.col("a") != F.col("b"))
     return reach.groupBy(F.col("a").alias("event_type")).agg(
         F.count(F.lit(1)).cast("long").alias("n_reachable"),

@@ -64,11 +64,12 @@ _PINS = [
     ("embedding_isotropy_report", 3, 1),
     ("retrieval_query_likelihood_eval", 15, 2),
     # remaining >2s r10 bench lines (measured standalone, cold cache — the
-    # condition this test runs under): the APSP profile is the honest
-    # unrolled-rounds tree (each round references every earlier round;
-    # persists exist but are unmaterialized at plan time); burrows-delta's
-    # BNLJs are the bounded (source x top-30-word) grid builds
-    ("graph_distance_profile", 292, 0),
+    # condition this test runs under); burrows-delta's BNLJs are the
+    # bounded (source x top-30-word) grid builds. The APSP profile's
+    # rounds are now localCheckpoint-materialized (were an uncut
+    # double-per-round tree: 292 Exchanges, 2.79 s -> 1.35 s), so the
+    # final plan is scan-only, the LPA contract
+    ("graph_distance_profile", 1, 0),
     ("text_burrows_delta", 26, 8),
     ("quality_dedup_interaction", 4, 0),
     ("quality_ccnet_ppl_buckets", 13, 0),
