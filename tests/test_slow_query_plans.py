@@ -74,6 +74,8 @@ _PINS = [
     ("quality_dedup_interaction", 4, 0),
     ("quality_ccnet_ppl_buckets", 13, 0),
     ("dedup_cross_source_matrix", 12, 1),
+    # triplet miner: the audited BM25 plan + per-query <= k-row self-join
+    ("retrieval_hard_negatives_mine", 8, 0),
 ]
 
 
