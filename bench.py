@@ -387,6 +387,8 @@ HEADLINE = [
     "quality_ccnet_ppl_buckets",
     "corpus_epoch_shuffle_audit",
     "retrieval_hard_negatives_mine",
+    "orders_ltv_cohort_matrix",
+    "orders_fulfillment_lag_percentiles",
 ]
 
 

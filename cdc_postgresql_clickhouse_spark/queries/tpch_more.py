@@ -2934,3 +2934,180 @@ WHERE l.k_a < r.k_b
   AND abs(l.p_a - r.p_b) <= {DUP_INV_PRICE_TOL}
   AND abs(datediff('day', l.d_a, r.d_b)) <= {DUP_INV_DAYS}
 """
+
+
+# --- Quarterly LTV cohort matrix — round 10 ------------------------------------
+#
+# Customer lifetime value by acquisition cohort: customers grouped by
+# their FIRST order's calendar quarter, each cohort's order revenue
+# tracked across quarter offsets, with the running cumulative LTV per
+# still-reachable cohort cell — the finance twin of the events-side
+# weekly retention matrix (that one counts RETURNING users; this one sums
+# what they SPEND). Exact integer cents throughout (the _cents device);
+# the cumulative runs over the calendar-bounded (cohort x offset) grid
+# only, never the orders table.
+#
+# Scale shape: one per-customer MIN for the cohort stamp (map-side
+# partials), one customer-keyed join back, one rollup onto the bounded
+# grid, one window over that grid. Quarter index = year*4 + quarter - 1,
+# identical integer arithmetic in both engines (no date truncation
+# semantics involved).
+
+def orders_ltv_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 4 + F.quarter("o_orderdate") - 1)
+        .cast("long").alias("q"),
+        _cents(F.col("o_totalprice")).alias("cents"),
+    )
+    cohort = o.groupBy("o_custkey").agg(F.min("q").alias("cohort_q"))
+    sizes = cohort.groupBy("cohort_q").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers")
+    )
+    cells = (
+        o.join(cohort, "o_custkey")
+        .groupBy("cohort_q", (F.col("q") - F.col("cohort_q")).alias("offset_q"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+    )
+    wcum = (
+        Window.partitionBy("cohort_q")
+        .orderBy("offset_q")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return cells.join(F.broadcast(sizes), "cohort_q").select(
+        "cohort_q",
+        F.col("offset_q").cast("long").alias("offset_q"),
+        "n_customers",
+        "n_orders",
+        "revenue_cents",
+        F.sum("revenue_cents").over(wcum).cast("long").alias("cum_revenue_cents"),
+        F.expr("revenue_cents div n_customers").cast("long")
+        .alias("rev_per_customer_cents"),
+    )
+
+
+_SQL_LTV_COHORT = """
+WITH o AS (
+  SELECT o_custkey,
+         (year(o_orderdate) * 4 + quarter(o_orderdate) - 1)::BIGINT AS q,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+cohort AS (SELECT o_custkey, MIN(q) AS cohort_q FROM o GROUP BY o_custkey),
+sizes AS (SELECT cohort_q, COUNT(*)::BIGINT AS n_customers FROM cohort GROUP BY 1),
+cells AS (
+  SELECT c.cohort_q, o.q - c.cohort_q AS offset_q,
+         COUNT(*)::BIGINT AS n_orders,
+         SUM(o.cents)::BIGINT AS revenue_cents
+  FROM o JOIN cohort c USING (o_custkey)
+  GROUP BY 1, 2
+)
+SELECT cells.cohort_q,
+       CAST(offset_q AS BIGINT) AS offset_q,
+       n_customers,
+       n_orders,
+       revenue_cents,
+       CAST(SUM(revenue_cents) OVER (PARTITION BY cells.cohort_q ORDER BY offset_q
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_revenue_cents,
+       (revenue_cents // n_customers)::BIGINT AS rev_per_customer_cents
+FROM cells JOIN sizes USING (cohort_q)
+"""
+
+QUERIES["orders_ltv_cohort_matrix"] = orders_ltv_cohort_matrix
+ORACLE["orders_ltv_cohort_matrix"] = _SQL_LTV_COHORT
+
+
+# --- Fulfillment-lag percentiles — round 10 ------------------------------------
+#
+# Ship-lag SLA distribution: per order priority, exact nearest-rank
+# p50/p90/p99 of (first line-item ship date - order date) in days — the
+# tail-latency read an ops team actually pages on (the mean hides the p99;
+# orders_sla_attainment reports a threshold rate, this reports the
+# distribution's shape). Exact percentiles, not a sketch: ranks come from
+# a window over the VALUE-GROUPED (priority, lag_days) table (the
+# corpus_length_pareto / pareto-ABC device — equal lags are
+# interchangeable, so ranking the bounded distinct-value domain is exact
+# and never sorts the fact table), and nearest-rank picks the group whose
+# cumulative count first reaches ceil(p*n).
+#
+# Scale shape: one lineitem scan -> per-order MIN ship date (map-side),
+# one order-keyed join, one (priority, lag) rollup, windows over the
+# bounded value domain only.
+
+LAG_PCTS = (50, 90, 99)
+
+
+def orders_fulfillment_lag_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    first_ship = li.groupBy("l_orderkey").agg(F.min("l_shipdate").alias("ship0"))
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    lags = o.join(
+        first_ship, o.o_orderkey == first_ship.l_orderkey
+    ).select(
+        "o_orderpriority",
+        F.datediff("ship0", "o_orderdate").cast("long").alias("lag_days"),
+    )
+    by_val = lags.groupBy("o_orderpriority", "lag_days").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    wp = Window.partitionBy("o_orderpriority").orderBy("lag_days")
+    cum = by_val.select(
+        "o_orderpriority", "lag_days",
+        F.sum("cnt").over(wp.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("cnt").over(
+            Window.partitionBy("o_orderpriority").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    # nearest-rank: the smallest lag whose cumulative count reaches p% of n
+    out = cum.groupBy("o_orderpriority").agg(
+        F.max("n").alias("n_orders"),
+        *[
+            F.min(
+                F.when(F.col("cum") * 100 >= F.col("n") * p, F.col("lag_days"))
+            ).alias(f"p{p}_days")
+            for p in LAG_PCTS
+        ],
+    )
+    return out.select(
+        "o_orderpriority",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        *[F.col(f"p{p}_days").cast("long").alias(f"p{p}_days") for p in LAG_PCTS],
+    )
+
+
+_SQL_LAG_PCT = f"""
+WITH first_ship AS (
+  SELECT l_orderkey, MIN(l_shipdate) AS ship0 FROM lineitem GROUP BY l_orderkey
+),
+lags AS (
+  SELECT o.o_orderpriority,
+         datediff('day', o.o_orderdate, f.ship0)::BIGINT AS lag_days
+  FROM orders o JOIN first_ship f ON f.l_orderkey = o.o_orderkey
+),
+by_val AS (
+  SELECT o_orderpriority, lag_days, COUNT(*)::BIGINT AS cnt
+  FROM lags GROUP BY 1, 2
+),
+cum AS (
+  SELECT o_orderpriority, lag_days,
+         SUM(cnt) OVER (PARTITION BY o_orderpriority ORDER BY lag_days
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(cnt) OVER (PARTITION BY o_orderpriority) AS n
+  FROM by_val
+)
+SELECT o_orderpriority,
+       CAST(MAX(n) AS BIGINT) AS n_orders,
+       {", ".join(f"CAST(MIN(CASE WHEN cum * 100 >= n * {p} THEN lag_days END) AS BIGINT) AS p{p}_days" for p in LAG_PCTS)}
+FROM cum GROUP BY o_orderpriority
+"""
+
+QUERIES["orders_fulfillment_lag_percentiles"] = orders_fulfillment_lag_percentiles
+ORACLE["orders_fulfillment_lag_percentiles"] = _SQL_LAG_PCT

