@@ -389,6 +389,8 @@ HEADLINE = [
     "retrieval_hard_negatives_mine",
     "orders_ltv_cohort_matrix",
     "orders_fulfillment_lag_percentiles",
+    "cdc_bucket_skew_report",
+    "orders_supplier_hhi",
 ]
 
 

@@ -1514,3 +1514,99 @@ GROUP BY bucket
 
 QUERIES["cdc_compaction_debt_report"] = cdc_compaction_debt_report
 ORACLE["cdc_compaction_debt_report"] = _SQL_COMPACTION_DEBT
+
+
+# --- Bucket-layout skew audit — round 10 ---------------------------------------
+#
+# The key_buckets sizing table: the bucketed state layout
+# (operators/state.py) rewrites ONLY touched buckets per micro-batch, so
+# the right N trades rewrite-unit size against per-batch fan-out — and a
+# skewed key distribution quietly turns "O(touched buckets)" into
+# "O(the one hot bucket) every batch". Per candidate N in {16, 64, 256}:
+# occupancy skew (hottest bucket vs fair share), empty-bucket count, and
+# the occupancy Herfindahl (sum of squared bucket shares, ppm) — the three
+# numbers that decide N before reshuffling a 100 TB table.
+#
+# The bucket function here is the md5-derived integer (the oracle-portable
+# stand-in for the layout's xxhash64 — both uniform washes of the key, so
+# the N-sizing conclusion transfers; the layout function itself is pinned
+# by the state tests). One keys scan fans through the 3-row N grid
+# (explode), partial-aggs map-side; output is 3 rows.
+
+BUCKET_SKEW_NS = [16, 64, 256]
+
+
+def cdc_bucket_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_postgresql_clickhouse_spark.queries.sketches import (
+        _HEX_DIGITS,
+        _sql_hex_int,  # noqa: F401 — twin device documented here
+    )
+
+    keys = load_table(spark, sf_dir, "events").select("user_id").distinct()
+    hashed = keys.select(
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, _HEX_DIGITS), 16, 10
+        ).cast("long").alias("h"),
+        F.explode(F.array(*[F.lit(n) for n in BUCKET_SKEW_NS])).alias("n_buckets"),
+    )
+    occ = hashed.groupBy(
+        "n_buckets", (F.col("h") % F.col("n_buckets")).alias("bucket")
+    ).agg(F.count(F.lit(1)).cast("long").alias("k"))
+    per = occ.groupBy("n_buckets").agg(
+        F.sum("k").cast("long").alias("n_keys"),
+        F.max("k").cast("long").alias("max_bucket_keys"),
+        F.count(F.lit(1)).cast("long").alias("n_nonempty"),
+        F.sum(F.col("k") * F.col("k")).cast("long").alias("ssq"),
+    )
+    return per.select(
+        F.col("n_buckets").cast("long").alias("n_buckets"),
+        "n_keys",
+        "max_bucket_keys",
+        (F.col("n_buckets") - F.col("n_nonempty")).cast("long").alias("empty_buckets"),
+        # hottest bucket vs fair share n_keys/N, in milli
+        F.expr("max_bucket_keys * 1000 * n_buckets div n_keys").cast("long")
+        .alias("skew_milli"),
+        # occupancy HHI: sum of squared shares, ppm (uniform -> 1e6/N)
+        F.expr("ssq * 1000000 div (n_keys * n_keys)").cast("long").alias("occ_hhi_ppm"),
+    )
+
+
+def _sql_bucket_skew() -> str:
+    from cdc_postgresql_clickhouse_spark.queries.sketches import (
+        _HEX_DIGITS,
+        _sql_hex_int,
+    )
+
+    grid = ", ".join(f"({n})" for n in BUCKET_SKEW_NS)
+    return f"""
+WITH keys AS MATERIALIZED (
+  SELECT DISTINCT user_id FROM events
+),
+hashed AS (
+  SELECT {_sql_hex_int('CAST(user_id AS VARCHAR)', _HEX_DIGITS)} AS h, g.n_buckets
+  FROM keys CROSS JOIN (SELECT * FROM (VALUES {grid}) AS t(n_buckets)) g
+),
+occ AS (
+  SELECT n_buckets, h % n_buckets AS bucket, COUNT(*)::BIGINT AS k
+  FROM hashed GROUP BY 1, 2
+),
+per AS (
+  SELECT n_buckets,
+         SUM(k)::BIGINT AS n_keys,
+         MAX(k)::BIGINT AS max_bucket_keys,
+         COUNT(*)::BIGINT AS n_nonempty,
+         SUM(k * k)::BIGINT AS ssq
+  FROM occ GROUP BY 1
+)
+SELECT CAST(n_buckets AS BIGINT) AS n_buckets,
+       n_keys,
+       max_bucket_keys,
+       (n_buckets - n_nonempty)::BIGINT AS empty_buckets,
+       (max_bucket_keys * 1000 * n_buckets // n_keys)::BIGINT AS skew_milli,
+       (ssq * 1000000 // (n_keys * n_keys))::BIGINT AS occ_hhi_ppm
+FROM per
+"""
+
+
+QUERIES["cdc_bucket_skew_report"] = cdc_bucket_skew_report
+ORACLE["cdc_bucket_skew_report"] = _sql_bucket_skew()

@@ -3111,3 +3111,71 @@ FROM cum GROUP BY o_orderpriority
 
 QUERIES["orders_fulfillment_lag_percentiles"] = orders_fulfillment_lag_percentiles
 ORACLE["orders_fulfillment_lag_percentiles"] = _SQL_LAG_PCT
+
+
+# --- Supplier revenue concentration (HHI) — round 10 ----------------------------
+#
+# Herfindahl-Hirschman index of lineitem revenue across suppliers, per
+# supplier nation: the concentration read procurement risk reviews use
+# next to parts_single_source_risk (that one flags single-sourced PARTS;
+# this one scores whole-market concentration — HHI > 0.25 is the
+# antitrust "highly concentrated" line). HHI = sum of squared revenue
+# shares; computed EXACTLY as sum(rev_i^2) * 1e6 div tot^2 through
+# DECIMAL(38)/HUGEINT (rev^2 overflows int64 at sf >= 0.1 — the
+# established parts_type_class_revenue device), so no share is ever a
+# float. One lineitem scan, supplier-keyed partials, |nations|-bounded
+# output with a broadcast supplier->nation dim.
+
+def orders_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.sum(_rev_micros()).cast("long").alias("rev")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    dim = supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey).select(
+        F.col("s_suppkey").alias("l_suppkey"), "n_name"
+    )
+    per = per_supp.join(F.broadcast(dim), "l_suppkey").groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.sum("rev").cast("long").alias("rev_micros"),
+        F.sum(
+            F.col("rev").cast("decimal(19,0)") * F.col("rev").cast("decimal(19,0)")
+        ).cast("decimal(38,0)").alias("ssq"),
+    )
+    return per.select(
+        F.col("n_name").alias("nation"),
+        "n_suppliers",
+        "rev_micros",
+        F.expr(
+            "CAST((ssq * 1000000) DIV (CAST(rev_micros AS DECIMAL(38,0))"
+            " * CAST(rev_micros AS DECIMAL(38,0))) AS BIGINT)"
+        ).alias("hhi_ppm"),
+    )
+
+
+_SQL_SUPPLIER_HHI = """
+WITH per_supp AS (
+  SELECT l_suppkey,
+         SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))::BIGINT AS rev
+  FROM lineitem GROUP BY l_suppkey
+),
+per AS (
+  SELECT n.n_name AS nation,
+         COUNT(*)::BIGINT AS n_suppliers,
+         SUM(p.rev)::BIGINT AS rev_micros,
+         SUM(CAST(p.rev AS HUGEINT) * p.rev) AS ssq
+  FROM per_supp p
+  JOIN supplier s ON s.s_suppkey = p.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  GROUP BY 1
+)
+SELECT nation, n_suppliers, rev_micros,
+       CAST((ssq * 1000000) // (CAST(rev_micros AS HUGEINT) * rev_micros) AS BIGINT)
+         AS hhi_ppm
+FROM per
+"""
+
+QUERIES["orders_supplier_hhi"] = orders_supplier_hhi
+ORACLE["orders_supplier_hhi"] = _SQL_SUPPLIER_HHI

@@ -292,3 +292,39 @@ def test_fulfillment_lag_percentiles_order(spark, sf_dir):
     # lags can be negative — only the ordering law holds universally
     for r in rows:
         assert r["p50_days"] <= r["p90_days"] <= r["p99_days"], r
+
+
+def test_bucket_skew_invariants(spark, sf_dir):
+    """Per N: keys conserved, skew >= 1000 milli (max >= mean), HHI between
+    the uniform floor 1e6/N and 1e6, empties < N."""
+    from cdc_postgresql_clickhouse_spark.queries.cdc import (
+        BUCKET_SKEW_NS,
+        QUERIES as CDC_Q,
+    )
+
+    rows = {r["n_buckets"]: r for r in CDC_Q["cdc_bucket_skew_report"](spark, sf_dir).collect()}
+    assert set(rows) == set(BUCKET_SKEW_NS)
+    n_keys = load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    for n, r in rows.items():
+        assert r["n_keys"] == n_keys
+        assert r["skew_milli"] >= 1000
+        assert 1_000_000 // n <= r["occ_hhi_ppm"] <= 1_000_000
+        assert 0 <= r["empty_buckets"] < n
+
+
+def test_supplier_hhi_bounds(spark, sf_dir):
+    """HHI lies in [1e6/n_suppliers, 1e6]; revenue adds up to the lineitem
+    total exactly."""
+    from cdc_postgresql_clickhouse_spark.queries.tpch_more import QUERIES as TM_Q
+
+    rows = TM_Q["orders_supplier_hhi"](spark, sf_dir).collect()
+    li = load_table(spark, sf_dir, "lineitem")
+    total = li.select(
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+            * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+        )
+    ).first()[0]
+    assert sum(r["rev_micros"] for r in rows) == total
+    for r in rows:
+        assert 1_000_000 // r["n_suppliers"] <= r["hhi_ppm"] <= 1_000_000, r
