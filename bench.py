@@ -391,6 +391,8 @@ HEADLINE = [
     "orders_fulfillment_lag_percentiles",
     "cdc_bucket_skew_report",
     "orders_supplier_hhi",
+    "graph_type_audience_overlap",
+    "corpus_dsir_mix_shift",
 ]
 
 

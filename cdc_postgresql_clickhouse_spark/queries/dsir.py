@@ -164,3 +164,96 @@ FROM per
 
 QUERIES = {"corpus_dsir_weights": corpus_dsir_weights}
 ORACLE = {"corpus_dsir_weights": _SQL_DSIR}
+
+
+# --- DSIR selection mix-shift audit — round 10 ---------------------------------
+#
+# The audit you run BEFORE committing to an importance-resampled corpus:
+# select the top quarter of documents by DSIR log-ratio and report how the
+# (source, lang) composition SHIFTS relative to the pool — selection that
+# silently empties a source or a language is the classic failure mode of
+# target-matched sampling (Xie et al. 2023 discuss exactly this collapse
+# risk). Shares are exact integer ppm; shift = selected share - pool share
+# (signed). Pool = scored documents (>= 1 gram, the weights contract).
+#
+# Scale shape: the per-doc weights are the audited one-explode DSIR
+# pipeline; the global top-k cut uses the two-phase exact rank over
+# (-logratio, doc_id) (no single-task sort); both mixes are
+# (|sources| x |langs|)-bounded rollups of the same persisted join.
+
+DSIR_SEL_QUARTER = 4  # select the top 1/4 by log-ratio
+
+
+def corpus_dsir_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    from cdc_postgresql_clickhouse_spark.operators.ranking import global_row_number
+
+    w = corpus_dsir_weights(spark, sf_dir).select("doc_id", "dsir_logratio_micro")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    j = docs.join(w, "doc_id").persist(StorageLevel.MEMORY_AND_DISK)
+    n = j.count()
+    k = (n + DSIR_SEL_QUARTER - 1) // DSIR_SEL_QUARTER
+    g = global_row_number(
+        j, [(-F.col("dsir_logratio_micro")), F.col("doc_id")], out="__rn"
+    )
+    sel = g.filter(F.col("__rn") <= k)
+    pool_mix = j.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pool")
+    )
+    sel_mix = sel.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_selected")
+    )
+    return (
+        pool_mix.join(sel_mix, ["source", "lang"], "left")
+        .select(
+            "source", "lang", "n_pool",
+            F.coalesce("n_selected", F.lit(0).cast("long")).alias("n_selected"),
+        )
+        .select(
+            "source", "lang", "n_pool", "n_selected",
+            F.expr(f"n_pool * 1000000 div {n}").cast("long").alias("pool_share_ppm"),
+            F.expr(f"n_selected * 1000000 div {k}").cast("long").alias("sel_share_ppm"),
+            (
+                F.expr(f"n_selected * 1000000 div {k}")
+                - F.expr(f"n_pool * 1000000 div {n}")
+            ).cast("long").alias("shift_ppm"),
+        )
+    )
+
+
+_SQL_DSIR_MIX = f"""
+WITH w AS MATERIALIZED ({_SQL_DSIR}),
+j AS (
+  SELECT d.source, d.lang, w.doc_id, w.dsir_logratio_micro
+  FROM documents d JOIN w USING (doc_id)
+),
+nv AS (SELECT COUNT(*) AS n,
+              (COUNT(*) + {DSIR_SEL_QUARTER - 1}) // {DSIR_SEL_QUARTER} AS k
+       FROM j),
+ranked AS (
+  SELECT source, lang,
+         row_number() OVER (ORDER BY dsir_logratio_micro DESC, doc_id) AS rn
+  FROM j
+),
+sel_mix AS (
+  SELECT source, lang, COUNT(*)::BIGINT AS n_selected
+  FROM ranked CROSS JOIN nv WHERE rn <= nv.k
+  GROUP BY 1, 2
+),
+pool_mix AS (
+  SELECT source, lang, COUNT(*)::BIGINT AS n_pool FROM j GROUP BY 1, 2
+)
+SELECT p.source, p.lang, p.n_pool,
+       COALESCE(s.n_selected, 0)::BIGINT AS n_selected,
+       (p.n_pool * 1000000 // nv.n)::BIGINT AS pool_share_ppm,
+       (COALESCE(s.n_selected, 0) * 1000000 // nv.k)::BIGINT AS sel_share_ppm,
+       ((COALESCE(s.n_selected, 0) * 1000000 // nv.k)
+        - (p.n_pool * 1000000 // nv.n))::BIGINT AS shift_ppm
+FROM pool_mix p
+LEFT JOIN sel_mix s ON s.source = p.source AND s.lang = p.lang
+CROSS JOIN nv
+"""
+
+QUERIES["corpus_dsir_mix_shift"] = corpus_dsir_mix_shift
+ORACLE["corpus_dsir_mix_shift"] = _SQL_DSIR_MIX

@@ -1528,3 +1528,73 @@ PENDING_ORACLE["graph_markov_stationary"] = _SQL_MARKOV
 # operators out of the contract understates coverage and risks rows never
 # receiving a driver row. Window order lives in queries/__init__.
 flip_pending(PENDING_QUERIES, PENDING_ORACLE, QUERIES, ORACLE)
+
+
+# --- Bipartite audience projection — round 10 -----------------------------------
+#
+# The user-type bipartite graph projected onto types: two event types are
+# linked by the users who engage with BOTH, weighted by the overlap
+# coefficient |A∩B| / min(|A|,|B|) and Jaccard — AUDIENCE similarity, the
+# orthogonal axis to graph_neighbor_jaccard (which scores structural
+# similarity of out-neighbor sets in the time-ordered transition graph;
+# this projection ignores order entirely). The classic bipartite-projection
+# shape recommender and cannibalization analyses start from.
+#
+# Scale shape: the inverted-list device — one distinct (user, type) scan,
+# the self-join fans out per user by their type count (bounded by |types|,
+# the co-occurrence contract), per-type audience sizes broadcast back at
+# pair grain; output is |types|^2/2-bounded. Integer-ppm weights.
+
+def graph_type_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ut = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .persist()
+    )
+    deg = ut.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("aud"))
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    co = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("co_users"))
+    )
+    da = deg.select(F.col("event_type").alias("type_a"), F.col("aud").alias("aud_a"))
+    db = deg.select(F.col("event_type").alias("type_b"), F.col("aud").alias("aud_b"))
+    return (
+        co.join(F.broadcast(da), "type_a")
+        .join(F.broadcast(db), "type_b")
+        .select(
+            "type_a", "type_b", "co_users", "aud_a", "aud_b",
+            F.expr("co_users * 1000000 div least(aud_a, aud_b)").cast("long")
+            .alias("overlap_ppm"),
+            F.expr("co_users * 1000000 div (aud_a + aud_b - co_users)").cast("long")
+            .alias("jaccard_ppm"),
+        )
+    )
+
+
+_SQL_AUDIENCE_OVERLAP = """
+WITH ut AS MATERIALIZED (
+  SELECT DISTINCT user_id, event_type FROM events
+),
+deg AS (SELECT event_type, COUNT(*)::BIGINT AS aud FROM ut GROUP BY 1),
+co AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         COUNT(*)::BIGINT AS co_users
+  FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, co_users,
+       da.aud AS aud_a, db.aud AS aud_b,
+       (co_users * 1000000 // LEAST(da.aud, db.aud))::BIGINT AS overlap_ppm,
+       (co_users * 1000000 // (da.aud + db.aud - co_users))::BIGINT AS jaccard_ppm
+FROM co
+JOIN deg da ON da.event_type = type_a
+JOIN deg db ON db.event_type = type_b
+"""
+
+QUERIES["graph_type_audience_overlap"] = graph_type_audience_overlap
+ORACLE["graph_type_audience_overlap"] = _SQL_AUDIENCE_OVERLAP

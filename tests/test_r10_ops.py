@@ -328,3 +328,32 @@ def test_supplier_hhi_bounds(spark, sf_dir):
     assert sum(r["rev_micros"] for r in rows) == total
     for r in rows:
         assert 1_000_000 // r["n_suppliers"] <= r["hhi_ppm"] <= 1_000_000, r
+
+
+def test_audience_overlap_bounds(spark, sf_dir):
+    """Co-engagement never exceeds either audience; overlap >= jaccard;
+    both are proper ppm."""
+    from cdc_postgresql_clickhouse_spark.queries.graph import QUERIES as GR_Q
+
+    rows = GR_Q["graph_type_audience_overlap"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["co_users"] <= min(r["aud_a"], r["aud_b"])
+        assert 0 < r["jaccard_ppm"] <= r["overlap_ppm"] <= 1_000_000
+
+
+def test_dsir_mix_shift_conservation(spark, sf_dir):
+    """Selected counts sum to ceil(n/4); shifts are share differences; a
+    cell can never select more docs than its pool."""
+    from cdc_postgresql_clickhouse_spark.queries.dsir import (
+        DSIR_SEL_QUARTER,
+        QUERIES as DS_Q,
+    )
+
+    rows = DS_Q["corpus_dsir_mix_shift"](spark, sf_dir).collect()
+    n = sum(r["n_pool"] for r in rows)
+    k = (n + DSIR_SEL_QUARTER - 1) // DSIR_SEL_QUARTER
+    assert sum(r["n_selected"] for r in rows) == k
+    for r in rows:
+        assert 0 <= r["n_selected"] <= r["n_pool"]
+        assert r["shift_ppm"] == r["sel_share_ppm"] - r["pool_share_ppm"]
