@@ -393,6 +393,7 @@ HEADLINE = [
     "orders_supplier_hhi",
     "graph_type_audience_overlap",
     "corpus_dsir_mix_shift",
+    "events_peak_concurrent_sessions",
 ]
 
 

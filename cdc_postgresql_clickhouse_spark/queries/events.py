@@ -3545,3 +3545,109 @@ FROM cells JOIN sizes USING (cohort_week)
 
 QUERIES["events_retention_cohort_matrix"] = events_retention_cohort_matrix
 ORACLE["events_retention_cohort_matrix"] = _SQL_COHORT_MATRIX
+
+
+# --- Peak concurrent sessions — round 10 ---------------------------------------
+#
+# Capacity sizing's headline number: per day, the maximum number of
+# simultaneously-open sessions (30-min-gap sessions, [start, end]
+# inclusive). Concurrency only INCREASES at session starts, so the peak
+# always occurs at a start instant: conc(t) = starts<=t - ends<t,
+# evaluated at every distinct start second via running sums over the
+# VALUE-GROUPED (second, n_starts, n_ends) table — unique rows per
+# second, so the running sums are order-unambiguous (no intra-tie
+# staircase to reason about) and the day's max is exact. Days with no
+# starts (pure carry-over plateaus) are by definition not reported.
+#
+# Scale shape: sessionization is the audited one-shuffle user-keyed
+# pipeline; the sweep table is grouped to distinct seconds before the
+# global-order running sums (at 100 TB those prefix sums distribute as
+# per-range totals + broadcast offsets — the two-phase rank's sibling;
+# the fixture runs them as one window over the bounded distinct-second
+# domain).
+
+def events_peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sess = events_sessionize(spark, sf_dir).select(
+        F.col("session_start_epoch").alias("s"),
+        (F.col("session_start_epoch") + F.col("duration_s")).alias("e"),
+    )
+    starts = sess.groupBy(F.col("s").alias("es")).agg(
+        F.count(F.lit(1)).cast("long").alias("s_cnt")
+    )
+    ends = sess.groupBy(F.col("e").alias("es")).agg(
+        F.count(F.lit(1)).cast("long").alias("e_cnt")
+    )
+    merged = (
+        starts.join(ends, "es", "full")
+        .select(
+            "es",
+            F.coalesce("s_cnt", F.lit(0).cast("long")).alias("s_cnt"),
+            F.coalesce("e_cnt", F.lit(0).cast("long")).alias("e_cnt"),
+        )
+    )
+    w = Window.orderBy("es").rowsBetween(Window.unboundedPreceding, 0)
+    swept = merged.select(
+        "es", "s_cnt", "e_cnt",
+        F.sum("s_cnt").over(w).alias("cum_s"),
+        F.sum("e_cnt").over(w).alias("cum_e"),
+    ).select(
+        "es", "s_cnt",
+        # active at second es = starts<=es - ends<es
+        (F.col("cum_s") - F.col("cum_e") + F.col("e_cnt")).alias("conc"),
+    )
+    return (
+        swept.filter(F.col("s_cnt") > 0)
+        .groupBy(F.expr("es div 86400").cast("long").alias("day"))
+        .agg(
+            F.sum("s_cnt").cast("long").alias("n_sessions_started"),
+            F.max("conc").cast("long").alias("peak_concurrency"),
+        )
+    )
+
+
+_SQL_PEAK_CONC = """
+WITH ev AS (
+  SELECT user_id, event_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS es FROM events
+),
+flagged AS (
+  SELECT user_id, es,
+         CASE WHEN lag(es) OVER (PARTITION BY user_id ORDER BY es, event_id) IS NULL
+                OR es - lag(es) OVER (PARTITION BY user_id ORDER BY es, event_id) > 1800
+              THEN 1 ELSE 0 END AS new_sess,
+         event_id
+  FROM ev
+),
+sess_idx AS (
+  SELECT user_id, es,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY es, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM flagged
+),
+sess AS (
+  SELECT MIN(es) AS s, MAX(es) AS e
+  FROM sess_idx GROUP BY user_id, session_idx
+),
+starts AS (SELECT s AS es, COUNT(*)::BIGINT AS s_cnt FROM sess GROUP BY s),
+ends AS (SELECT e AS es, COUNT(*)::BIGINT AS e_cnt FROM sess GROUP BY e),
+merged AS (
+  SELECT COALESCE(st.es, en.es) AS es,
+         COALESCE(st.s_cnt, 0) AS s_cnt,
+         COALESCE(en.e_cnt, 0) AS e_cnt
+  FROM starts st FULL JOIN ends en ON st.es = en.es
+),
+swept AS (
+  SELECT es, s_cnt,
+         SUM(s_cnt) OVER (ORDER BY es ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - SUM(e_cnt) OVER (ORDER BY es ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           + e_cnt AS conc
+  FROM merged
+)
+SELECT (es // 86400)::BIGINT AS day,
+       SUM(s_cnt)::BIGINT AS n_sessions_started,
+       MAX(conc)::BIGINT AS peak_concurrency
+FROM swept WHERE s_cnt > 0
+GROUP BY 1
+"""
+
+QUERIES["events_peak_concurrent_sessions"] = events_peak_concurrent_sessions
+ORACLE["events_peak_concurrent_sessions"] = _SQL_PEAK_CONC

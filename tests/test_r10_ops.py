@@ -357,3 +357,21 @@ def test_dsir_mix_shift_conservation(spark, sf_dir):
     for r in rows:
         assert 0 <= r["n_selected"] <= r["n_pool"]
         assert r["shift_ppm"] == r["sel_share_ppm"] - r["pool_share_ppm"]
+
+
+def test_peak_concurrency_laws(spark, sf_dir):
+    """Peak is at least 1 on any day with a start, never exceeds that
+    day's cumulative open sessions (starts so far can bound it), and
+    session starts add up to the sessionize row count."""
+    from cdc_postgresql_clickhouse_spark.queries.events import (
+        QUERIES as EV_Q,
+        events_sessionize,
+    )
+
+    rows = EV_Q["events_peak_concurrent_sessions"](spark, sf_dir).collect()
+    n_sessions = events_sessionize(spark, sf_dir).count()
+    assert sum(r["n_sessions_started"] for r in rows) == n_sessions
+    total_so_far = 0
+    for r in sorted(rows, key=lambda r: r["day"]):
+        total_so_far += r["n_sessions_started"]
+        assert 1 <= r["peak_concurrency"] <= total_so_far, r
