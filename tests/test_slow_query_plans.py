@@ -76,6 +76,8 @@ _PINS = [
     ("dedup_cross_source_matrix", 12, 1),
     # triplet miner: the audited BM25 plan + per-query <= k-row self-join
     ("retrieval_hard_negatives_mine", 8, 0),
+    # DSIR pipeline + two-phase rank + two bounded mix rollups
+    ("corpus_dsir_mix_shift", 12, 0),
 ]
 
 
