@@ -394,6 +394,7 @@ HEADLINE = [
     "graph_type_audience_overlap",
     "corpus_dsir_mix_shift",
     "events_peak_concurrent_sessions",
+    "quality_filter_cascade_report",
 ]
 
 

@@ -917,7 +917,10 @@ ORACLE["quality_spearman_quality_logprob"] = _sql_spearman()
 CCNET_BUCKETS = ("head", "middle", "tail")
 
 
-def quality_ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ccnet_doc_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document tercile assignment (doc_id, lang, n_tok,
+    avg_neg_logprob, __b in {0,1,2}) — factored out so the filter-cascade
+    report consumes the identical bucketing the rollup audits."""
     from pyspark import StorageLevel
 
     from cdc_postgresql_clickhouse_spark.operators.ranking import global_row_number
@@ -932,10 +935,14 @@ def quality_ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = g.groupBy("lang").agg(
         F.min("__g").alias("__base"), F.count(F.lit(1)).cast("long").alias("__n")
     )
-    ranked = g.join(F.broadcast(base), "lang").select(
-        "lang", "n_tok", "avg_neg_logprob",
+    return g.join(F.broadcast(base), "lang").select(
+        "doc_id", "lang", "n_tok", "avg_neg_logprob",
         F.expr("(__g - __base) * 3 div __n").cast("int").alias("__b"),
     )
+
+
+def quality_ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ranked = ccnet_doc_buckets(spark, sf_dir)
     bucket = (
         F.when(F.col("__b") == 0, CCNET_BUCKETS[0])
         .when(F.col("__b") == 1, CCNET_BUCKETS[1])
@@ -952,21 +959,28 @@ def quality_ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_ccnet() -> str:
+def sql_ccnet_ranked_ctes() -> str:
+    """The lp/joined/ranked CTE chain at DOC grain (ranked carries doc_id)
+    — shared by the tercile rollup and the filter-cascade oracle."""
     from cdc_postgresql_clickhouse_spark.queries.text import ORACLE as _TX_ORACLE
 
-    return f"""
-WITH lp AS MATERIALIZED ({_TX_ORACLE["text_unigram_logprob"]}),
+    return f"""lp AS MATERIALIZED ({_TX_ORACLE["text_unigram_logprob"]}),
 joined AS (
   SELECT d.lang, lp.doc_id, lp.n_tok, lp.avg_neg_logprob
   FROM documents d JOIN lp ON lp.doc_id = d.doc_id
 ),
 ranked AS (
-  SELECT lang, n_tok, avg_neg_logprob,
+  SELECT doc_id, lang, n_tok, avg_neg_logprob,
          CAST((ROW_NUMBER() OVER (PARTITION BY lang ORDER BY avg_neg_logprob, doc_id) - 1) * 3
               // (COUNT(*) OVER (PARTITION BY lang)) AS INTEGER) AS b
   FROM joined
-)
+)"""
+
+
+def _sql_ccnet() -> str:
+
+    return f"""
+WITH {sql_ccnet_ranked_ctes()}
 SELECT lang,
        CASE b WHEN 0 THEN '{CCNET_BUCKETS[0]}' WHEN 1 THEN '{CCNET_BUCKETS[1]}'
               ELSE '{CCNET_BUCKETS[2]}' END AS bucket,
@@ -980,3 +994,126 @@ FROM ranked GROUP BY 1, 2
 
 QUERIES["quality_ccnet_ppl_buckets"] = quality_ccnet_ppl_buckets
 ORACLE["quality_ccnet_ppl_buckets"] = _sql_ccnet()
+
+
+# --- Quality filter cascade — round 10 ------------------------------------------
+#
+# The pipeline funnel: the four registered per-document quality signals
+# composed IN ORDER (Gopher word-stats gate -> C4-style policy-term scan
+# -> OCR-garble score -> CCNet perplexity tail), reporting per stage how
+# many documents enter, die, and survive — plus each stage's UNIQUE kills
+# (documents every other stage would have passed), the number that tells
+# you which filter is actually earning its keep vs rubber-stamping the
+# others. This is the report a curation team reads before reordering or
+# dropping a filter; every signal is the exact same audited pipeline its
+# standalone row verifies (factored per-doc cores: quality_gopher_rules,
+# POLICY_PATTERN scan, ocr_doc_scores, ccnet_doc_buckets).
+#
+# Scale shape: four per-doc signal tables (each one scan / the audited
+# pipeline), joined on doc_id once and persisted; the cascade is four
+# aggregate passes over the bounded flags table (one boolean row per doc).
+# The pool is documents scored by ALL four signals (inner joins — zero-
+# token docs have no word stats by construction; both engines mirror).
+
+CASCADE_STAGES = ("gopher", "policy", "ocr_garbage", "ppl_tail")
+
+
+def quality_filter_cascade_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    from cdc_postgresql_clickhouse_spark.queries.text import ocr_doc_scores
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    p1 = quality_gopher_rules(spark, sf_dir).select(
+        "doc_id", (F.col("pass_quality") == 1).alias("p1")
+    )
+    p2 = docs.select(
+        "doc_id",
+        (F.regexp_count(F.col("text"), F.lit(POLICY_PATTERN)) == 0).alias("p2"),
+    )
+    p3 = ocr_doc_scores(docs).select(
+        "doc_id", (F.col("score_milli") < 100).alias("p3")
+    )
+    p4 = ccnet_doc_buckets(spark, sf_dir).select(
+        "doc_id", (F.col("__b") != 2).alias("p4")
+    )
+    flags = (
+        p1.join(p2, "doc_id").join(p3, "doc_id").join(p4, "doc_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    c = lambda cond: F.sum(F.when(cond, 1).otherwise(0)).cast("long")  # noqa: E731
+    ps = [F.col(f"p{i}") for i in range(1, 5)]
+    aggs = []
+    for k in range(4):
+        prefix = F.lit(True)
+        for j in range(k):
+            prefix = prefix & ps[j]
+        others = F.lit(True)
+        for j in range(4):
+            if j != k:
+                others = others & ps[j]
+        aggs += [
+            c(prefix).alias(f"in{k}"),
+            c(prefix & ~ps[k]).alias(f"kill{k}"),
+            c(~ps[k] & others).alias(f"uniq{k}"),
+        ]
+    one = flags.agg(*aggs)
+    out = None
+    for k, name in enumerate(CASCADE_STAGES):
+        row = one.select(
+            F.lit(k + 1).cast("long").alias("stage"),
+            F.lit(name).alias("stage_name"),
+            F.col(f"in{k}").alias("n_in"),
+            F.col(f"kill{k}").alias("n_killed"),
+            (F.col(f"in{k}") - F.col(f"kill{k}")).cast("long").alias("n_out"),
+            F.col(f"uniq{k}").alias("n_unique_kills"),
+            F.expr(f"kill{k} * 1000000 div greatest(CAST(1 AS BIGINT), in{k})")
+            .cast("long").alias("kill_rate_ppm"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _sql_cascade() -> str:
+    from cdc_postgresql_clickhouse_spark.queries.text import _SQL_OCR_PER_DOC
+
+    gq = ORACLE["quality_gopher_rules"]
+    arms = []
+    for k, name in enumerate(CASCADE_STAGES):
+        prefix = " AND ".join(f"p{j + 1}" for j in range(k)) or "TRUE"
+        others = " AND ".join(f"p{j + 1}" for j in range(4) if j != k) or "TRUE"
+        arms.append(f"""
+SELECT CAST({k + 1} AS BIGINT) AS stage, '{name}' AS stage_name,
+       SUM(CASE WHEN {prefix} THEN 1 ELSE 0 END)::BIGINT AS n_in,
+       SUM(CASE WHEN {prefix} AND NOT p{k + 1} THEN 1 ELSE 0 END)::BIGINT AS n_killed,
+       (SUM(CASE WHEN {prefix} THEN 1 ELSE 0 END)
+        - SUM(CASE WHEN {prefix} AND NOT p{k + 1} THEN 1 ELSE 0 END))::BIGINT AS n_out,
+       SUM(CASE WHEN NOT p{k + 1} AND {others} THEN 1 ELSE 0 END)::BIGINT AS n_unique_kills,
+       (SUM(CASE WHEN {prefix} AND NOT p{k + 1} THEN 1 ELSE 0 END) * 1000000
+        // GREATEST(1, SUM(CASE WHEN {prefix} THEN 1 ELSE 0 END)))::BIGINT AS kill_rate_ppm
+FROM flags""")
+    return f"""
+WITH {sql_ccnet_ranked_ctes()},
+gq AS MATERIALIZED ({gq}),
+pol AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{POLICY_PATTERN}')) = 0 AS p2
+  FROM documents
+),
+ocr AS (
+{_SQL_OCR_PER_DOC}
+),
+flags AS MATERIALIZED (
+  SELECT g.doc_id, g.pass_quality = 1 AS p1, pol.p2,
+         o.score_milli < 100 AS p3, r.b <> 2 AS p4
+  FROM gq g
+  JOIN pol ON pol.doc_id = g.doc_id
+  JOIN ocr o ON o.doc_id = g.doc_id
+  JOIN ranked r ON r.doc_id = g.doc_id
+)
+{" UNION ALL ".join(arms)}
+"""
+
+
+QUERIES["quality_filter_cascade_report"] = quality_filter_cascade_report
+ORACLE["quality_filter_cascade_report"] = _sql_cascade()

@@ -902,8 +902,10 @@ _CONSONANTS = "bcdfghjklmnpqrstvwxyz"
 OCR_FLAG_MILLI = 100
 
 
-def text_ocr_garbage_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+def ocr_doc_scores(docs: DataFrame) -> DataFrame:
+    """Per-document garble score (doc_id, source, score_milli) — factored
+    out so the filter-cascade report consumes the identical signal the
+    per-source rollup audits."""
     scored = (
         docs.withColumn("n", F.greatest(F.lit(1), F.length("text")).cast("long"))
         .withColumn(
@@ -929,6 +931,7 @@ def text_ocr_garbage_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long"),
         )
         .select(
+            "doc_id",
             "source",
             (
                 F.lit(2) * F.expr("symbol_n * 1000 div n")
@@ -938,6 +941,12 @@ def text_ocr_garbage_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("score_milli"),
         )
     )
+    return scored
+
+
+def text_ocr_garbage_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    scored = ocr_doc_scores(docs)
     return (
         scored.groupBy("source")
         .agg(
@@ -955,9 +964,10 @@ def text_ocr_garbage_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_OCR_GARBAGE = f"""
-WITH per AS (
-  SELECT source,
+# per-document garble score as a shared SQL fragment (doc grain) — the
+# per-source rollup and the filter-cascade oracle both nest it
+_SQL_OCR_PER_DOC = f"""
+  SELECT doc_id, source,
          (2 * (length(regexp_replace(text, '[A-Za-z0-9 \\t\\n]', '', 'g')) * 1000
                // GREATEST(1, length(text)))
           + (length(regexp_replace(text, '[^0-9]', '', 'g')) * 1000
@@ -967,6 +977,11 @@ WITH per AS (
                 s -> length(s))) - 4)
           + 10 * len(regexp_extract_all(text, '[a-z][A-Z]')))::BIGINT AS score_milli
   FROM documents
+"""
+
+_SQL_OCR_GARBAGE = f"""
+WITH per AS (
+{_SQL_OCR_PER_DOC}
 )
 SELECT source, COUNT(*)::BIGINT AS n_docs,
        SUM(CASE WHEN score_milli >= {OCR_FLAG_MILLI} THEN 1 ELSE 0 END)::BIGINT AS n_flagged,

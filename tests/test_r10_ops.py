@@ -375,3 +375,25 @@ def test_peak_concurrency_laws(spark, sf_dir):
     for r in sorted(rows, key=lambda r: r["day"]):
         total_so_far += r["n_sessions_started"]
         assert 1 <= r["peak_concurrency"] <= total_so_far, r
+
+
+def test_filter_cascade_funnel_laws(spark, sf_dir):
+    """n_out(k) = n_in(k+1) (it IS a funnel); kills bounded by entrants;
+    unique kills bounded by the stage's total kills over the whole pool;
+    stage order matches CASCADE_STAGES."""
+    from cdc_postgresql_clickhouse_spark.queries.quality import (
+        CASCADE_STAGES,
+        QUERIES as QL_Q,
+    )
+
+    rows = sorted(
+        QL_Q["quality_filter_cascade_report"](spark, sf_dir).collect(),
+        key=lambda r: r["stage"],
+    )
+    assert [r["stage_name"] for r in rows] == list(CASCADE_STAGES)
+    for i, r in enumerate(rows):
+        assert r["n_out"] == r["n_in"] - r["n_killed"]
+        assert 0 <= r["n_killed"] <= r["n_in"]
+        assert 0 <= r["kill_rate_ppm"] <= 1_000_000
+        if i + 1 < len(rows):
+            assert rows[i + 1]["n_in"] == r["n_out"]
