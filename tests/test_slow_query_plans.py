@@ -78,6 +78,8 @@ _PINS = [
     ("retrieval_hard_negatives_mine", 8, 0),
     # DSIR pipeline + two-phase rank + two bounded mix rollups
     ("corpus_dsir_mix_shift", 12, 0),
+    # four audited per-doc signal pipelines joined once on doc_id
+    ("quality_filter_cascade_report", 18, 0),
 ]
 
 
