@@ -80,6 +80,14 @@ _PINS = [
     ("corpus_dsir_mix_shift", 12, 0),
     # four audited per-doc signal pipelines joined once on doc_id
     ("quality_filter_cascade_report", 18, 0),
+    # lines that crossed 2 s only in the noisiest sealing window — pinned
+    # anyway so a real plan regression can't hide there either; MMR's
+    # selection rounds are checkpoint-materialized (scan-only final plan),
+    # the nprobe sweep's BNLJs are the bounded centroid-grid cross-scores
+    ("similarity_mmr_rerank", 0, 0),
+    ("corpus_dup_rate_growth", 5, 0),
+    ("embedding_semantic_cluster", 1, 0),
+    ("ann_nprobe_recall_sweep", 14, 7),
 ]
 
 
