@@ -3651,3 +3651,130 @@ GROUP BY 1
 
 QUERIES["events_peak_concurrent_sessions"] = events_peak_concurrent_sessions
 ORACLE["events_peak_concurrent_sessions"] = _SQL_PEAK_CONC
+
+
+# --- Robust daily-anomaly profile (median/MAD) — round 10 (session 2) ---------
+#
+# The robust-statistics twin of events_trend_break: per event type, the
+# exact nearest-rank median of the complete daily-count series, the exact
+# median absolute deviation around it, and the count of days outside
+# median +/- 3xMAD (with a floor of 1 so a zero-MAD constant series only
+# flags true departures). Median/MAD is the anomaly detector that
+# survives the heavy-tailed traffic the mean/stddev z-score dies on.
+# Both medians come from the value-grouped nearest-rank device (rank the
+# bounded distinct-count domain, never the day table itself).
+#
+# Scale shape: (type, day) rollup -> value-grouped count table (bounded by
+# distinct counts) -> two windowed cumulative passes over that bounded
+# domain; the day grid join is |days| x |types|.
+
+def events_daily_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("CAST(FLOOR(unix_timestamp(ts)) AS BIGINT) div 86400").alias("d"),
+    )
+    counts = ev.groupBy("event_type", "d").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    lim = ev.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    grid = lim.select(F.explode(F.sequence("lo", "hi")).alias("d"))
+    types = counts.select("event_type").distinct()
+    series = (
+        grid.crossJoin(F.broadcast(types))
+        .join(counts, ["event_type", "d"], "left")
+        .select("event_type", "d", F.coalesce("c", F.lit(0)).cast("long").alias("c"))
+    )
+
+    def _median(df, val):
+        by_val = df.groupBy("event_type", val).agg(
+            F.count(F.lit(1)).cast("long").alias("cnt")
+        )
+        wv = Window.partitionBy("event_type").orderBy(val).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        wall = Window.partitionBy("event_type")
+        cum = by_val.select(
+            "event_type", val,
+            F.sum("cnt").over(wv).alias("cum"),
+            F.sum("cnt").over(wall).alias("n"),
+        )
+        return cum.groupBy("event_type").agg(
+            F.min(F.when(F.col("cum") * 2 >= F.col("n"), F.col(val)))
+            .cast("long").alias(f"med_{val}")
+        )
+
+    med = _median(series, "c")
+    absdev = series.join(F.broadcast(med), "event_type").select(
+        "event_type", "d", "c", "med_c",
+        F.abs(F.col("c") - F.col("med_c")).alias("ad"),
+    )
+    mad = _median(absdev, "ad")
+    joined = absdev.join(F.broadcast(mad), "event_type").select(
+        "event_type", "c", "med_c", "ad",
+        F.col("med_ad").alias("mad"),
+        F.greatest(F.col("med_ad") * 3, F.lit(1).cast("long")).alias("thresh"),
+    )
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.max("med_c").cast("long").alias("median_daily"),
+        F.max("mad").cast("long").alias("mad"),
+        F.max("c").cast("long").alias("max_daily"),
+        F.sum(F.when(F.col("ad") > F.col("thresh"), 1).otherwise(0))
+        .cast("long").alias("n_anomalies"),
+    )
+
+
+_SQL_MAD = """
+WITH ev AS (
+  SELECT event_type, CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS d FROM events
+),
+counts AS (SELECT event_type, d, COUNT(*)::BIGINT AS c FROM ev GROUP BY 1, 2),
+lim AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM ev),
+grid AS (SELECT unnest(range(lo, hi + 1)) AS d FROM lim),
+types AS (SELECT DISTINCT event_type FROM counts),
+series AS (
+  SELECT t.event_type, g.d, COALESCE(c.c, 0)::BIGINT AS c
+  FROM grid g CROSS JOIN types t
+  LEFT JOIN counts c ON c.event_type = t.event_type AND c.d = g.d
+),
+byv1 AS (SELECT event_type, c, COUNT(*)::BIGINT AS cnt FROM series GROUP BY 1, 2),
+cum1 AS (
+  SELECT event_type, c,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY c
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(cnt) OVER (PARTITION BY event_type) AS n
+  FROM byv1
+),
+med AS (
+  SELECT event_type, MIN(CASE WHEN cum * 2 >= n THEN c END) AS med_c
+  FROM cum1 GROUP BY event_type
+),
+absdev AS (
+  SELECT s.event_type, s.c, m.med_c, ABS(s.c - m.med_c) AS ad
+  FROM series s JOIN med m USING (event_type)
+),
+byv2 AS (SELECT event_type, ad, COUNT(*)::BIGINT AS cnt FROM absdev GROUP BY 1, 2),
+cum2 AS (
+  SELECT event_type, ad,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY ad
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(cnt) OVER (PARTITION BY event_type) AS n
+  FROM byv2
+),
+madt AS (
+  SELECT event_type, MIN(CASE WHEN cum * 2 >= n THEN ad END) AS mad
+  FROM cum2 GROUP BY event_type
+)
+SELECT a.event_type,
+       COUNT(*)::BIGINT AS n_days,
+       CAST(MAX(a.med_c) AS BIGINT) AS median_daily,
+       CAST(MAX(m.mad) AS BIGINT) AS mad,
+       CAST(MAX(a.c) AS BIGINT) AS max_daily,
+       CAST(SUM(CASE WHEN a.ad > GREATEST(m.mad * 3, 1) THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_anomalies
+FROM absdev a JOIN madt m USING (event_type)
+GROUP BY a.event_type
+"""
+
+QUERIES["events_daily_anomaly_mad"] = events_daily_anomaly_mad
+ORACLE["events_daily_anomaly_mad"] = _SQL_MAD

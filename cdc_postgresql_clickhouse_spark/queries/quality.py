@@ -1117,3 +1117,146 @@ flags AS MATERIALIZED (
 
 QUERIES["quality_filter_cascade_report"] = quality_filter_cascade_report
 ORACLE["quality_filter_cascade_report"] = _sql_cascade()
+
+
+# --- Exact ROC-AUC: quality score vs exact-dup label — round 10 (session 2) ----
+#
+# Does the quality heuristic separate duplicated documents from unique
+# ones? The question every filter-vs-dedup interaction audit reduces to,
+# answered with the exact Mann-Whitney AUC (AUC = U / (n_pos x n_neg),
+# tie-corrected via average ranks): label = doc's exact text hash occurs
+# more than once, score = the length/stopword/uniqueness/alpha quality
+# mix. Ranks are NEVER assigned per row — the rank-sum over positives
+# with average ranks is computed from the value-grouped (source,
+# score_micro) table: a tied group starting after cum_before rows of cnt
+# rows contributes pos_cnt x (2 x cum_before + cnt + 1) to 2 x R_pos.
+# All integers; auc_ppm = (2R_pos - n_pos(n_pos+1)) x 5e5 div
+# (n_pos x n_neg). The score lands in micro-units via ONE floor on the
+# raw double mix (no double round-trip — the k-1 trap ADVICE r9
+# documented on the k-center radius).
+#
+# Scale shape: one scan -> per-doc stats (map) + one hash-count groupBy
+# for the label; the rank device runs over the value-grouped score
+# domain per source, never sorting the corpus. Sources with a single
+# class (no positives or no negatives) are excluded — AUC is undefined.
+
+def quality_dup_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "source", "text", tokens(F.col("text")).alias("toks")
+    )
+    toks = F.col("toks")
+    stats = base.select(
+        "doc_id", "source",
+        F.md5("text").alias("h"),
+        F.size(toks).cast("long").alias("n_tok"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_uniq"),
+        F.size(F.filter(toks, lambda t: F.array_contains(
+            F.array(*[F.lit(w) for w in STOPWORDS]), t))).cast("long").alias("n_stop"),
+        F.length(F.regexp_replace(F.lower("text"), "[^a-z]", "")).cast("long")
+        .alias("n_alpha"),
+        F.length("text").cast("long").alias("n_char"),
+    )
+    score = F.floor(
+        (
+            F.lit(0.5) * (F.col("n_uniq").cast("double") / F.col("n_tok"))
+            + F.lit(0.2) * (F.lit(1.0) - F.col("n_stop").cast("double") / F.col("n_tok"))
+            + F.lit(0.3) * (F.col("n_alpha").cast("double") / F.col("n_char"))
+        )
+        * F.lit(1000000.0)
+    ).cast("long")
+    dup = stats.groupBy("h").agg(F.count(F.lit(1)).alias("hc"))
+    labeled = stats.join(dup, "h").select(
+        "source",
+        score.alias("s"),
+        (F.col("hc") > 1).cast("int").alias("pos"),
+    )
+    byv = labeled.groupBy("source", "s").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("pos").cast("long").alias("pos_cnt"),
+    )
+    wv = Window.partitionBy("source").orderBy("s").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = byv.select(
+        "source", "cnt", "pos_cnt",
+        (F.sum("cnt").over(wv) - F.col("cnt")).alias("cum_before"),
+    )
+    agg = ranked.groupBy("source").agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum("pos_cnt").cast("long").alias("n_pos"),
+        F.sum(
+            F.col("pos_cnt") * (F.lit(2) * F.col("cum_before") + F.col("cnt") + 1)
+        ).cast("long").alias("r2_pos"),
+    )
+    return (
+        agg.select(
+            "source", "n_pos",
+            (F.col("n") - F.col("n_pos")).cast("long").alias("n_neg"),
+            "r2_pos",
+        )
+        .filter((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
+        .select(
+            "source", "n_pos", "n_neg",
+            F.expr(
+                "(r2_pos - n_pos * (n_pos + 1)) * 500000 div (n_pos * n_neg)"
+            ).cast("long").alias("auc_ppm"),
+        )
+    )
+
+
+from cdc_postgresql_clickhouse_spark.queries.text import SQL_STOPWORDS as _SQL_STOPWORDS_IN
+
+_SQL_DUP_AUC = f"""
+WITH base AS (
+  SELECT doc_id, source, md5(text) AS h, {_SQL_TOKENS} AS toks,
+         LENGTH(regexp_replace(LOWER(text), '[^a-z]', '', 'g'))::BIGINT AS n_alpha,
+         LENGTH(text)::BIGINT AS n_char
+  FROM documents
+),
+stats AS (
+  SELECT doc_id, source, h, n_alpha, n_char,
+         len(toks)::BIGINT AS n_tok,
+         len(list_distinct(toks))::BIGINT AS n_uniq,
+         len(list_filter(toks, t -> t IN {_SQL_STOPWORDS_IN}))::BIGINT AS n_stop
+  FROM base
+),
+dup AS (SELECT h, COUNT(*) AS hc FROM stats GROUP BY h),
+labeled AS (
+  SELECT s.source,
+         CAST(FLOOR(
+           (0.5 * (CAST(n_uniq AS DOUBLE) / n_tok)
+            + 0.2 * (1.0 - CAST(n_stop AS DOUBLE) / n_tok)
+            + 0.3 * (CAST(n_alpha AS DOUBLE) / n_char)) * 1000000.0
+         ) AS BIGINT) AS s,
+         CASE WHEN d.hc > 1 THEN 1 ELSE 0 END AS pos
+  FROM stats s JOIN dup d USING (h)
+),
+byv AS (
+  SELECT source, s, COUNT(*)::BIGINT AS cnt, SUM(pos)::BIGINT AS pos_cnt
+  FROM labeled GROUP BY 1, 2
+),
+ranked AS (
+  SELECT source, cnt, pos_cnt,
+         SUM(cnt) OVER (PARTITION BY source ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt AS cum_before
+  FROM byv
+),
+agg AS (
+  SELECT source,
+         SUM(cnt)::BIGINT AS n,
+         SUM(pos_cnt)::BIGINT AS n_pos,
+         SUM(pos_cnt * (2 * cum_before + cnt + 1))::BIGINT AS r2_pos
+  FROM ranked GROUP BY source
+)
+SELECT source, n_pos,
+       (n - n_pos)::BIGINT AS n_neg,
+       ((r2_pos - n_pos * (n_pos + 1)) * 500000 // (n_pos * (n - n_pos)))::BIGINT
+         AS auc_ppm
+FROM agg WHERE n_pos > 0 AND n - n_pos > 0
+"""
+
+QUERIES["quality_dup_auc"] = quality_dup_auc
+ORACLE["quality_dup_auc"] = _SQL_DUP_AUC

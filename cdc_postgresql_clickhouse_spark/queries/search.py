@@ -821,3 +821,78 @@ FROM rel JOIN neg ON neg.query = rel.query
 
 QUERIES["retrieval_hard_negatives_mine"] = retrieval_hard_negatives_mine
 ORACLE["retrieval_hard_negatives_mine"] = _SQL_HARD_NEG
+
+
+# --- Precision/recall@k curve (known-item protocol) — round 10 (session 2) -----
+#
+# The operating-curve view the single-point hits@1 / hits@top-k report
+# (retrieval_known_item_eval) cannot give: for each cutoff k in PR_KS,
+# the aggregate precision@k and recall@k over the manufactured known-item
+# query set. With exactly one relevant document per query, precision@k =
+# hits@k / (n_queries x k) and recall@k = hits@k / n_queries, so the
+# whole curve derives from the rank of the single relevant hit — one
+# BM25 pass, then a |PR_KS|-row fold (each rel-rank row contributes to
+# every k >= rank via a literal-grid explode).
+#
+# Scale shape: identical to the audited known-item plan (MOD-filtered
+# broadcast query set over the postings join); the curve fold adds one
+# |hits| x |PR_KS| explode of an already-tiny table.
+
+PR_KS = (1, 3, 5, 10)
+
+
+def retrieval_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    q = (
+        docs.filter(F.col("doc_id") % KIE_MOD == 0)
+        .select(
+            F.col("doc_id").cast("string").alias("query"),
+            F.explode(
+                F.array_distinct(F.slice(tokens(F.col("text")), 1, KIE_QTOKENS))
+            ).alias("term"),
+        )
+    )
+    ranked = bm25_rank(build_postings(docs), docs.count(), q=q)
+    rel = ranked.filter(F.col("doc_id") == F.col("query").cast("long")).select("rank")
+    n_queries = q.select("query").distinct().count()
+    grid = rel.select(
+        "rank", F.explode(F.array(*[F.lit(k) for k in PR_KS])).alias("k")
+    ).filter(F.col("rank") <= F.col("k"))
+    return (
+        grid.groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("hits"))
+        .select(
+            F.col("k").cast("long").alias("k"),
+            F.lit(n_queries).cast("long").alias("n_queries"),
+            "hits",
+            F.expr(f"hits * 1000000 div (k * {n_queries})").cast("long")
+            .alias("precision_ppm"),
+            F.expr(f"hits * 1000000 div {n_queries}").cast("long")
+            .alias("recall_ppm"),
+        )
+    )
+
+
+def _sql_pr_curve() -> str:
+    base = ORACLE["retrieval_known_item_eval"]
+    # reuse the KIE pipeline up to `rel` (everything before the final SELECT)
+    prefix = base[: base.rindex("SELECT (SELECT COUNT(DISTINCT query)")]
+    ks = ", ".join(str(k) for k in PR_KS)
+    return f"""{prefix.rstrip().rstrip(',')},
+nq AS (SELECT COUNT(DISTINCT query)::BIGINT AS n_queries FROM q),
+grid AS (
+  SELECT k, rank FROM rel, (SELECT unnest([{ks}]) AS k)
+  WHERE rank <= k
+)
+SELECT CAST(k AS BIGINT) AS k,
+       nq.n_queries,
+       COUNT(*)::BIGINT AS hits,
+       (COUNT(*) * 1000000 // (k * nq.n_queries))::BIGINT AS precision_ppm,
+       (COUNT(*) * 1000000 // nq.n_queries)::BIGINT AS recall_ppm
+FROM grid CROSS JOIN nq
+GROUP BY k, nq.n_queries
+"""
+
+
+QUERIES["retrieval_pr_curve"] = retrieval_pr_curve
+ORACLE["retrieval_pr_curve"] = _sql_pr_curve()

@@ -3179,3 +3179,87 @@ FROM per
 
 QUERIES["orders_supplier_hhi"] = orders_supplier_hhi
 ORACLE["orders_supplier_hhi"] = _SQL_SUPPLIER_HHI
+
+
+# --- Skyline (Pareto-dominance front) — round 10 (session 2) -------------------
+#
+# The skyline operator (Börzsönyi et al., ICDE 2001): per order priority,
+# the orders NOT dominated on (maximize o_totalprice, maximize
+# o_orderdate) — dominance = better-or-equal in both dims, strictly
+# better in at least one; identical points do not dominate each other, so
+# all orders at a surviving (day, cents) point are counted. Spark has no
+# skyline operator; the 2-D case reduces EXACTLY to windows over the
+# value-grouped domain: group to (priority, day) keeping the per-day max
+# cents and the count of orders AT that max, then a point survives iff
+# its cents strictly exceed the running max over all LATER days (a
+# later-or-equal day with >= cents dominates everything below it). The
+# ORACLE is deliberately the naive quadratic NOT-EXISTS definition —
+# semantically independent of the window device, so parity proves the
+# reduction, not just the implementation twice.
+#
+# Scale shape: one orders scan -> (priority, day) rollup (bounded: |dates|
+# x |priorities|); the ordered window runs over that bounded domain only.
+# At 100 TB the grouped domain is still ~2.5k days x 5 priorities.
+
+def orders_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.expr("CAST(FLOOR(unix_timestamp(o_orderdate)) AS BIGINT) div 86400")
+        .alias("day"),
+        _cents(F.col("o_totalprice")).alias("cents"),
+    )
+    # per (priority, day): the frontier candidate is the max cents; orders
+    # strictly below it are dominated at the same day already
+    by_day = o.groupBy("o_orderpriority", "day", "cents").agg(
+        F.count(F.lit(1)).cast("long").alias("n_at_point")
+    )
+    wd = Window.partitionBy("o_orderpriority", "day")
+    day_max = by_day.select(
+        "o_orderpriority", "day", "cents", "n_at_point",
+        F.max("cents").over(wd).alias("day_mc"),
+    ).filter(F.col("cents") == F.col("day_mc"))
+    # strict running max of later days' frontier: survivors strictly exceed it
+    wlater = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy(F.col("day").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        day_max.select(
+            "o_orderpriority", "day", "cents", "n_at_point",
+            F.max("cents").over(wlater).alias("later_mc"),
+        )
+        .filter(F.col("later_mc").isNull() | (F.col("cents") > F.col("later_mc")))
+        .select(
+            "o_orderpriority",
+            F.col("day").cast("long").alias("day"),
+            F.col("cents").cast("long").alias("cents"),
+            "n_at_point",
+        )
+    )
+
+
+_SQL_SKYLINE = """
+WITH o AS (
+  SELECT o_orderpriority AS p,
+         CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) // 86400 AS d,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders
+),
+sky AS (
+  SELECT p, d, c FROM o o1
+  WHERE NOT EXISTS (
+    SELECT 1 FROM o o2
+    WHERE o2.p = o1.p AND o2.c >= o1.c AND o2.d >= o1.d
+      AND (o2.c > o1.c OR o2.d > o1.d)
+  )
+)
+SELECT p AS o_orderpriority,
+       d::BIGINT AS day,
+       c::BIGINT AS cents,
+       COUNT(*)::BIGINT AS n_at_point
+FROM sky GROUP BY 1, 2, 3
+"""
+
+QUERIES["orders_skyline_pareto"] = orders_skyline_pareto
+ORACLE["orders_skyline_pareto"] = _SQL_SKYLINE
