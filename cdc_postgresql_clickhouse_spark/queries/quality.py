@@ -1119,14 +1119,16 @@ QUERIES["quality_filter_cascade_report"] = quality_filter_cascade_report
 ORACLE["quality_filter_cascade_report"] = _sql_cascade()
 
 
-# --- Exact ROC-AUC: quality score vs exact-dup label — round 10 (session 2) ----
+# --- Exact ROC-AUC: language bias of the quality score — round 10 (session 2) ----
 #
-# Does the quality heuristic separate duplicated documents from unique
-# ones? The question every filter-vs-dedup interaction audit reduces to,
-# answered with the exact Mann-Whitney AUC (AUC = U / (n_pos x n_neg),
-# tie-corrected via average ranks): label = doc's exact text hash occurs
-# more than once, score = the length/stopword/uniqueness/alpha quality
-# mix. Ranks are NEVER assigned per row — the rank-sum over positives
+# Does the quality heuristic systematically rank English documents above
+# the rest? quality_filter_bias_audit answers at one fixed gate; this is
+# the threshold-free version — the exact Mann-Whitney AUC (AUC =
+# U / (n_pos x n_neg), tie-corrected via average ranks) of the
+# length/stopword/uniqueness/alpha quality mix separating lang = 'en'
+# (positives) from every other language, per source. AUC far from 0.5
+# means ANY threshold on this score reshapes the language mix — the
+# DataComp/Gopher curation-bias question. Ranks are NEVER assigned per row — the rank-sum over positives
 # with average ranks is computed from the value-grouped (source,
 # score_micro) table: a tied group starting after cum_before rows of cnt
 # rows contributes pos_cnt x (2 x cum_before + cnt + 1) to 2 x R_pos.
@@ -1135,22 +1137,22 @@ ORACLE["quality_filter_cascade_report"] = _sql_cascade()
 # raw double mix (no double round-trip — the k-1 trap ADVICE r9
 # documented on the k-center radius).
 #
-# Scale shape: one scan -> per-doc stats (map) + one hash-count groupBy
-# for the label; the rank device runs over the value-grouped score
+# Scale shape: one scan -> per-doc stats (pure map, label included); the
+# rank device runs over the value-grouped score
 # domain per source, never sorting the corpus. Sources with a single
 # class (no positives or no negatives) are excluded — AUC is undefined.
 
-def quality_dup_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+def quality_lang_bias_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents")
     base = docs.select(
-        "doc_id", "source", "text", tokens(F.col("text")).alias("toks")
+        "doc_id", "source", "lang", "text", tokens(F.col("text")).alias("toks")
     )
     toks = F.col("toks")
     stats = base.select(
         "doc_id", "source",
-        F.md5("text").alias("h"),
+        "lang",
         F.size(toks).cast("long").alias("n_tok"),
         F.size(F.array_distinct(toks)).cast("long").alias("n_uniq"),
         F.size(F.filter(toks, lambda t: F.array_contains(
@@ -1167,11 +1169,10 @@ def quality_dup_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         * F.lit(1000000.0)
     ).cast("long")
-    dup = stats.groupBy("h").agg(F.count(F.lit(1)).alias("hc"))
-    labeled = stats.join(dup, "h").select(
+    labeled = stats.select(
         "source",
         score.alias("s"),
-        (F.col("hc") > 1).cast("int").alias("pos"),
+        (F.col("lang") == "en").cast("int").alias("pos"),
     )
     byv = labeled.groupBy("source", "s").agg(
         F.count(F.lit(1)).cast("long").alias("cnt"),
@@ -1209,30 +1210,29 @@ def quality_dup_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from cdc_postgresql_clickhouse_spark.queries.text import SQL_STOPWORDS as _SQL_STOPWORDS_IN
 
-_SQL_DUP_AUC = f"""
+_SQL_LANG_BIAS_AUC = f"""
 WITH base AS (
-  SELECT doc_id, source, md5(text) AS h, {_SQL_TOKENS} AS toks,
+  SELECT doc_id, source, lang, {_SQL_TOKENS} AS toks,
          LENGTH(regexp_replace(LOWER(text), '[^a-z]', '', 'g'))::BIGINT AS n_alpha,
          LENGTH(text)::BIGINT AS n_char
   FROM documents
 ),
 stats AS (
-  SELECT doc_id, source, h, n_alpha, n_char,
+  SELECT doc_id, source, lang, n_alpha, n_char,
          len(toks)::BIGINT AS n_tok,
          len(list_distinct(toks))::BIGINT AS n_uniq,
          len(list_filter(toks, t -> t IN {_SQL_STOPWORDS_IN}))::BIGINT AS n_stop
   FROM base
 ),
-dup AS (SELECT h, COUNT(*) AS hc FROM stats GROUP BY h),
 labeled AS (
-  SELECT s.source,
+  SELECT source,
          CAST(FLOOR(
            (0.5 * (CAST(n_uniq AS DOUBLE) / n_tok)
             + 0.2 * (1.0 - CAST(n_stop AS DOUBLE) / n_tok)
             + 0.3 * (CAST(n_alpha AS DOUBLE) / n_char)) * 1000000.0
          ) AS BIGINT) AS s,
-         CASE WHEN d.hc > 1 THEN 1 ELSE 0 END AS pos
-  FROM stats s JOIN dup d USING (h)
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+  FROM stats
 ),
 byv AS (
   SELECT source, s, COUNT(*)::BIGINT AS cnt, SUM(pos)::BIGINT AS pos_cnt
@@ -1258,5 +1258,96 @@ SELECT source, n_pos,
 FROM agg WHERE n_pos > 0 AND n - n_pos > 0
 """
 
-QUERIES["quality_dup_auc"] = quality_dup_auc
-ORACLE["quality_dup_auc"] = _SQL_DUP_AUC
+QUERIES["quality_lang_bias_auc"] = quality_lang_bias_auc
+ORACLE["quality_lang_bias_auc"] = _SQL_LANG_BIAS_AUC
+
+
+# --- Fleiss' kappa across three language raters — round 10 (session 2) ---------
+#
+# quality_langid_kappa reports pairwise Cohen's kappa; this is the
+# multi-rater generalization (Fleiss 1971) over THREE raters per
+# document: the declared lang column, the marker-word guesser
+# (text_langid), and the trigram-profile guesser (text_langid_chargram).
+# With r = 3 raters and n_ij = raters assigning category j to item i:
+# P_bar = (S - 3N) / (6N) with S = sum n_ij^2, P_e = sum c_j^2 / (3N)^2,
+# and kappa = [3N(S - 3N) - 2*sum c_j^2] / [2(9N^2 - sum c_j^2)] after
+# clearing denominators — both operands are exact BIGINTs (< 2^53 even at
+# sf 1, so the final single-floor double division is exact-input IEEE on
+# both engines). The raw S and sum c_j^2 ship as output columns so the
+# parity check pins the contingency internals, not just the ratio.
+#
+# Scale shape: three label passes over the documents scan (each the
+# audited langid map shape), one explode to (doc, category) assignments,
+# two bounded folds. At 100 TB the three raters would share one scan;
+# the fixture keeps them as the registered queries' own plans so this
+# report composes what it audits.
+
+def quality_langid_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_postgresql_clickhouse_spark.queries.text import text_langid
+    from cdc_postgresql_clickhouse_spark.queries.text_ext import text_langid_chargram
+
+    m = text_langid(spark, sf_dir).select(
+        "doc_id", "lang", F.col("guessed_lang").alias("g1")
+    )
+    g = text_langid_chargram(spark, sf_dir).select(
+        "doc_id", F.col("guessed_lang").alias("g2")
+    )
+    assigns = (
+        m.join(g, "doc_id")
+        .select(
+            "doc_id",
+            F.explode(F.array(F.col("lang"), F.col("g1"), F.col("g2"))).alias("cat"),
+        )
+    )
+    nij = assigns.groupBy("doc_id", "cat").agg(F.count(F.lit(1)).alias("nij"))
+    per_item = nij.groupBy("doc_id").agg(
+        F.sum(F.col("nij") * F.col("nij")).alias("s_i")
+    )
+    cj = assigns.groupBy("cat").agg(F.count(F.lit(1)).alias("c"))
+    s_tot = per_item.agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum("s_i").cast("long").alias("s_sum"),
+    )
+    c2_tot = cj.agg(F.sum(F.col("c") * F.col("c")).cast("long").alias("c2_sum"))
+    out = s_tot.crossJoin(c2_tot)
+    a = (
+        F.lit(3) * F.col("n_items") * (F.col("s_sum") - F.lit(3) * F.col("n_items"))
+        - F.lit(2) * F.col("c2_sum")
+    )
+    d = F.lit(2) * (
+        F.lit(9) * F.col("n_items") * F.col("n_items") - F.col("c2_sum")
+    )
+    return out.select(
+        "n_items", "s_sum", "c2_sum",
+        F.floor(a.cast("double") / d.cast("double") * F.lit(1000000.0))
+        .cast("long").alias("kappa_ppm"),
+    )
+
+
+def _sql_fleiss() -> str:
+    from cdc_postgresql_clickhouse_spark.queries.text import ORACLE as _TEXT_ORACLE
+    from cdc_postgresql_clickhouse_spark.queries.text_ext import ORACLE as _TEXT_EXT_ORACLE
+
+    return f"""
+WITH m AS ({_TEXT_ORACLE["text_langid"]}),
+g AS ({_TEXT_EXT_ORACLE["text_langid_chargram"]}),
+assigns AS (
+  SELECT m.doc_id, unnest([m.lang, m.guessed_lang, g.guessed_lang]) AS cat
+  FROM m JOIN g ON m.doc_id = g.doc_id
+),
+nij AS (SELECT doc_id, cat, COUNT(*)::BIGINT AS nij FROM assigns GROUP BY 1, 2),
+per_item AS (SELECT doc_id, SUM(nij * nij) AS s_i FROM nij GROUP BY doc_id),
+cj AS (SELECT cat, COUNT(*)::BIGINT AS c FROM assigns GROUP BY cat),
+s_tot AS (SELECT COUNT(*)::BIGINT AS n_items, SUM(s_i)::BIGINT AS s_sum FROM per_item),
+c2_tot AS (SELECT SUM(c * c)::BIGINT AS c2_sum FROM cj)
+SELECT n_items, s_sum, c2_sum,
+       CAST(FLOOR(
+         CAST(3 * n_items * (s_sum - 3 * n_items) - 2 * c2_sum AS DOUBLE)
+         / CAST(2 * (9 * n_items * n_items - c2_sum) AS DOUBLE) * 1000000.0
+       ) AS BIGINT) AS kappa_ppm
+FROM s_tot CROSS JOIN c2_tot
+"""
+
+
+QUERIES["quality_langid_fleiss_kappa"] = quality_langid_fleiss_kappa
+ORACLE["quality_langid_fleiss_kappa"] = _sql_fleiss()

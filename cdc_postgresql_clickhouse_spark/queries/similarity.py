@@ -2106,3 +2106,115 @@ sel1 AS (
 
 QUERIES["similarity_mmr_rerank"] = similarity_mmr_rerank
 ORACLE["similarity_mmr_rerank"] = _sql_mmr()
+
+
+# --- k-NN margin (Lowe ratio-test) profile — round 10 (session 2) --------------
+#
+# The ambiguity diagnostic ANN recall reports hide: for every 100th query
+# vector, the MARGIN between its best and second-best cosine neighbor
+# (Lowe's ratio test, SIFT 2004, in additive micro-units). A corpus whose
+# margins crowd zero has no stable nearest neighbor — ANN indexes will
+# flap between candidates and recall@1 becomes a coin toss; wide margins
+# mean the top-1 is robust to quantization. Per label: the exact
+# value-grouped median margin and the count of ambiguous queries
+# (margin < 0.05). Similarity lands in integer micro-units via ONE floor
+# on the raw cosine (never floor(trunc6 x 1e6) — the double round-trip
+# k-1 trap from ADVICE r9); rank ties at micro resolution break on
+# neighbor id, so top-2 is deterministic in both engines.
+#
+# Scale shape: the audited bruteforce plan (broadcast 1% query side, one
+# corpus scan, per-query window over its candidate rows); the profile
+# fold is value-grouped per label, never sorting the query set.
+
+MARGIN_AMBIG_MICRO = 50_000
+
+
+def embedding_knn_margin_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _emb_d().alias("e"), _norm(_emb_d()).alias("nrm")
+    )
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("qlabel"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    pairs = F.broadcast(q).join(
+        emb.select("vec_id", "e", "nrm"), F.col("q_id") != F.col("vec_id")
+    )
+    scored = pairs.select(
+        "q_id", "qlabel", "vec_id",
+        F.floor(_dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("nrm"))
+                * F.lit(1000000.0)).cast("long").alias("s"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("s"), "vec_id")
+    top2 = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 2)
+    margins = top2.groupBy("q_id", "qlabel").agg(
+        (F.max(F.when(F.col("rn") == 1, F.col("s")))
+         - F.max(F.when(F.col("rn") == 2, F.col("s")))).alias("margin")
+    )
+    byv = margins.groupBy("qlabel", "margin").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    wv = Window.partitionBy("qlabel").orderBy("margin").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = byv.select(
+        "qlabel", "margin", "cnt",
+        F.sum("cnt").over(wv).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("qlabel")).alias("n"),
+    )
+    return cum.groupBy("qlabel").agg(
+        F.max("n").cast("long").alias("n_queries"),
+        F.min(F.when(F.col("cum") * 2 >= F.col("n"), F.col("margin")))
+        .cast("long").alias("median_margin_micro"),
+        F.sum(F.when(F.col("margin") < MARGIN_AMBIG_MICRO, F.col("cnt")).otherwise(0))
+        .cast("long").alias("n_ambiguous"),
+        F.max("margin").cast("long").alias("max_margin_micro"),
+    ).select(
+        F.col("qlabel").cast("long").alias("label"),
+        "n_queries", "median_margin_micro", "n_ambiguous", "max_margin_micro",
+    )
+
+
+_SQL_MARGIN_RAW = (
+    f"{_sql_dot('qe', 'e')} / (sqrt({_sql_dot('qe', 'qe')}) * sqrt({_sql_dot('e', 'e')}))"
+)
+
+ORACLE["embedding_knn_margin_profile"] = f"""
+WITH emb AS (SELECT vec_id, label, {_SQL_EMB} AS e FROM embeddings),
+q AS (SELECT vec_id AS q_id, label AS qlabel, e AS qe FROM emb WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT q_id, qlabel, vec_id,
+         CAST(FLOOR(({_SQL_MARGIN_RAW}) * 1000000.0) AS BIGINT) AS s
+  FROM q JOIN emb ON q_id <> vec_id
+),
+top2 AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY s DESC, vec_id) AS rn
+    FROM scored)
+  WHERE rn <= 2
+),
+margins AS (
+  SELECT q_id, qlabel,
+         MAX(CASE WHEN rn = 1 THEN s END) - MAX(CASE WHEN rn = 2 THEN s END) AS margin
+  FROM top2 GROUP BY 1, 2
+),
+byv AS (SELECT qlabel, margin, COUNT(*)::BIGINT AS cnt FROM margins GROUP BY 1, 2),
+cum AS (
+  SELECT qlabel, margin, cnt,
+         SUM(cnt) OVER (PARTITION BY qlabel ORDER BY margin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(cnt) OVER (PARTITION BY qlabel) AS n
+  FROM byv
+)
+SELECT CAST(qlabel AS BIGINT) AS label,
+       CAST(MAX(n) AS BIGINT) AS n_queries,
+       CAST(MIN(CASE WHEN cum * 2 >= n THEN margin END) AS BIGINT) AS median_margin_micro,
+       CAST(SUM(CASE WHEN margin < {MARGIN_AMBIG_MICRO} THEN cnt ELSE 0 END) AS BIGINT)
+         AS n_ambiguous,
+       CAST(MAX(margin) AS BIGINT) AS max_margin_micro
+FROM cum GROUP BY qlabel
+"""
+
+QUERIES["embedding_knn_margin_profile"] = embedding_knn_margin_profile

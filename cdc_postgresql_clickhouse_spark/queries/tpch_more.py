@@ -3263,3 +3263,82 @@ FROM sky GROUP BY 1, 2, 3
 
 QUERIES["orders_skyline_pareto"] = orders_skyline_pareto
 ORACLE["orders_skyline_pareto"] = _SQL_SKYLINE
+
+
+# --- Tolerance-bounded as-of join — round 10 (session 2) -----------------------
+#
+# The missing variant of the as-of surface (asof_latest_order matches
+# unboundedly backward; pandas merge_asof calls this `tolerance`): each
+# event matches the latest order of the same customer at or before the
+# event, but only within ASOF_TOL_DAYS — matches staler than the
+# tolerance are reported as misses (NULL key, NULL lag), because a
+# 2-year-old order "explaining" today's event is attribution noise. The
+# LEFT join keeps every event, so the output is an exact per-event
+# attribution table with its miss-rate readable by aggregation.
+#
+# Scale shape: broadcast the bounded dimension (orders per key x tolerance
+# window); per-event arg-max via one keyed window. At 100 TB the same
+# semantics come from bucketing both sides by key and a within-bucket
+# merge — the tolerance bound is what makes the state finite there (only
+# TOL days of the order stream need to be co-resident).
+
+ASOF_TOL_DAYS = 90
+
+
+def asof_tolerance_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id",
+        F.expr("CAST(FLOOR(unix_timestamp(ts)) AS BIGINT) div 86400").alias("ed"),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey",
+        F.expr("CAST(FLOOR(unix_timestamp(o_orderdate)) AS BIGINT) div 86400")
+        .alias("od"),
+    )
+    j = ev.join(
+        F.broadcast(o),
+        (F.col("user_id") == F.col("o_custkey"))
+        & (F.col("od") <= F.col("ed"))
+        & (F.col("od") >= F.col("ed") - ASOF_TOL_DAYS),
+        "left",
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        F.desc_nulls_last("od"), F.desc_nulls_last("o_orderkey")
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id", "user_id",
+            F.col("o_orderkey").cast("long").alias("asof_orderkey"),
+            (F.col("ed") - F.col("od")).cast("long").alias("lag_days"),
+        )
+    )
+
+
+_SQL_ASOF_TOL = f"""
+WITH ev AS (
+  SELECT event_id, user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS ed
+  FROM events
+),
+o AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) // 86400 AS od
+  FROM orders
+)
+SELECT event_id, user_id,
+       CAST(o_orderkey AS BIGINT) AS asof_orderkey,
+       CAST(ed - od AS BIGINT) AS lag_days
+FROM (
+  SELECT e.event_id, e.user_id, e.ed, o.o_orderkey, o.od,
+         row_number() OVER (PARTITION BY e.event_id
+                            ORDER BY o.od DESC NULLS LAST,
+                                     o.o_orderkey DESC NULLS LAST) AS rn
+  FROM ev e
+  LEFT JOIN o ON e.user_id = o.o_custkey
+             AND o.od <= e.ed AND o.od >= e.ed - {ASOF_TOL_DAYS}
+) WHERE rn = 1
+"""
+
+QUERIES["asof_tolerance_latest_order"] = asof_tolerance_latest_order
+ORACLE["asof_tolerance_latest_order"] = _SQL_ASOF_TOL

@@ -1,0 +1,185 @@
+"""Law tests for the round-10 session-2 operators (each also oracle-paired
+and swept by test_oracle_parity): skyline front, dup-AUC, PR@k curve,
+daily MAD anomaly profile, k-NN margin profile, tolerance as-of join,
+Fleiss' kappa."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cdc_postgresql_clickhouse_spark.sources.registry import load_table
+
+
+def test_skyline_points_are_undominated_and_antichain(spark, sf_dir):
+    """Definition check against the raw table: no returned point is
+    dominated by ANY order of the same priority, and the front is an
+    antichain — sorted by day ascending, cents strictly decrease."""
+    from cdc_postgresql_clickhouse_spark.queries.tpch_more import QUERIES as TQ
+
+    rows = TQ["orders_skyline_pareto"](spark, sf_dir).collect()
+    orders = [
+        (r["o_orderpriority"], r["day"], r["cents"])
+        for r in load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderpriority",
+            F.expr("CAST(FLOOR(unix_timestamp(o_orderdate)) AS BIGINT) div 86400")
+            .alias("day"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .collect()
+    ]
+    by_prio: dict[str, list[tuple[int, int]]] = {}
+    for p, d, c in orders:
+        by_prio.setdefault(p, []).append((d, c))
+    from collections import Counter
+
+    point_counts = Counter(((p, d, c) for p, d, c in orders))
+    for r in rows:
+        p, d, c = r["o_orderpriority"], r["day"], r["cents"]
+        for d2, c2 in by_prio[p]:
+            dominated = c2 >= c and d2 >= d and (c2 > c or d2 > d)
+            assert not dominated, (p, d, c, d2, c2)
+        assert r["n_at_point"] == point_counts[(p, d, c)]
+    fronts: dict[str, list[tuple[int, int]]] = {}
+    for r in rows:
+        fronts.setdefault(r["o_orderpriority"], []).append((r["day"], r["cents"]))
+    for pts in fronts.values():
+        pts.sort()
+        cents = [c for _, c in pts]
+        assert cents == sorted(cents, reverse=True)
+        assert len(set(cents)) == len(cents)  # strict antichain
+
+
+def test_lang_bias_auc_bounds_and_class_totals(spark, sf_dir):
+    """AUC is a probability in ppm; class sizes re-add to the per-source
+    doc counts, and the positive class re-counts the en docs exactly."""
+    from cdc_postgresql_clickhouse_spark.queries.quality import QUERIES as QQ
+
+    rows = QQ["quality_lang_bias_auc"](spark, sf_dir).collect()
+    assert rows, "at least one source must have both classes"
+    per_source = {
+        r["source"]: (r["n"], r["n_en"])
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("lang") == "en").cast("long")).alias("n_en"),
+        )
+        .collect()
+    }
+    for r in rows:
+        assert 0 <= r["auc_ppm"] <= 1_000_000
+        assert r["n_pos"] > 0 and r["n_neg"] > 0
+        n, n_en = per_source[r["source"]]
+        assert r["n_pos"] == n_en
+        assert r["n_pos"] + r["n_neg"] == n
+
+
+def test_pr_curve_monotone_and_consistent(spark, sf_dir):
+    """hits and recall are nondecreasing in k, precision nonincreasing;
+    the ppm columns recompute exactly from hits and n_queries."""
+    from cdc_postgresql_clickhouse_spark.queries.search import PR_KS, QUERIES as SQ
+
+    rows = {r["k"]: r for r in SQ["retrieval_pr_curve"](spark, sf_dir).collect()}
+    ks = sorted(rows)
+    assert set(ks) <= set(PR_KS)
+    nq = rows[ks[0]]["n_queries"]
+    prev_hits, prev_prec = -1, 10**18
+    for k in ks:
+        r = rows[k]
+        assert r["n_queries"] == nq
+        assert 0 <= r["hits"] <= nq
+        assert r["hits"] >= prev_hits
+        assert r["precision_ppm"] == r["hits"] * 1_000_000 // (k * nq)
+        assert r["recall_ppm"] == r["hits"] * 1_000_000 // nq
+        assert r["precision_ppm"] <= prev_prec
+        prev_hits, prev_prec = r["hits"], r["precision_ppm"]
+
+
+def test_daily_mad_profile_bounds(spark, sf_dir):
+    """Every type sees the same gap-filled grid length; median <= max;
+    anomaly count bounded by the day count."""
+    from cdc_postgresql_clickhouse_spark.queries.events import QUERIES as EQ
+
+    rows = EQ["events_daily_anomaly_mad"](spark, sf_dir).collect()
+    assert rows
+    n_days = {r["n_days"] for r in rows}
+    assert len(n_days) == 1  # shared complete grid
+    for r in rows:
+        assert 0 <= r["median_daily"] <= r["max_daily"]
+        assert r["mad"] >= 0
+        assert 0 <= r["n_anomalies"] <= r["n_days"]
+
+
+def test_knn_margin_profile_bounds(spark, sf_dir):
+    """Margins are nonnegative by rank construction; the ambiguous count
+    and the median respect the per-label query counts."""
+    from cdc_postgresql_clickhouse_spark.queries.similarity import QUERIES as SIMQ
+
+    rows = SIMQ["embedding_knn_margin_profile"](spark, sf_dir).collect()
+    assert rows
+    n_vecs = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r["n_queries"] for r in rows) == (n_vecs + 99) // 100
+    for r in rows:
+        assert 0 <= r["median_margin_micro"] <= r["max_margin_micro"]
+        assert 0 <= r["n_ambiguous"] <= r["n_queries"]
+
+
+def test_asof_tolerance_subset_of_unbounded_asof(spark, sf_dir):
+    """One row per event; matched lags sit inside the tolerance; and
+    wherever the UNBOUNDED as-of's match is recent enough, the tolerance
+    join picks the identical order (the two operators agree on their
+    common domain)."""
+    from cdc_postgresql_clickhouse_spark.queries.tpch import QUERIES as T0
+    from cdc_postgresql_clickhouse_spark.queries.tpch_more import (
+        ASOF_TOL_DAYS,
+        QUERIES as TQ,
+    )
+
+    tol = TQ["asof_tolerance_latest_order"](spark, sf_dir)
+    n_events = load_table(spark, sf_dir, "events").count()
+    rows = tol.collect()
+    assert len(rows) == n_events
+    for r in rows:
+        if r["asof_orderkey"] is not None:
+            assert 0 <= r["lag_days"] <= ASOF_TOL_DAYS
+        else:
+            assert r["lag_days"] is None
+    tol_by_event = {r["event_id"]: r["asof_orderkey"] for r in rows}
+    unbounded = T0["asof_latest_order"](spark, sf_dir)
+    ev_day = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.expr("CAST(FLOOR(unix_timestamp(ts)) AS BIGINT) div 86400").alias("ed"),
+    )
+    ob = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("asof_orderkey"),
+        F.expr("CAST(FLOOR(unix_timestamp(o_orderdate)) AS BIGINT) div 86400")
+        .alias("od"),
+    )
+    ub = (
+        unbounded.join(ev_day, "event_id")
+        .join(ob, "asof_orderkey")
+        .select("event_id", "asof_orderkey", (F.col("ed") - F.col("od")).alias("lag"))
+        .collect()
+    )
+    for r in ub:
+        if r["lag"] <= ASOF_TOL_DAYS:
+            assert tol_by_event[r["event_id"]] == r["asof_orderkey"]
+
+
+def test_fleiss_kappa_recomputes_from_contingency(spark, sf_dir):
+    """kappa_ppm must equal the closed form over the shipped S and sum c^2
+    columns; S is bounded by the 3..9 per-item square-sum range."""
+    from cdc_postgresql_clickhouse_spark.queries.quality import QUERIES as QQ
+
+    [r] = QQ["quality_langid_fleiss_kappa"](spark, sf_dir).collect()
+    n, s, c2 = r["n_items"], r["s_sum"], r["c2_sum"]
+    assert n == load_table(spark, sf_dir, "documents").count()
+    assert 3 * n <= s <= 9 * n
+    import math
+
+    expect = math.floor(
+        (3 * n * (s - 3 * n) - 2 * c2) / (2 * (9 * n * n - c2)) * 1_000_000
+    )
+    assert r["kappa_ppm"] == expect
+    assert r["kappa_ppm"] <= 1_000_000
