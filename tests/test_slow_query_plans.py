@@ -88,6 +88,12 @@ _PINS = [
     ("corpus_dup_rate_growth", 5, 0),
     ("embedding_semantic_cluster", 1, 0),
     ("ann_nprobe_recall_sweep", 14, 7),
+    # round-10 session-2 additions above 2 s: the PR curve is the audited
+    # known-item BM25 plan (same 7-shuffle shape as retrieval_known_item_eval)
+    # plus a literal k-grid fold; Fleiss composes the two langid passes —
+    # its BNLJ is the one-row s_tot x c2_tot scalar cross join
+    ("retrieval_pr_curve", 7, 0),
+    ("quality_langid_fleiss_kappa", 5, 1),
 ]
 
 
