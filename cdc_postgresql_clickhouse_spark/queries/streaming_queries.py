@@ -1728,3 +1728,60 @@ QUERIES["streaming_retention_cohort_equiv"] = streaming_retention_cohort_equiv
 from cdc_postgresql_clickhouse_spark.queries.events import ORACLE as _EV_ORACLE  # noqa: E402
 
 ORACLE["streaming_retention_cohort_equiv"] = _EV_ORACLE["events_retention_cohort_matrix"]
+
+
+def streaming_cusum_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained CUSUM monitor (``streaming/fold.py``'s
+    third fold instance): ``events`` split into two micro-batches at the
+    median second (ordered-arrival contract — ties stay in batch 1, so
+    every batch-2 row strictly follows in the batch query's (es, eid)
+    order), drained through the per-bucket-fenced CUSUM fold continuing
+    from stored (p, minp, n_alarms, max_s) state. Baseline target and
+    threshold h are the batch prelude's integer calibration (a deployed
+    monitor's trained baseline). After the drain the state maps
+    bit-for-bit to ``events_cusum_changepoint``'s report — the oracle IS
+    the batch SQL: the drawdown-identity windows and the stateful
+    recurrence are the same function, evaluated lazily vs incrementally."""
+    from cdc_postgresql_clickhouse_spark.streaming.fold import (
+        read_cusum,
+        run_incremental_cusum,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("k"),
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("es"),
+        F.col("event_id").alias("eid"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
+    )
+    s1 = ev.groupBy("k").agg(
+        F.sum("c").alias("sc"), F.count(F.lit(1)).cast("long").alias("n")
+    ).select("k", "n", F.expr("sc div n").cast("long").alias("target"))
+    d = ev.join(F.broadcast(s1), "k")
+    s2 = d.groupBy("k").agg(
+        F.sum(F.abs(F.col("c") - F.col("target"))).alias("sad"),
+        F.max("n").alias("n2"),
+        F.max("target").alias("target"),
+    ).select("k", "target", (F.expr("sad div n2") * 3).cast("long").alias("h"))
+    calib = {r["k"]: (r["target"], r["h"]) for r in s2.collect()}
+    t_med = ev.agg(F.expr("percentile(es, 0.5)")).first()[0]
+    tmp = tempfile.mkdtemp(prefix="stream_cusum_")
+    try:
+        src = os.path.join(tmp, "src")
+        ev.filter(F.col("es") <= t_med).coalesce(1).write.parquet(src)
+        ev.filter(F.col("es") > t_med).coalesce(1).write.mode("append").parquet(src)
+        run_incremental_cusum(
+            spark, src, os.path.join(tmp, "state"), os.path.join(tmp, "ckpt"),
+            calib, max_files_per_trigger=1,
+        )
+        return _materialized(read_cusum(spark, os.path.join(tmp, "state")))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+QUERIES["streaming_cusum_equiv"] = streaming_cusum_equiv
+
+# the maintained recurrence must reproduce the batch drawdown-identity
+# report: literally the batch CUSUM oracle
+from cdc_postgresql_clickhouse_spark.queries.sketches import ORACLE as _SKETCH_ORACLE  # noqa: E402
+
+ORACLE["streaming_cusum_equiv"] = _SKETCH_ORACLE["events_cusum_changepoint"]

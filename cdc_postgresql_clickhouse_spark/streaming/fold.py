@@ -355,3 +355,195 @@ def run_incremental_sessions(
         checkpoint_dir,
         max_files_per_trigger,
     )
+
+
+# --- third fold instance: CUSUM change monitor --------------------------------
+#
+# The streaming form of ``queries/sketches.py::events_cusum_changepoint``:
+# Page's one-sided CUSUM kept current per event type as value events
+# arrive. The batch query collapses the recurrence to the drawdown
+# identity over two windows; the streaming monitor keeps the recurrence
+# AS state — per key (prefix sum p, prefix-min minp, n_alarms, max_s) —
+# and folds each ordered micro-batch continuing from the stored
+# accumulator, which is exactly the identity evaluated incrementally:
+# s_t = p_t - min(0, min_{j<=t} p_j). Baseline (target) and threshold
+# (h) are CALIBRATION CONSTANTS: a deployed monitor runs against a
+# trained baseline, so the ingest takes a per-key (target, h) table
+# computed by a batch prelude and stores it in the state row.
+# Same bucketed / per-bucket-fenced / ordered-arrival recipe as the EWMA
+# and session folds — state is |event types| rows.
+
+_CUSUM_STATE_COLS = (
+    "k", "n_events", "last_es", "last_eid", "target", "h",
+    "p", "minp", "n_alarms", "max_s", "applied_bid",
+)
+
+
+def ingest_batch_cusum(
+    spark: SparkSession,
+    batch: DataFrame,
+    state_path: str,
+    batch_id: int,
+    calib: dict[str, tuple[int, int]],
+    key_buckets: int = FOLD_BUCKETS,
+) -> None:
+    """Fold one micro-batch of (k, es, eid, c) rows into the CUSUM state.
+    ``calib`` maps key -> (target_cents, h_cents)."""
+    b = batch.select("k", "es", "eid", "c")
+    touched = sorted(
+        r[0]
+        for r in b.select(_bucket_expr(("k",), key_buckets).alias("bk"))
+        .distinct()
+        .collect()
+    )
+    if not touched:
+        return
+    tgt_map = F.create_map(
+        *[F.lit(x) for kv in calib.items() for x in (kv[0], int(kv[1][0]))]
+    )
+    h_map = F.create_map(
+        *[F.lit(x) for kv in calib.items() for x in (kv[0], int(kv[1][1]))]
+    )
+    with _state_lock(state_path):
+        recover_bucket_swap(state_path)
+        state = read_state(spark, state_path, buckets=touched)
+        if state is not None:
+            state = state.select(*_CUSUM_STATE_COLS).localCheckpoint(eager=True)
+        unfenced = _unfenced_buckets_keyed(
+            state, touched, batch_id, key_buckets, ("k",)
+        )
+        if not unfenced:
+            return  # at-least-once replay: every touched bucket committed
+        if len(unfenced) < len(touched):
+            bexpr = _bucket_expr(("k",), key_buckets)
+            b = b.filter(bexpr.isin(unfenced))
+            if state is not None:
+                state = state.filter(
+                    _bucket_expr(("k",), key_buckets).isin(unfenced)
+                ).localCheckpoint(eager=True)
+        arr = b.groupBy("k").agg(
+            F.sort_array(F.collect_list(F.struct("es", "eid", "c"))).alias("a")
+        )
+        if state is None:
+            joined = arr.select(
+                "k", "a",
+                *(F.lit(None).cast("long").alias(c) for c in _CUSUM_STATE_COLS[1:]),
+            )
+        else:
+            joined = arr.join(state, "k", "full_outer")
+        a = F.col("a")
+        target = F.coalesce(F.col("target"), tgt_map[F.col("k")]).cast("long")
+        h = F.coalesce(F.col("h"), h_map[F.col("k")]).cast("long")
+
+        def step(acc, s):
+            # acc = [p, minp, n_alarms, max_s]; target via closure column
+            p2 = F.element_at(acc, 1) + (s.getField("c") - target)
+            minp2 = F.least(F.element_at(acc, 2), p2)
+            s_t = p2 - F.least(F.lit(0).cast("long"), minp2)
+            return F.array(
+                p2,
+                minp2,
+                F.element_at(acc, 3) + F.when(s_t > h, 1).otherwise(0),
+                F.greatest(F.element_at(acc, 4), s_t),
+            )
+
+        # fresh keys start from the empty prefix: p=0, minp=+inf (first step
+        # makes minp = P_1), counters zero. A huge literal stands in for
+        # +inf safely: |P| < 2^40 on any realistic cents stream.
+        fresh_init = F.array(
+            F.lit(0).cast("long"),
+            F.lit(1 << 62).cast("long"),
+            F.lit(0).cast("long"),
+            F.lit(0).cast("long"),
+        )
+        seeded = F.aggregate(
+            a,
+            F.array(F.col("p"), F.col("minp"), F.col("n_alarms"), F.col("max_s")),
+            step,
+        )
+        fresh = F.aggregate(a, fresh_init, step)
+        folded = (
+            F.when(a.isNull(),
+                   F.array(F.col("p"), F.col("minp"), F.col("n_alarms"), F.col("max_s")))
+            .when(F.col("p").isNotNull(), seeded)
+            .otherwise(fresh)
+        )
+        batch_n = F.when(a.isNull(), F.lit(0)).otherwise(F.size(a)).cast("long")
+        out = joined.select(
+            "k",
+            (F.coalesce(F.col("n_events"), F.lit(0)) + batch_n)
+            .cast("long").alias("n_events"),
+            F.when(a.isNull(), F.col("last_es"))
+            .otherwise(F.element_at(a, -1).getField("es"))
+            .cast("long").alias("last_es"),
+            F.when(a.isNull(), F.col("last_eid"))
+            .otherwise(F.element_at(a, -1).getField("eid"))
+            .cast("long").alias("last_eid"),
+            target.alias("target"),
+            h.alias("h"),
+            F.element_at(folded, 1).cast("long").alias("p"),
+            F.element_at(folded, 2).cast("long").alias("minp"),
+            F.element_at(folded, 3).cast("long").alias("n_alarms"),
+            F.element_at(folded, 4).cast("long").alias("max_s"),
+            F.lit(int(batch_id)).cast("long").alias("applied_bid"),
+        )
+        publish_state_buckets(
+            out, state_path, key_buckets=key_buckets, key_cols=("k",)
+        )
+
+
+def _unfenced_buckets_keyed(
+    state, touched: list[int], batch_id: int, key_buckets: int,
+    key_cols: tuple[str, ...],
+) -> list[int]:
+    """``_unfenced_buckets`` for an arbitrary key column set (the original
+    is pinned to user_id-keyed folds)."""
+    if state is None:
+        return list(touched)
+    fenced = {
+        r["bk"]
+        for r in state.select(
+            _bucket_expr(key_cols, key_buckets).alias("bk"), "applied_bid"
+        )
+        .groupBy("bk")
+        .agg(F.min("applied_bid").alias("mb"))
+        .filter(F.col("mb") >= int(batch_id))
+        .collect()
+    }
+    return [bk for bk in touched if bk not in fenced]
+
+
+def read_cusum(spark: SparkSession, state_path: str) -> DataFrame | None:
+    """The maintained CUSUM state, in the batch report's output shape."""
+    st = _heal_then_read(spark, state_path)
+    if st is None:
+        return None
+    return st.select(
+        F.col("k").alias("event_type"),
+        "n_events",
+        F.col("target").alias("target_cents"),
+        F.col("h").alias("h_cents"),
+        "n_alarms",
+        F.col("max_s").alias("max_s_cents"),
+    )
+
+
+def run_incremental_cusum(
+    spark: SparkSession,
+    src_dir: str,
+    state_path: str,
+    checkpoint_dir: str,
+    calib: dict[str, tuple[int, int]],
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Drain ``src_dir`` (parquet files of (k, es, eid, c) rows,
+    time-ordered across files) through the CUSUM-fold ingest."""
+    from cdc_postgresql_clickhouse_spark.streaming.sketch import _drain
+
+    _drain(
+        spark,
+        src_dir,
+        lambda b, i: ingest_batch_cusum(spark, b, state_path, i, calib),
+        checkpoint_dir,
+        max_files_per_trigger,
+    )

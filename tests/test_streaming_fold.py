@@ -198,3 +198,67 @@ def test_torn_bucket_swap_rolls_forward(spark, sf_dir):
         pd.testing.assert_frame_equal(_canon(read_ewma(spark, state)), want)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_cusum_fold_three_way_split_and_fence(spark, sf_dir):
+    """The third fold instance obeys the same laws: a 3-way time split of
+    the value stream equals the batch CUSUM report exactly (the stored
+    recurrence state IS the drawdown identity evaluated incrementally),
+    and replaying an applied batch id is a no-op."""
+    from cdc_postgresql_clickhouse_spark.queries.sketches import (
+        events_cusum_changepoint,
+    )
+    from cdc_postgresql_clickhouse_spark.streaming.fold import (
+        ingest_batch_cusum,
+        read_cusum,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("k"),
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("es"),
+        F.col("event_id").alias("eid"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
+    )
+    s1 = ev.groupBy("k").agg(
+        F.sum("c").alias("sc"), F.count(F.lit(1)).cast("long").alias("n")
+    ).select("k", "n", F.expr("sc div n").cast("long").alias("target"))
+    d = ev.join(F.broadcast(s1), "k")
+    s2 = d.groupBy("k").agg(
+        F.sum(F.abs(F.col("c") - F.col("target"))).alias("sad"),
+        F.max("n").alias("n2"),
+        F.max("target").alias("target"),
+    ).select("k", "target", (F.expr("sad div n2") * 3).cast("long").alias("h"))
+    calib = {r["k"]: (r["target"], r["h"]) for r in s2.collect()}
+
+    t1, t2 = ev.agg(
+        F.expr("percentile(es, 0.3333)"), F.expr("percentile(es, 0.6667)")
+    ).first()
+    parts = [
+        ev.filter(F.col("es") <= t1),
+        ev.filter((F.col("es") > t1) & (F.col("es") <= t2)),
+        ev.filter(F.col("es") > t2),
+    ]
+    tmp = tempfile.mkdtemp(prefix="fold_cusum_")
+    try:
+        state = f"{tmp}/state"
+        for i, p in enumerate(parts):
+            ingest_batch_cusum(spark, p, state, batch_id=i, calib=calib)
+        got = (
+            read_cusum(spark, state).toPandas()
+            .sort_values("event_type").reset_index(drop=True)
+        )
+        want = (
+            events_cusum_changepoint(spark, sf_dir).toPandas()
+            .sort_values("event_type").reset_index(drop=True)[list(got.columns)]
+        )
+        pd.testing.assert_frame_equal(got, want)
+        # replay fence: re-applying any committed batch id is a no-op
+        ingest_batch_cusum(spark, parts[2], state, batch_id=2, calib=calib)
+        ingest_batch_cusum(spark, parts[0], state, batch_id=0, calib=calib)
+        after = (
+            read_cusum(spark, state).toPandas()
+            .sort_values("event_type").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(after, got)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
