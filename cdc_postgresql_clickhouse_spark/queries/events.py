@@ -3778,3 +3778,127 @@ GROUP BY a.event_type
 
 QUERIES["events_daily_anomaly_mad"] = events_daily_anomaly_mad
 ORACLE["events_daily_anomaly_mad"] = _SQL_MAD
+
+
+# --- Position-weighted (U-shaped) attribution — round 10 (session 2) -----------
+#
+# Completes the attribution family (first/last touch are single-winner):
+# the U-shaped position model credits every purchase's in-window touch
+# path 40/20/40 — 400k ppm to the first touch, 400k to the last, the
+# middle 200k split evenly across interior touches. Exact integer
+# credits: each conversion distributes EXACTLY 1,000,000 ppm (division
+# remainders go to the last touch, deterministically — 1 touch takes all,
+# 2 touches split 500k/500k), and pathless purchases credit
+# 'unattributed'; so total credit = n_purchases x 1e6 by construction —
+# the conservation law the test pins.
+#
+# Scale shape: purchases join their own user's prior events once (keyed
+# join + in-window range predicate; pair volume is bounded by touches
+# per attribution window, not history length), one per-purchase window
+# for path rank/size, one channel rollup.
+
+def events_attribution_position_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.col("event_id").alias("eid"),
+        "event_type",
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("us").alias("pus"), F.col("eid").alias("pid")
+    )
+    touch = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id", "us", "eid", F.col("event_type").alias("channel")
+    )
+    win_us = ATTR_WINDOW_S * 1_000_000
+    joined = purch.join(
+        touch,
+        (purch.user_id == touch.user_id)
+        & ((F.col("us") < F.col("pus"))
+           | ((F.col("us") == F.col("pus")) & (F.col("eid") < F.col("pid"))))
+        & (F.col("pus") - F.col("us") <= F.lit(win_us).cast("long")),
+        "left",
+    ).select("pus", "pid", "us", "eid", "channel")
+    w = Window.partitionBy("pus", "pid").orderBy("us", "eid")
+    wall = Window.partitionBy("pus", "pid")
+    ranked = joined.select(
+        "pid", "channel",
+        F.row_number().over(w).alias("r"),
+        F.count("channel").over(wall).alias("n"),
+    )
+    mid_each = F.expr("200000 div (n - 2)")
+    credit = (
+        F.when(F.col("channel").isNull(), F.lit(1_000_000))
+        .when(F.col("n") == 1, F.lit(1_000_000))
+        .when(F.col("n") == 2, F.lit(500_000))
+        .when(F.col("r") == 1, F.lit(400_000))
+        .when(F.col("r") == F.col("n"),
+              F.lit(600_000) - mid_each * (F.col("n") - 2))
+        .otherwise(mid_each)
+    ).cast("long")
+    credited = ranked.select(
+        F.coalesce("channel", F.lit("unattributed")).alias("channel"),
+        credit.alias("credit_ppm"),
+    )
+    cells = credited.groupBy("channel").agg(
+        F.sum("credit_ppm").cast("long").alias("credit_ppm"),
+        F.count(F.lit(1)).cast("long").alias("n_touch_rows"),
+    )
+    total = cells.agg(F.sum("credit_ppm").cast("long").alias("t"))
+    return cells.crossJoin(F.broadcast(total)).select(
+        "channel", "n_touch_rows", "credit_ppm",
+        F.expr("credit_ppm * 1000000 div t").cast("long").alias("share_ppm"),
+    )
+
+
+_SQL_ATTR_POS = f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id AS eid, event_type FROM events
+),
+purch AS (
+  SELECT user_id, us AS pus, eid AS pid FROM ev WHERE event_type = 'purchase'
+),
+touch AS (
+  SELECT user_id, us, eid, event_type AS channel FROM ev
+  WHERE event_type <> 'purchase'
+),
+joined AS (
+  SELECT p.pus, p.pid, t.us, t.eid, t.channel
+  FROM purch p LEFT JOIN touch t
+    ON p.user_id = t.user_id
+   AND (t.us < p.pus OR (t.us = p.pus AND t.eid < p.pid))
+   AND p.pus - t.us <= {ATTR_WINDOW_S * 1_000_000}
+),
+ranked AS (
+  SELECT pid, channel,
+         row_number() OVER (PARTITION BY pus, pid ORDER BY us, eid) AS r,
+         COUNT(channel) OVER (PARTITION BY pus, pid) AS n
+  FROM joined
+),
+credited AS (
+  SELECT COALESCE(channel, 'unattributed') AS channel,
+         CAST(CASE
+           WHEN channel IS NULL THEN 1000000
+           WHEN n = 1 THEN 1000000
+           WHEN n = 2 THEN 500000
+           WHEN r = 1 THEN 400000
+           WHEN r = n THEN 600000 - (200000 // (n - 2)) * (n - 2)
+           ELSE 200000 // (n - 2)
+         END AS BIGINT) AS credit_ppm
+  FROM ranked
+),
+cells AS (
+  SELECT channel, SUM(credit_ppm)::BIGINT AS credit_ppm,
+         COUNT(*)::BIGINT AS n_touch_rows
+  FROM credited GROUP BY channel
+)
+SELECT channel, n_touch_rows, credit_ppm,
+       (credit_ppm * 1000000 // (SELECT SUM(credit_ppm) FROM cells))::BIGINT
+         AS share_ppm
+FROM cells
+"""
+
+QUERIES["events_attribution_position_weighted"] = events_attribution_position_weighted
+ORACLE["events_attribution_position_weighted"] = _SQL_ATTR_POS

@@ -1351,3 +1351,160 @@ FROM s_tot CROSS JOIN c2_tot
 
 QUERIES["quality_langid_fleiss_kappa"] = quality_langid_fleiss_kappa
 ORACLE["quality_langid_fleiss_kappa"] = _sql_fleiss()
+
+
+# --- Population Stability Index (length drift) — round 10 (session 2) ----------
+#
+# The industry-standard drift score the KS test (quality_ks_length_test)
+# and TV distance (events_value_drift_tv) don't give: per source, PSI of
+# the document-length distribution against the corpus-wide reference,
+# PSI = sum_b (p_b - q_b) ln(p_b / q_b), over the global exact decile
+# buckets (value-grouped nearest-rank edges — never sorts the corpus).
+# PSI < 0.1 is the classic "no shift" gate; a source scoring higher is
+# length-skewed vs the corpus and will distort any length-normalized
+# quality threshold applied globally. Laplace-smoothed shares
+# ((cnt + 1) / (n + 10)) keep empty buckets finite; each bucket's term is
+# floored to micro-units BEFORE the sum (the BM25 device — identical
+# doubles in, identical BIGINTs out, and integer summation is
+# order-free where double summation is not).
+#
+# Scale shape: one scan -> (source, bucket) rollup against the broadcast
+# 9-edge table (bounded fan-out); everything after is |sources| x 10.
+
+PSI_BUCKETS = 10
+
+
+def quality_length_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "n_chars")
+    byv = docs.groupBy("n_chars").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    wv = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, 0)
+    cum = byv.select(
+        "n_chars",
+        F.sum("cnt").over(wv).alias("cum"),
+        F.sum("cnt").over(
+            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("n"),
+    )
+    edges = (
+        cum.select(
+            F.explode(F.array(*[F.lit(i) for i in range(1, PSI_BUCKETS)])).alias("i"),
+            "n_chars", "cum", "n",
+        )
+        .groupBy("i")
+        .agg(
+            F.min(
+                F.when(F.col("cum") * PSI_BUCKETS >= F.col("n") * F.col("i"),
+                       F.col("n_chars"))
+            ).alias("edge")
+        )
+    )
+    sv = docs.groupBy("source", "n_chars").agg(
+        F.count(F.lit(1)).cast("long").alias("dcnt")
+    )
+    bucketed = (
+        sv.crossJoin(F.broadcast(edges))
+        .groupBy("source", "n_chars")
+        .agg(
+            F.max("dcnt").alias("dcnt"),
+            F.sum(F.when(F.col("n_chars") > F.col("edge"), 1).otherwise(0))
+            .alias("b"),
+        )
+        .groupBy("source", "b")
+        .agg(F.sum("dcnt").cast("long").alias("cnt"))
+    )
+    # complete (source, bucket) grid so empty buckets contribute smoothed mass
+    grid = (
+        bucketed.select("source").distinct()
+        .crossJoin(
+            F.broadcast(
+                spark.range(PSI_BUCKETS).select(F.col("id").cast("long").alias("b"))
+            )
+        )
+        .join(bucketed, ["source", "b"], "left")
+        .select("source", "b", F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt"))
+    )
+    ref = grid.groupBy("b").agg(F.sum("cnt").cast("long").alias("rcnt"))
+    ns = grid.groupBy("source").agg(F.sum("cnt").cast("long").alias("n_s"))
+    ntot = ref.agg(F.sum("rcnt").cast("long").alias("n_t"))
+    terms = (
+        grid.join(F.broadcast(ref), "b")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(ntot))
+        .select(
+            "source", "cnt",
+            F.floor(
+                (
+                    (F.col("cnt") + 1).cast("double") / (F.col("n_s") + PSI_BUCKETS)
+                    - (F.col("rcnt") + 1).cast("double") / (F.col("n_t") + PSI_BUCKETS)
+                )
+                * F.log(
+                    ((F.col("cnt") + 1).cast("double") / (F.col("n_s") + PSI_BUCKETS))
+                    / ((F.col("rcnt") + 1).cast("double") / (F.col("n_t") + PSI_BUCKETS))
+                )
+                * F.lit(1000000.0)
+            ).cast("long").alias("term_micro"),
+        )
+    )
+    return terms.groupBy("source").agg(
+        F.sum(F.when(F.col("cnt") > 0, 1).otherwise(0)).cast("long")
+        .alias("n_buckets_hit"),
+        F.sum("term_micro").cast("long").alias("psi_micro"),
+    )
+
+
+_SQL_PSI = f"""
+WITH docs AS (SELECT source, n_chars FROM documents),
+byv AS (SELECT n_chars, COUNT(*)::BIGINT AS cnt FROM docs GROUP BY n_chars),
+cum AS (
+  SELECT n_chars,
+         SUM(cnt) OVER (ORDER BY n_chars
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(cnt) OVER () AS n
+  FROM byv
+),
+edges AS (
+  SELECT i, MIN(CASE WHEN cum * {PSI_BUCKETS} >= n * i THEN n_chars END) AS edge
+  FROM cum, (SELECT unnest(range(1, {PSI_BUCKETS})) AS i)
+  GROUP BY i
+),
+sv AS (
+  SELECT source, n_chars, COUNT(*)::BIGINT AS dcnt FROM docs GROUP BY 1, 2
+),
+bucketed AS (
+  SELECT source, b, SUM(dcnt)::BIGINT AS cnt FROM (
+    SELECT s.source, s.n_chars, MAX(s.dcnt) AS dcnt,
+           SUM(CASE WHEN s.n_chars > e.edge THEN 1 ELSE 0 END) AS b
+    FROM sv s CROSS JOIN edges e
+    GROUP BY s.source, s.n_chars
+  ) GROUP BY source, b
+),
+grid AS (
+  SELECT s.source, g.b, COALESCE(bk.cnt, 0)::BIGINT AS cnt
+  FROM (SELECT DISTINCT source FROM bucketed) s
+  CROSS JOIN (SELECT unnest(range({PSI_BUCKETS})) AS b) g
+  LEFT JOIN bucketed bk ON bk.source = s.source AND bk.b = g.b
+),
+ref AS (SELECT b, SUM(cnt)::BIGINT AS rcnt FROM grid GROUP BY b),
+ns AS (SELECT source, SUM(cnt)::BIGINT AS n_s FROM grid GROUP BY source),
+ntot AS (SELECT SUM(rcnt)::BIGINT AS n_t FROM ref),
+terms AS (
+  SELECT g.source, g.cnt,
+         CAST(FLOOR(
+           (CAST(g.cnt + 1 AS DOUBLE) / (ns.n_s + {PSI_BUCKETS})
+            - CAST(r.rcnt + 1 AS DOUBLE) / (ntot.n_t + {PSI_BUCKETS}))
+           * ln((CAST(g.cnt + 1 AS DOUBLE) / (ns.n_s + {PSI_BUCKETS}))
+                / (CAST(r.rcnt + 1 AS DOUBLE) / (ntot.n_t + {PSI_BUCKETS})))
+           * 1000000.0
+         ) AS BIGINT) AS term_micro
+  FROM grid g JOIN ref r USING (b) JOIN ns USING (source) CROSS JOIN ntot
+)
+SELECT source,
+       CAST(SUM(CASE WHEN cnt > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_buckets_hit,
+       CAST(SUM(term_micro) AS BIGINT) AS psi_micro
+FROM terms GROUP BY source
+"""
+
+QUERIES["quality_length_psi"] = quality_length_psi
+ORACLE["quality_length_psi"] = _SQL_PSI

@@ -183,3 +183,38 @@ def test_fleiss_kappa_recomputes_from_contingency(spark, sf_dir):
     )
     assert r["kappa_ppm"] == expect
     assert r["kappa_ppm"] <= 1_000_000
+
+
+def test_position_attribution_conserves_credit(spark, sf_dir):
+    """Every purchase distributes exactly 1e6 ppm: total credit across
+    channels (incl. 'unattributed') = n_purchases x 1e6 — the remainders
+    land on the last touch by construction, never dropped."""
+    from cdc_postgresql_clickhouse_spark.queries.events import QUERIES as EQ
+
+    rows = EQ["events_attribution_position_weighted"](spark, sf_dir).collect()
+    n_purch = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase").count()
+    )
+    assert sum(r["credit_ppm"] for r in rows) == n_purch * 1_000_000
+    assert sum(r["share_ppm"] for r in rows) <= 1_000_000
+    for r in rows:
+        assert r["credit_ppm"] >= 0
+
+
+def test_length_psi_nonnegative_and_bounded(spark, sf_dir):
+    """Each PSI term (p-q)ln(p/q) is nonnegative, so the floored sum is
+    too; every source reports 1..PSI_BUCKETS occupied buckets."""
+    from cdc_postgresql_clickhouse_spark.queries.quality import (
+        PSI_BUCKETS,
+        QUERIES as QQ,
+    )
+
+    rows = QQ["quality_length_psi"](spark, sf_dir).collect()
+    n_sources = (
+        load_table(spark, sf_dir, "documents").select("source").distinct().count()
+    )
+    assert len(rows) == n_sources
+    for r in rows:
+        assert r["psi_micro"] >= 0
+        assert 1 <= r["n_buckets_hit"] <= PSI_BUCKETS
