@@ -301,3 +301,74 @@ SELECT source,
 FROM counted GROUP BY source
 """
 )
+
+
+# --- BPE compression curve — round 10 (session 2) ------------------------------
+#
+# The ROI curve of merge training: corpus token count under the learned
+# vocabulary after each merge round k = 0..MERGE_ROUNDS (round 0 = the
+# character baseline), as total symbols and compression vs baseline in
+# ppm. This is the tokens-per-byte trade a tokenizer budget decision
+# reads — each merge buys a quantifiable token reduction, and the curve's
+# flattening is the signal to stop growing the vocabulary. Totals are
+# evaluated on the (word, freq) VOCABULARY table (sum freq x symbols),
+# never re-tokenizing the corpus; the oracle chains the same MATERIALIZED
+# merge rounds as bpe_train_merges and reads each round's total off the
+# corresponding rep table.
+#
+# Scale shape: one corpus pass builds the word-frequency table; each of
+# the MERGE_ROUNDS rounds is a vocab-sized agg + argmax scalar + map-side
+# replace (the audited bpe_train plan) plus one vocab-sized total.
+
+def bpe_compression_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rep_df = _word_freq(spark, sf_dir).select(
+        "w", "freq", _initial_rep().alias("rep")
+    )
+    totals: list[tuple[int, int, int]] = []
+    for k in range(MERGE_ROUNDS + 1):
+        row = rep_df.agg(
+            F.sum(F.col("freq") * F.size(F.split("rep", " ")))
+            .cast("long").alias("t"),
+            F.count(F.lit(1)).cast("long").alias("n_word_types"),
+        ).collect()[0]
+        totals.append((k, int(row["t"]), int(row["n_word_types"])))
+        if k < MERGE_ROUNDS:
+            _, rep_df = train_from_vocab(rep_df, 1)
+    t0 = totals[0][1]
+    return spark.createDataFrame(
+        [(k, n, t, t * 1_000_000 // t0) for k, t, n in totals],
+        "round long, n_word_types long, total_tokens long, compression_ppm long",
+    )
+
+
+def _sql_compression_curve() -> str:
+    tot = ",\n".join(
+        f"tot{k} AS MATERIALIZED (SELECT SUM(freq * len(str_split(rep, ' ')))::BIGINT AS t, "
+        f"COUNT(*)::BIGINT AS n FROM rep{k})"
+        for k in range(MERGE_ROUNDS + 1)
+    )
+    arms = "\nUNION ALL\n".join(
+        f"SELECT CAST({k} AS BIGINT) AS round, n AS n_word_types, t AS total_tokens, "
+        f"(t * 1000000 // (SELECT t FROM tot0))::BIGINT AS compression_ppm FROM tot{k}"
+        for k in range(MERGE_ROUNDS + 1)
+    )
+    return (
+        f"""
+WITH wf AS (
+  SELECT w, COUNT(*) AS freq FROM (
+    SELECT unnest({_SQL_TOKENS}) AS w FROM documents
+  ) GROUP BY w
+),
+rep0 AS MATERIALIZED (
+  SELECT w, freq,
+         array_to_string(list_filter(str_split(w, ''), c -> c <> ''), ' ')
+           || ' {EOW}' AS rep
+  FROM wf
+),"""
+        + ",".join(_sql_round(i) for i in range(MERGE_ROUNDS))
+        + ",\n" + tot + "\n" + arms
+    )
+
+
+QUERIES["bpe_compression_curve"] = bpe_compression_curve
+ORACLE["bpe_compression_curve"] = _sql_compression_curve()

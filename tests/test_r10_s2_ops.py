@@ -218,3 +218,25 @@ def test_length_psi_nonnegative_and_bounded(spark, sf_dir):
     for r in rows:
         assert r["psi_micro"] >= 0
         assert 1 <= r["n_buckets_hit"] <= PSI_BUCKETS
+
+
+def test_bpe_compression_curve_monotone_and_bounded(spark, sf_dir):
+    """Round 0 is the 1e6 baseline; totals strictly decrease while merges
+    exist, each round by at most that round's adjacent-pair count (replace
+    is leftmost non-overlapping, so overlapping occurrences merge fewer
+    times than the count); word-type count is invariant."""
+    from cdc_postgresql_clickhouse_spark.queries.bpe import QUERIES as BQ
+
+    rows = {r["round"]: r for r in BQ["bpe_compression_curve"](spark, sf_dir).collect()}
+    merges = {
+        r["round"]: r["pair_count"]
+        for r in BQ["bpe_train_merges"](spark, sf_dir).collect()
+    }
+    ks = sorted(rows)
+    assert ks[0] == 0 and rows[0]["compression_ppm"] == 1_000_000
+    ntypes = {rows[k]["n_word_types"] for k in ks}
+    assert len(ntypes) == 1
+    for k in ks[1:]:
+        drop = rows[k - 1]["total_tokens"] - rows[k]["total_tokens"]
+        assert 0 < drop <= merges[k]
+        assert rows[k]["compression_ppm"] <= rows[k - 1]["compression_ppm"]
