@@ -395,6 +395,18 @@ HEADLINE = [
     "corpus_dsir_mix_shift",
     "events_peak_concurrent_sessions",
     "quality_filter_cascade_report",
+    # round-10 session-2 additions (streaming_cusum_equiv excluded with the
+    # other streaming drains)
+    "orders_skyline_pareto",
+    "events_daily_anomaly_mad",
+    "quality_lang_bias_auc",
+    "retrieval_pr_curve",
+    "embedding_knn_margin_profile",
+    "asof_tolerance_latest_order",
+    "quality_langid_fleiss_kappa",
+    "events_attribution_position_weighted",
+    "quality_length_psi",
+    "bpe_compression_curve",
 ]
 
 

@@ -71,19 +71,7 @@ def _unfenced_buckets(
     overwrite could tear WITHIN a bucket, and min(applied_bid) would then
     double-fold the already-committed rows). A touched bucket with NO rows
     has never committed at all, so it is unfenced."""
-    if state is None:
-        return list(touched)
-    fenced = {
-        r["bk"]
-        for r in state.select(
-            _bucket_expr(("user_id",), key_buckets).alias("bk"), "applied_bid"
-        )
-        .groupBy("bk")
-        .agg(F.min("applied_bid").alias("mb"))
-        .filter(F.col("mb") >= int(batch_id))
-        .collect()
-    }
-    return [bk for bk in touched if bk not in fenced]
+    return _unfenced_buckets_keyed(state, touched, batch_id, key_buckets, ("user_id",))
 
 
 def _ewma_step(acc, s):
