@@ -3679,10 +3679,14 @@ def events_daily_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     lim = ev.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
     grid = lim.select(F.explode(F.sequence("lo", "hi")).alias("d"))
     types = counts.select("event_type").distinct()
+    # |days| x |types| bounded — checkpointed: the two median passes and
+    # the final fold each read it, and without the barrier every reference
+    # re-derives the corpus rollup + grid join
     series = (
         grid.crossJoin(F.broadcast(types))
         .join(counts, ["event_type", "d"], "left")
         .select("event_type", "d", F.coalesce("c", F.lit(0)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)
     )
 
     def _median(df, val):
@@ -3707,7 +3711,7 @@ def events_daily_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     absdev = series.join(F.broadcast(med), "event_type").select(
         "event_type", "d", "c", "med_c",
         F.abs(F.col("c") - F.col("med_c")).alias("ad"),
-    )
+    ).localCheckpoint(eager=True)
     mad = _median(absdev, "ad")
     joined = absdev.join(F.broadcast(mad), "event_type").select(
         "event_type", "c", "med_c", "ad",

@@ -1375,10 +1375,18 @@ PSI_BUCKETS = 10
 
 
 def quality_length_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
     from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents").select("source", "n_chars")
-    byv = docs.groupBy("n_chars").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    # ONE corpus pass: the (source, value) rollup feeds BOTH the global
+    # decile edges and the per-source bucketing (persist barrier — without
+    # it every downstream reference re-scans the corpus: the first cut of
+    # this query planned 41 shuffles for a |sources| x 10 result)
+    sv = docs.groupBy("source", "n_chars").agg(
+        F.count(F.lit(1)).cast("long").alias("dcnt")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    byv = sv.groupBy("n_chars").agg(F.sum("dcnt").cast("long").alias("cnt"))
     wv = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, 0)
     cum = byv.select(
         "n_chars",
@@ -1400,9 +1408,6 @@ def quality_length_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("edge")
         )
     )
-    sv = docs.groupBy("source", "n_chars").agg(
-        F.count(F.lit(1)).cast("long").alias("dcnt")
-    )
     bucketed = (
         sv.crossJoin(F.broadcast(edges))
         .groupBy("source", "n_chars")
@@ -1414,7 +1419,9 @@ def quality_length_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "b")
         .agg(F.sum("dcnt").cast("long").alias("cnt"))
     )
-    # complete (source, bucket) grid so empty buckets contribute smoothed mass
+    # complete (source, bucket) grid so empty buckets contribute smoothed
+    # mass; |sources| x 10 rows — checkpointed so the three rollups below
+    # read it instead of re-deriving the bucketing lineage
     grid = (
         bucketed.select("source").distinct()
         .crossJoin(
@@ -1424,6 +1431,7 @@ def quality_length_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(bucketed, ["source", "b"], "left")
         .select("source", "b", F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt"))
+        .localCheckpoint(eager=True)
     )
     ref = grid.groupBy("b").agg(F.sum("cnt").cast("long").alias("rcnt"))
     ns = grid.groupBy("source").agg(F.sum("cnt").cast("long").alias("n_s"))
