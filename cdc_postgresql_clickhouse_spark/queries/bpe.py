@@ -326,6 +326,11 @@ def bpe_compression_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     totals: list[tuple[int, int, int]] = []
     for k in range(MERGE_ROUNDS + 1):
+        # cut the lineage each round: the total agg and the next round's
+        # argmax both read rep_df, and without the barrier every round
+        # re-derives tokenize + word-freq + all prior replaces (the same
+        # re-derivation class fixed on the PSI / daily-MAD plans)
+        rep_df = rep_df.localCheckpoint(eager=True)
         row = rep_df.agg(
             F.sum(F.col("freq") * F.size(F.split("rep", " ")))
             .cast("long").alias("t"),

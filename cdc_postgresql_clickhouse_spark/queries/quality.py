@@ -1145,6 +1145,8 @@ ORACLE["quality_filter_cascade_report"] = _sql_cascade()
 def quality_lang_bias_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
+    from cdc_postgresql_clickhouse_spark.queries.text import _n_in
+
     docs = load_table(spark, sf_dir, "documents")
     base = docs.select(
         "doc_id", "source", "lang", "text", tokens(F.col("text")).alias("toks")
@@ -1155,8 +1157,7 @@ def quality_lang_bias_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.size(toks).cast("long").alias("n_tok"),
         F.size(F.array_distinct(toks)).cast("long").alias("n_uniq"),
-        F.size(F.filter(toks, lambda t: F.array_contains(
-            F.array(*[F.lit(w) for w in STOPWORDS]), t))).cast("long").alias("n_stop"),
+        _n_in(toks, STOPWORDS).alias("n_stop"),
         F.length(F.regexp_replace(F.lower("text"), "[^a-z]", "")).cast("long")
         .alias("n_alpha"),
         F.length("text").cast("long").alias("n_char"),
@@ -1169,7 +1170,9 @@ def quality_lang_bias_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         * F.lit(1000000.0)
     ).cast("long")
-    labeled = stats.select(
+    # docs with no tokens or no chars have no defined score — excluded on
+    # both sides (Spark NULL-division vs DuckDB inf would otherwise diverge)
+    labeled = stats.filter((F.col("n_tok") > 0) & (F.col("n_char") > 0)).select(
         "source",
         score.alias("s"),
         (F.col("lang") == "en").cast("int").alias("pos"),
@@ -1232,7 +1235,7 @@ labeled AS (
             + 0.3 * (CAST(n_alpha AS DOUBLE) / n_char)) * 1000000.0
          ) AS BIGINT) AS s,
          CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
-  FROM stats
+  FROM stats WHERE n_tok > 0 AND n_char > 0
 ),
 byv AS (
   SELECT source, s, COUNT(*)::BIGINT AS cnt, SUM(pos)::BIGINT AS pos_cnt

@@ -345,7 +345,10 @@ KIE_MOD = 50
 KIE_QTOKENS = 20
 
 
-def retrieval_known_item_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _kie_relevant_ranks(spark: SparkSession, sf_dir: str):
+    """Shared known-item protocol base: (rel ranks DataFrame, n_queries).
+    Both the single-point eval and the PR@k curve derive from this one
+    construction so the protocol cannot drift between them."""
     docs = load_table(spark, sf_dir, "documents")
     q = (
         docs.filter(F.col("doc_id") % KIE_MOD == 0)
@@ -358,7 +361,11 @@ def retrieval_known_item_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranked = bm25_rank(build_postings(docs), docs.count(), q=q)
     rel = ranked.filter(F.col("doc_id") == F.col("query").cast("long"))
-    n_queries = q.select("query").distinct().count()
+    return rel, q.select("query").distinct().count()
+
+
+def retrieval_known_item_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rel, n_queries = _kie_relevant_ranks(spark, sf_dir)
     agg = rel.agg(
         F.coalesce(F.sum(F.when(F.col("rank") == 1, 1)), F.lit(0)).cast("long").alias("hits_at1"),
         F.count(F.lit(1)).cast("long").alias("hits_at_topk"),
@@ -839,22 +846,14 @@ ORACLE["retrieval_hard_negatives_mine"] = _SQL_HARD_NEG
 # |hits| x |PR_KS| explode of an already-tiny table.
 
 PR_KS = (1, 3, 5, 10)
+# every cutoff must sit inside the BM25 rank cap — a larger k would report
+# hits@BM25_TOPK on BOTH engines, a wrongness oracle parity cannot see
+assert max(PR_KS) <= BM25_TOPK
 
 
 def retrieval_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    q = (
-        docs.filter(F.col("doc_id") % KIE_MOD == 0)
-        .select(
-            F.col("doc_id").cast("string").alias("query"),
-            F.explode(
-                F.array_distinct(F.slice(tokens(F.col("text")), 1, KIE_QTOKENS))
-            ).alias("term"),
-        )
-    )
-    ranked = bm25_rank(build_postings(docs), docs.count(), q=q)
-    rel = ranked.filter(F.col("doc_id") == F.col("query").cast("long")).select("rank")
-    n_queries = q.select("query").distinct().count()
+    rel, n_queries = _kie_relevant_ranks(spark, sf_dir)
+    rel = rel.select("rank")
     grid = rel.select(
         "rank", F.explode(F.array(*[F.lit(k) for k in PR_KS])).alias("k")
     ).filter(F.col("rank") <= F.col("k"))

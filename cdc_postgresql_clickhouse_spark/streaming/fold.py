@@ -378,6 +378,13 @@ def ingest_batch_cusum(
     """Fold one micro-batch of (k, es, eid, c) rows into the CUSUM state.
     ``calib`` maps key -> (target_cents, h_cents)."""
     b = batch.select("k", "es", "eid", "c")
+    # reject uncalibrated keys LOUDLY: a silent NULL map lookup would fold
+    # NULL into p/minp and corrupt the key's state forever (the monitor has
+    # no baseline for a type it was never trained on)
+    seen = {r[0] for r in b.select("k").distinct().collect()}
+    missing = seen - set(calib)
+    if missing:
+        raise ValueError(f"CUSUM ingest: keys without calibration: {sorted(missing)}")
     touched = sorted(
         r[0]
         for r in b.select(_bucket_expr(("k",), key_buckets).alias("bk"))
