@@ -407,6 +407,7 @@ HEADLINE = [
     "events_attribution_position_weighted",
     "quality_length_psi",
     "bpe_compression_curve",
+    "text_cross_source_crossentropy",
 ]
 
 

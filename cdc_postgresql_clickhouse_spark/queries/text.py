@@ -284,7 +284,7 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         -F.log(F.col("corpus_cnt").cast("double") / F.lit(float(total))) * F.lit(1000000.0)
     ).cast("long")
     agg = (
-        postings.join(freq, "term")
+        postings.join(F.broadcast(freq), "term")
         .groupBy("doc_id")
         .agg(
             F.sum("cnt").cast("long").alias("n_tok"),
@@ -994,3 +994,114 @@ FROM per GROUP BY source
 
 QUERIES["text_ocr_garbage_score"] = text_ocr_garbage_score
 ORACLE["text_ocr_garbage_score"] = _SQL_OCR_GARBAGE
+
+
+# --- Pairwise cross-source cross-entropy matrix — round 10 (session 2) ---------
+#
+# The domain-affinity matrix mixture design actually consumes (DoReMi /
+# data-mixing literature): H(B ; A) = cross-entropy of eval source B's
+# token distribution under train source A's add-one-smoothed unigram LM,
+# for every ordered (A, B) pair. Low H(B;A) means A's data models B —
+# the signal for upweighting A when B is the target domain; the diagonal
+# is each source's self-entropy floor. text_source_drift_klm scores each
+# source against the corpus; this is the full |sources|^2 geometry.
+# Smoothing p_A(t) = (c_A(t) + 1) / (n_A + V) over the CORPUS vocabulary
+# V keeps unseen terms finite and makes the matrix well-defined off the
+# shared support. Per-(A, term) negative log-probs floor ONCE to
+# micro-bits; eval-side weighting and the sum are exact integers.
+#
+# Scale shape: ONE corpus explode into (source, term) counts (persisted —
+# both matrix sides and the vocab size derive from it); the matrix join
+# is eval-rows x |sources| with the train side left-joined per (A, term)
+# — bounded by vocab x sources^2 cells, never corpus-sized. At 100 TB
+# natural-language vocabularies keep the (source, term) table
+# broadcast-or-bucket sized; the corpus is touched exactly once.
+
+def text_cross_source_crossentropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math as _m
+
+    from pyspark import StorageLevel
+
+    docs = load_table(spark, sf_dir, "documents")
+    st = (
+        docs.select("source", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    vocab_n = st.select("term").distinct().count()  # scalar: smoothing V
+    stot = st.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    sources = stot.select(
+        F.col("source").alias("train_source"), F.col("n").alias("n_train")
+    )
+    ev = st.select(
+        F.col("source").alias("eval_source"), "term", F.col("c").alias("c_eval")
+    )
+    tr = st.select(
+        F.col("source").alias("train_source"), "term", F.col("c").alias("c_train")
+    )
+    cells = (
+        ev.crossJoin(F.broadcast(sources))
+        .join(tr, ["train_source", "term"], "left")
+        .select(
+            "train_source", "eval_source", "c_eval",
+            F.coalesce("c_train", F.lit(0)).cast("long").alias("c_train"),
+            "n_train",
+        )
+    )
+    ln2 = float(_m.log(2.0))
+    nlp_u = F.floor(
+        -F.log(
+            (F.col("c_train") + 1).cast("double")
+            / (F.col("n_train") + F.lit(int(vocab_n))).cast("double")
+        )
+        / F.lit(ln2)
+        * F.lit(1000000.0)
+    ).cast("long")
+    per_pair = cells.groupBy("train_source", "eval_source").agg(
+        F.sum("c_eval").cast("long").alias("n_eval_tokens"),
+        F.sum(F.col("c_eval") * nlp_u).cast("long").alias("ce_num"),
+    )
+    return per_pair.select(
+        "train_source", "eval_source", "n_eval_tokens",
+        F.expr("ce_num div n_eval_tokens").cast("long").alias("ce_microbits"),
+    )
+
+
+def _sql_cross_ce() -> str:
+    import math as _m
+
+    ln2 = float(_m.log(2.0))
+    return f"""
+WITH st0 AS (
+  SELECT source, unnest({SQL_TOKENS}) AS term FROM documents
+),
+st AS MATERIALIZED (
+  SELECT source, term, COUNT(*)::BIGINT AS c FROM st0 GROUP BY source, term
+),
+vocab AS (SELECT COUNT(DISTINCT term)::BIGINT AS v FROM st),
+stot AS (SELECT source, SUM(c)::BIGINT AS n FROM st GROUP BY source),
+cells AS (
+  SELECT s.source AS train_source, e.source AS eval_source, e.term,
+         e.c AS c_eval, COALESCE(t.c, 0)::BIGINT AS c_train, s.n AS n_train
+  FROM st e
+  CROSS JOIN stot s
+  LEFT JOIN st t ON t.source = s.source AND t.term = e.term
+),
+scored AS (
+  SELECT train_source, eval_source, c_eval,
+         CAST(FLOOR(
+           -ln(CAST(c_train + 1 AS DOUBLE) / CAST(n_train + vocab.v AS DOUBLE))
+           / {ln2!r} * 1000000.0
+         ) AS BIGINT) AS nlp_u
+  FROM cells CROSS JOIN vocab
+)
+SELECT train_source, eval_source,
+       SUM(c_eval)::BIGINT AS n_eval_tokens,
+       (SUM(c_eval * nlp_u) // SUM(c_eval))::BIGINT AS ce_microbits
+FROM scored GROUP BY train_source, eval_source
+"""
+
+
+QUERIES["text_cross_source_crossentropy"] = text_cross_source_crossentropy
+ORACLE["text_cross_source_crossentropy"] = _sql_cross_ce()

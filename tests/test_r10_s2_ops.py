@@ -240,3 +240,19 @@ def test_bpe_compression_curve_monotone_and_bounded(spark, sf_dir):
         drop = rows[k - 1]["total_tokens"] - rows[k]["total_tokens"]
         assert 0 < drop <= merges[k]
         assert rows[k]["compression_ppm"] <= rows[k - 1]["compression_ppm"]
+
+
+def test_cross_source_crossentropy_matrix_complete(spark, sf_dir):
+    """Full |sources|^2 matrix; each eval row's token total is the eval
+    source's own count regardless of the train side; entropies positive."""
+    from cdc_postgresql_clickhouse_spark.queries.text import QUERIES as TXQ
+
+    rows = TXQ["text_cross_source_crossentropy"](spark, sf_dir).collect()
+    sources = {r["train_source"] for r in rows}
+    assert sources == {r["eval_source"] for r in rows}
+    assert len(rows) == len(sources) ** 2
+    per_eval = {}
+    for r in rows:
+        assert r["ce_microbits"] > 0
+        per_eval.setdefault(r["eval_source"], set()).add(r["n_eval_tokens"])
+    assert all(len(v) == 1 for v in per_eval.values())

@@ -94,6 +94,11 @@ _PINS = [
     # its BNLJ is the one-row s_tot x c2_tot scalar cross join
     ("retrieval_pr_curve", 7, 0),
     ("quality_langid_fleiss_kappa", 5, 1),
+    # PSI crossed 2 s only in the noisiest window (0.97 s standalone);
+    # pinned anyway. The CE matrix's BNLJ is the broadcast |sources|-row
+    # train-side cross join
+    ("quality_length_psi", 5, 1),
+    ("text_cross_source_crossentropy", 4, 1),
 ]
 
 
