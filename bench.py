@@ -408,6 +408,7 @@ HEADLINE = [
     "quality_length_psi",
     "bpe_compression_curve",
     "text_cross_source_crossentropy",
+    "events_retention_halflife",
 ]
 
 

@@ -3906,3 +3906,121 @@ FROM cells
 
 QUERIES["events_attribution_position_weighted"] = events_attribution_position_weighted
 ORACLE["events_attribution_position_weighted"] = _SQL_ATTR_POS
+
+
+# --- Retention half-life (Theil-Sen decay fit) — round 10 (session 2) ----------
+#
+# The scalar the weekly retention matrix is read FOR: per cohort, fit
+# ln(retention) ~ week_offset with the Theil-Sen estimator (median of
+# pairwise slopes — robust to the one promotional week OLS would chase)
+# and report the implied half-life ln2 / (-slope). Every y lands in
+# micro-nats via ONE floor on ln(n_active / n_cohort); pairwise slopes
+# use the (num - num % den) // den trunc-division device so Spark's
+# truncating `div` and DuckDB's flooring `//` agree on the NEGATIVE
+# numerators a decaying series produces; the median slope comes from the
+# value-grouped nearest-rank device over the bounded pair set. Cohorts
+# need >= 3 decay points; a non-negative median slope (no decay) reports
+# a NULL half-life rather than a fabricated number.
+#
+# Scale shape: the audited cohort-matrix rollup, then an offsets
+# self-join per cohort — pairs are bounded by (weeks tracked)^2 per
+# cohort, never user-sized.
+
+RET_MIN_POINTS = 3
+
+
+def events_retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = events_retention_cohort_matrix(spark, sf_dir).filter(
+        F.col("week_offset") >= 1
+    ).select(
+        "cohort_week",
+        F.col("week_offset").alias("x"),
+        F.floor(
+            F.log(F.col("n_active").cast("double") / F.col("n_cohort").cast("double"))
+            * F.lit(1000000.0)
+        ).cast("long").alias("y"),
+    ).localCheckpoint(eager=True)
+    a, b = pts.alias("a"), pts.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.cohort_week") == F.col("b.cohort_week"))
+        & (F.col("a.x") < F.col("b.x")),
+    ).select(
+        F.col("a.cohort_week").alias("cohort_week"),
+        F.expr(
+            "( (b.y - a.y) * 1000 - ((b.y - a.y) * 1000) % (b.x - a.x) )"
+            " div (b.x - a.x)"
+        ).cast("long").alias("s"),
+    )
+    byv = pairs.groupBy("cohort_week", "s").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    wv = Window.partitionBy("cohort_week").orderBy("s").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = byv.select(
+        "cohort_week", "s",
+        F.sum("cnt").over(wv).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("cohort_week")).alias("n"),
+    )
+    med = cum.groupBy("cohort_week").agg(
+        F.max("n").cast("long").alias("n_pairs"),
+        F.min(F.when(F.col("cum") * 2 >= F.col("n"), F.col("s")))
+        .cast("long").alias("slope_milli_micro"),
+    )
+    npts = pts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("long").alias("n_points")
+    )
+    return (
+        med.join(npts, "cohort_week")
+        .filter(F.col("n_points") >= RET_MIN_POINTS)
+        .select(
+            "cohort_week", "n_points", "n_pairs", "slope_milli_micro",
+            F.when(
+                F.col("slope_milli_micro") < 0,
+                F.expr("(693147 * 1000) div (-slope_milli_micro)"),
+            ).cast("long").alias("halflife_milli_weeks"),
+        )
+    )
+
+
+_SQL_RET_HALFLIFE = f"""
+WITH matrix AS ({_SQL_COHORT_MATRIX}),
+pts AS (
+  SELECT cohort_week, week_offset AS x,
+         CAST(FLOOR(ln(CAST(n_active AS DOUBLE) / CAST(n_cohort AS DOUBLE))
+                    * 1000000.0) AS BIGINT) AS y
+  FROM matrix WHERE week_offset >= 1
+),
+pairs AS (
+  SELECT a.cohort_week,
+         ((b.y - a.y) * 1000 - ((b.y - a.y) * 1000) % (b.x - a.x))
+           // (b.x - a.x) AS s
+  FROM pts a JOIN pts b
+    ON a.cohort_week = b.cohort_week AND a.x < b.x
+),
+byv AS (SELECT cohort_week, s, COUNT(*)::BIGINT AS cnt FROM pairs GROUP BY 1, 2),
+cum AS (
+  SELECT cohort_week, s,
+         SUM(cnt) OVER (PARTITION BY cohort_week ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(cnt) OVER (PARTITION BY cohort_week) AS n
+  FROM byv
+),
+med AS (
+  SELECT cohort_week, CAST(MAX(n) AS BIGINT) AS n_pairs,
+         CAST(MIN(CASE WHEN cum * 2 >= n THEN s END) AS BIGINT)
+           AS slope_milli_micro
+  FROM cum GROUP BY cohort_week
+),
+npts AS (SELECT cohort_week, COUNT(*)::BIGINT AS n_points FROM pts GROUP BY 1)
+SELECT m.cohort_week, n.n_points, m.n_pairs, m.slope_milli_micro,
+       CAST(CASE WHEN m.slope_milli_micro < 0
+                 THEN (693147 * 1000) // (-m.slope_milli_micro) END AS BIGINT)
+         AS halflife_milli_weeks
+FROM med m JOIN npts n USING (cohort_week)
+WHERE n.n_points >= {RET_MIN_POINTS}
+"""
+
+QUERIES["events_retention_halflife"] = events_retention_halflife
+ORACLE["events_retention_halflife"] = _SQL_RET_HALFLIFE

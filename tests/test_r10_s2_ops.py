@@ -256,3 +256,24 @@ def test_cross_source_crossentropy_matrix_complete(spark, sf_dir):
         assert r["ce_microbits"] > 0
         per_eval.setdefault(r["eval_source"], set()).add(r["n_eval_tokens"])
     assert all(len(v) == 1 for v in per_eval.values())
+
+
+def test_retention_halflife_pair_accounting(spark, sf_dir):
+    """n_pairs is exactly C(n_points, 2); a reported half-life is positive
+    and only present when the median slope is negative."""
+    from cdc_postgresql_clickhouse_spark.queries.events import (
+        RET_MIN_POINTS,
+        QUERIES as EQ,
+    )
+
+    rows = EQ["events_retention_halflife"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        n = r["n_points"]
+        assert n >= RET_MIN_POINTS
+        assert r["n_pairs"] == n * (n - 1) // 2
+        if r["slope_milli_micro"] < 0:
+            assert r["halflife_milli_weeks"] is not None
+            assert r["halflife_milli_weeks"] > 0
+        else:
+            assert r["halflife_milli_weeks"] is None
