@@ -409,6 +409,8 @@ HEADLINE = [
     "bpe_compression_curve",
     "text_cross_source_crossentropy",
     "events_retention_halflife",
+    "asof_nearest_order",
+    "multimodal_phash_hamming_sweep",
 ]
 
 

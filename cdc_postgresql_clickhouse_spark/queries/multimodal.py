@@ -422,3 +422,48 @@ FROM per
 
 QUERIES["multimodal_aspect_ratio_buckets"] = multimodal_aspect_ratio_buckets
 ORACLE["multimodal_aspect_ratio_buckets"] = _sql_ar_buckets()
+
+
+# --- Perceptual-hash hamming-radius sweep — round 10 (session 2) ---------------
+#
+# The dedup-ROI curve for the image modality: pair volume and source-doc
+# coverage at each hamming radius 0..PHASH_HAMMING_MAX over the SAME
+# banded candidate set as multimodal_phash_neardup. Banding guarantees
+# recall at the max radius (PHASH_BANDS bands, pigeonhole), so every
+# tighter radius's pair set is exactly a filter of the audited pairs —
+# the curve reads how aggressively an image-dedup threshold trades
+# precision for recall, the phash twin of dedup_roi_curve.
+#
+# Scale shape: the audited banded-join plan once, then a |radii|-row
+# literal-grid rollup of its (already tiny) pair output.
+
+PHASH_SWEEP_RADII = tuple(range(PHASH_HAMMING_MAX + 1))
+
+
+def multimodal_phash_hamming_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = multimodal_phash_neardup(spark, sf_dir)
+    grid = pairs.select(
+        "doc_a", "hamming",
+        F.explode(F.array(*[F.lit(r) for r in PHASH_SWEEP_RADII])).alias("radius"),
+    ).filter(F.col("hamming") <= F.col("radius"))
+    return grid.groupBy("radius").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.countDistinct("doc_a").cast("long").alias("n_src_docs"),
+    ).select(F.col("radius").cast("long").alias("radius"), "n_pairs", "n_src_docs")
+
+
+def _sql_phash_sweep() -> str:
+    radii = ", ".join(str(r) for r in PHASH_SWEEP_RADII)
+    return f"""
+WITH pairs AS MATERIALIZED ({ORACLE["multimodal_phash_neardup"]})
+SELECT CAST(radius AS BIGINT) AS radius,
+       COUNT(*)::BIGINT AS n_pairs,
+       COUNT(DISTINCT doc_a)::BIGINT AS n_src_docs
+FROM pairs, (SELECT unnest([{radii}]) AS radius)
+WHERE hamming <= radius
+GROUP BY radius
+"""
+
+
+QUERIES["multimodal_phash_hamming_sweep"] = multimodal_phash_hamming_sweep
+ORACLE["multimodal_phash_hamming_sweep"] = _sql_phash_sweep()

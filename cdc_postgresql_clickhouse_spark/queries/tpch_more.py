@@ -3342,3 +3342,76 @@ FROM (
 
 QUERIES["asof_tolerance_latest_order"] = asof_tolerance_latest_order
 ORACLE["asof_tolerance_latest_order"] = _SQL_ASOF_TOL
+
+
+# --- Nearest-direction as-of join — round 10 (session 2) -----------------------
+#
+# Completes the as-of direction family (backward: asof_latest_order /
+# asof_tolerance_latest_order; this is pandas merge_asof
+# direction='nearest'): each event matches the order of its customer
+# with the SMALLEST absolute day distance within +/- ASOF_TOL_DAYS —
+# future orders are eligible too (the attribution question "which order
+# is this event ABOUT" rather than "which order preceded it").
+# Deterministic tie-break: equal distance prefers the past order
+# (signed lag >= 0 first), then the higher order key — both spelled
+# identically in the two engines.
+
+def asof_nearest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id",
+        F.expr("CAST(FLOOR(unix_timestamp(ts)) AS BIGINT) div 86400").alias("ed"),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey",
+        F.expr("CAST(FLOOR(unix_timestamp(o_orderdate)) AS BIGINT) div 86400")
+        .alias("od"),
+    )
+    j = ev.join(
+        F.broadcast(o),
+        (F.col("user_id") == F.col("o_custkey"))
+        & (F.abs(F.col("ed") - F.col("od")) <= ASOF_TOL_DAYS),
+        "left",
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        F.abs(F.col("ed") - F.col("od")).asc_nulls_last(),
+        (F.col("ed") - F.col("od") >= 0).desc_nulls_last(),
+        F.desc_nulls_last("o_orderkey"),
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id", "user_id",
+            F.col("o_orderkey").cast("long").alias("nearest_orderkey"),
+            (F.col("ed") - F.col("od")).cast("long").alias("signed_lag_days"),
+        )
+    )
+
+
+_SQL_ASOF_NEAREST = f"""
+WITH ev AS (
+  SELECT event_id, user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS ed
+  FROM events
+),
+o AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) // 86400 AS od
+  FROM orders
+)
+SELECT event_id, user_id,
+       CAST(o_orderkey AS BIGINT) AS nearest_orderkey,
+       CAST(ed - od AS BIGINT) AS signed_lag_days
+FROM (
+  SELECT e.event_id, e.user_id, e.ed, o.o_orderkey, o.od,
+         row_number() OVER (PARTITION BY e.event_id
+                            ORDER BY ABS(e.ed - o.od) ASC NULLS LAST,
+                                     (e.ed - o.od >= 0) DESC NULLS LAST,
+                                     o.o_orderkey DESC NULLS LAST) AS rn
+  FROM ev e
+  LEFT JOIN o ON e.user_id = o.o_custkey
+             AND ABS(e.ed - o.od) <= {ASOF_TOL_DAYS}
+) WHERE rn = 1
+"""
+
+QUERIES["asof_nearest_order"] = asof_nearest_order
+ORACLE["asof_nearest_order"] = _SQL_ASOF_NEAREST

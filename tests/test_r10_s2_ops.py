@@ -277,3 +277,73 @@ def test_retention_halflife_pair_accounting(spark, sf_dir):
             assert r["halflife_milli_weeks"] > 0
         else:
             assert r["halflife_milli_weeks"] is None
+
+
+def test_asof_nearest_prefers_smallest_distance_and_past_ties(spark, sf_dir):
+    """One row per event; |signed lag| <= tolerance; and against a
+    driver-side recompute on a sample of users, the chosen order has the
+    minimal absolute distance with past-preferred tie-breaking."""
+    from cdc_postgresql_clickhouse_spark.queries.tpch_more import (
+        ASOF_TOL_DAYS,
+        QUERIES as TQ,
+    )
+
+    rows = TQ["asof_nearest_order"](spark, sf_dir).collect()
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert len(rows) == n_events
+    orders = {}
+    for r in (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey", "o_orderkey",
+            F.expr("CAST(FLOOR(unix_timestamp(o_orderdate)) AS BIGINT) div 86400")
+            .alias("od"),
+        )
+        .collect()
+    ):
+        orders.setdefault(r["o_custkey"], []).append((r["o_orderkey"], r["od"]))
+    ev_day = {
+        r["event_id"]: (r["user_id"], r["ed"])
+        for r in load_table(spark, sf_dir, "events")
+        .select(
+            "event_id", "user_id",
+            F.expr("CAST(FLOOR(unix_timestamp(ts)) AS BIGINT) div 86400").alias("ed"),
+        )
+        .collect()
+    }
+    for r in rows[:500]:
+        uid, ed = ev_day[r["event_id"]]
+        cands = [
+            (abs(ed - od), 0 if ed - od >= 0 else 1, -ok)
+            for ok, od in orders.get(uid, [])
+            if abs(ed - od) <= ASOF_TOL_DAYS
+        ]
+        if not cands:
+            assert r["nearest_orderkey"] is None
+        else:
+            best = min(cands)
+            assert r["nearest_orderkey"] == -best[2]
+            assert abs(r["signed_lag_days"]) == best[0]
+
+
+def test_phash_sweep_monotone_and_consistent_with_pairs(spark, sf_dir):
+    """Pair and coverage counts are nondecreasing in the radius, and the
+    max-radius row re-counts the audited near-dup pair set exactly."""
+    from cdc_postgresql_clickhouse_spark.queries.multimodal import (
+        PHASH_HAMMING_MAX,
+        QUERIES as MQ,
+    )
+
+    rows = {r["radius"]: r for r in MQ["multimodal_phash_hamming_sweep"](spark, sf_dir).collect()}
+    pairs = MQ["multimodal_phash_neardup"](spark, sf_dir).collect()
+    if not pairs:
+        assert not rows
+        return
+    radii = sorted(rows)
+    prev_p, prev_d = 0, 0
+    for r in radii:
+        assert rows[r]["n_pairs"] >= prev_p
+        assert rows[r]["n_src_docs"] >= prev_d
+        prev_p, prev_d = rows[r]["n_pairs"], rows[r]["n_src_docs"]
+    assert rows[max(radii)]["n_pairs"] == len(pairs)
+    assert rows[max(radii)]["n_src_docs"] == len({p["doc_a"] for p in pairs})
