@@ -3976,9 +3976,12 @@ def events_retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_points") >= RET_MIN_POINTS)
         .select(
             "cohort_week", "n_points", "n_pairs", "slope_milli_micro",
+            # halflife_weeks = ln2 / |slope_nats| with slope stored as
+            # nats x 1e9 (micro-nats x 1000): milli-weeks = ln2_micro x 1e6
+            # over the stored slope
             F.when(
                 F.col("slope_milli_micro") < 0,
-                F.expr("(693147 * 1000) div (-slope_milli_micro)"),
+                F.expr("(693147 * 1000000) div (-slope_milli_micro)"),
             ).cast("long").alias("halflife_milli_weeks"),
         )
     )
@@ -4016,7 +4019,7 @@ med AS (
 npts AS (SELECT cohort_week, COUNT(*)::BIGINT AS n_points FROM pts GROUP BY 1)
 SELECT m.cohort_week, n.n_points, m.n_pairs, m.slope_milli_micro,
        CAST(CASE WHEN m.slope_milli_micro < 0
-                 THEN (693147 * 1000) // (-m.slope_milli_micro) END AS BIGINT)
+                 THEN (693147 * 1000000) // (-m.slope_milli_micro) END AS BIGINT)
          AS halflife_milli_weeks
 FROM med m JOIN npts n USING (cohort_week)
 WHERE n.n_points >= {RET_MIN_POINTS}

@@ -427,17 +427,19 @@ ORACLE["multimodal_aspect_ratio_buckets"] = _sql_ar_buckets()
 # --- Perceptual-hash hamming-radius sweep — round 10 (session 2) ---------------
 #
 # The dedup-ROI curve for the image modality: pair volume and source-doc
-# coverage at each hamming radius 0..PHASH_HAMMING_MAX over the SAME
-# banded candidate set as multimodal_phash_neardup. Banding guarantees
-# recall at the max radius (PHASH_BANDS bands, pigeonhole), so every
-# tighter radius's pair set is exactly a filter of the audited pairs —
-# the curve reads how aggressively an image-dedup threshold trades
-# precision for recall, the phash twin of dedup_roi_curve.
+# coverage at each hamming radius over the SAME banded candidate set as
+# multimodal_phash_neardup. The sweep stops at PHASH_BANDS - 1: with B
+# bands, pigeonhole guarantees a shared band only for hamming <= B - 1,
+# so those radii are EXACT counts — radius B (= PHASH_HAMMING_MAX here)
+# can drop a pair whose differing bits fall one per band and is excluded
+# rather than reported as exact. The curve reads how aggressively an
+# image-dedup threshold trades precision for recall, the phash twin of
+# dedup_roi_curve.
 #
 # Scale shape: the audited banded-join plan once, then a |radii|-row
 # literal-grid rollup of its (already tiny) pair output.
 
-PHASH_SWEEP_RADII = tuple(range(PHASH_HAMMING_MAX + 1))
+PHASH_SWEEP_RADII = tuple(range(min(PHASH_HAMMING_MAX, PHASH_BANDS - 1) + 1))
 
 
 def multimodal_phash_hamming_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
