@@ -411,6 +411,7 @@ HEADLINE = [
     "events_retention_halflife",
     "asof_nearest_order",
     "multimodal_phash_hamming_sweep",
+    "text_bigram_entropy_rate",
 ]
 
 

@@ -1631,3 +1631,133 @@ LIMIT {PMI_TOPK}
 
 QUERIES["text_word_pmi_topk"] = text_word_pmi_topk
 ORACLE["text_word_pmi_topk"] = _SQL_WORD_PMI
+
+
+# --- Per-source bigram entropy rate — round 10 (session 2) ---------------------
+#
+# The information-theoretic compressibility ladder per source: plug-in
+# unigram entropy H1, bigram entropy H2, and the conditional entropy
+# rate H(W2 | W1) = H2 - H1 — the average per-word surprise GIVEN one
+# word of context. A source whose conditional rate collapses far below
+# its H1 is template/boilerplate-heavy (context makes the next word
+# nearly deterministic — exactly what an LM memorizes for free);
+# text_char_entropy scores documents at the character grain, this ranks
+# SOURCES at the word-process grain. Plug-in MLE entropies via the
+# established device: ln(N / c) floors ONCE per distinct count row,
+# weighted by the exact integer count, summed as integers, divided once.
+#
+# Scale shape: one corpus pass to (source, bigram) counts (the audited
+# bigram-LM explode, persisted); the unigram table is a re-aggregation
+# of context words; everything downstream is vocabulary-sized.
+
+def text_bigram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math as _m
+
+    from pyspark import StorageLevel
+
+    from cdc_postgresql_clickhouse_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select("source", tokens(F.col("text")).alias("t"))
+    toks = F.col("t")
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = (
+        tk.select("source", F.explode(grams).alias("bg"))
+        .groupBy("source", "bg")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # unigram counts over the SAME bigram population (context words), so
+    # H2 - H1 is the exact conditional entropy of that joint distribution
+    ug = (
+        bg.select(
+            "source",
+            F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"),
+            "cnt",
+        )
+        .groupBy("source", "w1")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    ln2 = float(_m.log(2.0))
+
+    def _h(counts, val):
+        tot = counts.groupBy("source").agg(F.sum("cnt").cast("long").alias("n"))
+        e_micro = F.floor(
+            F.log(F.col("n").cast("double") / F.col("cnt").cast("double"))
+            / F.lit(ln2) * F.lit(1000000.0)
+        ).cast("long")
+        return (
+            counts.join(F.broadcast(tot), "source")
+            .groupBy("source")
+            .agg(
+                F.max("n").cast("long").alias(f"n_{val}"),
+                F.count(F.lit(1)).cast("long").alias(f"types_{val}"),
+                F.sum(F.col("cnt") * e_micro).cast("long").alias("su"),
+            )
+            .select(
+                "source", f"n_{val}", f"types_{val}",
+                F.expr(f"su div n_{val}").cast("long").alias(f"h_{val}_microbits"),
+            )
+        )
+
+    h2 = _h(bg, "bigram")
+    h1 = _h(ug, "unigram")
+    return h2.join(h1, "source").select(
+        "source",
+        F.col("n_bigram").alias("n_bigrams"),
+        "types_bigram", "types_unigram",
+        "h_unigram_microbits", "h_bigram_microbits",
+        (F.col("h_bigram_microbits") - F.col("h_unigram_microbits"))
+        .cast("long").alias("cond_rate_microbits"),
+    )
+
+
+def _sql_entropy_rate() -> str:
+    import math as _m
+
+    ln2 = float(_m.log(2.0))
+    return f"""
+WITH tk AS (SELECT source, {_SQL_TOKENS} AS toks FROM documents),
+bg0 AS (
+  SELECT source, unnest({_SQL_BIGRAMS}) AS bg FROM tk WHERE len(toks) >= 2
+),
+bg AS MATERIALIZED (
+  SELECT source, bg, COUNT(*)::BIGINT AS cnt FROM bg0 GROUP BY source, bg
+),
+ug AS (
+  SELECT source, split_part(bg, ' ', 1) AS w1, SUM(cnt)::BIGINT AS cnt
+  FROM bg GROUP BY source, split_part(bg, ' ', 1)
+),
+tot2 AS (SELECT source, SUM(cnt)::BIGINT AS n FROM bg GROUP BY source),
+tot1 AS (SELECT source, SUM(cnt)::BIGINT AS n FROM ug GROUP BY source),
+h2 AS (
+  SELECT b.source, MAX(t.n)::BIGINT AS n_bigrams,
+         COUNT(*)::BIGINT AS types_bigram,
+         (SUM(b.cnt * CAST(FLOOR(
+            ln(CAST(t.n AS DOUBLE) / CAST(b.cnt AS DOUBLE)) / {ln2!r} * 1000000.0
+          ) AS BIGINT)) // MAX(t.n))::BIGINT AS h_bigram_microbits
+  FROM bg b JOIN tot2 t USING (source) GROUP BY b.source
+),
+h1 AS (
+  SELECT u.source, COUNT(*)::BIGINT AS types_unigram,
+         (SUM(u.cnt * CAST(FLOOR(
+            ln(CAST(t.n AS DOUBLE) / CAST(u.cnt AS DOUBLE)) / {ln2!r} * 1000000.0
+          ) AS BIGINT)) // MAX(t.n))::BIGINT AS h_unigram_microbits
+  FROM ug u JOIN tot1 t USING (source) GROUP BY u.source
+)
+SELECT h2.source, h2.n_bigrams, h2.types_bigram, h1.types_unigram,
+       h1.h_unigram_microbits, h2.h_bigram_microbits,
+       (h2.h_bigram_microbits - h1.h_unigram_microbits)::BIGINT
+         AS cond_rate_microbits
+FROM h2 JOIN h1 USING (source)
+"""
+
+
+QUERIES["text_bigram_entropy_rate"] = text_bigram_entropy_rate
+ORACLE["text_bigram_entropy_rate"] = _sql_entropy_rate()

@@ -351,3 +351,20 @@ def test_phash_sweep_monotone_and_consistent_with_pairs(spark, sf_dir):
     inside = [p for p in pairs if p["hamming"] <= rmax]
     assert rows[rmax]["n_pairs"] == len(inside)
     assert rows[rmax]["n_src_docs"] == len({p["doc_a"] for p in inside})
+
+
+def test_bigram_entropy_rate_information_laws(spark, sf_dir):
+    """Conditioning cannot increase entropy: 0 <= H2 - H1 <= H1 (up to the
+    +/-2 micro-unit floor slack); type counts and totals are consistent
+    with the raw bigram population."""
+    from cdc_postgresql_clickhouse_spark.queries.text_ext import QUERIES as TXQ
+
+    rows = TXQ["text_bigram_entropy_rate"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["types_unigram"] <= r["types_bigram"] <= r["n_bigrams"]
+        assert r["h_unigram_microbits"] >= 0
+        # H(W1,W2) >= H(W1): conditional rate nonnegative modulo floor slack
+        assert r["cond_rate_microbits"] >= -2
+        # H(W2|W1) <= H(W2) <= log2(types): crude sanity ceiling
+        assert r["cond_rate_microbits"] <= r["h_bigram_microbits"]
