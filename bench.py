@@ -412,6 +412,7 @@ HEADLINE = [
     "asof_nearest_order",
     "multimodal_phash_hamming_sweep",
     "text_bigram_entropy_rate",
+    "layout_minmax_pruning_report",
 ]
 
 

@@ -133,3 +133,123 @@ FROM h{H_BITS} GROUP BY 1
 
 QUERIES["layout_hilbert_clustering"] = layout_hilbert_clustering
 ORACLE["layout_hilbert_clustering"] = _SQL_HILBERT
+
+
+# --- Zone-map pruning effectiveness report — round 10 (session 2) --------------
+#
+# The 1-D data-skipping audit next to the 2-D Z-order family: orders laid
+# out as PRUNE_CHUNKS equal key-range chunks under two layouts — arrival
+# order (o_orderkey ranges: the append-only table every CDC sink
+# produces) vs date-sorted (o_orderdate ranges: what OPTIMIZE ... ORDER
+# BY buys) — then, for every calendar quarter in the data, the fraction
+# of chunks whose [min, max] order-date zone map overlaps the quarter
+# predicate. Arrival layouts interleave dates so nearly every chunk
+# overlaps every quarter (prune ~ 0); the sorted layout touches ~ 1/Q of
+# the chunks. This is the scan-cost argument for layout maintenance
+# stated as an oracle-checked number, the reference's ORDER BY
+# (clickhouse_schemas.sql:12-13) measured rather than assumed.
+#
+# Scale shape: chunk ids are map-side range arithmetic off two broadcast
+# scalars (no global sort — the audit reads layouts, it does not build
+# them); zone maps are one rollup to PRUNE_CHUNKS rows per layout; the
+# quarter-overlap join is |chunks| x |quarters| bounded.
+
+PRUNE_CHUNKS = 64
+
+
+def layout_minmax_pruning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr("CAST(FLOOR(unix_timestamp(o_orderdate)) AS BIGINT) div 86400")
+        .alias("d"),
+        F.expr(
+            "(year(o_orderdate) * 4 + quarter(o_orderdate) - 1)"
+        ).cast("long").alias("q"),
+    )
+    lim = o.agg(
+        F.min("o_orderkey").alias("klo"), F.max("o_orderkey").alias("khi"),
+        F.min("d").alias("dlo"), F.max("d").alias("dhi"),
+    )
+    chunked = o.crossJoin(F.broadcast(lim)).select(
+        "d", "q",
+        F.least(
+            F.lit(PRUNE_CHUNKS - 1),
+            F.expr(f"((o_orderkey - klo) * {PRUNE_CHUNKS}) div (khi - klo + 1)"),
+        ).cast("long").alias("chunk_arrival"),
+        F.least(
+            F.lit(PRUNE_CHUNKS - 1),
+            F.expr(f"((d - dlo) * {PRUNE_CHUNKS}) div (dhi - dlo + 1)"),
+        ).cast("long").alias("chunk_sorted"),
+    )
+    quarters = o.groupBy("q").agg(
+        F.min("d").alias("qlo"), F.max("d").alias("qhi")
+    )
+
+    def zone(col, layout):
+        zm = chunked.groupBy(F.col(col).alias("chunk")).agg(
+            F.min("d").alias("zlo"), F.max("d").alias("zhi")
+        )
+        hits = (
+            zm.crossJoin(F.broadcast(quarters))
+            .filter((F.col("zlo") <= F.col("qhi")) & (F.col("zhi") >= F.col("qlo")))
+            .groupBy("q")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_chunks_scanned"))
+        )
+        return hits.select(F.lit(layout).alias("layout"), "q", "n_chunks_scanned")
+
+    out = zone("chunk_arrival", "arrival").unionByName(zone("chunk_sorted", "date_sorted"))
+    return out.select(
+        "layout",
+        F.col("q").cast("long").alias("quarter_idx"),
+        "n_chunks_scanned",
+        F.expr(f"(({PRUNE_CHUNKS} - n_chunks_scanned) * 1000000) div {PRUNE_CHUNKS}")
+        .cast("long").alias("prune_ppm"),
+    )
+
+
+_SQL_PRUNE = f"""
+WITH o AS (
+  SELECT o_orderkey,
+         CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) // 86400 AS d,
+         (year(o_orderdate) * 4 + quarter(o_orderdate) - 1)::BIGINT AS q
+  FROM orders
+),
+lim AS (
+  SELECT MIN(o_orderkey) AS klo, MAX(o_orderkey) AS khi,
+         MIN(d) AS dlo, MAX(d) AS dhi
+  FROM o
+),
+chunked AS (
+  SELECT d, q,
+         LEAST({PRUNE_CHUNKS - 1},
+               ((o_orderkey - klo) * {PRUNE_CHUNKS}) // (khi - klo + 1)) AS chunk_arrival,
+         LEAST({PRUNE_CHUNKS - 1},
+               ((d - dlo) * {PRUNE_CHUNKS}) // (dhi - dlo + 1)) AS chunk_sorted
+  FROM o CROSS JOIN lim
+),
+quarters AS (SELECT q, MIN(d) AS qlo, MAX(d) AS qhi FROM o GROUP BY q),
+za AS (
+  SELECT chunk_arrival AS chunk, MIN(d) AS zlo, MAX(d) AS zhi
+  FROM chunked GROUP BY chunk_arrival
+),
+zs AS (
+  SELECT chunk_sorted AS chunk, MIN(d) AS zlo, MAX(d) AS zhi
+  FROM chunked GROUP BY chunk_sorted
+),
+hits AS (
+  SELECT 'arrival' AS layout, qt.q, COUNT(*)::BIGINT AS n_chunks_scanned
+  FROM za CROSS JOIN quarters qt
+  WHERE za.zlo <= qt.qhi AND za.zhi >= qt.qlo GROUP BY qt.q
+  UNION ALL
+  SELECT 'date_sorted' AS layout, qt.q, COUNT(*)::BIGINT AS n_chunks_scanned
+  FROM zs CROSS JOIN quarters qt
+  WHERE zs.zlo <= qt.qhi AND zs.zhi >= qt.qlo GROUP BY qt.q
+)
+SELECT layout, CAST(q AS BIGINT) AS quarter_idx, n_chunks_scanned,
+       ((({PRUNE_CHUNKS} - n_chunks_scanned) * 1000000) // {PRUNE_CHUNKS})::BIGINT
+         AS prune_ppm
+FROM hits
+"""
+
+QUERIES["layout_minmax_pruning_report"] = layout_minmax_pruning_report
+ORACLE["layout_minmax_pruning_report"] = _SQL_PRUNE

@@ -368,3 +368,25 @@ def test_bigram_entropy_rate_information_laws(spark, sf_dir):
         assert r["cond_rate_microbits"] >= -2
         # H(W2|W1) <= H(W2) <= log2(types): crude sanity ceiling
         assert r["cond_rate_microbits"] <= r["h_bigram_microbits"]
+
+
+def test_minmax_pruning_sorted_dominates_arrival(spark, sf_dir):
+    """Both layouts report every quarter; chunk counts stay in
+    [1, PRUNE_CHUNKS]; and the date-sorted layout never scans more
+    chunks than the arrival layout for the same quarter (sorting can
+    only tighten date zone maps)."""
+    from cdc_postgresql_clickhouse_spark.queries.zorder import (
+        PRUNE_CHUNKS,
+        QUERIES as ZQ,
+    )
+
+    rows = ZQ["layout_minmax_pruning_report"](spark, sf_dir).collect()
+    per = {}
+    for r in rows:
+        assert 1 <= r["n_chunks_scanned"] <= PRUNE_CHUNKS
+        assert 0 <= r["prune_ppm"] < 1_000_000
+        per.setdefault(r["quarter_idx"], {})[r["layout"]] = r["n_chunks_scanned"]
+    assert per
+    for q, by_layout in per.items():
+        assert set(by_layout) == {"arrival", "date_sorted"}
+        assert by_layout["date_sorted"] <= by_layout["arrival"], q
