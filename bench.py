@@ -413,6 +413,7 @@ HEADLINE = [
     "multimodal_phash_hamming_sweep",
     "text_bigram_entropy_rate",
     "layout_minmax_pruning_report",
+    "embedding_intrinsic_dimension",
 ]
 
 

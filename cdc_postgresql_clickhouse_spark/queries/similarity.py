@@ -2218,3 +2218,102 @@ FROM cum GROUP BY qlabel
 """
 
 QUERIES["embedding_knn_margin_profile"] = embedding_knn_margin_profile
+
+
+# --- TwoNN intrinsic-dimension estimate — round 10 (session 2) -----------------
+#
+# The Facco et al. 2017 two-nearest-neighbor estimator: with mu_i =
+# d2/d1 (second- over first-neighbor distance), the manifold's intrinsic
+# dimension is ID = n / sum ln mu_i — embeddings living on a
+# low-dimensional manifold inside R^64 show ID far below 64, and a
+# per-label breakdown flags labels whose cluster is geometrically
+# degenerate (ID ~ 1 = near-collinear: quantizers and ANN partitions
+# behave very differently there). ONE corpus-level row: the estimator
+# is an MLE over the query sample, so slicing it to per-label handfuls
+# of queries would report noise dressed as geometry (at the gate SF a
+# label has ~1 query). Reuses the audited top-2 device of
+# embedding_knn_margin_profile with cosine DISTANCE d_micro = 1e6 -
+# sim_micro; queries with d1 = 0 (an exact duplicate vector) have
+# undefined mu and are excluded (counted in n_degenerate). ln(mu)
+# floors ONCE per query to micro-nats; the fold is exact integers.
+
+def embedding_intrinsic_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _emb_d().alias("e"), _norm(_emb_d()).alias("nrm")
+    )
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    pairs = F.broadcast(q).join(
+        emb.select("vec_id", "e", "nrm"), F.col("q_id") != F.col("vec_id")
+    )
+    scored = pairs.select(
+        "q_id", "vec_id",
+        (F.lit(1000000) - F.floor(
+            _dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("nrm"))
+            * F.lit(1000000.0)
+        )).cast("long").alias("d"),
+    )
+    w = Window.partitionBy("q_id").orderBy("d", "vec_id")
+    top2 = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 2)
+    mus = top2.groupBy("q_id").agg(
+        F.min(F.when(F.col("rn") == 1, F.col("d"))).alias("d1"),
+        F.min(F.when(F.col("rn") == 2, F.col("d"))).alias("d2"),
+    )
+    ln_mu = F.floor(
+        F.log(F.col("d2").cast("double") / F.col("d1").cast("double"))
+        * F.lit(1000000.0)
+    ).cast("long")
+    overall = mus.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.sum(F.when(F.col("d1") == 0, 1).otherwise(0)).cast("long")
+        .alias("n_degenerate"),
+        F.sum(F.when(F.col("d1") > 0, ln_mu)).cast("long").alias("sum_ln_mu_micro"),
+    )
+    return overall.select(
+        "n_queries", "n_degenerate", "sum_ln_mu_micro",
+        F.when(
+            F.col("sum_ln_mu_micro") > 0,
+            F.expr("((n_queries - n_degenerate) * 1000000000) div sum_ln_mu_micro"),
+        ).cast("long").alias("id_milli"),
+    )
+
+
+ORACLE["embedding_intrinsic_dimension"] = f"""
+WITH emb AS (SELECT vec_id, {_SQL_EMB} AS e FROM embeddings),
+q AS (SELECT vec_id AS q_id, e AS qe FROM emb WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT q_id, vec_id,
+         1000000 - CAST(FLOOR(({_SQL_MARGIN_RAW}) * 1000000.0) AS BIGINT) AS d
+  FROM q JOIN emb ON q_id <> vec_id
+),
+top2 AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY d, vec_id) AS rn
+    FROM scored)
+  WHERE rn <= 2
+),
+mus AS (
+  SELECT q_id,
+         MIN(CASE WHEN rn = 1 THEN d END) AS d1,
+         MIN(CASE WHEN rn = 2 THEN d END) AS d2
+  FROM top2 GROUP BY 1
+),
+overall AS (
+  SELECT COUNT(*)::BIGINT AS n_queries,
+         SUM(CASE WHEN d1 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_degenerate,
+         SUM(CASE WHEN d1 > 0 THEN CAST(FLOOR(
+           ln(CAST(d2 AS DOUBLE) / CAST(d1 AS DOUBLE)) * 1000000.0) AS BIGINT)
+         END)::BIGINT AS sum_ln_mu_micro
+  FROM mus
+)
+SELECT n_queries, n_degenerate, sum_ln_mu_micro,
+       CAST(CASE WHEN sum_ln_mu_micro > 0
+                 THEN ((n_queries - n_degenerate) * 1000000000) // sum_ln_mu_micro
+            END AS BIGINT) AS id_milli
+FROM overall
+"""
+
+QUERIES["embedding_intrinsic_dimension"] = embedding_intrinsic_dimension

@@ -390,3 +390,18 @@ def test_minmax_pruning_sorted_dominates_arrival(spark, sf_dir):
     for q, by_layout in per.items():
         assert set(by_layout) == {"arrival", "date_sorted"}
         assert by_layout["date_sorted"] <= by_layout["arrival"], q
+
+
+def test_intrinsic_dimension_single_row_and_positive(spark, sf_dir):
+    """One corpus-level row; the query count matches the 1-in-100 sample;
+    a positive log-ratio sum yields a positive dimension estimate."""
+    from cdc_postgresql_clickhouse_spark.queries.similarity import QUERIES as SIMQ
+
+    [r] = SIMQ["embedding_intrinsic_dimension"](spark, sf_dir).collect()
+    n_vecs = load_table(spark, sf_dir, "embeddings").count()
+    assert r["n_queries"] == (n_vecs + 99) // 100
+    assert 0 <= r["n_degenerate"] <= r["n_queries"]
+    if r["sum_ln_mu_micro"] and r["sum_ln_mu_micro"] > 0:
+        assert r["id_milli"] > 0
+    else:
+        assert r["id_milli"] is None
