@@ -75,47 +75,45 @@ _MODULES = (
 _WINDOW_FRONT = [
     # rule 1: cdc insurance, capped at 2 while the never-checked queue is
     # non-empty (VERDICT r8 #1): the flagship current-state read plus one
-    # rotating CDC row (r10 rotation: cdc_envelope_transform, the P1-P7
-    # projection/switch core, green r8).
-    "cdc_current_state", "cdc_envelope_transform",
-    # rule 2b: the four r9 err rows (DuckDB-oracle OOM in the driver's
-    # uncapped harness — Spark produced rows for all four). Their oracles
-    # are now MATERIALIZED-fenced with the seed fan-out collapsed to one
-    # grouped pass (tests/test_oracle_memory_lint.py pins the shape and a
-    # 512MB no-spill ceiling); they re-front until a green row lands.
-    "dedup_roi_curve", "dedup_cross_source_matrix",
-    "corpus_decontaminate_fuzzy", "sketch_bloom_error_sweep",
-    # rule 2: never driver-checked — 50 rows queued after r9; the window
-    # takes the first 44 in registration (module) order. The remaining 6
-    # (suppliers_speed_ranking, orders_revenue_drawdown,
-    # orders_littles_law_audit, orders_revenue_pvm_bridge,
-    # reco_brand_cooccurrence_topk, orders_duplicate_invoice_detection)
-    # follow behind the window and front in r11 — the window-policy test
-    # enforces that rotation once CORRECTNESS_r10 lands. Every registered
-    # row is re-verified locally by scripts/parity_sweep.py regardless.
-    "cdc_compaction_debt_report", "streaming_compaction_debt_equiv",
-    "tokenizer_fertility_by_source", "dedup_method_agreement",
-    "ann_radius_search_report", "embedding_kcenter_coreset",
-    "quality_dedup_bias_audit", "quality_spearman_quality_logprob",
-    "corpus_decontaminate_ngram_sweep", "corpus_token_budget_waterfill",
-    "corpus_curriculum_schedule", "events_fano_timescales",
-    "events_value_drift_tv", "events_synchrony_minutes",
-    "events_self_transition_rate", "events_error_mtbf",
-    "events_newcomer_load", "events_hour_of_week_profile",
-    "events_seasonal_strength", "events_trend_break",
-    "events_ohlc_bars", "events_attribution_last_touch",
-    "events_km_conversion_survival", "events_bootstrap_mean_ci",
-    "events_ab_power_mde", "events_attribution_first_touch",
-    "events_user_concentration", "events_heavy_hitter_turnover",
-    "pivot_unpivot_roundtrip", "validation_fk_orphans_report",
-    "orders_revenue_wow", "parts_brand_share_shift",
-    "customer_tier_migration", "orders_rapid_repeat_orders",
-    "orders_return_rate_by_age", "parts_single_source_risk",
-    "orders_sla_attainment", "orders_dow_uniformity",
-    "lineitem_discount_quantity_corr", "customers_balance_profile",
-    "parts_type_class_revenue", "trade_flow_matrix",
-    "orders_open_aging", "orders_size_value_curve",
-    # rule 3: no refill slots this round — 2 + 4 + 44 = 50.
+    # rotating CDC row (r11 rotation: cdc_idempotent_replay, the S10
+    # at-least-once core, green r8 — cdc_envelope_transform rotated out
+    # after its r10 green).
+    "cdc_current_state", "cdc_idempotent_replay",
+    # rule 2: the full never-driver-checked queue — all 43 session-2
+    # additions that registered after the r10 gate ran (VERDICT r10 #1).
+    # 2 + 43 = 45 ≤ 50, so the queue drains completely this round and the
+    # registry reaches 100% driver-checked for the first time. Order is
+    # registration (module) order.
+    "cdc_bucket_skew_report", "streaming_retention_cohort_equiv",
+    "streaming_cusum_equiv", "text_bigram_entropy_rate",
+    "sketch_hll_error_sweep", "layout_minmax_pruning_report",
+    "bpe_compression_curve", "graph_type_audience_overlap",
+    "retrieval_query_likelihood_eval", "retrieval_hard_negatives_mine",
+    "retrieval_pr_curve", "corpus_dsir_mix_shift",
+    "similarity_mmr_rerank", "embedding_knn_margin_profile",
+    "embedding_intrinsic_dimension", "embedding_isotropy_report",
+    "multimodal_aspect_ratio_buckets", "multimodal_phash_hamming_sweep",
+    "text_ocr_garbage_score", "text_cross_source_crossentropy",
+    "quality_ccnet_ppl_buckets", "quality_filter_cascade_report",
+    "quality_lang_bias_auc", "quality_langid_fleiss_kappa",
+    "quality_length_psi", "corpus_epoch_shuffle_audit",
+    "events_retention_cohort_matrix", "events_peak_concurrent_sessions",
+    "events_daily_anomaly_mad", "events_attribution_position_weighted",
+    "events_retention_halflife", "suppliers_speed_ranking",
+    "orders_revenue_drawdown", "orders_littles_law_audit",
+    "orders_revenue_pvm_bridge", "reco_brand_cooccurrence_topk",
+    "orders_duplicate_invoice_detection", "orders_ltv_cohort_matrix",
+    "orders_fulfillment_lag_percentiles", "orders_supplier_hhi",
+    "orders_skyline_pareto", "asof_tolerance_latest_order",
+    "asof_nearest_order",
+    # rule 3: 5 refill slots — queries materially edited at the r10/r11
+    # boundary (7686a10: kcenter single-floor rounding, waterfill zero
+    # guard) plus the oldest-proof heavy families, re-proven at the driver
+    # after their edits. These slots are swapped for new r11 queries as
+    # they land (a new registration is never-checked and must front).
+    "embedding_kcenter_coreset", "corpus_token_budget_waterfill",
+    "retrieval_known_item_eval", "dedup_roi_curve",
+    "sketch_bloom_error_sweep",
 ]
 
 
