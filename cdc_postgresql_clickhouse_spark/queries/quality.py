@@ -1204,9 +1204,17 @@ def quality_lang_bias_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
         .select(
             "source", "n_pos", "n_neg",
+            # DECIMAL(38,0) intermediates: r2_pos grows ~2*n_pos*n, so the
+            # *500000 scale overflows int64 once a source holds ~3M docs —
+            # Spark (non-ANSI) would wrap silently to a wrong AUC while
+            # DuckDB raises (ADVICE r10). The 128-bit lane (HUGEINT on the
+            # oracle side) keeps the product exact to ~1e33 docs; the
+            # quotient itself is ≤ 1e6 so the final BIGINT cast is safe.
             F.expr(
-                "(r2_pos - n_pos * (n_pos + 1)) * 500000 div (n_pos * n_neg)"
-            ).cast("long").alias("auc_ppm"),
+                "CAST((CAST(r2_pos AS DECIMAL(38,0))"
+                " - CAST(n_pos AS DECIMAL(38,0)) * (n_pos + 1)) * 500000"
+                " DIV (CAST(n_pos AS DECIMAL(38,0)) * n_neg) AS BIGINT)"
+            ).alias("auc_ppm"),
         )
     )
 
@@ -1256,7 +1264,8 @@ agg AS (
 )
 SELECT source, n_pos,
        (n - n_pos)::BIGINT AS n_neg,
-       ((r2_pos - n_pos * (n_pos + 1)) * 500000 // (n_pos * (n - n_pos)))::BIGINT
+       (((CAST(r2_pos AS HUGEINT) - CAST(n_pos AS HUGEINT) * (n_pos + 1)) * 500000
+         // (CAST(n_pos AS HUGEINT) * (n - n_pos))))::BIGINT
          AS auc_ppm
 FROM agg WHERE n_pos > 0 AND n - n_pos > 0
 """
@@ -1320,10 +1329,18 @@ def quality_langid_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = F.lit(2) * (
         F.lit(9) * F.col("n_items") * F.col("n_items") - F.col("c2_sum")
     )
+    # d == 0 exactly when all three raters agree on ONE category for every
+    # document (c2_sum = (3N)^2): P_e = 1 and kappa is undefined — NULL on
+    # both engines (the halflife/TwoNN null-on-undefined convention).
+    # Without the guard Spark's 0/0 NaN casts to 0 while DuckDB errors
+    # (ADVICE r10).
     return out.select(
         "n_items", "s_sum", "c2_sum",
-        F.floor(a.cast("double") / d.cast("double") * F.lit(1000000.0))
-        .cast("long").alias("kappa_ppm"),
+        F.when(
+            d > 0,
+            F.floor(a.cast("double") / d.cast("double") * F.lit(1000000.0))
+            .cast("long"),
+        ).alias("kappa_ppm"),
     )
 
 
@@ -1344,10 +1361,12 @@ cj AS (SELECT cat, COUNT(*)::BIGINT AS c FROM assigns GROUP BY cat),
 s_tot AS (SELECT COUNT(*)::BIGINT AS n_items, SUM(s_i)::BIGINT AS s_sum FROM per_item),
 c2_tot AS (SELECT SUM(c * c)::BIGINT AS c2_sum FROM cj)
 SELECT n_items, s_sum, c2_sum,
-       CAST(FLOOR(
-         CAST(3 * n_items * (s_sum - 3 * n_items) - 2 * c2_sum AS DOUBLE)
-         / CAST(2 * (9 * n_items * n_items - c2_sum) AS DOUBLE) * 1000000.0
-       ) AS BIGINT) AS kappa_ppm
+       CASE WHEN 2 * (9 * n_items * n_items - c2_sum) > 0 THEN
+         CAST(FLOOR(
+           CAST(3 * n_items * (s_sum - 3 * n_items) - 2 * c2_sum AS DOUBLE)
+           / CAST(2 * (9 * n_items * n_items - c2_sum) AS DOUBLE) * 1000000.0
+         ) AS BIGINT)
+       END AS kappa_ppm
 FROM s_tot CROSS JOIN c2_tot
 """
 

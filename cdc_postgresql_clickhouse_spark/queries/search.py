@@ -381,7 +381,12 @@ def retrieval_known_item_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_KIE = f"""
+# Shared CTE prefix (postings -> scored -> ranked -> rel): the KIE oracle,
+# the NDCG oracle, and the PR-curve oracle all compose from this one
+# constant rather than re-slicing each other's SQL text (ADVICE r10: the
+# former rindex/rpartition surgery silently broke on any cosmetic edit to
+# the KIE final SELECT).
+_SQL_KIE_CTES = f"""
 WITH postings AS (
   SELECT doc_id, term, COUNT(*) AS tf FROM (
     SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents
@@ -423,6 +428,9 @@ ranked AS (
   WHERE rank <= {BM25_TOPK}
 ),
 rel AS (SELECT query, rank FROM ranked WHERE doc_id = CAST(query AS BIGINT))
+"""
+
+_SQL_KIE = f"""{_SQL_KIE_CTES}
 SELECT (SELECT COUNT(DISTINCT query) FROM q) AS n_queries,
        CAST(COALESCE(SUM(CASE WHEN rank = 1 THEN 1 END), 0) AS BIGINT) AS hits_at1,
        CAST(COUNT(*) AS BIGINT) AS hits_at_topk,
@@ -481,16 +489,12 @@ def retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_ndcg() -> str:
     gains = " ".join(f"WHEN {r} THEN {g}" for r, g in NDCG_GAINS.items())
-    base = ORACLE["retrieval_known_item_eval"]
-    head, _, _tail = base.rpartition("SELECT (SELECT COUNT(DISTINCT query) FROM q)")
-    return (
-        head
-        + f"""SELECT (SELECT COUNT(DISTINCT query) FROM q) AS n_queries,
+    return f"""{_SQL_KIE_CTES}
+SELECT (SELECT COUNT(DISTINCT query) FROM q) AS n_queries,
        CAST(COUNT(*) AS BIGINT) AS hits_at_topk,
        CAST(COALESCE(SUM(CASE rank {gains} END), 0) AS BIGINT) AS ndcg_sum_ppm
 FROM rel
 """
-    )
 
 
 PENDING_QUERIES = {"retrieval_ndcg_eval": retrieval_ndcg_eval}
@@ -873,11 +877,8 @@ def retrieval_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_pr_curve() -> str:
-    base = ORACLE["retrieval_known_item_eval"]
-    # reuse the KIE pipeline up to `rel` (everything before the final SELECT)
-    prefix = base[: base.rindex("SELECT (SELECT COUNT(DISTINCT query)")]
     ks = ", ".join(str(k) for k in PR_KS)
-    return f"""{prefix.rstrip().rstrip(',')},
+    return f"""{_SQL_KIE_CTES.rstrip().rstrip(',')},
 nq AS (SELECT COUNT(DISTINCT query)::BIGINT AS n_queries FROM q),
 grid AS (
   SELECT k, rank FROM rel, (SELECT unnest([{ks}]) AS k)

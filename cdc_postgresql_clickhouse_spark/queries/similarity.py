@@ -2237,11 +2237,21 @@ QUERIES["embedding_knn_margin_profile"] = embedding_knn_margin_profile
 # undefined mu and are excluded (counted in n_degenerate). ln(mu)
 # floors ONCE per query to micro-nats; the fold is exact integers.
 
+TWONN_MAX_Q = 2048
+
+
 def embedding_intrinsic_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", _emb_d().alias("e"), _norm(_emb_d()).alias("nrm")
     )
-    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+    # Constant-capped query sample (VERDICT r10 #6): % 100 alone grows the
+    # broadcast side with n, turning the probe into O(n^2/100). The cap
+    # bounds it at TWONN_MAX_Q queries — O(n * TWONN_MAX_Q) total — and the
+    # TwoNN MLE is sample-consistent, so a fixed sample still estimates ID.
+    # No-op below vec_id = 100 * TWONN_MAX_Q (all current SFs).
+    q = emb.filter(
+        (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 100 * TWONN_MAX_Q)
+    ).select(
         F.col("vec_id").alias("q_id"),
         F.col("e").alias("qe"),
         F.col("nrm").alias("qn"),
@@ -2283,7 +2293,8 @@ def embedding_intrinsic_dimension(spark: SparkSession, sf_dir: str) -> DataFrame
 
 ORACLE["embedding_intrinsic_dimension"] = f"""
 WITH emb AS (SELECT vec_id, {_SQL_EMB} AS e FROM embeddings),
-q AS (SELECT vec_id AS q_id, e AS qe FROM emb WHERE vec_id % 100 = 0),
+q AS (SELECT vec_id AS q_id, e AS qe FROM emb
+      WHERE vec_id % 100 = 0 AND vec_id < {100 * TWONN_MAX_Q}),
 scored AS (
   SELECT q_id, vec_id,
          1000000 - CAST(FLOOR(({_SQL_MARGIN_RAW}) * 1000000.0) AS BIGINT) AS d

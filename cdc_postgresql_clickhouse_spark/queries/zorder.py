@@ -170,7 +170,7 @@ def layout_minmax_pruning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderkey").alias("klo"), F.max("o_orderkey").alias("khi"),
         F.min("d").alias("dlo"), F.max("d").alias("dhi"),
     )
-    chunked = o.crossJoin(F.broadcast(lim)).select(
+    chunked_plan = o.crossJoin(F.broadcast(lim)).select(
         "d", "q",
         F.least(
             F.lit(PRUNE_CHUNKS - 1),
@@ -181,9 +181,14 @@ def layout_minmax_pruning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"((d - dlo) * {PRUNE_CHUNKS}) div (dhi - dlo + 1)"),
         ).cast("long").alias("chunk_sorted"),
     )
+    # Materialization barrier: zone() reads `chunked` once per layout and
+    # broadcasts `quarters` into each — without the fence the orders scan
+    # plus the lim aggregate re-derive per layout (the diamond-lineage
+    # re-derivation class the PSI and daily-MAD plans fence; ADVICE r10).
+    chunked = chunked_plan.localCheckpoint(eager=True)
     quarters = o.groupBy("q").agg(
         F.min("d").alias("qlo"), F.max("d").alias("qhi")
-    )
+    ).localCheckpoint(eager=True)
 
     def zone(col, layout):
         zm = chunked.groupBy(F.col(col).alias("chunk")).agg(
