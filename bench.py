@@ -417,6 +417,25 @@ HEADLINE = [
 ]
 
 
+def _calibration_probe(spark) -> float:
+    """Constant-work probe: a fixed CPU-bound JVM aggregation independent of
+    the SF dir and the registry. Identical work every invocation, so the
+    ratio of probe times between two bench artifacts (or between the start
+    and end of one) measures host contention drift — the r10 seal drifted
+    1.25x on byte-identical queries over a 5.5 h session (VERDICT r10 #3);
+    recording the probe next to the totals makes that drift visible inside
+    the artifact instead of poisoning round-over-round comparison. Best of
+    3 to shed scheduler noise, same policy as the query timings."""
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(0, 600_000_000, 1, 32).selectExpr(
+            "sum(id * 2654435761 % 1000003) AS s"
+        ).collect()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
@@ -450,6 +469,7 @@ def main() -> None:
     else:
         spark.range(1000).count()
 
+    probe_pre = _calibration_probe(spark)
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_REPEATS", "5")))
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -471,6 +491,7 @@ def main() -> None:
                 file=sys.stderr,
             )
 
+    probe_post = _calibration_probe(spark)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     result = {
         "metric": "headline_queries_total_runtime",
@@ -479,6 +500,9 @@ def main() -> None:
         "queries": timings,
         "repeats": repeats,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # constant-work calibration (see _calibration_probe): compare
+        # probe_sec across artifacts before declaring any line a regression
+        "probe_sec": {"pre": probe_pre, "post": probe_post},
     }
     full_line = json.dumps(result)
     repo = os.path.dirname(os.path.abspath(__file__))
