@@ -2064,7 +2064,7 @@ pairsim AS MATERIALIZED (
   JOIN vecs x ON x.vec_id = a.neighbor_id
   JOIN vecs y ON y.vec_id = b.neighbor_id
 ),
-sel1 AS (
+sel1 AS MATERIALIZED (
   SELECT q_id, CAST(1 AS BIGINT) AS mmr_rank, neighbor_id, rel_micro,
          CAST({lam} * rel_micro AS BIGINT) AS mmr_micro
   FROM pool WHERE rn = 1
@@ -2074,8 +2074,14 @@ sel1 AS (
         prev = " UNION ALL ".join(
             f"SELECT q_id, neighbor_id FROM sel{r}" for r in range(1, t)
         )
+        # MATERIALIZED, like the bases: round t references sel1..sel{{t-1}}
+        # TWICE (maxsim join + NOT EXISTS), so un-fenced rounds re-inline
+        # the whole prior chain exponentially in K — the plan's operator
+        # count alone pinned >512MB of join reservations at sf0.001
+        # (caught by tests/test_oracle_memory_lint.py when the session-2
+        # shapes joined the hardened sweep).
         ctes.append(
-            f"""sel{t} AS (
+            f"""sel{t} AS MATERIALIZED (
   SELECT q_id, CAST({t} AS BIGINT) AS mmr_rank, neighbor_id, rel_micro, mmr_micro
   FROM (
     SELECT p.q_id, p.neighbor_id, p.rel_micro,

@@ -89,6 +89,21 @@ _HARDENED = (
     "dedup_minhash_lsh",
     "dedup_method_agreement",
     "dedup_lsh_tuning_report",
+    # session-2 additions with the deepest CTE stacks (VERDICT r10 #8):
+    # the lint was written against the r9 shingle/fan-out signature, so the
+    # new retrieval/quality/text shapes get the same hard in-memory ceiling
+    "retrieval_query_likelihood_eval",
+    "retrieval_pr_curve",
+    "quality_lang_bias_auc",
+    "quality_langid_fleiss_kappa",
+    "quality_ccnet_ppl_buckets",
+    "quality_filter_cascade_report",
+    "quality_length_psi",
+    "text_cross_source_crossentropy",
+    "text_bigram_entropy_rate",
+    "similarity_mmr_rerank",
+    "sketch_hll_error_sweep",
+    "multimodal_phash_hamming_sweep",
 )
 
 _SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
@@ -106,7 +121,10 @@ def test_hardened_oracle_runs_under_tiny_memory_cap(name):
     try:
         con.execute("SET memory_limit='512MB'")
         con.execute("SET threads=4")
-        for t in ("documents", "embeddings", "events"):
+        for t in (
+            "documents", "embeddings", "events", "orders", "lineitem",
+            "customer", "supplier", "part", "nation", "region",
+        ):
             path = os.path.join(_SF_DIR, f"{t}.parquet")
             if os.path.exists(path):
                 con.execute(
