@@ -2288,3 +2288,162 @@ FROM scored s JOIN exact x ON x.event_type = s.event_type
 
 QUERIES["sketch_hll_error_sweep"] = sketch_hll_error_sweep
 ORACLE["sketch_hll_error_sweep"] = _sql_hll_sweep()
+
+
+# --- Bottom-k MinHash Jaccard error sweep — round 11 ---------------------------
+#
+# Completes the error-sweep family (bloom: FP rate, CMS: overcount, KMV/
+# HLL: cardinality) with the estimator the DEDUP layer actually relies
+# on: bottom-k (KMV) Jaccard (Broder 1997 / Bar-Yossef 2002 — hash the
+# UNION of two sets, keep the k smallest, count how many live in both;
+# E[matches/k] = J). Sets are the word-3-shingle vocabularies of ADJACENT
+# sources in lexicographic order (19 pairs — linear fan-out, every source
+# sits in at most 2 pairs; the all-pairs picture belongs to
+# dedup_cross_source_matrix). Per (k, pair): exact Jaccard in ppm, the
+# bottom-k estimate, and the absolute error — the curve that justifies
+# MinHash signature sizes in dedup_minhash_lsh.
+#
+# Hash = md5 hex of the shingle, compared as a string: engine-identical,
+# uniform, and already the house KMV device. Integer ppm throughout.
+#
+# Scale shape: one documents scan -> distinct (source, shingle) -> a
+# 2-row bounded fan-out to (pair, side) -> per-pair membership rollup ->
+# ONE ranking window per pair over union shingles. No joins beyond the
+# 20-row broadcast rank table; no all-pairs blowup.
+
+BOTTOMK_JACCARD_KS = (16, 64, 256)
+
+
+def sketch_bottomk_jaccard_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_postgresql_clickhouse_spark.functions.text import tokens, word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.select("source", word_shingles(tokens(F.col("text"))).alias("shs"))
+        .select("source", F.explode("shs").alias("sh"))
+        .distinct()
+    )
+    ranks = (
+        sh.select("source").distinct()
+        .select(
+            "source",
+            F.row_number().over(Window.orderBy("source")).cast("long").alias("r"),
+        )
+    )
+    sided = sh.join(F.broadcast(ranks), "source").select(
+        "sh",
+        F.col("r").alias("r"),
+    )
+    # source with rank r is the LEFT member of pair r and the RIGHT member
+    # of pair r-1; pair ids 1..n_sources-1
+    n_src = F.max("r").over(Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    fan = sided.withColumn("n_src", n_src).select(
+        "sh",
+        F.explode(
+            F.filter(
+                F.array(
+                    F.struct(F.col("r").alias("pair_id"), F.lit(1).alias("is_a")),
+                    F.struct((F.col("r") - 1).alias("pair_id"), F.lit(0).alias("is_a")),
+                ),
+                lambda s: (s["pair_id"] >= 1) & (s["pair_id"] < F.col("n_src")),
+            )
+        ).alias("m"),
+    ).select("sh", F.col("m.pair_id").alias("pair_id"), F.col("m.is_a").alias("is_a"))
+    member = fan.groupBy("pair_id", "sh").agg(
+        F.max("is_a").alias("in_a"),
+        F.max(1 - F.col("is_a")).alias("in_b"),
+    )
+    w = Window.partitionBy("pair_id").orderBy(F.md5("sh"), "sh")
+    ranked = member.withColumn("rn", F.row_number().over(w))
+    per_pair = ranked.groupBy("pair_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_union"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_inter"),
+        *[
+            F.sum(
+                F.when(F.col("rn") <= k, F.col("in_a") * F.col("in_b")).otherwise(0)
+            ).cast("long").alias(f"m_{k}")
+            for k in BOTTOMK_JACCARD_KS
+        ],
+    )
+    arms = F.array(
+        *[
+            F.struct(F.lit(k).cast("long").alias("k"), F.col(f"m_{k}").alias("matches"))
+            for k in BOTTOMK_JACCARD_KS
+        ]
+    )
+    out = per_pair.select(
+        "pair_id", "n_union", "n_inter", F.explode(arms).alias("a")
+    )
+    est = F.expr("a.matches * 1000000 div least(a.k, n_union)")
+    exact = F.expr("n_inter * 1000000 div n_union")
+    return out.select(
+        F.col("a.k").alias("k"),
+        F.col("pair_id").cast("long").alias("pair_id"),
+        "n_union", "n_inter",
+        exact.cast("long").alias("jaccard_exact_ppm"),
+        est.cast("long").alias("jaccard_est_ppm"),
+        F.abs(est - exact).cast("long").alias("abs_err_ppm"),
+    )
+
+
+def _sql_bottomk_jaccard() -> str:
+    from cdc_postgresql_clickhouse_spark.queries.dedup import _SQL_TOKENS
+
+    shingles = (
+        "unnest(list_transform(range(1, len(toks) - 1), "
+        "i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))"
+    )
+    marms = ",\n         ".join(
+        f"SUM(CASE WHEN rn <= {k} THEN in_a * in_b ELSE 0 END)::BIGINT AS m_{k}"
+        for k in BOTTOMK_JACCARD_KS
+    )
+    unions = " UNION ALL ".join(
+        f"SELECT {k} AS k, pair_id, n_union, n_inter, m_{k} AS matches FROM per_pair"
+        for k in BOTTOMK_JACCARD_KS
+    )
+    return f"""
+WITH sh AS MATERIALIZED (
+  SELECT DISTINCT source, sh FROM (
+    SELECT source, {shingles} AS sh
+    FROM (SELECT source, {_SQL_TOKENS} AS toks FROM documents)
+  )
+),
+ranks AS (
+  SELECT source, row_number() OVER (ORDER BY source)::BIGINT AS r
+  FROM (SELECT DISTINCT source FROM sh)
+),
+ns AS (SELECT MAX(r) AS n_src FROM ranks),
+fan AS (
+  SELECT sh.sh, p.pair_id, p.is_a
+  FROM sh JOIN ranks USING (source) CROSS JOIN ns,
+       LATERAL (VALUES (r, 1), (r - 1, 0)) AS p(pair_id, is_a)
+  WHERE p.pair_id >= 1 AND p.pair_id < ns.n_src
+),
+member AS MATERIALIZED (
+  SELECT pair_id, sh, MAX(is_a) AS in_a, MAX(1 - is_a) AS in_b
+  FROM fan GROUP BY 1, 2
+),
+ranked AS (
+  SELECT pair_id, in_a, in_b,
+         row_number() OVER (PARTITION BY pair_id ORDER BY md5(sh), sh) AS rn
+  FROM member
+),
+per_pair AS MATERIALIZED (
+  SELECT pair_id,
+         COUNT(*)::BIGINT AS n_union,
+         SUM(in_a * in_b)::BIGINT AS n_inter,
+         {marms}
+  FROM ranked GROUP BY pair_id
+)
+SELECT CAST(k AS BIGINT) AS k, CAST(pair_id AS BIGINT) AS pair_id,
+       n_union, n_inter,
+       (n_inter * 1000000 // n_union)::BIGINT AS jaccard_exact_ppm,
+       (matches * 1000000 // LEAST(k, n_union))::BIGINT AS jaccard_est_ppm,
+       ABS((matches * 1000000 // LEAST(k, n_union))
+           - (n_inter * 1000000 // n_union))::BIGINT AS abs_err_ppm
+FROM ({unions})
+"""
+
+
+QUERIES["sketch_bottomk_jaccard_sweep"] = sketch_bottomk_jaccard_sweep
+ORACLE["sketch_bottomk_jaccard_sweep"] = _sql_bottomk_jaccard()

@@ -1761,3 +1761,70 @@ FROM h2 JOIN h1 USING (source)
 
 QUERIES["text_bigram_entropy_rate"] = text_bigram_entropy_rate
 ORACLE["text_bigram_entropy_rate"] = _sql_entropy_rate()
+
+
+# --- Lexical richness profile (hapax / Yule's K) — round 11 --------------------
+#
+# The stylometric vocabulary-health panel next to text_mattr_diversity
+# (windowed TTR) and text_zipf_fit (rank-frequency slope): per source, the
+# type-token ratio, hapax/dis legomena counts (the Zipf tail mass — a
+# source whose hapax share collapses is template-generated or deduped too
+# hard; one whose hapax share explodes is OCR noise), and Yule's K
+# characteristic K = 1e4 * (M2 - M1) / M1^2 (Yule 1944) — the classic
+# repetitiveness constant that is length-invariant where raw TTR is not.
+# M2 = sum of squared type frequencies rides a DECIMAL(38,0)/HUGEINT lane:
+# a token repeating >3e9 times in one source would overflow int64 cnt^2
+# (the quality_lang_bias_auc convention), and the final K lands in micro
+# units via one exact integer division.
+#
+# Scale shape: one scan -> explode -> (source, token) count -> one bounded
+# per-source fold. No joins, no windows; the type table is the same
+# intermediate the tfidf/keyness family shuffles, partitioned by source.
+
+def text_lexical_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(tokens(F.col("text"))).alias("t"))
+    byt = tok.groupBy("source", "t").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    agg = byt.groupBy("source").agg(
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+        F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0)).cast("long").alias("n_hapax"),
+        F.sum(F.when(F.col("cnt") == 2, 1).otherwise(0)).cast("long").alias("n_dis"),
+        F.sum(F.col("cnt").cast("decimal(38,0)") * F.col("cnt")).alias("m2"),
+    )
+    return agg.select(
+        "source", "n_tokens", "vocab_size", "n_hapax", "n_dis",
+        F.expr("vocab_size * 1000000 div n_tokens").cast("long").alias("ttr_ppm"),
+        F.expr("n_hapax * 1000000 div vocab_size").cast("long")
+        .alias("hapax_vocab_ppm"),
+        F.expr(
+            "CAST((m2 - n_tokens) * 10000000000 DIV"
+            " (CAST(n_tokens AS DECIMAL(38,0)) * n_tokens) AS BIGINT)"
+        ).alias("yule_k_micro"),
+    )
+
+
+_SQL_LEXICAL_RICHNESS = f"""
+WITH tok AS (SELECT source, unnest({_SQL_TOKENS}) AS t FROM documents),
+byt AS (SELECT source, t, COUNT(*)::BIGINT AS cnt FROM tok GROUP BY 1, 2),
+agg AS (
+  SELECT source,
+         SUM(cnt)::BIGINT AS n_tokens,
+         COUNT(*)::BIGINT AS vocab_size,
+         SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax,
+         SUM(CASE WHEN cnt = 2 THEN 1 ELSE 0 END)::BIGINT AS n_dis,
+         SUM(CAST(cnt AS HUGEINT) * cnt) AS m2
+  FROM byt GROUP BY source
+)
+SELECT source, n_tokens, vocab_size, n_hapax, n_dis,
+       (vocab_size * 1000000 // n_tokens)::BIGINT AS ttr_ppm,
+       (n_hapax * 1000000 // vocab_size)::BIGINT AS hapax_vocab_ppm,
+       CAST((m2 - n_tokens) * 10000000000
+            // (CAST(n_tokens AS HUGEINT) * n_tokens) AS BIGINT) AS yule_k_micro
+FROM agg
+"""
+
+QUERIES["text_lexical_richness"] = text_lexical_richness
+ORACLE["text_lexical_richness"] = _SQL_LEXICAL_RICHNESS

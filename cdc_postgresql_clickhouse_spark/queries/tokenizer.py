@@ -496,3 +496,103 @@ for _n in _REGISTER_WAVE1:
     QUERIES[_n] = PENDING_QUERIES.pop(_n)
     ORACLE[_n] = PENDING_ORACLE.pop(_n)
 del _n
+
+
+# --- Vocabulary OOV curve — round 11 --------------------------------------------
+#
+# The coverage sweep the single-size fertility report
+# (tokenizer_fertility_by_source) cannot show: for each candidate word-
+# vocab size K in OOV_KS, the per-source share of token OCCURRENCES that
+# fall outside the global top-K vocabulary (frequency desc, word asc tie
+# break — the deterministic rank every tokenizer query uses). The curve
+# is how a vocab budget is actually chosen: the K where the OOV mass of
+# the worst source drops below the byte-fallback budget. Per (k, source):
+# total token mass, OOV mass, oov_ppm.
+#
+# Scale shape: one scan -> global (token, cnt) rollup; ranking is a
+# single window over the VOCABULARY (types, not occurrences — the
+# keyness/zipf device); per-source masses join source-grain counts to the
+# ranked vocab on token and fold with one conditional sum per K (the
+# bounded OOV_KS grid rides as CASE arms, never a fan-out join).
+
+OOV_KS = (64, 256, 1024)
+
+
+def tokenizer_oov_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(tokens(F.col("text"))).alias("t"))
+    per_src = tok.groupBy("source", "t").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    glob = per_src.groupBy("t").agg(F.sum("cnt").cast("long").alias("gcnt"))
+    ranked = glob.select(
+        "t",
+        F.row_number()
+        .over(Window.orderBy(F.desc("gcnt"), F.asc("t")))
+        .cast("long")
+        .alias("rnk"),
+    )
+    joined = per_src.join(ranked, "t")
+    folded = joined.groupBy("source").agg(
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        *[
+            F.sum(F.when(F.col("rnk") > k, F.col("cnt")).otherwise(0))
+            .cast("long")
+            .alias(f"oov_{k}")
+            for k in OOV_KS
+        ],
+    )
+    arms = F.array(
+        *[
+            F.struct(
+                F.lit(k).cast("long").alias("k"),
+                F.col(f"oov_{k}").alias("oov_tokens"),
+            )
+            for k in OOV_KS
+        ]
+    )
+    return (
+        folded.select("source", "n_tokens", F.explode(arms).alias("a"))
+        .select(
+            F.col("a.k").alias("k"), "source", "n_tokens",
+            F.col("a.oov_tokens").alias("oov_tokens"),
+            F.expr("a.oov_tokens * 1000000 div n_tokens").cast("long")
+            .alias("oov_ppm"),
+        )
+    )
+
+
+def _sql_oov_curve() -> str:
+    arms = ",\n         ".join(
+        f"SUM(CASE WHEN rnk > {k} THEN cnt ELSE 0 END)::BIGINT AS oov_{k}"
+        for k in OOV_KS
+    )
+    unions = " UNION ALL ".join(
+        f"SELECT {k} AS k, source, n_tokens, oov_{k} AS oov_tokens FROM folded"
+        for k in OOV_KS
+    )
+    return f"""
+WITH tok AS (SELECT source, unnest({_SQL_TOKENS}) AS t FROM documents),
+per_src AS MATERIALIZED (
+  SELECT source, t, COUNT(*)::BIGINT AS cnt FROM tok GROUP BY 1, 2
+),
+ranked AS (
+  SELECT t, row_number() OVER (ORDER BY SUM(cnt) DESC, t)::BIGINT AS rnk
+  FROM per_src GROUP BY t
+),
+folded AS MATERIALIZED (
+  SELECT source, SUM(cnt)::BIGINT AS n_tokens,
+         {arms}
+  FROM per_src JOIN ranked USING (t)
+  GROUP BY source
+)
+SELECT CAST(k AS BIGINT) AS k, source, n_tokens, oov_tokens,
+       (oov_tokens * 1000000 // n_tokens)::BIGINT AS oov_ppm
+FROM ({unions})
+"""
+
+
+QUERIES["tokenizer_oov_curve"] = tokenizer_oov_curve
+ORACLE["tokenizer_oov_curve"] = _sql_oov_curve()
