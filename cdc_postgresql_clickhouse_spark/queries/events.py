@@ -4027,3 +4027,324 @@ WHERE n.n_points >= {RET_MIN_POINTS}
 
 QUERIES["events_retention_halflife"] = events_retention_halflife
 ORACLE["events_retention_halflife"] = _SQL_RET_HALFLIFE
+
+
+# --- Sample-ratio-mismatch (SRM) check — round 11 ------------------------------
+#
+# The A/B guardrail that runs BEFORE events_ab_power_mde's power math is
+# trusted: users hash into two arms (first md5 nibble parity — the house
+# engine-portable hash), and per entry week (the week of a user's FIRST
+# event) the arm counts are tested against the designed 50/50 split with
+# a 1-df chi-square. A week whose chi2 exceeds 3.841 (alpha = 0.05) is a
+# sample-ratio mismatch — assignment or logging is broken and every
+# downstream lift number for that cohort is suspect (Fabijan et al. 2019).
+# chi2 lands exactly: (n_a - n_b)^2 * 1e6 div (n_a + n_b), all integers.
+#
+# Scale shape: one scan -> per-user min(ts) (single shuffle on user_id)
+# -> per-(week, arm) count -> bounded weeks x 2 fold. No windows over the
+# event grain.
+
+def events_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    first = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    arm = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1),
+        )
+        - F.lit(1)
+    ) % 2
+    weekly = (
+        first.select(
+            F.date_trunc("week", F.col("first_ts")).alias("week_start"),
+            arm.alias("arm"),
+        )
+        .groupBy("week_start")
+        .agg(
+            F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("long").alias("n_arm_a"),
+            F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long").alias("n_arm_b"),
+        )
+    )
+    chi2 = F.expr(
+        "(n_arm_a - n_arm_b) * (n_arm_a - n_arm_b) * 1000000 div (n_arm_a + n_arm_b)"
+    ).cast("long")
+    return weekly.select(
+        "week_start", "n_arm_a", "n_arm_b",
+        chi2.alias("chi2_micro"),
+        (chi2 > 3841459).cast("int").alias("srm_flag"),
+    )
+
+
+_SQL_SRM = """
+WITH first AS (
+  SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY user_id
+),
+weekly AS (
+  SELECT date_trunc('week', first_ts)::TIMESTAMP AS week_start,
+         ((instr('0123456789abcdef',
+                 substring(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1) % 2) AS arm
+  FROM first
+),
+counts AS (
+  SELECT week_start,
+         SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n_arm_a,
+         SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n_arm_b
+  FROM weekly GROUP BY week_start
+)
+SELECT week_start, n_arm_a, n_arm_b,
+       ((n_arm_a - n_arm_b) * (n_arm_a - n_arm_b) * 1000000
+        // (n_arm_a + n_arm_b))::BIGINT AS chi2_micro,
+       CASE WHEN ((n_arm_a - n_arm_b) * (n_arm_a - n_arm_b) * 1000000
+                  // (n_arm_a + n_arm_b)) > 3841459 THEN 1 ELSE 0 END
+         ::INTEGER AS srm_flag
+FROM counts
+"""
+
+QUERIES["events_srm_check"] = events_srm_check
+ORACLE["events_srm_check"] = _SQL_SRM
+
+
+# --- CUPED variance reduction — round 11 ----------------------------------------
+#
+# The industry-standard A/B variance-reduction device (Deng et al. 2013,
+# "CUPED"): per user, the PRE-period spend (first half of the time range)
+# is the covariate X for the POST-period spend Y; theta = cov(X,Y)/var(X)
+# is fit on the pooled population and each arm reports its raw and
+# CUPED-adjusted post-period mean, y_adj = ybar_arm - theta*(xbar_arm -
+# xbar). var_reduction_ppm = rho^2 is the fraction of metric variance the
+# adjustment removes — the factor by which the experiment's sample-size
+# requirement shrinks. Arms reuse events_srm_check's md5-nibble hash.
+#
+# Numerics: per-user cent sums are exact BIGINTs; the covariance moments
+# ride DECIMAL(38,0)/HUGEINT (n * Sxy etc. overflow int64 past ~1e5-user
+# fixtures' comfort), theta/means divide as doubles cast from those exact
+# 128-bit integers (correctly-rounded in both engines), and each output
+# floors ONCE to micro.
+#
+# Scale shape: one scan -> per-user (pre, post) cent sums (single shuffle
+# on user_id) -> one 5-moment corpus fold + one per-arm fold, crossed
+# against the broadcast one-row theta frame. No windows, no joins at the
+# event grain.
+
+def events_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c")
+    )
+    lim = ev.agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).select(
+        F.expr("lo + make_dt_interval(0, 0, 0, CAST(unix_timestamp(hi) - unix_timestamp(lo) AS DOUBLE) / 2)").alias("mid")
+    )
+    per_user = (
+        ev.crossJoin(F.broadcast(lim))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("ts") < F.col("mid"), F.col("c")).otherwise(0))
+            .cast("long").alias("x"),
+            F.sum(F.when(F.col("ts") >= F.col("mid"), F.col("c")).otherwise(0))
+            .cast("long").alias("y"),
+        )
+    )
+    arm = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1),
+        )
+        - F.lit(1)
+    ) % 2
+    pu = per_user.select(arm.cast("long").alias("arm"), "x", "y")
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    moments = pu.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(dec("x") * F.col("x")).alias("sxx"),
+        F.sum(dec("x") * F.col("y")).alias("sxy"),
+        F.sum(dec("y") * F.col("y")).alias("syy"),
+    ).select(
+        "n", "sx", "sy",
+        F.expr("CAST(CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)").alias("cov_n"),
+        F.expr("CAST(CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)").alias("varx_n"),
+        F.expr("CAST(CAST(n AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy AS DOUBLE)").alias("vary_n"),
+    )
+    arms = pu.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("x").cast("long").alias("sxa"),
+        F.sum("y").cast("long").alias("sya"),
+    )
+    j = arms.crossJoin(F.broadcast(moments))
+    theta = F.col("cov_n") / F.col("varx_n")
+    adj = (
+        F.col("sya").cast("double") / F.col("n_users")
+        - theta
+        * (
+            F.col("sxa").cast("double") / F.col("n_users")
+            - F.col("sx").cast("double") / F.col("n")
+        )
+    )
+    return j.select(
+        "arm", "n_users",
+        F.expr("sya * 1000000 div n_users").cast("long").alias("mean_post_micro"),
+        F.floor(adj * F.lit(1000000.0)).cast("long").alias("adj_mean_post_micro"),
+        F.floor(theta * F.lit(1000000.0)).cast("long").alias("theta_micro"),
+        F.floor(
+            F.col("cov_n") * F.col("cov_n") / (F.col("varx_n") * F.col("vary_n"))
+            * F.lit(1000000.0)
+        ).cast("long").alias("var_reduction_ppm"),
+    )
+
+
+_SQL_CUPED = """
+WITH ev AS (
+  SELECT user_id, ts, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c FROM events
+),
+lim AS (
+  SELECT MIN(ts) + INTERVAL (CAST((epoch(MAX(ts)) - epoch(MIN(ts))) / 2 AS DOUBLE)) SECOND AS mid
+  FROM ev
+),
+per_user AS (
+  SELECT user_id,
+         SUM(CASE WHEN ts < mid THEN c ELSE 0 END)::BIGINT AS x,
+         SUM(CASE WHEN ts >= mid THEN c ELSE 0 END)::BIGINT AS y
+  FROM ev CROSS JOIN lim GROUP BY user_id
+),
+pu AS (
+  SELECT ((instr('0123456789abcdef',
+                 substring(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1) % 2)::BIGINT AS arm,
+         x, y
+  FROM per_user
+),
+moments AS (
+  SELECT COUNT(*)::BIGINT AS n, SUM(x)::BIGINT AS sx, SUM(y)::BIGINT AS sy,
+         CAST(COUNT(*)::HUGEINT * SUM(CAST(x AS HUGEINT) * x)
+              - CAST(SUM(x) AS HUGEINT) * SUM(x) AS DOUBLE) AS varx_n,
+         CAST(COUNT(*)::HUGEINT * SUM(CAST(x AS HUGEINT) * y)
+              - CAST(SUM(x) AS HUGEINT) * SUM(y) AS DOUBLE) AS cov_n,
+         CAST(COUNT(*)::HUGEINT * SUM(CAST(y AS HUGEINT) * y)
+              - CAST(SUM(y) AS HUGEINT) * SUM(y) AS DOUBLE) AS vary_n
+  FROM pu
+),
+arms AS (
+  SELECT arm, COUNT(*)::BIGINT AS n_users,
+         SUM(x)::BIGINT AS sxa, SUM(y)::BIGINT AS sya
+  FROM pu GROUP BY arm
+)
+SELECT arm, n_users,
+       (sya * 1000000 // n_users)::BIGINT AS mean_post_micro,
+       CAST(FLOOR((CAST(sya AS DOUBLE) / n_users
+             - (cov_n / varx_n)
+               * (CAST(sxa AS DOUBLE) / n_users - CAST(sx AS DOUBLE) / n))
+            * 1000000.0) AS BIGINT) AS adj_mean_post_micro,
+       CAST(FLOOR((cov_n / varx_n) * 1000000.0) AS BIGINT) AS theta_micro,
+       CAST(FLOOR(cov_n * cov_n / (varx_n * vary_n) * 1000000.0) AS BIGINT)
+         AS var_reduction_ppm
+FROM arms CROSS JOIN moments
+"""
+
+QUERIES["events_cuped_adjustment"] = events_cuped_adjustment
+ORACLE["events_cuped_adjustment"] = _SQL_CUPED
+
+
+# --- Hill tail-index estimate — round 11 ----------------------------------------
+#
+# The heavy-tail detector the MAD/winsorize family assumes but never
+# fits: per event type, the Hill (1975) estimator of the Pareto tail
+# exponent over the top HILL_K order statistics of the cent value —
+# alpha = k / sum_{i<=k} ln(x_(i) / x_(k+1)). alpha < 2 means infinite
+# variance (means are unstable, bootstrap CIs lie); alpha > 4 is
+# effectively light-tailed. Each ln ratio floors ONCE to micro-nats and
+# the fold is exact integers, so alpha_milli = k * 1e9 div sum is
+# engine-exact. Ties at the k-th value break on event_id (the house
+# deterministic top-k device).
+#
+# Scale shape: per-type top-(k+1) via one ranking window — at true scale
+# this is the TakeOrderedAndProject shape per type, never a global sort;
+# everything after is a k-bounded fold.
+
+HILL_K = 200
+
+
+def events_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
+    ).filter(F.col("c") > 0)
+    w = Window.partitionBy("event_type").orderBy(F.desc("c"), F.asc("event_id"))
+    ranked = ev.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= HILL_K + 1
+    )
+    sized = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_top"),
+        F.max(F.when(F.col("rn") == F.lit(HILL_K + 1), F.col("c"))).alias("c_ref_k"),
+        F.max("rn").cast("long").alias("rn_max"),
+    ).select(
+        "event_type",
+        (F.least(F.lit(HILL_K).cast("long"), F.col("rn_max") - 1)).alias("k_used"),
+    )
+    joined = ranked.join(sized, "event_type")
+    ref = joined.filter(F.col("rn") == F.col("k_used") + 1).select(
+        "event_type", F.col("c").alias("x_ref_cents")
+    )
+    lns = (
+        joined.join(ref, "event_type")
+        .filter(F.col("rn") <= F.col("k_used"))
+        .select(
+            "event_type", "k_used", "x_ref_cents",
+            F.floor(
+                F.log(F.col("c").cast("double") / F.col("x_ref_cents").cast("double"))
+                * F.lit(1000000.0)
+            ).cast("long").alias("ln_micro"),
+        )
+    )
+    return (
+        lns.groupBy("event_type", "k_used", "x_ref_cents")
+        .agg(F.sum("ln_micro").cast("long").alias("sum_ln_micro"))
+        .select(
+            "event_type", "k_used", "x_ref_cents", "sum_ln_micro",
+            F.when(
+                F.col("sum_ln_micro") > 0,
+                F.expr("k_used * 1000000000 div sum_ln_micro"),
+            ).cast("long").alias("hill_alpha_milli"),
+        )
+    )
+
+
+_SQL_HILL = f"""
+WITH ev AS (
+  SELECT event_type, event_id, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events WHERE FLOOR(value * 100 + 0.5) > 0
+),
+ranked AS (
+  SELECT * FROM (
+    SELECT event_type, c,
+           row_number() OVER (PARTITION BY event_type ORDER BY c DESC, event_id) AS rn
+    FROM ev)
+  WHERE rn <= {HILL_K + 1}
+),
+sized AS (
+  SELECT event_type,
+         LEAST({HILL_K}, MAX(rn) - 1)::BIGINT AS k_used
+  FROM ranked GROUP BY event_type
+),
+ref AS (
+  SELECT r.event_type, r.c AS x_ref_cents
+  FROM ranked r JOIN sized s USING (event_type)
+  WHERE r.rn = s.k_used + 1
+),
+lns AS (
+  SELECT r.event_type, s.k_used, f.x_ref_cents,
+         CAST(FLOOR(ln(CAST(r.c AS DOUBLE) / CAST(f.x_ref_cents AS DOUBLE))
+                    * 1000000.0) AS BIGINT) AS ln_micro
+  FROM ranked r JOIN sized s USING (event_type) JOIN ref f USING (event_type)
+  WHERE r.rn <= s.k_used
+)
+SELECT event_type, k_used, x_ref_cents,
+       SUM(ln_micro)::BIGINT AS sum_ln_micro,
+       CASE WHEN SUM(ln_micro) > 0
+            THEN (k_used * 1000000000 // SUM(ln_micro))::BIGINT
+       END AS hill_alpha_milli
+FROM lns GROUP BY event_type, k_used, x_ref_cents
+"""
+
+QUERIES["events_hill_tail_index"] = events_hill_tail_index
+ORACLE["events_hill_tail_index"] = _SQL_HILL
