@@ -4348,3 +4348,196 @@ FROM lns GROUP BY event_type, k_used, x_ref_cents
 
 QUERIES["events_hill_tail_index"] = events_hill_tail_index
 ORACLE["events_hill_tail_index"] = _SQL_HILL
+
+
+# --- Post-stratified uplift — round 11 -------------------------------------------
+#
+# The third leg of the experimentation stack (events_ab_power_mde sizes
+# it, events_srm_check guards it, events_cuped_adjustment regresses
+# variance out): STRATIFIED uplift. Users are bucketed into pre-period
+# spend quintiles (global value-grouped nearest-rank edges — the PSI
+# device, never a corpus sort), and the treatment lift is computed
+# WITHIN each stratum, then post-stratified into one overall uplift
+# weighted by stratum population. Stratification removes the bias a raw
+# mean-difference inherits when arms differ in pre-period composition,
+# and the per-stratum lifts expose heterogeneous effects (did the
+# treatment only move heavy spenders?). Arms and the pre/post split are
+# exactly events_cuped_adjustment's, so the two reports reconcile.
+# Strata missing an arm report NULL lift and drop out of the pooled
+# weighting on both engines.
+#
+# Scale shape: per-user rollup (one shuffle on user_id) -> 4-edge
+# broadcast quantile table -> (stratum, arm) fold -> bounded 5 x 2
+# report. Integer micro throughout; no windows past the edge derivation
+# (which windows over the VALUE-grouped pre-spend domain, not users).
+
+UPLIFT_STRATA = 5
+
+
+def events_stratified_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c")
+    )
+    lim = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).select(
+        F.expr(
+            "lo + make_dt_interval(0, 0, 0,"
+            " CAST(unix_timestamp(hi) - unix_timestamp(lo) AS DOUBLE) / 2)"
+        ).alias("mid")
+    )
+    per_user = (
+        ev.crossJoin(F.broadcast(lim))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("ts") < F.col("mid"), F.col("c")).otherwise(0))
+            .cast("long").alias("x"),
+            F.sum(F.when(F.col("ts") >= F.col("mid"), F.col("c")).otherwise(0))
+            .cast("long").alias("y"),
+        )
+    )
+    arm = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1),
+        )
+        - F.lit(1)
+    ) % 2
+    pu = per_user.select(arm.cast("long").alias("arm"), "x", "y")
+    byx = pu.groupBy("x").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    wv = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cum = byx.select(
+        "x", F.sum("cnt").over(wv).alias("cum"), F.sum("cnt").over(wall).alias("n")
+    )
+    edges = (
+        cum.select(
+            F.explode(
+                F.array(*[F.lit(i) for i in range(1, UPLIFT_STRATA)])
+            ).alias("i"),
+            "x", "cum", "n",
+        )
+        .groupBy("i")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cum") * UPLIFT_STRATA >= F.col("n") * F.col("i"), F.col("x")
+                )
+            ).alias("edge")
+        )
+    )
+    # stratum per distinct pre-spend VALUE (bounded domain), then joined
+    # back — fanning users against the 4 edges would multiply the counts
+    strat_map = (
+        byx.select("x")
+        .crossJoin(F.broadcast(edges))
+        .groupBy("x")
+        .agg(
+            F.sum(F.when(F.col("x") > F.col("edge"), 1).otherwise(0))
+            .cast("long").alias("stratum")
+        )
+    )
+    per_cell = (
+        pu.join(F.broadcast(strat_map), "x")
+        .groupBy("stratum", "arm")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("y").cast("long").alias("sy"),
+        )
+    )
+    a = per_cell.filter(F.col("arm") == 0).select(
+        "stratum", F.col("n_users").alias("n_a"), F.col("sy").alias("sy_a")
+    )
+    b = per_cell.filter(F.col("arm") == 1).select(
+        "stratum", F.col("n_users").alias("n_b"), F.col("sy").alias("sy_b")
+    )
+    per_str = a.join(b, "stratum", "full_outer").select(
+        "stratum",
+        F.coalesce("n_a", F.lit(0)).cast("long").alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).cast("long").alias("n_b"),
+        F.when(F.col("n_a") > 0, F.expr("sy_a * 1000000 div n_a")).cast("long")
+        .alias("mean_a_micro"),
+        F.when(F.col("n_b") > 0, F.expr("sy_b * 1000000 div n_b")).cast("long")
+        .alias("mean_b_micro"),
+    ).withColumn(
+        "lift_micro", (F.col("mean_b_micro") - F.col("mean_a_micro")).cast("long")
+    )
+    overall = per_str.agg(
+        F.expr(
+            "sum(CASE WHEN lift_micro IS NOT NULL THEN (n_a + n_b) * lift_micro"
+            " ELSE CAST(0 AS BIGINT) END)"
+            " div greatest(CAST(1 AS BIGINT),"
+            " sum(CASE WHEN lift_micro IS NOT NULL THEN n_a + n_b ELSE CAST(0 AS BIGINT) END))"
+        ).cast("long").alias("uplift_micro")
+    )
+    return per_str.crossJoin(F.broadcast(overall)).select(
+        "stratum", "n_a", "n_b", "mean_a_micro", "mean_b_micro", "lift_micro",
+        "uplift_micro",
+    )
+
+
+_SQL_STRAT_UPLIFT = f"""
+WITH ev AS (
+  SELECT user_id, ts, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c FROM events
+),
+lim AS (
+  SELECT MIN(ts) + INTERVAL (CAST((epoch(MAX(ts)) - epoch(MIN(ts))) / 2 AS DOUBLE)) SECOND AS mid
+  FROM ev
+),
+per_user AS (
+  SELECT user_id,
+         SUM(CASE WHEN ts < mid THEN c ELSE 0 END)::BIGINT AS x,
+         SUM(CASE WHEN ts >= mid THEN c ELSE 0 END)::BIGINT AS y
+  FROM ev CROSS JOIN lim GROUP BY user_id
+),
+pu AS MATERIALIZED (
+  SELECT ((instr('0123456789abcdef',
+                 substring(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1) % 2)::BIGINT AS arm,
+         x, y
+  FROM per_user
+),
+byx AS (SELECT x, COUNT(*)::BIGINT AS cnt FROM pu GROUP BY x),
+cum AS (
+  SELECT x,
+         SUM(cnt) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(cnt) OVER () AS n
+  FROM byx
+),
+edges AS (
+  SELECT i, MIN(CASE WHEN cum * {UPLIFT_STRATA} >= n * i THEN x END) AS edge
+  FROM cum, (SELECT unnest(range(1, {UPLIFT_STRATA})) AS i)
+  GROUP BY i
+),
+strat AS (
+  SELECT arm, y,
+         (SELECT COUNT(*) FROM edges e WHERE pu.x > e.edge)::BIGINT AS stratum
+  FROM pu
+),
+per_cell AS (
+  SELECT stratum, arm, COUNT(*)::BIGINT AS n_users, SUM(y)::BIGINT AS sy
+  FROM strat GROUP BY 1, 2
+),
+per_str AS (
+  SELECT COALESCE(a.stratum, b.stratum) AS stratum,
+         COALESCE(a.n_users, 0)::BIGINT AS n_a,
+         COALESCE(b.n_users, 0)::BIGINT AS n_b,
+         CASE WHEN COALESCE(a.n_users, 0) > 0
+              THEN (a.sy * 1000000 // a.n_users) END::BIGINT AS mean_a_micro,
+         CASE WHEN COALESCE(b.n_users, 0) > 0
+              THEN (b.sy * 1000000 // b.n_users) END::BIGINT AS mean_b_micro
+  FROM (SELECT * FROM per_cell WHERE arm = 0) a
+  FULL OUTER JOIN (SELECT * FROM per_cell WHERE arm = 1) b USING (stratum)
+),
+lifts AS (
+  SELECT *, (mean_b_micro - mean_a_micro)::BIGINT AS lift_micro FROM per_str
+),
+overall AS (
+  SELECT (SUM(CASE WHEN lift_micro IS NOT NULL THEN (n_a + n_b) * lift_micro ELSE 0 END)
+          // GREATEST(1, SUM(CASE WHEN lift_micro IS NOT NULL THEN n_a + n_b ELSE 0 END)))
+           ::BIGINT AS uplift_micro
+  FROM lifts
+)
+SELECT stratum, n_a, n_b, mean_a_micro, mean_b_micro, lift_micro, uplift_micro
+FROM lifts CROSS JOIN overall
+"""
+
+QUERIES["events_stratified_uplift"] = events_stratified_uplift
+ORACLE["events_stratified_uplift"] = _SQL_STRAT_UPLIFT

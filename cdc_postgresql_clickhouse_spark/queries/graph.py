@@ -1598,3 +1598,119 @@ JOIN deg db ON db.event_type = type_b
 
 QUERIES["graph_type_audience_overlap"] = graph_type_audience_overlap
 ORACLE["graph_type_audience_overlap"] = _SQL_AUDIENCE_OVERLAP
+
+
+# --- Rich-club profile — round 11 ------------------------------------------------
+#
+# The hierarchy detector the degree/assortativity rows circle around
+# (Zhou & Mondragon 2004; Colizza et al. 2006): order nodes by strength
+# (weighted degree) and, for every club size r, measure how densely the
+# top-r nodes connect AMONG THEMSELVES. A rising density profile means
+# the hubs form a core that routes most traffic (a rich club); a flat one
+# means hubs attach to the periphery (no core). Computed cumulatively:
+# each undirected edge belongs to every club from max(rank_a, rank_b)
+# up, so one rollup keyed on that max plus a running sum yields the whole
+# profile — never one pass per club size. density_ppm is exact integers
+# against the r*(r-1)/2 possible club edges.
+#
+# Scale shape: edges from the house transition-pair window; the rank
+# table is node-bounded and broadcast to both endpoints; the profile is
+# one |nodes|-row cumulative window. On a billion-edge graph the same
+# plan holds — the only per-edge work is two broadcast lookups and one
+# grouped sum.
+
+def graph_rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.lag("event_type").over(w).alias("src"), F.col("event_type").alias("dst")
+    ).filter(F.col("src").isNotNull() & (F.col("src") != F.col("dst")))
+    und = pairs.groupBy(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).agg(F.count(F.lit(1)).cast("long").alias("w"))
+    strength = (
+        und.select(F.col("a").alias("t"), "w")
+        .unionByName(und.select(F.col("b").alias("t"), "w"))
+        .groupBy("t")
+        .agg(F.sum("w").cast("long").alias("s"))
+    )
+    ranks = strength.select(
+        "t", "s",
+        F.row_number().over(Window.orderBy(F.desc("s"), F.asc("t")))
+        .cast("long").alias("r"),
+    )
+    ra = ranks.select(F.col("t").alias("a"), F.col("r").alias("ra"))
+    rb = ranks.select(F.col("t").alias("b"), F.col("r").alias("rb"))
+    bym = (
+        und.join(F.broadcast(ra), "a")
+        .join(F.broadcast(rb), "b")
+        .groupBy(F.greatest("ra", "rb").alias("m"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("e"),
+            F.sum("w").cast("long").alias("wsum"),
+        )
+    )
+    profile = ranks.select(F.col("r").alias("club_size"), "t", "s").join(
+        bym, F.col("club_size") == F.col("m"), "left"
+    )
+    wc = Window.orderBy("club_size").rowsBetween(Window.unboundedPreceding, 0)
+    cum = profile.select(
+        "club_size",
+        F.col("t").alias("entrant"),
+        F.col("s").alias("entrant_strength"),
+        F.sum(F.coalesce(F.col("e"), F.lit(0))).over(wc).cast("long")
+        .alias("internal_edges"),
+        F.sum(F.coalesce(F.col("wsum"), F.lit(0))).over(wc).cast("long")
+        .alias("internal_weight"),
+    )
+    return cum.filter(F.col("club_size") >= 2).select(
+        "club_size", "entrant", "entrant_strength", "internal_edges",
+        "internal_weight",
+        F.expr(
+            "internal_edges * 2 * 1000000 div (club_size * (club_size - 1))"
+        ).cast("long").alias("density_ppm"),
+    )
+
+
+_SQL_RICH_CLUB = """
+WITH seq AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
+         event_type AS dst
+  FROM events
+),
+und AS (
+  SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b, COUNT(*)::BIGINT AS w
+  FROM seq WHERE src IS NOT NULL AND src <> dst
+  GROUP BY 1, 2
+),
+strength AS (
+  SELECT t, SUM(w)::BIGINT AS s FROM (
+    SELECT a AS t, w FROM und UNION ALL SELECT b AS t, w FROM und
+  ) GROUP BY t
+),
+ranks AS (
+  SELECT t, s, row_number() OVER (ORDER BY s DESC, t)::BIGINT AS r FROM strength
+),
+bym AS (
+  SELECT GREATEST(ra.r, rb.r) AS m, COUNT(*)::BIGINT AS e, SUM(und.w)::BIGINT AS wsum
+  FROM und JOIN ranks ra ON ra.t = und.a JOIN ranks rb ON rb.t = und.b
+  GROUP BY 1
+),
+cum AS (
+  SELECT ranks.r AS club_size, ranks.t AS entrant, ranks.s AS entrant_strength,
+         SUM(COALESCE(bym.e, 0)) OVER (ORDER BY ranks.r
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS internal_edges,
+         SUM(COALESCE(bym.wsum, 0)) OVER (ORDER BY ranks.r
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS internal_weight
+  FROM ranks LEFT JOIN bym ON bym.m = ranks.r
+)
+SELECT club_size, entrant, entrant_strength, internal_edges, internal_weight,
+       (internal_edges * 2 * 1000000 // (club_size * (club_size - 1)))::BIGINT
+         AS density_ppm
+FROM cum WHERE club_size >= 2
+"""
+
+QUERIES["graph_rich_club_coefficient"] = graph_rich_club_coefficient
+ORACLE["graph_rich_club_coefficient"] = _SQL_RICH_CLUB

@@ -469,3 +469,71 @@ GROUP BY radius
 
 QUERIES["multimodal_phash_hamming_sweep"] = multimodal_phash_hamming_sweep
 ORACLE["multimodal_phash_hamming_sweep"] = _sql_phash_sweep()
+
+
+# --- Exact binary dedup savings report — round 11 ------------------------------
+#
+# The storage-planning view of the multimodal table that the text-side
+# dedup family (dedup_exact on normalized text) does not give: exact
+# BYTE-level duplicate groups keyed by content_md5 within each sniffed
+# format, and what deleting all-but-one copy of each group saves. This is
+# the first pass every multimodal ingest runs — identical payloads arrive
+# repeatedly via re-crawls and mirrors, and byte-exact dedup is free
+# (hash + groupBy) relative to the perceptual pass (multimodal_phash_*)
+# that follows it. Per format: object/byte counts, duplicate-group
+# profile, and savings in bytes and ppm. The duplicate payload mass uses
+# each group's OWN byte size (payloads in one md5 group have equal size
+# by construction — pinned via max=min in the group fold).
+#
+# Scale shape: one scan of (format, md5, n_bytes) metadata — the payload
+# column is PRUNED from the plan (metadata-only predicate, the module's
+# north star) -> groupBy(md5) -> bounded per-format fold. No byte
+# movement at all.
+
+def multimodal_bytes_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    blobs = _blobs(spark, sf_dir).select("format", "content_md5", "n_bytes")
+    groups = blobs.groupBy("format", "content_md5").agg(
+        F.count(F.lit(1)).cast("long").alias("copies"),
+        F.max("n_bytes").cast("long").alias("sz"),
+    )
+    return groups.groupBy("format").agg(
+        F.sum("copies").cast("long").alias("n_objects"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum(F.col("copies") * F.col("sz")).cast("long").alias("total_bytes"),
+        F.sum(F.when(F.col("copies") > 1, 1).otherwise(0)).cast("long")
+        .alias("dup_groups"),
+        F.sum((F.col("copies") - 1) * F.col("sz")).cast("long")
+        .alias("reclaimable_bytes"),
+    ).select(
+        "format", "n_objects", "n_distinct", "total_bytes", "dup_groups",
+        "reclaimable_bytes",
+        F.expr("reclaimable_bytes * 1000000 div total_bytes").cast("long")
+        .alias("savings_ppm"),
+    )
+
+
+ORACLE["multimodal_bytes_dedup_report"] = """
+WITH blobs AS (
+  SELECT CASE WHEN LENGTH(text) % 3 = 0 THEN 'png'
+              WHEN LENGTH(text) % 3 = 1 THEN 'jpeg'
+              ELSE 'wav' END AS format,
+         md5(text) AS content_md5,
+         LENGTH(text)::BIGINT AS n_bytes
+  FROM documents
+),
+groups AS (
+  SELECT format, content_md5, COUNT(*)::BIGINT AS copies,
+         MAX(n_bytes)::BIGINT AS sz
+  FROM blobs GROUP BY 1, 2
+)
+SELECT format,
+       SUM(copies)::BIGINT AS n_objects,
+       COUNT(*)::BIGINT AS n_distinct,
+       SUM(copies * sz)::BIGINT AS total_bytes,
+       SUM(CASE WHEN copies > 1 THEN 1 ELSE 0 END)::BIGINT AS dup_groups,
+       SUM((copies - 1) * sz)::BIGINT AS reclaimable_bytes,
+       (SUM((copies - 1) * sz) * 1000000 // SUM(copies * sz))::BIGINT
+         AS savings_ppm
+FROM groups GROUP BY format
+"""
+QUERIES["multimodal_bytes_dedup_report"] = multimodal_bytes_dedup_report

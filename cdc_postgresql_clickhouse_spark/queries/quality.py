@@ -1538,3 +1538,118 @@ FROM terms GROUP BY source
 
 QUERIES["quality_length_psi"] = quality_length_psi
 ORACLE["quality_length_psi"] = _SQL_PSI
+
+
+# --- Quality-score calibration / ECE — round 11 ---------------------------------
+#
+# The reliability view of the heuristic quality score that
+# quality_lang_bias_auc treats as a ranker: bucket the score into ten
+# fixed-width bins and compare each bin's mean score ("confidence") with
+# its empirical P(lang = 'en') ("accuracy" under the same proxy label the
+# AUC uses). The gap per bin is the reliability diagram; the
+# count-weighted mean gap is the Expected Calibration Error (Naeini et
+# al. 2015) — a score can rank well (high AUC) and still be uncalibrated,
+# which matters the moment it is THRESHOLDED as a probability in a filter
+# cascade. All integer: score in micro, acc in ppm (same scale), the ECE
+# fold is exact.
+#
+# Scale shape: one scan -> per-doc score (pure map, the AUC's stats
+# reuse) -> 10-bin rollup -> bounded 10-row report crossed against the
+# one-row corpus ECE aggregate.
+
+def quality_score_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_postgresql_clickhouse_spark.queries.text import _n_in
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "lang", "text", tokens(F.col("text")).alias("toks")
+    )
+    toks = F.col("toks")
+    stats = base.select(
+        "lang",
+        F.size(toks).cast("long").alias("n_tok"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_uniq"),
+        _n_in(toks, STOPWORDS).alias("n_stop"),
+        F.length(F.regexp_replace(F.lower("text"), "[^a-z]", "")).cast("long")
+        .alias("n_alpha"),
+        F.length("text").cast("long").alias("n_char"),
+    )
+    score = F.floor(
+        (
+            F.lit(0.5) * (F.col("n_uniq").cast("double") / F.col("n_tok"))
+            + F.lit(0.2) * (F.lit(1.0) - F.col("n_stop").cast("double") / F.col("n_tok"))
+            + F.lit(0.3) * (F.col("n_alpha").cast("double") / F.col("n_char"))
+        )
+        * F.lit(1000000.0)
+    ).cast("long")
+    labeled = stats.filter((F.col("n_tok") > 0) & (F.col("n_char") > 0)).select(
+        score.alias("s"),
+        (F.col("lang") == "en").cast("long").alias("pos"),
+    )
+    binned = labeled.select(
+        F.least(F.lit(9).cast("long"), F.expr("s * 10 div 1000000")).alias("bin"),
+        "s", "pos",
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.expr("sum(s) div count(1)").cast("long").alias("conf_micro"),
+        F.expr("sum(pos) * 1000000 div count(1)").cast("long").alias("acc_ppm"),
+    ).withColumn(
+        "gap_micro", F.abs(F.col("acc_ppm") - F.col("conf_micro")).cast("long")
+    )
+    ece = per_bin.agg(
+        F.expr("sum(n_docs * gap_micro) div sum(n_docs)").cast("long")
+        .alias("ece_micro")
+    )
+    return per_bin.crossJoin(F.broadcast(ece)).select(
+        "bin", "n_docs", "conf_micro", "acc_ppm", "gap_micro", "ece_micro"
+    )
+
+
+_SQL_CALIBRATION_ECE = f"""
+WITH base AS (
+  SELECT doc_id, lang, {_SQL_TOKENS} AS toks,
+         LENGTH(regexp_replace(LOWER(text), '[^a-z]', '', 'g'))::BIGINT AS n_alpha,
+         LENGTH(text)::BIGINT AS n_char
+  FROM documents
+),
+stats AS (
+  SELECT lang, n_alpha, n_char,
+         len(toks)::BIGINT AS n_tok,
+         len(list_distinct(toks))::BIGINT AS n_uniq,
+         len(list_filter(toks, t -> t IN {{stops}}))::BIGINT AS n_stop
+  FROM base
+),
+labeled AS (
+  SELECT CAST(FLOOR(
+           (0.5 * (CAST(n_uniq AS DOUBLE) / n_tok)
+            + 0.2 * (1.0 - CAST(n_stop AS DOUBLE) / n_tok)
+            + 0.3 * (CAST(n_alpha AS DOUBLE) / n_char)) * 1000000.0
+         ) AS BIGINT) AS s,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+  FROM stats WHERE n_tok > 0 AND n_char > 0
+),
+per_bin AS (
+  SELECT LEAST(9, s * 10 // 1000000)::BIGINT AS bin,
+         COUNT(*)::BIGINT AS n_docs,
+         (SUM(s) // COUNT(*))::BIGINT AS conf_micro,
+         (SUM(pos) * 1000000 // COUNT(*))::BIGINT AS acc_ppm
+  FROM labeled GROUP BY 1
+),
+gapped AS (
+  SELECT *, ABS(acc_ppm - conf_micro)::BIGINT AS gap_micro FROM per_bin
+),
+ece AS (
+  SELECT (SUM(n_docs * gap_micro) // SUM(n_docs))::BIGINT AS ece_micro FROM gapped
+)
+SELECT bin, n_docs, conf_micro, acc_ppm, gap_micro, ece.ece_micro
+FROM gapped CROSS JOIN ece
+"""
+
+
+def _sql_calibration() -> str:
+    return _SQL_CALIBRATION_ECE.replace("{stops}", _SQL_STOPWORDS_IN)
+
+
+QUERIES["quality_score_calibration_ece"] = quality_score_calibration_ece
+ORACLE["quality_score_calibration_ece"] = _sql_calibration()

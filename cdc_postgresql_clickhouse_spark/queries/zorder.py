@@ -258,3 +258,78 @@ FROM hits
 
 QUERIES["layout_minmax_pruning_report"] = layout_minmax_pruning_report
 ORACLE["layout_minmax_pruning_report"] = _SQL_PRUNE
+
+
+# --- Partition / file-size advisor — round 11 -----------------------------------
+#
+# The planning companion to the layout family's WHY-reports (Z-order /
+# Hilbert locality, zone-map pruning): given the lineitem table, estimate
+# the in-memory row width from the schema (8 B per 64-bit
+# numeric/timestamp column, 4 B per 32-bit int, actual octet length per
+# string — the uncompressed-columnar accounting Spark's own
+# maxPartitionBytes reasons in), then for each target partition size in
+# ADVISOR_TARGET_MB recommend the file/partition count and rows per file.
+# This is the number a 100 TB table layout is actually tuned with: too
+# few files starves executor parallelism, too many drowns the scheduler
+# and the namenode; the advisor makes the repo's own
+# spark.sql.files.maxPartitionBytes posture an oracle-checked output
+# instead of a comment.
+#
+# Scale shape: ONE scan computing two integer sums (row count, string
+# octet mass) — column-pruned to the two varchar columns; the target grid
+# is a bounded literal fan-out over the one-row aggregate.
+
+ADVISOR_TARGET_MB = (64, 128, 256)
+_LI_FIXED_BYTES = 8 * 3 + 4 + 8 * 4 + 8  # 3 bigint + 1 int + 4 double + 1 ts
+
+
+def layout_partition_size_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (
+            F.lit(_LI_FIXED_BYTES)
+            + F.octet_length("l_returnflag")
+            + F.octet_length("l_linestatus")
+        ).cast("long").alias("row_bytes")
+    )
+    agg = li.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("row_bytes").cast("long").alias("total_bytes"),
+    )
+    grid = F.explode(
+        F.array(*[F.lit(mb).cast("long") for mb in ADVISOR_TARGET_MB])
+    ).alias("target_mb")
+    return agg.select("n_rows", "total_bytes", grid).select(
+        "target_mb", "n_rows", "total_bytes",
+        F.expr("total_bytes div n_rows").cast("long").alias("row_bytes_avg"),
+        F.expr(
+            "greatest(CAST(1 AS BIGINT),"
+            " (total_bytes + target_mb * 1048576 - 1) div (target_mb * 1048576))"
+        ).cast("long").alias("n_files"),
+    ).select(
+        "*",
+        F.expr("n_rows div n_files").cast("long").alias("rows_per_file"),
+    )
+
+
+def _sql_advisor() -> str:
+    grid = ", ".join(str(mb) for mb in ADVISOR_TARGET_MB)
+    return f"""
+WITH agg AS (
+  SELECT COUNT(*)::BIGINT AS n_rows,
+         SUM({_LI_FIXED_BYTES} + LENGTH(l_returnflag) + LENGTH(l_linestatus))
+           ::BIGINT AS total_bytes
+  FROM lineitem
+),
+grid AS (SELECT unnest([{grid}])::BIGINT AS target_mb)
+SELECT target_mb, n_rows, total_bytes,
+       (total_bytes // n_rows)::BIGINT AS row_bytes_avg,
+       GREATEST(1, (total_bytes + target_mb * 1048576 - 1)
+                    // (target_mb * 1048576))::BIGINT AS n_files,
+       (n_rows // GREATEST(1, (total_bytes + target_mb * 1048576 - 1)
+                               // (target_mb * 1048576)))::BIGINT AS rows_per_file
+FROM agg CROSS JOIN grid
+"""
+
+
+QUERIES["layout_partition_size_advisor"] = layout_partition_size_advisor
+ORACLE["layout_partition_size_advisor"] = _sql_advisor()
