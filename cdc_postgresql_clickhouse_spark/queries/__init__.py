@@ -106,14 +106,17 @@ _WINDOW_FRONT = [
     "orders_fulfillment_lag_percentiles", "orders_supplier_hhi",
     "orders_skyline_pareto", "asof_tolerance_latest_order",
     "asof_nearest_order",
-    # rule 3: 5 refill slots — queries materially edited at the r10/r11
-    # boundary (7686a10: kcenter single-floor rounding, waterfill zero
-    # guard) plus the oldest-proof heavy families, re-proven at the driver
-    # after their edits. These slots are swapped for new r11 queries as
-    # they land (a new registration is never-checked and must front).
-    "embedding_kcenter_coreset", "corpus_token_budget_waterfill",
-    "retrieval_known_item_eval", "dedup_roi_curve",
-    "sketch_bloom_error_sweep",
+    # rule 2 (cont.): 5 of the 12 new r11 registrations — with 55 rows now
+    # never-checked the window takes 48 and no green refill may occupy a
+    # slot. The remaining 7 r11 additions (tokenizer_oov_curve,
+    # events_cuped_adjustment, events_hill_tail_index,
+    # events_stratified_uplift, graph_rich_club_coefficient,
+    # layout_partition_size_advisor, streaming_srm_equiv) queue behind the
+    # window and front in r12; all 12 are parity-verified locally at
+    # sf0.01 (scripts/parity_sweep.py).
+    "text_lexical_richness", "events_srm_check",
+    "quality_score_calibration_ece", "sketch_bottomk_jaccard_sweep",
+    "multimodal_bytes_dedup_report",
 ]
 
 

@@ -1785,3 +1785,78 @@ QUERIES["streaming_cusum_equiv"] = streaming_cusum_equiv
 from cdc_postgresql_clickhouse_spark.queries.sketches import ORACLE as _SKETCH_ORACLE  # noqa: E402
 
 ORACLE["streaming_cusum_equiv"] = _SKETCH_ORACLE["events_cusum_changepoint"]
+
+
+def streaming_srm_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained SRM monitor (``streaming/fold.py``'s fourth
+    fold instance — the per-user first-seen MIN fold): ``events`` split
+    into two micro-batches at the median micro-timestamp (ties stay in
+    batch 1), drained through the bucket-fenced first-seen ingest, then
+    the entry-week arm counts and the exact integer chi-square are derived
+    from the maintained registry. The min-merge absorbs replay and late
+    data by algebra; the n_events count rides the per-bucket batch-id
+    fence. The oracle IS ``events_srm_check``'s batch SQL: the registry's
+    first_us preserves full microsecond precision, so date_trunc('week')
+    of the maintained minimum equals the batch query's week of min(ts)."""
+    from cdc_postgresql_clickhouse_spark.streaming.fold import (
+        read_first_seen,
+        run_incremental_first_seen,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros(F.col("ts")).alias("us")
+    )
+    t_med = ev.agg(F.expr("percentile(us, 0.5)")).first()[0]
+    tmp = tempfile.mkdtemp(prefix="stream_srm_")
+    try:
+        src = os.path.join(tmp, "src")
+        ev.filter(F.col("us") <= t_med).coalesce(1).write.parquet(src)
+        ev.filter(F.col("us") > t_med).coalesce(1).write.mode("append").parquet(src)
+        run_incremental_first_seen(
+            spark, src, os.path.join(tmp, "state"), os.path.join(tmp, "ckpt"),
+            max_files_per_trigger=1,
+        )
+        st = read_first_seen(spark, os.path.join(tmp, "state"))
+        arm = (
+            F.instr(
+                F.lit("0123456789abcdef"),
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 1),
+            )
+            - F.lit(1)
+        ) % 2
+        weekly = (
+            st.select(
+                F.date_trunc("week", F.timestamp_micros(F.col("first_us")))
+                .alias("week_start"),
+                arm.alias("arm"),
+            )
+            .groupBy("week_start")
+            .agg(
+                F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("long")
+                .alias("n_arm_a"),
+                F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long")
+                .alias("n_arm_b"),
+            )
+        )
+        chi2 = F.expr(
+            "(n_arm_a - n_arm_b) * (n_arm_a - n_arm_b) * 1000000"
+            " div (n_arm_a + n_arm_b)"
+        ).cast("long")
+        return _materialized(
+            weekly.select(
+                "week_start", "n_arm_a", "n_arm_b",
+                chi2.alias("chi2_micro"),
+                (chi2 > 3841459).cast("int").alias("srm_flag"),
+            )
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+QUERIES["streaming_srm_equiv"] = streaming_srm_equiv
+
+# the maintained first-seen registry must reproduce the batch entry-week
+# report: literally the batch SRM oracle
+from cdc_postgresql_clickhouse_spark.queries.events import ORACLE as _EVENTS_ORACLE_SRM  # noqa: E402
+
+ORACLE["streaming_srm_equiv"] = _EVENTS_ORACLE_SRM["events_srm_check"]

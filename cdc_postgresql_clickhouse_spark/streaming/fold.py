@@ -542,3 +542,107 @@ def run_incremental_cusum(
         checkpoint_dir,
         max_files_per_trigger,
     )
+
+
+# --- fourth fold instance: first-seen entry registry --------------------------
+#
+# The per-key MIN fold behind entry-cohort analytics (SRM, retention):
+# state is one row per user carrying the earliest arrival micro-timestamp
+# and a lifetime event count. The min-merge itself is commutative (replay
+# could not corrupt first_us), but n_events is NOT idempotent — so the
+# instance still needs, and demonstrates, the per-bucket batch-id fence.
+# Unlike the EWMA/session/CUSUM folds this one does not require the
+# ordered-arrival contract: min() absorbs late data exactly, which is why
+# entry cohorts are the safest streaming aggregate to maintain.
+
+_FIRST_STATE_COLS = ("user_id", "n_events", "first_us", "applied_bid")
+
+
+def ingest_batch_first_seen(
+    spark: SparkSession,
+    batch: DataFrame,
+    state_path: str,
+    batch_id: int,
+    key_buckets: int = FOLD_BUCKETS,
+) -> None:
+    """Fold one micro-batch of (user_id, us) rows into the first-seen state."""
+    b = batch.select("user_id", "us")
+    touched = sorted(
+        r[0]
+        for r in b.select(_bucket_expr(("user_id",), key_buckets).alias("bk"))
+        .distinct()
+        .collect()
+    )
+    if not touched:
+        return
+    with _state_lock(state_path):
+        recover_bucket_swap(state_path)
+        state = read_state(spark, state_path, buckets=touched)
+        if state is not None:
+            state = state.select(*_FIRST_STATE_COLS).localCheckpoint(eager=True)
+        unfenced = _unfenced_buckets_keyed(
+            state, touched, batch_id, key_buckets, ("user_id",)
+        )
+        if not unfenced:
+            return
+        if len(unfenced) < len(touched):
+            bexpr = _bucket_expr(("user_id",), key_buckets)
+            b = b.filter(bexpr.isin(unfenced))
+            if state is not None:
+                state = state.filter(
+                    _bucket_expr(("user_id",), key_buckets).isin(unfenced)
+                ).localCheckpoint(eager=True)
+        agg = b.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("long").alias("bn"),
+            F.min("us").cast("long").alias("bmin"),
+        )
+        if state is None:
+            joined = agg.select(
+                "user_id", "bn", "bmin",
+                F.lit(None).cast("long").alias("n_events"),
+                F.lit(None).cast("long").alias("first_us"),
+            )
+        else:
+            joined = agg.join(state.drop("applied_bid"), "user_id", "full_outer")
+        zero = F.lit(0).cast("long")
+        out = joined.select(
+            "user_id",
+            (F.coalesce(F.col("n_events"), zero) + F.coalesce(F.col("bn"), zero))
+            .cast("long").alias("n_events"),
+            F.least(
+                F.coalesce(F.col("first_us"), F.col("bmin")),
+                F.coalesce(F.col("bmin"), F.col("first_us")),
+            ).cast("long").alias("first_us"),
+            F.lit(int(batch_id)).cast("long").alias("applied_bid"),
+        )
+        publish_state_buckets(
+            out, state_path, key_buckets=key_buckets, key_cols=("user_id",)
+        )
+
+
+def read_first_seen(spark: SparkSession, state_path: str) -> DataFrame | None:
+    """The maintained first-seen registry: (user_id, n_events, first_us)."""
+    st = _heal_then_read(spark, state_path)
+    if st is None:
+        return None
+    return st.select("user_id", "n_events", "first_us")
+
+
+def run_incremental_first_seen(
+    spark: SparkSession,
+    src_dir: str,
+    state_path: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Drain ``src_dir`` (parquet files of (user_id, us) rows) through the
+    first-seen ingest with an availableNow trigger."""
+    from cdc_postgresql_clickhouse_spark.streaming.sketch import _drain
+
+    _drain(
+        spark,
+        src_dir,
+        lambda b, i: ingest_batch_first_seen(spark, b, state_path, i),
+        checkpoint_dir,
+        max_files_per_trigger,
+    )
