@@ -262,3 +262,69 @@ def test_cusum_fold_three_way_split_and_fence(spark, sf_dir):
         pd.testing.assert_frame_equal(after, got)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_first_seen_fold_split_fence_and_late_data(spark, sf_dir):
+    """The fourth fold instance (first-seen MIN registry): a 3-way time
+    split equals the one-shot batch aggregate, replaying an applied batch
+    id is a no-op (n_events is not idempotent), and — unique to this fold
+    — OUT-OF-ORDER ingestion still lands the true minimum, because the
+    min-merge absorbs late data by algebra."""
+    from cdc_postgresql_clickhouse_spark.streaming.fold import (
+        ingest_batch_first_seen,
+        read_first_seen,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("us")
+    )
+    want = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min("us").cast("long").alias("first_us"),
+        )
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    t1, t2 = ev.agg(
+        F.expr("percentile(us, 0.3333)"), F.expr("percentile(us, 0.6667)")
+    ).first()
+    b1 = ev.filter(F.col("us") <= t1)
+    b2 = ev.filter((F.col("us") > t1) & (F.col("us") <= t2))
+    b3 = ev.filter(F.col("us") > t2)
+
+    def _canon_fs(df):
+        return (
+            df.toPandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)[["user_id", "n_events", "first_us"]]
+        )
+
+    import pandas as _pd
+
+    tmp = tempfile.mkdtemp(prefix="fold_first_")
+    try:
+        state = f"{tmp}/state"
+        for i, p in enumerate((b1, b2, b3)):
+            ingest_batch_first_seen(spark, p, state, batch_id=i)
+        got = _canon_fs(read_first_seen(spark, state))
+        _pd.testing.assert_frame_equal(got, want[got.columns])
+        # replay fence: re-applying batch 2 then a stale batch 0 is a no-op
+        ingest_batch_first_seen(spark, b3, state, batch_id=2)
+        ingest_batch_first_seen(spark, b1, state, batch_id=0)
+        _pd.testing.assert_frame_equal(_canon_fs(read_first_seen(spark, state)), got)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    # late-data law: ingesting the batches in REVERSE time order (fresh
+    # batch ids, so the fence admits them) still yields the same registry
+    tmp2 = tempfile.mkdtemp(prefix="fold_first_late_")
+    try:
+        state2 = f"{tmp2}/state"
+        for i, p in enumerate((b3, b2, b1)):
+            ingest_batch_first_seen(spark, p, state2, batch_id=i)
+        _pd.testing.assert_frame_equal(_canon_fs(read_first_seen(spark, state2)), got)
+    finally:
+        shutil.rmtree(tmp2, ignore_errors=True)
