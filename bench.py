@@ -414,6 +414,19 @@ HEADLINE = [
     "text_bigram_entropy_rate",
     "layout_minmax_pruning_report",
     "embedding_intrinsic_dimension",
+    # round-11 additions (streaming_srm_equiv excluded with the other
+    # streaming rows: micro-batch staging I/O dominates)
+    "text_lexical_richness",
+    "tokenizer_oov_curve",
+    "sketch_bottomk_jaccard_sweep",
+    "events_srm_check",
+    "events_cuped_adjustment",
+    "events_hill_tail_index",
+    "events_stratified_uplift",
+    "graph_rich_club_coefficient",
+    "quality_score_calibration_ece",
+    "multimodal_bytes_dedup_report",
+    "layout_partition_size_advisor",
 ]
 
 
