@@ -4152,7 +4152,11 @@ def events_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         - F.lit(1)
     ) % 2
-    pu = per_user.select(arm.cast("long").alias("arm"), "x", "y")
+    # fence: pu feeds BOTH the pooled moment fold and the per-arm fold —
+    # unfenced, the events scan + per-user rollup run twice
+    pu = per_user.select(arm.cast("long").alias("arm"), "x", "y").localCheckpoint(
+        eager=True
+    )
     dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     moments = pu.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
@@ -4401,7 +4405,12 @@ def events_stratified_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         - F.lit(1)
     ) % 2
-    pu = per_user.select(arm.cast("long").alias("arm"), "x", "y")
+    # materialization fence: pu feeds the edge derivation AND the stratum
+    # fold — unfenced, the events scan + per-user rollup re-derive per
+    # branch (first cut: 45 shuffles / 17 BNLJs for a 5 x 2 report)
+    pu = per_user.select(arm.cast("long").alias("arm"), "x", "y").localCheckpoint(
+        eager=True
+    )
     byx = pu.groupBy("x").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     wv = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
     wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
@@ -4459,7 +4468,7 @@ def events_stratified_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("mean_b_micro"),
     ).withColumn(
         "lift_micro", (F.col("mean_b_micro") - F.col("mean_a_micro")).cast("long")
-    )
+    ).localCheckpoint(eager=True)  # 5 rows; read by the report AND the pool
     overall = per_str.agg(
         F.expr(
             "sum(CASE WHEN lift_micro IS NOT NULL THEN (n_a + n_b) * lift_micro"

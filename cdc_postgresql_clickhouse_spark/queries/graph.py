@@ -1627,9 +1627,14 @@ def graph_rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = ev.select(
         F.lag("event_type").over(w).alias("src"), F.col("event_type").alias("dst")
     ).filter(F.col("src").isNotNull() & (F.col("src") != F.col("dst")))
+    # fences: und feeds the strength fold AND the endpoint-rank join (and
+    # its strength derivation reads it twice via the union); ranks feeds
+    # both endpoints plus the profile spine — unfenced, the events scan +
+    # transition window re-derive per branch (first cut: 21 shuffles /
+    # 7 scans for a |nodes|-row report)
     und = pairs.groupBy(
         F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-    ).agg(F.count(F.lit(1)).cast("long").alias("w"))
+    ).agg(F.count(F.lit(1)).cast("long").alias("w")).localCheckpoint(eager=True)
     strength = (
         und.select(F.col("a").alias("t"), "w")
         .unionByName(und.select(F.col("b").alias("t"), "w"))
@@ -1640,7 +1645,7 @@ def graph_rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t", "s",
         F.row_number().over(Window.orderBy(F.desc("s"), F.asc("t")))
         .cast("long").alias("r"),
-    )
+    ).localCheckpoint(eager=True)
     ra = ranks.select(F.col("t").alias("a"), F.col("r").alias("ra"))
     rb = ranks.select(F.col("t").alias("b"), F.col("r").alias("rb"))
     bym = (

@@ -1596,7 +1596,7 @@ def quality_score_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame
         F.expr("sum(pos) * 1000000 div count(1)").cast("long").alias("acc_ppm"),
     ).withColumn(
         "gap_micro", F.abs(F.col("acc_ppm") - F.col("conf_micro")).cast("long")
-    )
+    ).localCheckpoint(eager=True)  # 10 rows; read by the ECE fold AND the report
     ece = per_bin.agg(
         F.expr("sum(n_docs * gap_micro) div sum(n_docs)").cast("long")
         .alias("ece_micro")

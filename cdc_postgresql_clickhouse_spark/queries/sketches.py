@@ -2318,10 +2318,13 @@ def sketch_bottomk_jaccard_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_postgresql_clickhouse_spark.functions.text import tokens, word_shingles
 
     docs = load_table(spark, sf_dir, "documents")
+    # fence: sh feeds the rank derivation AND the pair fan-out — unfenced,
+    # the documents scan + shingle explode + distinct run twice
     sh = (
         docs.select("source", word_shingles(tokens(F.col("text"))).alias("shs"))
         .select("source", F.explode("shs").alias("sh"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     ranks = (
         sh.select("source").distinct()

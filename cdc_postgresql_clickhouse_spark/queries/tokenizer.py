@@ -523,9 +523,11 @@ def tokenizer_oov_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("source", F.explode(tokens(F.col("text"))).alias("t"))
+    # fence: per_src feeds the global rank derivation AND the per-source
+    # join — unfenced, the documents scan + explode run twice
     per_src = tok.groupBy("source", "t").agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
-    )
+    ).localCheckpoint(eager=True)
     glob = per_src.groupBy("t").agg(F.sum("cnt").cast("long").alias("gcnt"))
     ranked = glob.select(
         "t",
