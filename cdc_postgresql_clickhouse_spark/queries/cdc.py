@@ -1610,3 +1610,223 @@ FROM per
 
 QUERIES["cdc_bucket_skew_report"] = cdc_bucket_skew_report
 ORACLE["cdc_bucket_skew_report"] = _sql_bucket_skew()
+
+
+# --- Schema-change compatibility report (T4 companion) — round 11 --------------
+#
+# cdc_schema_evolution_state proves the sink FOLLOWS a widening DDL; this
+# row classifies every DDL transition the way a schema registry's
+# BACKWARD-compatibility gate would (Confluent registry semantics; the
+# reference ships DDL events to the schema topic,
+# debezium_configuration.json:27, and leaves the consumer to judge them):
+# per consecutive (table, schema) pair in the T4 history, count added
+# optional columns (safe), added REQUIRED columns (breaking: old
+# producers' rows lack them), drops (breaking: consumers still read
+# them), numeric widenings int2<int4<int8 (safe), narrowings / other
+# retypes (breaking), optional->required tightenings (breaking), and
+# primary-key changes (breaking for an upsert sink keyed on the pk).
+# compat = 'safe' only when every breaking counter is zero. The DDL
+# fixture exercises all seven transition kinds.
+#
+# Scale shape: the history table is DDL-cadence rows (tiny forever); the
+# diff is one lag window per table plus higher-order array functions —
+# no joins, no explode of the column arrays.
+
+_COMPAT_T0 = 1700100000000
+
+
+def _ddl_json_full(
+    ts_ms: int,
+    change_type: str,
+    cols: list[tuple[str, str, bool]],
+    pk: list[str],
+    ddl: str,
+) -> str:
+    import json
+
+    return json.dumps({
+        "ts_ms": ts_ms,
+        "databaseName": "app",
+        "schemaName": "public",
+        "ddl": ddl,
+        "tableChanges": [{
+            "type": change_type,
+            "id": '"public"."bookings"',
+            "table": {
+                "columns": [
+                    {"name": n, "typeName": t, "position": i + 1, "optional": o}
+                    for i, (n, t, o) in enumerate(cols)
+                ],
+                "primaryKeyColumnNames": pk,
+            },
+        }],
+    })
+
+
+_COMPAT_BASE: list[tuple[str, str, bool]] = [
+    ("id", "int8", False),
+    ("booking_id", "varchar", False),
+    ("status", "varchar", True),
+    ("amount", "int4", True),
+]
+_COMPAT_STEPS: list[tuple[str, list[tuple[str, str, bool]], list[str], str]] = [
+    ("CREATE", _COMPAT_BASE, ["booking_id"], "CREATE TABLE bookings (...)"),
+    # +optional column: safe
+    ("ALTER", _COMPAT_BASE + [("k_value", "int8", True)], ["booking_id"],
+     "ALTER TABLE bookings ADD COLUMN k_value int8"),
+    # numeric widening int4 -> int8: safe
+    ("ALTER", [(n, "int8" if n == "amount" else t, o)
+               for n, t, o in _COMPAT_BASE] + [("k_value", "int8", True)],
+     ["booking_id"], "ALTER TABLE bookings ALTER COLUMN amount TYPE int8"),
+    # +required column: breaking
+    ("ALTER", [(n, "int8" if n == "amount" else t, o)
+               for n, t, o in _COMPAT_BASE] + [("k_value", "int8", True),
+                                               ("region", "varchar", False)],
+     ["booking_id"], "ALTER TABLE bookings ADD COLUMN region varchar NOT NULL"),
+    # drop column + narrow amount back to int4: breaking twice over
+    ("ALTER", [(n, "int4" if n == "amount" else t, o)
+               for n, t, o in _COMPAT_BASE] + [("region", "varchar", False)],
+     ["booking_id"],
+     "ALTER TABLE bookings DROP COLUMN k_value, ALTER COLUMN amount TYPE int4"),
+    # optional -> required tightening: breaking
+    ("ALTER", [(n, t, False if n == "status" else o)
+               for n, t, o in _COMPAT_BASE
+               if True] + [("region", "varchar", False)],
+     ["booking_id"], "ALTER TABLE bookings ALTER COLUMN status SET NOT NULL"),
+    # primary-key change: breaking for the keyed upsert sink
+    ("ALTER", [(n, t, False if n == "status" else o)
+               for n, t, o in _COMPAT_BASE] + [("region", "varchar", False)],
+     ["booking_id", "region"], "ALTER TABLE bookings ... PRIMARY KEY (booking_id, region)"),
+]
+
+
+def cdc_schema_compat_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from cdc_postgresql_clickhouse_spark.sources.schema_changes import (
+        decode_schema_change_events,
+        schema_history,
+    )
+
+    raw = spark.createDataFrame(
+        [
+            (_ddl_json_full(_COMPAT_T0 + 1000 * i, ct, cols, pk, ddl),)
+            for i, (ct, cols, pk, ddl) in enumerate(_COMPAT_STEPS)
+        ],
+        "value string",
+    )
+    hist = schema_history(decode_schema_change_events(raw))
+    w = Window.partitionBy("table_id").orderBy("ts_ms")
+    d = hist.select(
+        "ts_ms", "table_id", "change_type", "ddl", "columns", "pk_columns",
+        F.lag("columns").over(w).alias("prev_cols"),
+        F.lag("pk_columns").over(w).alias("prev_pk"),
+    ).filter(F.col("prev_cols").isNotNull())
+    rank = (
+        "CASE c.typeName WHEN 'int2' THEN 1 WHEN 'int4' THEN 2"
+        " WHEN 'int8' THEN 3 ELSE 0 END"
+    )
+    prank = rank.replace("c.typeName", "p.typeName")
+    added = F.expr(
+        "filter(columns, c -> !exists(prev_cols, p -> p.name = c.name))"
+    )
+    common = F.expr(
+        "filter(columns, c -> exists(prev_cols, p -> p.name = c.name))"
+    )
+    out = d.select(
+        "ts_ms", "table_id", "ddl",
+        F.expr(
+            "size(filter(columns, c -> !exists(prev_cols, p -> p.name = c.name)"
+            " AND c.optional))"
+        ).cast("long").alias("n_added_optional"),
+        F.expr(
+            "size(filter(columns, c -> !exists(prev_cols, p -> p.name = c.name)"
+            " AND NOT c.optional))"
+        ).cast("long").alias("n_added_required"),
+        F.expr(
+            "size(filter(prev_cols, p -> !exists(columns, c -> c.name = p.name)))"
+        ).cast("long").alias("n_dropped"),
+        F.expr(
+            f"size(filter(columns, c -> exists(prev_cols, p -> p.name = c.name"
+            f" AND p.typeName <> c.typeName"
+            f" AND {prank} > 0 AND {rank} > {prank})))"
+        ).cast("long").alias("n_widened"),
+        F.expr(
+            f"size(filter(columns, c -> exists(prev_cols, p -> p.name = c.name"
+            f" AND p.typeName <> c.typeName"
+            f" AND NOT ({prank} > 0 AND {rank} > {prank}))))"
+        ).cast("long").alias("n_retyped_breaking"),
+        F.expr(
+            "size(filter(columns, c -> exists(prev_cols, p -> p.name = c.name"
+            " AND p.optional AND NOT c.optional)))"
+        ).cast("long").alias("n_tightened"),
+        (~F.expr(
+            "size(pk_columns) = size(prev_pk)"
+            " AND size(array_except(pk_columns, prev_pk)) = 0"
+        )).cast("long").alias("pk_changed"),
+    )
+    return out.select(
+        "*",
+        F.when(
+            F.col("n_added_required") + F.col("n_dropped")
+            + F.col("n_retyped_breaking") + F.col("n_tightened")
+            + F.col("pk_changed") > 0,
+            F.lit("breaking"),
+        ).otherwise(F.lit("safe")).alias("compat"),
+    )
+
+
+def _sql_compat() -> str:
+    # the oracle re-declares the same DDL history as SQL literals (column
+    # lists as (name, type, optional) structs) and re-derives the
+    # classification independently — two decoders, two diff
+    # implementations, one verdict
+    def cols_sql(cols: list[tuple[str, str, bool]]) -> str:
+        items = ", ".join(
+            f"{{'name': '{n}', 'typeName': '{t}', 'optional': {str(o).lower()}}}"
+            for n, t, o in cols
+        )
+        return f"[{items}]"
+
+    rows = ",\n    ".join(
+        f"({_COMPAT_T0 + 1000 * i}, '\"public\".\"bookings\"', "
+        f"'{ddl.replace(chr(39), chr(39) * 2)}', {cols_sql(cols)}, "
+        f"[{', '.join(repr(p) for p in pk)}])"
+        for i, (_ct, cols, pk, ddl) in enumerate(_COMPAT_STEPS)
+    )
+    rank = ("CASE c.typeName WHEN 'int2' THEN 1 WHEN 'int4' THEN 2"
+            " WHEN 'int8' THEN 3 ELSE 0 END")
+    prank = rank.replace("c.typeName", "p.typeName")
+    return f"""
+WITH hist(ts_ms, table_id, ddl, columns, pk_columns) AS (VALUES
+    {rows}
+),
+d AS (
+  SELECT ts_ms, table_id, ddl, columns, pk_columns,
+         lag(columns) OVER (PARTITION BY table_id ORDER BY ts_ms) AS prev_cols,
+         lag(pk_columns) OVER (PARTITION BY table_id ORDER BY ts_ms) AS prev_pk
+  FROM hist
+),
+diffs AS (
+  SELECT ts_ms, table_id, ddl,
+         len(list_filter(columns, c -> NOT list_contains(list_transform(prev_cols, p -> p.name), c.name) AND c.optional))::BIGINT AS n_added_optional,
+         len(list_filter(columns, c -> NOT list_contains(list_transform(prev_cols, p -> p.name), c.name) AND NOT c.optional))::BIGINT AS n_added_required,
+         len(list_filter(prev_cols, p -> NOT list_contains(list_transform(columns, c -> c.name), p.name)))::BIGINT AS n_dropped,
+         len(list_filter(columns, c -> len(list_filter(prev_cols, p -> p.name = c.name AND p.typeName <> c.typeName AND {prank} > 0 AND {rank} > {prank})) > 0))::BIGINT AS n_widened,
+         len(list_filter(columns, c -> len(list_filter(prev_cols, p -> p.name = c.name AND p.typeName <> c.typeName AND NOT ({prank} > 0 AND {rank} > {prank}))) > 0))::BIGINT AS n_retyped_breaking,
+         len(list_filter(columns, c -> len(list_filter(prev_cols, p -> p.name = c.name AND p.optional AND NOT c.optional)) > 0))::BIGINT AS n_tightened,
+         CASE WHEN len(pk_columns) = len(prev_pk)
+                   AND len(list_filter(pk_columns, k -> NOT list_contains(prev_pk, k))) = 0
+              THEN 0 ELSE 1 END::BIGINT AS pk_changed
+  FROM d WHERE prev_cols IS NOT NULL
+)
+SELECT *,
+       CASE WHEN n_added_required + n_dropped + n_retyped_breaking
+                 + n_tightened + pk_changed > 0
+            THEN 'breaking' ELSE 'safe' END AS compat
+FROM diffs
+"""
+
+
+QUERIES["cdc_schema_compat_report"] = cdc_schema_compat_report
+ORACLE["cdc_schema_compat_report"] = _sql_compat()

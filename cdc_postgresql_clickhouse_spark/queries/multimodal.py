@@ -537,3 +537,93 @@ SELECT format,
 FROM groups GROUP BY format
 """
 QUERIES["multimodal_bytes_dedup_report"] = multimodal_bytes_dedup_report
+
+
+# --- Silence segmentation (VAD front-end) — round 11 ---------------------------
+#
+# The segmentation step every audio pipeline runs after framing
+# (multimodal_audio_frames): frames below an RMS energy gate are
+# "silence", and CONTIGUOUS silent runs — the gaps-and-islands device,
+# islands keyed by frame_idx minus the silent-frame rank — become the
+# segments a VAD would cut, yielding per-clip structure: segment count,
+# longest pause, silence share. Splitting long audio on silence is how
+# training clips are actually minted from raw recordings. The gate
+# (44.0, between the fixture's Q1 and median) keeps both classes
+# populated; rms is already the floored-micro double the frames oracle
+# pins, so the comparison is engine-exact.
+#
+# Scale shape: the audio mapInPandas pass (format-pruned JVM-side), then
+# ONE window pair partitioned by doc — frames per doc are bounded by
+# payload bytes / frame length, so the window state is clip-local.
+
+SILENCE_RMS = 44.0
+
+
+def multimodal_silence_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    fr = multimodal_audio_frames(spark, sf_dir).select(
+        "doc_id", "frame_idx", (F.col("rms") < F.lit(SILENCE_RMS)).alias("silent")
+    )
+    wd = Window.partitionBy("doc_id").orderBy("frame_idx")
+    runs = fr.withColumn(
+        "grp",
+        F.col("frame_idx")
+        - F.sum(F.col("silent").cast("int")).over(wd)
+        + F.lit(1),
+    )
+    segs = (
+        runs.filter(F.col("silent"))
+        .groupBy("doc_id", "grp")
+        .agg(F.count(F.lit(1)).cast("long").alias("run_len"))
+    )
+    per_doc = fr.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_frames"),
+        F.sum(F.col("silent").cast("long")).cast("long").alias("n_silent"),
+    )
+    seg_stats = segs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        F.max("run_len").cast("long").alias("longest_run"),
+    )
+    return per_doc.join(seg_stats, "doc_id", "left").select(
+        "doc_id", "n_frames", "n_silent",
+        F.coalesce("n_segments", F.lit(0)).cast("long").alias("n_segments"),
+        F.coalesce("longest_run", F.lit(0)).cast("long").alias("longest_run"),
+        F.expr("n_silent * 1000000 div n_frames").cast("long").alias("silence_ppm"),
+    )
+
+
+_SQL_AUDIO_FRAMES_BASE = ORACLE["multimodal_audio_frames"]
+
+ORACLE["multimodal_silence_segments"] = f"""
+WITH frames AS MATERIALIZED ({_SQL_AUDIO_FRAMES_BASE}),
+flagged AS (
+  SELECT doc_id, frame_idx, (rms < {SILENCE_RMS!r}) AS silent FROM frames
+),
+runs AS (
+  SELECT doc_id, frame_idx, silent,
+         frame_idx - SUM(CASE WHEN silent THEN 1 ELSE 0 END) OVER (
+           PARTITION BY doc_id ORDER BY frame_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1 AS grp
+  FROM flagged
+),
+segs AS (
+  SELECT doc_id, grp, COUNT(*)::BIGINT AS run_len
+  FROM runs WHERE silent GROUP BY 1, 2
+),
+per_doc AS (
+  SELECT doc_id, COUNT(*)::BIGINT AS n_frames,
+         SUM(CASE WHEN silent THEN 1 ELSE 0 END)::BIGINT AS n_silent
+  FROM flagged GROUP BY doc_id
+),
+seg_stats AS (
+  SELECT doc_id, COUNT(*)::BIGINT AS n_segments, MAX(run_len)::BIGINT AS longest_run
+  FROM segs GROUP BY doc_id
+)
+SELECT p.doc_id, p.n_frames, p.n_silent,
+       COALESCE(s.n_segments, 0)::BIGINT AS n_segments,
+       COALESCE(s.longest_run, 0)::BIGINT AS longest_run,
+       (p.n_silent * 1000000 // p.n_frames)::BIGINT AS silence_ppm
+FROM per_doc p LEFT JOIN seg_stats s USING (doc_id)
+"""
+QUERIES["multimodal_silence_segments"] = multimodal_silence_segments
