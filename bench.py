@@ -427,6 +427,8 @@ HEADLINE = [
     "quality_score_calibration_ece",
     "multimodal_bytes_dedup_report",
     "layout_partition_size_advisor",
+    "multimodal_silence_segments",
+    "cdc_schema_compat_report",
 ]
 
 
