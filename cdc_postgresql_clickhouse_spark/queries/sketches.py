@@ -2318,29 +2318,39 @@ def sketch_bottomk_jaccard_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_postgresql_clickhouse_spark.functions.text import tokens, word_shingles
 
     docs = load_table(spark, sf_dir, "documents")
-    # fence: sh feeds the rank derivation AND the pair fan-out — unfenced,
-    # the documents scan + shingle explode + distinct run twice
-    sh = (
-        docs.select("source", word_shingles(tokens(F.col("text"))).alias("shs"))
-        .select("source", F.explode("shs").alias("sh"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    # Partition pinning: documents.parquet is 1-2 splits locally and AQE
+    # coalesces a bare repartition's reader back to ONE task (tiny shuffle
+    # bytes, heavy downstream CPU), so the shingle build ran serially —
+    # 43 s at sf0.1. An RDD-materialized base (localCheckpoint) pins the
+    # 32 partitions where a lazy repartition cannot. Ranks come from the
+    # RAW source column (no shingle work), so the expensive shingle tree
+    # below is consumed exactly once and needs no fence of its own.
+    docs_p = docs.repartition(
+        spark.sparkContext.defaultParallelism
+    ).localCheckpoint(eager=True)
     ranks = (
-        sh.select("source").distinct()
+        docs_p.select("source").distinct()
         .select(
             "source",
             F.row_number().over(Window.orderBy("source")).cast("long").alias("r"),
         )
     )
+    sh = (
+        docs_p.select("source", word_shingles(tokens(F.col("text"))).alias("shs"))
+        .select("source", F.explode("shs").alias("sh"))
+        .distinct()
+    )
+    # source with rank r is the LEFT member of pair r and the RIGHT member
+    # of pair r-1; pair ids 1..n_sources-1. n_src rides as a broadcast
+    # one-row aggregate — the first cut used an unpartitioned window
+    # (rowsBetween over the whole frame), which funnels every row through
+    # ONE task: 36.6 s at sf0.1 for what is otherwise a 1.5 s plan.
+    nsrc = ranks.agg(F.max("r").alias("n_src"))
     sided = sh.join(F.broadcast(ranks), "source").select(
         "sh",
         F.col("r").alias("r"),
     )
-    # source with rank r is the LEFT member of pair r and the RIGHT member
-    # of pair r-1; pair ids 1..n_sources-1
-    n_src = F.max("r").over(Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
-    fan = sided.withColumn("n_src", n_src).select(
+    fan = sided.crossJoin(F.broadcast(nsrc)).select(
         "sh",
         F.explode(
             F.filter(
