@@ -487,7 +487,15 @@ def main() -> None:
     probe_pre = _calibration_probe(spark)
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_REPEATS", "5")))
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    # interleaved probe series (VERDICT r10 #3): one constant-work reading
+    # every PROBE_EVERY queries, so a mid-run host-contention burst shows
+    # up as a localized spike in the series instead of masquerading as a
+    # regression in whichever queries it straddled
+    probe_every = max(1, int(os.environ.get("SPARK_GRAFT_PROBE_EVERY", "25")))
+    probe_series: list[float] = []
+    for qi, name in enumerate(HEADLINE):
+        if qi % probe_every == 0 and qi > 0:
+            probe_series.append(_calibration_probe(spark))
         fn = registry[name]
         best, n = float("inf"), 0
         for _ in range(repeats):
@@ -516,8 +524,9 @@ def main() -> None:
         "repeats": repeats,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         # constant-work calibration (see _calibration_probe): compare
-        # probe_sec across artifacts before declaring any line a regression
-        "probe_sec": {"pre": probe_pre, "post": probe_post},
+        # probe_sec across artifacts before declaring any line a regression;
+        # the series localizes mid-run bursts to a window of the query list
+        "probe_sec": {"pre": probe_pre, "post": probe_post, "series": probe_series},
     }
     full_line = json.dumps(result)
     repo = os.path.dirname(os.path.abspath(__file__))
