@@ -99,6 +99,12 @@ _PINS = [
     # train-side cross join
     ("quality_length_psi", 5, 1),
     ("text_cross_source_crossentropy", 4, 1),
+    # round-11 additions above 2 s at sf0.1: the bottom-k Jaccard sweep's
+    # shingle base is built once above a partition-pinned RDD scan (the
+    # serial-pushed-filter trap cost 36.6 s before the pin) and the final
+    # plan is the fan/member/window chain off that scan; its BNLJ is the
+    # one-row n_src broadcast cross
+    ("sketch_bottomk_jaccard_sweep", 7, 1),
 ]
 
 
