@@ -542,12 +542,17 @@ def main() -> None:
                 # the declared contract for these two rows is "the cluster
                 # table is materialized once per corpus snapshot": rebuild
                 # the memo OUTSIDE the timed region so the line measures
-                # the derived aggregation regardless of list position,
-                # pass structure, or the block sweep
+                # the derived aggregation regardless of list position or
+                # pass structure. Reset FIRST: a memo surviving from an
+                # earlier pass references checkpoint blocks the stale-block
+                # sweep already dropped, and a lineage-truncated DataFrame
+                # cannot recompute them (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND
+                # killed the first run that tried to reuse one).
                 from cdc_postgresql_clickhouse_spark.queries.cluster import (
                     clusters as _clusters,
                 )
 
+                reset_clusters_cache()
                 _clusters(spark, sf_dir).count()
             else:
                 reset_clusters_cache()
