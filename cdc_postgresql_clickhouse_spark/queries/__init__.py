@@ -75,48 +75,48 @@ _MODULES = (
 _WINDOW_FRONT = [
     # rule 1: cdc insurance, capped at 2 while the never-checked queue is
     # non-empty (VERDICT r8 #1): the flagship current-state read plus one
-    # rotating CDC row (r11 rotation: cdc_idempotent_replay, the S10
-    # at-least-once core, green r8 — cdc_envelope_transform rotated out
-    # after its r10 green).
-    "cdc_current_state", "cdc_idempotent_replay",
-    # rule 2: the full never-driver-checked queue — all 43 session-2
-    # additions that registered after the r10 gate ran (VERDICT r10 #1).
-    # 2 + 43 = 45 ≤ 50, so the queue drains completely this round and the
-    # registry reaches 100% driver-checked for the first time. Order is
-    # registration (module) order.
-    "cdc_bucket_skew_report", "streaming_retention_cohort_equiv",
-    "streaming_cusum_equiv", "text_bigram_entropy_rate",
-    "sketch_hll_error_sweep", "layout_minmax_pruning_report",
-    "bpe_compression_curve", "graph_type_audience_overlap",
-    "retrieval_query_likelihood_eval", "retrieval_hard_negatives_mine",
-    "retrieval_pr_curve", "corpus_dsir_mix_shift",
-    "similarity_mmr_rerank", "embedding_knn_margin_profile",
-    "embedding_intrinsic_dimension", "embedding_isotropy_report",
-    "multimodal_aspect_ratio_buckets", "multimodal_phash_hamming_sweep",
-    "text_ocr_garbage_score", "text_cross_source_crossentropy",
-    "quality_ccnet_ppl_buckets", "quality_filter_cascade_report",
-    "quality_lang_bias_auc", "quality_langid_fleiss_kappa",
-    "quality_length_psi", "corpus_epoch_shuffle_audit",
-    "events_retention_cohort_matrix", "events_peak_concurrent_sessions",
-    "events_daily_anomaly_mad", "events_attribution_position_weighted",
-    "events_retention_halflife", "suppliers_speed_ranking",
-    "orders_revenue_drawdown", "orders_littles_law_audit",
-    "orders_revenue_pvm_bridge", "reco_brand_cooccurrence_topk",
-    "orders_duplicate_invoice_detection", "orders_ltv_cohort_matrix",
-    "orders_fulfillment_lag_percentiles", "orders_supplier_hhi",
-    "orders_skyline_pareto", "asof_tolerance_latest_order",
-    "asof_nearest_order",
-    # rule 2 (cont.): 5 of the 12 new r11 registrations — with 55 rows now
-    # never-checked the window takes 48 and no green refill may occupy a
-    # slot. The remaining 7 r11 additions (tokenizer_oov_curve,
-    # events_cuped_adjustment, events_hill_tail_index,
-    # events_stratified_uplift, graph_rich_club_coefficient,
-    # layout_partition_size_advisor, streaming_srm_equiv) queue behind the
-    # window and front in r12; all 12 are parity-verified locally at
-    # sf0.01 (scripts/parity_sweep.py).
-    "text_lexical_richness", "events_srm_check",
-    "quality_score_calibration_ece", "sketch_bottomk_jaccard_sweep",
-    "multimodal_bytes_dedup_report",
+    # rotating CDC row (r12 rotation: cdc_pk_change_state — at r7 the
+    # oldest cdc driver proof, so the insurance slot doubles as the cdc
+    # family's staleness re-check; cdc_idempotent_replay rotated out after
+    # its r11 green).
+    "cdc_current_state", "cdc_pk_change_state",
+    # rule 2: the never-driver-checked queue — the 9 round-11 additions
+    # that registered after the r11 gate ran (VERDICT r11 #1), all 9
+    # judge-verified green locally at sf0.01. Registration (module) order.
+    "cdc_schema_compat_report", "streaming_srm_equiv",
+    "layout_partition_size_advisor", "tokenizer_oov_curve",
+    "graph_rich_club_coefficient", "multimodal_silence_segments",
+    "events_cuped_adjustment", "events_hill_tail_index",
+    "events_stratified_uplift",
+    # rule 3 (staleness, formalized r12 per VERDICT r11 #2): with the
+    # never-checked queue down to 9, the window has surplus for the first
+    # time — the remaining slots fill with already-green rows whose latest
+    # driver proof is OLDEST, oldest round first, registration order within
+    # a round. The 39 slots below are the head of the 43-row r2-latest
+    # cohort (the engine under them has been refactored for nine rounds;
+    # their last driver green predates fences, shared bases and session
+    # defaults). tests/test_window_policy.py::test_rule3_slots_fill_oldest_first
+    # pins the rule.
+    "events_tumbling_5min", "events_sliding_10min",
+    "events_sessionize", "events_json_extract",
+    "q1_pricing_summary", "q3_shipping_priority",
+    "q5_region_revenue", "topk_orders",
+    "agg_distinct_counts", "window_running_total",
+    "rollup_status_priority", "customers_without_orders",
+    "set_intersect_building_buyers", "set_except_nonbuilding_buyers",
+    "asof_latest_order", "asof_prev_purchase",
+    "q4_order_priority", "rolling_30day_spend",
+    "customer_spend_deciles", "collect_priority_fingerprint",
+    "q6_forecast_revenue", "q10_returned_revenue",
+    "q13_order_count_distribution", "q14_promo_revenue",
+    "q15_top_supplier", "q17_small_quantity_revenue",
+    "q18_large_orders", "q19_disjunctive_predicates",
+    "q22_idle_customers", "cube_returnflag_status",
+    "pivot_priority_by_status", "percentile_prices_by_status",
+    "monthly_revenue_rollup", "full_outer_activity",
+    "q2_min_cost_supplier", "q11_important_parts",
+    "q12_priority_shipping", "q20_bolt_suppliers",
+    "q7_nation_volume",
 ]
 
 

@@ -81,6 +81,42 @@ def test_never_driver_checked_queries_fill_the_window():
         )
 
 
+def test_rule3_slots_fill_oldest_first():
+    """Rule 3 (staleness, formalized r12 per VERDICT r11 #2): once the
+    insurance rows and the never-checked queue are seated, the remaining
+    window slots are spent on the already-green rows whose latest driver
+    proof is OLDEST. Invariant: no behind-window green row may be strictly
+    staler (smaller latest-checked round) than a green row occupying a
+    rule-3 slot. cdc rows are exempt from the comparison — rule 1 governs
+    them. At a round boundary (a fresh CORRECTNESS file stamping the window
+    rows with the newest round) this test goes red by design, demanding the
+    next rotation — the same contract the never-checked guard has carried
+    since r8."""
+    from cdc_postgresql_clickhouse_spark.queries import all_queries
+
+    names = list(all_queries())
+    seen = _driver_rows()
+    window = names[:WINDOW]
+    never = [n for n in names if n not in seen]
+    if len(never) >= WINDOW - 2:
+        return  # queue fills the window; rule 2 governs every slot
+    behind = [n for n in names[WINDOW:] if n in seen and not n.startswith("cdc_")]
+    rule3 = [
+        n for n in window
+        if n in seen and seen[n][1] and not n.startswith("cdc_")
+    ]
+    if not behind or not rule3:
+        return
+    oldest_behind = min(seen[n][0] for n in behind)
+    stale_violations = [
+        (n, seen[n][0]) for n in rule3 if seen[n][0] > oldest_behind
+    ]
+    assert not stale_violations, (
+        f"rule-3 window slots hold rows newer than the stalest behind-window "
+        f"row (round {oldest_behind}): {stale_violations}"
+    )
+
+
 def test_red_latest_driver_rows_register_inside_window():
     """Rule 2b: a query whose most recent driver CORRECTNESS row failed must
     re-register inside the first-50 window — rotating it out would leave the
