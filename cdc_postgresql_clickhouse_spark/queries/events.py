@@ -4133,7 +4133,11 @@ def events_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
     lim = ev.agg(
         F.min("ts").alias("lo"), F.max("ts").alias("hi")
     ).select(
-        F.expr("lo + make_dt_interval(0, 0, 0, CAST(unix_timestamp(hi) - unix_timestamp(lo) AS DOUBLE) / 2)").alias("mid")
+        # exact-microsecond midpoint (ADVICE r11): whole-second truncation
+        # here vs fractional epoch in the oracle left a ~0.5 s window where
+        # an event could flip pre/post — both engines now halve the span as
+        # integer micros (floor; span is non-negative so div == //).
+        F.expr("timestampadd(MICROSECOND, (unix_micros(hi) - unix_micros(lo)) div 2, lo)").alias("mid")
     )
     per_user = (
         ev.crossJoin(F.broadcast(lim))
@@ -4203,7 +4207,7 @@ WITH ev AS (
   SELECT user_id, ts, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c FROM events
 ),
 lim AS (
-  SELECT MIN(ts) + INTERVAL (CAST((epoch(MAX(ts)) - epoch(MIN(ts))) / 2 AS DOUBLE)) SECOND AS mid
+  SELECT MIN(ts) + to_microseconds((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 2) AS mid
   FROM ev
 ),
 per_user AS (
@@ -4383,9 +4387,10 @@ def events_stratified_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "ts", F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c")
     )
     lim = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).select(
+        # exact-microsecond midpoint — same convention as events_cuped_adjustment
         F.expr(
-            "lo + make_dt_interval(0, 0, 0,"
-            " CAST(unix_timestamp(hi) - unix_timestamp(lo) AS DOUBLE) / 2)"
+            "timestampadd(MICROSECOND,"
+            " (unix_micros(hi) - unix_micros(lo)) div 2, lo)"
         ).alias("mid")
     )
     per_user = (
@@ -4488,7 +4493,7 @@ WITH ev AS (
   SELECT user_id, ts, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c FROM events
 ),
 lim AS (
-  SELECT MIN(ts) + INTERVAL (CAST((epoch(MAX(ts)) - epoch(MIN(ts))) / 2 AS DOUBLE)) SECOND AS mid
+  SELECT MIN(ts) + to_microseconds((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 2) AS mid
   FROM ev
 ),
 per_user AS (

@@ -507,8 +507,12 @@ def multimodal_bytes_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame
     ).select(
         "format", "n_objects", "n_distinct", "total_bytes", "dup_groups",
         "reclaimable_bytes",
-        F.expr("reclaimable_bytes * 1000000 div total_bytes").cast("long")
-        .alias("savings_ppm"),
+        # NULL-on-undefined (ADVICE r11): a format bucket of zero-length
+        # payloads would divide by zero — guard like the kappa family.
+        F.expr(
+            "CASE WHEN total_bytes > 0"
+            " THEN reclaimable_bytes * 1000000 div total_bytes END"
+        ).cast("long").alias("savings_ppm"),
     )
 
 
@@ -532,8 +536,9 @@ SELECT format,
        SUM(copies * sz)::BIGINT AS total_bytes,
        SUM(CASE WHEN copies > 1 THEN 1 ELSE 0 END)::BIGINT AS dup_groups,
        SUM((copies - 1) * sz)::BIGINT AS reclaimable_bytes,
-       (SUM((copies - 1) * sz) * 1000000 // SUM(copies * sz))::BIGINT
-         AS savings_ppm
+       (CASE WHEN SUM(copies * sz) > 0
+             THEN SUM((copies - 1) * sz) * 1000000 // SUM(copies * sz)
+        END)::BIGINT AS savings_ppm
 FROM groups GROUP BY format
 """
 QUERIES["multimodal_bytes_dedup_report"] = multimodal_bytes_dedup_report

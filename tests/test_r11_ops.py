@@ -121,9 +121,12 @@ def test_stratified_uplift_weighting(spark, sf_dir):
     assert sum(r["n_a"] + r["n_b"] for r in rows) == n_users
     valid = [r for r in rows if r["lift_micro"] is not None]
     w = sum(r["n_a"] + r["n_b"] for r in valid)
-    want = (
-        sum((r["n_a"] + r["n_b"]) * r["lift_micro"] for r in valid) // max(1, w)
-    )
+    # truncate toward zero like Spark `div` / DuckDB `//` — Python's `//`
+    # floors, which differs by 1 when the weighted lift sum is negative
+    # (ADVICE r11)
+    s = sum((r["n_a"] + r["n_b"]) * r["lift_micro"] for r in valid)
+    w = max(1, w)
+    want = s // w if s >= 0 else -((-s) // w)
     assert rows[0]["uplift_micro"] == want
 
 
