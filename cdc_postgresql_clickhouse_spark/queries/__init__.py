@@ -88,6 +88,11 @@ _WINDOW_FRONT = [
     "graph_rich_club_coefficient", "multimodal_silence_segments",
     "events_cuped_adjustment", "events_hill_tail_index",
     "events_stratified_uplift",
+    # rule 2 (cont.): the 3 round-12 additions, never-checked on arrival —
+    # SemDeDup cluster-scoped semantic dedup, URL canonicalization dedup,
+    # and the incremental-PQ ≡ batch equivalence row
+    "semantic_dedup_semdedup", "dedup_url_canonical",
+    "streaming_pq_ingest_equiv",
     # rule 3 (staleness, formalized r12 per VERDICT r11 #2): with the
     # never-checked queue down to 9, the window has surplus for the first
     # time — the remaining slots fill with already-green rows whose latest
@@ -115,8 +120,6 @@ _WINDOW_FRONT = [
     "pivot_priority_by_status", "percentile_prices_by_status",
     "monthly_revenue_rollup", "full_outer_activity",
     "q2_min_cost_supplier", "q11_important_parts",
-    "q12_priority_shipping", "q20_bolt_suppliers",
-    "q7_nation_volume",
 ]
 
 

@@ -1279,3 +1279,147 @@ tagged AS (
 
 
 ORACLE["dedup_method_agreement"] = _sql_method_agreement()
+
+
+# --- URL canonicalization + host-level dedup report — round 12 -----------------
+#
+# The crawl-side dedup every web-scale corpus runs BEFORE content dedup:
+# canonicalize each document's URL (lowercase scheme/host, strip a leading
+# "www.", strip the scheme's default port, drop the #fragment, strip
+# utm_* tracking params, normalize the trailing slash) and report, per
+# canonical host, how many raw URLs collapse onto how many canonical ones
+# — the refetch/duplicate mass a crawler avoids by canonicalizing first.
+# The fixture corpus has no URL column, so deterministic URLs are
+# synthesized as a function of (doc_id, source) — the established
+# IN-QUERY synthesis convention (text_pii_redact, text_html_strip): the
+# operator itself (parse → canonicalize → roll up) never sees the
+# synthesis and runs unchanged on a real url column. Every synthesized
+# variant exercises one canonicalization rule (case, www, default port,
+# fragment, one-or-two utm params, trailing slash before "?" and at EOL).
+#
+# Every regex pattern occurs AT MOST ONCE per URL by construction: Spark's
+# regexp_replace replaces all matches while DuckDB's replaces the first,
+# so single-occurrence patterns are the cross-engine-safe subset.
+#
+# Scale shape: one scan, per-row string work, one (host)-keyed rollup with
+# a distinct inside — |hosts| output rows. No joins.
+
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    m4 = F.col("doc_id") % 4
+    sch = (
+        F.when(m4 == 0, F.lit("https")).when(m4 == 1, F.lit("HTTPS"))
+        .when(m4 == 2, F.lit("http")).otherwise(F.lit("HTTP"))
+    )
+    hostbase = F.concat(F.col("source"), F.lit(".example.com"))
+    m3 = F.col("doc_id") % 3
+    hostv = (
+        F.when(m3 == 0, F.concat(F.lit("WWW."), hostbase))
+        .when(m3 == 1, F.concat(F.lit("www."), hostbase))
+        .otherwise(hostbase)
+    )
+    port = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.when(m4 < 2, F.lit(":443")).otherwise(F.lit(":80")),
+    ).otherwise(F.lit(""))
+    path = F.concat(F.lit("/p/"), (F.col("doc_id") % 40).cast("string"))
+    slash = F.when(F.col("doc_id") % 7 == 0, F.lit("/")).otherwise(F.lit(""))
+    m8 = F.col("doc_id") % 8
+    q = (
+        F.when(m8 == 0, F.concat(F.lit("?utm_source=feed&utm_campaign=c"),
+                                 (F.col("doc_id") % 3).cast("string")))
+        .when(m8 == 2, F.concat(F.lit("?id="), (F.col("doc_id") % 40).cast("string")))
+        .when(m8 == 4, F.lit("?utm_source=feed"))
+        .otherwise(F.lit(""))
+    )
+    frag = F.when(F.col("doc_id") % 6 == 0, F.lit("#top")).otherwise(F.lit(""))
+    u = docs.select(
+        "doc_id",
+        F.concat(sch, F.lit("://"), hostv, port, path, slash, q, frag).alias("url"),
+    )
+    scheme = F.lower(F.regexp_extract(F.col("url"), r"^([A-Za-z]+)://", 1))
+    hostport = F.lower(F.regexp_extract(F.col("url"), r"^[A-Za-z]+://([^/?#]+)", 1))
+    host0 = F.regexp_replace(hostport, r"^www\.", "")
+    host = (
+        F.when(scheme == "https", F.regexp_replace(host0, r":443$", ""))
+        .otherwise(F.regexp_replace(host0, r":80$", ""))
+    )
+    rest = F.regexp_replace(F.col("url"), r"^[A-Za-z]+://[^/?#]+", "")
+    r1 = F.regexp_replace(rest, r"#[^#]*$", "")
+    r2 = F.regexp_replace(r1, r"utm_source=[^&#]*&?", "")
+    r3 = F.regexp_replace(r2, r"utm_campaign=[^&#]*&?", "")
+    r4 = F.regexp_replace(r3, r"[?&]$", "")
+    r5 = F.regexp_replace(r4, r"/\?", "?")
+    r6 = F.regexp_replace(r5, r"/$", "")
+    canon = u.select(
+        host.alias("host"),
+        F.concat(scheme, F.lit("://"), host, r6).alias("canonical_url"),
+    )
+    return canon.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_urls"),
+        F.countDistinct("canonical_url").cast("long").alias("n_canonical"),
+        (F.count(F.lit(1)) - F.countDistinct("canonical_url"))
+        .cast("long").alias("n_dup_urls"),
+        F.expr(
+            "(count(1) - count(DISTINCT canonical_url)) * 1000000 div count(1)"
+        ).cast("long").alias("dup_ppm"),
+    )
+
+
+ORACLE["dedup_url_canonical"] = """
+WITH synth AS (
+  SELECT doc_id,
+         (CASE doc_id % 4 WHEN 0 THEN 'https' WHEN 1 THEN 'HTTPS'
+                          WHEN 2 THEN 'http' ELSE 'HTTP' END)
+         || '://'
+         || (CASE doc_id % 3
+               WHEN 0 THEN 'WWW.' || source || '.example.com'
+               WHEN 1 THEN 'www.' || source || '.example.com'
+               ELSE source || '.example.com' END)
+         || (CASE WHEN doc_id % 5 = 0
+                  THEN CASE WHEN doc_id % 4 < 2 THEN ':443' ELSE ':80' END
+                  ELSE '' END)
+         || '/p/' || CAST(doc_id % 40 AS VARCHAR)
+         || (CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END)
+         || (CASE doc_id % 8
+               WHEN 0 THEN '?utm_source=feed&utm_campaign=c'
+                           || CAST(doc_id % 3 AS VARCHAR)
+               WHEN 2 THEN '?id=' || CAST(doc_id % 40 AS VARCHAR)
+               WHEN 4 THEN '?utm_source=feed'
+               ELSE '' END)
+         || (CASE WHEN doc_id % 6 = 0 THEN '#top' ELSE '' END) AS url
+  FROM documents
+),
+parsed AS (
+  SELECT url,
+         lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+         lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)) AS hostport,
+         regexp_replace(url, '^[A-Za-z]+://[^/?#]+', '') AS rest
+  FROM synth
+),
+canon AS (
+  SELECT
+    CASE WHEN scheme = 'https'
+         THEN regexp_replace(regexp_replace(hostport, '^www\\.', ''), ':443$', '')
+         ELSE regexp_replace(regexp_replace(hostport, '^www\\.', ''), ':80$', '')
+    END AS host,
+    scheme,
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(rest, '#[^#]*$', ''),
+      'utm_source=[^&#]*&?', ''),
+      'utm_campaign=[^&#]*&?', ''),
+      '[?&]$', ''),
+      '/\\?', '?'),
+      '/$', '') AS r6
+  FROM parsed
+)
+SELECT host,
+       COUNT(*)::BIGINT AS n_urls,
+       COUNT(DISTINCT scheme || '://' || host || r6)::BIGINT AS n_canonical,
+       (COUNT(*) - COUNT(DISTINCT scheme || '://' || host || r6))::BIGINT
+         AS n_dup_urls,
+       ((COUNT(*) - COUNT(DISTINCT scheme || '://' || host || r6)) * 1000000
+        // COUNT(*))::BIGINT AS dup_ppm
+FROM canon GROUP BY host
+"""
+QUERIES["dedup_url_canonical"] = dedup_url_canonical

@@ -1288,28 +1288,22 @@ ORACLE["quality_lang_bias_auc"] = _SQL_LANG_BIAS_AUC
 # both engines). The raw S and sum c_j^2 ship as output columns so the
 # parity check pins the contingency internals, not just the ratio.
 #
-# Scale shape: three label passes over the documents scan (each the
-# audited langid map shape), one explode to (doc, category) assignments,
-# two bounded folds. At 100 TB the three raters would share one scan;
-# the fixture keeps them as the registered queries' own plans so this
-# report composes what it audits.
+# Scale shape: reads the shared langid prediction table
+# (text_ext.langid_predictions — materialized once per corpus snapshot,
+# same contract as the cluster memo), one explode to (doc, category)
+# assignments, two bounded folds. The prediction memo is the 100 TB
+# shape: language-ID runs once, every agreement audit reads the table.
 
 def quality_langid_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cdc_postgresql_clickhouse_spark.queries.text import text_langid
-    from cdc_postgresql_clickhouse_spark.queries.text_ext import text_langid_chargram
+    from cdc_postgresql_clickhouse_spark.queries.text_ext import langid_predictions
 
-    m = text_langid(spark, sf_dir).select(
-        "doc_id", "lang", F.col("guessed_lang").alias("g1")
-    )
-    g = text_langid_chargram(spark, sf_dir).select(
-        "doc_id", F.col("guessed_lang").alias("g2")
-    )
-    assigns = (
-        m.join(g, "doc_id")
-        .select(
-            "doc_id",
-            F.explode(F.array(F.col("lang"), F.col("g1"), F.col("g2"))).alias("cat"),
-        )
+    assigns = langid_predictions(spark, sf_dir).select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.col("lang"), F.col("marker_guess"), F.col("trigram_guess")
+            )
+        ).alias("cat"),
     )
     nij = assigns.groupBy("doc_id", "cat").agg(F.count(F.lit(1)).alias("nij"))
     per_item = nij.groupBy("doc_id").agg(

@@ -599,11 +599,20 @@ def ann_pq_topk(
         emb = load_table(spark, sf_dir, "embeddings").select("vec_id", _emb_d().alias("e"))
     else:
         emb = emb.select("vec_id", "e")
-    # distance table built under ONE reference to the codebook literal: an
-    # unrolled per-subspace formulation duplicated the 1024-double literal
-    # 16× in the Project tree and spent 1.4 s per query BUILD constructing
-    # it; a sequence-transform keeps the tree small. One-arg lambdas only: a
-    # two-arg lambda is read as transform's (element, index) form.
+    return pq_rank(emb, pq_encode(emb, cb_lit), cb_lit)
+
+
+def pq_encode(emb: DataFrame, cb_lit: Column) -> DataFrame:
+    """(vec_id, codes): argmin-L2 codeword id per subspace — the map-side
+    ENCODE step shared by the batch query and the streaming code-table
+    ingest (``streaming/ann.py``). ``emb`` must carry (vec_id, e).
+
+    The distance table is built under ONE reference to the codebook
+    literal: an unrolled per-subspace formulation duplicated the
+    1024-double literal 16× in the Project tree and spent 1.4 s per query
+    BUILD constructing it; a sequence-transform keeps the tree small.
+    One-arg lambdas only: a two-arg lambda is read as transform's
+    (element, index) form."""
     dd = F.transform(
         F.sequence(F.lit(0), F.lit(PQ_M - 1)),
         lambda m: F.transform(
@@ -611,21 +620,27 @@ def ann_pq_topk(
             lambda cw: _l2sq(F.slice(F.col("e"), m * PQ_SUBDIM + 1, F.lit(PQ_SUBDIM)), cw),
         ),
     )
-    enc = emb.select("vec_id", dd.alias("dd")).select(
+    return emb.select("vec_id", dd.alias("dd")).select(
         "vec_id",
         F.transform(
             F.col("dd"),
             lambda d: (F.array_position(d, F.array_min(d)) - 1).cast("int"),
         ).alias("codes"),
     )
-    # decode ONCE per corpus row (map-side, before the pair join multiplies
-    # rows): the reconstructed x̃ and its norm cost one pass over 2×PQ_K
-    # possible codewords here vs twice per PAIR if left inside the scoring
-    # expression (3.3s → 0.9s at sf0.1)
+
+
+def pq_rank(emb: DataFrame, codes: DataFrame, cb_lit: Column) -> DataFrame:
+    """Decode the code table and rank queries against the reconstructions —
+    the SCORE step shared by the batch query (codes built in-query) and
+    ``streaming_pq_ingest_equiv`` (codes read from the incrementally
+    maintained table). Decode runs ONCE per corpus row (map-side, before
+    the pair join multiplies rows): the reconstructed x̃ and its norm cost
+    one pass over 2×PQ_K possible codewords here vs twice per PAIR if left
+    inside the scoring expression (3.3s → 0.9s at sf0.1)."""
     xt = F.flatten(
         F.zip_with(cb_lit, F.col("codes"), lambda sub, c: F.element_at(sub, c + 1))
     )
-    dec = enc.select("vec_id", xt.alias("xt")).select(
+    dec = codes.select("vec_id", xt.alias("xt")).select(
         "vec_id", "xt", _norm(F.col("xt")).alias("xn")
     )
     q_side = emb.filter(F.col("vec_id") % 100 == 0).select(
@@ -2334,3 +2349,127 @@ FROM overall
 """
 
 QUERIES["embedding_intrinsic_dimension"] = embedding_intrinsic_dimension
+
+
+# --- SemDeDup: semantic dedup over the IVF clusters — round 12 -----------------
+#
+# Embedding-level semantic dedup the way Abbas et al. 2023 ("SemDeDup:
+# Data-efficient learning at web-scale through semantic deduplication")
+# run it at web scale: cluster the corpus with the coarse quantizer, then
+# look for near-duplicate pairs ONLY within each cluster (the cross-cluster
+# pair cost is what makes naive semantic dedup O(n²)); within a duplicate
+# pair, KEEP the example LESS similar to its cluster centroid (the paper's
+# diversity-preserving keep rule) — remove the higher-centroid-cosine side,
+# ties removing the larger vec_id. The quantizer is the registry's seed
+# convention (first N_CENTROIDS vectors — the same index ann_ivf_topk
+# builds, so the oracle is seed-identical with no kmeans replication), and
+# the corpus is the shared near-dup fixture (base vectors plus the derived
+# affine-perturbed copies) so genuine semantic duplicates exist at every SF.
+#
+# Scale shape: assignment is the broadcast-K map pass; the pair search is a
+# self-join KEYED ON cid — per-list occupancy n/K, so scale K ~ sqrt(n)
+# exactly like the IVF sizing note and the per-cluster pair cost stays
+# O(n/K) per row. No all-pairs join anywhere; the report is K rows.
+
+SEMDEDUP_TAU = 0.95
+
+
+def semantic_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", _emb_d().alias("e"))
+    derived = emb.filter(F.col("vec_id") < NEARDUP_IDS).select(
+        (F.col("vec_id") + DERIVED_OFFSET).alias("vec_id"),
+        F.transform(F.col("e"), lambda x: x * 0.9 + 0.01).alias("e"),
+    )
+    corpus = emb.unionByName(derived).withColumn("nrm", _norm(F.col("e")))
+    cents = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce"), _norm(F.col("e")).alias("cn")
+    )
+    scored = F.broadcast(cents).join(corpus, how="cross").select(
+        "vec_id", "cid",
+        _cos_prenorm(F.col("e"), F.col("ce"), F.col("nrm"), F.col("cn")).alias("cs"),
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.col("cid"))
+    assign = (
+        scored.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid", F.col("cs").alias("cen_cos"))
+    )
+    # persist barrier: members feed the self-join BOTH sides plus the
+    # per-cluster membership count — unpersisted, the assignment window
+    # re-runs three times
+    members = assign.join(corpus, "vec_id").persist(StorageLevel.MEMORY_AND_DISK)
+    a, b = members.alias("a"), members.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.cid") == F.col("b.cid")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.cid").alias("cid"),
+            F.col("a.vec_id").alias("va"), F.col("b.vec_id").alias("vb"),
+            F.col("a.cen_cos").alias("ca"), F.col("b.cen_cos").alias("cb"),
+            _cos_prenorm(
+                F.col("a.e"), F.col("b.e"), F.col("a.nrm"), F.col("b.nrm")
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= SEMDEDUP_TAU)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # the paper's keep rule: within a duplicate pair, drop the side MORE
+    # similar to the centroid; tie drops the larger id (va < vb by join)
+    removed = pairs.select(
+        "cid", F.when(F.col("ca") > F.col("cb"), F.col("va")).otherwise(F.col("vb")).alias("loser")
+    ).distinct()
+    pm = members.groupBy("cid").agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+    pp = pairs.groupBy("cid").agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    pr = removed.groupBy("cid").agg(F.count(F.lit(1)).cast("long").alias("n_removed"))
+    return (
+        pm.join(pp, "cid", "left")
+        .join(pr, "cid", "left")
+        .select(
+            "cid", "n_members",
+            F.coalesce(F.col("n_pairs"), F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce(F.col("n_removed"), F.lit(0)).cast("long").alias("n_removed"),
+            (F.col("n_members") - F.coalesce(F.col("n_removed"), F.lit(0)))
+            .cast("long").alias("n_kept"),
+        )
+    )
+
+
+ORACLE["semantic_dedup_semdedup"] = f"""
+WITH emb AS (SELECT vec_id, {_SQL_EMB} AS e FROM embeddings),
+derived AS (
+  SELECT vec_id + {DERIVED_OFFSET} AS vec_id,
+         list_transform(e, x -> x * 0.9 + 0.01) AS e
+  FROM emb WHERE vec_id < {NEARDUP_IDS}
+),
+corpus AS (SELECT * FROM emb UNION ALL SELECT * FROM derived),
+cents AS (SELECT vec_id AS cid, e AS ce FROM emb WHERE vec_id < {N_CENTROIDS}),
+assign_scored AS MATERIALIZED (
+  SELECT c.vec_id, t.cid, {_sql_cos('c.e', 't.ce')} AS cs,
+         row_number() OVER (PARTITION BY c.vec_id
+                            ORDER BY {_sql_cos('c.e', 't.ce')} DESC, t.cid) AS rn
+  FROM corpus c CROSS JOIN cents t
+),
+assign AS (SELECT vec_id, cid, cs AS cen_cos FROM assign_scored WHERE rn = 1),
+members AS MATERIALIZED (
+  SELECT a.vec_id, a.cid, a.cen_cos, c.e
+  FROM assign a JOIN corpus c ON a.vec_id = c.vec_id
+),
+pairs AS MATERIALIZED (
+  SELECT a.cid, a.vec_id AS va, b.vec_id AS vb, a.cen_cos AS ca, b.cen_cos AS cb
+  FROM members a JOIN members b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE {_sql_cos('a.e', 'b.e')} >= {SEMDEDUP_TAU}
+),
+removed AS (
+  SELECT DISTINCT cid, CASE WHEN ca > cb THEN va ELSE vb END AS loser FROM pairs
+),
+pm AS (SELECT cid, COUNT(*)::BIGINT AS n_members FROM members GROUP BY cid),
+pp AS (SELECT cid, COUNT(*)::BIGINT AS n_pairs FROM pairs GROUP BY cid),
+pr AS (SELECT cid, COUNT(*)::BIGINT AS n_removed FROM removed GROUP BY cid)
+SELECT pm.cid, pm.n_members,
+       COALESCE(pp.n_pairs, 0)::BIGINT AS n_pairs,
+       COALESCE(pr.n_removed, 0)::BIGINT AS n_removed,
+       (pm.n_members - COALESCE(pr.n_removed, 0))::BIGINT AS n_kept
+FROM pm LEFT JOIN pp ON pm.cid = pp.cid LEFT JOIN pr ON pm.cid = pr.cid
+"""
+QUERIES["semantic_dedup_semdedup"] = semantic_dedup_semdedup

@@ -1860,3 +1860,52 @@ QUERIES["streaming_srm_equiv"] = streaming_srm_equiv
 from cdc_postgresql_clickhouse_spark.queries.events import ORACLE as _EVENTS_ORACLE_SRM  # noqa: E402
 
 ORACLE["streaming_srm_equiv"] = _EVENTS_ORACLE_SRM["events_srm_check"]
+
+
+def streaming_pq_ingest_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-code-table-as-data-arrives: embeddings replayed in 2+ micro-batches
+    through the incremental PQ ingest (``streaming/ann.py``: codebook model
+    extracted from batch 1 under the first-PQ_K seed contract, per-batch
+    map-side encode, append-only code table, at-least-once replay absorbed
+    by ``distinct()``), then SCORED with the exact same decode-and-rank code
+    as the batch query (``similarity.pq_rank``). The oracle is literally the
+    batch ``ann_pq_topk`` SQL — equality IS the statement that maintaining
+    the code table incrementally yields the index the batch build would
+    have."""
+    from cdc_postgresql_clickhouse_spark.queries.similarity import (
+        PQ_K,
+        _emb_d,
+        _pq_cb_lit,
+        pq_rank,
+    )
+    from cdc_postgresql_clickhouse_spark.streaming.ann import (
+        pq_codebook_table,
+        run_incremental_pq,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    tmp = tempfile.mkdtemp(prefix="stream_pq_")
+    try:
+        src = os.path.join(tmp, "src")
+        code_path = os.path.join(tmp, "codes")
+        # batch 1 carries the seed codewords (vec_id < PQ_K) by construction;
+        # batch 2 delivers the rest — the code table accretes across batches
+        b1 = emb.filter((F.col("vec_id") < PQ_K) | (F.col("vec_id") % 2 == 0))
+        b2 = emb.filter((F.col("vec_id") >= PQ_K) & (F.col("vec_id") % 2 == 1))
+        b1.coalesce(1).write.parquet(src)
+        b2.coalesce(1).write.mode("append").parquet(src)
+        run_incremental_pq(
+            spark, src, code_path, os.path.join(tmp, "ckpt"), max_files_per_trigger=1
+        )
+        codes = spark.read.parquet(code_path).select("vec_id", "codes").distinct()
+        cb_lit = _pq_cb_lit(pq_codebook_table(spark, code_path))
+        full = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", _emb_d().alias("e")
+        )
+        return _materialized(pq_rank(full, codes, cb_lit))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+QUERIES["streaming_pq_ingest_equiv"] = streaming_pq_ingest_equiv
+ORACLE["streaming_pq_ingest_equiv"] = _SIM_ORACLE["ann_pq_topk"]

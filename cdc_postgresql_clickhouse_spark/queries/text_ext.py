@@ -633,17 +633,48 @@ FROM per_doc
 # #langs³-bounded cell count — trivially small output at any corpus scale.
 
 
-def quality_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+# Shared materialization of the langid prediction table: BOTH raters'
+# guesses per document. The three agreement audits (confusion grid, Cohen
+# kappa, Fleiss kappa) all derive from the identical joined table, and at
+# 100 TB you run language-ID ONCE per corpus snapshot and every downstream
+# audit reads the prediction table — rerunning the classifiers per audit
+# would triple the most expensive scan in the quality stage. Same memo
+# contract as queries/cluster.py::clusters: localCheckpointed, keyed by
+# (application, sf_dir), reset hook for cold-start benches; the producer
+# queries text_langid / text_langid_chargram keep their own cold plans.
+_LANGID_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def langid_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, marker_guess, trigram_guess) — the shared prediction
+    table for ``sf_dir``'s documents, computed once per (application,
+    sf_dir) and reused by every langid agreement audit."""
     from cdc_postgresql_clickhouse_spark.queries.text import text_langid
 
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _LANGID_CACHE.get(key)
+    if hit is not None:
+        return hit
     a = text_langid(spark, sf_dir).select(
         "doc_id", "lang", F.col("guessed_lang").alias("marker_guess")
     )
     b = text_langid_chargram(spark, sf_dir).select(
         "doc_id", F.col("guessed_lang").alias("trigram_guess")
     )
+    base = a.join(b, "doc_id").localCheckpoint(eager=True)
+    _LANGID_CACHE[key] = base
+    return base
+
+
+def reset_langid_cache() -> None:
+    """Drop the shared prediction-table memo (cold-start semantics for
+    benchmarks and tests)."""
+    _LANGID_CACHE.clear()
+
+
+def quality_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        a.join(b, "doc_id")
+        langid_predictions(spark, sf_dir)
         .groupBy("lang", "marker_guess", "trigram_guess")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -1127,16 +1158,13 @@ PENDING_ORACLE["text_rake_keywords"] = _SQL_RAKE
 # join runs on the #langs²-bounded guess grid.
 
 def quality_langid_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cdc_postgresql_clickhouse_spark.queries.text import text_langid
-
-    a = text_langid(spark, sf_dir).select(
-        "doc_id", F.col("guessed_lang").alias("mg")
-    )
-    b = text_langid_chargram(spark, sf_dir).select(
-        "doc_id", F.col("guessed_lang").alias("tg")
-    )
-    grid = a.join(b, "doc_id").groupBy("mg", "tg").agg(
-        F.count(F.lit(1)).cast("long").alias("n")
+    grid = (
+        langid_predictions(spark, sf_dir)
+        .select(
+            F.col("marker_guess").alias("mg"), F.col("trigram_guess").alias("tg")
+        )
+        .groupBy("mg", "tg")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
     tot = grid.agg(
         F.sum("n").cast("long").alias("n_docs"),

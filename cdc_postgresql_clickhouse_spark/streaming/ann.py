@@ -134,3 +134,104 @@ def compact_assignments(spark: SparkSession, assign_path: str, files_per_cid: in
 
     cols = [f.name for f in spark.read.parquet(assign_path).schema.fields]
     compact_partitioned_index(spark, assign_path, cols, "cid", files_per_cid)
+
+
+# --- Incremental PQ code-table maintenance — round 12 ---------------------------
+#
+# The PQ twin of the IVF ingest above: the CODEBOOK is a fixed model
+# (extracted from the first micro-batch under the same deterministic
+# first-PQ_K seed contract as ``queries.similarity._pq_codebook``, so the
+# incrementally-built code table scores with the exact batch code and
+# oracle), persisted beside the code table; each micro-batch ENCODES its
+# vectors map-side against the broadcast codebook literal
+# (``queries.similarity.pq_encode`` — argmin-L2 per subspace) and APPENDS
+# (vec_id, codes) rows. Pure append: replay just re-appends and readers
+# ``distinct()`` the table (the at-least-once contract shared with the IVF
+# assignment table and the CDC change log). Re-training the codebook is an
+# offline job that rewrites the model and triggers a re-encode — out of
+# scope, the ingest path is identical.
+#
+# Per-batch cost: O(batch × PQ_M × PQ_K) map-side + one append — no
+# shuffle, no join. At 100 TB the code table is the 128×-compressed
+# representation the batch query would build once; here it accretes per
+# batch as embeddings arrive from the upstream encoder.
+
+
+def _pq_model_path(code_path: str) -> str:
+    return code_path.rstrip("/") + "_codebook"
+
+
+def pq_codebook_table(spark: SparkSession, code_path: str) -> list[list[list[float]]]:
+    """The persisted codebook model, reassembled as CB[m][c] = subvector."""
+    rows = spark.read.parquet(_pq_model_path(code_path)).collect()
+    by_mc = {(r.m, r.c): [float(x) for x in r.cw] for r in rows}
+    n_m = 1 + max(m for m, _ in by_mc)
+    n_c = 1 + max(c for _, c in by_mc)
+    return [[by_mc[(m, c)] for c in range(n_c)] for m in range(n_m)]
+
+
+def ingest_batch_pq(spark: SparkSession, batch: DataFrame, code_path: str) -> None:
+    """Encode one micro-batch of (vec_id, embedding) rows against the
+    persisted codebook and append to the code table. On the first batch the
+    codebook is extracted (vec_id < PQ_K must be present — the seed
+    contract) and persisted. Runs under the table's ``_state_lock`` (same
+    convention as ``ingest_batch_ivf``)."""
+    from cdc_postgresql_clickhouse_spark.operators.state import _state_lock
+    from cdc_postgresql_clickhouse_spark.queries.similarity import (
+        PQ_K,
+        PQ_M,
+        PQ_SUBDIM,
+        _pq_cb_lit,
+        pq_encode,
+    )
+
+    emb = batch.select("vec_id", _emb_d().alias("e"))
+    with _state_lock(code_path):
+        mp = _pq_model_path(code_path)
+        if not os.path.exists(mp):
+            seed = emb.filter(F.col("vec_id") < PQ_K).orderBy("vec_id").collect()
+            if len(seed) < PQ_K:
+                raise ValueError(
+                    f"first batch must contain the {PQ_K} seed vectors (vec_id < {PQ_K})"
+                )
+            full = [[float(x) for x in r.e] for r in seed]
+            rows = [
+                (m, c, full[c][m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM])
+                for m in range(PQ_M)
+                for c in range(PQ_K)
+            ]
+            spark.createDataFrame(
+                rows, "m int, c int, cw array<double>"
+            ).coalesce(1).write.parquet(mp)
+        cb_lit = _pq_cb_lit(pq_codebook_table(spark, code_path))
+        pq_encode(emb, cb_lit).write.mode("append").parquet(code_path)
+
+
+def run_incremental_pq(
+    spark: SparkSession,
+    src_dir: str,
+    code_path: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Drain ``src_dir`` (parquet files of vec_id, embedding) through the
+    incremental PQ ingest with an availableNow trigger."""
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_dir)
+    )
+
+    def handle(batch: DataFrame, _batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        ingest_batch_pq(batch.sparkSession, batch, code_path)
+
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

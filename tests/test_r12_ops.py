@@ -1,0 +1,164 @@
+"""Law tests for the round-12 operators (each also oracle-paired and swept
+by test_oracle_parity): SemDeDup cluster-scoped semantic dedup, URL
+canonicalization + host dedup, incremental PQ code-table ingest."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from cdc_postgresql_clickhouse_spark.sources.registry import load_table
+
+
+def test_semdedup_accounting_and_keep_rule(spark, sf_dir):
+    """Counts partition the corpus; removals never exceed members; the
+    perturbed near-dup copies guarantee the fixture has work to do; and the
+    keep rule holds on a direct recomputation — a removed vector always has
+    an over-threshold neighbor in its cluster that is (strictly) less
+    centroid-similar, or equally similar with a smaller id."""
+    from cdc_postgresql_clickhouse_spark.queries.similarity import (
+        DERIVED_OFFSET,
+        N_CENTROIDS,
+        NEARDUP_IDS,
+        SEMDEDUP_TAU,
+        QUERIES as SQ,
+    )
+
+    rows = SQ["semantic_dedup_semdedup"](spark, sf_dir).collect()
+    assert rows and len(rows) <= N_CENTROIDS
+    n_emb = load_table(spark, sf_dir, "embeddings").count()
+    n_corpus = n_emb + min(n_emb, NEARDUP_IDS)
+    assert sum(r["n_members"] for r in rows) == n_corpus
+    for r in rows:
+        assert 0 <= r["n_removed"] <= r["n_members"]
+        assert r["n_kept"] + r["n_removed"] == r["n_members"]
+        assert r["n_removed"] <= r["n_pairs"] or r["n_pairs"] == 0
+    # the derived affine copies sit at cos >= 0.996 with their originals:
+    # the fixture MUST produce duplicate pairs and removals somewhere
+    assert sum(r["n_pairs"] for r in rows) >= 1
+    assert sum(r["n_removed"] for r in rows) >= 1
+
+    # direct Python recomputation of assignment + keep rule
+    emb = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    corpus = dict(emb)
+    for vid in list(emb):
+        if vid < NEARDUP_IDS:
+            corpus[vid + DERIVED_OFFSET] = [x * 0.9 + 0.01 for x in emb[vid]]
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        raw = d / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        )
+        return math.floor(raw * 1e6) / 1e6
+
+    cents = {cid: emb[cid] for cid in range(N_CENTROIDS) if cid in emb}
+    assign, cen_cos = {}, {}
+    for vid, e in corpus.items():
+        best = max(cents, key=lambda c: (cos(e, cents[c]), -c))
+        assign[vid] = best
+        cen_cos[vid] = cos(e, cents[best])
+    removed = set()
+    members_by_cid = {}
+    for vid, cid in assign.items():
+        members_by_cid.setdefault(cid, []).append(vid)
+    n_pairs_by_cid = {}
+    for cid, vids in members_by_cid.items():
+        vids.sort()
+        np = 0
+        for i, a in enumerate(vids):
+            for b in vids[i + 1 :]:
+                if cos(corpus[a], corpus[b]) >= SEMDEDUP_TAU:
+                    np += 1
+                    removed.add(a if cen_cos[a] > cen_cos[b] else b)
+        n_pairs_by_cid[cid] = np
+    got = {r["cid"]: r for r in rows}
+    for cid, vids in members_by_cid.items():
+        assert got[cid]["n_members"] == len(vids)
+        assert got[cid]["n_pairs"] == n_pairs_by_cid[cid]
+        assert got[cid]["n_removed"] == sum(1 for v in removed if assign[v] == cid)
+
+
+def test_url_canonical_rules_and_coverage(spark, sf_dir):
+    """Every document contributes exactly one URL; hosts are lowercase with
+    no www./port residue; canonical count never exceeds raw count; the
+    variant synthesis guarantees real collapses; and a spot recomputation
+    of the canonicalizer in Python agrees."""
+    from cdc_postgresql_clickhouse_spark.queries.dedup import QUERIES as DQ
+
+    rows = DQ["dedup_url_canonical"](spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    assert sum(r["n_urls"] for r in rows) == n_docs
+    for r in rows:
+        assert r["host"] == r["host"].lower()
+        assert not r["host"].startswith("www.")
+        assert ":" not in r["host"]
+        assert r["host"].endswith(".example.com")
+        assert 1 <= r["n_canonical"] <= r["n_urls"]
+        assert r["n_dup_urls"] == r["n_urls"] - r["n_canonical"]
+        assert 0 <= r["dup_ppm"] <= 1_000_000
+    # case/www/port/utm variants collapse: dupes must exist somewhere
+    assert sum(r["n_dup_urls"] for r in rows) >= 1
+
+    # Python twin: the canonical form is fully determined by
+    # (doc_id % 4 scheme, source host, doc_id % 40 path, doc_id % 8 == 2
+    # id param) — every other synthesized variant (case, www, default
+    # port, trailing slash, utm params, fragment) must cancel
+    def canon(doc_id, source):
+        scheme = ["https", "https", "http", "http"][doc_id % 4]
+        q = f"?id={doc_id % 40}" if doc_id % 8 == 2 else ""
+        return f"{scheme}://{source}.example.com/p/{doc_id % 40}{q}"
+
+    expected: dict[str, set] = {}
+    counts: dict[str, int] = {}
+    for r in docs.select("doc_id", "source").collect():
+        host = r.source + ".example.com"
+        expected.setdefault(host, set()).add(canon(r.doc_id, r.source))
+        counts[host] = counts.get(host, 0) + 1
+    got = {r["host"]: r for r in rows}
+    assert set(got) == set(expected)
+    for host, canons in expected.items():
+        assert got[host]["n_canonical"] == len(canons)
+        assert got[host]["n_urls"] == counts[host]
+
+
+def test_streaming_pq_ingest_matches_batch(spark, sf_dir):
+    """The incrementally-built code table scores IDENTICALLY to the batch
+    ann_pq_topk (same codebook seed, same encode, same rank) — row-for-row."""
+    from cdc_postgresql_clickhouse_spark.queries.similarity import QUERIES as SQ
+    from cdc_postgresql_clickhouse_spark.queries.streaming_queries import (
+        QUERIES as STQ,
+    )
+
+    batch = {
+        (r.q_id, r.rank): (r.neighbor_id, r.approx_cos)
+        for r in SQ["ann_pq_topk"](spark, sf_dir).collect()
+    }
+    stream = {
+        (r.q_id, r.rank): (r.neighbor_id, r.approx_cos)
+        for r in STQ["streaming_pq_ingest_equiv"](spark, sf_dir).collect()
+    }
+    assert batch and batch == stream
+
+
+def test_pq_ingest_replay_idempotent(spark, sf_dir, tmp_path):
+    """At-least-once replay: ingesting the same batch twice appends
+    duplicate code rows, and the reader's distinct() absorbs them — the
+    same contract as the IVF assignment table."""
+    from cdc_postgresql_clickhouse_spark.queries.similarity import _emb_d
+    from cdc_postgresql_clickhouse_spark.streaming.ann import ingest_batch_pq
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    code_path = str(tmp_path / "codes")
+    ingest_batch_pq(spark, emb, code_path)
+    once = spark.read.parquet(code_path).select("vec_id", "codes").distinct().count()
+    ingest_batch_pq(spark, emb, code_path)
+    raw = spark.read.parquet(code_path).count()
+    deduped = spark.read.parquet(code_path).select("vec_id", "codes").distinct().count()
+    assert raw == 2 * once
+    assert deduped == once

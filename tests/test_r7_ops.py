@@ -487,7 +487,9 @@ def test_bootstrap_ci_matches_bruteforce_and_brackets_mean(spark, sf_dir):
         by_type.setdefault(r.event_type, []).append((r.eid, r.c))
 
     def weight(eid, b):
-        u = int(hashlib.md5(f"{eid}:{b}".encode()).hexdigest()[:4], 16)
+        # digest b//8, hex offset (b%8)*4 — one md5 carries eight draws
+        h = hashlib.md5(f"{eid}:{b // 8}".encode()).hexdigest()
+        u = int(h[(b % 8) * 4 : (b % 8) * 4 + 4], 16)
         for i, t in enumerate(_POISSON_CDF16):
             if u < t:
                 return i
