@@ -37,7 +37,42 @@ def audit(plan: str) -> dict[str, int]:
     }
 
 
+def audit_shared_bases(spark, sf_dir: str) -> list[str]:
+    """The shared-base contract (VERDICT r11 #8): every declared consumer of
+    a shared memo must READ the materialized base — its physical plan scans
+    the memo's checkpoint blocks (ExistingRDD) instead of re-deriving the
+    base from parquet. Returns a list of violations (empty = contract
+    holds). Run by ``--shared-base`` and pinned by
+    tests/test_shared_memos.py."""
+    from bench import SHARED_MEMO_CONSUMERS, SHARED_MEMOS
+
+    qs = all_queries()
+    violations: list[str] = []
+    for consumer, memo in sorted(SHARED_MEMO_CONSUMERS.items()):
+        reset, warm = SHARED_MEMOS[memo]
+        reset()
+        warm(spark, sf_dir)
+        plan = formatted_plan(qs[consumer](spark, sf_dir))
+        if "ExistingRDD" not in plan:
+            violations.append(
+                f"{consumer}: no ExistingRDD scan with a warm '{memo}' memo "
+                f"(the consumer re-derives the base instead of reading it)"
+            )
+        reset()
+    return violations
+
+
 def main() -> int:
+    if "--shared-base" in sys.argv[1:]:
+        args = [a for a in sys.argv[1:] if a != "--shared-base"]
+        sf_dir = args[0] if args else "/root/testdata/sf0.01"
+        spark = get_spark()
+        spark.sparkContext.setLogLevel("ERROR")
+        bad = audit_shared_bases(spark, sf_dir)
+        for v in bad:
+            print(f"FAIL {v}")
+        print(f"shared-base contract: {'OK' if not bad else f'{len(bad)} violation(s)'}")
+        return 1 if bad else 0
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
     names = [n for n in HEADLINE if not only or n in only] or sorted(only)
