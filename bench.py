@@ -460,6 +460,7 @@ HEADLINE = [
     # round-12 additions (streaming_pq_ingest_equiv excluded with the other
     # streaming rows: micro-batch staging I/O dominates)
     "semantic_dedup_semdedup",
+    "semantic_dedup_tau_sweep",
     "dedup_url_canonical",
 ]
 

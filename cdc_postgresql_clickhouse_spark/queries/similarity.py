@@ -2374,7 +2374,14 @@ QUERIES["embedding_intrinsic_dimension"] = embedding_intrinsic_dimension
 SEMDEDUP_TAU = 0.95
 
 
-def semantic_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _semdedup_base(
+    spark: SparkSession, sf_dir: str, tau: float
+) -> tuple[DataFrame, DataFrame]:
+    """(members, pairs) for the SemDeDup family: cluster-assigned corpus
+    rows (vec_id, cid, cen_cos, e, nrm) and the within-cluster pair list at
+    threshold ``tau`` (cid, va, vb, ca, cb, cos_sim) — both persisted
+    (members feed the self-join BOTH sides plus the membership count;
+    pairs feed the pair count and the loser set)."""
     from pyspark import StorageLevel
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", _emb_d().alias("e"))
@@ -2396,9 +2403,6 @@ def semantic_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("vec_id", "cid", F.col("cs").alias("cen_cos"))
     )
-    # persist barrier: members feed the self-join BOTH sides plus the
-    # per-cluster membership count — unpersisted, the assignment window
-    # re-runs three times
     members = assign.join(corpus, "vec_id").persist(StorageLevel.MEMORY_AND_DISK)
     a, b = members.alias("a"), members.alias("b")
     pairs = (
@@ -2411,9 +2415,14 @@ def semantic_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("a.e"), F.col("b.e"), F.col("a.nrm"), F.col("b.nrm")
             ).alias("cos_sim"),
         )
-        .filter(F.col("cos_sim") >= SEMDEDUP_TAU)
+        .filter(F.col("cos_sim") >= tau)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    return members, pairs
+
+
+def semantic_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    members, pairs = _semdedup_base(spark, sf_dir, SEMDEDUP_TAU)
     # the paper's keep rule: within a duplicate pair, drop the side MORE
     # similar to the centroid; tie drops the larger id (va < vb by join)
     removed = pairs.select(
@@ -2435,8 +2444,13 @@ def semantic_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE["semantic_dedup_semdedup"] = f"""
-WITH emb AS (SELECT vec_id, {_SQL_EMB} AS e FROM embeddings),
+def _sql_semdedup_ctes(tau: float) -> str:
+    """The shared SemDeDup CTE prefix (corpus -> assignment -> members ->
+    within-cluster pairs at threshold ``tau``, cos_sim kept) — used by the
+    semdedup report oracle and the tau-sweep oracle. MATERIALIZED on the
+    reused CTEs: DuckDB inlines CTEs by default, re-running the assignment
+    window per reference (8.5 s -> 0.7 s at sf0.01)."""
+    return f"""emb AS (SELECT vec_id, {_SQL_EMB} AS e FROM embeddings),
 derived AS (
   SELECT vec_id + {DERIVED_OFFSET} AS vec_id,
          list_transform(e, x -> x * 0.9 + 0.01) AS e
@@ -2445,9 +2459,9 @@ derived AS (
 corpus AS (SELECT * FROM emb UNION ALL SELECT * FROM derived),
 cents AS (SELECT vec_id AS cid, e AS ce FROM emb WHERE vec_id < {N_CENTROIDS}),
 assign_scored AS MATERIALIZED (
-  SELECT c.vec_id, t.cid, {_sql_cos('c.e', 't.ce')} AS cs,
+  SELECT c.vec_id, t.cid, {_sql_cos("c.e", "t.ce")} AS cs,
          row_number() OVER (PARTITION BY c.vec_id
-                            ORDER BY {_sql_cos('c.e', 't.ce')} DESC, t.cid) AS rn
+                            ORDER BY {_sql_cos("c.e", "t.ce")} DESC, t.cid) AS rn
   FROM corpus c CROSS JOIN cents t
 ),
 assign AS (SELECT vec_id, cid, cs AS cen_cos FROM assign_scored WHERE rn = 1),
@@ -2456,10 +2470,15 @@ members AS MATERIALIZED (
   FROM assign a JOIN corpus c ON a.vec_id = c.vec_id
 ),
 pairs AS MATERIALIZED (
-  SELECT a.cid, a.vec_id AS va, b.vec_id AS vb, a.cen_cos AS ca, b.cen_cos AS cb
+  SELECT a.cid, a.vec_id AS va, b.vec_id AS vb,
+         a.cen_cos AS ca, b.cen_cos AS cb, {_sql_cos("a.e", "b.e")} AS cos_sim
   FROM members a JOIN members b ON a.cid = b.cid AND a.vec_id < b.vec_id
-  WHERE {_sql_cos('a.e', 'b.e')} >= {SEMDEDUP_TAU}
-),
+  WHERE {_sql_cos("a.e", "b.e")} >= {tau}
+)"""
+
+
+ORACLE["semantic_dedup_semdedup"] = f"""
+WITH {_sql_semdedup_ctes(SEMDEDUP_TAU)},
 removed AS (
   SELECT DISTINCT cid, CASE WHEN ca > cb THEN va ELSE vb END AS loser FROM pairs
 ),
@@ -2473,3 +2492,77 @@ SELECT pm.cid, pm.n_members,
 FROM pm LEFT JOIN pp ON pm.cid = pp.cid LEFT JOIN pr ON pm.cid = pr.cid
 """
 QUERIES["semantic_dedup_semdedup"] = semantic_dedup_semdedup
+
+
+# --- SemDeDup threshold sweep — round 12 ----------------------------------------
+#
+# The tuning row for semantic_dedup_semdedup (the dedup_lsh_tuning_report
+# convention applied to the semantic family): per threshold of a fixed
+# tau grid, the over-threshold pair count, the removal set size under the
+# keep rule, and removal mass as integer PPM of the corpus — the curve a
+# pipeline owner reads to pick tau before committing to a removal rate.
+# One shared base (members + pairs at the grid MINIMUM) feeds every grid
+# row: the pair list is filtered per tau, never recomputed; thresholds
+# compare against tau_ppm / 1e6 in BOTH engines so the comparison double
+# is bit-identical.
+#
+# Scale shape: the semdedup base (broadcast-K assignment + cid-keyed pair
+# join) plus a |grid|-bounded fan-out of the persisted pair list. Output
+# is |grid| rows.
+
+SEMDEDUP_TAUS_PPM = (900_000, 950_000, 980_000)
+
+
+def semantic_dedup_tau_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    members, pairs = _semdedup_base(
+        spark, sf_dir, min(SEMDEDUP_TAUS_PPM) / 1_000_000.0
+    )
+    grid = spark.createDataFrame(
+        [(t,) for t in SEMDEDUP_TAUS_PPM], "tau_ppm long"
+    )
+    tagged = pairs.crossJoin(F.broadcast(grid)).filter(
+        F.col("cos_sim") >= F.col("tau_ppm") / F.lit(1_000_000.0)
+    )
+    loser = F.when(F.col("ca") > F.col("cb"), F.col("va")).otherwise(F.col("vb"))
+    per = tagged.groupBy("tau_ppm").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.countDistinct(loser).cast("long").alias("n_removed"),
+    )
+    tot = members.agg(F.count(F.lit(1)).cast("long").alias("n_corpus"))
+    return (
+        grid.join(per, "tau_ppm", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "tau_ppm", "n_corpus",
+            F.coalesce(F.col("n_pairs"), F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce(F.col("n_removed"), F.lit(0)).cast("long").alias("n_removed"),
+            F.expr(
+                "coalesce(n_removed, 0) * 1000000 div n_corpus"
+            ).cast("long").alias("removed_ppm"),
+        )
+    )
+
+
+ORACLE["semantic_dedup_tau_sweep"] = f"""
+WITH {_sql_semdedup_ctes(min(SEMDEDUP_TAUS_PPM) / 1_000_000.0)},
+g AS (SELECT CAST(unnest([{", ".join(str(t) for t in SEMDEDUP_TAUS_PPM)}]) AS BIGINT) AS tau_ppm),
+tagged AS (
+  SELECT g.tau_ppm, p.cos_sim,
+         CASE WHEN p.ca > p.cb THEN p.va ELSE p.vb END AS loser
+  FROM pairs p CROSS JOIN g
+  WHERE p.cos_sim >= g.tau_ppm / 1000000.0
+),
+per AS (
+  SELECT tau_ppm, COUNT(*)::BIGINT AS n_pairs,
+         COUNT(DISTINCT loser)::BIGINT AS n_removed
+  FROM tagged GROUP BY tau_ppm
+),
+tot AS (SELECT COUNT(*)::BIGINT AS n_corpus FROM members)
+SELECT g.tau_ppm, tot.n_corpus,
+       COALESCE(per.n_pairs, 0)::BIGINT AS n_pairs,
+       COALESCE(per.n_removed, 0)::BIGINT AS n_removed,
+       (COALESCE(per.n_removed, 0) * 1000000 // tot.n_corpus)::BIGINT
+         AS removed_ppm
+FROM g LEFT JOIN per ON g.tau_ppm = per.tau_ppm CROSS JOIN tot
+"""
+QUERIES["semantic_dedup_tau_sweep"] = semantic_dedup_tau_sweep

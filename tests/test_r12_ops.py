@@ -162,3 +162,29 @@ def test_pq_ingest_replay_idempotent(spark, sf_dir, tmp_path):
     deduped = spark.read.parquet(code_path).select("vec_id", "codes").distinct().count()
     assert raw == 2 * once
     assert deduped == once
+
+
+def test_semdedup_tau_sweep_monotone_and_consistent(spark, sf_dir):
+    """Pairs and removals are non-increasing in tau; the grid row at the
+    registered SEMDEDUP_TAU agrees exactly with the per-cluster report's
+    totals."""
+    from cdc_postgresql_clickhouse_spark.queries.similarity import (
+        SEMDEDUP_TAU,
+        SEMDEDUP_TAUS_PPM,
+        QUERIES as SQ,
+    )
+
+    rows = {r["tau_ppm"]: r for r in SQ["semantic_dedup_tau_sweep"](spark, sf_dir).collect()}
+    assert set(rows) == set(SEMDEDUP_TAUS_PPM)
+    taus = sorted(SEMDEDUP_TAUS_PPM)
+    for lo, hi in zip(taus, taus[1:]):
+        assert rows[lo]["n_pairs"] >= rows[hi]["n_pairs"]
+        assert rows[lo]["n_removed"] >= rows[hi]["n_removed"]
+    for r in rows.values():
+        assert 0 <= r["removed_ppm"] <= 1_000_000
+        assert r["n_removed"] <= r["n_pairs"] or r["n_pairs"] == 0
+    report = SQ["semantic_dedup_semdedup"](spark, sf_dir).collect()
+    tau_ppm = int(round(SEMDEDUP_TAU * 1_000_000))
+    assert rows[tau_ppm]["n_removed"] == sum(r["n_removed"] for r in report)
+    assert rows[tau_ppm]["n_pairs"] == sum(r["n_pairs"] for r in report)
+    assert rows[tau_ppm]["n_corpus"] == sum(r["n_members"] for r in report)
