@@ -26,6 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from cdc_postgresql_clickhouse_spark.queries import all_queries  # noqa: E402
 from cdc_postgresql_clickhouse_spark.queries.cluster import reset_clusters_cache  # noqa: E402
+from cdc_postgresql_clickhouse_spark.queries.search import reset_kie_cache  # noqa: E402
 from cdc_postgresql_clickhouse_spark.queries.text_ext import reset_langid_cache  # noqa: E402
 from cdc_postgresql_clickhouse_spark.session import get_spark  # noqa: E402
 
@@ -46,9 +47,16 @@ def _warm_langid(spark, sf_dir):
     langid_predictions(spark, sf_dir).count()
 
 
+def _warm_kie(spark, sf_dir):
+    from cdc_postgresql_clickhouse_spark.queries.search import _kie_relevant_ranks
+
+    _kie_relevant_ranks(spark, sf_dir)
+
+
 SHARED_MEMOS = {
     "clusters": (reset_clusters_cache, _warm_clusters),
     "langid": (reset_langid_cache, _warm_langid),
+    "kie": (reset_kie_cache, _warm_kie),
 }
 SHARED_MEMO_CONSUMERS = {
     "dedup_cluster_size_hist": "clusters",
@@ -56,6 +64,9 @@ SHARED_MEMO_CONSUMERS = {
     "quality_langid_confusion": "langid",
     "quality_langid_kappa": "langid",
     "quality_langid_fleiss_kappa": "langid",
+    "retrieval_known_item_eval": "kie",
+    "retrieval_ndcg_eval": "kie",
+    "retrieval_pr_curve": "kie",
 }
 
 

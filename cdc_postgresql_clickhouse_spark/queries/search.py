@@ -345,10 +345,32 @@ KIE_MOD = 50
 KIE_QTOKENS = 20
 
 
+# Shared materialization of the known-item ranked run: ONE BM25 run over
+# the protocol's query set, read by every derived metric (hits/MRR, nDCG,
+# PR@k) — the TREC evaluation shape: you produce the run file once per
+# corpus snapshot, every metric scores the same run. Same memo contract as
+# queries/cluster.py::clusters and text_ext.langid_predictions:
+# localCheckpointed, keyed by (application, sf_dir), reset hook for
+# cold-start benches; the producer row text_bm25_search keeps its own cold
+# plan.
+_KIE_CACHE: dict[tuple[str, str], tuple[DataFrame, int]] = {}
+
+
+def reset_kie_cache() -> None:
+    """Drop the shared ranked-run memo (cold-start semantics for benchmarks
+    and tests)."""
+    _KIE_CACHE.clear()
+
+
 def _kie_relevant_ranks(spark: SparkSession, sf_dir: str):
-    """Shared known-item protocol base: (rel ranks DataFrame, n_queries).
-    Both the single-point eval and the PR@k curve derive from this one
-    construction so the protocol cannot drift between them."""
+    """Shared known-item protocol base: (rel ranks DataFrame, n_queries),
+    computed once per (application, sf_dir). Every known-item metric
+    derives from this one construction so the protocol cannot drift
+    between them."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _KIE_CACHE.get(key)
+    if hit is not None:
+        return hit
     docs = load_table(spark, sf_dir, "documents")
     q = (
         docs.filter(F.col("doc_id") % KIE_MOD == 0)
@@ -360,8 +382,12 @@ def _kie_relevant_ranks(spark: SparkSession, sf_dir: str):
         )
     )
     ranked = bm25_rank(build_postings(docs), docs.count(), q=q)
-    rel = ranked.filter(F.col("doc_id") == F.col("query").cast("long"))
-    return rel, q.select("query").distinct().count()
+    rel = ranked.filter(F.col("doc_id") == F.col("query").cast("long")).localCheckpoint(
+        eager=True
+    )
+    out = (rel, q.select("query").distinct().count())
+    _KIE_CACHE[key] = out
+    return out
 
 
 def retrieval_known_item_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -458,22 +484,10 @@ NDCG_GAINS = {r: int(_math.floor(1_000_000 / _math.log2(r + 1))) for r in range(
 
 
 def retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    q = (
-        docs.filter(F.col("doc_id") % KIE_MOD == 0)
-        .select(
-            F.col("doc_id").cast("string").alias("query"),
-            F.explode(
-                F.array_distinct(F.slice(tokens(F.col("text")), 1, KIE_QTOKENS))
-            ).alias("term"),
-        )
-    )
-    ranked = bm25_rank(build_postings(docs), docs.count(), q=q)
-    rel = ranked.filter(F.col("doc_id") == F.col("query").cast("long"))
+    rel, n_queries = _kie_relevant_ranks(spark, sf_dir)
     gain = F.create_map(
         *[F.lit(x) for kv in NDCG_GAINS.items() for x in kv]
     )
-    n_queries = q.select("query").distinct().count()
     agg = rel.agg(
         F.count(F.lit(1)).cast("long").alias("hits_at_topk"),
         F.coalesce(F.sum(F.element_at(gain, F.col("rank").cast("int"))), F.lit(0))
