@@ -105,6 +105,11 @@ _PINS = [
     # plan is the fan/member/window chain off that scan; its BNLJ is the
     # one-row n_src broadcast cross
     ("sketch_bottomk_jaccard_sweep", 7, 1),
+    # round-12: tfidf-cosine crossed 2 s in the r12 seal (noise-scale move
+    # on unchanged code — standalone re-measure read the same shape);
+    # pinned per the all->2s-lines-pinned invariant. Its BNLJ is the
+    # one-row norm broadcast.
+    ("dedup_tfidf_cosine", 10, 1),
 ]
 
 
