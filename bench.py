@@ -473,6 +473,7 @@ HEADLINE = [
     "semantic_dedup_semdedup",
     "semantic_dedup_tau_sweep",
     "dedup_url_canonical",
+    "embedding_pq_distortion_report",
 ]
 
 

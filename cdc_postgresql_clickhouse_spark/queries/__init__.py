@@ -93,6 +93,7 @@ _WINDOW_FRONT = [
     # and the incremental-PQ ≡ batch equivalence row
     "semantic_dedup_semdedup", "semantic_dedup_tau_sweep",
     "dedup_url_canonical", "streaming_pq_ingest_equiv",
+    "embedding_pq_distortion_report",
     # rule 3 (staleness, formalized r12 per VERDICT r11 #2): with the
     # never-checked queue down to 9, the window has surplus for the first
     # time — the remaining slots fill with already-green rows whose latest
@@ -119,7 +120,6 @@ _WINDOW_FRONT = [
     "q22_idle_customers", "cube_returnflag_status",
     "pivot_priority_by_status", "percentile_prices_by_status",
     "monthly_revenue_rollup", "full_outer_activity",
-    "q2_min_cost_supplier",
 ]
 
 

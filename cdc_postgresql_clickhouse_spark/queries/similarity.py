@@ -2566,3 +2566,105 @@ SELECT g.tau_ppm, tot.n_corpus,
 FROM g LEFT JOIN per ON g.tau_ppm = per.tau_ppm CROSS JOIN tot
 """
 QUERIES["semantic_dedup_tau_sweep"] = semantic_dedup_tau_sweep
+
+
+# --- PQ distortion accounting — round 12 ----------------------------------------
+#
+# The error side of the PQ ledger (ann_pq_topk is the ranking side): per
+# subspace, the total quantization distortion — the L2² distance between
+# each vector's subvector and its chosen codeword, which IS the encoding
+# argmin's minimum, so the report needs no reconstruction — against the
+# subspace's raw energy (L2² of the subvector). distortion/energy per
+# subspace is exactly what a PQ deployment reads to size M and K: a
+# subspace carrying most of the error wants more codewords (or the
+# rotation/OPQ treatment). Per-vector values floor to micro BEFORE the
+# sum (the BM25 device: identical doubles in, identical BIGINTs out,
+# integer summation order-free).
+#
+# Scale shape: the encode map pass (broadcast codebook literal, no join,
+# no shuffle) + one PQ_M-bounded fan-out and rollup. Output is PQ_M rows.
+
+def embedding_pq_distortion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cb_lit = _pq_cb_lit(_pq_codebook(spark, sf_dir, 0))
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", _emb_d().alias("e"))
+    dd = F.transform(
+        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+        lambda m: F.transform(
+            F.element_at(cb_lit, m + 1),
+            lambda cw: _l2sq(F.slice(F.col("e"), m * PQ_SUBDIM + 1, F.lit(PQ_SUBDIM)), cw),
+        ),
+    )
+    en = F.transform(
+        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+        lambda m: _dot(
+            F.slice(F.col("e"), m * PQ_SUBDIM + 1, F.lit(PQ_SUBDIM)),
+            F.slice(F.col("e"), m * PQ_SUBDIM + 1, F.lit(PQ_SUBDIM)),
+        ),
+    )
+    per = emb.select(
+        F.posexplode(
+            F.zip_with(
+                dd,
+                en,
+                lambda d, e: F.struct(
+                    F.floor(F.array_min(d) * F.lit(1_000_000.0)).cast("long").alias("d"),
+                    F.floor(e * F.lit(1_000_000.0)).cast("long").alias("en"),
+                ),
+            )
+        ).alias("subspace", "s")
+    )
+    return per.groupBy("subspace").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.sum("s.d").cast("long").alias("sum_dist_micro"),
+        F.sum("s.en").cast("long").alias("sum_energy_micro"),
+    ).select(
+        F.col("subspace").cast("long").alias("subspace"),
+        "n_vectors", "sum_dist_micro", "sum_energy_micro",
+        F.expr(
+            "CASE WHEN sum_energy_micro > 0"
+            " THEN sum_dist_micro * 1000000 div sum_energy_micro END"
+        ).cast("long").alias("distortion_ppm"),
+    )
+
+
+def _sql_pq_energy(m: int) -> str:
+    lo = m * PQ_SUBDIM + 1
+    return "(" + " + ".join(
+        f"(b.v[{i}] * b.v[{i}])" for i in range(lo, lo + PQ_SUBDIM)
+    ) + ")"
+
+
+ORACLE["embedding_pq_distortion_report"] = f"""
+WITH base AS (SELECT vec_id, {_SQL_EMB} AS v FROM embeddings),
+cents AS (SELECT vec_id AS cid, {_SQL_EMB} AS ce FROM embeddings WHERE vec_id < {PQ_K}),
+dist AS MATERIALIZED (
+  SELECT b.vec_id, c.cid,
+         {", ".join(f"{_sql_pq_subdist(m)} AS d{m}" for m in range(PQ_M))}
+  FROM base b CROSS JOIN cents c
+),
+mins AS MATERIALIZED (
+  SELECT vec_id, {", ".join(f"MIN(d{m}) AS m{m}" for m in range(PQ_M))}
+  FROM dist GROUP BY vec_id
+),
+en AS MATERIALIZED (
+  SELECT vec_id, {", ".join(f"{_sql_pq_energy(m)} AS e{m}" for m in range(PQ_M))}
+  FROM base b
+),
+per AS (
+  {" UNION ALL ".join(
+    f'''SELECT {m} AS subspace,
+       CAST(FLOOR(mins.m{m} * 1000000.0) AS BIGINT) AS d,
+       CAST(FLOOR(en.e{m} * 1000000.0) AS BIGINT) AS en
+    FROM mins JOIN en ON mins.vec_id = en.vec_id'''
+    for m in range(PQ_M)
+  )}
+)
+SELECT CAST(subspace AS BIGINT) AS subspace,
+       COUNT(*)::BIGINT AS n_vectors,
+       SUM(d)::BIGINT AS sum_dist_micro,
+       SUM(en)::BIGINT AS sum_energy_micro,
+       (CASE WHEN SUM(en) > 0 THEN SUM(d) * 1000000 // SUM(en) END)::BIGINT
+         AS distortion_ppm
+FROM per GROUP BY subspace
+"""
+QUERIES["embedding_pq_distortion_report"] = embedding_pq_distortion_report

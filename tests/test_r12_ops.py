@@ -188,3 +188,44 @@ def test_semdedup_tau_sweep_monotone_and_consistent(spark, sf_dir):
     assert rows[tau_ppm]["n_removed"] == sum(r["n_removed"] for r in report)
     assert rows[tau_ppm]["n_pairs"] == sum(r["n_pairs"] for r in report)
     assert rows[tau_ppm]["n_corpus"] == sum(r["n_members"] for r in report)
+
+
+def test_pq_distortion_matches_bruteforce(spark, sf_dir):
+    """Exact Python recomputation of the per-subspace encoding distortion
+    and energy (same seed codebook, same argmin, same per-vector floors)."""
+    from cdc_postgresql_clickhouse_spark.queries.similarity import (
+        PQ_K,
+        PQ_M,
+        PQ_SUBDIM,
+        QUERIES as SQ,
+    )
+
+    rows = {r["subspace"]: r for r in
+            SQ["embedding_pq_distortion_report"](spark, sf_dir).collect()}
+    assert set(rows) == set(range(PQ_M))
+    emb = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    cb = {
+        m: [emb[c][m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM] for c in range(PQ_K)]
+        for m in range(PQ_M)
+    }
+    want = {m: [0, 0] for m in range(PQ_M)}
+    for v in emb.values():
+        for m in range(PQ_M):
+            sub = v[m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]
+            dmin = min(
+                sum((x - y) * (x - y) for x, y in zip(sub, cw)) for cw in cb[m]
+            )
+            en = sum(x * x for x in sub)
+            want[m][0] += math.floor(dmin * 1e6)
+            want[m][1] += math.floor(en * 1e6)
+    for m in range(PQ_M):
+        r = rows[m]
+        assert r["n_vectors"] == len(emb)
+        assert r["sum_dist_micro"] == want[m][0]
+        assert r["sum_energy_micro"] == want[m][1]
+        assert r["distortion_ppm"] == (
+            want[m][0] * 1_000_000 // want[m][1] if want[m][1] > 0 else None
+        )
