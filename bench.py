@@ -474,6 +474,7 @@ HEADLINE = [
     "semantic_dedup_tau_sweep",
     "dedup_url_canonical",
     "embedding_pq_distortion_report",
+    "events_ab_sequential_peeks",
 ]
 
 

@@ -4587,3 +4587,147 @@ FROM lifts CROSS JOIN overall
 
 QUERIES["events_stratified_uplift"] = events_stratified_uplift
 ORACLE["events_stratified_uplift"] = _SQL_STRAT_UPLIFT
+
+
+# --- Sequential A/B peeking report — round 12 -----------------------------------
+#
+# The experimentation-stack row the SRM/CUPED/MDE trio doesn't cover: what
+# the metric OWNER sees when they peek at a running experiment K times.
+# At K evenly-spaced timeline checkpoints (exact-microsecond arithmetic,
+# the CUPED midpoint convention), the cumulative per-arm moments feed a
+# two-sample Welch z, and each peek is tested against the
+# Bonferroni-corrected boundary z_{1 - 0.05/(2K)} — the frozen literal
+# 2.807 (milli), no runtime quantile function. The report shows exactly
+# why naive repeated peeking at 1.96 inflates false positives: the
+# boundary column is the correction.
+#
+# Integer discipline: per-event cents, exact integer (n, Σc, Σc²) in a
+# 128-bit decimal lane per (peek, arm); the only IEEE region is the final
+# mean/variance/sqrt chain from exact integers (division and sqrt are
+# correctly rounded — bit-identical across engines), floored ONCE per
+# output column.
+#
+# Scale shape: one scan -> K-bounded fan-out against the broadcast peek
+# grid -> (K x 2)-keyed moment fold. Output is K rows.
+
+AB_PEEKS_K = 10
+AB_PEEK_BOUNDARY_MILLI = 2_807  # z_{1 - 0.05/(2*10)} = 2.8070, frozen
+
+
+def events_ab_sequential_peeks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_micros(ts)").alias("ts_us"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
+    )
+    arm = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1),
+        )
+        - F.lit(1)
+    ) % 2
+    base = ev.select(arm.cast("long").alias("arm"), "ts_us", "c")
+    lim = base.agg(
+        F.min("ts_us").alias("lo"), F.max("ts_us").alias("hi")
+    )
+    peeks = (
+        spark.range(1, AB_PEEKS_K + 1)
+        .select(F.col("id").alias("k"))
+        .crossJoin(F.broadcast(lim))
+        .select("k", F.expr(f"lo + (hi - lo) * k div {AB_PEEKS_K}").alias("peek_us"))
+    )
+    tagged = base.crossJoin(F.broadcast(peeks)).filter(
+        F.col("ts_us") <= F.col("peek_us")
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    marm = tagged.groupBy("k", "peek_us", "arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s"),
+        F.sum(dec("c") * F.col("c")).cast("decimal(38,0)").alias("s2"),
+    )
+    per = marm.groupBy("k", "peek_us").agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).cast("long").alias("na"),
+        F.max(F.when(F.col("arm") == 0, F.col("s"))).cast("long").alias("sa"),
+        F.max(F.when(F.col("arm") == 0, F.col("s2"))).alias("sa2"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).cast("long").alias("nb"),
+        F.max(F.when(F.col("arm") == 1, F.col("s"))).cast("long").alias("sb"),
+        F.max(F.when(F.col("arm") == 1, F.col("s2"))).alias("sb2"),
+    )
+    diff = "(CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) - CAST(sa AS DOUBLE) / CAST(na AS DOUBLE))"
+    var_a = ("(CAST(CAST(na AS DECIMAL(38,0)) * sa2 - CAST(sa AS DECIMAL(38,0)) * sa AS DOUBLE)"
+             " / CAST(na * (na - 1) AS DOUBLE))")
+    var_b = ("(CAST(CAST(nb AS DECIMAL(38,0)) * sb2 - CAST(sb AS DECIMAL(38,0)) * sb AS DOUBLE)"
+             " / CAST(nb * (nb - 1) AS DOUBLE))")
+    se = f"sqrt({var_a} / CAST(na AS DOUBLE) + {var_b} / CAST(nb AS DOUBLE))"
+    z = f"({diff} / {se})"
+    valid = f"na >= 2 AND nb >= 2 AND {se} > 0"
+    return per.select(
+        F.col("k").cast("long").alias("peek"),
+        "peek_us", "na", "nb",
+        F.expr(f"CASE WHEN na > 0 AND nb > 0 THEN CAST(FLOOR({diff} * 1000000.0) AS BIGINT) END")
+        .alias("diff_micro"),
+        F.expr(f"CASE WHEN {valid} THEN CAST(FLOOR({z} * 1000.0) AS BIGINT) END")
+        .alias("z_milli"),
+        F.expr(
+            f"CASE WHEN {valid} THEN"
+            f" CASE WHEN ABS(CAST(FLOOR({z} * 1000.0) AS BIGINT)) >= {AB_PEEK_BOUNDARY_MILLI}"
+            f" THEN 1 ELSE 0 END END"
+        ).cast("long").alias("significant"),
+    )
+
+
+def _sql_ab_peeks() -> str:
+    diff = "(CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) - CAST(sa AS DOUBLE) / CAST(na AS DOUBLE))"
+    var_a = ("(CAST(CAST(na AS HUGEINT) * sa2 - CAST(sa AS HUGEINT) * sa AS DOUBLE)"
+             " / CAST(na * (na - 1) AS DOUBLE))")
+    var_b = ("(CAST(CAST(nb AS HUGEINT) * sb2 - CAST(sb AS HUGEINT) * sb AS DOUBLE)"
+             " / CAST(nb * (nb - 1) AS DOUBLE))")
+    se = f"sqrt({var_a} / CAST(na AS DOUBLE) + {var_b} / CAST(nb AS DOUBLE))"
+    z = f"({diff} / {se})"
+    valid = f"na >= 2 AND nb >= 2 AND {se} > 0"
+    return f"""
+WITH ev AS (
+  SELECT ((instr('0123456789abcdef',
+                 substring(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1) % 2)::BIGINT AS arm,
+         epoch_us(ts) AS ts_us,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events
+),
+lim AS (SELECT MIN(ts_us) AS lo, MAX(ts_us) AS hi FROM ev),
+peeks AS (
+  SELECT CAST(k AS BIGINT) AS k, lo + (hi - lo) * k // {AB_PEEKS_K} AS peek_us
+  FROM (SELECT unnest(range(1, {AB_PEEKS_K + 1})) AS k) CROSS JOIN lim
+),
+tagged AS (
+  SELECT p.k, p.peek_us, e.arm, e.c FROM ev e CROSS JOIN peeks p
+  WHERE e.ts_us <= p.peek_us
+),
+marm AS (
+  SELECT k, peek_us, arm, COUNT(*)::BIGINT AS n, SUM(c)::BIGINT AS s,
+         SUM(CAST(c AS HUGEINT) * c) AS s2
+  FROM tagged GROUP BY 1, 2, 3
+),
+per AS (
+  SELECT k, peek_us,
+         MAX(CASE WHEN arm = 0 THEN n END)::BIGINT AS na,
+         MAX(CASE WHEN arm = 0 THEN s END)::BIGINT AS sa,
+         MAX(CASE WHEN arm = 0 THEN s2 END) AS sa2,
+         MAX(CASE WHEN arm = 1 THEN n END)::BIGINT AS nb,
+         MAX(CASE WHEN arm = 1 THEN s END)::BIGINT AS sb,
+         MAX(CASE WHEN arm = 1 THEN s2 END) AS sb2
+  FROM marm GROUP BY 1, 2
+)
+SELECT k AS peek, peek_us, na, nb,
+       CASE WHEN na > 0 AND nb > 0
+            THEN CAST(FLOOR({diff} * 1000000.0) AS BIGINT) END AS diff_micro,
+       CASE WHEN {valid} THEN CAST(FLOOR({z} * 1000.0) AS BIGINT) END AS z_milli,
+       (CASE WHEN {valid} THEN
+          CASE WHEN ABS(CAST(FLOOR({z} * 1000.0) AS BIGINT)) >= {AB_PEEK_BOUNDARY_MILLI}
+          THEN 1 ELSE 0 END END)::BIGINT AS significant
+FROM per
+"""
+
+
+QUERIES["events_ab_sequential_peeks"] = events_ab_sequential_peeks
+ORACLE["events_ab_sequential_peeks"] = _sql_ab_peeks()

@@ -229,3 +229,63 @@ def test_pq_distortion_matches_bruteforce(spark, sf_dir):
         assert r["distortion_ppm"] == (
             want[m][0] * 1_000_000 // want[m][1] if want[m][1] > 0 else None
         )
+
+
+def test_ab_sequential_peeks_bruteforce_twin(spark, sf_dir):
+    """Exact Python twin: same md5 arm draw, same integer peek grid, same
+    moment sums and float ordering for the Welch z — plus the structural
+    laws (cumulative counts are monotone in the peek index; the final
+    peek covers every event)."""
+    import hashlib
+
+    from cdc_postgresql_clickhouse_spark.queries.events import (
+        AB_PEEK_BOUNDARY_MILLI,
+        AB_PEEKS_K,
+        QUERIES as EQ,
+    )
+
+    rows = {r["peek"]: r for r in
+            EQ["events_ab_sequential_peeks"](spark, sf_dir).collect()}
+    assert set(rows) == set(range(1, AB_PEEKS_K + 1))
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr("unix_micros(ts)").alias("ts_us"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
+    ).collect()
+    data = []
+    for r in ev:
+        h = hashlib.md5(str(r.user_id).encode()).hexdigest()
+        arm = ("0123456789abcdef".index(h[0])) % 2
+        data.append((arm, r.ts_us, r.c))
+    lo = min(t for _, t, _ in data)
+    hi = max(t for _, t, _ in data)
+    n_total = len(data)
+    covered = 0
+    prev = (0, 0)
+    for k in range(1, AB_PEEKS_K + 1):
+        peek = lo + (hi - lo) * k // AB_PEEKS_K
+        cur = [(a, c) for a, t, c in data if t <= peek]
+        na = sum(1 for a, _ in cur if a == 0)
+        nb = sum(1 for a, _ in cur if a == 1)
+        sa = sum(c for a, c in cur if a == 0)
+        sb = sum(c for a, c in cur if a == 1)
+        sa2 = sum(c * c for a, c in cur if a == 0)
+        sb2 = sum(c * c for a, c in cur if a == 1)
+        r = rows[k]
+        assert (r["na"], r["nb"]) == (na, nb)
+        assert (na + nb) >= sum(prev)
+        prev = (na, nb)
+        covered = na + nb
+        if na > 0 and nb > 0:
+            diff = sb / nb - sa / na
+            assert r["diff_micro"] == math.floor(diff * 1e6)
+            if na >= 2 and nb >= 2:
+                var_a = (na * sa2 - sa * sa) / (na * (na - 1))
+                var_b = (nb * sb2 - sb * sb) / (nb * (nb - 1))
+                se = math.sqrt(var_a / na + var_b / nb)
+                if se > 0:
+                    z = math.floor(diff / se * 1000.0)
+                    assert r["z_milli"] == z
+                    assert r["significant"] == (
+                        1 if abs(z) >= AB_PEEK_BOUNDARY_MILLI else 0
+                    )
+    assert covered == n_total  # the final peek is the full window
