@@ -64,6 +64,7 @@ SHARED_MEMO_CONSUMERS = {
     "quality_langid_confusion": "langid",
     "quality_langid_kappa": "langid",
     "quality_langid_fleiss_kappa": "langid",
+    "quality_langid_krippendorff_alpha": "langid",
     "retrieval_known_item_eval": "kie",
     "retrieval_ndcg_eval": "kie",
     "retrieval_pr_curve": "kie",
@@ -475,6 +476,7 @@ HEADLINE = [
     "dedup_url_canonical",
     "embedding_pq_distortion_report",
     "events_ab_sequential_peeks",
+    "quality_langid_krippendorff_alpha",
 ]
 
 

@@ -1647,3 +1647,86 @@ def _sql_calibration() -> str:
 
 QUERIES["quality_score_calibration_ece"] = quality_score_calibration_ece
 ORACLE["quality_score_calibration_ece"] = _sql_calibration()
+
+
+# --- Krippendorff's alpha across the three language raters — round 12 ----------
+#
+# The third agreement statistic next to Cohen (pairwise) and Fleiss
+# (multi-rater, chance from the pooled distribution): Krippendorff's
+# alpha (nominal data), the metric content-annotation pipelines actually
+# standardize on because it generalizes to missing ratings and gives
+# 1 - Do/De with Do/De from the COINCIDENCE matrix. With r = 3 complete
+# ratings per item the whole statistic reduces to exact integers: the
+# within-item cross-category ordered-pair mass is sum_i (9 - s_i) with
+# s_i = sum_c n_ic^2 (the same per-item fold Fleiss uses), the marginal
+# pair mass is (3N)^2 - sum_c c_c^2, and
+#   alpha = 1 - (n-1) * sum_i(9 - s_i) / (2 * ((3N)^2 - sum_c c_c^2))
+# with n = 3N total ratings — a single integer-exact rational, floored
+# once to ppm (truncating division, identical in both engines).
+# Reads the shared langid prediction memo (a declared consumer, like the
+# confusion/kappa/Fleiss trio).
+#
+# Scale shape: one explode over the memo -> (doc, category) fold ->
+# two bounded reductions -> one-row arithmetic.
+
+def quality_langid_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_postgresql_clickhouse_spark.queries.text_ext import langid_predictions
+
+    assigns = langid_predictions(spark, sf_dir).select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.col("lang"), F.col("marker_guess"), F.col("trigram_guess")
+            )
+        ).alias("cat"),
+    )
+    nij = assigns.groupBy("doc_id", "cat").agg(F.count(F.lit(1)).alias("nij"))
+    per_item = nij.groupBy("doc_id").agg(
+        F.sum(F.col("nij") * F.col("nij")).alias("s_i")
+    )
+    cj = assigns.groupBy("cat").agg(F.count(F.lit(1)).alias("c"))
+    s_tot = per_item.agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum("s_i").cast("long").alias("s_sum"),
+    )
+    c2_tot = cj.agg(F.sum(F.col("c") * F.col("c")).cast("long").alias("c2_sum"))
+    out = s_tot.crossJoin(c2_tot)
+    # A = (3N - 1) * (9N - s_sum), B = 2 * ((3N)^2 - c2_sum); alpha = (B-A)/B
+    return out.select(
+        "n_items", "s_sum", "c2_sum",
+        F.expr(
+            "CASE WHEN 2 * (9 * n_items * n_items - c2_sum) > 0 THEN"
+            " (2 * (9 * n_items * n_items - c2_sum)"
+            "  - (3 * n_items - 1) * (9 * n_items - s_sum)) * 1000000"
+            " div (2 * (9 * n_items * n_items - c2_sum)) END"
+        ).cast("long").alias("alpha_ppm"),
+    )
+
+
+def _sql_krippendorff() -> str:
+    from cdc_postgresql_clickhouse_spark.queries.text import ORACLE as _TEXT_ORACLE
+    from cdc_postgresql_clickhouse_spark.queries.text_ext import ORACLE as _TEXT_EXT_ORACLE
+
+    return f"""
+WITH m AS MATERIALIZED ({_TEXT_ORACLE["text_langid"]}),
+g AS MATERIALIZED ({_TEXT_EXT_ORACLE["text_langid_chargram"]}),
+assigns AS (
+  SELECT m.doc_id, unnest([m.lang, m.guessed_lang, g.guessed_lang]) AS cat
+  FROM m JOIN g ON m.doc_id = g.doc_id
+),
+nij AS (SELECT doc_id, cat, COUNT(*)::BIGINT AS nij FROM assigns GROUP BY 1, 2),
+per_item AS (SELECT doc_id, SUM(nij * nij) AS s_i FROM nij GROUP BY doc_id),
+cj AS (SELECT cat, COUNT(*)::BIGINT AS c FROM assigns GROUP BY cat),
+s_tot AS (SELECT COUNT(*)::BIGINT AS n_items, SUM(s_i)::BIGINT AS s_sum FROM per_item),
+c2_tot AS (SELECT SUM(c * c)::BIGINT AS c2_sum FROM cj)
+SELECT n_items, s_sum, c2_sum,
+       CAST(CASE WHEN 2 * (9 * n_items * n_items - c2_sum) > 0 THEN
+         (2 * (9 * n_items * n_items - c2_sum)
+          - (3 * n_items - 1) * (9 * n_items - s_sum)) * 1000000
+         // (2 * (9 * n_items * n_items - c2_sum)) END AS BIGINT) AS alpha_ppm
+FROM s_tot CROSS JOIN c2_tot
+"""
+
+
+QUERIES["quality_langid_krippendorff_alpha"] = quality_langid_krippendorff_alpha
+ORACLE["quality_langid_krippendorff_alpha"] = _sql_krippendorff()

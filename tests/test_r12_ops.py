@@ -289,3 +289,31 @@ def test_ab_sequential_peeks_bruteforce_twin(spark, sf_dir):
                         1 if abs(z) >= AB_PEEK_BOUNDARY_MILLI else 0
                     )
     assert covered == n_total  # the final peek is the full window
+
+
+def test_krippendorff_alpha_bruteforce_twin(spark, sf_dir):
+    """Exact Python twin from the raw three-rater predictions; alpha <= 1e6
+    ppm and the integer internals match the Fleiss row's (same folds)."""
+    from cdc_postgresql_clickhouse_spark.queries.quality import QUERIES as QQ
+    from cdc_postgresql_clickhouse_spark.queries.text_ext import langid_predictions
+
+    row = QQ["quality_langid_krippendorff_alpha"](spark, sf_dir).collect()[0]
+    preds = langid_predictions(spark, sf_dir).collect()
+    n_items = len(preds)
+    s_sum, counts = 0, {}
+    for r in preds:
+        cats = [r.lang, r.marker_guess, r.trigram_guess]
+        per = {}
+        for c in cats:
+            per[c] = per.get(c, 0) + 1
+            counts[c] = counts.get(c, 0) + 1
+        s_sum += sum(v * v for v in per.values())
+    c2_sum = sum(v * v for v in counts.values())
+    assert (row["n_items"], row["s_sum"], row["c2_sum"]) == (n_items, s_sum, c2_sum)
+    b = 2 * (9 * n_items * n_items - c2_sum)
+    a = (3 * n_items - 1) * (9 * n_items - s_sum)
+    want = (b - a) * 1_000_000 // b if (b - a) >= 0 else -((-(b - a) * 1_000_000) // b)
+    assert row["alpha_ppm"] == want
+    assert row["alpha_ppm"] <= 1_000_000
+    fl = QQ["quality_langid_fleiss_kappa"](spark, sf_dir).collect()[0]
+    assert (fl["s_sum"], fl["c2_sum"]) == (s_sum, c2_sum)
