@@ -38,6 +38,19 @@ CHECK = [
     "events_winsorized_stats",
     "corpus_vocab_growth",
     "layout_hilbert_clustering",
+    # round-12 additions leaning on order-independent devices (window
+    # argmax + distinct loser set, grid folds over a persisted pair base,
+    # countDistinct canonicals, per-vector floors before integer sums,
+    # cumulative moment folds, the re-derived bootstrap draws and the
+    # exact-microsecond CUPED midpoint)
+    "semantic_dedup_semdedup",
+    "semantic_dedup_tau_sweep",
+    "dedup_url_canonical",
+    "embedding_pq_distortion_report",
+    "events_ab_sequential_peeks",
+    "quality_langid_krippendorff_alpha",
+    "events_bootstrap_mean_ci",
+    "events_cuped_adjustment",
 ]
 
 
@@ -55,19 +68,28 @@ def _rows(spark, name, sf_dir):
 @pytest.mark.parametrize("name", CHECK)
 def test_result_is_parallelism_invariant(spark, sf_dir, name):
     from cdc_postgresql_clickhouse_spark.queries.cluster import reset_clusters_cache
+    from cdc_postgresql_clickhouse_spark.queries.search import reset_kie_cache
+    from cdc_postgresql_clickhouse_spark.queries.text_ext import reset_langid_cache
+
+    def reset_all():
+        # every shared memo must rebuild UNDER the new parallelism, or the
+        # second run would just reread blocks materialized by the first
+        reset_clusters_cache()
+        reset_langid_cache()
+        reset_kie_cache()
 
     conf = spark.conf
     orig = conf.get("spark.sql.shuffle.partitions")
     try:
         conf.set("spark.sql.shuffle.partitions", "3")
-        reset_clusters_cache()
+        reset_all()
         a = _rows(spark, name, sf_dir)
         conf.set("spark.sql.shuffle.partitions", "17")
-        reset_clusters_cache()
+        reset_all()
         b = _rows(spark, name, sf_dir)
     finally:
         conf.set("spark.sql.shuffle.partitions", orig)
-        reset_clusters_cache()
+        reset_all()
     assert a == b, f"{name}: result depends on shuffle partitioning"
 
 
