@@ -477,6 +477,7 @@ HEADLINE = [
     "embedding_pq_distortion_report",
     "events_ab_sequential_peeks",
     "quality_langid_krippendorff_alpha",
+    "semantic_dedup_label_bias",
 ]
 
 

@@ -88,20 +88,21 @@ _WINDOW_FRONT = [
     "graph_rich_club_coefficient", "multimodal_silence_segments",
     "events_cuped_adjustment", "events_hill_tail_index",
     "events_stratified_uplift",
-    # rule 2 (cont.): the 7 round-12 additions, never-checked on arrival —
+    # rule 2 (cont.): the 8 round-12 additions, never-checked on arrival —
     # SemDeDup cluster-scoped semantic dedup + its tau sweep, URL
     # canonicalization dedup, the incremental-PQ ≡ batch equivalence row,
     # the PQ distortion ledger, the sequential-peeking A/B report, and
-    # Krippendorff alpha over the three langid raters
+    # Krippendorff alpha over the three langid raters, and the SemDeDup
+    # per-label removal-bias audit
     "semantic_dedup_semdedup", "semantic_dedup_tau_sweep",
     "dedup_url_canonical", "streaming_pq_ingest_equiv",
     "embedding_pq_distortion_report", "events_ab_sequential_peeks",
-    "quality_langid_krippendorff_alpha",
+    "quality_langid_krippendorff_alpha", "semantic_dedup_label_bias",
     # rule 3 (staleness, formalized r12 per VERDICT r11 #2): with the
     # never-checked queue down to 9, the window has surplus for the first
     # time — the remaining slots fill with already-green rows whose latest
     # driver proof is OLDEST, oldest round first, registration order within
-    # a round. The 32 slots below are the head of the 43-row r2-latest
+    # a round. The 31 slots below are the head of the 43-row r2-latest
     # cohort (the engine under them has been refactored for nine rounds;
     # their last driver green predates fences, shared bases and session
     # defaults). tests/test_window_policy.py::test_rule3_slots_fill_oldest_first
@@ -121,7 +122,7 @@ _WINDOW_FRONT = [
     "q15_top_supplier", "q17_small_quantity_revenue",
     "q18_large_orders", "q19_disjunctive_predicates",
     "q22_idle_customers", "cube_returnflag_status",
-    "pivot_priority_by_status", "percentile_prices_by_status",
+    "pivot_priority_by_status",
 ]
 
 

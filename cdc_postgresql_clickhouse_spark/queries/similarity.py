@@ -2668,3 +2668,69 @@ SELECT CAST(subspace AS BIGINT) AS subspace,
 FROM per GROUP BY subspace
 """
 QUERIES["embedding_pq_distortion_report"] = embedding_pq_distortion_report
+
+
+# --- SemDeDup removal-bias audit — round 12 -------------------------------------
+#
+# The fairness-of-filtering axis the quality family applies to content
+# dedup (quality_dedup_bias_audit), applied to SEMANTIC dedup: per
+# embedding label (the corpus's class marker), how much mass does the
+# SemDeDup keep rule remove? A removal rate that concentrates in one
+# class means the dedup threshold is silently re-weighting the training
+# mix — the audit every semantic-dedup deployment runs before committing
+# a removal list. Derived affine copies inherit their source's label
+# (vec_id - DERIVED_OFFSET), so the class accounting covers the full
+# dedup corpus.
+#
+# Scale shape: the shared SemDeDup base + one label map join (corpus-
+# keyed) + a |labels|-bounded rollup. Output is |labels| rows.
+
+def semantic_dedup_label_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    members, pairs = _semdedup_base(spark, sf_dir, SEMDEDUP_TAU)
+    raw = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    labels = raw.unionByName(
+        raw.filter(F.col("vec_id") < NEARDUP_IDS).select(
+            (F.col("vec_id") + DERIVED_OFFSET).alias("vec_id"), "label"
+        )
+    )
+    removed = pairs.select(
+        F.when(F.col("ca") > F.col("cb"), F.col("va")).otherwise(F.col("vb")).alias("vec_id")
+    ).distinct().withColumn("is_removed", F.lit(1))
+    tagged = (
+        members.select("vec_id")
+        .join(labels, "vec_id")
+        .join(removed, "vec_id", "left")
+    )
+    return tagged.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.coalesce(F.sum("is_removed"), F.lit(0)).cast("long").alias("n_removed"),
+    ).select(
+        F.col("label").cast("long").alias("label"),
+        "n_members", "n_removed",
+        F.expr("n_removed * 1000000 div n_members").cast("long").alias("removed_ppm"),
+    )
+
+
+ORACLE["semantic_dedup_label_bias"] = f"""
+WITH {_sql_semdedup_ctes(SEMDEDUP_TAU)},
+removed AS (
+  SELECT DISTINCT CASE WHEN ca > cb THEN va ELSE vb END AS vec_id FROM pairs
+),
+labels AS (
+  SELECT vec_id, label FROM embeddings
+  UNION ALL
+  SELECT vec_id + {DERIVED_OFFSET} AS vec_id, label
+  FROM embeddings WHERE vec_id < {NEARDUP_IDS}
+),
+tagged AS (
+  SELECT l.label, CASE WHEN r.vec_id IS NOT NULL THEN 1 ELSE 0 END AS is_removed
+  FROM members m JOIN labels l ON m.vec_id = l.vec_id
+  LEFT JOIN removed r ON m.vec_id = r.vec_id
+)
+SELECT CAST(label AS BIGINT) AS label,
+       COUNT(*)::BIGINT AS n_members,
+       SUM(is_removed)::BIGINT AS n_removed,
+       (SUM(is_removed) * 1000000 // COUNT(*))::BIGINT AS removed_ppm
+FROM tagged GROUP BY label
+"""
+QUERIES["semantic_dedup_label_bias"] = semantic_dedup_label_bias

@@ -317,3 +317,22 @@ def test_krippendorff_alpha_bruteforce_twin(spark, sf_dir):
     assert row["alpha_ppm"] <= 1_000_000
     fl = QQ["quality_langid_fleiss_kappa"](spark, sf_dir).collect()[0]
     assert (fl["s_sum"], fl["c2_sum"]) == (s_sum, c2_sum)
+
+
+def test_semdedup_label_bias_accounting(spark, sf_dir):
+    """Label rollup partitions the dedup corpus; removal totals agree with
+    the per-cluster report; rates bounded."""
+    from cdc_postgresql_clickhouse_spark.queries.similarity import (
+        NEARDUP_IDS,
+        QUERIES as SQ,
+    )
+
+    rows = SQ["semantic_dedup_label_bias"](spark, sf_dir).collect()
+    n_emb = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r["n_members"] for r in rows) == n_emb + min(n_emb, NEARDUP_IDS)
+    report = SQ["semantic_dedup_semdedup"](spark, sf_dir).collect()
+    assert sum(r["n_removed"] for r in rows) == sum(r["n_removed"] for r in report)
+    for r in rows:
+        assert 0 <= r["n_removed"] <= r["n_members"]
+        assert 0 <= r["removed_ppm"] <= 1_000_000
+        assert r["removed_ppm"] == r["n_removed"] * 1_000_000 // r["n_members"]
