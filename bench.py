@@ -27,6 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from cdc_postgresql_clickhouse_spark.queries import all_queries  # noqa: E402
 from cdc_postgresql_clickhouse_spark.queries.cluster import reset_clusters_cache  # noqa: E402
 from cdc_postgresql_clickhouse_spark.queries.search import reset_kie_cache  # noqa: E402
+from cdc_postgresql_clickhouse_spark.queries.similarity import reset_semdedup_cache  # noqa: E402
 from cdc_postgresql_clickhouse_spark.queries.text_ext import reset_langid_cache  # noqa: E402
 from cdc_postgresql_clickhouse_spark.session import get_spark  # noqa: E402
 
@@ -53,10 +54,17 @@ def _warm_kie(spark, sf_dir):
     _kie_relevant_ranks(spark, sf_dir)
 
 
+def _warm_semdedup(spark, sf_dir):
+    from cdc_postgresql_clickhouse_spark.queries.similarity import semdedup_base
+
+    semdedup_base(spark, sf_dir)
+
+
 SHARED_MEMOS = {
     "clusters": (reset_clusters_cache, _warm_clusters),
     "langid": (reset_langid_cache, _warm_langid),
     "kie": (reset_kie_cache, _warm_kie),
+    "semdedup": (reset_semdedup_cache, _warm_semdedup),
 }
 SHARED_MEMO_CONSUMERS = {
     "dedup_cluster_size_hist": "clusters",
@@ -68,6 +76,9 @@ SHARED_MEMO_CONSUMERS = {
     "retrieval_known_item_eval": "kie",
     "retrieval_ndcg_eval": "kie",
     "retrieval_pr_curve": "kie",
+    "semantic_dedup_semdedup": "semdedup",
+    "semantic_dedup_tau_sweep": "semdedup",
+    "semantic_dedup_label_bias": "semdedup",
 }
 
 

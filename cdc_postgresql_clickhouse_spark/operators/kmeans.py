@@ -8,13 +8,16 @@ evening out inverted-list occupancy (skewed lists are what break IVF probe
 cost at scale).
 
 Scale shape, per iteration:
-- **Assignment** is a pure map pass: the k×dim centroid matrix rides along
-  as ONE array<array<double>> literal (same device as the LSH plane matrix —
-  a single Py4J call, O(1) expression tree), and each vector's nearest
-  centroid is an argmax over a ``transform`` of that literal. No join, no
-  shuffle, no Python.
-- **Update** is one map-side-combining groupBy over k groups × dim running
-  means — shuffle volume is k rows per map partition.
+- **Assignment** scores each vector against the k-row centroid TABLE via a
+  broadcast join (no shuffle of the corpus side) and takes the per-vector
+  struct-max — the same broadcast-small-side device as ``ivf_assign``. A
+  join rather than a centroid-matrix literal keeps the generated code
+  IDENTICAL across iterations, k, and datasets: the literal variant
+  re-Janino-compiled the (large) argmax expression once per iteration per
+  centroid state, which dominated wall-clock at small data sizes.
+- **Update** is one posexplode → (cid, dim)-keyed avg — shuffle volume is
+  k×dim rows per map partition (map-side combine), and the generated code
+  is dim-independent.
 - The k×dim model state (and ONLY it — never row data) is collected to the
   driver between iterations; that is the canonical iterative-refinement
   shape (MLlib's KMeans treeAggregates exactly the same state). At
@@ -41,23 +44,6 @@ def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
 
 
-def _assign_cid(vec: Column, cents: list[list[float]], norms: list[float]) -> Column:
-    """Nearest-centroid id by cosine (argmax; ties → smaller cid), computed
-    against the centroid matrix as a single literal."""
-    m = F.lit([[float(x) for x in c] for c in cents])
-    n = F.lit([float(x) for x in norms])
-    vnorm = F.sqrt(_dot(vec, vec))
-    sims = F.transform(m, lambda c, i: _dot(c, vec) / (F.element_at(n, i + 1) * vnorm))
-    best = F.array_max(
-        F.zip_with(
-            sims,
-            F.sequence(F.lit(0), F.lit(len(cents) - 1)),
-            lambda s, i: F.struct(s.alias("s"), (-i).alias("ni")),
-        )
-    )
-    return (-best.getField("ni")).cast("int")
-
-
 def _norms(cents: list[list[float]]) -> list[float]:
     return [math.sqrt(sum(x * x for x in c)) or 1.0 for c in cents]
 
@@ -72,21 +58,41 @@ def lloyd_refine(
 ) -> list[list[float]]:
     """Refined centroids after ``iters`` Lloyd iterations from the
     first-k-vectors seed. Returns the k×dim model (row i = centroid i);
-    empty clusters retain their previous centroid."""
-    dim = len(emb.select(vec_col).first()[0])
+    empty clusters retain their previous centroid. The per-iteration math
+    (centroid-first dot, cn·vnorm denominator, argmax with smaller-cid
+    tie-break, 9-dp FLOOR truncation of the per-dim means) is bit-identical
+    to the literal-matrix formulation it replaced — only the physical shape
+    changed (broadcast join + posexplode avg, for iteration-stable
+    codegen)."""
+    spark = emb.sparkSession
     seed = emb.orderBy(id_col).limit(k).select(vec_col).collect()
     cents = [[float(x) for x in r[0]] for r in seed]
+    vec = F.col(vec_col)
     for _ in range(iters):
-        cid = _assign_cid(F.col(vec_col), cents, _norms(cents))
-        per_dim = [
-            F.avg(F.element_at(F.col(vec_col), i + 1)).alias(f"d{i}") for i in range(dim)
-        ]
-        rows = emb.select(cid.alias("cid"), vec_col).groupBy("cid").agg(*per_dim).collect()
-        new = list(cents)
+        cdf = spark.createDataFrame(
+            [(i, cents[i], n) for i, n in enumerate(_norms(cents))],
+            "cid int, ce array<double>, cn double",
+        )
+        sim = _dot(F.col("ce"), vec) / (F.col("cn") * F.sqrt(_dot(vec, vec)))
+        assigned = (
+            F.broadcast(cdf)
+            .join(emb.select(id_col, vec_col), how="cross")
+            .groupBy(id_col)
+            .agg(
+                (-F.max(F.struct(sim.alias("s"), (-F.col("cid")).alias("ni")))
+                 .getField("ni")).cast("int").alias("cid"),
+                F.any_value(vec).alias("v"),  # constant within the group
+            )
+        )
+        rows = (
+            assigned.select("cid", F.posexplode("v").alias("i", "x"))
+            .groupBy("cid", "i")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new = [list(c) for c in cents]
         for r in rows:
-            new[r["cid"]] = [
-                math.floor(r[f"d{i}"] * _TRUNC) / _TRUNC for i in range(dim)
-            ]
+            new[r["cid"]][r["i"]] = math.floor(r["m"] * _TRUNC) / _TRUNC
         cents = new
     return cents
 

@@ -235,7 +235,13 @@ def clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def reset_clusters_cache() -> None:
     """Drop the shared component-table memo (cold-start semantics for
-    benchmarks and tests)."""
+    benchmarks and tests), releasing its checkpoint blocks synchronously
+    (``operators/memo.py`` — waiting on GC + ContextCleaner lets orphaned
+    blocks pile up across a multi-pass bench)."""
+    from cdc_postgresql_clickhouse_spark.operators.memo import release
+
+    for df in _CLUSTERS_CACHE.values():
+        release(df)
     _CLUSTERS_CACHE.clear()
 
 

@@ -1297,12 +1297,60 @@ ORACLE["dedup_method_agreement"] = _sql_method_agreement()
 # variant exercises one canonicalization rule (case, www, default port,
 # fragment, one-or-two utm params, trailing slash before "?" and at EOL).
 #
-# Every regex pattern occurs AT MOST ONCE per URL by construction: Spark's
-# regexp_replace replaces all matches while DuckDB's replaces the first,
-# so single-occurrence patterns are the cross-engine-safe subset.
+# Cross-engine regex semantics: Spark's regexp_replace replaces ALL
+# matches, so the DuckDB twin passes the 'g' flag on the (repeatable) utm
+# patterns — both engines run the same single-pass replace-all and agree on
+# real URLs with repeated params, not just the fixture. The utm patterns
+# anchor on a captured [?&] delimiter so suffixed params (xutm_source=...)
+# are never stripped; the remaining patterns are string-anchored ($ / ^) or
+# structurally unique per URL, so replace-all ≡ replace-first for them.
 #
 # Scale shape: one scan, per-row string work, one (host)-keyed rollup with
 # a distinct inside — |hosts| output rows. No joins.
+
+def url_canonical_cols(url: Column) -> tuple[Column, Column]:
+    """(host, canonical_url) for a raw URL column — the reusable
+    canonicalization pipeline (lowercase scheme/host, strip leading www.,
+    strip the scheme's default port, drop #fragment, strip [?&]-anchored
+    utm_* params, normalize the trailing slash). Shared by the registered
+    report and the cross-engine law test in tests/test_r13_ops.py."""
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z]+)://", 1))
+    hostport = F.lower(F.regexp_extract(url, r"^[A-Za-z]+://([^/?#]+)", 1))
+    host0 = F.regexp_replace(hostport, r"^www\.", "")
+    host = (
+        F.when(scheme == "https", F.regexp_replace(host0, r":443$", ""))
+        .otherwise(F.regexp_replace(host0, r":80$", ""))
+    )
+    rest = F.regexp_replace(url, r"^[A-Za-z]+://[^/?#]+", "")
+    r1 = F.regexp_replace(rest, r"#[^#]*$", "")
+    # utm patterns are ANCHORED on the [?&] delimiter (kept via $1): an
+    # unanchored pattern would also strip suffixed params like
+    # xutm_source=... on a real url column (ADVICE r12). DuckDB runs the
+    # same patterns with the 'g' flag so both engines replace all
+    # occurrences identically.
+    r2 = F.regexp_replace(r1, r"([?&])utm_source=[^&#]*&?", "$1")
+    r3 = F.regexp_replace(r2, r"([?&])utm_campaign=[^&#]*&?", "$1")
+    r4 = F.regexp_replace(r3, r"[?&]$", "")
+    r5 = F.regexp_replace(r4, r"/\?", "?")
+    r6 = F.regexp_replace(r5, r"/$", "")
+    return host, F.concat(scheme, F.lit("://"), host, r6)
+
+
+# the DuckDB twin of url_canonical_cols, templated on the raw-url SQL
+# expression — kept next to the Spark pipeline so the two regex chains
+# cannot drift apart (the ORACLE below and the law test both render it)
+SQL_URL_CANON_HOST = """CASE WHEN lower(regexp_extract({u}, '^([A-Za-z]+)://', 1)) = 'https'
+     THEN regexp_replace(regexp_replace(lower(regexp_extract({u}, '^[A-Za-z]+://([^/?#]+)', 1)), '^www\\.', ''), ':443$', '')
+     ELSE regexp_replace(regexp_replace(lower(regexp_extract({u}, '^[A-Za-z]+://([^/?#]+)', 1)), '^www\\.', ''), ':80$', '')
+END"""
+SQL_URL_CANON_REST = """regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(regexp_replace({u}, '^[A-Za-z]+://[^/?#]+', ''), '#[^#]*$', ''),
+      '([?&])utm_source=[^&#]*&?', '\\1', 'g'),
+      '([?&])utm_campaign=[^&#]*&?', '\\1', 'g'),
+      '[?&]$', ''),
+      '/\\?', '?'),
+      '/$', '')"""
+
 
 def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
@@ -1337,24 +1385,8 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.concat(sch, F.lit("://"), hostv, port, path, slash, q, frag).alias("url"),
     )
-    scheme = F.lower(F.regexp_extract(F.col("url"), r"^([A-Za-z]+)://", 1))
-    hostport = F.lower(F.regexp_extract(F.col("url"), r"^[A-Za-z]+://([^/?#]+)", 1))
-    host0 = F.regexp_replace(hostport, r"^www\.", "")
-    host = (
-        F.when(scheme == "https", F.regexp_replace(host0, r":443$", ""))
-        .otherwise(F.regexp_replace(host0, r":80$", ""))
-    )
-    rest = F.regexp_replace(F.col("url"), r"^[A-Za-z]+://[^/?#]+", "")
-    r1 = F.regexp_replace(rest, r"#[^#]*$", "")
-    r2 = F.regexp_replace(r1, r"utm_source=[^&#]*&?", "")
-    r3 = F.regexp_replace(r2, r"utm_campaign=[^&#]*&?", "")
-    r4 = F.regexp_replace(r3, r"[?&]$", "")
-    r5 = F.regexp_replace(r4, r"/\?", "?")
-    r6 = F.regexp_replace(r5, r"/$", "")
-    canon = u.select(
-        host.alias("host"),
-        F.concat(scheme, F.lit("://"), host, r6).alias("canonical_url"),
-    )
+    host, canonical = url_canonical_cols(F.col("url"))
+    canon = u.select(host.alias("host"), canonical.alias("canonical_url"))
     return canon.groupBy("host").agg(
         F.count(F.lit(1)).cast("long").alias("n_urls"),
         F.countDistinct("canonical_url").cast("long").alias("n_canonical"),
@@ -1390,28 +1422,11 @@ WITH synth AS (
          || (CASE WHEN doc_id % 6 = 0 THEN '#top' ELSE '' END) AS url
   FROM documents
 ),
-parsed AS (
-  SELECT url,
-         lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
-         lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)) AS hostport,
-         regexp_replace(url, '^[A-Za-z]+://[^/?#]+', '') AS rest
-  FROM synth
-),
 canon AS (
-  SELECT
-    CASE WHEN scheme = 'https'
-         THEN regexp_replace(regexp_replace(hostport, '^www\\.', ''), ':443$', '')
-         ELSE regexp_replace(regexp_replace(hostport, '^www\\.', ''), ':80$', '')
-    END AS host,
-    scheme,
-    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-      regexp_replace(rest, '#[^#]*$', ''),
-      'utm_source=[^&#]*&?', ''),
-      'utm_campaign=[^&#]*&?', ''),
-      '[?&]$', ''),
-      '/\\?', '?'),
-      '/$', '') AS r6
-  FROM parsed
+  SELECT lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+         {host} AS host,
+         {rest} AS r6
+  FROM synth
 )
 SELECT host,
        COUNT(*)::BIGINT AS n_urls,
@@ -1421,5 +1436,6 @@ SELECT host,
        ((COUNT(*) - COUNT(DISTINCT scheme || '://' || host || r6)) * 1000000
         // COUNT(*))::BIGINT AS dup_ppm
 FROM canon GROUP BY host
-"""
+""".format(host=SQL_URL_CANON_HOST.format(u="url"),
+           rest=SQL_URL_CANON_REST.format(u="url"))
 QUERIES["dedup_url_canonical"] = dedup_url_canonical

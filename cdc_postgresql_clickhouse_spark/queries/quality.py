@@ -1669,6 +1669,20 @@ ORACLE["quality_score_calibration_ece"] = _sql_calibration()
 # Scale shape: one explode over the memo -> (doc, category) fold ->
 # two bounded reductions -> one-row arithmetic.
 
+# A = (3N - 1) * (9N - s_sum), B = 2 * ((3N)^2 - c2_sum); alpha = (B-A)/B.
+# B and (B-A)*1e6 are O(N^2 * 1e6): 64-bit wraps silently (non-ANSI Spark)
+# past ~7e5 items while the DuckDB twin raises — carry the lanes in
+# DECIMAL(38,0)/HUGEINT (the events_ab_sequential_peeks 128-bit-lane
+# convention; ADVICE r12). Module-level so the overflow-regime law test in
+# tests/test_r13_ops.py evaluates the exact registered expression.
+_KRIPPENDORFF_ALPHA_EXPR = (
+    "CASE WHEN 2 * (9 * CAST(n_items AS DECIMAL(38,0)) * n_items - c2_sum) > 0 THEN"
+    " CAST((2 * (9 * CAST(n_items AS DECIMAL(38,0)) * n_items - c2_sum)"
+    "  - CAST(3 * n_items - 1 AS DECIMAL(38,0)) * (9 * n_items - s_sum)) * 1000000"
+    " DIV (2 * (9 * CAST(n_items AS DECIMAL(38,0)) * n_items - c2_sum)) AS BIGINT) END"
+)
+
+
 def quality_langid_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_postgresql_clickhouse_spark.queries.text_ext import langid_predictions
 
@@ -1691,15 +1705,9 @@ def quality_langid_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataF
     )
     c2_tot = cj.agg(F.sum(F.col("c") * F.col("c")).cast("long").alias("c2_sum"))
     out = s_tot.crossJoin(c2_tot)
-    # A = (3N - 1) * (9N - s_sum), B = 2 * ((3N)^2 - c2_sum); alpha = (B-A)/B
     return out.select(
         "n_items", "s_sum", "c2_sum",
-        F.expr(
-            "CASE WHEN 2 * (9 * n_items * n_items - c2_sum) > 0 THEN"
-            " (2 * (9 * n_items * n_items - c2_sum)"
-            "  - (3 * n_items - 1) * (9 * n_items - s_sum)) * 1000000"
-            " div (2 * (9 * n_items * n_items - c2_sum)) END"
-        ).cast("long").alias("alpha_ppm"),
+        F.expr(_KRIPPENDORFF_ALPHA_EXPR).cast("long").alias("alpha_ppm"),
     )
 
 
@@ -1720,10 +1728,10 @@ cj AS (SELECT cat, COUNT(*)::BIGINT AS c FROM assigns GROUP BY cat),
 s_tot AS (SELECT COUNT(*)::BIGINT AS n_items, SUM(s_i)::BIGINT AS s_sum FROM per_item),
 c2_tot AS (SELECT SUM(c * c)::BIGINT AS c2_sum FROM cj)
 SELECT n_items, s_sum, c2_sum,
-       CAST(CASE WHEN 2 * (9 * n_items * n_items - c2_sum) > 0 THEN
-         (2 * (9 * n_items * n_items - c2_sum)
-          - (3 * n_items - 1) * (9 * n_items - s_sum)) * 1000000
-         // (2 * (9 * n_items * n_items - c2_sum)) END AS BIGINT) AS alpha_ppm
+       CAST(CASE WHEN 2 * (9 * n_items::HUGEINT * n_items - c2_sum) > 0 THEN
+         (2 * (9 * n_items::HUGEINT * n_items - c2_sum)
+          - (3 * n_items - 1)::HUGEINT * (9 * n_items - s_sum)) * 1000000
+         // (2 * (9 * n_items::HUGEINT * n_items - c2_sum)) END AS BIGINT) AS alpha_ppm
 FROM s_tot CROSS JOIN c2_tot
 """
 

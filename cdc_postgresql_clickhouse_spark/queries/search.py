@@ -358,7 +358,12 @@ _KIE_CACHE: dict[tuple[str, str], tuple[DataFrame, int]] = {}
 
 def reset_kie_cache() -> None:
     """Drop the shared ranked-run memo (cold-start semantics for benchmarks
-    and tests)."""
+    and tests), releasing its checkpoint blocks synchronously
+    (``operators/memo.py``)."""
+    from cdc_postgresql_clickhouse_spark.operators.memo import release
+
+    for rel, _n in _KIE_CACHE.values():
+        release(rel)
     _KIE_CACHE.clear()
 
 

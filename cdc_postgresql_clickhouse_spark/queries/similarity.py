@@ -2373,17 +2373,44 @@ QUERIES["embedding_intrinsic_dimension"] = embedding_intrinsic_dimension
 
 SEMDEDUP_TAU = 0.95
 
+# Shared materialization of the SemDeDup base (members + within-cluster
+# pairs at the tau-grid MINIMUM — every registered consumer's threshold is
+# >= the grid minimum, so its pair set is a cos_sim filter over the memo,
+# never a rebuild). At 100 TB you run the cluster assignment and the
+# cid-keyed pair search ONCE per corpus snapshot and every downstream
+# report (removal report, tau sweep, label-bias audit) reads the pair
+# table. Same memo contract as queries/cluster.py::clusters /
+# text_ext.langid_predictions: localCheckpointed, keyed by (application,
+# sf_dir), reset hook (with synchronous block release, operators/memo.py)
+# for cold-start benches. Previously each of the three queries rebuilt the
+# identical base per call and left MEMORY_AND_DISK partitions pinned until
+# GC (ADVICE r12).
+_SEMDEDUP_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
 
-def _semdedup_base(
-    spark: SparkSession, sf_dir: str, tau: float
-) -> tuple[DataFrame, DataFrame]:
+
+def reset_semdedup_cache() -> None:
+    """Drop the shared SemDeDup base memo (cold-start semantics for
+    benchmarks and tests), releasing its checkpoint blocks synchronously."""
+    from cdc_postgresql_clickhouse_spark.operators.memo import release
+
+    for members, pairs in _SEMDEDUP_CACHE.values():
+        release(members)
+        release(pairs)
+    _SEMDEDUP_CACHE.clear()
+
+
+def semdedup_base(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """(members, pairs) for the SemDeDup family: cluster-assigned corpus
     rows (vec_id, cid, cen_cos, e, nrm) and the within-cluster pair list at
-    threshold ``tau`` (cid, va, vb, ca, cb, cos_sim) — both persisted
-    (members feed the self-join BOTH sides plus the membership count;
-    pairs feed the pair count and the loser set)."""
-    from pyspark import StorageLevel
-
+    the tau-grid minimum (cid, va, vb, ca, cb, cos_sim) — both
+    localCheckpointed (members feed the self-join BOTH sides plus the
+    membership count; pairs feed every consumer's pair count and loser set
+    after a per-consumer cos_sim >= tau filter)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _SEMDEDUP_CACHE.get(key)
+    if hit is not None:
+        return hit
+    tau = min(SEMDEDUP_TAUS_PPM) / 1_000_000.0
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", _emb_d().alias("e"))
     derived = emb.filter(F.col("vec_id") < NEARDUP_IDS).select(
         (F.col("vec_id") + DERIVED_OFFSET).alias("vec_id"),
@@ -2403,7 +2430,7 @@ def _semdedup_base(
         .filter(F.col("rn") == 1)
         .select("vec_id", "cid", F.col("cs").alias("cen_cos"))
     )
-    members = assign.join(corpus, "vec_id").persist(StorageLevel.MEMORY_AND_DISK)
+    members = assign.join(corpus, "vec_id").localCheckpoint(eager=True)
     a, b = members.alias("a"), members.alias("b")
     pairs = (
         a.join(b, (F.col("a.cid") == F.col("b.cid")) & (F.col("a.vec_id") < F.col("b.vec_id")))
@@ -2416,13 +2443,15 @@ def _semdedup_base(
             ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= tau)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
+    _SEMDEDUP_CACHE[key] = (members, pairs)
     return members, pairs
 
 
 def semantic_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    members, pairs = _semdedup_base(spark, sf_dir, SEMDEDUP_TAU)
+    members, pairs0 = semdedup_base(spark, sf_dir)
+    pairs = pairs0.filter(F.col("cos_sim") >= SEMDEDUP_TAU)
     # the paper's keep rule: within a duplicate pair, drop the side MORE
     # similar to the centroid; tie drops the larger id (va < vb by join)
     removed = pairs.select(
@@ -2514,9 +2543,7 @@ SEMDEDUP_TAUS_PPM = (900_000, 950_000, 980_000)
 
 
 def semantic_dedup_tau_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    members, pairs = _semdedup_base(
-        spark, sf_dir, min(SEMDEDUP_TAUS_PPM) / 1_000_000.0
-    )
+    members, pairs = semdedup_base(spark, sf_dir)
     grid = spark.createDataFrame(
         [(t,) for t in SEMDEDUP_TAUS_PPM], "tau_ppm long"
     )
@@ -2686,7 +2713,8 @@ QUERIES["embedding_pq_distortion_report"] = embedding_pq_distortion_report
 # keyed) + a |labels|-bounded rollup. Output is |labels| rows.
 
 def semantic_dedup_label_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
-    members, pairs = _semdedup_base(spark, sf_dir, SEMDEDUP_TAU)
+    members, pairs0 = semdedup_base(spark, sf_dir)
+    pairs = pairs0.filter(F.col("cos_sim") >= SEMDEDUP_TAU)
     raw = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
     labels = raw.unionByName(
         raw.filter(F.col("vec_id") < NEARDUP_IDS).select(
@@ -2734,3 +2762,203 @@ SELECT CAST(label AS BIGINT) AS label,
 FROM tagged GROUP BY label
 """
 QUERIES["semantic_dedup_label_bias"] = semantic_dedup_label_bias
+
+
+# --- SemDeDup with the Lloyd-refined quantizer — round 13 -----------------------
+#
+# Abbas et al. 2023 run SemDeDup over a K-MEANS clustering; the registered
+# semantic_dedup_semdedup keeps the seed-convention quantizer (first
+# N_CENTROIDS vectors) for oracle seed-identity. This row runs the paper's
+# actual quantizer: the corpus-trained distributed Lloyd refinement
+# (operators/kmeans.py — the same production trainer ann_ivf_topk
+# parameterizes), then the identical cluster-scoped pair search and
+# keep-the-less-centroid-similar rule. Comparing this report against the
+# seed-convention one (tests/test_r13_ops.py) measures how sensitive the
+# removal rate is to quantizer balance — the operational question before
+# committing a removal list from either clustering.
+#
+# Oracle convention: the Lloyd iterations are UNROLLED in SQL (the
+# k-center / MMR / PageRank device) — per iteration, a raw-cosine argmax
+# assignment (row_number over the K-bounded cross score; raw doubles are
+# bit-identical across engines because both fold the dot product in index
+# order) and a per-dimension AVG FLOOR-truncated to 9 dp (the
+# operators/kmeans.py determinism contract: truncation absorbs the
+# engines' summation-order noise, which sits ~1e-12 below it). Empty
+# clusters retain their previous centroid via COALESCE on both sides.
+#
+# Scale shape: per Lloyd iteration one broadcast-K map pass + one K×DIM
+# -bounded rollup (model state only ever K×DIM, the canonical iterative-
+# refinement shape); then the SemDeDup base's cid-keyed pair search.
+# Output is K rows.
+
+SEMDEDUP_KMEANS_ITERS = 2
+
+
+def semantic_dedup_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_postgresql_clickhouse_spark.operators.kmeans import _norms, lloyd_refine
+    from cdc_postgresql_clickhouse_spark.operators.memo import release
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", _emb_d().alias("e"))
+    derived = emb.filter(F.col("vec_id") < NEARDUP_IDS).select(
+        (F.col("vec_id") + DERIVED_OFFSET).alias("vec_id"),
+        F.transform(F.col("e"), lambda x: x * 0.9 + 0.01).alias("e"),
+    )
+    # checkpoint once: the Lloyd loop runs 2 actions per iteration plus the
+    # seed collect, and the final assignment + pair join + counts re-derive
+    # the same union — without the fence each action re-scans parquet and
+    # re-applies the derived transform
+    corpus = (
+        emb.unionByName(derived)
+        .withColumn("nrm", _norm(F.col("e")))
+        .localCheckpoint(eager=True)
+    )
+    model = lloyd_refine(
+        corpus.select("vec_id", "e"), k=N_CENTROIDS, iters=SEMDEDUP_KMEANS_ITERS
+    )
+    norms = _norms(model)
+    cents = spark.createDataFrame(
+        [(i, model[i], norms[i]) for i in range(N_CENTROIDS)],
+        "cid long, ce array<double>, cn double",
+    )
+    scored = F.broadcast(cents).join(corpus, how="cross").select(
+        "vec_id", "cid",
+        _cos_prenorm(F.col("e"), F.col("ce"), F.col("nrm"), F.col("cn")).alias("cs"),
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.col("cid"))
+    assign = (
+        scored.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid", F.col("cs").alias("cen_cos"))
+    )
+    # one-off quantizer => one-off base (NOT the shared memo, which is keyed
+    # to the seed-convention centroids); members checkpoint feeds the
+    # self-join both sides, released once the K-row report is materialized
+    members = assign.join(corpus, "vec_id").localCheckpoint(eager=True)
+    a, b = members.alias("a"), members.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.cid") == F.col("b.cid")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.cid").alias("cid"),
+            F.col("a.vec_id").alias("va"), F.col("b.vec_id").alias("vb"),
+            F.col("a.cen_cos").alias("ca"), F.col("b.cen_cos").alias("cb"),
+            _cos_prenorm(
+                F.col("a.e"), F.col("b.e"), F.col("a.nrm"), F.col("b.nrm")
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= SEMDEDUP_TAU)
+    )
+    removed = pairs.select(
+        "cid", F.when(F.col("ca") > F.col("cb"), F.col("va")).otherwise(F.col("vb")).alias("loser")
+    ).distinct()
+    pm = members.groupBy("cid").agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+    pp = pairs.groupBy("cid").agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    pr = removed.groupBy("cid").agg(F.count(F.lit(1)).cast("long").alias("n_removed"))
+    out = (
+        pm.join(pp, "cid", "left")
+        .join(pr, "cid", "left")
+        .select(
+            "cid", "n_members",
+            F.coalesce(F.col("n_pairs"), F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce(F.col("n_removed"), F.lit(0)).cast("long").alias("n_removed"),
+            (F.col("n_members") - F.coalesce(F.col("n_removed"), F.lit(0)))
+            .cast("long").alias("n_kept"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    release(members)
+    release(corpus)
+    return out
+
+
+def _sql_rawcos(a: str, b: str) -> str:
+    """Raw (untruncated) cosine — the Lloyd iteration argmax compares raw
+    doubles, exactly like the lloyd_refine assignment in operators/kmeans.py."""
+    return f"({_sql_dot(a, b)} / (sqrt({_sql_dot(a, a)}) * sqrt({_sql_dot(b, b)})))"
+
+
+def _sql_semdedup_kmeans() -> str:
+    ctes = [
+        f"emb AS (SELECT vec_id, {_SQL_EMB} AS e FROM embeddings)",
+        f"""derived AS (
+  SELECT vec_id + {DERIVED_OFFSET} AS vec_id,
+         list_transform(e, x -> x * 0.9 + 0.01) AS e
+  FROM emb WHERE vec_id < {NEARDUP_IDS}
+)""",
+        "corpus AS MATERIALIZED (SELECT * FROM emb UNION ALL SELECT * FROM derived)",
+        f"kc0 AS (SELECT vec_id AS cid, e AS ce FROM emb WHERE vec_id < {N_CENTROIDS})",
+    ]
+    for r in range(1, SEMDEDUP_KMEANS_ITERS + 1):
+        ctes.append(
+            f"""ka{r} AS MATERIALIZED (
+  SELECT c.vec_id, t.cid,
+         row_number() OVER (PARTITION BY c.vec_id
+                            ORDER BY {_sql_rawcos("c.e", "t.ce")} DESC, t.cid) AS rn
+  FROM corpus c CROSS JOIN kc{r - 1} t
+)"""
+        )
+        ctes.append(
+            f"""km{r} AS (
+  SELECT a.cid, g.i, AVG(c.e[g.i]) AS m
+  FROM ka{r} a JOIN corpus c ON a.vec_id = c.vec_id
+  CROSS JOIN (SELECT unnest(generate_series(1, {DIM})) AS i) g
+  WHERE a.rn = 1
+  GROUP BY a.cid, g.i
+)"""
+        )
+        ctes.append(
+            f"""kn{r} AS (
+  SELECT cid, list(FLOOR(m * 1000000000.0) / 1000000000.0 ORDER BY i) AS ce
+  FROM km{r} GROUP BY cid
+)"""
+        )
+        ctes.append(
+            f"""kc{r} AS MATERIALIZED (
+  SELECT p.cid, COALESCE(n.ce, p.ce) AS ce
+  FROM kc{r - 1} p LEFT JOIN kn{r} n ON p.cid = n.cid
+)"""
+        )
+    last = f"kc{SEMDEDUP_KMEANS_ITERS}"
+    ctes.append(
+        f"""assign_scored AS MATERIALIZED (
+  SELECT c.vec_id, t.cid, {_sql_cos("c.e", "t.ce")} AS cs,
+         row_number() OVER (PARTITION BY c.vec_id
+                            ORDER BY {_sql_cos("c.e", "t.ce")} DESC, t.cid) AS rn
+  FROM corpus c CROSS JOIN {last} t
+)"""
+    )
+    ctes.append(
+        "assign AS (SELECT vec_id, cid, cs AS cen_cos FROM assign_scored WHERE rn = 1)"
+    )
+    ctes.append(
+        """members AS MATERIALIZED (
+  SELECT a.vec_id, a.cid, a.cen_cos, c.e
+  FROM assign a JOIN corpus c ON a.vec_id = c.vec_id
+)"""
+    )
+    ctes.append(
+        f"""pairs AS MATERIALIZED (
+  SELECT a.cid, a.vec_id AS va, b.vec_id AS vb,
+         a.cen_cos AS ca, b.cen_cos AS cb, {_sql_cos("a.e", "b.e")} AS cos_sim
+  FROM members a JOIN members b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE {_sql_cos("a.e", "b.e")} >= {SEMDEDUP_TAU}
+)"""
+    )
+    ctes.append(
+        "removed AS (SELECT DISTINCT cid, CASE WHEN ca > cb THEN va ELSE vb END AS loser FROM pairs)"
+    )
+    ctes.append("pm AS (SELECT cid, COUNT(*)::BIGINT AS n_members FROM members GROUP BY cid)")
+    ctes.append("pp AS (SELECT cid, COUNT(*)::BIGINT AS n_pairs FROM pairs GROUP BY cid)")
+    ctes.append("pr AS (SELECT cid, COUNT(*)::BIGINT AS n_removed FROM removed GROUP BY cid)")
+    return (
+        "WITH " + ",\n".join(ctes) + """
+SELECT pm.cid, pm.n_members,
+       COALESCE(pp.n_pairs, 0)::BIGINT AS n_pairs,
+       COALESCE(pr.n_removed, 0)::BIGINT AS n_removed,
+       (pm.n_members - COALESCE(pr.n_removed, 0))::BIGINT AS n_kept
+FROM pm LEFT JOIN pp ON pm.cid = pp.cid LEFT JOIN pr ON pm.cid = pr.cid
+"""
+    )
+
+
+QUERIES["semantic_dedup_semdedup_kmeans"] = semantic_dedup_semdedup_kmeans
+ORACLE["semantic_dedup_semdedup_kmeans"] = _sql_semdedup_kmeans()

@@ -68,6 +68,22 @@ def _materialized(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+def _backdate_batch(files: list[str], seconds: float = 10.0) -> None:
+    """Push a staged batch's files' mtimes strictly earlier. The file-stream
+    source orders files by modification time and tie-breaks on path; on a
+    filesystem with coarse mtime granularity two sequential writes can TIE,
+    and the random part-file UUIDs then deliver batch 2 first — which
+    violates the seed contract of the model-extracting ingests (quantizer /
+    codebook from batch 1). Call with batch 1's file list AFTER batch 2 is
+    written (ADVICE r12)."""
+    for p in files:
+        try:
+            st = os.stat(p)
+            os.utime(p, (st.st_atime, st.st_mtime - seconds))
+        except OSError:
+            pass  # a vanished _SUCCESS marker must not fail the stage
+
+
 def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_postgresql_clickhouse_spark.streaming.dedup import run_incremental_dedup
 
@@ -272,7 +288,9 @@ def streaming_ivf_ingest_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
         b1 = emb.filter((F.col("vec_id") < 16) | (F.col("vec_id") % 2 == 0))
         b2 = emb.filter((F.col("vec_id") >= 16) & (F.col("vec_id") % 2 == 1))
         b1.coalesce(1).write.parquet(src)
+        b1_files = [os.path.join(src, f) for f in os.listdir(src)]
         b2.coalesce(1).write.mode("append").parquet(src)
+        _backdate_batch(b1_files)
         run_incremental_ivf(
             spark, src, assign_path, os.path.join(tmp, "ckpt"), max_files_per_trigger=1
         )
@@ -1893,7 +1911,9 @@ def streaming_pq_ingest_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
         b1 = emb.filter((F.col("vec_id") < PQ_K) | (F.col("vec_id") % 2 == 0))
         b2 = emb.filter((F.col("vec_id") >= PQ_K) & (F.col("vec_id") % 2 == 1))
         b1.coalesce(1).write.parquet(src)
+        b1_files = [os.path.join(src, f) for f in os.listdir(src)]
         b2.coalesce(1).write.mode("append").parquet(src)
+        _backdate_batch(b1_files)
         run_incremental_pq(
             spark, src, code_path, os.path.join(tmp, "ckpt"), max_files_per_trigger=1
         )

@@ -668,7 +668,12 @@ def langid_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def reset_langid_cache() -> None:
     """Drop the shared prediction-table memo (cold-start semantics for
-    benchmarks and tests)."""
+    benchmarks and tests), releasing its checkpoint blocks synchronously
+    (``operators/memo.py``)."""
+    from cdc_postgresql_clickhouse_spark.operators.memo import release
+
+    for df in _LANGID_CACHE.values():
+        release(df)
     _LANGID_CACHE.clear()
 
 

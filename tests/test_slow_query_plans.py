@@ -110,6 +110,11 @@ _PINS = [
     # pinned per the all->2s-lines-pinned invariant. Its BNLJ is the
     # one-row norm broadcast.
     ("dedup_tfidf_cosine", 10, 1),
+    # round-13: the Lloyd-quantizer SemDeDup materializes its K-row report
+    # (checkpoint fence — the Lloyd rounds and the pair search run eagerly
+    # inside the query, the LPA/MMR contract), so the final plan is
+    # scan-only
+    ("semantic_dedup_semdedup_kmeans", 0, 0),
 ]
 
 
