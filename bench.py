@@ -489,6 +489,9 @@ HEADLINE = [
     "events_ab_sequential_peeks",
     "quality_langid_krippendorff_alpha",
     "semantic_dedup_label_bias",
+    # round-13 additions (streaming_semdedup_equiv excluded with the other
+    # streaming rows: micro-batch staging I/O dominates)
+    "semantic_dedup_semdedup_kmeans",
 ]
 
 

@@ -75,54 +75,47 @@ _MODULES = (
 _WINDOW_FRONT = [
     # rule 1: cdc insurance, capped at 2 while the never-checked queue is
     # non-empty (VERDICT r8 #1): the flagship current-state read plus one
-    # rotating CDC row (r12 rotation: cdc_pk_change_state — at r7 the
-    # oldest cdc driver proof, so the insurance slot doubles as the cdc
-    # family's staleness re-check; cdc_idempotent_replay rotated out after
-    # its r11 green).
-    "cdc_current_state", "cdc_pk_change_state",
-    # rule 2: the never-driver-checked queue — the 9 round-11 additions
-    # that registered after the r11 gate ran (VERDICT r11 #1), all 9
-    # judge-verified green locally at sf0.01. Registration (module) order.
-    "cdc_schema_compat_report", "streaming_srm_equiv",
-    "layout_partition_size_advisor", "tokenizer_oov_curve",
-    "graph_rich_club_coefficient", "multimodal_silence_segments",
-    "events_cuped_adjustment", "events_hill_tail_index",
-    "events_stratified_uplift",
-    # rule 2 (cont.): the 8 round-12 additions, never-checked on arrival —
-    # SemDeDup cluster-scoped semantic dedup + its tau sweep, URL
-    # canonicalization dedup, the incremental-PQ ≡ batch equivalence row,
-    # the PQ distortion ledger, the sequential-peeking A/B report, and
-    # Krippendorff alpha over the three langid raters, and the SemDeDup
-    # per-label removal-bias audit
-    "semantic_dedup_semdedup", "semantic_dedup_tau_sweep",
-    "dedup_url_canonical", "streaming_pq_ingest_equiv",
-    "embedding_pq_distortion_report", "events_ab_sequential_peeks",
-    "quality_langid_krippendorff_alpha", "semantic_dedup_label_bias",
-    # rule 3 (staleness, formalized r12 per VERDICT r11 #2): with the
-    # never-checked queue down to 9, the window has surplus for the first
-    # time — the remaining slots fill with already-green rows whose latest
-    # driver proof is OLDEST, oldest round first, registration order within
-    # a round. The 31 slots below are the head of the 43-row r2-latest
-    # cohort (the engine under them has been refactored for nine rounds;
-    # their last driver green predates fences, shared bases and session
-    # defaults). tests/test_window_policy.py::test_rule3_slots_fill_oldest_first
-    # pins the rule.
-    "events_tumbling_5min", "events_sliding_10min",
-    "events_sessionize", "events_json_extract",
-    "q1_pricing_summary", "q3_shipping_priority",
-    "q5_region_revenue", "topk_orders",
-    "agg_distinct_counts", "window_running_total",
-    "rollup_status_priority", "customers_without_orders",
-    "set_intersect_building_buyers", "set_except_nonbuilding_buyers",
-    "asof_latest_order", "asof_prev_purchase",
-    "q4_order_priority", "rolling_30day_spend",
-    "customer_spend_deciles", "collect_priority_fingerprint",
-    "q6_forecast_revenue", "q10_returned_revenue",
-    "q13_order_count_distribution", "q14_promo_revenue",
-    "q15_top_supplier", "q17_small_quantity_revenue",
-    "q18_large_orders", "q19_disjunctive_predicates",
-    "q22_idle_customers", "cube_returnflag_status",
-    "pivot_priority_by_status",
+    # rotating CDC row (r13 rotation: cdc_state_asof — at r7 the oldest cdc
+    # driver proof, so the insurance slot doubles as the cdc family's
+    # staleness re-check; cdc_pk_change_state rotated out after its r12
+    # green).
+    "cdc_current_state", "cdc_state_asof",
+    # rule 2: the never-driver-checked queue — the 2 round-13 additions:
+    # SemDeDup over the corpus-trained Lloyd quantizer (unrolled-iteration
+    # oracle) and the incremental-SemDeDup ≡ batch equivalence row. Both
+    # parity-verified locally at sf0.01 on registration.
+    "semantic_dedup_semdedup_kmeans", "streaming_semdedup_equiv",
+    # rule 3 (staleness): the remaining 46 slots fill with already-green
+    # rows whose latest driver proof is OLDEST — first the full 12-row
+    # r2-latest cohort (the tail of the r2 era; after this round no row's
+    # proof predates r3), then the head of the 43-row r3-latest cohort,
+    # registration order within a round. The 9 r3 rows left behind
+    # (debezium_decimal_decode .. events_purchase_attribution) front the
+    # r14 window. tests/test_window_policy.py pins the rule and the
+    # steady-state proof-age bound.
+    "percentile_prices_by_status", "monthly_revenue_rollup",
+    "full_outer_activity", "q2_min_cost_supplier",
+    "q11_important_parts", "q12_priority_shipping",
+    "q20_bolt_suppliers", "q7_nation_volume",
+    "q8_market_share", "q9_product_profit",
+    "q16_supplier_part_counts", "q21_waiting_supplier",
+    "dedup_exact", "dedup_minhash_lsh",
+    "dedup_simhash", "dedup_ngram_jaccard",
+    "ann_bruteforce_topk", "ann_lsh_buckets",
+    "ann_lsh_buckets_sized", "ann_ivf_topk",
+    "embedding_cosine_neardup", "dedup_cluster_canonical",
+    "corpus_stratified_sample", "multimodal_frame_sample",
+    "multimodal_decode_stats", "multimodal_resize_stats",
+    "text_token_count", "text_quality_score",
+    "text_langid", "text_fingerprint",
+    "text_stats_by_source", "multimodal_binary_meta",
+    "text_repetition_ngram", "corpus_tfidf_top_terms",
+    "text_unigram_logprob", "quality_gopher_rules",
+    "text_regex_policy_scan", "corpus_decontaminate",
+    "corpus_train_val_split", "corpus_shard_packing",
+    "embedding_quantize_int8", "crossmodal_doc_neighbors",
+    "corpus_mix_stats", "corpus_dup_rate_by_source",
+    "skew_salted_revenue_by_status", "skew_distinct_parts_per_supplier",
 ]
 
 

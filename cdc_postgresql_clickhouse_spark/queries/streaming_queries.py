@@ -1929,3 +1929,79 @@ def streaming_pq_ingest_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["streaming_pq_ingest_equiv"] = streaming_pq_ingest_equiv
 ORACLE["streaming_pq_ingest_equiv"] = _SIM_ORACLE["ann_pq_topk"]
+
+
+def streaming_semdedup_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-dedup-state-as-data-arrives: the SemDeDup corpus (embeddings
+    plus the derived affine near-dup copies) replayed in 2+ micro-batches
+    through the incremental SemDeDup ingest (``streaming/ann.py``:
+    quantizer model extracted from batch 1 under the first-N_CENTROIDS
+    seed contract, per-batch broadcast assignment, append-only members
+    table and pair log, at-least-once replay absorbed by ``distinct()``),
+    then rolled up with the exact same keep-rule report as the batch
+    query. The oracle is literally the batch ``semantic_dedup_semdedup``
+    SQL — equality IS the statement that maintaining the members/pairs
+    state incrementally yields the removal report the batch pair search
+    would have produced."""
+    from cdc_postgresql_clickhouse_spark.queries.similarity import (
+        DERIVED_OFFSET,
+        N_CENTROIDS,
+        NEARDUP_IDS,
+        SEMDEDUP_TAU,
+        _emb_d,
+    )
+    from cdc_postgresql_clickhouse_spark.streaming.ann import (
+        read_semdedup_state,
+        run_incremental_semdedup,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", _emb_d().alias("e"))
+    derived = emb.filter(F.col("vec_id") < NEARDUP_IDS).select(
+        (F.col("vec_id") + DERIVED_OFFSET).alias("vec_id"),
+        F.transform(F.col("e"), lambda x: x * 0.9 + 0.01).alias("e"),
+    )
+    corpus = emb.unionByName(derived)
+    tmp = tempfile.mkdtemp(prefix="stream_semdedup_")
+    try:
+        src = os.path.join(tmp, "src")
+        state = os.path.join(tmp, "state")
+        # batch 1 carries the seed centroids (vec_id < N_CENTROIDS) by
+        # construction; batch 2 delivers the rest — members and pairs
+        # accrete across batches (derived ids keep their source's parity)
+        b1 = corpus.filter(
+            (F.col("vec_id") < N_CENTROIDS) | (F.col("vec_id") % 2 == 0)
+        )
+        b2 = corpus.filter(
+            (F.col("vec_id") >= N_CENTROIDS) & (F.col("vec_id") % 2 == 1)
+        )
+        b1.coalesce(1).write.parquet(src)
+        b1_files = [os.path.join(src, f) for f in os.listdir(src)]
+        b2.coalesce(1).write.mode("append").parquet(src)
+        _backdate_batch(b1_files)
+        run_incremental_semdedup(spark, src, state, os.path.join(tmp, "ckpt"))
+        members, pairs0 = read_semdedup_state(spark, state)
+        pairs = pairs0.filter(F.col("cos_sim") >= SEMDEDUP_TAU)
+        removed = pairs.select(
+            "cid",
+            F.when(F.col("ca") > F.col("cb"), F.col("va")).otherwise(F.col("vb")).alias("loser"),
+        ).distinct()
+        pm = members.groupBy("cid").agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+        pp = pairs.groupBy("cid").agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        pr = removed.groupBy("cid").agg(F.count(F.lit(1)).cast("long").alias("n_removed"))
+        return _materialized(
+            pm.join(pp, "cid", "left")
+            .join(pr, "cid", "left")
+            .select(
+                "cid", "n_members",
+                F.coalesce(F.col("n_pairs"), F.lit(0)).cast("long").alias("n_pairs"),
+                F.coalesce(F.col("n_removed"), F.lit(0)).cast("long").alias("n_removed"),
+                (F.col("n_members") - F.coalesce(F.col("n_removed"), F.lit(0)))
+                .cast("long").alias("n_kept"),
+            )
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+QUERIES["streaming_semdedup_equiv"] = streaming_semdedup_equiv
+ORACLE["streaming_semdedup_equiv"] = _SIM_ORACLE["semantic_dedup_semdedup"]

@@ -235,3 +235,164 @@ def run_incremental_pq(
         .start()
     )
     q.awaitTermination()
+
+
+# --- Incremental SemDeDup state maintenance — round 13 --------------------------
+#
+# The semantic-dedup twin of the IVF/PQ ingests above, closing the loop the
+# batch query family opened (``queries/similarity.py::semdedup_base``): the
+# MEMBERS table (cluster-assigned corpus rows) and the PAIRS log (within-
+# cluster over-threshold duplicate pairs) are maintained incrementally as
+# embedding batches arrive, so a removal list is always current without
+# re-running the corpus-wide pair search per snapshot.
+#
+# - the coarse quantizer is the fixed seed MODEL (first-N_CENTROIDS seed
+#   contract, extracted from batch 1 — identical to the batch base's
+#   quantizer, so the incrementally-built state equals the batch build and
+#   the batch oracle applies verbatim), persisted beside the state.
+# - each micro-batch assigns its vectors map-side against the broadcast
+#   centroid table (argmax truncated cosine, cid tie-break — the same
+#   _cos_prenorm doubles as the batch base) and APPENDS members rows
+#   (vec_id, cid, cen_cos, e, nrm), partitioned by cid.
+# - new duplicate PAIRS are the cid-keyed join of the batch's members
+#   against the accumulated members table (old×new plus new×new, emitted
+#   (va<vb)-normalized; new×new lands twice and replay re-appends — both
+#   absorbed by the readers' ``distinct()``, the same at-least-once
+#   contract as the IVF assignment table). Pairs are logged at the
+#   tau-grid MINIMUM, so every batch consumer (removal report, tau sweep,
+#   label audit) reads the same log with its own cos_sim filter.
+#
+# Per-batch cost: O(batch × n_centroids) map-side assignment + one
+# cid-keyed join whose right side is the accumulated members table — at
+# 100 TB that table is cid-bucketed and the join is partition-pruned to
+# the batch's cids; no corpus-wide pair search ever re-runs.
+
+
+def _members_path(state_path: str) -> str:
+    return state_path.rstrip("/") + "_members"
+
+
+def _pairs_path(state_path: str) -> str:
+    return state_path.rstrip("/") + "_pairs"
+
+
+def ingest_batch_semdedup(
+    spark: SparkSession,
+    batch: DataFrame,
+    state_path: str,
+    n_centroids: int = N_CENTROIDS,
+    tau: float | None = None,
+) -> None:
+    """Assign one micro-batch of (vec_id, embedding-or-e) rows against the
+    persisted quantizer, append members, and append the batch's new
+    over-threshold pairs (old×new + new×new). On the first batch the
+    quantizer is extracted (vec_id < n_centroids must be present — the
+    seed contract) and persisted. Runs under the state's ``_state_lock``
+    (the ``ingest_batch_ivf`` convention)."""
+    from cdc_postgresql_clickhouse_spark.operators.state import _state_lock
+    from cdc_postgresql_clickhouse_spark.queries.similarity import (
+        SEMDEDUP_TAUS_PPM,
+        _cos_prenorm,
+    )
+
+    if tau is None:
+        tau = min(SEMDEDUP_TAUS_PPM) / 1_000_000.0
+    cols = dict.fromkeys(batch.columns)
+    e = F.col("e") if "e" in cols else _emb_d()
+    emb = batch.select("vec_id", e.alias("e")).withColumn("nrm", _norm(F.col("e")))
+    with _state_lock(state_path):
+        mp = _model_path(state_path)
+        if not os.path.exists(mp):
+            seed = emb.filter(F.col("vec_id") < n_centroids).select(
+                F.col("vec_id").alias("cid"), F.col("e").alias("ce"), F.col("nrm").alias("cn")
+            )
+            if seed.count() < n_centroids:
+                raise ValueError(
+                    f"first batch must contain the {n_centroids} seed vectors (vec_id < {n_centroids})"
+                )
+            seed.coalesce(1).write.parquet(mp)
+        cents = spark.read.parquet(mp)
+        from pyspark.sql import Window
+
+        scored = F.broadcast(cents).join(emb, how="cross").select(
+            "vec_id", "cid",
+            _cos_prenorm(F.col("e"), F.col("ce"), F.col("nrm"), F.col("cn")).alias("cs"),
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.col("cid"))
+        assign = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cid", F.col("cs").alias("cen_cos"))
+        )
+        new_members = assign.join(emb, "vec_id").select(
+            "vec_id", "cid", "cen_cos", "e", "nrm"
+        ).localCheckpoint(eager=True)
+        new_members.write.mode("append").partitionBy("cid").parquet(
+            _members_path(state_path)
+        )
+        # read back AFTER the append: the accumulated table includes this
+        # batch, so new×new pairs are covered; (va<vb) normalization plus
+        # the readers' distinct() absorb the double emission and replay
+        allm = spark.read.parquet(_members_path(state_path))
+        n, m = new_members.alias("n"), allm.alias("m")
+        va_is_n = F.col("n.vec_id") < F.col("m.vec_id")
+        pairs = (
+            n.join(m, (F.col("n.cid") == F.col("m.cid")) & (F.col("n.vec_id") != F.col("m.vec_id")))
+            .select(
+                F.col("n.cid").alias("cid"),
+                F.when(va_is_n, F.col("n.vec_id")).otherwise(F.col("m.vec_id")).alias("va"),
+                F.when(va_is_n, F.col("m.vec_id")).otherwise(F.col("n.vec_id")).alias("vb"),
+                F.when(va_is_n, F.col("n.cen_cos")).otherwise(F.col("m.cen_cos")).alias("ca"),
+                F.when(va_is_n, F.col("m.cen_cos")).otherwise(F.col("n.cen_cos")).alias("cb"),
+                _cos_prenorm(
+                    F.col("n.e"), F.col("m.e"), F.col("n.nrm"), F.col("m.nrm")
+                ).alias("cos_sim"),
+            )
+            .filter(F.col("cos_sim") >= tau)
+        )
+        pairs.write.mode("append").parquet(_pairs_path(state_path))
+
+
+def read_semdedup_state(
+    spark: SparkSession, state_path: str
+) -> tuple[DataFrame, DataFrame]:
+    """(members, pairs) from the incrementally-maintained state, replay
+    duplicates dropped — the same shape ``semdedup_base`` returns."""
+    members = (
+        spark.read.parquet(_members_path(state_path))
+        .select("vec_id", "cid", "cen_cos", "e", "nrm")
+        .distinct()
+    )
+    pairs = spark.read.parquet(_pairs_path(state_path)).distinct()
+    return members, pairs
+
+
+def run_incremental_semdedup(
+    spark: SparkSession,
+    src_dir: str,
+    state_path: str,
+    checkpoint_dir: str,
+    n_centroids: int = N_CENTROIDS,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Drain ``src_dir`` (parquet files of vec_id, e) through the
+    incremental SemDeDup ingest with an availableNow trigger."""
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_dir)
+    )
+
+    def handle(batch: DataFrame, _batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        ingest_batch_semdedup(batch.sparkSession, batch, state_path, n_centroids)
+
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -69,6 +69,7 @@ def _rows(spark, name, sf_dir):
 def test_result_is_parallelism_invariant(spark, sf_dir, name):
     from cdc_postgresql_clickhouse_spark.queries.cluster import reset_clusters_cache
     from cdc_postgresql_clickhouse_spark.queries.search import reset_kie_cache
+    from cdc_postgresql_clickhouse_spark.queries.similarity import reset_semdedup_cache
     from cdc_postgresql_clickhouse_spark.queries.text_ext import reset_langid_cache
 
     def reset_all():
@@ -77,6 +78,7 @@ def test_result_is_parallelism_invariant(spark, sf_dir, name):
         reset_clusters_cache()
         reset_langid_cache()
         reset_kie_cache()
+        reset_semdedup_cache()
 
     conf = spark.conf
     orig = conf.get("spark.sql.shuffle.partitions")
@@ -166,3 +168,43 @@ def test_pending_result_is_parallelism_invariant(spark, sf_dir, name):
     finally:
         conf.set("spark.sql.shuffle.partitions", orig)
     assert a == b, f"{name}: result depends on shuffle partitioning"
+
+
+# Shared-memo cross-parallelism contract (VERDICT r12 #8): a memo is a
+# materialization of a pure function of the data, so blocks BUILT at
+# parallelism A must read identically under parallelism B — the
+# reset-mid-suite ordering the per-query sweep above never crosses
+# (it always rebuilds the memo under the active setting).
+_MEMO_CROSS = [
+    ("clusters", "dedup_cluster_size_hist"),
+    ("langid", "quality_langid_fleiss_kappa"),
+    ("kie", "retrieval_ndcg_eval"),
+    ("semdedup", "semantic_dedup_tau_sweep"),
+]
+
+
+@pytest.mark.parametrize("memo,consumer", _MEMO_CROSS)
+def test_memo_built_at_other_parallelism_reads_identically(
+    spark, sf_dir, memo, consumer
+):
+    import bench
+
+    reset, warm = bench.SHARED_MEMOS[memo]
+    conf = spark.conf
+    orig = conf.get("spark.sql.shuffle.partitions")
+    try:
+        conf.set("spark.sql.shuffle.partitions", "3")
+        reset()
+        warm(spark, sf_dir)
+        conf.set("spark.sql.shuffle.partitions", "17")
+        a = _rows(spark, consumer, sf_dir)  # memo from A, consumer at B
+        reset()
+        warm(spark, sf_dir)
+        b = _rows(spark, consumer, sf_dir)  # memo rebuilt at B
+    finally:
+        conf.set("spark.sql.shuffle.partitions", orig)
+        reset()
+    assert a == b, (
+        f"{consumer}: result depends on the parallelism the '{memo}' memo "
+        f"was materialized under"
+    )

@@ -13,23 +13,6 @@ from pyspark.sql import functions as F
 from cdc_postgresql_clickhouse_spark.sources.registry import load_table
 
 
-def _corpus_rows(spark, sf_dir):
-    from cdc_postgresql_clickhouse_spark.queries.similarity import (
-        DERIVED_OFFSET,
-        NEARDUP_IDS,
-    )
-
-    emb = {
-        r.vec_id: [float(x) for x in r.embedding]
-        for r in load_table(spark, sf_dir, "embeddings").collect()
-    }
-    corpus = dict(emb)
-    for vid in list(emb):
-        if vid < NEARDUP_IDS:
-            corpus[vid + DERIVED_OFFSET] = [x * 0.9 + 0.01 for x in emb[vid]]
-    return corpus
-
-
 def test_lloyd_refine_matches_python_twin(spark, sf_dir):
     """The distributed Lloyd loop equals a sequential Python twin of its
     documented math (centroid-first raw-cosine argmax with smaller-cid
@@ -229,3 +212,37 @@ def test_backdate_batch_orders_staged_files(tmp_path):
     os.utime(b1, (t, t))  # force the tie
     _backdate_batch([str(b1)])
     assert os.stat(b1).st_mtime < os.stat(b2).st_mtime - 5
+
+
+def test_semdedup_ingest_replay_idempotent(spark, sf_dir, tmp_path):
+    """At-least-once contract: replaying an already-ingested batch through
+    ingest_batch_semdedup re-appends members and pairs, and the read-side
+    distinct() restores the exact state — same report either way."""
+    from cdc_postgresql_clickhouse_spark.queries.similarity import (
+        N_CENTROIDS,
+        _emb_d,
+    )
+    from cdc_postgresql_clickhouse_spark.streaming.ann import (
+        ingest_batch_semdedup,
+        read_semdedup_state,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", _emb_d().alias("e"))
+    b1 = emb.filter((F.col("vec_id") < N_CENTROIDS) | (F.col("vec_id") % 2 == 0))
+    b2 = emb.filter((F.col("vec_id") >= N_CENTROIDS) & (F.col("vec_id") % 2 == 1))
+    state = str(tmp_path / "state")
+
+    def snapshot():
+        members, pairs = read_semdedup_state(spark, state)
+        return (
+            sorted((r.vec_id, r.cid) for r in members.select("vec_id", "cid").collect()),
+            sorted((r.va, r.vb) for r in pairs.select("va", "vb").collect()),
+        )
+
+    ingest_batch_semdedup(spark, b1, state)
+    ingest_batch_semdedup(spark, b2, state)
+    before = snapshot()
+    ingest_batch_semdedup(spark, b2, state)  # replay
+    after = snapshot()
+    assert before == after
+    assert len(before[0]) == emb.count()

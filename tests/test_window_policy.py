@@ -140,3 +140,31 @@ def test_window_front_is_exactly_the_driver_window():
     assert len(set(_WINDOW_FRONT)) == WINDOW
     names = list(all_queries())
     assert names[:WINDOW] == _WINDOW_FRONT
+
+
+MAX_PROOF_AGE = 10
+
+
+def test_steady_state_proof_age_bound():
+    """Staleness can never silently regrow (VERDICT r12 #3): with 50 window
+    slots per round and ~416 registered queries, rules 1-3 re-prove every
+    row at least once per ~9 rounds; MAX_PROOF_AGE = 10 adds one round of
+    slack for insurance/new-registration pressure. Invariant: no registered
+    query's latest driver proof may be more than MAX_PROOF_AGE rounds older
+    than the newest driver round on record. (Rows with no proof yet are
+    rule 2's job; rows no longer registered don't count.)"""
+    from cdc_postgresql_clickhouse_spark.queries import all_queries
+
+    names = set(all_queries())
+    seen = _driver_rows()
+    checked = {q: r for q, (r, _g) in seen.items() if q in names}
+    if not checked:
+        return
+    newest = max(checked.values())
+    stale = sorted(
+        (q, r) for q, r in checked.items() if newest - r > MAX_PROOF_AGE
+    )
+    assert not stale, (
+        f"latest driver proofs older than {MAX_PROOF_AGE} rounds behind "
+        f"round {newest}: {stale} — rule 3 must front these next rotation"
+    )
