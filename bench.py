@@ -79,6 +79,7 @@ SHARED_MEMO_CONSUMERS = {
     "semantic_dedup_semdedup": "semdedup",
     "semantic_dedup_tau_sweep": "semdedup",
     "semantic_dedup_label_bias": "semdedup",
+    "semantic_dedup_cluster_profile": "semdedup",
 }
 
 
@@ -492,6 +493,8 @@ HEADLINE = [
     # round-13 additions (streaming_semdedup_equiv excluded with the other
     # streaming rows: micro-batch staging I/O dominates)
     "semantic_dedup_semdedup_kmeans",
+    "semantic_dedup_cluster_profile",
+    "semantic_dedup_k_sensitivity",
 ]
 
 

@@ -80,17 +80,20 @@ _WINDOW_FRONT = [
     # staleness re-check; cdc_pk_change_state rotated out after its r12
     # green).
     "cdc_current_state", "cdc_state_asof",
-    # rule 2: the never-driver-checked queue — the 2 round-13 additions:
+    # rule 2: the never-driver-checked queue — the 4 round-13 additions:
     # SemDeDup over the corpus-trained Lloyd quantizer (unrolled-iteration
-    # oracle) and the incremental-SemDeDup ≡ batch equivalence row. Both
-    # parity-verified locally at sf0.01 on registration.
+    # oracle), the incremental-SemDeDup ≡ batch equivalence row, the
+    # cluster cohesion profile (memo consumer), and the quantizer-size
+    # sensitivity sweep. All parity-verified locally at sf0.01 on
+    # registration.
     "semantic_dedup_semdedup_kmeans", "streaming_semdedup_equiv",
+    "semantic_dedup_cluster_profile", "semantic_dedup_k_sensitivity",
     # rule 3 (staleness): the remaining 46 slots fill with already-green
     # rows whose latest driver proof is OLDEST — first the full 12-row
     # r2-latest cohort (the tail of the r2 era; after this round no row's
     # proof predates r3), then the head of the 43-row r3-latest cohort,
     # registration order within a round. The 9 r3 rows left behind
-    # (debezium_decimal_decode .. events_purchase_attribution) front the
+    # (skew_salted_revenue_by_status .. events_purchase_attribution) front the
     # r14 window. tests/test_window_policy.py pins the rule and the
     # steady-state proof-age bound.
     "percentile_prices_by_status", "monthly_revenue_rollup",
@@ -115,7 +118,6 @@ _WINDOW_FRONT = [
     "corpus_train_val_split", "corpus_shard_packing",
     "embedding_quantize_int8", "crossmodal_doc_neighbors",
     "corpus_mix_stats", "corpus_dup_rate_by_source",
-    "skew_salted_revenue_by_status", "skew_distinct_parts_per_supplier",
 ]
 
 

@@ -94,6 +94,8 @@ def _norm(e: Column) -> Column:
     return F.sqrt(_dot(e, e))
 
 
+
+
 # --- SQL twins -------------------------------------------------------------
 
 _SQL_EMB = "CAST(embedding AS DOUBLE[])"
@@ -2962,3 +2964,262 @@ FROM pm LEFT JOIN pp ON pm.cid = pp.cid LEFT JOIN pr ON pm.cid = pr.cid
 
 QUERIES["semantic_dedup_semdedup_kmeans"] = semantic_dedup_semdedup_kmeans
 ORACLE["semantic_dedup_semdedup_kmeans"] = _sql_semdedup_kmeans()
+
+
+# --- SemDeDup cluster cohesion profile — round 13 -------------------------------
+#
+# The per-cluster diagnostic a SemDeDup deployment reads NEXT to the
+# removal report: within each coarse cluster, how tight is the duplicate
+# mass (median / max over-threshold pair similarity, exact interpolated
+# percentile over ROUND-recovered micro ints — the percentile_prices
+# integer-units device) and how coherent is the cluster itself (mean
+# member-to-centroid cosine, integer mean via trunc div)? A cluster with
+# high cohesion but few pairs wants a lower tau; a loose cluster with many
+# pairs signals quantizer under-sizing. Declared consumer of the shared
+# SemDeDup memo (the langid/kie/clusters contract): reads the materialized
+# members/pairs base, never re-derives it.
+#
+# Scale shape: two keyed rollups over the memo + one K-bounded left join.
+# Output is K rows.
+
+def semantic_dedup_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    members, pairs = semdedup_base(spark, sf_dir)
+    # cen_cos / cos_sim are already floor-truncated to 6 dp doubles; ROUND
+    # recovers the exact micro int in both engines (the _cents device —
+    # never floor the double round-trip back)
+    cen_micro = F.round(F.col("cen_cos") * F.lit(1_000_000.0)).cast("long")
+    sim_micro = F.round(F.col("cos_sim") * F.lit(1_000_000.0)).cast("long")
+    pm = members.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.sum(cen_micro).cast("long").alias("s_cen"),
+    )
+    pp = pairs.select("cid", sim_micro.alias("sm")).groupBy("cid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.expr("percentile(sm, 0.5D)").alias("p50_sim_micro"),
+        F.max("sm").cast("long").alias("max_sim_micro"),
+    )
+    return (
+        pm.join(pp, "cid", "left")
+        .select(
+            "cid", "n_members",
+            F.coalesce(F.col("n_pairs"), F.lit(0)).cast("long").alias("n_pairs"),
+            "p50_sim_micro",
+            "max_sim_micro",
+            F.expr("s_cen div n_members").cast("long").alias("mean_cen_cos_micro"),
+        )
+    )
+
+
+ORACLE["semantic_dedup_cluster_profile"] = f"""
+WITH {_sql_semdedup_ctes(min(SEMDEDUP_TAUS_PPM) / 1_000_000.0)},
+pm AS (
+  SELECT cid, COUNT(*)::BIGINT AS n_members,
+         SUM(CAST(ROUND(cen_cos * 1000000.0) AS BIGINT))::BIGINT AS s_cen
+  FROM members GROUP BY cid
+),
+pp AS (
+  SELECT cid, COUNT(*)::BIGINT AS n_pairs,
+         quantile_cont(CAST(ROUND(cos_sim * 1000000.0) AS BIGINT), 0.5) AS p50_sim_micro,
+         MAX(CAST(ROUND(cos_sim * 1000000.0) AS BIGINT))::BIGINT AS max_sim_micro
+  FROM pairs GROUP BY cid
+)
+SELECT pm.cid, pm.n_members,
+       COALESCE(pp.n_pairs, 0)::BIGINT AS n_pairs,
+       pp.p50_sim_micro, pp.max_sim_micro,
+       (pm.s_cen // pm.n_members)::BIGINT AS mean_cen_cos_micro
+FROM pm LEFT JOIN pp ON pm.cid = pp.cid
+"""
+QUERIES["semantic_dedup_cluster_profile"] = semantic_dedup_cluster_profile
+
+
+# --- SemDeDup quantizer-size sensitivity — round 13 -----------------------------
+#
+# The K-axis tuning row next to the tau sweep: how does the committed
+# removal rate (tau = SEMDEDUP_TAU) move as the coarse quantizer grows
+# from K/4 to the sized K? Fewer clusters merge near-duplicate
+# neighborhoods (pair recall up, per-list occupancy and pair cost up);
+# more clusters split them (removal mass leaks across boundaries). The
+# max-occupancy column is the skew indicator that prices the pair search
+# at each K — the operational reading of the K ~ sqrt(n) sizing note.
+#
+# ONE broadcast scored pass against the full K-centroid seed serves every
+# grid point: the K'-quantizer's centroids are the FIRST K' seed vectors,
+# so each grid row's assignment is the argmax of the same scored table
+# restricted to cid < K' — scored is computed once (checkpointed), never
+# per K. The pair search runs once, keyed on (k, cid) over the union of
+# the per-K assignments — a single cid-keyed join whose fan-out is the
+# summed within-cluster occupancy.
+#
+# Scale shape: one broadcast-K map pass + |grid| window argmaxes over the
+# checkpointed scored table + one (k, cid)-keyed self-join. Output is
+# |grid| rows.
+
+SEMDEDUP_K_GRID = (4, 8, 16)
+
+
+def semantic_dedup_k_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_postgresql_clickhouse_spark.operators.memo import release
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", _emb_d().alias("e"))
+    derived = emb.filter(F.col("vec_id") < NEARDUP_IDS).select(
+        (F.col("vec_id") + DERIVED_OFFSET).alias("vec_id"),
+        F.transform(F.col("e"), lambda x: x * 0.9 + 0.01).alias("e"),
+    )
+    corpus = (
+        emb.unionByName(derived)
+        .withColumn("nrm", _norm(F.col("e")))
+        .localCheckpoint(eager=True)
+    )
+    kmax = max(SEMDEDUP_K_GRID)
+    cents = emb.filter(F.col("vec_id") < kmax).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce"), _norm(F.col("e")).alias("cn")
+    )
+    scored = (
+        F.broadcast(cents)
+        .join(corpus.select("vec_id", "e", "nrm"), how="cross")
+        .select(
+            "vec_id", "cid",
+            _cos_prenorm(F.col("e"), F.col("ce"), F.col("nrm"), F.col("cn")).alias("cs"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    assigns = None
+    for k in SEMDEDUP_K_GRID:
+        w = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.col("cid"))
+        a_k = (
+            scored.filter(F.col("cid") < k)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.lit(k).cast("long").alias("k"), "vec_id", "cid",
+                    F.col("cs").alias("cen_cos"))
+        )
+        assigns = a_k if assigns is None else assigns.unionByName(a_k)
+    members = assigns.join(corpus, "vec_id").localCheckpoint(eager=True)
+    a, b = members.alias("a"), members.alias("b")
+    # Partial-distance prefilter (the Faiss early-termination device, exact
+    # here): for the UNIT directions u = e/nrm, a pair passing the
+    # truncated-cosine threshold has ||u_a - u_b||^2 = 2 - 2*raw_cos
+    # <= 2*(1 - tau), so its first-8-dims partial distance is bounded by
+    # the same constant (plus a float margin dwarfing the 1e-15 sum error).
+    # The 8-term chain is small enough to stay inside the join's codegen;
+    # on this corpus it prunes ~92% of the grid's ~1M within-cluster pairs
+    # BEFORE any 64-dim work. The survivors are checkpointed — the barrier
+    # keeps Catalyst from pushing the expensive exact-cosine filter back
+    # into the join condition, where it evaluated interpreted per candidate
+    # pair (6.8 s -> ~2 s for this stage at sf0.1).
+    pd2 = None
+    for i in range(1, 9):
+        d = F.element_at(F.col("a.e"), i) / F.col("a.nrm") - F.element_at(
+            F.col("b.e"), i
+        ) / F.col("b.nrm")
+        pd2 = d * d if pd2 is None else pd2 + d * d
+    cand = (
+        a.join(
+            b,
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("a.vec_id") < F.col("b.vec_id"))
+            & (pd2 <= 2.0 * (1.0 - SEMDEDUP_TAU) + 1e-9),
+        )
+        .select(
+            F.col("a.k").alias("k"),
+            F.col("a.vec_id").alias("va"), F.col("b.vec_id").alias("vb"),
+            F.col("a.cen_cos").alias("ca"), F.col("b.cen_cos").alias("cb"),
+            F.col("a.e").alias("ea"), F.col("a.nrm").alias("na"),
+            F.col("b.e").alias("eb"), F.col("b.nrm").alias("nb"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    pairs = cand.select(
+        "k", "va", "vb", "ca", "cb",
+        _cos_prenorm(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")).alias("cos_sim"),
+    ).filter(F.col("cos_sim") >= SEMDEDUP_TAU)
+    loser = F.when(F.col("ca") > F.col("cb"), F.col("va")).otherwise(F.col("vb"))
+    per = pairs.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.countDistinct(loser).cast("long").alias("n_removed"),
+    )
+    occ = members.groupBy("k", "cid").agg(F.count(F.lit(1)).alias("n")).groupBy("k").agg(
+        F.max("n").cast("long").alias("max_cluster_members")
+    )
+    tot = corpus.agg(F.count(F.lit(1)).cast("long").alias("n_corpus"))
+    grid = spark.createDataFrame([(k,) for k in SEMDEDUP_K_GRID], "k long")
+    out = (
+        grid.join(per, "k", "left")
+        .join(occ, "k")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "k", "n_corpus", "max_cluster_members",
+            F.coalesce(F.col("n_pairs"), F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce(F.col("n_removed"), F.lit(0)).cast("long").alias("n_removed"),
+            F.expr("coalesce(n_removed, 0) * 1000000 div n_corpus")
+            .cast("long").alias("removed_ppm"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    release(cand)
+    release(members)
+    release(scored)
+    release(corpus)
+    return out
+
+
+def _sql_k_sensitivity() -> str:
+    kmax = max(SEMDEDUP_K_GRID)
+    per_k = "\nUNION ALL\n".join(
+        f"""SELECT CAST({k} AS BIGINT) AS k, vec_id, cid, cs AS cen_cos
+FROM (SELECT vec_id, cid, cs,
+             row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+      FROM scored WHERE cid < {k})
+WHERE rn = 1"""
+        for k in SEMDEDUP_K_GRID
+    )
+    return f"""
+WITH emb AS (SELECT vec_id, {_SQL_EMB} AS e FROM embeddings),
+derived AS (
+  SELECT vec_id + {DERIVED_OFFSET} AS vec_id,
+         list_transform(e, x -> x * 0.9 + 0.01) AS e
+  FROM emb WHERE vec_id < {NEARDUP_IDS}
+),
+corpus AS MATERIALIZED (SELECT * FROM emb UNION ALL SELECT * FROM derived),
+cents AS (SELECT vec_id AS cid, e AS ce FROM emb WHERE vec_id < {kmax}),
+scored AS MATERIALIZED (
+  SELECT c.vec_id, t.cid, {_sql_cos("c.e", "t.ce")} AS cs
+  FROM corpus c CROSS JOIN cents t
+),
+assigns AS MATERIALIZED (
+{per_k}
+),
+members AS MATERIALIZED (
+  SELECT a.k, a.vec_id, a.cid, a.cen_cos, c.e
+  FROM assigns a JOIN corpus c ON a.vec_id = c.vec_id
+),
+pairs AS MATERIALIZED (
+  SELECT a.k, a.vec_id AS va, b.vec_id AS vb,
+         a.cen_cos AS ca, b.cen_cos AS cb, {_sql_cos("a.e", "b.e")} AS cos_sim
+  FROM members a JOIN members b
+    ON a.k = b.k AND a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE {_sql_cos("a.e", "b.e")} >= {SEMDEDUP_TAU}
+),
+per AS (
+  SELECT k, COUNT(*)::BIGINT AS n_pairs,
+         COUNT(DISTINCT CASE WHEN ca > cb THEN va ELSE vb END)::BIGINT AS n_removed
+  FROM pairs GROUP BY k
+),
+occ AS (
+  SELECT k, MAX(n)::BIGINT AS max_cluster_members
+  FROM (SELECT k, cid, COUNT(*)::BIGINT AS n FROM members GROUP BY k, cid)
+  GROUP BY k
+),
+tot AS (SELECT COUNT(*)::BIGINT AS n_corpus FROM corpus),
+g AS (SELECT CAST(unnest([{", ".join(str(k) for k in SEMDEDUP_K_GRID)}]) AS BIGINT) AS k)
+SELECT g.k, tot.n_corpus, occ.max_cluster_members,
+       COALESCE(per.n_pairs, 0)::BIGINT AS n_pairs,
+       COALESCE(per.n_removed, 0)::BIGINT AS n_removed,
+       (COALESCE(per.n_removed, 0) * 1000000 // tot.n_corpus)::BIGINT AS removed_ppm
+FROM g LEFT JOIN per ON g.k = per.k JOIN occ ON g.k = occ.k CROSS JOIN tot
+"""
+
+
+QUERIES["semantic_dedup_k_sensitivity"] = semantic_dedup_k_sensitivity
+ORACLE["semantic_dedup_k_sensitivity"] = _sql_k_sensitivity()

@@ -51,6 +51,12 @@ CHECK = [
     "quality_langid_krippendorff_alpha",
     "events_bootstrap_mean_ci",
     "events_cuped_adjustment",
+    # round-13 additions: unrolled-Lloyd model collect + keyed pair search,
+    # percentile-over-ints profile, per-K argmax grid with the partial-
+    # distance prefilter
+    "semantic_dedup_semdedup_kmeans",
+    "semantic_dedup_cluster_profile",
+    "semantic_dedup_k_sensitivity",
 ]
 
 

@@ -246,3 +246,54 @@ def test_semdedup_ingest_replay_idempotent(spark, sf_dir, tmp_path):
     after = snapshot()
     assert before == after
     assert len(before[0]) == emb.count()
+
+
+def test_cluster_profile_consistency_with_report(spark, sf_dir):
+    """The cohesion profile and the removal report read the same memo: the
+    profile's member counts match the report's, its pair counts bound the
+    report's tau-filtered pair counts from above (profile counts at the
+    grid-minimum tau), and median <= max on every row with pairs."""
+    from cdc_postgresql_clickhouse_spark.queries.similarity import QUERIES as SQ
+
+    prof = {r["cid"]: r for r in SQ["semantic_dedup_cluster_profile"](spark, sf_dir).collect()}
+    rep = {r["cid"]: r for r in SQ["semantic_dedup_semdedup"](spark, sf_dir).collect()}
+    assert set(prof) == set(rep)
+    for cid, p in prof.items():
+        assert p["n_members"] == rep[cid]["n_members"]
+        assert p["n_pairs"] >= rep[cid]["n_pairs"]  # base tau <= report tau
+        if p["n_pairs"]:
+            assert p["p50_sim_micro"] <= p["max_sim_micro"]
+            assert p["max_sim_micro"] <= 1_000_000
+        else:
+            assert p["p50_sim_micro"] is None and p["max_sim_micro"] is None
+
+
+def test_k_sensitivity_laws(spark, sf_dir):
+    """Grid accounting: the sized-K row equals the committed removal report
+    (same quantizer, same tau — the K-grid search must reproduce the
+    single-K search at K = N_CENTROIDS), max occupancy shrinks weakly as K
+    grows, and every row's removals are bounded by its pairs' vector count.
+    Also pins the partial-distance prefilter as conservative: the K=16 pair
+    count after prefilter + exact cosine matches the unprefiltered base."""
+    from cdc_postgresql_clickhouse_spark.queries.similarity import (
+        N_CENTROIDS,
+        SEMDEDUP_TAU,
+        QUERIES as SQ,
+        semdedup_base,
+    )
+
+    rows = {r["k"]: r for r in SQ["semantic_dedup_k_sensitivity"](spark, sf_dir).collect()}
+    rep = SQ["semantic_dedup_semdedup"](spark, sf_dir).collect()
+    assert rows[N_CENTROIDS]["n_pairs"] == sum(r["n_pairs"] for r in rep)
+    assert rows[N_CENTROIDS]["n_removed"] == sum(r["n_removed"] for r in rep)
+    ks = sorted(rows)
+    for k_small, k_big in zip(ks, ks[1:]):
+        assert rows[k_small]["max_cluster_members"] >= rows[k_big]["max_cluster_members"]
+    for r in rows.values():
+        assert r["n_removed"] <= 2 * r["n_pairs"] or r["n_pairs"] == 0
+        assert 0 <= r["removed_ppm"] <= 1_000_000
+    # prefilter conservativeness, directly: the prefiltered K=16 search
+    # found exactly the unprefiltered memo base's over-threshold pairs
+    _members, pairs = semdedup_base(spark, sf_dir)
+    n_base = pairs.filter(F.col("cos_sim") >= SEMDEDUP_TAU).count()
+    assert rows[N_CENTROIDS]["n_pairs"] == n_base

@@ -115,6 +115,9 @@ _PINS = [
     # inside the query, the LPA/MMR contract), so the final plan is
     # scan-only
     ("semantic_dedup_semdedup_kmeans", 0, 0),
+    # the K-sensitivity sweep is likewise checkpoint-materialized (scored
+    # pass, per-K argmaxes, prefiltered pair search all run eagerly)
+    ("semantic_dedup_k_sensitivity", 0, 0),
 ]
 
 
