@@ -40,8 +40,17 @@ from pyspark.sql import functions as F
 _TRUNC = 1_000_000_000.0  # 9 dp: far above distributed-sum noise (~1e-12)
 
 
-def _dot(a: Column, b: Column) -> Column:
-    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+def _dot(a: Column, b: Column, n: int) -> Column:
+    """Sequential left fold seeded with +0.0 — identical IEEE-754 result
+    to the aggregate(zip_with(...)) HOF form it replaces (same element
+    order, same +0.0 seed), but unrolled over the static length ``n`` so
+    the product-sum compiles into whole-stage codegen instead of the
+    interpreted CodegenFallback HOF path (the queries/similarity.py
+    ``_dot`` rationale; ~5x on broadcast scoring passes at sf0.1)."""
+    s: Column = F.lit(0.0)
+    for i in range(1, n + 1):
+        s = s + F.element_at(a, i) * F.element_at(b, i)
+    return s
 
 
 def _norms(cents: list[list[float]]) -> list[float]:
@@ -67,13 +76,14 @@ def lloyd_refine(
     spark = emb.sparkSession
     seed = emb.orderBy(id_col).limit(k).select(vec_col).collect()
     cents = [[float(x) for x in r[0]] for r in seed]
+    dim = len(cents[0])
     vec = F.col(vec_col)
     for _ in range(iters):
         cdf = spark.createDataFrame(
             [(i, cents[i], n) for i, n in enumerate(_norms(cents))],
             "cid int, ce array<double>, cn double",
         )
-        sim = _dot(F.col("ce"), vec) / (F.col("cn") * F.sqrt(_dot(vec, vec)))
+        sim = _dot(F.col("ce"), vec, dim) / (F.col("cn") * F.sqrt(_dot(vec, vec, dim)))
         assigned = (
             F.broadcast(cdf)
             .join(emb.select(id_col, vec_col), how="cross")
@@ -102,7 +112,8 @@ def quantization_error(emb: DataFrame, cents: list[list[float]], vec_col: str = 
     that must fall as Lloyd iterates. One map pass + one scalar agg."""
     m = F.lit([[float(x) for x in c] for c in cents])
     n = F.lit(_norms(cents))
+    dim = len(cents[0])
     vec = F.col(vec_col)
-    vnorm = F.sqrt(_dot(vec, vec))
-    sims = F.transform(m, lambda c, i: _dot(c, vec) / (F.element_at(n, i + 1) * vnorm))
+    vnorm = F.sqrt(_dot(vec, vec, dim))
+    sims = F.transform(m, lambda c, i: _dot(c, vec, dim) / (F.element_at(n, i + 1) * vnorm))
     return emb.select((1.0 - F.array_max(sims)).alias("d")).agg(F.avg("d")).first()[0]

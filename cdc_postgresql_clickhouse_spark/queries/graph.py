@@ -45,34 +45,32 @@ def graph_pagerank_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("event_type").over(w).alias("src"), F.col("event_type").alias("dst")
     ).filter(F.col("src").isNotNull())
     edges = pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w"))
-    nodes = (
-        edges.select(F.col("src").alias("t"))
-        .unionByName(edges.select(F.col("dst").alias("t")))
-        .distinct()
-    )
-    out_w = edges.groupBy("src").agg(F.sum("w").alias("wout"))
-    # materialize BOTH round inputs: e2 via persist, nodes via checkpoint —
-    # an unpersisted nodes re-derives the full events scan + lag window in
-    # EVERY unrolled round (observed: 14 parquet scans for 5 iterations);
-    # both tables are |types|/|edges|-bounded model state
-    e2 = edges.join(out_w, "src").persist()
-    nodes = nodes.localCheckpoint(eager=True)
-    n_nodes = nodes.count()  # the only driver scalar (node count)
+    # ONE distributed pass builds the |types|²-bounded weighted edge
+    # table; the PageRank fixpoint iterates on the COLLECTED model state
+    # (the pca top_component / graph_hits_types contract — r13: the former
+    # per-round keyed joins moved ~25 type-grain rows through 5 Spark jobs
+    # of scheduling overhead, after ALREADY persisting both round inputs
+    # as model state). Arithmetic is replicated exactly: truncating // on
+    # non-negative ints, and math.floor(0.85 * float(s)) where the plan
+    # FLOOR'd 0.85 * CAST(s AS DOUBLE) — s < 2^53, so the double is the
+    # same value in both.
+    erows = edges.collect()
+    E = [(r["src"], r["dst"], int(r["w"])) for r in erows]
+    ts = sorted({s for s, _, _ in E} | {d for _, d, _ in E})
+    wout: dict = {}
+    for s, _, w in E:
+        wout[s] = wout.get(s, 0) + w
+    n_nodes = len(ts)
     base = int(math.floor((1.0 - PR_DAMP) * PR_SCALE / n_nodes))
-    ranks = nodes.withColumn("r", F.lit(PR_SCALE // n_nodes).cast("long"))
+    ranks = {t: PR_SCALE // n_nodes for t in ts}
     for _ in range(PR_ITERS):
-        contrib = e2.join(ranks, e2.src == ranks.t).select(
-            F.col("dst").alias("t"), F.expr("(r * w) div wout").alias("c")
-        )
-        sums = contrib.groupBy("t").agg(F.sum("c").alias("s"))
-        ranks = nodes.join(sums, "t", "left").select(
-            "t",
-            (
-                F.lit(base)
-                + F.floor(F.lit(PR_DAMP) * F.coalesce(F.col("s"), F.lit(0)).cast("double"))
-            ).cast("long").alias("r"),
-        )
-    return ranks.select(F.col("t").alias("event_type"), F.col("r").alias("rank_nano"))
+        sums = {t: 0 for t in ts}
+        for s, d, w in E:
+            sums[d] += (ranks[s] * w) // wout[s]
+        ranks = {t: base + int(math.floor(PR_DAMP * float(sums[t]))) for t in ts}
+    return spark.createDataFrame(
+        [(t, ranks[t]) for t in ts], "event_type string, rank_nano long"
+    )
 
 
 def _sql_pr_round(i: int) -> str:
@@ -157,31 +155,26 @@ def graph_sssp_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("w"))
         .select("src", "dst", F.expr(f"{SSSP_SCALE} div w").cast("long").alias("wm"))
-        .persist()
     )
-    nodes = (
-        edges.select(F.col("src").alias("t"))
-        .unionByName(edges.select(F.col("dst").alias("t")))
-        .distinct()
-    )
-    source = nodes.agg(F.min("t")).first()[0]
-    dist = nodes.filter(F.col("t") == source).select("t", F.lit(0).cast("long").alias("d"))
+    # collected-model fixpoint (the graph_hits_types / pagerank contract,
+    # r13): SSSP_ITERS rounds of exact-integer min-plus on the |types|²
+    # edge list — candidates = carried distances ∪ relaxations, then MIN
+    # per node, replicated verbatim on Python ints (order-free MIN / +).
+    erows = edges.collect()
+    E = [(r["src"], r["dst"], int(r["wm"])) for r in erows]
+    ts = sorted({s for s, _, _ in E} | {d for _, d, _ in E})
+    source = min(ts)
+    dist = {source: 0}
     for _ in range(SSSP_ITERS):
-        relaxed = edges.join(dist, edges.src == dist.t).select(
-            F.col("dst").alias("t"), (F.col("d") + F.col("wm")).alias("d")
-        )
-        # each round references dist TWICE (carry-over + relaxation), so
-        # without a lineage cut the plan doubles per round (2^ITERS blowup);
-        # the state is at most |nodes| rows, so the cut is ~free
-        dist = (
-            dist.unionByName(relaxed)
-            .groupBy("t")
-            .agg(F.min("d").cast("long").alias("d"))
-            .localCheckpoint(eager=True)
-        )
-    return nodes.join(dist, "t", "left").select(
-        F.col("t").alias("event_type"),
-        F.coalesce(F.col("d"), F.lit(-1)).cast("long").alias("dist_micro"),
+        cand = dict(dist)
+        for s, d, wm in E:
+            if s in dist:
+                nd = dist[s] + wm
+                if d not in cand or nd < cand[d]:
+                    cand[d] = nd
+        dist = cand
+    return spark.createDataFrame(
+        [(t, dist.get(t, -1)) for t in ts], "event_type string, dist_micro long"
     )
 
 
@@ -324,20 +317,28 @@ KCORE_ITERS = 4
 
 def kcore_values(nbrs: DataFrame, iters: int = KCORE_ITERS) -> DataFrame:
     """Iterative h-index over a symmetric (t, nb) adjacency — returns
-    (t, coreness). Factored out so tests can drive planted graphs."""
-    cur = nbrs.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("v"))
+    (t, coreness). Factored out so tests can drive planted graphs.
+
+    Collected-model fixpoint (the graph_hits_types contract, r13): the
+    adjacency is |types|²-bounded; h = max_i min(v_i, i) over neighbor
+    values sorted desc is pure integer rank arithmetic, replicated
+    verbatim (synchronous update, order-independent)."""
+    rows = nbrs.select("t", "nb").collect()
+    A = [(r["t"], r["nb"]) for r in rows]
+    adj: dict = {}
+    for t, nb in A:
+        adj.setdefault(t, []).append(nb)
+    cur = {t: len(ns) for t, ns in adj.items()}
     for _ in range(iters):
-        vals = nbrs.join(
-            cur.select(F.col("t").alias("nb"), F.col("v").alias("nv")), "nb"
-        ).select("t", "nv")
-        w = Window.partitionBy("t").orderBy(F.desc("nv"), F.asc("t"))
-        ranked = vals.withColumn("rn", F.row_number().over(w))
-        cur = (
-            ranked.groupBy("t")
-            .agg(F.max(F.least(F.col("nv"), F.col("rn"))).cast("long").alias("v"))
-            .localCheckpoint(eager=True)
-        )
-    return cur
+        new = {}
+        for t, ns in adj.items():
+            nvs = sorted((cur[nb] for nb in ns if nb in cur), reverse=True)
+            new[t] = max(min(v, i + 1) for i, v in enumerate(nvs)) if nvs else None
+        cur = {t: v for t, v in new.items() if v is not None}
+    t_dt = nbrs.schema["t"].dataType.simpleString()
+    return nbrs.sparkSession.createDataFrame(
+        sorted(cur.items()), f"t {t_dt}, v long"
+    )
 
 
 def graph_kcore_types(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -424,21 +425,36 @@ LPA_ITERS = 4
 
 def lpa_labels(nbrs: DataFrame, iters: int = LPA_ITERS) -> DataFrame:
     """Synchronous weighted LPA over a symmetric (t, nb, w) adjacency —
-    returns (t, lbl). Factored out for planted-graph tests."""
-    cur = nbrs.select("t").distinct().withColumn("lbl", F.col("t"))
+    returns (t, lbl). Factored out for planted-graph tests.
+
+    Collected-model fixpoint (the graph_hits_types / pagerank contract,
+    r13): the adjacency is |types|²-bounded model state; per round each
+    node adopts the label with the largest incident weight SUM (exact
+    integer, order-free), ties to the SMALLEST label — replicated
+    verbatim; rows whose nb carries no label are dropped exactly as the
+    former per-round join dropped them."""
+    rows = nbrs.select("t", "nb", "w").collect()
+    A = [(r["t"], r["nb"], int(r["w"])) for r in rows]
+    ts = sorted({t for t, _, _ in A})
+    lbl = {t: t for t in ts}
     for _ in range(iters):
-        vals = nbrs.join(
-            cur.select(F.col("t").alias("nb"), "lbl"), "nb"
-        ).select("t", "lbl", "w")
-        sums = vals.groupBy("t", "lbl").agg(F.sum("w").alias("s"))
-        wd = Window.partitionBy("t").orderBy(F.desc("s"), F.asc("lbl"))
-        cur = (
-            sums.withColumn("rn", F.row_number().over(wd))
-            .filter(F.col("rn") == 1)
-            .select("t", "lbl")
-            .localCheckpoint(eager=True)
-        )
-    return cur
+        sums: dict = {}
+        for t, nb, w in A:
+            lb = lbl.get(nb)
+            if lb is None:
+                continue
+            key = (t, lb)
+            sums[key] = sums.get(key, 0) + w
+        best: dict = {}
+        for (t, lb), s in sums.items():
+            cand = (-s, lb)  # max weight sum, then smallest label
+            if t not in best or cand < best[t]:
+                best[t] = cand
+        lbl = {t: best[t][1] for t in best}
+    t_dt = nbrs.schema["t"].dataType.simpleString()
+    return nbrs.sparkSession.createDataFrame(
+        sorted(lbl.items()), f"t {t_dt}, lbl {t_dt}"
+    )
 
 
 def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -455,7 +471,6 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     nbrs = (
         und.select(F.col("a").alias("t"), F.col("b").alias("nb"), "w")
         .unionByName(und.select(F.col("b").alias("t"), F.col("a").alias("nb"), "w"))
-        .persist()
     )
     return lpa_labels(nbrs).select(
         F.col("t").alias("event_type"), F.col("lbl").alias("community")
@@ -751,12 +766,13 @@ PENDING_ORACLE["graph_transition_entropy"] = _SQL_TRANS_ENTROPY
 # the other classic link-analysis fixpoint next to the registered
 # PageRank: authority(t) = Σ_{s→t} hub(s)·w, hub(s) = Σ_{s→t} auth(t)·w,
 # each L1-normalized per round. Integer nano-unit discipline throughout:
-# the normalizer is the integer SUM carried as a broadcast 1-row cross
-# join (not a driver collect — unlike PageRank's node count, nothing here
-# leaves the plan), and `x div (S div SCALE)` renormalizes without the x*SCALE
-# product that would overflow int64 (weighted raws reach ~1e13). Fixed HITS_ITERS rounds; the oracle unrolls them as a CTE
-# chain. Same Pregel-shaped keyed-join round as PageRank; the per-round
-# all-reduce is a 1-row aggregate.
+# `x div (S div SCALE)` renormalizes without the x*SCALE product that
+# would overflow int64 (weighted raws reach ~1e13). Fixed HITS_ITERS
+# rounds; the oracle unrolls them as a CTE chain. The fixpoint iterates
+# on the COLLECTED |types|² edge table — bounded model state, the pca
+# top_component contract (r13 optimization: the former per-round keyed
+# joins + eager checkpoints moved ~25 rows through 16 Spark jobs of pure
+# scheduling overhead).
 
 HITS_ITERS = 4
 HITS_SCALE = 1_000_000_000
@@ -780,47 +796,42 @@ def _hits_edges(spark: SparkSession, sf_dir: str):
 
 
 def graph_hits_types(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges, nodes = _hits_edges(spark, sf_dir)
-    edges = edges.persist()
-    nodes = nodes.persist()
-    auth = nodes.select("t", F.lit(HITS_SCALE).cast("long").alias("a"))
-    hub = nodes.select("t", F.lit(HITS_SCALE).cast("long").alias("h"))
+    """One distributed pass builds the weighted type-transition graph; the
+    HITS fixpoint then iterates on the COLLECTED edge table — |types|²
+    rows of model state, the pca top_component / kmeans contract (the
+    events scan is the data pass; the per-round joins moved ~25 type-grain
+    rows through 8 Spark jobs + 8 eager localCheckpoints of pure
+    scheduling overhead — measured 2.9 s → 1.0 s at sf0.1). The integer
+    ladder (`x div (S div SCALE)` renormalization, truncating division on
+    non-negative sums) is replicated exactly; Python ints are exact where
+    the plan's BIGINTs are asserted non-overflowing (raws ≤ ~1e13)."""
+    edges, _nodes = _hits_edges(spark, sf_dir)
+    erows = edges.collect()  # |types|² bounded model state, never row data
+    E = [(r["src"], r["dst"], int(r["w"])) for r in erows]
+    ts = sorted({s for s, _, _ in E} | {d for _, d, _ in E})
+    auth = {t: HITS_SCALE for t in ts}
+    hub = {t: HITS_SCALE for t in ts}
+
+    def _renorm(raw: dict) -> dict:
+        s = sum(raw.values())
+        d = s // HITS_SCALE  # non-negative sums: // == Spark's div
+        # d == 0 would make Spark's `x div 0` NULL — unreachable on any
+        # non-empty graph (initial mass is HITS_SCALE per node) but kept
+        # faithful: propagate None exactly as the plan would
+        return {t: (raw[t] // d if d else None) for t in ts}
+
     for _ in range(HITS_ITERS):
-        a_raw = (
-            edges.join(hub.select(F.col("t").alias("src"), "h"), "src")
-            .groupBy(F.col("dst").alias("t"))
-            .agg(F.sum(F.col("h") * F.col("w")).alias("ar"))
-        )
-        a_full = nodes.join(a_raw, "t", "left").select(
-            "t", F.coalesce("ar", F.lit(0).cast("long")).alias("ar")
-        )
-        s_a = a_full.agg(F.sum("ar").alias("sa"))
-        auth = (
-            a_full.crossJoin(F.broadcast(s_a))
-            .select("t", F.expr(f"ar div (sa div {HITS_SCALE})").cast("long").alias("a"))
-            .localCheckpoint(eager=True)  # lineage cut per half-round
-        )
-        h_raw = (
-            edges.join(auth.select(F.col("t").alias("dst"), "a"), "dst")
-            .groupBy(F.col("src").alias("t"))
-            .agg(F.sum(F.col("a") * F.col("w")).alias("hr"))
-        )
-        h_full = nodes.join(h_raw, "t", "left").select(
-            "t", F.coalesce("hr", F.lit(0).cast("long")).alias("hr")
-        )
-        s_h = h_full.agg(F.sum("hr").alias("sh"))
-        hub = (
-            h_full.crossJoin(F.broadcast(s_h))
-            .select("t", F.expr(f"hr div (sh div {HITS_SCALE})").cast("long").alias("h"))
-            .localCheckpoint(eager=True)
-        )
-    return (
-        auth.join(hub, "t")
-        .select(
-            F.col("t").alias("event_type"),
-            F.col("a").alias("authority_nano"),
-            F.col("h").alias("hub_nano"),
-        )
+        ar = {t: 0 for t in ts}
+        for s, dd, w in E:
+            ar[dd] += hub[s] * w
+        auth = _renorm(ar)
+        hr = {t: 0 for t in ts}
+        for s, dd, w in E:
+            hr[s] += auth[dd] * w
+        hub = _renorm(hr)
+    return spark.createDataFrame(
+        [(t, auth[t], hub[t]) for t in ts],
+        "event_type string, authority_nano long, hub_nano long",
     )
 
 
@@ -1209,36 +1220,35 @@ def graph_distance_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = pairs.select(
         F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
     ).distinct()
-    edges = und.unionByName(
-        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).select("a", "b", F.lit(1).cast("long").alias("d"))
-    nodes = edges.select("a").distinct()
-    d = nodes.select("a", F.col("a").alias("b"), F.lit(0).cast("long").alias("d")) \
-        .unionByName(edges) \
-        .groupBy("a", "b").agg(F.min("d").alias("d")) \
-        .localCheckpoint(eager=True)
+    # collected-model min-plus squaring (graph_hits_types contract, r13):
+    # the undirected |types|² distance matrix doubles its horizon per
+    # round on exact Python ints — same MIN-combine, same APSP_ROUNDS
+    urows = und.collect()
+    UE = [(r["a"], r["b"]) for r in urows]
+    ts = sorted({a for a, _ in UE} | {b for _, b in UE})
+    d: dict = {(t, t): 0 for t in ts}
+    for a, b in UE:
+        d[(a, b)] = 1
+        d[(b, a)] = 1
     for _ in range(APSP_ROUNDS):
-        via = (
-            d.alias("x")
-            .join(d.alias("y"), F.col("x.b") == F.col("y.a"))
-            .select(
-                F.col("x.a").alias("a"),
-                F.col("y.b").alias("b"),
-                (F.col("x.d") + F.col("y.d")).alias("d"),
-            )
-        )
-        # lineage cut per round (the LPA/PageRank device): each round
-        # references d TWICE, so the uncut tree doubles per round (the
-        # cold plan measured 292 Exchanges); state is |types|^2-bounded.
-        d = (
-            d.unionByName(via).groupBy("a", "b").agg(F.min("d").alias("d"))
-            .localCheckpoint(eager=True)
-        )
-    reach = d.filter(F.col("a") != F.col("b"))
-    return reach.groupBy(F.col("a").alias("event_type")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_reachable"),
-        F.max("d").cast("long").alias("eccentricity"),
-        F.expr("sum(d) * 1000 div count(1)").cast("long").alias("mean_dist_milli"),
+        nd = dict(d)
+        for (xa, xb), xd in d.items():
+            for (ya, yb), yd in d.items():
+                if xb == ya:
+                    k = (xa, yb)
+                    s = xd + yd
+                    if k not in nd or s < nd[k]:
+                        nd[k] = s
+        d = nd
+    per: dict = {}
+    for (a, b), dist in d.items():
+        if a == b:
+            continue
+        n, mx, sm = per.get(a, (0, 0, 0))
+        per[a] = (n + 1, max(mx, dist), sm + dist)
+    return spark.createDataFrame(
+        [(a, n, mx, (sm * 1000) // n) for a, (n, mx, sm) in sorted(per.items())],
+        "event_type string, n_reachable long, eccentricity long, mean_dist_milli long",
     )
 
 
@@ -1333,34 +1343,28 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("event_type").over(w).alias("src"), F.col("event_type").alias("dst")
     ).filter(F.col("src").isNotNull())
     edges = pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w"))
-    nodes = (
-        edges.select(F.col("src").alias("t"))
-        .unionByName(edges.select(F.col("dst").alias("t")))
-        .distinct()
-    )
-    out_w = edges.groupBy("src").agg(F.sum("w").alias("wout"))
-    e2 = edges.join(out_w, "src").persist()
-    nodes = nodes.localCheckpoint(eager=True)  # same round-input fix as above
+    # collected-model fixpoint, same contract and arithmetic notes as
+    # graph_pagerank_types (r13): restart mass goes whole to the seed
+    erows = edges.collect()
+    E = [(r["src"], r["dst"], int(r["w"])) for r in erows]
+    ts = sorted({s for s, _, _ in E} | {d for _, d, _ in E})
+    wout: dict = {}
+    for s, _, w in E:
+        wout[s] = wout.get(s, 0) + w
     base = int(math.floor((1.0 - PR_DAMP) * PR_SCALE))
-    seed = F.when(F.col("t") == PPR_SEED, F.lit(1)).otherwise(F.lit(0))
-    ranks = nodes.withColumn(
-        "r", (seed * F.lit(PR_SCALE)).cast("long")
-    )
+    ranks = {t: (PR_SCALE if t == PPR_SEED else 0) for t in ts}
     for _ in range(PR_ITERS):
-        contrib = e2.join(ranks, e2.src == ranks.t).select(
-            F.col("dst").alias("t"), F.expr("(r * w) div wout").alias("c")
-        )
-        sums = contrib.groupBy("t").agg(F.sum("c").alias("s"))
-        ranks = nodes.join(sums, "t", "left").select(
-            "t",
-            (
-                seed * F.lit(base)
-                + F.floor(
-                    F.lit(PR_DAMP) * F.coalesce(F.col("s"), F.lit(0)).cast("double")
-                )
-            ).cast("long").alias("r"),
-        )
-    return ranks.select(F.col("t").alias("event_type"), F.col("r").alias("ppr_nano"))
+        sums = {t: 0 for t in ts}
+        for s, d, w in E:
+            sums[d] += (ranks[s] * w) // wout[s]
+        ranks = {
+            t: (base if t == PPR_SEED else 0)
+            + int(math.floor(PR_DAMP * float(sums[t])))
+            for t in ts
+        }
+    return spark.createDataFrame(
+        [(t, ranks[t]) for t in ts], "event_type string, ppr_nano long"
+    )
 
 
 def _sql_ppr_round(i: int) -> str:
@@ -1433,23 +1437,24 @@ def graph_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("event_type").over(w).alias("src"), F.col("event_type").alias("dst")
     ).filter(F.col("src").isNotNull())
     edges = pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w"))
-    nodes = (
-        edges.select(F.col("src").alias("t"))
-        .unionByName(edges.select(F.col("dst").alias("t")))
-        .distinct()
-    )
-    out_w = edges.groupBy("src").agg(F.sum("w").alias("wout"))
-    e2 = edges.join(out_w, "src").persist()
-    nodes = nodes.localCheckpoint(eager=True)
-    n_nodes = nodes.count()
-    ranks = nodes.withColumn("r", F.lit(PR_SCALE // n_nodes).cast("long"))
+    # collected-model fixpoint (graph_hits_types / pagerank contract, r13):
+    # pure integer power-iteration on the |types|² edge table
+    erows = edges.collect()
+    E = [(r["src"], r["dst"], int(r["w"])) for r in erows]
+    ts = sorted({s for s, _, _ in E} | {d for _, d, _ in E})
+    wout: dict = {}
+    for s, _, w in E:
+        wout[s] = wout.get(s, 0) + w
+    n_nodes = len(ts)
+    ranks = {t: PR_SCALE // n_nodes for t in ts}
     for _ in range(MARKOV_ITERS):
-        contrib = e2.join(ranks, e2.src == ranks.t).select(
-            F.col("dst").alias("t"), F.expr("(r * w) div wout").alias("c")
-        )
-        ranks = nodes.join(
-            contrib.groupBy("t").agg(F.sum("c").alias("s")), "t", "left"
-        ).select("t", F.coalesce("s", F.lit(0)).cast("long").alias("r"))
+        sums = {t: 0 for t in ts}
+        for s, d, w in E:
+            sums[d] += (ranks[s] * w) // wout[s]
+        ranks = sums
+    rdf = spark.createDataFrame(
+        [(t, ranks[t]) for t in ts], "t string, r long"
+    )
     emp = (
         load_table(spark, sf_dir, "events")
         .groupBy(F.col("event_type").alias("t"))
@@ -1459,7 +1464,7 @@ def graph_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     emp2 = emp.crossJoin(F.broadcast(tot)).select(
         "t", F.expr("cnt * 1000000000 div tot").cast("long").alias("empirical_nano")
     )
-    return ranks.join(emp2, "t").select(
+    return F.broadcast(rdf).join(emp2, "t").select(
         F.col("t").alias("event_type"),
         F.col("r").alias("stationary_nano"),
         "empirical_nano",

@@ -1027,18 +1027,21 @@ def quality_filter_cascade_report(spark: SparkSession, sf_dir: str) -> DataFrame
     p1 = quality_gopher_rules(spark, sf_dir).select(
         "doc_id", (F.col("pass_quality") == 1).alias("p1")
     )
-    p2 = docs.select(
-        "doc_id",
-        (F.regexp_count(F.col("text"), F.lit(POLICY_PATTERN)) == 0).alias("p2"),
-    )
-    p3 = ocr_doc_scores(docs).select(
-        "doc_id", (F.col("score_milli") < 100).alias("p3")
-    )
+    # p2 (policy regex) and p3 (OCR garble score) are both pure per-row
+    # maps over documents: fuse them into ONE scan via ocr_doc_scores'
+    # passthrough (r13) — same flag expressions, one fewer scan and one
+    # fewer doc-grain join (4 scans + 3 joins → 3 scans + 2 joins)
+    p23 = ocr_doc_scores(
+        docs.withColumn(
+            "p2", F.regexp_count(F.col("text"), F.lit(POLICY_PATTERN)) == 0
+        ),
+        keep=("p2",),
+    ).select("doc_id", "p2", (F.col("score_milli") < 100).alias("p3"))
     p4 = ccnet_doc_buckets(spark, sf_dir).select(
         "doc_id", (F.col("__b") != 2).alias("p4")
     )
     flags = (
-        p1.join(p2, "doc_id").join(p3, "doc_id").join(p4, "doc_id")
+        p1.join(p23, "doc_id").join(p4, "doc_id")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     c = lambda cond: F.sum(F.when(cond, 1).otherwise(0)).cast("long")  # noqa: E731

@@ -68,30 +68,42 @@ def _emb_d(col: str = "embedding") -> Column:
     return F.col(col).cast("array<double>")
 
 
-def _dot(a: Column, b: Column) -> Column:
-    """Sequential fold — same order as the SQL '+' chain."""
-    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+def _dot(a: Column, b: Column, n: int = DIM) -> Column:
+    """Sequential left fold seeded with +0.0 — same element order, and
+    therefore the same IEEE-754 double, as the SQL '+' chain and as the
+    ``aggregate(zip_with(a, b, (x, y) -> x*y), 0.0, (acc, x) -> acc+x)``
+    HOF form this replaces (the HOF fold starts at +0.0 and adds products
+    in index order; so does this chain). Unrolled because higher-order
+    functions are CodegenFallback: the HOF form materialized a zipped
+    array and ran an interpreted per-element closure with boxing, OUTSIDE
+    whole-stage codegen — measured 5x slower on the SemDeDup pair join at
+    sf0.1 (0.258 s vs 0.051 s, identical checksums). ``n`` is the static
+    array length (DIM for embeddings; PQ sites pass PQ_SUBDIM)."""
+    s: Column = F.lit(0.0)
+    for i in range(1, n + 1):
+        s = s + F.element_at(a, i) * F.element_at(b, i)
+    return s
 
 
-def _cos(a: Column, b: Column) -> Column:
+def _cos(a: Column, b: Column, n: int = DIM) -> Column:
     # FLOOR-truncate at 6 decimals: bit-identical across engines on identical
     # doubles, unlike ROUND (engines disagree on exact boundary digits).
-    raw = _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+    raw = _dot(a, b, n) / (F.sqrt(_dot(a, a, n)) * F.sqrt(_dot(b, b, n)))
     return F.floor(raw * F.lit(1000000.0)).cast("double") / F.lit(1000000.0)
 
 
-def _cos_prenorm(a: Column, b: Column, na: Column, nb: Column) -> Column:
+def _cos_prenorm(a: Column, b: Column, na: Column, nb: Column, n: int = DIM) -> Column:
     """Cosine from precomputed L2 norms. Per-PAIR work drops from three
     64-dim dot products to one — the norms are map-side, once per vector,
     before the pair join multiplies rows. na*nb is the same float product as
     sqrt(dot(a,a))*sqrt(dot(b,b)), so results are bit-identical to _cos and
     the oracle SQL (which still spells out all three dots) stays valid."""
-    raw = _dot(a, b) / (na * nb)
+    raw = _dot(a, b, n) / (na * nb)
     return F.floor(raw * F.lit(1000000.0)).cast("double") / F.lit(1000000.0)
 
 
-def _norm(e: Column) -> Column:
-    return F.sqrt(_dot(e, e))
+def _norm(e: Column, n: int = DIM) -> Column:
+    return F.sqrt(_dot(e, e, n))
 
 
 
@@ -163,6 +175,32 @@ def _bucket_from_projs(projs: Column, idxs: list[int]) -> Column:
         bit = F.when(F.element_at(projs, i + 1) > 0.0, F.lit(1 << j)).otherwise(F.lit(0))
         bits = bit if bits is None else bits + bit
     return bits.cast("bigint")
+
+
+def _argmax_assign(scored: DataFrame, score_col: str = "cs") -> DataFrame:
+    """Per-``vec_id`` argmax(score) with smaller-``cid`` tie-break, as ONE
+    aggregation with map-side combine instead of a row_number window (the
+    window shuffles and sorts the full K-fanned scored table; the agg
+    reduces it K→1 per vector BEFORE the exchange). ``max(struct(s, -cid))``
+    picks the same row as ``row_number() OVER (PARTITION BY vec_id ORDER BY
+    s DESC, cid) = 1``: struct comparison and the window sort share Spark's
+    double ordering, and among equal scores the max of -cid is the min cid
+    — the lloyd_refine device (operators/kmeans.py), bit-identical output.
+    Returns (vec_id, cid, cen_cos) with cid's dtype preserved."""
+    cid_dt = dict((f.name, f.dataType.simpleString()) for f in scored.schema.fields)["cid"]
+    return (
+        scored.groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(F.col(score_col).alias("s"), (-F.col("cid")).alias("ni"))
+            ).alias("m")
+        )
+        .select(
+            "vec_id",
+            (-F.col("m.ni")).cast(cid_dt).alias("cid"),
+            F.col("m.s").alias("cen_cos"),
+        )
+    )
 
 
 def ann_bruteforce_topk(
@@ -427,32 +465,21 @@ def ann_ivf_topk(
         cents = emb.filter(F.col("vec_id") < n_centroids).select(
             F.col("vec_id").alias("cid"), F.col("e").alias("ce"), F.col("nrm").alias("cn")
         )
-    scored = F.broadcast(cents).join(emb, how="cross").select(
-        "vec_id",
-        "cid",
-        _cos_prenorm(F.col("e"), F.col("ce"), F.col("nrm"), F.col("cn")).alias("cs"),
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.col("cid"))
-    ranked = scored.withColumn("rn", F.row_number().over(w_assign))
-    assign = ranked.filter(F.col("rn") == 1).select("vec_id", "cid")
+    assign = ivf_assign(emb, cents)
     return ivf_probe(emb, cents, assign, n_probe=n_probe)
 
 
 def ivf_assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
     """Nearest-centroid assignment (argmax cosine, cid tie-break) — the
     shared encode step of the batch IVF query and the streaming index
-    ingest. ``emb`` must carry (vec_id, e, nrm); ``cents`` (cid, ce, cn)."""
+    ingest. ``emb`` must carry (vec_id, e, nrm); ``cents`` (cid, ce, cn).
+    One partial-agg argmax (``_argmax_assign``), not a row_number window."""
     scored = F.broadcast(cents).join(emb, how="cross").select(
         "vec_id",
         "cid",
         _cos_prenorm(F.col("e"), F.col("ce"), F.col("nrm"), F.col("cn")).alias("cs"),
     )
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.col("cid"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cid")
-    )
+    return _argmax_assign(scored).select("vec_id", "cid")
 
 
 def ivf_probe(
@@ -1268,7 +1295,7 @@ TRUNC_DIMS = (16, 32)
 def _bruteforce_topk_d(spark: SparkSession, sf_dir: str, d: int) -> DataFrame:
     e_d = F.slice(_emb_d(), 1, d)
     emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", e_d.alias("e"), _norm(e_d).alias("nrm")
+        "vec_id", e_d.alias("e"), _norm(e_d, n=d).alias("nrm")
     )
     q = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("q_id"), F.col("e").alias("qe"), F.col("nrm").alias("qn")
@@ -1277,7 +1304,9 @@ def _bruteforce_topk_d(spark: SparkSession, sf_dir: str, d: int) -> DataFrame:
     scored = pairs.select(
         "q_id",
         F.col("vec_id").alias("neighbor_id"),
-        _cos_prenorm(F.col("qe"), F.col("e"), F.col("qn"), F.col("nrm")).alias("cos_sim"),
+        _cos_prenorm(
+            F.col("qe"), F.col("e"), F.col("qn"), F.col("nrm"), n=d
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.col("neighbor_id"))
     return (
@@ -2426,12 +2455,7 @@ def semdedup_base(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFram
         "vec_id", "cid",
         _cos_prenorm(F.col("e"), F.col("ce"), F.col("nrm"), F.col("cn")).alias("cs"),
     )
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.col("cid"))
-    assign = (
-        scored.withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cid", F.col("cs").alias("cen_cos"))
-    )
+    assign = _argmax_assign(scored)
     members = assign.join(corpus, "vec_id").localCheckpoint(eager=True)
     a, b = members.alias("a"), members.alias("b")
     pairs = (
@@ -2628,6 +2652,7 @@ def embedding_pq_distortion_report(spark: SparkSession, sf_dir: str) -> DataFram
         lambda m: _dot(
             F.slice(F.col("e"), m * PQ_SUBDIM + 1, F.lit(PQ_SUBDIM)),
             F.slice(F.col("e"), m * PQ_SUBDIM + 1, F.lit(PQ_SUBDIM)),
+            n=PQ_SUBDIM,
         ),
     )
     per = emb.select(
@@ -2826,12 +2851,7 @@ def semantic_dedup_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFram
         "vec_id", "cid",
         _cos_prenorm(F.col("e"), F.col("ce"), F.col("nrm"), F.col("cn")).alias("cs"),
     )
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.col("cid"))
-    assign = (
-        scored.withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cid", F.col("cs").alias("cen_cos"))
-    )
+    assign = _argmax_assign(scored)
     # one-off quantizer => one-off base (NOT the shared memo, which is keyed
     # to the seed-convention centroids); members checkpoint feeds the
     # self-join both sides, released once the K-row report is materialized
@@ -3083,17 +3103,42 @@ def semantic_dedup_k_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    assigns = None
-    for k in SEMDEDUP_K_GRID:
-        w = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.col("cid"))
-        a_k = (
-            scored.filter(F.col("cid") < k)
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(F.lit(k).cast("long").alias("k"), "vec_id", "cid",
-                    F.col("cs").alias("cen_cos"))
+    # ONE aggregation pass computes every grid point's argmax: grid point
+    # K' restricts the same scored table to cid < K', so its assignment is
+    # max(struct(cs, -cid)) FILTERED to cid < K' — |grid| conditional maxes
+    # in one groupBy (map-side combined), not |grid| windows each
+    # re-shuffling and sorting the checkpointed scored table. Same
+    # tie-break device as _argmax_assign; bit-identical per grid point.
+    per_k = (
+        scored.groupBy("vec_id")
+        .agg(
+            *[
+                F.max(
+                    F.when(
+                        F.col("cid") < k,
+                        F.struct(F.col("cs").alias("s"), (-F.col("cid")).alias("ni")),
+                    )
+                ).alias(f"m{k}")
+                for k in SEMDEDUP_K_GRID
+            ]
         )
-        assigns = a_k if assigns is None else assigns.unionByName(a_k)
+        .select(
+            "vec_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(k).cast("long").alias("k"),
+                            (-F.col(f"m{k}.ni")).cast("long").alias("cid"),
+                            F.col(f"m{k}.s").alias("cen_cos"),
+                        )
+                        for k in SEMDEDUP_K_GRID
+                    ]
+                )
+            ).alias("r"),
+        )
+    )
+    assigns = per_k.select("vec_id", "r.k", "r.cid", "r.cen_cos")
     members = assigns.join(corpus, "vec_id").localCheckpoint(eager=True)
     a, b = members.alias("a"), members.alias("b")
     # Partial-distance prefilter (the Faiss early-termination device, exact

@@ -902,10 +902,12 @@ _CONSONANTS = "bcdfghjklmnpqrstvwxyz"
 OCR_FLAG_MILLI = 100
 
 
-def ocr_doc_scores(docs: DataFrame) -> DataFrame:
+def ocr_doc_scores(docs: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
     """Per-document garble score (doc_id, source, score_milli) — factored
     out so the filter-cascade report consumes the identical signal the
-    per-source rollup audits."""
+    per-source rollup audits. ``keep`` passes extra input columns through
+    unchanged, so a consumer can FUSE its own per-row flags into this one
+    scan instead of re-scanning documents (the cascade report does)."""
     scored = (
         docs.withColumn("n", F.greatest(F.lit(1), F.length("text")).cast("long"))
         .withColumn(
@@ -939,6 +941,7 @@ def ocr_doc_scores(docs: DataFrame) -> DataFrame:
                 + F.lit(25) * F.greatest(F.lit(0), F.col("max_run") - F.lit(4))
                 + F.lit(10) * F.col("flips")
             ).cast("long").alias("score_milli"),
+            *keep,
         )
     )
     return scored

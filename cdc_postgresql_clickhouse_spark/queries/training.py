@@ -1361,19 +1361,34 @@ def sketch_bloom_error_sweep(
     grams = _grams(corpus, n)
     # the gram universes are m-INDEPENDENT: persist them once or every
     # sweep arm re-runs the corpus explode+distinct (the shuffle audit
-    # found 42 exchanges for 3 filter sizes without these)
+    # found 42 exchanges for 3 filter sizes without these). The md5 hash
+    # WINDOWS are m-independent too (position j is window j mod m), so the
+    # persisted universes carry the BLOOM_K conv'd windows as columns —
+    # each arm then pays one `% m` per probe instead of re-hashing both
+    # universes per filter size (3 arms × md5+3×conv → 1×; r13).
+    hw = [
+        F.conv(
+            F.substring(F.md5(F.col("gram")), 1 + _BLOOM_HASH_DIGITS * j, _BLOOM_HASH_DIGITS),
+            16,
+            10,
+        ).cast("long").alias(f"h{j}")
+        for j in range(BLOOM_K)
+    ]
     bench_g = (
         grams.join(
             corpus.filter(_is_bench()).select("doc_id"), "doc_id"
-        ).select("gram").distinct().persist(StorageLevel.MEMORY_AND_DISK)
+        ).select("gram").distinct().select("gram", *hw)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     probe_g = (
-        grams.select("gram").distinct().join(bench_g, "gram", "left_anti")
+        grams.select("gram").distinct()
+        .join(bench_g.select("gram"), "gram", "left_anti")
+        .select("gram", *hw)
     ).persist(StorageLevel.MEMORY_AND_DISK)
     out = None
     for m in BLOOM_SWEEP_M:
         def pos(j: int):
-            return _bloom_pos(F.col("gram"), j, m=m)
+            return F.col(f"h{j}") % m
 
         bits = (
             bench_g.select(

@@ -312,18 +312,13 @@ def ingest_batch_semdedup(
                 )
             seed.coalesce(1).write.parquet(mp)
         cents = spark.read.parquet(mp)
-        from pyspark.sql import Window
+        from cdc_postgresql_clickhouse_spark.queries.similarity import _argmax_assign
 
         scored = F.broadcast(cents).join(emb, how="cross").select(
             "vec_id", "cid",
             _cos_prenorm(F.col("e"), F.col("ce"), F.col("nrm"), F.col("cn")).alias("cs"),
         )
-        w = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.col("cid"))
-        assign = (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "cid", F.col("cs").alias("cen_cos"))
-        )
+        assign = _argmax_assign(scored)
         new_members = assign.join(emb, "vec_id").select(
             "vec_id", "cid", "cen_cos", "e", "nrm"
         ).localCheckpoint(eager=True)
