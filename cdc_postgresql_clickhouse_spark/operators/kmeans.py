@@ -40,13 +40,19 @@ from pyspark.sql import functions as F
 _TRUNC = 1_000_000_000.0  # 9 dp: far above distributed-sum noise (~1e-12)
 
 
-def _dot(a: Column, b: Column, n: int) -> Column:
+def _dot(a: Column, b: Column, n: int, unroll: bool = False) -> Column:
     """Sequential left fold seeded with +0.0 — identical IEEE-754 result
-    to the aggregate(zip_with(...)) HOF form it replaces (same element
-    order, same +0.0 seed), but unrolled over the static length ``n`` so
-    the product-sum compiles into whole-stage codegen instead of the
-    interpreted CodegenFallback HOF path (the queries/similarity.py
-    ``_dot`` rationale; ~5x on broadcast scoring passes at sf0.1)."""
+    in both physical forms (same element order, same +0.0 seed). Default
+    is the aggregate(zip_with(...)) HOF; ``unroll=True`` emits the chain
+    unrolled over the static length ``n`` so the product-sum compiles
+    into whole-stage codegen — opt-in per the queries/similarity.py
+    ``_dot`` contract (faster only where the consuming operator is
+    codegen-covered; the Lloyd assignment's broadcast-cross + agg is,
+    quantization_error's transform lambda is interpreted either way)."""
+    if not unroll:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
     s: Column = F.lit(0.0)
     for i in range(1, n + 1):
         s = s + F.element_at(a, i) * F.element_at(b, i)
@@ -83,6 +89,10 @@ def lloyd_refine(
             [(i, cents[i], n) for i, n in enumerate(_norms(cents))],
             "cid int, ce array<double>, cn double",
         )
+        # sim is FUSED into the max(struct(...)) aggregate expression at
+        # planning (a struct buffer plans as SortAggregate, interpreted
+        # update), so the HOF fold is the faster form here — see the
+        # _dot contract
         sim = _dot(F.col("ce"), vec, dim) / (F.col("cn") * F.sqrt(_dot(vec, vec, dim)))
         assigned = (
             F.broadcast(cdf)

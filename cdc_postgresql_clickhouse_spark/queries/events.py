@@ -3063,46 +3063,40 @@ def events_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows (r13): each per-(type, b) sum is a separate aggregate with
     # map-side combine, so the row fan-out, its shuffle, and the 64×
     # duplication of (event_type, eid, c, hs) disappear — the B-bounded
-    # (type, b) grid is rebuilt by a |types|-row explode AFTER the agg.
-    # Identical longs: same per-row weights, same per-(type, b) addends
-    # (integer sums are order-free). 3.0 s → 1.3 s standalone at sf0.1.
-    def _w(b: int):
-        u = F.conv(
-            F.substring(F.element_at(F.col("hs"), b // 8 + 1), (b % 8) * 4 + 1, 4),
-            16, 10,
-        ).cast("long")
-        ladder = F.when(u < _POISSON_CDF16[0], 0)
-        for i in range(1, len(_POISSON_CDF16)):
-            ladder = ladder.when(u < _POISSON_CDF16[i], i)
-        return ladder.otherwise(len(_POISSON_CDF16)).cast("long")
+    # (type, b) grid is rebuilt by a |types|-row stack AFTER the agg.
+    # Identical longs: same per-row weights (same conv/substring windows,
+    # same CASE ladder), same per-(type, b) addends (integer sums are
+    # order-free). Built from SQL STRINGS (one selectExpr + per-agg
+    # F.expr), not nested Column ops: the Column form cost ~4 s of Py4J
+    # round trips per query build — the _planes_lit lesson. Measured
+    # paired at sf0.1: explode form build 1.0 s + exec 0.72 s; this form
+    # build ~0.3 s + exec 0.32 s.
+    def _w_sql(b: int) -> str:
+        u = (
+            f"CAST(conv(substring(element_at(hs, {b // 8 + 1}),"
+            f" {(b % 8) * 4 + 1}, 4), 16, 10) AS BIGINT)"
+        )
+        arms = " ".join(
+            f"WHEN {u} < {t} THEN {i}" for i, t in enumerate(_POISSON_CDF16)
+        )
+        return f"CAST(CASE {arms} ELSE {len(_POISSON_CDF16)} END AS BIGINT) AS w{b}"
 
-    wide = hashed.select(
-        "event_type", "c", *[_w(b).alias(f"w{b}") for b in range(BOOT_B)]
-    )
+    wide = hashed.selectExpr("event_type", "c", *[_w_sql(b) for b in range(BOOT_B)])
     sums = wide.groupBy("event_type").agg(
-        *[F.sum(f"w{b}").cast("long").alias(f"sw{b}") for b in range(BOOT_B)],
+        F.expr(f"CAST(sum(w0) AS BIGINT)").alias("sw0"),
+        *[F.expr(f"CAST(sum(w{b}) AS BIGINT)").alias(f"sw{b}") for b in range(1, BOOT_B)],
         *[
-            F.sum(F.col(f"w{b}") * F.col("c")).cast("long").alias(f"swc{b}")
+            F.expr(f"CAST(sum(w{b} * c) AS BIGINT)").alias(f"swc{b}")
             for b in range(BOOT_B)
         ],
     )
+    stack = (
+        f"stack({BOOT_B}, "
+        + ", ".join(f"{b}, sw{b}, swc{b}" for b in range(BOOT_B))
+        + ") AS (b, sw, swc)"
+    )
     reps = (
-        sums.select(
-            "event_type",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("b"),
-                            F.col(f"sw{b}").alias("sw"),
-                            F.col(f"swc{b}").alias("swc"),
-                        )
-                        for b in range(BOOT_B)
-                    ]
-                )
-            ).alias("r"),
-        )
-        .select("event_type", "r.b", "r.sw", "r.swc")
+        sums.selectExpr("event_type", stack)
         .filter(F.col("sw") > 0)
         .select("event_type", "b", F.expr("swc * 1000000 div sw").alias("m"))
     )

@@ -68,17 +68,32 @@ def _emb_d(col: str = "embedding") -> Column:
     return F.col(col).cast("array<double>")
 
 
-def _dot(a: Column, b: Column, n: int = DIM) -> Column:
-    """Sequential left fold seeded with +0.0 — same element order, and
-    therefore the same IEEE-754 double, as the SQL '+' chain and as the
-    ``aggregate(zip_with(a, b, (x, y) -> x*y), 0.0, (acc, x) -> acc+x)``
-    HOF form this replaces (the HOF fold starts at +0.0 and adds products
-    in index order; so does this chain). Unrolled because higher-order
-    functions are CodegenFallback: the HOF form materialized a zipped
-    array and ran an interpreted per-element closure with boxing, OUTSIDE
-    whole-stage codegen — measured 5x slower on the SemDeDup pair join at
-    sf0.1 (0.258 s vs 0.051 s, identical checksums). ``n`` is the static
-    array length (DIM for embeddings; PQ sites pass PQ_SUBDIM)."""
+def _dot(a: Column, b: Column, n: int = DIM, unroll: bool = False) -> Column:
+    """Dot product as a sequential left fold seeded with +0.0.
+
+    Two physical forms, SAME IEEE-754 double (same element order, same
+    +0.0 seed — the equivalence the oracle '+'-chain already relies on):
+
+    - default: the ``aggregate(zip_with(a, b, (x, y) -> x*y), 0.0,
+      (acc, x) -> acc+x)`` higher-order-function form. HOFs are
+      CodegenFallback (interpreted, per-element boxing), but the tree is
+      2 nodes and builds in ~5 Py4J calls.
+    - ``unroll=True``: the chain unrolled over the static length ``n``
+      (DIM for embeddings; PQ sites pass PQ_SUBDIM). Compiles into
+      whole-stage codegen — measured 5.1x faster on the SemDeDup pair
+      join (0.258 s → 0.051 s at sf0.1, identical checksums) and ~2x on
+      broadcast-cross scoring passes. It is OPT-IN because it is not
+      free: the 192-node tree costs ~200 Py4J calls per instance at
+      query BUILD, and in operators outside whole-stage codegen (the
+      ``q_id != vec_id`` BroadcastNestedLoopJoin family) the interpreted
+      chain measured ~2x SLOWER than the HOF fold — only sites whose
+      consuming operator is codegen-covered (equality-keyed pair joins,
+      condition-less broadcast cross scoring) opt in, each justified by
+      a paired A/B (OPTIMIZATION_r13.md)."""
+    if not unroll:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
     s: Column = F.lit(0.0)
     for i in range(1, n + 1):
         s = s + F.element_at(a, i) * F.element_at(b, i)
@@ -92,13 +107,17 @@ def _cos(a: Column, b: Column, n: int = DIM) -> Column:
     return F.floor(raw * F.lit(1000000.0)).cast("double") / F.lit(1000000.0)
 
 
-def _cos_prenorm(a: Column, b: Column, na: Column, nb: Column, n: int = DIM) -> Column:
+def _cos_prenorm(
+    a: Column, b: Column, na: Column, nb: Column, n: int = DIM, unroll: bool = False
+) -> Column:
     """Cosine from precomputed L2 norms. Per-PAIR work drops from three
     64-dim dot products to one — the norms are map-side, once per vector,
     before the pair join multiplies rows. na*nb is the same float product as
     sqrt(dot(a,a))*sqrt(dot(b,b)), so results are bit-identical to _cos and
-    the oracle SQL (which still spells out all three dots) stays valid."""
-    raw = _dot(a, b, n) / (na * nb)
+    the oracle SQL (which still spells out all three dots) stays valid.
+    ``unroll`` per the _dot contract (opt in only where the consuming
+    operator is codegen-covered)."""
+    raw = _dot(a, b, n, unroll=unroll) / (na * nb)
     return F.floor(raw * F.lit(1000000.0)).cast("double") / F.lit(1000000.0)
 
 
@@ -177,32 +196,6 @@ def _bucket_from_projs(projs: Column, idxs: list[int]) -> Column:
     return bits.cast("bigint")
 
 
-def _argmax_assign(scored: DataFrame, score_col: str = "cs") -> DataFrame:
-    """Per-``vec_id`` argmax(score) with smaller-``cid`` tie-break, as ONE
-    aggregation with map-side combine instead of a row_number window (the
-    window shuffles and sorts the full K-fanned scored table; the agg
-    reduces it K→1 per vector BEFORE the exchange). ``max(struct(s, -cid))``
-    picks the same row as ``row_number() OVER (PARTITION BY vec_id ORDER BY
-    s DESC, cid) = 1``: struct comparison and the window sort share Spark's
-    double ordering, and among equal scores the max of -cid is the min cid
-    — the lloyd_refine device (operators/kmeans.py), bit-identical output.
-    Returns (vec_id, cid, cen_cos) with cid's dtype preserved."""
-    cid_dt = dict((f.name, f.dataType.simpleString()) for f in scored.schema.fields)["cid"]
-    return (
-        scored.groupBy("vec_id")
-        .agg(
-            F.max(
-                F.struct(F.col(score_col).alias("s"), (-F.col("cid")).alias("ni"))
-            ).alias("m")
-        )
-        .select(
-            "vec_id",
-            (-F.col("m.ni")).cast(cid_dt).alias("cid"),
-            F.col("m.s").alias("cen_cos"),
-        )
-    )
-
-
 def ann_bruteforce_topk(
     spark: SparkSession, sf_dir: str, emb: DataFrame | None = None
 ) -> DataFrame:
@@ -256,7 +249,9 @@ def _lsh_bucket_pairs(emb: DataFrame, planes: list[list[int]], sim_threshold: fl
             F.col("a.bucket").alias("bucket"),
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            _cos_prenorm(F.col("a.e"), F.col("b.e"), F.col("a.nrm"), F.col("b.nrm")).alias("cos_sim"),
+            _cos_prenorm(
+                F.col("a.e"), F.col("b.e"), F.col("a.nrm"), F.col("b.nrm"), unroll=True
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= sim_threshold)
     )
@@ -473,13 +468,24 @@ def ivf_assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
     """Nearest-centroid assignment (argmax cosine, cid tie-break) — the
     shared encode step of the batch IVF query and the streaming index
     ingest. ``emb`` must carry (vec_id, e, nrm); ``cents`` (cid, ce, cn).
-    One partial-agg argmax (``_argmax_assign``), not a row_number window."""
+    The cosine is computed in the codegen'd Project BELOW the window
+    exchange (unrolled per the _dot contract); a max(struct) argmax
+    aggregation was tried in r13 and REVERTED — a struct-typed buffer
+    plans as SortAggregate with interpreted update expressions, which is
+    slower than sorting precomputed scores in the window."""
     scored = F.broadcast(cents).join(emb, how="cross").select(
         "vec_id",
         "cid",
-        _cos_prenorm(F.col("e"), F.col("ce"), F.col("nrm"), F.col("cn")).alias("cs"),
+        _cos_prenorm(
+            F.col("e"), F.col("ce"), F.col("nrm"), F.col("cn"), unroll=True
+        ).alias("cs"),
     )
-    return _argmax_assign(scored).select("vec_id", "cid")
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.col("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
 
 
 def ivf_probe(
@@ -515,7 +521,9 @@ def ivf_probe(
         .select(
             "q_id",
             F.col("vec_id").alias("neighbor_id"),
-            _cos_prenorm(F.col("qe"), F.col("e"), F.col("qn"), F.col("nrm")).alias("cos_sim"),
+            _cos_prenorm(
+                F.col("qe"), F.col("e"), F.col("qn"), F.col("nrm"), unroll=True
+            ).alias("cos_sim"),
         )
     )
     w_rank = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.col("neighbor_id"))
@@ -2453,9 +2461,16 @@ def semdedup_base(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFram
     )
     scored = F.broadcast(cents).join(corpus, how="cross").select(
         "vec_id", "cid",
-        _cos_prenorm(F.col("e"), F.col("ce"), F.col("nrm"), F.col("cn")).alias("cs"),
+        _cos_prenorm(
+            F.col("e"), F.col("ce"), F.col("nrm"), F.col("cn"), unroll=True
+        ).alias("cs"),
     )
-    assign = _argmax_assign(scored)
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.col("cid"))
+    assign = (
+        scored.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid", F.col("cs").alias("cen_cos"))
+    )
     members = assign.join(corpus, "vec_id").localCheckpoint(eager=True)
     a, b = members.alias("a"), members.alias("b")
     pairs = (
@@ -2465,7 +2480,7 @@ def semdedup_base(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFram
             F.col("a.vec_id").alias("va"), F.col("b.vec_id").alias("vb"),
             F.col("a.cen_cos").alias("ca"), F.col("b.cen_cos").alias("cb"),
             _cos_prenorm(
-                F.col("a.e"), F.col("b.e"), F.col("a.nrm"), F.col("b.nrm")
+                F.col("a.e"), F.col("b.e"), F.col("a.nrm"), F.col("b.nrm"), unroll=True
             ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= tau)
@@ -2849,9 +2864,16 @@ def semantic_dedup_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFram
     )
     scored = F.broadcast(cents).join(corpus, how="cross").select(
         "vec_id", "cid",
-        _cos_prenorm(F.col("e"), F.col("ce"), F.col("nrm"), F.col("cn")).alias("cs"),
+        _cos_prenorm(
+            F.col("e"), F.col("ce"), F.col("nrm"), F.col("cn"), unroll=True
+        ).alias("cs"),
     )
-    assign = _argmax_assign(scored)
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.col("cid"))
+    assign = (
+        scored.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid", F.col("cs").alias("cen_cos"))
+    )
     # one-off quantizer => one-off base (NOT the shared memo, which is keyed
     # to the seed-convention centroids); members checkpoint feeds the
     # self-join both sides, released once the K-row report is materialized
@@ -2864,7 +2886,7 @@ def semantic_dedup_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFram
             F.col("a.vec_id").alias("va"), F.col("b.vec_id").alias("vb"),
             F.col("a.cen_cos").alias("ca"), F.col("b.cen_cos").alias("cb"),
             _cos_prenorm(
-                F.col("a.e"), F.col("b.e"), F.col("a.nrm"), F.col("b.nrm")
+                F.col("a.e"), F.col("b.e"), F.col("a.nrm"), F.col("b.nrm"), unroll=True
             ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= SEMDEDUP_TAU)
@@ -3099,46 +3121,23 @@ def semantic_dedup_k_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(corpus.select("vec_id", "e", "nrm"), how="cross")
         .select(
             "vec_id", "cid",
-            _cos_prenorm(F.col("e"), F.col("ce"), F.col("nrm"), F.col("cn")).alias("cs"),
+            _cos_prenorm(
+                F.col("e"), F.col("ce"), F.col("nrm"), F.col("cn"), unroll=True
+            ).alias("cs"),
         )
         .localCheckpoint(eager=True)
     )
-    # ONE aggregation pass computes every grid point's argmax: grid point
-    # K' restricts the same scored table to cid < K', so its assignment is
-    # max(struct(cs, -cid)) FILTERED to cid < K' — |grid| conditional maxes
-    # in one groupBy (map-side combined), not |grid| windows each
-    # re-shuffling and sorting the checkpointed scored table. Same
-    # tie-break device as _argmax_assign; bit-identical per grid point.
-    per_k = (
-        scored.groupBy("vec_id")
-        .agg(
-            *[
-                F.max(
-                    F.when(
-                        F.col("cid") < k,
-                        F.struct(F.col("cs").alias("s"), (-F.col("cid")).alias("ni")),
-                    )
-                ).alias(f"m{k}")
-                for k in SEMDEDUP_K_GRID
-            ]
+    assigns = None
+    for k in SEMDEDUP_K_GRID:
+        w = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.col("cid"))
+        a_k = (
+            scored.filter(F.col("cid") < k)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.lit(k).cast("long").alias("k"), "vec_id", "cid",
+                    F.col("cs").alias("cen_cos"))
         )
-        .select(
-            "vec_id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(k).cast("long").alias("k"),
-                            (-F.col(f"m{k}.ni")).cast("long").alias("cid"),
-                            F.col(f"m{k}.s").alias("cen_cos"),
-                        )
-                        for k in SEMDEDUP_K_GRID
-                    ]
-                )
-            ).alias("r"),
-        )
-    )
-    assigns = per_k.select("vec_id", "r.k", "r.cid", "r.cen_cos")
+        assigns = a_k if assigns is None else assigns.unionByName(a_k)
     members = assigns.join(corpus, "vec_id").localCheckpoint(eager=True)
     a, b = members.alias("a"), members.alias("b")
     # Partial-distance prefilter (the Faiss early-termination device, exact
@@ -3177,7 +3176,9 @@ def semantic_dedup_k_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = cand.select(
         "k", "va", "vb", "ca", "cb",
-        _cos_prenorm(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")).alias("cos_sim"),
+        _cos_prenorm(
+            F.col("ea"), F.col("eb"), F.col("na"), F.col("nb"), unroll=True
+        ).alias("cos_sim"),
     ).filter(F.col("cos_sim") >= SEMDEDUP_TAU)
     loser = F.when(F.col("ca") > F.col("cb"), F.col("va")).otherwise(F.col("vb"))
     per = pairs.groupBy("k").agg(

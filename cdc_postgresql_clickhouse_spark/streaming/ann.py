@@ -312,13 +312,20 @@ def ingest_batch_semdedup(
                 )
             seed.coalesce(1).write.parquet(mp)
         cents = spark.read.parquet(mp)
-        from cdc_postgresql_clickhouse_spark.queries.similarity import _argmax_assign
+        from pyspark.sql import Window
 
         scored = F.broadcast(cents).join(emb, how="cross").select(
             "vec_id", "cid",
-            _cos_prenorm(F.col("e"), F.col("ce"), F.col("nrm"), F.col("cn")).alias("cs"),
+            _cos_prenorm(
+                F.col("e"), F.col("ce"), F.col("nrm"), F.col("cn"), unroll=True
+            ).alias("cs"),
         )
-        assign = _argmax_assign(scored)
+        w = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.col("cid"))
+        assign = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cid", F.col("cs").alias("cen_cos"))
+        )
         new_members = assign.join(emb, "vec_id").select(
             "vec_id", "cid", "cen_cos", "e", "nrm"
         ).localCheckpoint(eager=True)
@@ -340,7 +347,7 @@ def ingest_batch_semdedup(
                 F.when(va_is_n, F.col("n.cen_cos")).otherwise(F.col("m.cen_cos")).alias("ca"),
                 F.when(va_is_n, F.col("m.cen_cos")).otherwise(F.col("n.cen_cos")).alias("cb"),
                 _cos_prenorm(
-                    F.col("n.e"), F.col("m.e"), F.col("n.nrm"), F.col("m.nrm")
+                    F.col("n.e"), F.col("m.e"), F.col("n.nrm"), F.col("m.nrm"), unroll=True
                 ).alias("cos_sim"),
             )
             .filter(F.col("cos_sim") >= tau)

@@ -38,6 +38,14 @@ def main() -> int:
     warm_dir = "/root/testdata/sf0.001"
     for name in names:
         registry[name](spark, warm_dir).count()
+
+    def probe() -> float:
+        from bench import _calibration_probe
+
+        return _calibration_probe(spark)
+
+    if os.environ.get("SPARK_GRAFT_PROBE"):
+        print(f"# probe_pre {probe():.3f}", flush=True)
     for name in names:
         best, rows = float("inf"), None
         for _ in range(repeats):
@@ -50,6 +58,8 @@ def main() -> int:
             rows = registry[name](spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)
         print(f"{name} {best:.3f} rows={rows}", flush=True)
+    if os.environ.get("SPARK_GRAFT_PROBE"):
+        print(f"# probe_post {probe():.3f}", flush=True)
     spark.stop()
     return 0
 
