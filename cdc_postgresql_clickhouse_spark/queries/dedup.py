@@ -794,15 +794,16 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)  # 3 branches: df, prefix, verify
     )
-    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("m"))
     dfs = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    # m rides in the SAME window partitioning as rn (an unordered frame over
+    # the identical doc_id partition) — the former separate sizes aggregation
+    # + join paid one more shuffle of toks for a value the window pass
+    # already holds (guide §2.1: remove shuffles outright).
+    wdoc = Window.partitionBy("doc_id")
     ranked = (
         toks.join(dfs, "tok")
-        .withColumn(
-            "rn",
-            F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "tok")),
-        )
-        .join(sizes, "doc_id")
+        .withColumn("rn", F.row_number().over(wdoc.orderBy("df", "tok")))
+        .withColumn("m", F.count(F.lit(1)).over(wdoc).cast("long"))
     )
     pref = ranked.filter(
         F.col("rn") <= F.col("m") - F.expr("(3 * m + 4) div 5") + 1
@@ -814,27 +815,35 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    inter = (
-        cand.join(toks.alias("ta"), F.col("doc_a") == F.col("ta.doc_id"))
-        .join(
-            toks.alias("tb"),
-            (F.col("tb.doc_id") == F.col("doc_b")) & (F.col("tb.tok") == F.col("ta.tok")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
-    )
+    # Verification at PAIR grain: each doc's (distinct) shingle set rides as
+    # ONE array row and the exact intersection count is size(array_intersect)
+    # — identical to the former count-the-matching-join-rows plan (the sets
+    # are distinct by construction) without materializing and re-shuffling
+    # the candidate×|A| fan-out through a second (doc_id, tok) exchange
+    # (guide §2.2: shuffle fewer bytes — P pairs of arrays, not Σ|A| rows).
+    docsets = toks.groupBy("doc_id").agg(F.collect_list("tok").alias("ts"))
     return (
-        inter.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        cand.join(docsets.alias("ta"), F.col("doc_a") == F.col("ta.doc_id"))
+        .join(docsets.alias("tb"), F.col("doc_b") == F.col("tb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect(F.col("ta.ts"), F.col("tb.ts")))
+            .cast("long")
+            .alias("n_inter"),
+            F.size(F.col("ta.ts")).cast("long").alias("m_a"),
+            F.size(F.col("tb.ts")).cast("long").alias("m_b"),
+        )
         .select(
             "doc_a",
             "doc_b",
             "n_inter",
-            F.expr("n_inter * 1000000 div (sa.m + sb.m - n_inter)")
+            F.expr("n_inter * 1000000 div (m_a + m_b - n_inter)")
             .cast("long")
             .alias("jaccard_ppm"),
         )
         .filter(F.col("jaccard_ppm") >= PF_TAU_PPM)
+        .select("doc_a", "doc_b", "n_inter", "jaccard_ppm")
     )
 
 

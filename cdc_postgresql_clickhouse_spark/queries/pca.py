@@ -54,16 +54,32 @@ def _tdiv_py(a: int, b: int) -> int:
     return -((-a) // b) if a < 0 else a // b
 
 
-def _cov_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C'_jk = trunc(Σ_i c_ij·c_ik / n) — the 64×64 integer matrix.
+# Upper-triangle position maps: flat pos p (row-major over pairs (j, k),
+# k >= j) -> j and k, as one-shot literal lookup arrays (the _planes_lit
+# lesson: one SQL string, one parse — never a per-element Py4J build).
+_TRI_JK: list[tuple[int, int]] = [
+    (j, k) for j in range(PCA_DIM) for k in range(j, PCA_DIM)
+]
+_TRI_J_ARR = "array(" + ",".join(str(j) for j, _ in _TRI_JK) + ")"
+_TRI_K_ARR = "array(" + ",".join(str(k) for _, k in _TRI_JK) + ")"
+
+
+def _cov_tri(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, int]:
+    """(tri, n): tri holds C'_jk = trunc(Σ_i c_ij·c_ik / n) for the UPPER
+    TRIANGLE k >= j only — C is symmetric and its cells are exact integer
+    sums of per-row products (cj·ck = ck·cj termwise), so the mirror half
+    is reconstructed loss-free by every consumer. Halves the dominant
+    per-row product work (4096 -> 2080 interpreted multiplies) and the
+    explode/aggregate row count behind it (guide §2.2: shuffle/aggregate
+    fewer rows when the dropped half carries no information).
 
     Plan: the mean is one cheap agg whose 64 values ride back as literals
     (model-sized, the k-means contract); the outer products are then built
     ROW-SIDE (nested index-aware transforms over the embedding array) and
     flow straight into the (j, k) partial aggregation — one corpus scan,
-    ONE shuffle of 64² partials per task, and no i-keyed self-join (the
-    earlier draft shuffled the full (i, j, x) explosion on i: dim²·n rows
-    through a join for no information gain)."""
+    ONE shuffle of tri-size partials per task, and no i-keyed self-join
+    (the earlier draft shuffled the full (i, j, x) explosion on i:
+    dim²·n rows through a join for no information gain)."""
     from pyspark import StorageLevel
 
     emb = load_table(spark, sf_dir, "embeddings").select(
@@ -86,44 +102,48 @@ def _cov_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize the centered array BEFORE the nested lambda: an array
     # expression referenced inside a lambda is re-evaluated per element
     # (no CSE across lambda boundaries — the same pitfall as shingling).
-    # The flat product array carries (j, k) as its POSITION (pos = j·dim+k)
-    # so the hot path allocates plain longs, never structs.
+    # The flat product array carries (j, k) as its POSITION so the hot
+    # path allocates plain longs, never structs; slice(ce, j+1, DIM-j)
+    # restricts the inner pass to k >= j.
     ce = emb.select(cen_arr.alias("ce"))
-    prods = F.flatten(
-        F.transform(
-            F.col("ce"),
-            lambda cj: F.transform(F.col("ce"), lambda ck: cj * ck),
-        )
+    prods = F.expr(
+        "flatten(transform(ce, (cj, j) -> "
+        f"transform(slice(ce, j + 1, {PCA_DIM} - j), ck -> cj * ck)))"
     )
-    cov = (
+    tri = (
         ce.select(F.posexplode(prods).alias("pos", "p"))
         .groupBy("pos")
         .agg(F.sum("p").alias("cjk0"))
         .select(
-            F.expr(f"pos div {PCA_DIM}").cast("long").alias("j"),
-            (F.col("pos") % PCA_DIM).cast("long").alias("k"),
+            F.expr(f"element_at({_TRI_J_ARR}, pos + 1)").cast("long").alias("j"),
+            F.expr(f"element_at({_TRI_K_ARR}, pos + 1)").cast("long").alias("k"),
             F.expr(f"cjk0 div {n}").cast("long").alias("cjk"),
         )
     )
-    return cov
+    return tri, n
 
 
 def _xi_sql_expr() -> str:
     """The milli-unit quantization as a SQL-text expression over column e
-    (shared by the centered-array expression built in _cov_scaled)."""
+    (shared by the centered-array expression built in _cov_tri)."""
     return "transform(e, x -> cast(floor(x * 1000 + 0.5) as bigint))"
 
 
 def top_component(spark: SparkSession, sf_dir: str) -> list[int]:
     """The converged iterate as driver integers — the model other
     operators (residual removal) compose."""
-    cov = _cov_scaled(spark, sf_dir)
+    tri, _n = _cov_tri(spark, sf_dir)
     # dim² cells = MODEL-sized (the k-means k×dim contract): one collect,
     # then the 8 renormalized matrix-vector rounds run on exact driver
     # integers — per-round Spark jobs over a 4096-row table would pay 8×
     # job-scheduling overhead to move model-sized data (measured: the
     # rounds, not the covariance scan, dominated wall-clock that way).
-    C = {(int(r.j), int(r.k)): int(r.cjk) for r in cov.collect()}
+    # The mirror half of the symmetric C is filled driver-side: C_kj has
+    # the identical integer value (termwise-commuted exact sum).
+    C: dict[tuple[int, int], int] = {}
+    for r in tri.collect():
+        C[(int(r.j), int(r.k))] = int(r.cjk)
+        C[(int(r.k), int(r.j))] = int(r.cjk)
     v = [(_V_SCALE if j == 0 else 0) for j in range(PCA_DIM)]
     for _ in range(PCA_ITERS):
         w = [
@@ -223,22 +243,28 @@ def embedding_pca_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).groupBy("j").agg(F.sum("x").alias("sx"))
     mu = {int(r.j): _tdiv_py(int(r.sx), n) for r in sums.collect()}
     mu_arr = "array(" + ", ".join(str(mu[j]) for j in range(PCA_DIM)) + ")"
-    v_arr = "array(" + ", ".join(str(x) for x in v) + ")"
     ce = emb.select(
         "label",
         F.expr(
             f"transform({_xi_sql_expr()}, (x, j) -> x - element_at({mu_arr}, j + 1))"
         ).alias("ce"),
     )
-    scored = ce.select(
+    # Unrolled integer dot/sum-of-squares chains: the HOF aggregate fold is
+    # CodegenFallback (interpreted, boxed per element); these Projects are
+    # whole-stage-codegen-covered, the exact context where the similarity
+    # family's paired A/B proved the unroll (OPTIMIZATION_r13 §1). Integer
+    # addition is order-free, so the `+`-chain is bit-identical to the fold.
+    p_sql = " + ".join(
+        f"element_at(ce, {j + 1}) * ({v[j]})" for j in range(PCA_DIM)
+    )
+    var_sql = " + ".join(
+        f"element_at(ce, {j + 1}) * element_at(ce, {j + 1})"
+        for j in range(PCA_DIM)
+    )
+    scored = ce.selectExpr(
         "label",
-        F.expr(
-            "aggregate(zip_with(ce, " + v_arr + ", (c, vv) -> c * vv), "
-            "cast(0 as bigint), (a, b) -> a + b)"
-        ).alias("p"),
-        F.expr(
-            "aggregate(transform(ce, c -> c * c), cast(0 as bigint), (a, b) -> a + b)"
-        ).alias("var_row"),
+        f"({p_sql}) AS p",
+        f"({var_sql}) AS var_row",
     )
     per = scored.select(
         "label",
@@ -514,7 +540,7 @@ flip_pending(PENDING_QUERIES, PENDING_ORACLE, QUERIES, ORACLE)
 # family ships (milli-quantized components, truncating integer divisions),
 # so the only floats are two final divisions of exact int64s — identical
 # IEEE operations in both engines, micro-floored once. Scale shape: one
-# corpus scan feeding dim^2-bounded partials (the _cov_scaled plan) plus
+# corpus scan feeding dim^2-bounded partials (the _cov_tri plan) plus
 # one row-side fold for E||x||^2; output is a single row of model-sized
 # scalars. At extreme row counts the raw second moment would approach
 # int64 (2.6e8/row); rescale the quantization step before the sum there.
@@ -536,26 +562,31 @@ def embedding_isotropy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     cen_arr = F.expr(
         f"transform({_xi_sql_expr()}, (x, j) -> x - element_at({mu_arr}, j + 1))"
     )
+    # Upper-triangle covariance pass (the _cov_tri shape, inlined to share
+    # this query's persisted emb/mu): trace reads the diagonal cells and
+    # Frobenius² counts each off-diagonal cell twice — the exact mirror of
+    # the symmetric full matrix, in half the per-row product work.
     ce = emb.select(cen_arr.alias("ce"))
-    prods = F.flatten(
-        F.transform(
-            F.col("ce"),
-            lambda cj: F.transform(F.col("ce"), lambda ck: cj * ck),
-        )
+    prods = F.expr(
+        "flatten(transform(ce, (cj, j) -> "
+        f"transform(slice(ce, j + 1, {PCA_DIM} - j), ck -> cj * ck)))"
     )
     covagg = (
         ce.select(F.posexplode(prods).alias("pos", "p"))
         .groupBy("pos")
         .agg(F.sum("p").alias("cjk0"))
         .select(
-            F.expr(f"pos div {PCA_DIM}").alias("j"),
-            (F.col("pos") % PCA_DIM).alias("k"),
+            F.expr(f"element_at({_TRI_J_ARR}, pos + 1)").alias("j"),
+            F.expr(f"element_at({_TRI_K_ARR}, pos + 1)").alias("k"),
             F.expr(f"cjk0 div {n}").alias("cjk"),
         )
         .agg(
             F.sum(F.when(F.col("j") == F.col("k"), F.col("cjk")).otherwise(F.lit(0)))
             .cast("long").alias("trace_scaled"),
-            F.sum(F.col("cjk") * F.col("cjk")).cast("long").alias("frob2_scaled"),
+            F.sum(
+                F.when(F.col("j") == F.col("k"), F.col("cjk") * F.col("cjk"))
+                .otherwise(F.lit(2) * F.col("cjk") * F.col("cjk"))
+            ).cast("long").alias("frob2_scaled"),
         )
     )
     x2 = emb.select(
