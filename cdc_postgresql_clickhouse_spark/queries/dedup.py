@@ -226,7 +226,14 @@ def dedup_simhash(
 
 
 def _simhash_pairs_from_toks(toks: DataFrame) -> DataFrame:
-    """Detector core over any (doc_id, toks) base."""
+    """Detector core over any (doc_id, toks) base.
+
+    A wide-aggregation carrier (60 per-bit signed sums as columns of one
+    groupBy, the bootstrap §4 pattern) was tried in the r13 optimization
+    round and REVERTED: paired A/B at sf0.1 read the wide form ~0.3-0.5 s
+    SLOWER on the scoped corpus — the 60-aggregate build/codegen fixed
+    cost exceeds the explode's row-fan-out cost at this detector's
+    bounded verify scope."""
     tok = toks.select("doc_id", F.explode("toks").alias("tok")).distinct()
     tok = tok.withColumn("h", F.md5("tok"))
     bits = (

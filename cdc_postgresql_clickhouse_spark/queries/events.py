@@ -3058,45 +3058,28 @@ def events_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         ).alias("hs"),
     )
-
-    # The 64 replicate weights stay COLUMNS of one row, not 64 exploded
-    # rows (r13): each per-(type, b) sum is a separate aggregate with
-    # map-side combine, so the row fan-out, its shuffle, and the 64×
-    # duplication of (event_type, eid, c, hs) disappear — the B-bounded
-    # (type, b) grid is rebuilt by a |types|-row stack AFTER the agg.
-    # Identical longs: same per-row weights (same conv/substring windows,
-    # same CASE ladder), same per-(type, b) addends (integer sums are
-    # order-free). Built from SQL STRINGS (one selectExpr + per-agg
-    # F.expr), not nested Column ops: the Column form cost ~4 s of Py4J
-    # round trips per query build — the _planes_lit lesson. Measured
-    # paired at sf0.1: explode form build 1.0 s + exec 0.72 s; this form
-    # build ~0.3 s + exec 0.32 s.
-    def _w_sql(b: int) -> str:
-        u = (
-            f"CAST(conv(substring(element_at(hs, {b // 8 + 1}),"
-            f" {(b % 8) * 4 + 1}, 4), 16, 10) AS BIGINT)"
-        )
-        arms = " ".join(
-            f"WHEN {u} < {t} THEN {i}" for i, t in enumerate(_POISSON_CDF16)
-        )
-        return f"CAST(CASE {arms} ELSE {len(_POISSON_CDF16)} END AS BIGINT) AS w{b}"
-
-    wide = hashed.selectExpr("event_type", "c", *[_w_sql(b) for b in range(BOOT_B)])
-    sums = wide.groupBy("event_type").agg(
-        F.expr(f"CAST(sum(w0) AS BIGINT)").alias("sw0"),
-        *[F.expr(f"CAST(sum(w{b}) AS BIGINT)").alias(f"sw{b}") for b in range(1, BOOT_B)],
-        *[
-            F.expr(f"CAST(sum(w{b} * c) AS BIGINT)").alias(f"swc{b}")
-            for b in range(BOOT_B)
-        ],
+    exploded = hashed.select(
+        "event_type", "eid", "c", "hs",
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b"),
     )
-    stack = (
-        f"stack({BOOT_B}, "
-        + ", ".join(f"{b}, sw{b}, swc{b}" for b in range(BOOT_B))
-        + ") AS (b, sw, swc)"
-    )
+    u = F.conv(
+        F.expr(
+            "substring(element_at(hs, CAST(b div 8 AS INT) + 1),"
+            " CAST((b % 8) * 4 AS INT) + 1, 4)"
+        ),
+        16, 10,
+    ).cast("long")
+    ladder = F.when(u < _POISSON_CDF16[0], 0)
+    for i in range(1, len(_POISSON_CDF16)):
+        ladder = ladder.when(u < _POISSON_CDF16[i], i)
+    w = ladder.otherwise(len(_POISSON_CDF16)).cast("long")
     reps = (
-        sums.selectExpr("event_type", stack)
+        exploded.withColumn("w", w)
+        .groupBy("event_type", "b")
+        .agg(
+            F.sum("w").cast("long").alias("sw"),
+            F.sum(F.col("w") * F.col("c")).cast("long").alias("swc"),
+        )
         .filter(F.col("sw") > 0)
         .select("event_type", "b", F.expr("swc * 1000000 div sw").alias("m"))
     )

@@ -66,9 +66,15 @@ def bm25_rank(postings: DataFrame, n_docs: int, q: DataFrame | None = None) -> D
             [(qn, t) for qn, terms in SEARCH_QUERIES.items() for t in terms],
             "query string, term string",
         )
+    # df join semi-filtered to the query term set and broadcast (guide
+    # §3.2): matched rows can only carry query terms, so the filtered join
+    # is value-identical (df still counts over the FULL postings), and the
+    # workload-bounded broadcast removes the by-term re-shuffle of the
+    # matched stream.
+    df_q = df_t.join(F.broadcast(q.select("term")), "term", "left_semi")
     matched = (
         postings.join(F.broadcast(q), "term")
-        .join(df_t, "term")
+        .join(F.broadcast(df_q), "term")
         .join(dl, "doc_id")
     )
     idf = F.log(
@@ -583,9 +589,15 @@ def _ql_eval_tops(spark: SparkSession, sf_dir: str):
     # QL and BM25 partials are projections over the same matched rows, so
     # scoring twice costs one extra expression, not a second join tree.
     # test_r10_ops pins the inlined BM25 against bm25_rank row-for-row.
+    # The per-term stats join is semi-filtered to the QUERY term set and
+    # broadcast (guide §3.2): matched rows can only carry query terms, so
+    # the filtered join is value-identical, and the workload-bounded
+    # broadcast removes the by-term re-shuffle of the matched stream (the
+    # cf/df values still come from the FULL postings aggregation).
+    stats_q = stats.join(F.broadcast(q.select("term")), "term", "left_semi")
     matched = (
         postings.join(F.broadcast(q), "term")
-        .join(stats, "term")
+        .join(F.broadcast(stats_q), "term")
         .join(dl, "doc_id")
     )
     ql_part = F.floor(

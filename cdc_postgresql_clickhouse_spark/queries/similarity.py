@@ -68,7 +68,21 @@ def _emb_d(col: str = "embedding") -> Column:
     return F.col(col).cast("array<double>")
 
 
-def _dot(a: Column, b: Column, n: int = DIM, unroll: bool = False) -> Column:
+def _dot_chain_sql(a: str, b: str, n: int = DIM) -> str:
+    """The unrolled product-sum as ONE SQL string over column NAMES —
+    parses to the identical left-associated +0.0-seeded chain the Python
+    Column loop would build, in ONE Py4J call instead of ~200 (the
+    _planes_lit lesson; the r13 interim bench proved the per-build Py4J
+    storm of the Column-op chain costs more than the codegen win it buys:
+    ann_lsh/ivf read 1.6-2.1x the r12 seal until this rebuild)."""
+    return (
+        "(0.0D + "
+        + " + ".join(f"element_at({a}, {i}) * element_at({b}, {i})" for i in range(1, n + 1))
+        + ")"
+    )
+
+
+def _dot(a: Column | str, b: Column | str, n: int = DIM, unroll: bool = False) -> Column:
     """Dot product as a sequential left fold seeded with +0.0.
 
     Two physical forms, SAME IEEE-754 double (same element order, same
@@ -78,26 +92,29 @@ def _dot(a: Column, b: Column, n: int = DIM, unroll: bool = False) -> Column:
       (acc, x) -> acc+x)`` higher-order-function form. HOFs are
       CodegenFallback (interpreted, per-element boxing), but the tree is
       2 nodes and builds in ~5 Py4J calls.
-    - ``unroll=True``: the chain unrolled over the static length ``n``
-      (DIM for embeddings; PQ sites pass PQ_SUBDIM). Compiles into
+    - ``unroll=True`` (requires ``a``/``b`` as column-NAME strings): the
+      chain unrolled over the static length ``n`` (DIM for embeddings),
+      built as ONE parsed SQL string (``_dot_chain_sql``). Compiles into
       whole-stage codegen — measured 5.1x faster on the SemDeDup pair
       join (0.258 s → 0.051 s at sf0.1, identical checksums) and ~2x on
-      broadcast-cross scoring passes. It is OPT-IN because it is not
-      free: the 192-node tree costs ~200 Py4J calls per instance at
-      query BUILD, and in operators outside whole-stage codegen (the
-      ``q_id != vec_id`` BroadcastNestedLoopJoin family) the interpreted
-      chain measured ~2x SLOWER than the HOF fold — only sites whose
-      consuming operator is codegen-covered (equality-keyed pair joins,
-      condition-less broadcast cross scoring) opt in, each justified by
-      a paired A/B (OPTIMIZATION_r13.md)."""
+      broadcast-cross scoring passes. It is OPT-IN because in operators
+      outside whole-stage codegen (the ``q_id != vec_id``
+      BroadcastNestedLoopJoin family) the interpreted chain measured ~2x
+      SLOWER than the HOF fold — only sites whose consuming operator is
+      codegen-covered opt in, each justified by a paired A/B
+      (OPTIMIZATION_r13.md; the earlier Column-op unroll paid ~200 Py4J
+      calls per instance per query BUILD and regressed the full-query
+      bench — never rebuild it that way)."""
     if not unroll:
+        if isinstance(a, str):
+            a = F.col(a)
+        if isinstance(b, str):
+            b = F.col(b)
         return F.aggregate(
             F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
         )
-    s: Column = F.lit(0.0)
-    for i in range(1, n + 1):
-        s = s + F.element_at(a, i) * F.element_at(b, i)
-    return s
+    assert isinstance(a, str) and isinstance(b, str), "unroll requires column names"
+    return F.expr(_dot_chain_sql(a, b, n))
 
 
 def _cos(a: Column, b: Column, n: int = DIM) -> Column:
@@ -108,7 +125,12 @@ def _cos(a: Column, b: Column, n: int = DIM) -> Column:
 
 
 def _cos_prenorm(
-    a: Column, b: Column, na: Column, nb: Column, n: int = DIM, unroll: bool = False
+    a: Column | str,
+    b: Column | str,
+    na: Column | str,
+    nb: Column | str,
+    n: int = DIM,
+    unroll: bool = False,
 ) -> Column:
     """Cosine from precomputed L2 norms. Per-PAIR work drops from three
     64-dim dot products to one — the norms are map-side, once per vector,
@@ -116,8 +138,21 @@ def _cos_prenorm(
     sqrt(dot(a,a))*sqrt(dot(b,b)), so results are bit-identical to _cos and
     the oracle SQL (which still spells out all three dots) stays valid.
     ``unroll`` per the _dot contract (opt in only where the consuming
-    operator is codegen-covered)."""
-    raw = _dot(a, b, n, unroll=unroll) / (na * nb)
+    operator is codegen-covered; requires all four args as column-NAME
+    strings so the whole expression parses in ONE Py4J call)."""
+    if unroll:
+        assert all(isinstance(x, str) for x in (a, b, na, nb)), (
+            "unroll requires column names"
+        )
+        raw_sql = f"({_dot_chain_sql(a, b, n)} / ({na} * {nb}))"
+        return F.expr(
+            f"(CAST(FLOOR({raw_sql} * 1000000.0) AS DOUBLE) / 1000000.0)"
+        )
+    if isinstance(na, str):
+        na = F.col(na)
+    if isinstance(nb, str):
+        nb = F.col(nb)
+    raw = _dot(a, b, n, unroll=False) / (na * nb)
     return F.floor(raw * F.lit(1000000.0)).cast("double") / F.lit(1000000.0)
 
 
@@ -249,9 +284,7 @@ def _lsh_bucket_pairs(emb: DataFrame, planes: list[list[int]], sim_threshold: fl
             F.col("a.bucket").alias("bucket"),
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            _cos_prenorm(
-                F.col("a.e"), F.col("b.e"), F.col("a.nrm"), F.col("b.nrm"), unroll=True
-            ).alias("cos_sim"),
+            _cos_prenorm("a.e", "b.e", "a.nrm", "b.nrm").alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= sim_threshold)
     )
@@ -476,9 +509,7 @@ def ivf_assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
     scored = F.broadcast(cents).join(emb, how="cross").select(
         "vec_id",
         "cid",
-        _cos_prenorm(
-            F.col("e"), F.col("ce"), F.col("nrm"), F.col("cn"), unroll=True
-        ).alias("cs"),
+        _cos_prenorm("e", "ce", "nrm", "cn").alias("cs"),
     )
     w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.col("cid"))
     return (
@@ -521,9 +552,7 @@ def ivf_probe(
         .select(
             "q_id",
             F.col("vec_id").alias("neighbor_id"),
-            _cos_prenorm(
-                F.col("qe"), F.col("e"), F.col("qn"), F.col("nrm"), unroll=True
-            ).alias("cos_sim"),
+            _cos_prenorm("qe", "e", "qn", "nrm").alias("cos_sim"),
         )
     )
     w_rank = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.col("neighbor_id"))
@@ -2461,9 +2490,7 @@ def semdedup_base(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFram
     )
     scored = F.broadcast(cents).join(corpus, how="cross").select(
         "vec_id", "cid",
-        _cos_prenorm(
-            F.col("e"), F.col("ce"), F.col("nrm"), F.col("cn"), unroll=True
-        ).alias("cs"),
+        _cos_prenorm("e", "ce", "nrm", "cn").alias("cs"),
     )
     w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.col("cid"))
     assign = (
@@ -2479,9 +2506,7 @@ def semdedup_base(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFram
             F.col("a.cid").alias("cid"),
             F.col("a.vec_id").alias("va"), F.col("b.vec_id").alias("vb"),
             F.col("a.cen_cos").alias("ca"), F.col("b.cen_cos").alias("cb"),
-            _cos_prenorm(
-                F.col("a.e"), F.col("b.e"), F.col("a.nrm"), F.col("b.nrm"), unroll=True
-            ).alias("cos_sim"),
+            _cos_prenorm("a.e", "b.e", "a.nrm", "b.nrm").alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= tau)
         .localCheckpoint(eager=True)
@@ -2864,9 +2889,7 @@ def semantic_dedup_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFram
     )
     scored = F.broadcast(cents).join(corpus, how="cross").select(
         "vec_id", "cid",
-        _cos_prenorm(
-            F.col("e"), F.col("ce"), F.col("nrm"), F.col("cn"), unroll=True
-        ).alias("cs"),
+        _cos_prenorm("e", "ce", "nrm", "cn").alias("cs"),
     )
     w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.col("cid"))
     assign = (
@@ -2885,9 +2908,7 @@ def semantic_dedup_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFram
             F.col("a.cid").alias("cid"),
             F.col("a.vec_id").alias("va"), F.col("b.vec_id").alias("vb"),
             F.col("a.cen_cos").alias("ca"), F.col("b.cen_cos").alias("cb"),
-            _cos_prenorm(
-                F.col("a.e"), F.col("b.e"), F.col("a.nrm"), F.col("b.nrm"), unroll=True
-            ).alias("cos_sim"),
+            _cos_prenorm("a.e", "b.e", "a.nrm", "b.nrm").alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= SEMDEDUP_TAU)
     )
@@ -3121,9 +3142,7 @@ def semantic_dedup_k_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(corpus.select("vec_id", "e", "nrm"), how="cross")
         .select(
             "vec_id", "cid",
-            _cos_prenorm(
-                F.col("e"), F.col("ce"), F.col("nrm"), F.col("cn"), unroll=True
-            ).alias("cs"),
+            _cos_prenorm("e", "ce", "nrm", "cn").alias("cs"),
         )
         .localCheckpoint(eager=True)
     )
@@ -3176,9 +3195,7 @@ def semantic_dedup_k_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = cand.select(
         "k", "va", "vb", "ca", "cb",
-        _cos_prenorm(
-            F.col("ea"), F.col("eb"), F.col("na"), F.col("nb"), unroll=True
-        ).alias("cos_sim"),
+        _cos_prenorm("ea", "eb", "na", "nb").alias("cos_sim"),
     ).filter(F.col("cos_sim") >= SEMDEDUP_TAU)
     loser = F.when(F.col("ca") > F.col("cb"), F.col("va")).otherwise(F.col("vb"))
     per = pairs.groupBy("k").agg(

@@ -2782,11 +2782,18 @@ def reco_brand_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    from pyspark import StorageLevel
+
+    # persisted: THREE consumers (both cooc self-join sides and the
+    # recommendation slice) otherwise re-run the lineitem x orders join —
+    # the slice's pushed c % 100 filter changes the subtree, so exchange
+    # reuse cannot cover it (guide §1.2: compute the base once)
     edges = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .select(F.col("o_custkey").alias("c"), F.col("p_brand").alias("b"))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     e2 = edges.select(F.col("c").alias("c2"), F.col("b").alias("b2"))
     cooc = (

@@ -316,9 +316,7 @@ def ingest_batch_semdedup(
 
         scored = F.broadcast(cents).join(emb, how="cross").select(
             "vec_id", "cid",
-            _cos_prenorm(
-                F.col("e"), F.col("ce"), F.col("nrm"), F.col("cn"), unroll=True
-            ).alias("cs"),
+            _cos_prenorm("e", "ce", "nrm", "cn").alias("cs"),
         )
         w = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.col("cid"))
         assign = (
@@ -346,9 +344,7 @@ def ingest_batch_semdedup(
                 F.when(va_is_n, F.col("m.vec_id")).otherwise(F.col("n.vec_id")).alias("vb"),
                 F.when(va_is_n, F.col("n.cen_cos")).otherwise(F.col("m.cen_cos")).alias("ca"),
                 F.when(va_is_n, F.col("m.cen_cos")).otherwise(F.col("n.cen_cos")).alias("cb"),
-                _cos_prenorm(
-                    F.col("n.e"), F.col("m.e"), F.col("n.nrm"), F.col("m.nrm"), unroll=True
-                ).alias("cos_sim"),
+                _cos_prenorm("n.e", "m.e", "n.nrm", "m.nrm").alias("cos_sim"),
             )
             .filter(F.col("cos_sim") >= tau)
         )
