@@ -2902,15 +2902,46 @@ def semantic_dedup_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFram
     # self-join both sides, released once the K-row report is materialized
     members = assign.join(corpus, "vec_id").localCheckpoint(eager=True)
     a, b = members.alias("a"), members.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.cid") == F.col("b.cid")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+    # Partial-distance prefilter + survivor checkpoint — the identical
+    # exact device semantic_dedup_k_sensitivity ships (6.8 s -> ~2 s on
+    # its pair stage): a pair passing the truncated-cosine threshold has
+    # unit-direction distance^2 = 2 - 2*raw_cos <= 2*(1 - tau), so its
+    # first-8-dims partial distance is bounded by the same constant (+ a
+    # float margin dwarfing the 1e-15 sum error) — no false negatives.
+    # The checkpoints (a) keep Catalyst from pushing the exact cosine back
+    # into the join condition, where it evaluated interpreted per
+    # candidate pair, and (b) materialize the join and the survivor set
+    # ONCE for the three consumers below (n_pairs, the loser set, and the
+    # per-cid removed rollup previously re-ran the whole self-join each).
+    pd2 = None
+    for i in range(1, 9):
+        d = F.element_at(F.col("a.e"), i) / F.col("a.nrm") - F.element_at(
+            F.col("b.e"), i
+        ) / F.col("b.nrm")
+        pd2 = d * d if pd2 is None else pd2 + d * d
+    cand = (
+        a.join(
+            b,
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("a.vec_id") < F.col("b.vec_id"))
+            & (pd2 <= 2.0 * (1.0 - SEMDEDUP_TAU) + 1e-9),
+        )
         .select(
             F.col("a.cid").alias("cid"),
             F.col("a.vec_id").alias("va"), F.col("b.vec_id").alias("vb"),
             F.col("a.cen_cos").alias("ca"), F.col("b.cen_cos").alias("cb"),
-            _cos_prenorm("a.e", "b.e", "a.nrm", "b.nrm").alias("cos_sim"),
+            F.col("a.e").alias("ea"), F.col("a.nrm").alias("na"),
+            F.col("b.e").alias("eb"), F.col("b.nrm").alias("nb"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    pairs = (
+        cand.select(
+            "cid", "va", "vb", "ca", "cb",
+            _cos_prenorm("ea", "eb", "na", "nb").alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= SEMDEDUP_TAU)
+        .localCheckpoint(eager=True)
     )
     removed = pairs.select(
         "cid", F.when(F.col("ca") > F.col("cb"), F.col("va")).otherwise(F.col("vb")).alias("loser")
@@ -2930,6 +2961,8 @@ def semantic_dedup_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .localCheckpoint(eager=True)
     )
+    release(pairs)
+    release(cand)
     release(members)
     release(corpus)
     return out
