@@ -8,12 +8,16 @@ evening out inverted-list occupancy (skewed lists are what break IVF probe
 cost at scale).
 
 Scale shape, per iteration:
-- **Assignment** scores each vector against the k-row centroid TABLE via a
-  broadcast join (no shuffle of the corpus side) and takes the per-vector
-  struct-max — the same broadcast-small-side device as ``ivf_assign``. A
-  join rather than a centroid-matrix literal keeps the generated code
-  IDENTICAL across iterations, k, and datasets: the literal variant
-  re-Janino-compiled the (large) argmax expression once per iteration per
+- **Assignment** scores each vector against the k×dim centroid MODEL —
+  broadcast as ONE row of nested arrays — inside a single per-row
+  ``transform`` fold, with the vector's own norm hoisted to one column
+  (the former k-row cross join fanned every vector k ways into a
+  SortAggregate and re-derived sqrt(dot(v,v)) per centroid row). The
+  argmax is ``array_position`` of ``array_max`` (first max in cid order =
+  smaller-cid tie-break). No shuffle of the corpus side, and the model
+  arriving as broadcast DATA (not literals) keeps the generated code
+  IDENTICAL across iterations, k, and datasets: a literal-matrix variant
+  re-Janino-compiled the argmax expression once per iteration per
   centroid state, which dominated wall-clock at small data sizes.
 - **Update** is one posexplode → (cid, dim)-keyed avg — shuffle volume is
   k×dim rows per map partition (map-side combine), and the generated code
@@ -77,35 +81,47 @@ def lloyd_refine(
     (centroid-first dot, cn·vnorm denominator, argmax with smaller-cid
     tie-break, 9-dp FLOOR truncation of the per-dim means) is bit-identical
     to the literal-matrix formulation it replaced — only the physical shape
-    changed (broadcast join + posexplode avg, for iteration-stable
-    codegen)."""
+    changed (one-row broadcast model + per-row array argmax + posexplode
+    avg, for iteration-stable codegen)."""
     spark = emb.sparkSession
     seed = emb.orderBy(id_col).limit(k).select(vec_col).collect()
     cents = [[float(x) for x in r[0]] for r in seed]
     dim = len(cents[0])
     vec = F.col(vec_col)
     for _ in range(iters):
-        cdf = spark.createDataFrame(
-            [(i, cents[i], n) for i, n in enumerate(_norms(cents))],
-            "cid int, ce array<double>, cn double",
+        # One-row broadcast MODEL + per-row array argmax (r14): the former
+        # broadcast k-row cross join + max(struct) argmax paid a k-way row
+        # fan-out into a SortAggregate (struct buffers have no mutable
+        # HashAggregate encoding) AND recomputed sqrt(dot(v,v)) once per
+        # centroid row — half the interpreted fold work. Now the vector
+        # norm is hoisted to ONE column per row and the k cosines fold
+        # inside a single transform(); argmax-with-smaller-cid-tie-break is
+        # array_position-of-array_max (first occurrence of the max in cid
+        # order = smallest cid — same doubles, same tie-break, verified
+        # value-identical). Generated code stays identical across
+        # iterations (the model arrives as broadcast DATA, not literals).
+        model_df = spark.createDataFrame(
+            [([list(c) for c in cents], _norms(cents))],
+            "cm array<array<double>>, cns array<double>",
         )
-        # sim is FUSED into the max(struct(...)) aggregate expression at
-        # planning (a struct buffer plans as SortAggregate, interpreted
-        # update), so the HOF fold is the faster form here — see the
-        # _dot contract
-        sim = _dot(F.col("ce"), vec, dim) / (F.col("cn") * F.sqrt(_dot(vec, vec, dim)))
+        sims = F.transform(
+            F.col("cm"),
+            lambda c, i: _dot(c, vec, dim)
+            / (F.element_at(F.col("cns"), i + 1) * F.col("__vn")),
+        )
         assigned = (
-            F.broadcast(cdf)
-            .join(emb.select(id_col, vec_col), how="cross")
-            .groupBy(id_col)
-            .agg(
-                (-F.max(F.struct(sim.alias("s"), (-F.col("cid")).alias("ni")))
-                 .getField("ni")).cast("int").alias("cid"),
-                F.any_value(vec).alias("v"),  # constant within the group
+            emb.select(id_col, vec_col, F.sqrt(_dot(vec, vec, dim)).alias("__vn"))
+            .join(F.broadcast(model_df), how="cross")
+            .select(sims.alias("__sims"), vec)
+            .select(
+                (F.array_position(F.col("__sims"), F.array_max(F.col("__sims"))) - 1)
+                .cast("int")
+                .alias("cid"),
+                vec,
             )
         )
         rows = (
-            assigned.select("cid", F.posexplode("v").alias("i", "x"))
+            assigned.select("cid", F.posexplode(vec).alias("i", "x"))
             .groupBy("cid", "i")
             .agg(F.avg("x").alias("m"))
             .collect()

@@ -73,51 +73,47 @@ _MODULES = (
 # lists the first-50 names in driver order; every remaining query follows in
 # module order and is re-verified locally by scripts/parity_sweep.py.
 _WINDOW_FRONT = [
-    # rule 1: cdc insurance, capped at 2 while the never-checked queue is
-    # non-empty (VERDICT r8 #1): the flagship current-state read plus one
-    # rotating CDC row (r13 rotation: cdc_state_asof — at r7 the oldest cdc
-    # driver proof, so the insurance slot doubles as the cdc family's
-    # staleness re-check; cdc_pk_change_state rotated out after its r12
-    # green).
-    "cdc_current_state", "cdc_state_asof",
-    # rule 2: the never-driver-checked queue — the 4 round-13 additions:
-    # SemDeDup over the corpus-trained Lloyd quantizer (unrolled-iteration
-    # oracle), the incremental-SemDeDup ≡ batch equivalence row, the
-    # cluster cohesion profile (memo consumer), and the quantizer-size
-    # sensitivity sweep. All parity-verified locally at sf0.01 on
-    # registration.
-    "semantic_dedup_semdedup_kmeans", "streaming_semdedup_equiv",
-    "semantic_dedup_cluster_profile", "semantic_dedup_k_sensitivity",
-    # rule 3 (staleness): the remaining 46 slots fill with already-green
-    # rows whose latest driver proof is OLDEST — first the full 12-row
-    # r2-latest cohort (the tail of the r2 era; after this round no row's
-    # proof predates r3), then the head of the 43-row r3-latest cohort,
-    # registration order within a round. The 9 r3 rows left behind
-    # (skew_salted_revenue_by_status .. events_purchase_attribution) front the
-    # r14 window. tests/test_window_policy.py pins the rule and the
-    # steady-state proof-age bound.
-    "percentile_prices_by_status", "monthly_revenue_rollup",
-    "full_outer_activity", "q2_min_cost_supplier",
-    "q11_important_parts", "q12_priority_shipping",
-    "q20_bolt_suppliers", "q7_nation_volume",
-    "q8_market_share", "q9_product_profit",
-    "q16_supplier_part_counts", "q21_waiting_supplier",
-    "dedup_exact", "dedup_minhash_lsh",
-    "dedup_simhash", "dedup_ngram_jaccard",
-    "ann_bruteforce_topk", "ann_lsh_buckets",
-    "ann_lsh_buckets_sized", "ann_ivf_topk",
-    "embedding_cosine_neardup", "dedup_cluster_canonical",
-    "corpus_stratified_sample", "multimodal_frame_sample",
-    "multimodal_decode_stats", "multimodal_resize_stats",
-    "text_token_count", "text_quality_score",
-    "text_langid", "text_fingerprint",
-    "text_stats_by_source", "multimodal_binary_meta",
-    "text_repetition_ngram", "corpus_tfidf_top_terms",
-    "text_unigram_logprob", "quality_gopher_rules",
-    "text_regex_policy_scan", "corpus_decontaminate",
-    "corpus_train_val_split", "corpus_shard_packing",
-    "embedding_quantize_int8", "crossmodal_doc_neighbors",
-    "corpus_mix_stats", "corpus_dup_rate_by_source",
+    # rule 1: cdc insurance, 2 slots: the flagship current-state read plus
+    # one rotating CDC row (r14 rotation: cdc_dlq_report — at r7 the oldest
+    # cdc driver proof, so the insurance slot doubles as the cdc family's
+    # staleness re-check; cdc_state_asof rotated out after its r13 green).
+    "cdc_current_state", "cdc_dlq_report",
+    # rule 2: the never-driver-checked queue is EMPTY (all 418 registered
+    # queries have at least one driver proof; r14 is an optimization round
+    # and registers no new queries).
+    # rule 3 (staleness): the remaining 48 slots fill with already-green
+    # rows whose latest driver proof is OLDEST — the full 11-row r3-latest
+    # cohort (after this round no row's proof predates r4), then the first
+    # 37 of the 41-row r4-latest cohort in registration order. The 4 r4
+    # rows left behind (corpus_dsir_weights, ann_pq_topk,
+    # multimodal_audio_frames, multimodal_phash_neardup) front the r15
+    # window and stay within the MAX_PROOF_AGE=10 bound at r14.
+    # tests/test_window_policy.py pins the rule and the bound.
+    "skew_salted_revenue_by_status", "skew_distinct_parts_per_supplier",
+    "debezium_decimal_decode", "hstore_props_map",
+    "funnel_windowed", "retention_weekly",
+    "sequence_match_clean_purchase", "grouped_topk_event_values",
+    "events_error_blast_radius", "sketch_distinct_users",
+    "events_purchase_attribution",
+    "streaming_incremental_dedup", "streaming_minhash_neardup",
+    "streaming_tumbling_equiv", "streaming_late_data_drop",
+    "streaming_session_equiv", "streaming_ivf_ingest_equiv",
+    "streaming_postings_ingest_equiv", "streaming_cdc_pipeline_equiv",
+    "text_winnowing_fingerprints", "doc_chunking",
+    "chunk_dedup_content_defined", "embedding_semantic_cluster",
+    "text_langid_chargram", "text_pii_redact",
+    "text_html_strip", "text_ccnet_buckets",
+    "corpus_version_diff", "events_transition_matrix",
+    "dedup_cluster_size_hist", "dedup_soft_weights",
+    "dedup_exact_substring", "dedup_lines",
+    "corpus_training_manifest", "corpus_temperature_mixture",
+    "sketch_kmv_distinct", "events_user_ewma",
+    "sketch_hll_distinct", "sketch_cms_heavy_hitters",
+    "sketch_kmv_union", "layout_zorder_clustering",
+    "bpe_train_merges", "bpe_token_count",
+    "graph_pagerank_types", "graph_sssp_types",
+    "graph_triangle_types", "text_bm25_search",
+    "retrieval_hybrid_rrf",
 ]
 
 

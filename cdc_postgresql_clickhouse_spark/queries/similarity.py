@@ -505,7 +505,14 @@ def ivf_assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
     exchange (unrolled per the _dot contract); a max(struct) argmax
     aggregation was tried in r13 and REVERTED — a struct-typed buffer
     plans as SortAggregate with interpreted update expressions, which is
-    slower than sorting precomputed scores in the window."""
+    slower than sorting precomputed scores in the window. The one-row
+    broadcast-model + per-row array-argmax device (lloyd_refine/ SemDeDup-
+    kmeans, r14) was ALSO tried here and REVERTED: paired A/B read
+    ann_ivf_topk 1.44 vs 0.94 s, ann_ivfpq_topk 3.66 vs 2.77, ann_recall
+    4.69 vs 3.60 — in these consumers the assignment feeds cid-keyed probe
+    joins, and the model-fold form cost more than the window it saved.
+    The device pays only where it ALSO deletes a downstream join/window
+    (the kmeans base) or a SortAggregate (the Lloyd loop)."""
     scored = F.broadcast(cents).join(emb, how="cross").select(
         "vec_id",
         "cid",
@@ -2883,24 +2890,38 @@ def semantic_dedup_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFram
         corpus.select("vec_id", "e"), k=N_CENTROIDS, iters=SEMDEDUP_KMEANS_ITERS
     )
     norms = _norms(model)
-    cents = spark.createDataFrame(
-        [(i, model[i], norms[i]) for i in range(N_CENTROIDS)],
-        "cid long, ce array<double>, cn double",
+    # one-row broadcast MODEL + per-row array argmax (r14, the refreshed
+    # lloyd_refine device): the former k-row cross fan-out + row_number
+    # window paid a 16× row blow-up, a window exchange+sort, AND a join
+    # back to corpus for the vectors — the per-row argmax keeps e/nrm in
+    # the row, so `members` is a pure map over the checkpointed corpus
+    # (same doubles: _cos_prenorm per centroid in cid order; first max =
+    # smaller-cid tie-break, the window's ordering).
+    model_df = spark.createDataFrame(
+        [([model[i] for i in range(N_CENTROIDS)], norms)],
+        "cm array<array<double>>, cns array<double>",
     )
-    scored = F.broadcast(cents).join(corpus, how="cross").select(
-        "vec_id", "cid",
-        _cos_prenorm("e", "ce", "nrm", "cn").alias("cs"),
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.col("cid"))
-    assign = (
-        scored.withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cid", F.col("cs").alias("cen_cos"))
+    sims = F.transform(
+        F.col("cm"),
+        lambda c, i: _cos_prenorm(F.col("e"), c, F.col("nrm"), F.element_at(F.col("cns"), i + 1)),
     )
     # one-off quantizer => one-off base (NOT the shared memo, which is keyed
     # to the seed-convention centroids); members checkpoint feeds the
     # self-join both sides, released once the K-row report is materialized
-    members = assign.join(corpus, "vec_id").localCheckpoint(eager=True)
+    members = (
+        corpus.join(F.broadcast(model_df), how="cross")
+        .select("vec_id", "e", "nrm", sims.alias("__sims"))
+        .select(
+            "vec_id",
+            (F.array_position(F.col("__sims"), F.array_max(F.col("__sims"))) - 1)
+            .cast("long")
+            .alias("cid"),
+            F.array_max(F.col("__sims")).alias("cen_cos"),
+            "e",
+            "nrm",
+        )
+        .localCheckpoint(eager=True)
+    )
     a, b = members.alias("a"), members.alias("b")
     # Partial-distance prefilter + survivor checkpoint — the identical
     # exact device semantic_dedup_k_sensitivity ships (6.8 s -> ~2 s on
