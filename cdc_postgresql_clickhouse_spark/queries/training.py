@@ -1359,13 +1359,11 @@ def sketch_bloom_error_sweep(
 
     corpus = _corpus(spark, sf_dir)
     grams = _grams(corpus, n)
-    # the gram universes are m-INDEPENDENT: persist them once or every
-    # sweep arm re-runs the corpus explode+distinct (the shuffle audit
-    # found 42 exchanges for 3 filter sizes without these). The md5 hash
-    # WINDOWS are m-independent too (position j is window j mod m), so the
-    # persisted universes carry the BLOOM_K conv'd windows as columns —
-    # each arm then pays one `% m` per probe instead of re-hashing both
-    # universes per filter size (3 arms × md5+3×conv → 1×; r13).
+    # the gram universes are m-INDEPENDENT (position j is window j mod m),
+    # so they are built ONCE carrying the BLOOM_K conv'd md5 windows as
+    # columns (r13) — and since r14 the whole sweep is a single pass over
+    # the probe universe, so only the bench side (2 consumers: bit sets +
+    # count) still persists.
     hw = [
         F.conv(
             F.substring(F.md5(F.col("gram")), 1 + _BLOOM_HASH_DIGITS * j, _BLOOM_HASH_DIGITS),
@@ -1384,45 +1382,81 @@ def sketch_bloom_error_sweep(
         grams.select("gram").distinct()
         .join(bench_g.select("gram"), "gram", "left_anti")
         .select("gram", *hw)
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    out = None
-    for m in BLOOM_SWEEP_M:
-        def pos(j: int):
-            return F.col(f"h{j}") % m
-
-        bits = (
-            bench_g.select(
-                F.explode(F.array(*[pos(j) for j in range(BLOOM_K)])).alias("pos")
-            )
-            .distinct()
+    )
+    # ONE pass over the probe universe for ALL arms (r14; guide §2.4): the
+    # former shape ran 3 broadcast semi-joins per arm against the same bit
+    # set plus 3 per-arm count aggregates — 9 semi-joins and 6 re-reads of
+    # the persisted probe universe, all tiny-task stages (the PERF_r13
+    # scaling column read 0.40: SLOWER at 32 cores than 8, pure scheduling
+    # overhead). Now every probe gram picks up its 3·|arms| membership
+    # flags through 9 broadcast LEFT joins fused into one codegen pipeline
+    # (bits sets are distinct, so left joins cannot fan out) and ONE
+    # aggregation emits every arm's FP count AND the probe count together;
+    # stack() unfolds the single row into the 3 declared report rows.
+    # The bit sets chain by divisibility (1024 | 8192 | 65536): positions
+    # mod a smaller m derive from the largest arm's distinct positions —
+    # the bench explode+distinct runs once, not per arm.
+    bits_by_m: dict[int, DataFrame] = {}
+    m_desc = sorted(BLOOM_SWEEP_M, reverse=True)
+    top = m_desc[0]
+    bits_by_m[top] = (
+        bench_g.select(
+            F.explode(F.array(*[(F.col(f"h{j}") % top) for j in range(BLOOM_K)])).alias("pos")
         )
-        probed = probe_g.select("gram", *[pos(j).alias(f"p{j}") for j in range(BLOOM_K)])
-        flagged = probed
+        .distinct()
+    )
+    for prev, m in zip(m_desc, m_desc[1:]):
+        assert prev % m == 0, "sweep arms must chain by divisibility"
+        bits_by_m[m] = bits_by_m[prev].select((F.col("pos") % m).alias("pos")).distinct()
+    flagged = probe_g.select(
+        *[
+            (F.col(f"h{j}") % m).alias(f"p{j}_{m}")
+            for m in BLOOM_SWEEP_M
+            for j in range(BLOOM_K)
+        ]
+    )
+    for m in BLOOM_SWEEP_M:
         for j in range(BLOOM_K):
             flagged = flagged.join(
-                F.broadcast(bits.withColumnRenamed("pos", f"p{j}")),
-                f"p{j}",
-                "left_semi",
+                F.broadcast(
+                    bits_by_m[m].select(
+                        F.col("pos").alias(f"p{j}_{m}"), F.lit(1).alias(f"b{j}_{m}")
+                    )
+                ),
+                f"p{j}_{m}",
+                "left",
             )
-        row = (
-            probe_g.agg(F.count(F.lit(1)).cast("long").alias("n_probe_grams"))
-            .crossJoin(F.broadcast(bench_g.agg(
-                F.count(F.lit(1)).cast("long").alias("n_bench_grams"))))
-            .crossJoin(F.broadcast(flagged.agg(
-                F.count(F.lit(1)).cast("long").alias("n_false_positives"))))
-            .select(
-                F.lit(m).cast("long").alias("m_bits"),
-                F.lit(BLOOM_K).cast("long").alias("k_hashes"),
-                "n_bench_grams",
-                "n_probe_grams",
-                "n_false_positives",
-                F.expr("n_false_positives * 1000000 div n_probe_grams")
-                .cast("long")
-                .alias("fpr_ppm"),
-            )
-        )
-        out = row if out is None else out.unionByName(row)
-    return out
+    fp = [
+        F.sum(
+            F.when(
+                sum(F.col(f"b{j}_{m}").isNotNull().cast("int") for j in range(BLOOM_K))
+                == BLOOM_K,
+                1,
+            ).otherwise(0)
+        ).cast("long").alias(f"nfp_{m}")
+        for m in BLOOM_SWEEP_M
+    ]
+    counts = flagged.agg(F.count(F.lit(1)).cast("long").alias("n_probe_grams"), *fp)
+    one = counts.crossJoin(
+        F.broadcast(bench_g.agg(F.count(F.lit(1)).cast("long").alias("n_bench_grams")))
+    )
+    stack = ", ".join(
+        f"CAST({m} AS BIGINT), nfp_{m}" for m in BLOOM_SWEEP_M
+    )
+    return one.selectExpr(
+        f"stack({len(BLOOM_SWEEP_M)}, {stack}) AS (m_bits, n_false_positives)",
+        "n_bench_grams",
+        "n_probe_grams",
+    ).select(
+        "m_bits",
+        F.lit(BLOOM_K).cast("long").alias("k_hashes"),
+        "n_bench_grams",
+        "n_probe_grams",
+        "n_false_positives",
+        F.expr("n_false_positives * 1000000 div n_probe_grams")
+        .cast("long")
+        .alias("fpr_ppm"),
+    )
 
 
 def _sql_bloom_pos_m(gram: str, j: int, m: int) -> str:
