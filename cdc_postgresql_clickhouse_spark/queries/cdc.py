@@ -614,10 +614,6 @@ FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY es DESC, event_
 
 
 def cdc_dlq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cdc_postgresql_clickhouse_spark.sources.envelope import (
-        decode_json_envelopes_with_dlq,
-    )
-
     ev = load_table(spark, sf_dir, "events")
     op = (
         F.when(F.col("event_type") == "error", F.lit("d"))
@@ -660,13 +656,66 @@ def cdc_dlq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("event_id") % 13 == 1, no_op)  # parseable, no op code
         .otherwise(full)
     )
-    raw = ev.select(value.alias("value"))
-    valid, dead = decode_json_envelopes_with_dlq(raw)
-    per_op = valid.groupBy("op").agg(F.count(F.lit(1)).cast("long").alias("n_records"))
-    dlq = dead.agg(F.count(F.lit(1)).cast("long").alias("n_records")).select(
-        F.lit("__dlq__").alias("op"), "n_records"
+    # ONE scan / ONE encode / ONE parse (r14; guide §2.4 + §4.4's
+    # duplication trap in JVM form): the former valid/dead split consumed
+    # decode_json_envelopes_with_dlq through TWO union arms, each
+    # re-scanning events and re-evaluating the full to_json construction —
+    # and the split predicate, pushed into the scan-stage Filter, dragged
+    # the whole to_json expression into its condition so the encode ran up
+    # to twice more per row. Folding the split into a CASE label keeps
+    # every per-row step (encode, parse, classify) evaluated exactly once
+    # under multi-reference-protected Projects (the CollapseProject
+    # non-cheap-alias rule).
+    #
+    # Dead classification is pinned with an EXPLICIT corrupt-record column
+    # rather than the split's e-IS-NULL test: with partial-result JSON
+    # parsing (spark.sql.json.enablePartialResults, default on) a
+    # truncated envelope can still salvage its `op` field when the parse
+    # schema is the full envelope — the old shape only classified those
+    # rows dead because Catalyst happened to PRUNE its from_json to the
+    # op field, failing the whole row. The corrupt column makes
+    # "unparseable envelope" explicit and schema-pruning-independent;
+    # rows whose raw JSON is malformed get a non-null _cr regardless of
+    # what the parser salvaged. The decode function's value-IS-NOT-NULL
+    # prefilter is dropped as a no-op here: every CASE branch of `value`
+    # is to_json/substring of non-null input, so no null raw values exist
+    # to exclude. The final unionByName + re-aggregate pins the
+    # always-present '__dlq__' row the old dead.agg(COUNT) emitted even
+    # for an empty dead set — identical output in every case, including
+    # a corpus with no dead records.
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from cdc_postgresql_clickhouse_spark.sources.envelope import ENVELOPE_SCHEMA
+
+    cr_schema = StructType(list(ENVELOPE_SCHEMA.fields) + [StructField("_cr", StringType())])
+    parsed = ev.select(value.alias("value")).select(
+        F.from_json(
+            F.col("value").cast("string"),
+            cr_schema,
+            {"columnNameOfCorruptRecord": "_cr"},
+        ).alias("e")
     )
-    return per_op.unionByName(dlq)
+    label = (
+        F.when(
+            F.col("e").isNull()
+            | F.col("e._cr").isNotNull()
+            | F.col("e.op").isNull(),
+            F.lit("__dlq__"),
+        )
+        .otherwise(F.col("e.op"))
+    )
+    counts = parsed.select(label.alias("op")).groupBy("op").agg(
+        F.count(F.lit(1)).cast("long").alias("n_records")
+    )
+    spark_ = ev.sparkSession
+    dlq_floor = spark_.range(1).select(
+        F.lit("__dlq__").alias("op"), F.lit(0).cast("long").alias("n_records")
+    )
+    return (
+        counts.unionByName(dlq_floor)
+        .groupBy("op")
+        .agg(F.sum("n_records").cast("long").alias("n_records"))
+    )
 
 
 # JSON null-before needs the row type spelled as a DDL string
