@@ -2078,53 +2078,121 @@ def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_id", "c_a", "c_b",
             F.floor(psim_raw * F.lit(1000000.0)).cast("long").alias("sim_micro"),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        # no persist since r14: the one-pass selection reads pairsim once
     )
     lam, div = MMR_LAMBDA_X10, 10 - MMR_LAMBDA_X10
-    cand = pool.select("q_id", "neighbor_id", "rel_micro")
-    selected = (
-        pool.filter(F.col("rn") == 1)
-        .select(
-            "q_id",
+    # ONE distributed pass for the K-1 selection rounds (r14): the former
+    # per-round loop ran 4 sequential eager localCheckpoint jobs (each an
+    # anti-join + keyed max + window over n_queries·pool rows — the
+    # checkpoints were load-bearing against a doubling DAG, but serialized
+    # ~1.3 s of scheduler latency per query run). Per query the state is
+    # BOUNDED (pool ≤ 16 candidates, ≤ 16·15 pair sims), so the greedy
+    # rounds fold into per-row ARRAY expressions over one grouped row per
+    # query: rounds are unrolled Python-side into filter/transform/
+    # aggregate combinators on exact integer micro scores — same argmax,
+    # same (mmr DESC, neighbor_id ASC) tie-break via the fold's
+    # strictly-better-or-equal-and-smaller-id replacement rule, which is
+    # order-independent. Still n_queries-proportional and distributed —
+    # nothing driver-side; at 100 TB this is one map pass over the grouped
+    # pools instead of K-1 cluster-wide barrier rounds.
+    pools = pool.select(
+        "q_id", F.struct("rn", "neighbor_id", "rel_micro").alias("p")
+    ).groupBy("q_id").agg(F.array_sort(F.collect_list("p")).alias("cand"))
+    sims = pairsim.groupBy("q_id").agg(
+        F.collect_list(F.struct("c_a", "c_b", "sim_micro")).alias("ps")
+    )
+    st = pools.join(sims, "q_id")
+
+    first = F.element_at(F.col("cand"), 1)
+    # the K-1 rounds fold over sequence(2, K) with the selected set as the
+    # fold's LAMBDA VARIABLE — a lambda var is bound once per step, so the
+    # round history is never re-inlined into the next round's expression
+    # (a closed-over Column or a withColumn chain both let the optimizer
+    # duplicate the history multiplicatively: the withColumn form spent
+    # 6.4 s in planning and minutes in interpreted re-evaluation at
+    # sf0.001 before this formulation).
+    sel_init = F.array(
+        F.struct(
             F.lit(1).cast("long").alias("mmr_rank"),
-            "neighbor_id", "rel_micro",
-            (F.lit(lam) * F.col("rel_micro")).cast("long").alias("mmr_micro"),
+            first.getField("neighbor_id").alias("neighbor_id"),
+            first.getField("rel_micro").alias("rel_micro"),
+            (F.lit(lam) * first.getField("rel_micro")).cast("long").alias("mmr_micro"),
         )
     )
-    for t in range(2, MMR_K + 1):
-        sel_ids = selected.select("q_id", F.col("neighbor_id").alias("c_b"))
-        ms = (
-            pairsim.join(sel_ids, ["q_id", "c_b"])
-            .groupBy("q_id", "c_a")
-            .agg(F.max("sim_micro").alias("maxsim"))
-        )
-        rem = cand.join(
-            selected.select("q_id", "neighbor_id"), ["q_id", "neighbor_id"], "left_anti"
-        )
-        mmr = rem.join(
-            ms,
-            (rem["q_id"] == ms["q_id"]) & (rem["neighbor_id"] == ms["c_a"]),
-        ).select(
-            rem["q_id"], "neighbor_id", "rel_micro",
-            (F.lit(lam) * F.col("rel_micro") - F.lit(div) * F.col("maxsim"))
-            .cast("long").alias("mmr_micro"),
-        )
-        wt = Window.partitionBy("q_id").orderBy(F.desc("mmr_micro"), F.col("neighbor_id"))
-        pick = (
-            mmr.withColumn("prn", F.row_number().over(wt))
-            .filter(F.col("prn") == 1)
-            .select(
-                "q_id", F.lit(t).cast("long").alias("mmr_rank"),
-                "neighbor_id", "rel_micro", "mmr_micro",
+    seed = F.struct(
+        F.lit(-(10**15)).cast("long").alias("mmr_micro"),
+        F.lit(-1).cast("long").alias("neighbor_id"),
+        F.lit(0).cast("long").alias("rel_micro"),
+    )
+
+    def round_step(sel, t):
+        def not_selected(c):
+            return ~F.exists(
+                sel, lambda s: s.getField("neighbor_id") == c.getField("neighbor_id")
             )
+
+        def mmr_of(c):
+            maxsim = F.array_max(
+                F.transform(
+                    F.filter(
+                        F.col("ps"),
+                        lambda x: (x.getField("c_a") == c.getField("neighbor_id"))
+                        & F.exists(
+                            sel,
+                            lambda s: s.getField("neighbor_id") == x.getField("c_b"),
+                        ),
+                    ),
+                    lambda x: x.getField("sim_micro"),
+                )
+            )
+            return (
+                F.lit(lam) * c.getField("rel_micro") - F.lit(div) * maxsim
+            ).cast("long")
+
+        best = F.aggregate(
+            F.transform(
+                F.filter(F.col("cand"), not_selected),
+                lambda c: F.struct(
+                    mmr_of(c).alias("mmr_micro"),
+                    c.getField("neighbor_id").alias("neighbor_id"),
+                    c.getField("rel_micro").alias("rel_micro"),
+                ),
+            ),
+            seed,
+            lambda acc, x: F.when(
+                (x.getField("mmr_micro") > acc.getField("mmr_micro"))
+                | (
+                    (x.getField("mmr_micro") == acc.getField("mmr_micro"))
+                    & (x.getField("neighbor_id") < acc.getField("neighbor_id"))
+                ),
+                x,
+            ).otherwise(acc),
         )
-        # lineage cut per round (the graph-rounds device): selected is
-        # n_queries*t rows, but round t's plan references selected THREE
-        # times (anti-join, maxsim, union) — unchecked, the DAG doubles
-        # per round (observed: 243 Exchanges / 284 Sorts at K=5, executor
-        # heap death on local[32]); checkpointed it stays round-local.
-        selected = selected.unionByName(pick).localCheckpoint(eager=True)
-    return selected
+        return F.concat(
+            sel,
+            F.array(
+                F.struct(
+                    t.cast("long").alias("mmr_rank"),
+                    best.getField("neighbor_id").alias("neighbor_id"),
+                    best.getField("rel_micro").alias("rel_micro"),
+                    best.getField("mmr_micro").alias("mmr_micro"),
+                )
+            ),
+        )
+
+    sel_final = F.aggregate(
+        F.sequence(F.lit(2), F.lit(MMR_K)), sel_init, round_step
+    )
+    return (
+        st.select("q_id", F.explode(sel_final).alias("s"))
+        .select(
+            "q_id",
+            F.col("s.mmr_rank").alias("mmr_rank"),
+            F.col("s.neighbor_id").alias("neighbor_id"),
+            F.col("s.rel_micro").alias("rel_micro"),
+            F.col("s.mmr_micro").alias("mmr_micro"),
+        )
+    )
 
 
 def _sql_mmr() -> str:

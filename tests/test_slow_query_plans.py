@@ -82,9 +82,13 @@ _PINS = [
     ("quality_filter_cascade_report", 18, 0),
     # lines that crossed 2 s only in the noisiest sealing window — pinned
     # anyway so a real plan regression can't hide there either; MMR's
-    # selection rounds are checkpoint-materialized (scan-only final plan),
-    # the nprobe sweep's BNLJs are the bounded centroid-grid cross-scores
-    ("similarity_mmr_rerank", 0, 0),
+    # selection rounds fold into per-row array expressions since r14 (one
+    # distributed pass, no checkpoints), so the full plan is visible: 4
+    # shuffles (pool window, two grouped-state aggs, state join) and the
+    # one BNLJ is the broadcast query-slice × corpus non-equi cross-score
+    # the old shape also ran (hidden below its checkpoint). The nprobe
+    # sweep's BNLJs are the bounded centroid-grid cross-scores
+    ("similarity_mmr_rerank", 5, 1),
     ("corpus_dup_rate_growth", 5, 0),
     ("embedding_semantic_cluster", 1, 0),
     ("ann_nprobe_recall_sweep", 14, 7),
