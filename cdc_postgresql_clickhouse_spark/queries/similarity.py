@@ -1943,12 +1943,20 @@ def embedding_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand = emb.filter(~F.col("vec_id").isin(chosen_ids)).select(
             "vec_id", "e", d6.alias("d6")
         )
-        # argmax d6, tie -> lowest vec_id: struct max on (d6, -vec_id)
+        # argmax d6, tie -> lowest vec_id: struct max on (d6, -vec_id, e).
+        # The winner's VECTOR rides in the same struct (r14): struct
+        # comparison is lexicographic and vec_id is unique, so the e field
+        # can never influence the ordering — it just comes back with the
+        # max, halving the per-round driver actions (the old shape ran a
+        # second filter-by-id collect to fetch the chosen vector).
         top = cand.select(
-            F.max(F.struct(F.col("d6"), (-F.col("vec_id")).alias("nid"))).alias("m")
-        ).select(F.col("m.d6").alias("d6"), (-F.col("m.nid")).alias("vec_id")).first()
-        vec = [float(x) for x in emb.filter(F.col("vec_id") == int(top.vec_id)).first().e]
-        centers.append((int(top.vec_id), vec))
+            F.max(
+                F.struct(F.col("d6"), (-F.col("vec_id")).alias("nid"), F.col("e"))
+            ).alias("m")
+        ).select(
+            F.col("m.d6").alias("d6"), (-F.col("m.nid")).alias("vec_id"), F.col("m.e").alias("e")
+        ).first()
+        centers.append((int(top.vec_id), [float(x) for x in top.e]))
         rows.append((rnd, int(top.vec_id), int(top.d6)))
     return spark.createDataFrame(
         rows, "round long, center_id long, radius_micro long"
